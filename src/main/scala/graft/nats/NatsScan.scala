@@ -1,0 +1,70 @@
+package graft.nats
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's entry point — Spark analog of the reference's single table
+  * function `nats_scan` (/root/reference/src/nats_scan.cpp:879-897).
+  *
+  * Lifecycle mapping (SURVEY.md §3): option validation + schema resolution
+  * here = the reference's bind step; the returned DataFrame is a declarative
+  * logical plan, so Catalyst's predicate pushdown / column pruning replace the
+  * reference's bind-time range parameters — range predicates land on the
+  * parquet scan as PushedFilters and prune row groups via min/max stats, the
+  * columnar equivalent of the reference's timestamp→seq binary search
+  * (/root/reference/src/nats_scan.cpp:548-595).
+  *
+  * Semantics reproduced:
+  *   - inclusive [start_seq, end_seq] (:703-707)
+  *   - subject SUBSTRING match, not wildcard (:741-746)
+  *   - json_extract: one STRING column per path, missing key → NULL; real
+  *     nested dot-paths (documented superset of the reference's top-level-only
+  *     implementation, SURVEY.md §1.3); payload becomes STRING (:379-385)
+  *   - proto_extract: typed columns via wire-format decode, dots mangled to
+  *     underscores (:396-399)
+  */
+object NatsScan {
+
+  def scan(spark: SparkSession, stream: String,
+           opts: NatsScanOptions = NatsScanOptions(),
+           store: MessageStore): DataFrame = {
+    opts.validate()
+    var df = store.read(spark, stream)
+
+    // range + subject pruning — pushdown-friendly single filters
+    val preds: Seq[Column] =
+      opts.startSeq.map(s => col("seq") >= s).toSeq ++
+      opts.endSeq.map(e => col("seq") <= e).toSeq ++
+      opts.startTime.map(t => col("ts_nats") >= lit(t)).toSeq ++
+      opts.endTime.map(t => col("ts_nats") <= lit(t)).toSeq ++
+      opts.subjectContains.map(s => col("subject").contains(s)).toSeq
+    if (preds.nonEmpty) df = df.filter(preds.reduce(_ && _))
+
+    if (opts.jsonExtract.nonEmpty) {
+      // payload polymorphism: STRING under json_extract
+      df = df.withColumn("payload", col("payload").cast("string"))
+      val extracted = opts.jsonExtract.map { path =>
+        get_json_object(col("payload"), "$." + path).as(mangle(path))
+      }
+      df = df.select(df.columns.map(col).toIndexedSeq ++ extracted: _*)
+    } else if (opts.protoExtract.nonEmpty) {
+      val schema = graft.proto.ProtoSchema.parseFile(
+        opts.protoFile.get, opts.protoMessage.get)
+      val decoded = graft.proto.ProtoDecode.decode(col("payload"), schema)
+      val extracted = opts.protoExtract.map { path =>
+        graft.proto.ProtoDecode.field(decoded, schema, path).as(mangle(path))
+      }
+      df = df.select(df.columns.map(col).toIndexedSeq ++ extracted: _*)
+    }
+    df
+  }
+
+  /** Convenience: scan the parquet-backed fixture store rooted at `dir`. */
+  def scanDir(spark: SparkSession, dir: String, stream: String = "events",
+              opts: NatsScanOptions = NatsScanOptions()): DataFrame =
+    scan(spark, stream, opts, new ParquetMessageStore(dir))
+
+  /** dots → underscores in extraction column names
+    * (/root/reference/src/nats_scan.cpp:396-399). */
+  def mangle(path: String): String = path.replace('.', '_')
+}

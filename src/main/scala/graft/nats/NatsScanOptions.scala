@@ -1,0 +1,60 @@
+package graft.nats
+
+import java.time.Instant
+
+/** Query-scoped scan configuration — the Spark analog of the reference's
+  * bind-time parameters (`NatsScanBind`, /root/reference/src/nats_scan.cpp:207-423).
+  *
+  * Validation reproduces the reference's mutual-exclusion rules
+  * (/root/reference/src/nats_scan.cpp:267-285) with matching error messages:
+  *   - sequence range × time range are mutually exclusive
+  *   - `json_extract` × `proto_extract` are mutually exclusive
+  *   - `proto_file` / `proto_message` / `proto_extract` are co-required
+  *
+  * Ranges are inclusive on both ends (`[start_seq, end_seq]`,
+  * /root/reference/src/nats_scan.cpp:703-707; time semantics use the clean
+  * `ts_nats <= end_time` predicate — a documented divergence from the
+  * reference's first-message-at-or-after-end quirk, see SURVEY.md §7).
+  */
+final case class NatsScanOptions(
+    subjectContains: Option[String] = None,
+    url: Option[String] = None,
+    startSeq: Option[Long] = None,
+    endSeq: Option[Long] = None,
+    startTime: Option[Instant] = None,
+    endTime: Option[Instant] = None,
+    jsonExtract: Seq[String] = Nil,
+    protoFile: Option[String] = None,
+    protoMessage: Option[String] = None,
+    protoExtract: Seq[String] = Nil) {
+
+  def hasSeqRange: Boolean = startSeq.isDefined || endSeq.isDefined
+  def hasTimeRange: Boolean = startTime.isDefined || endTime.isDefined
+  def usesProto: Boolean =
+    protoFile.isDefined || protoMessage.isDefined || protoExtract.nonEmpty
+
+  /** payload column type: binary unless json extraction is requested
+    * (/root/reference/src/nats_scan.cpp:379-385). */
+  def payloadIsString: Boolean = jsonExtract.nonEmpty
+
+  def validate(): Unit = {
+    if (hasSeqRange && hasTimeRange)
+      throw new IllegalArgumentException(
+        "Cannot specify both sequence range (start_seq/end_seq) and time range (start_time/end_time)")
+    if (jsonExtract.nonEmpty && protoExtract.nonEmpty)
+      throw new IllegalArgumentException(
+        "Cannot specify both json_extract and proto_extract")
+    if (usesProto && (protoFile.isEmpty || protoMessage.isEmpty || protoExtract.isEmpty))
+      throw new IllegalArgumentException(
+        "proto_file, proto_message, and proto_extract must all be specified together")
+    for (s <- startSeq; e <- endSeq)
+      if (s > e)
+        throw new IllegalArgumentException(
+          s"start_seq ($s) cannot be greater than end_seq ($e)")
+  }
+}
+
+object NatsScanOptions {
+  /** Parse an ISO-8601 UTC instant such as "2024-01-02T00:00:00Z". */
+  def ts(iso: String): Option[Instant] = Some(Instant.parse(iso))
+}

@@ -1,0 +1,255 @@
+package graft.proto
+
+import org.apache.spark.sql.types._
+
+/** Minimal .proto (proto3-style) schema model + parser — the Spark analog of
+  * the reference's bind-time `compiler::Importer` usage
+  * (/root/reference/src/nats_scan.cpp:287-363). Self-contained: no protobuf
+  * runtime dependency (offline constraint, SURVEY.md §7 step 4).
+  *
+  * Supported grammar subset (acceptance fixture:
+  * /root/reference/test/proto/types_test.proto, telemetry.proto):
+  * `syntax`, `package`, nested/peer `message` definitions, `enum`, scalar
+  * fields of all 17 proto scalar types, message-typed fields. No services,
+  * oneof, maps, repeated (the reference decodes none of those either).
+  */
+sealed trait PType
+object PType {
+  case object PString extends PType
+  case object PBytes extends PType
+  case object PInt32 extends PType   // int32, sint32 (zigzag), sfixed32
+  case object PInt64 extends PType   // int64, sint64 (zigzag), sfixed64
+  case object PUInt32 extends PType  // uint32, fixed32
+  case object PUInt64 extends PType  // uint64, fixed64
+  case object PFloat extends PType
+  case object PDouble extends PType
+  case object PBool extends PType
+  final case class PEnum(name: String, values: Map[Int, String]) extends PType
+  final case class PMessage(msg: MessageDef) extends PType
+}
+
+/** Wire encoding family for a field — what the decoder needs at runtime. */
+sealed trait Enc
+object Enc {
+  case object Varint extends Enc        // int32/64, uint32/64, bool, enum
+  case object ZigZag extends Enc        // sint32/64
+  case object Fixed32 extends Enc       // fixed32, sfixed32, float
+  case object Fixed64 extends Enc       // fixed64, sfixed64, double
+  case object LenDelim extends Enc      // string, bytes, message
+}
+
+final case class FieldDef(name: String, number: Int, ptype: PType, enc: Enc) {
+  def isMessage: Boolean = ptype.isInstanceOf[PType.PMessage]
+}
+
+final case class MessageDef(name: String, fields: Seq[FieldDef]) {
+  def field(n: String): Option[FieldDef] = fields.find(_.name == n)
+
+  /** Navigate a dotted path to the leaf field
+    * (= `GetFieldDescriptorForPath`, /root/reference/src/nats_scan.cpp:94-127).
+    * Throws with reference-style messages on bad paths (:316-357). */
+  def resolve(path: String): FieldDef = {
+    val parts = path.split('.')
+    var cur: MessageDef = this
+    var fd: FieldDef = null
+    parts.zipWithIndex.foreach { case (p, i) =>
+      fd = cur.field(p).getOrElse(throw new IllegalArgumentException(
+        s"Field '$p' not found in message '${cur.name}' (path '$path')"))
+      if (i < parts.length - 1) fd.ptype match {
+        case PType.PMessage(m) => cur = m
+        case _ => throw new IllegalArgumentException(
+          s"Field '$p' in path '$path' is not a message type")
+      }
+    }
+    fd
+  }
+
+  /** Spark-side schema of the fully decoded message (SURVEY.md §1.3 mapping). */
+  def sparkSchema: StructType = StructType(fields.map { f =>
+    StructField(f.name, ProtoSchema.sparkType(f.ptype), nullable = true)
+  })
+}
+
+object ProtoSchema {
+
+  /** proto leaf type → Spark DataType (SURVEY.md §1.3 table; reference
+    * mapping /root/reference/src/nats_scan.cpp:130-166). Unsigned types widen:
+    * uint32 → Long, uint64 → Decimal(20,0) for strict fidelity. */
+  def sparkType(t: PType): DataType = t match {
+    case PType.PString    => StringType
+    case PType.PBytes     => BinaryType
+    case PType.PInt32     => IntegerType
+    case PType.PInt64     => LongType
+    case PType.PUInt32    => LongType
+    case PType.PUInt64    => DecimalType(20, 0)
+    case PType.PFloat     => FloatType
+    case PType.PDouble    => DoubleType
+    case PType.PBool      => BooleanType
+    case _: PType.PEnum   => StringType        // enum name, :156-158
+    case PType.PMessage(m) => m.sparkSchema
+  }
+
+  /** Parse a .proto file from disk and resolve `messageName`. */
+  def parseFile(path: String, messageName: String): MessageDef = {
+    val src = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    parse(src, messageName)
+  }
+
+  /** Parse .proto source text and resolve `messageName` (top-level). */
+  def parse(src: String, messageName: String): MessageDef = {
+    val tokens = tokenize(src)
+    val p = new Parser(tokens)
+    p.parseFile()
+    p.messages.getOrElse(messageName, throw new IllegalArgumentException(
+      s"Message type '$messageName' not found in proto file"))
+  }
+
+  // --- tokenizer: strips comments, splits on punctuation ---
+  private def tokenize(src: String): Vector[String] = {
+    val noLine = src.replaceAll("//[^\n]*", " ")
+    val noBlock = noLine.replaceAll("(?s)/\\*.*?\\*/", " ")
+    val spaced = noBlock
+      .replace("{", " { ").replace("}", " } ").replace(";", " ; ")
+      .replace("=", " = ")
+    spaced.split("\\s+").filter(_.nonEmpty).toVector
+  }
+
+  private val scalarEnc: Map[String, (PType, Enc)] = Map(
+    "string"   -> (PType.PString, Enc.LenDelim),
+    "bytes"    -> (PType.PBytes, Enc.LenDelim),
+    "int32"    -> (PType.PInt32, Enc.Varint),
+    "sint32"   -> (PType.PInt32, Enc.ZigZag),
+    "sfixed32" -> (PType.PInt32, Enc.Fixed32),
+    "int64"    -> (PType.PInt64, Enc.Varint),
+    "sint64"   -> (PType.PInt64, Enc.ZigZag),
+    "sfixed64" -> (PType.PInt64, Enc.Fixed64),
+    "uint32"   -> (PType.PUInt32, Enc.Varint),
+    "fixed32"  -> (PType.PUInt32, Enc.Fixed32),
+    "uint64"   -> (PType.PUInt64, Enc.Varint),
+    "fixed64"  -> (PType.PUInt64, Enc.Fixed64),
+    "float"    -> (PType.PFloat, Enc.Fixed32),
+    "double"   -> (PType.PDouble, Enc.Fixed64),
+    "bool"     -> (PType.PBool, Enc.Varint))
+
+  /** Recursive-descent parser over the token stream. Two passes: first
+    * collects raw message bodies, then links message-typed fields (allows
+    * forward references between top-level messages). */
+  private final class Parser(tokens: Vector[String]) {
+    private var pos = 0
+    val messages = scala.collection.mutable.LinkedHashMap[String, MessageDef]()
+    private val enums = scala.collection.mutable.Map[String, PType.PEnum]()
+    // (owner message, field name, number, type name) pending message-type link
+    private val pending =
+      scala.collection.mutable.ArrayBuffer[(String, String, Int, String)]()
+
+    private def peek: String = if (pos < tokens.length) tokens(pos) else ""
+    private def next(): String = { val t = peek; pos += 1; t }
+    private def expect(t: String): Unit = {
+      val g = next()
+      require(g == t, s"expected '$t' but got '$g' at token $pos")
+    }
+
+    def parseFile(): Unit = {
+      while (pos < tokens.length) {
+        peek match {
+          case "syntax" | "package" | "option" => skipStatement()
+          case "import" => skipStatement()
+          case "message" => parseMessage()
+          case "enum" => parseEnum()
+          case ";" => pos += 1
+          case "" => pos = tokens.length
+          case other =>
+            throw new IllegalArgumentException(s"unexpected token '$other'")
+        }
+      }
+      // link pass: message-typed fields
+      pending.foreach { case (owner, fname, fnum, tname) =>
+        val target = messages.getOrElse(tname,
+          throw new IllegalArgumentException(
+            s"unknown type '$tname' for field '$fname' in '$owner'"))
+        val m = messages(owner)
+        val nf = m.fields.map { f =>
+          if (f.name == fname && f.number == fnum)
+            f.copy(ptype = PType.PMessage(target))
+          else f
+        }
+        messages(owner) = m.copy(fields = nf)
+      }
+      // re-link nested references so PMessage points at the linked version
+      var changed = true
+      var guard = 0
+      while (changed && guard < 10) {
+        changed = false; guard += 1
+        messages.keys.toSeq.foreach { name =>
+          val m = messages(name)
+          val nf = m.fields.map { f => f.ptype match {
+            case PType.PMessage(inner) if messages.contains(inner.name) &&
+                (messages(inner.name) ne inner) &&
+                messages(inner.name) != inner =>
+              changed = true
+              f.copy(ptype = PType.PMessage(messages(inner.name)))
+            case _ => f
+          }}
+          if (nf != m.fields) messages(name) = m.copy(fields = nf)
+        }
+      }
+    }
+
+    private def skipStatement(): Unit = { while (pos < tokens.length && next() != ";") {} }
+
+    private def parseEnum(): Unit = {
+      expect("enum")
+      val name = next()
+      expect("{")
+      val values = scala.collection.mutable.Map[Int, String]()
+      while (peek != "}") {
+        val vname = next()
+        expect("=")
+        val vnum = next().toInt
+        if (peek == ";") pos += 1
+        values(vnum) = vname
+      }
+      expect("}")
+      enums(name) = PType.PEnum(name, values.toMap)
+    }
+
+    private def parseMessage(): Unit = {
+      expect("message")
+      val name = next()
+      expect("{")
+      val fields = scala.collection.mutable.ArrayBuffer[FieldDef]()
+      while (peek != "}") {
+        peek match {
+          case "message" => parseMessage()   // nested message → hoisted by name
+          case "enum" => parseEnum()
+          case "reserved" | "option" => skipStatement()
+          case _ =>
+            var tname = next()
+            if (tname == "optional" || tname == "repeated" || tname == "required")
+              tname = next()   // proto3 optional / legacy labels: field decode is identical
+            val fname = next()
+            expect("=")
+            val fnum = next().toInt
+            if (peek == ";") pos += 1
+            scalarEnc.get(tname) match {
+              case Some((pt, enc)) => fields += FieldDef(fname, fnum, pt, enc)
+              case None if enums.contains(tname) =>
+                fields += FieldDef(fname, fnum, enums(tname), Enc.Varint)
+              case None if messages.contains(tname) =>
+                fields += FieldDef(fname, fnum,
+                  PType.PMessage(messages(tname)), Enc.LenDelim)
+              case None =>
+                // forward reference to a message defined later
+                fields += FieldDef(fname, fnum,
+                  PType.PMessage(MessageDef(tname, Nil)), Enc.LenDelim)
+                pending += ((name, fname, fnum, tname))
+            }
+        }
+      }
+      expect("}")
+      messages(name) = MessageDef(name, fields.toSeq)
+    }
+  }
+}

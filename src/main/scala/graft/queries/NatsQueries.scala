@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.nats.{NatsScan, NatsScanOptions}
+
+/** Layer-A query surface: the `nats_scan` source semantics exercised the way
+  * the reference's SQL suites exercise them (SURVEY.md §2 Layer A).
+  * Each entry has a DuckDB oracle over the same `events.parquet` fixture.
+  */
+object NatsQueries {
+
+  /** envelope CTE shared by every oracle — identical construction to
+    * ParquetMessageStore (FIXTURES.md §6). */
+  val envSql: String =
+    """WITH env AS (
+      |  SELECT 'events' AS stream,
+      |         'events.' || event_type || '.' || CAST(user_id AS VARCHAR) AS subject,
+      |         event_id + 1 AS seq,
+      |         CAST(ts AS TIMESTAMP) AS ts_nats,
+      |         props AS payload
+      |  FROM events
+      |)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nats_scan_full" -> ((s, dir) =>
+      NatsScan.scanDir(s, dir)
+        .select("stream", "subject", "seq", "ts_nats")
+        .orderBy("seq")),
+
+    "nats_seq_range" -> ((s, dir) =>
+      NatsScan.scanDir(s, dir,
+          opts = NatsScanOptions(startSeq = Some(101L), endSeq = Some(600L)))
+        .select("seq", "subject", "ts_nats")
+        .orderBy("seq")),
+
+    "nats_time_range" -> ((s, dir) =>
+      NatsScan.scanDir(s, dir,
+          opts = NatsScanOptions(
+            startTime = NatsScanOptions.ts("2024-01-05T00:00:00Z"),
+            endTime = NatsScanOptions.ts("2024-01-10T00:00:00Z")))
+        .select("seq", "ts_nats", "subject")
+        .orderBy("seq")),
+
+    "nats_subject_contains" -> ((s, dir) =>
+      NatsScan.scanDir(s, dir,
+          opts = NatsScanOptions(subjectContains = Some("purchase")))
+        .select("seq", "subject")
+        .orderBy("seq")),
+
+    "nats_json_extract" -> ((s, dir) =>
+      NatsScan.scanDir(s, dir, opts = NatsScanOptions(jsonExtract = Seq("k")))
+        .select("seq", "k", "payload")
+        .orderBy("seq")),
+
+    "nats_payload_blob" -> ((s, dir) =>
+      NatsScan.scanDir(s, dir)
+        .select(col("seq"), expr("octet_length(payload)").as("payload_bytes"))
+        .orderBy("seq")),
+
+    "nats_flagship" -> ((s, dir) => flagship(s, dir))
+  )
+
+  /** GUIDE flagship shape (/root/reference/docs/GUIDE.md:200-229): time range
+    * + subject filter + json extraction + group/agg + sort, one query. */
+  def flagship(s: SparkSession, dir: String): DataFrame =
+    NatsScan.scanDir(s, dir,
+        opts = NatsScanOptions(
+          startTime = NatsScanOptions.ts("2024-01-05T00:00:00Z"),
+          endTime = NatsScanOptions.ts("2024-01-20T00:00:00Z"),
+          subjectContains = Some("events."),
+          jsonExtract = Seq("k")))
+      .groupBy("subject")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("k").cast("double")), 4).as("avg_k"),
+        max("ts_nats").as("max_ts"),
+        min("seq").as("min_seq"))
+      .orderBy("subject")
+
+  def oracleSql: Map[String, String] = Map(
+    "nats_scan_full" ->
+      s"$envSql SELECT stream, subject, seq, ts_nats FROM env ORDER BY seq",
+
+    "nats_seq_range" ->
+      s"$envSql SELECT seq, subject, ts_nats FROM env WHERE seq BETWEEN 101 AND 600 ORDER BY seq",
+
+    "nats_time_range" ->
+      s"""$envSql SELECT seq, ts_nats, subject FROM env
+         | WHERE ts_nats >= TIMESTAMP '2024-01-05 00:00:00'
+         |   AND ts_nats <= TIMESTAMP '2024-01-10 00:00:00' ORDER BY seq""".stripMargin,
+
+    "nats_subject_contains" ->
+      s"$envSql SELECT seq, subject FROM env WHERE subject LIKE '%purchase%' ORDER BY seq",
+
+    "nats_json_extract" ->
+      s"$envSql SELECT seq, json_extract_string(payload, '$$.k') AS k, payload FROM env ORDER BY seq",
+
+    "nats_payload_blob" ->
+      s"$envSql SELECT seq, octet_length(payload::BLOB) AS payload_bytes FROM env ORDER BY seq",
+
+    "nats_flagship" ->
+      s"""$envSql, ext AS (
+         |  SELECT subject, seq, ts_nats, json_extract_string(payload, '$$.k') AS k
+         |  FROM env
+         |  WHERE ts_nats >= TIMESTAMP '2024-01-05 00:00:00'
+         |    AND ts_nats <= TIMESTAMP '2024-01-20 00:00:00'
+         |    AND subject LIKE '%events.%'
+         |)
+         |SELECT subject, count(*) AS n, round(avg(CAST(k AS DOUBLE)), 4) AS avg_k,
+         |       max(ts_nats) AS max_ts, min(seq) AS min_seq
+         |FROM ext GROUP BY subject ORDER BY subject""".stripMargin
+  )
+}

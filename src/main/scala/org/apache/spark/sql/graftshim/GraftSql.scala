@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between the public Column API and Catalyst expressions.
+  * Spark 4 hides `classic.ExpressionUtils` behind `private[sql]`; custom
+  * native expressions (graft.proto.*) need exactly these two hops, so we
+  * expose them from inside the package — the standard extension-library
+  * pattern (e.g. third-party connectors do the same). No Spark internals are
+  * modified.
+  */
+object GraftSql {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

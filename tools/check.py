@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify, then for
+each query compare its parquet output against DuckDB running the oracle SQL on
+the same testdata tables. Columns sorted by name; rows sorted by all columns;
+floats compared exactly + with tolerance reporting.
+
+Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify]
+"""
+import json, math, os, subprocess, sys
+
+SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+if "--skip-verify" not in sys.argv:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {OUT}'],
+        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+    sys.stdout.write("\n".join(
+        l for l in (r.stdout + r.stderr).splitlines()
+        if "[verify]" in l or "error" in l.lower() and "ERROR SparkContext" not in l
+    ) + "\n")
+    if r.returncode != 0:
+        print("VERIFY FAILED rc=", r.returncode)
+        print(r.stdout[-3000:])
+        print(r.stderr[-3000:])
+        sys.exit(1)
+
+import duckdb  # noqa: E402
+
+con = duckdb.connect()
+con.execute("SET TimeZone='UTC'")
+for t in TABLES:
+    p = f"{SFDIR}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+with open(f"{OUT}/oracle_sql.json") as f:
+    oracles = json.load(f)
+
+
+def canon(cols, rows):
+    """sort columns by name, then rows by stringified values"""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    cols2 = [cols[i] for i in order]
+    rows2 = [tuple(r[i] for i in order) for r in rows]
+    rows2.sort(key=lambda r: tuple(str(x) for x in r))
+    return cols2, rows2
+
+
+def cell_eq(a, b):
+    if a is None and b is None:
+        return True, 0.0
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False, math.inf
+        if math.isnan(fa) and math.isnan(fb):
+            return True, 0.0
+        d = abs(fa - fb)
+        rel = d / max(abs(fa), abs(fb), 1e-300)
+        return d == 0.0, rel
+    return a == b, (0.0 if a == b else math.inf)
+
+
+n_pass = n_fail = 0
+for name in sorted(oracles):
+    qdir = f"{OUT}/{name}"
+    if not os.path.isdir(qdir):
+        print(f"FAIL {name}: no spark output")
+        n_fail += 1
+        continue
+    try:
+        spark_rel = con.execute(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+        scols = [d[0] for d in spark_rel.description]
+        srows = spark_rel.fetchall()
+        duck_rel = con.execute(oracles[name])
+        dcols = [d[0] for d in duck_rel.description]
+        drows = duck_rel.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: exec error {e}")
+        n_fail += 1
+        continue
+    sc, sr = canon(scols, srows)
+    dc, dr = canon(dcols, drows)
+    if sc != dc:
+        print(f"FAIL {name}: schema {sc} vs {dc}")
+        n_fail += 1
+        continue
+    if len(sr) != len(dr):
+        print(f"FAIL {name}: rowcount {len(sr)} vs {len(dr)}")
+        n_fail += 1
+        continue
+    bad = None
+    max_rel = 0.0
+    for i, (ra, rb) in enumerate(zip(sr, dr)):
+        for j, (a, b) in enumerate(zip(ra, rb)):
+            ok, rel = cell_eq(a, b)
+            max_rel = max(max_rel, rel if rel != math.inf else 0)
+            if not ok and rel > 1e-9:
+                bad = (i, sc[j], a, b)
+                break
+        if bad:
+            break
+    if bad:
+        print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} duck={bad[3]!r}")
+        n_fail += 1
+    else:
+        tol = "" if max_rel == 0.0 else f" (float tol, max rel diff {max_rel:.2e})"
+        print(f"PASS {name}: {len(sr)} rows{tol}")
+        n_pass += 1
+
+print(f"\n{n_pass} pass, {n_fail} fail")
+sys.exit(1 if n_fail else 0)
