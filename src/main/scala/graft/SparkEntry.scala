@@ -16,8 +16,10 @@ object SparkEntry {
     queries("nats_flagship")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.NatsQueries.queries
+    graft.queries.NatsQueries.queries ++
+      graft.queries.RelationalQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.NatsQueries.oracleSql
+    graft.queries.NatsQueries.oracleSql ++
+      graft.queries.RelationalQueries.oracleSql
 }

@@ -1,0 +1,454 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.nats.{NatsScan, NatsScanOptions}
+
+/** Layer-B relational operator inventory (SURVEY.md §2): every downstream
+  * operator the reference's shipped queries require from its host engine,
+  * re-expressed as declarative DataFrame plans so Catalyst/Tungsten supply
+  * the physical strategy (broadcast joins for dims, partial+final hash agg,
+  * TakeOrderedAndProject top-k, window exec).
+  *
+  * Scale notes (100 TB thinking):
+  *   - money aggregates sum DECIMAL(18,2), not DOUBLE — exact, so partial
+  *     aggregation order can never change results across cluster sizes;
+  *   - dimension joins (region/nation/customer at these SFs) broadcast;
+  *     fact-fact joins shuffle on their keys and rely on AQE;
+  *   - windows are PARTITION BY'd wherever semantics allow (a global
+  *     ORDER BY window is a single-task bottleneck at scale — only the
+  *     reference-parity gap/rownum queries use one, documented below).
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- aggregation ---
+
+    // TPC-H Q1 shape: multi-column GROUP BY + 8 aggregates in one pass
+    "q_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .withColumn("price", col("l_extendedprice").cast("decimal(18,2)"))
+        .withColumn("qty", col("l_quantity").cast("decimal(18,2)"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("qty").as("sum_qty"),
+          sum("price").as("sum_base_price"),
+          sum((col("price") * (lit(1.0) - col("l_discount"))).cast("decimal(28,10)")).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // global (ungrouped) aggregation + exact multi COUNT(DISTINCT)
+    "q_count_distinct" -> ((s, dir) =>
+      t(s, dir, "events").agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        count(lit(1)).as("n_rows"),
+        round(avg("value"), 4).as("avg_value"))),
+
+    // SUM(CASE WHEN ...) conditional aggregation
+    "q_sum_case" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("value") > 100, 1).otherwise(0)).as("n_high"),
+          sum(when(col("value") <= 100, 1).otherwise(0)).as("n_low"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // GROUP BY + HAVING
+    "q_having" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        .filter(col("n_orders") >= 3)
+        .orderBy("o_custkey")),
+
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "events").select("event_type").distinct().orderBy("event_type")),
+
+    // --- filters / predicates / scalar exprs ---
+
+    "q_filter_predicates" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_totalprice").between(10000, 200000) &&
+          col("o_orderstatus").isin("O", "F") &&
+          col("o_orderpriority").like("1-%") &&
+          (col("o_custkey") % 2 === 0 || col("o_totalprice") > 150000))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    "q_case_when" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .otherwise("large"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(avg("o_totalprice"), 4).as("avg_price"))
+        .orderBy("bucket")),
+
+    // IS NULL on a missing JSON key (reference: missing key → NULL)
+    "q_is_null" -> ((s, dir) =>
+      NatsScan.scanDir(s, dir, opts = NatsScanOptions(jsonExtract = Seq("k", "missing")))
+        .withColumn("has_missing", col("missing").isNotNull)
+        .groupBy("has_missing")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("k").isNull, 1).otherwise(0)).as("null_k"))
+        .orderBy("has_missing")),
+
+    // casts: string → int/double, double → string-ish comparisons
+    "q_cast" -> ((s, dir) =>
+      NatsScan.scanDir(s, dir, opts = NatsScanOptions(jsonExtract = Seq("k")))
+        .withColumn("k_int", col("k").cast("int"))
+        .filter(col("k_int") >= 50)
+        .groupBy("k_int")
+        .agg(count(lit(1)).as("n"), min("seq").as("min_seq"))
+        .orderBy("k_int")),
+
+    "q_scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          length(col("c_name")).as("name_len"),
+          upper(col("c_mktsegment")).as("seg_upper"),
+          round(col("c_acctbal"), 1).as("bal_round"),
+          abs(col("c_acctbal")).as("bal_abs"),
+          concat(col("c_mktsegment"), lit("#"), col("c_custkey").cast("string")).as("tag"))
+        .orderBy("c_custkey")),
+
+    // timestamp arithmetic + date_trunc bucketing
+    "q_ts_arithmetic" -> ((s, dir) =>
+      NatsScan.scanDir(s, dir)
+        .select(col("seq"), col("ts_nats"),
+          (col("ts_nats") + expr("INTERVAL 2 HOURS")).as("ts_plus2h"),
+          date_trunc("hour", col("ts_nats")).as("ts_hour"))
+        .groupBy("ts_hour")
+        .agg(count(lit(1)).as("n"), max("ts_plus2h").as("max_plus2h"))
+        .orderBy("ts_hour")),
+
+    // --- joins ---
+
+    // stream × dimension: the reference's canonical enrichment pattern
+    // (docs/EXAMPLES.md:240-253). customer is the dim → broadcast.
+    "q_join_broadcast" -> ((s, dir) => {
+      val env = NatsScan.scanDir(s, dir)
+        .withColumn("user_id",
+          element_at(split(col("subject"), "\\."), 3).cast("long"))
+      val dim = broadcast(t(s, dir, "customer"))
+      env.join(dim, env("user_id") === dim("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          max("seq").as("max_seq"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // snowflake: customer ⋈ nation ⋈ region (both dims broadcast)
+    "q_join_multi" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_bal"))
+        .orderBy("r_name")),
+
+    // fact ⋈ fact: orders × lineitem shuffle join on the key
+    "q_join_fact" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))
+        .orderBy("o_orderstatus")),
+
+    // implicit cross join of 1-row CTEs (test_connection_errors.sql:150-162)
+    "q_cross_join" -> ((s, dir) => {
+      val env = NatsScan.scanDir(s, dir)
+      val lo = env.agg(min("seq").as("first_seq"))
+      val hi = env.agg(max("seq").as("last_seq"), count(lit(1)).as("n"))
+      lo.crossJoin(hi)
+        .select(col("first_seq"), col("last_seq"), col("n"),
+          (col("last_seq") - col("first_seq") + 1 === col("n")).as("contiguous"))
+    }),
+
+    // scalar subquery in WHERE (test_sequence_ranges.sql:67)
+    "q_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT l_returnflag, count(*) AS n,
+               round(avg(l_quantity), 4) AS avg_qty
+        FROM v_lineitem
+        WHERE l_quantity > (SELECT avg(l_quantity) FROM v_lineitem)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
+    // --- windows ---
+
+    // LAG gap detection over the filtered stream (test_sequence_ranges.sql:92-107).
+    // Global ORDER BY window = reference parity; scale path is the
+    // partitioned variant below (q_window_partition).
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.orderBy("seq")
+      NatsScan.scanDir(s, dir, opts = NatsScanOptions(subjectContains = Some("purchase")))
+        .select(col("seq"), lag("seq", 1).over(w).as("prev_seq"))
+        .withColumn("gap", col("seq") - col("prev_seq"))
+        .filter(col("gap") > 1)
+        .orderBy("seq")
+    }),
+
+    "q_window_rownum" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 100)
+        .orderBy("rn")
+    }),
+
+    // partitioned window — the shape that scales (per-key ordering only)
+    "q_window_partition" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          row_number().over(w).as("user_event_rank"),
+          lag("event_id", 1).over(w).as("prev_event_id"))
+        .filter(col("user_event_rank") <= 3)
+        .orderBy("user_id", "user_event_rank")
+    }),
+
+    // --- sort / limit / top-k ---
+
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(50)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    "q_multi_sort" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+        .orderBy(col("p_brand").asc, col("p_size").desc, col("p_partkey").asc)
+        .limit(200)),
+
+    // --- set ops / CTE ---
+
+    "q_union_all" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val hi = e.filter(col("value") > 150).select(col("event_id"), lit("high").as("band"))
+      val lo = e.filter(col("value") < 50).select(col("event_id"), lit("low").as("band"))
+      hi.unionAll(lo).groupBy("band").agg(count(lit(1)).as("n")).orderBy("band")
+    }),
+
+    "q_cte" -> ((s, dir) => {
+      NatsScan.scanDir(s, dir).createOrReplaceTempView("v_env")
+      s.sql("""
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts_nats) AS h, count(*) AS n
+          FROM v_env GROUP BY 1
+        ), stats AS (
+          SELECT round(avg(n), 4) AS avg_n, max(n) AS max_n FROM hourly
+        )
+        SELECT h, n, avg_n, max_n
+        FROM hourly CROSS JOIN stats
+        WHERE n > avg_n
+        ORDER BY h""")
+    }),
+
+    // --- sink: parquet round-trip (COPY TO ... FORMAT PARQUET parity) ---
+
+    "q_parquet_sink" -> ((s, dir) => {
+      val out = s"/tmp/graft_sink_${new java.io.File(dir).getName}"
+      t(s, dir, "nation").write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"))
+        .orderBy("n_regionkey")
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val env = NatsQueries.envSql
+    Map(
+      "q_agg_pricing" -> """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - l_discount) AS DECIMAL(28,10))) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""",
+
+      "q_count_distinct" -> """
+        SELECT count(DISTINCT user_id) AS n_users,
+               count(DISTINCT event_type) AS n_types,
+               count(*) AS n_rows,
+               round(avg(value), 4) AS avg_value
+        FROM events""",
+
+      "q_sum_case" -> """
+        SELECT event_type,
+               sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_high,
+               sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS n_low,
+               count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type""",
+
+      "q_having" -> """
+        SELECT o_custkey, count(*) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 3 ORDER BY o_custkey""",
+
+      "q_distinct" ->
+        "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+      "q_filter_predicates" -> """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_totalprice BETWEEN 10000 AND 200000
+          AND o_orderstatus IN ('O', 'F')
+          AND o_orderpriority LIKE '1-%'
+          AND (o_custkey % 2 = 0 OR o_totalprice > 150000)
+        ORDER BY o_orderkey""",
+
+      "q_case_when" -> """
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                    WHEN o_totalprice < 150000 THEN 'medium'
+                    ELSE 'large' END AS bucket,
+               count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+        FROM orders GROUP BY 1 ORDER BY bucket""",
+
+      "q_is_null" -> s"""$env, ext AS (
+        SELECT json_extract_string(payload, '$$.k') AS k,
+               json_extract_string(payload, '$$.missing') AS missing
+        FROM env)
+        SELECT missing IS NOT NULL AS has_missing, count(*) AS n,
+               sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS null_k
+        FROM ext GROUP BY 1 ORDER BY has_missing""",
+
+      "q_cast" -> s"""$env, ext AS (
+        SELECT seq, CAST(json_extract_string(payload, '$$.k') AS INTEGER) AS k_int
+        FROM env)
+        SELECT k_int, count(*) AS n, min(seq) AS min_seq
+        FROM ext WHERE k_int >= 50 GROUP BY k_int ORDER BY k_int""",
+
+      "q_scalar_funcs" -> """
+        SELECT c_custkey, length(c_name) AS name_len,
+               upper(c_mktsegment) AS seg_upper,
+               round(c_acctbal, 1) AS bal_round,
+               abs(c_acctbal) AS bal_abs,
+               c_mktsegment || '#' || CAST(c_custkey AS VARCHAR) AS tag
+        FROM customer ORDER BY c_custkey""",
+
+      "q_ts_arithmetic" -> s"""$env
+        SELECT date_trunc('hour', ts_nats) AS ts_hour, count(*) AS n,
+               max(ts_nats + INTERVAL 2 HOUR) AS max_plus2h
+        FROM env GROUP BY 1 ORDER BY ts_hour""",
+
+      "q_join_broadcast" -> s"""$env
+        SELECT c_mktsegment, count(*) AS n_events,
+               count(DISTINCT CAST(string_split(subject, '.')[3] AS BIGINT)) AS n_users,
+               max(seq) AS max_seq
+        FROM env JOIN customer
+          ON CAST(string_split(subject, '.')[3] AS BIGINT) = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+      "q_join_multi" -> """
+        SELECT r_name, count(*) AS n_cust,
+               sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""",
+
+      "q_join_fact" -> """
+        SELECT o_orderstatus, count(*) AS n_lines,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+      "q_cross_join" -> s"""$env, lo AS (
+        SELECT min(seq) AS first_seq FROM env
+        ), hi AS (
+        SELECT max(seq) AS last_seq, count(*) AS n FROM env
+        )
+        SELECT first_seq, last_seq, n,
+               (last_seq - first_seq + 1 = n) AS contiguous
+        FROM lo, hi""",
+
+      "q_scalar_subquery" -> """
+        SELECT l_returnflag, count(*) AS n,
+               round(avg(l_quantity), 4) AS avg_qty
+        FROM lineitem
+        WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)
+        GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+      "q_window_lag" -> s"""$env, f AS (
+        SELECT seq FROM env WHERE subject LIKE '%purchase%'
+        ), lagged AS (
+        SELECT seq, lag(seq) OVER (ORDER BY seq) AS prev_seq FROM f
+        )
+        SELECT seq, prev_seq, seq - prev_seq AS gap
+        FROM lagged WHERE seq - prev_seq > 1 ORDER BY seq""",
+
+      "q_window_rownum" -> """
+        SELECT o_orderkey, o_totalprice, rn FROM (
+          SELECT o_orderkey, o_totalprice,
+                 row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders)
+        WHERE rn <= 100 ORDER BY rn""",
+
+      "q_window_partition" -> """
+        SELECT user_id, event_id, user_event_rank, prev_event_id FROM (
+          SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS user_event_rank,
+                 lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
+          FROM events)
+        WHERE user_event_rank <= 3 ORDER BY user_id, user_event_rank""",
+
+      "q_topk" -> """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""",
+
+      "q_multi_sort" -> """
+        SELECT p_partkey, p_brand, p_size, p_retailprice
+        FROM part ORDER BY p_brand ASC, p_size DESC, p_partkey ASC LIMIT 200""",
+
+      "q_union_all" -> """
+        SELECT band, count(*) AS n FROM (
+          SELECT event_id, 'high' AS band FROM events WHERE value > 150
+          UNION ALL
+          SELECT event_id, 'low' AS band FROM events WHERE value < 50)
+        GROUP BY band ORDER BY band""",
+
+      "q_cte" -> s"""$env, hourly AS (
+        SELECT date_trunc('hour', ts_nats) AS h, count(*) AS n FROM env GROUP BY 1
+        ), stats AS (
+        SELECT round(avg(n), 4) AS avg_n, max(n) AS max_n FROM hourly
+        )
+        SELECT h, n, avg_n, max_n
+        FROM hourly CROSS JOIN stats WHERE n > avg_n ORDER BY h""",
+
+      "q_parquet_sink" -> """
+        SELECT n_regionkey, count(*) AS n_nations
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
+    )
+  }
+}
