@@ -17,9 +17,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.NatsQueries.queries ++
-      graft.queries.RelationalQueries.queries
+      graft.queries.RelationalQueries.queries ++
+      graft.queries.ProtoQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.NatsQueries.oracleSql ++
-      graft.queries.RelationalQueries.oracleSql
+      graft.queries.RelationalQueries.oracleSql ++
+      graft.queries.ProtoQueries.oracleSql
 }

@@ -247,7 +247,8 @@ object ProtoWire {
             writeVarint(out, (f.number.toLong << 3) | 1)
             val bits = f.ptype match {
               case PDouble => java.lang.Double.doubleToLongBits(row.getDouble(idx))
-              case PUInt64 => row.getDecimal(idx, 20, 0).toUnscaledLong
+              case PUInt64 => // unsigned 64-bit bit pattern, wraps past 2^63
+                row.getDecimal(idx, 20, 0).toJavaBigDecimal.toBigInteger.longValue()
               case _ => row.getLong(idx)
             }
             writeFixed64(out, bits)
@@ -273,7 +274,8 @@ object ProtoWire {
       case PInt32  => row.getInt(idx).toLong
       case PInt64  => row.getLong(idx)
       case PUInt32 => row.getLong(idx)
-      case PUInt64 => row.getDecimal(idx, 20, 0).toJavaBigDecimal.longValue()
+      case PUInt64 =>
+        row.getDecimal(idx, 20, 0).toJavaBigDecimal.toBigInteger.longValue()
       case PBool   => if (row.getBoolean(idx)) 1L else 0L
       case PEnum(_, values) =>
         val name = row.getUTF8String(idx).toString

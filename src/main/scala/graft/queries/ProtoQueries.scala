@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.nats.{MessageStore, NatsScan, NatsScanOptions, ParquetMessageStore}
+import graft.proto.{ProtoDecode, ProtoSchema}
+
+/** Protobuf extraction surface (SURVEY.md §2 Layer A, proto rows).
+  *
+  * The fixture parquet has no protobuf payloads, so the store below
+  * manufactures them deterministically: each event's fields are packed into a
+  * wire-format message by our encoder expression, and the scan decodes them
+  * back with `proto_extract` dot-paths. The oracle computes the same values
+  * straight from the source columns — any codec asymmetry (encode≠decode)
+  * or type-mapping error breaks the hash match.
+  *
+  * At scale both encode and decode are per-row expressions inside the scan
+  * stage — no shuffle, no driver involvement.
+  */
+object ProtoQueries {
+
+  val deviceProtoPath = "/root/repo/proto/device_event.proto"
+  val typesProtoPath = "/root/repo/proto/all_types.proto"
+
+  /** Store whose payload is a wire-format DeviceEvent built from the event
+    * row: device_id "u<user_id>", ts event_id, position(zone=event_type,
+    * rack="r<user_id % 3>", building="b1"), reading(kw=value, pf=value/200,
+    * voltage=480.0), online = value > 100, firmware "v2.1.<user_id % 2>". */
+  final class DeviceProtoStore(dir: String) extends MessageStore {
+    override def read(spark: SparkSession, stream: String): DataFrame = {
+      val schema = ProtoSchema.parseFile(deviceProtoPath, "DeviceEvent")
+      val raw = graft.Tables.load(spark, dir, "events")
+      val msg: Column = struct(
+        concat(lit("u"), col("user_id").cast("string")).as("device_id"),
+        col("event_id").as("ts"),
+        struct(
+          col("event_type").as("zone"),
+          concat(lit("r"), (col("user_id") % 3).cast("string")).as("rack"),
+          lit("b1").as("building")).as("position"),
+        struct(
+          col("value").as("kw"),
+          (col("value") / 200.0).as("pf"),
+          lit(480.0).as("voltage")).as("reading"),
+        (col("value") > 100.0).as("online"),
+        concat(lit("v2.1."), (col("user_id") % 2).cast("string")).as("firmware"))
+      raw.select(
+        lit("events").as("stream"),
+        concat(lit("events."), col("event_type"), lit("."),
+          col("user_id").cast("string")).as("subject"),
+        (col("event_id") + 1L).as("seq"),
+        timestamp_micros(expr("ts div 1000")).as("ts_nats"),
+        ProtoDecode.encode(msg, schema).as("payload"))
+    }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // nested dot-path extraction + dots→underscores mangling
+    "proto_extract_nested" -> ((s, dir) =>
+      NatsScan.scan(s, "events",
+          NatsScanOptions(
+            protoFile = Some(deviceProtoPath),
+            protoMessage = Some("DeviceEvent"),
+            protoExtract = Seq("device_id", "ts", "position.zone",
+              "position.rack", "reading.kw", "reading.pf", "online", "firmware")),
+          new DeviceProtoStore(dir))
+        .select(col("seq"), col("device_id"), col("ts"),
+          col("position_zone"), col("position_rack"),
+          round(col("reading_kw"), 4).as("kw"),
+          round(col("reading_pf"), 6).as("pf"),
+          col("online"), col("firmware"))
+        .orderBy("seq")),
+
+    // proto extraction feeding relational ops: filter + group + agg
+    "proto_filter_agg" -> ((s, dir) =>
+      NatsScan.scan(s, "events",
+          NatsScanOptions(
+            protoFile = Some(deviceProtoPath),
+            protoMessage = Some("DeviceEvent"),
+            protoExtract = Seq("position.zone", "reading.kw", "online")),
+          new DeviceProtoStore(dir))
+        .filter(col("online") === true && col("reading_kw") > 50.0)
+        .groupBy("position_zone")
+        .agg(count(lit(1)).as("n"),
+          round(avg("reading_kw"), 4).as("avg_kw"),
+          max("seq").as("max_seq"))
+        .orderBy("position_zone")),
+
+    // all 17 scalar types + enum round-trip through the wire format
+    "proto_all_types" -> ((s, dir) => {
+      val schema = ProtoSchema.parseFile(typesProtoPath, "AllTypes")
+      val raw = graft.Tables.load(s, dir, "events")
+        .filter(col("event_id") < 500)
+      val msg = struct(
+        concat(lit("s"), col("event_id").cast("string")).as("f_string"),
+        col("event_type").cast("binary").as("f_bytes"),
+        (col("event_id") * 3 - 1000).cast("int").as("f_int32"),
+        (col("event_id") * 1000000L - 123L).as("f_int64"),
+        (col("event_id") + 7L).as("f_uint32"),
+        col("event_id").cast("decimal(20,0)").as("f_uint64"),
+        (-col("event_id") - 1).cast("int").as("f_sint32"),
+        (col("event_id") * -999L).as("f_sint64"),
+        (col("event_id") + 13L).as("f_fixed32"),
+        (col("event_id") + 17L).cast("decimal(20,0)").as("f_fixed64"),
+        (col("event_id") - 500).cast("int").as("f_sfixed32"),
+        (col("event_id") * -31L).as("f_sfixed64"),
+        col("value").cast("float").as("f_float"),
+        (col("value") * 1.5).as("f_double"),
+        (col("event_id") % 2 === 0).as("f_bool"),
+        when(col("event_id") % 3 === 0, "IDLE")
+          .when(col("event_id") % 3 === 1, "RUN")
+          .otherwise("HALT").as("f_mode"))
+      val payload = ProtoDecode.encode(msg, schema)
+      val decoded = ProtoDecode.decode(payload, schema).as("d")
+      raw.select(col("event_id"), decoded)
+        .select(
+          col("event_id"),
+          col("d.f_string"), col("d.f_int32"), col("d.f_int64"),
+          col("d.f_uint32"), col("d.f_uint64"), col("d.f_sint32"),
+          col("d.f_sint64"), col("d.f_fixed32"), col("d.f_fixed64"),
+          col("d.f_sfixed32"), col("d.f_sfixed64"),
+          col("d.f_float").cast("double").as("f_float"),
+          col("d.f_double"), col("d.f_bool"), col("d.f_mode"),
+          length(col("d.f_bytes").cast("string")).as("bytes_len"))
+        .orderBy("event_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "proto_extract_nested" -> """
+      SELECT event_id + 1 AS seq,
+             'u' || CAST(user_id AS VARCHAR) AS device_id,
+             event_id AS ts,
+             event_type AS position_zone,
+             'r' || CAST(user_id % 3 AS VARCHAR) AS position_rack,
+             round(value, 4) AS kw,
+             round(value / 200.0, 6) AS pf,
+             value > 100.0 AS online,
+             'v2.1.' || CAST(user_id % 2 AS VARCHAR) AS firmware
+      FROM events ORDER BY seq""",
+
+    "proto_filter_agg" -> """
+      SELECT event_type AS position_zone, count(*) AS n,
+             round(avg(value), 4) AS avg_kw,
+             max(event_id + 1) AS max_seq
+      FROM events
+      WHERE value > 100.0 AND value > 50.0
+      GROUP BY event_type ORDER BY position_zone""",
+
+    "proto_all_types" -> """
+      SELECT event_id,
+             's' || CAST(event_id AS VARCHAR) AS f_string,
+             CAST(event_id * 3 - 1000 AS INTEGER) AS f_int32,
+             event_id * 1000000 - 123 AS f_int64,
+             event_id + 7 AS f_uint32,
+             CAST(event_id AS DECIMAL(20,0)) AS f_uint64,
+             CAST(-event_id - 1 AS INTEGER) AS f_sint32,
+             event_id * -999 AS f_sint64,
+             event_id + 13 AS f_fixed32,
+             CAST(event_id + 17 AS DECIMAL(20,0)) AS f_fixed64,
+             CAST(event_id - 500 AS INTEGER) AS f_sfixed32,
+             event_id * -31 AS f_sfixed64,
+             CAST(CAST(value AS REAL) AS DOUBLE) AS f_float,
+             value * 1.5 AS f_double,
+             event_id % 2 = 0 AS f_bool,
+             CASE WHEN event_id % 3 = 0 THEN 'IDLE'
+                  WHEN event_id % 3 = 1 THEN 'RUN'
+                  ELSE 'HALT' END AS f_mode,
+             length(event_type) AS bytes_len
+      FROM events WHERE event_id < 500 ORDER BY event_id"""
+  )
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.proto._
+
+class ProtoCodecSpec extends AnyFunSuite {
+
+  /** deterministic property loop (scalatestplus bridge not on offline
+    * classpath; plain scalacheck Gen + fixed seeds is equivalent here) */
+  private def forAll[A](gen: Gen[A], n: Int = 100)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  private val allTypes =
+    ProtoSchema.parseFile("/root/repo/proto/all_types.proto", "AllTypes")
+  private val deviceEvent =
+    ProtoSchema.parseFile("/root/repo/proto/device_event.proto", "DeviceEvent")
+
+  test("parser: all 17 scalar types map to the §1.3 Spark types") {
+    val s = allTypes.sparkSchema
+    assert(s("f_string").dataType == StringType)
+    assert(s("f_bytes").dataType == BinaryType)
+    assert(s("f_int32").dataType == IntegerType)
+    assert(s("f_int64").dataType == LongType)
+    assert(s("f_uint32").dataType == LongType)
+    assert(s("f_uint64").dataType == DecimalType(20, 0))
+    assert(s("f_sint32").dataType == IntegerType)
+    assert(s("f_sint64").dataType == LongType)
+    assert(s("f_fixed32").dataType == LongType)
+    assert(s("f_fixed64").dataType == DecimalType(20, 0))
+    assert(s("f_sfixed32").dataType == IntegerType)
+    assert(s("f_sfixed64").dataType == LongType)
+    assert(s("f_float").dataType == FloatType)
+    assert(s("f_double").dataType == DoubleType)
+    assert(s("f_bool").dataType == BooleanType)
+    assert(s("f_mode").dataType == StringType) // enum → name
+  }
+
+  test("parser: nested message navigation + bad-path errors") {
+    assert(deviceEvent.resolve("position.zone").ptype == PType.PString)
+    assert(deviceEvent.resolve("reading.kw").ptype == PType.PDouble)
+    val e1 = intercept[IllegalArgumentException](deviceEvent.resolve("position.nope"))
+    assert(e1.getMessage.contains("not found in message"))
+    val e2 = intercept[IllegalArgumentException](deviceEvent.resolve("device_id.zone"))
+    assert(e2.getMessage.contains("is not a message type"))
+  }
+
+  private def rt(md: MessageDef, row: InternalRow): InternalRow =
+    ProtoWire.decodeMessage(ProtoWire.encodeMessage(row, md), md)
+
+  test("roundtrip: property over all scalar types") {
+    val gen = for {
+      s <- Gen.alphaNumStr
+      i32 <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+      i64 <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      u32 <- Gen.chooseNum(0L, 0xFFFFFFFFL)
+      si32 <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+      si64 <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      f <- Gen.chooseNum(-1e30f, 1e30f)
+      d <- Gen.chooseNum(-1e200, 1e200)
+      b <- Gen.oneOf(true, false)
+      mode <- Gen.oneOf("IDLE", "RUN", "HALT")
+    } yield InternalRow(
+      UTF8String.fromString(s), Array[Byte](1, 2, 3), i32, i64, u32,
+      Decimal(BigDecimal(u32), 20, 0), si32, si64, u32,
+      Decimal(BigDecimal(i64).abs, 20, 0), i32, i64, f, d, b,
+      UTF8String.fromString(mode))
+    forAll(gen) { row =>
+      val back = rt(allTypes, row)
+      (0 until 16).foreach { i =>
+        val a = row.get(i, allTypes.sparkSchema(i).dataType)
+        val b = back.get(i, allTypes.sparkSchema(i).dataType)
+        (a, b) match {
+          case (x: Array[Byte], y: Array[Byte]) => assert(x.sameElements(y))
+          case _ => assert(a == b, s"field $i: $a != $b")
+        }
+      }
+    }
+  }
+
+  test("proto3 defaults: empty message decodes to zero values, null submessage") {
+    val empty = ProtoWire.decodeMessage(Array.emptyByteArray, deviceEvent)
+    assert(empty.getUTF8String(0).toString == "")     // device_id
+    assert(empty.getLong(1) == 0L)                     // ts
+    assert(empty.isNullAt(2))                          // position (message)
+    assert(empty.isNullAt(3))                          // reading (message)
+    assert(!empty.getBoolean(4))                       // online
+  }
+
+  test("unknown fields on the wire are skipped") {
+    // encode AllTypes, decode as DeviceEvent-shaped subset: field numbers
+    // 1 (string) and 2 (bytes→skipped len-delim as 'ts'? no: wire type
+    // mismatch would corrupt). Use a schema with only field 1.
+    val sub = MessageDef("OnlyString",
+      Seq(FieldDef("f_string", 1, PType.PString, Enc.LenDelim)))
+    val full = InternalRow(
+      UTF8String.fromString("hello"), Array[Byte](9), 42, 42L, 42L,
+      Decimal(BigDecimal(42), 20, 0), -42, -42L, 7L,
+      Decimal(BigDecimal(7), 20, 0), 1, 2L, 1.5f, 2.5, true,
+      UTF8String.fromString("RUN"))
+    val bytes = ProtoWire.encodeMessage(full, allTypes)
+    val decoded = ProtoWire.decodeMessage(bytes, sub)
+    assert(decoded.getUTF8String(0).toString == "hello")
+  }
+
+  test("decode expression: unparseable payload → null (reference :823-829)") {
+    val expr = ProtoDecodeExpression(
+      Literal(Array[Byte](0x08, -1), BinaryType), deviceEvent) // truncated varint
+    assert(expr.eval(InternalRow.empty) == null)
+  }
+
+  test("nested submessage roundtrip") {
+    val row = InternalRow(
+      UTF8String.fromString("dev1"), 123456789L,
+      InternalRow(UTF8String.fromString("z1"), UTF8String.fromString("r2"),
+        UTF8String.fromString("b3")),
+      InternalRow(70.5, 0.93, 480.1),
+      true, UTF8String.fromString("v2.2.0"))
+    val back = rt(deviceEvent, row)
+    assert(back.getStruct(2, 3).getUTF8String(1).toString == "r2")
+    assert(back.getStruct(3, 3).getDouble(0) == 70.5)
+    assert(back.getBoolean(4))
+  }
+}
