@@ -18,10 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.NatsQueries.queries ++
       graft.queries.RelationalQueries.queries ++
-      graft.queries.ProtoQueries.queries
+      graft.queries.ProtoQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.NatsQueries.oracleSql ++
       graft.queries.RelationalQueries.oracleSql ++
-      graft.queries.ProtoQueries.oracleSql
+      graft.queries.ProtoQueries.oracleSql ++
+      graft.queries.PipelineQueries.oracleSql
 }

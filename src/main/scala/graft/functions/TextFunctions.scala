@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for training-data pipelines — all composed
+  * from codegen'd built-in functions (no UDFs), so they stay inside
+  * whole-stage codegen and scale linearly with partitions.
+  *
+  * Every function has an exact DuckDB-SQL equivalent (see
+  * graft.queries.PipelineQueries oracles) so results are hash-verifiable.
+  */
+object TextFunctions {
+
+  /** whitespace tokens, single-space semantics (= DuckDB string_split(t,' ')) */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** 60-bit stable hash: first 15 hex chars of md5(salt:value). Positive in
+    * a signed 64-bit int in every engine (Spark, DuckDB, Trino all parse it
+    * identically), which is why we use 60 and not 64 bits. */
+  def hash60(c: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), c)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** distinct 3-word shingles over a token-array column named `toksCol` */
+  def wordShingles3(toksCol: String): Column =
+    expr(s"array_distinct(transform(sequence(1, size($toksCol) - 2), " +
+      s"i -> concat(element_at($toksCol, i), ' ', " +
+      s"element_at($toksCol, i + 1), ' ', " +
+      s"element_at($toksCol, i + 2))))")
+
+  /** MinHash signature: numHashes independent 60-bit hash functions, each the
+    * min over the shingle set. Pure per-row expression — embarrassingly
+    * parallel, no shuffle. */
+  def minhashSignature(shingles: String, numHashes: Int): Column =
+    expr(s"transform(sequence(0, ${numHashes - 1}), h -> " +
+      s"array_min(transform($shingles, s -> " +
+      "CAST(conv(substring(md5(concat(CAST(h AS STRING), ':', s)), 1, 15), 16, 10) AS BIGINT))))")
+
+  /** 60-bit SimHash over a token array column named `toksCol` (per-bit
+    * majority vote of per-token hash60s, unweighted). */
+  def simhash60(hashesCol: String): Column =
+    expr(s"aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) -> acc + " +
+      s"CASE WHEN 2 * size(filter($hashesCol, h -> (shiftright(h, b) & 1) = 1)) " +
+      s"> size($hashesCol) THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)")
+
+  val stopwords: Seq[String] = Seq("the", "of", "and", "to", "a", "in", "is")
+
+  private def sqlStringList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString(", ")
+
+  /** fraction of tokens that are stopwords */
+  def stopwordRatio(toksCol: String): Column =
+    expr(s"size(filter($toksCol, t -> t IN (${sqlStringList(stopwords)}))) " +
+      s"/ CAST(size($toksCol) AS DOUBLE)")
+
+  /** fraction of characters that are neither alphanumeric nor space */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))) /
+      length(text).cast("double")
+
+  /** marker-word language ID: count hits from a tiny per-language lexicon,
+    * argmax with deterministic tie-break order (n-gram-heuristic family). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "les", "et", "une"))
+
+  def langScores(toksCol: String): Seq[(String, Column)] =
+    langMarkers.map { case (lang, ws) =>
+      lang -> expr(s"size(filter($toksCol, t -> t IN (${sqlStringList(ws)})))")
+    }
+
+  /** canonical document fingerprint: md5 of the sorted distinct token set */
+  def fingerprint(toks: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(toks))))
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - exact dedup is a hash groupBy — one shuffle on the content hash, and
+  *     the hash (not the content) is the shuffle key, so wide rows don't
+  *     travel twice;
+  *   - MinHash-LSH shuffles (band, bandKey) — candidate generation is a
+  *     self-equi-join on the bucket key, never an all-pairs product;
+  *     signature computation is per-row expression work;
+  *   - SimHash blocks on the top bits of the fingerprint, turning the
+  *     quadratic pair space into per-block products;
+  *   - exact-Jaccard verification runs only on candidate pairs from a
+  *     blocking key, the standard verify-after-LSH topology.
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor (min id) per distinct value of `contentCol`.
+    * Returns (content, keep_id, n_dups). */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Per-doc MinHash signature + LSH band keys.
+    * Output: id, sig (array<long>), band (int), band_key (string). */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    df.select(col(idCol), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", wordShingles3("w"))
+      .withColumn("sig", minhashSignature("sh", numHashes))
+      .select(col(idCol), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_key",
+        expr(s"array_join(transform(slice(sig, band * $rows + 1, $rows), " +
+          "x -> CAST(x AS STRING)), ',')"))
+  }
+
+  /** MinHash-LSH candidate pairs with estimated Jaccard ≥ `minEst`.
+    * Shuffle key is (band, band_key) — no all-pairs join. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 16, bands: Int = 4,
+                      minEst: Double = 0.5): DataFrame = {
+    val b = minhashBands(df, idCol, textCol, numHashes, bands)
+    val l = b.select(col(idCol).as("id1"), col("sig").as("s1"),
+      col("band"), col("band_key"))
+    val r = b.select(col(idCol).as("id2"), col("sig").as("s2"),
+      col("band"), col("band_key"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "s1", "s2").distinct()
+      .withColumn("est_jaccard",
+        expr("CAST(size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) AS DOUBLE)" +
+          s" / CAST($numHashes AS DOUBLE)"))
+      .filter(col("est_jaccard") >= minEst)
+      .select("id1", "id2", "est_jaccard")
+  }
+
+  /** SimHash near-dup pairs: 60-bit fingerprint, block on top `blockShift`
+    * bits, Hamming distance ≤ maxHamming within a block. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 8, blockShift: Int = 48): DataFrame = {
+    val fp = df.select(col(idCol), tokens(col(textCol)).as("w"))
+      .withColumn("hs", expr("transform(array_distinct(w), t -> " +
+        "CAST(conv(substring(md5(concat('sh:', t)), 1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("simhash", simhash60("hs"))
+      .withColumn("block", shiftright(col("simhash"), blockShift))
+      .select(col(idCol), col("simhash"), col("block"))
+    val l = fp.select(col(idCol).as("id1"), col("simhash").as("h1"), col("block"))
+    val r = fp.select(col(idCol).as("id2"), col("simhash").as("h2"), col("block"))
+    l.join(r, "block")
+      .filter(col("id1") < col("id2"))
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
+  /** Exact token-set Jaccard over pairs blocked on `blockCol` (e.g. source).
+    * The verify stage of verify-after-LSH; also usable standalone when a
+    * natural blocking key exists. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, minJaccard: Double): DataFrame = {
+    val t = df.select(col(idCol), col(blockCol),
+      array_distinct(tokens(col(textCol))).as("w"))
+    val l = t.select(col(blockCol), col(idCol).as("id1"), col("w").as("w1"))
+    val r = t.select(col(blockCol), col(idCol).as("id2"), col("w").as("w2"))
+    l.join(r, blockCol)
+      .filter(col("id1") < col("id2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("w1"), col("w2"))) /
+          size(array_union(col("w1"), col("w2"))).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col(blockCol), col("id1"), col("id2"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+}

@@ -97,7 +97,7 @@ object NatsQueries {
       s"$envSql SELECT seq, json_extract_string(payload, '$$.k') AS k, payload FROM env ORDER BY seq",
 
     "nats_payload_blob" ->
-      s"$envSql SELECT seq, octet_length(payload::BLOB) AS payload_bytes FROM env ORDER BY seq",
+      s"$envSql SELECT seq, CAST(octet_length(payload::BLOB) AS INTEGER) AS payload_bytes FROM env ORDER BY seq",
 
     "nats_flagship" ->
       s"""$envSql, ext AS (

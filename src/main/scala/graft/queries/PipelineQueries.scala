@@ -1,0 +1,336 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Similarity, TextFunctions => TF}
+import graft.operators.Dedup
+
+/** Training-data pipeline operators beyond the reference surface (builder
+  * brief + BASELINE.json north star): deduplication, similarity search, text
+  * analysis. Each has a DuckDB oracle computing the identical deterministic
+  * algorithm (shared md5-based 60-bit hashes, identical accumulation order
+  * for float math), so even the approximate operators hash-match.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- text analysis ---
+
+    "text_tokens" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(TF.tokens(col("text"))).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+', 0)")).as("n_re_tokens"),
+        length(col("text")).as("len"))
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("w", TF.tokens(col("text")))
+        .withColumn("n_tokens", size(col("w")))
+        .withColumn("stop_ratio", TF.stopwordRatio("w"))
+        .withColumn("punct_ratio", TF.punctRatio(col("text")))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("stop_ratio"), 4).as("stop_ratio"),
+          round(col("punct_ratio"), 4).as("punct_ratio"),
+          round(lit(0.4) * col("stop_ratio") +
+            lit(0.3) * least(col("n_tokens") / 100.0, lit(1.0)) -
+            lit(0.3) * col("punct_ratio"), 4).as("quality"))
+        .orderBy("doc_id")),
+
+    "text_langid" -> ((s, dir) => {
+      val base = docs(s, dir).withColumn("w", TF.tokens(col("text")))
+      val scored = TF.langScores("w").foldLeft(base) {
+        case (df, (lang, c)) => df.withColumn(s"s_$lang", c)
+      }
+      scored
+        .withColumn("predicted",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+            col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+            .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr") &&
+              col("s_es") > 0, "es")
+            .when(col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
+            .when(col("s_fr") > 0, "fr")
+            .otherwise("und"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      val fp = docs(s, dir).select(col("doc_id"),
+        TF.fingerprint(TF.tokens(col("text"))).as("fingerprint"))
+      fp.withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy("fingerprint")))
+        .orderBy("doc_id")
+    }),
+
+    // --- deduplication ---
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "events"), "event_id", "props")
+        .orderBy("keep_id")),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          numHashes = 16, bands = 4, minEst = 0.5)
+        .orderBy("id1", "id2")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
+          maxHamming = 8, blockShift = 48)
+        .orderBy("id1", "id2")),
+
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
+          blockCol = "source", minJaccard = 0.9)
+        .orderBy("id1", "id2")),
+
+    // --- similarity search ---
+
+    // embedding near-dup pairs, IVF-style partition pruning by label
+    "embed_neardup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val l = e.select(col("label"), col("vec_id").as("id1"), col("embedding").as("v1"))
+      val r = e.select(col("label"), col("vec_id").as("id2"), col("embedding").as("v2"))
+      l.join(r, "label")
+        .filter(col("id1") < col("id2"))
+        .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
+        .filter(col("cos") >= 0.4)
+        .select(col("label"), col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+        .orderBy("id1", "id2")
+    }),
+
+    // brute-force cosine top-k: the exact baseline every ANN variant is
+    // measured against. Queries broadcast; corpus scan stays partitioned.
+    "ann_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      e.crossJoin(q)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(Similarity.cosine(col("qv"), col("embedding")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "cos")
+        .orderBy("qid", "rank")
+    }),
+
+    // IVF-style ANN: probe only the query's own coarse partition (label)
+    "ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv")))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      e.join(q, "label")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(Similarity.cosine(col("qv"), col("embedding")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "vec_id", "cos")
+        .orderBy("qid", "rank")
+    }),
+
+    // LSH-bucketed ANN: deterministic random-hyperplane buckets; probe the
+    // query's bucket only — the join key is the bucket, never all-pairs.
+    "ann_lsh" -> ((s, dir) => {
+      val bucketed = emb(s, dir)
+        .withColumn("bucket", Similarity.lshBucket("embedding", 6))
+      val q = broadcast(bucketed.filter(col("vec_id") < 10)
+        .select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("qv")))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      bucketed.join(q, "bucket")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(Similarity.cosine(col("qv"), col("embedding")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "bucket", "rank", "vec_id", "cos")
+        .orderBy("qid", "rank")
+    })
+  )
+
+  // shared SQL fragments for the oracles
+  private val hash60Sql =
+    "('0x' || substr(md5('HASHARG'), 1, 15))::BIGINT"
+  private def h(arg: String): String = hash60Sql.replace("'HASHARG'", arg)
+
+  private val cosSql =
+    """list_sum([CAST(V1[i] AS DOUBLE) * V2[i] FOR i IN range(1, 65)]) /
+      | sqrt(list_sum([CAST(V1[i] AS DOUBLE) * V1[i] FOR i IN range(1, 65)])) /
+      | sqrt(list_sum([CAST(V2[i] AS DOUBLE) * V2[i] FOR i IN range(1, 65)]))""".stripMargin
+  private def cos(a: String, b: String): String =
+    cosSql.replace("V1", a).replace("V2", b)
+
+  def oracleSql: Map[String, String] = Map(
+
+    "text_tokens" -> """
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS INTEGER) AS n_re_tokens,
+             CAST(length(text) AS INTEGER) AS len
+      FROM documents ORDER BY doc_id""",
+
+    "text_quality" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct,
+               length(text) AS n_chars
+        FROM documents),
+      m AS (
+        SELECT doc_id, len(w) AS n_tokens,
+               len(list_filter(w, t -> t IN ('the','of','and','to','a','in','is')))
+                 / CAST(len(w) AS DOUBLE) AS stop_ratio,
+               n_punct / CAST(n_chars AS DOUBLE) AS punct_ratio
+        FROM t)
+      SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, round(stop_ratio, 4) AS stop_ratio,
+             round(punct_ratio, 4) AS punct_ratio,
+             round(0.4 * stop_ratio + 0.3 * least(n_tokens / 100.0, 1.0)
+                   - 0.3 * punct_ratio, 4) AS quality
+      FROM m ORDER BY doc_id""",
+
+    "text_langid" -> """
+      WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      sc AS (
+        SELECT doc_id, lang,
+               len(list_filter(w, t -> t IN ('the','and','of','to'))) AS s_en,
+               len(list_filter(w, t -> t IN ('el','la','de','que'))) AS s_es,
+               len(list_filter(w, t -> t IN ('der','die','und','das'))) AS s_de,
+               len(list_filter(w, t -> t IN ('le','les','et','une'))) AS s_fr
+        FROM t),
+      p AS (
+        SELECT lang,
+               CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                    WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+                    WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                    WHEN s_fr > 0 THEN 'fr'
+                    ELSE 'und' END AS predicted
+        FROM sc)
+      SELECT lang, predicted, count(*) AS n
+      FROM p GROUP BY lang, predicted ORDER BY lang, predicted""",
+
+    "text_fingerprint" -> """
+      WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        FROM documents)
+      SELECT doc_id, fingerprint,
+             count(*) OVER (PARTITION BY fingerprint) AS n_same
+      FROM fp ORDER BY doc_id""",
+
+    "dedup_exact" -> """
+      SELECT md5(props) AS content_hash, min(event_id) AS keep_id,
+             count(*) AS n_dups
+      FROM events GROUP BY props ORDER BY keep_id""",
+
+    "dedup_minhash_lsh" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      sh AS (SELECT doc_id,
+                    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   FOR i IN range(1, len(w) - 1)]) AS sh
+             FROM t),
+      sig AS (SELECT doc_id,
+                     [list_min(list_transform(sh, s ->
+                        ${h("CAST(h AS VARCHAR) || ':' || s")}))
+                      FOR h IN range(0, 16)] AS sig
+              FROM sh),
+      keyed AS (SELECT doc_id, sig, b,
+                       array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',') AS band_key
+                FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      pairs AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+                FROM keyed a JOIN keyed c
+                  ON a.b = c.b AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+      est AS (SELECT id1, id2,
+                     len(list_filter([x.sig[i] = y.sig[i] FOR i IN range(1, 17)], v -> v)) / 16.0 AS est_jaccard
+              FROM pairs JOIN sig x ON pairs.id1 = x.doc_id
+                         JOIN sig y ON pairs.id2 = y.doc_id)
+      SELECT id1, id2, est_jaccard FROM est
+      WHERE est_jaccard >= 0.5 ORDER BY id1, id2""",
+
+    "dedup_simhash" -> s"""
+      WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),
+      hs AS (SELECT doc_id, list_transform(w, t -> ${h("'sh:' || t")}) AS hs FROM t),
+      fp AS (SELECT doc_id,
+                    CAST(list_sum([CASE WHEN 2 * len(list_filter(hs, x -> ((x >> b) & 1) = 1)) > len(hs)
+                                   THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+                                   FOR b IN range(0, 60)]) AS BIGINT) AS simhash
+             FROM hs)
+      SELECT a.doc_id AS id1, c.doc_id AS id2,
+             CAST(bit_count(xor(a.simhash, c.simhash)) AS INTEGER) AS hamming
+      FROM fp a JOIN fp c
+        ON (a.simhash >> 48) = (c.simhash >> 48) AND a.doc_id < c.doc_id
+      WHERE bit_count(xor(a.simhash, c.simhash)) <= 8
+      ORDER BY id1, id2""",
+
+    "dedup_jaccard" -> """
+      WITH t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS w
+                 FROM documents)
+      SELECT a.source, a.doc_id AS id1, c.doc_id AS id2,
+             round(len(list_intersect(a.w, c.w))
+                   / CAST(len(list_distinct(list_concat(a.w, c.w))) AS DOUBLE), 6) AS jaccard
+      FROM t a JOIN t c ON a.source = c.source AND a.doc_id < c.doc_id
+      WHERE len(list_intersect(a.w, c.w))
+            / CAST(len(list_distinct(list_concat(a.w, c.w))) AS DOUBLE) >= 0.9
+      ORDER BY id1, id2""",
+
+    "embed_neardup" -> s"""
+      SELECT a.label, a.vec_id AS id1, c.vec_id AS id2,
+             round(${cos("a.embedding", "c.embedding")}, 6) AS cos
+      FROM embeddings a JOIN embeddings c
+        ON a.label = c.label AND a.vec_id < c.vec_id
+      WHERE ${cos("a.embedding", "c.embedding")} >= 0.4
+      ORDER BY id1, id2""",
+
+    "ann_topk" -> s"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT q.qid, e.vec_id, round(${cos("q.qv", "e.embedding")}, 6) AS cos
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+      ranked AS (
+        SELECT qid, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "ann_ivf" -> s"""
+      WITH q AS (SELECT label, vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT q.qid, e.vec_id, round(${cos("q.qv", "e.embedding")}, 6) AS cos
+        FROM embeddings e JOIN q ON e.label = q.label WHERE e.vec_id <> q.qid),
+      ranked AS (
+        SELECT qid, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+
+    "ann_lsh" -> s"""
+      WITH b AS (
+        SELECT vec_id, embedding,
+               CAST(list_sum([CASE WHEN list_sum([CAST(embedding[i] AS DOUBLE) *
+                      (CASE WHEN (${h("'p' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} & 1) = 1
+                            THEN 1.0 ELSE -1.0 END) FOR i IN range(1, 65)]) > 0
+                      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END
+                      FOR p IN range(0, 6)]) AS BIGINT) AS bucket
+        FROM embeddings),
+      q AS (SELECT bucket, vec_id AS qid, embedding AS qv FROM b WHERE vec_id < 10),
+      scored AS (
+        SELECT q.qid, q.bucket, e.vec_id, round(${cos("q.qv", "e.embedding")}, 6) AS cos
+        FROM b e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.qid),
+      ranked AS (
+        SELECT qid, bucket, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT qid, bucket, rank, vec_id, cos FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
+  )
+}

@@ -166,7 +166,7 @@ object ProtoQueries {
              CASE WHEN event_id % 3 = 0 THEN 'IDLE'
                   WHEN event_id % 3 = 1 THEN 'RUN'
                   ELSE 'HALT' END AS f_mode,
-             length(event_type) AS bytes_len
+             CAST(length(event_type) AS INTEGER) AS bytes_len
       FROM events WHERE event_id < 500 ORDER BY event_id"""
   )
 }

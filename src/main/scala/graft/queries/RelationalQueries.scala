@@ -285,8 +285,8 @@ object RelationalQueries {
     Map(
       "q_agg_pricing" -> """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
                sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - l_discount) AS DECIMAL(28,10))) AS sum_disc_price,
                round(avg(l_quantity), 4) AS avg_qty,
                round(avg(l_extendedprice), 4) AS avg_price,
@@ -306,14 +306,14 @@ object RelationalQueries {
 
       "q_sum_case" -> """
         SELECT event_type,
-               sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_high,
-               sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS n_low,
+               CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+               CAST(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
                count(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type""",
 
       "q_having" -> """
         SELECT o_custkey, count(*) AS n_orders,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
         FROM orders GROUP BY o_custkey HAVING count(*) >= 3 ORDER BY o_custkey""",
 
       "q_distinct" ->
@@ -340,7 +340,7 @@ object RelationalQueries {
                json_extract_string(payload, '$$.missing') AS missing
         FROM env)
         SELECT missing IS NOT NULL AS has_missing, count(*) AS n,
-               sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS null_k
+               CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_k
         FROM ext GROUP BY 1 ORDER BY has_missing""",
 
       "q_cast" -> s"""$env, ext AS (
@@ -350,7 +350,7 @@ object RelationalQueries {
         FROM ext WHERE k_int >= 50 GROUP BY k_int ORDER BY k_int""",
 
       "q_scalar_funcs" -> """
-        SELECT c_custkey, length(c_name) AS name_len,
+        SELECT c_custkey, CAST(length(c_name) AS INTEGER) AS name_len,
                upper(c_mktsegment) AS seg_upper,
                round(c_acctbal, 1) AS bal_round,
                abs(c_acctbal) AS bal_abs,
@@ -372,7 +372,7 @@ object RelationalQueries {
 
       "q_join_multi" -> """
         SELECT r_name, count(*) AS n_cust,
-               sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_bal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -380,7 +380,7 @@ object RelationalQueries {
 
       "q_join_fact" -> """
         SELECT o_orderstatus, count(*) AS n_lines,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
@@ -411,14 +411,14 @@ object RelationalQueries {
       "q_window_rownum" -> """
         SELECT o_orderkey, o_totalprice, rn FROM (
           SELECT o_orderkey, o_totalprice,
-                 row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                 CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
           FROM orders)
         WHERE rn <= 100 ORDER BY rn""",
 
       "q_window_partition" -> """
         SELECT user_id, event_id, user_event_rank, prev_event_id FROM (
           SELECT user_id, event_id,
-                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS user_event_rank,
+                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS user_event_rank,
                  lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
           FROM events)
         WHERE user_event_rank <= 3 ORDER BY user_id, user_event_rank""",
