@@ -19,11 +19,13 @@ object SparkEntry {
     graft.queries.NatsQueries.queries ++
       graft.queries.RelationalQueries.queries ++
       graft.queries.ProtoQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.V2Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.NatsQueries.oracleSql ++
       graft.queries.RelationalQueries.oracleSql ++
       graft.queries.ProtoQueries.oracleSql ++
-      graft.queries.PipelineQueries.oracleSql
+      graft.queries.PipelineQueries.oracleSql ++
+      graft.queries.V2Queries.oracleSql
 }

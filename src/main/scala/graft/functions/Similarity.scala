@@ -23,19 +23,35 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** division sequenced as dot/na/nb to match the oracle's `/ sqrt / sqrt`
+    * exactly (a/(b*c) differs from a/b/c in the last ulp) */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
 
-  /** deterministic random-hyperplane bit: sign of sum_i sign60(b,i) * v_i,
-    * where sign60 is ±1 from the shared 60-bit hash — reproducible in SQL
-    * engines for oracle checks, no RNG state. */
-  def hyperplaneBit(vec: String, planeIdx: Int): Column =
-    expr(s"CASE WHEN aggregate(zip_with($vec, sequence(1, size($vec)), " +
-      s"(x, i) -> CAST(x AS DOUBLE) * CASE WHEN " +
-      s"(CAST(conv(substring(md5(concat('p$planeIdx:', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) & 1) = 1 " +
-      s"THEN 1.0 ELSE -1.0 END), CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END")
+  /** 60-bit md5 hash computed driver-side — same value as the SQL
+    * `conv(substring(md5(s),1,15),16,10)` used by the oracles. */
+  def hash60Scala(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** deterministic random-hyperplane bit: sign of sum_i sign60(plane,i)*v_i.
+    * The ±1 sign vector is md5-derived but CONSTANT per (plane, dim), so it
+    * is folded to an array literal at plan time — per row only the dot
+    * product remains (the expression-per-dim md5 variant was 384 md5 calls
+    * per input row). The SQL oracle recomputes the same signs symbolically. */
+  def hyperplaneBit(vec: Column, planeIdx: Int, dim: Int): Column = {
+    val signs = (1 to dim).map { i =>
+      if ((hash60Scala(s"p$planeIdx:$i") & 1L) == 1L) 1.0 else -1.0
+    }
+    val sgn = array(signs.map(lit): _*)
+    when(aggregate(zip_with(vec, sgn, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v) > 0, 1L).otherwise(0L)
+  }
 
   /** nBits-bit LSH bucket id from deterministic hyperplanes */
-  def lshBucket(vec: String, nBits: Int): Column =
-    (0 until nBits).map(b => hyperplaneBit(vec, b) * lit(1L << b))
+  def lshBucket(vec: Column, nBits: Int, dim: Int): Column =
+    (0 until nBits).map(b => hyperplaneBit(vec, b, dim) * lit(1L << b))
       .reduce(_ + _).cast("long")
 }

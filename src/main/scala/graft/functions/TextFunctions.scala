@@ -29,13 +29,26 @@ object TextFunctions {
       s"element_at($toksCol, i + 1), ' ', " +
       s"element_at($toksCol, i + 2))))")
 
-  /** MinHash signature: numHashes independent 60-bit hash functions, each the
-    * min over the shingle set. Pure per-row expression — embarrassingly
-    * parallel, no shuffle. */
-  def minhashSignature(shingles: String, numHashes: Int): Column =
-    expr(s"transform(sequence(0, ${numHashes - 1}), h -> " +
-      s"array_min(transform($shingles, s -> " +
-      "CAST(conv(substring(md5(concat(CAST(h AS STRING), ':', s)), 1, 15), 16, 10) AS BIGINT))))")
+  /** MinHash signature: one 30-bit base hash per shingle (single md5), then
+    * the affine-mod family h_i(x) = (x*(2i+1) + i*40503) mod p, p prime —
+    * the standard one-hash minhash construction (the mod makes each h_i
+    * non-monotone in x, so components are not collapsed onto one shingle).
+    * 16× less hashing than independent md5s, and no 64-bit overflow (DuckDB
+    * checks overflow, so intermediates must stay < 2^35). Pure per-row
+    * expression — no shuffle. */
+  /** signature as ONE fold over the base hashes: the md5 array is the
+    * aggregate's input, evaluated once per row — writing it as
+    * `transform(hashes, h -> array_min(...md5...))` re-evaluates the md5s
+    * once per hash function even from a separate column, because project
+    * collapse re-inlines them (measured 6.8 s vs 0.8 s at sf0.1). */
+  def minhashSignature(shinglesCol: String, numHashes: Int): Column =
+    expr(
+      s"""aggregate(
+         |  transform($shinglesCol, s ->
+         |    CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) & 1073741823),
+         |  array_repeat(CAST(9223372036854775807 AS BIGINT), $numHashes),
+         |  (acc, x) -> zip_with(acc, sequence(0, ${numHashes - 1}),
+         |    (m, h) -> least(m, (x * (2 * h + 1) + h * 40503) % 1073741789)))""".stripMargin)
 
   /** 60-bit SimHash over a token array column named `toksCol` (per-bit
     * majority vote of per-token hash60s, unweighted). */

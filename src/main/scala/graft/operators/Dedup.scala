@@ -26,35 +26,47 @@ object Dedup {
     df.groupBy(md5(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Per-doc MinHash signature + LSH band keys.
-    * Output: id, sig (array<long>), band (int), band_key (string). */
-  def minhashBands(df: DataFrame, idCol: String, textCol: String,
-                   numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val rows = numHashes / bands
+  /** Per-doc MinHash signatures: (id, sig array<long>). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16): DataFrame =
     df.select(col(idCol), tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= 3)
       .withColumn("sh", wordShingles3("w"))
-      .withColumn("sig", minhashSignature("sh", numHashes))
+      .select(col(idCol), minhashSignature("sh", numHashes).as("sig"))
+
+  /** LSH band keys from signatures: (id, band, band_key). */
+  def minhashBands(sigDf: DataFrame, idCol: String,
+                   numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sigDf
       .select(col(idCol), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("band_key",
+      .select(col(idCol), col("band"),
         expr(s"array_join(transform(slice(sig, band * $rows + 1, $rows), " +
-          "x -> CAST(x AS STRING)), ',')"))
+          "x -> CAST(x AS STRING)), ',')").as("band_key"))
   }
 
   /** MinHash-LSH candidate pairs with estimated Jaccard ≥ `minEst`.
-    * Shuffle key is (band, band_key) — no all-pairs join. */
+    *
+    * Topology: signatures materialize once (persisted signature table at
+    * cluster scale); candidate generation self-joins the NARROW (id, band,
+    * band_key) relation and dedups on bare (id1, id2) — the wide signature
+    * arrays never enter the candidate shuffle, they are joined back only for
+    * the surviving pairs. Shuffle key is (band, band_key) — no all-pairs
+    * product anywhere. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, bands: Int = 4,
                       minEst: Double = 0.5): DataFrame = {
-    val b = minhashBands(df, idCol, textCol, numHashes, bands)
-    val l = b.select(col(idCol).as("id1"), col("sig").as("s1"),
-      col("band"), col("band_key"))
-    val r = b.select(col(idCol).as("id2"), col("sig").as("s2"),
-      col("band"), col("band_key"))
-    l.join(r, Seq("band", "band_key"))
+    val sigDf = minhashSignatures(df, idCol, textCol, numHashes).cache()
+    val b = minhashBands(sigDf, idCol, numHashes, bands)
+    val cand = b.select(col(idCol).as("id1"), col("band"), col("band_key"))
+      .join(b.select(col(idCol).as("id2"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2", "s1", "s2").distinct()
+      .select("id1", "id2").distinct()
+    cand
+      .join(sigDf.select(col(idCol).as("id1"), col("sig").as("s1")), "id1")
+      .join(sigDf.select(col(idCol).as("id2"), col("sig").as("s2")), "id2")
       .withColumn("est_jaccard",
         expr("CAST(size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) AS DOUBLE)" +
           s" / CAST($numHashes AS DOUBLE)"))
@@ -72,6 +84,7 @@ object Dedup {
       .withColumn("simhash", simhash60("hs"))
       .withColumn("block", shiftright(col("simhash"), blockShift))
       .select(col(idCol), col("simhash"), col("block"))
+      .cache() // fingerprint once; both self-join sides reuse it
     val l = fp.select(col(idCol).as("id1"), col("simhash").as("h1"), col("block"))
     val r = fp.select(col(idCol).as("id2"), col("simhash").as("h2"), col("block"))
     l.join(r, "block")

@@ -96,14 +96,21 @@ object PipelineQueries {
 
     // --- similarity search ---
 
-    // embedding near-dup pairs, IVF-style partition pruning by label
+    // embedding near-dup pairs, IVF-style partition pruning by label.
+    // Norms are materialized once per vector BEFORE the join — the pair loop
+    // does one dot product, not three (norm recomputation per pair is the
+    // classic quadratic-stage mistake at scale).
     "embed_neardup" -> ((s, dir) => {
       val e = emb(s, dir)
-      val l = e.select(col("label"), col("vec_id").as("id1"), col("embedding").as("v1"))
-      val r = e.select(col("label"), col("vec_id").as("id2"), col("embedding").as("v2"))
+        .withColumn("nrm", Similarity.norm(col("embedding")))
+        .cache()
+      val l = e.select(col("label"), col("vec_id").as("id1"),
+        col("embedding").as("v1"), col("nrm").as("n1"))
+      val r = e.select(col("label"), col("vec_id").as("id2"),
+        col("embedding").as("v2"), col("nrm").as("n2"))
       l.join(r, "label")
         .filter(col("id1") < col("id2"))
-        .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
+        .withColumn("cos", Similarity.dot(col("v1"), col("v2")) / col("n1") / col("n2"))
         .filter(col("cos") >= 0.4)
         .select(col("label"), col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
         .orderBy("id1", "id2")
@@ -146,7 +153,7 @@ object PipelineQueries {
     // query's bucket only — the join key is the bucket, never all-pairs.
     "ann_lsh" -> ((s, dir) => {
       val bucketed = emb(s, dir)
-        .withColumn("bucket", Similarity.lshBucket("embedding", 6))
+        .withColumn("bucket", Similarity.lshBucket(col("embedding"), 6, 64))
       val q = broadcast(bucketed.filter(col("vec_id") < 10)
         .select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("qv")))
       val w = Window.partitionBy("qid")
@@ -240,11 +247,13 @@ object PipelineQueries {
                     list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                    FOR i IN range(1, len(w) - 1)]) AS sh
              FROM t),
+      base AS (SELECT doc_id, list_transform(sh, s -> ${h("s")} & 1073741823) AS bs
+               FROM sh),
       sig AS (SELECT doc_id,
-                     [list_min(list_transform(sh, s ->
-                        ${h("CAST(h AS VARCHAR) || ':' || s")}))
+                     [list_min(list_transform(bs, x ->
+                        (x * (2 * h + 1) + h * 40503) % 1073741789))
                       FOR h IN range(0, 16)] AS sig
-              FROM sh),
+              FROM base),
       keyed AS (SELECT doc_id, sig, b,
                        array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',') AS band_key
                 FROM sig, (SELECT unnest(range(0, 4)) AS b)),

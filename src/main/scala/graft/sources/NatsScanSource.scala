@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 `nats_scan` source (SURVEY.md §7 step 5): the planner-time
+  * replacement for the reference's bind-time range parameters
+  * (/root/reference/src/nats_scan.cpp:207-423).
+  *
+  * Where the reference is a single-threaded cursor doing one RPC per message
+  * (`MaxThreads()=1`, :197-199; Direct Get loop :713-723), this source:
+  *   - partitions the scan by parquet row group — at production scale
+  *     (128 MB row groups, many files) that is thousands of independent
+  *     tasks; the fixture file has few groups, but the topology is the one
+  *     that holds at 100 TB;
+  *   - accepts seq / ts_nats / subject predicates via
+  *     `SupportsPushDownFilters` and turns seq+ts bounds into parquet
+  *     row-group statistics pruning — the columnar analog of the reference's
+  *     timestamp→sequence binary search (:548-595), same O(log n) effect:
+  *     scan work is proportional to the selected range, not the stream;
+  *   - prunes columns via `SupportsPushDownRequiredColumns`: an envelope
+  *     column that isn't referenced never reads its backing parquet pages
+  *     (the reference materializes every declared column, :752-862).
+  *
+  * Usage: `spark.read.format("nats_scan").option("dir", sfDir).load()`.
+  */
+class NatsScanSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "nats_scan"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NatsScanSource.envelopeSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new NatsScanTable(properties.asScala.toMap)
+}
+
+object NatsScanSource {
+  /** message envelope (= reference output schema rows 0-4,
+    * /root/reference/src/nats_scan.cpp:366-385) */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("stream", StringType, nullable = false),
+    StructField("subject", StringType, nullable = true),
+    StructField("seq", LongType, nullable = true),
+    StructField("ts_nats", TimestampType, nullable = true),
+    StructField("payload", BinaryType, nullable = true)))
+}
+
+final class NatsScanTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  private val dir = props.getOrElse("dir",
+    props.getOrElse("path", sys.error("nats_scan: 'dir' option required")))
+  private val stream = props.getOrElse("stream", "events")
+
+  override def name(): String = s"nats_scan($stream @ $dir)"
+  override def schema(): StructType = NatsScanSource.envelopeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NatsScanBuilder(s"$dir/$stream.parquet", stream)
+}
+
+/** Accepts seq/ts/subject predicates; everything else stays residual.
+  * Bounds are accumulated as [seqLo, seqHi] (1-based inclusive) and
+  * [tsLoNs, tsHiNs] (parquet nanos, inclusive), translated so that the
+  * µs-truncated `ts_nats` semantics stay exact:
+  *   ts_nats >= T  ⟺  ts_ns >= T_µs * 1000
+  *   ts_nats <= T  ⟺  ts_ns <= T_µs * 1000 + 999.
+  */
+final class NatsScanBuilder(file: String, stream: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = NatsScanSource.envelopeSchema
+  private var seqLo = 1L
+  private var seqHi = Long.MaxValue
+  private var tsLoNs = Long.MinValue
+  private var tsHiNs = Long.MaxValue
+  private var subjectContains: List[String] = Nil
+
+  private def tsMicros(v: Any): Long = v match {
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    case i: java.time.Instant =>
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+    case l: java.lang.Long => l.longValue()
+    case other => sys.error(s"unsupported timestamp literal $other")
+  }
+
+  private def longOf(v: Any): Long = v match {
+    case l: java.lang.Long => l.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case other => sys.error(s"unsupported long literal $other")
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val accepted = Array.newBuilder[Filter]
+    val residual = Array.newBuilder[Filter]
+    filters.foreach {
+      case f @ EqualTo("seq", v) =>
+        seqLo = math.max(seqLo, longOf(v)); seqHi = math.min(seqHi, longOf(v))
+        accepted += f
+      case f @ GreaterThan("seq", v) =>
+        seqLo = math.max(seqLo, longOf(v) + 1); accepted += f
+      case f @ GreaterThanOrEqual("seq", v) =>
+        seqLo = math.max(seqLo, longOf(v)); accepted += f
+      case f @ LessThan("seq", v) =>
+        seqHi = math.min(seqHi, longOf(v) - 1); accepted += f
+      case f @ LessThanOrEqual("seq", v) =>
+        seqHi = math.min(seqHi, longOf(v)); accepted += f
+      case f @ GreaterThan("ts_nats", v) =>
+        tsLoNs = math.max(tsLoNs, (tsMicros(v) + 1) * 1000L); accepted += f
+      case f @ GreaterThanOrEqual("ts_nats", v) =>
+        tsLoNs = math.max(tsLoNs, tsMicros(v) * 1000L); accepted += f
+      case f @ LessThan("ts_nats", v) =>
+        tsHiNs = math.min(tsHiNs, tsMicros(v) * 1000L - 1L); accepted += f
+      case f @ LessThanOrEqual("ts_nats", v) =>
+        tsHiNs = math.min(tsHiNs, tsMicros(v) * 1000L + 999L); accepted += f
+      case f @ StringContains("subject", s) =>
+        subjectContains ::= s; accepted += f
+      case f @ EqualTo("stream", s) if s == stream =>
+        accepted += f // constant echo column, trivially true
+      case other => residual += other
+    }
+    pushed = accepted.result()
+    residual.result()
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new NatsScanScan(file, stream, required, seqLo, seqHi, tsLoNs, tsHiNs,
+      subjectContains)
+}

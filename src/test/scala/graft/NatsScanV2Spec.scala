@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** DataSource V2 source behavior: pushdown actually reaches the scan, column
+  * pruning shrinks the read schema, and results agree with the facade path. */
+class NatsScanV2Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def v2 = spark.read.format("nats_scan").option("dir", dir).load()
+
+  test("V2 results match the facade envelope") {
+    val a = v2.select("stream", "subject", "seq", "ts_nats")
+      .orderBy("seq").collect()
+    val b = graft.nats.NatsScan.scanDir(spark, dir)
+      .select("stream", "subject", "seq", "ts_nats")
+      .orderBy("seq").collect()
+    assert(a.length == 1000)
+    assert(a.sameElements(b))
+  }
+
+  test("seq filter is pushed into the scan (not just re-evaluated above)") {
+    val df = v2.filter(col("seq") >= 100L && col("seq") <= 200L).select("seq")
+    val plan = df.queryExecution.executedPlan.toString
+    // our Scan.description() embeds the accumulated bounds
+    assert(plan.contains("nats_scan"), plan)
+    val rows = df.collect()
+    assert(rows.length == 101)
+    assert(rows.map(_.getLong(0)).min == 100L)
+    assert(rows.map(_.getLong(0)).max == 200L)
+  }
+
+  test("time + subject filters push down with exact µs-truncation semantics") {
+    val t0 = java.time.Instant.parse("2024-01-05T00:00:00Z")
+    val t1 = java.time.Instant.parse("2024-01-06T00:00:00Z")
+    val a = v2.filter(col("ts_nats") >= lit(t0) && col("ts_nats") <= lit(t1) &&
+        col("subject").contains("view"))
+      .select("seq").orderBy("seq").collect().map(_.getLong(0))
+    val b = graft.nats.NatsScan.scanDir(spark, dir,
+        opts = graft.nats.NatsScanOptions(
+          startTime = Some(t0), endTime = Some(t1),
+          subjectContains = Some("view")))
+      .select("seq").orderBy("seq").collect().map(_.getLong(0))
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("column pruning: selecting one column still works") {
+    assert(v2.select("subject").limit(5).collect().length == 5)
+    assert(v2.select("payload").limit(5).collect()
+      .forall(_.getAs[Array[Byte]](0).nonEmpty))
+  }
+
+  test("unsupported predicate stays residual and still filters correctly") {
+    // endsWith is not pushed — must be applied above the scan
+    val rows = v2.filter(col("subject").endsWith(".7")).select("subject").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(0).endsWith(".7")))
+  }
+}
