@@ -230,6 +230,13 @@ object RelationalQueries {
         .orderBy("user_id", "user_event_rank")
     }),
 
+    // gap-based sessionization (per-user partitioned windows — scales with
+    // keys; streaming flavor in graft.streaming.Sessionize)
+    "q_sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize
+        .batchSessionCounts(t(s, dir, "events"), 6L * 3600L * 1000000000L)
+        .orderBy("user_id")),
+
     // --- sort / limit / top-k ---
 
     "q_topk" -> ((s, dir) =>
@@ -422,6 +429,17 @@ object RelationalQueries {
                  lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
           FROM events)
         WHERE user_event_rank <= 3 ORDER BY user_id, user_event_rank""",
+
+      "q_sessionize" -> """
+        WITH o AS (
+          SELECT user_id,
+                 CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 21600000000000 THEN 1 ELSE 0 END AS new_s
+          FROM events)
+        SELECT user_id, count(*) AS n_events,
+               CAST(1 + sum(new_s) AS BIGINT) AS n_sessions
+        FROM o GROUP BY user_id ORDER BY user_id""",
 
       "q_topk" -> """
         SELECT o_orderkey, o_custkey, o_totalprice

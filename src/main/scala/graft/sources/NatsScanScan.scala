@@ -23,14 +23,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * re-checked per message in the reader (gap-skip analog :725-729 is a no-op
   * on columnar storage).
   */
-final class NatsScanScan(file: String, stream: String, required: StructType,
+final class NatsScanScan(file: String, dir: String, stream: String,
+                         required: StructType,
                          seqLo: Long, seqHi: Long, tsLoNs: Long, tsHiNs: Long,
-                         subjectContains: List[String])
+                         subjectContains: List[String], maxPerBatch: Long)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new graft.streaming.NatsMicroBatchStream(dir, stream, maxPerBatch)
 
   override def description(): String =
     s"nats_scan stream=$stream seq=[$seqLo,$seqHi] tsNs=[$tsLoNs,$tsHiNs] " +

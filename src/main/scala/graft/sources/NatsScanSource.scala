@@ -62,10 +62,13 @@ final class NatsScanTable(props: Map[String, String])
   override def name(): String = s"nats_scan($stream @ $dir)"
   override def schema(): StructType = NatsScanSource.envelopeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  private val maxPerBatch =
+    props.getOrElse("max_msgs_per_batch", "1000").toLong
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NatsScanBuilder(s"$dir/$stream.parquet", stream)
+    new NatsScanBuilder(s"$dir/$stream.parquet", dir, stream, maxPerBatch)
 }
 
 /** Accepts seq/ts/subject predicates; everything else stays residual.
@@ -75,7 +78,8 @@ final class NatsScanTable(props: Map[String, String])
   *   ts_nats >= T  ⟺  ts_ns >= T_µs * 1000
   *   ts_nats <= T  ⟺  ts_ns <= T_µs * 1000 + 999.
   */
-final class NatsScanBuilder(file: String, stream: String)
+final class NatsScanBuilder(file: String, dir: String, stream: String,
+                            maxPerBatch: Long)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -140,6 +144,6 @@ final class NatsScanBuilder(file: String, stream: String)
     required = requiredSchema
 
   override def build(): Scan =
-    new NatsScanScan(file, stream, required, seqLo, seqHi, tsLoNs, tsHiNs,
-      subjectContains)
+    new NatsScanScan(file, dir, stream, required, seqLo, seqHi, tsLoNs,
+      tsHiNs, subjectContains, maxPerBatch)
 }

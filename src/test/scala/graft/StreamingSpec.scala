@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Structured-streaming superset (the reference's roadmap "live tail"):
+  * micro-batches paced by seq offsets, event-time windows with watermark,
+  * custom session state. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def stream(maxPerBatch: Int) =
+    spark.readStream.format("nats_scan")
+      .option("dir", dir)
+      .option("max_msgs_per_batch", maxPerBatch.toString)
+      .load()
+
+  test("micro-batches replay the whole stream in seq-bounded chunks") {
+    val q = stream(300).writeStream
+      .format("memory").queryName("tail")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val n = spark.sql("SELECT count(*) FROM tail").head().getLong(0)
+    assert(n == 1000L, s"expected all 1000 messages, got $n")
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batches.length >= 4, s"expected ≥4 rate-limited batches, got ${batches.mkString(",")}")
+    assert(batches.forall(_ <= 300), s"batch exceeded admission limit: ${batches.mkString(",")}")
+    val maxSeq = spark.sql("SELECT max(seq) FROM tail").head().getLong(0)
+    assert(maxSeq == 1000L)
+  }
+
+  test("event-time window + watermark over the stream matches batch") {
+    val q = stream(500)
+      .withWatermark("ts_nats", "1 hour")
+      .groupBy(window(col("ts_nats"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("win")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT window.start, n FROM win ORDER BY 1")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    val batch = graft.nats.NatsScan.scanDir(spark, dir)
+      .groupBy(window(col("ts_nats"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("n")).orderBy("start")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
+  test("flatMapGroupsWithState sessionization agrees with the batch operator") {
+    import spark.implicits._
+    val gap = 6L * 3600L * 1000000000L // 6 hours in ns
+    val batch = graft.streaming.Sessionize
+      .batchSessionCounts(Tables.load(spark, dir, "events"), gap)
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    val evStream = stream(400)
+      .select(
+        element_at(split(col("subject"), "\\."), 3).cast("long").as("user_id"),
+        col("seq"),
+        (unix_micros(col("ts_nats")) * 1000L).as("tsNs"))
+      .as[graft.streaming.Sessionize.Ev]
+    val q = graft.streaming.Sessionize.streamSessionCounts(evStream, gap)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // update mode emits running counts; the LAST emission per user is final
+    val streamed = spark.sql(
+      """SELECT user_id, n_events, n_sessions FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) AS rn
+        |  FROM sess) WHERE rn = 1 ORDER BY user_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.map(_._1).sameElements(batch.map(_._1)))
+    assert(streamed.map(_._2).sameElements(batch.map(_._2)), "event counts differ")
+    assert(streamed.map(_._3).sameElements(batch.map(_._3)), "session counts differ")
+  }
+}
