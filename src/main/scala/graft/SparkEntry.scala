@@ -20,12 +20,14 @@ object SparkEntry {
       graft.queries.RelationalQueries.queries ++
       graft.queries.ProtoQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.V2Queries.queries
+      graft.queries.V2Queries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.NatsQueries.oracleSql ++
       graft.queries.RelationalQueries.oracleSql ++
       graft.queries.ProtoQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
-      graft.queries.V2Queries.oracleSql
+      graft.queries.V2Queries.oracleSql ++
+      graft.queries.MultimodalQueries.oracleSql
 }

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Multimodal
+
+/** Multimodal-column surface: binary media cells + typed metadata, decode /
+  * resize / frame-sample via partition-parallel typed operators. The decode
+  * stub is deterministic byte arithmetic, so the DuckDB oracle reproduces it
+  * from the source columns — proving the bytes that crossed the
+  * mapPartitions boundary are exactly the bytes the expression synthesized. */
+object MultimodalQueries {
+
+  private def meta(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Multimodal.decodeMeta(
+      Multimodal.synthesizeMedia(Tables.load(s, dir, "documents"))
+        .as[Multimodal.MediaCell])
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "mm_decode_meta" -> ((s, dir) =>
+      meta(s, dir).toDF()
+        .select("doc_id", "width", "height", "channels", "fps", "n_bytes", "checksum")
+        .orderBy("doc_id")),
+
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resize(meta(s, dir), maxDim = 256)
+        .select("doc_id", "width", "height", "out_width", "out_height")
+        .orderBy("doc_id")),
+
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(meta(s, dir), everyK = 3)
+        .orderBy("doc_id", "frame_idx"))
+  )
+
+  private val metaSql = """
+    WITH m AS (
+      SELECT doc_id,
+             CAST((length(text) % 4 + 1) * 256 + (length(text) % 97) AS INTEGER) AS width,
+             CAST((n_chars % 3 + 1) * 256 + (n_chars % 89) AS INTEGER) AS height,
+             CAST(length(lang) % 4 + 1 AS INTEGER) AS channels,
+             CAST(length(source) % 30 + 1 AS INTEGER) AS fps,
+             CAST(8 + octet_length(text::BLOB) AS INTEGER) AS n_bytes,
+             CAST(list_sum([ord(text[i]) FOR i IN range(1, length(text) + 1)]) AS BIGINT) AS checksum
+      FROM documents)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "mm_decode_meta" -> s"""$metaSql
+      SELECT doc_id, width, height, channels, fps, n_bytes, checksum
+      FROM m ORDER BY doc_id""",
+
+    "mm_resize" -> s"""$metaSql
+      SELECT doc_id, width, height,
+             CAST(floor(width * CASE WHEN greatest(width, height) > 256
+               THEN 256 / CAST(greatest(width, height) AS DOUBLE) ELSE 1.0 END) AS INTEGER) AS out_width,
+             CAST(floor(height * CASE WHEN greatest(width, height) > 256
+               THEN 256 / CAST(greatest(width, height) AS DOUBLE) ELSE 1.0 END) AS INTEGER) AS out_height
+      FROM m ORDER BY doc_id""",
+
+    "mm_frames" -> s"""$metaSql
+      SELECT doc_id, CAST(f.frame_idx AS INTEGER) AS frame_idx
+      FROM m, (SELECT unnest(range(0, 30, 3)) AS frame_idx) f
+      WHERE f.frame_idx < fps
+      ORDER BY doc_id, frame_idx"""
+  )
+}
