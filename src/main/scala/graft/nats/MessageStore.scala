@@ -16,8 +16,23 @@ import org.apache.spark.sql.functions._
   *   ts_nats TIMESTAMP— publish time, ns → µs truncation
   *   payload BINARY   — raw message bytes
   */
+/** Bounds the source can prune with, in envelope terms: inclusive seq range
+  * and inclusive ts_nats µs range. Stores translate them to raw storage
+  * predicates so they reach the parquet scan as PushedFilters — filters on
+  * the *computed* envelope columns (seq = event_id+1, ts_nats = µs(ts))
+  * cannot be pushed through the projection by Catalyst. */
+final case class ScanPruning(
+    seqLo: Option[Long] = None, seqHi: Option[Long] = None,
+    tsLoMicros: Option[Long] = None, tsHiMicros: Option[Long] = None)
+
 trait MessageStore {
-  def read(spark: SparkSession, stream: String): DataFrame
+  def read(spark: SparkSession, stream: String): DataFrame =
+    read(spark, stream, ScanPruning())
+
+  /** bounded read; implementations SHOULD turn the bounds into storage-level
+    * pruning (the envelope-level filters are re-applied above regardless,
+    * so a store may ignore them without breaking correctness) */
+  def read(spark: SparkSession, stream: String, pruning: ScanPruning): DataFrame
 }
 
 /** Parquet-backed store over the driver fixtures: `events.parquet` plays the
@@ -28,9 +43,19 @@ trait MessageStore {
   *   payload  = props JSON text as UTF-8 bytes
   */
 final class ParquetMessageStore(dir: String) extends MessageStore {
-  override def read(spark: SparkSession, stream: String): DataFrame = {
+  override def read(spark: SparkSession, stream: String,
+                    pruning: ScanPruning): DataFrame = {
     require(stream == "events", s"unknown stream '$stream' (store has: events)")
-    graft.Tables.load(spark, dir, "events").select(
+    var raw = graft.Tables.load(spark, dir, "events")
+    // raw-column predicates — these reach the parquet scan as PushedFilters
+    // (row-group + page pruning), the columnar analog of the reference's
+    // binary search (/root/reference/src/nats_scan.cpp:548-595).
+    // seq = event_id + 1; ts_nats = floor(ts_ns / 1000).
+    pruning.seqLo.foreach(lo => raw = raw.filter(col("event_id") >= lo - 1))
+    pruning.seqHi.foreach(hi => raw = raw.filter(col("event_id") <= hi - 1))
+    pruning.tsLoMicros.foreach(lo => raw = raw.filter(col("ts") >= lo * 1000L))
+    pruning.tsHiMicros.foreach(hi => raw = raw.filter(col("ts") <= hi * 1000L + 999L))
+    raw.select(
       lit("events").as("stream"),
       concat(lit("events."), col("event_type"), lit("."),
         col("user_id").cast("string")).as("subject"),

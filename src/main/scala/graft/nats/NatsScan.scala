@@ -29,7 +29,13 @@ object NatsScan {
            opts: NatsScanOptions = NatsScanOptions(),
            store: MessageStore): DataFrame = {
     opts.validate()
-    var df = store.read(spark, stream)
+    def micros(i: java.time.Instant): Long =
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+    // storage-level pruning bounds (stores translate to raw-column pushdown);
+    // the envelope-level predicates below re-assert the same semantics
+    val pruning = ScanPruning(opts.startSeq, opts.endSeq,
+      opts.startTime.map(micros), opts.endTime.map(micros))
+    var df = store.read(spark, stream, pruning)
 
     // range + subject pruning — pushdown-friendly single filters
     val preds: Seq[Column] =

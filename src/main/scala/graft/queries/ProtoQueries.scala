@@ -27,7 +27,8 @@ object ProtoQueries {
     * rack="r<user_id % 3>", building="b1"), reading(kw=value, pf=value/200,
     * voltage=480.0), online = value > 100, firmware "v2.1.<user_id % 2>". */
   final class DeviceProtoStore(dir: String) extends MessageStore {
-    override def read(spark: SparkSession, stream: String): DataFrame = {
+    override def read(spark: SparkSession, stream: String,
+                      pruning: graft.nats.ScanPruning): DataFrame = {
       val schema = ProtoSchema.parseFile(deviceProtoPath, "DeviceEvent")
       val raw = graft.Tables.load(spark, dir, "events")
       val msg: Column = struct(

@@ -230,6 +230,29 @@ object RelationalQueries {
         .orderBy("user_id", "user_event_rank")
     }),
 
+    // ROLLUP: hierarchical subtotals (superset of the reference's plain
+    // GROUP BY — free via Catalyst Expand)
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // as-of join: each purchase enriched with the user's most recent signup
+    // at-or-before it (graft.operators.AsofJoin — union + running-last, one
+    // shuffle on the key)
+    "q_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), (col("event_id") + 1L).as("seq"))
+      val sg = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), (col("event_id") + 1L).as("sseq"))
+      graft.operators.AsofJoin
+        .asofJoin(p, sg, "user_id", "seq", "sseq", "sseq", "signup_seq")
+        .orderBy("seq")
+    }),
+
     // gap-based sessionization (per-user partitioned windows — scales with
     // keys; streaming flavor in graft.streaming.Sessionize)
     "q_sessionize" -> ((s, dir) =>
@@ -429,6 +452,23 @@ object RelationalQueries {
                  lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
           FROM events)
         WHERE user_event_rank <= 3 ORDER BY user_id, user_event_rank""",
+
+      "q_rollup" -> """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+      "q_asof_join" -> """
+        WITH p AS (SELECT user_id, event_id + 1 AS seq FROM events
+                   WHERE event_type = 'purchase'),
+        s AS (SELECT user_id, event_id + 1 AS sseq FROM events
+              WHERE event_type = 'signup')
+        SELECT p.user_id, p.seq, s.sseq AS signup_seq
+        FROM p ASOF LEFT JOIN s
+          ON p.user_id = s.user_id AND p.seq >= s.sseq
+        ORDER BY seq""",
 
       "q_sessionize" -> """
         WITH o AS (

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.nats.{NatsScan, NatsScanOptions}
+
+/** Physical-plan audits: these assert the plans we *designed for*, not just
+  * correct results — pushed filters reach the parquet scan, dimension joins
+  * broadcast, top-k compiles to TakeOrderedAndProject, scans stay inside
+  * whole-stage codegen. A plan regression fails here long before it shows up
+  * as a 100 TB incident. */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("facade seq range pushes raw event_id bounds into the parquet scan") {
+    val p = physical(NatsScan.scanDir(spark, dir,
+      opts = NatsScanOptions(startSeq = Some(101L), endSeq = Some(600L))))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(event_id,100)"), p)
+    assert(p.contains("LessThanOrEqual(event_id,599)"), p)
+  }
+
+  test("facade time range pushes raw ns bounds into the parquet scan") {
+    val p = physical(NatsScan.scanDir(spark, dir,
+      opts = NatsScanOptions(
+        startTime = NatsScanOptions.ts("2024-01-05T00:00:00Z"),
+        endTime = NatsScanOptions.ts("2024-01-06T00:00:00Z"))))
+    assert(p.contains("GreaterThanOrEqual(ts,"), p)
+    assert(p.contains("LessThanOrEqual(ts,"), p)
+  }
+
+  test("pruned scan ≡ full scan + filter (range-pruning equivalence property)") {
+    val pruned = NatsScan.scanDir(spark, dir,
+        opts = NatsScanOptions(startSeq = Some(101L), endSeq = Some(600L)))
+      .select("seq").orderBy("seq").collect().map(_.getLong(0))
+    val filtered = NatsScan.scanDir(spark, dir)
+      .filter(col("seq") >= 101L && col("seq") <= 600L)
+      .select("seq").orderBy("seq").collect().map(_.getLong(0))
+    assert(pruned.sameElements(filtered))
+  }
+
+  test("dimension join broadcasts (no shuffle of the fact side)") {
+    val env = NatsScan.scanDir(spark, dir)
+      .withColumn("user_id", element_at(split(col("subject"), "\\."), 3).cast("long"))
+    val dim = broadcast(Tables.load(spark, dir, "customer"))
+    val p = physical(env.join(dim, env("user_id") === dim("c_custkey")))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not global sort") {
+    val p = physical(Tables.load(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc).limit(50))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("unused envelope columns are pruned from the parquet read schema") {
+    val p = physical(NatsScan.scanDir(spark, dir).select("seq"))
+    // payload (props) must not be read for a seq-only projection
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("props"), s"props should be pruned:\n$p")
+  }
+
+  test("scan + filter + agg stays inside whole-stage codegen") {
+    val df = NatsScan.scanDir(spark, dir)
+      .filter(col("seq") > 10L).groupBy("subject").count()
+    df.collect() // AQE finalizes the physical plan only on execution
+    val p = df.queryExecution.executedPlan.toString
+    // AQE's condensed output marks whole-stage-codegen stages with "*(id)"
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+}
