@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.ProtoQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.V2Queries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.ScaleQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.NatsQueries.oracleSql ++
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.ProtoQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.V2Queries.oracleSql ++
-      graft.queries.MultimodalQueries.oracleSql
+      graft.queries.MultimodalQueries.oracleSql ++
+      graft.queries.ScaleQueries.oracleSql
 }

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.SkewTools
+
+/** Scale-technique operators: skew-salted aggregation (exact oracle — the
+  * salt is algebraically invisible), GROUPING SETS, typeof, and approximate
+  * sketches (HLL distinct, quantile sketch — no DuckDB oracle possible since
+  * sketch internals differ across engines; the driver records rows-only
+  * checks, and the companion exact queries bound the error). */
+object ScaleQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // two-phase salted aggregate over a 5-hot-key distribution; result must
+    // equal the plain GROUP BY (phase composition is algebraic)
+    "q_salted_agg" -> ((s, dir) =>
+      SkewTools.saltedAgg(
+          Tables.load(s, dir, "events"),
+          keyCol = "event_type",
+          agg = SkewTools.sumCountMinMax("value"),
+          saltBuckets = 16,
+          saltOn = col("event_id"))
+        .select(col("event_type"),
+          round(col("sum_value"), 2).as("sum_value"), col("n"),
+          col("min_value"), col("max_value"))
+        .orderBy("event_type")),
+
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+        FROM v_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus, o_orderpriority""")
+    }),
+
+    // typeof (reference: test_payload_blob.sql:14, test_json_extraction.sql:32)
+    // on the type names both engines spell identically (modulo case)
+    "q_typeof" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .agg(count(lit(1)).as("n"), avg("value").as("avg_v"),
+          max(timestamp_micros(expr("ts div 1000"))).as("ts_max"))
+        .withColumn("flag", lit(true))
+        .select(
+          lower(expr("typeof(n)")).as("t_count"),
+          lower(expr("typeof(avg_v)")).as("t_avg"),
+          lower(expr("typeof(flag)")).as("t_bool"),
+          lower(expr("typeof(ts_max)")).as("t_ts"))),
+
+    // HLL-sketch distinct (rows-only check; exact companion = q_count_distinct)
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .withColumn("rel_err",
+          round(abs(col("approx_users") - col("exact_users")) /
+            col("exact_users").cast("double"), 4))
+        .orderBy("event_type")),
+
+    // quantile sketch (rows-only check)
+    "q_approx_quantiles" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("q"))
+        .select(
+          element_at(col("q"), 1).as("p50"),
+          element_at(col("q"), 2).as("p90"),
+          element_at(col("q"), 3).as("p99")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_salted_agg" -> """
+      SELECT event_type, round(sum(value), 2) AS sum_value, count(*) AS n,
+             min(value) AS min_value, max(value) AS max_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q_typeof" -> """
+      SELECT lower(typeof(count(*))) AS t_count,
+             lower(typeof(avg(value))) AS t_avg,
+             lower(typeof(true)) AS t_bool,
+             lower(typeof(max(CAST(ts AS TIMESTAMP)))) AS t_ts
+      FROM events"""
+    // q_approx_distinct / q_approx_quantiles intentionally have no oracle:
+    // sketch algorithms are engine-specific → driver rows-only check.
+  )
+}
