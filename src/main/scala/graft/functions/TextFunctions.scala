@@ -88,4 +88,11 @@ object TextFunctions {
   /** canonical document fingerprint: md5 of the sorted distinct token set */
   def fingerprint(toks: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks))))
+
+  /** Rabin-Karp-style rolling hash over the raw characters:
+    * fold (acc * 31 + code) mod 1e9+7. Order-sensitive (unlike the set
+    * fingerprint) — detects byte-level duplicates cheaply in one pass. */
+  def rollingHash(textCol: String): Column =
+    expr(s"aggregate(sequence(1, length($textCol)), CAST(0 AS BIGINT), " +
+      s"(acc, i) -> (acc * 31 + ascii(substring($textCol, i, 1))) % 1000000007)")
 }

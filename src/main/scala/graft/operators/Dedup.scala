@@ -101,10 +101,18 @@ object Dedup {
                    blockCol: String, minJaccard: Double): DataFrame = {
     val t = df.select(col(idCol), col(blockCol),
       array_distinct(tokens(col(textCol))).as("w"))
-    val l = t.select(col(blockCol), col(idCol).as("id1"), col("w").as("w1"))
-    val r = t.select(col(blockCol), col(idCol).as("id2"), col("w").as("w2"))
+      .withColumn("nw", size(col("w")))
+    val l = t.select(col(blockCol), col(idCol).as("id1"), col("w").as("w1"),
+      col("nw").as("n1"))
+    val r = t.select(col(blockCol), col(idCol).as("id2"), col("w").as("w2"),
+      col("nw").as("n2"))
     l.join(r, blockCol)
       .filter(col("id1") < col("id2"))
+      // size-ratio prefilter, IMPLIED by the threshold (|∩| ≤ min, |∪| ≥ max
+      // ⟹ jaccard ≤ min/max): prunes most pairs before the expensive
+      // intersect/union without changing the result set
+      .filter(least(col("n1"), col("n2")) >=
+        lit(minJaccard) * greatest(col("n1"), col("n2")))
       .withColumn("jaccard",
         size(array_intersect(col("w1"), col("w2"))) /
           size(array_union(col("w1"), col("w2"))).cast("double"))

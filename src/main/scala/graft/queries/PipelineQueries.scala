@@ -73,6 +73,11 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "text_rolling_hash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.TextFunctions.rollingHash("text").as("rhash"))
+        .orderBy("doc_id")),
+
     // --- deduplication ---
 
     "dedup_exact" -> ((s, dir) =>
@@ -234,6 +239,14 @@ object PipelineQueries {
       SELECT doc_id, fingerprint,
              count(*) OVER (PARTITION BY fingerprint) AS n_same
       FROM fp ORDER BY doc_id""",
+
+    "text_rolling_hash" -> """
+      SELECT doc_id,
+             CAST(list_reduce(
+               [CAST(0 AS BIGINT)] ||
+               [CAST(ord(text[i]) AS BIGINT) FOR i IN range(1, length(text) + 1)],
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS rhash
+      FROM documents ORDER BY doc_id""",
 
     "dedup_exact" -> """
       SELECT md5(props) AS content_hash, min(event_id) AS keep_id,
