@@ -2,7 +2,7 @@ package graft.proto
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graftshim.GraftSql
 import org.apache.spark.sql.types._
@@ -23,11 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * the JSON path's behavior :823-829).
   */
 final case class ProtoDecodeExpression(child: Expression, schemaDef: MessageDef)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
   override def dataType: DataType = schemaDef.sparkSchema
   override def nullable: Boolean = true
   override def prettyName: String = "proto_decode"
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
 
   override def nullSafeEval(input: Any): Any =
     try ProtoWire.decodeMessage(input.asInstanceOf[Array[Byte]], schemaDef)
@@ -41,11 +42,14 @@ final case class ProtoDecodeExpression(child: Expression, schemaDef: MessageDef)
   * Not part of the reference surface (it only reads); used by our tests and
   * round-trip oracle queries to manufacture payloads deterministically. */
 final case class ProtoEncodeExpression(child: Expression, schemaDef: MessageDef)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def prettyName: String = "proto_encode"
+  // analyzer coerces the input struct to the wire schema's Spark shape
+  // (e.g. SQL decimal literals → double) before the codec sees it
+  override def inputTypes: Seq[DataType] = Seq(schemaDef.sparkSchema)
 
   override def nullSafeEval(input: Any): Any =
     ProtoWire.encodeMessage(input.asInstanceOf[InternalRow], schemaDef)

@@ -31,6 +31,16 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lineitem = Tables.load(spark, dir, "lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // the metastore is per-session (in-memory derby) but the warehouse dir
+    // persists — remove orphaned locations from previous runs
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val d = new java.io.File(s"$warehouse/$t")
+      if (d.exists()) {
+        java.nio.file.Files.walk(d.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
     orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")
     lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
