@@ -62,6 +62,36 @@ object ScaleQueries {
             col("exact_users").cast("double"), 4))
         .orderBy("event_type")),
 
+    // set ops beyond the reference (INTERSECT/EXCEPT "free via Catalyst")
+    "q_intersect" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      e.filter(col("value") > 100).select("user_id").distinct()
+        .intersect(e.filter(col("event_type") === "purchase")
+          .select("user_id").distinct())
+        .orderBy("user_id")
+    }),
+
+    "q_except" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      e.select("user_id").distinct()
+        .except(e.filter(col("value") > 215)
+          .select("user_id").distinct())
+        .orderBy("user_id")
+    }),
+
+    // deterministic stratified train/val split: hash-bucket assignment is a
+    // pure function of the row key, so the split is reproducible on any
+    // cluster size and needs no RNG state
+    "q_split" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("bucket",
+          pmod(expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"),
+            lit(100L)))
+        .withColumn("split", when(col("bucket") < 90, "train").otherwise("val"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")),
+
     // quantile sketch (rows-only check)
     "q_approx_quantiles" -> ((s, dir) =>
       Tables.load(s, dir, "events")
@@ -85,6 +115,27 @@ object ScaleQueries {
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q_intersect" -> """
+      SELECT user_id FROM events WHERE value > 100
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      ORDER BY user_id""",
+
+    "q_except" -> """
+      SELECT DISTINCT user_id FROM events
+      EXCEPT
+      SELECT user_id FROM events WHERE value > 215
+      ORDER BY user_id""",
+
+    "q_split" -> """
+      WITH b AS (
+        SELECT lang,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents)
+      SELECT lang, split, count(*) AS n
+      FROM b GROUP BY lang, split ORDER BY lang, split""",
 
     "q_typeof" -> """
       SELECT lower(typeof(count(*))) AS t_count,
