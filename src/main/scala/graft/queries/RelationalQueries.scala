@@ -175,6 +175,33 @@ object RelationalQueries {
           sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))
         .orderBy("o_orderstatus")),
 
+    // semi/anti joins (EXISTS / NOT EXISTS shapes)
+    "q_semi_join" -> ((s, dir) => {
+      val hi = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+      t(s, dir, "customer")
+        .join(hi, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "q_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority").like("1-%")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // custom typed Aggregator (UDAF surface): parallel Welford variance,
+    // oracle = the engines' built-in var_samp
+    "q_custom_agg" -> ((s, dir) => {
+      val variance = udaf(graft.functions.WelfordVariance)
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(round(variance(col("value")), 4).as("var_value"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     // implicit cross join of 1-row CTEs (test_connection_errors.sql:150-162)
     "q_cross_join" -> ((s, dir) => {
       val env = NatsScan.scanDir(s, dir)
@@ -413,6 +440,24 @@ object RelationalQueries {
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+      "q_semi_join" -> """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        ORDER BY c_custkey""",
+
+      "q_anti_join" -> """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority LIKE '1-%')
+        ORDER BY c_custkey""",
+
+      "q_custom_agg" -> """
+        SELECT event_type, round(var_samp(value), 4) AS var_value,
+               count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type""",
 
       "q_cross_join" -> s"""$env, lo AS (
         SELECT min(seq) AS first_seq FROM env
