@@ -17,10 +17,11 @@ if "--skip-verify" not in sys.argv:
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {OUT}'],
         cwd="/root/repo", capture_output=True, text=True, timeout=1800)
-    sys.stdout.write("\n".join(
+    interesting = [
         l for l in (r.stdout + r.stderr).splitlines()
-        if "[verify]" in l or "error" in l.lower() and "ERROR SparkContext" not in l
-    ) + "\n")
+        if "[verify]" in l or "Exception" in l or "[error] (" in l]
+    if interesting:
+        sys.stdout.write("\n".join(interesting) + "\n")
     if r.returncode != 0:
         print("VERIFY FAILED rc=", r.returncode)
         print(r.stdout[-3000:])
