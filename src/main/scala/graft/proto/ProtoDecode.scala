@@ -93,8 +93,14 @@ object ProtoWire {
     val slots = new Array[Any](md.fields.length)
     var i = 0
     while (i < md.fields.length) {
-      slots(i) = defaultValue(md.fields(i))
+      slots(i) =
+        if (md.fields(i).repeated) new scala.collection.mutable.ArrayBuffer[Any]()
+        else defaultValue(md.fields(i))
       i += 1
+    }
+    def put(idx: Int, v: Any): Unit = slots(idx) match {
+      case buf: scala.collection.mutable.ArrayBuffer[Any @unchecked] => buf += v
+      case _ => slots(idx) = v
     }
     val byNumber = md.fields.zipWithIndex.map { case (f, idx) => f.number -> idx }.toMap
     var pos = start
@@ -109,21 +115,35 @@ object ProtoWire {
           wireType match {
             case 0 =>
               val (v, p2) = readVarint(b, pos); pos = p2
-              slots(idx) = varintValue(v, f)
+              put(idx, varintValue(v, f))
             case 1 =>
               val v = readFixed64(b, pos); pos += 8
-              slots(idx) = fixed64Value(v, f)
+              put(idx, fixed64Value(v, f))
             case 5 =>
               val v = readFixed32(b, pos); pos += 4
-              slots(idx) = fixed32Value(v, f)
+              put(idx, fixed32Value(v, f))
             case 2 =>
               val (len, p2) = readVarint(b, pos)
               val l = len.toInt
-              slots(idx) = f.ptype match {
-                case PString => UTF8String.fromBytes(b, p2, l)
-                case PBytes  => java.util.Arrays.copyOfRange(b, p2, p2 + l)
-                case PMessage(inner) => decodeRange(b, p2, p2 + l, inner)
-                case _ => slots(idx) // packed repeated scalars — unsupported, keep default
+              f.ptype match {
+                case PString => put(idx, UTF8String.fromBytes(b, p2, l))
+                case PBytes  => put(idx, java.util.Arrays.copyOfRange(b, p2, p2 + l))
+                case PMessage(inner) => put(idx, decodeRange(b, p2, p2 + l, inner))
+                case _ if f.packable =>
+                  // proto3 packed repeated scalars: consecutive values
+                  var q = p2
+                  val stop = p2 + l
+                  while (q < stop) f.enc match {
+                    case Enc.Varint | Enc.ZigZag =>
+                      val (v, q2) = readVarint(b, q); q = q2
+                      put(idx, varintValue(v, f))
+                    case Enc.Fixed32 =>
+                      put(idx, fixed32Value(readFixed32(b, q), f)); q += 4
+                    case Enc.Fixed64 =>
+                      put(idx, fixed64Value(readFixed64(b, q), f)); q += 8
+                    case Enc.LenDelim => throw new IllegalStateException("unreachable")
+                  }
+                case _ => () // len-delim for a non-repeated scalar — skip
               }
               pos = p2 + l
             case other =>
@@ -131,6 +151,15 @@ object ProtoWire {
           }
         case None => pos = skipField(b, pos, wireType)
       }
+    }
+    i = 0
+    while (i < slots.length) {
+      slots(i) = slots(i) match {
+        case buf: scala.collection.mutable.ArrayBuffer[Any @unchecked] =>
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+        case v => v
+      }
+      i += 1
     }
     InternalRow.fromSeq(slots.toIndexedSeq)
   }
@@ -227,7 +256,8 @@ object ProtoWire {
                        md: MessageDef): Unit = {
     md.fields.zipWithIndex.foreach { case (f, idx) =>
       if (!row.isNullAt(idx)) {
-        f.enc match {
+        if (f.repeated) encodeRepeated(out, row, idx, f)
+        else f.enc match {
           case Enc.Varint =>
             writeVarint(out, (f.number.toLong << 3) | 0)
             writeVarint(out, varintOf(row, idx, f))
@@ -271,6 +301,77 @@ object ProtoWire {
         }
       }
     }
+  }
+
+  /** repeated field: packed for scalar encodings (proto3 default),
+    * one tagged element at a time for strings/bytes/messages */
+  private def encodeRepeated(out: java.io.ByteArrayOutputStream,
+                             row: InternalRow, idx: Int, f: FieldDef): Unit = {
+    val elemType = ProtoSchema.sparkType(f.ptype)
+    val arr = row.getArray(idx)
+    if (arr.numElements() == 0) return
+    if (f.packable) {
+      val tmp = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < arr.numElements()) {
+        val v = arr.get(i, elemType)
+        f.enc match {
+          case Enc.Varint => writeVarint(tmp, scalarVarint(v, f))
+          case Enc.ZigZag => f.ptype match {
+            case PInt32 => val n = v.asInstanceOf[Int]
+              writeVarint(tmp, ((n << 1) ^ (n >> 31)).toLong & 0xFFFFFFFFL)
+            case _ => val n = v.asInstanceOf[Long]
+              writeVarint(tmp, (n << 1) ^ (n >> 63))
+          }
+          case Enc.Fixed32 => f.ptype match {
+            case PFloat => writeFixed32(tmp, java.lang.Float.floatToIntBits(v.asInstanceOf[Float]))
+            case PUInt32 => writeFixed32(tmp, v.asInstanceOf[Long].toInt)
+            case _ => writeFixed32(tmp, v.asInstanceOf[Int])
+          }
+          case Enc.Fixed64 => f.ptype match {
+            case PDouble => writeFixed64(tmp, java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+            case PUInt64 => writeFixed64(tmp,
+              v.asInstanceOf[Decimal].toJavaBigDecimal.toBigInteger.longValue())
+            case _ => writeFixed64(tmp, v.asInstanceOf[Long])
+          }
+          case Enc.LenDelim => throw new IllegalStateException("unreachable")
+        }
+        i += 1
+      }
+      val payload = tmp.toByteArray
+      writeVarint(out, (f.number.toLong << 3) | 2)
+      writeVarint(out, payload.length.toLong)
+      out.write(payload, 0, payload.length)
+    } else {
+      var i = 0
+      while (i < arr.numElements()) {
+        val payload: Array[Byte] = f.ptype match {
+          case PString => arr.getUTF8String(i).getBytes
+          case PBytes  => arr.getBinary(i)
+          case PMessage(inner) =>
+            encodeMessage(arr.getStruct(i, inner.fields.length), inner)
+          case other =>
+            throw new IllegalArgumentException(s"bad repeated len-delim $other")
+        }
+        writeVarint(out, (f.number.toLong << 3) | 2)
+        writeVarint(out, payload.length.toLong)
+        out.write(payload, 0, payload.length)
+        i += 1
+      }
+    }
+  }
+
+  private def scalarVarint(v: Any, f: FieldDef): Long = f.ptype match {
+    case PInt32  => v.asInstanceOf[Int].toLong
+    case PInt64  => v.asInstanceOf[Long]
+    case PUInt32 => v.asInstanceOf[Long]
+    case PUInt64 => v.asInstanceOf[Decimal].toJavaBigDecimal.toBigInteger.longValue()
+    case PBool   => if (v.asInstanceOf[Boolean]) 1L else 0L
+    case PEnum(_, values) =>
+      val name = v.asInstanceOf[UTF8String].toString
+      values.collectFirst { case (n, nm) if nm == name => n.toLong }
+        .getOrElse(name.toLong)
+    case other => throw new IllegalArgumentException(s"bad varint value $other")
   }
 
   private def varintOf(row: InternalRow, idx: Int, f: FieldDef): Long =

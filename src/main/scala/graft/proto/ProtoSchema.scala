@@ -38,8 +38,15 @@ object Enc {
   case object LenDelim extends Enc      // string, bytes, message
 }
 
-final case class FieldDef(name: String, number: Int, ptype: PType, enc: Enc) {
+final case class FieldDef(name: String, number: Int, ptype: PType, enc: Enc,
+                          repeated: Boolean = false) {
   def isMessage: Boolean = ptype.isInstanceOf[PType.PMessage]
+  /** proto3 packs repeated scalars (varint/zigzag/fixed) by default;
+    * strings, bytes, and messages are never packed */
+  def packable: Boolean = repeated && (enc match {
+    case Enc.LenDelim => false
+    case _ => true
+  })
 }
 
 final case class MessageDef(name: String, fields: Seq[FieldDef]) {
@@ -56,7 +63,9 @@ final case class MessageDef(name: String, fields: Seq[FieldDef]) {
       fd = cur.field(p).getOrElse(throw new IllegalArgumentException(
         s"Field '$p' not found in message '${cur.name}' (path '$path')"))
       if (i < parts.length - 1) fd.ptype match {
-        case PType.PMessage(m) => cur = m
+        case PType.PMessage(m) if !fd.repeated => cur = m
+        case PType.PMessage(_) => throw new IllegalArgumentException(
+          s"Field '$p' in path '$path' is repeated — element paths are not addressable")
         case _ => throw new IllegalArgumentException(
           s"Field '$p' in path '$path' is not a message type")
       }
@@ -64,9 +73,12 @@ final case class MessageDef(name: String, fields: Seq[FieldDef]) {
     fd
   }
 
-  /** Spark-side schema of the fully decoded message (SURVEY.md §1.3 mapping). */
+  /** Spark-side schema of the fully decoded message (SURVEY.md §1.3 mapping);
+    * repeated fields → ArrayType. */
   def sparkSchema: StructType = StructType(fields.map { f =>
-    StructField(f.name, ProtoSchema.sparkType(f.ptype), nullable = true)
+    val base = ProtoSchema.sparkType(f.ptype)
+    val t = if (f.repeated) ArrayType(base, containsNull = false) else base
+    StructField(f.name, t, nullable = true)
   })
 }
 
@@ -227,23 +239,26 @@ object ProtoSchema {
           case "reserved" | "option" => skipStatement()
           case _ =>
             var tname = next()
-            if (tname == "optional" || tname == "repeated" || tname == "required")
-              tname = next()   // proto3 optional / legacy labels: field decode is identical
+            var repeated = false
+            if (tname == "optional" || tname == "required")
+              tname = next()   // proto3 optional / legacy labels: decode is identical
+            else if (tname == "repeated") { repeated = true; tname = next() }
             val fname = next()
             expect("=")
             val fnum = next().toInt
             if (peek == ";") pos += 1
             scalarEnc.get(tname) match {
-              case Some((pt, enc)) => fields += FieldDef(fname, fnum, pt, enc)
+              case Some((pt, enc)) =>
+                fields += FieldDef(fname, fnum, pt, enc, repeated)
               case None if enums.contains(tname) =>
-                fields += FieldDef(fname, fnum, enums(tname), Enc.Varint)
+                fields += FieldDef(fname, fnum, enums(tname), Enc.Varint, repeated)
               case None if messages.contains(tname) =>
                 fields += FieldDef(fname, fnum,
-                  PType.PMessage(messages(tname)), Enc.LenDelim)
+                  PType.PMessage(messages(tname)), Enc.LenDelim, repeated)
               case None =>
                 // forward reference to a message defined later
                 fields += FieldDef(fname, fnum,
-                  PType.PMessage(MessageDef(tname, Nil)), Enc.LenDelim)
+                  PType.PMessage(MessageDef(tname, Nil)), Enc.LenDelim, repeated)
                 pending += ((name, fname, fnum, tname))
             }
         }

@@ -21,6 +21,7 @@ object ProtoQueries {
 
   val deviceProtoPath = "/root/repo/proto/device_event.proto"
   val typesProtoPath = "/root/repo/proto/all_types.proto"
+  val batchProtoPath = "/root/repo/proto/batch.proto"
 
   /** Store whose payload is a wire-format DeviceEvent built from the event
     * row: device_id "u<user_id>", ts event_id, position(zone=event_type,
@@ -87,6 +88,33 @@ object ProtoQueries {
           max("seq").as("max_seq"))
         .orderBy("position_zone")),
 
+    // repeated fields: packed varint/fixed64/zigzag + per-element strings.
+    // Output reduces the decoded arrays to scalars (size/sum/first) so the
+    // oracle needs no array hashing — any packing/unpacking asymmetry still
+    // breaks the match.
+    "proto_repeated" -> ((s, dir) => {
+      val schema = ProtoSchema.parseFile(batchProtoPath, "Batch")
+      val raw = graft.Tables.load(s, dir, "events").filter(col("event_id") < 2000)
+      val msg = struct(
+        col("event_type").as("tag"),
+        array(col("event_id"), col("event_id") + 1L, col("event_id") * 2L).as("ids"),
+        array(col("value"), col("value") / 2.0).as("temps"),
+        array(col("event_type"), lit("x"), concat(lit("u"),
+          col("user_id").cast("string"))).as("labels"),
+        array((-col("event_id")).cast("int"), lit(7).cast("int")).as("deltas"))
+      val d = ProtoDecode.decode(ProtoDecode.encode(msg, schema), schema).as("d")
+      raw.select(col("event_id"), d)
+        .select(
+          col("event_id"),
+          col("d.tag"),
+          size(col("d.ids")).as("n_ids"),
+          expr("aggregate(d.ids, CAST(0 AS BIGINT), (a, x) -> a + x)").as("sum_ids"),
+          round(expr("aggregate(d.temps, CAST(0 AS DOUBLE), (a, x) -> a + x)"), 6).as("sum_temps"),
+          expr("array_join(d.labels, ',')").as("labels_joined"),
+          expr("aggregate(d.deltas, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))").as("sum_deltas"))
+        .orderBy("event_id")
+    }),
+
     // all 17 scalar types + enum round-trip through the wire format
     "proto_all_types" -> ((s, dir) => {
       val schema = ProtoSchema.parseFile(typesProtoPath, "AllTypes")
@@ -147,6 +175,15 @@ object ProtoQueries {
       FROM events
       WHERE value > 100.0 AND value > 50.0
       GROUP BY event_type ORDER BY position_zone""",
+
+    "proto_repeated" -> """
+      SELECT event_id, event_type AS tag,
+             3 AS n_ids,
+             event_id + (event_id + 1) + (event_id * 2) AS sum_ids,
+             round(value + value / 2.0, 6) AS sum_temps,
+             event_type || ',x,u' || CAST(user_id AS VARCHAR) AS labels_joined,
+             -event_id + 7 AS sum_deltas
+      FROM events WHERE event_id < 2000 ORDER BY event_id""",
 
     "proto_all_types" -> """
       SELECT event_id,

@@ -116,6 +116,21 @@ class ProtoCodecSpec extends AnyFunSuite {
     assert(expr.eval(InternalRow.empty) == null)
   }
 
+  test("repeated fields: ArrayType schema, empty-message → empty arrays") {
+    val batch = ProtoSchema.parseFile("/root/repo/proto/batch.proto", "Batch")
+    val s = batch.sparkSchema
+    assert(s("ids").dataType == ArrayType(LongType, containsNull = false))
+    assert(s("labels").dataType == ArrayType(StringType, containsNull = false))
+    val empty = ProtoWire.decodeMessage(Array.emptyByteArray, batch)
+    assert(empty.getArray(1).numElements() == 0)   // ids: [] not null
+    assert(empty.getArray(3).numElements() == 0)   // labels
+    // element path through a repeated field is rejected at bind time
+    val e = intercept[IllegalArgumentException](
+      MessageDef("M", Seq(FieldDef("b", 1, PType.PMessage(batch), Enc.LenDelim,
+        repeated = true))).resolve("b.tag"))
+    assert(e.getMessage.contains("repeated"))
+  }
+
   test("nested submessage roundtrip") {
     val row = InternalRow(
       UTF8String.fromString("dev1"), 123456789L,
