@@ -63,6 +63,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("streaming dedup: union of two replays + dropDuplicates == one replay") {
+    val doubled = stream(400).unionAll(stream(400))
+      .withWatermark("ts_nats", "1 hour")
+      .dropDuplicates("seq")
+    val q = doubled.writeStream.format("memory").queryName("dedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val n = spark.sql("SELECT count(*), count(DISTINCT seq) FROM dedup").head()
+    assert(n.getLong(0) == 1000L, s"dupes survived: $n")
+    assert(n.getLong(1) == 1000L)
+  }
+
+  test("stream-stream windowed join matches the batch equivalent") {
+    import org.apache.spark.sql.functions.expr
+    val purchases = stream(500)
+      .filter(col("subject").contains("purchase"))
+      .select(element_at(split(col("subject"), "\\."), 3).cast("long").as("p_uid"),
+        col("seq").as("p_seq"), col("ts_nats").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = stream(500)
+      .filter(col("subject").contains("signup"))
+      .select(element_at(split(col("subject"), "\\."), 3).cast("long").as("s_uid"),
+        col("seq").as("s_seq"), col("ts_nats").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val joined = purchases.join(signups,
+      expr("p_uid = s_uid AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 2 DAYS"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamed = spark.sql("SELECT count(*) FROM ssj").head().getLong(0)
+
+    val env = graft.nats.NatsScan.scanDir(spark, dir)
+    val bp = env.filter(col("subject").contains("purchase"))
+      .select(element_at(split(col("subject"), "\\."), 3).cast("long").as("p_uid"),
+        col("ts_nats").as("p_ts"))
+    val bs = env.filter(col("subject").contains("signup"))
+      .select(element_at(split(col("subject"), "\\."), 3).cast("long").as("s_uid"),
+        col("ts_nats").as("s_ts"))
+    val batch = bp.join(bs,
+      expr("p_uid = s_uid AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 2 DAYS")).count()
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed > 0)
+  }
+
   test("flatMapGroupsWithState sessionization agrees with the batch operator") {
     import spark.implicits._
     val gap = 6L * 3600L * 1000000000L // 6 hours in ns
