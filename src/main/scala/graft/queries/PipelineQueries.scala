@@ -154,6 +154,51 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Real IVF: build = one deterministic Lloyd iteration (seeds = vec_id<8,
+    // assignment by cosine, centroid = dimension-wise mean computed via
+    // posexplode + groupBy — the distributed array-mean pattern), probe =
+    // nearest centroid then top-k WITHIN that cluster only. Centroids are
+    // rounded to 6 decimals so the mean's accumulation order can't produce
+    // cross-engine argmax flips.
+    "ann_ivf_kmeans" -> ((s, dir) => {
+      val e = emb(s, dir).cache()
+      val seeds = broadcast(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("scos").desc, col("cid").asc)
+      val assigned = e.crossJoin(seeds)
+        .withColumn("scos", Similarity.cosine(col("cv"), col("embedding")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+        .cache()
+      val cent = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(round(avg(col("x").cast("double")), 6).as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("centroid"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val wQ = Window.partitionBy("qid")
+        .orderBy(col("ccos").desc, col("cid").asc)
+      val qa = q.crossJoin(broadcast(cent))
+        .withColumn("ccos", Similarity.cosine(col("centroid"), col("qv")))
+        .withColumn("rn", row_number().over(wQ))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("qv"), col("cid"))
+      val wRank = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      qa.join(assigned, "cid")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(Similarity.cosine(col("qv"), col("embedding")), 6))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 3)
+        .select("qid", "cid", "rank", "vec_id", "cos")
+        .orderBy("qid", "rank")
+    }),
+
     // LSH-bucketed ANN: deterministic random-hyperplane buckets; probe the
     // query's bucket only — the join key is the bucket, never all-pairs.
     "ann_lsh" -> ((s, dir) => {
@@ -335,6 +380,42 @@ object PipelineQueries {
                CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
         FROM scored)
       SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+
+    "ann_ivf_kmeans" -> s"""
+      WITH seeds AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      ass AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, s.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cos("s.cv", "e.embedding")} DESC, s.cid ASC) AS rn
+          FROM embeddings e CROSS JOIN seeds s)
+        WHERE rn = 1),
+      dims AS (
+        SELECT cid, i.i AS pos, round(avg(CAST(embedding[i.i] AS DOUBLE)), 6) AS m
+        FROM ass, (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY cid, i.i),
+      cent AS (
+        SELECT cid, list(m ORDER BY pos) AS centroid FROM dims GROUP BY cid),
+      q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      qa AS (
+        SELECT qid, qv, cid FROM (
+          SELECT q.qid, q.qv, c.cid,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${cos("c.centroid", "q.qv")} DESC, c.cid ASC) AS rn
+          FROM q CROSS JOIN cent c)
+        WHERE rn = 1),
+      cand AS (
+        SELECT qa.qid, qa.cid, a.vec_id,
+               round(${cos("qa.qv", "a.embedding")}, 6) AS cos
+        FROM qa JOIN ass a ON qa.cid = a.cid AND a.vec_id <> qa.qid),
+      ranked AS (
+        SELECT qid, cid, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM cand)
+      SELECT qid, cid, rank, vec_id, cos FROM ranked
+      WHERE rank <= 3 ORDER BY qid, rank""",
 
     "ann_lsh" -> s"""
       WITH b AS (
