@@ -145,8 +145,13 @@ object ProtoQueries {
         .select(
           col("event_id"),
           col("d.f_string"), col("d.f_int32"), col("d.f_int64"),
-          col("d.f_uint32"), col("d.f_uint64"), col("d.f_sint32"),
-          col("d.f_sint64"), col("d.f_fixed32"), col("d.f_fixed64"),
+          col("d.f_uint32"),
+          // uint64 decodes to DECIMAL(20,0) (full unsigned range); emit its
+          // digits as STRING so no consumer re-renders the scale-0 decimal
+          col("d.f_uint64").cast("string").as("f_uint64"),
+          col("d.f_sint32"),
+          col("d.f_sint64"), col("d.f_fixed32"),
+          col("d.f_fixed64").cast("string").as("f_fixed64"),
           col("d.f_sfixed32"), col("d.f_sfixed64"),
           col("d.f_float").cast("double").as("f_float"),
           col("d.f_double"), col("d.f_bool"), col("d.f_mode"),
@@ -191,11 +196,11 @@ object ProtoQueries {
              CAST(event_id * 3 - 1000 AS INTEGER) AS f_int32,
              event_id * 1000000 - 123 AS f_int64,
              event_id + 7 AS f_uint32,
-             CAST(event_id AS DECIMAL(20,0)) AS f_uint64,
+             CAST(CAST(event_id AS DECIMAL(20,0)) AS VARCHAR) AS f_uint64,
              CAST(-event_id - 1 AS INTEGER) AS f_sint32,
              event_id * -999 AS f_sint64,
              event_id + 13 AS f_fixed32,
-             CAST(event_id + 17 AS DECIMAL(20,0)) AS f_fixed64,
+             CAST(CAST(event_id + 17 AS DECIMAL(20,0)) AS VARCHAR) AS f_fixed64,
              CAST(event_id - 500 AS INTEGER) AS f_sfixed32,
              event_id * -31 AS f_sfixed64,
              CAST(CAST(value AS REAL) AS DOUBLE) AS f_float,

@@ -30,21 +30,33 @@ object RelationalQueries {
 
     // --- aggregation ---
 
-    // TPC-H Q1 shape: multi-column GROUP BY + 8 aggregates in one pass
+    // TPC-H Q1 shape: multi-column GROUP BY + 8 aggregates in one pass.
+    // All money math is exact DECIMAL internally (order-invariant partial
+    // aggregation), and every aggregate — including the averages, derived
+    // from the exact sums — is emitted as DOUBLE: the decimal→double cast
+    // is the same IEEE round-to-nearest in every engine, so results are
+    // bit-identical no matter how a downstream consumer renders them.
     "q_agg_pricing" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
         .withColumn("price", col("l_extendedprice").cast("decimal(18,2)"))
         .withColumn("qty", col("l_quantity").cast("decimal(18,2)"))
+        .withColumn("disc", col("l_discount").cast("decimal(18,2)"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum("qty").as("sum_qty"),
-          sum("price").as("sum_base_price"),
-          sum((col("price") * (lit(1.0) - col("l_discount"))).cast("decimal(28,10)")).as("sum_disc_price"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 6).as("avg_disc"),
+          sum("qty").as("sq"),
+          sum("price").as("sp"),
+          sum((col("price") * (lit(1) - col("disc"))).cast("decimal(28,10)")).as("sdp"),
+          sum("disc").as("sd"),
           count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sq").cast("double").as("sum_qty"),
+          col("sp").cast("double").as("sum_base_price"),
+          col("sdp").cast("double").as("sum_disc_price"),
+          round(col("sq").cast("double") / col("count_order"), 4).as("avg_qty"),
+          round(col("sp").cast("double") / col("count_order"), 4).as("avg_price"),
+          round(col("sd").cast("double") / col("count_order"), 6).as("avg_disc"),
+          col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -54,7 +66,9 @@ object RelationalQueries {
         countDistinct(col("user_id")).as("n_users"),
         countDistinct(col("event_type")).as("n_types"),
         count(lit(1)).as("n_rows"),
-        round(avg("value"), 4).as("avg_value"))),
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+        .select(col("n_users"), col("n_types"), col("n_rows"),
+          round(col("sv").cast("double") / col("n_rows"), 4).as("avg_value"))),
 
     // SUM(CASE WHEN ...) conditional aggregation
     "q_sum_case" -> ((s, dir) =>
@@ -73,6 +87,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
         .filter(col("n_orders") >= 3)
+        .withColumn("total", col("total").cast("double"))
         .orderBy("o_custkey")),
 
     "q_distinct" -> ((s, dir) =>
@@ -97,7 +112,9 @@ object RelationalQueries {
             .otherwise("large"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
-          round(avg("o_totalprice"), 4).as("avg_price"))
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
+        .select(col("bucket"), col("n"),
+          round(col("sp").cast("double") / col("n"), 4).as("avg_price"))
         .orderBy("bucket")),
 
     // IS NULL on a missing JSON key (reference: missing key → NULL)
@@ -164,6 +181,7 @@ object RelationalQueries {
         .groupBy("r_name")
         .agg(count(lit(1)).as("n_cust"),
           sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_bal"))
+        .withColumn("sum_bal", col("sum_bal").cast("double"))
         .orderBy("r_name")),
 
     // fact ⋈ fact: orders × lineitem shuffle join on the key
@@ -173,6 +191,7 @@ object RelationalQueries {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_lines"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))
+        .withColumn("sum_price", col("sum_price").cast("double"))
         .orderBy("o_orderstatus")),
 
     // semi/anti joins (EXISTS / NOT EXISTS shapes)
@@ -264,6 +283,7 @@ object RelationalQueries {
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .withColumn("sum_qty", col("sum_qty").cast("double"))
         .orderBy("l_returnflag", "l_linestatus")),
 
     // as-of join: each purchase enriched with the user's most recent signup
@@ -341,24 +361,32 @@ object RelationalQueries {
     val env = NatsQueries.envSql
     Map(
       "q_agg_pricing" -> """
+        WITH g AS (
+          SELECT l_returnflag, l_linestatus,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+                 sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,10))) AS sdp,
+                 sum(CAST(l_discount AS DECIMAL(18,2))) AS sd,
+                 count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY l_returnflag, l_linestatus)
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
-               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - l_discount) AS DECIMAL(28,10))) AS sum_disc_price,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 6) AS avg_disc,
-               count(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
+               CAST(sq AS DOUBLE) AS sum_qty,
+               CAST(sp AS DOUBLE) AS sum_base_price,
+               CAST(sdp AS DOUBLE) AS sum_disc_price,
+               round(CAST(sq AS DOUBLE) / count_order, 4) AS avg_qty,
+               round(CAST(sp AS DOUBLE) / count_order, 4) AS avg_price,
+               round(CAST(sd AS DOUBLE) / count_order, 6) AS avg_disc,
+               count_order
+        FROM g
         ORDER BY l_returnflag, l_linestatus""",
 
       "q_count_distinct" -> """
         SELECT count(DISTINCT user_id) AS n_users,
                count(DISTINCT event_type) AS n_types,
                count(*) AS n_rows,
-               round(avg(value), 4) AS avg_value
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value
         FROM events""",
 
       "q_sum_case" -> """
@@ -370,7 +398,7 @@ object RelationalQueries {
 
       "q_having" -> """
         SELECT o_custkey, count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders GROUP BY o_custkey HAVING count(*) >= 3 ORDER BY o_custkey""",
 
       "q_distinct" ->
@@ -389,7 +417,8 @@ object RelationalQueries {
         SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
                     WHEN o_totalprice < 150000 THEN 'medium'
                     ELSE 'large' END AS bucket,
-               count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+               count(*) AS n,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price
         FROM orders GROUP BY 1 ORDER BY bucket""",
 
       "q_is_null" -> s"""$env, ext AS (
@@ -429,7 +458,7 @@ object RelationalQueries {
 
       "q_join_multi" -> """
         SELECT r_name, count(*) AS n_cust,
-               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_bal
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -437,7 +466,7 @@ object RelationalQueries {
 
       "q_join_fact" -> """
         SELECT o_orderstatus, count(*) AS n_lines,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
@@ -500,7 +529,7 @@ object RelationalQueries {
 
       "q_rollup" -> """
         SELECT l_returnflag, l_linestatus, count(*) AS n,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",

@@ -32,7 +32,7 @@ object ScaleQueries {
       Tables.load(s, dir, "orders").createOrReplaceTempView("v_orders")
       s.sql("""
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM v_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY o_orderstatus, o_orderpriority""")
@@ -111,7 +111,7 @@ object ScaleQueries {
 
     "q_grouping_sets" -> """
       SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",

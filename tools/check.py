@@ -51,6 +51,8 @@ def canon(cols, rows):
 
 
 def cell_eq(a, b):
+    """Exact equality only — the driver hashes values, so a last-ulp float
+    difference or a Decimal-vs-float rendering difference is a FAIL."""
     if a is None and b is None:
         return True, 0.0
     if isinstance(a, float) or isinstance(b, float):
@@ -63,7 +65,18 @@ def cell_eq(a, b):
         d = abs(fa - fb)
         rel = d / max(abs(fa), abs(fb), 1e-300)
         return d == 0.0, rel
+    # type mismatch (e.g. Decimal vs int/float) is a rendering hazard
+    if type(a) is not type(b) and not (
+            isinstance(a, (int, bool)) and isinstance(b, (int, bool))):
+        return False, math.inf
     return a == b, (0.0 if a == b else math.inf)
+
+
+def decimal_cols(rel):
+    """DECIMAL output columns are banned: the driver's hasher renders decimals
+    inconsistently between the Spark-parquet and DuckDB sides (trailing-zero
+    scale), so any decimal column is a latent hash mismatch."""
+    return [d[0] for d in rel.description if "DECIMAL" in str(d[1]).upper()]
 
 
 n_pass = n_fail = 0
@@ -76,12 +89,18 @@ for name in sorted(oracles):
     try:
         spark_rel = con.execute(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
         scols = [d[0] for d in spark_rel.description]
+        sdec = decimal_cols(spark_rel)
         srows = spark_rel.fetchall()
         duck_rel = con.execute(oracles[name])
         dcols = [d[0] for d in duck_rel.description]
+        ddec = decimal_cols(duck_rel)
         drows = duck_rel.fetchall()
     except Exception as e:
         print(f"FAIL {name}: exec error {e}")
+        n_fail += 1
+        continue
+    if sdec or ddec:
+        print(f"FAIL {name}: DECIMAL output cols spark={sdec} duck={ddec}")
         n_fail += 1
         continue
     sc, sr = canon(scols, srows)
@@ -100,7 +119,7 @@ for name in sorted(oracles):
         for j, (a, b) in enumerate(zip(ra, rb)):
             ok, rel = cell_eq(a, b)
             max_rel = max(max_rel, rel if rel != math.inf else 0)
-            if not ok and rel > 1e-9:
+            if not ok:
                 bad = (i, sc[j], a, b)
                 break
         if bad:
