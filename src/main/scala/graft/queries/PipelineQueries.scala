@@ -160,17 +160,31 @@ object PipelineQueries {
     // nearest centroid then top-k WITHIN that cluster only. Centroids are
     // rounded to 6 decimals so the mean's accumulation order can't produce
     // cross-engine argmax flips.
+    //
+    // Assignment is MAP-SIDE: the K seed vectors are a bounded build side
+    // (like a broadcast hash table), collected once and folded into array
+    // literals; each row argmaxes over K inline cosines. No N×K candidate
+    // shuffle, no per-vector window sort — at 100 TB the assignment stage
+    // stays embarrassingly parallel. The fold uses strict `>` over seeds in
+    // ascending cid order, which is exactly ORDER BY cos DESC, cid ASC.
     "ann_ivf_kmeans" -> ((s, dir) => {
       val e = emb(s, dir).cache()
-      val seeds = broadcast(e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv")))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("scos").desc, col("cid").asc)
-      val assigned = e.crossJoin(seeds)
-        .withColumn("scos", Similarity.cosine(col("cv"), col("embedding")))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid"))
+      val seedRows = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      // argmax as array_max over struct(cos, -cid): one linear-size
+      // expression (a when-fold would nest the accumulator exponentially);
+      // max on (s, -cid) == ORDER BY s DESC, cid ASC.
+      val scored = array(seedRows.map { case (cid, v) =>
+        struct(
+          Similarity.cosine(typedLit(v), col("embedding")).as("s"),
+          lit(-cid).as("nc"))
+      }: _*)
+      val assigned = e
+        .select(col("vec_id"), col("embedding"),
+          (-array_max(scored).getField("nc")).as("cid"))
         .cache()
       val cent = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
