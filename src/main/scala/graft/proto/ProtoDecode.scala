@@ -93,16 +93,21 @@ object ProtoWire {
     val slots = new Array[Any](md.fields.length)
     var i = 0
     while (i < md.fields.length) {
+      val f = md.fields(i)
       slots(i) =
-        if (md.fields(i).repeated) new scala.collection.mutable.ArrayBuffer[Any]()
-        else defaultValue(md.fields(i))
+        if (f.repeated) new scala.collection.mutable.ArrayBuffer[Any]()
+        else if (f.oneofGroup.isDefined) null // oneof member: absent unless set
+        else defaultValue(f)
       i += 1
     }
     def put(idx: Int, v: Any): Unit = slots(idx) match {
       case buf: scala.collection.mutable.ArrayBuffer[Any @unchecked] => buf += v
-      case _ => slots(idx) = v
+      case _ =>
+        slots(idx) = v
+        // proto3 oneof: setting one member clears the others (last wins)
+        md.oneofSiblings.get(idx).foreach(_.foreach(j => slots(j) = null))
     }
-    val byNumber = md.fields.zipWithIndex.map { case (f, idx) => f.number -> idx }.toMap
+    val byNumber = md.indexByNumber
     var pos = start
     while (pos < end) {
       val (tag, p1) = readVarint(b, pos)
@@ -155,6 +160,26 @@ object ProtoWire {
     i = 0
     while (i < slots.length) {
       slots(i) = slots(i) match {
+        case buf: scala.collection.mutable.ArrayBuffer[Any @unchecked]
+            if md.fields(i).isMap =>
+          // entry rows → MapData; duplicate keys: last entry wins (proto3)
+          val m = new java.util.LinkedHashMap[Any, Any]()
+          buf.foreach { e =>
+            val r = e.asInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+            m.remove(r.values(0)) // re-insert moves the key to entry order
+            m.put(r.values(0), r.values(1))
+          }
+          val keys = new Array[Any](m.size)
+          val vals = new Array[Any](m.size)
+          val it = m.entrySet().iterator()
+          var j = 0
+          while (it.hasNext) {
+            val en = it.next(); keys(j) = en.getKey; vals(j) = en.getValue; j += 1
+          }
+          new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
         case buf: scala.collection.mutable.ArrayBuffer[Any @unchecked] =>
           new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
         case v => v
@@ -256,7 +281,8 @@ object ProtoWire {
                        md: MessageDef): Unit = {
     md.fields.zipWithIndex.foreach { case (f, idx) =>
       if (!row.isNullAt(idx)) {
-        if (f.repeated) encodeRepeated(out, row, idx, f)
+        if (f.isMap) encodeMap(out, row, idx, f)
+        else if (f.repeated) encodeRepeated(out, row, idx, f)
         else f.enc match {
           case Enc.Varint =>
             writeVarint(out, (f.number.toLong << 3) | 0)
@@ -300,6 +326,28 @@ object ProtoWire {
             out.write(payload, 0, payload.length)
         }
       }
+    }
+  }
+
+  /** map field: one tagged entry message per key/value pair (the proto3
+    * wire representation of map<K, V>) */
+  private def encodeMap(out: java.io.ByteArrayOutputStream,
+                        row: InternalRow, idx: Int, f: FieldDef): Unit = {
+    val entry = f.mapEntry
+    val kt = ProtoSchema.sparkType(entry.fields(0).ptype)
+    val vt = ProtoSchema.sparkType(entry.fields(1).ptype)
+    val m = row.getMap(idx)
+    val ka = m.keyArray()
+    val va = m.valueArray()
+    var i = 0
+    while (i < m.numElements()) {
+      val entryRow = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](ka.get(i, kt), va.get(i, vt)))
+      val payload = encodeMessage(entryRow, entry)
+      writeVarint(out, (f.number.toLong << 3) | 2)
+      writeVarint(out, payload.length.toLong)
+      out.write(payload, 0, payload.length)
+      i += 1
     }
   }
 

@@ -10,8 +10,11 @@ import org.apache.spark.sql.types._
   * Supported grammar subset (acceptance fixture:
   * /root/reference/test/proto/types_test.proto, telemetry.proto):
   * `syntax`, `package`, nested/peer `message` definitions, `enum`, scalar
-  * fields of all 17 proto scalar types, message-typed fields. No services,
-  * oneof, maps, repeated (the reference decodes none of those either).
+  * fields of all 17 proto scalar types, message-typed fields, `repeated`
+  * (packed + per-element), `map<K, V>` (→ Spark MapType, last key wins),
+  * and `oneof` (presence group: unset members are NULL, last member on the
+  * wire wins). The reference decodes none of repeated/map/oneof — they are
+  * beyond-reference surface for real-world proto3 streams. No services.
   */
 sealed trait PType
 object PType {
@@ -39,11 +42,15 @@ object Enc {
 }
 
 final case class FieldDef(name: String, number: Int, ptype: PType, enc: Enc,
-                          repeated: Boolean = false) {
+                          repeated: Boolean = false,
+                          isMap: Boolean = false,
+                          oneofGroup: Option[String] = None) {
   def isMessage: Boolean = ptype.isInstanceOf[PType.PMessage]
+  /** for a map field, the synthesized key/value entry message */
+  def mapEntry: MessageDef = ptype.asInstanceOf[PType.PMessage].msg
   /** proto3 packs repeated scalars (varint/zigzag/fixed) by default;
     * strings, bytes, and messages are never packed */
-  def packable: Boolean = repeated && (enc match {
+  def packable: Boolean = repeated && !isMap && (enc match {
     case Enc.LenDelim => false
     case _ => true
   })
@@ -51,6 +58,23 @@ final case class FieldDef(name: String, number: Int, ptype: PType, enc: Enc,
 
 final case class MessageDef(name: String, fields: Seq[FieldDef]) {
   def field(n: String): Option[FieldDef] = fields.find(_.name == n)
+
+  /** wire field number → slot index, built once per schema (the decode loop
+    * runs per row — rebuilding this map per message would dominate) */
+  @transient lazy val indexByNumber: Map[Int, Int] =
+    fields.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
+
+  /** slot index → sibling slots in the same oneof group (cleared on set:
+    * real proto3 last-wins presence semantics) */
+  @transient lazy val oneofSiblings: Map[Int, Seq[Int]] = {
+    val grouped = fields.zipWithIndex
+      .collect { case (f, i) if f.oneofGroup.isDefined => (f.oneofGroup.get, i) }
+      .groupBy(_._1).values
+    grouped.flatMap { members =>
+      val idxs = members.map(_._2)
+      idxs.map(i => i -> idxs.filterNot(_ == i))
+    }.toMap
+  }
 
   /** Navigate a dotted path to the leaf field
     * (= `GetFieldDescriptorForPath`, /root/reference/src/nats_scan.cpp:94-127).
@@ -74,10 +98,19 @@ final case class MessageDef(name: String, fields: Seq[FieldDef]) {
   }
 
   /** Spark-side schema of the fully decoded message (SURVEY.md §1.3 mapping);
-    * repeated fields → ArrayType. */
+    * repeated fields → ArrayType, map fields → MapType. */
   def sparkSchema: StructType = StructType(fields.map { f =>
-    val base = ProtoSchema.sparkType(f.ptype)
-    val t = if (f.repeated) ArrayType(base, containsNull = false) else base
+    val t =
+      if (f.isMap) {
+        val entry = f.mapEntry
+        MapType(
+          ProtoSchema.sparkType(entry.fields(0).ptype),
+          ProtoSchema.sparkType(entry.fields(1).ptype),
+          valueContainsNull = entry.fields(1).isMessage)
+      } else {
+        val base = ProtoSchema.sparkType(f.ptype)
+        if (f.repeated) ArrayType(base, containsNull = false) else base
+      }
     StructField(f.name, t, nullable = true)
   })
 }
@@ -125,6 +158,7 @@ object ProtoSchema {
     val spaced = noBlock
       .replace("{", " { ").replace("}", " } ").replace(";", " ; ")
       .replace("=", " = ")
+      .replace("<", " < ").replace(">", " > ").replace(",", " , ")
     spaced.split("\\s+").filter(_.nonEmpty).toVector
   }
 
@@ -237,34 +271,94 @@ object ProtoSchema {
           case "message" => parseMessage()   // nested message → hoisted by name
           case "enum" => parseEnum()
           case "reserved" | "option" => skipStatement()
-          case _ =>
-            var tname = next()
-            var repeated = false
-            if (tname == "optional" || tname == "required")
-              tname = next()   // proto3 optional / legacy labels: decode is identical
-            else if (tname == "repeated") { repeated = true; tname = next() }
-            val fname = next()
-            expect("=")
-            val fnum = next().toInt
-            if (peek == ";") pos += 1
-            scalarEnc.get(tname) match {
-              case Some((pt, enc)) =>
-                fields += FieldDef(fname, fnum, pt, enc, repeated)
-              case None if enums.contains(tname) =>
-                fields += FieldDef(fname, fnum, enums(tname), Enc.Varint, repeated)
-              case None if messages.contains(tname) =>
-                fields += FieldDef(fname, fnum,
-                  PType.PMessage(messages(tname)), Enc.LenDelim, repeated)
-              case None =>
-                // forward reference to a message defined later
-                fields += FieldDef(fname, fnum,
-                  PType.PMessage(MessageDef(tname, Nil)), Enc.LenDelim, repeated)
-                pending += ((name, fname, fnum, tname))
-            }
+          case "oneof" =>
+            pos += 1
+            val gname = next()
+            expect("{")
+            while (peek != "}") parseField(name, fields, Some(gname))
+            expect("}")
+          case _ => parseField(name, fields, None)
         }
       }
       expect("}")
       messages(name) = MessageDef(name, fields.toSeq)
+    }
+
+    /** one `[label] type name = N ;` field (or `map<K, V> name = N ;`),
+      * appended to `fields` with `oneofGroup` presence */
+    private def parseField(owner: String,
+                           fields: scala.collection.mutable.ArrayBuffer[FieldDef],
+                           oneofGroup: Option[String]): Unit = {
+      var tname = next()
+      var repeated = false
+      if (tname == "map") { parseMapField(owner, fields); return }
+      if (tname == "optional" || tname == "required")
+        tname = next()   // proto3 optional / legacy labels: decode is identical
+      else if (tname == "repeated") { repeated = true; tname = next() }
+      require(oneofGroup.isEmpty || !repeated, "oneof members cannot be repeated")
+      val fname = next()
+      expect("=")
+      val fnum = next().toInt
+      if (peek == ";") pos += 1
+      scalarEnc.get(tname) match {
+        case Some((pt, enc)) =>
+          fields += FieldDef(fname, fnum, pt, enc, repeated, oneofGroup = oneofGroup)
+        case None if enums.contains(tname) =>
+          fields += FieldDef(fname, fnum, enums(tname), Enc.Varint, repeated,
+            oneofGroup = oneofGroup)
+        case None if messages.contains(tname) =>
+          fields += FieldDef(fname, fnum,
+            PType.PMessage(messages(tname)), Enc.LenDelim, repeated,
+            oneofGroup = oneofGroup)
+        case None =>
+          // forward reference to a message defined later
+          fields += FieldDef(fname, fnum,
+            PType.PMessage(MessageDef(tname, Nil)), Enc.LenDelim, repeated,
+            oneofGroup = oneofGroup)
+          pending += ((owner, fname, fnum, tname))
+      }
+    }
+
+    /** `map<K, V> name = N ;` — synthesized as a repeated entry message
+      * (key = 1, value = 2), exactly the proto3 wire representation. The
+      * entry def is registered under a dotted name so the forward-reference
+      * link pass also patches message-typed map values. */
+    private def parseMapField(
+        owner: String,
+        fields: scala.collection.mutable.ArrayBuffer[FieldDef]): Unit = {
+      expect("<")
+      val kname = next()
+      expect(",")
+      val vname = next()
+      expect(">")
+      val fname = next()
+      expect("=")
+      val fnum = next().toInt
+      if (peek == ";") pos += 1
+      val (kt, ke) = scalarEnc.getOrElse(kname, throw new IllegalArgumentException(
+        s"invalid map key type '$kname' for field '$fname'"))
+      kt match {
+        case PType.PFloat | PType.PDouble | PType.PBytes =>
+          throw new IllegalArgumentException(
+            s"map key type '$kname' is not allowed (field '$fname')")
+        case _ => ()
+      }
+      val entryName = s"$owner.$fname.MapEntry"
+      val keyField = FieldDef("key", 1, kt, ke)
+      val valueField = scalarEnc.get(vname) match {
+        case Some((pt, enc)) => FieldDef("value", 2, pt, enc)
+        case None if enums.contains(vname) =>
+          FieldDef("value", 2, enums(vname), Enc.Varint)
+        case None if messages.contains(vname) =>
+          FieldDef("value", 2, PType.PMessage(messages(vname)), Enc.LenDelim)
+        case None =>
+          pending += ((entryName, "value", 2, vname))
+          FieldDef("value", 2, PType.PMessage(MessageDef(vname, Nil)), Enc.LenDelim)
+      }
+      val entry = MessageDef(entryName, Seq(keyField, valueField))
+      messages(entryName) = entry
+      fields += FieldDef(fname, fnum, PType.PMessage(entry), Enc.LenDelim,
+        repeated = true, isMap = true)
     }
   }
 }

@@ -22,6 +22,7 @@ object ProtoQueries {
   val deviceProtoPath = "/root/repo/proto/device_event.proto"
   val typesProtoPath = "/root/repo/proto/all_types.proto"
   val batchProtoPath = "/root/repo/proto/batch.proto"
+  val mapOneofProtoPath = "/root/repo/proto/map_oneof.proto"
 
   /** Store whose payload is a wire-format DeviceEvent built from the event
     * row: device_id "u<user_id>", ts event_id, position(zone=event_type,
@@ -84,8 +85,11 @@ object ProtoQueries {
         .filter(col("online") === true && col("reading_kw") > 50.0)
         .groupBy("position_zone")
         .agg(count(lit(1)).as("n"),
-          round(avg("reading_kw"), 4).as("avg_kw"),
+          sum(col("reading_kw").cast("decimal(18,2)")).as("skw"),
           max("seq").as("max_seq"))
+        .select(col("position_zone"), col("n"),
+          round(col("skw").cast("double") / col("n"), 4).as("avg_kw"),
+          col("max_seq"))
         .orderBy("position_zone")),
 
     // repeated fields: packed varint/fixed64/zigzag + per-element strings.
@@ -157,6 +161,42 @@ object ProtoQueries {
           col("d.f_double"), col("d.f_bool"), col("d.f_mode"),
           length(col("d.f_bytes").cast("string")).as("bytes_len"))
         .orderBy("event_id")
+    }),
+
+    // map<K,V> + oneof round-trip: maps come back as Spark MapType (entry
+    // messages on the wire, last key wins), oneof members as a presence
+    // group (exactly one non-NULL per row). Output reduces to scalars via
+    // element_at/size so the oracle recomputes expectations directly from
+    // the source columns — no map hashing, but any codec asymmetry or a
+    // presence bug (extra non-NULL member) still breaks the match.
+    "proto_map_oneof" -> ((s, dir) => {
+      val schema = ProtoSchema.parseFile(mapOneofProtoPath, "Telemetry")
+      val raw = graft.Tables.load(s, dir, "events").filter(col("event_id") < 1000)
+      val msg = struct(
+        concat(lit("d"), col("user_id").cast("string")).as("device"),
+        map(lit("clicks"), col("event_id"),
+            lit("errs"), col("event_id") % 7).as("counters"),
+        map((col("user_id") % 5).cast("int"), col("event_type")).as("names"),
+        when(col("event_id") % 3 === 0, col("event_type")).as("text"),
+        when(col("event_id") % 3 === 1, col("event_id") * 11).as("code"),
+        when(col("event_id") % 3 === 2,
+          struct(lit("kw").as("unit"), col("user_id").as("scale"))).as("attr"),
+        col("value").as("reading"))
+      val d = ProtoDecode.decode(ProtoDecode.encode(msg, schema), schema).as("d")
+      raw.select(col("event_id"), col("user_id"), d)
+        .select(
+          col("event_id"),
+          col("d.device").as("device"),
+          element_at(col("d.counters"), "clicks").as("c_clicks"),
+          element_at(col("d.counters"), "errs").as("c_errs"),
+          size(col("d.counters")).as("n_counters"),
+          element_at(col("d.names"), (col("user_id") % 5).cast("int")).as("name_val"),
+          col("d.text").as("o_text"),
+          col("d.code").as("o_code"),
+          col("d.attr.unit").as("o_unit"),
+          col("d.attr.scale").as("o_scale"),
+          col("d.reading").as("reading"))
+        .orderBy("event_id")
     })
   )
 
@@ -175,7 +215,7 @@ object ProtoQueries {
 
     "proto_filter_agg" -> """
       SELECT event_type AS position_zone, count(*) AS n,
-             round(avg(value), 4) AS avg_kw,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_kw,
              max(event_id + 1) AS max_seq
       FROM events
       WHERE value > 100.0 AND value > 50.0
@@ -189,6 +229,20 @@ object ProtoQueries {
              event_type || ',x,u' || CAST(user_id AS VARCHAR) AS labels_joined,
              -event_id + 7 AS sum_deltas
       FROM events WHERE event_id < 2000 ORDER BY event_id""",
+
+    "proto_map_oneof" -> """
+      SELECT event_id,
+             'd' || CAST(user_id AS VARCHAR) AS device,
+             event_id AS c_clicks,
+             event_id % 7 AS c_errs,
+             2 AS n_counters,
+             event_type AS name_val,
+             CASE WHEN event_id % 3 = 0 THEN event_type END AS o_text,
+             CASE WHEN event_id % 3 = 1 THEN event_id * 11 END AS o_code,
+             CASE WHEN event_id % 3 = 2 THEN 'kw' END AS o_unit,
+             CASE WHEN event_id % 3 = 2 THEN user_id END AS o_scale,
+             value AS reading
+      FROM events WHERE event_id < 1000 ORDER BY event_id""",
 
     "proto_all_types" -> """
       SELECT event_id,

@@ -143,4 +143,74 @@ class ProtoCodecSpec extends AnyFunSuite {
     assert(back.getStruct(3, 3).getDouble(0) == 70.5)
     assert(back.getBoolean(4))
   }
+
+  // --- map<K,V> + oneof (beyond-reference proto3 surface) ---
+
+  private val telemetry =
+    ProtoSchema.parseFile("/root/repo/proto/map_oneof.proto", "Telemetry")
+
+  // field slots: device(0) counters(1) names(2) text(3) code(4) attr(5) reading(6)
+  private def mkMap(kv: (Any, Any)*) =
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(kv.map(_._1).toArray),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(kv.map(_._2).toArray))
+
+  test("parser: map → MapType, oneof members presence-grouped") {
+    val s = telemetry.sparkSchema
+    assert(s("counters").dataType ==
+      MapType(StringType, LongType, valueContainsNull = false))
+    assert(s("names").dataType ==
+      MapType(IntegerType, StringType, valueContainsNull = false))
+    assert(s("attr").dataType.isInstanceOf[StructType])
+    val ti = telemetry.fields.indexWhere(_.name == "text")
+    val ci = telemetry.fields.indexWhere(_.name == "code")
+    val ai = telemetry.fields.indexWhere(_.name == "attr")
+    assert(telemetry.oneofSiblings(ti).toSet == Set(ci, ai))
+    assert(telemetry.oneofSiblings(ci).toSet == Set(ti, ai))
+    // map keys must be integral/bool/string
+    val bad = intercept[IllegalArgumentException](ProtoSchema.parse(
+      "syntax = \"proto3\"; message M { map<double, int64> m = 1; }", "M"))
+    assert(bad.getMessage.contains("not allowed"))
+  }
+
+  test("map roundtrip; merged wire bytes: last duplicate key wins") {
+    val row = InternalRow(
+      UTF8String.fromString("dev1"),
+      mkMap(UTF8String.fromString("a") -> 1L, UTF8String.fromString("b") -> 2L),
+      mkMap(Integer.valueOf(3) -> UTF8String.fromString("x")),
+      null, 42L, null, 1.25)
+    val out = rt(telemetry, row)
+    assert(out.getMap(1).numElements() == 2)
+    assert(out.getMap(1).valueArray().getLong(1) == 2L)
+    assert(out.getMap(2).keyArray().getInt(0) == 3)
+    assert(out.getLong(4) == 42L)
+    assert(out.getDouble(6) == 1.25)
+    // concatenated messages merge; duplicate map key → later entry wins
+    val first = ProtoWire.encodeMessage(InternalRow(null,
+      mkMap(UTF8String.fromString("k") -> 1L), null, null, null, null, null),
+      telemetry)
+    val second = ProtoWire.encodeMessage(InternalRow(null,
+      mkMap(UTF8String.fromString("k") -> 9L), null, null, null, null, null),
+      telemetry)
+    val merged = ProtoWire.decodeMessage(first ++ second, telemetry)
+    assert(merged.getMap(1).numElements() == 1)
+    assert(merged.getMap(1).valueArray().getLong(0) == 9L)
+    // absent map decodes as empty, not null (proto3)
+    val empty = ProtoWire.decodeMessage(Array.emptyByteArray, telemetry)
+    assert(!empty.isNullAt(1) && empty.getMap(1).numElements() == 0)
+  }
+
+  test("oneof: unset members NULL; last member on the wire wins") {
+    val withText = ProtoWire.encodeMessage(InternalRow(null, null, null,
+      UTF8String.fromString("hello"), null, null, null), telemetry)
+    val withCode = ProtoWire.encodeMessage(InternalRow(null, null, null,
+      null, 7L, null, null), telemetry)
+    val d = ProtoWire.decodeMessage(withText ++ withCode, telemetry)
+    assert(d.isNullAt(3))       // text cleared by later code
+    assert(d.getLong(4) == 7L)
+    assert(d.isNullAt(5))       // attr never present
+    val d2 = ProtoWire.decodeMessage(withCode ++ withText, telemetry)
+    assert(d2.getUTF8String(3).toString == "hello")
+    assert(d2.isNullAt(4))
+  }
 }
