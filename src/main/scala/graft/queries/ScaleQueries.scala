@@ -38,6 +38,16 @@ object ScaleQueries {
         ORDER BY o_orderstatus, o_orderpriority""")
     }),
 
+    // CUBE: all 2^k grouping combinations in one Expand pass — the
+    // completion of the rollup/grouping-sets family
+    "q_cube" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        .withColumn("total", col("total").cast("double"))
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
     // typeof (reference: test_payload_blob.sql:14, test_json_extraction.sql:32)
     // on the type names both engines spell identically (modulo case)
     "q_typeof" -> ((s, dir) =>
@@ -114,6 +124,13 @@ object ScaleQueries {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
     "q_intersect" -> """

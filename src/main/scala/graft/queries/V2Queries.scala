@@ -38,7 +38,29 @@ object V2Queries {
         .select(col("seq"),
           expr("octet_length(payload)").as("payload_bytes"),
           col("payload").cast("string").as("payload_str"))
-        .orderBy("seq"))
+        .orderBy("seq")),
+
+    // full write→read round trip through the native message store: publish a
+    // seq range into a fresh store (truncate write), read it back through the
+    // same V2 source (native layout: seq/ts stats pruning + record filters),
+    // and aggregate. The oracle recomputes from the fixture directly — a
+    // writer bug (lost rows, mangled timestamps/payloads) breaks the match.
+    "v2_sink_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_v2_sink_${new java.io.File(dir).getName}"
+      v2(s, dir)
+        .filter(col("seq") <= 2000L)
+        .write.format("nats_scan").option("dir", out)
+        .mode("overwrite").save()
+      s.read.format("nats_scan").option("dir", out).load()
+        .filter(col("seq") >= 501L && col("seq") <= 1500L)
+        .withColumn("etype", element_at(split(col("subject"), "\\."), 2))
+        .groupBy("etype")
+        .agg(count(lit(1)).as("n"),
+          min("seq").as("min_seq"), max("seq").as("max_seq"),
+          max("ts_nats").as("max_ts"),
+          sum(expr("octet_length(payload)")).as("payload_bytes"))
+        .orderBy("etype")
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -58,7 +80,15 @@ object V2Queries {
       "v2_payload" ->
         s"""$env SELECT seq, CAST(octet_length(payload::BLOB) AS INTEGER) AS payload_bytes,
            |       payload AS payload_str
-           | FROM env WHERE seq <= 500 ORDER BY seq""".stripMargin
+           | FROM env WHERE seq <= 500 ORDER BY seq""".stripMargin,
+
+      "v2_sink_roundtrip" ->
+        s"""$env SELECT string_split(subject, '.')[2] AS etype, count(*) AS n,
+           |       min(seq) AS min_seq, max(seq) AS max_seq,
+           |       max(ts_nats) AS max_ts,
+           |       CAST(sum(octet_length(payload::BLOB)) AS BIGINT) AS payload_bytes
+           | FROM env WHERE seq BETWEEN 501 AND 1500
+           | GROUP BY 1 ORDER BY etype""".stripMargin
     )
   }
 }

@@ -41,38 +41,57 @@ final class NatsScanScan(file: String, dir: String, stream: String,
     s"nats_scan stream=$stream seq=[$seqLo,$seqHi] tsNs=[$tsLoNs,$tsHiNs] " +
       s"subjectContains=$subjectContains cols=${required.fieldNames.mkString(",")}"
 
+  /** µs-granularity ts bounds for the native layout (ts_nats stored as
+    * TIMESTAMP(MICROS)); ns bounds are always of the form T*1000 (lo) /
+    * T*1000+999 or T*1000-1 (hi), so ceil/floor division is exact. */
+  private def tsLoUs: Long =
+    if (tsLoNs == Long.MinValue) Long.MinValue else Math.floorDiv(tsLoNs + 999L, 1000L)
+  private def tsHiUs: Long =
+    if (tsHiNs == Long.MaxValue) Long.MaxValue else Math.floorDiv(tsHiNs, 1000L)
+
   override def planInputPartitions(): Array[InputPartition] = {
+    val nativeDir = new java.io.File(s"$dir/$stream.msgs")
+    if (nativeDir.isDirectory) {
+      // native message store written by NatsScanBatchWrite: prune row groups
+      // across part files directly on seq / ts_nats statistics
+      nativeDir.listFiles((f: java.io.File) => f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+        .flatMap(f => planFile(f.getPath, native = true))
+    } else planFile(file, native = false)
+  }
+
+  private def planFile(path: String, native: Boolean): Array[InputPartition] = {
+    val (seqCol, tsCol) = if (native) ("seq", "ts_nats") else ("event_id", "ts")
+    val seqAdj = if (native) 0L else 1L          // fixture: seq = event_id + 1
+    val (tsLo, tsHi) = if (native) (tsLoUs, tsHiUs) else (tsLoNs, tsHiNs)
     val conf = new Configuration()
-    val in = HadoopInputFile.fromPath(new Path(file), conf)
+    val in = HadoopInputFile.fromPath(new Path(path), conf)
     val reader = ParquetFileReader.open(in)
     try {
-      reader.getRowGroups.asScala.zipWithIndex.flatMap { case (rg, i) =>
-        // row-group pruning on event_id (seq = event_id + 1) stats
-        val idCol = rg.getColumns.asScala
-          .find(_.getPath.toDotString == "event_id")
-        val tsCol = rg.getColumns.asScala
-          .find(_.getPath.toDotString == "ts")
+      reader.getRowGroups.asScala.flatMap { rg =>
+        val idCol = rg.getColumns.asScala.find(_.getPath.toDotString == seqCol)
+        val tCol = rg.getColumns.asScala.find(_.getPath.toDotString == tsCol)
         val keepBySeq = idCol.forall { c =>
           val st = c.getStatistics
           if (st == null || !st.hasNonNullValue) true
           else {
-            val mn = st.genericGetMin.asInstanceOf[java.lang.Long] + 1
-            val mx = st.genericGetMax.asInstanceOf[java.lang.Long] + 1
+            val mn = st.genericGetMin.asInstanceOf[java.lang.Long] + seqAdj
+            val mx = st.genericGetMax.asInstanceOf[java.lang.Long] + seqAdj
             mx >= seqLo && mn <= seqHi
           }
         }
-        val keepByTs = tsCol.forall { c =>
+        val keepByTs = tCol.forall { c =>
           val st = c.getStatistics
           if (st == null || !st.hasNonNullValue) true
           else {
             val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
             val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
-            mx >= tsLoNs && mn <= tsHiNs
+            mx >= tsLo && mn <= tsHi
           }
         }
         if (keepBySeq && keepByTs)
-          Some(NatsScanPartition(file, rg.getStartingPos,
-            rg.getStartingPos + rg.getTotalByteSize): InputPartition)
+          Some(NatsScanPartition(path, rg.getStartingPos,
+            rg.getStartingPos + rg.getTotalByteSize, native): InputPartition)
         else None
       }.toArray
     } finally reader.close()
@@ -84,15 +103,109 @@ final class NatsScanScan(file: String, dir: String, stream: String,
 }
 
 final case class NatsScanPartition(file: String, rangeStart: Long,
-                                   rangeEnd: Long) extends InputPartition
+                                   rangeEnd: Long, native: Boolean = false)
+    extends InputPartition
 
 final class NatsScanReaderFactory(required: StructType, seqLo: Long,
                                   seqHi: Long, tsLoNs: Long, tsHiNs: Long,
                                   subjectContains: List[String], stream: String)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new NatsScanReader(p.asInstanceOf[NatsScanPartition], required,
-      seqLo, seqHi, tsLoNs, tsHiNs, subjectContains, stream)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[NatsScanPartition]
+    if (part.native)
+      new NatsNativeReader(part, required, seqLo, seqHi, tsLoNs, tsHiNs,
+        subjectContains, stream)
+    else
+      new NatsScanReader(part, required, seqLo, seqHi, tsLoNs, tsHiNs,
+        subjectContains, stream)
+  }
+}
+
+/** Reader for the native message store (part files written by
+  * [[NatsScanBatchWrite]]): envelope columns read verbatim, record filters
+  * applied directly on seq / ts_nats (µs). */
+final class NatsNativeReader(p: NatsScanPartition, required: StructType,
+                             seqLo: Long, seqHi: Long, tsLoNs: Long,
+                             tsHiNs: Long, subjectContains: List[String],
+                             stream: String)
+    extends PartitionReader[InternalRow] {
+
+  private val needed: Set[String] = required.fieldNames.toSet
+
+  private val tsLoUs =
+    if (tsLoNs == Long.MinValue) Long.MinValue else Math.floorDiv(tsLoNs + 999L, 1000L)
+  private val tsHiUs =
+    if (tsHiNs == Long.MaxValue) Long.MaxValue else Math.floorDiv(tsHiNs, 1000L)
+
+  private val parquetCols: Seq[String] = {
+    val cols = Seq("subject", "seq", "ts_nats", "payload").filter(needed.contains)
+    val extra =
+      (if (seqLo > 1L || seqHi < Long.MaxValue) Seq("seq") else Nil) ++
+      (if (tsLoUs > Long.MinValue || tsHiUs < Long.MaxValue) Seq("ts_nats") else Nil) ++
+      (if (subjectContains.nonEmpty) Seq("subject") else Nil)
+    (cols ++ extra).distinct
+  }
+
+  private val reader: ParquetReader[org.apache.parquet.example.data.Group] = {
+    val conf = new Configuration()
+    if (parquetCols.nonEmpty) {
+      val fields = parquetCols.map {
+        case "subject" => "optional binary subject (STRING);"
+        case "seq" => "optional int64 seq;"
+        case "ts_nats" => "optional int64 ts_nats (TIMESTAMP(MICROS,true));"
+        case "payload" => "optional binary payload;"
+      }.mkString("\n")
+      conf.set("parquet.read.schema", s"message nats_envelope {\n$fields\n}")
+    }
+    var pred: org.apache.parquet.filter2.predicate.FilterPredicate = null
+    def and(p2: org.apache.parquet.filter2.predicate.FilterPredicate): Unit =
+      pred = if (pred == null) p2 else FilterApi.and(pred, p2)
+    val sc = FilterApi.longColumn("seq")
+    val tc = FilterApi.longColumn("ts_nats")
+    if (seqLo > 1L) and(FilterApi.gtEq(sc, java.lang.Long.valueOf(seqLo)))
+    if (seqHi < Long.MaxValue) and(FilterApi.ltEq(sc, java.lang.Long.valueOf(seqHi)))
+    if (tsLoUs > Long.MinValue) and(FilterApi.gtEq(tc, java.lang.Long.valueOf(tsLoUs)))
+    if (tsHiUs < Long.MaxValue) and(FilterApi.ltEq(tc, java.lang.Long.valueOf(tsHiUs)))
+    var b = ParquetReader
+      .builder(new GroupReadSupport(), new Path(p.file))
+      .withConf(conf)
+      .withFileRange(p.rangeStart, p.rangeEnd)
+    if (pred != null) b = b.withFilter(FilterCompat.get(pred))
+    b.build()
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (true) {
+      val g = reader.read()
+      if (g == null) return false
+      val row = toRow(g)
+      if (row != null) { current = row; return true }
+    }
+    false
+  }
+
+  private def toRow(g: org.apache.parquet.example.data.Group): InternalRow = {
+    def has(c: String): Boolean = g.getType.containsField(c) &&
+      g.getFieldRepetitionCount(c) > 0
+    lazy val subject: String = if (has("subject")) g.getString("subject", 0) else null
+    if (subjectContains.nonEmpty &&
+        (subject == null || !subjectContains.forall(subject.contains(_))))
+      return null
+    val vals = required.fieldNames.map {
+      case "stream" => UTF8String.fromString(stream)
+      case "subject" => if (subject == null) null else UTF8String.fromString(subject)
+      case "seq" => if (has("seq")) g.getLong("seq", 0) else null
+      case "ts_nats" => if (has("ts_nats")) g.getLong("ts_nats", 0) else null
+      case "payload" => if (has("payload")) g.getBinary("payload", 0).getBytes else null
+      case other => sys.error(s"unknown envelope column $other")
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
 }
 
 /** Per-partition reader: parquet Group API over the partition's byte range,

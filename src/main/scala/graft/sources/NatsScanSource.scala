@@ -3,9 +3,10 @@ package graft.sources
 import java.util
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -54,7 +55,7 @@ object NatsScanSource {
 }
 
 final class NatsScanTable(props: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   private val dir = props.getOrElse("dir",
     props.getOrElse("path", sys.error("nats_scan: 'dir' option required")))
   private val stream = props.getOrElse("stream", "events")
@@ -62,13 +63,17 @@ final class NatsScanTable(props: Map[String, String])
   override def name(): String = s"nats_scan($stream @ $dir)"
   override def schema(): StructType = NatsScanSource.envelopeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   private val maxPerBatch =
     props.getOrElse("max_msgs_per_batch", "1000").toLong
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NatsScanBuilder(s"$dir/$stream.parquet", dir, stream, maxPerBatch)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new NatsScanWriteBuilder(dir, stream, info)
 }
 
 /** Accepts seq/ts/subject predicates; everything else stays residual.

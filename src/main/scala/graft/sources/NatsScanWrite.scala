@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.io.File
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.MessageTypeParser
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+
+/** Batch write path for the `nats_scan` source — the "publish" direction the
+  * reference lacks entirely (its extension is a read-only table function;
+  * /root/reference/src/nats_scan.cpp registers no sink). Envelope rows are
+  * persisted as a *native message store*: a `$dir/$stream.msgs/` directory of
+  * parquet part files carrying the envelope columns verbatim
+  * (subject STRING, seq INT64, ts_nats TIMESTAMP(MICROS), payload BINARY).
+  * [[NatsScanScan]] reads that layout back with the same row-group pruning it
+  * applies to fixture files — but directly on `seq`/`ts_nats` statistics.
+  *
+  * Commit protocol: every task writes one part file into a staging directory;
+  * the driver moves staged files into the store on commit (after wiping the
+  * store when the write was a truncate) and deletes staging on abort. Renames
+  * on one filesystem are atomic per file, so a failed job never leaves
+  * half-written part files in the store. At cluster scale the same shape runs
+  * on a DFS via a FileCommitProtocol; one file per task, no driver data path.
+  */
+final class NatsScanWriteBuilder(dir: String, stream: String,
+                                 info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new NatsScanBatchWrite(dir, stream, info.schema(), truncateFirst)
+  }
+}
+
+final class NatsScanBatchWrite(dir: String, stream: String,
+                               schema: StructType, truncate: Boolean)
+    extends BatchWrite {
+
+  private val storeDir = s"$dir/$stream.msgs"
+  private val stagingDir = s"$storeDir/_staging_${UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    val f = new File(stagingDir)
+    require(f.isDirectory || f.mkdirs(), s"cannot create staging dir $stagingDir")
+    new NatsScanWriterFactory(stagingDir, schema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val store = new File(storeDir)
+    if (truncate)
+      store.listFiles(f => f.getName.endsWith(".parquet")).foreach(_.delete())
+    messages.foreach {
+      case NatsScanCommit(name) =>
+        val src = new File(stagingDir, name)
+        val dst = new File(store, name)
+        require(src.renameTo(dst), s"commit rename failed: $src -> $dst")
+      case other => sys.error(s"unexpected commit message $other")
+    }
+    deleteRecursively(new File(stagingDir))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteRecursively(new File(stagingDir))
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+  }
+}
+
+final case class NatsScanCommit(fileName: String) extends WriterCommitMessage
+
+final class NatsScanWriterFactory(stagingDir: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new NatsScanDataWriter(stagingDir, schema, partitionId, taskId)
+}
+
+/** One parquet part file per task, example-Group API (same family the read
+  * path uses). The incoming row is the envelope; the constant `stream` echo
+  * column is not materialized — it is implied by the store location. */
+final class NatsScanDataWriter(stagingDir: String, schema: StructType,
+                               partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val fileName = f"part-$partitionId%05d-$taskId.parquet"
+
+  private val parquetSchema = MessageTypeParser.parseMessageType(
+    """message nats_envelope {
+      |  optional binary subject (STRING);
+      |  optional int64 seq;
+      |  optional int64 ts_nats (TIMESTAMP(MICROS,true));
+      |  optional binary payload;
+      |}""".stripMargin)
+
+  private val factory = new SimpleGroupFactory(parquetSchema)
+
+  private val writer = {
+    val conf = new Configuration()
+    GroupWriteSupport.setSchema(parquetSchema, conf)
+    ExampleParquetWriter
+      .builder(new Path(s"$stagingDir/$fileName"))
+      .withConf(conf)
+      .withType(parquetSchema)
+      .build()
+  }
+
+  // envelope slot indexes in the incoming schema (write schema == table schema)
+  private val iSubject = schema.fieldIndex("subject")
+  private val iSeq = schema.fieldIndex("seq")
+  private val iTs = schema.fieldIndex("ts_nats")
+  private val iPayload = schema.fieldIndex("payload")
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    if (!row.isNullAt(iSubject))
+      g.append("subject", row.getUTF8String(iSubject).toString)
+    if (!row.isNullAt(iSeq)) g.append("seq", row.getLong(iSeq))
+    if (!row.isNullAt(iTs)) g.append("ts_nats", row.getLong(iTs)) // already µs
+    if (!row.isNullAt(iPayload))
+      g.append("payload", Binary.fromConstantByteArray(row.getBinary(iPayload)))
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    NatsScanCommit(fileName)
+  }
+
+  override def abort(): Unit = writer.close()
+  override def close(): Unit = ()
+}
