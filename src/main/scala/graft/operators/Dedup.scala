@@ -99,9 +99,12 @@ object Dedup {
     * natural blocking key exists. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, minJaccard: Double): DataFrame = {
+    // tokenize ONCE and reuse for both self-join sides (same rule as the
+    // minhash/simhash stages: never recompute a signature per joined pair)
     val t = df.select(col(idCol), col(blockCol),
       array_distinct(tokens(col(textCol))).as("w"))
       .withColumn("nw", size(col("w")))
+      .cache()
     val l = t.select(col(blockCol), col(idCol).as("id1"), col("w").as("w1"),
       col("nw").as("n1"))
     val r = t.select(col(blockCol), col(idCol).as("id2"), col("w").as("w2"),
@@ -110,12 +113,14 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       // size-ratio prefilter, IMPLIED by the threshold (|∩| ≤ min, |∪| ≥ max
       // ⟹ jaccard ≤ min/max): prunes most pairs before the expensive
-      // intersect/union without changing the result set
+      // intersection without changing the result set
       .filter(least(col("n1"), col("n2")) >=
         lit(minJaccard) * greatest(col("n1"), col("n2")))
+      // on distinct token sets |∪| = n1 + n2 − |∩|: one hash-intersection
+      // per pair instead of intersect + union (half the array work)
+      .withColumn("inter", size(array_intersect(col("w1"), col("w2"))))
       .withColumn("jaccard",
-        size(array_intersect(col("w1"), col("w2"))) /
-          size(array_union(col("w1"), col("w2"))).cast("double"))
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col(blockCol), col("id1"), col("id2"),
         round(col("jaccard"), 6).as("jaccard"))

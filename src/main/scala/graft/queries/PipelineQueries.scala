@@ -356,14 +356,13 @@ object PipelineQueries {
 
     "dedup_jaccard" -> """
       WITH t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS w
-                 FROM documents)
-      SELECT a.source, a.doc_id AS id1, c.doc_id AS id2,
-             round(len(list_intersect(a.w, c.w))
-                   / CAST(len(list_distinct(list_concat(a.w, c.w))) AS DOUBLE), 6) AS jaccard
-      FROM t a JOIN t c ON a.source = c.source AND a.doc_id < c.doc_id
-      WHERE len(list_intersect(a.w, c.w))
-            / CAST(len(list_distinct(list_concat(a.w, c.w))) AS DOUBLE) >= 0.9
-      ORDER BY id1, id2""",
+                 FROM documents),
+      p AS (SELECT a.source, a.doc_id AS id1, c.doc_id AS id2,
+                   CAST(len(list_intersect(a.w, c.w)) AS DOUBLE)
+                     / (len(a.w) + len(c.w) - len(list_intersect(a.w, c.w))) AS jaccard
+            FROM t a JOIN t c ON a.source = c.source AND a.doc_id < c.doc_id)
+      SELECT source, id1, id2, round(jaccard, 6) AS jaccard
+      FROM p WHERE jaccard >= 0.9 ORDER BY id1, id2""",
 
     "embed_neardup" -> s"""
       SELECT a.label, a.vec_id AS id1, c.vec_id AS id2,

@@ -64,7 +64,8 @@ final class NatsScanTable(props: Map[String, String])
   override def schema(): StructType = NatsScanSource.envelopeSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   private val maxPerBatch =
     props.getOrElse("max_msgs_per_batch", "1000").toLong

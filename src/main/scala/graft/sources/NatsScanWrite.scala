@@ -11,6 +11,7 @@ import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.MessageTypeParser
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.StructType
 
 /** Batch write path for the `nats_scan` source — the "publish" direction the
@@ -40,7 +41,55 @@ final class NatsScanWriteBuilder(dir: String, stream: String,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new NatsScanBatchWrite(dir, stream, info.schema(), truncateFirst)
+    override def toStreaming: StreamingWrite =
+      new NatsScanStreamingWrite(dir, stream, info.schema())
   }
+}
+
+/** Streaming flavor: one epoch = one committed batch of part files (names
+  * carry the epoch, so a replayed epoch overwrites its own files rather than
+  * duplicating them — idempotent re-commit, which is all Structured
+  * Streaming needs from an at-least-once sink to stay effectively exactly
+  * once). */
+final class NatsScanStreamingWrite(dir: String, stream: String,
+                                   schema: StructType)
+    extends StreamingWrite {
+
+  private val storeDir = s"$dir/$stream.msgs"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = {
+    val f = new File(storeDir)
+    require(f.isDirectory || f.mkdirs(), s"cannot create store dir $storeDir")
+    new NatsScanStreamingWriterFactory(storeDir, schema)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case NatsScanCommit(name) =>
+        val staged = new File(storeDir, s"_inprogress_$name")
+        if (staged.exists()) {
+          val dst = new File(storeDir, name)
+          dst.delete() // epoch replay: replace our own previous attempt
+          require(staged.renameTo(dst), s"commit rename failed: $staged -> $dst")
+        }
+        new File(storeDir, s"._inprogress_$name.crc").delete() // hadoop checksum sibling
+      case other => sys.error(s"unexpected commit message $other")
+    }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    new File(storeDir).listFiles()
+      .filter(f => f.getName.startsWith("_inprogress_") ||
+        f.getName.startsWith("._inprogress_"))
+      .foreach(_.delete())
+}
+
+final class NatsScanStreamingWriterFactory(storeDir: String, schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new NatsScanDataWriter(storeDir, schema, partitionId, taskId,
+      namePrefix = f"epoch-$epochId%06d-", stagePrefix = "_inprogress_")
 }
 
 final class NatsScanBatchWrite(dir: String, stream: String,
@@ -93,10 +142,12 @@ final class NatsScanWriterFactory(stagingDir: String, schema: StructType)
   * path uses). The incoming row is the envelope; the constant `stream` echo
   * column is not materialized — it is implied by the store location. */
 final class NatsScanDataWriter(stagingDir: String, schema: StructType,
-                               partitionId: Int, taskId: Long)
+                               partitionId: Int, taskId: Long,
+                               namePrefix: String = "part-",
+                               stagePrefix: String = "")
     extends DataWriter[InternalRow] {
 
-  private val fileName = f"part-$partitionId%05d-$taskId.parquet"
+  private val fileName = f"$namePrefix$partitionId%05d-$taskId.parquet"
 
   private val parquetSchema = MessageTypeParser.parseMessageType(
     """message nats_envelope {
@@ -112,7 +163,7 @@ final class NatsScanDataWriter(stagingDir: String, schema: StructType,
     val conf = new Configuration()
     GroupWriteSupport.setSchema(parquetSchema, conf)
     ExampleParquetWriter
-      .builder(new Path(s"$stagingDir/$fileName"))
+      .builder(new Path(s"$stagingDir/$stagePrefix$fileName"))
       .withConf(conf)
       .withType(parquetSchema)
       .build()

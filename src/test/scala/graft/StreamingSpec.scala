@@ -43,6 +43,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxSeq == 1000L)
   }
 
+  test("streaming write: stream → native store sink → batch read-back") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = stream(300)
+      .writeStream.format("nats_scan")
+      .option("dir", tmp)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val back = spark.read.format("nats_scan").option("dir", tmp).load()
+    assert(back.count() == 1000L)
+    // round trip preserves the envelope exactly
+    val a = spark.read.format("nats_scan").option("dir", dir).load()
+      .orderBy("seq").collect()
+    val b = back.orderBy("seq").collect()
+    assert(a.sameElements(b))
+    // no in-progress leftovers after the query finishes
+    val store = new java.io.File(s"$tmp/events.msgs")
+    assert(store.listFiles().forall(_.getName.endsWith(".parquet")))
+    assert(!store.listFiles().exists(_.getName.startsWith("_inprogress_")))
+  }
+
   test("event-time window + watermark over the stream matches batch") {
     val q = stream(500)
       .withWatermark("ts_nats", "1 hour")
