@@ -307,6 +307,53 @@ object RelationalQueries {
         .batchSessionCounts(t(s, dir, "events"), 6L * 3600L * 1000000000L)
         .orderBy("user_id")),
 
+    // UNNEST / LATERAL explode: token frequency over exploded text.
+    // One explode (no join) + hash agg; at scale the explode multiplies rows
+    // map-side and the shuffle carries only (token) keys.
+    "q_explode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(50)),
+
+    // PIVOT: one row per bucket, one column per event_type (explicit value
+    // list → deterministic schema; a single Expand+agg pass, no join)
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("bucket", col("user_id") % 10)
+        .groupBy("bucket")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("bucket")),
+
+    // window value functions: lead / first_value / last_value per user
+    "q_window_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          lead("event_id", 1).over(w).as("next_event"),
+          first("event_id").over(w).as("first_event"),
+          last("event_id").over(wFull).as("last_event"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // exact linear-interpolation percentiles (PERCENTILE_CONT semantics);
+    // both engines compute lo + (hi-lo)*frac at h=(n-1)p over the sorted set
+    "q_percentile_cont" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D))").as("q"))
+        .select(col("event_type"),
+          element_at(col("q"), 1).as("p25"),
+          element_at(col("q"), 2).as("p50"),
+          element_at(col("q"), 3).as("p75"))
+        .orderBy("event_type")),
+
     // --- sort / limit / top-k ---
 
     "q_topk" -> ((s, dir) =>
@@ -554,6 +601,39 @@ object RelationalQueries {
         SELECT user_id, count(*) AS n_events,
                CAST(1 + sum(new_s) AS BIGINT) AS n_sessions
         FROM o GROUP BY user_id ORDER BY user_id""",
+
+      "q_explode" -> """
+        SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""",
+
+      "q_pivot" -> """
+        SELECT user_id % 10 AS bucket,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        FROM events GROUP BY 1 ORDER BY bucket""",
+
+      "q_window_lead" -> """
+        SELECT user_id, event_id,
+               lead(event_id) OVER w AS next_event,
+               first_value(event_id) OVER w AS first_event,
+               last_value(event_id) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+        FROM events WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, event_id""",
+
+      "q_percentile_cont" -> """
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.75) AS p75
+        FROM events GROUP BY event_type ORDER BY event_type""",
 
       "q_topk" -> """
         SELECT o_orderkey, o_custkey, o_totalprice
