@@ -94,6 +94,43 @@ object Dedup {
       .select("id1", "id2", "hamming")
   }
 
+  /** Connected components over duplicate pairs — the step that turns
+    * pairwise near-dup evidence into cluster assignments (keep the canonical
+    * member, drop the rest). DataFrame-iterative min-label propagation:
+    * every node starts labeled with itself; each round every node takes the
+    * min label among itself and its neighbors; converged when no label
+    * drops. Deterministic. Rounds = O(cluster diameter) — near-dup clusters
+    * are shallow stars/cliques in practice — with a hard cap; each round is
+    * one narrow (node, lbl) shuffle, never the document contents, and the
+    * driver only evaluates the convergence predicate (no data collected).
+    * Returns (node, lbl) with lbl = min id reachable = component id. */
+  def connectedComponents(pairs: DataFrame, leftCol: String, rightCol: String,
+                          maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(leftCol).as("a"), col(rightCol).as("b"))
+      .union(pairs.select(col(rightCol).as("a"), col(leftCol).as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node")).cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val viaNeighbor = edges
+        .join(labels.select(col("node").as("b"), col("lbl")), "b")
+        .select(col("a").as("node"), col("lbl"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .cache()
+      converged = next
+        .join(labels.withColumnRenamed("lbl", "prev"), "node")
+        .filter(col("lbl") < col("prev"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Exact token-set Jaccard over pairs blocked on `blockCol` (e.g. source).
     * The verify stage of verify-after-LSH; also usable standalone when a
     * natural blocking key exists. */

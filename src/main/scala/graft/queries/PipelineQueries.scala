@@ -99,6 +99,18 @@ object PipelineQueries {
           blockCol = "source", minJaccard = 0.9)
         .orderBy("id1", "id2")),
 
+    // pairs → clusters: connected components over the verified jaccard
+    // pairs; each clustered doc gets its component id (min reachable doc_id)
+    // and the canonical survivor is the component representative
+    "dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
+        blockCol = "source", minJaccard = 0.9)
+      Dedup.connectedComponents(pairs, "id1", "id2")
+        .select(col("node").as("doc_id"), col("lbl").as("component"))
+        .withColumn("is_canonical", col("doc_id") === col("component"))
+        .orderBy("doc_id")
+    }),
+
     // --- similarity search ---
 
     // embedding near-dup pairs, IVF-style partition pruning by label.
@@ -363,6 +375,25 @@ object PipelineQueries {
             FROM t a JOIN t c ON a.source = c.source AND a.doc_id < c.doc_id)
       SELECT source, id1, id2, round(jaccard, 6) AS jaccard
       FROM p WHERE jaccard >= 0.9 ORDER BY id1, id2""",
+
+    "dedup_components" -> """
+      WITH RECURSIVE t AS (SELECT doc_id, source,
+                                  list_distinct(string_split(text, ' ')) AS w
+                           FROM documents),
+      p AS (SELECT a.doc_id AS id1, c.doc_id AS id2,
+                   CAST(len(list_intersect(a.w, c.w)) AS DOUBLE)
+                     / (len(a.w) + len(c.w) - len(list_intersect(a.w, c.w))) AS jaccard
+            FROM t a JOIN t c ON a.source = c.source AND a.doc_id < c.doc_id),
+      pairs AS (SELECT id1, id2 FROM p WHERE jaccard >= 0.9),
+      edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+      nodes AS (SELECT DISTINCT a AS node FROM edges),
+      reach AS (SELECT node, node AS lbl FROM nodes
+                UNION
+                SELECT e.a AS node, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+      comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node)
+      SELECT doc_id, component, doc_id = component AS is_canonical
+      FROM comp ORDER BY doc_id""",
 
     "embed_neardup" -> s"""
       SELECT a.label, a.vec_id AS id1, c.vec_id AS id2,
