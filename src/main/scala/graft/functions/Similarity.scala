@@ -27,6 +27,12 @@ object Similarity {
     * exactly (a/(b*c) differs from a/b/c in the last ulp) */
   def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
 
+  /** 60-bit md5 hash as a column — the deterministic key for splits,
+    * sampling, and shingle hashing; equals DuckDB
+    * `('0x'||substr(md5(x),1,15))::BIGINT`. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** 60-bit md5 hash computed driver-side — same value as the SQL
     * `conv(substring(md5(s),1,15),16,10)` used by the oracles. */
   def hash60Scala(s: String): Long = {

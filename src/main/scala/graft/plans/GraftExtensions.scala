@@ -3,7 +3,9 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftshim.GraftSql
 import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.Similarity
 import graft.proto.{ProtoDecodeExpression, ProtoEncodeExpression, ProtoSchema}
 
 /** Session-extension registration — the Spark analog of the reference's
@@ -18,6 +20,13 @@ import graft.proto.{ProtoDecodeExpression, ProtoEncodeExpression, ProtoSchema}
   * Registered SQL functions:
   *   proto_decode(payload BINARY, proto_file STRING, message STRING) → STRUCT
   *   proto_encode(struct, proto_file STRING, message STRING) → BINARY
+  *   cosine_sim(a ARRAY, b ARRAY) → DOUBLE     (sequential-fold semantics)
+  *   lsh_bucket(vec ARRAY, n_bits INT, dim INT) → BIGINT (plan-time signs)
+  *   graft_hash60(s STRING) → BIGINT           (deterministic 60-bit md5)
+  *
+  * The similarity functions expand to the same built-in expression trees the
+  * DataFrame builders produce (graft.functions.Similarity) — whole-stage
+  * codegen applies, and SQL results are bit-identical to the Column API.
   *
   * The .proto file is parsed once at PLAN time (arguments 2-3 must be
   * literals, like the reference's bind-time schema import,
@@ -53,6 +62,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val schema = ProtoSchema.parseFile(
           litString(args(1), "proto_file"), litString(args(2), "message_name"))
         ProtoEncodeExpression(args.head, schema)
+      }))
+
+    def litInt(e: Expression, arg: String): Int = e match {
+      case Literal(i: Int, _) => i
+      case other => throw new IllegalArgumentException(
+        s"$arg must be an integer literal, got $other")
+    }
+
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(Similarity.getClass.getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim(a, b) takes 2 arguments")
+        GraftSql.resolvedExpression(
+          Similarity.cosine(GraftSql.column(args(0)), GraftSql.column(args(1))))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(Similarity.getClass.getName, "lsh_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "lsh_bucket(vec, n_bits, dim) takes 3 arguments")
+        GraftSql.resolvedExpression(Similarity.lshBucket(GraftSql.column(args(0)),
+          litInt(args(1), "n_bits"), litInt(args(2), "dim")))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hash60"),
+      new ExpressionInfo(Similarity.getClass.getName, "graft_hash60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_hash60(s) takes 1 argument")
+        GraftSql.resolvedExpression(Similarity.hash60(GraftSql.column(args(0))))
       }))
   }
 }

@@ -38,6 +38,24 @@ object ScaleQueries {
         ORDER BY o_orderstatus, o_orderpriority""")
     }),
 
+    // deterministic stratified sample: per stratum (lang), keep the k docs
+    // with the smallest salted 60-bit hash — a reproducible reservoir that
+    // needs one partitioned window, no global shuffle, and yields the SAME
+    // sample at any cluster size (unlike rand()-based TABLESAMPLE)
+    "q_stratified_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(col("hk").asc, col("doc_id").asc)
+      Tables.load(s, dir, "documents")
+        .withColumn("hk",
+          graft.functions.Similarity.hash60(
+            concat(lit("samp:"), col("doc_id").cast("string"))))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy("lang", "rk")
+    }),
+
     // CUBE: all 2^k grouping combinations in one Expand pass — the
     // completion of the rollup/grouping-sets family
     "q_cube" -> ((s, dir) =>
@@ -132,6 +150,17 @@ object ScaleQueries {
       FROM orders
       GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q_stratified_sample" -> """
+      WITH h AS (
+        SELECT lang, doc_id,
+               ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+        FROM documents),
+      r AS (
+        SELECT lang, doc_id,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS INTEGER) AS rk
+        FROM h)
+      SELECT lang, rk, doc_id FROM r WHERE rk <= 10 ORDER BY lang, rk""",
 
     "q_intersect" -> """
       SELECT user_id FROM events WHERE value > 100

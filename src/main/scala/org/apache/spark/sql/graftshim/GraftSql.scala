@@ -14,4 +14,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSql {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column's node tree to a Catalyst expression. The lazy
+    * wrapper from `expression` (ColumnNodeExpression) is only unwrapped when
+    * a Column enters a plan through the DataFrame API; SQL-function builders
+    * (SparkSessionExtensions.injectFunction) hand their result straight to
+    * the analyzer, so the conversion must happen up front — the produced
+    * Unresolved* nodes then resolve through the normal analyzer rules. */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -37,6 +37,24 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getBoolean(3))
   }
 
+  test("similarity functions from SQL == Column API, bit for bit") {
+    import org.apache.spark.sql.functions._
+    val sqlRow = spark.sql(
+      """SELECT cosine_sim(array(1.0F, 2.0F, 3.0F), array(3.0F, 2.0F, 1.0F)) AS c,
+        |       lsh_bucket(array(1.0F, -2.0F, 3.0F, 0.5F), 4, 4) AS b,
+        |       graft_hash60('samp:42') AS h""".stripMargin).head()
+    val api = spark.range(1).select(
+      graft.functions.Similarity.cosine(
+        typedLit(Array(1.0f, 2.0f, 3.0f)), typedLit(Array(3.0f, 2.0f, 1.0f))).as("c"),
+      graft.functions.Similarity.lshBucket(
+        typedLit(Array(1.0f, -2.0f, 3.0f, 0.5f)), 4, 4).as("b"),
+      graft.functions.Similarity.hash60(lit("samp:42")).as("h")).head()
+    assert(sqlRow.getDouble(0) == api.getDouble(0))
+    assert(sqlRow.getLong(1) == api.getLong(1))
+    assert(sqlRow.getLong(2) == api.getLong(2))
+    assert(sqlRow.getLong(2) == graft.functions.Similarity.hash60Scala("samp:42"))
+  }
+
   test("non-literal proto path is rejected at plan time") {
     val e = intercept[Exception] {
       spark.sql("SELECT proto_decode(CAST('x' AS BINARY), concat('a', 'b.proto'), 'M')")
