@@ -35,10 +35,16 @@ object ScaleProbe {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    def replicateEmb(k: Int): DataFrame =
+      Tables.load(spark, sfDir, "embeddings")
+        .withColumn("r", explode(sequence(lit(0), lit(k - 1))))
+        .withColumn("vec_id", col("vec_id") + col("r") * lit(10000000L))
+        .drop("r")
+
     // warmup
     replicate(1).count()
 
-    println(f"${"k"}%3s ${"docs"}%8s ${"sig_s"}%8s ${"simhash_s"}%10s ${"jaccard_s"}%10s ${"jaccard_pairs"}%14s")
+    println(f"${"k"}%3s ${"docs"}%8s ${"sig_s"}%8s ${"simhash_s"}%10s ${"jaccard_s"}%10s ${"jaccard_pairs"}%14s ${"cc_s"}%8s ${"comps"}%8s ${"assign_s"}%9s")
     Seq(1, 2, 4, 8).foreach { k =>
       val docs = replicate(k).cache()
       val nDocs = docs.count()
@@ -47,11 +53,30 @@ object ScaleProbe {
       val (tSim, _) = time(
         operators.Dedup.simhashPairs(docs, "doc_id", "text",
           maxHamming = 3, blockShift = 40).count())
-      val (tJac, nPairs) = time(
-        operators.Dedup.jaccardPairs(docs, "doc_id", "text",
-          blockCol = "source", minJaccard = 0.9).count())
+      val pairs = operators.Dedup.jaccardPairs(docs, "doc_id", "text",
+        blockCol = "source", minJaccard = 0.9)
+      val (tJac, nPairs) = time(pairs.count())
+      // pairs → components: label propagation rounds stay O(diameter) no
+      // matter how many replicas exist (replicas are disjoint clusters)
+      val (tCc, nComp) = time(
+        operators.Dedup.connectedComponents(pairs, "id1", "id2")
+          .select("lbl").distinct().count())
+      // k-means IVF assignment is map-side argmax → must scale linearly
+      val emb = replicateEmb(k).cache()
+      emb.count()
+      val seeds = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val scored = array(seeds.map { case (cid, v) =>
+        struct(functions.Similarity.cosine(typedLit(v), col("embedding")).as("s"),
+          lit(-cid).as("nc"))
+      }: _*)
+      val (tAssign, _) = time(
+        emb.select(col("vec_id"), (-array_max(scored).getField("nc")).as("cid"))
+          .groupBy("cid").count().count())
+      emb.unpersist()
       docs.unpersist()
-      println(f"$k%3d $nDocs%8d $tSig%8.2f $tSim%10.2f $tJac%10.2f $nPairs%14d")
+      println(f"$k%3d $nDocs%8d $tSig%8.2f $tSim%10.2f $tJac%10.2f $nPairs%14d $tCc%8.2f $nComp%8d $tAssign%9.2f")
     }
     spark.stop()
   }

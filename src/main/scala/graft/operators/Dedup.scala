@@ -96,35 +96,63 @@ object Dedup {
 
   /** Connected components over duplicate pairs — the step that turns
     * pairwise near-dup evidence into cluster assignments (keep the canonical
-    * member, drop the rest). DataFrame-iterative min-label propagation:
-    * every node starts labeled with itself; each round every node takes the
-    * min label among itself and its neighbors; converged when no label
-    * drops. Deterministic. Rounds = O(cluster diameter) — near-dup clusters
-    * are shallow stars/cliques in practice — with a hard cap; each round is
-    * one narrow (node, lbl) shuffle, never the document contents, and the
-    * driver only evaluates the convergence predicate (no data collected).
-    * Returns (node, lbl) with lbl = min id reachable = component id. */
+    * member, drop the rest). DataFrame-iterative min-label propagation with
+    * POINTER JUMPING: each round every node takes the min label among itself
+    * and its neighbors, then jumps to its label's label (path halving) — the
+    * propagation distance doubles per round, so convergence is
+    * O(log diameter) rounds, not O(diameter) (a 1000-link chain converges in
+    * ~10 rounds instead of 1000). Deterministic; each round shuffles only
+    * narrow (node, lbl) rows, never document contents, and the driver only
+    * evaluates the convergence predicate (no data collected). Returns
+    * (node, lbl) with lbl = min id reachable = component id. */
   def connectedComponents(pairs: DataFrame, leftCol: String, rightCol: String,
-                          maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col(leftCol).as("a"), col(rightCol).as("b"))
-      .union(pairs.select(col(rightCol).as("a"), col(leftCol).as("b")))
-      .distinct().cache()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node")).cache()
+                          maxIters: Int = 25): DataFrame = {
+    // every round's result is localCheckpoint'ed (eager): iterative plans
+    // that merely cache still carry the FULL logical lineage, and each round
+    // references the previous one several times — analysis time grows
+    // geometrically and dwarfs execution within a few rounds. Checkpointing
+    // truncates the plan to the materialized rows (at cluster scale, swap
+    // for reliable checkpoints on the DFS).
+    // materialize the (possibly expensive) pair input ONCE — the edge-set
+    // construction below references it several times (both directions +
+    // node extraction), and each reference would otherwise re-run the
+    // upstream pair-generation join
+    val p = pairs.select(col(leftCol).as("a"), col(rightCol).as("b"))
+      .localCheckpoint()
+    // both directions + a self-loop per node: the per-round neighbor-min
+    // then already includes the node's own label, so the loop body is pure
+    // join+aggregate (no Union over checkpointed plans, which trips
+    // UnionBase constraint rewriting)
+    val directed = p.union(p.select(col("b").as("a"), col("a").as("b")))
+    val nodes = directed.select(col("a")).distinct()
+    val edges = directed
+      .union(nodes.select(col("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var labels = nodes.select(col("a").as("node"))
+      .withColumn("lbl", col("node")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val viaNeighbor = edges
+      val propagated = edges
         .join(labels.select(col("node").as("b"), col("lbl")), "b")
-        .select(col("a").as("node"), col("lbl"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("node").agg(min("lbl").as("lbl"))
-        .cache()
-      converged = next
+        .groupBy(col("a").as("node")).agg(min("lbl").as("lbl"))
+      // path halving: follow the label pointer one hop (labels are node ids,
+      // so every lbl value has its own row). Monotone — jumps only shortcut
+      // to an already-reachable, smaller-or-equal label — and double the
+      // propagation distance per round: O(log diameter) rounds total.
+      val next = propagated.as("x")
+        .join(propagated.select(col("node").as("jn"), col("lbl").as("jl")),
+          col("x.lbl") === col("jn"), "left")
+        .select(col("x.node").as("node"),
+          least(col("x.lbl"), coalesce(col("jl"), col("x.lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next
         .join(labels.withColumnRenamed("lbl", "prev"), "node")
         .filter(col("lbl") < col("prev"))
-        .isEmpty
-      labels.unpersist()
+        .count()
+      converged = changed == 0L
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round=$iter changed=$changed")
       labels = next
       iter += 1
     }
