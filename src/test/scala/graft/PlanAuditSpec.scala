@@ -84,4 +84,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("k-means assignment is one map stage: no Exchange, no Window") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val scored = array(seeds.map { case (cid, v) =>
+      struct(graft.functions.Similarity.cosine(typedLit(v), col("embedding")).as("s"),
+        lit(-cid).as("nc"))
+    }: _*)
+    val assigned = emb.select(col("vec_id"),
+      (-array_max(scored).getField("nc")).as("cid"))
+    val p = physical(assigned)
+    assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
+    assert(!p.contains("Window"), s"assignment must not sort/window:\n$p")
+  }
+
+  test("native message store scan prunes by seq and filters records") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_audit_native").toString
+    spark.read.format("nats_scan").option("dir", dir).load()
+      .write.format("nats_scan").option("dir", tmp).mode("overwrite").save()
+    val back = spark.read.format("nats_scan").option("dir", tmp).load()
+      .filter(col("seq") >= 100L && col("seq") <= 150L)
+    val rows = back.select("seq").collect().map(_.getLong(0))
+    assert(rows.length == 51 && rows.min == 100L && rows.max == 150L)
+    // the pushed bounds are visible in the scan description
+    val p = physical(back)
+    assert(p.contains("seq=[100,150]"), p)
+  }
 }
