@@ -165,9 +165,14 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, minJaccard: Double): DataFrame = {
     // tokenize ONCE and reuse for both self-join sides (same rule as the
-    // minhash/simhash stages: never recompute a signature per joined pair)
+    // minhash/simhash stages: never recompute a signature per joined pair).
+    // Tokens are hashed to 64-bit longs BEFORE the pair join: intersection
+    // SIZE is hash-invariant (collisions within one pair's union: p≈2^-47),
+    // and long-array intersection is far cheaper than string-array
+    // intersection in the quadratic verify stage — the hashing itself is
+    // linear map-side work.
     val t = df.select(col(idCol), col(blockCol),
-      array_distinct(tokens(col(textCol))).as("w"))
+      transform(array_distinct(tokens(col(textCol))), x => xxhash64(x)).as("w"))
       .withColumn("nw", size(col("w")))
       .cache()
     val l = t.select(col(blockCol), col(idCol).as("id1"), col("w").as("w1"),

