@@ -67,6 +67,32 @@ object Multimodal {
     }
   }
 
+  final case class MediaFeature(doc_id: Long, embedding: Array[Float])
+
+  /** STUB feature extraction — the batched-inference shape (mapInPandas /
+    * predict_batch_udf analog): a real implementation constructs the
+    * vision/audio model ONCE per partition and runs the iterator through it
+    * in batches; the stub folds body bytes into a `dim`-component vector
+    * (component j = sum of body bytes at positions ≡ j mod dim — integer
+    * sums, exactly representable in Float). Output feeds the ANN/near-dup
+    * operators directly. */
+  def extractFeatures(cells: Dataset[MediaCell], dim: Int = 8): Dataset[MediaFeature] = {
+    import cells.sparkSession.implicits._
+    cells.mapPartitions { it =>
+      // per-partition init: real model/codec handle would be built here
+      it.map { cell =>
+        val b = cell.media
+        val e = new Array[Float](dim)
+        var i = 8
+        while (i < b.length) {
+          e((i - 8) % dim) = e((i - 8) % dim) + (b(i) & 0xFF)
+          i += 1
+        }
+        MediaFeature(cell.doc_id, e)
+      }
+    }
+  }
+
   /** STUB resize: recompute header dims (a real kernel would transform the
     * pixel body); emits the new metadata. Demonstrates the
     * binary-in/binary-out transform shape. */

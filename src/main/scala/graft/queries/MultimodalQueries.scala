@@ -33,7 +33,24 @@ object MultimodalQueries {
 
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(meta(s, dir), everyK = 3)
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // media bytes → feature vector (the batched-inference shape); the
+    // oracle recomputes the byte folds from the source text, proving the
+    // embedding crossing the mapPartitions boundary is byte-exact
+    "mm_embed" -> ((s, dir) => {
+      import s.implicits._
+      val cells = Multimodal.synthesizeMedia(Tables.load(s, dir, "documents"))
+        .as[Multimodal.MediaCell]
+      Multimodal.extractFeatures(cells).toDF()
+        .select(col("doc_id"),
+          element_at(col("embedding"), 1).cast("double").as("e0"),
+          element_at(col("embedding"), 8).cast("double").as("e7"),
+          round(sqrt(expr(
+            "aggregate(embedding, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")),
+            6).as("norm"))
+        .orderBy("doc_id")
+    })
   )
 
   private val metaSql = """
@@ -64,6 +81,16 @@ object MultimodalQueries {
       SELECT doc_id, CAST(f.frame_idx AS INTEGER) AS frame_idx
       FROM m, (SELECT unnest(range(0, 30, 3)) AS frame_idx) f
       WHERE f.frame_idx < fps
-      ORDER BY doc_id, frame_idx"""
+      ORDER BY doc_id, frame_idx""",
+
+    "mm_embed" -> """
+      WITH f AS (
+        SELECT doc_id,
+               [CAST(list_sum([ord(text[k]) FOR k IN range(j + 1, len(text) + 1, 8)]) AS DOUBLE)
+                FOR j IN range(0, 8)] AS e
+        FROM documents)
+      SELECT doc_id, e[1] AS e0, e[8] AS e7,
+             round(sqrt(list_sum([x * x FOR x IN e])), 6) AS norm
+      FROM f ORDER BY doc_id"""
   )
 }
