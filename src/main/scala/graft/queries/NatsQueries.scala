@@ -42,6 +42,29 @@ object NatsQueries {
         .select("seq", "ts_nats", "subject")
         .orderBy("seq")),
 
+    // REFERENCE-PARITY time range: the reference resolves end_time to the
+    // FIRST message at-or-after it and scans that sequence INCLUSIVELY
+    // (src/nats_scan.cpp:685-698, :713) — so when no message lands exactly
+    // on end_time, one message past the window is included. The default
+    // nats_time_range uses the clean ts_nats <= end predicate (documented
+    // divergence, SURVEY §2); this query reproduces the quirk bit-for-bit:
+    // bound resolution is one global min/max aggregate over the pruned scan
+    // (the columnar analog of the reference's O(log n) binary search),
+    // broadcast back against the stream.
+    "nats_time_range_refparity" -> ((s, dir) => {
+      val env = NatsScan.scanDir(s, dir)
+      val t0 = lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))
+      val t1 = lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00"))
+      val bounds = env.agg(
+        min(when(col("ts_nats") >= t0, col("seq"))).as("start_seq"),
+        coalesce(min(when(col("ts_nats") >= t1, col("seq"))), max(col("seq")))
+          .as("end_seq"))
+      env.crossJoin(broadcast(bounds))
+        .filter(col("seq") >= col("start_seq") && col("seq") <= col("end_seq"))
+        .select("seq", "ts_nats", "subject")
+        .orderBy("seq")
+    }),
+
     "nats_subject_contains" -> ((s, dir) =>
       NatsScan.scanDir(s, dir,
           opts = NatsScanOptions(subjectContains = Some("purchase")))
@@ -89,6 +112,15 @@ object NatsQueries {
       s"""$envSql SELECT seq, ts_nats, subject FROM env
          | WHERE ts_nats >= TIMESTAMP '2024-01-05 00:00:00'
          |   AND ts_nats <= TIMESTAMP '2024-01-10 00:00:00' ORDER BY seq""".stripMargin,
+
+    "nats_time_range_refparity" ->
+      s"""$envSql, b AS (
+         |  SELECT min(CASE WHEN ts_nats >= TIMESTAMP '2024-01-05 00:00:00' THEN seq END) AS start_seq,
+         |         coalesce(min(CASE WHEN ts_nats >= TIMESTAMP '2024-01-10 00:00:00' THEN seq END),
+         |                  max(seq)) AS end_seq
+         |  FROM env)
+         | SELECT seq, ts_nats, subject FROM env, b
+         | WHERE seq >= start_seq AND seq <= end_seq ORDER BY seq""".stripMargin,
 
     "nats_subject_contains" ->
       s"$envSql SELECT seq, subject FROM env WHERE subject LIKE '%purchase%' ORDER BY seq",
