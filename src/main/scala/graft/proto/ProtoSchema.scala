@@ -147,8 +147,26 @@ object ProtoSchema {
     val tokens = tokenize(src)
     val p = new Parser(tokens)
     p.parseFile()
-    p.messages.getOrElse(messageName, throw new IllegalArgumentException(
+    val md = p.messages.getOrElse(messageName, throw new IllegalArgumentException(
       s"Message type '$messageName' not found in proto file"))
+    assertNonRecursive(md, Nil)
+    md
+  }
+
+  /** Recursive message types have no finite relational schema (a
+    * self-referencing struct) — reject them at bind time with a clear error
+    * instead of overflowing the stack in sparkSchema. */
+  private def assertNonRecursive(md: MessageDef, path: List[String]): Unit = {
+    if (path.contains(md.name))
+      throw new IllegalArgumentException(
+        s"recursive message type '${md.name}' is not supported " +
+          s"(cycle: ${(md.name :: path).reverse.mkString(" -> ")})")
+    md.fields.foreach { f =>
+      f.ptype match {
+        case PType.PMessage(inner) => assertNonRecursive(inner, md.name :: path)
+        case _ => ()
+      }
+    }
   }
 
   // --- tokenizer: strips comments, splits on punctuation ---

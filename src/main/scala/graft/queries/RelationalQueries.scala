@@ -52,7 +52,12 @@ object RelationalQueries {
         .select(col("l_returnflag"), col("l_linestatus"),
           col("sq").cast("double").as("sum_qty"),
           col("sp").cast("double").as("sum_base_price"),
-          col("sdp").cast("double").as("sum_disc_price"),
+          // scale 10 → 4 first (pure truncation: the products carry exactly
+          // 4 decimals). A decimal→double conversion is only engine-portable
+          // while the unscaled value fits 2^53 — beyond ~15 significant
+          // digits some engines double-round (int128→double, then /10^s)
+          // and drift one ulp from a correctly-rounded conversion.
+          col("sdp").cast("decimal(24,4)").cast("double").as("sum_disc_price"),
           round(col("sq").cast("double") / col("count_order"), 4).as("avg_qty"),
           round(col("sp").cast("double") / col("count_order"), 4).as("avg_price"),
           round(col("sd").cast("double") / col("count_order"), 6).as("avg_disc"),
@@ -424,7 +429,7 @@ object RelationalQueries {
         SELECT l_returnflag, l_linestatus,
                CAST(sq AS DOUBLE) AS sum_qty,
                CAST(sp AS DOUBLE) AS sum_base_price,
-               CAST(sdp AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(sdp AS DECIMAL(24,4)) AS DOUBLE) AS sum_disc_price,
                round(CAST(sq AS DOUBLE) / count_order, 4) AS avg_qty,
                round(CAST(sp AS DOUBLE) / count_order, 4) AS avg_price,
                round(CAST(sd AS DOUBLE) / count_order, 6) AS avg_disc,

@@ -200,6 +200,18 @@ class ProtoCodecSpec extends AnyFunSuite {
     assert(!empty.isNullAt(1) && empty.getMap(1).numElements() == 0)
   }
 
+  test("recursive message types are rejected at bind time") {
+    val e = intercept[IllegalArgumentException](ProtoSchema.parse(
+      """syntax = "proto3";
+        |message Node { string name = 1; Node next = 2; }""".stripMargin, "Node"))
+    assert(e.getMessage.contains("recursive"))
+    val e2 = intercept[IllegalArgumentException](ProtoSchema.parse(
+      """syntax = "proto3";
+        |message A { B b = 1; }
+        |message B { A a = 1; }""".stripMargin, "A"))
+    assert(e2.getMessage.contains("recursive"))
+  }
+
   test("oneof: unset members NULL; last member on the wire wins") {
     val withText = ProtoWire.encodeMessage(InternalRow(null, null, null,
       UTF8String.fromString("hello"), null, null, null), telemetry)
