@@ -308,6 +308,26 @@ object RelationalQueries {
         .orderBy("seq")
     }),
 
+    // binned range join: events joined into ±1h windows around the 20
+    // earliest purchases — an equi-join on the bin id plus exact containment,
+    // never the cartesian product a naive BETWEEN join plans to
+    // (operators.RangeJoin; PlanAuditSpec asserts no nested-loop join)
+    "q_range_join" -> ((s, dir) => {
+      val hourNs = 3600L * 1000000000L
+      val e = t(s, dir, "events").select(col("event_id"), col("ts"))
+      val anchors = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .orderBy("event_id").limit(20)
+        .select(col("event_id").as("win_id"),
+          (col("ts") - hourNs).as("lo"), (col("ts") + hourNs).as("hi"))
+      graft.operators.RangeJoin
+        .rangeJoin(e, "ts", anchors, "lo", "hi", binWidth = hourNs)
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n"),
+          min("event_id").as("min_ev"), max("event_id").as("max_ev"))
+        .orderBy("win_id")
+    }),
+
     // gap-based sessionization (per-user partitioned windows — scales with
     // keys; streaming flavor in graft.streaming.Sessionize)
     "q_sessionize" -> ((s, dir) =>
@@ -598,6 +618,18 @@ object RelationalQueries {
         FROM p ASOF LEFT JOIN s
           ON p.user_id = s.user_id AND p.seq >= s.sseq
         ORDER BY seq""",
+
+      "q_range_join" -> """
+        WITH a AS (
+          SELECT event_id AS win_id,
+                 epoch_ns(ts) - 3600000000000 AS lo,
+                 epoch_ns(ts) + 3600000000000 AS hi
+          FROM events WHERE event_type = 'purchase'
+          ORDER BY event_id LIMIT 20)
+        SELECT win_id, count(*) AS n,
+               min(e.event_id) AS min_ev, max(e.event_id) AS max_ev
+        FROM a JOIN events e ON epoch_ns(e.ts) BETWEEN a.lo AND a.hi
+        GROUP BY win_id ORDER BY win_id""",
 
       "q_sessionize" -> """
         WITH o AS (

@@ -101,6 +101,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), s"assignment must not sort/window:\n$p")
   }
 
+  test("binned range join plans as an equi-join, never a nested loop") {
+    val hourNs = 3600L * 1000000000L
+    val e = Tables.load(spark, dir, "events").select(col("event_id"), col("ts"))
+    val anchors = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase").orderBy("event_id").limit(20)
+      .select(col("event_id").as("win_id"),
+        (col("ts") - hourNs).as("lo"), (col("ts") + hourNs).as("hi"))
+    val joined = graft.operators.RangeJoin
+      .rangeJoin(e, "ts", anchors, "lo", "hi", binWidth = hourNs)
+    val p = physical(joined)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // result parity with the naive predicate join on this fixture
+    val naive = e.join(anchors,
+      col("ts") >= col("lo") && col("ts") <= col("hi")).count()
+    assert(joined.count() == naive)
+  }
+
   test("native message store scan prunes by seq and filters records") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_audit_native").toString
     spark.read.format("nats_scan").option("dir", dir).load()
