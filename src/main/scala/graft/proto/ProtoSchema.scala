@@ -309,7 +309,11 @@ object ProtoSchema {
                            oneofGroup: Option[String]): Unit = {
       var tname = next()
       var repeated = false
-      if (tname == "map") { parseMapField(owner, fields); return }
+      if (tname == "map") {
+        require(oneofGroup.isEmpty, "map fields are not allowed inside oneof")
+        parseMapField(owner, fields)
+        return
+      }
       if (tname == "optional" || tname == "required")
         tname = next()   // proto3 optional / legacy labels: decode is identical
       else if (tname == "repeated") { repeated = true; tname = next() }

@@ -53,8 +53,11 @@ final class NatsScanScan(file: String, dir: String, stream: String,
     val nativeDir = new java.io.File(s"$dir/$stream.msgs")
     if (nativeDir.isDirectory) {
       // native message store written by NatsScanBatchWrite: prune row groups
-      // across part files directly on seq / ts_nats statistics
-      nativeDir.listFiles((f: java.io.File) => f.getName.endsWith(".parquet"))
+      // across part files directly on seq / ts_nats statistics. Only
+      // committed files count — '_'/'.'-prefixed names are staged epochs,
+      // checksum siblings, or aborted attempts and may be partial.
+      nativeDir.listFiles((f: java.io.File) => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
         .sortBy(_.getName)
         .flatMap(f => planFile(f.getPath, native = true))
     } else planFile(file, native = false)

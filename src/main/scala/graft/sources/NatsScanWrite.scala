@@ -46,11 +46,13 @@ final class NatsScanWriteBuilder(dir: String, stream: String,
   }
 }
 
-/** Streaming flavor: one epoch = one committed batch of part files (names
-  * carry the epoch, so a replayed epoch overwrites its own files rather than
-  * duplicating them — idempotent re-commit, which is all Structured
-  * Streaming needs from an at-least-once sink to stay effectively exactly
-  * once). */
+/** Streaming flavor: one epoch = one committed batch of part files. The
+  * FINAL name is deterministic per (epoch, partition) — task attempt ids are
+  * deliberately excluded — so a replayed epoch (failure after commit but
+  * before the checkpoint records it) renames over its own previous files
+  * instead of duplicating them: idempotent re-commit, which is what turns an
+  * at-least-once sink effectively exactly-once. Staged names DO carry the
+  * attempt id so parallel attempts never write the same file. */
 final class NatsScanStreamingWrite(dir: String, stream: String,
                                    schema: StructType)
     extends StreamingWrite {
@@ -66,14 +68,14 @@ final class NatsScanStreamingWrite(dir: String, stream: String,
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case NatsScanCommit(name) =>
-        val staged = new File(storeDir, s"_inprogress_$name")
-        if (staged.exists()) {
-          val dst = new File(storeDir, name)
-          dst.delete() // epoch replay: replace our own previous attempt
-          require(staged.renameTo(dst), s"commit rename failed: $staged -> $dst")
+      case NatsScanCommit(staged, finalName) =>
+        val src = new File(storeDir, staged)
+        if (src.exists()) {
+          val dst = new File(storeDir, finalName)
+          dst.delete() // epoch replay: replace our own previous commit
+          require(src.renameTo(dst), s"commit rename failed: $src -> $dst")
         }
-        new File(storeDir, s"._inprogress_$name.crc").delete() // hadoop checksum sibling
+        new File(storeDir, s".$staged.crc").delete() // hadoop checksum sibling
       case other => sys.error(s"unexpected commit message $other")
     }
 
@@ -88,8 +90,9 @@ final class NatsScanStreamingWriterFactory(storeDir: String, schema: StructType)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new NatsScanDataWriter(storeDir, schema, partitionId, taskId,
-      namePrefix = f"epoch-$epochId%06d-", stagePrefix = "_inprogress_")
+    new NatsScanDataWriter(storeDir, schema,
+      writeName = f"_inprogress_epoch-$epochId%06d-part-$partitionId%05d-$taskId.parquet",
+      finalName = f"epoch-$epochId%06d-part-$partitionId%05d.parquet")
 }
 
 final class NatsScanBatchWrite(dir: String, stream: String,
@@ -97,13 +100,18 @@ final class NatsScanBatchWrite(dir: String, stream: String,
     extends BatchWrite {
 
   private val storeDir = s"$dir/$stream.msgs"
-  private val stagingDir = s"$storeDir/_staging_${UUID.randomUUID()}"
+  // per-job unique token: it names the staging dir AND is embedded in every
+  // final part-file name, so append jobs from different applications (whose
+  // partition/task ids restart from zero) can never rename over each
+  // other's committed files
+  private val jobToken = UUID.randomUUID().toString.take(8)
+  private val stagingDir = s"$storeDir/_staging_$jobToken"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
     val f = new File(stagingDir)
     require(f.isDirectory || f.mkdirs(), s"cannot create staging dir $stagingDir")
-    new NatsScanWriterFactory(stagingDir, schema)
+    new NatsScanWriterFactory(stagingDir, schema, jobToken)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -111,9 +119,10 @@ final class NatsScanBatchWrite(dir: String, stream: String,
     if (truncate)
       store.listFiles(f => f.getName.endsWith(".parquet")).foreach(_.delete())
     messages.foreach {
-      case NatsScanCommit(name) =>
-        val src = new File(stagingDir, name)
-        val dst = new File(store, name)
+      case NatsScanCommit(staged, finalName) =>
+        val src = new File(stagingDir, staged)
+        val dst = new File(store, finalName)
+        require(!dst.exists(), s"commit collision: $dst already exists")
         require(src.renameTo(dst), s"commit rename failed: $src -> $dst")
       case other => sys.error(s"unexpected commit message $other")
     }
@@ -129,25 +138,30 @@ final class NatsScanBatchWrite(dir: String, stream: String,
   }
 }
 
-final case class NatsScanCommit(fileName: String) extends WriterCommitMessage
+/** staged = the file the task wrote; finalName = the committed name the
+  * driver renames it to (deterministic where idempotent replay matters). */
+final case class NatsScanCommit(staged: String, finalName: String)
+    extends WriterCommitMessage
 
-final class NatsScanWriterFactory(stagingDir: String, schema: StructType)
+final class NatsScanWriterFactory(stagingDir: String, schema: StructType,
+                                  jobToken: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
-      : DataWriter[InternalRow] =
-    new NatsScanDataWriter(stagingDir, schema, partitionId, taskId)
+      : DataWriter[InternalRow] = {
+    val name = f"part-$partitionId%05d-$jobToken.parquet"
+    new NatsScanDataWriter(stagingDir, schema, writeName = name,
+      finalName = name)
+  }
 }
 
 /** One parquet part file per task, example-Group API (same family the read
   * path uses). The incoming row is the envelope; the constant `stream` echo
-  * column is not materialized — it is implied by the store location. */
-final class NatsScanDataWriter(stagingDir: String, schema: StructType,
-                               partitionId: Int, taskId: Long,
-                               namePrefix: String = "part-",
-                               stagePrefix: String = "")
+  * column is not materialized — it is implied by the store location.
+  * Writes `dir/writeName`; the commit message tells the driver to publish it
+  * as `finalName`. */
+final class NatsScanDataWriter(dir: String, schema: StructType,
+                               writeName: String, finalName: String)
     extends DataWriter[InternalRow] {
-
-  private val fileName = f"$namePrefix$partitionId%05d-$taskId.parquet"
 
   private val parquetSchema = MessageTypeParser.parseMessageType(
     """message nats_envelope {
@@ -163,7 +177,7 @@ final class NatsScanDataWriter(stagingDir: String, schema: StructType,
     val conf = new Configuration()
     GroupWriteSupport.setSchema(parquetSchema, conf)
     ExampleParquetWriter
-      .builder(new Path(s"$stagingDir/$stagePrefix$fileName"))
+      .builder(new Path(s"$dir/$writeName"))
       .withConf(conf)
       .withType(parquetSchema)
       .build()
@@ -188,9 +202,15 @@ final class NatsScanDataWriter(stagingDir: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     writer.close()
-    NatsScanCommit(fileName)
+    NatsScanCommit(writeName, finalName)
   }
 
-  override def abort(): Unit = writer.close()
+  override def abort(): Unit = {
+    // a failed attempt must leave nothing a reader (or a later commit)
+    // could mistake for data
+    writer.close()
+    new java.io.File(dir, writeName).delete()
+    new java.io.File(dir, s".$writeName.crc").delete()
+  }
   override def close(): Unit = ()
 }

@@ -54,6 +54,13 @@ class NatsScanV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     // no staging leftovers after commit
     val store = new java.io.File(s"$tmp/events.msgs")
     assert(store.listFiles().forall(f => f.getName.endsWith(".parquet")))
+    // in-progress / dot-prefixed files must be invisible to readers
+    val junk = new java.io.File(store, "_inprogress_epoch-000009-part-00000-3.parquet")
+    java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+    val junk2 = new java.io.File(store, "._something.parquet")
+    java.nio.file.Files.write(junk2.toPath, Array[Byte](9))
+    assert(spark.read.format("nats_scan").option("dir", tmp).load().count() == 50L)
+    junk.delete(); junk2.delete()
   }
 
   test("V2 results match the facade envelope") {

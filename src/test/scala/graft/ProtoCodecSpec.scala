@@ -171,6 +171,10 @@ class ProtoCodecSpec extends AnyFunSuite {
     val bad = intercept[IllegalArgumentException](ProtoSchema.parse(
       "syntax = \"proto3\"; message M { map<double, int64> m = 1; }", "M"))
     assert(bad.getMessage.contains("not allowed"))
+    // maps inside oneof are illegal proto3 — reject at parse time
+    val bad2 = intercept[IllegalArgumentException](ProtoSchema.parse(
+      "syntax = \"proto3\"; message M { oneof p { map<string, int64> m = 1; } }", "M"))
+    assert(bad2.getMessage.contains("oneof"))
   }
 
   test("map roundtrip; merged wire bytes: last duplicate key wins") {
