@@ -26,21 +26,47 @@ final class NatsMicroBatchStream(dir: String, stream: String,
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val file = s"$dir/$stream.parquet"
+  private val nativeDir = new java.io.File(s"$dir/$stream.msgs")
 
-  private lazy val maxSeq: Long = {
-    val in = HadoopInputFile.fromPath(new Path(file), new Configuration())
+  /** committed part files of the native store (staged/aborted skipped) */
+  private def nativeFiles: Seq[String] =
+    if (!nativeDir.isDirectory) Nil
+    else nativeDir.listFiles((f: java.io.File) => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getPath).sorted.toSeq
+
+  /** [min, max] of a stats column across one file's row groups */
+  private def statsBounds(path: String, column: String,
+                          adj: Long): Option[(Long, Long)] = {
+    val in = HadoopInputFile.fromPath(new Path(path), new Configuration())
     val r = ParquetFileReader.open(in)
     try {
-      r.getRowGroups.asScala.flatMap { rg =>
-        rg.getColumns.asScala.find(_.getPath.toDotString == "event_id")
+      val bs = r.getRowGroups.asScala.flatMap { rg =>
+        rg.getColumns.asScala.find(_.getPath.toDotString == column)
           .flatMap { c =>
             val st = c.getStatistics
             if (st == null || !st.hasNonNullValue) None
-            else Some(st.genericGetMax.asInstanceOf[java.lang.Long].longValue() + 1L)
+            else Some((
+              st.genericGetMin.asInstanceOf[java.lang.Long].longValue() + adj,
+              st.genericGetMax.asInstanceOf[java.lang.Long].longValue() + adj))
           }
-      }.maxOption.getOrElse(0L)
+      }
+      if (bs.isEmpty) None else Some((bs.map(_._1).min, bs.map(_._2).max))
     } finally r.close()
   }
+
+  /** Latest available sequence. The fixture file is static (computed once);
+    * a native store grows as writers append/commit, so it is re-listed on
+    * every offset poll — exactly how a live-tail source discovers new
+    * messages (docs/LIVE_NATS.md: stream LastSeq). */
+  private def maxSeq: Long =
+    if (nativeDir.isDirectory)
+      nativeFiles.flatMap(statsBounds(_, "seq", 0L)).map(_._2)
+        .maxOption.getOrElse(0L)
+    else fixtureMaxSeq
+
+  private lazy val fixtureMaxSeq: Long =
+    statsBounds(file, "event_id", 1L).map(_._2).getOrElse(0L)
 
   override def initialOffset(): Offset = SeqOffset(0L)
 
@@ -70,6 +96,16 @@ final class NatsMicroBatchStream(dir: String, stream: String,
     val lo = start.asInstanceOf[SeqOffset].seq + 1
     val hi = end.asInstanceOf[SeqOffset].seq
     if (hi < lo) Array.empty
+    else if (nativeDir.isDirectory)
+      // one partition per part file whose seq stats overlap the batch range
+      nativeFiles.flatMap { p =>
+        statsBounds(p, "seq", 0L) match {
+          case Some((mn, mx)) if mx >= lo && mn <= hi =>
+            Some(StreamBatch(p, lo, hi, native = true): InputPartition)
+          case Some(_) => None
+          case None => Some(StreamBatch(p, lo, hi, native = true): InputPartition)
+        }
+      }.toArray
     else Array(StreamBatch(file, lo, hi))
   }
 
@@ -84,7 +120,8 @@ final case class SeqOffset(seq: Long) extends Offset {
   override def json(): String = seq.toString
 }
 
-final case class StreamBatch(file: String, seqLo: Long, seqHi: Long)
+final case class StreamBatch(file: String, seqLo: Long, seqHi: Long,
+                             native: Boolean = false)
     extends InputPartition
 
 final class StreamReaderFactory(stream: String) extends PartitionReaderFactory {
@@ -92,6 +129,6 @@ final class StreamReaderFactory(stream: String) extends PartitionReaderFactory {
     val b = p.asInstanceOf[StreamBatch]
     new NatsScanReaderFactory(NatsScanSource.envelopeSchema, b.seqLo, b.seqHi,
       Long.MinValue, Long.MaxValue, Nil, stream)
-      .createReader(NatsScanPartition(b.file, 0L, Long.MaxValue))
+      .createReader(NatsScanPartition(b.file, 0L, Long.MaxValue, b.native))
   }
 }

@@ -66,6 +66,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!store.listFiles().exists(_.getName.startsWith("_inprogress_")))
   }
 
+  test("full loop: stream → native sink → stream the native store back") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_loop_store").toString
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft_loop_c1").toString
+    val q1 = stream(400)
+      .writeStream.format("nats_scan")
+      .option("dir", tmp).option("checkpointLocation", ckpt1)
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000)
+    // now stream FROM the written native store, rate-limited
+    val q2 = spark.readStream.format("nats_scan")
+      .option("dir", tmp).option("max_msgs_per_batch", "250").load()
+      .writeStream.format("memory").queryName("loop")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    assert(spark.sql("SELECT count(*) FROM loop").head().getLong(0) == 1000L)
+    assert(spark.sql("SELECT count(DISTINCT seq) FROM loop").head().getLong(0) == 1000L)
+    val batches = q2.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batches.length >= 4 && batches.forall(_ <= 250),
+      s"admission control over the native store: ${batches.mkString(",")}")
+  }
+
   test("event-time window + watermark over the stream matches batch") {
     val q = stream(500)
       .withWatermark("ts_nats", "1 hour")
