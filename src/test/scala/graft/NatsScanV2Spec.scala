@@ -24,6 +24,33 @@ class NatsScanV2Spec extends AnyFunSuite with BeforeAndAfterAll {
 
   // --- write path: native message store round trip ---
 
+  test("streaming commit is replay-idempotent; batch commit refuses collisions") {
+    import graft.sources.{NatsScanBatchWrite, NatsScanCommit, NatsScanStreamingWrite}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_commit_sem").toString
+    val store = new java.io.File(s"$tmp/events.msgs"); store.mkdirs()
+    val schema = graft.sources.NatsScanSource.envelopeSchema
+
+    // epoch replay: same (epoch, partition) commits twice with different
+    // attempt files — exactly one final file survives, from the last attempt
+    val sw = new NatsScanStreamingWrite(tmp, "events", schema)
+    val finalName = "epoch-000007-part-00000.parquet"
+    java.nio.file.Files.write(new java.io.File(store, "_inprogress_a.parquet").toPath, Array[Byte](1))
+    sw.commit(7L, Array(NatsScanCommit("_inprogress_a.parquet", finalName)))
+    java.nio.file.Files.write(new java.io.File(store, "_inprogress_b.parquet").toPath, Array[Byte](2, 2))
+    sw.commit(7L, Array(NatsScanCommit("_inprogress_b.parquet", finalName)))
+    val finals = store.listFiles().filter(_.getName.startsWith("epoch-000007"))
+    assert(finals.length == 1 && finals.head.length() == 2L)
+
+    // batch append must never replace an existing committed file
+    val bw = new NatsScanBatchWrite(tmp, "events", schema, truncate = false)
+    bw.createBatchWriterFactory(null) // creates the staging dir
+    val staging = store.listFiles().filter(_.getName.startsWith("_staging_")).head
+    java.nio.file.Files.write(new java.io.File(staging, "x.parquet").toPath, Array[Byte](3))
+    val e = intercept[IllegalArgumentException](
+      bw.commit(Array(NatsScanCommit("x.parquet", finalName))))
+    assert(e.getMessage.contains("collision"))
+  }
+
   test("V2 write: truncate + append + read-back with pushdown") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_v2_write").toString
     val src = v2.filter(col("seq") <= 600L)
