@@ -99,6 +99,41 @@ object PipelineQueries {
           blockCol = "source", minJaccard = 0.9)
         .orderBy("id1", "id2")),
 
+    // THE composed pipeline — what a user of this library actually runs:
+    // quality-filter → near-dup cluster (LSH-family verify + components) →
+    // keep canonical docs → deterministic train/val split → corpus stats.
+    // Every stage is an operator verified on its own elsewhere in this
+    // inventory; the filter uses the ROUNDED quality score (text_quality
+    // proves rounded values are bit-identical cross-engine, so the filtered
+    // set is deterministic). At scale this chain is: map-side scoring, one
+    // blocked self-join, O(log diameter) component rounds, map-side split —
+    // no stage touches an unblocked pair space or the driver.
+    "pipe_end2end" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("w", graft.functions.TextFunctions.tokens(col("text")))
+        .withColumn("n_tokens", size(col("w")))
+        .withColumn("quality", round(
+          lit(0.4) * graft.functions.TextFunctions.stopwordRatio("w") +
+            lit(0.3) * least(col("n_tokens") / 100.0, lit(1.0)) -
+            lit(0.3) * graft.functions.TextFunctions.punctRatio(col("text")), 4))
+        .filter(col("quality") >= 0.12)
+        .select("doc_id", "text", "lang", "source", "n_tokens")
+        .cache()
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
+        blockCol = "source", minJaccard = 0.9)
+      val dupes = Dedup.connectedComponents(pairs, "id1", "id2")
+        .filter(col("node") =!= col("lbl"))
+        .select(col("node").as("doc_id"))
+      d.join(dupes, Seq("doc_id"), "left_anti")
+        .withColumn("split",
+          when(graft.functions.Similarity.hash60(
+            concat(lit("split:"), col("doc_id").cast("string"))) % 100 < 90,
+            "train").otherwise("val"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("lang", "split")
+    }),
+
     // pairs → clusters: connected components over the verified jaccard
     // pairs; each clustered doc gets its component id (min reachable doc_id)
     // and the canonical survivor is the component representative
@@ -375,6 +410,41 @@ object PipelineQueries {
             FROM t a JOIN t c ON a.source = c.source AND a.doc_id < c.doc_id)
       SELECT source, id1, id2, round(jaccard, 6) AS jaccard
       FROM p WHERE jaccard >= 0.9 ORDER BY id1, id2""",
+
+    "pipe_end2end" -> """
+      WITH RECURSIVE q AS (
+        SELECT doc_id, text, lang, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               round(0.4 * (len(list_filter(string_split(text, ' '),
+                              t -> t IN ('the','of','and','to','a','in','is')))
+                            / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                     + 0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                     - 0.3 * ((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                              / CAST(length(text) AS DOUBLE)), 4) AS quality
+        FROM documents),
+      d AS (SELECT doc_id, text, lang, source, n_tokens FROM q WHERE quality >= 0.12),
+      t2 AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS w FROM d),
+      p AS (SELECT a.doc_id AS id1, c.doc_id AS id2,
+                   CAST(len(list_intersect(a.w, c.w)) AS DOUBLE)
+                     / (len(a.w) + len(c.w) - len(list_intersect(a.w, c.w))) AS j
+            FROM t2 a JOIN t2 c ON a.source = c.source AND a.doc_id < c.doc_id),
+      pairs AS (SELECT id1, id2 FROM p WHERE j >= 0.9),
+      edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+      nodes AS (SELECT DISTINCT a AS node FROM edges),
+      reach AS (SELECT node, node AS lbl FROM nodes
+                UNION
+                SELECT e.a AS node, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+      comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+      dupes AS (SELECT node AS doc_id FROM comp WHERE node != lbl),
+      canon AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM dupes)),
+      sp AS (SELECT lang,
+                    CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+                         THEN 'train' ELSE 'val' END AS split,
+                    n_tokens
+             FROM canon)
+      SELECT lang, split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM sp GROUP BY lang, split ORDER BY lang, split""",
 
     "dedup_components" -> """
       WITH RECURSIVE t AS (SELECT doc_id, source,
