@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Property fuzzing for the custom operators against brute-force references:
+  * the oracle fixtures exercise realistic shapes, these exercise adversarial
+  * ones (empty ranges, ranges spanning many bins, bin-boundary points,
+  * self-loops, dense random graphs). */
+class OperatorPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def forAll[A](gen: Gen[A], n: Int = 12)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  test("rangeJoin == naive containment join on random points/ranges") {
+    import spark.implicits._
+    val gen = for {
+      pts <- Gen.listOfN(60, Gen.chooseNum(0L, 1000L))
+      rs <- Gen.listOfN(15, for {
+        lo <- Gen.chooseNum(0L, 1000L)
+        span <- Gen.chooseNum(0L, 400L)
+      } yield (lo, lo + span))
+      bin <- Gen.oneOf(1L, 7L, 100L, 1000L)
+    } yield (pts, rs, bin)
+    forAll(gen) { case (pts, rs, bin) =>
+      val points = pts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("pid", "t")
+      val ranges = rs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("rid", "lo", "hi")
+      val got = graft.operators.RangeJoin
+        .rangeJoin(points, "t", ranges, "lo", "hi", bin)
+        .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (t, pi) <- pts.zipWithIndex
+        ((lo, hi), ri) <- rs.zipWithIndex
+        if t >= lo && t <= hi
+      } yield (pi.toLong, ri.toLong)).toSet
+      assert(got == want, s"bin=$bin pts=$pts rs=$rs")
+    }
+  }
+
+  test("connectedComponents == brute-force union-find on random graphs") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(2, 25)
+      m <- Gen.chooseNum(1, 40)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1)
+        b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield edges.filter(e => e._1 != e._2)
+    forAll(gen, n = 8) { edges0 =>
+      val edges = if (edges0.isEmpty) List((0L, 1L)) else edges0
+      val got = graft.operators.Dedup
+        .connectedComponents(edges.toDF("id1", "id2"), "id1", "id2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute force union-find
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = nodes.map { x =>
+        // canonical component id = min node in the component
+        val root = find(x)
+        x -> nodes.filter(find(_) == root).min
+      }.toMap
+      assert(got == want, s"edges=$edges")
+    }
+  }
+}
