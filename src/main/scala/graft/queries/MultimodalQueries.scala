@@ -35,6 +35,30 @@ object MultimodalQueries {
       Multimodal.sampleFrames(meta(s, dir), everyK = 3)
         .orderBy("doc_id", "frame_idx")),
 
+    // multimodal → similarity composition: features extracted from media
+    // cells feed the ANN top-k directly (small query set broadcast, corpus
+    // scan stays partitioned — the ann_topk shape over extracted features)
+    "mm_ann" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val feats = Multimodal.extractFeatures(
+          Multimodal.synthesizeMedia(Tables.load(s, dir, "documents"))
+            .as[Multimodal.MediaCell])
+        .toDF().select(col("doc_id"), col("embedding"))
+      val q = broadcast(feats.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("embedding").as("qv")))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("doc_id").asc)
+      feats.crossJoin(q)
+        .filter(col("doc_id") =!= col("qid"))
+        .withColumn("cos", round(
+          graft.functions.Similarity.cosine(col("qv"), col("embedding")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "doc_id", "cos")
+        .orderBy("qid", "rank")
+    }),
+
     // media bytes → feature vector (the batched-inference shape); the
     // oracle recomputes the byte folds from the source text, proving the
     // embedding crossing the mapPartitions boundary is byte-exact
@@ -82,6 +106,25 @@ object MultimodalQueries {
       FROM m, (SELECT unnest(range(0, 30, 3)) AS frame_idx) f
       WHERE f.frame_idx < fps
       ORDER BY doc_id, frame_idx""",
+
+    "mm_ann" -> """
+      WITH f AS (
+        SELECT doc_id,
+               [CAST(list_sum([ord(text[k]) FOR k IN range(j + 1, len(text) + 1, 8)]) AS DOUBLE)
+                FOR j IN range(0, 8)] AS e
+        FROM documents),
+      q AS (SELECT doc_id AS qid, e AS qv FROM f WHERE doc_id < 5),
+      scored AS (
+        SELECT q.qid, f.doc_id,
+               round(list_sum([q.qv[i] * f.e[i] FOR i IN range(1, 9)]) /
+                     sqrt(list_sum([q.qv[i] * q.qv[i] FOR i IN range(1, 9)])) /
+                     sqrt(list_sum([f.e[i] * f.e[i] FOR i IN range(1, 9)])), 6) AS cos
+        FROM f CROSS JOIN q WHERE f.doc_id <> q.qid),
+      ranked AS (
+        SELECT qid, doc_id, cos,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT qid, rank, doc_id, cos FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
 
     "mm_embed" -> """
       WITH f AS (
