@@ -177,6 +177,7 @@ object ProtoSchema {
       .replace("{", " { ").replace("}", " } ").replace(";", " ; ")
       .replace("=", " = ")
       .replace("<", " < ").replace(">", " > ").replace(",", " , ")
+      .replace("[", " [ ").replace("]", " ] ")
     spaced.split("\\s+").filter(_.nonEmpty).toVector
   }
 
@@ -263,6 +264,20 @@ object ProtoSchema {
 
     private def skipStatement(): Unit = { while (pos < tokens.length && next() != ";") {} }
 
+    /** `[deprecated = true, json_name = "x"]` after a field number — options
+      * never change the wire format, skip them (nesting-safe) */
+    private def skipFieldOptions(): Unit = {
+      if (peek != "[") return
+      var depth = 0
+      while (pos < tokens.length) {
+        next() match {
+          case "[" => depth += 1
+          case "]" => depth -= 1; if (depth == 0) return
+          case _ => ()
+        }
+      }
+    }
+
     private def parseEnum(): Unit = {
       expect("enum")
       val name = next()
@@ -321,6 +336,7 @@ object ProtoSchema {
       val fname = next()
       expect("=")
       val fnum = next().toInt
+      skipFieldOptions()
       if (peek == ";") pos += 1
       scalarEnc.get(tname) match {
         case Some((pt, enc)) =>
@@ -356,6 +372,7 @@ object ProtoSchema {
       val fname = next()
       expect("=")
       val fnum = next().toInt
+      skipFieldOptions()
       if (peek == ";") pos += 1
       val (kt, ke) = scalarEnc.getOrElse(kname, throw new IllegalArgumentException(
         s"invalid map key type '$kname' for field '$fname'"))

@@ -204,6 +204,25 @@ class ProtoCodecSpec extends AnyFunSuite {
     assert(!empty.isNullAt(1) && empty.getMap(1).numElements() == 0)
   }
 
+  test("field options are skipped; wire semantics unchanged") {
+    val md = ProtoSchema.parse(
+      """syntax = "proto3";
+        |message M {
+        |  string name = 1 [deprecated = true, json_name = "n"];
+        |  repeated int64 xs = 2 [packed = true];
+        |  map<string, int64> kv = 3 [deprecated = true];
+        |}""".stripMargin, "M")
+    assert(md.fields.map(_.name) == Seq("name", "xs", "kv"))
+    assert(md.fields(1).repeated && md.fields(2).isMap)
+    val row = InternalRow(UTF8String.fromString("a"),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](1L, 2L)),
+      mkMap(UTF8String.fromString("k") -> 9L))
+    val back = rt(md, row)
+    assert(back.getUTF8String(0).toString == "a")
+    assert(back.getArray(1).toLongArray().toSeq == Seq(1L, 2L))
+    assert(back.getMap(2).valueArray().getLong(0) == 9L)
+  }
+
   test("recursive message types are rejected at bind time") {
     val e = intercept[IllegalArgumentException](ProtoSchema.parse(
       """syntax = "proto3";
