@@ -370,6 +370,18 @@ object RelationalQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // NTILE quartiles per user (total order via unique tie-break)
+    "q_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .select(col("user_id"), col("event_id"),
+          ntile(4).over(w).as("quartile"))
+        .groupBy("user_id", "quartile")
+        .agg(count(lit(1)).as("n"), min("event_id").as("first_ev"))
+        .orderBy("user_id", "quartile")
+    }),
+
     // exact linear-interpolation percentiles (PERCENTILE_CONT semantics);
     // both engines compute lo + (hi-lo)*frac at h=(n-1)p over the sorted set
     "q_percentile_cont" -> ((s, dir) =>
@@ -667,6 +679,13 @@ object RelationalQueries {
         FROM events WHERE user_id < 20
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY user_id, event_id""",
+
+      "q_ntile" -> """
+        SELECT user_id, quartile, count(*) AS n, min(event_id) AS first_ev
+        FROM (SELECT user_id, event_id,
+                     CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS quartile
+              FROM events WHERE user_id < 10)
+        GROUP BY user_id, quartile ORDER BY user_id, quartile""",
 
       "q_percentile_cont" -> """
         SELECT event_type,
