@@ -1,0 +1,57 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Session-wide registry of intermediate caches/checkpoints.
+  *
+  * Long-running sessions (Verify runs 80+ queries back to back; Bench runs
+  * them again) would otherwise accumulate storage blocks from every
+  * `cache()`/`localCheckpoint()` a query planted, relying on GC-driven
+  * ContextCleaner to reclaim them eventually. Operators register their
+  * intermediates here and the harness calls `drain()` between queries, so
+  * storage is released deterministically once a query's action completes.
+  */
+object Caches {
+  private val cached = new ConcurrentLinkedQueue[Dataset[_]]()
+  private val rdds = new ConcurrentLinkedQueue[RDD[_]]()
+
+  /** cache + register for the next `drain()`. */
+  def tracked[T](ds: Dataset[T]): Dataset[T] = {
+    val c = ds.cache()
+    cached.add(c)
+    c
+  }
+
+  /** eager localCheckpoint + register the backing RDD for the next
+    * `drain()` (plain `unpersist()` on a checkpointed Dataset is a no-op:
+    * the blocks belong to the materialized RDD, not the CacheManager). */
+  def checkpointed[T](ds: Dataset[T]): Dataset[T] = {
+    val c = ds.localCheckpoint()
+    backingRdd(c).foreach(rdds.add)
+    c
+  }
+
+  /** register an already-localCheckpoint'ed dataset's blocks for the next
+    * `drain()` (for checkpoints created outside this object). */
+  def registerCheckpointed(ds: Dataset[_]): Unit =
+    backingRdd(ds).foreach(rdds.add)
+
+  /** free the backing blocks of a checkpointed dataset NOW — iterative
+    * operators release round N−1 as soon as round N has materialized. */
+  def free(ds: Dataset[_]): Unit = backingRdd(ds).foreach(_.unpersist(false))
+
+  private def backingRdd(ds: Dataset[_]): Option[RDD[_]] =
+    ds.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
+
+  /** unpersist everything registered since the last drain. */
+  def drain(): Unit = {
+    var d = cached.poll()
+    while (d != null) { d.unpersist(false); d = cached.poll() }
+    var r = rdds.poll()
+    while (r != null) { r.unpersist(false); r = rdds.poll() }
+  }
+}

@@ -29,6 +29,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         rmrf(new java.io.File(s"$outDir/$name"))
       }
+      // release the query's intermediate caches/checkpoints before the next
+      // one — 80+ queries back to back must not accumulate storage blocks
+      Caches.drain()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

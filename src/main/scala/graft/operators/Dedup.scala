@@ -57,7 +57,7 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, bands: Int = 4,
                       minEst: Double = 0.5): DataFrame = {
-    val sigDf = minhashSignatures(df, idCol, textCol, numHashes).cache()
+    val sigDf = graft.Caches.tracked(minhashSignatures(df, idCol, textCol, numHashes))
     val b = minhashBands(sigDf, idCol, numHashes, bands)
     val cand = b.select(col(idCol).as("id1"), col("band"), col("band_key"))
       .join(b.select(col(idCol).as("id2"), col("band"), col("band_key")),
@@ -84,9 +84,9 @@ object Dedup {
       .withColumn("simhash", simhash60("hs"))
       .withColumn("block", shiftright(col("simhash"), blockShift))
       .select(col(idCol), col("simhash"), col("block"))
-      .cache() // fingerprint once; both self-join sides reuse it
-    val l = fp.select(col(idCol).as("id1"), col("simhash").as("h1"), col("block"))
-    val r = fp.select(col(idCol).as("id2"), col("simhash").as("h2"), col("block"))
+    val fpC = graft.Caches.tracked(fp) // fingerprint once; both sides reuse it
+    val l = fpC.select(col(idCol).as("id1"), col("simhash").as("h1"), col("block"))
+    val r = fpC.select(col(idCol).as("id2"), col("simhash").as("h2"), col("block"))
     l.join(r, "block")
       .filter(col("id1") < col("id2"))
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
@@ -106,30 +106,46 @@ object Dedup {
     * evaluates the convergence predicate (no data collected). Returns
     * (node, lbl) with lbl = min id reachable = component id. */
   def connectedComponents(pairs: DataFrame, leftCol: String, rightCol: String,
-                          maxIters: Int = 25): DataFrame = {
-    // every round's result is localCheckpoint'ed (eager): iterative plans
-    // that merely cache still carry the FULL logical lineage, and each round
+                          maxIters: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    // every round's result is checkpointed (eager): iterative plans that
+    // merely cache still carry the FULL logical lineage, and each round
     // references the previous one several times — analysis time grows
     // geometrically and dwarfs execution within a few rounds. Checkpointing
-    // truncates the plan to the materialized rows (at cluster scale, swap
-    // for reliable checkpoints on the DFS).
+    // truncates the plan to the materialized rows.
+    //   checkpointDir = None  → localCheckpoint (executor storage — fast,
+    //     right for bench/single-JVM, lost if an executor dies);
+    //   checkpointDir = Some(dfsPath) → reliable checkpoint to the DFS —
+    //     the cluster-scale mode: rounds survive executor loss and storage
+    //     memory is not pinned across the whole run.
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    val reliable = checkpointDir.isDefined
+    def chk(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint()
+      else {
+        val c = df.localCheckpoint()
+        graft.Caches.registerCheckpointed(c)
+        c
+      }
+    // release a superseded round's blocks immediately (local mode only;
+    // reliable-checkpoint files are removed by the cleaner / dir teardown)
+    def release(df: DataFrame): Unit = if (!reliable) graft.Caches.free(df)
     // materialize the (possibly expensive) pair input ONCE — the edge-set
     // construction below references it several times (both directions +
     // node extraction), and each reference would otherwise re-run the
     // upstream pair-generation join
-    val p = pairs.select(col(leftCol).as("a"), col(rightCol).as("b"))
-      .localCheckpoint()
+    val p = chk(pairs.select(col(leftCol).as("a"), col(rightCol).as("b")))
     // both directions + a self-loop per node: the per-round neighbor-min
     // then already includes the node's own label, so the loop body is pure
     // join+aggregate (no Union over checkpointed plans, which trips
     // UnionBase constraint rewriting)
     val directed = p.union(p.select(col("b").as("a"), col("a").as("b")))
     val nodes = directed.select(col("a")).distinct()
-    val edges = directed
+    val edges = chk(directed
       .union(nodes.select(col("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
-    var labels = nodes.select(col("a").as("node"))
-      .withColumn("lbl", col("node")).localCheckpoint()
+      .distinct())
+    var labels = chk(nodes.select(col("a").as("node"))
+      .withColumn("lbl", col("node")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -140,12 +156,11 @@ object Dedup {
       // so every lbl value has its own row). Monotone — jumps only shortcut
       // to an already-reachable, smaller-or-equal label — and double the
       // propagation distance per round: O(log diameter) rounds total.
-      val next = propagated.as("x")
+      val next = chk(propagated.as("x")
         .join(propagated.select(col("node").as("jn"), col("lbl").as("jl")),
           col("x.lbl") === col("jn"), "left")
         .select(col("x.node").as("node"),
-          least(col("x.lbl"), coalesce(col("jl"), col("x.lbl"))).as("lbl"))
-        .localCheckpoint()
+          least(col("x.lbl"), coalesce(col("jl"), col("x.lbl"))).as("lbl")))
       val changed = next
         .join(labels.withColumnRenamed("lbl", "prev"), "node")
         .filter(col("lbl") < col("prev"))
@@ -153,9 +168,11 @@ object Dedup {
       converged = changed == 0L
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] round=$iter changed=$changed")
+      release(labels) // round N materialized — free round N−1's blocks
       labels = next
       iter += 1
     }
+    release(p); release(edges)
     labels
   }
 
@@ -171,10 +188,9 @@ object Dedup {
     // and long-array intersection is far cheaper than string-array
     // intersection in the quadratic verify stage — the hashing itself is
     // linear map-side work.
-    val t = df.select(col(idCol), col(blockCol),
+    val t = graft.Caches.tracked(df.select(col(idCol), col(blockCol),
       transform(array_distinct(tokens(col(textCol))), x => xxhash64(x)).as("w"))
-      .withColumn("nw", size(col("w")))
-      .cache()
+      .withColumn("nw", size(col("w"))))
     val l = t.select(col(blockCol), col(idCol).as("id1"), col("w").as("w1"),
       col("nw").as("n1"))
     val r = t.select(col(blockCol), col(idCol).as("id2"), col("w").as("w2"),

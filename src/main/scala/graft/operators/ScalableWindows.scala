@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global-ORDER-BY window semantics without a global sort.
+  *
+  * `Window.orderBy(x)` with no partition spec plans a single-partition sort:
+  * every row of the input lands on one task — correct at demo scale, dead at
+  * 100 TB. The operators here keep the exact semantics while keeping the
+  * data-bearing windows partitioned; the only global exchange is per-bucket
+  * boundary metadata (one row per bucket).
+  */
+object ScalableWindows {
+
+  /** LAG(orderCol, 1) over the GLOBAL ordering of `orderCol`.
+    *
+    * Topology: bucket rows by `orderCol div bucketWidth` — a deterministic,
+    * fixed-width range partitioning (no `repartitionByRange` sampling, so
+    * the two passes below see identical bucketing by construction). Within
+    * a bucket, LAG is a partitioned window (parallel). The first row of each
+    * bucket takes its predecessor from the running max of per-bucket maxima
+    * — one boundary row per bucket, running max computed over the tiny
+    * aggregate (O(maxValue/bucketWidth) rows ≈ O(#partitions); for streams
+    * where that count itself gets large, bucket the bucket table once more —
+    * the recursion bottoms out immediately). Empty buckets are handled by
+    * the running max: a bucket's predecessor may live many buckets back.
+    *
+    * Requires a numeric, non-null `orderCol` (a stream sequence number).
+    */
+  def globalLag(df: DataFrame, orderCol: String, bucketWidth: Long,
+                prevCol: String): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val oc = col(orderCol)
+    // narrow relation, read twice (rows + boundary aggregate): cache it
+    val b = graft.Caches.tracked(
+      df.withColumn("__bkt", expr(s"`$orderCol` div $bucketWidth")))
+    val local = b.withColumn("__prev_local",
+      lag(oc, 1).over(Window.partitionBy("__bkt").orderBy(orderCol)))
+    val bounds = b.groupBy("__bkt").agg(max(oc).as("__bmax"))
+    // the ONLY unpartitioned window: runs over the per-bucket aggregate
+    // (boundary rows), never the data
+    val prevMax = bounds.withColumn("__prev_bmax",
+        max(col("__bmax")).over(
+          Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__bkt"), col("__prev_bmax"))
+    local.join(broadcast(prevMax), Seq("__bkt"))
+      .withColumn(prevCol, coalesce(col("__prev_local"), col("__prev_bmax")))
+      .drop("__bkt", "__prev_local")
+  }
+}

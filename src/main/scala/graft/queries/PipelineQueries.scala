@@ -109,7 +109,7 @@ object PipelineQueries {
     // blocked self-join, O(log diameter) component rounds, map-side split —
     // no stage touches an unblocked pair space or the driver.
     "pipe_end2end" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d0 = docs(s, dir)
         .withColumn("w", graft.functions.TextFunctions.tokens(col("text")))
         .withColumn("n_tokens", size(col("w")))
         .withColumn("quality", round(
@@ -118,7 +118,7 @@ object PipelineQueries {
             lit(0.3) * graft.functions.TextFunctions.punctRatio(col("text")), 4))
         .filter(col("quality") >= 0.12)
         .select("doc_id", "text", "lang", "source", "n_tokens")
-        .cache()
+      val d = graft.Caches.tracked(d0)
       val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
         blockCol = "source", minJaccard = 0.9)
       val dupes = Dedup.connectedComponents(pairs, "id1", "id2")
@@ -153,9 +153,8 @@ object PipelineQueries {
     // does one dot product, not three (norm recomputation per pair is the
     // classic quadratic-stage mistake at scale).
     "embed_neardup" -> ((s, dir) => {
-      val e = emb(s, dir)
-        .withColumn("nrm", Similarity.norm(col("embedding")))
-        .cache()
+      val e = graft.Caches.tracked(emb(s, dir)
+        .withColumn("nrm", Similarity.norm(col("embedding"))))
       val l = e.select(col("label"), col("vec_id").as("id1"),
         col("embedding").as("v1"), col("nrm").as("n1"))
       val r = e.select(col("label"), col("vec_id").as("id2"),
@@ -215,7 +214,7 @@ object PipelineQueries {
     // stays embarrassingly parallel. The fold uses strict `>` over seeds in
     // ascending cid order, which is exactly ORDER BY cos DESC, cid ASC.
     "ann_ivf_kmeans" -> ((s, dir) => {
-      val e = emb(s, dir).cache()
+      val e = graft.Caches.tracked(emb(s, dir))
       val seedRows = e.filter(col("vec_id") < 8)
         .select(col("vec_id"), col("embedding"))
         .collect()
@@ -229,10 +228,9 @@ object PipelineQueries {
           Similarity.cosine(typedLit(v), col("embedding")).as("s"),
           lit(-cid).as("nc"))
       }: _*)
-      val assigned = e
+      val assigned = graft.Caches.tracked(e
         .select(col("vec_id"), col("embedding"),
-          (-array_max(scored).getField("nc")).as("cid"))
-        .cache()
+          (-array_max(scored).getField("nc")).as("cid")))
       val cent = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")

@@ -23,6 +23,13 @@ import graft.nats.{NatsScan, NatsScanOptions}
   */
 object RelationalQueries {
 
+  /** gap rows (seq, prev_seq, gap) over the global seq order — scale-safe
+    * bucketed LAG, see [[graft.operators.ScalableWindows.globalLag]]. */
+  private def globalLagGaps(df: DataFrame, bucketWidth: Long): DataFrame =
+    graft.operators.ScalableWindows.globalLag(df, "seq", bucketWidth, "prev_seq")
+      .withColumn("gap", col("seq") - col("prev_seq"))
+      .select("seq", "prev_seq", "gap")
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -253,23 +260,39 @@ object RelationalQueries {
     // --- windows ---
 
     // LAG gap detection over the filtered stream (test_sequence_ranges.sql:92-107).
-    // Global ORDER BY window = reference parity; scale path is the
-    // partitioned variant below (q_window_partition).
+    // Scale-safe global-order LAG: a naive `Window.orderBy(seq)` plans a
+    // SINGLE-PARTITION global sort — at 100× the whole filtered stream lands
+    // on one task. Instead, bucket seq by a fixed width (deterministic — no
+    // range-sampling nondeterminism): LAG within a bucket is a partitioned
+    // window (parallel), and the only cross-bucket data is ONE boundary row
+    // per bucket (max seq), whose running max supplies the predecessor of
+    // each bucket's first row even across empty buckets. The lone global
+    // window left in the plan runs over the tiny per-bucket aggregate
+    // (O(maxSeq/W) rows ≈ O(#partitions)) — the boundary-row exchange, not
+    // the data. PlanAuditSpec asserts this shape.
     "q_window_lag" -> ((s, dir) => {
-      val w = Window.orderBy("seq")
-      NatsScan.scanDir(s, dir, opts = NatsScanOptions(subjectContains = Some("purchase")))
-        .select(col("seq"), lag("seq", 1).over(w).as("prev_seq"))
-        .withColumn("gap", col("seq") - col("prev_seq"))
+      globalLagGaps(
+        NatsScan.scanDir(s, dir,
+          opts = NatsScanOptions(subjectContains = Some("purchase")))
+          .select(col("seq")),
+        bucketWidth = 4096L)
         .filter(col("gap") > 1)
         .orderBy("seq")
     }),
 
+    // Scale-safe global top-k + rank: rn <= 100 means only the top 100 rows
+    // survive, so fetch them with orderBy+limit (TakeOrderedAndProject — the
+    // distributed top-k that never sorts a whole partition's data globally)
+    // and number the 100 survivors with a local window. The tie order is the
+    // same total order in both stages (price DESC, key ASC), so the ranks
+    // are identical to numbering the full table.
     "q_window_rownum" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val ord = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
       t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_totalprice"),
-          row_number().over(w).as("rn"))
-        .filter(col("rn") <= 100)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(ord: _*)
+        .limit(100)
+        .withColumn("rn", row_number().over(Window.orderBy(ord: _*)))
         .orderBy("rn")
     }),
 

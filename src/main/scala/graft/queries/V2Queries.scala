@@ -12,6 +12,20 @@ object V2Queries {
   private def v2(s: SparkSession, dir: String): DataFrame =
     s.read.format("nats_scan").option("dir", dir).load()
 
+  /** unique scratch store per invocation, removed on JVM exit. */
+  private def freshSinkDir(): String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_v2_sink_")
+    val f = p.toFile
+    sys.addShutdownHook {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
+        x.delete(): Unit
+      }
+      rm(f)
+    }
+    f.getAbsolutePath
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // seq range pushed down → row-group pruning + parquet record filter
@@ -46,7 +60,12 @@ object V2Queries {
     // and aggregate. The oracle recomputes from the fixture directly — a
     // writer bug (lost rows, mangled timestamps/payloads) breaks the match.
     "v2_sink_roundtrip" -> ((s, dir) => {
-      val out = s"/tmp/graft_v2_sink_${new java.io.File(dir).getName}"
+      // per-invocation unique store: enumerating the query inventory (plan
+      // dumps, schema audits) triggers this write eagerly, and two
+      // concurrent runs on a shared fixed path would race truncate vs read.
+      // Unique dirs make every invocation self-contained; a shutdown hook
+      // reclaims them.
+      val out = V2Queries.freshSinkDir()
       v2(s, dir)
         .filter(col("seq") <= 2000L)
         .write.format("nats_scan").option("dir", out)

@@ -56,8 +56,9 @@ final class NatsScanScan(file: String, dir: String, stream: String,
       // across part files directly on seq / ts_nats statistics. Only
       // committed files count — '_'/'.'-prefixed names are staged epochs,
       // checksum siblings, or aborted attempts and may be partial.
-      nativeDir.listFiles((f: java.io.File) => f.getName.endsWith(".parquet") &&
-          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      Option(nativeDir.listFiles((f: java.io.File) => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+        .getOrElse(sys.error(s"nats_scan: cannot list message store $nativeDir"))
         .sortBy(_.getName)
         .flatMap(f => planFile(f.getPath, native = true))
     } else planFile(file, native = false)

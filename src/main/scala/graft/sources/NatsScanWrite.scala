@@ -148,9 +148,14 @@ final class NatsScanWriterFactory(stagingDir: String, schema: StructType,
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] = {
-    val name = f"part-$partitionId%05d-$jobToken.parquet"
-    new NatsScanDataWriter(stagingDir, schema, writeName = name,
-      finalName = name)
+    // staged name embeds the task attempt id: a speculative or retried
+    // attempt must never open the same staging path as a crashed attempt's
+    // leftover partial file (which never ran abort()). The committed name
+    // stays deterministic per (partition, job) so replay is idempotent.
+    val finalName = f"part-$partitionId%05d-$jobToken.parquet"
+    new NatsScanDataWriter(stagingDir, schema,
+      writeName = f"part-$partitionId%05d-$jobToken-t$taskId.parquet",
+      finalName = finalName)
   }
 }
 
@@ -193,8 +198,17 @@ final class NatsScanDataWriter(dir: String, schema: StructType,
     val g = factory.newGroup()
     if (!row.isNullAt(iSubject))
       g.append("subject", row.getUTF8String(iSubject).toString)
-    if (!row.isNullAt(iSeq)) g.append("seq", row.getLong(iSeq))
-    if (!row.isNullAt(iTs)) g.append("ts_nats", row.getLong(iTs)) // already µs
+    // seq and ts_nats are MANDATORY offset columns: the read path pushes
+    // gtEq/ltEq parquet filters and row-group pruning on them, and the
+    // streaming offset axis is seq — a null would be silently unreachable.
+    // Reject at write time instead (JetStream itself never emits null
+    // seq/ts either, /root/reference/src/nats_scan.cpp:747-776).
+    require(!row.isNullAt(iSeq),
+      "nats_scan writer: seq is a required offset column (got NULL)")
+    require(!row.isNullAt(iTs),
+      "nats_scan writer: ts_nats is a required offset column (got NULL)")
+    g.append("seq", row.getLong(iSeq))
+    g.append("ts_nats", row.getLong(iTs)) // already µs
     if (!row.isNullAt(iPayload))
       g.append("payload", Binary.fromConstantByteArray(row.getBinary(iPayload)))
     writer.write(g)

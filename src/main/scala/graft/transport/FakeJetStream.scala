@@ -1,0 +1,136 @@
+package graft.transport
+
+import java.util.concurrent.ConcurrentSkipListMap
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/** In-JVM fake JetStream: a process-local "server" registry keyed by
+  * host:port, each server holding streams as seq-ordered maps with real gap
+  * semantics (deleted sequences answer NOT_FOUND, exactly what Direct Get
+  * returns for compacted messages, nats_scan.cpp:725-729).
+  *
+  * This is the offline stand-in for a network JetStream cluster: everything
+  * the reference exercises against a live server — lazy connect, connect
+  * timeout, stream-not-found, per-seq Direct Get, NOT_FOUND gap skip,
+  * timestamp binary search — runs for real against this fake, in-process.
+  * It is intentionally NOT a mock: messages are stored, fetched and gap-
+  * skipped through the same [[JetStreamTransport]] code paths a live client
+  * would use. Only the wire is missing.
+  */
+final class FakeJetStreamServer {
+  private val streams =
+    new TrieMap[String, ConcurrentSkipListMap[Long, TransportMsg]]()
+
+  def addStream(name: String): Unit = {
+    require(name.nonEmpty, "stream name must not be empty")
+    streams.putIfAbsent(name, new ConcurrentSkipListMap[Long, TransportMsg]())
+    ()
+  }
+
+  /** publish at an explicit sequence (fixture loading). */
+  def publish(stream: String, seq: Long, subject: String, tsNs: Long,
+              payload: Array[Byte]): Unit = {
+    addStream(stream)
+    streams(stream).put(seq, TransportMsg(subject, seq, tsNs, payload))
+    ()
+  }
+
+  /** delete one message — subsequent Direct Gets at `seq` answer NOT_FOUND
+    * (how JetStream compaction/MsgDelete creates sequence gaps). */
+  def deleteMsg(stream: String, seq: Long): Unit = {
+    streams.get(stream).foreach(_.remove(seq))
+  }
+
+  def hasStream(name: String): Boolean = streams.contains(name)
+
+  private[transport] def state(stream: String): Option[StreamState] =
+    streams.get(stream).map { m =>
+      if (m.isEmpty) StreamState(0L, 0L, 0L)
+      else StreamState(m.firstKey(), m.lastKey(), m.size().toLong)
+    }
+
+  private[transport] def get(stream: String, seq: Long): Option[TransportMsg] =
+    streams.get(stream).flatMap(m => Option(m.get(seq)))
+
+  private[transport] def range(stream: String, from: Long, to: Long,
+                               max: Int): Array[TransportMsg] =
+    streams.get(stream) match {
+      case None => Array.empty
+      case Some(m) =>
+        m.subMap(from, true, to, true).values().iterator().asScala
+          .take(max).toArray
+    }
+}
+
+object FakeJetStream {
+  private val registry = new TrieMap[String, FakeJetStreamServer]()
+  private val blackholes = new TrieMap[String, Unit]()
+
+  /** start (or reuse) a fake server listening at `host:port` (also accepts a
+    * full nats:// URL for convenience). */
+  def listen(address: String): FakeJetStreamServer =
+    registry.getOrElseUpdate(normalize(address), new FakeJetStreamServer)
+
+  /** register an address that accepts the TCP dial but never completes the
+    * NATS handshake — connects to it time out (error test E4's wrong-port /
+    * unreachable-server shape). */
+  def blackhole(address: String): Unit = {
+    blackholes.put(normalize(address), ())
+    ()
+  }
+
+  def reset(): Unit = { registry.clear(); blackholes.clear() }
+
+  private def normalize(address: String): String =
+    if (address.startsWith("nats://")) {
+      val u = new java.net.URI(address)
+      s"${u.getHost}:${if (u.getPort < 0) 4222 else u.getPort}"
+    } else address
+
+  /** connect semantics (called by [[Transport.connect]]): resolves the
+    * address against the in-JVM registry the way a dialer resolves a socket.
+    * The blackhole branch really waits out the timeout — connect-timeout
+    * handling is part of what the specs exercise. */
+  private[transport] def dial(addr: String, timeoutMs: Long): JetStreamTransport = {
+    if (blackholes.contains(addr)) {
+      Thread.sleep(math.max(0L, timeoutMs))
+      throw new NatsConnectException("Failed to connect to NATS: Timeout")
+    }
+    val server = registry.getOrElse(addr,
+      throw new NatsConnectException(
+        "Failed to connect to NATS: No server available for connection"))
+    new FakeTransport(server)
+  }
+}
+
+/** Client handle over one fake server. Counts "RPCs" (one per Direct Get,
+  * one per batched fetch, one per stream-info) so specs can assert the
+  * transport topology: binary search ≈ log2(n) probes, bounded scans ≈
+  * ceil(n/batch) fetches — not one call per message. */
+final class FakeTransport(server: FakeJetStreamServer) extends JetStreamTransport {
+  private val rpcs = new java.util.concurrent.atomic.AtomicLong(0L)
+  def rpcCount: Long = rpcs.get()
+
+  override def streamInfo(stream: String): StreamState = {
+    rpcs.incrementAndGet()
+    if (stream.isEmpty)
+      throw new NatsStreamNotFoundException(
+        "Failed to get stream info: invalid stream name (empty)")
+    server.state(stream).getOrElse(
+      throw new NatsStreamNotFoundException(
+        s"Failed to get stream info: stream not found ($stream)"))
+  }
+
+  override def directGet(stream: String, seq: Long): Option[TransportMsg] = {
+    rpcs.incrementAndGet()
+    server.get(stream, seq)
+  }
+
+  override def fetch(stream: String, fromSeq: Long, toSeq: Long,
+                     max: Int): Array[TransportMsg] = {
+    rpcs.incrementAndGet()
+    server.range(stream, fromSeq, toSeq, max)
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,82 @@
+package graft.transport
+
+/** The JetStream client surface the reference engine consumes — extracted as
+  * a seam so the same Spark scan code runs against any wire implementation.
+  *
+  * The reference talks to JetStream through exactly four client touchpoints
+  * (/root/reference/src/nats_scan.cpp):
+  *   - connect with a 5 s timeout                      (:609-636)
+  *   - stream info (FirstSeq/LastSeq)                  (:646-658)
+  *   - Direct Get one message by sequence, NOT_FOUND
+  *     meaning a gap to skip                           (:713-729)
+  *   - timestamp→sequence binary search built from
+  *     repeated Direct Gets                            (:548-595)
+  * This trait is those touchpoints, nothing more. [[FakeJetStream]] provides
+  * the in-JVM implementation (the sandbox has no network); a production
+  * build would implement the same trait over jnats and change NOTHING above
+  * this seam — `docs/LIVE_NATS.md` specifies that deployment (per-task
+  * ordered consumers, batched fetch, pooled connections).
+  */
+trait JetStreamTransport extends AutoCloseable {
+
+  /** FirstSeq/LastSeq of the stream — the analog of js_GetStreamInfo
+    * (nats_scan.cpp:646-653). Throws [[NatsStreamNotFoundException]]. */
+  def streamInfo(stream: String): StreamState
+
+  /** Direct Get by sequence (nats_scan.cpp:713-723). `None` == NATS_NOT_FOUND:
+    * a deleted/compacted message — callers skip to the next sequence
+    * (:725-729), they do not fail. */
+  def directGet(stream: String, seq: Long): Option[TransportMsg]
+
+  /** Batched pull of `[fromSeq, toSeq]`, at most `max` messages, gaps
+    * skipped. One "RPC" per call — the scale lever over the reference's
+    * one-RPC-per-message loop (docs/LIVE_NATS.md: Fetch(batch=2048)).
+    * Returns messages in sequence order. */
+  def fetch(stream: String, fromSeq: Long, toSeq: Long, max: Int): Array[TransportMsg]
+
+  def close(): Unit
+}
+
+/** One message as the wire returns it: raw ns publish time (the envelope's
+  * µs ts_nats truncation happens at the scan, same as the parquet path). */
+final case class TransportMsg(subject: String, seq: Long, tsNs: Long,
+                              payload: Array[Byte])
+
+/** js_GetStreamInfo subset the scan needs (State.FirstSeq / State.LastSeq). */
+final case class StreamState(firstSeq: Long, lastSeq: Long, messages: Long)
+
+/** Connect failures — message shapes mirror the reference's error surface
+  * (nats_scan.cpp:633-635): "Failed to connect to NATS: <status text>". */
+final class NatsConnectException(msg: String) extends RuntimeException(msg)
+
+/** Unknown stream — "Failed to get stream info: <status text>"
+  * (nats_scan.cpp:650-652). */
+final class NatsStreamNotFoundException(msg: String) extends RuntimeException(msg)
+
+object Transport {
+
+  /** Default connect timeout — the reference pins 5000 ms
+    * (nats_scan.cpp:617-618). */
+  val DefaultTimeoutMs = 5000L
+
+  /** Lazy connect: resolve `url` to a transport, failing with the
+    * reference's error shapes. In this offline build resolution goes through
+    * the [[FakeJetStream]] in-JVM registry; a live build would construct a
+    * jnats connection here (same URL syntax, same timeout contract).
+    *
+    *   - malformed / non-nats URL      → "Failed to connect to NATS: Invalid URL"
+    *   - no server at the address      → "Failed to connect to NATS: No server available for connection"
+    *   - unresponsive address          → after `timeoutMs`: "Failed to connect to NATS: Timeout"
+    */
+  def connect(url: String, timeoutMs: Long = DefaultTimeoutMs): JetStreamTransport = {
+    val parsed =
+      try {
+        val u = new java.net.URI(url)
+        if (u.getScheme != "nats" || u.getHost == null) None else Some(u)
+      } catch { case _: Exception => None }
+    val u = parsed.getOrElse(
+      throw new NatsConnectException(s"Failed to connect to NATS: Invalid URL ($url)"))
+    val addr = s"${u.getHost}:${if (u.getPort < 0) 4222 else u.getPort}"
+    FakeJetStream.dial(addr, timeoutMs)
+  }
+}

@@ -85,4 +85,24 @@ class OperatorPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == want, s"edges=$edges")
     }
   }
+
+  test("connectedComponents reliable-checkpoint mode == localCheckpoint mode") {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    // chain + triangle + isolated pair: exercises multi-round convergence
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("id1", "id2")
+    val local = graft.operators.Dedup
+      .connectedComponents(edges, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = graft.operators.Dedup
+      .connectedComponents(edges, "id1", "id2", checkpointDir = Some(ckpt))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == reliable)
+    assert(reliable(5L) == 1L && reliable(12L) == 10L && reliable(21L) == 20L)
+    // reliable mode actually wrote checkpoint data to the DFS dir
+    def count(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(count).sum else 1
+    assert(count(new java.io.File(ckpt)) > 0, "no reliable checkpoint files written")
+  }
 }

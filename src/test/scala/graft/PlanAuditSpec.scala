@@ -119,6 +119,59 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() == naive)
   }
 
+  /** windows with an empty partition spec = single-partition global sorts;
+    * allowed ONLY over bounded relations (an aggregate's boundary rows or a
+    * top-k limit's survivors), never over the data-bearing scan. */
+  private def auditGlobalWindows(df: org.apache.spark.sql.DataFrame): Unit = {
+    val plan = df.queryExecution.sparkPlan
+    val globals = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    globals.foreach { w =>
+      val bounded = w.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+        case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+      }
+      assert(bounded.nonEmpty,
+        s"global-sort Window over unbounded data:\n$w")
+    }
+  }
+
+  test("q_window_lag: no global sort window over the data (bucketed LAG)") {
+    val df = graft.queries.RelationalQueries.queries("q_window_lag")(spark, dir)
+    auditGlobalWindows(df)
+    // the data-bearing LAG must be a PARTITIONED window
+    val partitioned = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.nonEmpty => w
+    }
+    assert(partitioned.nonEmpty, "expected a bucket-partitioned LAG window")
+  }
+
+  test("q_window_rownum: top-k via TakeOrderedAndProject, window only on survivors") {
+    val df = graft.queries.RelationalQueries.queries("q_window_rownum")(spark, dir)
+    auditGlobalWindows(df)
+    val p = physical(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("bucketed globalLag ≡ naive global window LAG (equivalence property)") {
+    val base = NatsScan.scanDir(spark, dir).select("seq")
+    for (width <- Seq(7L, 100L, 4096L)) {
+      val fast = graft.operators.ScalableWindows
+        .globalLag(base, "seq", width, "prev_seq")
+        .select("seq", "prev_seq").orderBy("seq")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      val naive = base.withColumn("prev_seq",
+          lag("seq", 1).over(org.apache.spark.sql.expressions.Window.orderBy("seq")))
+        .orderBy("seq")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      assert(fast.sameElements(naive), s"width=$width mismatch")
+    }
+  }
+
   test("native message store scan prunes by seq and filters records") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_audit_native").toString
     spark.read.format("nats_scan").option("dir", dir).load()
