@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.V2Queries.queries ++
       graft.queries.MultimodalQueries.queries ++
-      graft.queries.ScaleQueries.queries
+      graft.queries.ScaleQueries.queries ++
+      graft.queries.TransportQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.NatsQueries.oracleSql ++
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.V2Queries.oracleSql ++
       graft.queries.MultimodalQueries.oracleSql ++
-      graft.queries.ScaleQueries.oracleSql
+      graft.queries.ScaleQueries.oracleSql ++
+      graft.queries.TransportQueries.oracleSql
 }

@@ -1,0 +1,188 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.transport.FakeJetStream
+
+/** Transport-mode queries: the same `nats_scan` surface, but served through
+  * the [[graft.transport.JetStreamTransport]] seam from an in-JVM fake
+  * JetStream server — lazy connect, stream info, slice partitioning, remote
+  * binary-search time resolution, batched fetch, NOT_FOUND gap skip all run
+  * for real (TransportSpec exercises the error surfaces the reference's
+  * test_connection_errors.sql documents).
+  *
+  * Every oracle below recomputes from `events.parquet` directly, so a
+  * transport bug — lost slice, wrong binary-search bound, broken gap skip,
+  * mangled payload — breaks the hash match.
+  */
+object TransportQueries {
+
+  /** Gap period for the `events_gappy` stream: every 97th sequence is
+    * deleted (Direct Get answers NOT_FOUND there, like a compacted msg). */
+  val GapPeriod = 97L
+
+  private val fixtures = new ConcurrentHashMap[String, String]()
+
+  /** Start (or reuse) the fake server for `dir`'s fixture and return its
+    * URL. Population collects the events fixture onto the driver ONCE per
+    * (JVM, sf dir) — that is fixture loading for an in-memory fake server
+    * (a server holds its messages by definition), not a query path; scans
+    * then go through the transport like any client. */
+  def fixtureUrl(s: SparkSession, dir: String): String =
+    fixtures.computeIfAbsent(dir, _ => {
+      // dots would make java.net.URI treat the trailing label as a TLD/IPv4
+      // fragment and null the host — keep the fixture hostname dot-free
+      val url =
+        s"nats://fixture-${new java.io.File(dir).getName.replace('.', '-')}:4222"
+      val srv = FakeJetStream.listen(url)
+      val rows = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("ts"), col("props"))
+        .collect()
+      rows.foreach { r =>
+        val seq = r.getLong(0) + 1L // JetStream seqs start at 1
+        val subject = s"events.${r.getString(1)}.${r.getLong(2)}"
+        val payload = r.getString(4).getBytes("UTF-8")
+        srv.publish("events", seq, subject, r.getLong(3), payload)
+        srv.publish("events_gappy", seq, subject, r.getLong(3), payload)
+      }
+      // punch NOT_FOUND gaps into the gappy stream
+      rows.foreach { r =>
+        val seq = r.getLong(0) + 1L
+        if (seq % GapPeriod == 0L) srv.deleteMsg("events_gappy", seq)
+      }
+      url
+    })
+
+  /** transport-mode reader with small slices so even sf0.001 plans several
+    * independent slice partitions (65536 default would be one task). */
+  private def scan(s: SparkSession, dir: String,
+                   options: Map[String, String] = Map.empty): DataFrame = {
+    val base = s.read.format("nats_scan")
+      .option("url", fixtureUrl(s, dir))
+      .option("slice_width", "1024")
+    options.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // full scan through the transport: slice planning + batched fetch
+    "transport_scan_full" -> ((s, dir) =>
+      scan(s, dir)
+        .select(col("stream"), col("subject"), col("seq"), col("ts_nats"),
+          expr("octet_length(payload)").as("payload_bytes"))
+        .orderBy("seq")),
+
+    // Catalyst seq predicates → slice pruning (only slices overlapping
+    // [1001, 3000] are planned; asserted in TransportSpec)
+    "transport_seq_range" -> ((s, dir) =>
+      scan(s, dir)
+        .filter(col("seq") >= 1001L && col("seq") <= 3000L)
+        .select("seq", "subject", "ts_nats")
+        .orderBy("seq")),
+
+    // bind-time time range → REMOTE binary search (log2(n) Direct Gets on
+    // the driver), reference end-time quirk reproduced bit-for-bit: the
+    // first message at-or-after end_time is INCLUDED (nats_scan.cpp:684-698)
+    "transport_time_range" -> ((s, dir) =>
+      scan(s, dir, Map(
+          "start_time" -> "2024-01-05T00:00:00Z",
+          "end_time" -> "2024-01-10T00:00:00Z"))
+        .select("seq", "ts_nats", "subject")
+        .orderBy("seq")),
+
+    // Catalyst-pushed ts predicates: binary search still prunes the seq
+    // window, but the µs bound is re-checked per message — CLEAN semantics
+    // (same results as the parquet path's nats_time_range)
+    "transport_time_pushdown" -> ((s, dir) =>
+      scan(s, dir)
+        .filter(col("ts_nats") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")) &&
+          col("ts_nats") <= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")))
+        .select("seq", "ts_nats", "subject")
+        .orderBy("seq")),
+
+    // bind-time subject substring + pushed seq bound composed
+    "transport_subject_seq" -> ((s, dir) =>
+      scan(s, dir, Map("subject" -> "purchase"))
+        .filter(col("seq") <= 5000L)
+        .groupBy(element_at(split(col("subject"), "\\."), 2).as("etype"))
+        .agg(count(lit(1)).as("n"), min("seq").as("min_seq"),
+          max("seq").as("max_seq"))
+        .orderBy("etype")),
+
+    // NOT_FOUND gap skip: every 97th sequence is deleted server-side; the
+    // scan must skip gaps silently (reference :725-729), never error, and
+    // batched fetches must return exactly the surviving messages
+    "transport_gap_skip" -> ((s, dir) =>
+      scan(s, dir, Map("stream" -> "events_gappy"))
+        .agg(count(lit(1)).as("n"),
+          min("seq").as("min_seq"), max("seq").as("max_seq"),
+          sum(expr("octet_length(payload)")).as("payload_bytes"),
+          max("ts_nats").as("max_ts"))),
+
+    // pruning equivalence: the transport scan and the parquet-backed scan
+    // answer an identical bounded query identically (oracle recomputes from
+    // the fixture — this is the "transport scan ≡ parquet scan" property
+    // wired into the correctness gate)
+    "transport_parquet_parity" -> ((s, dir) => {
+      val viaTransport = scan(s, dir)
+        .filter(col("seq") >= 2001L && col("seq") <= 4000L)
+        .select("seq", "subject", "ts_nats")
+      val viaParquet = graft.nats.NatsScan.scanDir(s, dir,
+          opts = graft.nats.NatsScanOptions(startSeq = Some(2001L),
+            endSeq = Some(4000L)))
+        .select("seq", "subject", "ts_nats")
+      viaTransport.union(viaParquet)
+        .groupBy("seq", "subject", "ts_nats")
+        .agg(count(lit(1)).as("n_paths")) // 2 everywhere ⟺ scans agree
+        .filter(col("n_paths") =!= 2)
+        .agg(count(lit(1)).as("n_disagreements"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val env = NatsQueries.envSql
+    Map(
+      "transport_scan_full" ->
+        s"""$env SELECT stream, subject, seq, ts_nats,
+           | CAST(octet_length(payload::BLOB) AS INTEGER) AS payload_bytes
+           | FROM env ORDER BY seq""".stripMargin,
+
+      "transport_seq_range" ->
+        s"$env SELECT seq, subject, ts_nats FROM env WHERE seq BETWEEN 1001 AND 3000 ORDER BY seq",
+
+      "transport_time_range" ->
+        s"""$env, b AS (
+           |  SELECT min(CASE WHEN ts_nats >= TIMESTAMP '2024-01-05 00:00:00' THEN seq END) AS start_seq,
+           |         coalesce(min(CASE WHEN ts_nats >= TIMESTAMP '2024-01-10 00:00:00' THEN seq END),
+           |                  max(seq)) AS end_seq
+           |  FROM env)
+           | SELECT seq, ts_nats, subject FROM env, b
+           | WHERE seq >= start_seq AND seq <= end_seq ORDER BY seq""".stripMargin,
+
+      "transport_time_pushdown" ->
+        s"""$env SELECT seq, ts_nats, subject FROM env
+           | WHERE ts_nats >= TIMESTAMP '2024-01-05 00:00:00'
+           |   AND ts_nats <= TIMESTAMP '2024-01-10 00:00:00' ORDER BY seq""".stripMargin,
+
+      "transport_subject_seq" ->
+        s"""$env SELECT string_split(subject, '.')[2] AS etype, count(*) AS n,
+           | min(seq) AS min_seq, max(seq) AS max_seq
+           | FROM env WHERE subject LIKE '%purchase%' AND seq <= 5000
+           | GROUP BY 1 ORDER BY etype""".stripMargin,
+
+      "transport_gap_skip" ->
+        s"""$env SELECT count(*) AS n, min(seq) AS min_seq, max(seq) AS max_seq,
+           | CAST(sum(octet_length(payload::BLOB)) AS BIGINT) AS payload_bytes,
+           | max(ts_nats) AS max_ts
+           | FROM env WHERE seq % $GapPeriod <> 0""".stripMargin,
+
+      "transport_parquet_parity" ->
+        "SELECT CAST(0 AS BIGINT) AS n_disagreements"
+    )
+  }
+}

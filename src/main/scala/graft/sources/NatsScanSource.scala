@@ -56,11 +56,30 @@ object NatsScanSource {
 
 final class NatsScanTable(props: Map[String, String])
     extends Table with SupportsRead with SupportsWrite {
-  private val dir = props.getOrElse("dir",
-    props.getOrElse("path", sys.error("nats_scan: 'dir' option required")))
+  /** `url` set → transport mode (live/fake JetStream through the
+    * [[graft.transport.JetStreamTransport]] seam); otherwise the
+    * parquet-backed store under `dir`. Same envelope, same pushdown. */
+  private val url = props.get("url")
+  private val dir = props.get("dir").orElse(props.get("path")).getOrElse {
+    if (url.isDefined) ""
+    else sys.error("nats_scan: 'dir' option required")
+  }
   private val stream = props.getOrElse("stream", "events")
 
-  override def name(): String = s"nats_scan($stream @ $dir)"
+  // bind-time parameter validation — the reference's mutual-exclusion rules
+  // fire at bind, before any connection is attempted (nats_scan.cpp:267-285)
+  locally {
+    graft.nats.NatsScanOptions(
+      subjectContains = props.get("subject"),
+      url = url,
+      startSeq = props.get("start_seq").map(_.toLong),
+      endSeq = props.get("end_seq").map(_.toLong),
+      startTime = props.get("start_time").map(java.time.Instant.parse),
+      endTime = props.get("end_time").map(java.time.Instant.parse)).validate()
+  }
+
+  override def name(): String =
+    s"nats_scan($stream @ ${url.getOrElse(dir)})"
   override def schema(): StructType = NatsScanSource.envelopeSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
@@ -70,12 +89,37 @@ final class NatsScanTable(props: Map[String, String])
   private val maxPerBatch =
     props.getOrElse("max_msgs_per_batch", "1000").toLong
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NatsScanBuilder(s"$dir/$stream.parquet", dir, stream, maxPerBatch)
+  private def nsOf(iso: String): Long = {
+    val i = java.time.Instant.parse(iso)
+    Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000000L), i.getNano.toLong)
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val transport = url.map { u =>
+      TransportBind(u,
+        startSeq = props.get("start_seq").map(_.toLong),
+        endSeq = props.get("end_seq").map(_.toLong),
+        startTimeNs = props.get("start_time").map(nsOf),
+        endTimeNs = props.get("end_time").map(nsOf),
+        subject = props.get("subject"),
+        sliceWidth = props.getOrElse("slice_width", "65536").toLong,
+        connectTimeoutMs = props.getOrElse("connect_timeout_ms",
+          graft.transport.Transport.DefaultTimeoutMs.toString).toLong)
+    }
+    new NatsScanBuilder(s"$dir/$stream.parquet", dir, stream, maxPerBatch,
+      transport)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new NatsScanWriteBuilder(dir, stream, info)
 }
+
+/** bind-time transport parameters (reference named params, nats_scan.cpp:207-423) */
+final case class TransportBind(url: String,
+                               startSeq: Option[Long], endSeq: Option[Long],
+                               startTimeNs: Option[Long], endTimeNs: Option[Long],
+                               subject: Option[String],
+                               sliceWidth: Long, connectTimeoutMs: Long)
 
 /** Accepts seq/ts/subject predicates; everything else stays residual.
   * Bounds are accumulated as [seqLo, seqHi] (1-based inclusive) and
@@ -85,7 +129,8 @@ final class NatsScanTable(props: Map[String, String])
   *   ts_nats <= T  ⟺  ts_ns <= T_µs * 1000 + 999.
   */
 final class NatsScanBuilder(file: String, dir: String, stream: String,
-                            maxPerBatch: Long)
+                            maxPerBatch: Long,
+                            transport: Option[TransportBind] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -149,7 +194,17 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new NatsScanScan(file, dir, stream, required, seqLo, seqHi, tsLoNs,
-      tsHiNs, subjectContains, maxPerBatch)
+  override def build(): Scan = transport match {
+    case Some(tb) =>
+      new NatsTransportScan(tb.url, stream, required,
+        seqLo = math.max(seqLo, tb.startSeq.getOrElse(1L)),
+        seqHi = math.min(seqHi, tb.endSeq.getOrElse(Long.MaxValue)),
+        tsLoNs = tsLoNs, tsHiNs = tsHiNs,
+        startTimeNs = tb.startTimeNs, endTimeNs = tb.endTimeNs,
+        subjectContains = tb.subject.toList ::: subjectContains,
+        sliceWidth = tb.sliceWidth, connectTimeoutMs = tb.connectTimeoutMs)
+    case None =>
+      new NatsScanScan(file, dir, stream, required, seqLo, seqHi, tsLoNs,
+        tsHiNs, subjectContains, maxPerBatch)
+  }
 }

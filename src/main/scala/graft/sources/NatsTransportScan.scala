@@ -1,0 +1,244 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.transport.{JetStreamTransport, Transport, TransportMsg}
+
+/** Transport-mode physical scan: the SAME query surface as the parquet-backed
+  * scan, but bytes come from a (fake or live) JetStream server through the
+  * [[graft.transport.JetStreamTransport]] seam.
+  *
+  * Topology (docs/LIVE_NATS.md; contrast /root/reference/src/nats_scan.cpp):
+  *   - PLAN TIME, driver: lazy connect (reference does this on first execute,
+  *     :609-636 — here planning IS the first touch), stream info for
+  *     FirstSeq/LastSeq (:646-658), then timestamp bounds resolve to a seq
+  *     window via remote binary search (:548-595) — O(log n) Direct Gets,
+  *     never a stream enumeration.
+  *   - The resolved [seqLo, seqHi] splits into fixed-width slices; each Spark
+  *     task owns one slice — 1000 executors = 1000 independent cursors,
+  *     where the reference pins MaxThreads()=1 (:197-199).
+  *   - RUN TIME, executor: each reader pulls its slice in fetch batches
+  *     (2048 msgs per "RPC", the reference's own emission chunk), skipping
+  *     NOT_FOUND gaps (:725-729). Subject filtering is the reference's
+  *     substring semantics (:741-746), applied message-level.
+  *
+  * Time-range semantics: `startTimeNs`/`endTimeNs` come from bind-time
+  * options and reproduce the reference BIT-FOR-BIT, including the end-time
+  * quirk — end_seq becomes the FIRST message at-or-after end_time, which is
+  * then INCLUDED (:684-698: resolved end seq is used as an inclusive bound,
+  * so one message with ts >= end_time leaks in). Catalyst-pushed ts_nats
+  * predicates (tsLoNs/tsHiNs) instead keep exact filter semantics: binary
+  * search still prunes the seq window, but the µs-truncated bound is
+  * re-checked per message.
+  */
+final class NatsTransportScan(url: String, stream: String, required: StructType,
+                              seqLo: Long, seqHi: Long,
+                              tsLoNs: Long, tsHiNs: Long,
+                              startTimeNs: Option[Long], endTimeNs: Option[Long],
+                              subjectContains: List[String],
+                              sliceWidth: Long, connectTimeoutMs: Long)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"nats_transport url=$url stream=$stream seq=[$seqLo,$seqHi] " +
+      s"tsNs=[$tsLoNs,$tsHiNs] time=[$startTimeNs,$endTimeNs] " +
+      s"subjectContains=$subjectContains slice=$sliceWidth"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (stream.isEmpty)
+      throw new IllegalArgumentException(
+        "nats_scan: stream name must not be empty")
+    val t = Transport.connect(url, connectTimeoutMs)
+    try {
+      val info = t.streamInfo(stream)
+      if (info.messages == 0L) return Array.empty
+      var lo = math.max(seqLo, info.firstSeq)
+      var hi = math.min(seqHi, info.lastSeq)
+
+      // bind-time time range → remote binary search (reference :661-701)
+      startTimeNs.foreach { ts =>
+        NatsTransportScan.resolveTimestamp(t, stream, ts, info.firstSeq,
+            info.lastSeq) match {
+          case Some(seq) => lo = math.max(lo, seq)
+          case None => return Array.empty // no message at/after start_time
+        }
+      }
+      endTimeNs.foreach { ts =>
+        // reference quirk: the first message AT-OR-AFTER end_time becomes the
+        // INCLUSIVE end bound (:694-697); when none exists, LastSeq stands
+        NatsTransportScan.resolveTimestamp(t, stream, ts, info.firstSeq,
+          info.lastSeq).foreach(seq => hi = math.min(hi, seq))
+      }
+      // Catalyst-pushed ts bounds also prune the seq window — with the
+      // GAP-SAFE search (exact-filter contract: pruning must never drop a
+      // matching message, so the reference's lossy NOT_FOUND step is out);
+      // the per-message residue in the reader keeps the µs bound exact
+      if (tsLoNs != Long.MinValue)
+        NatsTransportScan.resolveTimestampGapSafe(t, stream, tsLoNs,
+            info.firstSeq, info.lastSeq) match {
+          case Some(seq) => lo = math.max(lo, seq)
+          case None => return Array.empty
+        }
+      if (tsHiNs != Long.MaxValue)
+        NatsTransportScan.resolveTimestampGapSafe(t, stream, tsHiNs + 1,
+            info.firstSeq, info.lastSeq)
+          .foreach(seq => hi = math.min(hi, seq - 1))
+
+      if (lo > hi) return Array.empty
+      // fixed-width seq slices: partition count is O(range/width) driver
+      // arithmetic — never an enumeration of messages
+      val slices = Iterator.iterate(lo)(_ + sliceWidth).takeWhile(_ <= hi)
+      slices.map { s =>
+        NatsTransportPartition(url, stream, s,
+          math.min(hi, s + sliceWidth - 1)): InputPartition
+      }.toArray
+    } finally t.close()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NatsTransportReaderFactory(required, tsLoNs, tsHiNs, subjectContains,
+      connectTimeoutMs)
+}
+
+object NatsTransportScan {
+  /** Remote binary search: first sequence whose message time is >= `tsNs`,
+    * None when every message is earlier. Mirrors the reference probe loop
+    * (nats_scan.cpp:548-595) BIT-FOR-BIT, including its NOT_FOUND handling:
+    * a gap at the midpoint advances `left = mid + 1` (:568-572), silently
+    * discarding the left half — on a gappy stream the reference can resolve
+    * to a LATER sequence than the true first-at-or-after (TransportSpec pins
+    * this). Used for bind-time start_time/end_time (reference parity).
+    * O(log n) Direct Gets. */
+  def resolveTimestamp(t: JetStreamTransport, stream: String, tsNs: Long,
+                       firstSeq: Long, lastSeq: Long): Option[Long] = {
+    var left = firstSeq
+    var right = lastSeq
+    var result = Option.empty[Long]
+    while (left <= right) {
+      val mid = left + (right - left) / 2
+      t.directGet(stream, mid) match {
+        case None =>
+          left = mid + 1 // gap at midpoint: skip forward (:568-572)
+        case Some(m) =>
+          if (m.tsNs >= tsNs) {
+            result = Some(mid)
+            right = mid - 1
+          } else left = mid + 1
+      }
+    }
+    result
+  }
+
+  /** Gap-safe variant for CATALYST-pushed ts bounds: those must prune
+    * without ever dropping a matching message, so a midpoint gap cannot
+    * discard the left half. Each probe asks for the first EXISTING message
+    * at-or-after mid (JetStream DirectGet supports exactly this — fetch with
+    * batch 1); if [mid, right] is all gaps the answer must be left of mid.
+    * Still O(log n) single-message RPCs. */
+  def resolveTimestampGapSafe(t: JetStreamTransport, stream: String, tsNs: Long,
+                              firstSeq: Long, lastSeq: Long): Option[Long] = {
+    var left = firstSeq
+    var right = lastSeq
+    var result = Option.empty[Long]
+    while (left <= right) {
+      val mid = left + (right - left) / 2
+      t.fetch(stream, mid, right, 1).headOption match {
+        case None =>
+          right = mid - 1 // [mid, right] is all gaps
+        case Some(m) =>
+          if (m.tsNs >= tsNs) {
+            result = Some(m.seq)
+            right = mid - 1
+          } else left = m.seq + 1
+      }
+    }
+    result
+  }
+}
+
+final case class NatsTransportPartition(url: String, stream: String,
+                                        sliceLo: Long, sliceHi: Long)
+    extends InputPartition
+
+final class NatsTransportReaderFactory(required: StructType,
+                                       tsLoNs: Long, tsHiNs: Long,
+                                       subjectContains: List[String],
+                                       connectTimeoutMs: Long)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new NatsTransportReader(p.asInstanceOf[NatsTransportPartition], required,
+      tsLoNs, tsHiNs, subjectContains, connectTimeoutMs)
+}
+
+/** One slice, pulled in fetch batches of 2048 (one RPC per batch, not per
+  * message). Gap seqs simply never appear in a batch — the batched analog of
+  * the NOT_FOUND skip (:725-729). */
+final class NatsTransportReader(p: NatsTransportPartition,
+                                required: StructType,
+                                tsLoNs: Long, tsHiNs: Long,
+                                subjectContains: List[String],
+                                connectTimeoutMs: Long)
+    extends PartitionReader[InternalRow] {
+
+  private val BatchSize = 2048
+
+  // one connection per task attempt (docs/LIVE_NATS.md: pool per executor
+  // JVM for a live client; the fake dial is registry lookup, pooling moot)
+  private val transport = Transport.connect(p.url, connectTimeoutMs)
+
+  private var nextSeq = p.sliceLo
+  private var batch: Array[TransportMsg] = Array.empty
+  private var i = 0
+  private var current: InternalRow = _
+
+  /** µs-truncated ts bounds (envelope semantics, same as the parquet path) */
+  private val tsLoUs =
+    if (tsLoNs == Long.MinValue) Long.MinValue else Math.floorDiv(tsLoNs + 999L, 1000L)
+  private val tsHiUs =
+    if (tsHiNs == Long.MaxValue) Long.MaxValue else Math.floorDiv(tsHiNs, 1000L)
+
+  override def next(): Boolean = {
+    while (true) {
+      if (i >= batch.length) {
+        if (nextSeq > p.sliceHi) return false
+        batch = transport.fetch(p.stream, nextSeq, p.sliceHi, BatchSize)
+        if (batch.isEmpty) return false // rest of the slice is gaps
+        nextSeq = batch.last.seq + 1
+        i = 0
+      }
+      val m = batch(i)
+      i += 1
+      if (keep(m)) { current = toRow(m); return true }
+    }
+    false
+  }
+
+  private def keep(m: TransportMsg): Boolean = {
+    val tsUs = Math.floorDiv(m.tsNs, 1000L)
+    tsUs >= tsLoUs && tsUs <= tsHiUs &&
+      (subjectContains.isEmpty ||
+        (m.subject != null && subjectContains.forall(m.subject.contains(_))))
+  }
+
+  private def toRow(m: TransportMsg): InternalRow = {
+    val vals = required.fieldNames.map {
+      case "stream" => UTF8String.fromString(p.stream)
+      case "subject" =>
+        if (m.subject == null) null else UTF8String.fromString(m.subject)
+      case "seq" => m.seq
+      case "ts_nats" => Math.floorDiv(m.tsNs, 1000L) // ns → µs truncation
+      case "payload" => m.payload
+      case other => sys.error(s"unknown envelope column $other")
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = transport.close()
+}

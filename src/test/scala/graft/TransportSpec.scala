@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.transport._
+
+/** Transport-seam behaviors, mirroring the reference's connection test suite
+  * (/root/reference/test/sql/test_connection_errors.sql) — including the
+  * commented-out error cases E1-E6 the reference documents but cannot run in
+  * its own CI. Here they run for real against the in-JVM fake JetStream. */
+class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val url = "nats://spec-server:4222"
+
+  private lazy val server: FakeJetStreamServer = {
+    val s = FakeJetStream.listen(url)
+    // 100 messages, ts strictly increasing, a gap at every multiple of 10
+    (1L to 100L).foreach { seq =>
+      s.publish("telemetry", seq, s"telemetry.dev${seq % 5}",
+        1700000000000000000L + seq * 1000000000L, s"""{"v":$seq}""".getBytes)
+    }
+    (10L to 100L by 10L).foreach(s.deleteMsg("telemetry", _))
+    s.addStream("empty_test_stream")
+    s
+  }
+
+  private def read(stream: String, opts: Map[String, String] = Map.empty) = {
+    server // force fixture
+    val b = spark.read.format("nats_scan").option("url", url)
+      .option("stream", stream).option("slice_width", "16")
+    opts.foldLeft(b) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  private def messageChain(t: Throwable): String = {
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+  }
+
+  // --- success behaviors (tests 1-10) ---
+
+  test("custom URL connects and scans; gaps are skipped silently") {
+    assert(read("telemetry").count() == 90L) // 100 minus 10 deleted
+  }
+
+  test("default URL (implicit localhost:4222)") {
+    val s = FakeJetStream.listen("nats://localhost:4222")
+    s.publish("local_stream", 1L, "a", 1L, "x".getBytes)
+    val df = spark.read.format("nats_scan")
+      .option("url", "nats://localhost:4222")
+      .option("stream", "local_stream").load()
+    assert(df.count() == 1L)
+  }
+
+  test("empty stream: zero results, not an error") {
+    assert(read("empty_test_stream").count() == 0L)
+  }
+
+  test("multiple queries over one stream are isolated") {
+    assert(read("telemetry").count() == read("telemetry").count())
+  }
+
+  test("metadata columns carry the envelope types") {
+    val f = read("telemetry").schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(f("stream") == "string" && f("subject") == "string" &&
+      f("seq") == "long" && f("ts_nats") == "timestamp" && f("payload") == "binary")
+  }
+
+  test("connection with all parameters (url, subject, seq range)") {
+    val df = read("telemetry",
+      Map("subject" -> "dev1", "start_seq" -> "10", "end_seq" -> "60"))
+    // seqs 11,16,...,56 end in 1 or 6 (≡ dev1), minus deleted multiples of 10
+    val seqs = df.select("seq").collect().map(_.getLong(0)).sorted
+    assert(seqs.nonEmpty && seqs.forall(s => s >= 10 && s <= 60 && s % 5 == 1))
+  }
+
+  test("concurrent access to two streams in one query") {
+    val a = read("telemetry").groupBy(lit(1).as("k")).agg(count(lit(1)).as("n_t"))
+    val b = read("empty_test_stream").groupBy(lit(1).as("k"))
+      .agg(count(lit(1)).as("n_e"))
+    val row = a.join(b, Seq("k"), "left").select("n_t", "n_e").head
+    assert(row.getLong(0) == 90L && (row.isNullAt(1) || row.getLong(1) == 0L))
+  }
+
+  // --- error behaviors (E1-E6) ---
+
+  test("E1 invalid URL fails with the connect error shape") {
+    val e = intercept[Throwable](
+      spark.read.format("nats_scan").option("url", "invalid://bad-url:9999")
+        .option("stream", "telemetry").load().count())
+    assert(messageChain(e).contains("Failed to connect to NATS"), messageChain(e))
+  }
+
+  test("E2 non-existent stream fails with stream-not-found") {
+    val e = intercept[Throwable](read("nonexistent_stream_xyz").count())
+    assert(messageChain(e).contains("Failed to get stream info"), messageChain(e))
+    assert(messageChain(e).contains("stream not found"), messageChain(e))
+  }
+
+  test("E3 empty stream name is rejected") {
+    val e = intercept[Throwable](read("").count())
+    assert(messageChain(e).contains("stream name must not be empty"), messageChain(e))
+  }
+
+  test("E4 unreachable server times out after the connect timeout") {
+    FakeJetStream.blackhole("nats://blackhole-host:4222")
+    val t0 = System.nanoTime()
+    val e = intercept[Throwable](
+      spark.read.format("nats_scan").option("url", "nats://blackhole-host:4222")
+        .option("stream", "telemetry").option("connect_timeout_ms", "200")
+        .load().count())
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(messageChain(e).contains("Failed to connect to NATS: Timeout"), messageChain(e))
+    assert(elapsedMs >= 200L, s"timed out too early: ${elapsedMs}ms")
+  }
+
+  test("E5 sequence range and time range are mutually exclusive") {
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("nats_scan").option("url", url)
+        .option("stream", "telemetry")
+        .option("start_seq", "10")
+        .option("start_time", "2025-11-12T00:00:00Z").load())
+    assert(e.getMessage.contains("Cannot specify both sequence range"))
+  }
+
+  test("unregistered address fails fast with no-server (vs blackhole timeout)") {
+    val e = intercept[Throwable](
+      spark.read.format("nats_scan").option("url", "nats://nowhere:4222")
+        .option("stream", "telemetry").load().count())
+    assert(messageChain(e).contains("No server available for connection"), messageChain(e))
+  }
+
+  // --- transport topology properties ---
+
+  test("timestamp resolution is a remote binary search: O(log n) probes, gap-safe") {
+    val t = Transport.connect(url).asInstanceOf[FakeTransport]
+    val before = t.rpcCount
+    // ts of seq 57 is 1700000000 + 57s; ask for exactly it → expect seq 57
+    val got = graft.sources.NatsTransportScan.resolveTimestamp(
+      t, "telemetry", 1700000000000000000L + 57L * 1000000000L, 1L, 100L)
+    assert(got.contains(57L))
+    val probes = t.rpcCount - before
+    assert(probes <= 16L, s"binary search used $probes probes for n=100") // 2*log2(100)+buffer
+    // REFERENCE QUIRK, pinned: target ts(30); 30 is deleted AND the first
+    // midpoint (50) is deleted too — the reference's NOT_FOUND step
+    // (left = mid + 1, nats_scan.cpp:568-572) discards the whole left half
+    // and resolves to 51, not the true first-at-or-after (31)
+    val refParity = graft.sources.NatsTransportScan.resolveTimestamp(
+      t, "telemetry", 1700000000000000000L + 30L * 1000000000L, 1L, 100L)
+    assert(refParity.contains(51L), s"got $refParity")
+    // the gap-safe variant (used for Catalyst-pushed ts bounds, where
+    // pruning must not drop matching rows) finds the true answer
+    val gapSafe = graft.sources.NatsTransportScan.resolveTimestampGapSafe(
+      t, "telemetry", 1700000000000000000L + 30L * 1000000000L, 1L, 100L)
+    assert(gapSafe.contains(31L), s"got $gapSafe")
+    // past the last message → None (reference: done=true, zero rows)
+    assert(graft.sources.NatsTransportScan.resolveTimestamp(
+      t, "telemetry", Long.MaxValue, 1L, 100L).isEmpty)
+    assert(graft.sources.NatsTransportScan.resolveTimestampGapSafe(
+      t, "telemetry", Long.MaxValue, 1L, 100L).isEmpty)
+  }
+
+  test("bounded scan fetches in batches, not one RPC per message") {
+    val t = Transport.connect(url).asInstanceOf[FakeTransport]
+    val before = t.rpcCount
+    val msgs = t.fetch("telemetry", 1L, 100L, 2048)
+    assert(msgs.length == 90)
+    assert(t.rpcCount - before == 1L, "one batched fetch, not per-message gets")
+    // messages arrive in seq order with gaps absent
+    assert(msgs.map(_.seq).toSeq == (1L to 100L).filterNot(_ % 10 == 0))
+  }
+
+  test("seq predicates prune slice partitions") {
+    val df = read("telemetry").filter(col("seq") >= 33L && col("seq") <= 48L)
+    val parts = df.rdd.getNumPartitions
+    // slice_width=16 over [33,48] → exactly 1 slice; unpruned would be ~7
+    assert(parts == 1, s"expected 1 slice partition, got $parts")
+    assert(df.count() == 15L) // 16 seqs minus deleted 40
+  }
+
+  test("transport scan ≡ parquet scan on the shared fixture (pruning equivalence)") {
+    val dir = "/root/testdata/sf0.001"
+    val u = graft.queries.TransportQueries.fixtureUrl(spark, dir)
+    for ((lo, hi) <- Seq((1L, 500L), (101L, 600L), (950L, 1200L))) {
+      val viaT = spark.read.format("nats_scan").option("url", u)
+        .option("slice_width", "128").load()
+        .filter(col("seq") >= lo && col("seq") <= hi)
+        .select("seq", "subject").orderBy("seq").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val viaP = graft.nats.NatsScan.scanDir(spark, dir)
+        .filter(col("seq") >= lo && col("seq") <= hi)
+        .select("seq", "subject").orderBy("seq").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(viaT.sameElements(viaP), s"range [$lo,$hi] disagrees")
+    }
+  }
+}
