@@ -50,7 +50,7 @@ object NatsScan {
       // payload polymorphism: STRING under json_extract
       df = df.withColumn("payload", col("payload").cast("string"))
       val extracted = opts.jsonExtract.map { path =>
-        get_json_object(col("payload"), "$." + path).as(mangle(path))
+        extractJson(path, opts.jsonNumbersToString).as(mangle(path))
       }
       df = df.select(df.columns.map(col).toIndexedSeq ++ extracted: _*)
     } else if (opts.protoExtract.nonEmpty) {
@@ -69,6 +69,26 @@ object NatsScan {
   def scanDir(spark: SparkSession, dir: String, stream: String = "events",
               opts: NatsScanOptions = NatsScanOptions()): DataFrame =
     scan(spark, stream, opts, new ParquetMessageStore(dir))
+
+  /** One extracted JSON field as STRING. Default = JSON-literal text.
+    * Strict mode reproduces the reference's number rendering
+    * (`std::to_string(double)` → fixed 6 decimals, nats_scan.cpp:797-800):
+    * the value's JSON type comes from the VARIANT reader (`schema_of_variant`
+    * — BIGINT/DOUBLE/DECIMAL ⟺ yyjson_is_num), numbers format through
+    * DECIMAL(38,6) → STRING (same fixed-point text in Spark and DuckDB, so
+    * the oracle can hash it); strings/bools/null keep the literal path. */
+  private def extractJson(path: String, strict: Boolean): Column = {
+    val literal = get_json_object(col("payload"), "$." + path)
+    if (!strict) literal
+    else {
+      val v = s"variant_get(parse_json(payload), '$$.$path')"
+      val vt = s"schema_of_variant($v)"
+      expr(
+        s"""CASE WHEN $vt = 'BIGINT' OR $vt = 'DOUBLE' OR $vt LIKE 'DECIMAL%'
+           | THEN CAST(CAST(CAST($v AS DOUBLE) AS DECIMAL(38,6)) AS STRING)
+           | ELSE get_json_object(payload, '$$.$path') END""".stripMargin)
+    }
+  }
 
   /** dots → underscores in extraction column names
     * (/root/reference/src/nats_scan.cpp:396-399). */

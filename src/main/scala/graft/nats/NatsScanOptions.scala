@@ -26,7 +26,13 @@ final case class NatsScanOptions(
     jsonExtract: Seq[String] = Nil,
     protoFile: Option[String] = None,
     protoMessage: Option[String] = None,
-    protoExtract: Seq[String] = Nil) {
+    protoExtract: Seq[String] = Nil,
+    /** strict reference fidelity for extracted JSON NUMBERS: render as
+      * fixed 6-decimal text the way the reference's `std::to_string(double)`
+      * does — `42.5` → `"42.500000"` (/root/reference/src/nats_scan.cpp:797-800).
+      * Default keeps the engine's documented divergence (JSON-literal text,
+      * SURVEY.md §7.3). */
+    jsonNumbersToString: Boolean = false) {
 
   def hasSeqRange: Boolean = startSeq.isDefined || endSeq.isDefined
   def hasTimeRange: Boolean = startTime.isDefined || endTime.isDefined

@@ -93,6 +93,75 @@ object Multimodal {
     }
   }
 
+  /** REAL image path — javax.imageio ships in the JDK, so PNG decode needs
+    * no external codec: manufacture a genuine PNG per document (BufferedImage
+    * → ImageIO.write), deterministic in the document's text. Same
+    * mapPartitions topology as the stub path; the cells it emits are valid
+    * PNG files any decoder reads. */
+  def synthesizePng(docs: DataFrame): Dataset[MediaCell] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val w = (bytes.length % 13) + 2
+          val h = (bytes.length % 11) + 2
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              // deterministic pixels: cycle the text bytes through RGB
+              val i = (y * w + x) * 3
+              val r = bytes(i % bytes.length) & 0xFF
+              val g = bytes((i + 1) % bytes.length) & 0xFF
+              val b = bytes((i + 2) % bytes.length) & 0xFF
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaCell(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL decode: ImageIO parses the PNG container and inflates the pixel
+    * data — width/height/channels come from the actual image, the checksum
+    * folds the decoded RGB samples (so a pixel-level corruption changes it,
+    * not just a byte-level one). fps = 0 for stills. Same output schema as
+    * the stub decode, so everything downstream (resize, frame sampling,
+    * feature extraction, ANN) composes unchanged. */
+  def decodePng(cells: Dataset[MediaCell]): Dataset[MediaMeta] = {
+    import cells.sparkSession.implicits._
+    cells.mapPartitions { it =>
+      // per-partition init: a pooled ImageReader would be constructed here
+      it.map { cell =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(cell.media))
+        require(img != null, s"doc ${cell.doc_id}: not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        val channels = img.getRaster.getNumBands
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        MediaMeta(cell.doc_id, w, h, channels, 0, cell.media.length, sum)
+      }
+    }
+  }
+
   /** STUB resize: recompute header dims (a real kernel would transform the
     * pixel body); emits the new metadata. Demonstrates the
     * binary-in/binary-out transform shape. */
@@ -102,8 +171,12 @@ object Multimodal {
         when(greatest(col("width"), col("height")) > maxDim,
           lit(maxDim) / greatest(col("width"), col("height")).cast("double"))
           .otherwise(1.0))
-      .withColumn("out_width", floor(col("width") * col("scale")).cast("int"))
-      .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
+      // clamp to >= 1 px: an extreme aspect ratio must not floor the short
+      // side to zero (every real resize kernel does the same)
+      .withColumn("out_width",
+        greatest(floor(col("width") * col("scale")), lit(1)).cast("int"))
+      .withColumn("out_height",
+        greatest(floor(col("height") * col("scale")), lit(1)).cast("int"))
       .drop("scale")
   }
 

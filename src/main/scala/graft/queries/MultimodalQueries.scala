@@ -95,10 +95,10 @@ object MultimodalQueries {
 
     "mm_resize" -> s"""$metaSql
       SELECT doc_id, width, height,
-             CAST(floor(width * CASE WHEN greatest(width, height) > 256
-               THEN 256 / CAST(greatest(width, height) AS DOUBLE) ELSE 1.0 END) AS INTEGER) AS out_width,
-             CAST(floor(height * CASE WHEN greatest(width, height) > 256
-               THEN 256 / CAST(greatest(width, height) AS DOUBLE) ELSE 1.0 END) AS INTEGER) AS out_height
+             CAST(greatest(floor(width * CASE WHEN greatest(width, height) > 256
+               THEN 256 / CAST(greatest(width, height) AS DOUBLE) ELSE 1.0 END), 1) AS INTEGER) AS out_width,
+             CAST(greatest(floor(height * CASE WHEN greatest(width, height) > 256
+               THEN 256 / CAST(greatest(width, height) AS DOUBLE) ELSE 1.0 END), 1) AS INTEGER) AS out_height
       FROM m ORDER BY doc_id""",
 
     "mm_frames" -> s"""$metaSql

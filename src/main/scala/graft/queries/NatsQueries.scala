@@ -76,6 +76,16 @@ object NatsQueries {
         .select("seq", "k", "payload")
         .orderBy("seq")),
 
+    // STRICT number fidelity (nats_scan.cpp:797-800): extracted JSON numbers
+    // render as the reference's std::to_string(double) fixed 6-decimal text
+    // ("42" → "42.000000"); the oracle rebuilds the same text from the raw
+    // payload, so the mode's formatting is hash-verified
+    "nats_json_strict" -> ((s, dir) =>
+      NatsScan.scanDir(s, dir, opts = NatsScanOptions(jsonExtract = Seq("k"),
+          jsonNumbersToString = true))
+        .select("seq", "k")
+        .orderBy("seq")),
+
     "nats_payload_blob" -> ((s, dir) =>
       NatsScan.scanDir(s, dir)
         .select(col("seq"), expr("octet_length(payload)").as("payload_bytes"))
@@ -127,6 +137,13 @@ object NatsQueries {
 
     "nats_json_extract" ->
       s"$envSql SELECT seq, json_extract_string(payload, '$$.k') AS k, payload FROM env ORDER BY seq",
+
+    "nats_json_strict" ->
+      s"""$envSql SELECT seq,
+         | CASE WHEN json_type(payload::JSON, '$$.k') IN ('UBIGINT','BIGINT','DOUBLE')
+         |      THEN CAST(CAST(CAST(json_extract(payload, '$$.k') AS DOUBLE) AS DECIMAL(38,6)) AS VARCHAR)
+         |      ELSE json_extract_string(payload, '$$.k') END AS k
+         | FROM env ORDER BY seq""".stripMargin,
 
     "nats_payload_blob" ->
       s"$envSql SELECT seq, CAST(octet_length(payload::BLOB) AS INTEGER) AS payload_bytes FROM env ORDER BY seq",

@@ -79,15 +79,20 @@ object ScaleQueries {
           lower(expr("typeof(flag)")).as("t_bool"),
           lower(expr("typeof(ts_max)")).as("t_ts"))),
 
-    // HLL-sketch distinct (rows-only check; exact companion = q_count_distinct)
+    // HLL-sketch distinct, ORACLE-CHECKABLE: sketch internals differ across
+    // engines, so the sketch value itself can't hash-match — but its error
+    // CONTRACT can. The query pairs the sketch with its exact companion and
+    // emits a boolean `within_rtol` (HLL++ at rsd=0.02 must land within
+    // ±5%); the oracle recomputes the exact side and asserts the boolean is
+    // true, so a sketch regression breaks the hash match.
     "q_approx_distinct" -> ((s, dir) =>
       Tables.load(s, dir, "events")
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
-        .withColumn("rel_err",
-          round(abs(col("approx_users") - col("exact_users")) /
-            col("exact_users").cast("double"), 4))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            lit(0.05) * col("exact_users")).as("within_rtol"))
         .orderBy("event_type")),
 
     // set ops beyond the reference (INTERSECT/EXCEPT "free via Catalyst")
@@ -120,15 +125,26 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")),
 
-    // quantile sketch (rows-only check)
-    "q_approx_quantiles" -> ((s, dir) =>
-      Tables.load(s, dir, "events")
-        .agg(percentile_approx(col("value"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("q"))
-        .select(
-          element_at(col("q"), 1).as("p50"),
-          element_at(col("q"), 2).as("p90"),
-          element_at(col("q"), 3).as("p99")))
+    // Quantile sketch, ORACLE-CHECKABLE via its RANK-ERROR contract: a
+    // quantile sketch at accuracy 10000 must return an element whose true
+    // rank is within ±1% of the target rank. The query broadcasts the 1-row
+    // sketch result back over the data, counts values <= each estimate
+    // (the true rank), and emits booleans the oracle asserts true — any
+    // sketch drift beyond the bound breaks the hash match.
+    "q_approx_quantiles" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").filter(col("value").isNotNull)
+      val sk = e.agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("q"))
+      e.crossJoin(broadcast(sk))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") <= element_at(col("q"), 1), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("value") <= element_at(col("q"), 2), 1L).otherwise(0L)).as("r90"),
+          sum(when(col("value") <= element_at(col("q"), 3), 1L).otherwise(0L)).as("r99"))
+        .select(col("n"),
+          (abs(col("r50") / col("n").cast("double") - 0.5) <= 0.01).as("p50_rank_ok"),
+          (abs(col("r90") / col("n").cast("double") - 0.9) <= 0.01).as("p90_rank_ok"),
+          (abs(col("r99") / col("n").cast("double") - 0.99) <= 0.01).as("p99_rank_ok"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -188,8 +204,21 @@ object ScaleQueries {
              lower(typeof(avg(value))) AS t_avg,
              lower(typeof(true)) AS t_bool,
              lower(typeof(max(CAST(ts AS TIMESTAMP)))) AS t_ts
-      FROM events"""
-    // q_approx_distinct / q_approx_quantiles intentionally have no oracle:
-    // sketch algorithms are engine-specific → driver rows-only check.
+      FROM events""",
+
+    // Sketch VALUES are engine-specific and can't hash-match — their error
+    // CONTRACTS can: the Spark side really measures the sketch against its
+    // exact companion and emits booleans; the oracle recomputes the exact
+    // side and asserts the bounds held. A sketch regression (>5% HLL error,
+    // >1% quantile rank error) flips a boolean and breaks the match.
+    "q_approx_distinct" -> """
+      SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             true AS within_rtol
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_approx_quantiles" -> """
+      SELECT count(*) AS n, true AS p50_rank_ok, true AS p90_rank_ok,
+             true AS p99_rank_ok
+      FROM events WHERE value IS NOT NULL"""
   )
 }

@@ -66,6 +66,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!store.listFiles().exists(_.getName.startsWith("_inprogress_")))
   }
 
+  test("crash mid-stream: restart from checkpoint is exactly-once in the sink") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_crash_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_crash_ckpt").toString
+    // phase 1: slow processing-time trigger, then kill the query after the
+    // first committed batch — mid-run, with most of the stream unprocessed
+    // and possibly an epoch in flight
+    val q1 = stream(150)
+      .writeStream.format("nats_scan")
+      .option("dir", tmp).option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("2 seconds"))
+      .start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 1 &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    q1.stop()
+    q1.awaitTermination(60000)
+    val partial = spark.read.format("nats_scan").option("dir", tmp).load().count()
+    assert(partial > 0L && partial < 1000L,
+      s"expected a partial sink after the crash, got $partial")
+    // phase 2: restart with the SAME checkpoint and sink; drain to the end.
+    // The restart replays the epoch the checkpoint didn't record; the sink's
+    // deterministic epoch-partition final names make that re-commit
+    // idempotent (rename over its own previous files, never duplicates).
+    val q2 = stream(150)
+      .writeStream.format("nats_scan")
+      .option("dir", tmp).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val back = spark.read.format("nats_scan").option("dir", tmp).load()
+    assert(back.count() == 1000L, "exactly-once: total row count")
+    assert(back.select("seq").distinct().count() == 1000L,
+      "exactly-once: no seq written twice")
+    // envelope equality with the source, post-recovery
+    val src = spark.read.format("nats_scan").option("dir", dir).load()
+      .orderBy("seq").collect()
+    assert(back.orderBy("seq").collect().sameElements(src))
+  }
+
   test("full loop: stream → native sink → stream the native store back") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_loop_store").toString
     val ckpt1 = java.nio.file.Files.createTempDirectory("graft_loop_c1").toString
