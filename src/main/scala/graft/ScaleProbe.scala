@@ -44,8 +44,8 @@ object ScaleProbe {
     // warmup
     replicate(1).count()
 
-    println(f"${"k"}%3s ${"docs"}%8s ${"sig_s"}%8s ${"simhash_s"}%10s ${"jaccard_s"}%10s ${"jaccard_pairs"}%14s ${"cc_s"}%8s ${"comps"}%8s ${"assign_s"}%9s")
-    Seq(1, 2, 4, 8).foreach { k =>
+    println(f"${"k"}%3s ${"docs"}%8s ${"sig_s"}%8s ${"simhash_s"}%10s ${"jaccard_s"}%10s ${"jaccard_pairs"}%14s ${"cc_s"}%8s ${"comps"}%8s ${"assign_s"}%9s ${"lsh_s"}%8s ${"lag_s"}%8s")
+    Seq(1, 2, 4, 8, 16, 32).foreach { k =>
       val docs = replicate(k).cache()
       val nDocs = docs.count()
       val (tSig, _) = time(
@@ -74,9 +74,30 @@ object ScaleProbe {
       val (tAssign, _) = time(
         emb.select(col("vec_id"), (-array_max(scored).getField("nc")).as("cid"))
           .groupBy("cid").count().count())
+      // LSH-bucketed ANN: bucket assignment is map-side; the candidate join
+      // is keyed by bucket (10 broadcast queries) — linear in corpus
+      val (tLsh, _) = time {
+        val bucketed = emb.withColumn("bucket",
+          functions.Similarity.lshBucket(col("embedding"), 6, 64))
+        val q = broadcast(bucketed.filter(col("vec_id") < 10)
+          .select(col("bucket"), col("vec_id").as("qid"),
+            col("embedding").as("qv")))
+        bucketed.join(q, "bucket").filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), functions.Similarity.cosine(col("qv"),
+            col("embedding")).as("cos"))
+          .groupBy("qid").agg(max("cos")).count()
+      }
+      // scale-safe global-order LAG (bucketed window + boundary exchange):
+      // must stay linear — the naive global-sort window would single-thread
+      val (tLag, _) = time {
+        val seqs = docs.select((col("doc_id") * 7L + 3L).as("seq"))
+        operators.ScalableWindows.globalLag(seqs, "seq", 65536L, "prev_seq")
+          .filter(col("seq") - col("prev_seq") > 7L).count()
+      }
       emb.unpersist()
       docs.unpersist()
-      println(f"$k%3d $nDocs%8d $tSig%8.2f $tSim%10.2f $tJac%10.2f $nPairs%14d $tCc%8.2f $nComp%8d $tAssign%9.2f")
+      Caches.drain()
+      println(f"$k%3d $nDocs%8d $tSig%8.2f $tSim%10.2f $tJac%10.2f $nPairs%14d $tCc%8.2f $nComp%8d $tAssign%9.2f $tLsh%8.2f $tLag%8.2f")
     }
     spark.stop()
   }

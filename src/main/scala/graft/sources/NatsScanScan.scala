@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
 final class NatsScanScan(file: String, dir: String, stream: String,
                          required: StructType,
                          seqLo: Long, seqHi: Long, tsLoNs: Long, tsHiNs: Long,
-                         subjectContains: List[String], maxPerBatch: Long)
+                         subjectContains: List[String],
+                         subjectPrefixes: List[String], maxPerBatch: Long)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -39,7 +40,8 @@ final class NatsScanScan(file: String, dir: String, stream: String,
 
   override def description(): String =
     s"nats_scan stream=$stream seq=[$seqLo,$seqHi] tsNs=[$tsLoNs,$tsHiNs] " +
-      s"subjectContains=$subjectContains cols=${required.fieldNames.mkString(",")}"
+      s"subjectContains=$subjectContains subjectPrefixes=$subjectPrefixes " +
+      s"cols=${required.fieldNames.mkString(",")}"
 
   /** µs-granularity ts bounds for the native layout (ts_nats stored as
     * TIMESTAMP(MICROS)); ns bounds are always of the form T*1000 (lo) /
@@ -75,6 +77,28 @@ final class NatsScanScan(file: String, dir: String, stream: String,
       reader.getRowGroups.asScala.flatMap { rg =>
         val idCol = rg.getColumns.asScala.find(_.getPath.toDotString == seqCol)
         val tCol = rg.getColumns.asScala.find(_.getPath.toDotString == tsCol)
+        // subject-PREFIX pruning off string min/max stats (native layout
+        // stores subject verbatim): a row group whose [min, max] subject
+        // range misses [p, p+∞-of-last-char) can't contain a match. A bare
+        // substring can't do this — docs/SUBJECT_PRUNING.md. Only effective
+        // when the store is subject-clustered; always correct.
+        val keepByPrefix = !native || subjectPrefixes.isEmpty || {
+          rg.getColumns.asScala.find(_.getPath.toDotString == "subject")
+            .forall { c =>
+              val st = c.getStatistics
+              if (st == null || !st.hasNonNullValue) true
+              else {
+                val mn = new String(st.getMinBytes, "UTF-8")
+                val mx = new String(st.getMaxBytes, "UTF-8")
+                // matches of prefix p sort in [p, next(p)): the group can
+                // be skipped iff max < p (all rows before the range) or min
+                // sorts after every p-prefixed string (min ≥ p yet doesn't
+                // start with p)
+                subjectPrefixes.forall(p =>
+                  mx >= p && !(mn > p && !mn.startsWith(p)))
+              }
+            }
+        }
         val keepBySeq = idCol.forall { c =>
           val st = c.getStatistics
           if (st == null || !st.hasNonNullValue) true
@@ -93,7 +117,7 @@ final class NatsScanScan(file: String, dir: String, stream: String,
             mx >= tsLo && mn <= tsHi
           }
         }
-        if (keepBySeq && keepByTs)
+        if (keepBySeq && keepByTs && keepByPrefix)
           Some(NatsScanPartition(path, rg.getStartingPos,
             rg.getStartingPos + rg.getTotalByteSize, native): InputPartition)
         else None
@@ -103,7 +127,7 @@ final class NatsScanScan(file: String, dir: String, stream: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NatsScanReaderFactory(required, seqLo, seqHi, tsLoNs, tsHiNs,
-      subjectContains, stream)
+      subjectContains, subjectPrefixes, stream)
 }
 
 final case class NatsScanPartition(file: String, rangeStart: Long,
@@ -112,16 +136,20 @@ final case class NatsScanPartition(file: String, rangeStart: Long,
 
 final class NatsScanReaderFactory(required: StructType, seqLo: Long,
                                   seqHi: Long, tsLoNs: Long, tsHiNs: Long,
-                                  subjectContains: List[String], stream: String)
+                                  subjectContains: List[String],
+                                  subjectPrefixes: List[String], stream: String)
     extends PartitionReaderFactory {
+  def this(required: StructType, seqLo: Long, seqHi: Long, tsLoNs: Long,
+           tsHiNs: Long, subjectContains: List[String], stream: String) =
+    this(required, seqLo, seqHi, tsLoNs, tsHiNs, subjectContains, Nil, stream)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[NatsScanPartition]
     if (part.native)
       new NatsNativeReader(part, required, seqLo, seqHi, tsLoNs, tsHiNs,
-        subjectContains, stream)
+        subjectContains, subjectPrefixes, stream)
     else
       new NatsScanReader(part, required, seqLo, seqHi, tsLoNs, tsHiNs,
-        subjectContains, stream)
+        subjectContains, subjectPrefixes, stream)
   }
 }
 
@@ -131,7 +159,7 @@ final class NatsScanReaderFactory(required: StructType, seqLo: Long,
 final class NatsNativeReader(p: NatsScanPartition, required: StructType,
                              seqLo: Long, seqHi: Long, tsLoNs: Long,
                              tsHiNs: Long, subjectContains: List[String],
-                             stream: String)
+                             subjectPrefixes: List[String], stream: String)
     extends PartitionReader[InternalRow] {
 
   private val needed: Set[String] = required.fieldNames.toSet
@@ -194,8 +222,9 @@ final class NatsNativeReader(p: NatsScanPartition, required: StructType,
     def has(c: String): Boolean = g.getType.containsField(c) &&
       g.getFieldRepetitionCount(c) > 0
     lazy val subject: String = if (has("subject")) g.getString("subject", 0) else null
-    if (subjectContains.nonEmpty &&
-        (subject == null || !subjectContains.forall(subject.contains(_))))
+    if ((subjectContains.nonEmpty || subjectPrefixes.nonEmpty) &&
+        (subject == null || !subjectContains.forall(subject.contains(_)) ||
+          !subjectPrefixes.forall(subject.startsWith(_))))
       return null
     val vals = required.fieldNames.map {
       case "stream" => UTF8String.fromString(stream)
@@ -218,7 +247,7 @@ final class NatsNativeReader(p: NatsScanPartition, required: StructType,
 final class NatsScanReader(p: NatsScanPartition, required: StructType,
                            seqLo: Long, seqHi: Long, tsLoNs: Long,
                            tsHiNs: Long, subjectContains: List[String],
-                           stream: String)
+                           subjectPrefixes: List[String], stream: String)
     extends PartitionReader[InternalRow] {
 
   private val needed: Set[String] = required.fieldNames.toSet
@@ -291,8 +320,9 @@ final class NatsScanReader(p: NatsScanPartition, required: StructType,
       if (has("event_type") && has("user_id"))
         s"events.${g.getString("event_type", 0)}.${g.getLong("user_id", 0)}"
       else null
-    if (subjectContains.nonEmpty &&
-        (subject == null || !subjectContains.forall(subject.contains(_))))
+    if ((subjectContains.nonEmpty || subjectPrefixes.nonEmpty) &&
+        (subject == null || !subjectContains.forall(subject.contains(_)) ||
+          !subjectPrefixes.forall(subject.startsWith(_))))
       return null
     val vals = required.fieldNames.map {
       case "stream" => UTF8String.fromString(stream)

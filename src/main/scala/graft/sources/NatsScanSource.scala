@@ -141,6 +141,7 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
   private var tsLoNs = Long.MinValue
   private var tsHiNs = Long.MaxValue
   private var subjectContains: List[String] = Nil
+  private var subjectPrefixes: List[String] = Nil
 
   private def tsMicros(v: Any): Long = v match {
     case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
@@ -181,6 +182,10 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
         tsHiNs = math.min(tsHiNs, tsMicros(v) * 1000L + 999L); accepted += f
       case f @ StringContains("subject", s) =>
         subjectContains ::= s; accepted += f
+      // prefix predicates (subject LIKE 'events.click%') CAN use columnar
+      // min/max stats, unlike bare substrings — see docs/SUBJECT_PRUNING.md
+      case f @ StringStartsWith("subject", p) =>
+        subjectPrefixes ::= p; accepted += f
       case f @ EqualTo("stream", s) if s == stream =>
         accepted += f // constant echo column, trivially true
       case other => residual += other
@@ -202,9 +207,10 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
         tsLoNs = tsLoNs, tsHiNs = tsHiNs,
         startTimeNs = tb.startTimeNs, endTimeNs = tb.endTimeNs,
         subjectContains = tb.subject.toList ::: subjectContains,
+        subjectPrefixes = subjectPrefixes,
         sliceWidth = tb.sliceWidth, connectTimeoutMs = tb.connectTimeoutMs)
     case None =>
       new NatsScanScan(file, dir, stream, required, seqLo, seqHi, tsLoNs,
-        tsHiNs, subjectContains, maxPerBatch)
+        tsHiNs, subjectContains, subjectPrefixes, maxPerBatch)
   }
 }

@@ -39,6 +39,7 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
                               tsLoNs: Long, tsHiNs: Long,
                               startTimeNs: Option[Long], endTimeNs: Option[Long],
                               subjectContains: List[String],
+                              subjectPrefixes: List[String],
                               sliceWidth: Long, connectTimeoutMs: Long)
     extends Scan with Batch {
 
@@ -103,7 +104,7 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NatsTransportReaderFactory(required, tsLoNs, tsHiNs, subjectContains,
-      connectTimeoutMs)
+      subjectPrefixes, connectTimeoutMs)
 }
 
 object NatsTransportScan {
@@ -169,11 +170,12 @@ final case class NatsTransportPartition(url: String, stream: String,
 final class NatsTransportReaderFactory(required: StructType,
                                        tsLoNs: Long, tsHiNs: Long,
                                        subjectContains: List[String],
+                                       subjectPrefixes: List[String],
                                        connectTimeoutMs: Long)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new NatsTransportReader(p.asInstanceOf[NatsTransportPartition], required,
-      tsLoNs, tsHiNs, subjectContains, connectTimeoutMs)
+      tsLoNs, tsHiNs, subjectContains, subjectPrefixes, connectTimeoutMs)
 }
 
 /** One slice, pulled in fetch batches of 2048 (one RPC per batch, not per
@@ -183,6 +185,7 @@ final class NatsTransportReader(p: NatsTransportPartition,
                                 required: StructType,
                                 tsLoNs: Long, tsHiNs: Long,
                                 subjectContains: List[String],
+                                subjectPrefixes: List[String],
                                 connectTimeoutMs: Long)
     extends PartitionReader[InternalRow] {
 
@@ -222,8 +225,9 @@ final class NatsTransportReader(p: NatsTransportPartition,
   private def keep(m: TransportMsg): Boolean = {
     val tsUs = Math.floorDiv(m.tsNs, 1000L)
     tsUs >= tsLoUs && tsUs <= tsHiUs &&
-      (subjectContains.isEmpty ||
-        (m.subject != null && subjectContains.forall(m.subject.contains(_))))
+      ((subjectContains.isEmpty && subjectPrefixes.isEmpty) ||
+        (m.subject != null && subjectContains.forall(m.subject.contains(_)) &&
+          subjectPrefixes.forall(m.subject.startsWith(_))))
   }
 
   private def toRow(m: TransportMsg): InternalRow = {

@@ -172,6 +172,29 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("subject-prefix predicate prunes native row groups via string stats") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prefix_store").toString
+    val src = spark.read.format("nats_scan").option("dir", dir).load()
+    // subject-clustered layout: each part file covers a narrow subject range,
+    // so its min/max subject statistics become selective
+    src.repartitionByRange(4, col("subject"))
+      .write.format("nats_scan").option("dir", tmp).mode("overwrite").save()
+    val all = spark.read.format("nats_scan").option("dir", tmp).load()
+      .rdd.getNumPartitions
+    val filtered = spark.read.format("nats_scan").option("dir", tmp).load()
+      .filter(col("subject").startsWith("events.purchase"))
+    val prunedParts = filtered.rdd.getNumPartitions
+    assert(prunedParts < all,
+      s"prefix should prune row groups: $prunedParts of $all planned")
+    // pruning must not change results
+    val expect = spark.read.format("nats_scan").option("dir", dir).load()
+      .filter(col("subject").startsWith("events.purchase")).count()
+    assert(filtered.count() == expect && expect > 0)
+    // and the predicate is pushed into the scan, not a post-scan filter only
+    val p = physical(filtered)
+    assert(p.contains("subjectPrefixes=List(events.purchase)"), p)
+  }
+
   test("native message store scan prunes by seq and filters records") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_audit_native").toString
     spark.read.format("nats_scan").option("dir", dir).load()
