@@ -176,6 +176,34 @@ object Dedup {
     labels
   }
 
+  /** Train/test decontamination: flag training documents that share at
+    * least `minShared` distinct 3-token shingles with ANY document of the
+    * evaluation set — the standard n-gram-overlap contamination check run
+    * before training on scraped corpora.
+    *
+    * Scale topology: the EVAL side is small by nature (benchmarks are
+    * thousands of docs, the corpus is billions), so its distinct shingle
+    * hashes broadcast; the train side is map-side shingle explode + hash,
+    * one broadcast-hash semi-join, then a per-doc count — no shuffle of
+    * document contents, no pair space. Shingles travel as xxhash64 longs
+    * (overlap COUNTS are hash-invariant, so an oracle can recompute them
+    * on raw strings). */
+  def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
+                    textCol: String, minShared: Int = 1): DataFrame = {
+    def shingleHashes(df: DataFrame): DataFrame =
+      df.select(col(idCol), tokens(col(textCol)).as("w"))
+        .filter(size(col("w")) >= 3)
+        .withColumn("sh", wordShingles3("w"))
+        .select(col(idCol), explode(col("sh")).as("s"))
+        .select(col(idCol), xxhash64(col("s")).as("h"))
+    val testShingles = shingleHashes(test).select("h").distinct()
+    shingleHashes(train)
+      .join(broadcast(testShingles), "h")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("h")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact token-set Jaccard over pairs blocked on `blockCol` (e.g. source).
     * The verify stage of verify-after-LSH; also usable standalone when a
     * natural blocking key exists. */

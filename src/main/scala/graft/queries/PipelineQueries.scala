@@ -134,6 +134,18 @@ object PipelineQueries {
         .orderBy("lang", "split")
     }),
 
+    // train/test decontamination: docs 0-49 play the held-out eval set;
+    // any training doc sharing >= 3 distinct 3-token shingles with it is
+    // contaminated and must be dropped before training
+    "pipe_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(
+        train = d.filter(col("doc_id") >= 50),
+        test = d.filter(col("doc_id") < 50),
+        idCol = "doc_id", textCol = "text", minShared = 3)
+        .orderBy("doc_id")
+    }),
+
     // pairs → clusters: connected components over the verified jaccard
     // pairs; each clustered doc gets its component id (min reachable doc_id)
     // and the canonical survivor is the component representative
@@ -182,6 +194,37 @@ object PipelineQueries {
         .filter(col("rank") <= 5)
         .select("qid", "rank", "vec_id", "cos")
         .orderBy("qid", "rank")
+    }),
+
+    // ANN QUALITY CONTRACT, hash-verified: recall@10 of the single-probe IVF
+    // against the brute-force ground truth, per query. Both sides are
+    // deterministic (rounded cosine + vec_id tiebreak = total order), so the
+    // oracle recomputes the exact same recall values — an IVF regression
+    // (wrong partition probe, broken scoring) changes a recall and breaks
+    // the hash. This is the measure-don't-guess companion to ann_ivf.
+    "ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") < 10)
+      val qe = broadcast(qs.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      val ql = broadcast(qs.select(col("label"), col("vec_id").as("qid"),
+        col("embedding").as("qv")))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      def top10(j: DataFrame): DataFrame = j
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(Similarity.cosine(col("qv"), col("embedding")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("qid", "vec_id")
+      val exact = top10(e.crossJoin(qe))
+      val approx = top10(e.join(ql, "label"))
+      val overlap = exact.join(approx, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+      qs.select(col("vec_id").as("qid"))
+        .join(overlap, Seq("qid"), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+        .withColumn("recall_at_10", round(col("n_overlap") / 10.0, 2))
+        .orderBy("qid")
     }),
 
     // IVF-style ANN: probe only the query's own coarse partition (label)
@@ -399,6 +442,22 @@ object PipelineQueries {
       WHERE bit_count(xor(a.simhash, c.simhash)) <= 8
       ORDER BY id1, id2""",
 
+    // overlap COUNTS are hash-invariant: Spark intersects xxhash64 longs,
+    // the oracle intersects the raw shingle strings — same sizes
+    "pipe_decontaminate" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                   WHERE len(string_split(text, ' ')) >= 3),
+      sh AS (SELECT doc_id,
+                    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   FOR i IN range(1, len(w) - 1)]) AS sh
+             FROM tok),
+      test AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 50),
+      train AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= 50)
+      SELECT t.doc_id, count(DISTINCT t.s) AS n_shared
+      FROM train t JOIN test USING (s)
+      GROUP BY t.doc_id HAVING count(DISTINCT t.s) >= 3
+      ORDER BY doc_id""",
+
     "dedup_jaccard" -> """
       WITH t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS w
                  FROM documents),
@@ -481,6 +540,32 @@ object PipelineQueries {
                CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
         FROM scored)
       SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "ann_recall" -> s"""
+      WITH q AS (SELECT label, vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      exs AS (
+        SELECT q.qid, e.vec_id, round(${cos("q.qv", "e.embedding")}, 6) AS cos
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+      ex10 AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM exs) WHERE rank <= 10),
+      aps AS (
+        SELECT q.qid, e.vec_id, round(${cos("q.qv", "e.embedding")}, 6) AS cos
+        FROM embeddings e JOIN q ON e.label = q.label WHERE e.vec_id <> q.qid),
+      ap10 AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM aps) WHERE rank <= 10),
+      ov AS (
+        SELECT qid, count(*) AS n FROM ex10 JOIN ap10 USING (qid, vec_id)
+        GROUP BY qid)
+      SELECT qq.qid, coalesce(ov.n, 0) AS n_overlap,
+             round(coalesce(ov.n, 0) / 10.0, 2) AS recall_at_10
+      FROM (SELECT DISTINCT qid FROM q) qq LEFT JOIN ov USING (qid)
+      ORDER BY qid""",
 
     "ann_ivf" -> s"""
       WITH q AS (SELECT label, vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),

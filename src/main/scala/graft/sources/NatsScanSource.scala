@@ -102,6 +102,7 @@ final class NatsScanTable(props: Map[String, String])
         startTimeNs = props.get("start_time").map(nsOf),
         endTimeNs = props.get("end_time").map(nsOf),
         subject = props.get("subject"),
+        maxPerBatch = maxPerBatch,
         sliceWidth = props.getOrElse("slice_width", "65536").toLong,
         connectTimeoutMs = props.getOrElse("connect_timeout_ms",
           graft.transport.Transport.DefaultTimeoutMs.toString).toLong)
@@ -111,14 +112,16 @@ final class NatsScanTable(props: Map[String, String])
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new NatsScanWriteBuilder(dir, stream, info)
+    new NatsScanWriteBuilder(dir, stream, info, url,
+      props.getOrElse("connect_timeout_ms",
+        graft.transport.Transport.DefaultTimeoutMs.toString).toLong)
 }
 
 /** bind-time transport parameters (reference named params, nats_scan.cpp:207-423) */
 final case class TransportBind(url: String,
                                startSeq: Option[Long], endSeq: Option[Long],
                                startTimeNs: Option[Long], endTimeNs: Option[Long],
-                               subject: Option[String],
+                               subject: Option[String], maxPerBatch: Long,
                                sliceWidth: Long, connectTimeoutMs: Long)
 
 /** Accepts seq/ts/subject predicates; everything else stays residual.
@@ -208,6 +211,7 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
         startTimeNs = tb.startTimeNs, endTimeNs = tb.endTimeNs,
         subjectContains = tb.subject.toList ::: subjectContains,
         subjectPrefixes = subjectPrefixes,
+        maxPerBatch = tb.maxPerBatch,
         sliceWidth = tb.sliceWidth, connectTimeoutMs = tb.connectTimeoutMs)
     case None =>
       new NatsScanScan(file, dir, stream, required, seqLo, seqHi, tsLoNs,

@@ -31,7 +31,10 @@ import org.apache.spark.sql.types.StructType
   * on a DFS via a FileCommitProtocol; one file per task, no driver data path.
   */
 final class NatsScanWriteBuilder(dir: String, stream: String,
-                                 info: LogicalWriteInfo)
+                                 info: LogicalWriteInfo,
+                                 url: Option[String] = None,
+                                 connectTimeoutMs: Long =
+                                   graft.transport.Transport.DefaultTimeoutMs)
     extends WriteBuilder with SupportsTruncate {
 
   private var truncateFirst = false
@@ -41,8 +44,15 @@ final class NatsScanWriteBuilder(dir: String, stream: String,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new NatsScanBatchWrite(dir, stream, info.schema(), truncateFirst)
-    override def toStreaming: StreamingWrite =
-      new NatsScanStreamingWrite(dir, stream, info.schema())
+    override def toStreaming: StreamingWrite = url match {
+      // PUBLISH direction over the transport: each row becomes a JetStream
+      // publish with a deterministic Nats-Msg-Id, so replayed epochs dedup
+      // server-side (exactly-once without any sink-side state)
+      case Some(u) =>
+        new NatsTransportStreamingWrite(u, stream, info.schema(),
+          connectTimeoutMs)
+      case None => new NatsScanStreamingWrite(dir, stream, info.schema())
+    }
   }
 }
 
@@ -84,6 +94,69 @@ final class NatsScanStreamingWrite(dir: String, stream: String,
       .filter(f => f.getName.startsWith("_inprogress_") ||
         f.getName.startsWith("._inprogress_"))
       .foreach(_.delete())
+}
+
+/** Streaming publish through the transport seam — the live analog of the
+  * parquet-store sink. Rows publish with `Nats-Msg-Id = epoch-partition-row`
+  * (deterministic for a deterministic batch), so a replayed epoch's
+  * publishes are server-side no-ops: JetStream's own dedup window provides
+  * the exactly-once the file sink gets from deterministic epoch filenames.
+  * The incoming `seq` column is ignored — the SERVER assigns sequences on
+  * publish, exactly as a real JetStream ack does. */
+final class NatsTransportStreamingWrite(url: String, stream: String,
+                                        schema: StructType,
+                                        connectTimeoutMs: Long)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    new NatsTransportWriterFactory(url, stream, schema, connectTimeoutMs)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class NatsTransportWriterFactory(url: String, stream: String,
+                                       schema: StructType,
+                                       connectTimeoutMs: Long)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new NatsTransportPublisher(url, stream, schema, partitionId, epochId,
+      connectTimeoutMs)
+}
+
+final class NatsTransportPublisher(url: String, stream: String,
+                                   schema: StructType, partitionId: Int,
+                                   epochId: Long, connectTimeoutMs: Long)
+    extends DataWriter[InternalRow] {
+  private val transport =
+    graft.transport.Transport.connect(url, connectTimeoutMs)
+  private val iSubject = schema.fieldIndex("subject")
+  private val iTs = schema.fieldIndex("ts_nats")
+  private val iPayload = schema.fieldIndex("payload")
+  private var rowIdx = 0L
+  private var published = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val subject =
+      if (row.isNullAt(iSubject)) null else row.getUTF8String(iSubject).toString
+    require(!row.isNullAt(iTs),
+      "nats_scan publisher: ts_nats is required (got NULL)")
+    val tsNs = Math.multiplyExact(row.getLong(iTs), 1000L) // µs → ns
+    val payload = if (row.isNullAt(iPayload)) Array.emptyByteArray
+                  else row.getBinary(iPayload)
+    transport.publish(stream, subject, tsNs, payload,
+      msgId = s"graft-$epochId-$partitionId-$rowIdx")
+    rowIdx += 1
+    published += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    transport.close()
+    NatsScanCommit(s"published-$published", s"published-$published")
+  }
+  override def abort(): Unit = transport.close() // publishes already dedup'd
+  override def close(): Unit = ()
 }
 
 final class NatsScanStreamingWriterFactory(storeDir: String, schema: StructType)

@@ -40,11 +40,19 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
                               startTimeNs: Option[Long], endTimeNs: Option[Long],
                               subjectContains: List[String],
                               subjectPrefixes: List[String],
+                              maxPerBatch: Long,
                               sliceWidth: Long, connectTimeoutMs: Long)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** live tail: seq-offset micro-batches polling the server's LastSeq */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new graft.streaming.NatsTransportMicroBatchStream(url, stream,
+      maxPerBatch = maxPerBatch, sliceWidth = sliceWidth,
+      connectTimeoutMs = connectTimeoutMs)
 
   override def description(): String =
     s"nats_transport url=$url stream=$stream seq=[$seqLo,$seqHi] " +

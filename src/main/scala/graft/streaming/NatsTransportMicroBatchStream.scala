@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+
+import graft.sources.{NatsTransportPartition, NatsTransportReaderFactory, NatsScanSource}
+import graft.transport.Transport
+
+/** LIVE TAIL over the transport seam — the capability the reference only
+  * roadmaps (/root/reference/docs/GUIDE.md:479-482): a micro-batch stream
+  * whose offset axis is the JetStream sequence, polling the server's
+  * LastSeq each trigger. New messages published between triggers appear in
+  * the next batch; checkpointed offsets are plain seqs, so recovery is
+  * "resume after seq N" — exactly a durable consumer's contract.
+  *
+  * Admission control (`max_msgs_per_batch`) bounds each batch the same way
+  * the parquet-backed stream does; each batch's seq range splits into slice
+  * partitions served by the batched-fetch readers (gap seqs simply never
+  * arrive — a batch spanning deleted messages yields fewer rows, offsets
+  * still advance past them).
+  */
+final class NatsTransportMicroBatchStream(url: String, stream: String,
+                                          maxPerBatch: Long, sliceWidth: Long,
+                                          connectTimeoutMs: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  /** LastSeq polled from the server — one streamInfo RPC per trigger. */
+  private def lastSeq: Long = {
+    val t = Transport.connect(url, connectTimeoutMs)
+    try t.streamInfo(stream).lastSeq finally t.close()
+  }
+
+  override def initialOffset(): Offset = SeqOffset(0L)
+
+  override def latestOffset(): Offset = SeqOffset(lastSeq)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    SeqOffset(math.min(lastSeq, start.asInstanceOf[SeqOffset].seq + maxPerBatch))
+
+  override def reportLatestOffset(): Offset = SeqOffset(lastSeq)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def prepareForTriggerAvailableNow(): Unit = { val _ = lastSeq }
+
+  override def deserializeOffset(json: String): Offset =
+    SeqOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[SeqOffset].seq + 1
+    val hi = end.asInstanceOf[SeqOffset].seq
+    if (hi < lo) Array.empty
+    else Iterator.iterate(lo)(_ + sliceWidth).takeWhile(_ <= hi).map { s =>
+      NatsTransportPartition(url, stream, s,
+        math.min(hi, s + sliceWidth - 1)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NatsTransportReaderFactory(NatsScanSource.envelopeSchema,
+      Long.MinValue, Long.MaxValue, Nil, Nil, connectTimeoutMs)
+}

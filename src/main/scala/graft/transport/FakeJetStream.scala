@@ -41,6 +41,25 @@ final class FakeJetStreamServer {
     streams.get(stream).foreach(_.remove(seq))
   }
 
+  private val msgIds = new TrieMap[(String, String), Long]()
+
+  /** append-publish with `Nats-Msg-Id` dedup: a repeated id returns the
+    * original sequence without storing a second copy. Synchronized so the
+    * (check id, assign seq, store) step is atomic like a real server's. */
+  def publishAppend(stream: String, subject: String, tsNs: Long,
+                    payload: Array[Byte], msgId: String): Long = synchronized {
+    addStream(stream)
+    msgIds.get((stream, msgId)) match {
+      case Some(seq) => seq // duplicate inside the dedup window: no-op ack
+      case None =>
+        val m = streams(stream)
+        val seq = if (m.isEmpty) 1L else m.lastKey() + 1L
+        m.put(seq, TransportMsg(subject, seq, tsNs, payload))
+        msgIds.put((stream, msgId), seq)
+        seq
+    }
+  }
+
   def hasStream(name: String): Boolean = streams.contains(name)
 
   private[transport] def state(stream: String): Option[StreamState] =
@@ -130,6 +149,12 @@ final class FakeTransport(server: FakeJetStreamServer) extends JetStreamTranspor
                      max: Int): Array[TransportMsg] = {
     rpcs.incrementAndGet()
     server.range(stream, fromSeq, toSeq, max)
+  }
+
+  override def publish(stream: String, subject: String, tsNs: Long,
+                       payload: Array[Byte], msgId: String): Long = {
+    rpcs.incrementAndGet()
+    server.publishAppend(stream, subject, tsNs, payload, msgId)
   }
 
   override def close(): Unit = ()

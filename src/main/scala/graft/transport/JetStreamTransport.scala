@@ -34,6 +34,16 @@ trait JetStreamTransport extends AutoCloseable {
     * Returns messages in sequence order. */
   def fetch(stream: String, fromSeq: Long, toSeq: Long, max: Int): Array[TransportMsg]
 
+  /** Publish one message; the server assigns the next sequence and returns
+    * it (a JetStream PubAck). `msgId` is the `Nats-Msg-Id` deduplication
+    * header: re-publishing an id inside the dedup window is a no-op
+    * returning the original sequence — THE JetStream mechanism that makes a
+    * replayed sink epoch exactly-once (docs/LIVE_NATS.md "Offsets, replay,
+    * exactly-once"). The reference engine is read-only; this is the write
+    * direction it lacks. */
+  def publish(stream: String, subject: String, tsNs: Long,
+              payload: Array[Byte], msgId: String): Long
+
   def close(): Unit
 }
 

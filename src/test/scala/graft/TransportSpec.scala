@@ -189,6 +189,78 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 15L) // 16 seqs minus deleted 40
   }
 
+  test("LIVE TAIL: messages published mid-query appear in later micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tailUrl = "nats://tail-server:4222"
+    val srv = FakeJetStream.listen(tailUrl)
+    (1L to 40L).foreach { seq =>
+      srv.publish("tail", seq, s"tail.a", 1700000000000000000L + seq * 1000000L,
+        s"m$seq".getBytes)
+    }
+    val q = spark.readStream.format("nats_scan")
+      .option("url", tailUrl).option("stream", "tail")
+      .option("max_msgs_per_batch", "25").option("slice_width", "25")
+      .load()
+      .writeStream.format("memory").queryName("livetail")
+      .trigger(Trigger.ProcessingTime("300 milliseconds"))
+      .start()
+    try {
+      def seen: Long =
+        spark.sql("SELECT count(*) FROM livetail").head().getLong(0)
+      val d1 = System.currentTimeMillis() + 60000
+      while (seen < 40L && System.currentTimeMillis() < d1) Thread.sleep(200)
+      assert(seen == 40L, s"initial backlog not drained: $seen")
+      // publish NEW messages while the query is running — the live tail
+      (41L to 60L).foreach { seq =>
+        srv.publish("tail", seq, s"tail.b",
+          1700000000000000000L + seq * 1000000L, s"m$seq".getBytes)
+      }
+      val d2 = System.currentTimeMillis() + 60000
+      while (seen < 60L && System.currentTimeMillis() < d2) Thread.sleep(200)
+      assert(seen == 60L, s"live-published messages not tailed: $seen")
+      val seqs = spark.sql("SELECT seq FROM livetail").collect()
+        .map(_.getLong(0)).sorted
+      assert(seqs.sameElements(1L to 60L), "exactly-once, in-order coverage")
+    } finally { q.stop(); q.awaitTermination(30000) }
+  }
+
+  test("PUBLISH direction: streaming sink → JetStream with Msg-Id dedup is idempotent") {
+    import org.apache.spark.sql.streaming.Trigger
+    val pubUrl = "nats://publish-server:4222"
+    FakeJetStream.listen(pubUrl).addStream("published")
+    val dir = "/root/testdata/sf0.001"
+    def run(): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_pub_ckpt").toString
+      val q = spark.readStream.format("nats_scan").option("dir", dir)
+        .option("max_msgs_per_batch", "300").load()
+        .writeStream.format("nats_scan")
+        .option("url", pubUrl).option("stream", "published")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def published = spark.read.format("nats_scan")
+      .option("url", pubUrl).option("stream", "published").load()
+    run()
+    assert(published.count() == 1000L)
+    // REPUBLISH the whole job (fresh checkpoint): deterministic batch
+    // boundaries give identical epoch/partition/row msgIds, so the server's
+    // dedup window no-ops every publish — exactly-once across full reruns,
+    // with zero sink-side state
+    run()
+    assert(published.count() == 1000L, "replayed publishes must dedup")
+    assert(published.select("seq").distinct().count() == 1000L)
+    // a raw duplicate msgId is a no-op ack too
+    val t = Transport.connect(pubUrl)
+    t.publish("published", "dup.subject", 1L, "dup".getBytes, "graft-0-0-0")
+    assert(published.count() == 1000L)
+    // payload content survived the publish round trip
+    val a = spark.read.format("nats_scan").option("dir", dir).load()
+      .agg(sum(expr("octet_length(payload)"))).head.getLong(0)
+    val b = published.agg(sum(expr("octet_length(payload)"))).head.getLong(0)
+    assert(a == b, s"payload bytes differ: $a vs $b")
+  }
+
   test("transport scan ≡ parquet scan on the shared fixture (pruning equivalence)") {
     val dir = "/root/testdata/sf0.001"
     val u = graft.queries.TransportQueries.fixtureUrl(spark, dir)
