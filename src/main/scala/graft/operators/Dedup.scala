@@ -146,6 +146,17 @@ object Dedup {
       .distinct())
     var labels = chk(nodes.select(col("a").as("node"))
       .withColumn("lbl", col("node")))
+    // convergence via the LABEL-SUM invariant: min-label propagation is
+    // per-node monotone nonincreasing (the self-loop keeps each node's own
+    // label in its neighbor-min, and the jump only shortcuts to an already
+    // reachable, smaller-or-equal label), so sum(lbl) strictly decreases
+    // until the fixpoint. Comparing sums costs one tiny aggregate over the
+    // freshly checkpointed round — the old changed-row check joined two
+    // full label tables (an extra shuffle) every round. Sums stay far from
+    // long overflow for any realistic id space (ids ≤ 2^40 × 2^20 nodes).
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("lbl")).head.getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -161,13 +172,11 @@ object Dedup {
           col("x.lbl") === col("jn"), "left")
         .select(col("x.node").as("node"),
           least(col("x.lbl"), coalesce(col("jl"), col("x.lbl"))).as("lbl")))
-      val changed = next
-        .join(labels.withColumnRenamed("lbl", "prev"), "node")
-        .filter(col("lbl") < col("prev"))
-        .count()
-      converged = changed == 0L
+      val s = labelSum(next)
+      converged = s == prevSum
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"[cc] round=$iter changed=$changed")
+        println(s"[cc] round=$iter sum=$s prev=$prevSum")
+      prevSum = s
       release(labels) // round N materialized — free round N−1's blocks
       labels = next
       iter += 1
