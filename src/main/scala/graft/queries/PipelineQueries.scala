@@ -253,6 +253,53 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
+    // nprobe MONOTONICITY CONTRACT: probing 2 partitions can only add
+    // candidates, so multi-probe recall@10 must be >= single-probe recall@10
+    // for every query — hash-verified per query (n1, n2, and the boolean),
+    // so a probe-selection bug that silently loses the query's own best
+    // partition breaks the match. Quantifies what nprobe=2 buys.
+    "ann_recall_multiprobe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") < 10)
+      val qe = broadcast(qs.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      val ql = broadcast(qs.select(col("label"), col("vec_id").as("qid"),
+        col("embedding").as("qv")))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      def top10(j: DataFrame): DataFrame = j
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(Similarity.cosine(col("qv"), col("embedding")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("qid", "vec_id")
+      // centroid-ranked top-2 probe partitions (the multiprobe machinery)
+      val cent = e.select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("x").cast("double")), 6).as("m"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("cv"))
+      val wp = Window.partitionBy("qid").orderBy(col("ccos").desc, col("label").asc)
+      val probes = broadcast(qe).crossJoin(broadcast(cent))
+        .withColumn("ccos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+        .withColumn("prn", row_number().over(wp))
+        .filter(col("prn") <= 2)
+        .select(col("qid"), col("qv"), col("label"))
+      val exact = top10(e.crossJoin(qe))
+      val single = top10(e.join(ql, "label"))
+      val multi = top10(e.join(broadcast(probes), "label"))
+      def overlap(approx: DataFrame, as: String): DataFrame =
+        exact.join(approx, Seq("qid", "vec_id"))
+          .groupBy("qid").agg(count(lit(1)).as(as))
+      qs.select(col("vec_id").as("qid"))
+        .join(overlap(single, "n1"), Seq("qid"), "left")
+        .join(overlap(multi, "n2"), Seq("qid"), "left")
+        .withColumn("n1", coalesce(col("n1"), lit(0L)))
+        .withColumn("n2", coalesce(col("n2"), lit(0L)))
+        .withColumn("nprobe_monotone", col("n2") >= col("n1"))
+        .orderBy("qid")
+    }),
+
     // ANN QUALITY CONTRACT, hash-verified: recall@10 of the single-probe IVF
     // against the brute-force ground truth, per query. Both sides are
     // deterministic (rounded cosine + vec_id tiebreak = total order), so the
@@ -647,6 +694,52 @@ object PipelineQueries {
         FROM cand)
       SELECT qid, rank, vec_id, cos, label FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "ann_recall_multiprobe" -> s"""
+      WITH q AS (SELECT label, vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      dims AS (
+        SELECT label, i.i AS pos, round(avg(CAST(embedding[i.i] AS DOUBLE)), 6) AS m
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY label, i.i),
+      cent AS (SELECT label, list(m ORDER BY pos) AS cv FROM dims GROUP BY label),
+      probes AS (
+        SELECT qid, qv, label FROM (
+          SELECT q.qid, q.qv, c.label,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY round(${cos("c.cv", "q.qv")}, 6) DESC, c.label ASC) AS prn
+          FROM q CROSS JOIN cent c)
+        WHERE prn <= 2),
+      exs AS (
+        SELECT q.qid, e.vec_id, round(${cos("q.qv", "e.embedding")}, 6) AS cos
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+      ex10 AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM exs) WHERE rank <= 10),
+      s1 AS (
+        SELECT q.qid, e.vec_id, round(${cos("q.qv", "e.embedding")}, 6) AS cos
+        FROM embeddings e JOIN q ON e.label = q.label WHERE e.vec_id <> q.qid),
+      s110 AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM s1) WHERE rank <= 10),
+      s2 AS (
+        SELECT p.qid, e.vec_id, round(${cos("p.qv", "e.embedding")}, 6) AS cos
+        FROM probes p JOIN embeddings e ON e.label = p.label AND e.vec_id <> p.qid),
+      s210 AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM s2) WHERE rank <= 10),
+      o1 AS (SELECT qid, count(*) AS n FROM ex10 JOIN s110 USING (qid, vec_id) GROUP BY qid),
+      o2 AS (SELECT qid, count(*) AS n FROM ex10 JOIN s210 USING (qid, vec_id) GROUP BY qid)
+      SELECT qq.qid, coalesce(o1.n, 0) AS n1, coalesce(o2.n, 0) AS n2,
+             coalesce(o2.n, 0) >= coalesce(o1.n, 0) AS nprobe_monotone
+      FROM (SELECT DISTINCT qid FROM q) qq
+      LEFT JOIN o1 USING (qid) LEFT JOIN o2 USING (qid)
+      ORDER BY qid""",
 
     "ann_recall" -> s"""
       WITH q AS (SELECT label, vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
