@@ -39,11 +39,30 @@ object Bench {
       Caches.drain()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only a bounded tail of stdout; with ~100 queries a
+    // full-precision map overflows that window, the line's HEAD gets cut, and
+    // the round's bench is unparseable (this happened in round 3). Keep the
+    // stdout line compact (centisecond precision is plenty at 0.1–5 s/query)
+    // and park full precision in a file committed with the round.
+    // Locale.ROOT: a comma decimal separator would corrupt the JSON
+    def r2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
+      .mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedJson,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(line)
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
     spark.stop()
