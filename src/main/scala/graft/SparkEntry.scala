@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.V2Queries.queries ++
       graft.queries.MultimodalQueries.queries ++
       graft.queries.ScaleQueries.queries ++
-      graft.queries.TransportQueries.queries
+      graft.queries.TransportQueries.queries ++
+      graft.queries.AnalyticQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.NatsQueries.oracleSql ++
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.V2Queries.oracleSql ++
       graft.queries.MultimodalQueries.oracleSql ++
       graft.queries.ScaleQueries.oracleSql ++
-      graft.queries.TransportQueries.oracleSql
+      graft.queries.TransportQueries.oracleSql ++
+      graft.queries.AnalyticQueries.oracleSql
 }

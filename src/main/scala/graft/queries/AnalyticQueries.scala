@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Analytic-SQL surface beyond the SURVEY §2 inventory: window FRAMES
+  * (running / moving aggregates), positional window functions
+  * (first/last/nth), distribution functions (percent_rank, cume_dist),
+  * correlated EXISTS / NOT EXISTS subqueries, QUALIFY-style top-n per
+  * group, regexp and date part extraction, array functions over tokenized
+  * text, and distributed second-moment statistics.
+  *
+  * Scale notes (100 TB thinking):
+  *   - every window here is PARTITION BY'd — no global-order single-task
+  *     windows (the scale-safe global variants live in
+  *     [[graft.operators.ScalableWindows]]);
+  *   - running sums accumulate DECIMAL (order-invariant partial state),
+  *     cast to DOUBLE only at the edge, so plans re-ordered by AQE can
+  *     never change results;
+  *   - the EXISTS / NOT EXISTS pair is written as SQL subqueries so
+  *     Catalyst's RewriteCorrelatedSubquery turns them into semi/anti
+  *     hash joins — shuffle on the correlation key, no per-row probes;
+  *   - stats (stddev/corr) use Spark's mergeable central-moment
+  *     aggregates: one partial pass per partition + a tiny merge, the
+  *     same topology as a plain sum.
+  */
+object AnalyticQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Window frames: running total (UNBOUNDED PRECEDING..CURRENT ROW) and
+    // 3-row moving average, both per customer. The moving average divides
+    // an exact DECIMAL frame-sum by the frame count instead of avg() —
+    // DuckDB's avg(DECIMAL) returns DOUBLE while Spark's widens the
+    // decimal, so the explicit sum/count is the engine-portable form.
+    "q_window_frame" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .filter(col("o_custkey") <= 200)
+        .withColumn("p", col("o_totalprice").cast("decimal(18,2)"))
+      val ord = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w3 = ord.rowsBetween(-2, Window.currentRow)
+      base.select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("p")).over(run).cast("double").as("running_total"),
+        round(sum(col("p")).over(w3).cast("double") /
+          count(lit(1)).over(w3), 4).as("mv_avg"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // first_value / last_value / nth_value over the full-partition frame
+    "q_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 150)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // percent_rank + cume_dist per event type; the ORDER BY includes
+    // event_id so every rank is tie-free and the doubles ((rank-1)/(n-1),
+    // rank/n) are the same IEEE divisions in both engines.
+    "q_percent_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("event_id") % 17 === 0)
+        .select(
+          col("event_type"), col("event_id"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("event_type", "event_id")
+    }),
+
+    // correlated EXISTS + NOT EXISTS — Catalyst rewrites to a semi join
+    // and an anti join on l_partkey (shuffle on the key, no row probes)
+    "q_exists" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part_x")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_x")
+      s.sql("""
+        SELECT p_partkey, p_brand
+        FROM part_x p
+        WHERE EXISTS (SELECT 1 FROM lineitem_x l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_x l2
+                          WHERE l2.l_partkey = p.p_partkey
+                            AND l2.l_returnflag = 'R' AND l2.l_quantity < 2)
+        ORDER BY p_partkey""")
+    }),
+
+    // QUALIFY-style top-n per group: rank over a partitioned window, then
+    // filter — the distributed form of "top 3 orders per market segment"
+    "q_qualify_topn" -> ((s, dir) => {
+      val seg = t(s, dir, "orders").join(
+        broadcast(t(s, dir, "customer").select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      seg.select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy("c_mktsegment", "rnk")
+    }),
+
+    // regexp extract/replace, token counting, substring, position
+    "q_regexp" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("type_last"),
+        size(split(col("p_name"), " ")).as("n_words"),
+        regexp_replace(col("p_brand"), "#", "_").as("brand_u"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        instr(col("p_name"), "o").as("pos_o"))
+        .orderBy("p_partkey")),
+
+    // date part extraction + month truncation as grouping keys
+    "q_date_parts" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+        .withColumn("mo", month(col("o_orderdate")))
+        .withColumn("month_start", date_trunc("month", col("o_orderdate")))
+        .groupBy("yr", "mo", "month_start")
+        .agg(count(lit(1)).as("n"),
+          min(dayofmonth(col("o_orderdate"))).as("min_day"),
+          max(dayofmonth(col("o_orderdate"))).as("max_day"))
+        .orderBy("yr", "mo")),
+
+    // array functions over whitespace-tokenized text — all map-side
+    "q_array_funcs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("doc_id") <= 200)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_words"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          array_min(col("toks")).as("min_word"),
+          array_contains(col("toks"), "the").as("has_the"))
+        .orderBy("doc_id")),
+
+    // distributed second moments: stddev / variance / correlation via
+    // mergeable central-moment partials (numerically stable across any
+    // partitioning); rounded at the edge because the merge order differs
+    // from a single-threaded engine by O(1 ulp)
+    "q_stats_funcs" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_window_frame" -> """
+      WITH f AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        FROM orders WHERE o_custkey <= 200)
+      SELECT o_custkey, o_orderkey,
+             CAST(sum(p) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS running_total,
+             round(CAST(sum(p) OVER w3 AS DOUBLE) / (count(*) OVER w3), 4) AS mv_avg
+      FROM f
+      WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q_first_last" -> """
+      SELECT o_custkey, o_orderkey,
+             first_value(o_totalprice) OVER w AS first_price,
+             last_value(o_totalprice) OVER w AS last_price,
+             nth_value(o_totalprice, 2) OVER w AS second_price
+      FROM orders WHERE o_custkey <= 150
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q_percent_rank" -> """
+      SELECT event_type, event_id,
+             round(percent_rank() OVER w, 6) AS pr,
+             round(cume_dist() OVER w, 6) AS cd
+      FROM events WHERE event_id % 17 = 0
+      WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      ORDER BY event_type, event_id""",
+
+    "q_exists" -> """
+      SELECT p_partkey, p_brand
+      FROM part p
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                        WHERE l2.l_partkey = p.p_partkey
+                          AND l2.l_returnflag = 'R' AND l2.l_quantity < 2)
+      ORDER BY p_partkey""",
+
+    "q_qualify_topn" -> """
+      WITH r AS (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               CAST(rank() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY o_totalprice DESC, o_orderkey)
+                    AS INTEGER) AS rnk
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+      SELECT c_mktsegment, o_orderkey, o_totalprice, rnk
+      FROM r WHERE rnk <= 3
+      ORDER BY c_mktsegment, rnk""",
+
+    "q_regexp" -> """
+      SELECT p_partkey,
+             regexp_extract(p_type, '([A-Z]+)$', 1) AS type_last,
+             CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+             regexp_replace(p_brand, '#', '_') AS brand_u,
+             substr(p_name, 1, 5) AS name5,
+             CAST(strpos(p_name, 'o') AS INTEGER) AS pos_o
+      FROM part ORDER BY p_partkey""",
+
+    "q_date_parts" -> """
+      SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+             CAST(extract(month FROM o_orderdate) AS INTEGER) AS mo,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             count(*) AS n,
+             CAST(min(extract(day FROM o_orderdate)) AS INTEGER) AS min_day,
+             CAST(max(extract(day FROM o_orderdate)) AS INTEGER) AS max_day
+      FROM orders GROUP BY 1, 2, 3 ORDER BY yr, mo""",
+
+    "q_array_funcs" -> """
+      WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id <= 200)
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_words,
+             CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+             list_min(toks) AS min_word,
+             list_contains(toks, 'the') AS has_the
+      FROM tok ORDER BY doc_id""",
+
+    "q_stats_funcs" -> """
+      SELECT l_returnflag,
+             round(stddev_samp(l_quantity), 4) AS sd_qty,
+             round(var_samp(l_discount), 6) AS var_disc,
+             round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+  )
+}

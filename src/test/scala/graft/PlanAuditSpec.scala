@@ -195,6 +195,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("subjectPrefixes=List(events.purchase)"), p)
   }
 
+  test("q_exists: correlated EXISTS/NOT EXISTS rewrite to semi + anti hash joins") {
+    val p = physical(
+      graft.queries.AnalyticQueries.queries("q_exists")(spark, dir))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_qualify_topn: dimension broadcasts and the window is partitioned") {
+    val df = graft.queries.AnalyticQueries.queries("q_qualify_topn")(spark, dir)
+    val p = physical(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the rank window must carry PARTITION BY c_mktsegment — a global-order
+    // window (empty partition spec) would single-task at scale
+    assert(p.contains("windowspecdefinition(c_mktsegment"), p)
+    // Spark 4 pushes the rnk<=3 filter into a partial+final WindowGroupLimit,
+    // so each map task forwards only its own top-3 per segment — the shuffle
+    // carries O(segments·k) rows, not the whole fact table
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q_window_frame: running/moving frames stay inside a partitioned window") {
+    val df = graft.queries.AnalyticQueries.queries("q_window_frame")(spark, dir)
+    val p = physical(df)
+    assert(p.contains("windowspecdefinition(o_custkey"), p)
+  }
+
   test("native message store scan prunes by seq and filters records") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_audit_native").toString
     spark.read.format("nats_scan").option("dir", dir).load()
