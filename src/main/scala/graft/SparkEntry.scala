@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.MultimodalQueries.queries ++
       graft.queries.ScaleQueries.queries ++
       graft.queries.TransportQueries.queries ++
-      graft.queries.AnalyticQueries.queries
+      graft.queries.AnalyticQueries.queries ++
+      graft.queries.TrainingDataQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.NatsQueries.oracleSql ++
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.MultimodalQueries.oracleSql ++
       graft.queries.ScaleQueries.oracleSql ++
       graft.queries.TransportQueries.oracleSql ++
-      graft.queries.AnalyticQueries.oracleSql
+      graft.queries.AnalyticQueries.oracleSql ++
+      graft.queries.TrainingDataQueries.oracleSql
 }

@@ -49,4 +49,36 @@ object ScalableWindows {
       .withColumn(prevCol, coalesce(col("__prev_local"), col("__prev_bmax")))
       .drop("__bkt", "__prev_local")
   }
+
+  /** Inclusive running SUM(valueCol) over the GLOBAL ordering of `orderCol`
+    * — the distributed prefix-sum topology.
+    *
+    * Same two-pass shape as [[globalLag]]: per-bucket running sums are
+    * partitioned windows (parallel); each bucket's exclusive prefix comes
+    * from a window over the tiny per-bucket aggregate (one row per bucket),
+    * broadcast back. The value must be integral (token counts, byte sizes):
+    * LONG addition is associative, so bucket-local + prefix ≡ the global
+    * left-to-right sum no matter how AQE lays out the partitions.
+    *
+    * Requires a numeric, non-null, unique `orderCol`.
+    */
+  def globalRunningSum(df: DataFrame, orderCol: String, bucketWidth: Long,
+                       valueCol: String, cumCol: String): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val b = graft.Caches.tracked(
+      df.withColumn("__bkt", expr(s"`$orderCol` div $bucketWidth")))
+    val local = b.withColumn("__cum_local",
+      sum(col(valueCol)).over(Window.partitionBy("__bkt").orderBy(orderCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bounds = b.groupBy("__bkt").agg(sum(col(valueCol)).as("__bsum"))
+    // the ONLY unpartitioned window: over one row per bucket, never the data
+    val prefix = bounds.withColumn("__prefix",
+        coalesce(sum(col("__bsum")).over(
+          Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__bkt"), col("__prefix"))
+    local.join(broadcast(prefix), Seq("__bkt"))
+      .withColumn(cumCol, col("__cum_local") + col("__prefix"))
+      .drop("__bkt", "__cum_local", "__prefix")
+  }
 }

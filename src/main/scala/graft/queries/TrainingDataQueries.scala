@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data curation operators beyond the dedup/ANN/text batches:
+  * denylist scrubbing, within-document repetition metrics (Gopher-style
+  * repetition filters), global n-gram frequency, and greedy token packing
+  * of documents into fixed-budget training chunks.
+  *
+  * Scale notes (100 TB thinking):
+  *   - scrubbing and tokenization are pure per-row expressions — map-side,
+  *     codegen'd, no shuffle;
+  *   - repetition metrics shuffle once on (doc_id, word) with map-side
+  *     partial counts, then once on doc_id — both keys are high-cardinality
+  *     and skew-free;
+  *   - n-gram counting is the canonical partial-agg workload: per-task
+  *     hash maps absorb the Zipf head before the shuffle, so the exchange
+  *     carries distinct-ngrams-per-task rows, not one row per token; the
+  *     final top-k is TakeOrderedAndProject (no global sort);
+  *   - token packing needs a GLOBAL running sum — done with the two-pass
+  *     distributed prefix-sum ([[graft.operators.ScalableWindows
+  *     .globalRunningSum]]): data-bearing windows stay partitioned, only
+  *     one boundary row per bucket crosses the cluster.
+  */
+object TrainingDataQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** java.util.regex and RE2 agree on this subset: alternation + ASCII \b */
+  private val denyPat = "\\b(customer|key|secret)\\b"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // denylist scrub: count hits + fingerprint of the redacted text
+    "pipe_scrub" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(denyPat), lit(0)))
+          .as("n_hits"),
+        md5(regexp_replace(col("text"), denyPat, "[REDACTED]"))
+          .as("scrub_md5"))
+        .orderBy("doc_id")),
+
+    // within-document repetition: duplicate-word ratio and top-word
+    // fraction (the Gopher repetition-filter signals)
+    "pipe_doc_repetition" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val wc = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      wc.groupBy("doc_id")
+        .agg(sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
+          max("c").as("top_c"))
+        .select(
+          col("doc_id"), col("n_words"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 6)
+            .as("dup_ratio"),
+          round(col("top_c").cast("double") / col("n_words"), 6)
+            .as("top_word_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // global bigram frequency, top 50 (tie-broken on the ngram text)
+    "pipe_ngram_topk" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(split(col("text"), " ").as("l"))
+      toks
+        .select(explode(zip_with(
+          slice(col("l"), lit(1), size(col("l")) - 1),
+          slice(col("l"), lit(2), size(col("l")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(50)
+    }),
+
+    // greedy sequential packing: chunk_id = (tokens before this doc) div
+    // budget — contiguous doc runs of ~2048 tokens, the shape a training
+    // loader consumes. The global cumsum is the distributed prefix sum.
+    "pipe_token_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      val cum = graft.operators.ScalableWindows.globalRunningSum(
+        docs, "doc_id", 1000L, "n_tok", "cum_tok")
+      cum
+        .withColumn("chunk_id", expr("(cum_tok - n_tok) div 2048"))
+        .groupBy("chunk_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("chunk_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "pipe_scrub" -> """
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\b(customer|key|secret)\b'))
+                  AS INTEGER) AS n_hits,
+             md5(regexp_replace(text, '\b(customer|key|secret)\b',
+                                '[REDACTED]', 'g')) AS scrub_md5
+      FROM documents ORDER BY doc_id""",
+
+    "pipe_doc_repetition" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      wc AS (
+        SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+      d AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               count(*) AS n_distinct, max(c) AS top_c
+        FROM wc GROUP BY doc_id)
+      SELECT doc_id, n_words, n_distinct,
+             round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_ratio,
+             round(CAST(top_c AS DOUBLE) / n_words, 6) AS top_word_frac
+      FROM d ORDER BY doc_id""",
+
+    "pipe_ngram_topk" -> """
+      WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+      bg AS (
+        SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                                     i -> l[i] || ' ' || l[i + 1])) AS bigram
+        FROM toks)
+      SELECT bigram, count(*) AS n
+      FROM bg GROUP BY bigram
+      ORDER BY n DESC, bigram LIMIT 50""",
+
+    "pipe_token_pack" -> """
+      WITH c AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(sum(len(string_split(text, ' ')))
+                    OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tok
+        FROM documents)
+      SELECT (cum_tok - n_tok) // 2048 AS chunk_id,
+             count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY 1 ORDER BY chunk_id"""
+  )
+}

@@ -222,6 +222,37 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("windowspecdefinition(o_custkey"), p)
   }
 
+  test("pipe_ngram_topk: partial-agg before the shuffle, top-k without global sort") {
+    val p = physical(
+      graft.queries.TrainingDataQueries.queries("pipe_ngram_topk")(spark, dir))
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("pipe_token_pack: the data-bearing cumsum window is bucket-partitioned") {
+    val p = physical(
+      graft.queries.TrainingDataQueries.queries("pipe_token_pack")(spark, dir))
+    // per-row running sums run under PARTITION BY __bkt; the only
+    // unpartitioned window is over the one-row-per-bucket aggregate
+    assert(p.contains("windowspecdefinition(__bkt"), p)
+  }
+
+  test("bucketed globalRunningSum ≡ naive global window cumsum (equivalence)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // non-contiguous keys so some buckets are empty
+    val rows = (1 to 500).map(i => (i * 3L + (i % 7), rnd.nextInt(100).toLong))
+      .toDF("k", "v")
+    val fast = graft.operators.ScalableWindows
+      .globalRunningSum(rows, "k", 50L, "v", "cum")
+      .select("k", "cum").orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = rows.withColumn("cum",
+        sum(col("v")).over(org.apache.spark.sql.expressions.Window.orderBy("k")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select("k", "cum").orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.sameElements(naive))
+  }
+
   test("native message store scan prunes by seq and filters records") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_audit_native").toString
     spark.read.format("nats_scan").option("dir", dir).load()
