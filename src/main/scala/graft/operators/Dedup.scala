@@ -120,10 +120,18 @@ object Dedup {
     //     memory is not pinned across the whole run.
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     val reliable = checkpointDir.isDefined
-    def chk(df: DataFrame): DataFrame =
+    // eager = false defers materialization to the convergence aggregate
+    // that follows every round's label table, so a round runs ONE job, not
+    // checkpoint-job + sum-job. Lazy is only for plans consumed exactly
+    // once by the next action: the pair input `p` is referenced twice by
+    // the union below, and a lazy checkpoint there could compute the
+    // expensive pair join once per branch. (Lazy is also safe only for
+    // LOCAL checkpoints — blocks are cached during that first action; a
+    // lazy reliable checkpoint re-runs the lineage to write the files.)
+    def chk(df: DataFrame, eager: Boolean = true): DataFrame =
       if (reliable) df.checkpoint()
       else {
-        val c = df.localCheckpoint()
+        val c = df.localCheckpoint(eager)
         graft.Caches.registerCheckpointed(c)
         c
       }
@@ -145,7 +153,7 @@ object Dedup {
       .union(nodes.select(col("a"), col("a").as("b")))
       .distinct())
     var labels = chk(nodes.select(col("a").as("node"))
-      .withColumn("lbl", col("node")))
+      .withColumn("lbl", col("node")), eager = false)
     // convergence via the LABEL-SUM invariant: min-label propagation is
     // per-node monotone nonincreasing (the self-loop keeps each node's own
     // label in its neighbor-min, and the jump only shortcuts to an already
@@ -171,7 +179,8 @@ object Dedup {
         .join(propagated.select(col("node").as("jn"), col("lbl").as("jl")),
           col("x.lbl") === col("jn"), "left")
         .select(col("x.node").as("node"),
-          least(col("x.lbl"), coalesce(col("jl"), col("x.lbl"))).as("lbl")))
+          least(col("x.lbl"), coalesce(col("jl"), col("x.lbl"))).as("lbl")),
+        eager = false)
       val s = labelSum(next)
       converged = s == prevSum
       if (sys.env.contains("GRAFT_CC_DEBUG"))
