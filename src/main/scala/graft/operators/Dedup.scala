@@ -265,4 +265,50 @@ object Dedup {
       .select(col(blockCol), col("id1"), col("id2"),
         round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Duplicated-substring detection: for every document, how many of its
+    * distinct k-token spans also appear in at least one OTHER document —
+    * the span-level dedup signal (exact substring duplication across a
+    * corpus, the thing document-level near-dup misses when only a
+    * paragraph is copied).
+    *
+    * Scale topology: spans travel as one multi-arg xxhash64 long per
+    * window (never the span text — hash-of-parts ≡ hash-of-concat for
+    * counting, and the oracle recounts raw span strings); the only
+    * shuffles are a partial-agg count on the span hash and the join back,
+    * which reuses the same hash partitioning (Exchange reuse). Span
+    * EXTRACTION is map-side expression work, linear in corpus tokens. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 16): DataFrame = {
+    require(k >= 2 && k <= 32, s"span width out of range: $k")
+    val hashArgs = (0 until k).map(j => s"element_at(w, i + $j)").mkString(", ")
+    // per-doc DISTINCT spans: a doc repeating its own span twice is
+    // within-doc repetition (pipe_doc_repetition's job), not corpus dup
+    // The length guard lives INSIDE the expression (CASE WHEN), not in a
+    // DataFrame filter: Catalyst infers extra predicates from the explode
+    // (non-empty, non-null span array) and codegen's common-subexpression
+    // elimination evaluates the shared transform(...) BEFORE the
+    // short-circuit of an outer `size(w) >= k` filter conjunct — under
+    // ANSI mode the out-of-bounds element_at on a short doc then throws.
+    // A CaseWhen branch is evaluated lazily, so no rewrite can hoist the
+    // window hashing past the guard. (sequence(1, n) with n < 1 is the
+    // other trap: it generates a DESCENDING range, not an empty one.)
+    val spans = df
+      .select(col(idCol), tokens(col(textCol)).as("w"))
+      .withColumn("hs", expr(
+        s"CASE WHEN size(w) >= $k THEN " +
+          s"array_distinct(transform(sequence(1, size(w) - ${k - 1}), " +
+          s"i -> xxhash64($hashArgs))) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END"))
+      .select(col(idCol), size(col("hs")).as("n_spans"),
+        explode(col("hs")).as("h"))
+    val shared = spans.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    spans.join(shared, "h")
+      .groupBy(col(idCol), col("n_spans"))
+      .agg(count(lit(1)).as("n_dup_spans"))
+      .withColumn("dup_span_ratio",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+  }
 }

@@ -76,6 +76,14 @@ object TrainingDataQueries {
         .limit(50)
     }),
 
+    // span-level dedup: distinct 16-token spans of each doc that also
+    // appear in another doc (exact substring duplication across the
+    // corpus — what document-level near-dup misses for copied paragraphs)
+    "dedup_spans" -> ((s, dir) =>
+      graft.operators.Dedup.duplicateSpans(
+          t(s, dir, "documents"), "doc_id", "text", k = 16)
+        .orderBy("doc_id")),
+
     // greedy sequential packing: chunk_id = (tokens before this doc) div
     // budget — contiguous doc runs of ~2048 tokens, the shape a training
     // loader consumes. The global cumsum is the distributed prefix sum.
@@ -125,6 +133,22 @@ object TrainingDataQueries {
       SELECT bigram, count(*) AS n
       FROM bg GROUP BY bigram
       ORDER BY n DESC, bigram LIMIT 50""",
+
+    "dedup_spans" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sp AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 15),
+                      i -> array_to_string(w[i:i+15], ' '))) AS s
+        FROM t WHERE len(w) >= 16),
+      tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+      sh AS (SELECT s FROM sp GROUP BY s HAVING count(*) >= 2),
+      d AS (SELECT doc_id, count(*) AS n_dup_spans
+            FROM sp JOIN sh USING (s) GROUP BY doc_id)
+      SELECT doc_id, CAST(n_spans AS INTEGER) AS n_spans, n_dup_spans,
+             round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) AS dup_span_ratio
+      FROM d JOIN tot USING (doc_id) ORDER BY doc_id""",
 
     "pipe_token_pack" -> """
       WITH c AS (

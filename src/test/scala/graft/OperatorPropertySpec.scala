@@ -86,6 +86,35 @@ class OperatorPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("duplicateSpans == brute-force span counting on random corpora") {
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val gen = for {
+      // doc lengths straddle k (incl. shorter-than-k docs, the ANSI
+      // element_at trap) and a tiny alphabet forces real span collisions
+      docs <- Gen.listOfN(25, Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word)))
+      k <- Gen.oneOf(2, 3, 5)
+    } yield (docs, k)
+    forAll(gen) { case (docs, k) =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup.duplicateSpans(df, "doc_id", "text", k)
+        .select("doc_id", "n_spans", "n_dup_spans")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val spans = docs.zipWithIndex.map { case (ws, i) =>
+        i.toLong -> ws.sliding(k).filter(_.size == k).map(_.mkString(" ")).toSet
+      }
+      // NOTE: "" splits to one empty token, matching split('', ' ') = ['']
+      val counts = spans.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+      val want = (for {
+        (id, ss) <- spans
+        dup = ss.count(s => counts(s) >= 2)
+        if dup > 0
+      } yield (id, ss.size, dup.toLong)).toSet
+      assert(got == want, s"k=$k docs=$docs")
+    }
+  }
+
   test("connectedComponents reliable-checkpoint mode == localCheckpoint mode") {
     import spark.implicits._
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
