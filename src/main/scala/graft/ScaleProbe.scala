@@ -44,7 +44,7 @@ object ScaleProbe {
     // warmup
     replicate(1).count()
 
-    println(f"${"k"}%3s ${"docs"}%8s ${"sig_s"}%8s ${"simhash_s"}%10s ${"jaccard_s"}%10s ${"jaccard_pairs"}%14s ${"cc_s"}%8s ${"comps"}%8s ${"assign_s"}%9s ${"lsh_s"}%8s ${"lag_s"}%8s")
+    println(f"${"k"}%3s ${"docs"}%8s ${"sig_s"}%8s ${"simhash_s"}%10s ${"jaccard_s"}%10s ${"jaccard_pairs"}%14s ${"cc_s"}%8s ${"comps"}%8s ${"assign_s"}%9s ${"lsh_s"}%8s ${"lag_s"}%8s ${"span_s"}%8s ${"span_docs"}%10s ${"ngram_s"}%8s ${"pack_s"}%8s")
     Seq(1, 2, 4, 8, 16, 32).foreach { k =>
       val docs = replicate(k).cache()
       val nDocs = docs.count()
@@ -94,10 +94,34 @@ object ScaleProbe {
         operators.ScalableWindows.globalLag(seqs, "seq", 65536L, "prev_seq")
           .filter(col("seq") - col("prev_seq") > 7L).count()
       }
+      // span-level dedup: window hashing is map-side, the span-hash count
+      // is partial-agg'd — linear in corpus tokens (replicas multiply the
+      // per-span doc count, not the pair space)
+      val (tSpan, nSpanDocs) = time(
+        operators.Dedup.duplicateSpans(docs, "doc_id", "text", k = 16).count())
+      // global bigram counting: map-side partial counts absorb the Zipf
+      // head, the exchange carries distinct-ngrams-per-task rows
+      val (tNgram, _) = time(
+        docs.select(split(col("text"), " ").as("l"))
+          .select(explode(zip_with(
+            slice(col("l"), lit(1), size(col("l")) - 1),
+            slice(col("l"), lit(2), size(col("l")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram")).limit(50).count())
+      // distributed prefix sum (token packing): partitioned bucket windows
+      // + one boundary row per bucket — must stay flat-per-row like the LAG
+      val (tPack, _) = time {
+        val toks = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        operators.ScalableWindows
+          .globalRunningSum(toks, "doc_id", 65536L, "n_tok", "cum_tok")
+          .groupBy(expr("(cum_tok - n_tok) div 2048")).count().count()
+      }
       emb.unpersist()
       docs.unpersist()
       Caches.drain()
-      println(f"$k%3d $nDocs%8d $tSig%8.2f $tSim%10.2f $tJac%10.2f $nPairs%14d $tCc%8.2f $nComp%8d $tAssign%9.2f $tLsh%8.2f $tLag%8.2f")
+      println(f"$k%3d $nDocs%8d $tSig%8.2f $tSim%10.2f $tJac%10.2f $nPairs%14d $tCc%8.2f $nComp%8d $tAssign%9.2f $tLsh%8.2f $tLag%8.2f $tSpan%8.2f $nSpanDocs%10d $tNgram%8.2f $tPack%8.2f")
     }
     spark.stop()
   }

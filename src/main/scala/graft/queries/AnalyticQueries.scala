@@ -162,6 +162,60 @@ object AnalyticQueries {
           round(var_samp(col("l_discount")), 6).as("var_disc"),
           round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
           count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // UNPIVOT (wide metrics → long): aggregate first so the melt runs on
+    // group-count rows, not raw fact rows — at 100 TB the unpivot input is
+    // a handful of rows, never the fact table itself
+    "q_unpivot" -> ((s, dir) => {
+      val m = t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(sum("l_discount"), 2).as("sum_disc"))
+      m.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "val")
+        .orderBy("l_returnflag", "metric")
+    }),
+
+    // deterministic string aggregation: sort-then-join instead of
+    // listagg's engine-defined order — collect_list is safe here because
+    // groups are small dims (nations per region), never fact-sized
+    "q_string_agg" -> ((s, dir) =>
+      t(s, dir, "nation").join(
+          broadcast(t(s, dir, "region").select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name")),
+
+    // exact median per group — Spark's percentile-based median matches
+    // DuckDB's interpolating median on DOUBLE input
+    "q_median" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(median(col("o_totalprice")), 4).as("med"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    // bitwise aggregates — order-invariant partials (AND/OR/XOR are
+    // commutative+associative), so they merge like sums under any
+    // partitioning; XOR over ids is the classic set-symmetric-difference
+    // checksum
+    "q_bitwise_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("bit_and(l_orderkey % 97)").as("band"),
+          expr("bit_or(l_partkey % 97)").as("bor"),
+          expr("bit_xor(l_suppkey)").as("bxor"),
+          count(lit(1)).as("n"))
         .orderBy("l_returnflag"))
   )
 

@@ -219,6 +219,33 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Product quantization: 8 subspaces × 8-dim, codebook = the 8 seed
+    // vectors' subvectors (a bounded build side folded to plan-time
+    // literals, like the k-means seeds). Encoding is one map-side argmin
+    // per subspace — nothing shuffles; search is asymmetric (exact query
+    // vs reconstructed corpus), the standard ADC topology. 8 codes/vector
+    // = 32× memory reduction over float32 — the index-residency knob at
+    // 100 TB; the reconstructed scores are hash-verified, so PQ error is
+    // measured, not guessed.
+    "ann_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val codebook = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val pq = e.select(col("vec_id"),
+        Similarity.pqReconstruct(col("embedding"), codebook, numSub = 8).as("rv"))
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      val w = Window.partitionBy("qid").orderBy(col("pq_cos").desc, col("vec_id").asc)
+      pq.crossJoin(q)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("pq_cos", round(Similarity.cosine(col("qv"), col("rv")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "pq_cos")
+        .orderBy("qid", "rank")
+    }),
+
     // Multi-probe IVF: probe the TOP-2 coarse partitions by centroid
     // similarity instead of one — the standard recall lever (nprobe) in IVF
     // indexes. Centroids are per-dimension deterministic means (the
@@ -667,6 +694,41 @@ object PipelineQueries {
                  ORDER BY qcos DESC, vec_id ASC) AS INTEGER) AS rank
         FROM scored)
       SELECT qid, rank, vec_id, qcos FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "ann_pq" -> s"""
+      WITH seeds AS (
+        SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < 8),
+      subs AS (SELECT unnest(range(0, 8)) AS sub),
+      dist AS (
+        SELECT e.vec_id, subs.sub, sd.sid,
+               list_sum([
+                 (CAST(e.embedding[subs.sub*8+j] AS DOUBLE) -
+                  CAST(sd.sv[subs.sub*8+j] AS DOUBLE)) *
+                 (CAST(e.embedding[subs.sub*8+j] AS DOUBLE) -
+                  CAST(sd.sv[subs.sub*8+j] AS DOUBLE))
+                 FOR j IN range(1, 9)]) AS d
+        FROM embeddings e CROSS JOIN subs CROSS JOIN seeds sd),
+      chosen AS (
+        SELECT vec_id, sub, sid FROM (
+          SELECT vec_id, sub, sid,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY d, sid) AS rn
+          FROM dist) t WHERE rn = 1),
+      recon AS (
+        SELECT c.vec_id,
+               flatten(list(sd.sv[c.sub*8+1 : c.sub*8+8] ORDER BY c.sub)) AS rv
+        FROM chosen c JOIN seeds sd USING (sid) GROUP BY c.vec_id),
+      q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT q.qid, r.vec_id, round(${cos("q.qv", "r.rv")}, 6) AS pq_cos
+        FROM recon r CROSS JOIN q WHERE r.vec_id <> q.qid),
+      ranked AS (
+        SELECT qid, vec_id, pq_cos,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY pq_cos DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT qid, rank, vec_id, pq_cos FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank""",
 
     "ann_ivf_multiprobe" -> s"""
