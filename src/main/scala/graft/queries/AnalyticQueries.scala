@@ -216,7 +216,23 @@ object AnalyticQueries {
           expr("bit_or(l_partkey % 97)").as("bor"),
           expr("bit_xor(l_suppkey)").as("bxor"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // correlated LATERAL subquery: top-2 orders per nation-sharded key.
+    // Catalyst decorrelates the ranked subquery into one partitioned
+    // window + join — 25 correlated "subqueries" become a single pass,
+    // not per-row re-execution
+    "q_lateral" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("g_nation")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT n.n_name, o.o_orderkey, o.o_totalprice
+        FROM g_nation n, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM g_orders
+          WHERE o_orderkey % 25 = n.n_nationkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        ORDER BY n.n_name, o.o_totalprice DESC, o.o_orderkey""")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -310,6 +326,44 @@ object AnalyticQueries {
              round(var_samp(l_discount), 6) AS var_disc,
              round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
              count(*) AS n
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_unpivot" -> """
+      WITH m AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(sum(l_discount), 2) AS sum_disc
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, metric, val
+      FROM m UNPIVOT (val FOR metric IN (sum_qty, sum_price, sum_disc))
+      ORDER BY l_returnflag, metric""",
+
+    "q_string_agg" -> """
+      SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+             count(*) AS n
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name ORDER BY r.r_name""",
+
+    "q_median" -> """
+      SELECT o_orderpriority, round(median(o_totalprice), 4) AS med,
+             count(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_bitwise_agg" -> """
+      SELECT l_returnflag,
+             bit_and(l_orderkey % 97) AS band,
+             bit_or(l_partkey % 97) AS bor,
+             bit_xor(l_suppkey) AS bxor,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_lateral" -> """
+      SELECT n.n_name, o.o_orderkey, o.o_totalprice
+      FROM nation n, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 25 = n.n_nationkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      ORDER BY n.n_name, o.o_totalprice DESC, o.o_orderkey"""
   )
 }

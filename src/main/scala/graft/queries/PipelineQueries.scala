@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -70,6 +70,22 @@ object PipelineQueries {
         TF.fingerprint(TF.tokens(col("text"))).as("fingerprint"))
       fp.withColumn("n_same",
           count(lit(1)).over(Window.partitionBy("fingerprint")))
+        .orderBy("doc_id")
+    }),
+
+    // token-distribution entropy (quality signal: low entropy = repetitive
+    // doc): H = ln(n) − Σ c·ln(c)/n over per-doc word counts. Two shuffles
+    // on high-cardinality skew-free keys ((doc_id, word) then doc_id) with
+    // map-side partial counts — the same topology at any corpus size.
+    "text_entropy" -> ((s, dir) => {
+      val wc = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      wc.groupBy("doc_id")
+        .agg(sum("c").as("n"),
+          sum(col("c") * log(col("c"))).as("clc"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          round(log(col("n")) - col("clc") / col("n"), 6).as("token_entropy"))
         .orderBy("doc_id")
     }),
 
@@ -155,6 +171,26 @@ object PipelineQueries {
       Dedup.connectedComponents(pairs, "id1", "id2")
         .select(col("node").as("doc_id"), col("lbl").as("component"))
         .withColumn("is_canonical", col("doc_id") === col("component"))
+        .orderBy("doc_id")
+    }),
+
+    // keep-one canonical dedup — the curation output: drop every near-dup
+    // cluster member except its min-id canonical, keep all singletons.
+    // The corpus is filtered by a LEFT ANTI join on the narrow doc_id key
+    // with only the output columns projected into the shuffle. The drop
+    // side is deliberately NOT broadcast-hinted: at 100 TB duplicates can
+    // be a large fraction of the corpus (billions of ids), where a shuffle
+    // anti-join is the only correct shape — AQE still downgrades to
+    // broadcast on its own whenever the runtime drop-set size is small.
+    "dedup_keep_one" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
+        blockCol = "source", minJaccard = 0.9)
+      val drop = Dedup.connectedComponents(pairs, "id1", "id2")
+        .filter(col("node") =!= col("lbl"))
+        .select(col("node").as("doc_id"))
+      d.join(drop, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     }),
 
@@ -244,6 +280,39 @@ object PipelineQueries {
         .filter(col("rank") <= 5)
         .select("qid", "rank", "vec_id", "pq_cos")
         .orderBy("qid", "rank")
+    }),
+
+    // PQ quality contract: recall@10 of the asymmetric-distance ranking
+    // vs exact cosine — the measured answer to "what did 32× compression
+    // cost", mirroring ann_recall / ann_recall_multiprobe. Both rankings
+    // are deterministic (round to 6, vec_id tiebreak), so recall itself
+    // hash-matches the oracle.
+    "ann_recall_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val codebook = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val pq = e.select(col("vec_id"),
+        Similarity.pqReconstruct(col("embedding"), codebook, numSub = 8).as("rv"))
+      val qe = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      def top10(j: DataFrame, v: Column): DataFrame = j
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(Similarity.cosine(col("qv"), v), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("qid", "vec_id")
+      val exact = top10(e.crossJoin(qe), col("embedding"))
+      val approx = top10(pq.crossJoin(qe), col("rv"))
+      val overlap = exact.join(approx, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+      qe.select("qid")
+        .join(overlap, Seq("qid"), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+        .withColumn("recall_at_10", round(col("n_overlap") / 10.0, 2))
+        .orderBy("qid")
     }),
 
     // Multi-probe IVF: probe the TOP-2 coarse partitions by centroid
@@ -463,6 +532,33 @@ object PipelineQueries {
   private def cos(a: String, b: String): String =
     cosSql.replace("V1", a).replace("V2", b)
 
+  /** PQ encode+reconstruct as DuckDB CTEs (shared by ann_pq /
+    * ann_recall_pq): replays [[Similarity.pqReconstruct]] — per-subspace
+    * argmin over the 8 seed codebook entries (ties to lowest sid), then
+    * concatenated reconstruction — so PQ scores hash-match exactly. */
+  private val pqReconCte = """seeds AS (
+        SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < 8),
+      subs AS (SELECT unnest(range(0, 8)) AS sub),
+      dist AS (
+        SELECT e.vec_id, subs.sub, sd.sid,
+               list_sum([
+                 (CAST(e.embedding[subs.sub*8+j] AS DOUBLE) -
+                  CAST(sd.sv[subs.sub*8+j] AS DOUBLE)) *
+                 (CAST(e.embedding[subs.sub*8+j] AS DOUBLE) -
+                  CAST(sd.sv[subs.sub*8+j] AS DOUBLE))
+                 FOR j IN range(1, 9)]) AS d
+        FROM embeddings e CROSS JOIN subs CROSS JOIN seeds sd),
+      chosen AS (
+        SELECT vec_id, sub, sid FROM (
+          SELECT vec_id, sub, sid,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY d, sid) AS rn
+          FROM dist) t WHERE rn = 1),
+      recon AS (
+        SELECT c.vec_id,
+               flatten(list(sd.sv[c.sub*8+1 : c.sub*8+8] ORDER BY c.sub)) AS rv
+        FROM chosen c JOIN seeds sd USING (sid) GROUP BY c.vec_id)"""
+
   def oracleSql: Map[String, String] = Map(
 
     "text_tokens" -> """
@@ -517,6 +613,16 @@ object PipelineQueries {
       SELECT doc_id, fingerprint,
              count(*) OVER (PARTITION BY fingerprint) AS n_same
       FROM fp ORDER BY doc_id""",
+
+    "text_entropy" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+      d AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS clc
+            FROM wc GROUP BY doc_id)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             round(ln(n) - clc / n, 6) AS token_entropy
+      FROM d ORDER BY doc_id""",
 
     "text_rolling_hash" -> """
       SELECT doc_id,
@@ -653,6 +759,27 @@ object PipelineQueries {
       SELECT doc_id, component, doc_id = component AS is_canonical
       FROM comp ORDER BY doc_id""",
 
+    "dedup_keep_one" -> """
+      WITH RECURSIVE t AS (SELECT doc_id, source,
+                                  list_distinct(string_split(text, ' ')) AS w
+                           FROM documents),
+      p AS (SELECT a.doc_id AS id1, c.doc_id AS id2,
+                   CAST(len(list_intersect(a.w, c.w)) AS DOUBLE)
+                     / (len(a.w) + len(c.w) - len(list_intersect(a.w, c.w))) AS jaccard
+            FROM t a JOIN t c ON a.source = c.source AND a.doc_id < c.doc_id),
+      pairs AS (SELECT id1, id2 FROM p WHERE jaccard >= 0.9),
+      edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+      nodes AS (SELECT DISTINCT a AS node FROM edges),
+      reach AS (SELECT node, node AS lbl FROM nodes
+                UNION
+                SELECT e.a AS node, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+      comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+      drop_ids AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+      SELECT d.doc_id, d.source, d.n_chars FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
+      ORDER BY d.doc_id""",
+
     "embed_neardup" -> s"""
       SELECT a.label, a.vec_id AS id1, c.vec_id AS id2,
              round(${cos("a.embedding", "c.embedding")}, 6) AS cos
@@ -697,28 +824,7 @@ object PipelineQueries {
       WHERE rank <= 5 ORDER BY qid, rank""",
 
     "ann_pq" -> s"""
-      WITH seeds AS (
-        SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < 8),
-      subs AS (SELECT unnest(range(0, 8)) AS sub),
-      dist AS (
-        SELECT e.vec_id, subs.sub, sd.sid,
-               list_sum([
-                 (CAST(e.embedding[subs.sub*8+j] AS DOUBLE) -
-                  CAST(sd.sv[subs.sub*8+j] AS DOUBLE)) *
-                 (CAST(e.embedding[subs.sub*8+j] AS DOUBLE) -
-                  CAST(sd.sv[subs.sub*8+j] AS DOUBLE))
-                 FOR j IN range(1, 9)]) AS d
-        FROM embeddings e CROSS JOIN subs CROSS JOIN seeds sd),
-      chosen AS (
-        SELECT vec_id, sub, sid FROM (
-          SELECT vec_id, sub, sid,
-                 row_number() OVER (PARTITION BY vec_id, sub
-                                    ORDER BY d, sid) AS rn
-          FROM dist) t WHERE rn = 1),
-      recon AS (
-        SELECT c.vec_id,
-               flatten(list(sd.sv[c.sub*8+1 : c.sub*8+8] ORDER BY c.sub)) AS rv
-        FROM chosen c JOIN seeds sd USING (sid) GROUP BY c.vec_id),
+      WITH $pqReconCte,
       q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
       scored AS (
         SELECT q.qid, r.vec_id, round(${cos("q.qv", "r.rv")}, 6) AS pq_cos
@@ -730,6 +836,33 @@ object PipelineQueries {
         FROM scored)
       SELECT qid, rank, vec_id, pq_cos FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "ann_recall_pq" -> s"""
+      WITH $pqReconCte,
+      q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      exs AS (
+        SELECT q.qid, e.vec_id, round(${cos("q.qv", "e.embedding")}, 6) AS cos
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+      ex10 AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM exs) WHERE rank <= 10),
+      aps AS (
+        SELECT q.qid, r.vec_id, round(${cos("q.qv", "r.rv")}, 6) AS cos
+        FROM recon r CROSS JOIN q WHERE r.vec_id <> q.qid),
+      ap10 AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM aps) WHERE rank <= 10),
+      ov AS (
+        SELECT qid, count(*) AS n FROM ex10 JOIN ap10 USING (qid, vec_id)
+        GROUP BY qid)
+      SELECT qq.qid, coalesce(ov.n, 0) AS n_overlap,
+             round(coalesce(ov.n, 0) / 10.0, 2) AS recall_at_10
+      FROM (SELECT DISTINCT qid FROM q) qq LEFT JOIN ov USING (qid)
+      ORDER BY qid""",
 
     "ann_ivf_multiprobe" -> s"""
       WITH dims AS (

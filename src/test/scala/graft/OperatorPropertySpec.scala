@@ -115,6 +115,47 @@ class OperatorPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pqReconstruct == brute-force subspace argmin encode/decode") {
+    import spark.implicits._
+    val f = Gen.chooseNum(-100, 100).map(_ / 16.0f)
+    val gen = for {
+      dim <- Gen.oneOf(8, 16, 32)
+      nSub <- Gen.oneOf(2, 4)
+      nCode <- Gen.chooseNum(2, 6)
+      vecs <- Gen.listOfN(20, Gen.listOfN(dim, f))
+      codes <- Gen.listOfN(nCode, Gen.listOfN(dim, f))
+    } yield (dim, nSub, vecs.map(_.toArray), codes.map(_.toArray))
+    forAll(gen, n = 8) { case (dim, nSub, vecs, codes) =>
+      val codebook = codes.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toArray
+      val got = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "vec")
+        .select(col("id"), graft.functions.Similarity
+          .pqReconstruct(col("vec"), codebook, nSub).as("rv"))
+        .orderBy("id").collect().map(_.getSeq[Float](1).toArray)
+      val w = dim / nSub
+      val want = vecs.map { v =>
+        (0 until nSub).flatMap { s =>
+          val sub = v.slice(s * w, s * w + w)
+          val best = codebook.minBy { case (k, cv) =>
+            val c = cv.slice(s * w, s * w + w)
+            var acc = 0.0
+            var j = 0
+            while (j < w) {
+              val d = sub(j).toDouble - c(j).toDouble
+              acc += d * d; j += 1
+            }
+            (acc, k)
+          }
+          best._2.slice(s * w, s * w + w).toSeq
+        }.toArray
+      }
+      got.zip(want).foreach { case (g, e) =>
+        assert(g.sameElements(e), s"dim=$dim nSub=$nSub")
+      }
+    }
+  }
+
   test("connectedComponents reliable-checkpoint mode == localCheckpoint mode") {
     import spark.implicits._
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString

@@ -253,6 +253,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fast.sameElements(naive))
   }
 
+  test("PQ encode+reconstruct is one map stage: no Exchange, no Window") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val codebook = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val p = physical(emb.select(col("vec_id"),
+      graft.functions.Similarity
+        .pqReconstruct(col("embedding"), codebook, numSub = 8).as("rv")))
+    assert(!p.contains("Exchange"), s"PQ encode must not shuffle:\n$p")
+    assert(!p.contains("Window"), s"PQ encode must not sort/window:\n$p")
+  }
+
+  test("dedup_keep_one: corpus filtered by LEFT ANTI join, not re-shuffled") {
+    val df = graft.queries.PipelineQueries.queries("dedup_keep_one")(spark, dir)
+    val p = physical(df)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q_lateral: decorrelated into a windowed pass, no nested-loop re-execution") {
+    val df = graft.queries.AnalyticQueries.queries("q_lateral")(spark, dir)
+    val p = physical(df)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-key LIMIT 2 compiles to partial+final WindowGroupLimit
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("native message store scan prunes by seq and filters records") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_audit_native").toString
     spark.read.format("nats_scan").option("dir", dir).load()
