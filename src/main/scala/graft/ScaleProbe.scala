@@ -101,12 +101,13 @@ object ScaleProbe {
         operators.Dedup.duplicateSpans(docs, "doc_id", "text", k = 16).count())
       // global bigram counting: map-side partial counts absorb the Zipf
       // head, the exchange carries distinct-ngrams-per-task rows
+      // (explode-positions shape, same as pipe_ngram_topk)
       val (tNgram, _) = time(
         docs.select(split(col("text"), " ").as("l"))
-          .select(explode(zip_with(
-            slice(col("l"), lit(1), size(col("l")) - 1),
-            slice(col("l"), lit(2), size(col("l")) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+          .filter(size(col("l")) >= 2)
+          .select(col("l"), explode(expr("sequence(1, size(l) - 1)")).as("i"))
+          .select(concat(element_at(col("l"), col("i")), lit(" "),
+            element_at(col("l"), col("i") + 1)).as("bigram"))
           .groupBy("bigram").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("bigram")).limit(50).count())
       // distributed prefix sum (token packing): partitioned bucket windows

@@ -281,34 +281,43 @@ object Dedup {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 16): DataFrame = {
     require(k >= 2 && k <= 32, s"span width out of range: $k")
-    val hashArgs = (0 until k).map(j => s"element_at(w, i + $j)").mkString(", ")
-    // per-doc DISTINCT spans: a doc repeating its own span twice is
-    // within-doc repetition (pipe_doc_repetition's job), not corpus dup
-    // The length guard lives INSIDE the expression (CASE WHEN), not in a
-    // DataFrame filter: Catalyst infers extra predicates from the explode
-    // (non-empty, non-null span array) and codegen's common-subexpression
-    // elimination evaluates the shared transform(...) BEFORE the
-    // short-circuit of an outer `size(w) >= k` filter conjunct — under
-    // ANSI mode the out-of-bounds element_at on a short doc then throws.
-    // A CaseWhen branch is evaluated lazily, so no rewrite can hoist the
-    // window hashing past the guard. (sequence(1, n) with n < 1 is the
-    // other trap: it generates a DESCENDING range, not an empty one.)
-    val spans = df
+    // Shape: explode POSITIONS, then hash at the top level of the
+    // projection — NOT transform(sequence(...), i -> xxhash64(...)) into
+    // an array that explode consumes. Two reasons, one of them 40×:
+    //   1. a top-level xxhash64 over element_at's is whole-stage-codegen'd;
+    //      a lambda body is interpreted per element;
+    //   2. explode over a computed array re-evaluates the generator child
+    //      per EMITTED row — the O(positions) lambda ran per span, making
+    //      span extraction O(positions²) per doc (52 s at sf0.1; this
+    //      shape: 1.3 s, identical output).
+    // ANSI traps: the size(w) >= k filter runs below the Generate in the
+    // same codegen stage (a generator is never hoisted below its filter),
+    // so sequence(1, size-k+1) is always ascending and every element_at
+    // index i+j ≤ size(w) is in bounds by construction.
+    val pos = df
       .select(col(idCol), tokens(col(textCol)).as("w"))
-      .withColumn("hs", expr(
-        s"CASE WHEN size(w) >= $k THEN " +
-          s"array_distinct(transform(sequence(1, size(w) - ${k - 1}), " +
-          s"i -> xxhash64($hashArgs))) " +
-          "ELSE CAST(array() AS ARRAY<BIGINT>) END"))
-      .select(col(idCol), size(col("hs")).as("n_spans"),
-        explode(col("hs")).as("h"))
-    val shared = spans.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(size(col("w")) >= k)
+      .select(col(idCol), col("w"),
+        explode(expr(s"sequence(1, size(w) - ${k - 1})")).as("i"))
+    // per-doc DISTINCT spans: a doc repeating its own span twice is
+    // within-doc repetition (pipe_doc_repetition's job), not corpus dup.
+    // Only (id, 8-byte span hash) enters the distinct shuffle — the token
+    // array w never leaves the map stage.
+    val perDoc = pos.select(col(idCol),
+        xxhash64((0 until k).map(j =>
+          element_at(col("w"), col("i") + lit(j))): _*).as("h"))
+      .distinct()
+    val nSpans = perDoc.groupBy(idCol)
+      .agg(count(lit(1)).cast("int").as("n_spans"))
+    val shared = perDoc.groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
       .select("h")
-    spans.join(shared, "h")
-      .groupBy(col(idCol), col("n_spans"))
+    perDoc.join(shared, "h")
+      .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_dup_spans"))
-      .withColumn("dup_span_ratio",
-        round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+      .join(nSpans, Seq(idCol))
+      .select(col(idCol), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
+          .as("dup_span_ratio"))
   }
 }

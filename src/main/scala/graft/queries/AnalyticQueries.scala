@@ -232,7 +232,28 @@ object AnalyticQueries {
           WHERE o_orderkey % 25 = n.n_nationkey
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         ORDER BY n.n_name, o.o_totalprice DESC, o.o_orderkey""")
-    })
+    }),
+
+    // changelog compaction (CDC latest-wins upsert): one max(struct) per
+    // key — an order-invariant partial aggregate that map-side-combines,
+    // NOT a shuffle-everything-then-window. Ranking runs on µs-truncated
+    // time (DuckDB TIMESTAMP precision; our ts carries ns) with event_id
+    // breaking ties, so the lexicographic struct max is deterministic and
+    // engine-identical.
+    "q_upsert_latest" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          max(struct(expr("ts div 1000").as("ts_us"),
+            col("event_id"), col("event_type"), col("value"))).as("m"),
+          count(lit(1)).as("n_versions"))
+        .select(col("user_id"),
+          col("m.event_type").as("last_type"),
+          col("m.value").as("last_value"),
+          col("m.event_id").as("last_event_id"),
+          col("m.ts_us").as("last_ts_us"),
+          col("n_versions"))
+        .orderBy("user_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -364,6 +385,17 @@ object AnalyticQueries {
         SELECT o_orderkey, o_totalprice FROM orders
         WHERE o_orderkey % 25 = n.n_nationkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
-      ORDER BY n.n_name, o.o_totalprice DESC, o.o_orderkey"""
+      ORDER BY n.n_name, o.o_totalprice DESC, o.o_orderkey""",
+
+    "q_upsert_latest" -> """
+      WITH ranked AS (
+        SELECT user_id, event_type, value, event_id, epoch_us(ts) AS ts_us,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_versions
+        FROM events)
+      SELECT user_id, event_type AS last_type, value AS last_value,
+             event_id AS last_event_id, ts_us AS last_ts_us, n_versions
+      FROM ranked WHERE rn = 1 ORDER BY user_id"""
   )
 }

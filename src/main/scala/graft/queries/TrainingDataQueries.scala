@@ -62,15 +62,18 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     }),
 
-    // global bigram frequency, top 50 (tie-broken on the ngram text)
+    // global bigram frequency, top 50 (tie-broken on the ngram text).
+    // Shape: explode POSITIONS and concat at the top level of the
+    // projection — never explode(zip_with(...)): a generator over a
+    // computed array re-evaluates its interpreted lambda child per
+    // emitted row, O(len²) per doc (the dedup_spans lesson, BASELINE.md)
     "pipe_ngram_topk" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .select(split(col("text"), " ").as("l"))
-      toks
-        .select(explode(zip_with(
-          slice(col("l"), lit(1), size(col("l")) - 1),
-          slice(col("l"), lit(2), size(col("l")) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      toks.filter(size(col("l")) >= 2)
+        .select(col("l"), explode(expr("sequence(1, size(l) - 1)")).as("i"))
+        .select(concat(element_at(col("l"), col("i")), lit(" "),
+          element_at(col("l"), col("i") + 1)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(50)
