@@ -39,4 +39,22 @@ object SkewTools {
       .agg(agg.phase1.head, agg.phase1.tail: _*)
       .groupBy(col(keyCol))
       .agg(agg.phase2.head, agg.phase2.tail: _*)
+
+  /** Skew-salted equi-join (the manual pre-AQE form, still needed when a
+    * single hot key exceeds what one split task can absorb): the fact side
+    * gets a deterministic salt in [0, saltBuckets); the dim side is
+    * replicated saltBuckets× (explode of a literal range — map-side, no
+    * shuffle of the dim scan), and the join key becomes (key, salt), so a
+    * hot key's rows spread over saltBuckets reducers. Row-identical to the
+    * plain equi-join; cost is dim×saltBuckets build rows, which is why the
+    * dim side must be the small one. */
+  def saltedJoin(fact: DataFrame, factKey: String,
+                 dim: DataFrame, dimKey: String,
+                 saltBuckets: Int, saltOn: Column): DataFrame = {
+    val f = fact.withColumn("__salt", pmod(saltOn, lit(saltBuckets)))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    f.join(d, f(factKey) === d(dimKey) && f("__salt") === d("__salt"))
+      .drop("__salt")
+  }
 }

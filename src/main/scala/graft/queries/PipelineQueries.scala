@@ -89,6 +89,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // adaptive quality gate: keep docs at or above their SOURCE's median
+    // quality — a per-stratum threshold instead of a global constant (the
+    // standard way to avoid one clean source starving the rest). The
+    // per-source medians are a tiny aggregate broadcast back to the
+    // corpus; the filter itself is map-side. Quality and median are both
+    // rounded to 6 before comparison so the threshold is engine-exact.
+    "pipe_quality_gate" -> ((s, dir) => {
+      val q = docs(s, dir)
+        .withColumn("w", TF.tokens(col("text")))
+        .withColumn("n_tokens", size(col("w")))
+        .withColumn("quality", round(
+          lit(0.4) * TF.stopwordRatio("w") +
+            lit(0.3) * least(col("n_tokens") / 100.0, lit(1.0)) -
+            lit(0.3) * TF.punctRatio(col("text")), 6))
+      val med = q.groupBy("source")
+        .agg(round(median(col("quality")), 6).as("med"))
+      q.join(broadcast(med), "source")
+        .filter(col("quality") >= col("med"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          round(avg(col("quality")), 6).as("avg_q"),
+          max(col("med")).as("med_q"))
+        .orderBy("source")
+    }),
+
     "text_rolling_hash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         graft.functions.TextFunctions.rollingHash("text").as("rhash"))
@@ -313,6 +338,40 @@ object PipelineQueries {
         .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
         .withColumn("recall_at_10", round(col("n_overlap") / 10.0, 2))
         .orderBy("qid")
+    }),
+
+    // Two-stage retrieval (retrieve-then-rerank): stage 1 probes the
+    // query's own IVF partition and keeps top-20 by cosine (the cheap,
+    // bounded candidate set); stage 2 re-scores ONLY those 20×queries
+    // rows with a heavier scorer and keeps top-5. The expensive model
+    // touches O(queries·20) rows regardless of corpus size — the shape
+    // that makes cross-encoder reranking affordable at 100 TB. The stub
+    // scorer blends cosine with a deterministic md5-derived fraction so
+    // both engines can replay it bit-for-bit (a real model plugs into the
+    // Multimodal.batchedInfer mapPartitions seam instead).
+    "ann_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv")))
+      val w1 = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val cands = e.join(q, "label")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(Similarity.cosine(col("qv"), col("embedding")), 6))
+        .withColumn("r1", row_number().over(w1))
+        .filter(col("r1") <= 20)
+      val w2 = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("vec_id").asc)
+      cands
+        .withColumn("hfrac",
+          pmod(Similarity.hash60(concat(col("qid").cast("string"), lit(":"),
+            col("vec_id").cast("string"))), lit(1000L)) / 1000.0)
+        .withColumn("score",
+          round(lit(0.7) * col("cos") + lit(0.3) * col("hfrac"), 6))
+        .withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "score")
+        .orderBy("qid", "rank")
     }),
 
     // Multi-probe IVF: probe the TOP-2 coarse partitions by centroid
@@ -624,6 +683,28 @@ object PipelineQueries {
              round(ln(n) - clc / n, 6) AS token_entropy
       FROM d ORDER BY doc_id""",
 
+    "pipe_quality_gate" -> """
+      WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w,
+               length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct,
+               length(text) AS n_chars
+        FROM documents),
+      m AS (
+        SELECT doc_id, source,
+               round(0.4 * (len(list_filter(w, x -> x IN ('the','of','and','to','a','in','is')))
+                            / CAST(len(w) AS DOUBLE))
+                     + 0.3 * least(len(w) / 100.0, 1.0)
+                     - 0.3 * (n_punct / CAST(n_chars AS DOUBLE)), 6) AS quality
+        FROM t),
+      med AS (
+        SELECT source, round(median(quality), 6) AS med FROM m GROUP BY source),
+      kept AS (
+        SELECT m.source, m.quality, med.med
+        FROM m JOIN med USING (source) WHERE m.quality >= med.med)
+      SELECT source, count(*) AS n_kept, round(avg(quality), 6) AS avg_q,
+             max(med) AS med_q
+      FROM kept GROUP BY source ORDER BY source""",
+
     "text_rolling_hash" -> """
       SELECT doc_id,
              CAST(list_reduce(
@@ -863,6 +944,32 @@ object PipelineQueries {
              round(coalesce(ov.n, 0) / 10.0, 2) AS recall_at_10
       FROM (SELECT DISTINCT qid FROM q) qq LEFT JOIN ov USING (qid)
       ORDER BY qid""",
+
+    "ann_rerank" -> s"""
+      WITH q AS (SELECT label, vec_id AS qid, embedding AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      cand AS (
+        SELECT q.qid, e.vec_id, round(${cos("q.qv", "e.embedding")}, 6) AS cos
+        FROM embeddings e JOIN q ON e.label = q.label
+        WHERE e.vec_id <> q.qid),
+      c20 AS (
+        SELECT qid, vec_id, cos FROM (
+          SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, vec_id ASC) AS r1
+          FROM cand) WHERE r1 <= 20),
+      sc AS (
+        SELECT qid, vec_id,
+               round(0.7 * cos +
+                     0.3 * (((${h("qid || ':' || vec_id")}) % 1000) / 1000.0),
+                     6) AS score
+        FROM c20)
+      SELECT qid, rank, vec_id, score FROM (
+        SELECT qid, vec_id, score,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM sc) WHERE rank <= 5
+      ORDER BY qid, rank""",
 
     "ann_ivf_multiprobe" -> s"""
       WITH dims AS (

@@ -28,6 +28,23 @@ object ScaleQueries {
           col("min_value"), col("max_value"))
         .orderBy("event_type")),
 
+    // skew-salted JOIN: hot join keys spread over (key, salt) reducers,
+    // dim replicated salt× map-side; row-identical to the plain join —
+    // the oracle runs the UNSALTED join, so the equivalence is the check
+    "q_salted_join" -> ((s, dir) => {
+      val joined = SkewTools.saltedJoin(
+        Tables.load(s, dir, "lineitem"), "l_suppkey",
+        Tables.load(s, dir, "supplier"), "s_suppkey",
+        saltBuckets = 8,
+        saltOn = col("l_orderkey") * 31 + col("l_linenumber"))
+      joined.groupBy("s_nationkey")
+        .agg(
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("s_nationkey")
+    }),
+
     "q_grouping_sets" -> ((s, dir) => {
       Tables.load(s, dir, "orders").createOrReplaceTempView("v_orders")
       s.sql("""
@@ -152,6 +169,14 @@ object ScaleQueries {
       SELECT event_type, round(sum(value), 2) AS sum_value, count(*) AS n,
              min(value) AS min_value, max(value) AS max_value
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_salted_join" -> """
+      SELECT s.s_nationkey,
+             round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2)::DOUBLE
+               AS revenue,
+             count(*) AS n
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey ORDER BY s.s_nationkey""",
 
     "q_grouping_sets" -> """
       SELECT o_orderstatus, o_orderpriority, count(*) AS n,
