@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -319,5 +320,59 @@ object Dedup {
       .select(col(idCol), col("n_spans"), col("n_dup_spans"),
         round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
           .as("dup_span_ratio"))
+  }
+
+  /** Span-level dedup ACTION: remove every token covered by a k-token
+    * span that also appears in another document, and return the scrubbed
+    * doc ((id, n_tokens, n_removed, md5-of-scrubbed-text)) — detection's
+    * companion (what RefinedWeb-style exact-substring dedup actually does
+    * to the corpus).
+    *
+    * Topology, all per-doc-partitioned or blocked:
+    *   1. duplicated span hashes = the [[duplicateSpans]] explode-positions
+    *      shape (codegen'd multi-arg xxhash64, (id, long) shuffles only);
+    *   2. every token row gets a start-of-duplicated-span flag (hash join
+    *      against the dup-hash set — AQE broadcasts it when small);
+    *   3. covered(j) = max(flag) over the k-row trailing window
+    *      PARTITIONED BY doc — no global window anywhere;
+    *   4. reassembly is one per-doc aggregate (sort_array of (pos, token)
+    *      structs), the only place a doc's tokens meet again.
+    * Span DETECTION travels as hashes; the oracle re-derives the dup set
+    * from raw span STRINGS, so a hash collision would surface as a
+    * correctness failure, not hide. */
+  def scrubDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 16): DataFrame = {
+    require(k >= 2 && k <= 32, s"span width out of range: $k")
+    val tok = df.select(col(idCol), tokens(col(textCol)).as("w"))
+    def spanHashAt(i: Column): Column =
+      xxhash64((0 until k).map(j => element_at(col("w"), i + lit(j))): _*)
+    val pos = tok.filter(size(col("w")) >= k)
+      .select(col(idCol), col("w"),
+        explode(expr(s"sequence(1, size(w) - ${k - 1})")).as("i"))
+    val dup = pos.select(col(idCol), spanHashAt(col("i")).as("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h").as("hd"))
+    // one row per token; a CaseWhen guard keeps the span hash in bounds
+    // (lazy branch evaluation — safe under ANSI for j > n-k+1)
+    val tokRows = tok
+      .select(col(idCol), col("w"),
+        posexplode(col("w")).as(Seq("p0", "tok")))
+      .withColumn("j", col("p0") + 1)
+      .withColumn("h", when(col("j") <= size(col("w")) - (k - 1),
+        spanHashAt(col("j"))).otherwise(lit(null)))
+      .join(dup, col("h") === col("hd"), "left")
+      .withColumn("flag", when(col("hd").isNotNull, 1).otherwise(0))
+    val trail = Window.partitionBy(idCol).orderBy("j")
+      .rowsBetween(-(k - 1), Window.currentRow)
+    tokRows
+      .withColumn("covered", max(col("flag")).over(trail))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("covered")).as("n_removed"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("covered") === 0,
+            struct(col("j").as("j"), col("tok").as("t"))))),
+          s => s.getField("t")), " ")).as("scrub_md5"))
   }
 }

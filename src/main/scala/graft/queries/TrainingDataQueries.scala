@@ -87,6 +87,14 @@ object TrainingDataQueries {
           t(s, dir, "documents"), "doc_id", "text", k = 16)
         .orderBy("doc_id")),
 
+    // span-level dedup ACTION: tokens covered by a cross-corpus duplicated
+    // 16-token span are removed; output proves the scrubbed text itself
+    // (md5), not just counts
+    "dedup_span_scrub" -> ((s, dir) =>
+      graft.operators.Dedup.scrubDuplicateSpans(
+          t(s, dir, "documents"), "doc_id", "text", k = 16)
+        .orderBy("doc_id")),
+
     // greedy sequential packing: chunk_id = (tokens before this doc) div
     // budget — contiguous doc runs of ~2048 tokens, the shape a training
     // loader consumes. The global cumsum is the distributed prefix sum.
@@ -152,6 +160,35 @@ object TrainingDataQueries {
       SELECT doc_id, CAST(n_spans AS INTEGER) AS n_spans, n_dup_spans,
              round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) AS dup_span_ratio
       FROM d JOIN tot USING (doc_id) ORDER BY doc_id""",
+
+    "dedup_span_scrub" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sp AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 15),
+                      i -> array_to_string(w[i:i+15], ' '))) AS s
+        FROM t WHERE len(w) >= 16),
+      dup AS (SELECT s FROM sp GROUP BY s HAVING count(*) >= 2),
+      tr AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS j FROM t),
+      fl AS (
+        SELECT tr.doc_id, tr.j, tr.w[tr.j] AS tok,
+               CASE WHEN tr.j <= len(tr.w) - 15
+                         AND array_to_string(tr.w[tr.j:tr.j+15], ' ')
+                             IN (SELECT s FROM dup)
+                    THEN 1 ELSE 0 END AS flag
+        FROM tr),
+      cov AS (
+        SELECT doc_id, j, tok,
+               max(flag) OVER (PARTITION BY doc_id ORDER BY j
+                               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+                 AS covered
+        FROM fl)
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(covered) AS BIGINT) AS n_removed,
+             md5(coalesce(string_agg(tok, ' ' ORDER BY j)
+                            FILTER (WHERE covered = 0), '')) AS scrub_md5
+      FROM cov GROUP BY doc_id ORDER BY doc_id""",
 
     "pipe_token_pack" -> """
       WITH c AS (

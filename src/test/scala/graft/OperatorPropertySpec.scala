@@ -115,6 +115,42 @@ class OperatorPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("scrubDuplicateSpans == brute-force span removal on random corpora") {
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val gen = for {
+      docs <- Gen.listOfN(20, Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, word)))
+      k <- Gen.oneOf(2, 3, 5)
+    } yield (docs, k)
+    forAll(gen, n = 10) { case (docs, k) =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup.scrubDuplicateSpans(df, "doc_id", "text", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      // brute force; NOTE "" splits to one empty token, matching split()
+      val toks = docs.map(ws => if (ws.isEmpty) List("") else ws)
+      val dupSet = toks
+        .flatMap(_.sliding(k).filter(_.size == k).map(_.mkString(" ")).distinct)
+        .groupBy(identity).filter(_._2.size >= 2).keySet
+      val want = toks.zipWithIndex.map { case (ws, i) =>
+        val n = ws.size
+        val starts = (1 to n).map(j =>
+          j <= n - k + 1 && dupSet.contains(ws.slice(j - 1, j - 1 + k).mkString(" ")))
+        val covered = (1 to n).map(j =>
+          (math.max(1, j - k + 1) to j).exists(x => starts(x - 1)))
+        val kept = ws.zip(covered).filter(!_._2).map(_._1).mkString(" ")
+        (i.toLong, n.toLong, covered.count(identity).toLong, md5hex(kept))
+      }.toSet
+      assert(got == want, s"k=$k docs=$docs")
+    }
+  }
+
   test("pqReconstruct == brute-force subspace argmin encode/decode") {
     import spark.implicits._
     val f = Gen.chooseNum(-100, 100).map(_ / 16.0f)

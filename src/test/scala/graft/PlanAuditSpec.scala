@@ -271,6 +271,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("ann_rerank: both ranking stages are partitioned WindowGroupLimit passes") {
+    val df = graft.queries.PipelineQueries.queries("ann_rerank")(spark, dir)
+    val p = physical(df)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("windowspecdefinition(qid"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_span_scrub: coverage window is doc-partitioned, no global sort window") {
+    val df = graft.queries.TrainingDataQueries.queries("dedup_span_scrub")(spark, dir)
+    val plan = df.queryExecution.sparkPlan
+    val globals = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, s"unexpected global window:\n$plan")
+  }
+
   test("q_lateral: decorrelated into a windowed pass, no nested-loop re-execution") {
     val df = graft.queries.AnalyticQueries.queries("q_lateral")(spark, dir)
     val p = physical(df)
