@@ -253,7 +253,26 @@ object AnalyticQueries {
           col("m.event_id").as("last_event_id"),
           col("m.ts_us").as("last_ts_us"),
           col("n_versions"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // calendar gap filling: generate the complete month series between the
+    // observed min/max (a one-row aggregate exploded — bounded, broadcast)
+    // and left-join the sparse monthly aggregate onto it, so missing
+    // months surface as explicit zero rows — time-series densification
+    // without a driver-side loop
+    "q_gap_fill" -> ((s, dir) => {
+      val hv = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 495000)
+        .withColumn("mon", date_trunc("month", col("o_orderdate")).cast("date"))
+      val m = hv.groupBy("mon").agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+      val cal = hv.agg(min("mon").as("lo"), max("mon").as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 month)")).as("mon"))
+      cal.join(m, Seq("mon"), "left")
+        .select(col("mon"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("total"), lit(0.0)).as("total"))
+        .orderBy("mon")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -396,6 +415,18 @@ object AnalyticQueries {
         FROM events)
       SELECT user_id, event_type AS last_type, value AS last_value,
              event_id AS last_event_id, ts_us AS last_ts_us, n_versions
-      FROM ranked WHERE rn = 1 ORDER BY user_id"""
+      FROM ranked WHERE rn = 1 ORDER BY user_id""",
+
+    "q_gap_fill" -> """
+      WITH hv AS (
+        SELECT date_trunc('month', o_orderdate)::DATE AS mon, o_totalprice
+        FROM orders WHERE o_totalprice > 495000),
+      b AS (SELECT min(mon) AS lo, max(mon) AS hi FROM hv),
+      cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH))::DATE AS mon
+              FROM b),
+      m AS (SELECT mon, count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM hv GROUP BY mon)
+      SELECT cal.mon, coalesce(m.n, 0) AS n, coalesce(m.total, 0.0) AS total
+      FROM cal LEFT JOIN m USING (mon) ORDER BY cal.mon"""
   )
 }

@@ -1,8 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Similarity
 
 /** Training-data curation operators beyond the dedup/ANN/text batches:
   * denylist scrubbing, within-document repetition metrics (Gopher-style
@@ -94,6 +96,25 @@ object TrainingDataQueries {
       graft.operators.Dedup.scrubDuplicateSpans(
           t(s, dir, "documents"), "doc_id", "text", k = 16)
         .orderBy("doc_id")),
+
+    // deterministic weighted sampling (Efraimidis–Spirakis): key
+    // −ln(u)/w with u derived from the doc's md5 hash — reproducible on
+    // any cluster size and engine. One map-side key computation + a
+    // top-k (TakeOrderedAndProject); the rank window runs over only the
+    // 20 survivors. Longer docs (w = n_chars) are proportionally more
+    // likely to be kept — the standard size-weighted corpus sample.
+    "pipe_weighted_sample" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"),
+        (-log((pmod(Similarity.hash60(col("doc_id").cast("string")),
+          lit(1000000L)) + lit(0.5)) / 1000000.0) / col("n_chars"))
+          .as("es_key"))
+      keyed.orderBy(col("es_key"), col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("es_key"), col("doc_id"))))
+        .select(col("doc_id"), col("n_chars"),
+          round(col("es_key"), 9).as("es_key"), col("rank"))
+    }),
 
     // greedy sequential packing: chunk_id = (tokens before this doc) div
     // budget — contiguous doc runs of ~2048 tokens, the shape a training
@@ -189,6 +210,17 @@ object TrainingDataQueries {
              md5(coalesce(string_agg(tok, ' ' ORDER BY j)
                             FILTER (WHERE covered = 0), '')) AS scrub_md5
       FROM cov GROUP BY doc_id ORDER BY doc_id""",
+
+    "pipe_weighted_sample" -> """
+      WITH k AS (
+        SELECT doc_id, n_chars,
+               -ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 1000000) + 0.5) / 1000000.0) / n_chars AS es_key
+        FROM documents),
+      top AS (SELECT * FROM k ORDER BY es_key, doc_id LIMIT 20)
+      SELECT doc_id, n_chars, round(es_key, 9) AS es_key,
+             CAST(row_number() OVER (ORDER BY es_key, doc_id) AS INTEGER) AS rank
+      FROM top ORDER BY es_key, doc_id""",
 
     "pipe_token_pack" -> """
       WITH c AS (

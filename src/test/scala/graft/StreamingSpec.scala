@@ -159,6 +159,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n.getLong(1) == 1000L)
   }
 
+  test("streaming content-hash dedup at ingest matches batch distinct payloads") {
+    val q = stream(400)
+      .withColumn("chash", md5(col("payload").cast("binary")))
+      .withWatermark("ts_nats", "1 hour")
+      .dropDuplicates("chash")
+      .writeStream.format("memory").queryName("cdedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT count(*) FROM cdedup").head().getLong(0)
+    val batch = spark.read.format("nats_scan").option("dir", dir).load()
+      .select(md5(col("payload").cast("binary"))).distinct().count()
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed > 0)
+  }
+
   test("stream-stream windowed join matches the batch equivalent") {
     import org.apache.spark.sql.functions.expr
     val purchases = stream(500)
