@@ -87,6 +87,27 @@ object Similarity {
     }: _*))
   }
 
+  /** Same as [[pqReconstruct]] but with a DOUBLE codebook — used for
+    * TRAINED codewords (per-dimension means), which only agree across
+    * engines in double precision (a float32 narrowing would diverge from
+    * the oracle's double arithmetic). */
+  def pqReconstructD(vec: Column, codebook: Array[(Long, Array[Double])],
+                     numSub: Int): Column = {
+    val dim = codebook.head._2.length
+    require(dim % numSub == 0, s"dim $dim not divisible by $numSub")
+    val w = dim / numSub
+    flatten(array((0 until numSub).map { sub =>
+      val cands = codebook.map { case (k, cv) =>
+        val litSub = typedLit(cv.slice(sub * w, sub * w + w))
+        struct(
+          l2sq(slice(vec, sub * w + 1, w), litSub).as("d"),
+          lit(k).as("k"),
+          litSub.as("c"))
+      }
+      array_min(array(cands.toIndexedSeq: _*)).getField("c")
+    }: _*))
+  }
+
   /** 60-bit md5 hash as a column — the deterministic key for splits,
     * sampling, and shingle hashing; equals DuckDB
     * `('0x'||substr(md5(x),1,15))::BIGINT`. */

@@ -340,6 +340,70 @@ object PipelineQueries {
         .orderBy("qid")
     }),
 
+    // TRAINED product quantization: one distributed Lloyd step refines the
+    // seed codebook — every subvector is assigned to its nearest seed
+    // codeword (map-side argmin over literals, no shuffle), refined
+    // codeword = per-dimension mean of its assignees (one partial-agg'd
+    // groupBy on (sub, sid, dim); the collect is the 8×8×8 = 512-value
+    // codebook — a bounded build side, same topology as the k-means
+    // seeds). Unassigned cells fall back to the seed value UNROUNDED
+    // (exact float→double widening — engine-identical without any rounding
+    // contract). Output is the recall@10 contract vs exact cosine, so the
+    // training gain over the untrained ann_recall_pq is MEASURED.
+    "ann_recall_pq_trained" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val sidArr = array((0 until 8).map { sub =>
+        val cands = seeds.map { case (k, cv) =>
+          val litSub = typedLit(cv.slice(sub * 8, sub * 8 + 8))
+          struct(
+            Similarity.l2sq(slice(col("embedding"), sub * 8 + 1, 8), litSub)
+              .as("d"),
+            lit(k).as("k"))
+        }
+        array_min(array(cands.toIndexedSeq: _*)).getField("k")
+      }: _*)
+      val assigned = e.select(col("vec_id"), col("embedding"),
+        posexplode(sidArr).as(Seq("sub", "sid")))
+      val mMap = assigned
+        .select(col("sub"), col("sid"),
+          posexplode(expr("slice(embedding, sub * 8 + 1, 8)"))
+            .as(Seq("j0", "v")))
+        .groupBy("sub", "sid", "j0")
+        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1), r.getInt(2)), r.getDouble(3)))
+        .toMap
+      val refined = seeds.map { case (k, cv) =>
+        (k, Array.tabulate(cv.length) { d =>
+          mMap.getOrElse((d / 8, k, d % 8), cv(d).toDouble)
+        })
+      }
+      val pq = e.select(col("vec_id"),
+        Similarity.pqReconstructD(col("embedding"), refined, numSub = 8).as("rv"))
+      val qe = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      def top10(j: DataFrame, v: Column): DataFrame = j
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(Similarity.cosine(col("qv"), v), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("qid", "vec_id")
+      val exact = top10(e.crossJoin(qe), col("embedding"))
+      val approx = top10(pq.crossJoin(qe), col("rv"))
+      val overlap = exact.join(approx, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+      qe.select("qid")
+        .join(overlap, Seq("qid"), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+        .withColumn("recall_at_10", round(col("n_overlap") / 10.0, 2))
+        .orderBy("qid")
+    }),
+
     // Two-stage retrieval (retrieve-then-rerank): stage 1 probes the
     // query's own IVF partition and keeps top-20 by cosine (the cheap,
     // bounded candidate set); stage 2 re-scores ONLY those 20×queries
@@ -932,6 +996,66 @@ object PipelineQueries {
       aps AS (
         SELECT q.qid, r.vec_id, round(${cos("q.qv", "r.rv")}, 6) AS cos
         FROM recon r CROSS JOIN q WHERE r.vec_id <> q.qid),
+      ap10 AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM aps) WHERE rank <= 10),
+      ov AS (
+        SELECT qid, count(*) AS n FROM ex10 JOIN ap10 USING (qid, vec_id)
+        GROUP BY qid)
+      SELECT qq.qid, coalesce(ov.n, 0) AS n_overlap,
+             round(coalesce(ov.n, 0) / 10.0, 2) AS recall_at_10
+      FROM (SELECT DISTINCT qid FROM q) qq LEFT JOIN ov USING (qid)
+      ORDER BY qid""",
+
+    "ann_recall_pq_trained" -> s"""
+      WITH $pqReconCte,
+      js AS (SELECT unnest(range(1, 9)) AS j),
+      means AS (
+        SELECT c.sub, c.sid, js.j,
+               round(avg(CAST(e.embedding[c.sub*8 + js.j] AS DOUBLE)), 6) AS m
+        FROM chosen c JOIN embeddings e USING (vec_id) CROSS JOIN js
+        GROUP BY c.sub, c.sid, js.j),
+      grid AS (
+        SELECT subs.sub, sd.sid, js.j,
+               CAST(sd.sv[subs.sub*8 + js.j] AS DOUBLE) AS seedv
+        FROM subs CROSS JOIN seeds sd CROSS JOIN js),
+      cwarr AS (
+        SELECT g.sub, g.sid,
+               list(coalesce(m.m, g.seedv) ORDER BY g.j) AS cv
+        FROM grid g LEFT JOIN means m
+          ON m.sub = g.sub AND m.sid = g.sid AND m.j = g.j
+        GROUP BY g.sub, g.sid),
+      dist2 AS (
+        SELECT e.vec_id, cw.sub, cw.sid,
+               list_sum([
+                 (CAST(e.embedding[cw.sub*8+j] AS DOUBLE) - cw.cv[j]) *
+                 (CAST(e.embedding[cw.sub*8+j] AS DOUBLE) - cw.cv[j])
+                 FOR j IN range(1, 9)]) AS d
+        FROM embeddings e CROSS JOIN cwarr cw),
+      chosen2 AS (
+        SELECT vec_id, sub, sid FROM (
+          SELECT vec_id, sub, sid,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY d, sid) AS rn
+          FROM dist2) t WHERE rn = 1),
+      recon2 AS (
+        SELECT c.vec_id, flatten(list(cw.cv ORDER BY c.sub)) AS rv
+        FROM chosen2 c JOIN cwarr cw ON cw.sub = c.sub AND cw.sid = c.sid
+        GROUP BY c.vec_id),
+      q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      exs AS (
+        SELECT q.qid, e.vec_id, round(${cos("q.qv", "e.embedding")}, 6) AS cos
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+      ex10 AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM exs) WHERE rank <= 10),
+      aps AS (
+        SELECT q.qid, r.vec_id, round(${cos("q.qv", "r.rv")}, 6) AS cos
+        FROM recon2 r CROSS JOIN q WHERE r.vec_id <> q.qid),
       ap10 AS (
         SELECT qid, vec_id FROM (
           SELECT qid, vec_id,

@@ -289,6 +289,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(globals.isEmpty, s"unexpected global window:\n$plan")
   }
 
+  test("pipe_weighted_sample: top-k via TakeOrderedAndProject, rank only over survivors") {
+    val df = graft.queries.TrainingDataQueries.queries("pipe_weighted_sample")(spark, dir)
+    auditGlobalWindows(df)
+    val p = physical(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_gap_fill: bounded calendar join, no cartesian product") {
+    val p = physical(
+      graft.queries.AnalyticQueries.queries("q_gap_fill")(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_lateral: decorrelated into a windowed pass, no nested-loop re-execution") {
     val df = graft.queries.AnalyticQueries.queries("q_lateral")(spark, dir)
     val p = physical(df)
