@@ -44,7 +44,7 @@ object ScaleProbe {
     // warmup
     replicate(1).count()
 
-    println(f"${"k"}%3s ${"docs"}%8s ${"sig_s"}%8s ${"simhash_s"}%10s ${"jaccard_s"}%10s ${"jaccard_pairs"}%14s ${"cc_s"}%8s ${"comps"}%8s ${"assign_s"}%9s ${"lsh_s"}%8s ${"lag_s"}%8s ${"span_s"}%8s ${"span_docs"}%10s ${"ngram_s"}%8s ${"pack_s"}%8s")
+    println(f"${"k"}%3s ${"docs"}%8s ${"sig_s"}%8s ${"simhash_s"}%10s ${"jaccard_s"}%10s ${"jaccard_pairs"}%14s ${"cc_s"}%8s ${"comps"}%8s ${"assign_s"}%9s ${"lsh_s"}%8s ${"lag_s"}%8s ${"span_s"}%8s ${"span_docs"}%10s ${"scrub_s"}%8s ${"ngram_s"}%8s ${"pack_s"}%8s")
     Seq(1, 2, 4, 8, 16, 32).foreach { k =>
       val docs = replicate(k).cache()
       val nDocs = docs.count()
@@ -110,6 +110,11 @@ object ScaleProbe {
             element_at(col("l"), col("i") + 1)).as("bigram"))
           .groupBy("bigram").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("bigram")).limit(50).count())
+      // span-removal action: token rows through a doc-partitioned trailing
+      // window + per-doc reassembly — linear in corpus tokens
+      val (tScrub, _) = time(
+        operators.Dedup.scrubDuplicateSpans(docs, "doc_id", "text", k = 16)
+          .count())
       // distributed prefix sum (token packing): partitioned bucket windows
       // + one boundary row per bucket — must stay flat-per-row like the LAG
       val (tPack, _) = time {
@@ -122,7 +127,7 @@ object ScaleProbe {
       emb.unpersist()
       docs.unpersist()
       Caches.drain()
-      println(f"$k%3d $nDocs%8d $tSig%8.2f $tSim%10.2f $tJac%10.2f $nPairs%14d $tCc%8.2f $nComp%8d $tAssign%9.2f $tLsh%8.2f $tLag%8.2f $tSpan%8.2f $nSpanDocs%10d $tNgram%8.2f $tPack%8.2f")
+      println(f"$k%3d $nDocs%8d $tSig%8.2f $tSim%10.2f $tJac%10.2f $nPairs%14d $tCc%8.2f $nComp%8d $tAssign%9.2f $tLsh%8.2f $tLag%8.2f $tSpan%8.2f $nSpanDocs%10d $tScrub%8.2f $tNgram%8.2f $tPack%8.2f")
     }
     spark.stop()
   }
