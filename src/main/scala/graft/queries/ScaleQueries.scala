@@ -112,6 +112,26 @@ object ScaleQueries {
             lit(0.05) * col("exact_users")).as("within_rtol"))
         .orderBy("event_type")),
 
+    // frequent-items sketch (the third classic sketch after HLL and
+    // quantiles): single-pass heavy-hitter detection. The algorithm's
+    // GUARANTEE — every item with frequency > support IS in the sketch
+    // output (false positives allowed, false negatives never) — is the
+    // hashable contract: the oracle emits the exact heavy hitters with
+    // in_sketch hard-coded TRUE, so a contract violation hash-fails the
+    // gate. The sketch itself is one bounded driver-side result.
+    "q_approx_freq" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val sketch = e.stat.freqItems(Array("event_type"), 0.2)
+        .head.getSeq[String](0).toSet
+      val tot = e.count()
+      e.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .filter(col("n").cast("double") > lit(tot * 0.2))
+        .withColumn("in_sketch",
+          col("event_type").isin(sketch.toSeq: _*))
+        .select(col("event_type"), col("n"), col("in_sketch"))
+        .orderBy("event_type")
+    }),
+
     // set ops beyond the reference (INTERSECT/EXCEPT "free via Catalyst")
     "q_intersect" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
@@ -240,6 +260,12 @@ object ScaleQueries {
       SELECT event_type, count(DISTINCT user_id) AS exact_users,
              true AS within_rtol
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_approx_freq" -> """
+      SELECT event_type, count(*) AS n, true AS in_sketch
+      FROM events GROUP BY event_type
+      HAVING count(*) > (SELECT count(*) FROM events) * 0.2
+      ORDER BY event_type""",
 
     "q_approx_quantiles" -> """
       SELECT count(*) AS n, true AS p50_rank_ok, true AS p90_rank_ok,
