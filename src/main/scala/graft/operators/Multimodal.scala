@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * decoder would amortize codec/model initialization per partition, never per
   * row, and no data ever routes through the driver).
   *
-  * The actual byte decoding is STUBBED deterministically (this container has
-  * no image/audio codecs): a fake 8-byte header [magic, w_hi, w_lo, h_hi,
-  * h_lo, channels, fps, reserved] is parsed exactly as a real decoder would
-  * parse a PNG/WAV header. Everything around the stub — schema, batching,
-  * partitioning, metadata typing — is production-shaped and tested.
+  * The ORACLE-CHECKED path decodes a deterministic fake 8-byte header
+  * [magic, w_hi, w_lo, h_hi, h_lo, channels, fps, reserved] exactly as a
+  * real decoder would parse a container header (DuckDB can replay it, so
+  * the full pipeline hash-matches). REAL decoders run beside it with the
+  * SAME topology using only JDK codecs: PNG via javax.imageio
+  * ([[synthesizePng]]/[[decodePng]]) and WAV via javax.sound.sampled
+  * ([[synthesizeWav]]/[[decodeWav]]) — spec-verified on genuine bytes.
+  * Schema, batching, partitioning, and metadata typing are identical
+  * across all three.
   */
 object Multimodal {
 
@@ -43,6 +47,65 @@ object Multimodal {
           |  chr(pmod(length(source), 30) + 1),
           |  chr(0))""".stripMargin).cast("binary"),
         col("text").cast("binary")).as("media"))
+
+  final case class AudioMeta(doc_id: Long, sample_rate: Int, n_channels: Int,
+                             n_frames: Long, bits: Int, pcm_checksum: Long)
+
+  /** REAL WAV path (like the PNG path, no external codec needed —
+    * javax.sound.sampled ships in the JDK): a deterministic 16-bit PCM
+    * mono waveform derived from the doc's text bytes, containerized as a
+    * WAVE file. Partition-parallel, no driver state. */
+  def synthesizeWav(docs: DataFrame): Dataset[MediaCell] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val nFrames = (bytes.length % 50) + 10
+          val pcm = new Array[Byte](nFrames * 2)
+          var i = 0
+          while (i < nFrames) {
+            val s = ((bytes(i % bytes.length) & 0xFF) - 128) * 256
+            pcm(i * 2) = (s & 0xFF).toByte
+            pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+            true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          MediaCell(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL WAV decode: container parse + PCM sample checksum through the
+    * same per-partition topology as every other decoder here. */
+  def decodeWav(cells: Dataset[MediaCell]): Dataset[AudioMeta] = {
+    import cells.sparkSession.implicits._
+    cells.mapPartitions { it =>
+      it.map { cell =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(cell.media))
+        val fmt = ais.getFormat
+        val nFrames = ais.getFrameLength
+        val pcm = ais.readAllBytes()
+        ais.close()
+        var sum = 0L
+        var i = 0
+        while (i + 1 < pcm.length) {
+          // little-endian signed 16-bit samples
+          sum += (((pcm(i + 1) & 0xFF) << 8) | (pcm(i) & 0xFF)).toShort.toLong
+          i += 2
+        }
+        AudioMeta(cell.doc_id, fmt.getSampleRate.toInt, fmt.getChannels,
+          nFrames, fmt.getSampleSizeInBits, sum)
+      }
+    }
+  }
 
   /** STUB decode: parse the fake header + checksum the body. A real
     * implementation would replace ONLY the body of the `map` below with
