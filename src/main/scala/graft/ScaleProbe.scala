@@ -44,7 +44,7 @@ object ScaleProbe {
     // warmup
     replicate(1).count()
 
-    println(f"${"k"}%3s ${"docs"}%8s ${"sig_s"}%8s ${"simhash_s"}%10s ${"jaccard_s"}%10s ${"jaccard_pairs"}%14s ${"cc_s"}%8s ${"comps"}%8s ${"assign_s"}%9s ${"lsh_s"}%8s ${"lag_s"}%8s ${"span_s"}%8s ${"span_docs"}%10s ${"scrub_s"}%8s ${"ngram_s"}%8s ${"pack_s"}%8s")
+    println(f"${"k"}%3s ${"docs"}%8s ${"sig_s"}%8s ${"simhash_s"}%10s ${"jaccard_s"}%10s ${"jaccard_pairs"}%14s ${"cc_s"}%8s ${"comps"}%8s ${"assign_s"}%9s ${"pq_s"}%8s ${"lsh_s"}%8s ${"lag_s"}%8s ${"span_s"}%8s ${"span_docs"}%10s ${"scrub_s"}%8s ${"ngram_s"}%8s ${"pack_s"}%8s")
     Seq(1, 2, 4, 8, 16, 32).foreach { k =>
       val docs = replicate(k).cache()
       val nDocs = docs.count()
@@ -74,6 +74,14 @@ object ScaleProbe {
       val (tAssign, _) = time(
         emb.select(col("vec_id"), (-array_max(scored).getField("nc")).as("cid"))
           .groupBy("cid").count().count())
+      // PQ encode+reconstruct: map-side argmin over literal codebook —
+      // must stay flat-per-vector like the k-means assignment
+      // (xxhash64 fold forces the reconstructed VALUES — a size() action
+      // would let Catalyst fold size(flatten(array(...))) to a constant)
+      val (tPq, _) = time(
+        emb.select(functions.Similarity
+            .pqReconstruct(col("embedding"), seeds, numSub = 8).as("rv"))
+          .select(expr("bit_xor(xxhash64(rv))")).head.getLong(0))
       // LSH-bucketed ANN: bucket assignment is map-side; the candidate join
       // is keyed by bucket (10 broadcast queries) — linear in corpus
       val (tLsh, _) = time {
@@ -127,7 +135,7 @@ object ScaleProbe {
       emb.unpersist()
       docs.unpersist()
       Caches.drain()
-      println(f"$k%3d $nDocs%8d $tSig%8.2f $tSim%10.2f $tJac%10.2f $nPairs%14d $tCc%8.2f $nComp%8d $tAssign%9.2f $tLsh%8.2f $tLag%8.2f $tSpan%8.2f $nSpanDocs%10d $tScrub%8.2f $tNgram%8.2f $tPack%8.2f")
+      println(f"$k%3d $nDocs%8d $tSig%8.2f $tSim%10.2f $tJac%10.2f $nPairs%14d $tCc%8.2f $nComp%8d $tAssign%9.2f $tPq%8.2f $tLsh%8.2f $tLag%8.2f $tSpan%8.2f $nSpanDocs%10d $tScrub%8.2f $tNgram%8.2f $tPack%8.2f")
     }
     spark.stop()
   }
