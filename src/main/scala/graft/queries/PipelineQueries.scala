@@ -340,6 +340,29 @@ object PipelineQueries {
         .orderBy("qid")
     }),
 
+    // SEMANTIC decontamination: flag train vectors whose cosine to ANY
+    // eval vector reaches the threshold — the paraphrase-level companion
+    // to pipe_decontaminate's exact n-gram overlap. The eval side is a
+    // bounded broadcast; the comparison is blocked on the IVF label (same
+    // cluster ⇒ comparable), so the pair space is corpus × eval-per-label,
+    // never corpus × corpus. Flagging an eval-contaminated example by
+    // embedding catches what shingle overlap misses (reworded questions,
+    // translated passages).
+    "pipe_embed_decontaminate" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val eval_ = broadcast(e.filter(col("vec_id") < 25)
+        .select(col("label"), col("vec_id").as("eval_id"),
+          col("embedding").as("ev")))
+      e.filter(col("vec_id") >= 25)
+        .join(eval_, "label")
+        .withColumn("cos", round(Similarity.cosine(col("embedding"), col("ev")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max(col("cos")).as("max_eval_cos"),
+          count(lit(1)).as("n_eval_compared"))
+        .filter(col("max_eval_cos") >= 0.35)
+        .orderBy("vec_id")
+    }),
+
     // TRAINED product quantization: one distributed Lloyd step refines the
     // seed codebook — every subvector is assigned to its nearest seed
     // codeword (map-side argmin over literals, no shuffle), refined
@@ -1008,6 +1031,20 @@ object PipelineQueries {
              round(coalesce(ov.n, 0) / 10.0, 2) AS recall_at_10
       FROM (SELECT DISTINCT qid FROM q) qq LEFT JOIN ov USING (qid)
       ORDER BY qid""",
+
+    "pipe_embed_decontaminate" -> s"""
+      WITH ev AS (SELECT label, vec_id AS eval_id, embedding AS evv
+                  FROM embeddings WHERE vec_id < 25),
+      sc AS (
+        SELECT e.vec_id, round(${cos("e.embedding", "ev.evv")}, 6) AS cos
+        FROM embeddings e JOIN ev ON e.label = ev.label
+        WHERE e.vec_id >= 25),
+      agg AS (
+        SELECT vec_id, max(cos) AS max_eval_cos,
+               count(*) AS n_eval_compared
+        FROM sc GROUP BY vec_id)
+      SELECT vec_id, max_eval_cos, n_eval_compared
+      FROM agg WHERE max_eval_cos >= 0.35 ORDER BY vec_id""",
 
     "ann_recall_pq_trained" -> s"""
       WITH $pqReconCte,
