@@ -57,11 +57,17 @@ object Bench {
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedJson,"sf":"$sfDir"}"""
+    // per-SF file: a multi-SF sweep must not clobber earlier SFs' numbers
+    val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
+      .replaceAll("[^A-Za-z0-9._-]", "_")
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_full.json"),
+        java.nio.file.Paths.get(s"bench_full_$sfTag.json"),
         (fullLine + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] bench_full write failed: $e")
+    }
     println(line)
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")

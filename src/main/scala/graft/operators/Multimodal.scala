@@ -60,7 +60,12 @@ object Multimodal {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val bytes = text.getBytes("UTF-8")
+          // empty doc → single zero byte: the modulo cycling below must
+          // never divide by zero
+          val bytes = {
+            val b = text.getBytes("UTF-8")
+            if (b.isEmpty) Array[Byte](0) else b
+          }
           val nFrames = (bytes.length % 50) + 10
           val pcm = new Array[Byte](nFrames * 2)
           var i = 0
@@ -166,7 +171,12 @@ object Multimodal {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val bytes = text.getBytes("UTF-8")
+          // empty doc → single zero byte: the modulo cycling below must
+          // never divide by zero
+          val bytes = {
+            val b = text.getBytes("UTF-8")
+            if (b.isEmpty) Array[Byte](0) else b
+          }
           val w = (bytes.length % 13) + 2
           val h = (bytes.length % 11) + 2
           val img = new java.awt.image.BufferedImage(w, h,

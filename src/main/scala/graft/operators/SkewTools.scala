@@ -51,7 +51,11 @@ object SkewTools {
   def saltedJoin(fact: DataFrame, factKey: String,
                  dim: DataFrame, dimKey: String,
                  saltBuckets: Int, saltOn: Column): DataFrame = {
-    val f = fact.withColumn("__salt", pmod(saltOn, lit(saltBuckets)))
+    // coalesce: a NULL salt expression would null the equi-condition and
+    // silently DROP the fact row; any deterministic bucket preserves the
+    // row-identical-to-plain-join contract
+    val f = fact.withColumn("__salt",
+      coalesce(pmod(saltOn, lit(saltBuckets)), lit(0)))
     val d = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     f.join(d, f(factKey) === d(dimKey) && f("__salt") === d("__salt"))

@@ -114,6 +114,7 @@ object TrainingDataQueries {
           Window.orderBy(col("es_key"), col("doc_id"))))
         .select(col("doc_id"), col("n_chars"),
           round(col("es_key"), 9).as("es_key"), col("rank"))
+        .orderBy(col("es_key"), col("doc_id"))
     }),
 
     // greedy sequential packing: chunk_id = (tokens before this doc) div
