@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.ScaleQueries.queries ++
       graft.queries.TransportQueries.queries ++
       graft.queries.AnalyticQueries.queries ++
-      graft.queries.TrainingDataQueries.queries
+      graft.queries.TrainingDataQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.NatsQueries.oracleSql ++
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.ScaleQueries.oracleSql ++
       graft.queries.TransportQueries.oracleSql ++
       graft.queries.AnalyticQueries.oracleSql ++
-      graft.queries.TrainingDataQueries.oracleSql
+      graft.queries.TrainingDataQueries.oracleSql ++
+      graft.queries.CurationQueries.oracleSql
 }

@@ -75,6 +75,41 @@ object Dedup {
       .select("id1", "id2", "est_jaccard")
   }
 
+  /** Incremental MinHash dedup: candidate near-dup pairs of a NEW batch
+    * against an already-indexed corpus — the shape real ingestion uses
+    * (re-running the full self-join per arriving batch would be O(corpus)
+    * per batch; this is O(batch) plus a band-key join into the index).
+    *
+    * Topology: the index side's (id, band, band_key) relation is what a
+    * production pipeline persists (bucketed by band_key at cluster scale,
+    * making this join co-located and shuffle-free for the index side);
+    * here both sides derive from their DataFrames. Only NEW×INDEX pairs
+    * are emitted — new×new dedup is a separate (much smaller) self-join.
+    * Returns (new_id, index_id, est_jaccard). */
+  def incrementalMinhashPairs(newDf: DataFrame, indexDf: DataFrame,
+                              idCol: String, textCol: String,
+                              numHashes: Int = 16, bands: Int = 4,
+                              minEst: Double = 0.5): DataFrame = {
+    val sigNew = graft.Caches.tracked(
+      minhashSignatures(newDf, idCol, textCol, numHashes))
+    val sigIdx = graft.Caches.tracked(
+      minhashSignatures(indexDf, idCol, textCol, numHashes))
+    val bNew = minhashBands(sigNew, idCol, numHashes, bands)
+      .select(col(idCol).as("new_id"), col("band"), col("band_key"))
+    val bIdx = minhashBands(sigIdx, idCol, numHashes, bands)
+      .select(col(idCol).as("index_id"), col("band"), col("band_key"))
+    val cand = bNew.join(bIdx, Seq("band", "band_key"))
+      .select("new_id", "index_id").distinct()
+    cand
+      .join(sigNew.select(col(idCol).as("new_id"), col("sig").as("s1")), "new_id")
+      .join(sigIdx.select(col(idCol).as("index_id"), col("sig").as("s2")), "index_id")
+      .withColumn("est_jaccard",
+        expr("CAST(size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) AS DOUBLE)" +
+          s" / CAST($numHashes AS DOUBLE)"))
+      .filter(col("est_jaccard") >= minEst)
+      .select("new_id", "index_id", "est_jaccard")
+  }
+
   /** SimHash near-dup pairs: 60-bit fingerprint, block on top `blockShift`
     * bits, Hamming distance ≤ maxHamming within a block. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,

@@ -272,7 +272,80 @@ object AnalyticQueries {
         .select(col("mon"), coalesce(col("n"), lit(0L)).as("n"),
           coalesce(col("total"), lit(0.0)).as("total"))
         .orderBy("mon")
-    })
+    }),
+
+    // arg-max/arg-min aggregates (max_by/min_by ↔ DuckDB arg_max/arg_min):
+    // "which user produced the latest / earliest event of each type" —
+    // one partial-aggregable pass, no window, no join-back. The ordering
+    // key is the unique event_id, so ties cannot make the answer
+    // engine-dependent.
+    "q_arg_max" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          max_by(col("user_id"), col("event_id")).as("last_user"),
+          min_by(col("user_id"), col("event_id")).as("first_user"),
+          max("event_id").as("last_event"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // boolean aggregates: bool_and / bool_or / count_if — order-invariant
+    // partials (AND/OR are commutative), the same topology as sum
+    "q_bool_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          bool_and(col("value") > 1.0).as("all_above_1"),
+          bool_or(col("value") > 480.0).as("any_above_480"),
+          count_if(col("value") > 250.0).as("n_above_250"))
+        .orderBy("event_type")),
+
+    // linear-regression aggregates (regr_slope/intercept/r2/count):
+    // extendedprice vs quantity per returnflag — mergeable co-moment
+    // state, one pass, no shuffle beyond the group key. Rounded: the
+    // co-moment partials merge in cluster-dependent order.
+    "q_regr" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 3)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 3)
+            .as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy("l_returnflag")),
+
+    // equi-width histogram: bucket id is pure arithmetic (map-side), the
+    // count is one partial agg on a LOW-cardinality key — the shape that
+    // never shuffles more than n_buckets rows per task
+    "q_histogram" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(least(floor(col("o_totalprice") / 50000), lit(9))
+          .cast("int").as("bucket"), col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"))
+        .orderBy("bucket")),
+
+    // tumbling event-time windows in batch (the same window() the
+    // streaming path uses): 6-hour buckets, DECIMAL-exact value sums.
+    // ts is raw nanos (LONG) — truncate to µs exactly like the oracle's
+    // epoch_us, then bucket. Aggregation key = window start: dense,
+    // low-cardinality, partial-agg absorbs everything map-side.
+    "q_tumbling_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("w", window(timestamp_micros(expr("ts div 1000")),
+          "6 hours"))
+        .groupBy(col("w.start").as("w_start"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .select(col("w_start"), col("n"), round(col("sum_value"), 4)
+          .as("sum_value"))
+        .orderBy("w_start"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -427,6 +500,44 @@ object AnalyticQueries {
       m AS (SELECT mon, count(*) AS n, round(sum(o_totalprice), 2) AS total
             FROM hv GROUP BY mon)
       SELECT cal.mon, coalesce(m.n, 0) AS n, coalesce(m.total, 0.0) AS total
-      FROM cal LEFT JOIN m USING (mon) ORDER BY cal.mon"""
+      FROM cal LEFT JOIN m USING (mon) ORDER BY cal.mon""",
+
+    "q_arg_max" -> """
+      SELECT event_type,
+             arg_max(user_id, event_id) AS last_user,
+             arg_min(user_id, event_id) AS first_user,
+             max(event_id) AS last_event,
+             count(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_bool_agg" -> """
+      SELECT event_type,
+             bool_and(value > 1.0) AS all_above_1,
+             bool_or(value > 480.0) AS any_above_480,
+             count(*) FILTER (WHERE value > 250.0) AS n_above_250
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_regr" -> """
+      SELECT l_returnflag,
+             round(regr_slope(l_extendedprice, l_quantity), 3) AS slope,
+             round(regr_intercept(l_extendedprice, l_quantity), 3) AS intercept,
+             round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+             regr_count(l_extendedprice, l_quantity) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_histogram" -> """
+      SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INTEGER) AS bucket,
+             count(*) AS n,
+             round(min(o_totalprice), 2) AS lo,
+             round(max(o_totalprice), 2) AS hi
+      FROM orders GROUP BY 1 ORDER BY bucket""",
+
+    "q_tumbling_window" -> """
+      SELECT to_timestamp((epoch_us(ts) // 21600000000) * 21600)::TIMESTAMP
+               AS w_start,
+             count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+               AS sum_value
+      FROM events GROUP BY 1 ORDER BY w_start"""
   )
 }

@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Similarity
+
+/** Corpus-curation operators round 5: model-based quality filtering,
+  * snapshot diffing for incremental ingestion, temperature-rescaled
+  * language mixtures, and cluster-balanced subset selection.
+  *
+  * Scale notes (100 TB thinking):
+  *   - the quality classifier is a LINEAR model whose weights fold into the
+  *     projection as literals — scoring is pure map-side codegen'd
+  *     expression work, zero shuffles for the score+filter path (the same
+  *     seam a fastText/regression quality model exports to);
+  *   - corpus diff shuffles ONLY (doc_id, md5) pairs — 40 bytes/row however
+  *     wide the documents are, because the content hash is computed
+  *     map-side before the full-outer join; on a bucketed store the join
+  *     is co-located and the diff is shuffle-free;
+  *   - the language-mixture weights are a per-language aggregate (5 rows)
+  *     joined back by broadcast — the keep/drop decision is then map-side
+  *     and deterministic in the doc's own hash, so any cluster size
+  *     produces the identical sample;
+  *   - balanced sampling partitions its window by cluster label — per-label
+  *     top-k, never a global sort.
+  */
+object CurationQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Literal weights of the quality model (stand-in for an exported
+    * regression/fastText quality classifier — the seam is the point:
+    * weights arrive as data, scoring is map-side expression work). */
+  private val W0 = -1.2; private val W_LOGWORDS = 0.35
+  private val W_DISTINCT = 1.8; private val W_STOP = -2.5
+  private val W_AVGLEN = 0.1
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // model-based quality scoring: logistic over engineered features
+    // (log length, lexical diversity, stopword ratio, mean word length).
+    // All features are array expressions over one tokenization — no
+    // explode, no shuffle; the filter threshold is part of the output so
+    // the keep/drop decision is auditable.
+    "pipe_quality_classifier" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nW = size(toks).cast("double")
+      val distinctRatio = size(array_distinct(toks)).cast("double") / nW
+      val stopRatio = size(filter(toks,
+        x => x === "the" || x === "a" || x === "of")).cast("double") / nW
+      val avgLen = col("n_chars").cast("double") / nW
+      val z = lit(W0) + lit(W_LOGWORDS) * log(nW) +
+        lit(W_DISTINCT) * distinctRatio + lit(W_STOP) * stopRatio +
+        lit(W_AVGLEN) * avgLen
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_words"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality"),
+        (lit(1.0) / (lit(1.0) + exp(-z)) >= 0.6).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus snapshot diff (incremental ingestion): old snapshot = docs
+    // with doc_id % 7 <> 0, where doc_id % 5 = 0 carries a truncated
+    // earlier revision; new snapshot = docs with doc_id % 11 <> 3.
+    // Content hashes are computed map-side, so the full-outer join
+    // shuffles narrow (doc_id, md5) rows; classification is a map-side
+    // CASE over the join output.
+    "pipe_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id").as("o_id"),
+          md5(when(pmod(col("doc_id"), lit(5)) === 0,
+            substring(col("text"), 1, 20)).otherwise(col("text")))
+            .as("o_md5"))
+      val neu = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+        .select(col("doc_id").as("n_id"), md5(col("text")).as("n_md5"))
+      old.join(neu, old("o_id") === neu("n_id"), "full_outer")
+        .select(
+          coalesce(col("o_id"), col("n_id")).as("doc_id"),
+          when(col("o_id").isNull, "added")
+            .when(col("n_id").isNull, "removed")
+            .when(col("o_md5") =!= col("n_md5"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("status")
+    }),
+
+    // temperature-rescaled language mixture (the multilingual-pretraining
+    // alpha-sampling scheme): keep probability per language is
+    // c^alpha-proportional, clamped to 1; the keep decision is
+    // deterministic in the doc's own hash so the sample is identical at
+    // any parallelism. Weights are a 5-row aggregate broadcast back.
+    "pipe_lang_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cnt = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(sum(pow(col("n"), 0.5)).as("z"))
+      val w = cnt.crossJoin(broadcast(tot))
+        .withColumn("p_keep",
+          least(lit(1.0),
+            pow(col("n"), 0.5) / col("z") * lit(2000.0) / col("n")))
+        .select(col("lang"), col("n").as("n_orig"), col("p_keep"))
+      val u = (pmod(Similarity.hash60(col("doc_id").cast("string")),
+        lit(1000000L)) + lit(0.5)) / 1000000.0
+      val kept = docs.join(broadcast(w), "lang").filter(u < col("p_keep"))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      w.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_orig"),
+          round(col("p_keep"), 6).as("p_keep"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
+    // cluster-balanced subset: equal representation per semantic cluster
+    // (embeddings.label = the IVF coarse cluster), members picked by a
+    // deterministic hash order. The window partitions by label — per-label
+    // top-k, the scale-safe shape.
+    "pipe_balanced_sample" -> ((s, dir) => {
+      val rankW = Window.partitionBy("label")
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+        .withColumn("rank", row_number().over(rankW))
+        .filter(col("rank") <= 8)
+        .orderBy("label", "rank")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "pipe_quality_classifier" -> """
+      WITH f AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS distinct_ratio,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    x -> x IN ('the', 'a', 'of'))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stop_ratio,
+               CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))
+                 AS avg_len
+        FROM documents),
+      sc AS (
+        SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+               1.0 / (1.0 + exp(-(-1.2 + 0.35 * ln(n_words)
+                                  + 1.8 * distinct_ratio - 2.5 * stop_ratio
+                                  + 0.1 * avg_len))) AS q
+        FROM f)
+      SELECT doc_id, n_words, round(q, 6) AS quality, q >= 0.6 AS keep
+      FROM sc ORDER BY doc_id""",
+
+    "pipe_corpus_diff" -> """
+      WITH old AS (
+        SELECT doc_id AS o_id,
+               md5(CASE WHEN doc_id % 5 = 0 THEN substr(text, 1, 20)
+                        ELSE text END) AS o_md5
+        FROM documents WHERE doc_id % 7 <> 0),
+      neu AS (
+        SELECT doc_id AS n_id, md5(text) AS n_md5
+        FROM documents WHERE doc_id % 11 <> 3),
+      d AS (
+        SELECT coalesce(o_id, n_id) AS doc_id,
+               CASE WHEN o_id IS NULL THEN 'added'
+                    WHEN n_id IS NULL THEN 'removed'
+                    WHEN o_md5 <> n_md5 THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old FULL OUTER JOIN neu ON o_id = n_id)
+      SELECT status, count(*) AS n_docs,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM d GROUP BY status ORDER BY status""",
+
+    "pipe_lang_mixture" -> """
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      z AS (SELECT sum(pow(n, 0.5)) AS z FROM c),
+      w AS (
+        SELECT lang, n AS n_orig,
+               least(1.0, pow(n, 0.5) / z * 2000.0 / n) AS p_keep
+        FROM c, z),
+      k AS (
+        SELECT d.lang, count(*) AS n_kept
+        FROM documents d JOIN w USING (lang)
+        WHERE ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 1000000) + 0.5) / 1000000.0 < p_keep
+        GROUP BY d.lang)
+      SELECT w.lang, n_orig, round(p_keep, 6) AS p_keep,
+             coalesce(n_kept, 0) AS n_kept
+      FROM w LEFT JOIN k ON w.lang = k.lang ORDER BY w.lang""",
+
+    "pipe_balanced_sample" -> """
+      WITH r AS (
+        SELECT vec_id, label,
+               CAST(row_number() OVER (
+                 PARTITION BY label
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                 AS INTEGER) AS rank
+        FROM embeddings)
+      SELECT vec_id, label, rank FROM r WHERE rank <= 8
+      ORDER BY label, rank"""
+  )
+}
