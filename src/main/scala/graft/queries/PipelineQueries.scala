@@ -130,6 +130,21 @@ object PipelineQueries {
           numHashes = 16, bands = 4, minEst = 0.5)
         .orderBy("id1", "id2")),
 
+    // incremental ingestion dedup: the NEW batch (last 20% of doc ids)
+    // is checked against the already-indexed corpus (first 80%) — a
+    // band-key join INTO the index, never a self-join over the whole
+    // corpus. O(batch) work per arriving batch; the index side's band
+    // relation is what a production pipeline persists (bucketed by
+    // band_key → co-located, shuffle-free on the index side).
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalMinhashPairs(
+          d.filter(pmod(col("doc_id"), lit(10)) >= 8),
+          d.filter(pmod(col("doc_id"), lit(10)) < 8),
+          "doc_id", "text", numHashes = 16, bands = 4, minEst = 0.5)
+        .orderBy("new_id", "index_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
           maxHamming = 8, blockShift = 48)
@@ -831,6 +846,34 @@ object PipelineQueries {
                          JOIN sig y ON pairs.id2 = y.doc_id)
       SELECT id1, id2, est_jaccard FROM est
       WHERE est_jaccard >= 0.5 ORDER BY id1, id2""",
+
+    "dedup_incremental" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      sh AS (SELECT doc_id,
+                    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   FOR i IN range(1, len(w) - 1)]) AS sh
+             FROM t),
+      base AS (SELECT doc_id, list_transform(sh, s -> ${h("s")} & 1073741823) AS bs
+               FROM sh),
+      sig AS (SELECT doc_id,
+                     [list_min(list_transform(bs, x ->
+                        (x * (2 * h + 1) + h * 40503) % 1073741789))
+                      FOR h IN range(0, 16)] AS sig
+              FROM base),
+      keyed AS (SELECT doc_id, sig, b,
+                       array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',') AS band_key
+                FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      pairs AS (SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+                FROM keyed n JOIN keyed i
+                  ON n.b = i.b AND n.band_key = i.band_key
+                WHERE n.doc_id % 10 >= 8 AND i.doc_id % 10 < 8),
+      est AS (SELECT new_id, index_id,
+                     len(list_filter([x.sig[i] = y.sig[i] FOR i IN range(1, 17)], v -> v)) / 16.0 AS est_jaccard
+              FROM pairs JOIN sig x ON pairs.new_id = x.doc_id
+                         JOIN sig y ON pairs.index_id = y.doc_id)
+      SELECT new_id, index_id, est_jaccard FROM est
+      WHERE est_jaccard >= 0.5 ORDER BY new_id, index_id""",
 
     "dedup_simhash" -> s"""
       WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),

@@ -323,4 +323,47 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = physical(back)
     assert(p.contains("seq=[100,150]"), p)
   }
+
+  test("hive-partitioned layout: a partition predicate prunes directories, not rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_audit_part").toString
+    Tables.load(spark, dir, "documents")
+      .write.partitionBy("lang").mode("overwrite").parquet(tmp)
+    val all = spark.read.parquet(tmp)
+    val one = all.filter(col("lang") === "es")
+    val p = physical(one)
+    // the predicate lands in PartitionFilters (directory pruning), never in
+    // the data filters — at 100 TB this is the difference between listing
+    // one directory and scanning every file
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("(lang"), p)
+    // file-level proof: the executed scan reads strictly fewer files than
+    // the layout holds (inputFiles can't show this — it predates pruning)
+    val ex = one.queryExecution.executedPlan
+    val nRows = ex.executeCollect().length
+    val scan = ex.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metrics("numFiles").value < all.inputFiles.length,
+      s"${scan.metrics("numFiles").value} vs ${all.inputFiles.length}")
+    assert(nRows ==
+      Tables.load(spark, dir, "documents").filter(col("lang") === "es").count())
+  }
+
+  test("min/max/count aggregates push down to parquet footer stats (DSv2)") {
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.useV1SourceList", "")
+    sess.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val agg = sess.read.parquet(s"$dir/orders.parquet")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("lo"),
+        max("o_orderkey").as("hi"))
+    val p = agg.queryExecution.executedPlan.toString
+    // PushedAggregation in the scan = the query reads row-group FOOTERS,
+    // not data pages — O(files) instead of O(rows) at any scale
+    assert(p.contains("PushedAggregation"), p)
+    val row = agg.collect()(0)
+    val oracle = Tables.load(spark, dir, "orders")
+      .agg(count(lit(1)), min("o_orderkey"), max("o_orderkey")).collect()(0)
+    assert(row.getLong(0) == oracle.getLong(0) &&
+      row.getLong(1) == oracle.getLong(1) && row.getLong(2) == oracle.getLong(2))
+  }
 }
