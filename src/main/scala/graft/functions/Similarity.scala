@@ -2,24 +2,26 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftSql
 
 /** Vector-similarity primitives over `Array[Float]` embedding columns.
   *
-  * Dot products are computed as a sequential left-fold in DOUBLE via
-  * `aggregate(zip_with(...))` — bit-identical to the DuckDB oracle's
-  * `list_sum` over a comprehension, which is what makes cosine scores
-  * hash-comparable across engines. All per-pair work is codegen'd expression
-  * evaluation; the pair generation strategy (brute force / IVF partition /
-  * LSH bucket) decides the join shape and is what changes at 100 TB.
+  * Dot products are a sequential left-fold in DOUBLE — bit-identical to the
+  * DuckDB oracle's `list_sum` over a comprehension, which is what makes
+  * cosine scores hash-comparable across engines. The folds are native
+  * codegen'd expressions ([[DotFold]]/[[L2SqFold]]/[[MaxAbsFold]]): the
+  * `aggregate(zip_with(...))` Column equivalents are higher-order functions,
+  * which Spark evaluates interpreted — at ANN pair volume the fold is the
+  * workload, so it must compile. The pair generation strategy (brute force /
+  * IVF partition / LSH bucket) decides the join shape and is what changes
+  * at 100 TB.
   */
 object Similarity {
 
-  /** dot(a, b) in double precision, sequential accumulation order */
+  /** dot(a, b) in double precision, sequential accumulation order
+    * (native codegen'd fold — see [[DotFold]]) */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    GraftSql.column(DotFold(GraftSql.expression(a), GraftSql.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -35,8 +37,7 @@ object Similarity {
     * identical arithmetic). */
   def quantScale(v: Column): Column =
     greatest(
-      aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
-        / lit(127.0),
+      GraftSql.column(MaxAbsFold(GraftSql.expression(v))) / lit(127.0),
       lit(1e-30))
 
   /** quantize-then-dequantize in one step: round-half-up via floor(x/s+0.5)
@@ -46,15 +47,10 @@ object Similarity {
   def dequantized(v: Column, scale: Column): Column =
     transform(v, x => floor(x.cast("double") / scale + lit(0.5)) * scale)
 
-  /** squared L2 distance in double precision, sequential accumulation */
+  /** squared L2 distance in double precision, sequential accumulation
+    * (native codegen'd fold — see [[L2SqFold]]) */
   def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0),
-      (acc, v) => acc + v)
+    GraftSql.column(L2SqFold(GraftSql.expression(a), GraftSql.expression(b)))
 
   /** Product-quantization encode+decode in one map-side expression: the
     * vector is cut into `numSub` subspaces; each subvector snaps to its
@@ -68,45 +64,30 @@ object Similarity {
     * (`ann_pq` verifies the reconstructed scores against the oracle
     * recomputing identical arithmetic). */
   def pqReconstruct(vec: Column, codebook: Array[(Long, Array[Float])],
-                    numSub: Int): Column = {
-    val dim = codebook.head._2.length
-    require(dim % numSub == 0, s"dim $dim not divisible by $numSub")
-    val w = dim / numSub
-    flatten(array((0 until numSub).map { sub =>
-      val cands = codebook.map { case (k, cv) =>
-        val litSub = typedLit(cv.slice(sub * w, sub * w + w))
-        struct(
-          l2sq(slice(vec, sub * w + 1, w), litSub).as("d"),
-          lit(k).as("k"),
-          litSub.as("c"))
-      }
-      // lexicographic struct min = argmin by (distance, entry id); the
-      // chosen codebook subvector rides along in the struct, so no
-      // second lookup is needed
-      array_min(array(cands.toIndexedSeq: _*)).getField("c")
-    }: _*))
-  }
+                    numSub: Int): Column =
+    GraftSql.column(PqEncodeFold(GraftSql.expression(vec),
+      codebook.map(_._1),
+      codebook.map(_._2.map(_.toDouble)), // float→double widening is exact
+      numSub, emitCodes = false))
+
+  /** PQ CODES (the chosen entry id per subspace — what the index stores:
+    * numSub longs instead of dim floats). Same argmin/tie contract as
+    * [[pqReconstruct]]. */
+  def pqAssign(vec: Column, codebook: Array[(Long, Array[Float])],
+               numSub: Int): Column =
+    GraftSql.column(PqEncodeFold(GraftSql.expression(vec),
+      codebook.map(_._1),
+      codebook.map(_._2.map(_.toDouble)),
+      numSub, emitCodes = true))
 
   /** Same as [[pqReconstruct]] but with a DOUBLE codebook — used for
     * TRAINED codewords (per-dimension means), which only agree across
     * engines in double precision (a float32 narrowing would diverge from
     * the oracle's double arithmetic). */
   def pqReconstructD(vec: Column, codebook: Array[(Long, Array[Double])],
-                     numSub: Int): Column = {
-    val dim = codebook.head._2.length
-    require(dim % numSub == 0, s"dim $dim not divisible by $numSub")
-    val w = dim / numSub
-    flatten(array((0 until numSub).map { sub =>
-      val cands = codebook.map { case (k, cv) =>
-        val litSub = typedLit(cv.slice(sub * w, sub * w + w))
-        struct(
-          l2sq(slice(vec, sub * w + 1, w), litSub).as("d"),
-          lit(k).as("k"),
-          litSub.as("c"))
-      }
-      array_min(array(cands.toIndexedSeq: _*)).getField("c")
-    }: _*))
-  }
+                     numSub: Int): Column =
+    GraftSql.column(PqEncodeFold(GraftSql.expression(vec),
+      codebook.map(_._1), codebook.map(_._2), numSub, emitCodes = false))
 
   /** 60-bit md5 hash as a column — the deterministic key for splits,
     * sampling, and shingle hashing; equals DuckDB
@@ -133,8 +114,7 @@ object Similarity {
       if ((hash60Scala(s"p$planeIdx:$i") & 1L) == 1L) 1.0 else -1.0
     }
     val sgn = array(signs.map(lit): _*)
-    when(aggregate(zip_with(vec, sgn, (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, v) => acc + v) > 0, 1L).otherwise(0L)
+    when(dot(vec, sgn) > 0, 1L).otherwise(0L)
   }
 
   /** nBits-bit LSH bucket id from deterministic hyperplanes */

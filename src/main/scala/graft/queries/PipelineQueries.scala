@@ -393,16 +393,7 @@ object PipelineQueries {
       val seeds = e.filter(col("vec_id") < 8)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-      val sidArr = array((0 until 8).map { sub =>
-        val cands = seeds.map { case (k, cv) =>
-          val litSub = typedLit(cv.slice(sub * 8, sub * 8 + 8))
-          struct(
-            Similarity.l2sq(slice(col("embedding"), sub * 8 + 1, 8), litSub)
-              .as("d"),
-            lit(k).as("k"))
-        }
-        array_min(array(cands.toIndexedSeq: _*)).getField("k")
-      }: _*)
+      val sidArr = Similarity.pqAssign(col("embedding"), seeds, numSub = 8)
       val assigned = e.select(col("vec_id"), col("embedding"),
         posexplode(sidArr).as(Seq("sub", "sid")))
       val mMap = assigned

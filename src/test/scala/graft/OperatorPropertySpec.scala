@@ -168,7 +168,7 @@ class OperatorPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         .toDF("id", "vec")
         .select(col("id"), graft.functions.Similarity
           .pqReconstruct(col("vec"), codebook, nSub).as("rv"))
-        .orderBy("id").collect().map(_.getSeq[Float](1).toArray)
+        .orderBy("id").collect().map(_.getSeq[Double](1).toArray)
       val w = dim / nSub
       val want = vecs.map { v =>
         (0 until nSub).flatMap { s =>
@@ -183,7 +183,8 @@ class OperatorPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
             }
             (acc, k)
           }
-          best._2.slice(s * w, s * w + w).toSeq
+          // the native fold emits the codeword widened to double (exact)
+          best._2.slice(s * w, s * w + w).map(_.toDouble).toSeq
         }.toArray
       }
       got.zip(want).foreach { case (g, e) =>
