@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native folds for the text-dedup hot path (MinHash signatures, SimHash
+  * fingerprints, rolling hashes). Same rationale as [[PairFold]]: the
+  * `aggregate(...)` Column formulations are higher-order functions —
+  * interpreted, one intermediate array per step — and signature computation
+  * is the map-side cost of every LSH/dedup operator. Each expression
+  * replicates its HOF original bit-for-bit, including null semantics, and
+  * the DuckDB oracle hash-checks the results end-to-end.
+  *
+  * Codegen uses the reference-object callback (one virtual call per row,
+  * JIT-compiled loop inside) so surrounding projections stay in
+  * whole-stage codegen.
+  */
+private[graft] object TextFoldUtil {
+  private val mdTL: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** first 60 bits of md5(bytes) as a non-negative long — equals
+    * `CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)` */
+  def md5Hash60(bytes: Array[Byte]): Long = {
+    val md = mdTL.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var k = 0
+    while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+    v >>> 4
+  }
+}
+
+/** MinHash signature: per shingle, base = md5-hash60 & (2^30−1); per hash
+  * function h, sig[h] = min over shingles of (x·(2h+1) + h·40503) mod
+  * 1073741789. NULL array → NULL; NULL shingles are skipped (`least`
+  * semantics); empty array → all-MAX signature (the fold's init). */
+case class MinhashSigFold(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "minhash_sig_fold"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${t.sql}")
+  }
+
+  def compute(a: ArrayData): ArrayData = {
+    val acc = Array.fill(numHashes)(Long.MaxValue)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = TextFoldUtil.md5Hash60(a.getUTF8String(i).getBytes) & 1073741823L
+        var h = 0
+        while (h < numHashes) {
+          val v = (x * (2 * h + 1) + h * 40503L) % 1073741789L
+          if (v < acc(h)) acc(h) = v
+          h += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(acc)
+  }
+
+  override def nullSafeEval(c: Any): Any = compute(c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mhFold", this, classOf[MinhashSigFold].getName)
+    val ad = classOf[ArrayData].getName
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = ($ad) $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigFold =
+    copy(child = newChild)
+}
+
+/** 60-bit SimHash: bit b is set iff 2·|{h : bit b of h set}| > |hashes|
+  * (strict majority; the denominator counts NULL entries — `size()`
+  * semantics — while NULL entries cast no votes — `filter` semantics). */
+case class Simhash60Fold(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash60_fold"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<BIGINT>, got ${t.sql}")
+  }
+
+  def compute(a: ArrayData): Long = {
+    val n = a.numElements()
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val h = a.getLong(i)
+        var b = 0
+        while (b < 60) { counts(b) += ((h >> b) & 1L).toInt; b += 1 }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (2 * counts(b) > n) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(c: Any): Any = compute(c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shFold", this, classOf[Simhash60Fold].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash60Fold =
+    copy(child = newChild)
+}
+
+/** Rabin–Karp rolling hash over the characters: fold
+  * `acc = (acc·31 + ascii(char)) mod 1e9+7`. `ascii` here replicates
+  * Spark's Ascii expression exactly: the SIGNED first byte of the
+  * character's UTF-8 encoding (for ASCII text — the only kind the oracle
+  * data contains — that is the code point). Empty string → 0, NULL → NULL. */
+case class RollingHashFold(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "rolling_hash_fold"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${t.sql}")
+  }
+
+  def compute(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val first =
+        if (cp < 0x80) cp
+        else if (cp < 0x800) 0xC0 | (cp >> 6)
+        else if (cp < 0x10000) 0xE0 | (cp >> 12)
+        else 0xF0 | (cp >> 18)
+      acc = (acc * 31 + first.toByte.toInt) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override def nullSafeEval(c: Any): Any = compute(c.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rhFold", this, classOf[RollingHashFold].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashFold =
+    copy(child = newChild)
+}

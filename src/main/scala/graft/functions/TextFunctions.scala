@@ -36,26 +36,22 @@ object TextFunctions {
     * 16× less hashing than independent md5s, and no 64-bit overflow (DuckDB
     * checks overflow, so intermediates must stay < 2^35). Pure per-row
     * expression — no shuffle. */
-  /** signature as ONE fold over the base hashes: the md5 array is the
-    * aggregate's input, evaluated once per row — writing it as
-    * `transform(hashes, h -> array_min(...md5...))` re-evaluates the md5s
-    * once per hash function even from a separate column, because project
-    * collapse re-inlines them (measured 6.8 s vs 0.8 s at sf0.1). */
+  /** signature as ONE native fold ([[MinhashSigFold]] — compiled loop, one
+    * md5 per shingle, no intermediate arrays; the HOF formulation this
+    * replaces was interpreted and allocated a zipped accumulator per
+    * shingle). */
   def minhashSignature(shinglesCol: String, numHashes: Int): Column =
-    expr(
-      s"""aggregate(
-         |  transform($shinglesCol, s ->
-         |    CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) & 1073741823),
-         |  array_repeat(CAST(9223372036854775807 AS BIGINT), $numHashes),
-         |  (acc, x) -> zip_with(acc, sequence(0, ${numHashes - 1}),
-         |    (m, h) -> least(m, (x * (2 * h + 1) + h * 40503) % 1073741789)))""".stripMargin)
+    org.apache.spark.sql.graftshim.GraftSql.column(
+      MinhashSigFold(org.apache.spark.sql.graftshim.GraftSql
+        .expression(col(shinglesCol)), numHashes))
 
-  /** 60-bit SimHash over a token array column named `toksCol` (per-bit
-    * majority vote of per-token hash60s, unweighted). */
+  /** 60-bit SimHash over per-token hash60s (per-bit majority vote,
+    * unweighted) — native fold ([[Simhash60Fold]]); the HOF original
+    * re-scanned the hash array 60 times per row, interpreted. */
   def simhash60(hashesCol: String): Column =
-    expr(s"aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) -> acc + " +
-      s"CASE WHEN 2 * size(filter($hashesCol, h -> (shiftright(h, b) & 1) = 1)) " +
-      s"> size($hashesCol) THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)")
+    org.apache.spark.sql.graftshim.GraftSql.column(
+      Simhash60Fold(org.apache.spark.sql.graftshim.GraftSql
+        .expression(col(hashesCol))))
 
   val stopwords: Seq[String] = Seq("the", "of", "and", "to", "a", "in", "is")
 
@@ -91,8 +87,11 @@ object TextFunctions {
 
   /** Rabin-Karp-style rolling hash over the raw characters:
     * fold (acc * 31 + code) mod 1e9+7. Order-sensitive (unlike the set
-    * fingerprint) — detects byte-level duplicates cheaply in one pass. */
+    * fingerprint) — detects byte-level duplicates cheaply in one pass.
+    * Native fold ([[RollingHashFold]]); the HOF original materialized a
+    * char-index sequence and substring'd per character, interpreted. */
   def rollingHash(textCol: String): Column =
-    expr(s"aggregate(sequence(1, length($textCol)), CAST(0 AS BIGINT), " +
-      s"(acc, i) -> (acc * 31 + ascii(substring($textCol, i, 1))) % 1000000007)")
+    org.apache.spark.sql.graftshim.GraftSql.column(
+      RollingHashFold(org.apache.spark.sql.graftshim.GraftSql
+        .expression(col(textCol))))
 }
