@@ -83,6 +83,53 @@ case class MinhashSigFold(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Per-token 60-bit md5 hashes: `transform(arr, t -> hash60(prefix || t))`
+  * as one compiled pass (the HOF transform evaluates an interpreted md5
+  * expression per element). NULL array → NULL; NULL elements map to NULL
+  * elements (transform semantics). */
+case class TokenHash60Fold(child: Expression, prefix: String)
+    extends UnaryExpression {
+  override def prettyName: String = "token_hash60_fold"
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${t.sql}")
+  }
+
+  @transient private lazy val prefixBytes = prefix.getBytes("UTF-8")
+
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) out(i) = null
+      else {
+        val tok = a.getUTF8String(i).getBytes
+        val b = new Array[Byte](prefixBytes.length + tok.length)
+        System.arraycopy(prefixBytes, 0, b, 0, prefixBytes.length)
+        System.arraycopy(tok, 0, b, prefixBytes.length, tok.length)
+        out(i) = TextFoldUtil.md5Hash60(b)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(c: Any): Any = compute(c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("thFold", this, classOf[TokenHash60Fold].getName)
+    val ad = classOf[ArrayData].getName
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = ($ad) $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHash60Fold =
+    copy(child = newChild)
+}
+
 /** 60-bit SimHash: bit b is set iff 2·|{h : bit b of h set}| > |hashes|
   * (strict majority; the denominator counts NULL entries — `size()`
   * semantics — while NULL entries cast no votes — `filter` semantics). */

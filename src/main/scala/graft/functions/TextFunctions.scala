@@ -45,6 +45,13 @@ object TextFunctions {
       MinhashSigFold(org.apache.spark.sql.graftshim.GraftSql
         .expression(col(shinglesCol)), numHashes))
 
+  /** per-token 60-bit hashes `hash60(prefix || t)` as one compiled pass
+    * ([[TokenHash60Fold]]) — the map-side cost of SimHash fingerprinting */
+  def tokenHash60Arr(arr: Column, prefix: String): Column =
+    org.apache.spark.sql.graftshim.GraftSql.column(
+      TokenHash60Fold(org.apache.spark.sql.graftshim.GraftSql
+        .expression(arr), prefix))
+
   /** 60-bit SimHash over per-token hash60s (per-bit majority vote,
     * unweighted) — native fold ([[Simhash60Fold]]); the HOF original
     * re-scanned the hash array 60 times per row, interpreted. */

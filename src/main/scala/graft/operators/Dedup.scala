@@ -115,8 +115,8 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 8, blockShift: Int = 48): DataFrame = {
     val fp = df.select(col(idCol), tokens(col(textCol)).as("w"))
-      .withColumn("hs", expr("transform(array_distinct(w), t -> " +
-        "CAST(conv(substring(md5(concat('sh:', t)), 1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("hs", graft.functions.TextFunctions
+        .tokenHash60Arr(expr("array_distinct(w)"), "sh:"))
       .withColumn("simhash", simhash60("hs"))
       .withColumn("block", shiftright(col("simhash"), blockShift))
       .select(col(idCol), col("simhash"), col("block"))
