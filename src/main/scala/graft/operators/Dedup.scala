@@ -198,8 +198,12 @@ object Dedup {
     // freshly checkpointed round — the old changed-row check joined two
     // full label tables (an extra shuffle) every round. Sums stay far from
     // long overflow for any realistic id space (ids ≤ 2^40 × 2^20 nodes).
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum("lbl")).head.getLong(0)
+    def labelSum(df: DataFrame): Long = {
+      // empty pair input (a clean batch in incremental/streaming dedup) →
+      // sum is NULL; 0 converges immediately and returns the empty result
+      val r = df.agg(sum("lbl")).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Streaming near-dup ingestion gate: each micro-batch of documents is
+  * deduplicated against everything already ACCEPTED (a persisted MinHash
+  * index), then against itself, and the survivors extend the index — the
+  * `foreachBatch` packaging of [[graft.operators.Dedup
+  * .incrementalMinhashPairs]] (O(batch) work per batch, never a corpus
+  * self-join).
+  *
+  * Index layout (both parquet, append-only):
+  *   `indexDir/bands` — (band INT, band_key STRING, doc_id LONG): the LSH
+  *     candidate join surface. At cluster scale this table is BUCKETED by
+  *     band_key, making the per-batch candidate join co-located.
+  *   `indexDir/sigs`  — (doc_id LONG, sig ARRAY<BIGINT>): signatures for
+  *     the est-Jaccard verify of candidates (only survivors' signatures
+  *     are stored, so the index is exactly the accepted corpus).
+  *
+  * Drop rule (deterministic at any parallelism):
+  *   1. a batch doc whose est-Jaccard vs ANY indexed doc ≥ `minEst` drops;
+  *   2. within the batch, near-dup components keep their min-id member
+  *      (the canonical) and drop the rest;
+  *   3. docs too short to sign (< 3 tokens — no shingles) always survive
+  *      and are never indexed (no near-dup evidence exists for them).
+  *
+  * Retry semantics: appends here are NOT epoch-idempotent — a production
+  * deployment routes the writes through the native store's idempotent
+  * epoch sink (`sources.NatsScanWrite`) exactly as the streaming tests do;
+  * this operator's contract is the dedup DECISION, which is deterministic
+  * and therefore replay-stable.
+  */
+object StreamingDedup {
+
+  final case class Config(indexDir: String, outDir: String,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          numHashes: Int = 16, bands: Int = 4,
+                          minEst: Double = 0.5)
+
+  private def estJaccard(numHashes: Int) =
+    expr("CAST(size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) AS DOUBLE)" +
+      s" / CAST($numHashes AS DOUBLE)")
+
+  /** the foreachBatch handler: `.writeStream.foreachBatch(
+    *   StreamingDedup.ingest(cfg) _)` */
+  def ingest(cfg: Config)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.persist()
+    try {
+      val sig = Dedup.minhashSignatures(b, cfg.idCol, cfg.textCol,
+        cfg.numHashes).persist()
+      val bandsNew = Dedup.minhashBands(sig, cfg.idCol, cfg.numHashes,
+        cfg.bands)
+        .select(col(cfg.idCol).as("new_id"), col("band"), col("band_key"))
+
+      // 1. vs the accepted corpus: candidate ids via the band join into the
+      // index, verified on stored signatures (narrow keys shuffle; the wide
+      // sig arrays join back only for candidates)
+      val dropVsIndex =
+        if (!indexExists(spark, cfg)) spark.emptyDataFrame
+          .withColumn("new_id", lit(0L)).limit(0).select("new_id")
+        else {
+          val bIdx = spark.read.parquet(s"${cfg.indexDir}/bands")
+          val sIdx = spark.read.parquet(s"${cfg.indexDir}/sigs")
+          bandsNew.join(bIdx, Seq("band", "band_key"))
+            .select(col("new_id"), col("doc_id").as("index_id")).distinct()
+            .join(sig.select(col(cfg.idCol).as("new_id"),
+              col("sig").as("s1")), "new_id")
+            .join(sIdx.select(col("doc_id").as("index_id"),
+              col("sig").as("s2")), "index_id")
+            .filter(estJaccard(cfg.numHashes) >= cfg.minEst)
+            .select("new_id").distinct()
+        }
+
+      // 2. within the batch: LSH pairs → components → keep the min-id
+      // canonical of each near-dup cluster
+      val batchPairs = Dedup.minhashLshPairs(b, cfg.idCol, cfg.textCol,
+        cfg.numHashes, cfg.bands, cfg.minEst)
+      val dropInBatch = Dedup.connectedComponents(batchPairs, "id1", "id2")
+        .filter(col("node") =!= col("lbl"))
+        .select(col("node").as("new_id"))
+
+      val dropped = dropVsIndex.unionByName(dropInBatch).distinct()
+      val survivors = b.join(dropped,
+        b(cfg.idCol) === dropped("new_id"), "left_anti")
+
+      survivors.write.mode("append").parquet(cfg.outDir)
+      // survivors extend the index (bands + signatures); short docs have
+      // no signature row and therefore never enter the index
+      val survSig = sig.join(survivors.select(col(cfg.idCol)), cfg.idCol)
+      Dedup.minhashBands(survSig, cfg.idCol, cfg.numHashes, cfg.bands)
+        .select(col("band"), col("band_key"), col(cfg.idCol).as("doc_id"))
+        .write.mode("append").parquet(s"${cfg.indexDir}/bands")
+      survSig.select(col(cfg.idCol).as("doc_id"), col("sig"))
+        .write.mode("append").parquet(s"${cfg.indexDir}/sigs")
+      sig.unpersist()
+    } finally b.unpersist()
+  }
+
+  private def indexExists(spark: SparkSession, cfg: Config): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${cfg.indexDir}/bands")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.streaming.StreamingDedup
+
+/** The streaming near-dup ingestion gate: micro-batches dedup against the
+  * persisted index of everything accepted so far, survivors extend the
+  * index. Contract checks: cross-batch near-dups drop, in-batch clusters
+  * keep their canonical, short docs always pass, and the drop decision
+  * equals the batch-mode incremental operator on the same inputs. */
+object StreamingDedupSpec {
+  final case class SDoc(doc_id: Long, text: String)
+}
+
+class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import StreamingDedupSpec.SDoc
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ≥ 3 tokens → signable; distinct word streams so unrelated docs never
+  // collide in a band
+  private def words(seed: String): String =
+    (1 to 24).map(i => s"$seed$i").mkString(" ")
+
+  test("cross-batch near-dups drop, canonicals survive, index grows") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val cfg = StreamingDedup.Config(s"$root/index", s"$root/out")
+
+    val in = MemoryStream[SDoc](spark)
+    val q = in.toDF().writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(StreamingDedup.ingest(cfg) _)
+      .start()
+
+    // batch 1: three distinct docs
+    in.addData(SDoc(1, words("alpha")), SDoc(2, words("beta")),
+      SDoc(3, words("gamma")))
+    q.processAllAvailable()
+
+    // batch 2: 11 = copy of doc 1 (vs-index drop), 12 & 13 = identical new
+    // text (in-batch cluster → 12 canonical, 13 drops), 14 = new, 15 = too
+    // short to sign (always survives)
+    in.addData(SDoc(11, words("alpha")), SDoc(12, words("delta")),
+      SDoc(13, words("delta")), SDoc(14, words("epsil")), SDoc(15, "a b"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(cfg.outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 3L, 12L, 14L, 15L), out)
+
+    // the index holds exactly the signable survivors
+    val idx = spark.read.parquet(s"${cfg.indexDir}/sigs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idx == Set(1L, 2L, 3L, 12L, 14L), idx)
+
+    // parity with the batch-mode incremental operator: batch-2 docs flagged
+    // vs the accepted corpus == the streamed vs-index drops
+    val accepted = Seq(SDoc(1, words("alpha")), SDoc(2, words("beta")),
+      SDoc(3, words("gamma"))).toDF()
+    val batch2 = Seq(SDoc(11, words("alpha")), SDoc(12, words("delta")),
+      SDoc(13, words("delta")), SDoc(14, words("epsil")), SDoc(15, "a b")).toDF()
+    val flagged = graft.operators.Dedup
+      .incrementalMinhashPairs(batch2, accepted, "doc_id", "text")
+      .select("new_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(11L), flagged)
+  }
+}
