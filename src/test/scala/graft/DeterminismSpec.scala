@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Parallelism-invariance: every query promises identical RESULTS at any
+  * cluster size (docs/DETERMINISM.md). This spec executes representative
+  * queries — one per risk family: double aggregation order, window
+  * tie-breaks, hash sampling, iterative convergence, similarity folds —
+  * under two different shuffle parallelisms and compares the full result
+  * sets cell-by-cell. A pass here is direct evidence the 100 TB deployment
+  * (where partition counts are never what they were in test) reproduces the
+  * sf0.1 answers. */
+class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // the families most exposed to partitioning: decimal money aggregation,
+  // global-order windows, deterministic sampling, connected components
+  // (iterative), ANN cosine folds, minhash LSH pairs
+  private val representative = Seq(
+    "q_agg_pricing", "q_window_lag", "pipe_weighted_sample",
+    "dedup_components", "ann_topk", "dedup_minhash_lsh",
+    "pipe_lang_mixture", "q_regr")
+
+  private def run(name: String, partitions: Int): Seq[String] = {
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    try {
+      val df = SparkEntry.queries(name)(spark, dir)
+      // canonical form: sort by every column, render rows as strings
+      val sorted = df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+      sorted.collect().map(_.toString).toSeq
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      Caches.drain()
+    }
+  }
+
+  representative.foreach { name =>
+    test(s"$name: identical results at shuffle=3 and shuffle=17") {
+      val a = run(name, 3)
+      val b = run(name, 17)
+      assert(a.size == b.size, s"row counts differ: ${a.size} vs ${b.size}")
+      a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+        assert(x == y, s"row $i differs:\n  $x\n  $y")
+      }
+      assert(a.nonEmpty)
+    }
+  }
+}

@@ -193,6 +193,39 @@ class OperatorPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incrementalMinhashPairs == full self-join restricted to new×index") {
+    import spark.implicits._
+    // small vocab → real shingle collisions → real near-dup pairs
+    val word = Gen.oneOf("data", "spark", "row", "join", "sort", "key")
+    val doc = Gen.chooseNum(5, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val gen = for {
+      nOld <- Gen.chooseNum(4, 10)
+      nNew <- Gen.chooseNum(2, 6)
+      texts <- Gen.listOfN(nOld + nNew, doc)
+    } yield (nOld, texts)
+    forAll(gen, n = 6) { case (nOld, texts) =>
+      val all = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val old = all.filter(col("doc_id") < nOld)
+      val neu = all.filter(col("doc_id") >= nOld)
+      val got = graft.operators.Dedup
+        .incrementalMinhashPairs(neu, old, "doc_id", "text")
+        .select("new_id", "index_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // reference: the full-corpus self-join, keeping only pairs that
+      // cross the new/index boundary (id1 < id2 and ids split at nOld)
+      val want = graft.operators.Dedup
+        .minhashLshPairs(all, "doc_id", "text")
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => a < nOld && b >= nOld }
+        .map { case (a, b) => (b, a) }.toSet
+      assert(got == want, s"nOld=$nOld texts=$texts")
+      graft.Caches.drain()
+    }
+  }
+
   test("connectedComponents reliable-checkpoint mode == localCheckpoint mode") {
     import spark.implicits._
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
