@@ -58,6 +58,93 @@ object NatsStoreMaintenance {
     deleteRecursively(new File(scratch))
   }
 
+  final case class ExpireStats(filesDropped: Int, filesRewritten: Int,
+                               filesKept: Int)
+
+  /** Time-based retention (JetStream MaxAge semantics): remove every
+    * message with `ts_nats` strictly before `cutoffMicros`.
+    *
+    * Work is O(affected data), not O(store): each part file's parquet
+    * FOOTER statistics decide its fate without reading a data page —
+    * wholly-expired files unlink, wholly-live files are untouched, and
+    * only files STRADDLING the cutoff (usually one per writer partition)
+    * are rewritten through the store's own batch writer. This is the
+    * retention behavior that produces the seq GAPS the reference's fetch
+    * loop linearly probes through (`/root/reference/src/nats_scan.cpp:
+    * 725-729`) — after expiry the stream's first live seq moves forward,
+    * and readers (scan, transport gap-skip, micro-batch streaming) already
+    * handle the hole. */
+  def expireBefore(spark: SparkSession, dir: String, stream: String,
+                   cutoffMicros: Long): ExpireStats = {
+    val store = new File(s"$dir/$stream.msgs")
+    require(store.isDirectory, s"no native store at $store")
+    val files = Option(store.listFiles((f: File) =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))).toSeq.flatten.sortBy(_.getName)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    var dropped = 0
+    val straddle = scala.collection.mutable.ArrayBuffer[File]()
+    var kept = 0
+    files.foreach { f =>
+      tsBounds(f, conf) match {
+        case Some((_, maxTs)) if maxTs < cutoffMicros =>
+          require(f.delete(), s"expire unlink failed: $f"); dropped += 1
+        case Some((minTs, _)) if minTs >= cutoffMicros => kept += 1
+        case _ => straddle += f // straddles the cutoff, or no stats: rewrite
+      }
+    }
+
+    if (straddle.nonEmpty) {
+      // rewrite the boundary through the store's own writer (same schema,
+      // same staging/commit, collision-free job-token names), then move the
+      // survivors in and unlink the originals
+      val scratch = s"$dir/.expire_${System.nanoTime()}"
+      spark.read.parquet(straddle.map(_.getPath).toIndexedSeq: _*)
+        .filter(col("ts_nats") >= timestamp_micros(lit(cutoffMicros)))
+        // raw part files carry (subject, seq, ts_nats, payload); the writer
+        // takes the scan ENVELOPE, which also names the stream
+        .withColumn("stream", lit(stream))
+        .write.format("nats_scan")
+        .option("dir", scratch).option("stream", stream)
+        .mode("overwrite").save()
+      straddle.foreach(f => require(f.delete(), s"expire unlink failed: $f"))
+      val newFiles = Option(new File(s"$scratch/$stream.msgs")
+        .listFiles((f: File) => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_"))).toSeq.flatten
+      newFiles.foreach { f =>
+        require(f.renameTo(new File(store, f.getName)),
+          s"expire move failed: $f")
+      }
+      deleteRecursively(new File(scratch))
+    }
+    ExpireStats(dropped, straddle.size, kept)
+  }
+
+  /** (min, max) of the ts_nats column in MICROS from the file's footer
+    * row-group statistics — no data pages read. None when any row group
+    * lacks statistics (the caller then rewrites conservatively). */
+  private def tsBounds(f: File,
+                       conf: org.apache.hadoop.conf.Configuration)
+      : Option[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getPath), conf))
+    try {
+      val perBlock = reader.getFooter.getBlocks.asScala.toSeq.map { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == "ts_nats")
+          .map(_.getStatistics)
+          .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+          .map(s => (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+            s.genericGetMax.asInstanceOf[java.lang.Long].longValue()))
+      }
+      if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+      else Some((perBlock.flatten.map(_._1).min, perBlock.flatten.map(_._2).max))
+    } finally reader.close()
+  }
+
   private def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
     f.delete(): Unit

@@ -62,4 +62,38 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("seq") >= 100L && col("seq") <= 150L)
     assert(back.count() == 51L)
   }
+
+  test("expireBefore: MaxAge retention — footer-stats file drops + boundary rewrite") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_expire").toString
+    // seq-range-clustered store: 4 files, each a contiguous seq (≈ time) run,
+    // so a mid-store cutoff wholly expires some files and straddles one
+    spark.read.format("nats_scan").option("dir", dir).load()
+      .repartitionByRange(4, col("seq")).sortWithinPartitions("seq")
+      .write.format("nats_scan").option("dir", tmp)
+      .mode("overwrite").save()
+
+    val pre = spark.read.format("nats_scan").option("dir", tmp).load()
+      .select(col("seq"), expr("unix_micros(ts_nats)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // cutoff at the 40th percentile: deep enough to fully expire at least
+    // one of the 4 seq-range files
+    val cutoffMicros = pre.map(_._2).sorted.apply((pre.length * 2) / 5)
+
+    val stats = graft.sources.NatsStoreMaintenance
+      .expireBefore(spark, tmp, "events", cutoffMicros)
+    assert(stats.filesDropped >= 1, stats)
+    assert(stats.filesKept >= 1, stats)
+
+    val after = spark.read.format("nats_scan").option("dir", tmp).load()
+      .select("seq").collect().map(_.getLong(0)).sorted
+    val expected = pre.filter(_._2 >= cutoffMicros).map(_._1).sorted
+    assert(after.sameElements(expected), s"${after.length} vs ${expected.length}")
+
+    // retention opened a seq gap at the head: the first live seq moved
+    // forward and scans through the hole still work
+    assert(after.min > pre.map(_._1).min)
+    val sweep = spark.read.format("nats_scan").option("dir", tmp).load()
+      .filter(col("seq") >= 1L).count()
+    assert(sweep == expected.length.toLong)
+  }
 }
