@@ -303,6 +303,31 @@ object PipelineQueries {
     // = 32× memory reduction over float32 — the index-residency knob at
     // 100 TB; the reconstructed scores are hash-verified, so PQ error is
     // measured, not guessed.
+    // IVF-PQ (the FAISS IVFPQ composition): coarse IVF partition pruning
+    // picks the probed cluster, fine scoring runs on PQ-RECONSTRUCTED
+    // vectors — the index stores numSub bytes/vector per cluster, and a
+    // query touches one cluster's codes. Both compression (PQ) and
+    // pruning (IVF) contracts stay hash-verified through the composition.
+    "ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val codebook = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val pq = e.select(col("vec_id"), col("label"),
+        Similarity.pqReconstruct(col("embedding"), codebook, numSub = 8).as("rv"))
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv")))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("pq_cos").desc, col("vec_id").asc)
+      pq.join(q, "label")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("pq_cos", round(Similarity.cosine(col("qv"), col("rv")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "vec_id", "pq_cos")
+        .orderBy("qid", "rank")
+    }),
+
     "ann_pq" -> ((s, dir) => {
       val e = emb(s, dir)
       val codebook = e.filter(col("vec_id") < 8)
@@ -1024,6 +1049,23 @@ object PipelineQueries {
         FROM scored)
       SELECT qid, rank, vec_id, qcos FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "ann_ivfpq" -> s"""
+      WITH $pqReconCte,
+      q AS (SELECT label, vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id < 10),
+      scored AS (
+        SELECT q.qid, r.vec_id, round(${cos("q.qv", "r.rv")}, 6) AS pq_cos
+        FROM recon r JOIN embeddings e ON r.vec_id = e.vec_id
+                     JOIN q ON e.label = q.label
+        WHERE r.vec_id <> q.qid),
+      ranked AS (
+        SELECT qid, vec_id, pq_cos,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY pq_cos DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT qid, rank, vec_id, pq_cos FROM ranked WHERE rank <= 3
+      ORDER BY qid, rank""",
 
     "ann_pq" -> s"""
       WITH $pqReconCte,
