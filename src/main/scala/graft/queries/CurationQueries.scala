@@ -116,6 +116,31 @@ object CurationQueries {
         .orderBy("lang")
     }),
 
+    // curriculum binning: fixed-width deciles of the quality score with
+    // per-bin doc/token mass — the "order training data easy→hard"
+    // preparation step. Scoring is the classifier's map-side expression;
+    // the aggregate key is 10 bins (partial agg absorbs everything).
+    "pipe_curriculum" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nW = size(toks).cast("double")
+      val distinctRatio = size(array_distinct(toks)).cast("double") / nW
+      val stopRatio = size(filter(toks,
+        x => x === "the" || x === "a" || x === "of")).cast("double") / nW
+      val avgLen = col("n_chars").cast("double") / nW
+      val z = lit(W0) + lit(W_LOGWORDS) * log(nW) +
+        lit(W_DISTINCT) * distinctRatio + lit(W_STOP) * stopRatio +
+        lit(W_AVGLEN) * avgLen
+      t(s, dir, "documents")
+        .withColumn("q", lit(1.0) / (lit(1.0) + exp(-z)))
+        .withColumn("bin", least(floor(col("q") * 10), lit(9)).cast("int"))
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          round(avg("q"), 6).as("avg_q"))
+        .orderBy("bin")
+    }),
+
     // cluster-balanced subset: equal representation per semantic cluster
     // (embeddings.label = the IVF coarse cluster), members picked by a
     // deterministic hash order. The window partitions by label — per-label
@@ -188,6 +213,29 @@ object CurationQueries {
       SELECT w.lang, n_orig, round(p_keep, 6) AS p_keep,
              coalesce(n_kept, 0) AS n_kept
       FROM w LEFT JOIN k ON w.lang = k.lang ORDER BY w.lang""",
+
+    "pipe_curriculum" -> """
+      WITH f AS (
+        SELECT text,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS distinct_ratio,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    x -> x IN ('the', 'a', 'of'))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stop_ratio,
+               CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))
+                 AS avg_len
+        FROM documents),
+      sc AS (
+        SELECT 1.0 / (1.0 + exp(-(-1.2 + 0.35 * ln(n_words)
+                                  + 1.8 * distinct_ratio - 2.5 * stop_ratio
+                                  + 0.1 * avg_len))) AS q,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM f)
+      SELECT CAST(least(floor(q * 10), 9) AS INTEGER) AS bin,
+             count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             round(avg(q), 6) AS avg_q
+      FROM sc GROUP BY 1 ORDER BY bin""",
 
     "pipe_balanced_sample" -> """
       WITH r AS (
