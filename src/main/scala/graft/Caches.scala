@@ -42,16 +42,33 @@ object Caches {
 
   /** free the backing blocks of a checkpointed dataset NOW — iterative
     * operators release round N−1 as soon as round N has materialized. */
-  def free(ds: Dataset[_]): Unit = backingRdd(ds).foreach(_.unpersist(false))
+  def free(ds: Dataset[_]): Unit = backingRdd(ds).foreach(safeUnpersist)
 
   private def backingRdd(ds: Dataset[_]): Option[RDD[_]] =
     ds.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
 
-  /** unpersist everything registered since the last drain. */
+  /** unpersist everything registered since the last drain. This registry is
+    * JVM-global while sessions are not: a test JVM runs many suites, each
+    * with its own (stopped-at-afterAll) SparkContext, so an entry may
+    * outlive its context — unpersisting it then NPEs inside the
+    * BlockManagerMaster. Dead entries hold no blocks (the stop released
+    * them); skip them instead of failing the *next* suite's drain. */
   def drain(): Unit = {
     var d = cached.poll()
-    while (d != null) { d.unpersist(false); d = cached.poll() }
+    while (d != null) { safeUnpersistDs(d); d = cached.poll() }
     var r = rdds.poll()
-    while (r != null) { r.unpersist(false); r = rdds.poll() }
+    while (r != null) { safeUnpersist(r); r = rdds.poll() }
   }
+
+  private def safeUnpersist(r: RDD[_]): Unit =
+    if (!r.sparkContext.isStopped) {
+      try r.unpersist(false)
+      catch { case _: NullPointerException | _: IllegalStateException => () }
+    }
+
+  private def safeUnpersistDs(d: Dataset[_]): Unit =
+    if (!d.sparkSession.sparkContext.isStopped) {
+      try d.unpersist(false)
+      catch { case _: NullPointerException | _: IllegalStateException => () }
+    }
 }
