@@ -175,6 +175,97 @@ case class Simhash60Fold(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct-token hash SET, sorted ascending: first-occurrence distinct of
+  * the token array, 60-bit md5 hash per distinct token, sorted — one
+  * compiled pass producing the representation [[SortedIntersectCount]]
+  * merges linearly. Jaccard's verify stage is quadratic in candidate
+  * PAIRS, so the per-pair work must be a merge over pre-sorted longs, not
+  * a hash-set build; the sort happens once per document, map-side. NULL
+  * array → NULL; NULL tokens are ignored (they can never intersect). */
+case class TokenSetHashFold(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "token_set_hash_fold"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${t.sql}")
+  }
+
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val set = new java.util.HashSet[Long](Math.max(16, n * 2))
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        set.add(TextFoldUtil.md5Hash60(a.getUTF8String(i).getBytes)): Unit
+      }
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(c: Any): Any = compute(c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tsFold", this, classOf[TokenSetHashFold].getName)
+    val ad = classOf[ArrayData].getName
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = ($ad) $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSetHashFold =
+    copy(child = newChild)
+}
+
+/** |a ∩ b| of two SORTED long arrays by linear merge — the per-pair inner
+  * loop of exact-Jaccard verification. O(|a|+|b|), zero allocation. Inputs
+  * MUST be sorted ascending and duplicate-free ([[TokenSetHashFold]]
+  * guarantees both). NULL array → NULL. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "sorted_intersect_count"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two ARRAY<BIGINT>, got ${l.sql}, ${r.sql}")
+    }
+
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("siFold", this,
+      classOf[SortedIntersectCount].getName)
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Rabin–Karp rolling hash over the characters: fold
   * `acc = (acc·31 + ascii(char)) mod 1e9+7`. `ascii` here replicates
   * Spark's Ascii expression exactly: the SIGNED first byte of the

@@ -45,6 +45,21 @@ object TextFunctions {
       MinhashSigFold(org.apache.spark.sql.graftshim.GraftSql
         .expression(col(shinglesCol)), numHashes))
 
+  /** sorted distinct-token hash set ([[TokenSetHashFold]]) — the per-doc
+    * representation the Jaccard verify stage merges linearly */
+  def tokenSetHash(arr: Column): Column =
+    org.apache.spark.sql.graftshim.GraftSql.column(
+      TokenSetHashFold(org.apache.spark.sql.graftshim.GraftSql
+        .expression(arr)))
+
+  /** |a ∩ b| of two sorted long arrays ([[SortedIntersectCount]]) — the
+    * per-pair inner loop of exact-Jaccard verification */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.GraftSql.column(
+      SortedIntersectCount(
+        org.apache.spark.sql.graftshim.GraftSql.expression(a),
+        org.apache.spark.sql.graftshim.GraftSql.expression(b)))
+
   /** per-token 60-bit hashes `hash60(prefix || t)` as one compiled pass
     * ([[TokenHash60Fold]]) — the map-side cost of SimHash fingerprinting */
   def tokenHash60Arr(arr: Column, prefix: String): Column =

@@ -277,13 +277,13 @@ object Dedup {
                    blockCol: String, minJaccard: Double): DataFrame = {
     // tokenize ONCE and reuse for both self-join sides (same rule as the
     // minhash/simhash stages: never recompute a signature per joined pair).
-    // Tokens are hashed to 64-bit longs BEFORE the pair join: intersection
-    // SIZE is hash-invariant (collisions within one pair's union: p≈2^-47),
-    // and long-array intersection is far cheaper than string-array
-    // intersection in the quadratic verify stage — the hashing itself is
-    // linear map-side work.
+    // Tokens become a SORTED distinct 60-bit hash set before the pair join
+    // (one compiled pass/doc): intersection SIZE is hash-invariant
+    // (collisions within one pair's union: p≈2^-43), and the per-pair cost
+    // collapses to a linear merge over pre-sorted longs — no per-pair
+    // hash-set build in the quadratic verify stage.
     val t = graft.Caches.tracked(df.select(col(idCol), col(blockCol),
-      transform(array_distinct(tokens(col(textCol))), x => xxhash64(x)).as("w"))
+      graft.functions.TextFunctions.tokenSetHash(tokens(col(textCol))).as("w"))
       .withColumn("nw", size(col("w"))))
     val l = t.select(col(blockCol), col(idCol).as("id1"), col("w").as("w1"),
       col("nw").as("n1"))
@@ -296,9 +296,10 @@ object Dedup {
       // intersection without changing the result set
       .filter(least(col("n1"), col("n2")) >=
         lit(minJaccard) * greatest(col("n1"), col("n2")))
-      // on distinct token sets |∪| = n1 + n2 − |∩|: one hash-intersection
-      // per pair instead of intersect + union (half the array work)
-      .withColumn("inter", size(array_intersect(col("w1"), col("w2"))))
+      // on distinct token sets |∪| = n1 + n2 − |∩|: one linear merge per
+      // pair instead of intersect + union (the arrays are pre-sorted)
+      .withColumn("inter", graft.functions.TextFunctions
+        .sortedIntersectCount(col("w1"), col("w2")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
