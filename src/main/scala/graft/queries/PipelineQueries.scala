@@ -96,13 +96,16 @@ object PipelineQueries {
     // corpus; the filter itself is map-side. Quality and median are both
     // rounded to 6 before comparison so the threshold is engine-exact.
     "pipe_quality_gate" -> ((s, dir) => {
-      val q = docs(s, dir)
+      // scored ONCE and cached: the frame feeds both the per-source median
+      // aggregate and the join side — uncached, Spark recomputes the
+      // tokenize+regexp scoring per branch (measured 2× on this query)
+      val q = graft.Caches.tracked(docs(s, dir)
         .withColumn("w", TF.tokens(col("text")))
         .withColumn("n_tokens", size(col("w")))
         .withColumn("quality", round(
           lit(0.4) * TF.stopwordRatio("w") +
             lit(0.3) * least(col("n_tokens") / 100.0, lit(1.0)) -
-            lit(0.3) * TF.punctRatio(col("text")), 6))
+            lit(0.3) * TF.punctRatio(col("text")), 6)))
       val med = q.groupBy("source")
         .agg(round(median(col("quality")), 6).as("med"))
       q.join(broadcast(med), "source")
