@@ -32,7 +32,8 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val representative = Seq(
     "q_agg_pricing", "q_window_lag", "pipe_weighted_sample",
     "dedup_components", "ann_topk", "dedup_minhash_lsh",
-    "pipe_lang_mixture", "q_regr")
+    "pipe_lang_mixture", "q_regr",
+    "ann_ivfpq", "dedup_incremental", "pipe_curriculum", "dedup_jaccard")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

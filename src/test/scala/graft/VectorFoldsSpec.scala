@@ -112,6 +112,38 @@ class VectorFoldsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("TokenSetHashFold: sorted, duplicate-free, size == distinct token count") {
+    val r = df.sparkSession.sql(
+      """SELECT array('b','a','b','c','a') AS toks
+         UNION ALL SELECT array('x') UNION ALL SELECT array()""")
+      .select(graft.functions.TextFunctions.tokenSetHash(col("toks")).as("h"),
+        size(array_distinct(col("toks"))).as("nd"))
+      .collect()
+    r.foreach { row =>
+      val h = row.getSeq[Long](0)
+      assert(h.length == row.getInt(1), s"$h vs ${row.getInt(1)}")
+      assert(h == h.sorted && h.distinct.length == h.length, h)
+    }
+  }
+
+  test("SortedIntersectCount == brute-force set intersection on random sets") {
+    val rnd = new scala.util.Random(7)
+    (0 until 20).foreach { _ =>
+      val a = Array.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong)
+        .distinct.sorted
+      val b = Array.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong)
+        .distinct.sorted
+      val want = a.toSet.intersect(b.toSet).size
+      val got = spark.sql(
+        s"SELECT array(${a.mkString(",")}) AS a, array(${b.mkString(",")}) AS b")
+        .select(graft.functions.TextFunctions
+          .sortedIntersectCount(col("a").cast("array<long>"),
+            col("b").cast("array<long>")).as("c"))
+        .head().getInt(0)
+      assert(got == want, s"a=${a.toSeq} b=${b.toSeq}")
+    }
+  }
+
   test("PqEncodeFold emitCodes: codes are the argmin entry ids (ties→lowest)") {
     // two identical codebook entries → tie on every subspace → lowest id
     val cb = Array(
