@@ -222,6 +222,50 @@ case class TokenSetHashFold(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Count of tokens contained in a literal string set — replaces
+  * `size(filter(arr, t -> t IN (...)))` (interpreted lambda per element)
+  * in the stopword-ratio / language-ID / quality-model features. NULL
+  * array → NULL; NULL elements are never members (IN's null semantics
+  * drop them from the filter). */
+case class TokenCountInFold(child: Expression, values: Seq[String])
+    extends UnaryExpression {
+  override def prettyName: String = "token_count_in_fold"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${t.sql}")
+  }
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](values.size * 2)
+    values.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+
+  def compute(a: ArrayData): Int = {
+    val n = a.numElements()
+    var i = 0; var c = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && set.contains(a.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(x: Any): Any = compute(x.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tciFold", this,
+      classOf[TokenCountInFold].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCountInFold =
+    copy(child = newChild)
+}
+
 /** |a ∩ b| of two SORTED long arrays by linear merge — the per-pair inner
   * loop of exact-Jaccard verification. O(|a|+|b|), zero allocation. Inputs
   * MUST be sorted ascending and duplicate-free ([[TokenSetHashFold]]

@@ -77,13 +77,17 @@ object TextFunctions {
 
   val stopwords: Seq[String] = Seq("the", "of", "and", "to", "a", "in", "is")
 
-  private def sqlStringList(ws: Seq[String]): String =
-    ws.map(w => s"'$w'").mkString(", ")
+  /** membership count over a literal word set, one compiled pass
+    * ([[TokenCountInFold]]) */
+  def tokenCountIn(arr: Column, values: Seq[String]): Column =
+    org.apache.spark.sql.graftshim.GraftSql.column(
+      TokenCountInFold(org.apache.spark.sql.graftshim.GraftSql
+        .expression(arr), values))
 
   /** fraction of tokens that are stopwords */
   def stopwordRatio(toksCol: String): Column =
-    expr(s"size(filter($toksCol, t -> t IN (${sqlStringList(stopwords)}))) " +
-      s"/ CAST(size($toksCol) AS DOUBLE)")
+    tokenCountIn(col(toksCol), stopwords) /
+      size(col(toksCol)).cast("double")
 
   /** fraction of characters that are neither alphanumeric nor space */
   def punctRatio(text: Column): Column =
@@ -100,7 +104,7 @@ object TextFunctions {
 
   def langScores(toksCol: String): Seq[(String, Column)] =
     langMarkers.map { case (lang, ws) =>
-      lang -> expr(s"size(filter($toksCol, t -> t IN (${sqlStringList(ws)})))")
+      lang -> tokenCountIn(col(toksCol), ws)
     }
 
   /** canonical document fingerprint: md5 of the sorted distinct token set */

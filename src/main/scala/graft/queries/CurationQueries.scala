@@ -49,8 +49,8 @@ object CurationQueries {
       val toks = split(col("text"), " ")
       val nW = size(toks).cast("double")
       val distinctRatio = size(array_distinct(toks)).cast("double") / nW
-      val stopRatio = size(filter(toks,
-        x => x === "the" || x === "a" || x === "of")).cast("double") / nW
+      val stopRatio = graft.functions.TextFunctions
+        .tokenCountIn(toks, Seq("the", "a", "of")).cast("double") / nW
       val avgLen = col("n_chars").cast("double") / nW
       val z = lit(W0) + lit(W_LOGWORDS) * log(nW) +
         lit(W_DISTINCT) * distinctRatio + lit(W_STOP) * stopRatio +
@@ -124,8 +124,8 @@ object CurationQueries {
       val toks = split(col("text"), " ")
       val nW = size(toks).cast("double")
       val distinctRatio = size(array_distinct(toks)).cast("double") / nW
-      val stopRatio = size(filter(toks,
-        x => x === "the" || x === "a" || x === "of")).cast("double") / nW
+      val stopRatio = graft.functions.TextFunctions
+        .tokenCountIn(toks, Seq("the", "a", "of")).cast("double") / nW
       val avgLen = col("n_chars").cast("double") / nW
       val z = lit(W0) + lit(W_LOGWORDS) * log(nW) +
         lit(W_DISTINCT) * distinctRatio + lit(W_STOP) * stopRatio +
