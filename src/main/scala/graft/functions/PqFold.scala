@@ -39,8 +39,17 @@ case class PqEncodeFold(child: Expression, ids: Array[Long],
                         emitCodes: Boolean)
     extends UnaryExpression {
   require(ids.length == codebook.length && ids.nonEmpty, "empty codebook")
-  require(ids.sameElements(ids.sorted),
-    "codebook entries must be sorted by id (first-wins argmin = ties to lowest id)")
+
+  // entries normalize to id-ascending order HERE (stable zip-sort), so
+  // first-wins argmin ≡ ties-to-lowest-id for any caller order — the
+  // struct-min formulation this expression replaced handled unsorted
+  // codebooks, so must this, rather than rejecting them at plan build
+  private val (sortedIds: Array[Long], sortedCodebook: Array[Array[Double]]) =
+    if (ids.sameElements(ids.sorted)) (ids, codebook)
+    else {
+      val z = ids.zip(codebook).sortBy(_._1)
+      (z.map(_._1), z.map(_._2))
+    }
 
   private val dim = codebook.head.length
   private val w = dim / numSub
@@ -79,8 +88,8 @@ case class PqEncodeFold(child: Expression, ids: Array[Long],
       var best = Double.PositiveInfinity
       var bi = 0
       var c = 0
-      while (c < codebook.length) {
-        val cv = codebook(c)
+      while (c < sortedCodebook.length) {
+        val cv = sortedCodebook(c)
         var acc = 0.0
         var j = 0
         while (j < w) {
@@ -91,9 +100,9 @@ case class PqEncodeFold(child: Expression, ids: Array[Long],
         if (acc < best) { best = acc; bi = c }
         c += 1
       }
-      if (emitCodes) outK(s) = ids(bi)
+      if (emitCodes) outK(s) = sortedIds(bi)
       else {
-        val cv = codebook(bi)
+        val cv = sortedCodebook(bi)
         var j = 0
         while (j < w) { outD(off + j) = cv(off + j); j += 1 }
       }
@@ -115,4 +124,21 @@ case class PqEncodeFold(child: Expression, ids: Array[Long],
 
   override protected def withNewChildInternal(newChild: Expression): PqEncodeFold =
     copy(child = newChild)
+
+  // case-class equality on Array fields is reference equality, which makes
+  // semantically identical folds compare unequal and defeats Catalyst
+  // subexpression elimination — compare contents instead
+  override def equals(o: Any): Boolean = o match {
+    case p: PqEncodeFold =>
+      p.child == child && p.numSub == numSub && p.emitCodes == emitCodes &&
+        java.util.Arrays.equals(p.ids, ids) &&
+        p.codebook.length == codebook.length &&
+        p.codebook.indices.forall(i =>
+          java.util.Arrays.equals(p.codebook(i), codebook(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(numSub),
+      java.lang.Boolean.valueOf(emitCodes),
+      Integer.valueOf(java.util.Arrays.hashCode(ids)))
 }

@@ -62,7 +62,12 @@ object Similarity {
     * 256 at 64-dim float32 — the memory knob that keeps a 100 TB corpus'
     * index resident; accuracy is hash-measured, not guessed
     * (`ann_pq` verifies the reconstructed scores against the oracle
-    * recomputing identical arithmetic). */
+    * recomputing identical arithmetic).
+    *
+    * Result type is ARRAY<DOUBLE> (the fold's exact-widened accumulator
+    * element type) — note for consumers of the reconstructed column: the
+    * pre-fold struct-min formulation surfaced ARRAY<FLOAT>; the values are
+    * the identical float lattice points, exactly widened. */
   def pqReconstruct(vec: Column, codebook: Array[(Long, Array[Float])],
                     numSub: Int): Column =
     GraftSql.column(PqEncodeFold(GraftSql.expression(vec),

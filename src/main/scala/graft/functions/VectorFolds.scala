@@ -90,23 +90,32 @@ abstract class PairFold extends BinaryExpression with VectorFoldHelpers {
     val lg = left.genCode(ctx)
     val rg = right.genCode(ctx)
     val ad = classOf[ArrayData].getName
+    // primitive return + a reusable boolean[1] null flag — a boxed
+    // java.lang.Double return would allocate one box per row on exactly
+    // the candidate-generation hot path (corpus × queries rows) these
+    // folds exist to keep allocation-free. The scratch flag is per-task
+    // mutable state (codegen objects are single-threaded), read
+    // immediately after the call.
+    val flag = ctx.addMutableState("boolean[]", "foldNullFlag",
+      v => s"$v = new boolean[1];")
     val fn = ctx.freshName(prettyName.replace("_", ""))
     val funcName = ctx.addNewFunction(fn,
       s"""
-        private java.lang.Double $fn($ad a, $ad b) {
+        private double $fn($ad a, $ad b, boolean[] nullOut) {
           int n = a.numElements();
-          if (n != b.numElements()) return null;
+          if (n != b.numElements()) { nullOut[0] = true; return 0.0; }
           double acc = 0.0;
           for (int i = 0; i < n; i++) {
-            if (a.isNullAt(i) || b.isNullAt(i)) return null;
+            if (a.isNullAt(i) || b.isNullAt(i)) { nullOut[0] = true; return 0.0; }
             double x = ${elemGetter(left, "a", "i")};
             double y = ${elemGetter(right, "b", "i")};
             $accumJava
           }
-          return java.lang.Double.valueOf(acc);
+          nullOut[0] = false;
+          return acc;
         }
       """)
-    val res = ctx.freshName("res")
+    val tmp = ctx.freshName("foldRes")
     val body =
       code"""
         ${lg.code}
@@ -114,8 +123,8 @@ abstract class PairFold extends BinaryExpression with VectorFoldHelpers {
         boolean ${ev.isNull} = true;
         double ${ev.value} = 0.0;
         if (!${lg.isNull} && !${rg.isNull}) {
-          java.lang.Double $res = $funcName(${lg.value}, ${rg.value});
-          if ($res != null) { ${ev.isNull} = false; ${ev.value} = $res.doubleValue(); }
+          double $tmp = $funcName(${lg.value}, ${rg.value}, $flag);
+          if (!$flag[0]) { ${ev.isNull} = false; ${ev.value} = $tmp; }
         }
       """
     ev.copy(code = body)

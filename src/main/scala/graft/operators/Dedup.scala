@@ -57,8 +57,20 @@ object Dedup {
     * product anywhere. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, bands: Int = 4,
-                      minEst: Double = 0.5): DataFrame = {
-    val sigDf = graft.Caches.tracked(minhashSignatures(df, idCol, textCol, numHashes))
+                      minEst: Double = 0.5): DataFrame =
+    minhashLshPairsFromSignatures(
+      graft.Caches.tracked(minhashSignatures(df, idCol, textCol, numHashes)),
+      idCol, numHashes, bands, minEst)
+
+  /** [[minhashLshPairs]] starting from an already-computed signature table
+    * (id, sig) — the variant for callers that materialize signatures once
+    * and reuse them across stages (e.g. the streaming ingestion gate, which
+    * also persists the same signatures into its index: recomputing the
+    * MD5/shingle map-side work per stage doubles the batch's dominant
+    * cost). */
+  def minhashLshPairsFromSignatures(sigDf: DataFrame, idCol: String,
+                                    numHashes: Int, bands: Int,
+                                    minEst: Double): DataFrame = {
     val b = minhashBands(sigDf, idCol, numHashes, bands)
     val cand = b.select(col(idCol).as("id1"), col("band"), col("band_key"))
       .join(b.select(col(idCol).as("id2"), col("band"), col("band_key")),

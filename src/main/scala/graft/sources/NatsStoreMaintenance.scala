@@ -108,7 +108,16 @@ object NatsStoreMaintenance {
         .write.format("nats_scan")
         .option("dir", scratch).option("stream", stream)
         .mode("overwrite").save()
-      straddle.foreach(f => require(f.delete(), s"expire unlink failed: $f"))
+      // aside-swap (compact()'s protocol): originals go to dot-prefixed
+      // names the scan filter already ignores, survivors move in, and only
+      // then are the aside copies dropped — every step is recoverable. A
+      // crash mid-sequence leaves the live rows on disk in the store dir
+      // (aside copies), never only in the scratch dir.
+      val aside = straddle.map { f =>
+        val a = new File(store, s".expiring_${f.getName}")
+        require(f.renameTo(a), s"expire aside failed: $f")
+        a
+      }
       val newFiles = Option(new File(s"$scratch/$stream.msgs")
         .listFiles((f: File) => f.getName.endsWith(".parquet") &&
           !f.getName.startsWith("_"))).toSeq.flatten
@@ -116,6 +125,7 @@ object NatsStoreMaintenance {
         require(f.renameTo(new File(store, f.getName)),
           s"expire move failed: $f")
       }
+      aside.foreach(f => require(f.delete(), s"expire aside unlink failed: $f"))
       deleteRecursively(new File(scratch))
     }
     ExpireStats(dropped, straddle.size, kept)

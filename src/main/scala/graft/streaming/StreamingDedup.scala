@@ -58,9 +58,12 @@ object StreamingDedup {
       // 1. vs the accepted corpus: candidate ids via the band join into the
       // index, verified on stored signatures (narrow keys shuffle; the wide
       // sig arrays join back only for candidates)
+      // empty frame's schema derives from the batch itself (Config allows
+      // any idCol type; a typed literal here would break the unionByName
+      // with dropInBatch on the first batch of a non-bigint id column)
       val dropVsIndex =
-        if (!indexExists(spark, cfg)) spark.emptyDataFrame
-          .withColumn("new_id", lit(0L)).limit(0).select("new_id")
+        if (!indexExists(spark, cfg))
+          b.select(col(cfg.idCol).as("new_id")).limit(0)
         else {
           val bIdx = spark.read.parquet(s"${cfg.indexDir}/bands")
           val sIdx = spark.read.parquet(s"${cfg.indexDir}/sigs")
@@ -75,8 +78,10 @@ object StreamingDedup {
         }
 
       // 2. within the batch: LSH pairs → components → keep the min-id
-      // canonical of each near-dup cluster
-      val batchPairs = Dedup.minhashLshPairs(b, cfg.idCol, cfg.textCol,
+      // canonical of each near-dup cluster. Pairs derive from the SAME
+      // cached signatures persisted into the index below — the MD5/shingle
+      // map-side work (the batch's dominant cost) runs once, not twice.
+      val batchPairs = Dedup.minhashLshPairsFromSignatures(sig, cfg.idCol,
         cfg.numHashes, cfg.bands, cfg.minEst)
       val dropInBatch = Dedup.connectedComponents(batchPairs, "id1", "id2")
         .filter(col("node") =!= col("lbl"))
