@@ -151,6 +151,23 @@ final class NatsScanReaderFactory(required: StructType, seqLo: Long,
       new NatsScanReader(part, required, seqLo, seqHi, tsLoNs, tsHiNs,
         subjectContains, subjectPrefixes, stream)
   }
+
+  /** Batch scans decode vectorized (see [[NatsVectorized]]); subject/seq/ts
+    * residue is Spark's job (the builder keeps every pushed predicate
+    * residual). The row readers above remain the streaming path, which
+    * constructs them directly and relies on their record-level filters. */
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val part = p.asInstanceOf[NatsScanPartition]
+    if (part.native)
+      new NatsNativeColumnarReader(part, required, stream, seqLo, seqHi,
+        tsLoNs, tsHiNs)
+    else
+      new NatsFixtureColumnarReader(part, required, stream, seqLo, seqHi,
+        tsLoNs, tsHiNs)
+  }
 }
 
 /** Reader for the native message store (part files written by

@@ -160,35 +160,44 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
     case other => sys.error(s"unsupported long literal $other")
   }
 
+  /** Accepted filters are reported via [[pushedFilters]] (they drive
+    * row-group pruning, parquet page skipping, and the transport cursor's
+    * remote bounds) but are ALSO returned as residual — Spark re-evaluates
+    * the exact predicate over the scan output, the same contract as Spark's
+    * own `FileScanBuilder`. That is what lets the vectorized readers emit
+    * columnar batches with no per-record residue check: correctness lives
+    * in one place (the codegen'd Filter), the pushdown is purely a
+    * skipping optimization. Only the constant-stream equality, which the
+    * reader satisfies by construction, is consumed outright. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val accepted = Array.newBuilder[Filter]
     val residual = Array.newBuilder[Filter]
     filters.foreach {
       case f @ EqualTo("seq", v) =>
         seqLo = math.max(seqLo, longOf(v)); seqHi = math.min(seqHi, longOf(v))
-        accepted += f
+        accepted += f; residual += f
       case f @ GreaterThan("seq", v) =>
-        seqLo = math.max(seqLo, longOf(v) + 1); accepted += f
+        seqLo = math.max(seqLo, longOf(v) + 1); accepted += f; residual += f
       case f @ GreaterThanOrEqual("seq", v) =>
-        seqLo = math.max(seqLo, longOf(v)); accepted += f
+        seqLo = math.max(seqLo, longOf(v)); accepted += f; residual += f
       case f @ LessThan("seq", v) =>
-        seqHi = math.min(seqHi, longOf(v) - 1); accepted += f
+        seqHi = math.min(seqHi, longOf(v) - 1); accepted += f; residual += f
       case f @ LessThanOrEqual("seq", v) =>
-        seqHi = math.min(seqHi, longOf(v)); accepted += f
+        seqHi = math.min(seqHi, longOf(v)); accepted += f; residual += f
       case f @ GreaterThan("ts_nats", v) =>
-        tsLoNs = math.max(tsLoNs, (tsMicros(v) + 1) * 1000L); accepted += f
+        tsLoNs = math.max(tsLoNs, (tsMicros(v) + 1) * 1000L); accepted += f; residual += f
       case f @ GreaterThanOrEqual("ts_nats", v) =>
-        tsLoNs = math.max(tsLoNs, tsMicros(v) * 1000L); accepted += f
+        tsLoNs = math.max(tsLoNs, tsMicros(v) * 1000L); accepted += f; residual += f
       case f @ LessThan("ts_nats", v) =>
-        tsHiNs = math.min(tsHiNs, tsMicros(v) * 1000L - 1L); accepted += f
+        tsHiNs = math.min(tsHiNs, tsMicros(v) * 1000L - 1L); accepted += f; residual += f
       case f @ LessThanOrEqual("ts_nats", v) =>
-        tsHiNs = math.min(tsHiNs, tsMicros(v) * 1000L + 999L); accepted += f
+        tsHiNs = math.min(tsHiNs, tsMicros(v) * 1000L + 999L); accepted += f; residual += f
       case f @ StringContains("subject", s) =>
-        subjectContains ::= s; accepted += f
+        subjectContains ::= s; accepted += f; residual += f
       // prefix predicates (subject LIKE 'events.click%') CAN use columnar
       // min/max stats, unlike bare substrings — see docs/SUBJECT_PRUNING.md
       case f @ StringStartsWith("subject", p) =>
-        subjectPrefixes ::= p; accepted += f
+        subjectPrefixes ::= p; accepted += f; residual += f
       case f @ EqualTo("stream", s) if s == stream =>
         accepted += f // constant echo column, trivially true
       case other => residual += other

@@ -324,6 +324,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("seq=[100,150]"), p)
   }
 
+  test("V2 nats_scan decodes columnar (vectorized readers, both layouts)") {
+    // fixture layout: the batch scan feeds whole-stage codegen through a
+    // ColumnarToRow boundary — proof the readers emit ColumnarBatch, not rows
+    val fx = spark.read.format("nats_scan").option("dir", dir).load()
+      .filter(col("seq") >= 100L)
+    val pf = physical(fx)
+    assert(pf.contains("ColumnarToRow"), pf)
+    // native store layout: same contract after a write round-trip
+    val tmp = java.nio.file.Files.createTempDirectory("graft_audit_columnar").toString
+    fx.limit(200).write.format("nats_scan").option("dir", tmp)
+      .mode("overwrite").save()
+    val nv = spark.read.format("nats_scan").option("dir", tmp).load()
+    val pn = physical(nv)
+    assert(pn.contains("ColumnarToRow"), pn)
+    assert(nv.count() == 200L)
+  }
+
   test("hive-partitioned layout: a partition predicate prunes directories, not rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_audit_part").toString
     Tables.load(spark, dir, "documents")
