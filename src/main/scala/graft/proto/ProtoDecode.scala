@@ -134,6 +134,7 @@ object ProtoWire {
                 case PString => put(idx, UTF8String.fromBytes(b, p2, l))
                 case PBytes  => put(idx, java.util.Arrays.copyOfRange(b, p2, p2 + l))
                 case PMessage(inner) => put(idx, decodeRange(b, p2, p2 + l, inner))
+                case PTimestamp | PDuration => put(idx, wktMicros(b, p2, p2 + l))
                 case _ if f.packable =>
                   // proto3 packed repeated scalars: consecutive values
                   var q = p2
@@ -201,6 +202,42 @@ object ProtoWire {
     case PBool   => false
     case PEnum(_, values) => UTF8String.fromString(values.getOrElse(0, "0"))
     case _: PMessage => null
+    case PTimestamp | PDuration => null // message presence: unset → NULL
+  }
+
+  /** {seconds=1 varint, nanos=2 varint} → µs (Spark's internal long for
+    * both TimestampType and DayTimeIntervalType). Works for either sign
+    * convention: Timestamp carries nanos ∈ [0, 1e9), Duration same-sign
+    * seconds/nanos — seconds·1e6 + nanos/1e3 is exact for both. */
+  private def wktMicros(b: Array[Byte], start: Int, end: Int): Long = {
+    var seconds = 0L
+    var nanos = 0L
+    var pos = start
+    while (pos < end) {
+      val (tag, p1) = readVarint(b, pos)
+      pos = p1
+      ((tag >>> 3).toInt, (tag & 7).toInt) match {
+        case (1, 0) => val (v, p2) = readVarint(b, pos); seconds = v; pos = p2
+        case (2, 0) => val (v, p2) = readVarint(b, pos); nanos = v; pos = p2
+        case (_, wt) => pos = skipField(b, pos, wt)
+      }
+    }
+    seconds * 1000000L + nanos / 1000L
+  }
+
+  /** µs → {seconds, nanos} wire payload. Timestamp splits by floor (nanos
+    * always non-negative, per the proto spec); Duration splits toward zero
+    * (seconds and nanos share a sign). Zero fields are omitted (proto3). */
+  private def wktPayload(micros: Long, timestamp: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val (secs, nanos) =
+      if (timestamp)
+        (Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+      else
+        (micros / 1000000L, (micros % 1000000L) * 1000L)
+    if (secs != 0L) { writeVarint(out, (1L << 3) | 0L); writeVarint(out, secs) }
+    if (nanos != 0L) { writeVarint(out, (2L << 3) | 0L); writeVarint(out, nanos) }
+    out.toByteArray
   }
 
   private def varintValue(v: Long, f: FieldDef): Any = (f.ptype, f.enc) match {
@@ -318,6 +355,8 @@ object ProtoWire {
               case PBytes  => row.getBinary(idx)
               case PMessage(inner) =>
                 encodeMessage(row.getStruct(idx, inner.fields.length), inner)
+              case PTimestamp => wktPayload(row.getLong(idx), timestamp = true)
+              case PDuration  => wktPayload(row.getLong(idx), timestamp = false)
               case other =>
                 throw new IllegalArgumentException(s"bad len-delim field $other")
             }
@@ -398,6 +437,8 @@ object ProtoWire {
           case PBytes  => arr.getBinary(i)
           case PMessage(inner) =>
             encodeMessage(arr.getStruct(i, inner.fields.length), inner)
+          case PTimestamp => wktPayload(arr.getLong(i), timestamp = true)
+          case PDuration  => wktPayload(arr.getLong(i), timestamp = false)
           case other =>
             throw new IllegalArgumentException(s"bad repeated len-delim $other")
         }

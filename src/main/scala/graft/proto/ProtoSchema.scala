@@ -29,6 +29,12 @@ object PType {
   case object PBool extends PType
   final case class PEnum(name: String, values: Map[Int, String]) extends PType
   final case class PMessage(msg: MessageDef) extends PType
+  /** google.protobuf.Timestamp — wire-format message {seconds=1, nanos=2},
+    * surfaced as a Spark TimestampType leaf (docs/GUIDE.md:470 roadmap) */
+  case object PTimestamp extends PType
+  /** google.protobuf.Duration — same wire shape, surfaced as
+    * DayTimeIntervalType (µs precision, like the Spark type itself) */
+  case object PDuration extends PType
 }
 
 /** Wire encoding family for a field — what the decoder needs at runtime. */
@@ -132,20 +138,102 @@ object ProtoSchema {
     case PType.PBool      => BooleanType
     case _: PType.PEnum   => StringType        // enum name, :156-158
     case PType.PMessage(m) => m.sparkSchema
+    case PType.PTimestamp => TimestampType
+    case PType.PDuration  => DayTimeIntervalType()
   }
 
-  /** Parse a .proto file from disk and resolve `messageName`. */
+  /** Parse a .proto file from disk, resolving `import` statements, and
+    * return `messageName`.
+    *
+    * Import resolution mirrors the reference's `DiskSourceTree` mapping
+    * (/root/reference/src/nats_scan.cpp:295-321): the root file's directory
+    * is the single source root, every `import "x.proto"` resolves against
+    * it, and a missing file fails AT BIND TIME with the reference's
+    * "Failed to import protobuf schema file" error (plus protoc-style
+    * per-file detail). `google/protobuf/timestamp.proto` and
+    * `duration.proto` are VIRTUAL imports (the well-known types ship with
+    * protoc, not on disk): importing them enables `google.protobuf
+    * .Timestamp` / `.Duration` as field types. Import cycles error rather
+    * than loop; each file parses once (diamond imports are fine). */
   def parseFile(path: String, messageName: String): MessageDef = {
-    val src = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-      java.nio.charset.StandardCharsets.UTF_8)
-    parse(src, messageName)
+    val rootPath = java.nio.file.Paths.get(path).toAbsolutePath.normalize()
+    val rootDir = rootPath.getParent
+    val visited = scala.collection.mutable.LinkedHashSet[java.nio.file.Path]()
+    val sources = scala.collection.mutable.ArrayBuffer[String]()
+    val wkt = scala.collection.mutable.Set[String]()
+
+    def fail(detail: String): Nothing = throw new IllegalArgumentException(
+      s"Failed to import protobuf schema file: $path\n$detail")
+
+    def load(p: java.nio.file.Path, chain: List[java.nio.file.Path]): Unit = {
+      if (chain.contains(p))
+        fail(s"${rootDir.relativize(p)}: import cycle: " +
+          (p :: chain).reverse.map(rootDir.relativize).mkString(" -> "))
+      if (visited.contains(p)) return // diamond import — parse once
+      if (!java.nio.file.Files.isReadable(p))
+        fail(s"${rootDir.relativize(p)}: File not found.")
+      visited += p
+      val src = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      imports(src).foreach {
+        case "google/protobuf/timestamp.proto" =>
+          wkt += "google.protobuf.Timestamp"; wkt += "Timestamp"
+        case "google/protobuf/duration.proto" =>
+          wkt += "google.protobuf.Duration"; wkt += "Duration"
+        case g if g.startsWith("google/protobuf/") =>
+          fail(s"$g: well-known type import not supported " +
+            "(only timestamp.proto and duration.proto)")
+        case rel => load(rootDir.resolve(rel).normalize(), p :: chain)
+      }
+      sources += src
+    }
+    load(rootPath, Nil)
+    // imported files first: pure convention (the parser links forward
+    // references anyway); the combined token stream has imports stripped
+    val tokens = sources.reverse.toVector.flatMap(s =>
+      stripImports(tokenize(s)))
+    finish(tokens, messageName, wkt.toSet)
   }
 
-  /** Parse .proto source text and resolve `messageName` (top-level). */
-  def parse(src: String, messageName: String): MessageDef = {
-    val tokens = tokenize(src)
-    val p = new Parser(tokens)
+  /** `import [public|weak] "x.proto" ;` paths in source order */
+  private def imports(src: String): Seq[String] = {
+    val toks = tokenize(src)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i) == "import") {
+        var j = i + 1
+        if (j < toks.length && (toks(j) == "public" || toks(j) == "weak")) j += 1
+        if (j < toks.length) out += toks(j).stripPrefix("\"").stripSuffix("\"")
+        while (i < toks.length && toks(i) != ";") i += 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  private def stripImports(toks: Vector[String]): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i) == "import") {
+        while (i < toks.length && toks(i) != ";") i += 1
+      } else out += toks(i)
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Parse .proto source text and resolve `messageName` (top-level).
+    * Inline source has no directory to resolve imports against — an
+    * `import` here is a hard bind-time error (never silently skipped;
+    * use [[parseFile]]). */
+  def parse(src: String, messageName: String): MessageDef =
+    finish(tokenize(src), messageName, Set.empty)
+
+  private def finish(tokens: Vector[String], messageName: String,
+                     wkt: Set[String]): MessageDef = {
+    val p = new Parser(tokens, wkt)
     p.parseFile()
     val md = p.messages.getOrElse(messageName, throw new IllegalArgumentException(
       s"Message type '$messageName' not found in proto file"))
@@ -201,7 +289,7 @@ object ProtoSchema {
   /** Recursive-descent parser over the token stream. Two passes: first
     * collects raw message bodies, then links message-typed fields (allows
     * forward references between top-level messages). */
-  private final class Parser(tokens: Vector[String]) {
+  private final class Parser(tokens: Vector[String], wkt: Set[String]) {
     private var pos = 0
     val messages = scala.collection.mutable.LinkedHashMap[String, MessageDef]()
     private val enums = scala.collection.mutable.Map[String, PType.PEnum]()
@@ -220,7 +308,15 @@ object ProtoSchema {
       while (pos < tokens.length) {
         peek match {
           case "syntax" | "package" | "option" => skipStatement()
-          case "import" => skipStatement()
+          case "import" =>
+            // reachable only via parse(src) — parseFile resolves and strips
+            // imports first. Hard error, never a silent skip: a schema whose
+            // imports were ignored would fail later with a confusing
+            // "unknown type" instead of naming the real problem.
+            throw new IllegalArgumentException(
+              "import statements require a proto file path (imports resolve " +
+                "against the proto file's directory); inline proto source " +
+                "cannot import")
           case "message" => parseMessage()
           case "enum" => parseEnum()
           case ";" => pos += 1
@@ -341,6 +437,13 @@ object ProtoSchema {
       scalarEnc.get(tname) match {
         case Some((pt, enc)) =>
           fields += FieldDef(fname, fnum, pt, enc, repeated, oneofGroup = oneofGroup)
+        case None if wkt.contains(tname) =>
+          // well-known type, enabled by its google/protobuf import; message
+          // on the wire, Spark leaf type in the schema
+          val pt = if (tname.endsWith("Timestamp")) PType.PTimestamp
+                   else PType.PDuration
+          fields += FieldDef(fname, fnum, pt, Enc.LenDelim, repeated,
+            oneofGroup = oneofGroup)
         case None if enums.contains(tname) =>
           fields += FieldDef(fname, fnum, enums(tname), Enc.Varint, repeated,
             oneofGroup = oneofGroup)

@@ -23,6 +23,7 @@ object ProtoQueries {
   val typesProtoPath = "/root/repo/proto/all_types.proto"
   val batchProtoPath = "/root/repo/proto/batch.proto"
   val mapOneofProtoPath = "/root/repo/proto/map_oneof.proto"
+  val factoryProtoPath = "/root/repo/proto/factory_event.proto"
 
   /** Store whose payload is a wire-format DeviceEvent built from the event
     * row: device_id "u<user_id>", ts event_id, position(zone=event_type,
@@ -163,6 +164,40 @@ object ProtoQueries {
         .orderBy("event_id")
     }),
 
+    // multi-file schema (import resolution, DiskSourceTree analog) + the
+    // Timestamp/Duration well-known types. The imported message and enum
+    // resolve across files; observed decodes to a real TimestampType column
+    // (µs, same truncation as ts_nats), uptime to a DayTimeIntervalType
+    // surfaced as whole seconds. The oracle recomputes every value from the
+    // source columns — a broken import link or WKT codec shows as a hash
+    // mismatch, a broken bind as an error.
+    "proto_imported" -> ((s, dir) => {
+      val schema = ProtoSchema.parseFile(factoryProtoPath, "FactoryEvent")
+      val raw = graft.Tables.load(s, dir, "events").filter(col("event_id") < 1000)
+      val msg = struct(
+        concat(lit("L"), (col("user_id") % 4).cast("string")).as("line"),
+        struct(
+          col("event_type").as("kind"),
+          (col("event_id") % 16).cast("int").as("channel"),
+          when(col("event_id") % 4 === 0, "OK")
+            .when(col("event_id") % 4 === 1, "DEGRADED")
+            .when(col("event_id") % 4 === 2, "OFFLINE")
+            .otherwise("STATUS_UNKNOWN").as("status")).as("sensor"),
+        timestamp_micros(expr("ts div 1000")).as("observed"),
+        expr("make_dt_interval(0, 0, 0, event_id * 3)").as("uptime"))
+      val d = ProtoDecode.decode(ProtoDecode.encode(msg, schema), schema).as("d")
+      raw.select(col("event_id"), d)
+        .select(
+          col("event_id"),
+          col("d.line").as("line"),
+          col("d.sensor.kind").as("sensor_kind"),
+          col("d.sensor.channel").as("sensor_channel"),
+          col("d.sensor.status").as("sensor_status"),
+          col("d.observed").as("observed"),
+          col("d.uptime").cast("long").as("uptime_s"))
+        .orderBy("event_id")
+    }),
+
     // map<K,V> + oneof round-trip: maps come back as Spark MapType (entry
     // messages on the wire, last key wins), oneof members as a presence
     // group (exactly one non-NULL per row). Output reduces to scalars via
@@ -229,6 +264,19 @@ object ProtoQueries {
              event_type || ',x,u' || CAST(user_id AS VARCHAR) AS labels_joined,
              -event_id + 7 AS sum_deltas
       FROM events WHERE event_id < 2000 ORDER BY event_id""",
+
+    "proto_imported" -> """
+      SELECT event_id,
+             'L' || CAST(user_id % 4 AS VARCHAR) AS line,
+             event_type AS sensor_kind,
+             CAST(event_id % 16 AS INTEGER) AS sensor_channel,
+             CASE WHEN event_id % 4 = 0 THEN 'OK'
+                  WHEN event_id % 4 = 1 THEN 'DEGRADED'
+                  WHEN event_id % 4 = 2 THEN 'OFFLINE'
+                  ELSE 'STATUS_UNKNOWN' END AS sensor_status,
+             CAST(ts AS TIMESTAMP) AS observed,
+             event_id * 3 AS uptime_s
+      FROM events WHERE event_id < 1000 ORDER BY event_id""",
 
     "proto_map_oneof" -> """
       SELECT event_id,

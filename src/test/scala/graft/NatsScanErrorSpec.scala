@@ -62,6 +62,72 @@ class NatsScanErrorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("not a message type"))
   }
 
+  test("import of a missing file → reference-style bind error naming both files") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_proto_err")
+    val main = tmp.resolve("main.proto")
+    java.nio.file.Files.write(main,
+      "syntax = \"proto3\";\nimport \"gone.proto\";\nmessage M { Inner a = 1; }\n"
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      graft.proto.ProtoSchema.parseFile(main.toString, "M")
+    }
+    assert(e.getMessage.contains("Failed to import protobuf schema file"), e.getMessage)
+    assert(e.getMessage.contains("gone.proto: File not found."), e.getMessage)
+  }
+
+  test("import cycle → bind error naming the cycle, no infinite loop") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_proto_cycle")
+    java.nio.file.Files.write(tmp.resolve("a.proto"),
+      "syntax = \"proto3\";\nimport \"b.proto\";\nmessage A { int32 x = 1; }\n"
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(tmp.resolve("b.proto"),
+      "syntax = \"proto3\";\nimport \"a.proto\";\nmessage B { int32 y = 1; }\n"
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      graft.proto.ProtoSchema.parseFile(tmp.resolve("a.proto").toString, "A")
+    }
+    assert(e.getMessage.contains("import cycle"), e.getMessage)
+  }
+
+  test("diamond import parses once; imported types resolve") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_proto_diamond")
+    java.nio.file.Files.write(tmp.resolve("base.proto"),
+      "syntax = \"proto3\";\nmessage Leaf { string v = 1; }\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(tmp.resolve("l.proto"),
+      "syntax = \"proto3\";\nimport \"base.proto\";\nmessage L { Leaf lv = 1; }\n"
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(tmp.resolve("r.proto"),
+      "syntax = \"proto3\";\nimport \"base.proto\";\nmessage R { Leaf rv = 1; }\n"
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(tmp.resolve("top.proto"),
+      ("syntax = \"proto3\";\nimport \"l.proto\";\nimport \"r.proto\";\n" +
+        "message Top { L left = 1; R right = 2; }\n").getBytes("UTF-8"))
+    val md = graft.proto.ProtoSchema.parseFile(tmp.resolve("top.proto").toString, "Top")
+    assert(md.resolve("left.lv.v").name == "v")
+    assert(md.resolve("right.rv.v").name == "v")
+  }
+
+  test("inline proto source with an import → hard error, never a silent skip") {
+    val e = intercept[IllegalArgumentException] {
+      graft.proto.ProtoSchema.parse(
+        "syntax = \"proto3\";\nimport \"x.proto\";\nmessage M { int32 a = 1; }",
+        "M")
+    }
+    assert(e.getMessage.contains("import"), e.getMessage)
+  }
+
+  test("unsupported well-known-type import → named bind error") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_proto_wkt")
+    val main = tmp.resolve("main.proto")
+    java.nio.file.Files.write(main,
+      ("syntax = \"proto3\";\nimport \"google/protobuf/any.proto\";\n" +
+        "message M { int32 a = 1; }\n").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      graft.proto.ProtoSchema.parseFile(main.toString, "M")
+    }
+    assert(e.getMessage.contains("any.proto"), e.getMessage)
+  }
+
   test("unknown stream name is rejected by the store") {
     val e = intercept[IllegalArgumentException] {
       NatsScan.scan(spark, "telemetry", NatsScanOptions(), store)

@@ -85,6 +85,42 @@ class ProtoCodecSpec extends AnyFunSuite {
     }
   }
 
+  private val factory =
+    ProtoSchema.parseFile("/root/repo/proto/factory_event.proto", "FactoryEvent")
+
+  test("imports: cross-file message/enum resolve; WKT fields map to Spark leaves") {
+    val s = factory.sparkSchema
+    assert(s("sensor").dataType.isInstanceOf[StructType]) // from common_types
+    assert(factory.resolve("sensor.status").ptype.isInstanceOf[PType.PEnum])
+    assert(s("observed").dataType == TimestampType)
+    assert(s("uptime").dataType == DayTimeIntervalType())
+  }
+
+  test("WKT roundtrip: timestamps (incl. pre-epoch) and signed durations") {
+    val gen = for {
+      // ±~30000 years in µs — covers pre-epoch floor-split and sign handling
+      tsUs <- Gen.chooseNum(-1000000000000000L, 1000000000000000L)
+      durUs <- Gen.chooseNum(-1000000000000000L, 1000000000000000L)
+    } yield (tsUs, durUs)
+    forAll(gen) { case (tsUs, durUs) =>
+      val row = InternalRow(UTF8String.fromString("L1"), null, tsUs, durUs)
+      val back = rt(factory, row)
+      assert(back.getLong(2) == tsUs, s"timestamp $tsUs")
+      assert(back.getLong(3) == durUs, s"duration $durUs")
+      assert(back.isNullAt(1)) // unset imported message stays NULL
+    }
+  }
+
+  test("WKT presence: unset Timestamp/Duration decode to NULL, epoch zero survives") {
+    val empty = ProtoWire.decodeMessage(Array.emptyByteArray, factory)
+    assert(empty.isNullAt(2) && empty.isNullAt(3))
+    // present-but-epoch: zero micros encodes as an empty message, not absence
+    val row = InternalRow(UTF8String.fromString(""), null, 0L, 0L)
+    val back = rt(factory, row)
+    assert(!back.isNullAt(2) && back.getLong(2) == 0L)
+    assert(!back.isNullAt(3) && back.getLong(3) == 0L)
+  }
+
   test("proto3 defaults: empty message decodes to zero values, null submessage") {
     val empty = ProtoWire.decodeMessage(Array.emptyByteArray, deviceEvent)
     assert(empty.getUTF8String(0).toString == "")     // device_id
