@@ -1,0 +1,254 @@
+package graft.avro
+
+import java.nio.ByteBuffer
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericFixed, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.graftshim.GraftSql
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Avro single-record payload decode — the second wire format of the
+  * reference's roadmap (/root/reference/docs/GUIDE.md:472-474), mirroring the
+  * proto surface: schema from an `.avsc` file at bind time, a native
+  * expression decoding each payload in one pass, dotted extraction paths
+  * validated at bind.
+  *
+  * Payloads are RAW binary-encoded records (what a NATS publisher emits per
+  * message), not Avro object-container files — there is no per-message
+  * schema, which is why the scan takes the schema as an option. The parsing
+  * itself delegates to avro-core (on every Spark classpath); this layer owns
+  * the Spark type mapping and the Catalyst integration.
+  *
+  * Type mapping: string→String, bytes/fixed→Binary, int→Integer, long→Long
+  * (logicalType timestamp-micros→Timestamp), float/double/boolean direct,
+  * enum→String (symbol name, like the proto enum mapping), record→Struct,
+  * array→Array, map→Map(String,·), union["null", T]→nullable T. Other unions
+  * are rejected at bind time (no natural relational shape).
+  */
+object AvroCodec {
+
+  def sparkType(s: Schema): DataType = s.getType match {
+    case Schema.Type.STRING => StringType
+    case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
+    case Schema.Type.INT => IntegerType
+    case Schema.Type.LONG =>
+      if (s.getLogicalType != null &&
+          s.getLogicalType.getName == "timestamp-micros") TimestampType
+      else LongType
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.ENUM => StringType
+    case Schema.Type.RECORD => StructType(s.getFields.asScala.toSeq.map(f =>
+      StructField(f.name(), sparkType(f.schema()), nullable = true)))
+    case Schema.Type.ARRAY =>
+      ArrayType(sparkType(s.getElementType), containsNull = nullableUnion(s.getElementType).isDefined)
+    case Schema.Type.MAP =>
+      MapType(StringType, sparkType(s.getValueType),
+        valueContainsNull = nullableUnion(s.getValueType).isDefined)
+    case Schema.Type.UNION => nullableUnion(s) match {
+      case Some(inner) => sparkType(inner)
+      case None => throw new IllegalArgumentException(
+        s"unsupported avro union ${s}: only [\"null\", T] unions map to a column")
+    }
+    case other => throw new IllegalArgumentException(s"unsupported avro type $other")
+  }
+
+  /** Some(branch) for a 2-branch ["null", T] union */
+  def nullableUnion(s: Schema): Option[Schema] =
+    if (s.getType != Schema.Type.UNION) None
+    else {
+      val ts = s.getTypes.asScala.toSeq
+      if (ts.length == 2 && ts.exists(_.getType == Schema.Type.NULL))
+        ts.find(_.getType != Schema.Type.NULL)
+      else None
+    }
+
+  /** avro runtime value → Catalyst value (per the mapping above) */
+  def toCatalyst(v: Any, s: Schema): Any = {
+    if (v == null) return null
+    s.getType match {
+      case Schema.Type.UNION => toCatalyst(v, nullableUnion(s).getOrElse(
+        throw new IllegalArgumentException(s"unsupported avro union $s")))
+      case Schema.Type.STRING => UTF8String.fromString(v.toString)
+      case Schema.Type.ENUM => UTF8String.fromString(v.toString)
+      case Schema.Type.BYTES =>
+        val bb = v.asInstanceOf[ByteBuffer]
+        val out = new Array[Byte](bb.remaining())
+        bb.duplicate().get(out)
+        out
+      case Schema.Type.FIXED => v.asInstanceOf[GenericFixed].bytes().clone()
+      case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
+           Schema.Type.DOUBLE | Schema.Type.BOOLEAN => v
+      case Schema.Type.RECORD =>
+        val rec = v.asInstanceOf[GenericRecord]
+        val fields = s.getFields.asScala.toSeq
+        new GenericInternalRow(
+          fields.map(f => toCatalyst(rec.get(f.pos()), f.schema())).toArray)
+      case Schema.Type.ARRAY =>
+        val items = v.asInstanceOf[java.util.List[Any]].asScala
+        new GenericArrayData(items.map(toCatalyst(_, s.getElementType)).toArray)
+      case Schema.Type.MAP =>
+        val m = v.asInstanceOf[java.util.Map[Any, Any]].asScala.toSeq
+        new ArrayBasedMapData(
+          new GenericArrayData(m.map(e => UTF8String.fromString(e._1.toString)).toArray),
+          new GenericArrayData(m.map(e => toCatalyst(e._2, s.getValueType)).toArray))
+      case other => throw new IllegalArgumentException(s"unsupported avro type $other")
+    }
+  }
+
+  /** Catalyst value → avro runtime value (fixture manufacture / tests) */
+  def fromCatalyst(v: Any, s: Schema): Any = {
+    if (v == null) return null
+    s.getType match {
+      case Schema.Type.UNION => fromCatalyst(v, nullableUnion(s).getOrElse(
+        throw new IllegalArgumentException(s"unsupported avro union $s")))
+      case Schema.Type.STRING => v.toString
+      case Schema.Type.ENUM => new GenericData.EnumSymbol(s, v.toString)
+      case Schema.Type.BYTES => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case Schema.Type.FIXED =>
+        new GenericData.Fixed(s, v.asInstanceOf[Array[Byte]])
+      case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
+           Schema.Type.DOUBLE | Schema.Type.BOOLEAN => v
+      case Schema.Type.RECORD =>
+        val row = v.asInstanceOf[InternalRow]
+        val rec = new GenericData.Record(s)
+        val fields = s.getFields.asScala.toSeq
+        fields.zipWithIndex.foreach { case (f, i) =>
+          val cv =
+            if (row.isNullAt(i)) null
+            else row.get(i, sparkType(f.schema()))
+          rec.put(i, fromCatalyst(cv, f.schema()))
+        }
+        rec
+      case Schema.Type.ARRAY =>
+        val arr = v.asInstanceOf[ArrayData]
+        val et = sparkType(s.getElementType)
+        val out = new java.util.ArrayList[Any](arr.numElements())
+        (0 until arr.numElements()).foreach { i =>
+          out.add(fromCatalyst(
+            if (arr.isNullAt(i)) null else arr.get(i, et), s.getElementType))
+        }
+        out
+      case Schema.Type.MAP =>
+        val m = v.asInstanceOf[MapData]
+        val vt = sparkType(s.getValueType)
+        val out = new java.util.LinkedHashMap[String, Any]()
+        val ka = m.keyArray(); val va = m.valueArray()
+        (0 until m.numElements()).foreach { i =>
+          out.put(ka.getUTF8String(i).toString, fromCatalyst(
+            if (va.isNullAt(i)) null else va.get(i, vt), s.getValueType))
+        }
+        out
+      case other => throw new IllegalArgumentException(s"unsupported avro type $other")
+    }
+  }
+
+  /** Navigate a dotted path through record schemas; bind-time errors match
+    * the proto path's style. Returns the leaf field schema. */
+  def resolve(schema: Schema, path: String): Schema = {
+    var cur = schema
+    var prev = "<root>"
+    path.split('.').foreach { p =>
+      val rec = nullableUnion(cur).getOrElse(cur)
+      if (rec.getType != Schema.Type.RECORD)
+        throw new IllegalArgumentException(
+          s"Field '$prev' in path '$path' is not a record type")
+      val f = Option(rec.getField(p)).getOrElse(
+        throw new IllegalArgumentException(
+          s"Field '$p' not found in record '${rec.getName}' (path '$path')"))
+      cur = f.schema()
+      prev = p
+    }
+    cur
+  }
+}
+
+/** Decode a binary-encoded Avro record into a struct column. Unparseable
+  * payload → NULL struct (same contract as the proto/JSON paths). */
+final case class AvroDecodeExpression(child: Expression, schemaJson: String)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
+  @transient private lazy val reader =
+    new GenericDatumReader[GenericRecord](schema)
+
+  override def dataType: DataType = AvroCodec.sparkType(schema)
+  override def nullable: Boolean = true
+  override def prettyName: String = "avro_decode"
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+
+  override def nullSafeEval(input: Any): Any =
+    try {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+      val rec = reader.read(null, dec)
+      // trailing garbage = not a clean single-record payload → NULL
+      if (!dec.isEnd) null else AvroCodec.toCatalyst(rec, schema)
+    } catch { case _: Exception => null }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Inverse — encodes a struct to a single binary Avro record (fixture
+  * manufacture and round-trip tests; the reference surface only reads). */
+final case class AvroEncodeExpression(child: Expression, schemaJson: String)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
+  @transient private lazy val writer =
+    new GenericDatumWriter[GenericRecord](schema)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "avro_encode"
+  override def inputTypes: Seq[DataType] =
+    Seq(AvroCodec.sparkType(schema))
+
+  override def nullSafeEval(input: Any): Any = {
+    val rec = AvroCodec.fromCatalyst(input.asInstanceOf[InternalRow], schema)
+      .asInstanceOf[GenericRecord]
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    writer.write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AvroDecode {
+  def schemaFromFile(path: String): String = {
+    if (!java.nio.file.Files.isReadable(java.nio.file.Paths.get(path)))
+      throw new IllegalArgumentException(
+        s"Failed to read avro schema file: $path")
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  def decode(payload: Column, schemaJson: String): Column =
+    GraftSql.column(
+      AvroDecodeExpression(GraftSql.expression(payload), schemaJson))
+
+  def encode(struct: Column, schemaJson: String): Column =
+    GraftSql.column(
+      AvroEncodeExpression(GraftSql.expression(struct), schemaJson))
+
+  /** Dotted field path on a decoded struct, bind-time validated. */
+  def field(decoded: Column, schemaJson: String, path: String): Column = {
+    AvroCodec.resolve(new Schema.Parser().parse(schemaJson), path) // throws
+    path.split('.').foldLeft(decoded)((c, p) => c.getField(p))
+  }
+}

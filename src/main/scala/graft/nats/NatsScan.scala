@@ -61,6 +61,16 @@ object NatsScan {
         graft.proto.ProtoDecode.field(decoded, schema, path).as(mangle(path))
       }
       df = df.select(df.columns.map(col).toIndexedSeq ++ extracted: _*)
+    } else if (opts.avroExtract.nonEmpty) {
+      // Avro single-record payloads (reference roadmap GUIDE.md:472-474):
+      // schema from the .avsc option at bind time, typed columns per dotted
+      // path, dots mangled like the proto surface
+      val schemaJson = graft.avro.AvroDecode.schemaFromFile(opts.avroFile.get)
+      val decoded = graft.avro.AvroDecode.decode(col("payload"), schemaJson)
+      val extracted = opts.avroExtract.map { path =>
+        graft.avro.AvroDecode.field(decoded, schemaJson, path).as(mangle(path))
+      }
+      df = df.select(df.columns.map(col).toIndexedSeq ++ extracted: _*)
     }
     df
   }

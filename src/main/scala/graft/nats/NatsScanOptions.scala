@@ -27,6 +27,10 @@ final case class NatsScanOptions(
     protoFile: Option[String] = None,
     protoMessage: Option[String] = None,
     protoExtract: Seq[String] = Nil,
+    /** Avro payloads (reference roadmap, docs/GUIDE.md:472-474): `.avsc`
+      * schema file + dotted extraction paths, mirroring the proto surface */
+    avroFile: Option[String] = None,
+    avroExtract: Seq[String] = Nil,
     /** strict reference fidelity for extracted JSON NUMBERS: render as
       * fixed 6-decimal text the way the reference's `std::to_string(double)`
       * does — `42.5` → `"42.500000"` (/root/reference/src/nats_scan.cpp:797-800).
@@ -38,6 +42,7 @@ final case class NatsScanOptions(
   def hasTimeRange: Boolean = startTime.isDefined || endTime.isDefined
   def usesProto: Boolean =
     protoFile.isDefined || protoMessage.isDefined || protoExtract.nonEmpty
+  def usesAvro: Boolean = avroFile.isDefined || avroExtract.nonEmpty
 
   /** payload column type: binary unless json extraction is requested
     * (/root/reference/src/nats_scan.cpp:379-385). */
@@ -53,6 +58,12 @@ final case class NatsScanOptions(
     if (usesProto && (protoFile.isEmpty || protoMessage.isEmpty || protoExtract.isEmpty))
       throw new IllegalArgumentException(
         "proto_file, proto_message, and proto_extract must all be specified together")
+    if (usesAvro && (jsonExtract.nonEmpty || usesProto))
+      throw new IllegalArgumentException(
+        "Cannot combine avro_extract with json_extract or proto_extract")
+    if (usesAvro && (avroFile.isEmpty || avroExtract.isEmpty))
+      throw new IllegalArgumentException(
+        "avro_file and avro_extract must be specified together")
     for (s <- startSeq; e <- endSeq)
       if (s > e)
         throw new IllegalArgumentException(

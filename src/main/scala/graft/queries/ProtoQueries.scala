@@ -24,6 +24,39 @@ object ProtoQueries {
   val batchProtoPath = "/root/repo/proto/batch.proto"
   val mapOneofProtoPath = "/root/repo/proto/map_oneof.proto"
   val factoryProtoPath = "/root/repo/proto/factory_event.proto"
+  val sensorAvscPath = "/root/repo/avro/sensor_reading.avsc"
+
+  /** Store whose payload is a binary Avro SensorReading built from the
+    * event row — the Avro sibling of [[DeviceProtoStore]]. */
+  final class SensorAvroStore(dir: String) extends MessageStore {
+    override def read(spark: SparkSession, stream: String,
+                      pruning: graft.nats.ScanPruning): DataFrame = {
+      val schemaJson = graft.avro.AvroDecode.schemaFromFile(sensorAvscPath)
+      val raw = graft.Tables.load(spark, dir, "events")
+      val msg: Column = struct(
+        concat(lit("d"), col("user_id").cast("string")).as("device"),
+        col("event_type").as("kind"),
+        (col("value") * 0.25).as("reading"),
+        (col("event_id") % 97).as("cnt"),
+        (col("event_id") % 2 === 0).as("ok"),
+        timestamp_micros(expr("ts div 1000")).as("observed"),
+        when(col("event_id") % 5 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("n"), col("user_id").cast("string"))).as("note"),
+        struct(col("event_type").as("zone"),
+          (col("user_id") % 6).cast("int").as("rack")).as("pos"),
+        array(col("event_type"), lit("fleet")).as("tags"),
+        when(col("event_id") % 3 === 0, "IDLE")
+          .when(col("event_id") % 3 === 1, "RUN")
+          .otherwise("HALT").as("mode"))
+      raw.select(
+        lit("events").as("stream"),
+        concat(lit("events."), col("event_type"), lit("."),
+          col("user_id").cast("string")).as("subject"),
+        (col("event_id") + 1L).as("seq"),
+        timestamp_micros(expr("ts div 1000")).as("ts_nats"),
+        graft.avro.AvroDecode.encode(msg, schemaJson).as("payload"))
+    }
+  }
 
   /** Store whose payload is a wire-format DeviceEvent built from the event
     * row: device_id "u<user_id>", ts event_id, position(zone=event_type,
@@ -164,6 +197,24 @@ object ProtoQueries {
         .orderBy("event_id")
     }),
 
+    // Avro wire-format extraction through the scan facade: binary
+    // single-record payloads, schema from the .avsc option, typed columns
+    // per dotted path (nested record + nullable union + enum + the
+    // timestamp-micros logical type). The oracle recomputes every value
+    // from the source columns — any codec asymmetry breaks the hash.
+    "nats_avro_extract" -> ((s, dir) =>
+      NatsScan.scan(s, "events",
+          NatsScanOptions(
+            avroFile = Some(sensorAvscPath),
+            avroExtract = Seq("device", "kind", "reading", "cnt", "ok",
+              "observed", "note", "pos.zone", "pos.rack", "mode")),
+          new SensorAvroStore(dir))
+        .select(col("seq"), col("device"), col("kind"),
+          round(col("reading"), 6).as("reading"),
+          col("cnt"), col("ok"), col("observed"), col("note"),
+          col("pos_zone"), col("pos_rack"), col("mode"))
+        .orderBy("seq")),
+
     // multi-file schema (import resolution, DiskSourceTree analog) + the
     // Timestamp/Duration well-known types. The imported message and enum
     // resolve across files; observed decodes to a real TimestampType column
@@ -264,6 +315,23 @@ object ProtoQueries {
              event_type || ',x,u' || CAST(user_id AS VARCHAR) AS labels_joined,
              -event_id + 7 AS sum_deltas
       FROM events WHERE event_id < 2000 ORDER BY event_id""",
+
+    "nats_avro_extract" -> """
+      SELECT event_id + 1 AS seq,
+             'd' || CAST(user_id AS VARCHAR) AS device,
+             event_type AS kind,
+             round(value * 0.25, 6) AS reading,
+             event_id % 97 AS cnt,
+             event_id % 2 = 0 AS ok,
+             CAST(ts AS TIMESTAMP) AS observed,
+             CASE WHEN event_id % 5 = 0 THEN NULL
+                  ELSE 'n' || CAST(user_id AS VARCHAR) END AS note,
+             event_type AS pos_zone,
+             CAST(user_id % 6 AS INTEGER) AS pos_rack,
+             CASE WHEN event_id % 3 = 0 THEN 'IDLE'
+                  WHEN event_id % 3 = 1 THEN 'RUN'
+                  ELSE 'HALT' END AS mode
+      FROM events ORDER BY seq""",
 
     "proto_imported" -> """
       SELECT event_id,

@@ -128,6 +128,40 @@ class NatsScanErrorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("any.proto"), e.getMessage)
   }
 
+  test("avro: missing schema file / bad path / option conflicts → bind errors") {
+    val e1 = intercept[IllegalArgumentException] {
+      NatsScan.scan(spark, "events", NatsScanOptions(
+        avroFile = Some("/nope/missing.avsc"), avroExtract = Seq("a")), store)
+    }
+    assert(e1.getMessage.contains("missing.avsc"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      NatsScan.scan(spark, "events", NatsScanOptions(
+        avroFile = Some(ProtoQueries.sensorAvscPath),
+        avroExtract = Seq("pos.nope")), store)
+    }
+    assert(e2.getMessage.contains("nope"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      NatsScanOptions(avroFile = Some(ProtoQueries.sensorAvscPath),
+        avroExtract = Seq("device"), jsonExtract = Seq("k")).validate()
+    }
+    assert(e3.getMessage.contains("avro_extract"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      NatsScanOptions(avroFile = Some(ProtoQueries.sensorAvscPath)).validate()
+    }
+    assert(e4.getMessage.contains("avro_file and avro_extract"), e4.getMessage)
+  }
+
+  test("avro: corrupt payloads decode to NULL struct, never crash the scan") {
+    import org.apache.spark.sql.functions._
+    val json = graft.avro.AvroDecode.schemaFromFile(ProtoQueries.sensorAvscPath)
+    val df = spark.range(3).select(
+      when(col("id") === 0, lit(Array[Byte](1, 2, 3)))
+        .otherwise(lit(null).cast("binary")).as("payload"))
+    val out = df.select(
+      graft.avro.AvroDecode.decode(col("payload"), json).as("d")).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
   test("unknown stream name is rejected by the store") {
     val e = intercept[IllegalArgumentException] {
       NatsScan.scan(spark, "telemetry", NatsScanOptions(), store)
