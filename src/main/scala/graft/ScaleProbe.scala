@@ -137,6 +137,33 @@ object ScaleProbe {
       Caches.drain()
       println(f"$k%3d $nDocs%8d $tSig%8.2f $tSim%10.2f $tJac%10.2f $nPairs%14d $tCc%8.2f $nComp%8d $tAssign%9.2f $tPq%8.2f $tLsh%8.2f $tLag%8.2f $tSpan%8.2f $nSpanDocs%10d $tScrub%8.2f $tNgram%8.2f $tPack%8.2f")
     }
+
+    // PQ codebook-size scaling: encode / decode wall time and PLAN size must
+    // stay flat as K grows (codebooks travel as reference objects on the
+    // fold expressions, not as plan literals — at K=256, a real IVFPQ
+    // config, a literal formulation is O(K·dim) plan nodes and codegen
+    // bloat). Encode cost is O(K) per row by nature (argmin over K
+    // entries); decode is O(1) lookups — the table shows both.
+    val embK = Tables.load(spark, sfDir, "embeddings").cache()
+    embK.count(): Unit
+    println(f"${"K"}%5s ${"encode_s"}%9s ${"decode_s"}%9s ${"plan_chars"}%11s")
+    Seq(8, 64, 256).foreach { kk =>
+      val cb = embK.filter(col("vec_id") < kk)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val (tEnc, _) = time(
+        embK.select(functions.Similarity
+            .pqAssign(col("embedding"), cb, numSub = 8).as("codes"))
+          .select(expr("bit_xor(xxhash64(codes))")).head.getLong(0))
+      val dec = embK.select(functions.Similarity
+          .pqAssign(col("embedding"), cb, numSub = 8).as("codes"))
+        .select(functions.Similarity.pqDecode(col("codes"), cb, numSub = 8).as("rv"))
+      val planChars = dec.queryExecution.executedPlan.toString.length
+      val (tDec, _) = time(
+        dec.select(expr("bit_xor(xxhash64(rv))")).head.getLong(0))
+      println(f"$kk%5d $tEnc%9.2f $tDec%9.2f $planChars%11d")
+    }
+    embK.unpersist(): Unit
     spark.stop()
   }
 }

@@ -142,3 +142,95 @@ case class PqEncodeFold(child: Expression, ids: Array[Long],
       java.lang.Boolean.valueOf(emitCodes),
       Integer.valueOf(java.util.Arrays.hashCode(ids)))
 }
+
+/** PQ decode (codes → reconstructed vector) as one native expression: per
+  * subspace, look up the stored entry id and copy its codeword slice.
+  *
+  * This replaces the CaseWhen-chain formulation (K whens × numSub subspaces
+  * × w-element array literals — O(K·dim) PLAN nodes), whose generated code
+  * grows with the codebook: at K=256 (a real IVFPQ config) the chain bloats
+  * codegen past JIT limits, while this expression is O(1) plan size at any
+  * K — the codebook travels as a reference object, exactly like
+  * [[PqEncodeFold]]'s. Value-identical to the chain: the same exact
+  * float→double-widened codeword slices, unknown id → NULL (the chain's
+  * fall-through).
+  */
+case class PqDecodeFold(child: Expression, ids: Array[Long],
+                        codebook: Array[Array[Double]], numSub: Int)
+    extends UnaryExpression {
+  require(ids.length == codebook.length && ids.nonEmpty, "empty codebook")
+
+  private val dim = codebook.head.length
+  private val w = dim / numSub
+  require(dim % numSub == 0, s"dim $dim not divisible by $numSub")
+
+  // id → entry index; ids are arbitrary longs (row ids, not dense ranks).
+  // Boxed key/value types: a HashMap[Long, Int] in Scala unboxes a missing
+  // key's null to 0, silently aliasing unknown ids to entry 0.
+  @transient private lazy val byId: java.util.HashMap[java.lang.Long, java.lang.Integer] = {
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Integer](ids.length * 2)
+    ids.zipWithIndex.foreach { case (id, i) =>
+      m.put(java.lang.Long.valueOf(id), Integer.valueOf(i))
+    }
+    m
+  }
+
+  override def prettyName: String = "pq_decode_fold"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType | IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<BIGINT|INT> codes, got ${t.sql}")
+  }
+
+  @transient private lazy val childInt =
+    child.dataType.asInstanceOf[ArrayType].elementType == IntegerType
+
+  /** whole reconstruction; public so generated code can call it */
+  def decode(a: ArrayData): ArrayData = {
+    if (a.numElements() != numSub) return null
+    val out = new Array[Double](dim)
+    var s = 0
+    while (s < numSub) {
+      if (a.isNullAt(s)) return null
+      val code = if (childInt) a.getInt(s).toLong else a.getLong(s)
+      val e = byId.get(code)
+      if (e == null) return null // unknown entry id (CaseWhen fall-through)
+      val cv = codebook(e.intValue())
+      val off = s * w
+      var j = 0
+      while (j < w) { out(off + j) = cv(off + j); j += 1 }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(c: Any): Any = decode(c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqDecode", this, classOf[PqDecodeFold].getName)
+    val ad = classOf[ArrayData].getName
+    nullSafeCodeGen(ctx, ev, v => s"""
+      ${ev.value} = ($ad) $ref.decode($v);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqDecodeFold =
+    copy(child = newChild)
+
+  override def equals(o: Any): Boolean = o match {
+    case p: PqDecodeFold =>
+      p.child == child && p.numSub == numSub &&
+        java.util.Arrays.equals(p.ids, ids) &&
+        p.codebook.length == codebook.length &&
+        p.codebook.indices.forall(i =>
+          java.util.Arrays.equals(p.codebook(i), codebook(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(numSub),
+      Integer.valueOf(java.util.Arrays.hashCode(ids)))
+}

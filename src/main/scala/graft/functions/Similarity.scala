@@ -94,6 +94,16 @@ object Similarity {
     GraftSql.column(PqEncodeFold(GraftSql.expression(vec),
       codebook.map(_._1), codebook.map(_._2), numSub, emitCodes = false))
 
+  /** Reconstruct a vector from stored PQ CODES (the index-serving
+    * direction: codes → codeword slices). Exact inverse of [[pqAssign]]'s
+    * id choice; O(1) plan size at any codebook K — see [[PqDecodeFold]]. */
+  def pqDecode(codes: Column, codebook: Array[(Long, Array[Float])],
+               numSub: Int): Column =
+    GraftSql.column(PqDecodeFold(GraftSql.expression(codes),
+      codebook.map(_._1),
+      codebook.map(_._2.map(_.toDouble)), // float→double widening is exact
+      numSub))
+
   /** 60-bit md5 hash as a column — the deterministic key for splits,
     * sampling, and shingle hashing; equals DuckDB
     * `('0x'||substr(md5(x),1,15))::BIGINT`. */

@@ -56,21 +56,13 @@ object VectorIndex {
   }
 
   /** reconstruct a vector from its stored codes: per subspace, the chosen
-    * codeword slice — a map-side expression over plan-time literals (no
-    * join against the codebook table at search time) */
-  private def decode(codes: Column, spec: Spec): Column = {
-    val w = spec.dim / spec.numSub
-    flatten(array((0 until spec.numSub).map { sub =>
-      val cases = spec.codebook.map { case (id, cw) =>
-        (lit(id), typedLit(cw.slice(sub * w, sub * w + w).map(_.toDouble)))
-      }
-      cases.tail.foldLeft(
-        when(element_at(codes, sub + 1) === cases.head._1, cases.head._2)) {
-        case (acc, (id, slice)) =>
-          acc.when(element_at(codes, sub + 1) === id, slice)
-      }
-    }: _*))
-  }
+    * codeword slice — one native map-side expression whose codebook travels
+    * as a reference object ([[graft.functions.PqDecodeFold]]), so the plan
+    * stays O(1) at any codebook size. (The previous CaseWhen-chain
+    * formulation was O(K·dim) plan nodes — fine at K=8, codegen bloat at a
+    * real K=256 IVFPQ config.) */
+  private def decode(codes: Column, spec: Spec): Column =
+    Similarity.pqDecode(codes, spec.codebook, spec.numSub)
 
   /** top-k per query over the loaded index; queries = (qid, label, qv) */
   def searchTopK(spark: SparkSession, indexDir: String, queries: DataFrame,

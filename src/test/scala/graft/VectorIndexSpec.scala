@@ -57,4 +57,48 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = one.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan)
   }
+
+  test("K=256 codebook: decode(encode(v)) == fresh reconstruct, plan size flat") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_vindex256").toString
+    val emb = Tables.load(spark, dir, "embeddings")
+    // a real IVFPQ-sized codebook — 256 entries from the corpus itself
+    val codebook = emb.filter(col("vec_id") < 256)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    assert(codebook.length == 256, s"fixture too small: ${codebook.length}")
+    val spec = VectorIndex.Spec(numSub = 8,
+      dim = codebook.head._2.length, codebook = codebook)
+
+    VectorIndex.build(emb, spec, idx)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"))
+    val viaIndex = VectorIndex.searchTopK(spark, idx, queries, k = 3)
+      .orderBy("qid", "rank")
+
+    // reference: rerun the same ranking over fresh-encoded vectors
+    import graft.functions.Similarity
+    val fresh = emb.select(col("label"), col("vec_id"),
+      Similarity.pqReconstruct(col("embedding"), codebook, numSub = 8).as("rv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("pq_cos").desc, col("vec_id").asc)
+    val want = fresh.join(broadcast(queries), "label")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("pq_cos", round(Similarity.cosine(col("qv"), col("rv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "vec_id", "pq_cos")
+      .orderBy("qid", "rank")
+
+    val got = viaIndex.collect().map(_.toString)
+    val exp = want.collect().map(_.toString)
+    assert(got.nonEmpty && got.sameElements(exp),
+      s"${got.take(3).mkString("; ")} vs ${exp.take(3).mkString("; ")}")
+
+    // plan-size contract: the decode expression is one node regardless of K
+    // (the CaseWhen chain this replaced grew O(K·dim) and would dominate
+    // the plan string at K=256)
+    val planStr = viaIndex.queryExecution.executedPlan.toString
+    assert(planStr.contains("pq_decode_fold"), planStr.take(2000))
+    assert(planStr.length < 100000, s"plan string blew up: ${planStr.length}")
+  }
 }
