@@ -54,6 +54,27 @@ object V2Queries {
           col("payload").cast("string").as("payload_str"))
         .orderBy("seq")),
 
+    // the scan routed through the stream-discovery CATALOG: spark.table
+    // ("<cat>.events") resolves via NatsCatalog → the same NatsScanTable /
+    // pushdown / vectorized readers as format("nats_scan"). The catalog
+    // name embeds the dir (catalogs are cached per name per session; two
+    // SFs in one JVM must not alias).
+    "v2_catalog" -> ((s, dir) => {
+      val cat = "nats_" +
+        java.lang.Integer.toHexString(dir.hashCode).replace('-', 'm')
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.NatsCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.dir", dir)
+      s.table(s"$cat.events")
+        .filter(col("seq") <= 1200L)
+        .withColumn("etype", element_at(split(col("subject"), "\\."), 2))
+        .groupBy("etype")
+        .agg(count(lit(1)).as("n"),
+          min("seq").as("min_seq"), max("seq").as("max_seq"),
+          max("ts_nats").as("max_ts"))
+        .orderBy("etype")
+    }),
+
     // full write→read round trip through the native message store: publish a
     // seq range into a fresh store (truncate write), read it back through the
     // same V2 source (native layout: seq/ts stats pruning + record filters),
@@ -100,6 +121,12 @@ object V2Queries {
         s"""$env SELECT seq, CAST(octet_length(payload::BLOB) AS INTEGER) AS payload_bytes,
            |       payload AS payload_str
            | FROM env WHERE seq <= 500 ORDER BY seq""".stripMargin,
+
+      "v2_catalog" ->
+        s"""$env SELECT string_split(subject, '.')[2] AS etype, count(*) AS n,
+           |       min(seq) AS min_seq, max(seq) AS max_seq, max(ts_nats) AS max_ts
+           | FROM env WHERE seq <= 1200
+           | GROUP BY 1 ORDER BY etype""".stripMargin,
 
       "v2_sink_roundtrip" ->
         s"""$env SELECT string_split(subject, '.')[2] AS etype, count(*) AS n,

@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Stream-discovery catalog (reference roadmap `SHOW STREAMS`,
+  * /root/reference/docs/GUIDE.md:492): a V2 `TableCatalog` whose tables are
+  * the NATS streams of one store directory or one server, each served by the
+  * same [[NatsScanTable]] the `format("nats_scan")` path uses — identical
+  * envelope schema, pushdown, vectorized readers, and write support.
+  *
+  * Registration (per session):
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.nats", classOf[NatsCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.nats.dir", "/data/store")   // or .url
+  *   spark.sql("SHOW TABLES IN nats")          // one row per stream
+  *   spark.table("nats.events")                // scan via the catalog
+  * }}}
+  *
+  * Discovery:
+  *   - `dir` mode: every `<stream>.msgs` native store under the directory,
+  *     plus the `events` fixture stream when `events.parquet` exists (the
+  *     parquet-backed store holds exactly that one stream —
+  *     [[graft.nats.ParquetMessageStore]]'s contract);
+  *   - `url` mode: the server's stream list via the transport seam
+  *     ([[graft.transport.JetStreamTransport.listStreams]]).
+  *
+  * Catalog DDL (create/alter/drop/rename) is rejected: streams are
+  * provisioned on the server / by the writer path, not by Spark DDL — the
+  * same posture as the reference (a scan extension, not a stream admin). */
+final class NatsCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var options: Map[String, String] = _
+
+  override def initialize(name: String, opts: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    options = {
+      import scala.jdk.CollectionConverters._
+      opts.asCaseSensitiveMap().asScala.toMap
+    }
+    if (!options.contains("dir") && !options.contains("url"))
+      throw new IllegalArgumentException(
+        s"catalog '$name': set spark.sql.catalog.$name.dir (store directory) " +
+          s"or .url (nats server)")
+  }
+
+  override def name(): String = catalogName
+
+  private def streams(): Seq[String] = options.get("url") match {
+    case Some(u) =>
+      val t = graft.transport.Transport.connect(u,
+        options.getOrElse("connect_timeout_ms",
+          graft.transport.Transport.DefaultTimeoutMs.toString).toLong)
+      try t.listStreams() finally t.close()
+    case None =>
+      val dir = new java.io.File(options("dir"))
+      val native = Option(dir.listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.endsWith(".msgs"))
+        .map(_.getName.stripSuffix(".msgs"))
+      val fixture =
+        if (new java.io.File(dir, "events.parquet").isFile) Seq("events")
+        else Nil
+      (native.toSeq ++ fixture).distinct.sorted
+  }
+
+  /** tables live in the catalog's root namespace (`nats.events`) */
+  private def checkNs(ns: Array[String]): Unit =
+    if (ns.nonEmpty) throw new NoSuchNamespaceException(ns)
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    checkNs(ns)
+    streams().map(s => Identifier.of(Array.empty, s)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    checkNs(ident.namespace())
+    if (!streams().contains(ident.name()))
+      throw new NoSuchTableException(ident)
+    new NatsScanTable(options + ("stream" -> ident.name()))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && streams().contains(ident.name())
+
+  private def unsupported(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"nats catalog: $op is not supported — streams are provisioned by the " +
+        "server / writer path, not Spark DDL")
+
+  override def createTable(ident: Identifier,
+                           schema: org.apache.spark.sql.types.StructType,
+                           partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+                           properties: util.Map[String, String]): Table =
+    unsupported("CREATE TABLE")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    unsupported("ALTER TABLE")
+  override def dropTable(ident: Identifier): Boolean =
+    unsupported("DROP TABLE")
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    unsupported("RENAME TABLE")
+
+  // --- SupportsNamespaces: a single root namespace ---
+  override def listNamespaces(): Array[Array[String]] = Array.empty
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
+    checkNs(ns); Array.empty
+  }
+  override def namespaceExists(ns: Array[String]): Boolean = ns.isEmpty
+  override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
+    checkNs(ns); util.Collections.emptyMap()
+  }
+  override def createNamespace(ns: Array[String],
+                               meta: util.Map[String, String]): Unit =
+    unsupported("CREATE NAMESPACE")
+  override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
+    unsupported("ALTER NAMESPACE")
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean =
+    unsupported("DROP NAMESPACE")
+}

@@ -62,6 +62,9 @@ final class FakeJetStreamServer {
 
   def hasStream(name: String): Boolean = streams.contains(name)
 
+  /** sorted stream names — the "stream list" discovery API */
+  def streamNames: Seq[String] = streams.keys.toSeq.sorted
+
   private[transport] def state(stream: String): Option[StreamState] =
     streams.get(stream).map { m =>
       if (m.isEmpty) StreamState(0L, 0L, 0L)
@@ -149,6 +152,11 @@ final class FakeTransport(server: FakeJetStreamServer) extends JetStreamTranspor
                      max: Int): Array[TransportMsg] = {
     rpcs.incrementAndGet()
     server.range(stream, fromSeq, toSeq, max)
+  }
+
+  override def listStreams(): Seq[String] = {
+    rpcs.incrementAndGet()
+    server.streamNames
   }
 
   override def publish(stream: String, subject: String, tsNs: Long,

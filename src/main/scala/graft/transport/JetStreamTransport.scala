@@ -34,6 +34,11 @@ trait JetStreamTransport extends AutoCloseable {
     * Returns messages in sequence order. */
   def fetch(stream: String, fromSeq: Long, toSeq: Long, max: Int): Array[TransportMsg]
 
+  /** Names of every stream on the server, sorted — the JetStream "stream
+    * list" API backing catalog discovery (`SHOW TABLES` over a NATS
+    * catalog; reference roadmap /root/reference/docs/GUIDE.md:492). */
+  def listStreams(): Seq[String]
+
   /** Publish one message; the server assigns the next sequence and returns
     * it (a JetStream PubAck). `msgId` is the `Nats-Msg-Id` deduplication
     * header: re-publishing an id inside the dedup window is a no-op

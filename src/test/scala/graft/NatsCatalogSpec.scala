@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Stream-discovery catalog: SHOW TABLES enumerates streams (fixture +
+  * native stores + transport), spark.table routes through the same V2
+  * scan, and DDL is rejected. */
+class NatsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dir catalog: SHOW TABLES lists fixture + native streams; table() scans") {
+    // store dir with the fixture stream and one native store
+    val tmp = java.nio.file.Files.createTempDirectory("graft_catalog").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/events.parquet"))
+    spark.read.format("nats_scan").option("dir", dir).load()
+      .filter(col("seq") <= 100L)
+      .write.format("nats_scan").option("dir", tmp)
+      .option("stream", "metrics").mode("overwrite").save()
+
+    spark.conf.set("spark.sql.catalog.cattest",
+      classOf[graft.sources.NatsCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cattest.dir", tmp)
+
+    val shown = spark.sql("SHOW TABLES IN cattest")
+      .select("tableName").collect().map(_.getString(0)).sorted
+    assert(shown.sameElements(Array("events", "metrics")), shown.mkString(","))
+
+    // catalog-routed scan ≡ format() scan, same vectorized/pushdown path
+    val viaCat = spark.table("cattest.metrics")
+      .agg(count(lit(1)), min("seq"), max("seq")).collect().head
+    assert(viaCat.getLong(0) == 100L && viaCat.getLong(1) == 1L &&
+      viaCat.getLong(2) == 100L, viaCat.toString)
+    val plan = spark.table("cattest.metrics").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+
+    val e = intercept[Exception](spark.table("cattest.nope").collect())
+    assert(e.getMessage.toLowerCase.contains("nope"), e.getMessage)
+  }
+
+  test("url catalog: streams discovered via the transport's stream list") {
+    graft.transport.FakeJetStream.reset()
+    val server = graft.transport.FakeJetStream.listen("cat-host:4222")
+    server.publish("orders_live", 1L, "orders.new", 1700000000000000000L,
+      "a".getBytes)
+    server.publish("telemetry", 1L, "t.cpu", 1700000000000000000L,
+      "b".getBytes)
+
+    spark.conf.set("spark.sql.catalog.caturl",
+      classOf[graft.sources.NatsCatalog].getName)
+    spark.conf.set("spark.sql.catalog.caturl.url", "nats://cat-host:4222")
+
+    val shown = spark.sql("SHOW TABLES IN caturl")
+      .select("tableName").collect().map(_.getString(0)).sorted
+    assert(shown.sameElements(Array("orders_live", "telemetry")),
+      shown.mkString(","))
+
+    val row = spark.table("caturl.telemetry").collect()
+    assert(row.length == 1 && row.head.getAs[String]("subject") == "t.cpu")
+  }
+
+  test("DDL is rejected: streams are not provisioned by Spark") {
+    spark.conf.set("spark.sql.catalog.catddl",
+      classOf[graft.sources.NatsCatalog].getName)
+    spark.conf.set("spark.sql.catalog.catddl.dir", dir)
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE catddl.x (a INT) USING nats_scan").collect()
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) t.getMessage else rootMsg(t.getCause)
+    assert((e.getMessage + rootMsg(e)).toLowerCase.contains("not supported"),
+      e.getMessage)
+  }
+}
