@@ -34,6 +34,15 @@ object TrainingDataQueries {
   /** java.util.regex and RE2 agree on this subset: alternation + ASCII \b */
   private val denyPat = "\\b(customer|key|secret)\\b"
 
+  /** Structured PII patterns — the engine-portable subset (no lookaround,
+    * no backreferences: java.util.regex and DuckDB's RE2 match these
+    * identically). Redaction applies them in a FIXED order (id before
+    * phone: an SSN-shaped token must not be half-eaten by the phone rule). */
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val idPat    = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  private val phonePat = "\\b\\d{3}-\\d{4}\\b"
+  private val ipPat    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // denylist scrub: count hits + fingerprint of the redacted text
@@ -45,6 +54,45 @@ object TrainingDataQueries {
         md5(regexp_replace(col("text"), denyPat, "[REDACTED]"))
           .as("scrub_md5"))
         .orderBy("doc_id")),
+
+    // STRUCTURED PII scrubbing: per-class detection counts (email / id /
+    // phone / IPv4) + class-tagged redaction + fingerprint of the scrubbed
+    // text — the standard training-data privacy pass beyond a word
+    // denylist. The fixture corpus carries no PII, so the query plants
+    // deterministic PII derived from the row first (both engines build the
+    // identical planted text); detection counts and the redaction
+    // fingerprint are then hash-verified end to end. Pure per-row
+    // expression work — map-side, no shuffle, the 100 TB-safe shape.
+    "pipe_pii" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com"),
+        when(col("doc_id") % 3 === 0, concat(lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" ref 123-45-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, concat(lit(" from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") % 100).cast("string")))
+          .otherwise(lit(""))).as("txt"))
+      def nOf(pat: String): org.apache.spark.sql.Column =
+        size(regexp_extract_all(col("txt"), lit(pat), lit(0)))
+      val redacted = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(col("txt"),
+          emailPat, "[EMAIL]"), idPat, "[ID]"), phonePat, "[PHONE]"),
+        ipPat, "[IP]")
+      planted.select(
+        col("doc_id"),
+        nOf(emailPat).as("n_email"),
+        nOf(idPat).as("n_id"),
+        nOf(phonePat).as("n_phone"),
+        nOf(ipPat).as("n_ip"),
+        md5(redacted).as("pii_md5"))
+        .orderBy("doc_id")
+    }),
 
     // within-document repetition: duplicate-word ratio and top-word
     // fraction (the Gopher repetition-filter signals)
@@ -142,6 +190,35 @@ object TrainingDataQueries {
              md5(regexp_replace(text, '\b(customer|key|secret)\b',
                                 '[REDACTED]', 'g')) AS scrub_md5
       FROM documents ORDER BY doc_id""",
+
+    "pipe_pii" -> """
+      WITH p AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN ' ref 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         ELSE '' END
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                              || '.' || CAST(doc_id % 100 AS VARCHAR)
+                         ELSE '' END AS txt
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+             CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{2}-\d{4}\b')) AS INTEGER) AS n_id,
+             CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{4}\b')) AS INTEGER) AS n_phone,
+             CAST(len(regexp_extract_all(txt,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ip,
+             md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '[ID]', 'g'),
+               '\b\d{3}-\d{4}\b', '[PHONE]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS pii_md5
+      FROM p ORDER BY doc_id""",
 
     "pipe_doc_repetition" -> """
       WITH w AS (
