@@ -124,6 +124,16 @@ object TransportQueries {
           sum(expr("octet_length(payload)")).as("payload_bytes"),
           max("ts_nats").as("max_ts"))),
 
+    // consumer-mode pull (docs/LIVE_NATS.md "one consumer per partition"):
+    // each slice is drained through an ordered-consumer CURSOR (server
+    // tracks the position) instead of ranged fetches — result parity with
+    // the fetch path is the contract, hash-verified against the fixture
+    "transport_consumer_scan" -> ((s, dir) =>
+      scan(s, dir, Map("fetch_mode" -> "consumer"))
+        .select(col("seq"), col("subject"),
+          expr("octet_length(payload)").as("payload_bytes"))
+        .orderBy("seq")),
+
     // pruning equivalence: the transport scan and the parquet-backed scan
     // answer an identical bounded query identically (oracle recomputes from
     // the fixture — this is the "transport scan ≡ parquet scan" property
@@ -180,6 +190,11 @@ object TransportQueries {
            | CAST(sum(octet_length(payload::BLOB)) AS BIGINT) AS payload_bytes,
            | max(ts_nats) AS max_ts
            | FROM env WHERE seq % $GapPeriod <> 0""".stripMargin,
+
+      "transport_consumer_scan" ->
+        s"""$env SELECT seq, subject,
+           | CAST(octet_length(payload::BLOB) AS INTEGER) AS payload_bytes
+           | FROM env ORDER BY seq""".stripMargin,
 
       "transport_parquet_parity" ->
         "SELECT CAST(0 AS BIGINT) AS n_disagreements"

@@ -105,7 +105,12 @@ final class NatsScanTable(props: Map[String, String])
         maxPerBatch = maxPerBatch,
         sliceWidth = props.getOrElse("slice_width", "65536").toLong,
         connectTimeoutMs = props.getOrElse("connect_timeout_ms",
-          graft.transport.Transport.DefaultTimeoutMs.toString).toLong)
+          graft.transport.Transport.DefaultTimeoutMs.toString).toLong,
+        fetchMode = props.getOrElse("fetch_mode", "fetch") match {
+          case m @ ("fetch" | "consumer") => m
+          case other => sys.error(
+            s"nats_scan: fetch_mode must be 'fetch' or 'consumer', got '$other'")
+        })
     }
     new NatsScanBuilder(s"$dir/$stream.parquet", dir, stream, maxPerBatch,
       transport)
@@ -122,7 +127,8 @@ final case class TransportBind(url: String,
                                startSeq: Option[Long], endSeq: Option[Long],
                                startTimeNs: Option[Long], endTimeNs: Option[Long],
                                subject: Option[String], maxPerBatch: Long,
-                               sliceWidth: Long, connectTimeoutMs: Long)
+                               sliceWidth: Long, connectTimeoutMs: Long,
+                               fetchMode: String = "fetch")
 
 /** Accepts seq/ts/subject predicates; everything else stays residual.
   * Bounds are accumulated as [seqLo, seqHi] (1-based inclusive) and
@@ -221,7 +227,8 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
         subjectContains = tb.subject.toList ::: subjectContains,
         subjectPrefixes = subjectPrefixes,
         maxPerBatch = tb.maxPerBatch,
-        sliceWidth = tb.sliceWidth, connectTimeoutMs = tb.connectTimeoutMs)
+        sliceWidth = tb.sliceWidth, connectTimeoutMs = tb.connectTimeoutMs,
+        fetchMode = tb.fetchMode)
     case None =>
       new NatsScanScan(file, dir, stream, required, seqLo, seqHi, tsLoNs,
         tsHiNs, subjectContains, subjectPrefixes, maxPerBatch)

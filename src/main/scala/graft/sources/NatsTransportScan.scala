@@ -41,7 +41,8 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
                               subjectContains: List[String],
                               subjectPrefixes: List[String],
                               maxPerBatch: Long,
-                              sliceWidth: Long, connectTimeoutMs: Long)
+                              sliceWidth: Long, connectTimeoutMs: Long,
+                              fetchMode: String = "fetch")
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -112,7 +113,7 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NatsTransportReaderFactory(required, tsLoNs, tsHiNs, subjectContains,
-      subjectPrefixes, connectTimeoutMs)
+      subjectPrefixes, connectTimeoutMs, fetchMode)
 }
 
 object NatsTransportScan {
@@ -179,31 +180,48 @@ final class NatsTransportReaderFactory(required: StructType,
                                        tsLoNs: Long, tsHiNs: Long,
                                        subjectContains: List[String],
                                        subjectPrefixes: List[String],
-                                       connectTimeoutMs: Long)
+                                       connectTimeoutMs: Long,
+                                       fetchMode: String = "fetch")
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new NatsTransportReader(p.asInstanceOf[NatsTransportPartition], required,
-      tsLoNs, tsHiNs, subjectContains, subjectPrefixes, connectTimeoutMs)
+      tsLoNs, tsHiNs, subjectContains, subjectPrefixes, connectTimeoutMs,
+      fetchMode)
 }
 
 /** One slice, pulled in fetch batches of 2048 (one RPC per batch, not per
   * message). Gap seqs simply never appear in a batch — the batched analog of
-  * the NOT_FOUND skip (:725-729). */
+  * the NOT_FOUND skip (:725-729).
+  *
+  * `fetchMode = "consumer"` pulls through an ordered-consumer cursor
+  * instead of ranged fetches — the docs/LIVE_NATS.md per-task shape (the
+  * server tracks the position; rows past the slice end terminate the
+  * reader). Both modes retry TRANSIENT wire errors with capped backoff
+  * before failing the task: a retried fetch re-asks the same range, a
+  * retried cursor re-asks the same position (faults surface before the
+  * cursor advances), so retries never skip or duplicate messages. */
 final class NatsTransportReader(p: NatsTransportPartition,
                                 required: StructType,
                                 tsLoNs: Long, tsHiNs: Long,
                                 subjectContains: List[String],
                                 subjectPrefixes: List[String],
-                                connectTimeoutMs: Long)
+                                connectTimeoutMs: Long,
+                                fetchMode: String = "fetch")
     extends PartitionReader[InternalRow] {
 
   private val BatchSize = 2048
+  private val MaxRetries = 3
+  private val BackoffMs = 50L
 
   // one connection per task attempt (docs/LIVE_NATS.md: pool per executor
   // JVM for a live client; the fake dial is registry lookup, pooling moot)
   private val transport = Transport.connect(p.url, connectTimeoutMs)
+  private val cursor: graft.transport.MessageCursor =
+    if (fetchMode == "consumer") transport.consumer(p.stream, p.sliceLo)
+    else null
 
   private var nextSeq = p.sliceLo
+  private var done = false
   private var batch: Array[TransportMsg] = Array.empty
   private var i = 0
   private var current: InternalRow = _
@@ -214,13 +232,50 @@ final class NatsTransportReader(p: NatsTransportPartition,
   private val tsHiUs =
     if (tsHiNs == Long.MaxValue) Long.MaxValue else Math.floorDiv(tsHiNs, 1000L)
 
+  /** capped-backoff retry for transient wire errors (docs/LIVE_NATS.md
+    * "Failure semantics"): after the budget, rethrow — Spark re-runs the
+    * slice, which is deterministic. */
+  private def withRetry[T](f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: graft.transport.NatsIOException =>
+          attempt += 1
+          if (attempt > MaxRetries) throw e
+          Thread.sleep(math.min(BackoffMs << (attempt - 1), 1000L))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def pull(): Array[TransportMsg] =
+    if (cursor != null) {
+      val msgs = withRetry(cursor.next(BatchSize))
+      if (msgs.isEmpty) { done = true; msgs }
+      else {
+        // the cursor runs past the slice: trim and stop at the boundary
+        val within = msgs.takeWhile(_.seq <= p.sliceHi)
+        if (within.length < msgs.length || msgs.last.seq >= p.sliceHi)
+          done = true
+        within
+      }
+    } else {
+      if (nextSeq > p.sliceHi) { done = true; Array.empty }
+      else {
+        val msgs = withRetry(transport.fetch(p.stream, nextSeq, p.sliceHi, BatchSize))
+        if (msgs.isEmpty) done = true // rest of the slice is gaps
+        else nextSeq = msgs.last.seq + 1
+        msgs
+      }
+    }
+
   override def next(): Boolean = {
     while (true) {
       if (i >= batch.length) {
-        if (nextSeq > p.sliceHi) return false
-        batch = transport.fetch(p.stream, nextSeq, p.sliceHi, BatchSize)
-        if (batch.isEmpty) return false // rest of the slice is gaps
-        nextSeq = batch.last.seq + 1
+        if (done) return false
+        batch = pull()
+        if (batch.isEmpty) return false
         i = 0
       }
       val m = batch(i)
@@ -252,5 +307,8 @@ final class NatsTransportReader(p: NatsTransportPartition,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = transport.close()
+  override def close(): Unit = {
+    if (cursor != null) cursor.close()
+    transport.close()
+  }
 }

@@ -82,16 +82,35 @@ final class FakeJetStreamServer {
         m.subMap(from, true, to, true).values().iterator().asScala
           .take(max).toArray
     }
+
+  // --- fault injection: the next `n` data RPCs fail transiently (the
+  // connection-dropped-mid-slice shape readers must retry through) ---
+  private val faultBudget = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def injectFaults(n: Int): Unit = { faultBudget.set(n); () }
+
+  private[transport] def takeFault(): Boolean = {
+    val left = faultBudget.getAndUpdate(v => if (v > 0) v - 1 else v)
+    left > 0
+  }
 }
 
 object FakeJetStream {
   private val registry = new TrieMap[String, FakeJetStreamServer]()
   private val blackholes = new TrieMap[String, Unit]()
+  private val tokens = new TrieMap[String, String]()
 
   /** start (or reuse) a fake server listening at `host:port` (also accepts a
     * full nats:// URL for convenience). */
   def listen(address: String): FakeJetStreamServer =
     registry.getOrElseUpdate(normalize(address), new FakeJetStreamServer)
+
+  /** require token auth on an address: dials whose URL userinfo does not
+    * carry this token are rejected with the server's status text. */
+  def requireToken(address: String, token: String): Unit = {
+    tokens.put(normalize(address), token)
+    ()
+  }
 
   /** register an address that accepts the TCP dial but never completes the
     * NATS handshake — connects to it time out (error test E4's wrong-port /
@@ -101,7 +120,7 @@ object FakeJetStream {
     ()
   }
 
-  def reset(): Unit = { registry.clear(); blackholes.clear() }
+  def reset(): Unit = { registry.clear(); blackholes.clear(); tokens.clear() }
 
   private def normalize(address: String): String =
     if (address.startsWith("nats://")) {
@@ -113,7 +132,8 @@ object FakeJetStream {
     * address against the in-JVM registry the way a dialer resolves a socket.
     * The blackhole branch really waits out the timeout — connect-timeout
     * handling is part of what the specs exercise. */
-  private[transport] def dial(addr: String, timeoutMs: Long): JetStreamTransport = {
+  private[transport] def dial(addr: String, timeoutMs: Long,
+                              token: Option[String] = None): JetStreamTransport = {
     if (blackholes.contains(addr)) {
       Thread.sleep(math.max(0L, timeoutMs))
       throw new NatsConnectException("Failed to connect to NATS: Timeout")
@@ -121,6 +141,13 @@ object FakeJetStream {
     val server = registry.getOrElse(addr,
       throw new NatsConnectException(
         "Failed to connect to NATS: No server available for connection"))
+    // token auth (nats://<token>@host:port): reject missing/wrong creds
+    // with the NATS server's own status text
+    tokens.get(addr).foreach { want =>
+      if (!token.contains(want))
+        throw new NatsConnectException(
+          "Failed to connect to NATS: Authorization Violation")
+    }
     new FakeTransport(server)
   }
 }
@@ -143,14 +170,23 @@ final class FakeTransport(server: FakeJetStreamServer) extends JetStreamTranspor
         s"Failed to get stream info: stream not found ($stream)"))
   }
 
+  /** injected transient faults surface on data RPCs, like a dropped
+    * connection mid-slice */
+  private def maybeFault(): Unit =
+    if (server.takeFault())
+      throw new NatsIOException(
+        "Failed to fetch messages: Connection Closed (transient)")
+
   override def directGet(stream: String, seq: Long): Option[TransportMsg] = {
     rpcs.incrementAndGet()
+    maybeFault()
     server.get(stream, seq)
   }
 
   override def fetch(stream: String, fromSeq: Long, toSeq: Long,
                      max: Int): Array[TransportMsg] = {
     rpcs.incrementAndGet()
+    maybeFault()
     server.range(stream, fromSeq, toSeq, max)
   }
 
@@ -158,6 +194,22 @@ final class FakeTransport(server: FakeJetStreamServer) extends JetStreamTranspor
     rpcs.incrementAndGet()
     server.streamNames
   }
+
+  override def consumer(stream: String, startSeq: Long): MessageCursor =
+    new MessageCursor {
+      // server-side cursor position: faults surface BEFORE the position
+      // advances, so a retried next() re-delivers from the same place —
+      // the ordered-consumer recreate-at-last-delivered contract
+      private var cur = startSeq
+      override def next(max: Int): Array[TransportMsg] = {
+        rpcs.incrementAndGet()
+        maybeFault()
+        val out = server.range(stream, cur, Long.MaxValue, max)
+        if (out.nonEmpty) cur = out.last.seq + 1L
+        out
+      }
+      override def close(): Unit = ()
+    }
 
   override def publish(stream: String, subject: String, tsNs: Long,
                        payload: Array[Byte], msgId: String): Long = {

@@ -39,6 +39,15 @@ trait JetStreamTransport extends AutoCloseable {
     * catalog; reference roadmap /root/reference/docs/GUIDE.md:492). */
   def listStreams(): Seq[String]
 
+  /** Ordered ephemeral consumer starting at `startSeq` — the per-task
+    * cursor of docs/LIVE_NATS.md ("one consumer per partition, batched
+    * fetch"): each `next(max)` delivers the following messages in sequence
+    * order, gaps skipped, server tracking the position. A live binding maps
+    * this to an ordered consumer + `Fetch(batch)`; after a transient error
+    * the cursor re-requests the SAME position (ordered consumers recreate
+    * at the last delivered sequence), so reader retries are safe. */
+  def consumer(stream: String, startSeq: Long): MessageCursor
+
   /** Publish one message; the server assigns the next sequence and returns
     * it (a JetStream PubAck). `msgId` is the `Nats-Msg-Id` deduplication
     * header: re-publishing an id inside the dedup window is a no-op
@@ -68,6 +77,19 @@ final class NatsConnectException(msg: String) extends RuntimeException(msg)
   * (nats_scan.cpp:650-652). */
 final class NatsStreamNotFoundException(msg: String) extends RuntimeException(msg)
 
+/** TRANSIENT wire error (connection dropped mid-slice, fetch timeout):
+  * readers retry with capped backoff, then fail the task — Spark re-runs
+  * the slice, which is safe because slices are deterministic seq ranges
+  * (docs/LIVE_NATS.md "Failure semantics"). */
+final class NatsIOException(msg: String) extends RuntimeException(msg)
+
+/** Sequential message cursor over one stream (ordered consumer analog). */
+trait MessageCursor extends AutoCloseable {
+  /** the next ≤ `max` messages in sequence order; empty == end of stream */
+  def next(max: Int): Array[TransportMsg]
+  def close(): Unit
+}
+
 object Transport {
 
   /** Default connect timeout — the reference pins 5000 ms
@@ -92,6 +114,9 @@ object Transport {
     val u = parsed.getOrElse(
       throw new NatsConnectException(s"Failed to connect to NATS: Invalid URL ($url)"))
     val addr = s"${u.getHost}:${if (u.getPort < 0) 4222 else u.getPort}"
-    FakeJetStream.dial(addr, timeoutMs)
+    // nats://<token>@host:port — token auth, the simplest NATS credential
+    // form; a server requiring auth rejects missing/wrong tokens with the
+    // server's own status text ("Authorization Violation")
+    FakeJetStream.dial(addr, timeoutMs, Option(u.getUserInfo))
   }
 }

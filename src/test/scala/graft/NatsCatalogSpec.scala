@@ -53,7 +53,9 @@ class NatsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("url catalog: streams discovered via the transport's stream list") {
-    graft.transport.FakeJetStream.reset()
+    // NOTE: no FakeJetStream.reset() here — the registry is JVM-global and
+    // other suites' fixture servers (cached by address in TransportQueries)
+    // must survive; this test's unique address is isolation enough
     val server = graft.transport.FakeJetStream.listen("cat-host:4222")
     server.publish("orders_live", 1L, "orders.new", 1700000000000000000L,
       "a".getBytes)

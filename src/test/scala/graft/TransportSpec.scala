@@ -143,6 +143,68 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // --- transport topology properties ---
 
+  test("E7 wrong/missing token against an auth server → Authorization Violation") {
+    val authUrl = "nats://auth-server:4222"
+    val s = FakeJetStream.listen(authUrl)
+    s.publish("secure", 1L, "secure.a", 1700000000000000000L, "x".getBytes)
+    FakeJetStream.requireToken(authUrl, "s3cret")
+    // no token
+    val eNone = intercept[Exception] {
+      spark.read.format("nats_scan").option("url", authUrl)
+        .option("stream", "secure").load().count()
+    }
+    assert(messageChain(eNone).contains("Authorization Violation"),
+      messageChain(eNone))
+    val eWrong = intercept[Exception] {
+      spark.read.format("nats_scan").option("url", "nats://nope@auth-server:4222")
+        .option("stream", "secure").load().count()
+    }
+    assert(messageChain(eWrong).contains("Authorization Violation"),
+      messageChain(eWrong))
+    // correct token connects and scans
+    val n = spark.read.format("nats_scan")
+      .option("url", "nats://s3cret@auth-server:4222")
+      .option("stream", "secure").load().count()
+    assert(n == 1L)
+  }
+
+  test("E8 transient wire faults mid-slice: reader retries with backoff, scan completes") {
+    server.injectFaults(2) // next two data RPCs drop the connection
+    val n = read("telemetry").count()
+    assert(n == 90L) // full result despite the faults — retried, not skipped
+    // a fault burst past the retry budget fails the task (Spark would
+    // re-run the slice; locally the failure surfaces)
+    server.injectFaults(1000)
+    val e = intercept[Exception](read("telemetry").count())
+    assert(messageChain(e).contains("Connection Closed"), messageChain(e))
+    server.injectFaults(0)
+    assert(read("telemetry").count() == 90L)
+  }
+
+  test("consumer-mode pull: cursor parity with fetch mode, batched RPCs, gaps skipped") {
+    val viaFetch = read("telemetry").select("seq", "subject", "ts_nats")
+      .collect().map(_.toString).sorted
+    val viaConsumer = read("telemetry", Map("fetch_mode" -> "consumer"))
+      .select("seq", "subject", "ts_nats").collect().map(_.toString).sorted
+    assert(viaConsumer.sameElements(viaFetch))
+    // cursor survives transient faults too (position does not advance on a
+    // fault, so the retry re-delivers from the same place)
+    server.injectFaults(2)
+    assert(read("telemetry", Map("fetch_mode" -> "consumer")).count() == 90L)
+    server.injectFaults(0)
+    // direct cursor use: batched delivery in seq order, gaps absent
+    val t = Transport.connect(url)
+    try {
+      val c = t.consumer("telemetry", 1L)
+      val first = c.next(7)
+      assert(first.map(_.seq).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+      val second = c.next(7)
+      assert(second.head.seq == 8L)
+      assert(!second.map(_.seq).contains(10L)) // gap skipped
+      c.close()
+    } finally t.close()
+  }
+
   test("timestamp resolution is a remote binary search: O(log n) probes, gap-safe") {
     val t = Transport.connect(url).asInstanceOf[FakeTransport]
     val before = t.rpcCount
