@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // bench stability: ~150 queries of whole-stage codegen overflow the
+  // 240 MB default JIT code cache — once full, compilation stops and
+  // whichever queries run next execute interpreted (the 0.5 s ↔ 5 s
+  // bimodality documented in BASELINE.md). Size the cache for the suite.
+  "-XX:ReservedCodeCacheSize=512m",
 )

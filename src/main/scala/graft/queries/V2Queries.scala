@@ -28,10 +28,13 @@ object V2Queries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // seq range pushed down → row-group pruning + parquet record filter
+    // seq range pushed down → row-group pruning + parquet record filter.
+    // Bounds sit inside even the sf0.001 fixture (1000 events), so the
+    // gate is substantive at every SF — a range past the smallest fixture
+    // would let that SF's check pass vacuously on zero rows.
     "v2_seq_range" -> ((s, dir) =>
       v2(s, dir)
-        .filter(col("seq") >= 1001L && col("seq") <= 3000L)
+        .filter(col("seq") >= 401L && col("seq") <= 900L)
         .select("seq", "subject", "ts_nats")
         .orderBy("seq")),
 
@@ -107,7 +110,7 @@ object V2Queries {
     val env = NatsQueries.envSql
     Map(
       "v2_seq_range" ->
-        s"$env SELECT seq, subject, ts_nats FROM env WHERE seq BETWEEN 1001 AND 3000 ORDER BY seq",
+        s"$env SELECT seq, subject, ts_nats FROM env WHERE seq BETWEEN 401 AND 900 ORDER BY seq",
 
       "v2_time_subject" ->
         s"""$env SELECT subject, count(*) AS n, min(seq) AS min_seq, max(seq) AS max_seq
