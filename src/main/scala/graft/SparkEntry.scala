@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.TransportQueries.queries ++
       graft.queries.AnalyticQueries.queries ++
       graft.queries.TrainingDataQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.WireQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.NatsQueries.oracleSql ++
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.TransportQueries.oracleSql ++
       graft.queries.AnalyticQueries.oracleSql ++
       graft.queries.TrainingDataQueries.oracleSql ++
-      graft.queries.CurationQueries.oracleSql
+      graft.queries.CurationQueries.oracleSql ++
+      graft.queries.WireQueries.oracleSql
 }

@@ -71,6 +71,17 @@ object NatsScan {
         graft.avro.AvroDecode.field(decoded, schemaJson, path).as(mangle(path))
       }
       df = df.select(df.columns.map(col).toIndexedSeq ++ extracted: _*)
+    } else if (opts.msgpackExtract.nonEmpty) {
+      // schemaless → stringly surface, like json_extract (GUIDE.md:472-475)
+      val extracted = opts.msgpackExtract.map { path =>
+        graft.wire.MsgPackDecode.extract(col("payload"), path).as(mangle(path))
+      }
+      df = df.select(df.columns.map(col).toIndexedSeq ++ extracted: _*)
+    } else if (opts.cborExtract.nonEmpty) {
+      val extracted = opts.cborExtract.map { path =>
+        graft.wire.CborDecode.extract(col("payload"), path).as(mangle(path))
+      }
+      df = df.select(df.columns.map(col).toIndexedSeq ++ extracted: _*)
     }
     df
   }

@@ -31,6 +31,11 @@ final case class NatsScanOptions(
       * schema file + dotted extraction paths, mirroring the proto surface */
     avroFile: Option[String] = None,
     avroExtract: Seq[String] = Nil,
+    /** MessagePack / CBOR payloads (roadmap :472-475): schemaless like
+      * JSON, so the surface is the stringly json_extract one — dotted
+      * paths over a top-level map, STRING columns, missing → NULL */
+    msgpackExtract: Seq[String] = Nil,
+    cborExtract: Seq[String] = Nil,
     /** strict reference fidelity for extracted JSON NUMBERS: render as
       * fixed 6-decimal text the way the reference's `std::to_string(double)`
       * does — `42.5` → `"42.500000"` (/root/reference/src/nats_scan.cpp:797-800).
@@ -64,6 +69,16 @@ final case class NatsScanOptions(
     if (usesAvro && (avroFile.isEmpty || avroExtract.isEmpty))
       throw new IllegalArgumentException(
         "avro_file and avro_extract must be specified together")
+    locally {
+      val decoders = Seq(
+        jsonExtract.nonEmpty, usesProto, usesAvro,
+        msgpackExtract.nonEmpty, cborExtract.nonEmpty).count(identity)
+      if (decoders > 1)
+        throw new IllegalArgumentException(
+          "Only one payload decoder may be specified " +
+            "(json_extract / proto_extract / avro_extract / " +
+            "msgpack_extract / cbor_extract)")
+    }
     for (s <- startSeq; e <- endSeq)
       if (s > e)
         throw new IllegalArgumentException(
