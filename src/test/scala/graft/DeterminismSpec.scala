@@ -33,7 +33,11 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_agg_pricing", "q_window_lag", "pipe_weighted_sample",
     "dedup_components", "ann_topk", "dedup_minhash_lsh",
     "pipe_lang_mixture", "q_regr",
-    "ann_ivfpq", "dedup_incremental", "pipe_curriculum", "dedup_jaccard")
+    "ann_ivfpq", "dedup_incremental", "pipe_curriculum", "dedup_jaccard",
+    // round-6 families: wire codecs (avro/msgpack/cbor round-trips through
+    // per-row expressions), regex PII scrubbing, catalog-routed scan
+    "nats_avro_extract", "nats_msgpack_extract", "nats_cbor_extract",
+    "pipe_pii", "v2_catalog", "proto_imported")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
