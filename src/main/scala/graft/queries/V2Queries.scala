@@ -57,6 +57,16 @@ object V2Queries {
           col("payload").cast("string").as("payload_str"))
         .orderBy("seq")),
 
+    // COMPLETE aggregate pushdown: an unfiltered count/min/max over the
+    // stream reads parquet FOOTERS (O(files)), never a data page — the
+    // plan audit asserts the STATS-ONLY scan; this entry hash-verifies
+    // the footer-derived values against the oracle recomputing from rows
+    "v2_stats_agg" -> ((s, dir) =>
+      v2(s, dir).agg(
+        count(lit(1)).as("n"),
+        min("seq").as("min_seq"), max("seq").as("max_seq"),
+        min("ts_nats").as("min_ts"), max("ts_nats").as("max_ts"))),
+
     // the scan routed through the stream-discovery CATALOG: spark.table
     // ("<cat>.events") resolves via NatsCatalog → the same NatsScanTable /
     // pushdown / vectorized readers as format("nats_scan"). The catalog
@@ -124,6 +134,10 @@ object V2Queries {
         s"""$env SELECT seq, CAST(octet_length(payload::BLOB) AS INTEGER) AS payload_bytes,
            |       payload AS payload_str
            | FROM env WHERE seq <= 500 ORDER BY seq""".stripMargin,
+
+      "v2_stats_agg" ->
+        s"""$env SELECT count(*) AS n, min(seq) AS min_seq, max(seq) AS max_seq,
+           | min(ts_nats) AS min_ts, max(ts_nats) AS max_ts FROM env""".stripMargin,
 
       "v2_catalog" ->
         s"""$env SELECT string_split(subject, '.')[2] AS etype, count(*) AS n,

@@ -141,7 +141,7 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
                             maxPerBatch: Long,
                             transport: Option[TransportBind] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = NatsScanSource.envelopeSchema
@@ -217,7 +217,91 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = transport match {
+  // --- COMPLETE aggregate pushdown (COUNT(*) / MIN / MAX on seq, ts_nats)
+  // answered from parquet footers or one streamInfo RPC — see NatsStatsScan
+  private var statsResult: Option[(Seq[NatsStatsScan.StatAgg], Seq[Any])] = None
+
+  private def translateAggs(agg: org.apache.spark.sql.connector.expressions
+      .aggregate.Aggregation): Option[Seq[NatsStatsScan.StatAgg]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (agg.groupByExpressions().nonEmpty) return None
+    def col(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case n: NamedReference if n.fieldNames().length == 1 =>
+        Some(n.fieldNames()(0))
+      case _ => None
+    }
+    val out = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(NatsStatsScan.CountStarAgg)
+      case m: Min => col(m.column) match {
+        case Some("seq") => Some(NatsStatsScan.MinSeq(max = false))
+        case Some("ts_nats") if transport.isEmpty =>
+          Some(NatsStatsScan.MinTs(max = false))
+        case _ => None
+      }
+      case m: Max => col(m.column) match {
+        case Some("seq") => Some(NatsStatsScan.MinSeq(max = true))
+        case Some("ts_nats") if transport.isEmpty =>
+          Some(NatsStatsScan.MinTs(max = true))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (out.forall(_.isDefined)) Some(out.map(_.get)) else None
+  }
+
+  /** bare scan only: any restriction means the residual Filter prunes
+    * rows AFTER the scan, and footer/server totals would overcount */
+  private def unrestricted: Boolean =
+    seqLo == 1L && seqHi == Long.MaxValue &&
+      tsLoNs == Long.MinValue && tsHiNs == Long.MaxValue &&
+      subjectContains.isEmpty && subjectPrefixes.isEmpty &&
+      transport.forall(tb => tb.startSeq.isEmpty && tb.endSeq.isEmpty &&
+        tb.startTimeNs.isEmpty && tb.endTimeNs.isEmpty && tb.subject.isEmpty)
+
+  override def supportCompletePushDown(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation): Boolean =
+    unrestricted && translateAggs(agg).isDefined
+
+  override def pushAggregation(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation): Boolean = {
+    if (!unrestricted) return false
+    translateAggs(agg) match {
+      case None => false
+      case Some(aggs) =>
+        val computed: Option[Seq[Any]] = transport match {
+          case Some(tb) =>
+            try NatsStatsScan.fromStreamInfo(tb.url, stream,
+              tb.connectTimeoutMs, aggs)
+            catch { case _: Exception => None } // connect errors → real scan
+          case None =>
+            val nativeDir = new java.io.File(s"$dir/$stream.msgs")
+            val (files, native) =
+              if (nativeDir.isDirectory)
+                (Option(nativeDir.listFiles((f: java.io.File) =>
+                  f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+                    !f.getName.startsWith("."))).toSeq.flatten.toSeq, true)
+              else (Seq(new java.io.File(file)).filter(_.isFile), false)
+            try NatsStatsScan.fromFooters(files, native, aggs)
+            catch { case _: Exception => None }
+        }
+        computed match {
+          case Some(values) => statsResult = Some((aggs, values)); true
+          case None => false
+        }
+    }
+  }
+
+  override def build(): Scan = statsResult match {
+    case Some((aggs, values)) =>
+      new NatsStatsScan(aggs, values,
+        transport.map(tb => s"url=${tb.url}").getOrElse(s"dir=$dir") +
+          s" stream=$stream")
+    case None => buildRowScan()
+  }
+
+  private def buildRowScan(): Scan = transport match {
     case Some(tb) =>
       new NatsTransportScan(tb.url, stream, required,
         seqLo = math.max(seqLo, tb.startSeq.getOrElse(1L)),

@@ -366,6 +366,29 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       Tables.load(spark, dir, "documents").filter(col("lang") === "es").count())
   }
 
+  test("nats_scan aggregate pushdown: bare count/min/max answered from footers") {
+    val bare = spark.read.format("nats_scan").option("dir", dir).load()
+      .agg(count(lit(1)).as("n"), min("seq").as("lo"), max("seq").as("hi"),
+        max("ts_nats").as("hts"))
+    val p = physical(bare)
+    assert(p.contains("STATS-ONLY"), p)
+    val r = bare.collect()(0)
+    // reference: force the row scan with a vacuous residual filter (any
+    // Filter node above the relation disables aggregate pushdown)
+    val ref = spark.read.format("nats_scan").option("dir", dir).load()
+      .filter(col("seq") >= 1L)
+      .agg(count(lit(1)), min("seq"), max("seq"), max("ts_nats")).collect()(0)
+    assert(r.getLong(0) == ref.getLong(0) && r.getLong(1) == ref.getLong(1) &&
+      r.getLong(2) == ref.getLong(2) && r.getTimestamp(3) == ref.getTimestamp(3),
+      s"$r vs $ref")
+    // a RESTRICTED aggregate must NOT use the stats path (residual filter
+    // prunes after the scan — footer totals would overcount)
+    val filtered = spark.read.format("nats_scan").option("dir", dir).load()
+      .filter(col("seq") <= 100L).agg(count(lit(1)))
+    assert(!physical(filtered).contains("STATS-ONLY"), physical(filtered))
+    assert(filtered.collect()(0).getLong(0) == 100L)
+  }
+
   test("min/max/count aggregates push down to parquet footer stats (DSv2)") {
     val sess = spark.newSession()
     sess.conf.set("spark.sql.sources.useV1SourceList", "")

@@ -48,10 +48,16 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
   }
 
+  /** row count through the REAL scan path: a bare `count()` is now answered
+    * by streamInfo via aggregate pushdown, which tests of fetch/cursor
+    * behavior must not take */
+  private def scanRows(df: org.apache.spark.sql.DataFrame): Long =
+    df.select("seq").collect().length.toLong
+
   // --- success behaviors (tests 1-10) ---
 
   test("custom URL connects and scans; gaps are skipped silently") {
-    assert(read("telemetry").count() == 90L) // 100 minus 10 deleted
+    assert(scanRows(read("telemetry")) == 90L) // 100 minus 10 deleted
   }
 
   test("default URL (implicit localhost:4222)") {
@@ -68,7 +74,7 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("multiple queries over one stream are isolated") {
-    assert(read("telemetry").count() == read("telemetry").count())
+    assert(scanRows(read("telemetry")) == scanRows(read("telemetry")))
   }
 
   test("metadata columns carry the envelope types") {
@@ -169,16 +175,17 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("E8 transient wire faults mid-slice: reader retries with backoff, scan completes") {
-    server.injectFaults(2) // next two data RPCs drop the connection
-    val n = read("telemetry").count()
-    assert(n == 90L) // full result despite the faults — retried, not skipped
-    // a fault burst past the retry budget fails the task (Spark would
-    // re-run the slice; locally the failure surfaces)
-    server.injectFaults(1000)
-    val e = intercept[Exception](read("telemetry").count())
-    assert(messageChain(e).contains("Connection Closed"), messageChain(e))
-    server.injectFaults(0)
-    assert(read("telemetry").count() == 90L)
+    try {
+      server.injectFaults(2) // next two data RPCs drop the connection
+      val n = scanRows(read("telemetry"))
+      assert(n == 90L) // full result despite the faults — retried, not skipped
+      // a fault burst past the retry budget fails the task (Spark would
+      // re-run the slice; locally the failure surfaces)
+      server.injectFaults(1000)
+      val e = intercept[Exception](scanRows(read("telemetry")))
+      assert(messageChain(e).contains("Connection Closed"), messageChain(e))
+    } finally server.injectFaults(0) // never leak armed faults to later tests
+    assert(scanRows(read("telemetry")) == 90L)
   }
 
   test("consumer-mode pull: cursor parity with fetch mode, batched RPCs, gaps skipped") {
@@ -190,8 +197,8 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     // cursor survives transient faults too (position does not advance on a
     // fault, so the retry re-delivers from the same place)
     server.injectFaults(2)
-    assert(read("telemetry", Map("fetch_mode" -> "consumer")).count() == 90L)
-    server.injectFaults(0)
+    try assert(scanRows(read("telemetry", Map("fetch_mode" -> "consumer"))) == 90L)
+    finally server.injectFaults(0)
     // direct cursor use: batched delivery in seq order, gaps absent
     val t = Transport.connect(url)
     try {
@@ -203,6 +210,23 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!second.map(_.seq).contains(10L)) // gap skipped
       c.close()
     } finally t.close()
+  }
+
+  test("aggregate pushdown: count/min/max seq answered by streamInfo, zero fetches") {
+    val agg = read("telemetry")
+      .agg(count(lit(1)).as("n"), min("seq").as("lo"), max("seq").as("hi"))
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("STATS-ONLY"), p)
+    val r = agg.collect()(0)
+    // 90 live messages (gaps excluded from the server count); seq 100 is
+    // itself a deleted gap, so the server's LastSeq-of-live is 99 — the
+    // same answer a full row scan's max(seq) returns
+    assert(r.getLong(0) == 90L && r.getLong(1) == 1L && r.getLong(2) == 99L,
+      r.toString)
+    // ts aggregates are NOT answerable from streamInfo → real scan
+    val tsAgg = read("telemetry").agg(max("ts_nats"))
+    assert(!tsAgg.queryExecution.executedPlan.toString.contains("STATS-ONLY"))
+    tsAgg.collect()
   }
 
   test("timestamp resolution is a remote binary search: O(log n) probes, gap-safe") {
