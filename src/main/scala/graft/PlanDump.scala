@@ -19,7 +19,15 @@ object PlanDump {
 
     val showcase = Seq(
       "v2_seq_range" ->
-        "V2 scan: pushed seq bounds visible in the scan node; row-group pruning + parquet record filters behind it",
+        "V2 scan: pushed seq bounds visible in the scan node (row-group pruning + page skipping behind it); the scan decodes COLUMNAR (ColumnarToRow above the BatchScan) and the bounds re-check runs residually in codegen",
+      "v2_stats_agg" ->
+        "complete aggregate pushdown: bare count/min/max answered from parquet footers — the STATS-ONLY scan emits one precomputed row, no data pages read",
+      "v2_catalog" ->
+        "catalog-routed scan: spark.table(<cat>.events) resolves through the NatsCatalog to the same vectorized BatchScan as format(\"nats_scan\")",
+      "nats_avro_extract" ->
+        "Avro extraction: bind-time .avsc schema, per-row wire decode + typed dotted-path projection — pure map-side expression work over the scan",
+      "transport_consumer_scan" ->
+        "consumer-mode transport scan: ordered-consumer cursor per slice partition (server-side position), result-identical to ranged fetch",
       "q_join_broadcast" ->
         "stream × dimension enrichment: dimension broadcast, no fact-side shuffle",
       "q_topk" ->

@@ -283,8 +283,13 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
                   f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
                     !f.getName.startsWith("."))).toSeq.flatten.toSeq, true)
               else (Seq(new java.io.File(file)).filter(_.isFile), false)
-            try NatsStatsScan.fromFooters(files, native, aggs)
-            catch { case _: Exception => None }
+            // missing fixture file: decline, so the ROW scan surfaces its
+            // proper error instead of a silent zero-count answer (an empty
+            // native store directory, by contrast, is a real empty stream)
+            if (!native && files.isEmpty) None
+            else
+              try NatsStatsScan.fromFooters(files, native, aggs)
+              catch { case _: Exception => None }
         }
         computed match {
           case Some(values) => statsResult = Some((aggs, values)); true
