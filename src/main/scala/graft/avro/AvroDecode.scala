@@ -181,6 +181,10 @@ final case class AvroDecodeExpression(child: Expression, schemaJson: String)
   @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
   @transient private lazy val reader =
     new GenericDatumReader[GenericRecord](schema)
+  // decoder/record reuse across rows (the spark-avro pattern): expressions
+  // are deserialized per task, so these are task-local, never shared.
+  @transient private var decoder: org.apache.avro.io.BinaryDecoder = _
+  @transient private var record: GenericRecord = _
 
   override def dataType: DataType = AvroCodec.sparkType(schema)
   override def nullable: Boolean = true
@@ -190,10 +194,10 @@ final case class AvroDecodeExpression(child: Expression, schemaJson: String)
   override def nullSafeEval(input: Any): Any =
     try {
       val bytes = input.asInstanceOf[Array[Byte]]
-      val dec = DecoderFactory.get().binaryDecoder(bytes, null)
-      val rec = reader.read(null, dec)
+      decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
+      record = reader.read(record, decoder)
       // trailing garbage = not a clean single-record payload → NULL
-      if (!dec.isEnd) null else AvroCodec.toCatalyst(rec, schema)
+      if (!decoder.isEnd) null else AvroCodec.toCatalyst(record, schema)
     } catch { case _: Exception => null }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -215,13 +219,17 @@ final case class AvroEncodeExpression(child: Expression, schemaJson: String)
   override def inputTypes: Seq[DataType] =
     Seq(AvroCodec.sparkType(schema))
 
+  // stream/encoder reuse across rows (task-local, like the decode side)
+  @transient private lazy val out = new java.io.ByteArrayOutputStream()
+  @transient private var encoder: org.apache.avro.io.BinaryEncoder = _
+
   override def nullSafeEval(input: Any): Any = {
     val rec = AvroCodec.fromCatalyst(input.asInstanceOf[InternalRow], schema)
       .asInstanceOf[GenericRecord]
-    val out = new java.io.ByteArrayOutputStream()
-    val enc = EncoderFactory.get().binaryEncoder(out, null)
-    writer.write(rec, enc)
-    enc.flush()
+    out.reset()
+    encoder = EncoderFactory.get().binaryEncoder(out, encoder)
+    writer.write(rec, encoder)
+    encoder.flush()
     out.toByteArray
   }
 

@@ -135,6 +135,13 @@ object ProtoWire {
                 case PBytes  => put(idx, java.util.Arrays.copyOfRange(b, p2, p2 + l))
                 case PMessage(inner) => put(idx, decodeRange(b, p2, p2 + l, inner))
                 case PTimestamp | PDuration => put(idx, wktMicros(b, p2, p2 + l))
+                case PWrapper(_, wmd) =>
+                  // decode the one-field wrapper message, surface its value
+                  // slot (an empty message → the inner scalar's default,
+                  // exactly the proto3 wrapper contract)
+                  put(idx, decodeRange(b, p2, p2 + l, wmd)
+                    .asInstanceOf[org.apache.spark.sql.catalyst.expressions
+                      .GenericInternalRow].values(0))
                 case _ if f.packable =>
                   // proto3 packed repeated scalars: consecutive values
                   var q = p2
@@ -203,6 +210,7 @@ object ProtoWire {
     case PEnum(_, values) => UTF8String.fromString(values.getOrElse(0, "0"))
     case _: PMessage => null
     case PTimestamp | PDuration => null // message presence: unset → NULL
+    case _: PWrapper => null            // unset wrapper → NULL (its point)
   }
 
   /** {seconds=1 varint, nanos=2 varint} → µs (Spark's internal long for
@@ -357,6 +365,11 @@ object ProtoWire {
                 encodeMessage(row.getStruct(idx, inner.fields.length), inner)
               case PTimestamp => wktPayload(row.getLong(idx), timestamp = true)
               case PDuration  => wktPayload(row.getLong(idx), timestamp = false)
+              case PWrapper(inner, wmd) =>
+                encodeMessage(new org.apache.spark.sql.catalyst.expressions
+                  .GenericInternalRow(
+                    Array[Any](row.get(idx, ProtoSchema.sparkType(inner)))),
+                  wmd)
               case other =>
                 throw new IllegalArgumentException(s"bad len-delim field $other")
             }
@@ -439,6 +452,11 @@ object ProtoWire {
             encodeMessage(arr.getStruct(i, inner.fields.length), inner)
           case PTimestamp => wktPayload(arr.getLong(i), timestamp = true)
           case PDuration  => wktPayload(arr.getLong(i), timestamp = false)
+          case PWrapper(inner, wmd) =>
+            encodeMessage(new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(
+                Array[Any](arr.get(i, ProtoSchema.sparkType(inner)))),
+              wmd)
           case other =>
             throw new IllegalArgumentException(s"bad repeated len-delim $other")
         }

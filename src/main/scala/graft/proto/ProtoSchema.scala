@@ -35,6 +35,12 @@ object PType {
   /** google.protobuf.Duration — same wire shape, surfaced as
     * DayTimeIntervalType (µs precision, like the Spark type itself) */
   case object PDuration extends PType
+  /** google.protobuf wrapper message (wrappers.proto) — single `value = 1`
+    * field, surfaced as the NULLABLE inner scalar: unset message → NULL
+    * (the whole point of wrappers in proto3, where plain scalars cannot
+    * distinguish unset from default). `md` is the synthetic one-field
+    * message the wire codec decodes/encodes through. */
+  final case class PWrapper(inner: PType, md: MessageDef) extends PType
 }
 
 /** Wire encoding family for a field — what the decoder needs at runtime. */
@@ -140,6 +146,26 @@ object ProtoSchema {
     case PType.PMessage(m) => m.sparkSchema
     case PType.PTimestamp => TimestampType
     case PType.PDuration  => DayTimeIntervalType()
+    case PType.PWrapper(inner, _) => sparkType(inner)
+  }
+
+  /** The nine google.protobuf wrapper messages (wrappers.proto), keyed by
+    * short name. Each carries its synthetic one-field MessageDef so the
+    * wire codec can reuse the ordinary message decode/encode paths. */
+  val wrapperTypes: Map[String, PType.PWrapper] = {
+    def w(name: String, pt: PType, enc: Enc): (String, PType.PWrapper) =
+      name -> PType.PWrapper(pt, MessageDef(s"google.protobuf.$name",
+        List(FieldDef("value", 1, pt, enc))))
+    Map(
+      w("DoubleValue", PType.PDouble, Enc.Fixed64),
+      w("FloatValue",  PType.PFloat,  Enc.Fixed32),
+      w("Int64Value",  PType.PInt64,  Enc.Varint),
+      w("UInt64Value", PType.PUInt64, Enc.Varint),
+      w("Int32Value",  PType.PInt32,  Enc.Varint),
+      w("UInt32Value", PType.PUInt32, Enc.Varint),
+      w("BoolValue",   PType.PBool,   Enc.Varint),
+      w("StringValue", PType.PString, Enc.LenDelim),
+      w("BytesValue",  PType.PBytes,  Enc.LenDelim))
   }
 
   /** Parse a .proto file from disk, resolving `import` statements, and
@@ -180,9 +206,13 @@ object ProtoSchema {
           wkt += "google.protobuf.Timestamp"; wkt += "Timestamp"
         case "google/protobuf/duration.proto" =>
           wkt += "google.protobuf.Duration"; wkt += "Duration"
+        case "google/protobuf/wrappers.proto" =>
+          wrapperTypes.keys.foreach { n =>
+            wkt += s"google.protobuf.$n"; wkt += n
+          }
         case g if g.startsWith("google/protobuf/") =>
           fail(s"$g: well-known type import not supported " +
-            "(only timestamp.proto and duration.proto)")
+            "(only timestamp.proto, duration.proto, and wrappers.proto)")
         case rel => load(rootDir.resolve(rel).normalize(), p :: chain)
       }
       sources += src
@@ -440,8 +470,11 @@ object ProtoSchema {
         case None if wkt.contains(tname) =>
           // well-known type, enabled by its google/protobuf import; message
           // on the wire, Spark leaf type in the schema
-          val pt = if (tname.endsWith("Timestamp")) PType.PTimestamp
-                   else PType.PDuration
+          val short = tname.stripPrefix("google.protobuf.")
+          val pt: PType =
+            if (short == "Timestamp") PType.PTimestamp
+            else if (short == "Duration") PType.PDuration
+            else ProtoSchema.wrapperTypes(short)
           fields += FieldDef(fname, fnum, pt, Enc.LenDelim, repeated,
             oneofGroup = oneofGroup)
         case None if enums.contains(tname) =>

@@ -258,6 +258,53 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     }),
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    // within each embedding cluster, pairs above a cosine threshold are
+    // duplicates; of each pair the member CLOSER to the cluster centroid is
+    // dropped (the paper keeps low-centroid-similarity "outlier" examples —
+    // they carry more marginal information). Survivors = vectors that lose
+    // no pair.
+    //
+    // Scale shape: the cluster id (`label` — in production the IVF/k-means
+    // assignment this repo already computes map-side) BLOCKS the pair space:
+    // pairs are a per-cluster self-equi-join, never corpus². Centroids are a
+    // narrow posexplode+groupBy aggregate (n_clusters·dim rows) broadcast
+    // back; the drop decision is a LEFT ANTI on a narrow id set. Norms and
+    // centroid-cosines are materialized once per vector BEFORE the pair
+    // join. Centroid dims and ccos are rounded to 6 decimals so the
+    // accumulation order of the mean can't flip a keep decision across
+    // engines (ties fall to the higher vec_id).
+    "dedup_semantic" -> ((s, dir) => {
+      val e = graft.Caches.tracked(emb(s, dir)
+        .withColumn("nrm", Similarity.norm(col("embedding"))))
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("x").cast("double")), 6).as("m"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("centroid"))
+      val withC = graft.Caches.tracked(e.join(broadcast(cent), "label")
+        .withColumn("ccos",
+          round(Similarity.cosine(col("centroid"), col("embedding")), 6))
+        .select("label", "vec_id", "embedding", "nrm", "ccos"))
+      val l = withC.select(col("label"), col("vec_id").as("id1"),
+        col("embedding").as("v1"), col("nrm").as("n1"), col("ccos").as("c1"))
+      val r = withC.select(col("label"), col("vec_id").as("id2"),
+        col("embedding").as("v2"), col("nrm").as("n2"), col("ccos").as("c2"))
+      val losers = l.join(r, "label")
+        .filter(col("id1") < col("id2"))
+        .filter(Similarity.dot(col("v1"), col("v2")) / col("n1") / col("n2")
+          >= 0.3)
+        .select(when(col("c1") > col("c2"), col("id1"))
+          .when(col("c2") > col("c1"), col("id2"))
+          .otherwise(greatest(col("id1"), col("id2"))).as("vec_id"))
+        .distinct()
+      withC.join(losers, Seq("vec_id"), "left_anti")
+        .select("vec_id", "label", "ccos")
+        .orderBy("vec_id")
+    }),
+
     // brute-force cosine top-k: the exact baseline every ANN variant is
     // measured against. Queries broadcast; corpus scan stays partitioned.
     "ann_topk" -> ((s, dir) => {
@@ -1017,6 +1064,29 @@ object PipelineQueries {
         ON a.label = c.label AND a.vec_id < c.vec_id
       WHERE ${cos("a.embedding", "c.embedding")} >= 0.4
       ORDER BY id1, id2""",
+
+    "dedup_semantic" -> s"""
+      WITH dims AS (
+        SELECT label, i.i AS pos, round(avg(CAST(embedding[i.i] AS DOUBLE)), 6) AS m
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY label, i.i),
+      cent AS (SELECT label, list(m ORDER BY pos) AS centroid FROM dims GROUP BY label),
+      wc AS (
+        SELECT e.vec_id, e.label, e.embedding,
+               round(${cos("c.centroid", "e.embedding")}, 6) AS ccos
+        FROM embeddings e JOIN cent c USING (label)),
+      pairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2, a.ccos AS c1, b.ccos AS c2
+        FROM wc a JOIN wc b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ${cos("a.embedding", "b.embedding")} >= 0.3),
+      losers AS (
+        SELECT DISTINCT CASE WHEN c1 > c2 THEN id1
+                             WHEN c2 > c1 THEN id2
+                             ELSE greatest(id1, id2) END AS vec_id
+        FROM pairs)
+      SELECT vec_id, label, ccos FROM wc
+      WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+      ORDER BY vec_id""",
 
     "ann_topk" -> s"""
       WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Similarity
+import graft.functions.{Similarity, TextFunctions => TF}
 
 /** Training-data curation operators beyond the dedup/ANN/text batches:
   * denylist scrubbing, within-document repetition metrics (Gopher-style
@@ -109,6 +109,45 @@ object TrainingDataQueries {
             .as("dup_ratio"),
           round(col("top_c").cast("double") / col("n_words"), 6)
             .as("top_word_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style quality rule battery (Rae et al. 2021 appendix A1.1
+    // shape): per-document signals + per-rule booleans + the composite keep
+    // decision. One scan: the per-row signals (word count, mean word
+    // length, stopword hits via the compiled membership fold) ride through
+    // the word-count aggregation as grouping keys that are functionally
+    // dependent on doc_id, so the plan is explode → one (doc, word)
+    // shuffle with map-side partial counts → one narrow doc rollup.
+    // No second scan, no doc-level self-join.
+    "pipe_gopher_rules" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(
+        col("doc_id"), length(col("text")).as("tlen"),
+        split(col("text"), " ").as("toks"))
+      val d = base.select(col("doc_id"), col("tlen"),
+          TF.tokenCountIn(col("toks"), TF.stopwords).cast("long").as("n_stop"),
+          explode(col("toks")).as("w"))
+        .groupBy("doc_id", "tlen", "n_stop", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "tlen", "n_stop")
+        .agg(sum("c").as("n_words"), count(lit(1)).as("nd"),
+          max("c").as("top_c"))
+      val sig = d.select(
+        col("doc_id"), col("n_words"),
+        round((col("tlen") - col("n_words") + lit(1.0)) / col("n_words"), 6)
+          .as("mean_wlen"),
+        col("n_stop"),
+        round(lit(1.0) - col("nd").cast("double") / col("n_words"), 6)
+          .as("dup_ratio"),
+        round(col("top_c").cast("double") / col("n_words"), 6)
+          .as("top_word_frac"))
+      sig
+        .withColumn("r_len", col("n_words").between(25, 90))
+        .withColumn("r_wlen", col("mean_wlen").between(4.0, 5.0))
+        .withColumn("r_dup", col("dup_ratio") <= 0.65)
+        .withColumn("r_top", col("top_word_frac") <= 0.15)
+        .withColumn("r_stop", col("n_stop") >= 2)
+        .withColumn("keep", col("r_len") && col("r_wlen") && col("r_dup") &&
+          col("r_top") && col("r_stop"))
         .orderBy("doc_id")
     }),
 
@@ -233,6 +272,40 @@ object TrainingDataQueries {
              round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_ratio,
              round(CAST(top_c AS DOUBLE) / n_words, 6) AS top_word_frac
       FROM d ORDER BY doc_id""",
+
+    "pipe_gopher_rules" -> """
+      WITH base AS (
+        SELECT doc_id, length(text) AS tlen, string_split(text, ' ') AS toks
+        FROM documents),
+      w AS (
+        SELECT doc_id, tlen,
+               CAST(len(list_filter(toks,
+                 t -> t IN ('the','of','and','to','a','in','is'))) AS BIGINT)
+                 AS n_stop,
+               unnest(toks) AS w
+        FROM base),
+      wc AS (SELECT doc_id, tlen, n_stop, w, count(*) AS c
+             FROM w GROUP BY 1, 2, 3, 4),
+      d AS (SELECT doc_id, tlen, n_stop, CAST(sum(c) AS BIGINT) AS n_words,
+                   count(*) AS nd, max(c) AS top_c
+            FROM wc GROUP BY 1, 2, 3),
+      sig AS (
+        SELECT doc_id, n_words,
+               round((tlen - n_words + 1.0) / n_words, 6) AS mean_wlen,
+               n_stop,
+               round(1.0 - CAST(nd AS DOUBLE) / n_words, 6) AS dup_ratio,
+               round(CAST(top_c AS DOUBLE) / n_words, 6) AS top_word_frac
+        FROM d)
+      SELECT doc_id, n_words, mean_wlen, n_stop, dup_ratio, top_word_frac,
+             (n_words BETWEEN 25 AND 90) AS r_len,
+             (mean_wlen BETWEEN 4.0 AND 5.0) AS r_wlen,
+             (dup_ratio <= 0.65) AS r_dup,
+             (top_word_frac <= 0.15) AS r_top,
+             (n_stop >= 2) AS r_stop,
+             ((n_words BETWEEN 25 AND 90) AND (mean_wlen BETWEEN 4.0 AND 5.0)
+              AND dup_ratio <= 0.65 AND top_word_frac <= 0.15
+              AND n_stop >= 2) AS keep
+      FROM sig ORDER BY doc_id""",
 
     "pipe_ngram_topk" -> """
       WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),

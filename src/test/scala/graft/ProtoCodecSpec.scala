@@ -121,6 +121,46 @@ class ProtoCodecSpec extends AnyFunSuite {
     assert(!back.isNullAt(3) && back.getLong(3) == 0L)
   }
 
+  test("wrapper WKTs: nullable scalars — unset → NULL, defaults survive, roundtrip") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_proto_wrap")
+    val main = tmp.resolve("wrap.proto")
+    java.nio.file.Files.write(main,
+      ("""syntax = "proto3";
+         |import "google/protobuf/wrappers.proto";
+         |message W {
+         |  google.protobuf.Int32Value a = 1;
+         |  google.protobuf.StringValue b = 2;
+         |  google.protobuf.DoubleValue c = 3;
+         |  google.protobuf.BoolValue d = 4;
+         |  google.protobuf.UInt64Value e = 5;
+         |}
+         |""".stripMargin).getBytes("UTF-8"))
+    val md = ProtoSchema.parseFile(main.toString, "W")
+    val s = md.sparkSchema
+    assert(s("a").dataType == IntegerType)
+    assert(s("b").dataType == StringType)
+    assert(s("c").dataType == DoubleType)
+    assert(s("d").dataType == BooleanType)
+    assert(s("e").dataType == DecimalType(20, 0))
+    // unset wrappers → NULL, not zero — the distinction wrappers exist for
+    val empty = ProtoWire.decodeMessage(Array.emptyByteArray, md)
+    (0 until 5).foreach(i => assert(empty.isNullAt(i), s"slot $i"))
+    // roundtrip incl. explicit defaults (0 / "" / false): a present wrapper
+    // holding the default value must stay present
+    val row = InternalRow(0, UTF8String.fromString(""), 2.5, false,
+      Decimal(BigDecimal(123456789L), 20, 0))
+    val back = rt(md, row)
+    assert(!back.isNullAt(0) && back.getInt(0) == 0)
+    assert(!back.isNullAt(1) && back.getUTF8String(1).toString == "")
+    assert(back.getDouble(2) == 2.5)
+    assert(!back.isNullAt(3) && !back.getBoolean(3))
+    assert(back.getDecimal(4, 20, 0).toLong == 123456789L)
+    // mixed present/absent
+    val back2 = rt(md, InternalRow(7, null, null, true, null))
+    assert(back2.getInt(0) == 7 && back2.isNullAt(1) && back2.isNullAt(2))
+    assert(back2.getBoolean(3) && back2.isNullAt(4))
+  }
+
   test("proto3 defaults: empty message decodes to zero values, null submessage") {
     val empty = ProtoWire.decodeMessage(Array.emptyByteArray, deviceEvent)
     assert(empty.getUTF8String(0).toString == "")     // device_id

@@ -175,6 +175,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed > 0)
   }
 
+  test("dropDuplicatesWithinWatermark bounds dedup state by event time") {
+    // The plain dropDuplicates("seq") above keeps EVERY seen key in state
+    // forever — fine for a replay test, fatal on an unbounded 100 TB/day
+    // stream. dropDuplicatesWithinWatermark is the production shape: state
+    // for a key is dropped once the watermark passes its event time, so
+    // state size is bounded by (watermark horizon × arrival rate), not by
+    // stream history. Duplicate pairs here arrive in the same micro-batch
+    // (two lockstep replays), well inside the 1 h horizon, so the result
+    // still matches the exact union-distinct count.
+    val doubled = stream(400).unionAll(stream(400))
+      .withWatermark("ts_nats", "1 hour")
+      .dropDuplicatesWithinWatermark("seq")
+    val q = doubled.writeStream.format("memory").queryName("dedupww")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val n = spark.sql("SELECT count(*), count(DISTINCT seq) FROM dedupww").head()
+    assert(n.getLong(0) == 1000L, s"dupes survived: $n")
+    assert(n.getLong(1) == 1000L)
+  }
+
+  test("native session_window aggregation matches the batch equivalent") {
+    // session_window is the declarative sibling of the
+    // flatMapGroupsWithState sessionizer below — Catalyst owns the state
+    // store and session merge, so it gets watermark-driven eviction and
+    // AQE-planned shuffles for free. Same 6 h gap as the custom operator.
+    val uid = element_at(split(col("subject"), "\\."), 3).cast("long")
+    val q = stream(400)
+      .select(uid.as("user_id"), col("ts_nats"))
+      .withWatermark("ts_nats", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts_nats"), "6 hours"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("sesswin")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT user_id, session_window.start, n FROM sesswin ORDER BY 1, 2")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val batch = graft.nats.NatsScan.scanDir(spark, dir)
+      .select(uid.as("user_id"), col("ts_nats"))
+      .groupBy(col("user_id"), session_window(col("ts_nats"), "6 hours"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start"), col("n"))
+      .orderBy("user_id", "start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("stream-stream windowed join matches the batch equivalent") {
     import org.apache.spark.sql.functions.expr
     val purchases = stream(500)
