@@ -161,6 +161,57 @@ object Multimodal {
     }
   }
 
+  final case class ImageHash(doc_id: Long, width: Int, height: Int,
+                             ahash: Long)
+
+  /** Perceptual average-hash (aHash) over REAL decoded pixels: ImageIO
+    * inflates the PNG, pixels fall into an 8×8 grid of bins
+    * (bin = (y·8/h)·8 + x·8/w), and bit k is set iff bin k's gray sum is
+    * strictly above the image mean — all in INTEGER arithmetic
+    * (binSum·N > total·n_k), so the oracle replays it exactly with no
+    * float rounding hazard. Near-identical images land within a small
+    * Hamming distance; the hash is 8 bytes per image no matter the
+    * resolution — the fingerprint you ship to the dedup join instead of
+    * the pixels. Entirely map-side (the 100 TB shape: decode cost scales
+    * per partition, nothing shuffles but (id, hash)). */
+  def perceptualHash(cells: Dataset[MediaCell]): Dataset[ImageHash] = {
+    import cells.sparkSession.implicits._
+    cells.mapPartitions { it =>
+      it.map { cell =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(cell.media))
+        val w = img.getWidth
+        val h = img.getHeight
+        val binSum = new Array[Long](64)
+        val binN = new Array[Long](64)
+        var total = 0L
+        var n = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val gray = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            val bin = (y * 8 / h) * 8 + (x * 8 / w)
+            binSum(bin) += gray
+            binN(bin) += 1
+            total += gray
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var k = 0
+        while (k < 64) {
+          if (binN(k) > 0 && binSum(k) * n > total * binN(k)) hash |= (1L << k)
+          k += 1
+        }
+        ImageHash(cell.doc_id, w, h, hash)
+      }
+    }
+  }
+
   /** REAL image path — javax.imageio ships in the JDK, so PNG decode needs
     * no external codec: manufacture a genuine PNG per document (BufferedImage
     * → ImageIO.write), deterministic in the document's text. Same

@@ -35,6 +35,43 @@ object MultimodalQueries {
       Multimodal.sampleFrames(meta(s, dir), everyK = 3)
         .orderBy("doc_id", "frame_idx")),
 
+    // perceptual image fingerprint: aHash over the REAL decoded PNG pixels
+    // (8×8 grid bins, integer-arithmetic threshold against the image mean).
+    // The oracle recomputes the identical hash from the pixel-generation
+    // arithmetic — so this also proves encode→decode is pixel-exact.
+    "mm_phash" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.perceptualHash(
+          Multimodal.synthesizePng(Tables.load(s, dir, "documents")))
+        .toDF().orderBy("doc_id")
+    }),
+
+    // image near-dup dedup over the perceptual hash: the SimHash banding
+    // pattern applied to media — 4×16-bit bands block the pair space
+    // (candidates share at least one band), exact Hamming distance
+    // verifies. Only (id, hash, band) rows shuffle; pixels never leave
+    // the map side. 100 TB of images dedups on 8-byte fingerprints.
+    "mm_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val ph = Multimodal.perceptualHash(
+          Multimodal.synthesizePng(Tables.load(s, dir, "documents"))).toDF()
+      val bands = ph.select(col("doc_id"), col("ahash"),
+          explode(expr("sequence(0, 3)")).as("b"))
+        .withColumn("band_val",
+          expr("shiftright(ahash, cast(b * 16 as int)) & 65535"))
+      val l = bands.select(col("b"), col("band_val"),
+        col("doc_id").as("id1"), col("ahash").as("h1"))
+      val r = bands.select(col("b"), col("band_val"),
+        col("doc_id").as("id2"), col("ahash").as("h2"))
+      l.join(r, Seq("b", "band_val"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          expr("cast(bit_count(h1 ^ h2) as int)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("id1", "id2")
+    }),
+
     // multimodal → similarity composition: features extracted from media
     // cells feed the ANN top-k directly (small query set broadcast, corpus
     // scan stays partitioned — the ann_topk shape over extracted features)
@@ -88,6 +125,40 @@ object MultimodalQueries {
              CAST(list_sum([ord(text[i]) FOR i IN range(1, length(text) + 1)]) AS BIGINT) AS checksum
       FROM documents)"""
 
+  /** replays [[Multimodal.perceptualHash]] from the pixel-generation
+    * arithmetic of [[Multimodal.synthesizePng]]: pixels cycle the text
+    * bytes through RGB, bins are the 8×8 grid, bit k set iff
+    * binSum·N > total·n_k (all integers — no float rounding anywhere).
+    * DuckDB refuses `1 << 63`, hence the explicit Long.MinValue branch. */
+  private val phashSql = """
+    WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L0 FROM documents),
+    dim AS (SELECT doc_id, text,
+            CASE WHEN L0 = 0 THEN 1 ELSE L0 END AS L,
+            CAST((L0 % 13) + 2 AS INTEGER) AS w,
+            CAST((L0 % 11) + 2 AS INTEGER) AS h FROM d),
+    px AS (
+      SELECT doc_id, w, h,
+        i.i % w AS x, i.i // w AS y,
+        (CASE WHEN text = '' THEN 0 ELSE ascii(substr(text, CAST((3*i.i) % L AS INTEGER) + 1, 1)) END
+         + CASE WHEN text = '' THEN 0 ELSE ascii(substr(text, CAST((3*i.i+1) % L AS INTEGER) + 1, 1)) END
+         + CASE WHEN text = '' THEN 0 ELSE ascii(substr(text, CAST((3*i.i+2) % L AS INTEGER) + 1, 1)) END) AS gray
+      FROM dim, (SELECT unnest(range(0, 200)) AS i) i
+      WHERE i.i < w * h),
+    bins AS (
+      SELECT doc_id, w, h, (y*8//h)*8 + (x*8//w) AS bin,
+             sum(gray) AS s_k, count(*) AS n_k
+      FROM px GROUP BY 1, 2, 3, 4),
+    tot AS (SELECT doc_id, sum(s_k) AS S, sum(n_k) AS N FROM bins GROUP BY 1),
+    bits AS (
+      SELECT b.doc_id, b.w, b.h,
+             CASE WHEN b.s_k * t.N <= t.S * b.n_k THEN 0
+                  WHEN b.bin = 63 THEN -9223372036854775807 - 1
+                  ELSE (1::BIGINT << CAST(b.bin AS INTEGER)) END AS bv
+      FROM bins b JOIN tot t USING (doc_id)),
+    ph AS (
+      SELECT doc_id, w AS width, h AS height, bit_or(bv) AS ahash
+      FROM bits GROUP BY 1, 2, 3)"""
+
   def oracleSql: Map[String, String] = Map(
     "mm_decode_meta" -> s"""$metaSql
       SELECT doc_id, width, height, channels, fps, n_bytes, checksum
@@ -106,6 +177,21 @@ object MultimodalQueries {
       FROM m, (SELECT unnest(range(0, 30, 3)) AS frame_idx) f
       WHERE f.frame_idx < fps
       ORDER BY doc_id, frame_idx""",
+
+    "mm_phash" -> s"""$phashSql
+      SELECT doc_id, width, height, ahash FROM ph ORDER BY doc_id""",
+
+    "mm_phash_dedup" -> s"""$phashSql,
+      bands AS (
+        SELECT doc_id, ahash, b.b AS b, (ahash >> (b.b * 16)) & 65535 AS band_val
+        FROM ph, (SELECT unnest(range(0, 4)) AS b) b),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+               CAST(bit_count(xor(a.ahash, c.ahash)) AS INTEGER) AS hamming
+        FROM bands a JOIN bands c
+          ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id)
+      SELECT id1, id2, hamming FROM cand WHERE hamming <= 3
+      ORDER BY id1, id2""",
 
     "mm_ann" -> """
       WITH f AS (

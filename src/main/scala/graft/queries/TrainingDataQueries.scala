@@ -151,6 +151,30 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     }),
 
+    // fixed-size token chunking with overlap (context-window preparation:
+    // 32-token chunks on a 24-token stride → 8 tokens of overlap carrying
+    // context across boundaries). Pure map-side: sequence + explode + slice
+    // inside one projection, no shuffle at all until the deterministic
+    // output ordering — at 100 TB this is embarrassingly parallel and the
+    // chunk count per task is bounded by tokens/stride.
+    "pipe_chunk" -> ((s, dir) => {
+      val (size_, stride) = (32, 24)
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(expr(s"sequence(0, int(floor((size(toks) - 1) / $stride)))"))
+            .as("ci"))
+        .select(
+          col("doc_id"),
+          col("ci").cast("long").as("chunk_idx"),
+          slice(col("toks"), col("ci") * stride + 1, lit(size_)).as("chunk"))
+        .select(
+          col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("chunk_len"),
+          md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // global bigram frequency, top 50 (tie-broken on the ngram text).
     // Shape: explode POSITIONS and concat at the top level of the
     // projection — never explode(zip_with(...)): a generator over a
@@ -306,6 +330,19 @@ object TrainingDataQueries {
               AND dup_ratio <= 0.65 AND top_word_frac <= 0.15
               AND n_stop >= 2) AS keep
       FROM sig ORDER BY doc_id""",
+
+    "pipe_chunk" -> """
+      WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      c AS (
+        SELECT doc_id, i.i AS chunk_idx,
+               toks[(i.i * 24 + 1):(i.i * 24 + 32)] AS chunk
+        FROM base, (SELECT unnest(range(0, 1000)) AS i) i
+        WHERE i.i * 24 < len(toks))
+      SELECT doc_id, chunk_idx,
+             CAST(len(chunk) AS BIGINT) AS chunk_len,
+             md5(array_to_string(chunk, ' ')) AS chunk_md5
+      FROM c ORDER BY doc_id, chunk_idx""",
 
     "pipe_ngram_topk" -> """
       WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),

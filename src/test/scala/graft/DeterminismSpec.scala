@@ -37,7 +37,10 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     // round-6 families: wire codecs (avro/msgpack/cbor round-trips through
     // per-row expressions), regex PII scrubbing, catalog-routed scan
     "nats_avro_extract", "nats_msgpack_extract", "nats_cbor_extract",
-    "pipe_pii", "v2_catalog", "proto_imported")
+    "pipe_pii", "v2_catalog", "proto_imported",
+    // round-6 additions: centroid-comparison dedup (float-rounding-backed
+    // keep decisions), grouped rule battery, map-side chunk explode
+    "dedup_semantic", "pipe_gopher_rules", "pipe_chunk")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -271,6 +271,39 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("dedup_semantic: centroids broadcast, drop set applied as LEFT ANTI, no cartesian") {
+    val df = graft.queries.PipelineQueries.queries("dedup_semantic")(spark, dir)
+    val p = physical(df)
+    assert(p.contains("BroadcastHashJoin"), p)  // centroid table → every vector
+    assert(p.contains("LeftAnti"), p)           // survivors = corpus − losers
+    assert(!p.contains("CartesianProduct"), p)  // pair space stays label-blocked
+  }
+
+  test("pipe_gopher_rules: one documents scan feeds the whole rule battery") {
+    val df = graft.queries.TrainingDataQueries.queries("pipe_gopher_rules")(spark, dir)
+    val plan = df.queryExecution.sparkPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.length == 1, s"expected a single documents scan:\n$plan")
+  }
+
+  test("mm_phash_dedup: banded fingerprint self-join, pixels never shuffle") {
+    val df = graft.queries.MultimodalQueries.queries("mm_phash_dedup")(spark, dir)
+    val p = physical(df)
+    assert(!p.contains("CartesianProduct"), p)     // band-blocked pair space
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)          // equi-join on (b, band_val)
+    // every exchange moves only narrow id/hash/band columns — the decoded
+    // pixels (and the media bytes) stay inside their map stage
+    val wide = df.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.output.exists(a => a.name == "media" || a.name == "text") => e
+    }
+    assert(wide.isEmpty, s"media/text crossed an exchange:\n$p")
+  }
+
   test("ann_rerank: both ranking stages are partitioned WindowGroupLimit passes") {
     val df = graft.queries.PipelineQueries.queries("ann_rerank")(spark, dir)
     val p = physical(df)
