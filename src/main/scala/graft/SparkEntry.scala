@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.AnalyticQueries.queries ++
       graft.queries.TrainingDataQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.WireQueries.queries
+      graft.queries.WireQueries.queries ++
+      graft.queries.RetrievalQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.NatsQueries.oracleSql ++
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.AnalyticQueries.oracleSql ++
       graft.queries.TrainingDataQueries.oracleSql ++
       graft.queries.CurationQueries.oracleSql ++
-      graft.queries.WireQueries.oracleSql
+      graft.queries.WireQueries.oracleSql ++
+      graft.queries.RetrievalQueries.oracleSql
 }

@@ -19,7 +19,13 @@ object Verify {
       if (f.isDirectory) f.listFiles().foreach(rmrf)
       f.delete()
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 restricts the dump
+    // (and the dumped oracle set) to the named queries. The driver never
+    // sets it, so the gate always grades the full surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       // drop any previous dump FIRST: a failed query must leave no output,
       // or the compare would silently grade a stale result as current
       rmrf(new java.io.File(s"$outDir/$name"))
@@ -45,7 +51,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

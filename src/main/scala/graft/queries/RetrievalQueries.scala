@@ -1,0 +1,400 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Similarity
+
+/** Retrieval and statistical-LM scoring over the document corpus: BM25
+  * keyword search, per-document TF-IDF keywords, unigram-LM perplexity
+  * scoring, DSIR importance resampling (Xie et al. 2023), and full
+  * multi-iteration Lloyd k-means over the embedding table — the
+  * quality/retrieval side of a training-data pipeline that the dedup/ANN
+  * batches don't cover.
+  *
+  * Scale notes (100 TB thinking):
+  *   - every per-document score is an exact-integer ratio or a per-row pure
+  *     double function (ln of integer ratios) — no accumulation-order
+  *     dependence; where a document aggregates FLOAT terms (perplexity,
+  *     DSIR, k-means coherence) the per-term value is rounded to a fixed
+  *     scale and summed as DECIMAL, so the sum is bit-identical at any
+  *     parallelism and in any engine;
+  *   - corpus-level statistics (document count, avgdl, document frequency
+  *     of the query terms, the 64-bucket feature distributions) are tiny by
+  *     construction and travel as broadcasts — the corpus-side work stays
+  *     map-side + one partial-agg shuffle;
+  *   - the unigram-LM join (doc-term rows ⋈ vocabulary) is the canonical
+  *     Zipf-skew join: the head (high-count terms) is joined via broadcast,
+  *     the rare-word tail via shuffle where keys are near-unique — neither
+  *     side ever concentrates a stopword's rows on one reducer;
+  *   - k-means iterations collect only K×dim rounded centroid values per
+  *     round (the bounded-model pattern MLlib uses); assignment stays a
+  *     map-side argmax over K literal vectors — no N×K shuffle, ever.
+  */
+object RetrievalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** (doc_id, w, c): per-document term counts — the shared base relation of
+    * the retrieval family. One explode + one (doc, word) shuffle with
+    * map-side partial counts. */
+  private def wordCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+
+  /** BM25 parameters (Robertson k1/b defaults) and the fixed query. */
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+  private val bm25Terms = Seq("stream", "window", "hash")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BM25 keyword retrieval: top-20 documents for a 3-term query.
+    // Only rows matching a query term survive the map-side filter, so the
+    // (doc, term) shuffle carries a tiny fraction of the corpus; df and the
+    // corpus stats (N, avgdl) are broadcast scalars. The per-document score
+    // adds its ≤3 term contributions IN FIXED TERM ORDER via conditional
+    // aggregation — a plain SUM over doubles would be accumulation-order
+    // dependent and could flip the 6th decimal between engines.
+    // avgdl is exact: document lengths are integers and their sum stays
+    // far below 2^53, so the double sum is order-invariant.
+    "text_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("double").as("dl"))
+      val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+        .filter(col("w").isInCollection(bm25Terms))
+        .groupBy("doc_id", "dl", "w").agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+      val scored = tf.join(broadcast(dfreq), "w").crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+        .withColumn("ts",
+          col("idf") * col("tf") * lit(bm25K1 + 1.0) /
+            (col("tf") + lit(bm25K1) *
+              (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / col("avgdl"))))
+      def term(i: Int): Column =
+        coalesce(max(when(col("w") === bm25Terms(i), col("ts"))), lit(0.0))
+      val perDoc = scored.groupBy("doc_id")
+        .agg(term(0).as("s0"), term(1).as("s1"), term(2).as("s2"))
+        .select(col("doc_id"),
+          round(col("s0") + col("s1") + col("s2"), 6).as("bm25"))
+      perDoc.orderBy(col("bm25").desc, col("doc_id")).limit(20)
+        .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
+    // per-document TF-IDF keywords: the top-3 most characteristic terms of
+    // each document. tf and idf are pure integer-ratio doubles (rounded 6
+    // BEFORE ranking so the tie-break is identical in both engines); the
+    // document-frequency table is vocabulary-bounded and broadcast — at a
+    // vocabulary too large to broadcast this becomes the unigram skew-split
+    // join used by text_perplexity below. The rank window partitions by
+    // doc_id: no global sort anywhere.
+    "text_tfidf" -> ((s, dir) => {
+      val wc = graft.Caches.tracked(wordCounts(s, dir))
+      val dlen = wc.groupBy("doc_id").agg(sum("c").as("n_words"))
+      val dfreq = wc.groupBy("w").agg(count(lit(1)).as("df"))
+      val nd = dlen.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("w").asc)
+      wc.join(dlen, "doc_id").join(broadcast(dfreq), "w")
+        .crossJoin(broadcast(nd))
+        .withColumn("score", round(
+          (col("c").cast("double") / col("n_words")) *
+            log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("w").as("term"), col("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // unigram-LM perplexity scoring: mean negative log-likelihood of each
+    // document under the corpus's own Laplace-smoothed unigram model — the
+    // classic cheap fluency/quality signal (the KenLM seam: a real n-gram
+    // LM drops into the same join shape).
+    //   p(w) = (c(w) + 1) / (T + V);   nll(d) = −Σ_w c_dw · ln p(w) / n_d
+    // The ln p values are rounded to 8 decimals and multiplied/summed as
+    // DECIMAL — the per-document sum is exact, so parallelism and engine
+    // cannot flip it. The doc-term ⋈ vocabulary join is Zipf-skewed on the
+    // head ("the" pairs with every document): head terms (corpus count ≥
+    // 1000) join via broadcast map-side, tail terms via shuffle where every
+    // key is rare — the skew-split join. The base relation is cached so the
+    // two branches share one materialization.
+    "text_perplexity" -> ((s, dir) => {
+      val wc = graft.Caches.tracked(wordCounts(s, dir))
+      val uni = wc.groupBy("w").agg(sum("c").as("cw"))
+      val tot = uni.agg(sum(col("cw")).as("t_tok"), count(lit(1)).as("v_sz"))
+      val lp = uni.crossJoin(broadcast(tot)).select(col("w"), col("cw"),
+        round(log((col("cw") + 1).cast("double") /
+          (col("t_tok") + col("v_sz")).cast("double")), 8)
+          .cast("decimal(12,8)").as("lp"))
+      val headLp = lp.filter(col("cw") >= 1000).select("w", "lp")
+      val tailLp = lp.filter(col("cw") < 1000).select("w", "lp")
+      val joined = wc.join(broadcast(headLp), Seq("w"))
+        .unionByName(wc.join(tailLp, Seq("w")))
+      joined.groupBy("doc_id")
+        .agg(sum(col("c") * col("lp")).as("slp"), sum(col("c")).as("n_tok"))
+        .select(col("doc_id"), col("n_tok"),
+          round(-col("slp").cast("double") / col("n_tok"), 6).as("nll"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023): score every document by
+    // how much more likely its hashed-bigram features are under the TARGET
+    // distribution (here: the English subset) than under the raw corpus,
+    // then keep the top 20 — the data-selection pass that biases a pretrain
+    // mix toward a target domain without a learned classifier.
+    //   weight(d) = Σ_f c_df · ( ln p_tgt(f) − ln p_raw(f) ),  f = h(bigram) mod 64
+    // Both feature distributions are 64-row Laplace-smoothed tables —
+    // broadcast; the log-ratios are rounded to 8 decimals and summed as
+    // DECIMAL (exact at any parallelism). Bigrams explode POSITIONS and
+    // index at the top level of the projection (the O(len²) generator trap
+    // — BASELINE.md).
+    "pipe_dsir" -> ((s, dir) => {
+      val nB = 64L
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("l"))
+      val feats = toks.filter(size(col("l")) >= 2)
+        .select(col("doc_id"), col("lang"), col("l"),
+          explode(expr("sequence(1, size(l) - 1)")).as("i"))
+        .select(col("doc_id"), col("lang"),
+          pmod(Similarity.hash60(concat(element_at(col("l"), col("i")),
+            lit(" "), element_at(col("l"), col("i") + 1))), lit(nB)).as("f"))
+      val dbc = graft.Caches.tracked(
+        feats.groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("c")))
+      val tgt = dbc.filter(col("lang") === "en")
+        .groupBy("f").agg(sum("c").as("ct"))
+      val raw = dbc.groupBy("f").agg(sum("c").as("cr"))
+      val dist = raw.join(tgt, Seq("f"), "left")
+        .na.fill(0L, Seq("ct"))
+      val tots = dist.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+      val lr = dist.crossJoin(broadcast(tots)).select(col("f"),
+        round(
+          log((col("ct") + 1).cast("double") / (col("tt") + nB).cast("double")) -
+          log((col("cr") + 1).cast("double") / (col("tr") + nB).cast("double")),
+          8).cast("decimal(12,8)").as("lr"))
+      dbc.join(broadcast(lr), "f")
+        .groupBy("doc_id").agg(sum(col("c") * col("lr")).as("wsum"))
+        .select(col("doc_id"), round(col("wsum").cast("double"), 6).as("dsir_w"))
+        .orderBy(col("dsir_w").desc, col("doc_id")).limit(20)
+        .orderBy(col("dsir_w").desc, col("doc_id"))
+    }),
+
+    // FULL multi-iteration Lloyd k-means over the embedding table (the
+    // iterative extension of ann_ivf_kmeans's single refinement step):
+    // 3 rounds of assign → update, spherical (cosine) objective, seeds =
+    // vec_id < 8. Per round the driver collects exactly K×64 ROUNDED
+    // centroid values (the bounded-model collect MLlib's KMeans does);
+    // assignment is a map-side argmax over K literal vectors — the N×K
+    // work never shuffles. Centroid dims round to 6 decimals so the
+    // mean's accumulation order can't flip an argmax anywhere; a cluster
+    // that loses all members keeps its previous centroid. Output per
+    // cluster: member count of the final assignment, the DECIMAL-exact sum
+    // of (rounded) member-to-centroid cosines — the coherence mass — and
+    // the first two centroid dims, all hash-verified against the oracle's
+    // unrolled three-iteration replay.
+    "embed_kmeans" -> ((s, dir) => {
+      val e = graft.Caches.tracked(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+      var cents: Array[(Long, Array[Double])] = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1)
+      def assign(): DataFrame = {
+        // argmax as array_max over struct(cos, -cid): max on (s, -cid) ==
+        // ORDER BY s DESC, cid ASC (the ann_ivf_kmeans idiom)
+        val scored = array(cents.map { case (cid, v) =>
+          struct(Similarity.cosine(typedLit(v), col("embedding")).as("s"),
+            lit(-cid).as("nc"))
+        }: _*)
+        e.select(col("vec_id"), col("embedding"),
+          (-array_max(scored).getField("nc")).as("cid"),
+          array_max(scored).getField("s").as("acos"))
+      }
+      var assigned: DataFrame = null
+      for (_ <- 1 to 3) {
+        assigned = assign()
+        val refined = assigned
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg(round(avg(col("x").cast("double")), 6).as("m"))
+          .groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+            .as("cv"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+        cents = cents.map { case (cid, old) =>
+          (cid, refined.getOrElse(cid, old))
+        }
+      }
+      val centsDf = broadcast(s
+        .createDataFrame(cents.toSeq.map { case (cid, v) => (cid, v(0), v(1)) })
+        .toDF("cid", "c0", "c1"))
+      assigned.groupBy("cid").agg(
+          count(lit(1)).as("n_members"),
+          sum(round(col("acos"), 6).cast("decimal(18,6)")).cast("double")
+            .as("coh_sum"))
+        .join(centsDf, "cid")
+        .select(col("cid"), col("n_members"), col("coh_sum"),
+          col("c0"), col("c1"))
+        .orderBy("cid")
+    })
+  )
+
+  // shared SQL fragments for the oracles (same idioms as PipelineQueries)
+  private def h(arg: String): String =
+    s"('0x' || substr(md5($arg), 1, 15))::BIGINT"
+
+  private val cosSql =
+    """list_sum([CAST(V1[i] AS DOUBLE) * V2[i] FOR i IN range(1, 65)]) /
+      | sqrt(list_sum([CAST(V1[i] AS DOUBLE) * V1[i] FOR i IN range(1, 65)])) /
+      | sqrt(list_sum([CAST(V2[i] AS DOUBLE) * V2[i] FOR i IN range(1, 65)]))""".stripMargin
+  private def cos(a: String, b: String): String =
+    cosSql.replace("V1", a).replace("V2", b)
+
+  /** one k-means iteration as CTE text: assignment under cent${i-1}, then
+    * the refined (round-6, empty-cluster-carrying) cent$i. */
+  private def kmeansIter(i: Int): String = s"""
+      scored$i AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ${cos("c.cv", "e.embedding")} AS cs
+        FROM embeddings e CROSS JOIN cent${i - 1} c),
+      ass$i AS (
+        SELECT vec_id, embedding, cid, cs FROM (
+          SELECT vec_id, embedding, cid, cs,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cs DESC, cid ASC) AS rn
+          FROM scored$i)
+        WHERE rn = 1),
+      dims$i AS (
+        SELECT cid, i.i AS pos, round(avg(CAST(embedding[i.i] AS DOUBLE)), 6) AS m
+        FROM ass$i, (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY cid, i.i),
+      newc$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM dims$i GROUP BY cid),
+      cent$i AS (
+        SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+        FROM cent${i - 1} p LEFT JOIN newc$i n USING (cid))"""
+
+  def oracleSql: Map[String, String] = Map(
+    "text_bm25" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        FROM documents),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d),
+      tf AS (
+        SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS w FROM d)
+        WHERE w IN ('stream', 'window', 'hash')
+        GROUP BY doc_id, dl, w),
+      df AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+      sc AS (
+        SELECT tf.doc_id, tf.w,
+               ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)) AS ts
+        FROM tf, df, st WHERE tf.w = df.w),
+      p AS (
+        SELECT doc_id,
+               coalesce(max(CASE WHEN w = 'stream' THEN ts END), 0)
+                 + coalesce(max(CASE WHEN w = 'window' THEN ts END), 0)
+                 + coalesce(max(CASE WHEN w = 'hash' THEN ts END), 0) AS s
+        FROM sc GROUP BY doc_id)
+      SELECT doc_id, round(s, 6) AS bm25
+      FROM p ORDER BY bm25 DESC, doc_id LIMIT 20""",
+
+    "text_tfidf" -> """
+      WITH wc AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id, w),
+      dlen AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words
+               FROM wc GROUP BY doc_id),
+      df AS (SELECT w, count(*) AS df FROM wc GROUP BY w),
+      nd AS (SELECT count(*) AS n_docs FROM dlen),
+      sc AS (
+        SELECT wc.doc_id, wc.w,
+               round((CAST(wc.c AS DOUBLE) / dlen.n_words)
+                 * ln(CAST(nd.n_docs AS DOUBLE) / df.df), 6) AS score
+        FROM wc JOIN dlen USING (doc_id) JOIN df USING (w) CROSS JOIN nd),
+      r AS (
+        SELECT doc_id, w, score,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, w ASC) AS INTEGER) AS rank
+        FROM sc)
+      SELECT doc_id, rank, w AS term, score
+      FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "text_perplexity" -> """
+      WITH wc AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id, w),
+      uni AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM wc GROUP BY w),
+      tot AS (SELECT CAST(sum(cw) AS BIGINT) AS t_tok, count(*) AS v_sz FROM uni),
+      lp AS (
+        SELECT w, CAST(round(ln(CAST(cw + 1 AS DOUBLE)
+                 / CAST(t_tok + v_sz AS DOUBLE)), 8) AS DECIMAL(12,8)) AS lp
+        FROM uni CROSS JOIN tot)
+      SELECT wc.doc_id, CAST(sum(wc.c) AS BIGINT) AS n_tok,
+             round(-CAST(sum(wc.c * lp.lp) AS DOUBLE) / sum(wc.c), 6) AS nll
+      FROM wc JOIN lp USING (w)
+      GROUP BY wc.doc_id ORDER BY doc_id""",
+
+    "pipe_dsir" -> s"""
+      WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+      feats AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, len(l) - 1),
+                 i -> ${h("l[i] || ' ' || l[i + 1]")} % 64)) AS f
+        FROM toks WHERE len(l) >= 2),
+      dbc AS (
+        SELECT doc_id, lang, f, CAST(count(*) AS BIGINT) AS c
+        FROM feats GROUP BY doc_id, lang, f),
+      tgt AS (SELECT f, CAST(sum(c) AS BIGINT) AS ct
+              FROM dbc WHERE lang = 'en' GROUP BY f),
+      raw AS (SELECT f, CAST(sum(c) AS BIGINT) AS cr FROM dbc GROUP BY f),
+      dist AS (
+        SELECT raw.f, coalesce(tgt.ct, 0) AS ct, raw.cr
+        FROM raw LEFT JOIN tgt USING (f)),
+      tots AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+                      CAST(sum(cr) AS BIGINT) AS tr FROM dist),
+      lr AS (
+        SELECT f, CAST(round(
+                 ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE))
+                 - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 64 AS DOUBLE)),
+               8) AS DECIMAL(12,8)) AS lr
+        FROM dist CROSS JOIN tots),
+      wtd AS (
+        SELECT dbc.doc_id, round(CAST(sum(dbc.c * lr.lr) AS DOUBLE), 6) AS dsir_w
+        FROM dbc JOIN lr USING (f) GROUP BY dbc.doc_id)
+      SELECT doc_id, dsir_w FROM wtd
+      ORDER BY dsir_w DESC, doc_id LIMIT 20""",
+
+    "embed_kmeans" -> s"""
+      WITH cent0 AS (
+        SELECT vec_id AS cid,
+               [CAST(embedding[i] AS DOUBLE) FOR i IN range(1, 65)] AS cv
+        FROM embeddings WHERE vec_id < 8),
+      ${kmeansIter(1)},
+      ${kmeansIter(2)},
+      ${kmeansIter(3)}
+      SELECT a.cid, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(CAST(round(a.cs, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               AS coh_sum,
+             c.cv[1] AS c0, c.cv[2] AS c1
+      FROM ass3 a JOIN cent3 c USING (cid)
+      GROUP BY a.cid, c.cv[1], c.cv[2]
+      ORDER BY cid"""
+  )
+}

@@ -40,7 +40,12 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "pipe_pii", "v2_catalog", "proto_imported",
     // round-6 additions: centroid-comparison dedup (float-rounding-backed
     // keep decisions), grouped rule battery, map-side chunk explode
-    "dedup_semantic", "pipe_gopher_rules", "pipe_chunk")
+    "dedup_semantic", "pipe_gopher_rules", "pipe_chunk",
+    // retrieval/LM family: decimal-exact log-prob sums (perplexity, DSIR),
+    // fixed-order BM25 term addition, rounded-before-rank tf-idf windows,
+    // iterative k-means with per-round rounded centroids
+    "text_bm25", "text_tfidf", "text_perplexity", "pipe_dsir",
+    "embed_kmeans")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

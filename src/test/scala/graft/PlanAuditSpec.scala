@@ -439,4 +439,44 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(0) == oracle.getLong(0) &&
       row.getLong(1) == oracle.getLong(1) && row.getLong(2) == oracle.getLong(2))
   }
+
+  test("text_bm25: corpus stats broadcast, top-20 via TakeOrderedAndProject") {
+    val p = physical(
+      graft.queries.RetrievalQueries.queries("text_bm25")(spark, dir))
+    // df + (N, avgdl) travel as broadcasts — the corpus side never
+    // shuffles for them; the final top-20 must not be a global sort
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    Caches.drain()
+  }
+
+  test("text_perplexity: Zipf skew-split — head joins broadcast, tail shuffles") {
+    val p = physical(
+      graft.queries.RetrievalQueries.queries("text_perplexity")(spark, dir))
+    // the head branch (stopword-frequency terms) must be a broadcast hash
+    // join: those keys pair with nearly every document and would
+    // concentrate on single reducers in a shuffled join
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the shared doc-term base materializes once for both branches
+    assert(p.contains("InMemoryTableScan"), p)
+    Caches.drain()
+  }
+
+  test("text_tfidf: df broadcast, rank window partitioned by doc_id") {
+    val p = physical(
+      graft.queries.RetrievalQueries.queries("text_tfidf")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+    Caches.drain()
+  }
+
+  test("pipe_dsir: 64-row feature distributions broadcast onto doc counts") {
+    val p = physical(
+      graft.queries.RetrievalQueries.queries("pipe_dsir")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // no unbounded cartesian: the only nested-loop join is the 1-row
+    // totals broadcast
+    assert(!p.contains("CartesianProduct"), p)
+    Caches.drain()
+  }
 }
