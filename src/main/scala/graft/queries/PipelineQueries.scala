@@ -148,6 +148,29 @@ object PipelineQueries {
         .orderBy("new_id", "index_id")
     }),
 
+    // Bloom-prefiltered EXACT incremental dedup: the arriving batch (last
+    // 20% of doc ids, with every third doc carrying a PLANTED copy of a
+    // corpus doc's text so the fixture actually exercises the drop path)
+    // is reduced to new-only docs vs the corpus (first 80%). The Bloom
+    // filter is a plan optimization with zero result impact (no false
+    // negatives), so the oracle is the plain NOT EXISTS — a probe
+    // regression that dropped or kept a wrong doc breaks the hash.
+    "dedup_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val donor = d.select(col("doc_id").as("src_id"), col("text").as("src_text"))
+      val batch = d.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        .withColumn("src_id", col("doc_id") - pmod(col("doc_id"), lit(10)))
+        .join(donor, "src_id")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0, col("src_text"))
+            .otherwise(col("text")).as("text"))
+      val corpus = d.filter(pmod(col("doc_id"), lit(10)) < 8)
+      graft.operators.BloomDedup
+        .newDocs(batch, corpus, "doc_id", "text", expectedItems = 4096L)
+        .select(col("doc_id"), md5(col("text")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
           maxHamming = 8, blockShift = 48)
@@ -940,6 +963,20 @@ object PipelineQueries {
                          JOIN sig y ON pairs.index_id = y.doc_id)
       SELECT new_id, index_id, est_jaccard FROM est
       WHERE est_jaccard >= 0.5 ORDER BY new_id, index_id""",
+
+    "dedup_bloom" -> """
+      WITH batch AS (
+        SELECT b.doc_id,
+               CASE WHEN b.doc_id % 3 = 0 THEN s.text ELSE b.text END AS text
+        FROM documents b JOIN documents s
+          ON s.doc_id = b.doc_id - (b.doc_id % 10)
+        WHERE b.doc_id % 10 >= 8),
+      corpus AS (SELECT text FROM documents WHERE doc_id % 10 < 8)
+      SELECT doc_id, md5(text) AS content_md5
+      FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                        WHERE md5(c.text) = md5(b.text))
+      ORDER BY doc_id""",
 
     "dedup_simhash" -> s"""
       WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),

@@ -187,6 +187,24 @@ object RetrievalQueries {
         .orderBy(col("dsir_w").desc, col("doc_id"))
     }),
 
+    // BPE merge-candidate statistics: adjacent-character pair counts over
+    // the WEIGHTED VOCABULARY — the tokenizer-training shape. The pair
+    // scan runs over DISTINCT words (vocabulary-bounded, the word's corpus
+    // frequency rides along as the weight), never over every token
+    // occurrence: at 100 TB the explode costs O(vocab × word length), not
+    // O(corpus tokens). Top-50 via TakeOrderedAndProject.
+    "pipe_bpe_pairs" -> ((s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      vocab.filter(length(col("w")) >= 2)
+        .select(col("w"), col("c"),
+          explode(expr("sequence(1, length(w) - 1)")).as("i"))
+        .select(expr("substr(w, i, 2)").as("pair"), col("c"))
+        .groupBy("pair").agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(50)
+    }),
+
     // FULL multi-iteration Lloyd k-means over the embedding table (the
     // iterative extension of ann_ivf_kmeans's single refinement step):
     // 3 rounds of assign → update, spherical (cosine) objective, seeds =
@@ -380,6 +398,18 @@ object RetrievalQueries {
         FROM dbc JOIN lr USING (f) GROUP BY dbc.doc_id)
       SELECT doc_id, dsir_w FROM wtd
       ORDER BY dsir_w DESC, doc_id LIMIT 20""",
+
+    "pipe_bpe_pairs" -> """
+      WITH vocab AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w),
+      p AS (
+        SELECT substr(w, i, 2) AS pair, c
+        FROM (SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i
+              FROM vocab WHERE length(w) >= 2))
+      SELECT pair, CAST(sum(c) AS BIGINT) AS n
+      FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""",
 
     "embed_kmeans" -> s"""
       WITH cent0 AS (
