@@ -69,7 +69,15 @@ object PlanDump {
       "pipe_quality_classifier" ->
         "model-based quality filter: literal weights folded into one map-side projection — score+threshold is pure codegen'd expression work, zero shuffles before the output sort",
       "pipe_corpus_diff" ->
-        "snapshot diff: md5 computed map-side, the full-outer join shuffles narrow (doc_id, hash) rows; classification is a map-side CASE over the join output")
+        "snapshot diff: md5 computed map-side, the full-outer join shuffles narrow (doc_id, hash) rows; classification is a map-side CASE over the join output",
+      "text_perplexity" ->
+        "unigram-LM NLL: the Zipf skew-split vocabulary join — head terms broadcast (BroadcastHashJoin), rare tail shuffled, one cached doc-term base feeding both branches; per-doc sums are DECIMAL-exact",
+      "text_bm25" ->
+        "BM25 retrieval: term filter map-side (only matching rows shuffle), df + corpus stats broadcast, top-20 via TakeOrderedAndProject",
+      "dedup_bloom" ->
+        "Bloom-prefiltered exact dedup: might_contain probe over a plan-time bitmap literal splits the batch map-side; only the maybe-set reaches the LEFT ANTI verify join",
+      "ann_hard_negatives" ->
+        "hard-negative mining: label centroids + probes broadcast; candidate join bounded to 2 other-label clusters per query, rank windows partitioned by query")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of showcase queries\n\n")

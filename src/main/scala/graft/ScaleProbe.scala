@@ -44,7 +44,7 @@ object ScaleProbe {
     // warmup
     replicate(1).count()
 
-    println(f"${"k"}%3s ${"docs"}%8s ${"sig_s"}%8s ${"simhash_s"}%10s ${"jaccard_s"}%10s ${"jaccard_pairs"}%14s ${"cc_s"}%8s ${"comps"}%8s ${"assign_s"}%9s ${"pq_s"}%8s ${"lsh_s"}%8s ${"lag_s"}%8s ${"span_s"}%8s ${"span_docs"}%10s ${"scrub_s"}%8s ${"ngram_s"}%8s ${"pack_s"}%8s")
+    println(f"${"k"}%3s ${"docs"}%8s ${"sig_s"}%8s ${"simhash_s"}%10s ${"jaccard_s"}%10s ${"jaccard_pairs"}%14s ${"cc_s"}%8s ${"comps"}%8s ${"assign_s"}%9s ${"pq_s"}%8s ${"lsh_s"}%8s ${"lag_s"}%8s ${"span_s"}%8s ${"span_docs"}%10s ${"scrub_s"}%8s ${"ngram_s"}%8s ${"pack_s"}%8s ${"nll_s"}%8s ${"bloom_s"}%8s")
     Seq(1, 2, 4, 8, 16, 32).foreach { k =>
       val docs = replicate(k).cache()
       val nDocs = docs.count()
@@ -132,10 +132,43 @@ object ScaleProbe {
           .globalRunningSum(toks, "doc_id", 65536L, "n_tok", "cum_tok")
           .groupBy(expr("(cum_tok - n_tok) div 2048")).count().count()
       }
+      // unigram-LM NLL (skew-split vocabulary join): the per-doc decimal
+      // sum plus head-broadcast/tail-shuffle joins — linear in corpus
+      // tokens; replicas multiply doc rows, the vocabulary stays fixed
+      val (tNll, _) = time {
+        val wc = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c")).cache()
+        val uni = wc.groupBy("w").agg(sum("c").as("cw"))
+        val tot = uni.agg(sum(col("cw")).as("t_tok"), count(lit(1)).as("v_sz"))
+        val lp = uni.crossJoin(broadcast(tot)).select(col("w"),
+          col("cw"),
+          round(log((col("cw") + 1).cast("double") /
+            (col("t_tok") + col("v_sz")).cast("double")), 8)
+            .cast("decimal(12,8)").as("lp"))
+        val n = wc.join(broadcast(lp.filter(col("cw") >= 1000)
+              .select("w", "lp")), Seq("w"))
+          .unionByName(wc.join(lp.filter(col("cw") < 1000)
+            .select("w", "lp"), Seq("w")))
+          .groupBy("doc_id").agg(sum(col("c") * col("lp")).as("slp"))
+          .count()
+        wc.unpersist()
+        n
+      }
+      // Bloom-prefiltered dedup: filter build is one corpus tree-aggregate,
+      // the probe is map-side — both must stay linear; the verify join sees
+      // only the maybe-set regardless of corpus size
+      val (tBloom, _) = time {
+        val half = nDocs / 2
+        val corpus = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+        operators.BloomDedup.newDocs(batch, corpus, "doc_id", "text",
+          expectedItems = math.max(half, 1024L)).count()
+      }
       emb.unpersist()
       docs.unpersist()
       Caches.drain()
-      println(f"$k%3d $nDocs%8d $tSig%8.2f $tSim%10.2f $tJac%10.2f $nPairs%14d $tCc%8.2f $nComp%8d $tAssign%9.2f $tPq%8.2f $tLsh%8.2f $tLag%8.2f $tSpan%8.2f $nSpanDocs%10d $tScrub%8.2f $tNgram%8.2f $tPack%8.2f")
+      println(f"$k%3d $nDocs%8d $tSig%8.2f $tSim%10.2f $tJac%10.2f $nPairs%14d $tCc%8.2f $nComp%8d $tAssign%9.2f $tPq%8.2f $tLsh%8.2f $tLag%8.2f $tSpan%8.2f $nSpanDocs%10d $tScrub%8.2f $tNgram%8.2f $tPack%8.2f $tNll%8.2f $tBloom%8.2f")
     }
 
     // PQ codebook-size scaling: encode / decode wall time and PLAN size must

@@ -240,6 +240,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // near-dup cluster-size histogram — the dedup observability view: how
+    // many clusters of each size the near-dup pass found (a sudden mass of
+    // large clusters is the canary for template spam or a crawler loop).
+    // Two narrow aggregations over the component labels; the pair/component
+    // machinery is the audited blocked+checkpointed path.
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
+        blockCol = "source", minJaccard = 0.9)
+      Dedup.connectedComponents(pairs, "id1", "id2")
+        .groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
     // keep-one canonical dedup — the curation output: drop every near-dup
     // cluster member except its min-id canonical, keep all singletons.
     // The corpus is filtered by a LEFT ANTI join on the narrow doc_id key
@@ -963,6 +977,27 @@ object PipelineQueries {
                          JOIN sig y ON pairs.index_id = y.doc_id)
       SELECT new_id, index_id, est_jaccard FROM est
       WHERE est_jaccard >= 0.5 ORDER BY new_id, index_id""",
+
+    "dedup_cluster_sizes" -> """
+      WITH RECURSIVE t AS (SELECT doc_id, source,
+                                  list_distinct(string_split(text, ' ')) AS w
+                           FROM documents),
+      p AS (SELECT a.doc_id AS id1, c.doc_id AS id2,
+                   CAST(len(list_intersect(a.w, c.w)) AS DOUBLE)
+                     / (len(a.w) + len(c.w) - len(list_intersect(a.w, c.w))) AS jaccard
+            FROM t a JOIN t c ON a.source = c.source AND a.doc_id < c.doc_id),
+      pairs AS (SELECT id1, id2 FROM p WHERE jaccard >= 0.9),
+      edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+      nodes AS (SELECT DISTINCT a AS node FROM edges),
+      reach AS (SELECT node, node AS lbl FROM nodes
+                UNION
+                SELECT e.a AS node, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+      comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+      cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+             FROM comp GROUP BY component)
+      SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+      FROM cs GROUP BY cluster_size ORDER BY cluster_size""",
 
     "dedup_bloom" -> """
       WITH batch AS (

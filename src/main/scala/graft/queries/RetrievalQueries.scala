@@ -50,6 +50,30 @@ object RetrievalQueries {
   private val bm25B = 0.75
   private val bm25Terms = Seq("stream", "window", "hash")
 
+  /** (doc_id, n_tok, nll): per-document mean negative log-likelihood under
+    * the corpus's Laplace-smoothed unigram model — shared by
+    * `text_perplexity` and `pipe_ccnet_buckets`. Log-probs are rounded to 8
+    * decimals and summed as DECIMAL (order-invariant); the doc-term ⋈
+    * vocabulary join is the Zipf skew-split (head broadcast, tail
+    * shuffled) over one cached doc-term base. */
+  private def nllFrame(s: SparkSession, dir: String): DataFrame = {
+    val wc = graft.Caches.tracked(wordCounts(s, dir))
+    val uni = wc.groupBy("w").agg(sum("c").as("cw"))
+    val tot = uni.agg(sum(col("cw")).as("t_tok"), count(lit(1)).as("v_sz"))
+    val lp = uni.crossJoin(broadcast(tot)).select(col("w"), col("cw"),
+      round(log((col("cw") + 1).cast("double") /
+        (col("t_tok") + col("v_sz")).cast("double")), 8)
+        .cast("decimal(12,8)").as("lp"))
+    val headLp = lp.filter(col("cw") >= 1000).select("w", "lp")
+    val tailLp = lp.filter(col("cw") < 1000).select("w", "lp")
+    val joined = wc.join(broadcast(headLp), Seq("w"))
+      .unionByName(wc.join(tailLp, Seq("w")))
+    joined.groupBy("doc_id")
+      .agg(sum(col("c") * col("lp")).as("slp"), sum(col("c")).as("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        round(-col("slp").cast("double") / col("n_tok"), 6).as("nll"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // BM25 keyword retrieval: top-20 documents for a 3-term query.
@@ -115,6 +139,24 @@ object RetrievalQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): within each
+    // language, split the corpus into head/middle/tail terciles of the
+    // unigram-LM NLL — the standard quality partition a pretrain mix then
+    // samples from. ntile runs in a per-language window (partitioned, never
+    // global) over (rounded nll, doc_id) so bucket boundaries are
+    // deterministic in both engines.
+    "pipe_ccnet_buckets" -> ((s, dir) => {
+      val lang = t(s, dir, "documents").select("doc_id", "lang")
+      val scored = nllFrame(s, dir).join(lang, "doc_id")
+      val w = Window.partitionBy("lang")
+        .orderBy(col("nll").asc, col("doc_id").asc)
+      scored.withColumn("bucket", ntile(3).over(w))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("nll").as("min_nll"), max("nll").as("max_nll"))
+        .orderBy("lang", "bucket")
+    }),
+
     // unigram-LM perplexity scoring: mean negative log-likelihood of each
     // document under the corpus's own Laplace-smoothed unigram model — the
     // classic cheap fluency/quality signal (the KenLM seam: a real n-gram
@@ -127,24 +169,7 @@ object RetrievalQueries {
     // 1000) join via broadcast map-side, tail terms via shuffle where every
     // key is rare — the skew-split join. The base relation is cached so the
     // two branches share one materialization.
-    "text_perplexity" -> ((s, dir) => {
-      val wc = graft.Caches.tracked(wordCounts(s, dir))
-      val uni = wc.groupBy("w").agg(sum("c").as("cw"))
-      val tot = uni.agg(sum(col("cw")).as("t_tok"), count(lit(1)).as("v_sz"))
-      val lp = uni.crossJoin(broadcast(tot)).select(col("w"), col("cw"),
-        round(log((col("cw") + 1).cast("double") /
-          (col("t_tok") + col("v_sz")).cast("double")), 8)
-          .cast("decimal(12,8)").as("lp"))
-      val headLp = lp.filter(col("cw") >= 1000).select("w", "lp")
-      val tailLp = lp.filter(col("cw") < 1000).select("w", "lp")
-      val joined = wc.join(broadcast(headLp), Seq("w"))
-        .unionByName(wc.join(tailLp, Seq("w")))
-      joined.groupBy("doc_id")
-        .agg(sum(col("c") * col("lp")).as("slp"), sum(col("c")).as("n_tok"))
-        .select(col("doc_id"), col("n_tok"),
-          round(-col("slp").cast("double") / col("n_tok"), 6).as("nll"))
-        .orderBy("doc_id")
-    }),
+    "text_perplexity" -> ((s, dir) => nllFrame(s, dir).orderBy("doc_id")),
 
     // DSIR importance resampling (Xie et al. 2023): score every document by
     // how much more likely its hashed-bigram features are under the TARGET
@@ -203,6 +228,42 @@ object RetrievalQueries {
         .select(expr("substr(w, i, 2)").as("pair"), col("c"))
         .groupBy("pair").agg(sum("c").as("n"))
         .orderBy(col("n").desc, col("pair")).limit(50)
+    }),
+
+    // hard-negative mining for retrieval training: for each query vector,
+    // the most similar corpus vectors from OTHER semantic clusters — the
+    // near-miss examples a contrastive retriever trains against. IVF-shaped:
+    // label centroids (rounded 6) rank the other-label clusters, only the
+    // top-2 are probed, so the candidate space is 2 clusters per query —
+    // never corpus × queries. Centroids and probes broadcast.
+    "ann_hard_negatives" -> ((s, dir) => {
+      val e = graft.Caches.tracked(t(s, dir, "embeddings"))
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("x").cast("double")), 6).as("m"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("cv"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"))
+      val wp = Window.partitionBy("qid")
+        .orderBy(col("ccos").desc, col("label").asc)
+      val probes = broadcast(q).crossJoin(broadcast(cent))
+        .filter(col("label") =!= col("qlabel"))
+        .withColumn("ccos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+        .withColumn("prn", row_number().over(wp))
+        .filter(col("prn") <= 2)
+        .select(col("qid"), col("qv"), col("label"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      e.join(broadcast(probes), "label")
+        .withColumn("cos", round(Similarity.cosine(col("qv"), col("embedding")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "label", "cos")
+        .orderBy("qid", "rank")
     }),
 
     // FULL multi-iteration Lloyd k-means over the embedding table (the
@@ -410,6 +471,61 @@ object RetrievalQueries {
               FROM vocab WHERE length(w) >= 2))
       SELECT pair, CAST(sum(c) AS BIGINT) AS n
       FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""",
+
+    "pipe_ccnet_buckets" -> """
+      WITH wc AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id, w),
+      uni AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM wc GROUP BY w),
+      tot AS (SELECT CAST(sum(cw) AS BIGINT) AS t_tok, count(*) AS v_sz FROM uni),
+      lp AS (
+        SELECT w, CAST(round(ln(CAST(cw + 1 AS DOUBLE)
+                 / CAST(t_tok + v_sz AS DOUBLE)), 8) AS DECIMAL(12,8)) AS lp
+        FROM uni CROSS JOIN tot),
+      nll AS (
+        SELECT wc.doc_id,
+               round(-CAST(sum(wc.c * lp.lp) AS DOUBLE) / sum(wc.c), 6) AS nll
+        FROM wc JOIN lp USING (w)
+        GROUP BY wc.doc_id),
+      b AS (
+        SELECT d.lang, nll.nll,
+               CAST(ntile(3) OVER (PARTITION BY d.lang
+                 ORDER BY nll.nll ASC, nll.doc_id ASC) AS INTEGER) AS bucket
+        FROM nll JOIN documents d USING (doc_id))
+      SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             min(nll) AS min_nll, max(nll) AS max_nll
+      FROM b GROUP BY lang, bucket ORDER BY lang, bucket""",
+
+    "ann_hard_negatives" -> s"""
+      WITH dims AS (
+        SELECT label, i.i AS pos, round(avg(CAST(embedding[i.i] AS DOUBLE)), 6) AS m
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY label, i.i),
+      cent AS (SELECT label, list(m ORDER BY pos) AS cv FROM dims GROUP BY label),
+      q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+      probes AS (
+        SELECT qid, qv, label FROM (
+          SELECT q.qid, q.qv, c.label,
+                 round(${cos("q.qv", "c.cv")}, 6) AS ccos,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY round(${cos("q.qv", "c.cv")}, 6) DESC, c.label ASC)
+                   AS prn
+          FROM q CROSS JOIN cent c WHERE c.label <> q.qlabel)
+        WHERE prn <= 2),
+      cand AS (
+        SELECT p.qid, e.vec_id, e.label,
+               round(${cos("p.qv", "e.embedding")}, 6) AS cos
+        FROM probes p JOIN embeddings e ON e.label = p.label),
+      ranked AS (
+        SELECT qid, vec_id, label, cos,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM cand)
+      SELECT qid, rank, vec_id, label, cos FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank""",
 
     "embed_kmeans" -> s"""
       WITH cent0 AS (

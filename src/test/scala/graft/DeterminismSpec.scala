@@ -45,7 +45,8 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     // fixed-order BM25 term addition, rounded-before-rank tf-idf windows,
     // iterative k-means with per-round rounded centroids
     "text_bm25", "text_tfidf", "text_perplexity", "pipe_dsir",
-    "embed_kmeans", "pipe_bpe_pairs", "dedup_bloom")
+    "embed_kmeans", "pipe_bpe_pairs", "dedup_bloom",
+    "pipe_ccnet_buckets", "ann_hard_negatives", "dedup_cluster_sizes")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
