@@ -112,6 +112,50 @@ object Multimodal {
     }
   }
 
+  final case class AudioFingerprint(doc_id: Long, n_frames: Long,
+                                    fingerprint: Long)
+
+  /** Acoustic fingerprint over REAL decoded PCM (the chromaprint shape,
+    * reduced to what a codec-free JDK can compute): frame the decoded
+    * 16-bit samples into windows of `window`, take each window's energy
+    * Σs², and emit one bit per window — 1 where the window's energy
+    * exceeds the clip's integer mean energy. Every step is integer
+    * arithmetic on the decoded samples, so the fingerprint is bit-exact
+    * across engines and parallelism — the property that lets the oracle
+    * replay it symbolically from the source text while Spark computes it
+    * from the actual WAV container. Partition-parallel mapPartitions,
+    * the per-partition init seam a real DSP library would plug into. */
+  def audioFingerprint(cells: Dataset[MediaCell],
+                       window: Int = 4): Dataset[AudioFingerprint] = {
+    import cells.sparkSession.implicits._
+    cells.mapPartitions { it =>
+      it.map { cell =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(cell.media))
+        val pcm = ais.readAllBytes()
+        ais.close()
+        val n = pcm.length / 2
+        val nw = (n + window - 1) / window
+        val energies = new Array[Long](nw)
+        var i = 0
+        while (i < n) {
+          val s = (((pcm(2 * i + 1) & 0xFF) << 8) | (pcm(2 * i) & 0xFF))
+            .toShort.toLong
+          energies(i / window) += s * s
+          i += 1
+        }
+        var tot = 0L
+        var w = 0
+        while (w < nw) { tot += energies(w); w += 1 }
+        val mean = tot / nw
+        var fp = 0L
+        var j = 0
+        while (j < nw) { if (energies(j) > mean) fp |= 1L << j; j += 1 }
+        AudioFingerprint(cell.doc_id, n.toLong, fp)
+      }
+    }
+  }
+
   /** STUB decode: parse the fake header + checksum the body. A real
     * implementation would replace ONLY the body of the `map` below with
     * a codec call (e.g. javax.imageio / ffmpeg JNI); the partition topology

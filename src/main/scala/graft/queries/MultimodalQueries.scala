@@ -39,6 +39,24 @@ object MultimodalQueries {
     // (8×8 grid bins, integer-arithmetic threshold against the image mean).
     // The oracle recomputes the identical hash from the pixel-generation
     // arithmetic — so this also proves encode→decode is pixel-exact.
+    // acoustic fingerprint over the REAL WAV path: decode the container,
+    // frame the 16-bit PCM into 4-sample windows, 1 bit per window where
+    // the window energy exceeds the clip's integer mean — all integer
+    // arithmetic, so the oracle replays it symbolically from the source
+    // text while Spark computes it from the actual decoded bytes.
+    // fp_dups counts other docs with the identical fingerprint (the audio
+    // dedup candidate set); the window key (n_frames, fingerprint) is
+    // high-cardinality, never a global sort.
+    "mm_audio_fingerprint" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("n_frames", "fingerprint")
+      Multimodal.audioFingerprint(
+          Multimodal.synthesizeWav(Tables.load(s, dir, "documents")))
+        .toDF()
+        .withColumn("fp_dups", (count(lit(1)).over(w) - 1).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     "mm_phash" -> ((s, dir) => {
       import s.implicits._
       Multimodal.perceptualHash(
@@ -177,6 +195,40 @@ object MultimodalQueries {
       FROM m, (SELECT unnest(range(0, 30, 3)) AS frame_idx) f
       WHERE f.frame_idx < fps
       ORDER BY doc_id, frame_idx""",
+
+    "mm_audio_fingerprint" -> """
+      WITH base AS (
+        SELECT doc_id,
+               CASE WHEN octet_length(text::BLOB) = 0 THEN [0]
+                    ELSE [ord(text[i]) FOR i IN range(1, length(text) + 1)]
+               END AS bytes
+        FROM documents),
+      fr AS (
+        SELECT doc_id, len(bytes) AS blen,
+               (len(bytes) % 50) + 10 AS n_frames, bytes
+        FROM base),
+      sm AS (
+        SELECT doc_id, n_frames,
+               [CAST((bytes[((i - 1) % blen) + 1] - 128) * 256 AS BIGINT)
+                FOR i IN range(1, n_frames + 1)] AS s
+        FROM fr),
+      en AS (
+        SELECT doc_id, n_frames,
+               [CAST(list_sum([x * x FOR x IN s[(w * 4 + 1):(w * 4 + 4)]])
+                     AS BIGINT)
+                FOR w IN range(0, CAST(ceil(n_frames / 4.0) AS INTEGER))] AS e
+        FROM sm),
+      fp AS (
+        SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(coalesce(list_sum([
+                 CASE WHEN e[w + 1] > (CAST(list_sum(e) AS BIGINT) // len(e))
+                      THEN (CAST(1 AS BIGINT) << w) ELSE 0 END
+                 FOR w IN range(0, len(e))]), 0) AS BIGINT) AS fingerprint
+        FROM en)
+      SELECT doc_id, n_frames, fingerprint,
+             CAST(count(*) OVER (PARTITION BY n_frames, fingerprint) - 1
+                  AS BIGINT) AS fp_dups
+      FROM fp ORDER BY doc_id""",
 
     "mm_phash" -> s"""$phashSql
       SELECT doc_id, width, height, ahash FROM ph ORDER BY doc_id""",
