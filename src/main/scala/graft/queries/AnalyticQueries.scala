@@ -84,6 +84,55 @@ object AnalyticQueries {
         .orderBy("event_type", "event_id")
     }),
 
+    // funnel analysis — the canonical event-stream product query: per
+    // user, the earliest strictly-ordered view → click → purchase chain
+    // and how deep it got. Three keyed aggregations/joins, all on
+    // user_id (co-partitioned after the first shuffle; at 100 TB every
+    // stage is a hash agg/join on the same high-cardinality key —
+    // no window over the full stream, no per-user re-scan).
+    "q_funnel" -> ((s, dir) => {
+      // µs on both sides: DuckDB reads the TIMESTAMP(NANOS) column at µs
+      // precision, so the funnel runs on the truncated value in BOTH
+      // engines (matching the envelope layer's ns→µs rule)
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id", "t1").agg(min("ts").as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      s1.join(s2.select("user_id", "t2"), Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+            + when(col("t3").isNotNull, 1).otherwise(0)).as("reached"))
+        .orderBy("user_id")
+    }),
+
+    // cohort retention — users per (first-activity week, week offset):
+    // the standard growth-analytics matrix. Weeks truncate to ISO Monday
+    // in both engines; the distinct (user, week) reduction happens BEFORE
+    // the cohort join, so the join input is bounded by users × weeks,
+    // not by raw events.
+    "q_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("week", timestamp_micros(expr("ts div 1000"))).as("wk"))
+        .distinct()
+      val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .withColumn("week_offset",
+          expr("datediff(wk, cohort_week) div 7").cast("int"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // correlated EXISTS + NOT EXISTS — Catalyst rewrites to a semi join
     // and an anti join on l_partkey (shuffle on the key, no row probes)
     "q_exists" -> ((s, dir) => {
@@ -412,6 +461,41 @@ object AnalyticQueries {
              substr(p_name, 1, 5) AS name5,
              CAST(strpos(p_name, 'o') AS INTEGER) AS pos_o
       FROM part ORDER BY p_partkey""",
+
+    "q_funnel" -> """
+      WITH s1 AS (
+        SELECT user_id, min(epoch_us(ts)) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, s1.t1, min(epoch_us(e.ts)) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        GROUP BY e.user_id, s1.t1),
+      s3 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        GROUP BY e.user_id)
+      SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+             CAST(1 + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END
+                  AS INTEGER) AS reached
+      FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+              LEFT JOIN s3 ON s1.user_id = s3.user_id
+      ORDER BY s1.user_id""",
+
+    "q_retention" -> """
+      WITH ev AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        FROM events),
+      c AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id)
+      SELECT c.cohort_week,
+             CAST(date_diff('day', c.cohort_week, ev.wk) // 7 AS INTEGER)
+               AS week_offset,
+             CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+      FROM ev JOIN c ON ev.user_id = c.user_id
+      GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
 
     "q_date_parts" -> """
       SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
