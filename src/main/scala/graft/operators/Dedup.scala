@@ -153,6 +153,44 @@ object Dedup {
     * narrow (node, lbl) rows, never document contents, and the driver only
     * evaluates the convergence predicate (no data collected). Returns
     * (node, lbl) with lbl = min id reachable = component id. */
+  /** Degree-normalized PageRank over the undirected similarity graph —
+    * a centrality signal for CANONICAL SELECTION: within a near-dup
+    * cluster, the most-connected member is the best exemplar (keep-one by
+    * min-id keeps an arbitrary member; keep-one by centrality keeps the
+    * representative one).
+    *
+    * Fixed `iters` rounds of r ← 0.15 + 0.85·Σ_j r_j/deg_j, computed
+    * entirely in INTEGER units of 1e-8: truncating BIGINT division is
+    * bit-identical in every engine and at every parallelism, where an
+    * 8-decimal ROUND would sit exactly on half-way points (the
+    * contributions are exact decimals, so .xxxxxxxx50 boundaries occur
+    * systematically and engines disagree on them). Each round shuffles
+    * narrow (node, contribution) rows keyed by the neighbor id — never
+    * document contents; no driver collects.
+    * Returns (node, deg, centrality = units/1e8 as double). */
+  def centrality(pairs: DataFrame, leftCol: String, rightCol: String,
+                 iters: Int = 3): DataFrame = {
+    val fwd = pairs.select(col(leftCol).as("src"), col(rightCol).as("dst"))
+    val edges = graft.Caches.tracked(
+      fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    val deg = graft.Caches.tracked(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    // r in units of 1e-8; r0 = 1.0
+    var r = deg.select(col("src").as("node"), lit(100000000L).as("ru"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(r, col("src") === col("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("ru div deg").as("c"))
+      r = contrib.groupBy("dst")
+        .agg(sum("c").as("sc"))
+        .select(col("dst").as("node"),
+          expr("15000000L + (85L * sc) div 100").as("ru"))
+    }
+    r.join(deg, col("node") === col("src"))
+      .select(col("node"), col("deg"),
+        (col("ru").cast("double") / 1e8).as("centrality"))
+  }
+
   def connectedComponents(pairs: DataFrame, leftCol: String, rightCol: String,
                           maxIters: Int = 25,
                           checkpointDir: Option[String] = None): DataFrame = {

@@ -254,6 +254,19 @@ object PipelineQueries {
         .orderBy("cluster_size")
     }),
 
+    // similarity-graph centrality (3 PageRank rounds, DECIMAL-exact
+    // contributions): the canonical-selection signal — within a near-dup
+    // cluster the highest-centrality member is the representative exemplar,
+    // vs keep-one's arbitrary min-id. Narrow (node, contribution) shuffles
+    // only; the oracle replays all three rounds as unrolled CTEs.
+    "dedup_centrality" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
+        blockCol = "source", minJaccard = 0.9)
+      Dedup.centrality(pairs, "id1", "id2", iters = 3)
+        .select(col("node").as("doc_id"), col("deg"), col("centrality"))
+        .orderBy("doc_id")
+    }),
+
     // keep-one canonical dedup — the curation output: drop every near-dup
     // cluster member except its min-id canonical, keep all singletons.
     // The corpus is filtered by a LEFT ANTI join on the narrow doc_id key
@@ -1088,6 +1101,43 @@ object PipelineQueries {
              FROM canon)
       SELECT lang, split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
       FROM sp GROUP BY lang, split ORDER BY lang, split""",
+
+    "dedup_centrality" -> {
+      // one PageRank round as CTE text — all arithmetic in BIGINT units of
+      // 1e-8 (truncating // division is engine-identical; an 8-decimal
+      // round would sit exactly on systematic .5 boundaries)
+      def prIter(i: Int): String = s"""
+      c$i AS (
+        SELECT e.dst AS node, (r.ru // d.deg) AS c
+        FROM edges e JOIN r${i - 1} r ON e.src = r.node
+                     JOIN deg d ON e.src = d.src),
+      r$i AS (
+        SELECT node,
+               CAST(15000000 + (85 * CAST(sum(c) AS BIGINT)) // 100
+                    AS BIGINT) AS ru
+        FROM c$i GROUP BY node)"""
+      s"""
+      WITH t AS (SELECT doc_id, source,
+                        list_distinct(string_split(text, ' ')) AS w
+                 FROM documents),
+      p AS (SELECT a.doc_id AS id1, c.doc_id AS id2,
+                   CAST(len(list_intersect(a.w, c.w)) AS DOUBLE)
+                     / (len(a.w) + len(c.w) - len(list_intersect(a.w, c.w))) AS jaccard
+            FROM t a JOIN t c ON a.source = c.source AND a.doc_id < c.doc_id),
+      pairs AS (SELECT id1, id2 FROM p WHERE jaccard >= 0.9),
+      edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                UNION ALL SELECT id2, id1 FROM pairs),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+              FROM edges GROUP BY src),
+      r0 AS (SELECT src AS node, CAST(100000000 AS BIGINT) AS ru FROM deg),
+      ${prIter(1)},
+      ${prIter(2)},
+      ${prIter(3)}
+      SELECT r3.node AS doc_id, deg.deg,
+             CAST(r3.ru AS DOUBLE) / 1e8 AS centrality
+      FROM r3 JOIN deg ON r3.node = deg.src
+      ORDER BY doc_id"""
+    },
 
     "dedup_components" -> """
       WITH RECURSIVE t AS (SELECT doc_id, source,

@@ -47,7 +47,7 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "text_bm25", "text_tfidf", "text_perplexity", "pipe_dsir",
     "embed_kmeans", "pipe_bpe_pairs", "dedup_bloom",
     "pipe_ccnet_buckets", "ann_hard_negatives", "dedup_cluster_sizes",
-    "mm_audio_fingerprint", "q_funnel", "q_retention")
+    "mm_audio_fingerprint", "q_funnel", "q_retention", "dedup_centrality")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
