@@ -357,6 +357,42 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** ASYMMETRIC containment near-dup: C(A→B) = |A∩B| / |A|. Catches what
+    * Jaccard misses — a short document wholly embedded in a long one has
+    * jaccard |A|/|B| (arbitrarily small) but containment 1.0. The pair
+    * survives when max(C(A→B), C(B→A)) = |∩| / min(|A|,|B|) ≥ the
+    * threshold; `contained_id` names the embedded (smaller, tie → lower
+    * id) side — the side a subset-dedup pass would drop.
+    *
+    * Same scale topology as [[jaccardPairs]]: tokenize once into sorted
+    * distinct hash sets, block on `blockCol`, linear merge per pair. No
+    * size-ratio prefilter exists for max-containment (|∩| ≤ min size means
+    * any size ratio can still reach 1.0), so blocking carries the whole
+    * pruning load — which is exactly why subset dedup at 100 TB runs
+    * LSH-banded or block-keyed, never all-pairs. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, minContainment: Double): DataFrame = {
+    val t = graft.Caches.tracked(df.select(col(idCol), col(blockCol),
+      graft.functions.TextFunctions.tokenSetHash(tokens(col(textCol))).as("w"))
+      .withColumn("nw", size(col("w"))))
+    val l = t.select(col(blockCol), col(idCol).as("id1"), col("w").as("w1"),
+      col("nw").as("n1"))
+    val r = t.select(col(blockCol), col(idCol).as("id2"), col("w").as("w2"),
+      col("nw").as("n2"))
+    l.join(r, blockCol)
+      .filter(col("id1") < col("id2"))
+      .withColumn("inter", graft.functions.TextFunctions
+        .sortedIntersectCount(col("w1"), col("w2")))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= minContainment)
+      .select(col(blockCol), col("id1"), col("id2"),
+        when(col("n1") < col("n2"), col("id1"))
+          .when(col("n2") < col("n1"), col("id2"))
+          .otherwise(least(col("id1"), col("id2"))).as("contained_id"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Duplicated-substring detection: for every document, how many of its
     * distinct k-token spans also appear in at least one OTHER document —
     * the span-level dedup signal (exact substring duplication across a

@@ -181,6 +181,30 @@ object PipelineQueries {
           blockCol = "source", minJaccard = 0.9)
         .orderBy("id1", "id2")),
 
+    // asymmetric containment pairs: |∩| / min(|A|,|B|) ≥ 0.9 — the
+    // subset-duplication detector (a short doc embedded in a long one has
+    // tiny jaccard but containment ~1). contained_id = the side subset
+    // dedup would drop.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+          blockCol = "source", minContainment = 0.9)
+        .orderBy("id1", "id2")),
+
+    // SoftDeDup-style loss weights: instead of DROPPING exact duplicates,
+    // weight each copy by 1/n_copies so the duplicated content contributes
+    // one document's worth of gradient mass in total. One window count
+    // partitioned by the content hash (= one shuffle keyed on md5 — the
+    // same key exact dedup shuffles on); the full text never travels, only
+    // (doc_id, 32-byte hash).
+    "dedup_soft_weights" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      docs(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("n_copies", count(lit(1)).over(w))
+        .select(col("doc_id"), col("n_copies"),
+          round(lit(1.0) / col("n_copies"), 6).as("weight"))
+        .orderBy("doc_id")
+    }),
+
     // THE composed pipeline — what a user of this library actually runs:
     // quality-filter → near-dup cluster (LSH-family verify + components) →
     // keep canonical docs → deterministic train/val split → corpus stats.
@@ -1066,6 +1090,27 @@ object PipelineQueries {
             FROM t a JOIN t c ON a.source = c.source AND a.doc_id < c.doc_id)
       SELECT source, id1, id2, round(jaccard, 6) AS jaccard
       FROM p WHERE jaccard >= 0.9 ORDER BY id1, id2""",
+
+    "dedup_containment" -> """
+      WITH t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS w
+                 FROM documents),
+      p AS (SELECT a.source, a.doc_id AS id1, c.doc_id AS id2,
+                   len(a.w) AS n1, len(c.w) AS n2,
+                   CAST(len(list_intersect(a.w, c.w)) AS DOUBLE)
+                     / least(len(a.w), len(c.w)) AS containment
+            FROM t a JOIN t c ON a.source = c.source AND a.doc_id < c.doc_id)
+      SELECT source, id1, id2,
+             CASE WHEN n1 < n2 THEN id1
+                  WHEN n2 < n1 THEN id2
+                  ELSE least(id1, id2) END AS contained_id,
+             round(containment, 6) AS containment
+      FROM p WHERE containment >= 0.9 ORDER BY id1, id2""",
+
+    "dedup_soft_weights" -> """
+      SELECT doc_id,
+             CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies,
+             round(1.0 / count(*) OVER (PARTITION BY md5(text)), 6) AS weight
+      FROM documents ORDER BY doc_id""",
 
     "pipe_end2end" -> """
       WITH RECURSIVE q AS (

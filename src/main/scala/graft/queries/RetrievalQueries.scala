@@ -230,6 +230,51 @@ object RetrievalQueries {
         .orderBy(col("n").desc, col("pair")).limit(50)
     }),
 
+    // BPE tokenizer TRAINING: 3 greedy merge rounds over the weighted
+    // vocabulary (pipe_bpe_pairs is round 1's counting stage; this runs
+    // the full loop). Each round: count adjacent SYMBOL pairs weighted by
+    // corpus word frequency, pick the top pair (one bounded driver collect
+    // — the kmeans pattern), merge it greedily left-to-right in every
+    // word. The merge is a fold to a boundary-delimited string: the
+    // accumulator ends '|a|' exactly when the previous symbol is a, so a
+    // symbol that merely ENDS in a can never false-match, and a just-
+    // merged symbol can't immediately re-merge (greedy non-overlap) — the
+    // oracle replays the identical fold via list_reduce. All outputs are
+    // integers (pair supports, weighted symbol counts): nothing to round.
+    // Scale: every stage is vocabulary-bounded (distinct words with their
+    // frequency as weight), never O(corpus tokens); the fold is
+    // interpreted but runs once per distinct word per round.
+    "pipe_bpe_train" -> ((s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      var syms = graft.Caches.tracked(vocab.withColumn("syms",
+        expr("filter(split(w, ''), x -> x <> '')")))
+      val rounds = collection.mutable.Buffer.empty[(Int, String, String, Long, Long)]
+      for (it <- 1 to 3) {
+        val top = syms.filter(size(col("syms")) >= 2)
+          .select(col("c"), col("syms"),
+            explode(expr("sequence(1, size(syms) - 1)")).as("i"))
+          .select(concat(element_at(col("syms"), col("i")), lit("|"),
+            element_at(col("syms"), col("i") + 1)).as("pair"), col("c"))
+          .groupBy("pair").agg(sum("c").as("n"))
+          .orderBy(col("n").desc, col("pair").asc).limit(1)
+          .collect()(0)
+        val Array(a, b) = top.getString(0).split("\\|")
+        syms = graft.Caches.tracked(syms.withColumn("syms", expr(
+          s"""filter(split(aggregate(syms, '|', (acc, x) ->
+             CASE WHEN x = '$b' AND endswith(acc, '|$a|')
+                  THEN substr(acc, 1, length(acc) - ${a.length + 1}) || '$a$b|'
+                  ELSE acc || x || '|' END), '\\\\|'), x -> x <> '')""")))
+        val nSyms = syms.agg(sum(col("c") * size(col("syms")))).collect()(0)
+          .getLong(0)
+        rounds += ((it, a, b, top.getLong(1), nSyms))
+      }
+      s.createDataFrame(rounds.toSeq)
+        .toDF("it", "merge_a", "merge_b", "support", "corpus_symbols")
+        .orderBy("it")
+    }),
+
     // hard-negative mining for retrieval training: for each query vector,
     // the most similar corpus vectors from OTHER semantic clusters — the
     // near-miss examples a contrastive retriever trains against. IVF-shaped:
@@ -324,6 +369,132 @@ object RetrievalQueries {
         .select(col("cid"), col("n_members"), col("coh_sum"),
           col("c0"), col("c1"))
         .orderBy("cid")
+    }),
+
+    // Stupid-Backoff bigram LM scoring (Brants et al. 2007 — the
+    // web-scale LM design: unnormalized count ratios, no discounting, so
+    // every quantity is an integer ratio). The model trains on the 90%
+    // split (doc_id % 10 ≠ 0) and scores the HELD-OUT 10% — the CCNet
+    // shape (score with a model trained elsewhere), and the reason the
+    // backoff path actually fires: held-out bigrams can be unseen.
+    //   S(w2|w1) = c(w1w2)/c(w1)            if the bigram was seen
+    //            = 0.4 · (c(w2)+1)/(T+V)    otherwise (Laplace unigram)
+    // Per-position log-scores round to 8 decimals and sum as DECIMAL.
+    // Join shape: held-out doc-bigrams ⋈ train bigram counts shuffles on
+    // near-unique (w1,w2) keys; the unigram table is vocabulary-bounded
+    // and broadcast (at a vocabulary too large to broadcast it becomes
+    // the skew-split join text_perplexity uses).
+    "text_backoff" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+      val train = toks.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val held = toks.filter(pmod(col("doc_id"), lit(10)) === 0)
+      def bigrams(df: DataFrame): DataFrame = df.filter(size(col("l")) >= 2)
+        .select(col("doc_id"), col("l"),
+          explode(expr("sequence(1, size(l) - 1)")).as("i"))
+        .select(col("doc_id"), element_at(col("l"), col("i")).as("w1"),
+          element_at(col("l"), col("i") + 1).as("w2"))
+      val uni = graft.Caches.tracked(train.select(explode(col("l")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1")))
+      val tot = uni.agg(sum("c1").as("t_tok"), count(lit(1)).as("v_sz"))
+      val big = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val hb = bigrams(held).groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).as("c"))
+      val joined = hb.join(big, Seq("w1", "w2"), "left")
+        .join(broadcast(uni.select(col("w").as("w1"), col("c1"))),
+          Seq("w1"), "left")
+        .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("c1w2"))),
+          Seq("w2"), "left")
+        .crossJoin(broadcast(tot))
+      val sc = joined.select(col("doc_id"), col("c"),
+        round(when(col("c2").isNotNull,
+            log(col("c2").cast("double") / col("c1").cast("double")))
+          .otherwise(log(lit(0.4) *
+            (coalesce(col("c1w2"), lit(0L)) + 1).cast("double") /
+            (col("t_tok") + col("v_sz")).cast("double"))), 8)
+          .cast("decimal(12,8)").as("lp"))
+      sc.groupBy("doc_id")
+        .agg(sum(col("c") * col("lp")).as("slp"), sum(col("c")).as("n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(-col("slp").cast("double") / col("n_bigrams"), 6).as("bo_nll"))
+        .orderBy("doc_id")
+    }),
+
+    // Zipf-law fit over the token frequency spectrum: least-squares slope
+    // of ln(freq) vs ln(rank) on the top-100 terms — the corpus-health
+    // diagnostic (natural text sits near −1; template spam and word soup
+    // drift off). The frequency table is vocabulary-bounded with map-side
+    // partial counts; top-100 travels via TakeOrderedAndProject; the rank
+    // window runs over those 100 rows only (never a global sort of the
+    // vocabulary). ln values round to 8 decimals and sum as DECIMAL, so
+    // the regression sums are exact at any parallelism; slope/intercept
+    // are closed-form scalar expressions over those exact sums (identical
+    // expression tree in the oracle).
+    "text_zipf" -> ((s, dir) => {
+      val freq = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val top = freq.orderBy(col("c").desc, col("w").asc).limit(100)
+      val ranked = top.withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("w").asc)))
+      val pts = ranked.select(
+        round(log(col("rank").cast("double")), 8).cast("decimal(12,8)").as("x"),
+        round(log(col("c").cast("double")), 8).cast("decimal(12,8)").as("y"))
+      val sums = pts.agg(count(lit(1)).as("n_terms"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      sums.select(col("n_terms"),
+        round((col("n_terms").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n_terms").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("zipf_slope"),
+        round((col("sy").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sxy").cast("double")) /
+          (col("n_terms").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("zipf_intercept"))
+    }),
+
+    // Embedding covariance matrix (upper triangle, 64×64 → 2080 cells) —
+    // the PCA/whitening/OPQ preprocessing statistic. Shape: two chained
+    // generators expand each row to its (i ≤ j) products MAP-SIDE (top-
+    // level element_at products — codegen'd, never a lambda), then ONE
+    // hash aggregation over 2080 groups with map-side partial sums; the
+    // only shuffle carries 2080 partial rows per task, regardless of
+    // corpus size. cov = E[xy] − E[x]E[y] from DECIMAL-exact sums of
+    // 8-decimal-rounded products (order-invariant); the 64-row dim-sum
+    // table joins in twice via broadcast.
+    "embed_covariance" -> ((s, dir) => {
+      val e = graft.Caches.tracked(
+        t(s, dir, "embeddings").select(col("embedding")))
+      val n = e.agg(count(lit(1)).as("n"))
+      val pairs = e
+        .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
+        .select(col("i"), col("xi"), col("embedding"),
+          explode(expr("sequence(i, 63)")).as("j"))
+        .select(col("i"), col("j"),
+          round(col("xi").cast("double") *
+            element_at(col("embedding"), col("j") + 1).cast("double"), 8)
+            .cast("decimal(16,8)").as("p"))
+      val sp = pairs.groupBy("i", "j").agg(sum("p").as("sxy"))
+      val ds = e.select(posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("d")
+        .agg(sum(round(col("x").cast("double"), 8).cast("decimal(16,8)"))
+          .as("sx"))
+      val a = ds.select(col("d").as("i"), col("sx").as("sxi"))
+      val b = ds.select(col("d").as("j"), col("sx").as("sxj"))
+      sp.join(broadcast(a), "i").join(broadcast(b), "j")
+        .crossJoin(broadcast(n))
+        .select((col("i") + 1).cast("long").as("pos1"),
+          (col("j") + 1).cast("long").as("pos2"),
+          // + 0.0 normalizes the sign of zero: DuckDB's round keeps −0.0
+          // for a tiny negative cov, Spark's BigDecimal round doesn't, and
+          // the harness hashes/sorts the rendered strings (rule 6d)
+          (round(col("sxy").cast("double") / col("n") -
+            (col("sxi").cast("double") / col("n")) *
+            (col("sxj").cast("double") / col("n")), 6) + lit(0.0)).as("cov"))
+        .orderBy("pos1", "pos2")
     })
   )
 
@@ -361,7 +532,49 @@ object RetrievalQueries {
         SELECT p.cid, coalesce(n.cv, p.cv) AS cv
         FROM cent${i - 1} p LEFT JOIN newc$i n USING (cid))"""
 
+  /** one BPE merge round as CTE text: pair counts over s${i-1}, top pair,
+    * the identical greedy fold the Spark side runs, and the round's
+    * result row. */
+  private def bpeIter(i: Int): String = s"""
+      p$i AS (
+        SELECT syms[j] || '|' || syms[j + 1] AS pair, CAST(sum(c) AS BIGINT) AS n
+        FROM (SELECT c, syms, unnest(generate_series(1, len(syms) - 1)) AS j
+              FROM s${i - 1} WHERE len(syms) >= 2)
+        GROUP BY pair),
+      t$i AS (
+        SELECT string_split(pair, '|')[1] AS a, string_split(pair, '|')[2] AS b, n
+        FROM p$i ORDER BY n DESC, pair LIMIT 1),
+      s$i AS (
+        SELECT w, c, list_filter(string_split(
+          list_reduce(list_prepend('|', syms), (acc, x) ->
+            CASE WHEN x = t$i.b AND ends_with(acc, '|' || t$i.a || '|')
+                 THEN substr(acc, 1, length(acc) - length(t$i.a) - 1)
+                      || t$i.a || t$i.b || '|'
+                 ELSE acc || x || '|' END), '|'), x -> x <> '') AS syms
+        FROM s${i - 1} CROSS JOIN t$i),
+      r$i AS (
+        SELECT $i AS it, t$i.a AS merge_a, t$i.b AS merge_b, t$i.n AS support,
+               (SELECT CAST(sum(c * len(syms)) AS BIGINT) FROM s$i)
+                 AS corpus_symbols
+        FROM t$i)"""
+
   def oracleSql: Map[String, String] = Map(
+
+    "pipe_bpe_train" -> s"""
+      WITH v AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w),
+      s0 AS (
+        SELECT w, c,
+               list_transform(range(1, length(w) + 1),
+                 i -> substr(w, i, 1)) AS syms
+        FROM v),
+      ${bpeIter(1)},
+      ${bpeIter(2)},
+      ${bpeIter(3)}
+      SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+      ORDER BY it""",
     "text_bm25" -> """
       WITH d AS (
         SELECT doc_id, string_split(text, ' ') AS toks,
@@ -541,6 +754,91 @@ object RetrievalQueries {
              c.cv[1] AS c0, c.cv[2] AS c1
       FROM ass3 a JOIN cent3 c USING (cid)
       GROUP BY a.cid, c.cv[1], c.cv[2]
-      ORDER BY cid"""
+      ORDER BY cid""",
+
+    "text_backoff" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      train AS (SELECT * FROM toks WHERE doc_id % 10 <> 0),
+      held AS (SELECT * FROM toks WHERE doc_id % 10 = 0),
+      uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+              FROM (SELECT unnest(l) AS w FROM train) GROUP BY w),
+      tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t_tok, count(*) AS v_sz FROM uni),
+      tb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+               SELECT l[i] AS w1, l[i + 1] AS w2
+               FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+                     FROM train WHERE len(l) >= 2))
+             GROUP BY w1, w2),
+      hb AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c FROM (
+               SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+               FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+                     FROM held WHERE len(l) >= 2))
+             GROUP BY doc_id, w1, w2),
+      sc AS (
+        SELECT hb.doc_id, hb.c,
+               CAST(round(CASE WHEN tb.c2 IS NOT NULL
+                 THEN ln(CAST(tb.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+                 ELSE ln(0.4 * CAST(coalesce(u2.c1, 0) + 1 AS DOUBLE)
+                         / CAST(t.t_tok + t.v_sz AS DOUBLE)) END, 8)
+                 AS DECIMAL(12,8)) AS lp
+        FROM hb LEFT JOIN tb USING (w1, w2)
+                LEFT JOIN uni u1 ON u1.w = hb.w1
+                LEFT JOIN uni u2 ON u2.w = hb.w2
+                CROSS JOIN tot t)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             round(-CAST(sum(c * lp) AS DOUBLE) / sum(c), 6) AS bo_nll
+      FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+    "text_zipf" -> """
+      WITH f AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w),
+      top AS (SELECT w, c FROM f ORDER BY c DESC, w LIMIT 100),
+      r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank FROM top),
+      pts AS (
+        SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 8) AS DECIMAL(12,8)) AS x,
+               CAST(round(ln(CAST(c AS DOUBLE)), 8) AS DECIMAL(12,8)) AS y
+        FROM r),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM pts)
+      SELECT n_terms,
+             round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS zipf_slope,
+             round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+                   / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS zipf_intercept
+      FROM s""",
+
+    "embed_covariance" -> """
+      WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+      pr AS (
+        SELECT i.i AS i, j.j AS j,
+               CAST(round(CAST(embedding[i.i] AS DOUBLE)
+                          * CAST(embedding[j.j] AS DOUBLE), 8)
+                    AS DECIMAL(16,8)) AS p
+        FROM embeddings,
+             (SELECT unnest(range(1, 65)) AS i) i,
+             (SELECT unnest(range(1, 65)) AS j) j
+        WHERE j.j >= i.i),
+      sp AS (SELECT i, j, sum(p) AS sxy FROM pr GROUP BY i, j),
+      ds AS (
+        SELECT i.i AS d,
+               sum(CAST(round(CAST(embedding[i.i] AS DOUBLE), 8)
+                        AS DECIMAL(16,8))) AS sx
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY i.i)
+      SELECT sp.i AS pos1, sp.j AS pos2,
+             round(CAST(sxy AS DOUBLE) / n.n
+                   - (CAST(a.sx AS DOUBLE) / n.n) * (CAST(b.sx AS DOUBLE) / n.n),
+                   6) + 0.0 AS cov
+      FROM sp JOIN ds a ON a.d = sp.i JOIN ds b ON b.d = sp.j CROSS JOIN n
+      ORDER BY pos1, pos2"""
   )
 }

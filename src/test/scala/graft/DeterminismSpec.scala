@@ -47,7 +47,9 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "text_bm25", "text_tfidf", "text_perplexity", "pipe_dsir",
     "embed_kmeans", "pipe_bpe_pairs", "dedup_bloom",
     "pipe_ccnet_buckets", "ann_hard_negatives", "dedup_cluster_sizes",
-    "mm_audio_fingerprint", "q_funnel", "q_retention", "dedup_centrality")
+    "mm_audio_fingerprint", "q_funnel", "q_retention", "dedup_centrality",
+    "dedup_containment", "dedup_soft_weights", "text_zipf",
+    "embed_covariance", "text_backoff", "pipe_bpe_train")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
