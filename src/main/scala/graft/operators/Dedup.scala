@@ -87,6 +87,73 @@ object Dedup {
       .select("id1", "id2", "est_jaccard")
   }
 
+  /** LSH parameter sweep: for each band count in `bandConfigs`, measure
+    * candidate-generation RECALL against the exact shingle-Jaccard truth —
+    * the S-curve evidence that picks (bands, rows) before a 100 TB run.
+    * With r rows per band the collision probability is 1−(1−j^r)^b; the
+    * sweep shows it empirically: more bands → higher recall AND more
+    * candidates to verify.
+    *
+    * The truth set is exact shingle-set Jaccard ≥ `minJaccard` within
+    * `blockCol` blocks (the same tokenize-once sorted-hash-set linear
+    * merge as [[jaccardPairs]], on the SHINGLE basis minhash estimates);
+    * candidates are raw band collisions (no estimate filter), restricted
+    * to the same-block universe so recall is measured against a truth that
+    * is computable without an all-pairs product. Signatures materialize
+    * once and are re-banded per config (re-banding is a projection —
+    * O(docs × bands), no re-hashing). Per config only three bounded
+    * counts reach the driver. */
+  def lshRecallSweep(df: DataFrame, idCol: String, textCol: String,
+                     blockCol: String, numHashes: Int,
+                     bandConfigs: Seq[Int], minJaccard: Double): DataFrame = {
+    import graft.functions.TextFunctions
+    val t0 = df
+      .select(col(idCol), col(blockCol), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("shr", TextFunctions.wordShingles3("w"))
+    val base = graft.Caches.tracked(t0
+      .select(col(idCol), col(blockCol),
+        TextFunctions.tokenSetHash(col("shr")).as("sh"))
+      .withColumn("ns", size(col("sh"))))
+    val l = base.select(col(blockCol), col(idCol).as("id1"),
+      col("sh").as("s1"), col("ns").as("n1"))
+    val r = base.select(col(blockCol), col(idCol).as("id2"),
+      col("sh").as("s2"), col("ns").as("n2"))
+    val truth = graft.Caches.tracked(l.join(r, blockCol)
+      .filter(col("id1") < col("id2"))
+      .filter(least(col("n1"), col("n2")) >=
+        lit(minJaccard) * greatest(col("n1"), col("n2")))
+      .withColumn("inter", TextFunctions.sortedIntersectCount(col("s1"), col("s2")))
+      .withColumn("j",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("j") >= minJaccard)
+      .select("id1", "id2"))
+    val sig = graft.Caches.tracked(
+      minhashSignatures(df, idCol, textCol, numHashes))
+    val blocks = df.select(col(idCol), col(blockCol))
+    val nTrue = truth.count()
+    val rows = bandConfigs.map { b =>
+      val keyed = minhashBands(sig, idCol, numHashes, b)
+      val cand = keyed.select(col(idCol).as("id1"), col("band"), col("band_key"))
+        .join(keyed.select(col(idCol).as("id2"), col("band"), col("band_key")),
+          Seq("band", "band_key"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+      val candB = graft.Caches.tracked(cand
+        .join(blocks.select(col(idCol).as("id1"), col(blockCol).as("bl1")), "id1")
+        .join(blocks.select(col(idCol).as("id2"), col(blockCol).as("bl2")), "id2")
+        .filter(col("bl1") === col("bl2"))
+        .select("id1", "id2"))
+      (b, numHashes / b, nTrue, candB.count(),
+        truth.join(candB, Seq("id1", "id2")).count())
+    }
+    df.sparkSession.createDataFrame(rows)
+      .toDF("bands", "rows_per_band", "n_true", "n_cand", "n_hit")
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_true"), 6))
+      .orderBy("bands")
+  }
+
   /** Incremental MinHash dedup: candidate near-dup pairs of a NEW batch
     * against an already-indexed corpus — the shape real ingestion uses
     * (re-running the full self-join per arriving batch would be O(corpus)

@@ -133,6 +133,15 @@ object PipelineQueries {
           numHashes = 16, bands = 4, minEst = 0.5)
         .orderBy("id1", "id2")),
 
+    // LSH parameter sweep: candidate recall + candidate volume for
+    // bands ∈ {2, 4, 8} (rows/band 8, 4, 2) at 16 hashes, against the
+    // exact shingle-Jaccard ≥ 0.5 truth — the empirical S-curve that
+    // picks the (bands, rows) operating point before a 100 TB run.
+    "dedup_lsh_sweep" -> ((s, dir) =>
+      Dedup.lshRecallSweep(docs(s, dir), "doc_id", "text",
+        blockCol = "source", numHashes = 16,
+        bandConfigs = Seq(2, 4, 8), minJaccard = 0.5)),
+
     // incremental ingestion dedup: the NEW batch (last 20% of doc ids)
     // is checked against the already-indexed corpus (first 80%) — a
     // band-key join INTO the index, never a self-join over the whole
@@ -986,6 +995,63 @@ object PipelineQueries {
                          JOIN sig y ON pairs.id2 = y.doc_id)
       SELECT id1, id2, est_jaccard FROM est
       WHERE est_jaccard >= 0.5 ORDER BY id1, id2""",
+
+    "dedup_lsh_sweep" -> {
+      // one band config as CTE text: band keys, raw collision candidates,
+      // same-source restriction, the config's counts row
+      def cfg(b: Int): String = {
+        val r = 16 / b
+        s"""
+      k$b AS (SELECT doc_id, b,
+                     array_to_string(list_slice(sig, b * $r + 1, b * $r + $r), ',')
+                       AS band_key
+              FROM sig, (SELECT unnest(range(0, $b)) AS b)),
+      c$b AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+              FROM k$b a JOIN k$b c
+                ON a.b = c.b AND a.band_key = c.band_key
+                   AND a.doc_id < c.doc_id),
+      cb$b AS (SELECT c.id1, c.id2 FROM c$b c
+               JOIN documents d1 ON d1.doc_id = c.id1
+               JOIN documents d2 ON d2.doc_id = c.id2
+               WHERE d1.source = d2.source),
+      r$b AS (SELECT CAST($b AS INTEGER) AS bands,
+                     CAST($r AS INTEGER) AS rows_per_band,
+                     (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+                     (SELECT CAST(count(*) AS BIGINT) FROM cb$b) AS n_cand,
+                     (SELECT CAST(count(*) AS BIGINT)
+                      FROM truth t JOIN cb$b c
+                        ON t.id1 = c.id1 AND t.id2 = c.id2) AS n_hit)"""
+      }
+      s"""
+      WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                 FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      sh AS (SELECT doc_id, source,
+                    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   FOR i IN range(1, len(w) - 1)]) AS sh
+             FROM t),
+      truth AS (SELECT a.doc_id AS id1, c.doc_id AS id2
+                FROM sh a JOIN sh c
+                  ON a.source = c.source AND a.doc_id < c.doc_id
+                WHERE CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE)
+                      / (len(a.sh) + len(c.sh) - len(list_intersect(a.sh, c.sh)))
+                      >= 0.5),
+      base AS (SELECT doc_id, list_transform(sh, s -> ${h("s")} & 1073741823) AS bs
+               FROM sh),
+      sig AS (SELECT doc_id,
+                     [list_min(list_transform(bs, x ->
+                        (x * (2 * h + 1) + h * 40503) % 1073741789))
+                      FOR h IN range(0, 16)] AS sig
+              FROM base),
+      ${cfg(2)},
+      ${cfg(4)},
+      ${cfg(8)}
+      SELECT bands, rows_per_band, n_true, n_cand, n_hit,
+             round(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall
+      FROM (SELECT * FROM r2 UNION ALL SELECT * FROM r4
+            UNION ALL SELECT * FROM r8)
+      ORDER BY bands"""
+    },
 
     "dedup_incremental" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents

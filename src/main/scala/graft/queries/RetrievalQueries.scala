@@ -245,34 +245,31 @@ object RetrievalQueries {
     // frequency as weight), never O(corpus tokens); the fold is
     // interpreted but runs once per distinct word per round.
     "pipe_bpe_train" -> ((s, dir) => {
-      val vocab = t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c"))
-      var syms = graft.Caches.tracked(vocab.withColumn("syms",
-        expr("filter(split(w, ''), x -> x <> '')")))
-      val rounds = collection.mutable.Buffer.empty[(Int, String, String, Long, Long)]
-      for (it <- 1 to 3) {
-        val top = syms.filter(size(col("syms")) >= 2)
-          .select(col("c"), col("syms"),
-            explode(expr("sequence(1, size(syms) - 1)")).as("i"))
-          .select(concat(element_at(col("syms"), col("i")), lit("|"),
-            element_at(col("syms"), col("i") + 1)).as("pair"), col("c"))
-          .groupBy("pair").agg(sum("c").as("n"))
-          .orderBy(col("n").desc, col("pair").asc).limit(1)
-          .collect()(0)
-        val Array(a, b) = top.getString(0).split("\\|")
-        syms = graft.Caches.tracked(syms.withColumn("syms", expr(
-          s"""filter(split(aggregate(syms, '|', (acc, x) ->
-             CASE WHEN x = '$b' AND endswith(acc, '|$a|')
-                  THEN substr(acc, 1, length(acc) - ${a.length + 1}) || '$a$b|'
-                  ELSE acc || x || '|' END), '\\\\|'), x -> x <> '')""")))
-        val nSyms = syms.agg(sum(col("c") * size(col("syms")))).collect()(0)
-          .getLong(0)
-        rounds += ((it, a, b, top.getLong(1), nSyms))
-      }
-      s.createDataFrame(rounds.toSeq)
+      val (rounds, _) = bpeTrainRounds(s, dir, 3)
+      s.createDataFrame(rounds)
         .toDF("it", "merge_a", "merge_b", "support", "corpus_symbols")
         .orderBy("it")
+    }),
+
+    // BPE tokenizer APPLICATION: per-language fertility (symbols per
+    // token) under the 3-merge tokenizer pipe_bpe_train learns — the
+    // tokenizer-efficiency statistic a pretrain mix is balanced on. The
+    // trained per-word symbol count is vocabulary-bounded and BROADCAST;
+    // the corpus-scale side is one explode + one per-lang aggregation (at
+    // a vocabulary too large to broadcast this is the Zipf skew-split
+    // join again).
+    "pipe_bpe_apply" -> ((s, dir) => {
+      val (_, syms) = bpeTrainRounds(s, dir, 3)
+      val wsize = syms.select(col("w"), size(col("syms")).cast("long").as("nsym"))
+      t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .join(broadcast(wsize), "w")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"), sum("nsym").as("n_symbols"))
+        .select(col("lang"), col("n_tokens"), col("n_symbols"),
+          round(col("n_symbols").cast("double") / col("n_tokens"), 6)
+            .as("fertility"))
+        .orderBy("lang")
     }),
 
     // hard-negative mining for retrieval training: for each query vector,
@@ -420,6 +417,61 @@ object RetrievalQueries {
         .orderBy("doc_id")
     }),
 
+    // Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    // Goodman 1999's interpolated form, fixed discount d = 0.75) — the
+    // smoothing real n-gram LMs (KenLM) use, next to text_backoff's
+    // count-ratio heuristic:
+    //   P(w2|w1) = max(c12−d, 0)/ctx(w1)
+    //              + d·N1+(w1·)/ctx(w1) · Pcont(w2)       seen context
+    //   P(w2|w1) = Pcont(w2)                              unseen context
+    // with ctx(w1) = Σ_x c(w1,x) (the exact context total, not the
+    // unigram count) and the continuation distribution Laplace-smoothed —
+    // Pcont(w2) = (N1+(·w2)+1)/(types+V) — so a held-out w2 never hits
+    // ln(0). Model on the 90% split, scored on the held-out 10%. Every
+    // input is an integer count; per-position log-scores round to 8
+    // decimals and sum as DECIMAL. Same join topology as text_backoff:
+    // bigram stats shuffle on near-unique (w1,w2); the three per-word
+    // tables (ctx, N1+(w1·), N1+(·w2)) are vocabulary-bounded broadcasts.
+    "text_kneser_ney" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+      val train = toks.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val held = toks.filter(pmod(col("doc_id"), lit(10)) === 0)
+      def bigrams(df: DataFrame): DataFrame = df.filter(size(col("l")) >= 2)
+        .select(col("doc_id"), col("l"),
+          explode(expr("sequence(1, size(l) - 1)")).as("i"))
+        .select(col("doc_id"), element_at(col("l"), col("i")).as("w1"),
+          element_at(col("l"), col("i") + 1).as("w2"))
+      val big = graft.Caches.tracked(
+        bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2")))
+      val ctx = big.groupBy("w1")
+        .agg(sum("c2").as("ctx"), count(lit(1)).as("n1l"))
+      val cont = big.groupBy("w2").agg(count(lit(1)).as("n1r"))
+      val tots = big.agg(count(lit(1)).as("types"))
+        .crossJoin(train.select(explode(col("l")).as("w")).agg(
+          countDistinct(col("w")).as("v_sz")))
+      val hb = bigrams(held).groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).as("c"))
+      val joined = hb.join(big, Seq("w1", "w2"), "left")
+        .join(broadcast(ctx), Seq("w1"), "left")
+        .join(broadcast(cont), Seq("w2"), "left")
+        .crossJoin(broadcast(tots))
+      val pcont = (coalesce(col("n1r"), lit(0L)) + 1).cast("double") /
+        (col("types") + col("v_sz")).cast("double")
+      val p = when(col("ctx").isNotNull,
+        greatest(coalesce(col("c2"), lit(0L)).cast("double") - 0.75, lit(0.0)) /
+          col("ctx").cast("double") +
+          lit(0.75) * col("n1l").cast("double") / col("ctx").cast("double") * pcont)
+        .otherwise(pcont)
+      val sc = joined.select(col("doc_id"), col("c"),
+        round(log(p), 8).cast("decimal(12,8)").as("lp"))
+      sc.groupBy("doc_id")
+        .agg(sum(col("c") * col("lp")).as("slp"), sum(col("c")).as("n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(-col("slp").cast("double") / col("n_bigrams"), 6).as("kn_nll"))
+        .orderBy("doc_id")
+    }),
+
     // Zipf-law fit over the token frequency spectrum: least-squares slope
     // of ln(freq) vs ln(rank) on the top-100 terms — the corpus-health
     // diagnostic (natural text sits near −1; template spam and word soup
@@ -531,6 +583,39 @@ object RetrievalQueries {
       cent$i AS (
         SELECT p.cid, coalesce(n.cv, p.cv) AS cv
         FROM cent${i - 1} p LEFT JOIN newc$i n USING (cid))"""
+
+  /** `iters` greedy BPE merge rounds over the weighted vocabulary (see
+    * pipe_bpe_train's comment for the fold's correctness argument).
+    * Returns (per-round stats, final (w, c, syms) symbol table). */
+  private def bpeTrainRounds(s: SparkSession, dir: String, iters: Int)
+      : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
+    val vocab = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    var syms = graft.Caches.tracked(vocab.withColumn("syms",
+      expr("filter(split(w, ''), x -> x <> '')")))
+    val rounds = collection.mutable.Buffer.empty[(Int, String, String, Long, Long)]
+    for (it <- 1 to iters) {
+      val top = syms.filter(size(col("syms")) >= 2)
+        .select(col("c"), col("syms"),
+          explode(expr("sequence(1, size(syms) - 1)")).as("i"))
+        .select(concat(element_at(col("syms"), col("i")), lit("|"),
+          element_at(col("syms"), col("i") + 1)).as("pair"), col("c"))
+        .groupBy("pair").agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(1)
+        .collect()(0)
+      val Array(a, b) = top.getString(0).split("\\|")
+      syms = graft.Caches.tracked(syms.withColumn("syms", expr(
+        s"""filter(split(aggregate(syms, '|', (acc, x) ->
+           CASE WHEN x = '$b' AND endswith(acc, '|$a|')
+                THEN substr(acc, 1, length(acc) - ${a.length + 1}) || '$a$b|'
+                ELSE acc || x || '|' END), '\\\\|'), x -> x <> '')""")))
+      val nSyms = syms.agg(sum(col("c") * size(col("syms")))).collect()(0)
+        .getLong(0)
+      rounds += ((it, a, b, top.getLong(1), nSyms))
+    }
+    (rounds.toSeq, syms)
+  }
 
   /** one BPE merge round as CTE text: pair counts over s${i-1}, top pair,
     * the identical greedy fold the Spark side runs, and the round's
@@ -755,6 +840,66 @@ object RetrievalQueries {
       FROM ass3 a JOIN cent3 c USING (cid)
       GROUP BY a.cid, c.cv[1], c.cv[2]
       ORDER BY cid""",
+
+    "pipe_bpe_apply" -> s"""
+      WITH v AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w),
+      s0 AS (
+        SELECT w, c,
+               list_transform(range(1, length(w) + 1),
+                 i -> substr(w, i, 1)) AS syms
+        FROM v),
+      ${bpeIter(1)},
+      ${bpeIter(2)},
+      ${bpeIter(3)},
+      wl AS (SELECT w, len(syms) AS nsym FROM s3),
+      tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(nsym) AS BIGINT) AS n_symbols,
+             round(CAST(sum(nsym) AS DOUBLE) / count(*), 6) AS fertility
+      FROM tok JOIN wl USING (w) GROUP BY lang ORDER BY lang""",
+
+    "text_kneser_ney" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      train AS (SELECT * FROM toks WHERE doc_id % 10 <> 0),
+      held AS (SELECT * FROM toks WHERE doc_id % 10 = 0),
+      big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+                SELECT l[i] AS w1, l[i + 1] AS w2
+                FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+                      FROM train WHERE len(l) >= 2))
+              GROUP BY w1, w2),
+      ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS ctx,
+                     CAST(count(*) AS BIGINT) AS n1l
+              FROM big GROUP BY w1),
+      cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM big GROUP BY w2),
+      tots AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM big) AS types,
+                      (SELECT CAST(count(DISTINCT w) AS BIGINT)
+                       FROM (SELECT unnest(l) AS w FROM train)) AS v_sz),
+      hb AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c FROM (
+               SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+               FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+                     FROM held WHERE len(l) >= 2))
+             GROUP BY doc_id, w1, w2),
+      sc AS (
+        SELECT hb.doc_id, hb.c,
+               CAST(round(ln(CASE WHEN ctx.ctx IS NOT NULL
+                 THEN greatest(CAST(coalesce(big.c2, 0) AS DOUBLE) - 0.75, 0.0)
+                        / CAST(ctx.ctx AS DOUBLE)
+                      + 0.75 * CAST(ctx.n1l AS DOUBLE) / CAST(ctx.ctx AS DOUBLE)
+                        * (CAST(coalesce(cont.n1r, 0) + 1 AS DOUBLE)
+                           / CAST(t.types + t.v_sz AS DOUBLE))
+                 ELSE CAST(coalesce(cont.n1r, 0) + 1 AS DOUBLE)
+                      / CAST(t.types + t.v_sz AS DOUBLE) END), 8)
+                 AS DECIMAL(12,8)) AS lp
+        FROM hb LEFT JOIN big USING (w1, w2)
+                LEFT JOIN ctx ON ctx.w1 = hb.w1
+                LEFT JOIN cont ON cont.w2 = hb.w2
+                CROSS JOIN tots t)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             round(-CAST(sum(c * lp) AS DOUBLE) / sum(c), 6) AS kn_nll
+      FROM sc GROUP BY doc_id ORDER BY doc_id""",
 
     "text_backoff" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

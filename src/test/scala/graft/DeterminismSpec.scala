@@ -49,7 +49,8 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "pipe_ccnet_buckets", "ann_hard_negatives", "dedup_cluster_sizes",
     "mm_audio_fingerprint", "q_funnel", "q_retention", "dedup_centrality",
     "dedup_containment", "dedup_soft_weights", "text_zipf",
-    "embed_covariance", "text_backoff", "pipe_bpe_train")
+    "embed_covariance", "text_backoff", "pipe_bpe_train",
+    "dedup_lsh_sweep", "pipe_bpe_apply", "text_kneser_ney")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
