@@ -50,7 +50,8 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "mm_audio_fingerprint", "q_funnel", "q_retention", "dedup_centrality",
     "dedup_containment", "dedup_soft_weights", "text_zipf",
     "embed_covariance", "text_backoff", "pipe_bpe_train",
-    "dedup_lsh_sweep", "pipe_bpe_apply", "text_kneser_ney")
+    "dedup_lsh_sweep", "pipe_bpe_apply", "text_kneser_ney",
+    "embed_pca_power", "text_heaps")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
