@@ -77,7 +77,13 @@ object PlanDump {
       "dedup_bloom" ->
         "Bloom-prefiltered exact dedup: might_contain probe over a plan-time bitmap literal splits the batch map-side; only the maybe-set reaches the LEFT ANTI verify join",
       "ann_hard_negatives" ->
-        "hard-negative mining: label centroids + probes broadcast; candidate join bounded to 2 other-label clusters per query, rank windows partitioned by query")
+        "hard-negative mining: label centroids + probes broadcast; candidate join bounded to 2 other-label clusters per query, rank windows partitioned by query",
+      "embed_covariance" ->
+        "embedding covariance: chained generators expand (i ≤ j) products map-side; ONE 2080-group hash aggregate with partial sums — shuffle size independent of corpus size; dim sums join back broadcast",
+      "embed_pca_power" ->
+        "PCA projection: the power-iterated eigenvector is a plan literal — cosine scoring is map-side codegen'd fold work; top-10 via TakeOrderedAndProject",
+      "text_kneser_ney" ->
+        "Kneser-Ney scoring: bigram stats shuffle on near-unique (w1,w2) keys; ctx / continuation / totals tables are vocabulary-bounded broadcasts; per-doc log-sums DECIMAL-exact")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of showcase queries\n\n")

@@ -479,4 +479,46 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
     Caches.drain()
   }
+
+  test("embed_covariance: products never pair-join — one bounded hash agg") {
+    val p = physical(
+      graft.queries.RetrievalQueries.queries("embed_covariance")(spark, dir))
+    // the (i,j) products come from chained generators over each row, NOT
+    // from any join of exploded rows: a join formulation shuffles
+    // corpus×64 rows where this plan shuffles 2080 partial sums per task
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // dim sums and n join back as broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate"), p)
+    Caches.drain()
+  }
+
+  test("embed_pca_power: projection is map-side, top-10 via TakeOrdered") {
+    val p = physical(
+      graft.queries.RetrievalQueries.queries("embed_pca_power")(spark, dir))
+    // the eigenvector is a plan literal — scoring shuffles nothing; the
+    // top-10 must not be a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    Caches.drain()
+  }
+
+  test("text_kneser_ney: model tables broadcast, no cartesian") {
+    val p = physical(
+      graft.queries.RetrievalQueries.queries("text_kneser_ney")(spark, dir))
+    // ctx / continuation / totals are vocabulary-bounded broadcasts; the
+    // only shuffled join keys are near-unique (w1, w2) bigrams
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    Caches.drain()
+  }
+
+  test("dedup_containment: pair join is blocked — no cartesian product") {
+    val p = physical(
+      graft.queries.PipelineQueries.queries("dedup_containment")(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    // tokenized hash sets materialize once for both join sides
+    assert(p.contains("InMemoryTableScan"), p)
+    Caches.drain()
+  }
 }
