@@ -44,7 +44,7 @@ object ScaleProbe {
     // warmup
     replicate(1).count()
 
-    println(f"${"k"}%3s ${"docs"}%8s ${"sig_s"}%8s ${"simhash_s"}%10s ${"jaccard_s"}%10s ${"jaccard_pairs"}%14s ${"cc_s"}%8s ${"comps"}%8s ${"assign_s"}%9s ${"pq_s"}%8s ${"lsh_s"}%8s ${"lag_s"}%8s ${"span_s"}%8s ${"span_docs"}%10s ${"scrub_s"}%8s ${"ngram_s"}%8s ${"pack_s"}%8s ${"nll_s"}%8s ${"bloom_s"}%8s")
+    println(f"${"k"}%3s ${"docs"}%8s ${"sig_s"}%8s ${"simhash_s"}%10s ${"jaccard_s"}%10s ${"jaccard_pairs"}%14s ${"cc_s"}%8s ${"comps"}%8s ${"assign_s"}%9s ${"pq_s"}%8s ${"lsh_s"}%8s ${"lag_s"}%8s ${"span_s"}%8s ${"span_docs"}%10s ${"scrub_s"}%8s ${"ngram_s"}%8s ${"pack_s"}%8s ${"nll_s"}%8s ${"bloom_s"}%8s ${"cov_s"}%8s ${"kn_s"}%8s ${"bpe_s"}%8s")
     Seq(1, 2, 4, 8, 16, 32).foreach { k =>
       val docs = replicate(k).cache()
       val nDocs = docs.count()
@@ -165,10 +165,54 @@ object ScaleProbe {
         operators.BloomDedup.newDocs(batch, corpus, "doc_id", "text",
           expectedItems = math.max(half, 1024L)).count()
       }
+      // embedding covariance: per-row generator expansion is map-side, the
+      // one shuffle carries 2080 partial-sum rows per task REGARDLESS of
+      // corpus size — wall time must stay linear, shuffle size flat
+      val (tCov, _) = time {
+        emb.select(col("embedding"),
+            posexplode(col("embedding")).as(Seq("i", "xi")))
+          .select(col("i"), col("xi"), col("embedding"),
+            explode(expr("sequence(i, 63)")).as("j"))
+          .select(col("i"), col("j"),
+            round(col("xi").cast("double") *
+              element_at(col("embedding"), col("j") + 1).cast("double"), 8)
+              .cast("decimal(16,8)").as("p"))
+          .groupBy("i", "j").agg(sum("p").as("sxy")).count()
+      }
+      // Kneser-Ney scoring: bigram model build shuffles on near-unique
+      // (w1,w2) keys with map-side partial counts; the held-out join must
+      // stay linear in held-out rows (model tables are vocabulary-bounded)
+      val (tKn, _) = time {
+        val toks = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
+        def bg(df: DataFrame) = df.filter(size(col("l")) >= 2)
+          .select(col("doc_id"), col("l"),
+            explode(expr("sequence(1, size(l) - 1)")).as("i"))
+          .select(col("doc_id"), element_at(col("l"), col("i")).as("w1"),
+            element_at(col("l"), col("i") + 1).as("w2"))
+        val big = bg(toks.filter(pmod(col("doc_id"), lit(10)) =!= 0))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        bg(toks.filter(pmod(col("doc_id"), lit(10)) === 0))
+          .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+          .join(big, Seq("w1", "w2"), "left")
+          .groupBy("doc_id").agg(sum("c")).count()
+      }
+      // BPE pair counting (one training round): the pair explode runs over
+      // the DISTINCT-word vocabulary, which is FIXED as replicas multiply
+      // corpus tokens — only the word-count groupBy grows. Must be flat
+      // after the (linear, partial-agg'd) vocabulary build.
+      val (tBpe, _) = time {
+        val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        vocab.filter(length(col("w")) >= 2)
+          .select(col("w"), col("c"),
+            explode(expr("sequence(1, length(w) - 1)")).as("i"))
+          .select(expr("substr(w, i, 2)").as("pair"), col("c"))
+          .groupBy("pair").agg(sum("c")).count()
+      }
       emb.unpersist()
       docs.unpersist()
       Caches.drain()
-      println(f"$k%3d $nDocs%8d $tSig%8.2f $tSim%10.2f $tJac%10.2f $nPairs%14d $tCc%8.2f $nComp%8d $tAssign%9.2f $tPq%8.2f $tLsh%8.2f $tLag%8.2f $tSpan%8.2f $nSpanDocs%10d $tScrub%8.2f $tNgram%8.2f $tPack%8.2f $tNll%8.2f $tBloom%8.2f")
+      println(f"$k%3d $nDocs%8d $tSig%8.2f $tSim%10.2f $tJac%10.2f $nPairs%14d $tCc%8.2f $nComp%8d $tAssign%9.2f $tPq%8.2f $tLsh%8.2f $tLag%8.2f $tSpan%8.2f $nSpanDocs%10d $tScrub%8.2f $tNgram%8.2f $tPack%8.2f $tNll%8.2f $tBloom%8.2f $tCov%8.2f $tKn%8.2f $tBpe%8.2f")
     }
 
     // PQ codebook-size scaling: encode / decode wall time and PLAN size must
