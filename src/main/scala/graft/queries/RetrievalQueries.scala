@@ -80,9 +80,12 @@ object RetrievalQueries {
     * element_at products — codegen'd, never a lambda), then ONE hash
     * aggregation over 2080 groups with map-side partial sums; the only
     * shuffle carries 2080 partial rows per task regardless of corpus
-    * size. cov = E[xy] − E[x]E[y] from DECIMAL-exact sums of 8-decimal-
-    * rounded products (order-invariant); the 64-row dim-sum table joins
-    * in twice via broadcast. */
+    * size. cov = E[xy] − E[x]E[y] from exact sums of products in BIGINT
+    * units of 1e-8 (order-invariant, and a long aggregation runs ~2×
+    * faster than the DECIMAL(16,8) sum it replaced — measured in
+    * TimeProbe; at corpus sizes where n·1e10 units would overflow 2^63,
+    * shard the sum or fall back to DECIMAL); the 64-row dim-sum table
+    * joins in twice via broadcast. */
   private def covCells(s: SparkSession, dir: String): DataFrame = {
     val e = graft.Caches.tracked(
       t(s, dir, "embeddings").select(col("embedding")))
@@ -93,13 +96,12 @@ object RetrievalQueries {
         explode(expr("sequence(i, 63)")).as("j"))
       .select(col("i"), col("j"),
         round(col("xi").cast("double") *
-          element_at(col("embedding"), col("j") + 1).cast("double"), 8)
-          .cast("decimal(16,8)").as("p"))
+          element_at(col("embedding"), col("j") + 1).cast("double") * 1e8, 0)
+          .cast("long").as("p"))
     val sp = pairs.groupBy("i", "j").agg(sum("p").as("sxy"))
     val ds = e.select(posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy("d")
-      .agg(sum(round(col("x").cast("double"), 8).cast("decimal(16,8)"))
-        .as("sx"))
+      .agg(sum(round(col("x").cast("double") * 1e8, 0).cast("long")).as("sx"))
     val a = ds.select(col("d").as("i"), col("sx").as("sxi"))
     val b = ds.select(col("d").as("j"), col("sx").as("sxj"))
     sp.join(broadcast(a), "i").join(broadcast(b), "j")
@@ -109,9 +111,9 @@ object RetrievalQueries {
         // + 0.0 normalizes the sign of zero: DuckDB's round keeps −0.0
         // for a tiny negative cov, Spark's BigDecimal round doesn't, and
         // the harness hashes/sorts the rendered strings (rule 6d)
-        (round(col("sxy").cast("double") / col("n") -
-          (col("sxi").cast("double") / col("n")) *
-          (col("sxj").cast("double") / col("n")), 6) + lit(0.0)).as("cov"))
+        (round(col("sxy").cast("double") / 1e8 / col("n") -
+          (col("sxi").cast("double") / 1e8 / col("n")) *
+          (col("sxj").cast("double") / 1e8 / col("n")), 6) + lit(0.0)).as("cov"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -705,23 +707,24 @@ object RetrievalQueries {
       pr AS (
         SELECT i.i AS i, j.j AS j,
                CAST(round(CAST(embedding[i.i] AS DOUBLE)
-                          * CAST(embedding[j.j] AS DOUBLE), 8)
-                    AS DECIMAL(16,8)) AS p
+                          * CAST(embedding[j.j] AS DOUBLE) * 1e8, 0)
+                    AS BIGINT) AS p
         FROM embeddings,
              (SELECT unnest(range(1, 65)) AS i) i,
              (SELECT unnest(range(1, 65)) AS j) j
         WHERE j.j >= i.i),
-      sp AS (SELECT i, j, sum(p) AS sxy FROM pr GROUP BY i, j),
+      sp AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS sxy FROM pr GROUP BY i, j),
       ds AS (
         SELECT i.i AS d,
-               sum(CAST(round(CAST(embedding[i.i] AS DOUBLE), 8)
-                        AS DECIMAL(16,8))) AS sx
+               CAST(sum(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e8, 0)
+                             AS BIGINT)) AS BIGINT) AS sx
         FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
         GROUP BY i.i),
       cells AS (
         SELECT sp.i AS pos1, sp.j AS pos2,
-               round(CAST(sxy AS DOUBLE) / n.n
-                     - (CAST(a.sx AS DOUBLE) / n.n) * (CAST(b.sx AS DOUBLE) / n.n),
+               round(CAST(sxy AS DOUBLE) / 1e8 / n.n
+                     - (CAST(a.sx AS DOUBLE) / 1e8 / n.n)
+                       * (CAST(b.sx AS DOUBLE) / 1e8 / n.n),
                      6) + 0.0 AS cov
         FROM sp JOIN ds a ON a.d = sp.i JOIN ds b ON b.d = sp.j CROSS JOIN n)"""
 
