@@ -133,6 +133,39 @@ object AnalyticQueries {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // daily-volume anomaly detection per event type: flag days whose
+    // value total sits ≥ 2σ from that type's own mean — the monitoring
+    // query an event pipeline runs continuously. Values round to cents
+    // and sum as DECIMAL (exact at any parallelism); mean and σ derive
+    // from the exact (Σ, Σ²) per-type aggregates in one closed-form
+    // scalar expression (identical tree in the oracle); the per-type
+    // stats table is days-bounded and broadcasts back onto the daily
+    // rows. z itself is irrational (sqrt), so the ≥ 2 cut and the
+    // 4-decimal round are boundary-safe (rule 6b).
+    "q_anomaly" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        to_date(timestamp_micros(expr("ts div 1000"))).as("day"),
+        round(col("value"), 2).cast("decimal(14,2)").as("v"))
+      // dt steps down to DECIMAL(18,2) so dt*dt stays inside precision 38
+      // in BOTH engines (a sum-widened decimal squared would overflow)
+      val daily = e.groupBy("event_type", "day")
+        .agg(sum("v").cast("decimal(18,2)").as("dt"),
+          count(lit(1)).as("n_events"))
+      val stats = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"),
+        sum("dt").as("sd"), sum(col("dt") * col("dt")).as("qd"))
+      val z = (col("dt").cast("double") -
+          col("sd").cast("double") / col("n_days")) /
+        sqrt(col("qd").cast("double") / col("n_days") -
+          (col("sd").cast("double") / col("n_days")) *
+          (col("sd").cast("double") / col("n_days")))
+      daily.join(broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(abs(col("z")) >= 2.0)
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("dt").cast("double").as("day_total"), round(col("z"), 4).as("z"))
+        .orderBy("event_type", "day")
+    }),
+
     // correlated EXISTS + NOT EXISTS — Catalyst rewrites to a semi join
     // and an anti join on l_partkey (shuffle on the key, no row probes)
     "q_exists" -> ((s, dir) => {
@@ -461,6 +494,27 @@ object AnalyticQueries {
              substr(p_name, 1, 5) AS name5,
              CAST(strpos(p_name, 'o') AS INTEGER) AS pos_o
       FROM part ORDER BY p_partkey""",
+
+    "q_anomaly" -> """
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(round(value, 2) AS DECIMAL(14,2)) AS v
+                 FROM events),
+      daily AS (SELECT event_type, day,
+                       CAST(sum(v) AS DECIMAL(18,2)) AS dt,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM e GROUP BY event_type, day),
+      stats AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                       sum(dt) AS sd, sum(dt * dt) AS qd
+                FROM daily GROUP BY event_type),
+      zz AS (SELECT d.event_type, d.day, d.n_events,
+                    CAST(d.dt AS DOUBLE) AS day_total,
+                    (CAST(d.dt AS DOUBLE) - CAST(s.sd AS DOUBLE) / s.n_days)
+                    / sqrt(CAST(s.qd AS DOUBLE) / s.n_days
+                           - (CAST(s.sd AS DOUBLE) / s.n_days)
+                             * (CAST(s.sd AS DOUBLE) / s.n_days)) AS z
+             FROM daily d JOIN stats s USING (event_type))
+      SELECT event_type, day, n_events, day_total, round(z, 4) AS z
+      FROM zz WHERE abs(z) >= 2.0 ORDER BY event_type, day""",
 
     "q_funnel" -> """
       WITH s1 AS (

@@ -605,6 +605,23 @@ object RetrievalQueries {
         .orderBy(col("pc1_cos").desc, col("vec_id"))
     }),
 
+    // per-document lexical diversity: type-token ratio + Simpson's
+    // repeat-probability index — the light-weight diversity gate next to
+    // the Gopher repetition battery. Both are EXACT integer ratios
+    // (deterministic at any parallelism, no rounding discipline needed
+    // beyond the output round); one pass over the shared doc-term base.
+    "text_diversity" -> ((s, dir) => {
+      wordCounts(s, dir).groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(col("c") * (col("c") - 1)).as("rep2"))
+        .filter(col("n_tokens") >= 2)
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+          round(col("rep2").cast("double") /
+            (col("n_tokens") * (col("n_tokens") - 1)), 6).as("simpson"))
+        .orderBy("doc_id")
+    }),
+
     // Heaps'-law vocabulary growth: cumulative distinct-word count as the
     // corpus grows through its doc-id deciles (V ≈ K·n^β, β < 1 for
     // natural text — word soup and template spam bend the curve). Each
@@ -1104,6 +1121,23 @@ object RetrievalQueries {
              (SELECT round(nm, 6) FROM nm3) AS eigval
       FROM proj ORDER BY pc1_cos DESC, vec_id LIMIT 10"""
     },
+
+    "text_diversity" -> """
+      WITH wc AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id, w),
+      d AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(c * (c - 1)) AS BIGINT) AS rep2
+        FROM wc GROUP BY doc_id HAVING sum(c) >= 2)
+      SELECT doc_id, n_tokens, n_types,
+             round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+             round(CAST(rep2 AS DOUBLE) / (n_tokens * (n_tokens - 1)), 6)
+               AS simpson
+      FROM d ORDER BY doc_id""",
 
     "text_heaps" -> """
       WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),

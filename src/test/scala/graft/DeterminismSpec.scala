@@ -51,7 +51,7 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "dedup_containment", "dedup_soft_weights", "text_zipf",
     "embed_covariance", "text_backoff", "pipe_bpe_train",
     "dedup_lsh_sweep", "pipe_bpe_apply", "text_kneser_ney",
-    "embed_pca_power", "text_heaps")
+    "embed_pca_power", "text_heaps", "q_anomaly", "text_diversity")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
