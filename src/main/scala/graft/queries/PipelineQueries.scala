@@ -190,6 +190,89 @@ object PipelineQueries {
           blockCol = "source", minJaccard = 0.9)
         .orderBy("id1", "id2")),
 
+    // Winnowing fingerprints (Schleimer et al. 2003 — the MOSS local
+    // fingerprinting algorithm): hash every 4-token gram, keep the MINIMUM
+    // hash of each sliding window of 5 — guaranteeing any shared run of
+    // ≥ 8 tokens yields a shared fingerprint while storing ~1/5 of the
+    // grams (the winnowing density bound). Per doc: fingerprint count and
+    // how many fingerprints another doc also selected. The window min is
+    // doc-partitioned (never global); the fingerprint shuffle carries
+    // (doc_id, 8-byte hash) only — the standard fuzzy-match index shape
+    // at corpus scale.
+    "dedup_winnow" -> ((s, dir) => {
+      val k = 4; val w = 5
+      import graft.functions.Similarity
+      val pos = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= k)
+        .select(col("doc_id"), col("t"),
+          explode(expr(s"sequence(1, size(t) - ${k - 1})")).as("i"))
+        .select(col("doc_id"), col("i"),
+          Similarity.hash60(concat_ws(" ",
+            (0 until k).map(j => element_at(col("t"), col("i") + j)): _*))
+            .as("h"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
+      val fp = pos.withColumn("minh", min("h").over(win))
+        .filter(col("i") >= w)
+        .select(col("doc_id"), col("minh")).distinct()
+      val nf = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      val sh = fp.groupBy("minh").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("minh")
+      val sc = fp.join(sh, "minh").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_fp"))
+      nf.join(sc, Seq("doc_id"), "left").na.fill(0L, Seq("n_shared_fp"))
+        .select(col("doc_id"), col("n_fp"), col("n_shared_fp"),
+          round(col("n_shared_fp").cast("double") / col("n_fp"), 6)
+            .as("share_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // Content-defined chunking dedup (the LBFS/rsync trick): chunk
+    // boundaries fall where the 4-gram hash ≡ 0 mod 16, so an insertion
+    // shifts ONE chunk instead of re-aligning every fixed-size block —
+    // then exact-dup chunks are counted across documents. Chunk ids come
+    // from a doc-partitioned running boundary count; chunk text is one
+    // slice per chunk from the cached token array; only (doc, chunk-md5)
+    // enters the cross-doc shuffle.
+    "dedup_cdc" -> ((s, dir) => {
+      val k = 4; val div = 16
+      import graft.functions.Similarity
+      val base = graft.Caches.tracked(docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= k))
+      val pos = base
+        .select(col("doc_id"), col("t"),
+          explode(expr(s"sequence(1, size(t) - ${k - 1})")).as("i"))
+        .select(col("doc_id"), col("i"),
+          Similarity.hash60(concat_ws(" ",
+            (0 until k).map(j => element_at(col("t"), col("i") + j)): _*))
+            .as("h"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("i")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val withCid = pos
+        .withColumn("b", when(pmod(col("h"), lit(div)) === 0, 1L).otherwise(0L))
+        .withColumn("cid", sum("b").over(win) - col("b"))
+      val chunks = withCid.groupBy("doc_id", "cid")
+        .agg(min("i").as("first"), max("i").as("last"))
+        .join(base, "doc_id")
+        .select(col("doc_id"), col("cid"),
+          md5(concat_ws(" ",
+            slice(col("t"), col("first"), col("last") - col("first") + k)))
+            .as("cmd5"))
+      val nc = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      val dup = chunks.groupBy("cmd5").agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("cmd5")
+      val dc = chunks.join(dup, "cmd5").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_chunks"))
+      nc.join(dc, Seq("doc_id"), "left").na.fill(0L, Seq("n_dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6)
+            .as("dup_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // asymmetric containment pairs: |∩| / min(|A|,|B|) ≥ 0.9 — the
     // subset-duplication detector (a short doc embedded in a long one has
     // tiny jaccard but containment ~1). contained_id = the side subset
@@ -1156,6 +1239,61 @@ object PipelineQueries {
             FROM t a JOIN t c ON a.source = c.source AND a.doc_id < c.doc_id)
       SELECT source, id1, id2, round(jaccard, 6) AS jaccard
       FROM p WHERE jaccard >= 0.9 ORDER BY id1, id2""",
+
+    "dedup_winnow" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                 WHERE len(string_split(text, ' ')) >= 4),
+      pos AS (SELECT doc_id, i,
+                     ${h("t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]")} AS h
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
+                    FROM t)),
+      mw AS (SELECT doc_id, i,
+                    min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS minh
+             FROM pos),
+      fp AS (SELECT DISTINCT doc_id, minh FROM mw WHERE i >= 5),
+      nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+             FROM fp GROUP BY doc_id),
+      sh AS (SELECT minh FROM fp GROUP BY minh HAVING count(*) >= 2),
+      sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_fp
+             FROM fp JOIN sh USING (minh) GROUP BY doc_id)
+      SELECT nf.doc_id, nf.n_fp,
+             coalesce(sc.n_shared_fp, 0) AS n_shared_fp,
+             round(CAST(coalesce(sc.n_shared_fp, 0) AS DOUBLE) / nf.n_fp, 6)
+               AS share_ratio
+      FROM nf LEFT JOIN sc USING (doc_id) ORDER BY doc_id""",
+
+    "dedup_cdc" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                 WHERE len(string_split(text, ' ')) >= 4),
+      pos AS (SELECT doc_id, i,
+                     ${h("t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]")} AS h
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
+                    FROM t)),
+      wc AS (SELECT doc_id, i,
+                    CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END AS b
+             FROM pos),
+      cids AS (SELECT doc_id, i,
+                      CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                                        ROWS UNBOUNDED PRECEDING) - b
+                           AS BIGINT) AS cid
+               FROM wc),
+      ch AS (SELECT c.doc_id, c.cid,
+                    md5(array_to_string(
+                      list_slice(t.t, min(c.i), max(c.i) + 3), ' ')) AS cmd5
+             FROM cids c JOIN t ON t.doc_id = c.doc_id
+             GROUP BY c.doc_id, c.cid, t.t),
+      nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+             FROM ch GROUP BY doc_id),
+      dup AS (SELECT cmd5 FROM ch GROUP BY cmd5
+              HAVING count(DISTINCT doc_id) >= 2),
+      dc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_chunks
+             FROM ch JOIN dup USING (cmd5) GROUP BY doc_id)
+      SELECT nc.doc_id, nc.n_chunks,
+             coalesce(dc.n_dup_chunks, 0) AS n_dup_chunks,
+             round(CAST(coalesce(dc.n_dup_chunks, 0) AS DOUBLE) / nc.n_chunks, 6)
+               AS dup_ratio
+      FROM nc LEFT JOIN dc USING (doc_id) ORDER BY doc_id""",
 
     "dedup_containment" -> """
       WITH t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS w
