@@ -190,6 +190,40 @@ object PipelineQueries {
           blockCol = "source", minJaccard = 0.9)
         .orderBy("id1", "id2")),
 
+    // LEAKAGE-FREE train/val split: the split key is the near-dup CLUSTER
+    // label, not the doc id — every member of a near-dup cluster lands in
+    // the same split, so val can never contain a near-copy of a train doc
+    // (the train/test-leakage failure doc-level splitting invites). The
+    // output self-certifies: n_cross_pairs counts near-dup pairs whose
+    // sides fell in different splits and must be 0 by construction — a
+    // regression in the labeling or the split hash breaks the oracle hash
+    // AND shows up as a nonzero count.
+    "pipe_leakfree_split" -> ((s, dir) => {
+      val d = graft.Caches.tracked(docs(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " "))))
+      val pairs = graft.Caches.tracked(Dedup.jaccardPairs(d, "doc_id", "text",
+        blockCol = "source", minJaccard = 0.9))
+      val comp = Dedup.connectedComponents(pairs, "id1", "id2")
+      val splits = graft.Caches.tracked(d.select(col("doc_id"))
+        .join(comp.select(col("node").as("doc_id"), col("lbl")),
+          Seq("doc_id"), "left")
+        .withColumn("glabel", coalesce(col("lbl"), col("doc_id")))
+        .withColumn("split",
+          when(graft.functions.Similarity.hash60(
+            concat(lit("split:"), col("glabel").cast("string"))) % 100 < 90,
+            "train").otherwise("val"))
+        .select("doc_id", "split"))
+      val stats = d.join(splits, "doc_id").groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("n_tokens"))
+      val cross = pairs
+        .join(splits.select(col("doc_id").as("id1"), col("split").as("s1")), "id1")
+        .join(splits.select(col("doc_id").as("id2"), col("split").as("s2")), "id2")
+        .filter(col("s1") =!= col("s2"))
+        .agg(count(lit(1)).as("n_cross_pairs"))
+      stats.crossJoin(broadcast(cross)).orderBy("split")
+    }),
+
     // Winnowing fingerprints (Schleimer et al. 2003 — the MOSS local
     // fingerprinting algorithm): hash every 4-token gram, keep the MINIMUM
     // hash of each sliding window of 5 — guaranteeing any shared run of
@@ -1239,6 +1273,39 @@ object PipelineQueries {
             FROM t a JOIN t c ON a.source = c.source AND a.doc_id < c.doc_id)
       SELECT source, id1, id2, round(jaccard, 6) AS jaccard
       FROM p WHERE jaccard >= 0.9 ORDER BY id1, id2""",
+
+    "pipe_leakfree_split" -> """
+      WITH RECURSIVE t AS (SELECT doc_id, source,
+                                  list_distinct(string_split(text, ' ')) AS w
+                           FROM documents),
+      p AS (SELECT a.source, a.doc_id AS id1, c.doc_id AS id2,
+                   CAST(len(list_intersect(a.w, c.w)) AS DOUBLE)
+                     / (len(a.w) + len(c.w) - len(list_intersect(a.w, c.w))) AS jaccard
+            FROM t a JOIN t c ON a.source = c.source AND a.doc_id < c.doc_id),
+      pairs AS (SELECT id1, id2 FROM p WHERE jaccard >= 0.9),
+      edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+      nodes AS (SELECT DISTINCT a AS node FROM edges),
+      reach AS (SELECT node, node AS lbl FROM nodes
+                UNION
+                SELECT e.a AS node, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+      comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+      sp AS (SELECT d.doc_id,
+                    CASE WHEN ('0x' || substr(md5('split:'
+                             || CAST(coalesce(comp.component, d.doc_id) AS VARCHAR)),
+                           1, 15))::BIGINT % 100 < 90
+                         THEN 'train' ELSE 'val' END AS split
+             FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+      st AS (SELECT sp.split, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+             FROM sp JOIN documents d ON d.doc_id = sp.doc_id
+             GROUP BY sp.split),
+      cr AS (SELECT CAST(count(*) AS BIGINT) AS n_cross_pairs
+             FROM pairs JOIN sp a ON a.doc_id = pairs.id1
+                        JOIN sp b ON b.doc_id = pairs.id2
+             WHERE a.split <> b.split)
+      SELECT st.split, st.n_docs, st.n_tokens, cr.n_cross_pairs
+      FROM st CROSS JOIN cr ORDER BY split""",
 
     "dedup_winnow" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents

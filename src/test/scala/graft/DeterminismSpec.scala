@@ -52,7 +52,7 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "embed_covariance", "text_backoff", "pipe_bpe_train",
     "dedup_lsh_sweep", "pipe_bpe_apply", "text_kneser_ney",
     "embed_pca_power", "text_heaps", "q_anomaly", "text_diversity",
-    "dedup_winnow", "dedup_cdc")
+    "dedup_winnow", "dedup_cdc", "pipe_leakfree_split")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
