@@ -166,6 +166,29 @@ object AnalyticQueries {
         .orderBy("event_type", "day")
     }),
 
+    // behavioral transition matrix: P(next event type | current) from each
+    // user's time-ordered event sequence — the Markov-chain view of the
+    // event stream (what funnel analysis generalizes to). Consecutive
+    // pairs come from a USER-PARTITIONED lag window ordered by (ts,
+    // event_id) — total order, no global window; the conditional
+    // probability is an exact integer ratio per (from, to) cell.
+    "q_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type").as("to_type"))
+        .withColumn("from_type", lag("to_type", 1).over(w))
+        .filter(col("from_type").isNotNull)
+      val cell = pairs.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+      val fromTot = cell.groupBy("from_type").agg(sum("n").as("n_from"))
+      cell.join(broadcast(fromTot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("n_from"), 6).as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // correlated EXISTS + NOT EXISTS — Catalyst rewrites to a semi join
     // and an anti join on l_partkey (shuffle on the key, no row probes)
     "q_exists" -> ((s, dir) => {
@@ -494,6 +517,21 @@ object AnalyticQueries {
              substr(p_name, 1, 5) AS name5,
              CAST(strpos(p_name, 'o') AS INTEGER) AS pos_o
       FROM part ORDER BY p_partkey""",
+
+    "q_transitions" -> """
+      WITH p AS (SELECT user_id, event_type AS to_type,
+                        lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS from_type
+                 FROM events),
+      cell AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+               FROM p WHERE from_type IS NOT NULL
+               GROUP BY from_type, to_type),
+      ft AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+             FROM cell GROUP BY from_type)
+      SELECT cell.from_type, cell.to_type, cell.n,
+             round(CAST(cell.n AS DOUBLE) / ft.n_from, 6) AS p
+      FROM cell JOIN ft USING (from_type)
+      ORDER BY from_type, to_type""",
 
     "q_anomaly" -> """
       WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,

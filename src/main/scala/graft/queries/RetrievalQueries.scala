@@ -605,6 +605,36 @@ object RetrievalQueries {
         .orderBy(col("pc1_cos").desc, col("vec_id"))
     }),
 
+    // collocation mining: top-50 bigrams by pointwise mutual information,
+    //   PMI(w1,w2) = ln( c12 · T / (c1 · c2) ),  c12 ≥ 5
+    // — the classic corpus-statistics pass that surfaces multi-word
+    // expressions for tokenizer/phrase vocabularies. Every input is an
+    // integer count (PMI is a pure scalar over them — no accumulation
+    // anywhere); the unigram table is vocabulary-bounded and broadcast
+    // twice; top-50 via TakeOrderedAndProject with a total (pmi, pair)
+    // order. The c12 ≥ 5 support floor is the standard guard against
+    // PMI's rare-pair bias.
+    "text_collocations" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+      val uni = graft.Caches.tracked(toks.select(explode(col("l")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1")))
+      val tot = uni.agg(sum("c1").as("t_tok"))
+      val big = toks.filter(size(col("l")) >= 2)
+        .select(col("l"), explode(expr("sequence(1, size(l) - 1)")).as("i"))
+        .select(element_at(col("l"), col("i")).as("w1"),
+          element_at(col("l"), col("i") + 1).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+      big.join(broadcast(uni.select(col("w").as("w1"), col("c1").as("ca"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("cb"))), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log(col("c12").cast("double") * col("t_tok") /
+            (col("ca").cast("double") * col("cb"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(50)
+    }),
+
     // per-document lexical diversity: type-token ratio + Simpson's
     // repeat-probability index — the light-weight diversity gate next to
     // the Gopher repetition battery. Both are EXACT integer ratios
@@ -1121,6 +1151,23 @@ object RetrievalQueries {
              (SELECT round(nm, 6) FROM nm3) AS eigval
       FROM proj ORDER BY pc1_cos DESC, vec_id LIMIT 10"""
     },
+
+    "text_collocations" -> """
+      WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+      uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+              FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w),
+      tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t_tok FROM uni),
+      big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+                SELECT l[i] AS w1, l[i + 1] AS w2
+                FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+                      FROM toks WHERE len(l) >= 2))
+              GROUP BY w1, w2 HAVING count(*) >= 5)
+      SELECT b.w1, b.w2, b.c12,
+             round(ln(CAST(b.c12 AS DOUBLE) * t.t_tok
+                      / (CAST(a.c1 AS DOUBLE) * c.c1)), 6) AS pmi
+      FROM big b JOIN uni a ON a.w = b.w1 JOIN uni c ON c.w = b.w2
+           CROSS JOIN tot t
+      ORDER BY pmi DESC, w1, w2 LIMIT 50""",
 
     "text_diversity" -> """
       WITH wc AS (

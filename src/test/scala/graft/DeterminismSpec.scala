@@ -52,7 +52,8 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "embed_covariance", "text_backoff", "pipe_bpe_train",
     "dedup_lsh_sweep", "pipe_bpe_apply", "text_kneser_ney",
     "embed_pca_power", "text_heaps", "q_anomaly", "text_diversity",
-    "dedup_winnow", "dedup_cdc", "pipe_leakfree_split")
+    "dedup_winnow", "dedup_cdc", "pipe_leakfree_split",
+    "text_collocations", "q_transitions")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
