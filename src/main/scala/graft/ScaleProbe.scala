@@ -44,7 +44,7 @@ object ScaleProbe {
     // warmup
     replicate(1).count()
 
-    println(f"${"k"}%3s ${"docs"}%8s ${"sig_s"}%8s ${"simhash_s"}%10s ${"jaccard_s"}%10s ${"jaccard_pairs"}%14s ${"cc_s"}%8s ${"comps"}%8s ${"assign_s"}%9s ${"pq_s"}%8s ${"lsh_s"}%8s ${"lag_s"}%8s ${"span_s"}%8s ${"span_docs"}%10s ${"scrub_s"}%8s ${"ngram_s"}%8s ${"pack_s"}%8s ${"nll_s"}%8s ${"bloom_s"}%8s ${"cov_s"}%8s ${"kn_s"}%8s ${"bpe_s"}%8s")
+    println(f"${"k"}%3s ${"docs"}%8s ${"sig_s"}%8s ${"simhash_s"}%10s ${"jaccard_s"}%10s ${"jaccard_pairs"}%14s ${"cc_s"}%8s ${"comps"}%8s ${"assign_s"}%9s ${"pq_s"}%8s ${"lsh_s"}%8s ${"lag_s"}%8s ${"span_s"}%8s ${"span_docs"}%10s ${"scrub_s"}%8s ${"ngram_s"}%8s ${"pack_s"}%8s ${"nll_s"}%8s ${"bloom_s"}%8s ${"cov_s"}%8s ${"kn_s"}%8s ${"bpe_s"}%8s ${"winnow_s"}%9s ${"cdc_s"}%8s")
     Seq(1, 2, 4, 8, 16, 32).foreach { k =>
       val docs = replicate(k).cache()
       val nDocs = docs.count()
@@ -209,10 +209,58 @@ object ScaleProbe {
           .select(expr("substr(w, i, 2)").as("pair"), col("c"))
           .groupBy("pair").agg(sum("c")).count()
       }
+      // winnowing fingerprints: gram hashing + a DOC-PARTITIONED window
+      // min — both linear in corpus tokens; the fingerprint shuffle
+      // carries (doc, hash) at ~1/w the gram count
+      val (tWinnow, _) = time {
+        val posW = docs
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 4)
+          .select(col("doc_id"), col("t"),
+            explode(expr("sequence(1, size(t) - 3)")).as("i"))
+          .select(col("doc_id"), col("i"),
+            functions.Similarity.hash60(concat_ws(" ",
+              (0 until 4).map(j => element_at(col("t"), col("i") + j)): _*))
+              .as("h"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("i").rowsBetween(-4, 0)
+        posW.withColumn("minh", min("h").over(win))
+          .filter(col("i") >= 5)
+          .select(col("doc_id"), col("minh")).distinct().count()
+      }
+      // content-defined chunking: boundary marks + a doc-partitioned
+      // running sum + one slice per chunk — linear, no global window
+      val (tCdc, _) = time {
+        val baseC = docs
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 4).cache()
+        val posC = baseC
+          .select(col("doc_id"), col("t"),
+            explode(expr("sequence(1, size(t) - 3)")).as("i"))
+          .select(col("doc_id"), col("i"),
+            functions.Similarity.hash60(concat_ws(" ",
+              (0 until 4).map(j => element_at(col("t"), col("i") + j)): _*))
+              .as("h"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("i").rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val n = posC
+          .withColumn("b", when(pmod(col("h"), lit(16)) === 0, 1L).otherwise(0L))
+          .withColumn("cid", sum("b").over(win) - col("b"))
+          .groupBy("doc_id", "cid")
+          .agg(min("i").as("first"), max("i").as("last"))
+          .join(baseC, "doc_id")
+          .select(md5(concat_ws(" ",
+            slice(col("t"), col("first"), col("last") - col("first") + 4)))
+            .as("cmd5"))
+          .groupBy("cmd5").count().count()
+        baseC.unpersist()
+        n
+      }
       emb.unpersist()
       docs.unpersist()
       Caches.drain()
-      println(f"$k%3d $nDocs%8d $tSig%8.2f $tSim%10.2f $tJac%10.2f $nPairs%14d $tCc%8.2f $nComp%8d $tAssign%9.2f $tPq%8.2f $tLsh%8.2f $tLag%8.2f $tSpan%8.2f $nSpanDocs%10d $tScrub%8.2f $tNgram%8.2f $tPack%8.2f $tNll%8.2f $tBloom%8.2f $tCov%8.2f $tKn%8.2f $tBpe%8.2f")
+      println(f"$k%3d $nDocs%8d $tSig%8.2f $tSim%10.2f $tJac%10.2f $nPairs%14d $tCc%8.2f $nComp%8d $tAssign%9.2f $tPq%8.2f $tLsh%8.2f $tLag%8.2f $tSpan%8.2f $nSpanDocs%10d $tScrub%8.2f $tNgram%8.2f $tPack%8.2f $tNll%8.2f $tBloom%8.2f $tCov%8.2f $tKn%8.2f $tBpe%8.2f $tWinnow%9.2f $tCdc%8.2f")
     }
 
     // PQ codebook-size scaling: encode / decode wall time and PLAN size must
