@@ -507,6 +507,55 @@ object PipelineQueries {
 
     // brute-force cosine top-k: the exact baseline every ANN variant is
     // measured against. Queries broadcast; corpus scan stays partitioned.
+    // MMR diverse re-ranking (Carbonell & Goldstein 1998): greedy
+    // selection of 4 results from the top-8 candidates maximizing
+    //   0.7·rel(c) − 0.3·max_{s ∈ selected} sim(c, s)
+    // — the dedup-aware retrieval step that stops near-identical hits
+    // from filling the result list. Relevance and the 28 pairwise sims
+    // are computed DISTRIBUTED (rounded to 6), then the 4-step greedy
+    // argmax runs on the driver over the bounded candidate set (the
+    // kmeans collect pattern) with the same scalar arithmetic the oracle
+    // unrolls per step; ties break (score desc, vec_id asc) in both.
+    "ann_mmr" -> ((s, dir) => {
+      val e = graft.Caches.tracked(emb(s, dir))
+      val qv = typedLit(e.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0)
+        .getSeq[Float](0).map(_.toDouble).toArray)
+      val cand = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), qv), 6).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val candIds = cand.map(_._1)
+      val cde = e.filter(col("vec_id").isInCollection(candIds))
+        .select(col("vec_id"), col("embedding"))
+      val sims = cde.as("a")
+        .join(broadcast(cde.as("b")), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+          round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6)
+            .as("sim"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .toMap
+      def sim(x: Long, y: Long): Double =
+        sims((math.min(x, y), math.max(x, y)))
+      var sel = Vector.empty[(Int, Long, Double, Double)]
+      var rem = cand.toVector
+      for (rank <- 1 to 4) {
+        val scored = rem.map { case (id, rel) =>
+          val mmr = if (sel.isEmpty) 0.7 * rel
+            else 0.7 * rel - 0.3 * sel.map(p => sim(id, p._2)).max
+          (id, rel, mmr)
+        }
+        val best = scored.minBy { case (id, _, m) => (-m, id) }
+        sel = sel :+ ((rank, best._1, best._2, best._3))
+        rem = rem.filterNot(_._1 == best._1)
+      }
+      s.createDataFrame(sel).toDF("rank", "vec_id", "rel", "mmr_raw")
+        .select(col("rank"), col("vec_id"), col("rel"),
+          round(col("mmr_raw"), 6).as("mmr"))
+        .orderBy("rank")
+    }),
+
     "ann_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = broadcast(e.filter(col("vec_id") < 10)
@@ -1525,6 +1574,44 @@ object PipelineQueries {
       SELECT vec_id, label, ccos FROM wc
       WHERE vec_id NOT IN (SELECT vec_id FROM losers)
       ORDER BY vec_id""",
+
+    "ann_mmr" -> {
+      // one greedy MMR step as CTE text: candidates not yet selected,
+      // scored 0.7·rel − 0.3·max sim-to-selected, top-1 by (mmr, vec_id)
+      def step(i: Int): String = s"""
+      sel${i - 1} AS (${(1 until i).map(j => s"SELECT vec_id FROM s$j")
+          .mkString(" UNION ALL ")}),
+      s$i AS (SELECT vec_id, rel, mmr, $i AS rank FROM (
+                SELECT c.vec_id, c.rel,
+                       0.7 * c.rel - 0.3 * (SELECT max(s.sim) FROM sim2 s
+                                            WHERE s.v1 = c.vec_id
+                                              AND s.v2 IN (SELECT vec_id FROM sel${i - 1}))
+                         AS mmr
+                FROM cand c
+                WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1}))
+              ORDER BY mmr DESC, vec_id LIMIT 1)"""
+      s"""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      rel AS (SELECT e.vec_id, round(${cos("e.embedding", "q.qv")}, 6) AS rel
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+      cand AS (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 8),
+      sim AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+                     round(${cos("ea.embedding", "eb.embedding")}, 6) AS sim
+              FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+              JOIN embeddings ea ON ea.vec_id = a.vec_id
+              JOIN embeddings eb ON eb.vec_id = b.vec_id),
+      sim2 AS (SELECT v1, v2, sim FROM sim
+               UNION ALL SELECT v2, v1, sim FROM sim),
+      s1 AS (SELECT vec_id, rel, 0.7 * rel AS mmr, 1 AS rank FROM cand
+             ORDER BY 0.7 * rel DESC, vec_id LIMIT 1),
+      ${step(2)},
+      ${step(3)},
+      ${step(4)}
+      SELECT rank, vec_id, rel, round(mmr, 6) AS mmr
+      FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+            UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+      ORDER BY rank"""
+    },
 
     "ann_topk" -> s"""
       WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
