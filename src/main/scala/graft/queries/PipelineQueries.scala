@@ -190,6 +190,35 @@ object PipelineQueries {
           blockCol = "source", minJaccard = 0.9)
         .orderBy("id1", "id2")),
 
+    // per-source duplication scorecard — the dedup dashboard a curation
+    // team watches: per source, how many docs are exact-dup members
+    // (shared content md5) and near-dup members (≥ 0.9 jaccard pair),
+    // and the near-dup fraction. One content-hash window + the standard
+    // blocked pair join; membership flags travel as narrow doc_id sets.
+    "dedup_scorecard" -> ((s, dir) => {
+      val d = graft.Caches.tracked(docs(s, dir)
+        .select("doc_id", "source", "text"))
+      val ex = d.select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h")))
+        .filter(col("n") >= 2).select("doc_id")
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
+        blockCol = "source", minJaccard = 0.9)
+      val near = pairs.select(col("id1").as("doc_id"))
+        .unionByName(pairs.select(col("id2").as("doc_id"))).distinct()
+      d.join(ex.withColumn("is_exact", lit(1L)), Seq("doc_id"), "left")
+        .join(near.withColumn("is_near", lit(1L)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_exact"), lit(0L))).as("n_exact_dup"),
+          sum(coalesce(col("is_near"), lit(0L))).as("n_near_dup"))
+        .select(col("source"), col("n_docs"), col("n_exact_dup"),
+          col("n_near_dup"),
+          round(col("n_near_dup").cast("double") / col("n_docs"), 6)
+            .as("near_dup_frac"))
+        .orderBy("source")
+    }),
+
     // LEAKAGE-FREE train/val split: the split key is the near-dup CLUSTER
     // label, not the doc id — every member of a near-dup cluster lands in
     // the same split, so val can never contain a near-copy of a train doc
@@ -1322,6 +1351,34 @@ object PipelineQueries {
             FROM t a JOIN t c ON a.source = c.source AND a.doc_id < c.doc_id)
       SELECT source, id1, id2, round(jaccard, 6) AS jaccard
       FROM p WHERE jaccard >= 0.9 ORDER BY id1, id2""",
+
+    "dedup_scorecard" -> """
+      WITH ex AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS n
+          FROM documents)
+        WHERE n >= 2),
+      t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS w
+            FROM documents),
+      p AS (SELECT a.doc_id AS id1, c.doc_id AS id2,
+                   CAST(len(list_intersect(a.w, c.w)) AS DOUBLE)
+                     / (len(a.w) + len(c.w) - len(list_intersect(a.w, c.w))) AS jaccard
+            FROM t a JOIN t c ON a.source = c.source AND a.doc_id < c.doc_id),
+      pairs AS (SELECT id1, id2 FROM p WHERE jaccard >= 0.9),
+      near AS (SELECT DISTINCT doc_id FROM
+                 (SELECT id1 AS doc_id FROM pairs
+                  UNION ALL SELECT id2 FROM pairs)),
+      j AS (SELECT d.source,
+                   CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_exact,
+                   CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_near
+            FROM documents d
+            LEFT JOIN ex ON ex.doc_id = d.doc_id
+            LEFT JOIN near ON near.doc_id = d.doc_id)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(is_exact) AS BIGINT) AS n_exact_dup,
+             CAST(sum(is_near) AS BIGINT) AS n_near_dup,
+             round(CAST(sum(is_near) AS DOUBLE) / count(*), 6) AS near_dup_frac
+      FROM j GROUP BY source ORDER BY source""",
 
     "pipe_leakfree_split" -> """
       WITH RECURSIVE t AS (SELECT doc_id, source,

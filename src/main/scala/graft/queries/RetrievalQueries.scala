@@ -605,6 +605,31 @@ object RetrievalQueries {
         .orderBy(col("pc1_cos").desc, col("vec_id"))
     }),
 
+    // embedding-hygiene outlier detection: the 3 vectors LEAST similar to
+    // their own label centroid, per label — mislabeled or corrupted
+    // embeddings surface here before they poison contrastive training.
+    // Label centroids are bounded (labels × dims) and broadcast; scoring
+    // is one map-side cosine per vector; ranking is a label-partitioned
+    // window (never global).
+    "embed_outliers" -> ((s, dir) => {
+      val e = graft.Caches.tracked(t(s, dir, "embeddings"))
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("x").cast("double")), 6).as("m"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("cv"))
+      val w = Window.partitionBy("label")
+        .orderBy(col("cos").asc, col("vec_id").asc)
+      e.join(broadcast(cent), "label")
+        .withColumn("cos", round(Similarity.cosine(col("embedding"), col("cv")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("label", "rank", "vec_id", "cos")
+        .orderBy("label", "rank")
+    }),
+
     // collocation mining: top-50 bigrams by pointwise mutual information,
     //   PMI(w1,w2) = ln( c12 · T / (c1 · c2) ),  c12 ≥ 5
     // — the classic corpus-statistics pass that surfaces multi-word
@@ -1151,6 +1176,24 @@ object RetrievalQueries {
              (SELECT round(nm, 6) FROM nm3) AS eigval
       FROM proj ORDER BY pc1_cos DESC, vec_id LIMIT 10"""
     },
+
+    "embed_outliers" -> s"""
+      WITH dims AS (
+        SELECT label, i.i AS pos, round(avg(CAST(embedding[i.i] AS DOUBLE)), 6) AS m
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY label, i.i),
+      cent AS (SELECT label, list(m ORDER BY pos) AS cv FROM dims GROUP BY label),
+      sc AS (
+        SELECT e.label, e.vec_id,
+               round(${cos("e.embedding", "c.cv")}, 6) AS cos
+        FROM embeddings e JOIN cent c ON c.label = e.label),
+      r AS (
+        SELECT label, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY label
+                 ORDER BY cos ASC, vec_id ASC) AS INTEGER) AS rank
+        FROM sc)
+      SELECT label, rank, vec_id, cos FROM r WHERE rank <= 3
+      ORDER BY label, rank""",
 
     "text_collocations" -> """
       WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),

@@ -53,7 +53,8 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "dedup_lsh_sweep", "pipe_bpe_apply", "text_kneser_ney",
     "embed_pca_power", "text_heaps", "q_anomaly", "text_diversity",
     "dedup_winnow", "dedup_cdc", "pipe_leakfree_split",
-    "text_collocations", "q_transitions", "ann_mmr")
+    "text_collocations", "q_transitions", "ann_mmr",
+    "embed_outliers", "dedup_scorecard")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
