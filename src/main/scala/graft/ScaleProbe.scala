@@ -162,7 +162,7 @@ object ScaleProbe {
         val half = nDocs / 2
         val corpus = docs.filter(col("doc_id") % 2 === 0)
         val batch = docs.filter(col("doc_id") % 2 === 1)
-        operators.BloomDedup.newDocs(batch, corpus, "doc_id", "text",
+        operators.BloomDedup.newDocs(batch, corpus, "text",
           expectedItems = math.max(half, 1024L)).count()
       }
       // embedding covariance: per-row generator expansion is map-side, the
@@ -175,8 +175,8 @@ object ScaleProbe {
             explode(expr("sequence(i, 63)")).as("j"))
           .select(col("i"), col("j"),
             round(col("xi").cast("double") *
-              element_at(col("embedding"), col("j") + 1).cast("double"), 8)
-              .cast("decimal(16,8)").as("p"))
+              element_at(col("embedding"), col("j") + 1).cast("double") * 1e8, 0)
+              .cast("long").as("p"))
           .groupBy("i", "j").agg(sum("p").as("sxy")).count()
       }
       // Kneser-Ney scoring: bigram model build shuffles on near-unique

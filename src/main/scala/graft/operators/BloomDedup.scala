@@ -44,7 +44,7 @@ object BloomDedup {
     * `expectedItems` sizes the Bloom filter; pass the corpus cardinality
     * estimate (an undersized filter only raises the false-positive rate —
     * more rows take the verify join — never changes the result). */
-  def newDocs(batch: DataFrame, corpus: DataFrame, idCol: String,
+  def newDocs(batch: DataFrame, corpus: DataFrame,
               textCol: String, expectedItems: Long,
               fpp: Double = 0.01): DataFrame = {
     // one corpus pass builds the filter (distributed tree-aggregate of
@@ -53,7 +53,11 @@ object BloomDedup {
       .stat.bloomFilter("__k", expectedItems, fpp)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
-    val probe = mightContain(bos.toByteArray, xxhash64(col(textCol)))
+    // NULL text makes the probe indeterminate (NULL) — route those rows to
+    // the verify join, where md5(NULL)=NULL never equi-matches and the
+    // LEFT ANTI keeps them, exactly as the plain anti-join would
+    val probe = coalesce(
+      mightContain(bos.toByteArray, xxhash64(col(textCol))), lit(true))
 
     val b = graft.Caches.tracked(batch.withColumn("__maybe", probe))
     val definitelyNew = b.filter(!col("__maybe")).drop("__maybe")

@@ -175,7 +175,7 @@ object PipelineQueries {
             .otherwise(col("text")).as("text"))
       val corpus = d.filter(pmod(col("doc_id"), lit(10)) < 8)
       graft.operators.BloomDedup
-        .newDocs(batch, corpus, "doc_id", "text", expectedItems = 4096L)
+        .newDocs(batch, corpus, "text", expectedItems = 4096L)
         .select(col("doc_id"), md5(col("text")).as("content_md5"))
         .orderBy("doc_id")
     }),

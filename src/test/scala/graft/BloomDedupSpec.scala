@@ -47,7 +47,7 @@ class BloomDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expect = exactNew(batch, corpus)
     assert(expect.nonEmpty && expect.size < batch.count(),
       "fixture must exercise both keep and drop paths")
-    val got = BloomDedup.newDocs(batch, corpus, "doc_id", "text", 4096L)
+    val got = BloomDedup.newDocs(batch, corpus, "text", 4096L)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == expect)
     Caches.drain()
@@ -57,7 +57,7 @@ class BloomDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (batch, corpus) = split()
     val expect = exactNew(batch, corpus)
     // 16 expected items for a 400-doc corpus: heavily undersized, high fpp
-    val tiny = BloomDedup.newDocs(batch, corpus, "doc_id", "text", 16L, 0.5)
+    val tiny = BloomDedup.newDocs(batch, corpus, "text", 16L, 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(tiny == expect)
     Caches.drain()
@@ -76,7 +76,7 @@ class BloomDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maybes <= batch.count() / 4,
       s"bloom should reject most novel rows, but $maybes of ${batch.count()} passed")
     // the composed operator's plan carries the codegen'd probe expression
-    val p = BloomDedup.newDocs(batch, corpus, "doc_id", "text", 4096L)
+    val p = BloomDedup.newDocs(batch, corpus, "text", 4096L)
       .queryExecution.executedPlan.toString
     assert(p.contains("might_contain"), p)
     assert(p.contains("LeftAnti"), p)
