@@ -39,28 +39,35 @@ trait MessageStore {
   * JetStream stream (FIXTURES.md §6):
   *   seq      = event_id + 1            (JetStream seqs start at 1)
   *   subject  = events.<event_type>.<user_id>
-  *   ts_nats  = ts (ns, truncated to µs)
+  *   ts_nats  = ts (parquet TIMESTAMP(MICROS); µs is already the envelope
+  *              granularity — the reference's ns→µs truncation is a no-op)
   *   payload  = props JSON text as UTF-8 bytes
   */
 final class ParquetMessageStore(dir: String) extends MessageStore {
   override def read(spark: SparkSession, stream: String,
                     pruning: ScanPruning): DataFrame = {
     require(stream == "events", s"unknown stream '$stream' (store has: events)")
-    var raw = graft.Tables.load(spark, dir, "events")
+    var raw = graft.Tables.loadEventsRaw(spark, dir)
     // raw-column predicates — these reach the parquet scan as PushedFilters
     // (row-group + page pruning), the columnar analog of the reference's
     // binary search (/root/reference/src/nats_scan.cpp:548-595).
-    // seq = event_id + 1; ts_nats = floor(ts_ns / 1000).
+    // seq = event_id + 1; ts is the parquet TIMESTAMP_NTZ(µs) column, so the
+    // µs bounds compare directly as timestamp literals (pushable; a bound on
+    // a computed epoch-ns column would not be).
     pruning.seqLo.foreach(lo => raw = raw.filter(col("event_id") >= lo - 1))
     pruning.seqHi.foreach(hi => raw = raw.filter(col("event_id") <= hi - 1))
-    pruning.tsLoMicros.foreach(lo => raw = raw.filter(col("ts") >= lo * 1000L))
-    pruning.tsHiMicros.foreach(hi => raw = raw.filter(col("ts") <= hi * 1000L + 999L))
+    pruning.tsLoMicros.foreach(lo =>
+      raw = raw.filter(col("ts") >= graft.Tables.ntzMicros(lo)))
+    pruning.tsHiMicros.foreach(hi =>
+      raw = raw.filter(col("ts") <= graft.Tables.ntzMicros(hi)))
     raw.select(
       lit("events").as("stream"),
       concat(lit("events."), col("event_type"), lit("."),
         col("user_id").cast("string")).as("subject"),
       (col("event_id") + 1L).as("seq"),
-      timestamp_micros(expr("ts div 1000")).as("ts_nats"),
+      timestamp_micros(expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+        .as("ts_nats"),
       col("props").cast("binary").as("payload"))
   }
 }

@@ -209,17 +209,6 @@ object Dedup {
       .select("id1", "id2", "hamming")
   }
 
-  /** Connected components over duplicate pairs — the step that turns
-    * pairwise near-dup evidence into cluster assignments (keep the canonical
-    * member, drop the rest). DataFrame-iterative min-label propagation with
-    * POINTER JUMPING: each round every node takes the min label among itself
-    * and its neighbors, then jumps to its label's label (path halving) — the
-    * propagation distance doubles per round, so convergence is
-    * O(log diameter) rounds, not O(diameter) (a 1000-link chain converges in
-    * ~10 rounds instead of 1000). Deterministic; each round shuffles only
-    * narrow (node, lbl) rows, never document contents, and the driver only
-    * evaluates the convergence predicate (no data collected). Returns
-    * (node, lbl) with lbl = min id reachable = component id. */
   /** Degree-normalized PageRank over the undirected similarity graph —
     * a centrality signal for CANONICAL SELECTION: within a near-dup
     * cluster, the most-connected member is the best exemplar (keep-one by
@@ -258,6 +247,17 @@ object Dedup {
         (col("ru").cast("double") / 1e8).as("centrality"))
   }
 
+  /** Connected components over duplicate pairs — the step that turns
+    * pairwise near-dup evidence into cluster assignments (keep the canonical
+    * member, drop the rest). DataFrame-iterative min-label propagation with
+    * POINTER JUMPING: each round every node takes the min label among itself
+    * and its neighbors, then jumps to its label's label (path halving) — the
+    * propagation distance doubles per round, so convergence is
+    * O(log diameter) rounds, not O(diameter) (a 1000-link chain converges in
+    * ~10 rounds instead of 1000). Deterministic; each round shuffles only
+    * narrow (node, lbl) rows, never document contents, and the driver only
+    * evaluates the convergence predicate (no data collected). Returns
+    * (node, lbl) with lbl = min id reachable = component id. */
   def connectedComponents(pairs: DataFrame, leftCol: String, rightCol: String,
                           maxIters: Int = 25,
                           checkpointDir: Option[String] = None): DataFrame = {

@@ -739,9 +739,20 @@ object RetrievalQueries {
         SELECT p.cid, coalesce(n.cv, p.cv) AS cv
         FROM cent${i - 1} p LEFT JOIN newc$i n USING (cid))"""
 
+  /** escape a symbol for safe interpolation into a Spark SQL string
+    * literal (backslash first, then quote). */
+  private def sqlLit(sym: String): String =
+    sym.replace("\\", "\\\\").replace("'", "\\'")
+
   /** `iters` greedy BPE merge rounds over the weighted vocabulary (see
     * pipe_bpe_train's comment for the fold's correctness argument).
-    * Returns (per-round stats, final (w, c, syms) symbol table). */
+    * Returns (per-round stats, final (w, c, syms) symbol table).
+    *
+    * Precondition: corpus words must not contain `|` — it is the fold's
+    * segment delimiter on BOTH the Spark and oracle side, so a `|` inside a
+    * token would be silently conflated with a boundary. A merge whose
+    * symbols contain `|` throws at the operator boundary; quote and
+    * backslash symbols are escaped and safe. */
   private def bpeTrainRounds(s: SparkSession, dir: String, iters: Int)
       : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
     val vocab = t(s, dir, "documents")
@@ -754,20 +765,28 @@ object RetrievalQueries {
       val top = syms.filter(size(col("syms")) >= 2)
         .select(col("c"), col("syms"),
           explode(expr("sequence(1, size(syms) - 1)")).as("i"))
-        .select(concat(element_at(col("syms"), col("i")), lit("|"),
-          element_at(col("syms"), col("i") + 1)).as("pair"), col("c"))
-        .groupBy("pair").agg(sum("c").as("n"))
-        .orderBy(col("n").desc, col("pair").asc).limit(1)
-        .collect()(0)
-      val Array(a, b) = top.getString(0).split("\\|")
+        .select(element_at(col("syms"), col("i")).as("a"),
+          element_at(col("syms"), col("i") + 1).as("b"), col("c"))
+        .groupBy("a", "b").agg(sum("c").as("n"))
+        // tie-break on the concatenated pair text — identical ordering to
+        // the oracle's ORDER BY n DESC, pair (tuple order would diverge
+        // whenever one `a` is a prefix of another)
+        .orderBy(col("n").desc,
+          concat(col("a"), lit("|"), col("b")).asc)
+        .limit(1).collect()(0)
+      val (a, b) = (top.getString(0), top.getString(1))
+      require(!a.contains("|") && !b.contains("|"),
+        s"bpeTrainRounds: merged symbol contains the '|' fold delimiter " +
+          s"(a='$a', b='$b'); pre-tokenize so words exclude '|'")
+      val (ea, eb) = (sqlLit(a), sqlLit(b))
       syms = graft.Caches.tracked(syms.withColumn("syms", expr(
         s"""filter(split(aggregate(syms, '|', (acc, x) ->
-           CASE WHEN x = '$b' AND endswith(acc, '|$a|')
-                THEN substr(acc, 1, length(acc) - ${a.length + 1}) || '$a$b|'
+           CASE WHEN x = '$eb' AND endswith(acc, '|$ea|')
+                THEN substr(acc, 1, length(acc) - ${a.length + 1}) || '$ea$eb|'
                 ELSE acc || x || '|' END), '\\\\|'), x -> x <> '')""")))
       val nSyms = syms.agg(sum(col("c") * size(col("syms")))).collect()(0)
         .getLong(0)
-      rounds += ((it, a, b, top.getLong(1), nSyms))
+      rounds += ((it, a, b, top.getLong(2), nSyms))
     }
     (rounds.toSeq, syms)
   }

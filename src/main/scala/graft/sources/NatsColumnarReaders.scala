@@ -49,9 +49,9 @@ private[sources] object NatsVectorized {
     * `requested` is the CATALYST schema of the file columns to decode (in
     * output order); parquet clips its file schema against it by name. The
     * conf keys mirror what Spark's own `ParquetFileFormat` sets before
-    * handing a split to this reader — `nanosAsLong` surfaces the fixture's
-    * TIMESTAMP(NANOS) as a raw LongType, which is exactly what the
-    * envelope's ns→µs truncation wants. */
+    * handing a split to this reader — `inferTimestampNTZ` decodes the
+    * fixture's TIMESTAMP(MICROS, isAdjustedToUTC=false) `ts` as NTZ, whose
+    * vector longs are the envelope's epoch-µs directly. */
   def open(file: String, rangeStart: Long, rangeEnd: Long,
            requested: StructType,
            pred: Option[FilterPredicate]): VectorizedParquetRecordReader = {
@@ -63,7 +63,9 @@ private[sources] object NatsVectorized {
     conf.set("spark.sql.parquet.int96AsTimestamp", "true")
     conf.set("spark.sql.caseSensitive", "false")
     conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // must be set explicitly: ParquetToSparkSchemaConverter reads the raw
+    // hadoop conf (no SQLConf default fallback) and "null".toBoolean throws
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     // page/column-index skipping only; record-level filtering is the
     // residual Filter's job (and is unsupported in vectorized decode)
     conf.set("parquet.filter.record-level.enabled", "false")
@@ -149,7 +151,7 @@ final class NatsNativeColumnarReader(p: NatsScanPartition,
 /** Columnar reader for the FIXTURE layout (`events.parquet`): decodes the
   * raw columns vectorized, then builds the envelope vectors in one compiled
   * per-batch pass — the columnar analog of [[NatsScanReader]]'s per-row
-  * mapping (seq = event_id+1, ts_nats µs = ts ns / 1000, subject =
+  * mapping (seq = event_id+1, ts_nats µs = ts (already µs), subject =
   * events.<event_type>.<user_id>, payload = props bytes). */
 final class NatsFixtureColumnarReader(p: NatsScanPartition,
                                       required: StructType, stream: String,
@@ -171,11 +173,19 @@ final class NatsFixtureColumnarReader(p: NatsScanPartition,
 
   private def rawField(name: String): StructField = name match {
     case "event_id" => StructField("event_id", LongType)
-    case "ts" => StructField("ts", LongType) // TIMESTAMP(NANOS) via nanosAsLong
+    // parquet TIMESTAMP(MICROS,false) decodes as NTZ — the vector's physical
+    // longs ARE epoch-µs, which is exactly the envelope granularity
+    case "ts" => StructField("ts", TimestampNTZType)
     case "user_id" => StructField("user_id", LongType)
     case "event_type" => StructField("event_type", StringType)
     case "props" => StructField("props", StringType)
   }
+
+  // ns bounds → µs (exact: file values are whole µs)
+  private val tsLoUs =
+    if (tsLoNs == Long.MinValue) Long.MinValue else Math.floorDiv(tsLoNs + 999L, 1000L)
+  private val tsHiUs =
+    if (tsHiNs == Long.MaxValue) Long.MaxValue else Math.floorDiv(tsHiNs, 1000L)
 
   private val inner = NatsVectorized.open(p.file, p.rangeStart, p.rangeEnd,
     StructType(fileCols.map(rawField).toIndexedSeq),
@@ -183,7 +193,7 @@ final class NatsFixtureColumnarReader(p: NatsScanPartition,
       // seq = event_id + 1 (JetStream seqs are 1-based, fixture ids 0-based)
       NatsVectorized.longRange("event_id", seqLo - 1L, 0L,
         if (seqHi == Long.MaxValue) Long.MaxValue else seqHi - 1L, Long.MaxValue),
-      NatsVectorized.longRange("ts", tsLoNs, Long.MinValue, tsHiNs, Long.MaxValue)))
+      NatsVectorized.longRange("ts", tsLoUs, Long.MinValue, tsHiUs, Long.MaxValue)))
 
   private def fileIdx(name: String): Int = fileCols.indexOf(name)
 
@@ -228,7 +238,7 @@ final class NatsFixtureColumnarReader(p: NatsScanPartition,
               var i = 0
               while (i < n) {
                 if (src.isNullAt(i)) w.putNull(i)
-                else w.putLong(i, src.getLong(i) / 1000L) // ns → µs truncation
+                else w.putLong(i, src.getLong(i)) // already epoch-µs
                 i += 1
               }
             case "subject" =>

@@ -69,7 +69,9 @@ final class NatsScanScan(file: String, dir: String, stream: String,
   private def planFile(path: String, native: Boolean): Array[InputPartition] = {
     val (seqCol, tsCol) = if (native) ("seq", "ts_nats") else ("event_id", "ts")
     val seqAdj = if (native) 0L else 1L          // fixture: seq = event_id + 1
-    val (tsLo, tsHi) = if (native) (tsLoUs, tsHiUs) else (tsLoNs, tsHiNs)
+    // both layouts now store µs int64 (native ts_nats TIMESTAMP(MICROS),
+    // fixture ts TIMESTAMP(MICROS)) — compare stats in µs
+    val (tsLo, tsHi) = (tsLoUs, tsHiUs)
     val conf = new Configuration()
     val in = HadoopInputFile.fromPath(new Path(path), conf)
     val reader = ParquetFileReader.open(in)
@@ -289,7 +291,7 @@ final class NatsScanReader(p: NatsScanPartition, required: StructType,
       else Some {
         val fields = parquetCols.map {
           case "event_id" => "optional int64 event_id;"
-          case "ts" => "optional int64 ts (TIMESTAMP(NANOS,false));"
+          case "ts" => "optional int64 ts (TIMESTAMP(MICROS,false));"
           case "user_id" => "optional int64 user_id;"
           case "event_type" => "optional binary event_type (STRING);"
           case "props" => "optional binary props (STRING);"
@@ -302,11 +304,15 @@ final class NatsScanReader(p: NatsScanPartition, required: StructType,
     def and(p2: org.apache.parquet.filter2.predicate.FilterPredicate): Unit =
       pred = if (pred == null) p2 else FilterApi.and(pred, p2)
     val idc = FilterApi.longColumn("event_id")
+    // fixture ts is int64 µs (TIMESTAMP(MICROS)); the ns bounds convert
+    // exactly: ts_ns = µs·1000 ∈ [lo, hi] ⟺ µs ∈ [⌈lo/1000⌉, ⌊hi/1000⌋]
     val tsc = FilterApi.longColumn("ts")
     if (seqLo > 1L) and(FilterApi.gtEq(idc, java.lang.Long.valueOf(seqLo - 1)))
     if (seqHi < Long.MaxValue) and(FilterApi.ltEq(idc, java.lang.Long.valueOf(seqHi - 1)))
-    if (tsLoNs > Long.MinValue) and(FilterApi.gtEq(tsc, java.lang.Long.valueOf(tsLoNs)))
-    if (tsHiNs < Long.MaxValue) and(FilterApi.ltEq(tsc, java.lang.Long.valueOf(tsHiNs)))
+    if (tsLoNs > Long.MinValue)
+      and(FilterApi.gtEq(tsc, java.lang.Long.valueOf(Math.floorDiv(tsLoNs + 999L, 1000L))))
+    if (tsHiNs < Long.MaxValue)
+      and(FilterApi.ltEq(tsc, java.lang.Long.valueOf(Math.floorDiv(tsHiNs, 1000L))))
 
     var b = ParquetReader
       .builder(new GroupReadSupport(), new Path(p.file))
@@ -346,7 +352,7 @@ final class NatsScanReader(p: NatsScanPartition, required: StructType,
       case "subject" => if (subject == null) null else UTF8String.fromString(subject)
       case "seq" => if (has("event_id")) g.getLong("event_id", 0) + 1L else null
       case "ts_nats" =>
-        if (has("ts")) g.getLong("ts", 0) / 1000L else null // ns → µs truncation
+        if (has("ts")) g.getLong("ts", 0) else null // already µs
       case "payload" =>
         if (has("props")) g.getString("props", 0).getBytes("UTF-8") else null
       case other => sys.error(s"unknown envelope column $other")

@@ -79,9 +79,10 @@ object NatsStatsScan {
       } finally reader.close()
     }
     if (!statsOk) return None
-    // layout translation: fixture seq = event_id + 1, ts µs = ns/1000
+    // layout translation: fixture seq = event_id + 1; ts stats are int64 µs
+    // in BOTH layouts (native ts_nats and fixture ts are TIMESTAMP(MICROS))
     val seqAdj = if (native) 0L else 1L
-    def tsUs(v: Long): Long = if (native) v else v / 1000L
+    def tsUs(v: Long): Long = v
     Some(aggs.map {
       case CountStarAgg => rows
       case MinSeq(max) =>
