@@ -152,6 +152,75 @@ object CurationQueries {
         .withColumn("rank", row_number().over(rankW))
         .filter(col("rank") <= 8)
         .orderBy("label", "rank")
+    }),
+
+    // per-source frequency capping (the web-curation "no domain dominates"
+    // rule): every source keeps at most cap docs, members chosen by
+    // deterministic hash rank so the kept set is identical at any
+    // parallelism. The cap is DATA-RELATIVE (80% of the mean docs/source)
+    // so it binds at every scale factor rather than only above a magic
+    // constant. Scale shape: the rank window partitions by source —
+    // per-source local top-k (WindowGroupLimit), never a global sort; the
+    // cap itself is a 1-row aggregate broadcast back.
+    "pipe_domain_cap" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val cap = d.agg(greatest(lit(1L),
+        floor(lit(0.8) * count(lit(1)) / countDistinct(col("source")))
+          .cast("long")).as("cap"))
+      val rankW = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      d.withColumn("rank", row_number().over(rankW))
+        .crossJoin(broadcast(cap))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rank") <= col("cap"), 1L).otherwise(0L)).as("n_kept"),
+          max("cap").as("cap"))
+        .orderBy("source")
+    }),
+
+    // sequential filter-funnel attribution: the operational readout of a
+    // multi-stage quality pipeline — how many docs enter, drop, and
+    // survive EACH stage in order (length → word shape → repetition →
+    // stopwords). All four predicates come from one map-side tokenize +
+    // one per-doc aggregate; the funnel itself is a single 1-row aggregate
+    // unpivoted into the 4-row report, so the whole query adds one
+    // narrow shuffle regardless of corpus size.
+    "pipe_filter_funnel" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(
+        col("doc_id"), length(col("text")).as("tlen"),
+        split(col("text"), " ").as("toks"))
+      val sig = base.select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        round((col("tlen") - size(col("toks")) + lit(1.0)) /
+          size(col("toks")), 6).as("mean_wlen"),
+        graft.functions.TextFunctions.tokenCountIn(col("toks"),
+          Seq("the", "a", "of", "and", "to", "in", "is", "it"))
+          .cast("long").as("n_stop"),
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")), 6).as("dup_ratio"))
+      val st = sig.select(
+        col("n_words").between(30L, 80L).as("p1"),
+        col("mean_wlen").between(4.1, 4.9).as("p2"),
+        (col("dup_ratio") <= 0.60).as("p3"),
+        (col("n_stop") >= 3L).as("p4"))
+      st.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("p1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("p1") && col("p2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("p1") && col("p2") && col("p3"), 1L).otherwise(0L))
+          .as("n3"),
+        sum(when(col("p1") && col("p2") && col("p3") && col("p4"), 1L)
+          .otherwise(0L)).as("n4"))
+        .selectExpr(
+          """stack(4,
+               '1_min_words', n0, n1,
+               '2_word_len',  n1, n2,
+               '3_dup_ratio', n2, n3,
+               '4_stopwords', n3, n4) AS (stage, n_in, n_out)""")
+        .select(col("stage"), col("n_in"), (col("n_in") - col("n_out"))
+          .as("n_drop"), col("n_out"))
+        .orderBy("stage")
     })
   )
 
@@ -246,6 +315,62 @@ object CurationQueries {
                  AS INTEGER) AS rank
         FROM embeddings)
       SELECT vec_id, label, rank FROM r WHERE rank <= 8
-      ORDER BY label, rank"""
+      ORDER BY label, rank""",
+
+    "pipe_domain_cap" -> """
+      WITH cap AS (
+        SELECT greatest(1, CAST(floor(0.8 * count(*)
+                 / count(DISTINCT source)) AS BIGINT)) AS cap
+        FROM documents),
+      r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        FROM documents)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN rank <= cap THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             max(cap) AS cap
+      FROM r CROSS JOIN cap
+      GROUP BY source ORDER BY source""",
+
+    "pipe_filter_funnel" -> """
+      WITH base AS (
+        SELECT doc_id, length(text) AS tlen,
+               string_split(text, ' ') AS toks
+        FROM documents),
+      sig AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               round((tlen - len(toks) + 1.0) / len(toks), 6) AS mean_wlen,
+               CAST(len(list_filter(toks, x -> x IN
+                 ('the','a','of','and','to','in','is','it'))) AS BIGINT)
+                 AS n_stop,
+               round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / len(toks), 6) AS dup_ratio
+        FROM base),
+      st AS (
+        SELECT (n_words BETWEEN 30 AND 80) AS p1,
+               (mean_wlen BETWEEN 4.1 AND 4.9) AS p2,
+               (dup_ratio <= 0.60) AS p3,
+               (n_stop >= 3) AS p4
+        FROM sig),
+      a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n2,
+               CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n3,
+               CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n4
+        FROM st)
+      SELECT '1_min_words' AS stage, n0 AS n_in, n0 - n1 AS n_drop,
+             n1 AS n_out FROM a
+      UNION ALL SELECT '2_word_len', n1, n1 - n2, n2 FROM a
+      UNION ALL SELECT '3_dup_ratio', n2, n2 - n3, n3 FROM a
+      UNION ALL SELECT '4_stopwords', n3, n3 - n4, n4 FROM a
+      ORDER BY stage"""
   )
 }

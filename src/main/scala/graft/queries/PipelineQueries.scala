@@ -600,6 +600,61 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
+    // metadata-FILTERED vector search (the vector-DB "where label = X"
+    // query): candidates are restricted to the query's own coarse label
+    // BEFORE any distance work, so the filter is an equi-JOIN key, not a
+    // post-scan predicate — at 100 TB the search touches only the matching
+    // label partition (1/K of the corpus per query), and the top-k window
+    // is per-query (partitioned WindowGroupLimit, no global sort).
+    "ann_filtered" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label")))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      e.join(q, "label")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          round(Similarity.cosine(col("qv"), col("embedding")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "label", "cos")
+        .orderBy("qid", "rank")
+    }),
+
+    // Matryoshka-truncation recall contract: how much of the exact
+    // full-dimension top-10 survives when the index stores only the first
+    // 32 (resp. 16) of 64 dimensions — the storage-halving decision for an
+    // embedding index, MEASURED per query. The exact baseline is the
+    // bounded recall-contract shape (10 broadcast queries × corpus, never
+    // corpus²); ranks for all three widths come from the same scored pass.
+    "embed_matryoshka" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      def rk(c: String) = row_number().over(
+        Window.partitionBy("qid").orderBy(col(c).desc, col("vec_id").asc))
+      e.crossJoin(q)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("c64",
+          round(Similarity.cosine(col("qv"), col("embedding")), 6))
+        .withColumn("c32", round(Similarity.cosine(
+          slice(col("qv"), 1, 32), slice(col("embedding"), 1, 32)), 6))
+        .withColumn("c16", round(Similarity.cosine(
+          slice(col("qv"), 1, 16), slice(col("embedding"), 1, 16)), 6))
+        .withColumn("r64", rk("c64"))
+        .withColumn("r32", rk("c32"))
+        .withColumn("r16", rk("c16"))
+        .groupBy("qid")
+        .agg(
+          round(sum(when(col("r64") <= 10 && col("r32") <= 10, 1L)
+            .otherwise(0L)) / 10.0, 4).as("recall_m32"),
+          round(sum(when(col("r64") <= 10 && col("r16") <= 10, 1L)
+            .otherwise(0L)) / 10.0, 4).as("recall_m16"))
+        .orderBy("qid")
+    }),
+
     // int8-quantized ANN: per-vector symmetric quantization (4× memory —
     // the knob that keeps 100 TB of embeddings in executor memory), then
     // brute-force top-5 over the DEQUANTIZED vectors. Both engines compute
@@ -1036,6 +1091,12 @@ object PipelineQueries {
       | sqrt(list_sum([CAST(V2[i] AS DOUBLE) * V2[i] FOR i IN range(1, 65)]))""".stripMargin
   private def cos(a: String, b: String): String =
     cosSql.replace("V1", a).replace("V2", b)
+
+  /** cosine over the first `n` dimensions only (Matryoshka truncation):
+    * same sequential list_sum order as [[cosSql]], restricted range */
+  private def cosN(a: String, b: String, n: Int): String =
+    cosSql.replace("range(1, 65)", s"range(1, ${n + 1})")
+      .replace("V1", a).replace("V2", b)
 
   /** PQ encode+reconstruct as DuckDB CTEs (shared by ann_pq /
     * ann_recall_pq): replays [[Similarity.pqReconstruct]] — per-subspace
@@ -1680,6 +1741,50 @@ object PipelineQueries {
                CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
         FROM scored)
       SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "ann_filtered" -> s"""
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv, label
+        FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT q.qid, e.vec_id, e.label,
+               round(${cos("q.qv", "e.embedding")}, 6) AS cos
+        FROM embeddings e JOIN q
+          ON e.label = q.label AND e.vec_id <> q.qid),
+      ranked AS (
+        SELECT qid, vec_id, label, cos,
+               CAST(row_number() OVER (
+                 PARTITION BY qid ORDER BY cos DESC, vec_id ASC)
+                 AS INTEGER) AS rank
+        FROM scored)
+      SELECT qid, rank, vec_id, label, cos
+      FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "embed_matryoshka" -> s"""
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv
+        FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT q.qid, e.vec_id,
+               round(${cos("q.qv", "e.embedding")}, 6) AS c64,
+               round(${cosN("q.qv", "e.embedding", 32)}, 6) AS c32,
+               round(${cosN("q.qv", "e.embedding", 16)}, 6) AS c16
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+      ranked AS (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY c64 DESC, vec_id ASC) AS r64,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY c32 DESC, vec_id ASC) AS r32,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY c16 DESC, vec_id ASC) AS r16
+        FROM scored)
+      SELECT qid,
+             round(sum(CASE WHEN r64 <= 10 AND r32 <= 10
+               THEN 1 ELSE 0 END) / 10.0, 4) AS recall_m32,
+             round(sum(CASE WHEN r64 <= 10 AND r16 <= 10
+               THEN 1 ELSE 0 END) / 10.0, 4) AS recall_m16
+      FROM ranked GROUP BY qid ORDER BY qid""",
 
     "ann_quantized_int8" -> s"""
       WITH qsc AS (

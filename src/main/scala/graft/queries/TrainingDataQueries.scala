@@ -242,6 +242,31 @@ object TrainingDataQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("chunk_id")
+    }),
+
+    // mixture planning under a token budget: each source gets a
+    // temperature-flattened share (w ∝ tokens^0.7) of half the corpus's
+    // tokens, capped at 4 epochs of its own data — the per-source epoch
+    // table a training scheduler consumes (the Chinchilla-style "how many
+    // times do we repeat each slice" decision). Everything after the
+    // per-source token count (one partial-agg shuffle on `source`) is a
+    // 20-row broadcast computation; budget and normalizer are 1-row
+    // aggregates, so the plan size is constant in corpus size.
+    "pipe_token_budget" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .groupBy("source").agg(sum("n_tok").as("n_tok"))
+      val tot = tok.agg(
+        floor(lit(0.5) * sum(col("n_tok"))).cast("long").as("budget"),
+        sum(pow(col("n_tok"), 0.7)).as("z"))
+      tok.crossJoin(broadcast(tot))
+        .withColumn("raw",
+          col("budget") * pow(col("n_tok"), 0.7) / col("z"))
+        .select(col("source"), col("n_tok"),
+          round(least(lit(4.0), col("raw") / col("n_tok")), 6).as("epochs"),
+          floor(least(col("raw"), lit(4.0) * col("n_tok"))).cast("long")
+            .as("alloc_tokens"))
+        .orderBy("source")
     })
   )
 
@@ -422,6 +447,24 @@ object TrainingDataQueries {
       SELECT (cum_tok - n_tok) // 2048 AS chunk_id,
              count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
              min(doc_id) AS first_doc, max(doc_id) AS last_doc
-      FROM c GROUP BY 1 ORDER BY chunk_id"""
+      FROM c GROUP BY 1 ORDER BY chunk_id""",
+
+    "pipe_token_budget" -> """
+      WITH tok AS (
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        FROM documents GROUP BY source),
+      tot AS (
+        SELECT CAST(floor(0.5 * sum(n_tok)) AS BIGINT) AS budget,
+               sum(pow(n_tok, 0.7)) AS z
+        FROM tok),
+      r AS (
+        SELECT source, n_tok,
+               budget * pow(n_tok, 0.7) / z AS raw
+        FROM tok CROSS JOIN tot)
+      SELECT source, n_tok,
+             round(least(4.0, raw / n_tok), 6) AS epochs,
+             CAST(floor(least(raw, 4.0 * n_tok)) AS BIGINT) AS alloc_tokens
+      FROM r ORDER BY source"""
   )
 }

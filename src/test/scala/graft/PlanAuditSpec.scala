@@ -521,4 +521,38 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("InMemoryTableScan"), p)
     Caches.drain()
   }
+
+  test("ann_filtered: label filter is the join key — hash join, no cross") {
+    val p = physical(
+      graft.queries.PipelineQueries.queries("ann_filtered")(spark, dir))
+    // candidates reach the distance computation via the label equi-join;
+    // per-query top-k window partitions by qid
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("hashpartitioning(qid"), p)
+  }
+
+  test("embed_matryoshka: all three rank windows partition by qid") {
+    val p = physical(
+      graft.queries.PipelineQueries.queries("embed_matryoshka")(spark, dir))
+    assert(p.contains("hashpartitioning(qid"), p)
+    assert(!p.contains("SinglePartition, Window"),
+      s"no rank window may run on a single partition:\n$p")
+  }
+
+  test("pipe_domain_cap: rank window partitions by source, never global") {
+    val p = physical(
+      graft.queries.CurationQueries.queries("pipe_domain_cap")(spark, dir))
+    assert(p.contains("hashpartitioning(source"), p)
+    assert(!p.contains("SinglePartition, Window"),
+      s"no rank window may run on a single partition:\n$p")
+  }
+
+  test("pipe_token_budget: no window, broadcast-only after the source agg") {
+    val p = physical(
+      graft.queries.TrainingDataQueries.queries("pipe_token_budget")(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
