@@ -32,6 +32,25 @@ object PipelineQueries {
         length(col("text")).as("len"))
         .orderBy("doc_id")),
 
+    // boilerplate / template detection: documents sharing an identical
+    // leading token run (headers, navigation chrome, license banners in
+    // real web data) surface as prefix groups with n_docs ≥ 2. The prefix
+    // key is computed map-side (first-k-token concat — k tuned to the
+    // fixture's 40-word vocabulary so groups exist at every SF); one
+    // narrow (prefix, source) shuffle, then TakeOrderedAndProject for the
+    // top-20 report — never a global sort of the corpus.
+    "text_boilerplate" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("prefix"))
+        .groupBy("prefix")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_sources"),
+          min("doc_id").as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("prefix").asc)
+        .limit(20)),
+
     "text_quality" -> ((s, dir) =>
       docs(s, dir)
         .withColumn("w", TF.tokens(col("text")))
@@ -1741,6 +1760,20 @@ object PipelineQueries {
                CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
         FROM scored)
       SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "text_boilerplate" -> """
+      WITH p AS (
+        SELECT doc_id, source,
+               array_to_string(string_split(text, ' ')[1:2], ' ') AS prefix
+        FROM documents),
+      g AS (
+        SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               min(doc_id) AS first_doc
+        FROM p GROUP BY prefix)
+      SELECT prefix, n_docs, n_sources, first_doc
+      FROM g WHERE n_docs >= 2
+      ORDER BY n_docs DESC, prefix ASC LIMIT 20""",
 
     "ann_filtered" -> s"""
       WITH q AS (

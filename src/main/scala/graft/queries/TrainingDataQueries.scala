@@ -267,6 +267,51 @@ object TrainingDataQueries {
           floor(least(col("raw"), lit(4.0) * col("n_tok"))).cast("long")
             .as("alloc_tokens"))
         .orderBy("source")
+    }),
+
+    // mixture REALIZATION: turn the per-source epoch targets into actual
+    // repeated rows — repeat = floor(epochs) copies per doc plus one more
+    // when the doc's own hash falls under the fractional remainder, so the
+    // realized corpus hits the target in expectation and is IDENTICAL at
+    // any parallelism. The repetition is a map-side `explode(sequence)` —
+    // rows multiply in place, nothing shuffles until the per-source audit
+    // aggregate; docs with repeat = 0 are dropped before the explode
+    // (Spark's `sequence(1, 0)` would step DOWNWARD, not return empty).
+    "pipe_mixture_realize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      val tok = docs.groupBy("source").agg(sum("n_tok").as("src_tok"))
+      val tot = tok.agg(
+        floor(lit(0.5) * sum(col("src_tok"))).cast("long").as("budget"),
+        sum(pow(col("src_tok"), 0.7)).as("z"))
+      val ep = tok.crossJoin(broadcast(tot))
+        .select(col("source"), col("src_tok"),
+          least(lit(4.0), col("budget") * pow(col("src_tok"), 0.7) /
+            col("z") / col("src_tok")).as("epochs"))
+      val u = (pmod(Similarity.hash60(col("doc_id").cast("string")),
+        lit(1000000L)) + lit(0.5)) / 1000000.0
+      val rep = docs.join(broadcast(ep), "source")
+        .withColumn("repeat",
+          (floor(col("epochs")) +
+            when(u < col("epochs") - floor(col("epochs")), 1.0)
+              .otherwise(0.0)).cast("long"))
+      val audit = rep.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), max("src_tok").as("src_tok"),
+          round(max(col("epochs")), 6).as("target_epochs"))
+      val realized = rep.filter(col("repeat") >= 1L)
+        .select(col("source"), col("n_tok"),
+          explode(expr("sequence(1L, repeat)")).as("copy"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("n_tok").as("n_tok_realized"))
+      audit.join(realized, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          coalesce(col("n_tok_realized"), lit(0L)).as("n_tok_realized"),
+          round(coalesce(col("n_tok_realized"), lit(0L))
+            .cast("double") / col("src_tok"), 6).as("realized_epochs"),
+          col("target_epochs"))
+        .orderBy("source")
     })
   )
 
@@ -465,6 +510,49 @@ object TrainingDataQueries {
       SELECT source, n_tok,
              round(least(4.0, raw / n_tok), 6) AS epochs,
              CAST(floor(least(raw, 4.0 * n_tok)) AS BIGINT) AS alloc_tokens
-      FROM r ORDER BY source"""
+      FROM r ORDER BY source""",
+
+    "pipe_mixture_realize" -> """
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      tok AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tok
+              FROM d GROUP BY source),
+      tot AS (SELECT CAST(floor(0.5 * sum(src_tok)) AS BIGINT) AS budget,
+                     sum(pow(src_tok, 0.7)) AS z
+              FROM tok),
+      ep AS (SELECT source, src_tok,
+                    least(4.0, budget * pow(src_tok, 0.7) / z / src_tok)
+                      AS epochs
+             FROM tok CROSS JOIN tot),
+      rep AS (
+        SELECT d.source, d.n_tok, ep.src_tok, ep.epochs,
+               CAST(floor(epochs) + CASE WHEN
+                 ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT % 1000000) + 0.5) / 1000000.0
+                 < epochs - floor(epochs) THEN 1 ELSE 0 END AS BIGINT)
+                 AS repeat
+        FROM d JOIN ep USING (source)),
+      audit AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               max(src_tok) AS src_tok,
+               round(max(epochs), 6) AS target_epochs
+        FROM rep GROUP BY source),
+      realized AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_tok) AS BIGINT) AS n_tok_realized
+        FROM (SELECT source, n_tok,
+                     unnest(generate_series(1, repeat)) AS copy
+              FROM rep WHERE repeat >= 1)
+        GROUP BY source)
+      SELECT a.source, a.n_docs,
+             coalesce(r.n_rows, 0) AS n_rows,
+             coalesce(r.n_tok_realized, 0) AS n_tok_realized,
+             round(CAST(coalesce(r.n_tok_realized, 0) AS DOUBLE)
+               / a.src_tok, 6) AS realized_epochs,
+             a.target_epochs
+      FROM audit a LEFT JOIN realized r ON a.source = r.source
+      ORDER BY a.source"""
   )
 }

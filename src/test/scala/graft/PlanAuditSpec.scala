@@ -555,4 +555,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("pipe_mixture_realize: repetition is a map-side explode, no cross") {
+    val p = physical(
+      graft.queries.TrainingDataQueries.queries("pipe_mixture_realize")(spark, dir))
+    assert(p.contains("Generate"), p) // rows multiply in place
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_boilerplate: top-20 report is TakeOrderedAndProject") {
+    val p = physical(
+      graft.queries.PipelineQueries.queries("text_boilerplate")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
