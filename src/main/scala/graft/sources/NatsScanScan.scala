@@ -27,8 +27,9 @@ final class NatsScanScan(file: String, dir: String, stream: String,
                          required: StructType,
                          seqLo: Long, seqHi: Long, tsLoNs: Long, tsHiNs: Long,
                          subjectContains: List[String],
-                         subjectPrefixes: List[String], maxPerBatch: Long)
-    extends Scan with Batch {
+                         subjectPrefixes: List[String], maxPerBatch: Long,
+                         pushedLimit: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
@@ -41,7 +42,8 @@ final class NatsScanScan(file: String, dir: String, stream: String,
   override def description(): String =
     s"nats_scan stream=$stream seq=[$seqLo,$seqHi] tsNs=[$tsLoNs,$tsHiNs] " +
       s"subjectContains=$subjectContains subjectPrefixes=$subjectPrefixes " +
-      s"cols=${required.fieldNames.mkString(",")}"
+      s"cols=${required.fieldNames.mkString(",")}" +
+      pushedLimit.map(l => s" PushedLimit=$l").getOrElse("")
 
   /** µs-granularity ts bounds for the native layout (ts_nats stored as
     * TIMESTAMP(MICROS)); ns bounds are always of the form T*1000 (lo) /
@@ -51,7 +53,9 @@ final class NatsScanScan(file: String, dir: String, stream: String,
   private def tsHiUs: Long =
     if (tsHiNs == Long.MaxValue) Long.MaxValue else Math.floorDiv(tsHiNs, 1000L)
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** planned once, shared by partition planning and [[estimateStatistics]]
+    * (both run on the driver; footer reads are metadata-only) */
+  private lazy val planned: Array[NatsScanPartition] = {
     val nativeDir = new java.io.File(s"$dir/$stream.msgs")
     if (nativeDir.isDirectory) {
       // native message store written by NatsScanBatchWrite: prune row groups
@@ -66,7 +70,26 @@ final class NatsScanScan(file: String, dir: String, stream: String,
     } else planFile(file, native = false)
   }
 
-  private def planFile(path: String, native: Boolean): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    planned.map(p => p: InputPartition)
+
+  /** Post-pruning size/row estimate from the SAME row-group metadata the
+    * partition planner kept — so Catalyst's join planning sees the pruned
+    * scan's real footprint (a bounded slice of a huge stream can be the
+    * BROADCAST side automatically; without stats a V2 relation defaults to
+    * "infinitely large" and always shuffles). Rows are exact per kept row
+    * group; residual predicates can only shrink them, which is the safe
+    * direction for a broadcast decision. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = planned.map(p => p.rangeEnd - p.rangeStart).sum
+    private val rows = planned.map(_.rows).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(bytes, 1L))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
+
+  private def planFile(path: String, native: Boolean): Array[NatsScanPartition] = {
     val (seqCol, tsCol) = if (native) ("seq", "ts_nats") else ("event_id", "ts")
     val seqAdj = if (native) 0L else 1L          // fixture: seq = event_id + 1
     // both layouts now store µs int64 (native ts_nats TIMESTAMP(MICROS),
@@ -121,7 +144,7 @@ final class NatsScanScan(file: String, dir: String, stream: String,
         }
         if (keepBySeq && keepByTs && keepByPrefix)
           Some(NatsScanPartition(path, rg.getStartingPos,
-            rg.getStartingPos + rg.getTotalByteSize, native): InputPartition)
+            rg.getStartingPos + rg.getTotalByteSize, native, rg.getRowCount))
         else None
       }.toArray
     } finally reader.close()
@@ -129,29 +152,34 @@ final class NatsScanScan(file: String, dir: String, stream: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NatsScanReaderFactory(required, seqLo, seqHi, tsLoNs, tsHiNs,
-      subjectContains, subjectPrefixes, stream)
+      subjectContains, subjectPrefixes, stream, pushedLimit)
 }
 
 final case class NatsScanPartition(file: String, rangeStart: Long,
-                                   rangeEnd: Long, native: Boolean = false)
+                                   rangeEnd: Long, native: Boolean = false,
+                                   rows: Long = 0L)
     extends InputPartition
 
 final class NatsScanReaderFactory(required: StructType, seqLo: Long,
                                   seqHi: Long, tsLoNs: Long, tsHiNs: Long,
                                   subjectContains: List[String],
-                                  subjectPrefixes: List[String], stream: String)
+                                  subjectPrefixes: List[String], stream: String,
+                                  pushedLimit: Option[Int] = None)
     extends PartitionReaderFactory {
   def this(required: StructType, seqLo: Long, seqHi: Long, tsLoNs: Long,
            tsHiNs: Long, subjectContains: List[String], stream: String) =
     this(required, seqLo, seqHi, tsLoNs, tsHiNs, subjectContains, Nil, stream)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[NatsScanPartition]
-    if (part.native)
-      new NatsNativeReader(part, required, seqLo, seqHi, tsLoNs, tsHiNs,
-        subjectContains, subjectPrefixes, stream)
-    else
-      new NatsScanReader(part, required, seqLo, seqHi, tsLoNs, tsHiNs,
-        subjectContains, subjectPrefixes, stream)
+    val inner =
+      if (part.native)
+        new NatsNativeReader(part, required, seqLo, seqHi, tsLoNs, tsHiNs,
+          subjectContains, subjectPrefixes, stream)
+      else
+        new NatsScanReader(part, required, seqLo, seqHi, tsLoNs, tsHiNs,
+          subjectContains, subjectPrefixes, stream)
+    pushedLimit.fold(inner: PartitionReader[InternalRow])(
+      new LimitedRowReader(inner, _))
   }
 
   /** Batch scans decode vectorized (see [[NatsVectorized]]); subject/seq/ts
@@ -163,13 +191,47 @@ final class NatsScanReaderFactory(required: StructType, seqLo: Long,
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val part = p.asInstanceOf[NatsScanPartition]
-    if (part.native)
-      new NatsNativeColumnarReader(part, required, stream, seqLo, seqHi,
-        tsLoNs, tsHiNs)
-    else
-      new NatsFixtureColumnarReader(part, required, stream, seqLo, seqHi,
-        tsLoNs, tsHiNs)
+    val inner =
+      if (part.native)
+        new NatsNativeColumnarReader(part, required, stream, seqLo, seqHi,
+          tsLoNs, tsHiNs)
+      else
+        new NatsFixtureColumnarReader(part, required, stream, seqLo, seqHi,
+          tsLoNs, tsHiNs)
+    pushedLimit.fold(
+      inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch])(
+      new LimitedColumnarReader(inner, _))
   }
+}
+
+/** Early-stop decorators for a PARTIALLY pushed LIMIT: the source may emit
+  * at most ~limit rows per partition and Spark's own Local/GlobalLimit
+  * above the scan enforces the exact count — so stopping is purely an I/O
+  * and decode saving, never a correctness lever. The columnar variant stops
+  * at the first batch boundary at-or-after the limit (truncating mid-batch
+  * would buy nothing: the batch is already decoded). */
+private final class LimitedRowReader(inner: PartitionReader[InternalRow],
+                                     limit: Int)
+    extends PartitionReader[InternalRow] {
+  private var emitted = 0
+  override def next(): Boolean =
+    emitted < limit && inner.next() && { emitted += 1; true }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
+}
+
+private final class LimitedColumnarReader(
+    inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch],
+    limit: Int)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  private var emitted = 0L
+  override def next(): Boolean =
+    emitted < limit && inner.next() && {
+      emitted += inner.get().numRows(); true
+    }
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    inner.get()
+  override def close(): Unit = inner.close()
 }
 
 /** Reader for the native message store (part files written by

@@ -141,7 +141,8 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
                             maxPerBatch: Long,
                             transport: Option[TransportBind] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = NatsScanSource.envelopeSchema
@@ -216,6 +217,20 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  // --- LIMIT pushdown: a `LIMIT n` preview over a 100 TB stream must touch
+  // kilobytes, not decode every planned row group. PARTIAL push (Spark
+  // keeps its own Local/GlobalLimit above the scan), so the readers treat
+  // the limit as a per-partition early-stop hint — correctness never
+  // depends on it. Local layouts only: the transport path's fetch loop has
+  // its own batched cursor and stays governed by its seq slices.
+  private var pushedLimit: Option[Int] = None
+
+  override def pushLimit(limit: Int): Boolean =
+    if (transport.isDefined) false
+    else { pushedLimit = Some(limit); true }
+
+  override def isPartiallyPushed(): Boolean = true
 
   // --- COMPLETE aggregate pushdown (COUNT(*) / MIN / MAX on seq, ts_nats)
   // answered from parquet footers or one streamInfo RPC — see NatsStatsScan
@@ -320,6 +335,6 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
         fetchMode = tb.fetchMode)
     case None =>
       new NatsScanScan(file, dir, stream, required, seqLo, seqHi, tsLoNs,
-        tsHiNs, subjectContains, subjectPrefixes, maxPerBatch)
+        tsHiNs, subjectContains, subjectPrefixes, maxPerBatch, pushedLimit)
   }
 }

@@ -568,4 +568,27 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.queries.PipelineQueries.queries("text_boilerplate")(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("nats_scan LIMIT pushes into the V2 scan (early-stop hint)") {
+    val df = spark.read.format("nats_scan")
+      .option("dir", dir).option("stream", "events").load().limit(7)
+    val p = physical(df)
+    assert(p.contains("PushedLimit=7"), p)
+    assert(df.count() == 7L) // Spark's own limit still enforces exactness
+  }
+
+  test("nats_scan reports post-pruning statistics: V2 side auto-broadcasts") {
+    // no broadcast() hint anywhere: the decision must come from the scan's
+    // estimateStatistics (without stats a V2 relation defaults to
+    // "infinitely large" and this join would shuffle both sides)
+    val env = spark.read.format("nats_scan")
+      .option("dir", dir).option("stream", "events").load()
+      .withColumn("user_id",
+        element_at(split(col("subject"), "\\."), 3).cast("long"))
+    val fact = Tables.load(spark, dir, "lineitem")
+    val joined = fact.join(env, fact("l_orderkey") % 100 === env("user_id"))
+    val p = physical(joined)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
