@@ -43,10 +43,43 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
                               maxPerBatch: Long,
                               sliceWidth: Long, connectTimeoutMs: Long,
                               fetchMode: String = "fetch")
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Size/row estimate from one streamInfo RPC: rows = the seq-bounded
+    * window clamped to the stream's message count (time bounds are NOT
+    * resolved here — stats must stay one metadata call, and a looser
+    * estimate only errs against broadcasting); bytes = rows × the stream's
+    * real average message size (State.Bytes / messages). A connect failure
+    * yields unknown stats — planning surfaces the real error, not this
+    * estimate. */
+  override def estimateStatistics(): Statistics = {
+    val est: Option[(Long, Long)] =
+      try {
+        val t = Transport.connect(url, connectTimeoutMs)
+        try {
+          val info = t.streamInfo(stream)
+          val lo = math.max(seqLo, info.firstSeq)
+          val hi = math.min(seqHi, info.lastSeq)
+          val rows = math.max(0L, math.min(hi - lo + 1, info.messages))
+          val avg =
+            if (info.messages > 0L && info.bytes > 0L)
+              math.max(info.bytes / info.messages, 64L)
+            else 256L // subject+payload ballpark when the server lacks Bytes
+          Some((rows, math.max(rows * avg, 1L)))
+        } finally t.close()
+      } catch { case _: Exception => None }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        est.fold(java.util.OptionalLong.empty())(e =>
+          java.util.OptionalLong.of(e._2))
+      override def numRows(): java.util.OptionalLong =
+        est.fold(java.util.OptionalLong.empty())(e =>
+          java.util.OptionalLong.of(e._1))
+    }
+  }
 
   /** live tail: seq-offset micro-batches polling the server's LastSeq */
   override def toMicroBatchStream(checkpointLocation: String)

@@ -68,7 +68,14 @@ final class FakeJetStreamServer {
   private[transport] def state(stream: String): Option[StreamState] =
     streams.get(stream).map { m =>
       if (m.isEmpty) StreamState(0L, 0L, 0L)
-      else StreamState(m.firstKey(), m.lastKey(), m.size().toLong)
+      else {
+        // State.Bytes analog: stored message volume (subject + payload),
+        // the quantity a live jnats binding reads from StreamState.Bytes
+        var bytes = 0L
+        m.values().forEach(msg =>
+          bytes += msg.subject.length.toLong + msg.payload.length.toLong)
+        StreamState(m.firstKey(), m.lastKey(), m.size().toLong, bytes)
+      }
     }
 
   private[transport] def get(stream: String, seq: Long): Option[TransportMsg] =

@@ -66,8 +66,11 @@ trait JetStreamTransport extends AutoCloseable {
 final case class TransportMsg(subject: String, seq: Long, tsNs: Long,
                               payload: Array[Byte])
 
-/** js_GetStreamInfo subset the scan needs (State.FirstSeq / State.LastSeq). */
-final case class StreamState(firstSeq: Long, lastSeq: Long, messages: Long)
+/** js_GetStreamInfo subset the scan needs (State.FirstSeq / State.LastSeq;
+  * `bytes` = State.Bytes, the stream's stored payload volume — drives the
+  * scan's size estimate for Catalyst join planning; 0 when unknown). */
+final case class StreamState(firstSeq: Long, lastSeq: Long, messages: Long,
+                             bytes: Long = 0L)
 
 /** Connect failures — message shapes mirror the reference's error surface
   * (nats_scan.cpp:633-635): "Failed to connect to NATS: <status text>". */

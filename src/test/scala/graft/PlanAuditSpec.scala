@@ -591,4 +591,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("transport scan reports streamInfo statistics: auto-broadcast too") {
+    val url = graft.queries.TransportQueries.fixtureUrl(spark, dir)
+    val env = spark.read.format("nats_scan")
+      .option("url", url).option("stream", "events").load()
+      .withColumn("user_id",
+        element_at(split(col("subject"), "\\."), 3).cast("long"))
+    val fact = Tables.load(spark, dir, "lineitem")
+    val joined = fact.join(env, fact("l_orderkey") % 100 === env("user_id"))
+    val p = physical(joined)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
