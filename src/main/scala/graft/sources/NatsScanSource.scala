@@ -142,7 +142,7 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
                             transport: Option[TransportBind] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = NatsScanSource.envelopeSchema
@@ -229,6 +229,27 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
   override def pushLimit(limit: Int): Boolean =
     if (transport.isDefined) false
     else { pushedLimit = Some(limit); true }
+
+  /** `ORDER BY seq [ASC] LIMIT n` — the "stream head" query. Both layouts
+    * store messages in ascending seq order (fixture event_id order; native
+    * part files sorted at write), so each partition's FIRST n rows are its
+    * seq-ascending top-n: the limit hint doubles as the top-n hint and the
+    * final TakeOrdered above the scan sorts n·partitions rows instead of
+    * the stream. Descending (tail) would need a backward cursor — declined,
+    * Spark runs the full sort. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector
+      .expressions.SortOrder], limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val seqAscending = orders.length == 1 && (orders(0).expression() match {
+      case n: NamedReference =>
+        n.fieldNames().sameElements(Array("seq")) &&
+          orders(0).direction() == SortDirection.ASCENDING
+      case _ => false
+    })
+    if (transport.isEmpty && seqAscending) {
+      pushedLimit = Some(limit); true
+    } else false
+  }
 
   override def isPartiallyPushed(): Boolean = true
 

@@ -592,6 +592,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("nats_scan ORDER BY seq LIMIT pushes as top-n (stream head)") {
+    val df = spark.read.format("nats_scan")
+      .option("dir", dir).option("stream", "events").load()
+      .orderBy("seq").limit(5)
+    val p = physical(df)
+    assert(p.contains("PushedLimit=5"), p) // top-n reuses the limit hint
+    val seqs = df.select("seq").collect().map(_.getLong(0))
+    assert(seqs.sameElements(Array(1L, 2L, 3L, 4L, 5L)), seqs.mkString(","))
+  }
+
   test("transport scan reports streamInfo statistics: auto-broadcast too") {
     val url = graft.queries.TransportQueries.fixtureUrl(spark, dir)
     val env = spark.read.format("nats_scan")
