@@ -642,6 +642,42 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
+    // embedding-version drift QA: per-label centroid cosine between two
+    // corpus halves (the even/odd split stands in for old-vs-new encoder
+    // snapshots) — the regression test run before swapping an embedding
+    // model in. A label whose halves disagree (low self-consistency) is
+    // where re-encoding changed semantics. Two partial-agg passes on
+    // `label` (map-side dimension sums via posexplode), then a K-row join
+    // — no vector ever shuffles twice, no pair space at all.
+    "embed_drift" -> ((s, dir) => {
+      val e = emb(s, dir)
+      // per-(label, dim) sums in 1e-8 INTEGER units (order-invariant exact
+      // BIGINT adds — a distributed double sum would be partition-order
+      // dependent, DETERMINISM.md rule 3), assembled into dim-ordered
+      // arrays; the cosine then runs as the same sequential fold the
+      // oracle's list comprehension uses. Cosine is scale-invariant, so
+      // the /n and /1e8 normalizations cancel and never happen.
+      def half(parity: Int, name: String): DataFrame =
+        e.filter(col("vec_id") % 2 === parity)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy("label", "i")
+          .agg(sum(round(col("x").cast("double") * 1e8, 0).cast("long"))
+            .as("sx"), count(lit(1)).as("n"))
+          .groupBy("label")
+          .agg(max("n").as(s"n_$name"),
+            expr("transform(sort_array(collect_list(struct(i, sx)))," +
+              " s -> CAST(s.sx AS DOUBLE))").as(s"v_$name"))
+      def dotE(a: String, b: String): String =
+        s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+      half(0, "even").join(half(1, "odd"), "label")
+        .select(col("label"), col("n_even"), col("n_odd"),
+          (round(expr(s"${dotE("v_even", "v_odd")} / " +
+            s"sqrt(${dotE("v_even", "v_even")}) / " +
+            s"sqrt(${dotE("v_odd", "v_odd")})"), 6) + lit(0.0))
+            .as("centroid_cos"))
+        .orderBy("label")
+    }),
+
     // Matryoshka-truncation recall contract: how much of the exact
     // full-dimension top-10 survives when the index stores only the first
     // 32 (resp. 16) of 64 dimensions — the storage-halving decision for an
@@ -1792,6 +1828,32 @@ object PipelineQueries {
         FROM scored)
       SELECT qid, rank, vec_id, label, cos
       FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "embed_drift" -> """
+      WITH pe AS (
+        SELECT label, i.i AS i,
+               CAST(sum(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e8, 0)
+                 AS BIGINT)) AS DOUBLE) AS sx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+        WHERE vec_id % 2 = 0 GROUP BY label, i.i),
+      po AS (
+        SELECT label, i.i AS i,
+               CAST(sum(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e8, 0)
+                 AS BIGINT)) AS DOUBLE) AS sx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+        WHERE vec_id % 2 = 1 GROUP BY label, i.i),
+      ge AS (SELECT label, max(n) AS n_even, list(sx ORDER BY i) AS va
+             FROM pe GROUP BY label),
+      go AS (SELECT label, max(n) AS n_odd, list(sx ORDER BY i) AS vb
+             FROM po GROUP BY label)
+      SELECT ge.label, n_even, n_odd,
+             round(list_sum([va[k] * vb[k] FOR k IN range(1, 65)]) /
+                   sqrt(list_sum([va[k] * va[k] FOR k IN range(1, 65)])) /
+                   sqrt(list_sum([vb[k] * vb[k] FOR k IN range(1, 65)])), 6)
+               + 0.0 AS centroid_cos
+      FROM ge JOIN go ON ge.label = go.label ORDER BY ge.label""",
 
     "embed_matryoshka" -> s"""
       WITH q AS (
