@@ -54,7 +54,13 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "embed_pca_power", "text_heaps", "q_anomaly", "text_diversity",
     "dedup_winnow", "dedup_cdc", "pipe_leakfree_split",
     "text_collocations", "q_transitions", "ann_mmr",
-    "embed_outliers", "dedup_scorecard")
+    "embed_outliers", "dedup_scorecard",
+    // round-7 additions: hash-deterministic caps/realization, rounded-
+    // before-rank truncated cosines, integer-unit centroid drift,
+    // stats-driven plans (broadcast decisions must not change results)
+    "pipe_domain_cap", "pipe_token_budget", "pipe_mixture_realize",
+    "pipe_filter_funnel", "ann_filtered", "embed_matryoshka",
+    "text_boilerplate", "embed_drift")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
