@@ -256,9 +256,14 @@ object TrainingDataQueries {
       val tok = t(s, dir, "documents")
         .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
         .groupBy("source").agg(sum("n_tok").as("n_tok"))
+      // z accumulates in 1e-6 INTEGER units: a distributed double sum
+      // merges partials in fetch order and an ulp wobble at floor()/
+      // threshold boundaries would flip output integers (DETERMINISM.md
+      // rule 6b); the integer sum is order-invariant and exact
       val tot = tok.agg(
         floor(lit(0.5) * sum(col("n_tok"))).cast("long").as("budget"),
-        sum(pow(col("n_tok"), 0.7)).as("z"))
+        (sum(round(pow(col("n_tok"), 0.7) * 1e6, 0).cast("long"))
+          .cast("double") / 1e6).as("z"))
       tok.crossJoin(broadcast(tot))
         .withColumn("raw",
           col("budget") * pow(col("n_tok"), 0.7) / col("z"))
@@ -281,9 +286,12 @@ object TrainingDataQueries {
       val docs = t(s, dir, "documents")
         .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
       val tok = docs.groupBy("source").agg(sum("n_tok").as("src_tok"))
+      // z in 1e-6 integer units — same order-invariance argument as
+      // pipe_token_budget (the repeat threshold consumes it unrounded)
       val tot = tok.agg(
         floor(lit(0.5) * sum(col("src_tok"))).cast("long").as("budget"),
-        sum(pow(col("src_tok"), 0.7)).as("z"))
+        (sum(round(pow(col("src_tok"), 0.7) * 1e6, 0).cast("long"))
+          .cast("double") / 1e6).as("z"))
       val ep = tok.crossJoin(broadcast(tot))
         .select(col("source"), col("src_tok"),
           least(lit(4.0), col("budget") * pow(col("src_tok"), 0.7) /
@@ -501,7 +509,7 @@ object TrainingDataQueries {
         FROM documents GROUP BY source),
       tot AS (
         SELECT CAST(floor(0.5 * sum(n_tok)) AS BIGINT) AS budget,
-               sum(pow(n_tok, 0.7)) AS z
+               sum(CAST(round(pow(n_tok, 0.7) * 1e6, 0) AS BIGINT)) / 1e6 AS z
         FROM tok),
       r AS (
         SELECT source, n_tok,
@@ -520,7 +528,7 @@ object TrainingDataQueries {
       tok AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tok
               FROM d GROUP BY source),
       tot AS (SELECT CAST(floor(0.5 * sum(src_tok)) AS BIGINT) AS budget,
-                     sum(pow(src_tok, 0.7)) AS z
+                     sum(CAST(round(pow(src_tok, 0.7) * 1e6, 0) AS BIGINT)) / 1e6 AS z
               FROM tok),
       ep AS (SELECT source, src_tok,
                     least(4.0, budget * pow(src_tok, 0.7) / z / src_tok)

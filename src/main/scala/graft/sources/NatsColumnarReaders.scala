@@ -110,10 +110,8 @@ final class NatsNativeColumnarReader(p: NatsScanPartition,
                                      tsLoNs: Long, tsHiNs: Long)
     extends PartitionReader[ColumnarBatch] {
 
-  private val tsLoUs =
-    if (tsLoNs == Long.MinValue) Long.MinValue else Math.floorDiv(tsLoNs + 999L, 1000L)
-  private val tsHiUs =
-    if (tsHiNs == Long.MaxValue) Long.MaxValue else Math.floorDiv(tsHiNs, 1000L)
+  private val tsLoUs = TsBounds.loUs(tsLoNs)
+  private val tsHiUs = TsBounds.hiUs(tsHiNs)
 
   private val fileFields: Array[StructField] =
     required.fields.filter(_.name != "stream")
@@ -182,10 +180,8 @@ final class NatsFixtureColumnarReader(p: NatsScanPartition,
   }
 
   // ns bounds → µs (exact: file values are whole µs)
-  private val tsLoUs =
-    if (tsLoNs == Long.MinValue) Long.MinValue else Math.floorDiv(tsLoNs + 999L, 1000L)
-  private val tsHiUs =
-    if (tsHiNs == Long.MaxValue) Long.MaxValue else Math.floorDiv(tsHiNs, 1000L)
+  private val tsLoUs = TsBounds.loUs(tsLoNs)
+  private val tsHiUs = TsBounds.hiUs(tsHiNs)
 
   private val inner = NatsVectorized.open(p.file, p.rangeStart, p.rangeEnd,
     StructType(fileCols.map(rawField).toIndexedSeq),

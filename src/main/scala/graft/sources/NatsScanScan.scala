@@ -45,13 +45,8 @@ final class NatsScanScan(file: String, dir: String, stream: String,
       s"cols=${required.fieldNames.mkString(",")}" +
       pushedLimit.map(l => s" PushedLimit=$l").getOrElse("")
 
-  /** µs-granularity ts bounds for the native layout (ts_nats stored as
-    * TIMESTAMP(MICROS)); ns bounds are always of the form T*1000 (lo) /
-    * T*1000+999 or T*1000-1 (hi), so ceil/floor division is exact. */
-  private def tsLoUs: Long =
-    if (tsLoNs == Long.MinValue) Long.MinValue else Math.floorDiv(tsLoNs + 999L, 1000L)
-  private def tsHiUs: Long =
-    if (tsHiNs == Long.MaxValue) Long.MaxValue else Math.floorDiv(tsHiNs, 1000L)
+  private def tsLoUs: Long = TsBounds.loUs(tsLoNs)
+  private def tsHiUs: Long = TsBounds.hiUs(tsHiNs)
 
   /** planned once, shared by partition planning and [[estimateStatistics]]
     * (both run on the driver; footer reads are metadata-only) */
@@ -159,6 +154,19 @@ final case class NatsScanPartition(file: String, rangeStart: Long,
                                    rangeEnd: Long, native: Boolean = false,
                                    rows: Long = 0L)
     extends InputPartition
+
+/** The ONE ns→µs bound translation (file values are whole µs; pushed
+  * bounds arrive in ns): ts_ns = µs·1000 ∈ [lo, hi] ⟺
+  * µs ∈ [⌈lo/1000⌉, ⌊hi/1000⌋]. Exact for the `T*1000` / `T*1000+999` /
+  * `T*1000-1` forms the filter builder produces; sentinels pass through. */
+private[sources] object TsBounds {
+  def loUs(tsLoNs: Long): Long =
+    if (tsLoNs == Long.MinValue) Long.MinValue
+    else Math.floorDiv(tsLoNs + 999L, 1000L)
+  def hiUs(tsHiNs: Long): Long =
+    if (tsHiNs == Long.MaxValue) Long.MaxValue
+    else Math.floorDiv(tsHiNs, 1000L)
+}
 
 final class NatsScanReaderFactory(required: StructType, seqLo: Long,
                                   seqHi: Long, tsLoNs: Long, tsHiNs: Long,
@@ -372,9 +380,9 @@ final class NatsScanReader(p: NatsScanPartition, required: StructType,
     if (seqLo > 1L) and(FilterApi.gtEq(idc, java.lang.Long.valueOf(seqLo - 1)))
     if (seqHi < Long.MaxValue) and(FilterApi.ltEq(idc, java.lang.Long.valueOf(seqHi - 1)))
     if (tsLoNs > Long.MinValue)
-      and(FilterApi.gtEq(tsc, java.lang.Long.valueOf(Math.floorDiv(tsLoNs + 999L, 1000L))))
+      and(FilterApi.gtEq(tsc, java.lang.Long.valueOf(TsBounds.loUs(tsLoNs))))
     if (tsHiNs < Long.MaxValue)
-      and(FilterApi.ltEq(tsc, java.lang.Long.valueOf(Math.floorDiv(tsHiNs, 1000L))))
+      and(FilterApi.ltEq(tsc, java.lang.Long.valueOf(TsBounds.hiUs(tsHiNs))))
 
     var b = ParquetReader
       .builder(new GroupReadSupport(), new Path(p.file))

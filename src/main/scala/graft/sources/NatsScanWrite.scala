@@ -41,7 +41,23 @@ final class NatsScanWriteBuilder(dir: String, stream: String,
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    // ENFORCE the store's seq-sorted invariant at the planner: Spark sorts
+    // each write task's rows by seq before they reach the writer, so part
+    // files are always ascending within row groups. The scan stack DEPENDS
+    // on this — row-group seq-stats pruning and the top-n early-stop
+    // (SupportsPushDownTopN) both read "first rows = lowest seqs". An
+    // unordered distribution is fine (files are independent); only the
+    // within-partition order matters.
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      Array(Expressions.sort(Expressions.column("seq"),
+        SortDirection.ASCENDING))
     override def toBatch: BatchWrite =
       new NatsScanBatchWrite(dir, stream, info.schema(), truncateFirst)
     override def toStreaming: StreamingWrite = url match {

@@ -55,22 +55,26 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
     * real average message size (State.Bytes / messages). A connect failure
     * yields unknown stats — planning surfaces the real error, not this
     * estimate. */
-  override def estimateStatistics(): Statistics = {
-    val est: Option[(Long, Long)] =
+  /** computed once per Scan (Spark may ask for stats repeatedly during
+    * optimization/AQE — each ask must not cost a TCP round-trip) */
+  private lazy val statsEstimate: Option[(Long, Long)] =
+    try {
+      val t = Transport.connect(url, connectTimeoutMs)
       try {
-        val t = Transport.connect(url, connectTimeoutMs)
-        try {
-          val info = t.streamInfo(stream)
-          val lo = math.max(seqLo, info.firstSeq)
-          val hi = math.min(seqHi, info.lastSeq)
-          val rows = math.max(0L, math.min(hi - lo + 1, info.messages))
-          val avg =
-            if (info.messages > 0L && info.bytes > 0L)
-              math.max(info.bytes / info.messages, 64L)
-            else 256L // subject+payload ballpark when the server lacks Bytes
-          Some((rows, math.max(rows * avg, 1L)))
-        } finally t.close()
-      } catch { case _: Exception => None }
+        val info = t.streamInfo(stream)
+        val lo = math.max(seqLo, info.firstSeq)
+        val hi = math.min(seqHi, info.lastSeq)
+        val rows = math.max(0L, math.min(hi - lo + 1, info.messages))
+        val avg =
+          if (info.messages > 0L && info.bytes > 0L)
+            math.max(info.bytes / info.messages, 64L)
+          else 256L // subject+payload ballpark when the server lacks Bytes
+        Some((rows, math.max(rows * avg, 1L)))
+      } finally t.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  override def estimateStatistics(): Statistics = {
+    val est = statsEstimate
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         est.fold(java.util.OptionalLong.empty())(e =>

@@ -21,6 +21,24 @@ final class FakeJetStreamServer {
   private val streams =
     new TrieMap[String, ConcurrentSkipListMap[Long, TransportMsg]]()
 
+  // State.Bytes analog, maintained as a RUNNING counter at publish/delete —
+  // streamInfo must stay O(1) (the live-tail poll and planner statistics
+  // both call it per trigger/plan; walking the store would be O(n) each)
+  private val streamBytes =
+    new TrieMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def wireBytes(m: TransportMsg): Long =
+    m.subject.getBytes("UTF-8").length.toLong + m.payload.length.toLong
+
+  private def countPut(stream: String, prev: TransportMsg,
+                       msg: TransportMsg): Unit = {
+    val c = streamBytes.getOrElseUpdate(
+      stream, new java.util.concurrent.atomic.AtomicLong())
+    if (prev != null) c.addAndGet(-wireBytes(prev))
+    c.addAndGet(wireBytes(msg))
+    ()
+  }
+
   def addStream(name: String): Unit = {
     require(name.nonEmpty, "stream name must not be empty")
     streams.putIfAbsent(name, new ConcurrentSkipListMap[Long, TransportMsg]())
@@ -31,14 +49,18 @@ final class FakeJetStreamServer {
   def publish(stream: String, seq: Long, subject: String, tsNs: Long,
               payload: Array[Byte]): Unit = {
     addStream(stream)
-    streams(stream).put(seq, TransportMsg(subject, seq, tsNs, payload))
-    ()
+    val msg = TransportMsg(subject, seq, tsNs, payload)
+    countPut(stream, streams(stream).put(seq, msg), msg)
   }
 
   /** delete one message — subsequent Direct Gets at `seq` answer NOT_FOUND
     * (how JetStream compaction/MsgDelete creates sequence gaps). */
   def deleteMsg(stream: String, seq: Long): Unit = {
-    streams.get(stream).foreach(_.remove(seq))
+    streams.get(stream).foreach { m =>
+      val prev = m.remove(seq)
+      if (prev != null)
+        streamBytes.get(stream).foreach(_.addAndGet(-wireBytes(prev)): Unit)
+    }
   }
 
   private val msgIds = new TrieMap[(String, String), Long]()
@@ -54,7 +76,8 @@ final class FakeJetStreamServer {
       case None =>
         val m = streams(stream)
         val seq = if (m.isEmpty) 1L else m.lastKey() + 1L
-        m.put(seq, TransportMsg(subject, seq, tsNs, payload))
+        val msg = TransportMsg(subject, seq, tsNs, payload)
+        countPut(stream, m.put(seq, msg), msg)
         msgIds.put((stream, msgId), seq)
         seq
     }
@@ -68,14 +91,8 @@ final class FakeJetStreamServer {
   private[transport] def state(stream: String): Option[StreamState] =
     streams.get(stream).map { m =>
       if (m.isEmpty) StreamState(0L, 0L, 0L)
-      else {
-        // State.Bytes analog: stored message volume (subject + payload),
-        // the quantity a live jnats binding reads from StreamState.Bytes
-        var bytes = 0L
-        m.values().forEach(msg =>
-          bytes += msg.subject.length.toLong + msg.payload.length.toLong)
-        StreamState(m.firstKey(), m.lastKey(), m.size().toLong, bytes)
-      }
+      else StreamState(m.firstKey(), m.lastKey(), m.size().toLong,
+        math.max(streamBytes.get(stream).fold(0L)(_.get()), 0L))
     }
 
   private[transport] def get(stream: String, seq: Long): Option[TransportMsg] =
