@@ -38,6 +38,16 @@ object V2Queries {
         .select("seq", "subject", "ts_nats")
         .orderBy("seq")),
 
+    // stream HEAD: ORDER BY seq LIMIT n rides the top-n pushdown
+    // (SupportsPushDownTopN → per-partition early stop over the seq-sorted
+    // layouts) — this entry hash-verifies that the early-stop returns
+    // exactly the n lowest sequences, not just any n rows
+    "v2_stream_head" -> ((s, dir) =>
+      v2(s, dir)
+        .select("seq", "subject", "ts_nats")
+        .orderBy("seq")
+        .limit(100)),
+
     // time range + subject contains, both pushed; projection pruned to 2 cols
     "v2_time_subject" -> ((s, dir) =>
       v2(s, dir)
@@ -121,6 +131,9 @@ object V2Queries {
     Map(
       "v2_seq_range" ->
         s"$env SELECT seq, subject, ts_nats FROM env WHERE seq BETWEEN 401 AND 900 ORDER BY seq",
+
+      "v2_stream_head" ->
+        s"$env SELECT seq, subject, ts_nats FROM env ORDER BY seq LIMIT 100",
 
       "v2_time_subject" ->
         s"""$env SELECT subject, count(*) AS n, min(seq) AS min_seq, max(seq) AS max_seq
