@@ -39,22 +39,21 @@ object Bench {
       Caches.drain()
       name -> dt
     }
-    // The driver captures only a bounded tail of stdout; with ~100 queries a
-    // full-precision map overflows that window, the line's HEAD gets cut, and
-    // the round's bench is unparseable (this happened in round 3). Keep the
-    // stdout line compact (centisecond precision is plenty at 0.1–5 s/query)
-    // and park full precision in a file committed with the round.
+    // The driver captures only a bounded tail of stdout; at 199 queries even
+    // a centisecond-precision per-query map overflows that window, the
+    // line's HEAD gets cut, and the round's bench is unparseable (rounds 3
+    // and 7 both lost their driver artifact to this). The stdout line now
+    // carries ONLY the headline numbers; the full per-query map lives in
+    // the bench_full_<sf>.json file committed with the round.
     // Locale.ROOT: a comma decimal separator would corrupt the JSON
     def r2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
-      .mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","nqueries":${results.size},"failed":$failedJson,"sf":"$sfDir"}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedJson,"sf":"$sfDir"}"""
     // per-SF file: a multi-SF sweep must not clobber earlier SFs' numbers

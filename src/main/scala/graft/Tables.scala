@@ -27,16 +27,30 @@ object Tables {
     "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', " +
       "cast(ts AS TIMESTAMP_NTZ)) * 1000")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", tsEpochNs) else df
+  /** `events` read schema, pinned so `ts` is TIMESTAMP_NTZ regardless of
+    * the session's `spark.sql.parquet.inferTimestampNTZ.enabled` (a user
+    * turning that off would otherwise decode ts as session-TZ TIMESTAMP and
+    * make the epoch-ns rebuild timezone-dependent). */
+  private val eventsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
   }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEventsRaw(spark, dir).withColumn("ts", tsEpochNs)
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events` with `ts` left as the parquet TIMESTAMP_NTZ column (µs):
     * timestamp predicates on it reach the scan as PushedFilters, which the
     * ns-long computed column cannot */
   def loadEventsRaw(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
 
   /** TIMESTAMP_NTZ literal at `us` epoch-µs (UTC epoch arithmetic only —
     * no session-timezone dependence) */

@@ -758,6 +758,16 @@ object RetrievalQueries {
     val vocab = t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+    // Validate the precondition where it actually holds: BEFORE the first
+    // fold round. Checking only the winning merge pair (below) is too late —
+    // a corpus token containing '|' is conflated with segment boundaries
+    // inside pair counting itself, silently skewing frequencies long before
+    // any '|' pair can win a round.
+    val bad = vocab.filter(col("w").contains("|")).select("w").head(1)
+    require(bad.isEmpty,
+      s"bpeTrainRounds: corpus token '${bad.headOption.map(_.getString(0))
+        .getOrElse("")}' contains the '|' fold delimiter; pre-tokenize so " +
+        "words exclude '|'")
     var syms = graft.Caches.tracked(vocab.withColumn("syms",
       expr("filter(split(w, ''), x -> x <> '')")))
     val rounds = collection.mutable.Buffer.empty[(Int, String, String, Long, Long)]
@@ -775,6 +785,7 @@ object RetrievalQueries {
           concat(col("a"), lit("|"), col("b")).asc)
         .limit(1).collect()(0)
       val (a, b) = (top.getString(0), top.getString(1))
+      // defense-in-depth only — the vocabulary precheck above is the gate
       require(!a.contains("|") && !b.contains("|"),
         s"bpeTrainRounds: merged symbol contains the '|' fold delimiter " +
           s"(a='$a', b='$b'); pre-tokenize so words exclude '|'")

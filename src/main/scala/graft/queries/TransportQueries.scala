@@ -58,6 +58,50 @@ object TransportQueries {
       url
     })
 
+  // --- credentialed fixture: same events stream, but behind a server that
+  // requires TLS + JWT/creds auth (docs/GUIDE.md roadmap "JWT/NKeys, TLS") ---
+
+  /** fixture identity the auth server pins — shapes follow the public nsc
+    * output: ed25519 JWT-ish token, 'SU'-prefixed user seed */
+  val AuthJwt = "eyJ0eXAiOiJKV1QiLCJhbGciOiJlZDI1NTE5LW5rZXkifQ.graft-fixture-user"
+  val AuthSeed = "SUAGRAFTFIXTUREUSERSEEDGRAFTFIXTUREUSERSEEDXYZ"
+
+  private val authFixtures = new ConcurrentHashMap[String, (String, String)]()
+
+  /** (url, credsFilePath) of the auth-requiring fixture server for `dir` */
+  def authFixture(s: SparkSession, dir: String): (String, String) =
+    authFixtures.computeIfAbsent(dir, _ => {
+      val url =
+        s"nats://authfix-${new java.io.File(dir).getName.replace('.', '-')}:4222"
+      val srv = FakeJetStream.listen(url)
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("ts"), col("props"))
+        .collect()
+        .foreach { r =>
+          srv.publish("events", r.getLong(0) + 1L,
+            s"events.${r.getString(1)}.${r.getLong(2)}", r.getLong(3),
+            r.getString(4).getBytes("UTF-8"))
+        }
+      FakeJetStream.requireTls(url)
+      FakeJetStream.requireCreds(url, AuthJwt)
+      // a .creds file in the public nsc layout, parsed at bind
+      val creds = java.nio.file.Files.createTempFile("graft_fixture", ".creds")
+      java.nio.file.Files.write(creds,
+        s"""-----BEGIN NATS USER JWT-----
+           |$AuthJwt
+           |------END NATS USER JWT------
+           |
+           |************************* IMPORTANT *************************
+           |
+           |-----BEGIN USER NKEY SEED-----
+           |$AuthSeed
+           |------END USER NKEY SEED------
+           |""".stripMargin.getBytes("UTF-8"))
+      creds.toFile.deleteOnExit()
+      (url, creds.toString)
+    })
+
   /** transport-mode reader with small slices so even sf0.001 plans several
     * independent slice partitions (65536 default would be one task). */
   private def scan(s: SparkSession, dir: String,
@@ -134,6 +178,26 @@ object TransportQueries {
           expr("octet_length(payload)").as("payload_bytes"))
         .orderBy("seq")),
 
+    // CREDENTIALED scan end-to-end: the server requires TLS + JWT/creds;
+    // bind parses the .creds file, every dial (driver planning AND executor
+    // slice readers) presents the credentials, and the query's results are
+    // hash-checked against the parquet oracle — auth must be transparent to
+    // semantics (TransportSpec holds the negative cases: wrong/missing
+    // creds → "Authorization Violation", no TLS → handshake failure)
+    "transport_auth" -> ((s, dir) => {
+      val (url, credsPath) = authFixture(s, dir)
+      s.read.format("nats_scan")
+        .option("url", url).option("stream", "events")
+        .option("slice_width", "1024")
+        .option("user_creds", credsPath).option("tls", "true")
+        .load()
+        .filter(col("seq") <= 4000L)
+        .groupBy(element_at(split(col("subject"), "\\."), 2).as("etype"))
+        .agg(count(lit(1)).as("n"), min("seq").as("min_seq"),
+          max("seq").as("max_seq"))
+        .orderBy("etype")
+    }),
+
     // pruning equivalence: the transport scan and the parquet-backed scan
     // answer an identical bounded query identically (oracle recomputes from
     // the fixture — this is the "transport scan ≡ parquet scan" property
@@ -195,6 +259,12 @@ object TransportQueries {
         s"""$env SELECT seq, subject,
            | CAST(octet_length(payload::BLOB) AS INTEGER) AS payload_bytes
            | FROM env ORDER BY seq""".stripMargin,
+
+      "transport_auth" ->
+        s"""$env SELECT string_split(subject, '.')[2] AS etype, count(*) AS n,
+           | min(seq) AS min_seq, max(seq) AS max_seq
+           | FROM env WHERE seq <= 4000
+           | GROUP BY 1 ORDER BY etype""".stripMargin,
 
       "transport_parquet_parity" ->
         "SELECT CAST(0 AS BIGINT) AS n_disagreements"

@@ -28,7 +28,8 @@ final class NatsScanScan(file: String, dir: String, stream: String,
                          seqLo: Long, seqHi: Long, tsLoNs: Long, tsHiNs: Long,
                          subjectContains: List[String],
                          subjectPrefixes: List[String], maxPerBatch: Long,
-                         pushedLimit: Option[Int] = None)
+                         pushedLimit: Option[Int] = None,
+                         assertSeqOrder: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -147,7 +148,8 @@ final class NatsScanScan(file: String, dir: String, stream: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NatsScanReaderFactory(required, seqLo, seqHi, tsLoNs, tsHiNs,
-      subjectContains, subjectPrefixes, stream, pushedLimit)
+      subjectContains, subjectPrefixes, stream, pushedLimit,
+      assertSeqOrder = assertSeqOrder)
 }
 
 final case class NatsScanPartition(file: String, rangeStart: Long,
@@ -172,11 +174,18 @@ final class NatsScanReaderFactory(required: StructType, seqLo: Long,
                                   seqHi: Long, tsLoNs: Long, tsHiNs: Long,
                                   subjectContains: List[String],
                                   subjectPrefixes: List[String], stream: String,
-                                  pushedLimit: Option[Int] = None)
+                                  pushedLimit: Option[Int] = None,
+                                  assertSeqOrder: Boolean = false)
     extends PartitionReaderFactory {
   def this(required: StructType, seqLo: Long, seqHi: Long, tsLoNs: Long,
            tsHiNs: Long, subjectContains: List[String], stream: String) =
     this(required, seqLo, seqHi, tsLoNs, tsHiNs, subjectContains, Nil, stream)
+
+  /** seq ordinal in the output when the top-n monotonicity assertion is on
+    * (-1 = off). A top-n on seq always projects seq, but stay defensive. */
+  private val seqCheckIdx: Int =
+    if (assertSeqOrder) required.fieldNames.indexOf("seq") else -1
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[NatsScanPartition]
     val inner =
@@ -187,7 +196,7 @@ final class NatsScanReaderFactory(required: StructType, seqLo: Long,
         new NatsScanReader(part, required, seqLo, seqHi, tsLoNs, tsHiNs,
           subjectContains, subjectPrefixes, stream)
     pushedLimit.fold(inner: PartitionReader[InternalRow])(
-      new LimitedRowReader(inner, _))
+      new LimitedRowReader(inner, _, seqCheckIdx))
   }
 
   /** Batch scans decode vectorized (see [[NatsVectorized]]); subject/seq/ts
@@ -208,7 +217,7 @@ final class NatsScanReaderFactory(required: StructType, seqLo: Long,
           tsLoNs, tsHiNs)
     pushedLimit.fold(
       inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch])(
-      new LimitedColumnarReader(inner, _))
+      new LimitedColumnarReader(inner, _, seqCheckIdx))
   }
 }
 
@@ -217,25 +226,65 @@ final class NatsScanReaderFactory(required: StructType, seqLo: Long,
   * above the scan enforces the exact count — so stopping is purely an I/O
   * and decode saving, never a correctness lever. The columnar variant stops
   * at the first batch boundary at-or-after the limit (truncating mid-batch
-  * would buy nothing: the batch is already decoded). */
+  * would buy nothing: the batch is already decoded).
+  *
+  * `seqIdx >= 0` arms the TOP-N monotonicity assertion: when the limit hint
+  * came from pushTopN, "first rows = lowest seqs" is a correctness
+  * precondition (the early stop drops later rows for good), so each emitted
+  * partition must ascend by seq — a violation (store layout contract broken
+  * out-of-band) fails the task loudly instead of returning a wrong head. */
+private object SeqOrderCheck {
+  def fail(seq: Long, prev: Long): Nothing =
+    throw new IllegalStateException(
+      s"nats_scan top-n: part file violates the seq-ascending store layout " +
+        s"(seq $seq after $prev); the store was modified outside the " +
+        s"sorted write path — drop its ${StoreLayout.MarkerName} marker or " +
+        s"recompact")
+}
+
 private final class LimitedRowReader(inner: PartitionReader[InternalRow],
-                                     limit: Int)
+                                     limit: Int, seqIdx: Int = -1)
     extends PartitionReader[InternalRow] {
   private var emitted = 0
+  private var prevSeq = Long.MinValue
   override def next(): Boolean =
-    emitted < limit && inner.next() && { emitted += 1; true }
+    emitted < limit && inner.next() && {
+      if (seqIdx >= 0) {
+        val r = inner.get()
+        if (!r.isNullAt(seqIdx)) {
+          val s = r.getLong(seqIdx)
+          if (s < prevSeq) SeqOrderCheck.fail(s, prevSeq)
+          prevSeq = s
+        }
+      }
+      emitted += 1; true
+    }
   override def get(): InternalRow = inner.get()
   override def close(): Unit = inner.close()
 }
 
 private final class LimitedColumnarReader(
     inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch],
-    limit: Int)
+    limit: Int, seqIdx: Int = -1)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   private var emitted = 0L
+  private var prevSeq = Long.MinValue
   override def next(): Boolean =
     emitted < limit && inner.next() && {
-      emitted += inner.get().numRows(); true
+      val b = inner.get()
+      if (seqIdx >= 0) {
+        val col = b.column(seqIdx)
+        var i = 0
+        while (i < b.numRows()) {
+          if (!col.isNullAt(i)) {
+            val s = col.getLong(i)
+            if (s < prevSeq) SeqOrderCheck.fail(s, prevSeq)
+            prevSeq = s
+          }
+          i += 1
+        }
+      }
+      emitted += b.numRows(); true
     }
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
     inner.get()

@@ -89,6 +89,20 @@ final class NatsScanTable(props: Map[String, String])
   private val maxPerBatch =
     props.getOrElse("max_msgs_per_batch", "1000").toLong
 
+  /** credential options (user_creds / nkey_seed / tls): parsed and validated
+    * at bind; only meaningful for the transport mode */
+  private val auth: graft.transport.TransportAuth = {
+    val anyAuth = props.contains("user_creds") || props.contains("nkey_seed") ||
+      props.contains("tls")
+    if (anyAuth && url.isEmpty)
+      sys.error("nats_scan: user_creds/nkey_seed/tls require 'url' " +
+        "(transport mode); the parquet store takes no credentials")
+    graft.transport.TransportAuth.fromOptions(
+      credsFile = props.get("user_creds"),
+      nkeySeed = props.get("nkey_seed"),
+      tls = props.get("tls"))
+  }
+
   private def nsOf(iso: String): Long = {
     val i = java.time.Instant.parse(iso)
     Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000000L), i.getNano.toLong)
@@ -110,7 +124,8 @@ final class NatsScanTable(props: Map[String, String])
           case m @ ("fetch" | "consumer") => m
           case other => sys.error(
             s"nats_scan: fetch_mode must be 'fetch' or 'consumer', got '$other'")
-        })
+        },
+        auth = auth)
     }
     new NatsScanBuilder(s"$dir/$stream.parquet", dir, stream, maxPerBatch,
       transport)
@@ -119,7 +134,7 @@ final class NatsScanTable(props: Map[String, String])
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new NatsScanWriteBuilder(dir, stream, info, url,
       props.getOrElse("connect_timeout_ms",
-        graft.transport.Transport.DefaultTimeoutMs.toString).toLong)
+        graft.transport.Transport.DefaultTimeoutMs.toString).toLong, auth)
 }
 
 /** bind-time transport parameters (reference named params, nats_scan.cpp:207-423) */
@@ -128,7 +143,9 @@ final case class TransportBind(url: String,
                                startTimeNs: Option[Long], endTimeNs: Option[Long],
                                subject: Option[String], maxPerBatch: Long,
                                sliceWidth: Long, connectTimeoutMs: Long,
-                               fetchMode: String = "fetch")
+                               fetchMode: String = "fetch",
+                               auth: graft.transport.TransportAuth =
+                                 graft.transport.TransportAuth.anonymous)
 
 /** Accepts seq/ts/subject predicates; everything else stays residual.
   * Bounds are accumulated as [seqLo, seqHi] (1-based inclusive) and
@@ -232,11 +249,21 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
 
   /** `ORDER BY seq [ASC] LIMIT n` — the "stream head" query. Both layouts
     * store messages in ascending seq order (fixture event_id order; native
-    * part files sorted at write), so each partition's FIRST n rows are its
-    * seq-ascending top-n: the limit hint doubles as the top-n hint and the
-    * final TakeOrdered above the scan sorts n·partitions rows instead of
-    * the stream. Descending (tail) would need a backward cursor — declined,
-    * Spark runs the full sort. */
+    * part files sorted at write by RequiresDistributionAndOrdering), so each
+    * partition's FIRST n rows are its seq-ascending top-n: the limit hint
+    * doubles as the top-n hint and the final TakeOrdered above the scan
+    * sorts n·partitions rows instead of the stream. Descending (tail) would
+    * need a backward cursor — declined, Spark runs the full sort.
+    *
+    * The sortedness invariant is TRUSTED only where it is vouched for:
+    * native stores must carry the [[StoreLayout]] marker their sorted write
+    * path commits — a store from a pre-marker build or external tooling gets
+    * no top-n early stop (full sort stands, correct either way). The
+    * accepted paths additionally run a per-partition seq-monotonicity
+    * assertion in the readers, so a violated invariant fails loudly instead
+    * of silently dropping low seqs. */
+  private var limitIsTopN = false
+
   override def pushTopN(orders: Array[org.apache.spark.sql.connector
       .expressions.SortOrder], limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
@@ -247,7 +274,9 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
       case _ => false
     })
     if (transport.isEmpty && seqAscending) {
-      pushedLimit = Some(limit); true
+      val nativeDir = new java.io.File(s"$dir/$stream.msgs")
+      if (nativeDir.isDirectory && !StoreLayout.seqSorted(nativeDir)) false
+      else { pushedLimit = Some(limit); limitIsTopN = true; true }
     } else false
   }
 
@@ -309,7 +338,7 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
         val computed: Option[Seq[Any]] = transport match {
           case Some(tb) =>
             try NatsStatsScan.fromStreamInfo(tb.url, stream,
-              tb.connectTimeoutMs, aggs)
+              tb.connectTimeoutMs, aggs, tb.auth)
             catch { case _: Exception => None } // connect errors → real scan
           case None =>
             val nativeDir = new java.io.File(s"$dir/$stream.msgs")
@@ -353,9 +382,10 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
         subjectPrefixes = subjectPrefixes,
         maxPerBatch = tb.maxPerBatch,
         sliceWidth = tb.sliceWidth, connectTimeoutMs = tb.connectTimeoutMs,
-        fetchMode = tb.fetchMode)
+        fetchMode = tb.fetchMode, auth = tb.auth)
     case None =>
       new NatsScanScan(file, dir, stream, required, seqLo, seqHi, tsLoNs,
-        tsHiNs, subjectContains, subjectPrefixes, maxPerBatch, pushedLimit)
+        tsHiNs, subjectContains, subjectPrefixes, maxPerBatch, pushedLimit,
+        assertSeqOrder = limitIsTopN)
   }
 }

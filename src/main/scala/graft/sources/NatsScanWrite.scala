@@ -34,7 +34,9 @@ final class NatsScanWriteBuilder(dir: String, stream: String,
                                  info: LogicalWriteInfo,
                                  url: Option[String] = None,
                                  connectTimeoutMs: Long =
-                                   graft.transport.Transport.DefaultTimeoutMs)
+                                   graft.transport.Transport.DefaultTimeoutMs,
+                                 auth: graft.transport.TransportAuth =
+                                   graft.transport.TransportAuth.anonymous)
     extends WriteBuilder with SupportsTruncate {
 
   private var truncateFirst = false
@@ -66,7 +68,7 @@ final class NatsScanWriteBuilder(dir: String, stream: String,
       // server-side (exactly-once without any sink-side state)
       case Some(u) =>
         new NatsTransportStreamingWrite(u, stream, info.schema(),
-          connectTimeoutMs)
+          connectTimeoutMs, auth)
       case None => new NatsScanStreamingWrite(dir, stream, info.schema())
     }
   }
@@ -92,7 +94,9 @@ final class NatsScanStreamingWrite(dir: String, stream: String,
     new NatsScanStreamingWriterFactory(storeDir, schema)
   }
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val store = new File(storeDir)
+    val claimMarker = !StoreLayout.unvouchedParts(store)
     messages.foreach {
       case NatsScanCommit(staged, finalName) =>
         val src = new File(storeDir, staged)
@@ -104,6 +108,8 @@ final class NatsScanStreamingWrite(dir: String, stream: String,
         new File(storeDir, s".$staged.crc").delete() // hadoop checksum sibling
       case other => sys.error(s"unexpected commit message $other")
     }
+    if (claimMarker) StoreLayout.write(store)
+  }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     new File(storeDir).listFiles()
@@ -121,11 +127,13 @@ final class NatsScanStreamingWrite(dir: String, stream: String,
   * publish, exactly as a real JetStream ack does. */
 final class NatsTransportStreamingWrite(url: String, stream: String,
                                         schema: StructType,
-                                        connectTimeoutMs: Long)
+                                        connectTimeoutMs: Long,
+                                        auth: graft.transport.TransportAuth =
+                                          graft.transport.TransportAuth.anonymous)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    new NatsTransportWriterFactory(url, stream, schema, connectTimeoutMs)
+    new NatsTransportWriterFactory(url, stream, schema, connectTimeoutMs, auth)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -133,20 +141,24 @@ final class NatsTransportStreamingWrite(url: String, stream: String,
 
 final class NatsTransportWriterFactory(url: String, stream: String,
                                        schema: StructType,
-                                       connectTimeoutMs: Long)
+                                       connectTimeoutMs: Long,
+                                       auth: graft.transport.TransportAuth =
+                                         graft.transport.TransportAuth.anonymous)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new NatsTransportPublisher(url, stream, schema, partitionId, epochId,
-      connectTimeoutMs)
+      connectTimeoutMs, auth)
 }
 
 final class NatsTransportPublisher(url: String, stream: String,
                                    schema: StructType, partitionId: Int,
-                                   epochId: Long, connectTimeoutMs: Long)
+                                   epochId: Long, connectTimeoutMs: Long,
+                                   auth: graft.transport.TransportAuth =
+                                     graft.transport.TransportAuth.anonymous)
     extends DataWriter[InternalRow] {
   private val transport =
-    graft.transport.Transport.connect(url, connectTimeoutMs)
+    graft.transport.Transport.connect(url, connectTimeoutMs, auth)
   private val iSubject = schema.fieldIndex("subject")
   private val iTs = schema.fieldIndex("ts_nats")
   private val iPayload = schema.fieldIndex("payload")
@@ -207,6 +219,11 @@ final class NatsScanBatchWrite(dir: String, stream: String,
     val store = new File(storeDir)
     if (truncate)
       store.listFiles(f => f.getName.endsWith(".parquet")).foreach(_.delete())
+    // decide BEFORE the renames: after a truncate (or into a fresh/marked
+    // store) every part file is one this sorted write produced, so the
+    // layout marker may be (re)claimed; appending next to unvouched foreign
+    // files must NOT mark the store sorted
+    val claimMarker = truncate || !StoreLayout.unvouchedParts(store)
     messages.foreach {
       case NatsScanCommit(staged, finalName) =>
         val src = new File(stagingDir, staged)
@@ -215,6 +232,7 @@ final class NatsScanBatchWrite(dir: String, stream: String,
         require(src.renameTo(dst), s"commit rename failed: $src -> $dst")
       case other => sys.error(s"unexpected commit message $other")
     }
+    if (claimMarker) StoreLayout.write(store)
     deleteRecursively(new File(stagingDir))
   }
 
@@ -225,6 +243,53 @@ final class NatsScanBatchWrite(dir: String, stream: String,
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete()
   }
+}
+
+/** Store-layout marker, written at COMMIT alongside the part files and read
+  * at plan time to version-gate optimizations that depend on write-time
+  * invariants. Today one invariant matters: rows within every part file
+  * ascend by `seq` (enforced by the write's RequiresDistributionAndOrdering
+  * sort) — the top-n early-stop (SupportsPushDownTopN) is only sound when
+  * "first rows = lowest seqs" holds per file. A store written by a build
+  * that predates the marker, or any externally produced directory, has no
+  * marker: seq-order-dependent pushdowns are DECLINED for it rather than
+  * trusted (Spark then runs the full sort above the scan — slower, correct).
+  *
+  * The marker only vouches for files the sorted write path produced, so a
+  * commit may claim it ONLY when the store held no unvouched part files
+  * beforehand (empty/fresh store, truncate, or marker already present). */
+object StoreLayout {
+  val MarkerName = "_layout.json"       // '_' prefix: planner skips it
+  val Version = 1
+
+  def write(storeDir: File): Unit = {
+    val tmp = new File(storeDir, s"_layout.${UUID.randomUUID().toString.take(8)}.tmp")
+    val w = new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(tmp), "UTF-8")
+    try w.write(s"""{"version":$Version,"seqSorted":true}""") finally w.close()
+    val dst = new File(storeDir, MarkerName)
+    if (!tmp.renameTo(dst)) { // marker already present: keep theirs
+      tmp.delete()
+      require(dst.exists(), s"cannot write layout marker $dst")
+    }
+  }
+
+  def seqSorted(storeDir: File): Boolean = {
+    val f = new File(storeDir, MarkerName)
+    f.isFile && {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      val txt = try src.mkString finally src.close()
+      txt.contains("\"seqSorted\":true")
+    }
+  }
+
+  /** committed part files that predate this job — files the current write
+    * cannot vouch for */
+  def unvouchedParts(storeDir: File): Boolean =
+    !seqSorted(storeDir) &&
+      Option(storeDir.listFiles((f: File) => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+        .exists(_.nonEmpty)
 }
 
 /** staged = the file the task wrote; finalName = the committed name the

@@ -97,8 +97,10 @@ object NatsStatsScan {
   /** transport totals from one streamInfo RPC (count + seq bounds only;
     * time aggregates are declined at translation) */
   def fromStreamInfo(url: String, stream: String, connectTimeoutMs: Long,
-                     aggs: Seq[StatAgg]): Option[Seq[Any]] = {
-    val t = graft.transport.Transport.connect(url, connectTimeoutMs)
+                     aggs: Seq[StatAgg],
+                     auth: graft.transport.TransportAuth =
+                       graft.transport.TransportAuth.anonymous): Option[Seq[Any]] = {
+    val t = graft.transport.Transport.connect(url, connectTimeoutMs, auth)
     try {
       val info = t.streamInfo(stream)
       Some(aggs.map {

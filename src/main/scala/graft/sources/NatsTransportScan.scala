@@ -5,7 +5,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.transport.{JetStreamTransport, Transport, TransportMsg}
+import graft.transport.{JetStreamTransport, StreamState, Transport, TransportMsg}
 
 /** Transport-mode physical scan: the SAME query surface as the parquet-backed
   * scan, but bytes come from a (fake or live) JetStream server through the
@@ -42,36 +42,51 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
                               subjectPrefixes: List[String],
                               maxPerBatch: Long,
                               sliceWidth: Long, connectTimeoutMs: Long,
-                              fetchMode: String = "fetch")
+                              fetchMode: String = "fetch",
+                              auth: graft.transport.TransportAuth =
+                                graft.transport.TransportAuth.anonymous)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** Size/row estimate from one streamInfo RPC: rows = the seq-bounded
-    * window clamped to the stream's message count (time bounds are NOT
-    * resolved here — stats must stay one metadata call, and a looser
-    * estimate only errs against broadcasting); bytes = rows × the stream's
-    * real average message size (State.Bytes / messages). A connect failure
-    * yields unknown stats — planning surfaces the real error, not this
-    * estimate. */
-  /** computed once per Scan (Spark may ask for stats repeatedly during
-    * optimization/AQE — each ask must not cost a TCP round-trip) */
-  private lazy val statsEstimate: Option[(Long, Long)] =
+  /** ONE streamInfo RPC per Scan lifetime, shared by [[estimateStatistics]]
+    * and [[planInputPartitions]] — Spark asks for stats during optimization
+    * and partitions at execution, and each used to open its own connection
+    * (2 dials per query, the round-7 measured regression). The outcome is
+    * cached either way: a connect failure seen at stats time is the same
+    * failure planning would hit, so planning rethrows it rather than paying
+    * a second doomed dial (a retried query builds a fresh Scan and dials
+    * anew). */
+  private lazy val streamInfoOnce: Either[Throwable, StreamState] =
     try {
-      val t = Transport.connect(url, connectTimeoutMs)
-      try {
-        val info = t.streamInfo(stream)
-        val lo = math.max(seqLo, info.firstSeq)
-        val hi = math.min(seqHi, info.lastSeq)
-        val rows = math.max(0L, math.min(hi - lo + 1, info.messages))
-        val avg =
-          if (info.messages > 0L && info.bytes > 0L)
-            math.max(info.bytes / info.messages, 64L)
-          else 256L // subject+payload ballpark when the server lacks Bytes
-        Some((rows, math.max(rows * avg, 1L)))
-      } finally t.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
+      val t = Transport.connect(url, connectTimeoutMs, auth)
+      try Right(t.streamInfo(stream)) finally t.close()
+    } catch { case scala.util.control.NonFatal(e) => Left(e) }
+
+  /** Size/row estimate from the shared streamInfo: rows = the seq-bounded
+    * window clamped to the stream's message count (time bounds are NOT
+    * resolved here — stats must stay one metadata call, and a looser row
+    * count only errs against broadcasting); bytes = rows × the stream's
+    * average message size (State.Bytes / Messages) × a 4× safety margin.
+    * The margin is load-bearing: a bounded slice holding larger-than-average
+    * payloads would otherwise be UNDERestimated, which errs toward
+    * auto-broadcasting an oversized slice (executor OOM) — the unsafe
+    * direction. With the pad, a slice must look 4× under the broadcast
+    * threshold before Catalyst may broadcast it; mis-shuffling a small slice
+    * merely costs time. A connect failure yields unknown stats — planning
+    * surfaces the real error, not this estimate. */
+  private lazy val statsEstimate: Option[(Long, Long)] =
+    streamInfoOnce.toOption.map { info =>
+      val lo = math.max(seqLo, info.firstSeq)
+      val hi = math.min(seqHi, info.lastSeq)
+      val rows = math.max(0L, math.min(hi - lo + 1, info.messages))
+      val avg =
+        if (info.messages > 0L && info.bytes > 0L)
+          math.max(info.bytes / info.messages, 64L)
+        else 256L // subject+payload ballpark when the server lacks Bytes
+      (rows, math.max(rows * avg * 4L, 1L))
+    }
 
   override def estimateStatistics(): Statistics = {
     val est = statsEstimate
@@ -90,7 +105,7 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new graft.streaming.NatsTransportMicroBatchStream(url, stream,
       maxPerBatch = maxPerBatch, sliceWidth = sliceWidth,
-      connectTimeoutMs = connectTimeoutMs)
+      connectTimeoutMs = connectTimeoutMs, auth = auth)
 
   override def description(): String =
     s"nats_transport url=$url stream=$stream seq=[$seqLo,$seqHi] " +
@@ -101,56 +116,64 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
     if (stream.isEmpty)
       throw new IllegalArgumentException(
         "nats_scan: stream name must not be empty")
-    val t = Transport.connect(url, connectTimeoutMs)
-    try {
-      val info = t.streamInfo(stream)
-      if (info.messages == 0L) return Array.empty
-      var lo = math.max(seqLo, info.firstSeq)
-      var hi = math.min(seqHi, info.lastSeq)
+    val info = streamInfoOnce.fold(e => throw e, identity)
+    if (info.messages == 0L) return Array.empty
+    var lo = math.max(seqLo, info.firstSeq)
+    var hi = math.min(seqHi, info.lastSeq)
 
-      // bind-time time range → remote binary search (reference :661-701)
-      startTimeNs.foreach { ts =>
-        NatsTransportScan.resolveTimestamp(t, stream, ts, info.firstSeq,
-            info.lastSeq) match {
-          case Some(seq) => lo = math.max(lo, seq)
-          case None => return Array.empty // no message at/after start_time
+    // timestamp resolution is the ONLY reason planning still dials: a query
+    // with pure seq/subject bounds plans from the cached streamInfo with
+    // zero additional RPCs (TransportSpec pins connects-per-plan)
+    val needsProbes = startTimeNs.isDefined || endTimeNs.isDefined ||
+      tsLoNs != Long.MinValue || tsHiNs != Long.MaxValue
+    if (needsProbes) {
+      val t = Transport.connect(url, connectTimeoutMs, auth)
+      try {
+        // bind-time time range → remote binary search (reference :661-701)
+        startTimeNs.foreach { ts =>
+          NatsTransportScan.resolveTimestamp(t, stream, ts, info.firstSeq,
+              info.lastSeq) match {
+            case Some(seq) => lo = math.max(lo, seq)
+            case None => return Array.empty // no message at/after start_time
+          }
         }
-      }
-      endTimeNs.foreach { ts =>
-        // reference quirk: the first message AT-OR-AFTER end_time becomes the
-        // INCLUSIVE end bound (:694-697); when none exists, LastSeq stands
-        NatsTransportScan.resolveTimestamp(t, stream, ts, info.firstSeq,
-          info.lastSeq).foreach(seq => hi = math.min(hi, seq))
-      }
-      // Catalyst-pushed ts bounds also prune the seq window — with the
-      // GAP-SAFE search (exact-filter contract: pruning must never drop a
-      // matching message, so the reference's lossy NOT_FOUND step is out);
-      // the per-message residue in the reader keeps the µs bound exact
-      if (tsLoNs != Long.MinValue)
-        NatsTransportScan.resolveTimestampGapSafe(t, stream, tsLoNs,
-            info.firstSeq, info.lastSeq) match {
-          case Some(seq) => lo = math.max(lo, seq)
-          case None => return Array.empty
+        endTimeNs.foreach { ts =>
+          // reference quirk: the first message AT-OR-AFTER end_time becomes
+          // the INCLUSIVE end bound (:694-697); when none exists, LastSeq
+          // stands
+          NatsTransportScan.resolveTimestamp(t, stream, ts, info.firstSeq,
+            info.lastSeq).foreach(seq => hi = math.min(hi, seq))
         }
-      if (tsHiNs != Long.MaxValue)
-        NatsTransportScan.resolveTimestampGapSafe(t, stream, tsHiNs + 1,
-            info.firstSeq, info.lastSeq)
-          .foreach(seq => hi = math.min(hi, seq - 1))
+        // Catalyst-pushed ts bounds also prune the seq window — with the
+        // GAP-SAFE search (exact-filter contract: pruning must never drop a
+        // matching message, so the reference's lossy NOT_FOUND step is out);
+        // the per-message residue in the reader keeps the µs bound exact
+        if (tsLoNs != Long.MinValue)
+          NatsTransportScan.resolveTimestampGapSafe(t, stream, tsLoNs,
+              info.firstSeq, info.lastSeq) match {
+            case Some(seq) => lo = math.max(lo, seq)
+            case None => return Array.empty
+          }
+        if (tsHiNs != Long.MaxValue)
+          NatsTransportScan.resolveTimestampGapSafe(t, stream, tsHiNs + 1,
+              info.firstSeq, info.lastSeq)
+            .foreach(seq => hi = math.min(hi, seq - 1))
+      } finally t.close()
+    }
 
-      if (lo > hi) return Array.empty
-      // fixed-width seq slices: partition count is O(range/width) driver
-      // arithmetic — never an enumeration of messages
-      val slices = Iterator.iterate(lo)(_ + sliceWidth).takeWhile(_ <= hi)
-      slices.map { s =>
-        NatsTransportPartition(url, stream, s,
-          math.min(hi, s + sliceWidth - 1)): InputPartition
-      }.toArray
-    } finally t.close()
+    if (lo > hi) return Array.empty
+    // fixed-width seq slices: partition count is O(range/width) driver
+    // arithmetic — never an enumeration of messages
+    val slices = Iterator.iterate(lo)(_ + sliceWidth).takeWhile(_ <= hi)
+    slices.map { s =>
+      NatsTransportPartition(url, stream, s,
+        math.min(hi, s + sliceWidth - 1)): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NatsTransportReaderFactory(required, tsLoNs, tsHiNs, subjectContains,
-      subjectPrefixes, connectTimeoutMs, fetchMode)
+      subjectPrefixes, connectTimeoutMs, fetchMode, auth)
 }
 
 object NatsTransportScan {
@@ -218,12 +241,14 @@ final class NatsTransportReaderFactory(required: StructType,
                                        subjectContains: List[String],
                                        subjectPrefixes: List[String],
                                        connectTimeoutMs: Long,
-                                       fetchMode: String = "fetch")
+                                       fetchMode: String = "fetch",
+                                       auth: graft.transport.TransportAuth =
+                                         graft.transport.TransportAuth.anonymous)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new NatsTransportReader(p.asInstanceOf[NatsTransportPartition], required,
       tsLoNs, tsHiNs, subjectContains, subjectPrefixes, connectTimeoutMs,
-      fetchMode)
+      fetchMode, auth)
 }
 
 /** One slice, pulled in fetch batches of 2048 (one RPC per batch, not per
@@ -243,7 +268,9 @@ final class NatsTransportReader(p: NatsTransportPartition,
                                 subjectContains: List[String],
                                 subjectPrefixes: List[String],
                                 connectTimeoutMs: Long,
-                                fetchMode: String = "fetch")
+                                fetchMode: String = "fetch",
+                                auth: graft.transport.TransportAuth =
+                                  graft.transport.TransportAuth.anonymous)
     extends PartitionReader[InternalRow] {
 
   private val BatchSize = 2048
@@ -252,7 +279,7 @@ final class NatsTransportReader(p: NatsTransportPartition,
 
   // one connection per task attempt (docs/LIVE_NATS.md: pool per executor
   // JVM for a live client; the fake dial is registry lookup, pooling moot)
-  private val transport = Transport.connect(p.url, connectTimeoutMs)
+  private val transport = Transport.connect(p.url, connectTimeoutMs, auth)
   private val cursor: graft.transport.MessageCursor =
     if (fetchMode == "consumer") transport.consumer(p.stream, p.sliceLo)
     else null

@@ -21,12 +21,14 @@ import graft.transport.Transport
   */
 final class NatsTransportMicroBatchStream(url: String, stream: String,
                                           maxPerBatch: Long, sliceWidth: Long,
-                                          connectTimeoutMs: Long)
+                                          connectTimeoutMs: Long,
+                                          auth: graft.transport.TransportAuth =
+                                            graft.transport.TransportAuth.anonymous)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** LastSeq polled from the server — one streamInfo RPC per trigger. */
   private def lastSeq: Long = {
-    val t = Transport.connect(url, connectTimeoutMs)
+    val t = Transport.connect(url, connectTimeoutMs, auth)
     try t.streamInfo(stream).lastSeq finally t.close()
   }
 
@@ -61,5 +63,5 @@ final class NatsTransportMicroBatchStream(url: String, stream: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NatsTransportReaderFactory(NatsScanSource.envelopeSchema,
-      Long.MinValue, Long.MaxValue, Nil, Nil, connectTimeoutMs)
+      Long.MinValue, Long.MaxValue, Nil, Nil, connectTimeoutMs, auth = auth)
 }

@@ -107,6 +107,13 @@ final class FakeJetStreamServer {
           .take(max).toArray
     }
 
+  // --- observability: successful dials against this server, so specs can
+  // pin the connection topology (planning = 1 dial, readers ≤ 1 per task /
+  // per pooled executor) the way rpcCount pins probe complexity ---
+  private val dials = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[transport] def countDial(): Unit = { dials.incrementAndGet(); () }
+  def connectCount: Long = dials.get()
+
   // --- fault injection: the next `n` data RPCs fail transiently (the
   // connection-dropped-mid-slice shape readers must retry through) ---
   private val faultBudget = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -123,6 +130,9 @@ object FakeJetStream {
   private val registry = new TrieMap[String, FakeJetStreamServer]()
   private val blackholes = new TrieMap[String, Unit]()
   private val tokens = new TrieMap[String, String]()
+  private val creds = new TrieMap[String, String]()   // addr → expected user JWT
+  private val nkeys = new TrieMap[String, String]()   // addr → expected user seed
+  private val tlsOnly = new TrieMap[String, Unit]()
 
   /** start (or reuse) a fake server listening at `host:port` (also accepts a
     * full nats:// URL for convenience). */
@@ -136,6 +146,31 @@ object FakeJetStream {
     ()
   }
 
+  /** require JWT/creds auth: the dial must present this user JWT (what a
+    * live server resolves from the account tree; the fake pins the one
+    * expected identity). */
+  def requireCreds(address: String, jwt: String): Unit = {
+    creds.put(normalize(address), jwt)
+    ()
+  }
+
+  /** require NKey auth. A real server stores the user's PUBLIC key and
+    * verifies an ed25519 signature over its connect nonce; the fake pins
+    * the seed and compares the derived identity directly — same
+    * accept/reject surface, no crypto in the test loop. */
+  def requireNkey(address: String, seed: String): Unit = {
+    nkeys.put(normalize(address), seed)
+    ()
+  }
+
+  /** require TLS: dials that do not request a TLS session fail the
+    * handshake (a live server advertises `tls_required` in INFO and drops
+    * plaintext CONNECTs). */
+  def requireTls(address: String): Unit = {
+    tlsOnly.put(normalize(address), ())
+    ()
+  }
+
   /** register an address that accepts the TCP dial but never completes the
     * NATS handshake — connects to it time out (error test E4's wrong-port /
     * unreachable-server shape). */
@@ -144,7 +179,10 @@ object FakeJetStream {
     ()
   }
 
-  def reset(): Unit = { registry.clear(); blackholes.clear(); tokens.clear() }
+  def reset(): Unit = {
+    registry.clear(); blackholes.clear(); tokens.clear()
+    creds.clear(); nkeys.clear(); tlsOnly.clear()
+  }
 
   private def normalize(address: String): String =
     if (address.startsWith("nats://")) {
@@ -157,7 +195,9 @@ object FakeJetStream {
     * The blackhole branch really waits out the timeout — connect-timeout
     * handling is part of what the specs exercise. */
   private[transport] def dial(addr: String, timeoutMs: Long,
-                              token: Option[String] = None): JetStreamTransport = {
+                              token: Option[String] = None,
+                              auth: TransportAuth = TransportAuth.anonymous)
+      : JetStreamTransport = {
     if (blackholes.contains(addr)) {
       Thread.sleep(math.max(0L, timeoutMs))
       throw new NatsConnectException("Failed to connect to NATS: Timeout")
@@ -165,6 +205,11 @@ object FakeJetStream {
     val server = registry.getOrElse(addr,
       throw new NatsConnectException(
         "Failed to connect to NATS: No server available for connection"))
+    // TLS gate first — on a live server the TLS upgrade happens right after
+    // INFO, before any CONNECT credentials are read
+    if (tlsOnly.contains(addr) && !auth.tls)
+      throw new NatsConnectException(
+        "Failed to connect to NATS: TLS handshake failure (server requires TLS)")
     // token auth (nats://<token>@host:port): reject missing/wrong creds
     // with the NATS server's own status text
     tokens.get(addr).foreach { want =>
@@ -172,6 +217,17 @@ object FakeJetStream {
         throw new NatsConnectException(
           "Failed to connect to NATS: Authorization Violation")
     }
+    creds.get(addr).foreach { want =>
+      if (!auth.credsJwt.contains(want))
+        throw new NatsConnectException(
+          "Failed to connect to NATS: Authorization Violation")
+    }
+    nkeys.get(addr).foreach { want =>
+      if (!auth.nkeySeed.contains(want))
+        throw new NatsConnectException(
+          "Failed to connect to NATS: Authorization Violation")
+    }
+    server.countDial()
     new FakeTransport(server)
   }
 }

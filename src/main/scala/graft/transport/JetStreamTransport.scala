@@ -93,6 +93,69 @@ trait MessageCursor extends AutoCloseable {
   def close(): Unit
 }
 
+/** Client credential material for a transport dial — the NATS client option
+  * surface the reference roadmap promises (GUIDE.md "JWT/NKeys auth, TLS"):
+  * token-in-URL (`nats://token@host`), `user_creds` (a .creds file carrying
+  * the user JWT + NKey seed), `nkey_seed` (a raw user seed), `tls`.
+  *
+  * The .creds file is parsed ONCE at bind on the driver; the extracted
+  * strings ride the task closure to executors (the standard Spark pattern
+  * for connection secrets — executors need no local creds file). A live
+  * jnats binding maps these onto `Options.Builder.authHandler` /
+  * `.secure()`; the fake server enforces them at dial, which is where a
+  * real server checks too (CONNECT is the first client frame). */
+final case class TransportAuth(credsJwt: Option[String] = None,
+                               nkeySeed: Option[String] = None,
+                               tls: Boolean = false) extends Serializable
+
+object TransportAuth {
+  val anonymous: TransportAuth = TransportAuth()
+
+  /** Bind-time option parsing + validation: errors fire at bind, before any
+    * dial is attempted — same policy as the seq/time mutual exclusions. */
+  def fromOptions(credsFile: Option[String], nkeySeed: Option[String],
+                  tls: Option[String]): TransportAuth = {
+    if (credsFile.isDefined && nkeySeed.isDefined)
+      sys.error("nats_scan: user_creds and nkey_seed are mutually exclusive " +
+        "(the .creds file already carries the seed)")
+    val tlsOn = tls.map {
+      case "true" => true
+      case "false" => false
+      case other =>
+        sys.error(s"nats_scan: tls must be 'true' or 'false', got '$other'")
+    }.getOrElse(false)
+    nkeySeed.foreach { s =>
+      if (!s.startsWith("SU"))
+        sys.error("nats_scan: nkey_seed must be a USER seed " +
+          "(NKeys user seeds start with 'SU')")
+    }
+    val parsed = credsFile.map(parseCredsFile)
+    TransportAuth(credsJwt = parsed.map(_._1),
+      nkeySeed = parsed.map(_._2).orElse(nkeySeed), tls = tlsOn)
+  }
+
+  /** The public .creds layout: BEGIN/END-guarded blocks for the user JWT
+    * and the NKEY seed (what `nsc generate creds` emits). Returns
+    * (jwt, seed); malformed files fail at bind with a pointed message. */
+  def parseCredsFile(path: String): (String, String) = {
+    val f = new java.io.File(path)
+    if (!f.isFile)
+      sys.error(s"nats_scan: user_creds file not found: $path")
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    val txt = try src.mkString finally src.close()
+    def block(label: String): String = {
+      val m = ("(?s)-+BEGIN " + label + "-+\\s*(\\S+)\\s*-+END").r
+      m.findFirstMatchIn(txt).map(_.group(1)).getOrElse(
+        sys.error(s"nats_scan: user_creds file $path has no '$label' block"))
+    }
+    val seed = block("USER NKEY SEED")
+    if (!seed.startsWith("SU"))
+      sys.error(s"nats_scan: user_creds seed in $path is not a USER seed " +
+        "(must start with 'SU')")
+    (block("NATS USER JWT"), seed)
+  }
+}
+
 object Transport {
 
   /** Default connect timeout — the reference pins 5000 ms
@@ -108,7 +171,8 @@ object Transport {
     *   - no server at the address      → "Failed to connect to NATS: No server available for connection"
     *   - unresponsive address          → after `timeoutMs`: "Failed to connect to NATS: Timeout"
     */
-  def connect(url: String, timeoutMs: Long = DefaultTimeoutMs): JetStreamTransport = {
+  def connect(url: String, timeoutMs: Long = DefaultTimeoutMs,
+              auth: TransportAuth = TransportAuth.anonymous): JetStreamTransport = {
     val parsed =
       try {
         val u = new java.net.URI(url)
@@ -120,6 +184,6 @@ object Transport {
     // nats://<token>@host:port — token auth, the simplest NATS credential
     // form; a server requiring auth rejects missing/wrong tokens with the
     // server's own status text ("Authorization Violation")
-    FakeJetStream.dial(addr, timeoutMs, Option(u.getUserInfo))
+    FakeJetStream.dial(addr, timeoutMs, Option(u.getUserInfo), auth)
   }
 }

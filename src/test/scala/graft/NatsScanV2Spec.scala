@@ -78,9 +78,10 @@ class NatsScanV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     val expect = v2.filter(col("seq") <= 50L &&
       col("subject").contains("purchase")).count()
     assert(bySubj == expect)
-    // no staging leftovers after commit
+    // no staging leftovers after commit (the layout marker is expected)
     val store = new java.io.File(s"$tmp/events.msgs")
-    assert(store.listFiles().forall(f => f.getName.endsWith(".parquet")))
+    assert(store.listFiles().forall(f => f.getName.endsWith(".parquet") ||
+      f.getName == graft.sources.StoreLayout.MarkerName))
     // in-progress / dot-prefixed files must be invisible to readers
     val junk = new java.io.File(store, "_inprogress_epoch-000009-part-00000-3.parquet")
     java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))

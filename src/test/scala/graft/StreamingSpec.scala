@@ -62,7 +62,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.sameElements(b))
     // no in-progress leftovers after the query finishes
     val store = new java.io.File(s"$tmp/events.msgs")
-    assert(store.listFiles().forall(_.getName.endsWith(".parquet")))
+    assert(store.listFiles().forall(f => f.getName.endsWith(".parquet") ||
+      f.getName == graft.sources.StoreLayout.MarkerName))
     assert(!store.listFiles().exists(_.getName.startsWith("_inprogress_")))
   }
 

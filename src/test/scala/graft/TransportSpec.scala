@@ -174,6 +174,95 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 1L)
   }
 
+  test("E9 JWT/creds + TLS surface: negatives carry the server's status texts") {
+    val aurl = "nats://auth-negative-spec:4222"
+    val srv = FakeJetStream.listen(aurl)
+    srv.publish("s", 1L, "s.x", 1000000000L, "p".getBytes)
+    FakeJetStream.requireTls(aurl)
+    FakeJetStream.requireCreds(aurl, "want-jwt")
+
+    def credsFile(jwt: String): String = {
+      val f = java.nio.file.Files.createTempFile("graft_spec", ".creds")
+      java.nio.file.Files.write(f,
+        s"""-----BEGIN NATS USER JWT-----
+           |$jwt
+           |------END NATS USER JWT------
+           |-----BEGIN USER NKEY SEED-----
+           |SUASPECSEEDSPECSEEDSPECSEEDSPECSEED
+           |------END USER NKEY SEED------
+           |""".stripMargin.getBytes("UTF-8"))
+      f.toFile.deleteOnExit()
+      f.toString
+    }
+
+    def scan(opts: (String, String)*) = {
+      val b = spark.read.format("nats_scan").option("url", aurl)
+        .option("stream", "s")
+      opts.foldLeft(b) { case (r, (k, v)) => r.option(k, v) }.load()
+        .select("seq").collect()
+    }
+
+    // plaintext dial against a TLS-only server → handshake failure
+    val e1 = intercept[Exception](scan("user_creds" -> credsFile("want-jwt")))
+    assert(messageChain(e1).contains("TLS handshake failure"), messageChain(e1))
+    // TLS but wrong identity → the server's Authorization Violation
+    val e2 = intercept[Exception](
+      scan("user_creds" -> credsFile("wrong-jwt"), "tls" -> "true"))
+    assert(messageChain(e2).contains("Authorization Violation"), messageChain(e2))
+    // TLS + matching creds → rows flow
+    assert(scan("user_creds" -> credsFile("want-jwt"), "tls" -> "true")
+      .length == 1)
+
+    // NKey-required server: seed must match; wrong seed is a violation
+    val nurl = "nats://nkey-spec:4222"
+    val nsrv = FakeJetStream.listen(nurl)
+    nsrv.publish("s", 1L, "s.x", 1000000000L, "p".getBytes)
+    FakeJetStream.requireNkey(nurl, "SUAREALSEEDREALSEEDREALSEED")
+    def nscan(opts: (String, String)*) = {
+      val b = spark.read.format("nats_scan").option("url", nurl)
+        .option("stream", "s")
+      opts.foldLeft(b) { case (r, (k, v)) => r.option(k, v) }.load()
+        .select("seq").collect()
+    }
+    val e3 = intercept[Exception](
+      nscan("nkey_seed" -> "SUAWRONGSEEDWRONGSEEDWRONGSEED"))
+    assert(messageChain(e3).contains("Authorization Violation"), messageChain(e3))
+    assert(nscan("nkey_seed" -> "SUAREALSEEDREALSEEDREALSEED").length == 1)
+  }
+
+  test("E10 credential options validate at BIND, before any dial") {
+    def load(opts: (String, String)*) = {
+      val b = spark.read.format("nats_scan").option("url", url)
+        .option("stream", "telemetry")
+      opts.foldLeft(b) { case (r, (k, v)) => r.option(k, v) }.load()
+    }
+    // user_creds + nkey_seed are mutually exclusive
+    val e1 = intercept[Exception](
+      load("user_creds" -> "/nope.creds", "nkey_seed" -> "SUAX"))
+    assert(messageChain(e1).contains("mutually exclusive"), messageChain(e1))
+    // nkey_seed must be a USER seed
+    val e2 = intercept[Exception](load("nkey_seed" -> "SAACCOUNTSEED"))
+    assert(messageChain(e2).contains("USER seed"), messageChain(e2))
+    // tls must be boolean
+    val e3 = intercept[Exception](load("tls" -> "yes"))
+    assert(messageChain(e3).contains("tls must be"), messageChain(e3))
+    // creds file must exist
+    val e4 = intercept[Exception](load("user_creds" -> "/no/such/file.creds"))
+    assert(messageChain(e4).contains("not found"), messageChain(e4))
+    // creds file must carry both blocks
+    val broken = java.nio.file.Files.createTempFile("graft_spec_bad", ".creds")
+    java.nio.file.Files.write(broken, "garbage".getBytes("UTF-8"))
+    broken.toFile.deleteOnExit()
+    val e5 = intercept[Exception](load("user_creds" -> broken.toString))
+    assert(messageChain(e5).contains("block"), messageChain(e5))
+    // credentials make no sense against the parquet store
+    val e6 = intercept[Exception] {
+      spark.read.format("nats_scan").option("dir", "/root/testdata/sf0.001")
+        .option("tls", "true").load()
+    }
+    assert(messageChain(e6).contains("require 'url'"), messageChain(e6))
+  }
+
   test("E8 transient wire faults mid-slice: reader retries with backoff, scan completes") {
     try {
       server.injectFaults(2) // next two data RPCs drop the connection
@@ -273,6 +362,39 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     // slice_width=16 over [33,48] → exactly 1 slice; unpruned would be ~7
     assert(parts == 1, s"expected 1 slice partition, got $parts")
     assert(df.count() == 15L) // 16 seqs minus deleted 40
+  }
+
+  test("planning dials once: statistics and slice planning share one streamInfo") {
+    server // force fixture
+    val schema = read("telemetry").schema
+    val scan = new graft.sources.NatsTransportScan(url, "telemetry", schema,
+      seqLo = 1L, seqHi = Long.MaxValue,
+      tsLoNs = Long.MinValue, tsHiNs = Long.MaxValue,
+      startTimeNs = None, endTimeNs = None,
+      subjectContains = List("dev1"), subjectPrefixes = Nil,
+      maxPerBatch = 512L, sliceWidth = 16L,
+      connectTimeoutMs = Transport.DefaultTimeoutMs)
+    val before = server.connectCount
+    scan.estimateStatistics()
+    scan.estimateStatistics() // repeated stats asks (optimizer/AQE) are free
+    val parts = scan.planInputPartitions()
+    assert(parts.nonEmpty)
+    assert(server.connectCount - before == 1L,
+      s"stats + slice planning must share ONE dial, used ${server.connectCount - before}")
+  }
+
+  test("end-to-end dial budget: one planning dial + at most one per slice task") {
+    server // force fixture
+    val df = read("telemetry")
+      .filter(col("seq") >= 1L && col("seq") <= 64L &&
+        col("subject").contains("dev"))
+      .select("seq", "subject")
+    val parts = df.rdd.getNumPartitions
+    val before = server.connectCount
+    assert(df.collect().nonEmpty)
+    val dials = server.connectCount - before
+    assert(dials <= 1L + parts,
+      s"query used $dials dials for $parts slices; planning must not re-dial per ask")
   }
 
   test("LIVE TAIL: messages published mid-query appear in later micro-batches") {
