@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.transport.FakeJetStream
+
+/** Slice-count sweep over the LIVE transport path: the same bounded stream
+  * scanned at 1 → 64 slices, timing the full materialization and counting
+  * the server's dials and RPCs. The claims under test (the 100 TB design
+  * properties of docs/LIVE_NATS.md):
+  *
+  *   - THROUGHPUT scales with partitions until the box saturates — each
+  *     slice is an independent cursor, so a 1000-executor cluster is 1000
+  *     concurrent bounded fetch loops, not one pinned thread (the
+  *     reference pins MaxThreads()=1, nats_scan.cpp:197-199).
+  *   - PLANNING work is flat in slice count: one pooled streamInfo RPC per
+  *     query — never an enumeration of messages — plus O(log n) probes only
+  *     when a timestamp bound must resolve.
+  *   - RPC volume is ceil(msgs/2048) batched fetches spread across slices
+  *     (+ ≤1 tail-check per slice), and DIALS stay ≤2 per query no matter
+  *     how many slices run (pooled executor connection).
+  *
+  * Run: sbt "runMain graft.TransportScaleProbe" (env SPARK_GRAFT_TSP_MSGS
+  * to change the stream size; default 262144).
+  */
+object TransportScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_TSP_MSGS", "262144").toLong
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val url = "nats://transport-scale-probe:4222"
+    val srv = FakeJetStream.listen(url)
+    var seq = 1L
+    while (seq <= n) {
+      srv.publish("probe", seq, s"probe.${seq % 13}",
+        1700000000000000000L + seq * 1000000L,
+        s"""{"seq":$seq,"pad":"xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"}""".getBytes)
+      seq += 1
+    }
+
+    def scan(sliceWidth: Long) = spark.read.format("nats_scan")
+      .option("url", url).option("stream", "probe")
+      .option("slice_width", sliceWidth.toString).load()
+
+    // warmup (JVM + codegen + pool)
+    Bench.materialize(scan(n).select("seq"))
+
+    println(f"${"slices"}%7s ${"wall_s"}%8s ${"rows"}%9s ${"dials"}%6s " +
+      f"${"rpcs"}%7s ${"rpc_per_kmsg"}%13s ${"plan_rpcs"}%10s ${"probe_rpcs_ts"}%14s")
+    Seq(1, 2, 4, 8, 16, 32, 64).foreach { slices =>
+      val width = math.max(1L, (n + slices - 1) / slices)
+      // planning-only RPC cost: partitions forced, no tasks run
+      val planBefore = srv.rpcCountTotal
+      val planned = scan(width).select("seq").rdd.getNumPartitions
+      val planRpcs = srv.rpcCountTotal - planBefore
+
+      val d0 = srv.connectCount
+      val r0 = srv.rpcCountTotal
+      val t0 = System.nanoTime()
+      // full-materialization fold (NOT count() — a bare count is answered
+      // by the aggregate pushdown from streamInfo with zero fetches)
+      Bench.materialize(scan(width)
+        .select(col("seq"), col("subject"),
+          expr("octet_length(payload)").as("pb")))
+      val wall = (System.nanoTime() - t0) / 1e9
+      val rows = n
+      val dials = srv.connectCount - d0
+      val rpcs = srv.rpcCountTotal - r0
+
+      // timestamp-bounded planning: binary-search probes must stay O(log n)
+      // regardless of slice count
+      val p0 = srv.rpcCountTotal
+      scan(width)
+        .filter(col("ts_nats") >=
+          lit(java.sql.Timestamp.valueOf("2023-11-15 00:00:00")))
+        .select("seq").rdd.getNumPartitions
+      val probeRpcs = srv.rpcCountTotal - p0
+
+      println(f"$planned%7d $wall%8.2f $rows%9d $dials%6d $rpcs%7d " +
+        f"${rpcs * 1000.0 / n}%13.2f $planRpcs%10d $probeRpcs%14d")
+    }
+    spark.stop()
+  }
+}

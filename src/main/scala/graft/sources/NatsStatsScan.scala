@@ -100,17 +100,15 @@ object NatsStatsScan {
                      aggs: Seq[StatAgg],
                      auth: graft.transport.TransportAuth =
                        graft.transport.TransportAuth.anonymous): Option[Seq[Any]] = {
-    val t = graft.transport.Transport.connect(url, connectTimeoutMs, auth)
-    try {
-      val info = t.streamInfo(stream)
-      Some(aggs.map {
-        case CountStarAgg => info.messages
-        case MinSeq(max) =>
-          if (info.messages == 0L) null
-          else if (max) info.lastSeq else info.firstSeq
-        case MinTs(_) => return None // unreachable (declined earlier)
-      })
-    } finally t.close()
+    val info = graft.transport.TransportPool.get(url, connectTimeoutMs, auth)
+      .streamInfo(stream) // pooled driver connection, not closed here
+    Some(aggs.map {
+      case CountStarAgg => info.messages
+      case MinSeq(max) =>
+        if (info.messages == 0L) null
+        else if (max) info.lastSeq else info.firstSeq
+      case MinTs(_) => return None // unreachable (declined earlier)
+    })
   }
 }
 

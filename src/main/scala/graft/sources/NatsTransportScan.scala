@@ -60,8 +60,11 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
     * anew). */
   private lazy val streamInfoOnce: Either[Throwable, StreamState] =
     try {
-      val t = Transport.connect(url, connectTimeoutMs, auth)
-      try Right(t.streamInfo(stream)) finally t.close()
+      // POOLED driver connection: after the session's first query against
+      // this url, planning costs zero dials (the pool never caches
+      // failures, so error surfaces stay per-query fresh)
+      Right(graft.transport.TransportPool.get(url, connectTimeoutMs, auth)
+        .streamInfo(stream))
     } catch { case scala.util.control.NonFatal(e) => Left(e) }
 
   /** Size/row estimate from the shared streamInfo: rows = the seq-bounded
@@ -105,7 +108,8 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new graft.streaming.NatsTransportMicroBatchStream(url, stream,
       maxPerBatch = maxPerBatch, sliceWidth = sliceWidth,
-      connectTimeoutMs = connectTimeoutMs, auth = auth)
+      connectTimeoutMs = connectTimeoutMs, auth = auth,
+      fetchMode = fetchMode)
 
   override def description(): String =
     s"nats_transport url=$url stream=$stream seq=[$seqLo,$seqHi] " +
@@ -127,8 +131,8 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
     val needsProbes = startTimeNs.isDefined || endTimeNs.isDefined ||
       tsLoNs != Long.MinValue || tsHiNs != Long.MaxValue
     if (needsProbes) {
-      val t = Transport.connect(url, connectTimeoutMs, auth)
-      try {
+      val t = graft.transport.TransportPool.get(url, connectTimeoutMs, auth)
+      locally {
         // bind-time time range → remote binary search (reference :661-701)
         startTimeNs.foreach { ts =>
           NatsTransportScan.resolveTimestamp(t, stream, ts, info.firstSeq,
@@ -158,7 +162,7 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
           NatsTransportScan.resolveTimestampGapSafe(t, stream, tsHiNs + 1,
               info.firstSeq, info.lastSeq)
             .foreach(seq => hi = math.min(hi, seq - 1))
-      } finally t.close()
+      } // pooled connection: not closed here
     }
 
     if (lo > hi) return Array.empty
@@ -277,9 +281,11 @@ final class NatsTransportReader(p: NatsTransportPartition,
   private val MaxRetries = 3
   private val BackoffMs = 50L
 
-  // one connection per task attempt (docs/LIVE_NATS.md: pool per executor
-  // JVM for a live client; the fake dial is registry lookup, pooling moot)
-  private val transport = Transport.connect(p.url, connectTimeoutMs, auth)
+  // POOLED connection: one per (executor JVM, url, credentials), shared by
+  // every slice reader scheduled here — never closed by the reader (the
+  // ordered-consumer cursor below is per-reader state and IS closed)
+  private val transport =
+    graft.transport.TransportPool.get(p.url, connectTimeoutMs, auth)
   private val cursor: graft.transport.MessageCursor =
     if (fetchMode == "consumer") transport.consumer(p.stream, p.sliceLo)
     else null
@@ -371,8 +377,8 @@ final class NatsTransportReader(p: NatsTransportPartition,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = {
+  override def close(): Unit =
+    // cursor is per-reader server-side state; the transport is POOLED and
+    // outlives this reader (TransportPool owns its lifecycle)
     if (cursor != null) cursor.close()
-    transport.close()
-  }
 }

@@ -23,14 +23,16 @@ final class NatsTransportMicroBatchStream(url: String, stream: String,
                                           maxPerBatch: Long, sliceWidth: Long,
                                           connectTimeoutMs: Long,
                                           auth: graft.transport.TransportAuth =
-                                            graft.transport.TransportAuth.anonymous)
+                                            graft.transport.TransportAuth.anonymous,
+                                          fetchMode: String = "fetch")
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  /** LastSeq polled from the server — one streamInfo RPC per trigger. */
-  private def lastSeq: Long = {
-    val t = Transport.connect(url, connectTimeoutMs, auth)
-    try t.streamInfo(stream).lastSeq finally t.close()
-  }
+  /** LastSeq polled from the server — one streamInfo RPC per trigger, on
+    * the POOLED driver connection (a live tail triggering every 300 ms must
+    * not pay a dial per trigger). */
+  private def lastSeq: Long =
+    graft.transport.TransportPool.get(url, connectTimeoutMs, auth)
+      .streamInfo(stream).lastSeq
 
   override def initialOffset(): Offset = SeqOffset(0L)
 
@@ -63,5 +65,6 @@ final class NatsTransportMicroBatchStream(url: String, stream: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NatsTransportReaderFactory(NatsScanSource.envelopeSchema,
-      Long.MinValue, Long.MaxValue, Nil, Nil, connectTimeoutMs, auth = auth)
+      Long.MinValue, Long.MaxValue, Nil, Nil, connectTimeoutMs,
+      fetchMode = fetchMode, auth = auth)
 }

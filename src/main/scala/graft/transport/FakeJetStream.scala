@@ -114,6 +114,12 @@ final class FakeJetStreamServer {
   private[transport] def countDial(): Unit = { dials.incrementAndGet(); () }
   def connectCount: Long = dials.get()
 
+  // server-wide RPC total across ALL connections — the per-transport
+  // rpcCount blurs once connections are pooled and shared
+  private val rpcTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[transport] def countRpc(): Unit = { rpcTotal.incrementAndGet(); () }
+  def rpcCountTotal: Long = rpcTotal.get()
+
   // --- fault injection: the next `n` data RPCs fail transiently (the
   // connection-dropped-mid-slice shape readers must retry through) ---
   private val faultBudget = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -182,6 +188,7 @@ object FakeJetStream {
   def reset(): Unit = {
     registry.clear(); blackholes.clear(); tokens.clear()
     creds.clear(); nkeys.clear(); tlsOnly.clear()
+    TransportPool.clear() // pooled handles hold refs into the old registry
   }
 
   private def normalize(address: String): String =
@@ -239,9 +246,10 @@ object FakeJetStream {
 final class FakeTransport(server: FakeJetStreamServer) extends JetStreamTransport {
   private val rpcs = new java.util.concurrent.atomic.AtomicLong(0L)
   def rpcCount: Long = rpcs.get()
+  private def count(): Unit = { rpcs.incrementAndGet(); server.countRpc() }
 
   override def streamInfo(stream: String): StreamState = {
-    rpcs.incrementAndGet()
+    count()
     if (stream.isEmpty)
       throw new NatsStreamNotFoundException(
         "Failed to get stream info: invalid stream name (empty)")
@@ -258,20 +266,20 @@ final class FakeTransport(server: FakeJetStreamServer) extends JetStreamTranspor
         "Failed to fetch messages: Connection Closed (transient)")
 
   override def directGet(stream: String, seq: Long): Option[TransportMsg] = {
-    rpcs.incrementAndGet()
+    count()
     maybeFault()
     server.get(stream, seq)
   }
 
   override def fetch(stream: String, fromSeq: Long, toSeq: Long,
                      max: Int): Array[TransportMsg] = {
-    rpcs.incrementAndGet()
+    count()
     maybeFault()
     server.range(stream, fromSeq, toSeq, max)
   }
 
   override def listStreams(): Seq[String] = {
-    rpcs.incrementAndGet()
+    count()
     server.streamNames
   }
 
@@ -282,7 +290,7 @@ final class FakeTransport(server: FakeJetStreamServer) extends JetStreamTranspor
       // the ordered-consumer recreate-at-last-delivered contract
       private var cur = startSeq
       override def next(max: Int): Array[TransportMsg] = {
-        rpcs.incrementAndGet()
+        count()
         maybeFault()
         val out = server.range(stream, cur, Long.MaxValue, max)
         if (out.nonEmpty) cur = out.last.seq + 1L
@@ -293,7 +301,7 @@ final class FakeTransport(server: FakeJetStreamServer) extends JetStreamTranspor
 
   override def publish(stream: String, subject: String, tsNs: Long,
                        payload: Array[Byte], msgId: String): Long = {
-    rpcs.incrementAndGet()
+    count()
     server.publishAppend(stream, subject, tsNs, payload, msgId)
   }
 

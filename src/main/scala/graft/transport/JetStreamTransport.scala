@@ -156,6 +156,38 @@ object TransportAuth {
   }
 }
 
+/** Per-JVM connection cache — on a cluster, per-EXECUTOR: one live
+  * connection per (url, credentials) reused by every partition reader that
+  * lands on the executor, instead of one dial per task
+  * (docs/LIVE_NATS.md "pooled connections"). NATS connections are
+  * multiplexed and thread-safe (jnats serializes writes internally), so
+  * per-slice fetches and ordered-consumer cursors from 32 concurrent tasks
+  * ride one socket — exactly how a production NATS client is deployed; a
+  * 1000-executor cluster then holds 1000 connections, not 1000 × tasks.
+  *
+  * Pooled handles are NEVER closed by readers (close() on the pool entry is
+  * reserved for [[clear]]); connect FAILURES are not cached — each failed
+  * get() re-dials, so a recovering server heals the pool naturally. A live
+  * jnats binding would add its own reconnect/health logic inside the pooled
+  * handle; the seam stays the same. */
+object TransportPool {
+  private val conns =
+    new scala.collection.concurrent.TrieMap[(String, TransportAuth), JetStreamTransport]()
+
+  def get(url: String, timeoutMs: Long,
+          auth: TransportAuth = TransportAuth.anonymous): JetStreamTransport =
+    // TrieMap.getOrElseUpdate is atomic: concurrent first-users of a url
+    // race to ONE dial, losers reuse the winner's connection
+    conns.getOrElseUpdate((url, auth), Transport.connect(url, timeoutMs, auth))
+
+  /** drop (and close) every pooled connection — test isolation hook, called
+    * by [[FakeJetStream.reset]] since pooled handles die with the registry */
+  def clear(): Unit = {
+    conns.values.foreach(t => try t.close() catch { case _: Exception => () })
+    conns.clear()
+  }
+}
+
 object Transport {
 
   /** Default connect timeout — the reference pins 5000 ms

@@ -379,22 +379,32 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     scan.estimateStatistics() // repeated stats asks (optimizer/AQE) are free
     val parts = scan.planInputPartitions()
     assert(parts.nonEmpty)
-    assert(server.connectCount - before == 1L,
-      s"stats + slice planning must share ONE dial, used ${server.connectCount - before}")
+    assert(server.connectCount - before <= 1L,
+      s"stats + slice planning must share ≤1 dial (0 when the pool is " +
+        s"warm), used ${server.connectCount - before}")
   }
 
-  test("end-to-end dial budget: one planning dial + at most one per slice task") {
+  test("end-to-end dial budget: pooled readers + pooled planning ≤ 2 dials/query") {
     server // force fixture
     val df = read("telemetry")
       .filter(col("seq") >= 1L && col("seq") <= 64L &&
         col("subject").contains("dev"))
       .select("seq", "subject")
     val parts = df.rdd.getNumPartitions
+    assert(parts >= 3, s"want a multi-slice scan, got $parts") // slice_width=16
     val before = server.connectCount
     assert(df.collect().nonEmpty)
     val dials = server.connectCount - before
-    assert(dials <= 1L + parts,
-      s"query used $dials dials for $parts slices; planning must not re-dial per ask")
+    // planning ≤1 (pooled, shared streamInfo) + readers ≤1 (one pooled
+    // connection per executor JVM — all slice tasks share it)
+    assert(dials <= 2L,
+      s"query used $dials dials for $parts slices; readers must share the " +
+        "executor pool and planning must not re-dial per ask")
+    // fully warm second query: zero new dials end to end
+    val before2 = server.connectCount
+    assert(read("telemetry").select("seq").collect().length == 90)
+    assert(server.connectCount - before2 == 0L,
+      "warm pool: a repeat query must not dial at all")
   }
 
   test("LIVE TAIL: messages published mid-query appear in later micro-batches") {
@@ -430,6 +440,85 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(_.getLong(0)).sorted
       assert(seqs.sameElements(1L to 60L), "exactly-once, in-order coverage")
     } finally { q.stop(); q.awaitTermination(30000) }
+  }
+
+  test("64-slice scan: planning is O(1) RPCs, ts probes O(log n), fetches batched") {
+    val surl = "nats://slice-scale-spec:4222"
+    val srv = FakeJetStream.listen(surl)
+    val n = 6400L
+    (1L to n).foreach { seq =>
+      srv.publish("wide", seq, s"wide.${seq % 5}",
+        1700000000000000000L + seq * 1000000L, s"m$seq".getBytes)
+    }
+    def scan() = spark.read.format("nats_scan")
+      .option("url", surl).option("stream", "wide")
+      .option("slice_width", "100").load() // 6400/100 = 64 slices
+    // planning at 64 slices costs ONE streamInfo RPC — slice arithmetic
+    // never enumerates messages
+    val p0 = srv.rpcCountTotal
+    assert(scan().select("seq").rdd.getNumPartitions == 64)
+    assert(srv.rpcCountTotal - p0 <= 1L,
+      s"planning used ${srv.rpcCountTotal - p0} RPCs at 64 slices; must be ≤1")
+    // timestamp bound adds only the O(log n) binary-search probes
+    val p1 = srv.rpcCountTotal
+    scan().filter(col("ts_nats") >=
+        lit(java.sql.Timestamp.valueOf("2023-11-15 01:00:00")))
+      .select("seq").rdd.getNumPartitions
+    val probes = srv.rpcCountTotal - p1
+    val logN = 64 - java.lang.Long.numberOfLeadingZeros(n)
+    assert(probes <= 2L * logN + 2L,
+      s"ts planning used $probes RPCs; expected ≤ ${2 * logN + 2} (O(log n))")
+    // execution: batched fetches, ≤2 RPCs per slice (one data batch under
+    // the 2048 cap + one tail check), on ≤1 pooled dial
+    val r0 = srv.rpcCountTotal
+    assert(scan().select("seq").collect().length == n)
+    val execRpcs = srv.rpcCountTotal - r0
+    assert(execRpcs <= 2L * 64 + 2L,
+      s"execution used $execRpcs RPCs for 64 slices; fetches must be batched")
+  }
+
+  test("LIVE consumer-mode kill-restart: checkpointed seq offsets resume exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val curl = "nats://restart-spec:4222"
+    val srv = FakeJetStream.listen(curl)
+    (1L to 1000L).foreach { seq =>
+      srv.publish("r", seq, s"r.${seq % 7}",
+        1700000000000000000L + seq * 1000000L, s"m$seq".getBytes)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_restart_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ckpt").toString
+    def start(trigger: Trigger) = spark.readStream.format("nats_scan")
+      .option("url", curl).option("stream", "r")
+      .option("fetch_mode", "consumer") // per-slice ordered-consumer cursors
+      .option("max_msgs_per_batch", "150").option("slice_width", "64")
+      .load()
+      .writeStream.format("nats_scan")
+      .option("dir", tmp).option("checkpointLocation", ckpt)
+      .trigger(trigger).start()
+    // phase 1: kill after the first committed batch — the checkpoint holds a
+    // mid-stream seq offset, possibly with an epoch in flight
+    val q1 = start(Trigger.ProcessingTime("1 second"))
+    val deadline = System.currentTimeMillis() + 60000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 1 &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    q1.stop()
+    q1.awaitTermination(60000)
+    val partial = spark.read.format("nats_scan").option("dir", tmp).load()
+      .count()
+    assert(partial > 0L && partial < 1000L,
+      s"expected a partial sink after the crash, got $partial")
+    // phase 2: SAME checkpoint → the stream resumes AFTER the recorded seq
+    // (the durable-consumer contract: re-request from last acked position);
+    // the sink's idempotent epoch re-commit absorbs the replayed epoch
+    val q2 = start(Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    val back = spark.read.format("nats_scan").option("dir", tmp).load()
+    assert(back.count() == 1000L, "exactly-once after restart: total count")
+    assert(back.select("seq").distinct().count() == 1000L,
+      "exactly-once after restart: no seq delivered twice")
+    val bounds = back.agg(min("seq"), max("seq")).head
+    assert(bounds.getLong(0) == 1L && bounds.getLong(1) == 1000L)
   }
 
   test("PUBLISH direction: streaming sink → JetStream with Msg-Id dedup is idempotent") {
