@@ -237,6 +237,96 @@ final case class AvroEncodeExpression(child: Expression, schemaJson: String)
     copy(child = newChild)
 }
 
+/** Pluggable schema-id → writer-schema resolution for the REGISTRY wire
+  * format (the public Confluent framing: one 0x00 magic byte, a 4-byte
+  * big-endian schema id, then the Avro binary body). Resolvers register
+  * process-wide under a NAME, and the decode expression ships only the
+  * name — the same indirection a live cluster needs, where each executor
+  * initializes a registry-client-backed resolver (with its own cache) at
+  * JVM start and the task closure must not capture a connection. Tests
+  * register a local map. */
+object AvroRegistry {
+  type Resolver = Int => Option[String]
+
+  private val resolvers =
+    new scala.collection.concurrent.TrieMap[String, Resolver]()
+
+  def register(name: String, r: Resolver): Unit = { resolvers.put(name, r); () }
+
+  /** id → writer schema JSON. Unknown resolver NAME is a configuration
+    * error and throws; an id the resolver cannot answer returns None (the
+    * caller decides — the decode expression makes it a loud error too,
+    * since a registry id that was valid at publish time must resolve). */
+  def resolve(name: String, id: Int): Option[String] =
+    resolvers.get(name) match {
+      case Some(r) => r(id)
+      case None => throw new IllegalArgumentException(
+        s"Failed to decode Avro registry payload: no schema resolver " +
+          s"registered under '$name'")
+    }
+
+  def clear(): Unit = resolvers.clear()
+}
+
+/** Registry-framed Avro decode: validates the magic byte, resolves the
+  * writer schema by id, and reads the body through Avro SCHEMA RESOLUTION
+  * against the bind-time reader schema — so payloads written under several
+  * schema versions (added fields, reordered fields) all decode to the one
+  * relational shape the query declared. Per-id resolving readers are
+  * cached task-locally.
+  *
+  * Failure surface: a mis-framed or corrupt payload is DATA → NULL row
+  * (same policy as the JSON/proto decode paths); an UNRESOLVABLE id is
+  * CONFIGURATION → loud error (the id was valid when published, so a miss
+  * means this consumer's resolver is wrong — silently nulling entire
+  * schema generations would be data loss). */
+final case class AvroRegistryDecodeExpression(child: Expression,
+                                              readerSchemaJson: String,
+                                              resolverName: String)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  @transient private lazy val readerSchema =
+    new Schema.Parser().parse(readerSchemaJson)
+  @transient private lazy val readersById =
+    new java.util.HashMap[Int, GenericDatumReader[GenericRecord]]()
+  @transient private var decoder: org.apache.avro.io.BinaryDecoder = _
+
+  override def dataType: DataType = AvroCodec.sparkType(readerSchema)
+  override def nullable: Boolean = true
+  override def prettyName: String = "avro_registry_decode"
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    if (bytes.length < 5 || bytes(0) != 0x00) return null // mis-framed = data
+    val id = ((bytes(1) & 0xFF) << 24) | ((bytes(2) & 0xFF) << 16) |
+      ((bytes(3) & 0xFF) << 8) | (bytes(4) & 0xFF)
+    var reader = readersById.get(id)
+    if (reader == null) {
+      val writerJson = AvroRegistry.resolve(resolverName, id).getOrElse(
+        throw new IllegalArgumentException(
+          s"Failed to decode Avro registry payload: unknown schema id $id " +
+            s"(resolver '$resolverName')"))
+      reader = new GenericDatumReader[GenericRecord](
+        new Schema.Parser().parse(writerJson), readerSchema)
+      readersById.put(id, reader)
+    }
+    try {
+      decoder = DecoderFactory.get()
+        .binaryDecoder(bytes, 5, bytes.length - 5, decoder)
+      val record = reader.read(null, decoder)
+      if (!decoder.isEnd) null // trailing garbage = data
+      else AvroCodec.toCatalyst(record, readerSchema)
+    } catch {
+      case e: IllegalArgumentException => throw e // unknown id stays loud
+      case _: Exception => null                   // corrupt body = data
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object AvroDecode {
   def schemaFromFile(path: String): String = {
     if (!java.nio.file.Files.isReadable(java.nio.file.Paths.get(path)))
@@ -249,6 +339,26 @@ object AvroDecode {
   def decode(payload: Column, schemaJson: String): Column =
     GraftSql.column(
       AvroDecodeExpression(GraftSql.expression(payload), schemaJson))
+
+  /** Registry-framed decode (0x00 + int32 BE id + body) with schema
+    * resolution onto `readerSchemaJson`; `resolverName` indexes a resolver
+    * registered via [[AvroRegistry.register]]. */
+  def decodeRegistry(payload: Column, readerSchemaJson: String,
+                     resolverName: String): Column =
+    GraftSql.column(AvroRegistryDecodeExpression(
+      GraftSql.expression(payload), readerSchemaJson, resolverName))
+
+  /** Registry frame bytes for a struct: the fixture/publisher direction.
+    * `concat` of the 5-byte header and the plain Avro body. */
+  def encodeRegistry(struct: Column, writerSchemaJson: String,
+                     id: Int): Column = {
+    val header = Array[Byte](0x00,
+      ((id >>> 24) & 0xFF).toByte, ((id >>> 16) & 0xFF).toByte,
+      ((id >>> 8) & 0xFF).toByte, (id & 0xFF).toByte)
+    org.apache.spark.sql.functions.concat(
+      org.apache.spark.sql.functions.lit(header),
+      encode(struct, writerSchemaJson))
+  }
 
   def encode(struct: Column, schemaJson: String): Column =
     GraftSql.column(

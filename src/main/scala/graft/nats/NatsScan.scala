@@ -66,7 +66,13 @@ object NatsScan {
       // schema from the .avsc option at bind time, typed columns per dotted
       // path, dots mangled like the proto surface
       val schemaJson = graft.avro.AvroDecode.schemaFromFile(opts.avroFile.get)
-      val decoded = graft.avro.AvroDecode.decode(col("payload"), schemaJson)
+      // registry framing: writer schema per payload (by id), reader schema
+      // from the option — Avro schema resolution bridges the versions
+      val decoded = opts.avroRegistry match {
+        case Some(resolver) =>
+          graft.avro.AvroDecode.decodeRegistry(col("payload"), schemaJson, resolver)
+        case None => graft.avro.AvroDecode.decode(col("payload"), schemaJson)
+      }
       val extracted = opts.avroExtract.map { path =>
         graft.avro.AvroDecode.field(decoded, schemaJson, path).as(mangle(path))
       }

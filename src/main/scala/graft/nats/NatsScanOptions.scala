@@ -31,6 +31,11 @@ final case class NatsScanOptions(
       * schema file + dotted extraction paths, mirroring the proto surface */
     avroFile: Option[String] = None,
     avroExtract: Seq[String] = Nil,
+    /** schema-registry wire format (magic byte + int32 schema id + body):
+      * names a resolver registered via [[graft.avro.AvroRegistry]]. The
+      * `.avsc` file stays the READER schema; per-payload writer schemas
+      * resolve by id with full Avro schema resolution. */
+    avroRegistry: Option[String] = None,
     /** MessagePack / CBOR payloads (roadmap :472-475): schemaless like
       * JSON, so the surface is the stringly json_extract one — dotted
       * paths over a top-level map, STRING columns, missing → NULL */
@@ -69,6 +74,9 @@ final case class NatsScanOptions(
     if (usesAvro && (avroFile.isEmpty || avroExtract.isEmpty))
       throw new IllegalArgumentException(
         "avro_file and avro_extract must be specified together")
+    if (avroRegistry.isDefined && !usesAvro)
+      throw new IllegalArgumentException(
+        "avro_registry requires avro_file (the reader schema) and avro_extract")
     locally {
       val decoders = Seq(
         jsonExtract.nonEmpty, usesProto, usesAvro,

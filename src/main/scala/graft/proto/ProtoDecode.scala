@@ -135,6 +135,13 @@ object ProtoWire {
                 case PBytes  => put(idx, java.util.Arrays.copyOfRange(b, p2, p2 + l))
                 case PMessage(inner) => put(idx, decodeRange(b, p2, p2 + l, inner))
                 case PTimestamp | PDuration => put(idx, wktMicros(b, p2, p2 + l))
+                case PStruct =>
+                  put(idx, UTF8String.fromString(ProtoJson.structJson(b, p2, p2 + l)))
+                case PValue =>
+                  put(idx, UTF8String.fromString(ProtoJson.valueJson(b, p2, p2 + l)))
+                case PListValue =>
+                  put(idx, UTF8String.fromString(ProtoJson.listJson(b, p2, p2 + l)))
+                case pa: PAny => put(idx, ProtoJson.anyRow(b, p2, p2 + l, pa.registry))
                 case PWrapper(_, wmd) =>
                   // decode the one-field wrapper message, surface its value
                   // slot (an empty message → the inner scalar's default,
@@ -211,6 +218,8 @@ object ProtoWire {
     case _: PMessage => null
     case PTimestamp | PDuration => null // message presence: unset → NULL
     case _: PWrapper => null            // unset wrapper → NULL (its point)
+    case PStruct | PValue | PListValue => null // unset WKT message → NULL
+    case _: PAny => null
   }
 
   /** {seconds=1 varint, nanos=2 varint} → µs (Spark's internal long for
@@ -304,7 +313,7 @@ object ProtoWire {
     (readFixed32(b, p).toLong & 0xFFFFFFFFL) |
     ((readFixed32(b, p + 4).toLong & 0xFFFFFFFFL) << 32)
 
-  private def skipField(b: Array[Byte], pos: Int, wireType: Int): Int =
+  private[proto] def skipField(b: Array[Byte], pos: Int, wireType: Int): Int =
     wireType match {
       case 0 => readVarint(b, pos)._2
       case 1 => pos + 8
@@ -370,6 +379,21 @@ object ProtoWire {
                   .GenericInternalRow(
                     Array[Any](row.get(idx, ProtoSchema.sparkType(inner)))),
                   wmd)
+              case PStruct =>
+                ProtoJson.jsonToStructWire(row.getUTF8String(idx).toString)
+              case PValue =>
+                ProtoJson.jsonToValueWire(row.getUTF8String(idx).toString)
+              case PListValue =>
+                ProtoJson.jsonToListWire(row.getUTF8String(idx).toString)
+              case _: PAny =>
+                // decoded Any is (type_url, value_json) — JSON text cannot
+                // round-trip to typed wire bytes without a JSON→message
+                // builder; publishers use a plain message with Any's wire
+                // shape instead (string type_url = 1, bytes value = 2)
+                throw new IllegalArgumentException(
+                  "google.protobuf.Any cannot be re-encoded from its " +
+                    "decoded form; encode through a message with Any's " +
+                    "wire shape (string type_url = 1, bytes value = 2)")
               case other =>
                 throw new IllegalArgumentException(s"bad len-delim field $other")
             }
@@ -457,6 +481,13 @@ object ProtoWire {
               .GenericInternalRow(
                 Array[Any](arr.get(i, ProtoSchema.sparkType(inner)))),
               wmd)
+          case PStruct => ProtoJson.jsonToStructWire(arr.getUTF8String(i).toString)
+          case PValue => ProtoJson.jsonToValueWire(arr.getUTF8String(i).toString)
+          case PListValue => ProtoJson.jsonToListWire(arr.getUTF8String(i).toString)
+          case _: PAny =>
+            throw new IllegalArgumentException(
+              "google.protobuf.Any cannot be re-encoded from its decoded " +
+                "form; encode through a message with Any's wire shape")
           case other =>
             throw new IllegalArgumentException(s"bad repeated len-delim $other")
         }

@@ -41,6 +41,35 @@ object PType {
     * distinguish unset from default). `md` is the synthetic one-field
     * message the wire codec decodes/encodes through. */
   final case class PWrapper(inner: PType, md: MessageDef) extends PType
+  /** google.protobuf.Struct (struct.proto) — the open JSON-object WKT
+    * (`map<string, Value> fields = 1`). Surfaced as a StringType column of
+    * canonical JSON text (docs/GUIDE.md:470 roadmap "Struct/Value →
+    * JSON-ish column"): dynamic keys have no static relational schema, and
+    * JSON text feeds Spark's whole codegen'd JSON toolbox
+    * (get_json_object / from_json / variant). Unset message → NULL. */
+  case object PStruct extends PType
+  /** google.protobuf.Value — one JSON value (null/number/string/bool/
+    * struct/list oneof), same JSON-text surface as [[PStruct]]. */
+  case object PValue extends PType
+  /** google.protobuf.ListValue — `repeated Value values = 1`, surfaced as
+    * a JSON array in text form. */
+  case object PListValue extends PType
+  /** google.protobuf.Any — `{string type_url = 1, bytes value = 2}` with
+    * TYPED decode: the type URL's last path segment resolves against every
+    * message parsed from the schema file set ([[AnyRegistry]], populated
+    * after linking); a hit decodes the embedded payload to JSON text, a
+    * miss yields NULL (the unresolvable case surfaces as data, not an
+    * error — a stream can carry Anys of retired types). */
+  final case class PAny(registry: AnyRegistry) extends PType
+}
+
+/** Mutable holder for the Any type registry. A plain class on purpose:
+  * PAny participates in MessageDef case-class equality, and the registry's
+  * message defs contain the PAny itself — REFERENCE equality here keeps
+  * that object graph cycle out of `==`/hashCode recursion. Populated once
+  * after the parser's link pass; read-only afterwards. */
+final class AnyRegistry extends Serializable {
+  @volatile var messages: Map[String, MessageDef] = Map.empty
 }
 
 /** Wire encoding family for a field — what the decoder needs at runtime. */
@@ -147,6 +176,10 @@ object ProtoSchema {
     case PType.PTimestamp => TimestampType
     case PType.PDuration  => DayTimeIntervalType()
     case PType.PWrapper(inner, _) => sparkType(inner)
+    case PType.PStruct | PType.PValue | PType.PListValue => StringType // JSON text
+    case _: PType.PAny => StructType(Seq(
+      StructField("type_url", StringType, nullable = true),
+      StructField("value_json", StringType, nullable = true)))
   }
 
   /** The nine google.protobuf wrapper messages (wrappers.proto), keyed by
@@ -210,9 +243,15 @@ object ProtoSchema {
           wrapperTypes.keys.foreach { n =>
             wkt += s"google.protobuf.$n"; wkt += n
           }
+        case "google/protobuf/struct.proto" =>
+          Seq("Struct", "Value", "ListValue").foreach { n =>
+            wkt += s"google.protobuf.$n"; wkt += n
+          }
+        case "google/protobuf/any.proto" =>
+          wkt += "google.protobuf.Any"; wkt += "Any"
         case g if g.startsWith("google/protobuf/") =>
           fail(s"$g: well-known type import not supported " +
-            "(only timestamp.proto, duration.proto, and wrappers.proto)")
+            "(only timestamp, duration, wrappers, struct, and any .proto)")
         case rel => load(rootDir.resolve(rel).normalize(), p :: chain)
       }
       sources += src
@@ -268,6 +307,11 @@ object ProtoSchema {
     val md = p.messages.getOrElse(messageName, throw new IllegalArgumentException(
       s"Message type '$messageName' not found in proto file"))
     assertNonRecursive(md, Nil)
+    // Any resolution set: every message of the parsed FILE SET, linked.
+    // Populated post-link so registry entries are the final defs (the holder
+    // uses reference equality, so the resulting object-graph cycle never
+    // enters case-class == / hashCode).
+    p.anyRegistry.messages = p.messages.toMap
     md
   }
 
@@ -322,6 +366,8 @@ object ProtoSchema {
   private final class Parser(tokens: Vector[String], wkt: Set[String]) {
     private var pos = 0
     val messages = scala.collection.mutable.LinkedHashMap[String, MessageDef]()
+    /** shared by every PAny field this parse produces; filled after link */
+    val anyRegistry = new AnyRegistry
     private val enums = scala.collection.mutable.Map[String, PType.PEnum]()
     // (owner message, field name, number, type name) pending message-type link
     private val pending =
@@ -474,6 +520,10 @@ object ProtoSchema {
           val pt: PType =
             if (short == "Timestamp") PType.PTimestamp
             else if (short == "Duration") PType.PDuration
+            else if (short == "Struct") PType.PStruct
+            else if (short == "Value") PType.PValue
+            else if (short == "ListValue") PType.PListValue
+            else if (short == "Any") PType.PAny(anyRegistry)
             else ProtoSchema.wrapperTypes(short)
           fields += FieldDef(fname, fnum, pt, Enc.LenDelim, repeated,
             oneofGroup = oneofGroup)

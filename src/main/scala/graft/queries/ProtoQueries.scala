@@ -19,6 +19,7 @@ import graft.proto.{ProtoDecode, ProtoSchema}
   */
 object ProtoQueries {
 
+  val structProtoPath = "/root/repo/proto/struct_event.proto"
   val deviceProtoPath = "/root/repo/proto/device_event.proto"
   val typesProtoPath = "/root/repo/proto/all_types.proto"
   val batchProtoPath = "/root/repo/proto/batch.proto"
@@ -55,6 +56,68 @@ object ProtoQueries {
         (col("event_id") + 1L).as("seq"),
         timestamp_micros(expr("ts div 1000")).as("ts_nats"),
         graft.avro.AvroDecode.encode(msg, schemaJson).as("payload"))
+    }
+  }
+
+  val registryAvscPath = "/root/repo/avro/registry_reading.avsc"
+
+  /** Schema-registry framed fixture: payloads alternate between TWO writer
+    * schema versions (different field order, v2 adds fields), each framed
+    * as 0x00 + int32 BE schema id + Avro body — the public registry wire
+    * format. The reader schema ([[registryAvscPath]]) bridges both via
+    * Avro schema resolution, so the scan's relational shape is version-
+    * independent; broken resolution misaligns v2's values and the oracle
+    * hash catches it. */
+  object RegistryAvroFixture {
+    val ResolverName = "graft-test-registry"
+    val V1Id = 1
+    val V2Id = 7
+    val V1Json: String =
+      """{"type":"record","name":"Reading","namespace":"graft.fixtures","fields":[
+        |{"name":"device","type":"string"},
+        |{"name":"reading","type":"double"},
+        |{"name":"cnt","type":"long"}]}""".stripMargin
+    val V2Json: String =
+      """{"type":"record","name":"Reading","namespace":"graft.fixtures","fields":[
+        |{"name":"device","type":"string"},
+        |{"name":"note","type":["null","string"],"default":null},
+        |{"name":"reading","type":"double"},
+        |{"name":"cnt","type":"long"},
+        |{"name":"extra","type":"long"}]}""".stripMargin
+
+    def registerResolver(): Unit =
+      graft.avro.AvroRegistry.register(ResolverName, {
+        case V1Id => Some(V1Json)
+        case V2Id => Some(V2Json)
+        case _ => None
+      })
+  }
+
+  final class RegistryAvroStore(dir: String) extends MessageStore {
+    import RegistryAvroFixture._
+    override def read(spark: SparkSession, stream: String,
+                      pruning: graft.nats.ScanPruning): DataFrame = {
+      val raw = graft.Tables.load(spark, dir, "events")
+      val device = concat(lit("d"), col("user_id").cast("string"))
+      val reading = col("value") * 0.25
+      val cnt = col("event_id") % 97
+      val v1 = graft.avro.AvroDecode.encodeRegistry(
+        struct(device.as("device"), reading.as("reading"), cnt.as("cnt")),
+        V1Json, V1Id)
+      val v2 = graft.avro.AvroDecode.encodeRegistry(
+        struct(device.as("device"),
+          when(col("event_id") % 3 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("n"), col("user_id").cast("string"))).as("note"),
+          reading.as("reading"), cnt.as("cnt"),
+          (col("event_id") * 2L).as("extra")),
+        V2Json, V2Id)
+      raw.select(
+        lit("events").as("stream"),
+        concat(lit("events."), col("event_type"), lit("."),
+          col("user_id").cast("string")).as("subject"),
+        (col("event_id") + 1L).as("seq"),
+        timestamp_micros(expr("ts div 1000")).as("ts_nats"),
+        when(col("event_id") % 2 === 0, v1).otherwise(v2).as("payload"))
     }
   }
 
@@ -151,6 +214,105 @@ object ProtoQueries {
           expr("array_join(d.labels, ',')").as("labels_joined"),
           expr("aggregate(d.deltas, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))").as("sum_deltas"))
         .orderBy("event_id")
+    }),
+
+    // schema-registry framing: two writer schema VERSIONS on one stream
+    // (v2 reorders fields and adds two), resolved per payload by id and
+    // bridged onto the one reader schema — the oracle is version-blind, so
+    // any resolution misalignment (or a broken frame parse) breaks the hash
+    "nats_avro_registry" -> ((s, dir) => {
+      RegistryAvroFixture.registerResolver()
+      NatsScan.scan(s, "events",
+          NatsScanOptions(
+            avroFile = Some(registryAvscPath),
+            avroExtract = Seq("device", "reading", "cnt"),
+            avroRegistry = Some(RegistryAvroFixture.ResolverName)),
+          new RegistryAvroStore(dir))
+        .select(col("seq"), col("device"),
+          round(col("reading"), 6).as("reading"), col("cnt"))
+        .orderBy("seq")
+    }),
+
+    // google.protobuf.Struct / Value: dynamic JSON-shaped properties decode
+    // to canonical JSON text, then Spark's codegen'd JSON toolbox extracts
+    // typed values — the oracle recomputes every extracted value straight
+    // from the source columns, so any wire/JSON asymmetry breaks the hash
+    "proto_struct" -> ((s, dir) => {
+      val encSchema = ProtoSchema.parseFile(structProtoPath, "StructEventRaw")
+      val decSchema = ProtoSchema.parseFile(structProtoPath, "StructEvent")
+      val raw = graft.Tables.load(s, dir, "events").filter(col("event_id") < 3000)
+      // dynamic JSON properties manufactured from the event row: nested
+      // object, mixed-type array with a null, boolean, numbers
+      val propsJson = concat(
+        lit("{\"uid\":"), col("user_id"),
+        lit(",\"etype\":\""), col("event_type"),
+        lit("\",\"ok\":"), when(col("event_id") % 2 === 0, "true").otherwise("false"),
+        lit(",\"nested\":{\"n\":"), col("event_id") % 7,
+        lit("},\"tags\":[\"a\",null,"), col("event_id") % 3, lit("]}"))
+      val extraJson = when(col("event_id") % 5 === 0, lit("null"))
+        .otherwise(concat(lit("[\"x\","), col("user_id") % 10, lit("]")))
+      val msg = struct(
+        col("event_type").as("etype"),
+        propsJson.as("props"),
+        extraJson.as("extra"),
+        lit(null).cast("struct<type_url:string,value:binary>").as("detail"))
+      val d = ProtoDecode.decode(ProtoDecode.encode(msg, encSchema), decSchema)
+        .as("d")
+      raw.select(d)
+        .select(col("d.etype").as("etype"),
+          get_json_object(col("d.props"), "$.uid").cast("long").as("uid"),
+          get_json_object(col("d.props"), "$.ok").cast("boolean").as("ok"),
+          get_json_object(col("d.props"), "$.nested.n").cast("long").as("n7"),
+          get_json_object(col("d.props"), "$.tags[2]").cast("long").as("t3"),
+          col("d.extra").as("extra_json"),
+          get_json_object(col("d.extra"), "$[1]").cast("long").as("x1"))
+        .groupBy("etype")
+        .agg(count(lit(1)).as("n"),
+          sum("uid").as("sum_uid"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum("n7").as("sum_n7"),
+          sum("t3").as("sum_t3"),
+          sum(when(col("extra_json") === "null", 1L).otherwise(0L)).as("n_null_extra"),
+          sum(coalesce(col("x1"), lit(0L))).as("sum_x1"))
+        .orderBy("etype")
+    }),
+
+    // google.protobuf.Any: per-row type_url resolves against the parsed
+    // file set — resolvable rows decode the embedded Pos payload to JSON,
+    // unresolvable type URLs surface as NULL value_json (data, not error).
+    // Encoded through the AnyRaw wire-shape twin (decoded Anys are not
+    // re-encodable), which is the real publisher/consumer asymmetry.
+    "proto_any" -> ((s, dir) => {
+      val encSchema = ProtoSchema.parseFile(structProtoPath, "StructEventRaw")
+      val decSchema = ProtoSchema.parseFile(structProtoPath, "StructEvent")
+      val posSchema = ProtoSchema.parseFile(structProtoPath, "Pos")
+      val raw = graft.Tables.load(s, dir, "events").filter(col("event_id") < 3000)
+      val posBytes = ProtoDecode.encode(
+        struct(col("event_type").as("zone"),
+          (col("user_id") % 6).cast("int").as("rack")), posSchema)
+      val typeUrl = when(col("event_id") % 3 === 0,
+          lit("type.googleapis.com/Retired")) // not in the file set → NULL
+        .otherwise(lit("type.googleapis.com/Pos"))
+      val msg = struct(
+        col("event_type").as("etype"),
+        lit(null).cast("string").as("props"),
+        lit(null).cast("string").as("extra"),
+        struct(typeUrl.as("type_url"), posBytes.as("value")).as("detail"))
+      val d = ProtoDecode.decode(ProtoDecode.encode(msg, encSchema), decSchema)
+        .as("d")
+      raw.select(d)
+        .select(col("d.etype").as("etype"),
+          col("d.detail.type_url").as("type_url"),
+          col("d.detail.value_json").as("vj"),
+          get_json_object(col("d.detail.value_json"), "$.zone").as("zone"),
+          get_json_object(col("d.detail.value_json"), "$.rack")
+            .cast("long").as("rack"))
+        .groupBy("etype")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("vj").isNull, 1L).otherwise(0L)).as("n_unresolved"),
+          sum(when(col("zone") === col("etype"), 1L).otherwise(0L)).as("n_zone_ok"),
+          sum(coalesce(col("rack"), lit(0L))).as("sum_rack"))
+        .orderBy("etype")
     }),
 
     // all 17 scalar types + enum round-trip through the wire format
@@ -287,6 +449,32 @@ object ProtoQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "nats_avro_registry" -> """
+      SELECT event_id + 1 AS seq,
+             'd' || CAST(user_id AS VARCHAR) AS device,
+             round(value * 0.25, 6) AS reading,
+             event_id % 97 AS cnt
+      FROM events ORDER BY seq""",
+
+    "proto_struct" -> """
+      SELECT event_type AS etype, count(*) AS n,
+             CAST(sum(user_id) AS BIGINT) AS sum_uid,
+             CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+             CAST(sum(event_id % 7) AS BIGINT) AS sum_n7,
+             CAST(sum(event_id % 3) AS BIGINT) AS sum_t3,
+             CAST(sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_extra,
+             CAST(sum(CASE WHEN event_id % 5 = 0 THEN 0 ELSE user_id % 10 END) AS BIGINT) AS sum_x1
+      FROM events WHERE event_id < 3000
+      GROUP BY event_type ORDER BY etype""",
+
+    "proto_any" -> """
+      SELECT event_type AS etype, count(*) AS n,
+             CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unresolved,
+             CAST(sum(CASE WHEN event_id % 3 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_zone_ok,
+             CAST(sum(CASE WHEN event_id % 3 = 0 THEN 0 ELSE user_id % 6 END) AS BIGINT) AS sum_rack
+      FROM events WHERE event_id < 3000
+      GROUP BY event_type ORDER BY etype""",
+
     "proto_extract_nested" -> """
       SELECT event_id + 1 AS seq,
              'u' || CAST(user_id AS VARCHAR) AS device_id,

@@ -119,13 +119,15 @@ class NatsScanErrorSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("unsupported well-known-type import → named bind error") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_proto_wkt")
     val main = tmp.resolve("main.proto")
+    // field_mask.proto stays unsupported (timestamp/duration/wrappers/
+    // struct/any are the supported WKT set as of round 8)
     java.nio.file.Files.write(main,
-      ("syntax = \"proto3\";\nimport \"google/protobuf/any.proto\";\n" +
+      ("syntax = \"proto3\";\nimport \"google/protobuf/field_mask.proto\";\n" +
         "message M { int32 a = 1; }\n").getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException] {
       graft.proto.ProtoSchema.parseFile(main.toString, "M")
     }
-    assert(e.getMessage.contains("any.proto"), e.getMessage)
+    assert(e.getMessage.contains("field_mask.proto"), e.getMessage)
   }
 
   test("avro: missing schema file / bad path / option conflicts → bind errors") {
@@ -160,6 +162,54 @@ class NatsScanErrorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = df.select(
       graft.avro.AvroDecode.decode(col("payload"), json).as("d")).collect()
     assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("avro registry: unknown schema id is a LOUD error; framing faults are NULL data") {
+    import org.apache.spark.sql.functions._
+    val readerJson = graft.avro.AvroDecode.schemaFromFile(
+      ProtoQueries.registryAvscPath)
+    ProtoQueries.RegistryAvroFixture.registerResolver()
+    // a registry-framed payload with an id the resolver cannot answer:
+    // CONFIGURATION error, loud — silently nulling a whole schema
+    // generation would be data loss
+    val unknownId = Array[Byte](0x00, 0x00, 0x00, 0x00, 99, 0x02)
+    val e = intercept[Exception] {
+      spark.range(1).select(lit(unknownId).as("payload"))
+        .select(graft.avro.AvroDecode.decodeRegistry(
+          col("payload"), readerJson,
+          ProtoQueries.RegistryAvroFixture.ResolverName).as("d"))
+        .collect()
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(e).contains("unknown schema id 99"), chain(e))
+    // unregistered resolver NAME → loud too
+    val e2 = intercept[Exception] {
+      spark.range(1).select(lit(unknownId).as("payload"))
+        .select(graft.avro.AvroDecode.decodeRegistry(
+          col("payload"), readerJson, "no-such-resolver").as("d"))
+        .collect()
+    }
+    assert(chain(e2).contains("no schema resolver registered"), chain(e2))
+    // mis-framed payloads (wrong magic / truncated) and corrupt bodies are
+    // DATA → NULL rows, same policy as the other decode paths
+    val bad = Seq(
+      Array[Byte](1, 0, 0, 0, 1, 0x02),                    // wrong magic
+      Array[Byte](0x00, 0x00),                             // truncated header
+      Array[Byte](0x00, 0x00, 0x00, 0x00, 1, -1, -1, -1))  // corrupt body (id 1)
+    bad.foreach { payload =>
+      val out = spark.range(1).select(lit(payload).as("payload"))
+        .select(graft.avro.AvroDecode.decodeRegistry(
+          col("payload"), readerJson,
+          ProtoQueries.RegistryAvroFixture.ResolverName).as("d"))
+        .collect()
+      assert(out.forall(_.isNullAt(0)), s"expected NULL for ${payload.toSeq}")
+    }
+    // bind-time option validation: avro_registry needs the avro surface
+    val e3 = intercept[IllegalArgumentException](
+      NatsScanOptions(avroRegistry = Some("r")).validate())
+    assert(e3.getMessage.contains("avro_registry requires"))
   }
 
   test("unknown stream name is rejected by the store") {

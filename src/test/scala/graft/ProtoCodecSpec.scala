@@ -324,4 +324,106 @@ class ProtoCodecSpec extends AnyFunSuite {
     assert(d2.getUTF8String(3).toString == "hello")
     assert(d2.isNullAt(4))
   }
+
+  // --- google.protobuf.Struct / Value / ListValue / Any ---
+
+  private val structEvent =
+    ProtoSchema.parseFile("/root/repo/proto/struct_event.proto", "StructEvent")
+  private val structEventRaw =
+    ProtoSchema.parseFile("/root/repo/proto/struct_event.proto", "StructEventRaw")
+  private val posMsg =
+    ProtoSchema.parseFile("/root/repo/proto/struct_event.proto", "Pos")
+
+  test("Struct/Value WKTs surface as JSON-text columns; Any as (url, json)") {
+    val sch = structEvent.sparkSchema
+    assert(sch("props").dataType == StringType)
+    assert(sch("extra").dataType == StringType)
+    assert(sch("detail").dataType == StructType(Seq(
+      StructField("type_url", StringType, nullable = true),
+      StructField("value_json", StringType, nullable = true))))
+    // unset WKT messages → NULL (message presence, like Timestamp/wrappers)
+    val empty = ProtoWire.decodeMessage(Array.emptyByteArray, structEvent)
+    assert(empty.isNullAt(1) && empty.isNullAt(2) && empty.isNullAt(3))
+  }
+
+  test("Struct/Value roundtrip fuzz: canonical JSON survives wire both ways") {
+    def leaf: Gen[String] = Gen.oneOf(
+      Gen.const("null"), Gen.const("true"), Gen.const("false"),
+      Gen.chooseNum(-1e6, 1e6).map(ProtoJson.fmtNum),
+      Gen.chooseNum(-999999999L, 999999999L).map(l => ProtoJson.fmtNum(l.toDouble)),
+      Gen.alphaNumStr.map(ProtoJson.quote),
+      Gen.oneOf("a\"b", "c\\d", "e\nf", "tab\tx", "héllo ☃")
+        .map(ProtoJson.quote))
+    def value(depth: Int): Gen[String] =
+      if (depth <= 0) leaf
+      else Gen.frequency(3 -> leaf, 1 -> list(depth - 1), 1 -> obj(depth - 1))
+    def list(depth: Int): Gen[String] =
+      Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, value(depth)))
+        .map(_.mkString("[", ",", "]"))
+    def obj(depth: Int): Gen[String] =
+      Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, value(depth))).map { vs =>
+        // distinct keys: duplicates would canonicalize last-wins and break
+        // the textual comparison (last-wins itself is pinned below)
+        vs.zipWithIndex.map { case (v, i) => s""""k$i":$v""" }
+          .mkString("{", ",", "}")
+      }
+    forAll(obj(2), n = 150) { json =>
+      val wire = ProtoJson.jsonToStructWire(json)
+      assert(ProtoJson.structJson(wire, 0, wire.length) == json)
+    }
+    forAll(value(2), n = 150) { json =>
+      val wire = ProtoJson.jsonToValueWire(json)
+      assert(ProtoJson.valueJson(wire, 0, wire.length) == json)
+    }
+    forAll(list(2), n = 100) { json =>
+      val wire = ProtoJson.jsonToListWire(json)
+      assert(ProtoJson.listJson(wire, 0, wire.length) == json)
+    }
+    // edges: empty object/array, unicode escape decode
+    assert(ProtoJson.structJson(ProtoJson.jsonToStructWire("{}"), 0,
+      ProtoJson.jsonToStructWire("{}").length) == "{}")
+    val uw = ProtoJson.jsonToValueWire("\"\\u0041\"")
+    assert(ProtoJson.valueJson(uw, 0, uw.length) == "\"A\"")
+    // malformed JSON fails the encode loudly
+    intercept[IllegalArgumentException](ProtoJson.jsonToStructWire("{\"a\":}"))
+    intercept[IllegalArgumentException](ProtoJson.jsonToStructWire("[1]"))
+  }
+
+  test("Struct through the full expression path: duplicate keys last-wins") {
+    // two entries with the same key on the wire (legal: map semantics)
+    val w1 = ProtoJson.jsonToStructWire("""{"a":1,"b":2}""")
+    val w2 = ProtoJson.jsonToStructWire("""{"a":9}""")
+    val merged = w1 ++ w2 // concatenated message bytes merge fields
+    // last value wins AND the key moves to its last occurrence — the same
+    // re-insert convention as the map<K,V> decode path
+    assert(ProtoJson.structJson(merged, 0, merged.length) == """{"b":2,"a":9}""")
+  }
+
+  test("Any: type_url resolves against the parsed file set; miss/corrupt → NULL") {
+    val posBytes = ProtoWire.encodeMessage(
+      InternalRow(UTF8String.fromString("z9"), 4), posMsg)
+    def viaWire(url: String, value: Array[Byte]): InternalRow = {
+      val raw = InternalRow(UTF8String.fromString("t"), null, null,
+        InternalRow(UTF8String.fromString(url), value))
+      ProtoWire.decodeMessage(
+        ProtoWire.encodeMessage(raw, structEventRaw), structEvent)
+    }
+    // positive: the url's last segment names a message in the file set
+    val hit = viaWire("type.googleapis.com/Pos", posBytes).getStruct(3, 2)
+    assert(hit.getUTF8String(0).toString == "type.googleapis.com/Pos")
+    assert(hit.getUTF8String(1).toString == """{"zone":"z9","rack":4}""")
+    // negative: unknown type → value_json NULL, url preserved (data, not error)
+    val miss = viaWire("type.googleapis.com/Retired", posBytes).getStruct(3, 2)
+    assert(miss.getUTF8String(0).toString == "type.googleapis.com/Retired")
+    assert(miss.isNullAt(1))
+    // negative: resolvable type, undecodable payload → NULL value_json
+    val corrupt = viaWire("type.googleapis.com/Pos",
+      Array[Byte](-1, -1, -1, -1)).getStruct(3, 2)
+    assert(corrupt.isNullAt(1))
+    // a decoded Any cannot re-encode (JSON text is not typed wire bytes)
+    val decoded = viaWire("type.googleapis.com/Pos", posBytes)
+    val e = intercept[IllegalArgumentException](
+      ProtoWire.encodeMessage(decoded, structEvent))
+    assert(e.getMessage.contains("wire shape"))
+  }
 }
