@@ -277,6 +277,34 @@ object ProtoQueries {
         .orderBy("etype")
     }),
 
+    // Struct decode compared as RAW JSON TEXT: DuckDB reconstructs the
+    // exact canonical string character-for-character (key order = wire
+    // order, integral numbers without decimal point), so any drift in the
+    // wire→JSON rendering — escaping, number formatting, ordering —
+    // hash-fails even where typed extraction would still pass
+    "proto_struct_text" -> ((s, dir) => {
+      val encSchema = ProtoSchema.parseFile(structProtoPath, "StructEventRaw")
+      val decSchema = ProtoSchema.parseFile(structProtoPath, "StructEvent")
+      val raw = graft.Tables.load(s, dir, "events").filter(col("event_id") < 2000)
+      val propsJson = concat(
+        lit("{\"uid\":"), col("user_id"),
+        lit(",\"q\":\"a\\\"b\\\\c\""), // escapes survive the round trip
+        lit(",\"ok\":"), when(col("event_id") % 2 === 0, "true").otherwise("false"),
+        lit(",\"nested\":{\"n\":"), col("event_id") % 7,
+        lit("},\"tags\":[null,"), col("event_id") % 3, lit("]}"))
+      val msg = struct(
+        col("event_type").as("etype"),
+        propsJson.as("props"),
+        lit(null).cast("string").as("extra"),
+        lit(null).cast("struct<type_url:string,value:binary>").as("detail"))
+      val d = ProtoDecode.decode(ProtoDecode.encode(msg, encSchema), decSchema)
+        .as("d")
+      raw.select((col("event_id") + 1L).as("seq"), d)
+        .select(col("seq"), col("d.etype").as("etype"),
+          col("d.props").as("props_json"))
+        .orderBy("seq")
+    }),
+
     // google.protobuf.Any: per-row type_url resolves against the parsed
     // file set — resolvable rows decode the embedded Pos payload to JSON,
     // unresolvable type URLs surface as NULL value_json (data, not error).
@@ -466,6 +494,16 @@ object ProtoQueries {
              CAST(sum(CASE WHEN event_id % 5 = 0 THEN 0 ELSE user_id % 10 END) AS BIGINT) AS sum_x1
       FROM events WHERE event_id < 3000
       GROUP BY event_type ORDER BY etype""",
+
+    "proto_struct_text" -> """
+      SELECT event_id + 1 AS seq, event_type AS etype,
+             '{"uid":' || CAST(user_id AS VARCHAR)
+               || ',"q":"a\"b\\c"'
+               || ',"ok":' || CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END
+               || ',"nested":{"n":' || CAST(event_id % 7 AS VARCHAR)
+               || '},"tags":[null,' || CAST(event_id % 3 AS VARCHAR) || ']}'
+               AS props_json
+      FROM events WHERE event_id < 2000 ORDER BY seq""",
 
     "proto_any" -> """
       SELECT event_type AS etype, count(*) AS n,

@@ -125,7 +125,8 @@ final class NatsScanTable(props: Map[String, String])
           case other => sys.error(
             s"nats_scan: fetch_mode must be 'fetch' or 'consumer', got '$other'")
         },
-        auth = auth)
+        auth = auth,
+        durable = props.get("durable"))
     }
     new NatsScanBuilder(s"$dir/$stream.parquet", dir, stream, maxPerBatch,
       transport)
@@ -145,7 +146,8 @@ final case class TransportBind(url: String,
                                sliceWidth: Long, connectTimeoutMs: Long,
                                fetchMode: String = "fetch",
                                auth: graft.transport.TransportAuth =
-                                 graft.transport.TransportAuth.anonymous)
+                                 graft.transport.TransportAuth.anonymous,
+                               durable: Option[String] = None)
 
 /** Accepts seq/ts/subject predicates; everything else stays residual.
   * Bounds are accumulated as [seqLo, seqHi] (1-based inclusive) and
@@ -382,7 +384,7 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
         subjectPrefixes = subjectPrefixes,
         maxPerBatch = tb.maxPerBatch,
         sliceWidth = tb.sliceWidth, connectTimeoutMs = tb.connectTimeoutMs,
-        fetchMode = tb.fetchMode, auth = tb.auth)
+        fetchMode = tb.fetchMode, auth = tb.auth, durable = tb.durable)
     case None =>
       new NatsScanScan(file, dir, stream, required, seqLo, seqHi, tsLoNs,
         tsHiNs, subjectContains, subjectPrefixes, maxPerBatch, pushedLimit,

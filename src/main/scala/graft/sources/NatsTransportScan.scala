@@ -44,7 +44,8 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
                               sliceWidth: Long, connectTimeoutMs: Long,
                               fetchMode: String = "fetch",
                               auth: graft.transport.TransportAuth =
-                                graft.transport.TransportAuth.anonymous)
+                                graft.transport.TransportAuth.anonymous,
+                              durable: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -109,7 +110,7 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
     new graft.streaming.NatsTransportMicroBatchStream(url, stream,
       maxPerBatch = maxPerBatch, sliceWidth = sliceWidth,
       connectTimeoutMs = connectTimeoutMs, auth = auth,
-      fetchMode = fetchMode)
+      fetchMode = fetchMode, durable = durable)
 
   override def description(): String =
     s"nats_transport url=$url stream=$stream seq=[$seqLo,$seqHi] " +

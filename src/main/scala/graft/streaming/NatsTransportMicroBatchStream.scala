@@ -24,7 +24,8 @@ final class NatsTransportMicroBatchStream(url: String, stream: String,
                                           connectTimeoutMs: Long,
                                           auth: graft.transport.TransportAuth =
                                             graft.transport.TransportAuth.anonymous,
-                                          fetchMode: String = "fetch")
+                                          fetchMode: String = "fetch",
+                                          durable: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** LastSeq polled from the server — one streamInfo RPC per trigger, on
@@ -34,7 +35,24 @@ final class NatsTransportMicroBatchStream(url: String, stream: String,
     graft.transport.TransportPool.get(url, connectTimeoutMs, auth)
       .streamInfo(stream).lastSeq
 
-  override def initialOffset(): Offset = SeqOffset(0L)
+  /** DURABLE mode (`option("durable", name)` — the GUIDE.md "consumer
+    * groups / ack-based distribution" roadmap): the server's cumulative
+    * ack floor seeds the FIRST offset when the Spark checkpoint has none,
+    * and every committed batch acks its end seq back (AckAll). Within one
+    * query lineage the checkpoint stays the source of truth (Spark only
+    * calls initialOffset on an empty checkpoint), so recovery semantics
+    * are unchanged; ACROSS jobs — a fresh checkpoint, the same durable —
+    * the new job resumes after the last seq any predecessor committed.
+    * That handoff is AT-LEAST-ONCE (a batch committed just before a lost
+    * ack replays in the successor), exactly JetStream's AckAll contract;
+    * pair it with an idempotent sink (Msg-Id publish dedup) when the
+    * handoff must be exactly-once. */
+  override def initialOffset(): Offset = durable match {
+    case Some(d) => SeqOffset(
+      graft.transport.TransportPool.get(url, connectTimeoutMs, auth)
+        .ackFloor(stream, d))
+    case None => SeqOffset(0L)
+  }
 
   override def latestOffset(): Offset = SeqOffset(lastSeq)
 
@@ -50,7 +68,11 @@ final class NatsTransportMicroBatchStream(url: String, stream: String,
   override def deserializeOffset(json: String): Offset =
     SeqOffset(json.trim.toLong)
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    durable.foreach { d =>
+      graft.transport.TransportPool.get(url, connectTimeoutMs, auth)
+        .ackAll(stream, d, end.asInstanceOf[SeqOffset].seq)
+    }
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

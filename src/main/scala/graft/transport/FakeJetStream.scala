@@ -107,6 +107,23 @@ final class FakeJetStreamServer {
           .take(max).toArray
     }
 
+  // --- durable consumers: cumulative (AckAll) ack floors per
+  // (stream, durable), the server-side progress state that survives any
+  // client's death ---
+  private val durables =
+    new TrieMap[(String, String), java.util.concurrent.atomic.AtomicLong]()
+
+  private[transport] def durableFloor(stream: String, durable: String): Long =
+    durables.get((stream, durable)).fold(0L)(_.get())
+
+  private[transport] def durableAckAll(stream: String, durable: String,
+                                       seq: Long): Unit = {
+    val floor = durables.getOrElseUpdate((stream, durable),
+      new java.util.concurrent.atomic.AtomicLong(0L))
+    floor.getAndUpdate(cur => math.max(cur, seq)) // monotonic, never regresses
+    ()
+  }
+
   // --- observability: successful dials against this server, so specs can
   // pin the connection topology (planning = 1 dial, readers ≤ 1 per task /
   // per pooled executor) the way rpcCount pins probe complexity ---
@@ -303,6 +320,16 @@ final class FakeTransport(server: FakeJetStreamServer) extends JetStreamTranspor
                        payload: Array[Byte], msgId: String): Long = {
     count()
     server.publishAppend(stream, subject, tsNs, payload, msgId)
+  }
+
+  override def ackFloor(stream: String, durable: String): Long = {
+    count()
+    server.durableFloor(stream, durable)
+  }
+
+  override def ackAll(stream: String, durable: String, seq: Long): Unit = {
+    count()
+    server.durableAckAll(stream, durable, seq)
   }
 
   override def close(): Unit = ()

@@ -48,6 +48,19 @@ trait JetStreamTransport extends AutoCloseable {
     * at the last delivered sequence), so reader retries are safe. */
   def consumer(stream: String, startSeq: Long): MessageCursor
 
+  /** DURABLE-consumer ack floor: the highest stream sequence the named
+    * durable has cumulatively acknowledged (0 = new consumer / nothing
+    * acked). The JetStream ConsumerInfo `ack_floor.stream_seq` — what lets
+    * an UNRELATED job resume where the last one stopped, with no shared
+    * Spark checkpoint (GUIDE.md roadmap "consumer groups / ack-based
+    * distribution"). */
+  def ackFloor(stream: String, durable: String): Long
+
+  /** Cumulative acknowledge (JetStream AckAll): marks every sequence
+    * ≤ `seq` consumed for the durable. Monotonic — a late/duplicate ack
+    * for a lower seq never regresses the floor. */
+  def ackAll(stream: String, durable: String, seq: Long): Unit
+
   /** Publish one message; the server assigns the next sequence and returns
     * it (a JetStream PubAck). `msgId` is the `Nats-Msg-Id` deduplication
     * header: re-publishing an id inside the dedup window is a no-op

@@ -521,6 +521,73 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bounds.getLong(0) == 1L && bounds.getLong(1) == 1000L)
   }
 
+  test("durable consumer: ack-based handoff across jobs with NO shared checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    val durl = "nats://durable-spec:4222"
+    val srv = FakeJetStream.listen(durl)
+    (1L to 600L).foreach { seq =>
+      srv.publish("etl", seq, s"etl.${seq % 3}",
+        1700000000000000000L + seq * 1000000L, s"m$seq".getBytes)
+    }
+    def job(name: String, trigger: Trigger) = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_durable_$name").toString
+      spark.readStream.format("nats_scan")
+        .option("url", durl).option("stream", "etl")
+        .option("durable", "grp")
+        .option("max_msgs_per_batch", "100").option("slice_width", "64")
+        .load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).trigger(trigger).start()
+    }
+    // job 1: commit a couple of batches, then die mid-stream
+    val q1 = job("durable_job1", Trigger.ProcessingTime("300 milliseconds"))
+    val deadline = System.currentTimeMillis() + 60000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    q1.stop()
+    q1.awaitTermination(60000)
+    val t = Transport.connect(durl)
+    val floor = t.ackFloor("etl", "grp")
+    assert(floor > 0L && floor < 600L,
+      s"expected a mid-stream ack floor after the crash, got $floor")
+    // job 2: FRESH checkpoint, same durable → resumes AFTER the floor; no
+    // Spark state is shared between the jobs, only the server's ack state
+    val q2 = job("durable_job2", Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    val seqs2 = spark.sql("SELECT seq FROM durable_job2").collect()
+      .map(_.getLong(0))
+    assert(seqs2.min == floor + 1L,
+      s"successor must resume after the ack floor $floor, started at ${seqs2.min}")
+    assert(seqs2.max == 600L && seqs2.length == (600L - floor).toInt,
+      "successor must drain exactly the unacked tail, no dupes, no loss")
+    // Spark commits a batch's SOURCE offsets while constructing the next
+    // batch, so at shutdown the ack floor lags the sink by at most one
+    // batch — this IS the at-least-once window of the handoff (JetStream
+    // AckAll semantics), pinned here rather than papered over
+    val floor2 = t.ackFloor("etl", "grp")
+    assert(floor2 >= 600L - 100L && floor2 <= 600L,
+      s"floor must land within one batch of the end, got $floor2")
+    if (floor2 < 600L) {
+      // a THIRD job re-reads exactly the unacked tail: duplicated into the
+      // new sink (at-least-once), never lost
+      val q3 = job("durable_job3", Trigger.AvailableNow())
+      q3.awaitTermination(120000)
+      val seqs3 = spark.sql("SELECT seq FROM durable_job3").collect()
+        .map(_.getLong(0))
+      assert(seqs3.min == floor2 + 1L && seqs3.max == 600L &&
+        seqs3.length == (600L - floor2).toInt,
+        s"third job must re-read the unacked tail ${floor2 + 1}..600, got " +
+          s"${seqs3.min}..${seqs3.max}")
+    }
+    // stale lower acks never regress the floor; durables are independent
+    val floorBefore = t.ackFloor("etl", "grp")
+    t.ackAll("etl", "grp", 5L)
+    assert(t.ackFloor("etl", "grp") == floorBefore, "AckAll floors are monotonic")
+    assert(t.ackFloor("etl", "other-group") == 0L)
+  }
+
   test("PUBLISH direction: streaming sink → JetStream with Msg-Id dedup is idempotent") {
     import org.apache.spark.sql.streaming.Trigger
     val pubUrl = "nats://publish-server:4222"
