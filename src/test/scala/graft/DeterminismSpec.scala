@@ -60,7 +60,13 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     // stats-driven plans (broadcast decisions must not change results)
     "pipe_domain_cap", "pipe_token_budget", "pipe_mixture_realize",
     "pipe_filter_funnel", "ann_filtered", "embed_matryoshka",
-    "text_boilerplate", "embed_drift")
+    "text_boilerplate", "embed_drift",
+    // round-8 additions: credentialed transport scan (pooled dials must not
+    // change results), Struct/Any JSON-text decode (canonical rendering is
+    // partitioning-blind by construction — pin it), registry-framed Avro
+    // with per-row writer-schema resolution across task boundaries
+    "transport_auth", "proto_struct", "proto_struct_text", "proto_any",
+    "nats_avro_registry")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
