@@ -101,8 +101,11 @@ object Dedup {
     * to the same-block universe so recall is measured against a truth that
     * is computable without an all-pairs product. Signatures materialize
     * once and are re-banded per config (re-banding is a projection —
-    * O(docs × bands), no re-hashing). Per config only three bounded
-    * counts reach the driver. */
+    * O(docs × bands), no re-hashing). The whole sweep is ONE plan with
+    * ZERO driver collects: per-config candidate sets union with a
+    * `bands` tag, one hash aggregation produces every config's
+    * (n_cand, n_hit) row, and the 1-row truth count broadcasts in —
+    * materialization is a single Spark job regardless of config count. */
   def lshRecallSweep(df: DataFrame, idCol: String, textCol: String,
                      blockCol: String, numHashes: Int,
                      bandConfigs: Seq[Int], minJaccard: Double): DataFrame = {
@@ -131,26 +134,34 @@ object Dedup {
     val sig = graft.Caches.tracked(
       minhashSignatures(df, idCol, textCol, numHashes))
     val blocks = df.select(col(idCol), col(blockCol))
-    val nTrue = truth.count()
-    val rows = bandConfigs.map { b =>
+    val configs = df.sparkSession.createDataFrame(
+      bandConfigs.map(b => (b, numHashes / b)))
+      .toDF("bands", "rows_per_band")
+    val allCand = bandConfigs.map { b =>
       val keyed = minhashBands(sig, idCol, numHashes, b)
-      val cand = keyed.select(col(idCol).as("id1"), col("band"), col("band_key"))
+      keyed.select(col(idCol).as("id1"), col("band"), col("band_key"))
         .join(keyed.select(col(idCol).as("id2"), col("band"), col("band_key")),
           Seq("band", "band_key"))
         .filter(col("id1") < col("id2"))
         .select("id1", "id2").distinct()
-      val candB = graft.Caches.tracked(cand
-        .join(blocks.select(col(idCol).as("id1"), col(blockCol).as("bl1")), "id1")
-        .join(blocks.select(col(idCol).as("id2"), col(blockCol).as("bl2")), "id2")
-        .filter(col("bl1") === col("bl2"))
-        .select("id1", "id2"))
-      (b, numHashes / b, nTrue, candB.count(),
-        truth.join(candB, Seq("id1", "id2")).count())
-    }
-    df.sparkSession.createDataFrame(rows)
-      .toDF("bands", "rows_per_band", "n_true", "n_cand", "n_hit")
+        .withColumn("bands", lit(b))
+    }.reduce(_.unionByName(_))
+    val candB = allCand
+      .join(blocks.select(col(idCol).as("id1"), col(blockCol).as("bl1")), "id1")
+      .join(blocks.select(col(idCol).as("id2"), col(blockCol).as("bl2")), "id2")
+      .filter(col("bl1") === col("bl2"))
+      .select("bands", "id1", "id2")
+    val perConfig = candB
+      .join(truth.withColumn("istrue", lit(1L)), Seq("id1", "id2"), "left")
+      .groupBy("bands")
+      .agg(count(lit(1)).as("n_cand"),
+        coalesce(sum("istrue"), lit(0L)).as("n_hit"))
+    configs.join(perConfig, Seq("bands"), "left")
+      .na.fill(0L, Seq("n_cand", "n_hit"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
       .withColumn("recall",
         round(col("n_hit").cast("double") / col("n_true"), 6))
+      .select("bands", "rows_per_band", "n_true", "n_cand", "n_hit", "recall")
       .orderBy("bands")
   }
 
