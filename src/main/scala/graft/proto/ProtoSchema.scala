@@ -214,7 +214,49 @@ object ProtoSchema {
     * protoc, not on disk): importing them enables `google.protobuf
     * .Timestamp` / `.Duration` as field types. Import cycles error rather
     * than loop; each file parses once (diamond imports are fine). */
+  /** Parsed-schema cache (reference roadmap "Schema caching — reuse parsed
+    * schemas across queries", /root/reference/docs/GUIDE.md:488): keyed by
+    * (root path, message); every hit re-validates each contributing file's
+    * (size, mtime), so an edited .proto re-parses while an unchanged one is
+    * a map lookup — the repeated-query case (the same scan options across
+    * thousands of micro-batches or bench iterations) never re-tokenizes.
+    * Cached values are immutable [[MessageDef]]s, safe to share across
+    * threads; parse FAILURES never cache (errors must re-surface with the
+    * bind-time message every time). */
+  private final case class SchemaStamp(path: java.nio.file.Path, size: Long,
+                                       mtime: java.nio.file.attribute.FileTime)
+  private final case class SchemaEntry(stamps: Seq[SchemaStamp],
+                                       schema: MessageDef)
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), SchemaEntry]()
+
+  /** cold parses actually performed — observable seam for the cache spec */
+  private[graft] val fileParses = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def stampOf(p: java.nio.file.Path): SchemaStamp =
+    SchemaStamp(p, java.nio.file.Files.size(p),
+      java.nio.file.Files.getLastModifiedTime(p))
+
   def parseFile(path: String, messageName: String): MessageDef = {
+    val cacheKey =
+      (java.nio.file.Paths.get(path).toAbsolutePath.normalize().toString,
+        messageName)
+    val hit = schemaCache.get(cacheKey)
+    if (hit != null && hit.stamps.forall(s =>
+        java.nio.file.Files.isReadable(s.path) &&
+          java.nio.file.Files.size(s.path) == s.size &&
+          java.nio.file.Files.getLastModifiedTime(s.path) == s.mtime))
+      hit.schema
+    else {
+      val (visited, schema) = parseFileCold(path, messageName)
+      schemaCache.put(cacheKey, SchemaEntry(visited.map(stampOf), schema))
+      schema
+    }
+  }
+
+  private def parseFileCold(path: String,
+                            messageName: String): (Seq[java.nio.file.Path], MessageDef) = {
+    fileParses.incrementAndGet()
     val rootPath = java.nio.file.Paths.get(path).toAbsolutePath.normalize()
     val rootDir = rootPath.getParent
     val visited = scala.collection.mutable.LinkedHashSet[java.nio.file.Path]()
@@ -261,7 +303,7 @@ object ProtoSchema {
     // references anyway); the combined token stream has imports stripped
     val tokens = sources.reverse.toVector.flatMap(s =>
       stripImports(tokenize(s)))
-    finish(tokens, messageName, wkt.toSet)
+    (visited.toSeq, finish(tokens, messageName, wkt.toSet))
   }
 
   /** `import [public|weak] "x.proto" ;` paths in source order */

@@ -426,4 +426,44 @@ class ProtoCodecSpec extends AnyFunSuite {
       ProtoWire.encodeMessage(decoded, structEvent))
     assert(e.getMessage.contains("wire shape"))
   }
+
+  test("schema cache: repeat parseFile is a lookup; edits invalidate; " +
+    "errors never cache") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-schema-cache")
+    def write(name: String, src: String): java.nio.file.Path =
+      java.nio.file.Files.write(dir.resolve(name),
+        src.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    write("inner.proto",
+      """syntax = "proto3"; message Inner { string tag = 1; }""")
+    val root = write("root.proto",
+      """syntax = "proto3"; import "inner.proto";
+        |message Root { Inner inner = 1; int32 n = 2; }""".stripMargin)
+
+    val before = ProtoSchema.fileParses.get()
+    val first = ProtoSchema.parseFile(root.toString, "Root")
+    assert(ProtoSchema.fileParses.get() == before + 1)
+    // warm hit: no new parse, the SAME immutable MessageDef comes back
+    assert(ProtoSchema.parseFile(root.toString, "Root") eq first)
+    assert(ProtoSchema.fileParses.get() == before + 1)
+
+    // editing the IMPORTED file (not the root) must invalidate — stamps
+    // cover every contributing file, not just the key path
+    write("inner.proto",
+      """syntax = "proto3"; message Inner { string tag = 1; int64 extra = 2; }""")
+    val reparsed = ProtoSchema.parseFile(root.toString, "Root")
+    assert(ProtoSchema.fileParses.get() == before + 2)
+    assert(reparsed.sparkSchema("inner").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("extra"))
+
+    // a failed parse (missing import) is not cached: fixing the file
+    // succeeds on the next call instead of replaying a stale error
+    val broken = write("broken.proto",
+      """syntax = "proto3"; import "missing.proto"; message B { int32 x = 1; }""")
+    intercept[IllegalArgumentException](
+      ProtoSchema.parseFile(broken.toString, "B"))
+    write("missing.proto", """syntax = "proto3"; message M { int32 y = 1; }""")
+    assert(ProtoSchema.parseFile(broken.toString, "B")
+      .sparkSchema.fieldNames.contains("x"))
+  }
 }
