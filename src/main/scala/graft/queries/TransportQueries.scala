@@ -198,6 +198,24 @@ object TransportQueries {
         .orderBy("etype")
     }),
 
+    // named connection profile (GUIDE.md:494 roadmap): the scan carries
+    // only `profile` + query-shape options; url/timeout come from the
+    // registered bundle, resolved at bind time — result must be identical
+    // to an inline-url scan of the same window
+    "transport_profile" -> ((s, dir) => {
+      val name = s"fixture-${new java.io.File(dir).getName}"
+      graft.transport.ConnectionProfiles.register(name,
+        Map("url" -> fixtureUrl(s, dir), "connect_timeout_ms" -> "5000"))
+      s.read.format("nats_scan")
+        .option("profile", name).option("stream", "events")
+        .option("slice_width", "1024")
+        .load()
+        .filter(col("seq") >= 101L && col("seq") <= 6000L)
+        .groupBy((col("seq") % 7L).as("bucket"))
+        .agg(count(lit(1)).as("n"), max("seq").as("max_seq"))
+        .orderBy("bucket")
+    }),
+
     // pruning equivalence: the transport scan and the parquet-backed scan
     // answer an identical bounded query identically (oracle recomputes from
     // the fixture — this is the "transport scan ≡ parquet scan" property
@@ -265,6 +283,11 @@ object TransportQueries {
            | min(seq) AS min_seq, max(seq) AS max_seq
            | FROM env WHERE seq <= 4000
            | GROUP BY 1 ORDER BY etype""".stripMargin,
+
+      "transport_profile" ->
+        s"""$env SELECT seq % 7 AS bucket, count(*) AS n, max(seq) AS max_seq
+           | FROM env WHERE seq BETWEEN 101 AND 6000
+           | GROUP BY 1 ORDER BY bucket""".stripMargin,
 
       "transport_parquet_parity" ->
         "SELECT CAST(0 AS BIGINT) AS n_disagreements"

@@ -40,6 +40,13 @@ final class NatsScanScan(file: String, dir: String, stream: String,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new graft.streaming.NatsMicroBatchStream(dir, stream, maxPerBatch)
 
+  override def toContinuousStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
+    throw new UnsupportedOperationException(
+      "nats_scan: continuous (push-based) mode requires transport mode — " +
+        "set option(\"url\", ...); the parquet-backed store serves " +
+        "micro-batch streaming")
+
   override def description(): String =
     s"nats_scan stream=$stream seq=[$seqLo,$seqHi] tsNs=[$tsLoNs,$tsHiNs] " +
       s"subjectContains=$subjectContains subjectPrefixes=$subjectPrefixes " +

@@ -54,8 +54,14 @@ object NatsScanSource {
     StructField("payload", BinaryType, nullable = true)))
 }
 
-final class NatsScanTable(props: Map[String, String])
+final class NatsScanTable(rawProps: Map[String, String])
     extends Table with SupportsRead with SupportsWrite {
+  /** `profile` option resolves against the named-connection registry at
+    * bind time (defaults under explicit options); everything downstream
+    * sees only the merged map */
+  private val props: Map[String, String] =
+    graft.transport.ConnectionProfiles.resolve(rawProps)
+
   /** `url` set → transport mode (live/fake JetStream through the
     * [[graft.transport.JetStreamTransport]] seam); otherwise the
     * parquet-backed store under `dir`. Same envelope, same pushdown. */
@@ -83,6 +89,7 @@ final class NatsScanTable(props: Map[String, String])
   override def schema(): StructType = NatsScanSource.envelopeSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.CONTINUOUS_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
 
@@ -126,7 +133,8 @@ final class NatsScanTable(props: Map[String, String])
             s"nats_scan: fetch_mode must be 'fetch' or 'consumer', got '$other'")
         },
         auth = auth,
-        durable = props.get("durable"))
+        durable = props.get("durable"),
+        continuousShards = props.getOrElse("continuous_shards", "1").toInt)
     }
     new NatsScanBuilder(s"$dir/$stream.parquet", dir, stream, maxPerBatch,
       transport)
@@ -147,7 +155,8 @@ final case class TransportBind(url: String,
                                fetchMode: String = "fetch",
                                auth: graft.transport.TransportAuth =
                                  graft.transport.TransportAuth.anonymous,
-                               durable: Option[String] = None)
+                               durable: Option[String] = None,
+                               continuousShards: Int = 1)
 
 /** Accepts seq/ts/subject predicates; everything else stays residual.
   * Bounds are accumulated as [seqLo, seqHi] (1-based inclusive) and
@@ -384,7 +393,8 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
         subjectPrefixes = subjectPrefixes,
         maxPerBatch = tb.maxPerBatch,
         sliceWidth = tb.sliceWidth, connectTimeoutMs = tb.connectTimeoutMs,
-        fetchMode = tb.fetchMode, auth = tb.auth, durable = tb.durable)
+        fetchMode = tb.fetchMode, auth = tb.auth, durable = tb.durable,
+        continuousShards = tb.continuousShards)
     case None =>
       new NatsScanScan(file, dir, stream, required, seqLo, seqHi, tsLoNs,
         tsHiNs, subjectContains, subjectPrefixes, maxPerBatch, pushedLimit,

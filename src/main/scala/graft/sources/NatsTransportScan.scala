@@ -45,7 +45,8 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
                               fetchMode: String = "fetch",
                               auth: graft.transport.TransportAuth =
                                 graft.transport.TransportAuth.anonymous,
-                              durable: Option[String] = None)
+                              durable: Option[String] = None,
+                              continuousShards: Int = 1)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -111,6 +112,15 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
       maxPerBatch = maxPerBatch, sliceWidth = sliceWidth,
       connectTimeoutMs = connectTimeoutMs, auth = auth,
       fetchMode = fetchMode, durable = durable)
+
+  /** push-based delivery (`Trigger.Continuous`): long-running sharded tail
+    * readers, rows emitted as fetched — see
+    * [[graft.streaming.NatsTransportContinuousStream]] */
+  override def toContinuousStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
+    new graft.streaming.NatsTransportContinuousStream(url, stream,
+      numShards = continuousShards, connectTimeoutMs = connectTimeoutMs,
+      auth = auth, durable = durable)
 
   override def description(): String =
     s"nats_transport url=$url stream=$stream seq=[$seqLo,$seqHi] " +

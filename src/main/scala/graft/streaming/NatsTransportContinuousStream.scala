@@ -1,0 +1,197 @@
+package graft.streaming
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.InputPartition
+import org.apache.spark.sql.connector.read.streaming.{ContinuousPartitionReader, ContinuousPartitionReaderFactory, ContinuousStream, Offset, PartitionOffset}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.transport.{TransportAuth, TransportMsg, TransportPool}
+
+/** PUSH-BASED DELIVERY over the transport seam — the reference roadmap's
+  * "Push-based delivery — event-driven message consumption"
+  * (/root/reference/docs/GUIDE.md:482), expressed Spark-first as a
+  * CONTINUOUS-processing stream (`Trigger.Continuous`): one long-running
+  * task per shard holds its reader open and emits rows the moment a fetch
+  * returns them. Latency is fetch-poll bound (`poll_interval_ms` when caught
+  * up, immediate while behind), not micro-batch-trigger bound; epoch markers
+  * — not batch planning — commit offsets, so there is no per-batch job
+  * launch on the hot path at all.
+  *
+  * SHARDING is the roadmap's "consumer groups — distributed processing
+  * across multiple workers" (GUIDE.md:463) in deterministic form: shard i of
+  * n owns exactly the seqs with `seq % n == i`. No rebalance protocol, no
+  * server-side group state; per-shard order is per-consumer order (each
+  * shard's owned seqs arrive ascending), and the union over shards is the
+  * full stream exactly once — the same modulo-distribution argument the
+  * durable-consumer batch path documents. Every shard fetches the same
+  * batches and drops the (n−1)/n it does not own: for the 1000-executor
+  * live tail the bytes-per-shard overhead is bounded by n × stream bytes /
+  * n = stream bytes — the classic broadcast-tail trade; set n to the
+  * consumer-parallelism you need, not the cluster width.
+  *
+  * Offsets: per-shard last-DELIVERED seq ([[ShardOffset]]), merged into a
+  * [[ShardsOffset]] map by the epoch coordinator. Restart replans each
+  * shard from its own floor — an epoch that never committed replays only
+  * the shards that were behind, and `seq % n` ownership makes the replay
+  * rows identical. With `durable`, each committed epoch acks the MINIMUM
+  * floor across shards back to the server (AckAll is cumulative — acking
+  * beyond an undelivered shard's floor would mark foreign seqs consumed).
+  *
+  * Gap seqs (deleted/compacted messages) never arrive in a fetch batch;
+  * ownership filtering skips them implicitly — no NOT_FOUND probes on the
+  * continuous path either. */
+final class NatsTransportContinuousStream(url: String, stream: String,
+                                          numShards: Int,
+                                          connectTimeoutMs: Long,
+                                          auth: TransportAuth =
+                                            TransportAuth.anonymous,
+                                          durable: Option[String] = None,
+                                          pollIntervalMs: Long = 50L)
+    extends ContinuousStream {
+
+  require(numShards >= 1, s"continuous_shards must be >= 1, got $numShards")
+
+  override def initialOffset(): Offset = {
+    // durable handoff parity with the micro-batch stream: the server's
+    // cumulative ack floor seeds every shard when the checkpoint is empty
+    val floor = durable match {
+      case Some(d) =>
+        TransportPool.get(url, connectTimeoutMs, auth).ackFloor(stream, d)
+      case None => 0L
+    }
+    ShardsOffset((0 until numShards).map(_ -> floor).toMap)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    ShardsOffset.parse(json)
+
+  override def mergeOffsets(offsets: Array[PartitionOffset]): Offset =
+    ShardsOffset(offsets.map { case ShardOffset(s, q) => s -> q }.toMap)
+
+  override def planInputPartitions(start: Offset): Array[InputPartition] =
+    start.asInstanceOf[ShardsOffset].seqs.toSeq.sortBy(_._1).map {
+      case (shard, afterSeq) =>
+        NatsContinuousPartition(url, stream, shard, numShards,
+          afterSeq): InputPartition
+    }.toArray
+
+  override def createContinuousReaderFactory(): ContinuousPartitionReaderFactory =
+    new NatsContinuousReaderFactory(connectTimeoutMs, auth, pollIntervalMs)
+
+  override def commit(end: Offset): Unit = durable.foreach { d =>
+    val floors = end.asInstanceOf[ShardsOffset].seqs.values
+    if (floors.nonEmpty)
+      TransportPool.get(url, connectTimeoutMs, auth)
+        .ackAll(stream, d, floors.min)
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** per-shard continuous offset: last seq DELIVERED by `shard` */
+final case class ShardOffset(shard: Int, seq: Long) extends PartitionOffset
+
+/** merged checkpoint offset: shard → last delivered seq */
+final case class ShardsOffset(seqs: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    seqs.toSeq.sortBy(_._1).map { case (s, q) => s"$s:$q" }.mkString(",")
+}
+
+object ShardsOffset {
+  def parse(json: String): ShardsOffset =
+    ShardsOffset(json.trim.split(",").iterator.filter(_.nonEmpty).map { part =>
+      val Array(s, q) = part.split(":")
+      s.trim.toInt -> q.trim.toLong
+    }.toMap)
+}
+
+final case class NatsContinuousPartition(url: String, stream: String,
+                                         shard: Int, numShards: Int,
+                                         afterSeq: Long) extends InputPartition
+
+final class NatsContinuousReaderFactory(connectTimeoutMs: Long,
+                                        auth: TransportAuth,
+                                        pollIntervalMs: Long)
+    extends ContinuousPartitionReaderFactory {
+  override def createReader(p: InputPartition): ContinuousPartitionReader[InternalRow] =
+    new NatsContinuousReader(p.asInstanceOf[NatsContinuousPartition],
+      connectTimeoutMs, auth, pollIntervalMs)
+}
+
+/** One shard's endless tail. `next()` blocks (poll + sleep) until an owned
+  * message exists — continuous-mode tasks are long-running by design, and
+  * `Thread.sleep` keeps the wait interruptible so `query.stop()` cancels
+  * the task promptly. The fetch loop is the batch reader's shape (2048/RPC,
+  * transient-fault retry via re-asking the same range) on the POOLED
+  * per-JVM connection. */
+final class NatsContinuousReader(p: NatsContinuousPartition,
+                                 connectTimeoutMs: Long,
+                                 auth: TransportAuth,
+                                 pollIntervalMs: Long)
+    extends ContinuousPartitionReader[InternalRow] {
+
+  private val BatchSize = 2048
+  private val MaxRetries = 3
+  private val BackoffMs = 50L
+
+  private val transport = TransportPool.get(p.url, connectTimeoutMs, auth)
+
+  /** last seq this shard DELIVERED (the offset axis) */
+  private var lastDelivered = p.afterSeq
+  /** next seq (global axis) to ask the server for */
+  private var fetchFrom = p.afterSeq + 1
+  private var batch: Array[TransportMsg] = Array.empty
+  private var i = 0
+  private var current: InternalRow = _
+
+  private def withRetry[T](f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: graft.transport.NatsIOException =>
+          attempt += 1
+          if (attempt > MaxRetries) throw e
+          Thread.sleep(math.min(BackoffMs << (attempt - 1), 1000L))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      while (i < batch.length) {
+        val m = batch(i)
+        i += 1
+        if (m.seq % p.numShards == p.shard.toLong) {
+          lastDelivered = m.seq
+          current = toRow(m)
+          return true
+        }
+      }
+      val last = withRetry(transport.streamInfo(p.stream)).lastSeq
+      if (fetchFrom > last) {
+        Thread.sleep(pollIntervalMs) // caught up — poll-bound wait
+      } else {
+        batch = withRetry(
+          transport.fetch(p.stream, fetchFrom, last, BatchSize))
+        i = 0
+        // an empty batch means the rest of [fetchFrom, last] is gaps
+        fetchFrom = if (batch.isEmpty) last + 1 else batch.last.seq + 1
+      }
+    }
+    false
+  }
+
+  private def toRow(m: TransportMsg): InternalRow =
+    InternalRow(
+      UTF8String.fromString(p.stream),
+      if (m.subject == null) null else UTF8String.fromString(m.subject),
+      m.seq,
+      Math.floorDiv(m.tsNs, 1000L), // ns → µs truncation (envelope semantics)
+      m.payload)
+
+  override def get(): InternalRow = current
+  override def getOffset: PartitionOffset = ShardOffset(p.shard, lastDelivered)
+  override def close(): Unit = () // pooled transport outlives the reader
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.transport.FakeJetStream
+
+/** Push-based delivery (reference roadmap GUIDE.md:482) via Spark
+  * continuous processing: sharded long-running tail readers over the
+  * transport seam. Covers live delivery of rows published AFTER the query
+  * started (the event-driven property micro-batches approximate), modulo
+  * sharding exactly-once-per-union, and the store-mode rejection. */
+class ContinuousSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def eventually(timeoutMs: Long = 60000L)(cond: => Boolean): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (System.nanoTime() < deadline) {
+      if (cond) return true
+      Thread.sleep(100L)
+    }
+    cond
+  }
+
+  test("continuous tail: pre-existing AND post-start messages arrive, " +
+    "each exactly once across 2 shards") {
+    val url = "nats://continuous-spec:4222"
+    val s = FakeJetStream.listen(url)
+    (1L to 30L).foreach { seq =>
+      s.publish("cont", seq, s"cont.dev${seq % 3}",
+        1700000000000000000L + seq * 1000000000L, s"""{"v":$seq}""".getBytes)
+    }
+    // a gap: deleted messages must be skipped silently, like the batch path
+    s.deleteMsg("cont", 7L)
+
+    val q = spark.readStream.format("nats_scan")
+      .option("url", url).option("stream", "cont")
+      .option("continuous_shards", "2")
+      .load()
+      .selectExpr("seq", "subject")
+      .writeStream.format("memory").queryName("cont_tail")
+      .trigger(Trigger.Continuous("200 milliseconds"))
+      .start()
+    try {
+      assert(eventually() {
+        spark.sql("SELECT count(DISTINCT seq) FROM cont_tail")
+          .head().getLong(0) == 29L
+      }, "pre-existing messages (30 minus 1 gap) never all arrived")
+
+      // PUSH property: rows published while the query runs appear without
+      // any new batch being planned
+      (31L to 40L).foreach { seq =>
+        s.publish("cont", seq, s"cont.dev${seq % 3}",
+          1700000000000000000L + seq * 1000000000L, s"""{"v":$seq}""".getBytes)
+      }
+      assert(eventually() {
+        spark.sql("SELECT count(DISTINCT seq) FROM cont_tail")
+          .head().getLong(0) == 39L
+      }, "post-start messages never arrived")
+
+      // exactly once across the shard union: no seq delivered twice, and
+      // the shards partition the seq space by modulo
+      val rows = spark.sql("SELECT seq FROM cont_tail").collect().map(_.getLong(0))
+      assert(rows.length == rows.distinct.length,
+        s"duplicate delivery: ${rows.groupBy(identity).filter(_._2.length > 1).keys.toSeq.sorted}")
+      assert(rows.sorted.sameElements((1L to 40L).filter(_ != 7L)),
+        "delivered seq set differs from the published (minus gaps) set")
+    } finally q.stop()
+  }
+
+  test("continuous tail: checkpoint restart resumes from committed shard " +
+    "offsets, losing nothing") {
+    val url = "nats://continuous-restart:4222"
+    val s = FakeJetStream.listen(url)
+    (1L to 20L).foreach { seq =>
+      s.publish("cr", seq, "cr.x",
+        1700000000000000000L + seq * 1000000000L, Array[Byte](seq.toByte))
+    }
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-cont-ckpt").toString
+    // foreach sink: the recovery-capable continuous-compatible sink (the
+    // native store sink requires seq distribution+ordering, which Spark
+    // rejects in continuous execution by design; memory refuses recovery)
+    def start() = spark.readStream.format("nats_scan")
+      .option("url", url).option("stream", "cr")
+      .option("continuous_shards", "2")
+      .load()
+      .selectExpr("seq")
+      .writeStream
+      .foreach(new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+        override def open(partitionId: Long, epochId: Long): Boolean = true
+        override def process(r: org.apache.spark.sql.Row): Unit =
+          ContinuousSpec.collected.add(r.getLong(0))
+        override def close(errorOrNull: Throwable): Unit = ()
+      })
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.Continuous("200 milliseconds"))
+      .start()
+
+    val q1 = start()
+    try {
+      assert(eventually() { ContinuousSpec.collected.size() == 20 },
+        "run 1 never delivered the initial 20")
+      Thread.sleep(600L) // let the final epoch commit before the stop
+    } finally q1.stop()
+
+    ContinuousSpec.collected.clear()
+    (21L to 25L).foreach { seq =>
+      s.publish("cr", seq, "cr.x",
+        1700000000000000000L + seq * 1000000000L, Array[Byte](seq.toByte))
+    }
+    val q2 = start()
+    try {
+      assert(eventually() {
+        (21L to 25L).forall(ContinuousSpec.collected.contains)
+      }, s"restart lost post-stop messages: got ${ContinuousSpec.collected}")
+      // resume floor: run 2 must NOT replay the whole stream from seq 1 —
+      // the checkpointed shard offsets bound the replay to (at most) the
+      // final uncommitted epoch's suffix
+      assert(!ContinuousSpec.collected.contains(1L) ||
+        !ContinuousSpec.collected.contains(2L),
+        s"restart replayed from the beginning: ${ContinuousSpec.collected}")
+    } finally q2.stop()
+  }
+
+  test("store mode rejects continuous with a pointed error") {
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("nats_scan")
+        .option("dir", "/root/testdata/sf0.001")
+        .load()
+        .selectExpr("seq")
+        .writeStream.format("memory").queryName("cont_store")
+        .trigger(Trigger.Continuous("1 second"))
+        .start()
+      try q.awaitTermination(30000) finally q.stop()
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(e).contains("continuous (push-based) mode requires transport mode"))
+  }
+}
+
+object ContinuousSpec {
+  /** cross-task sink for the restart test (local mode: one JVM) */
+  val collected: java.util.Set[java.lang.Long] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+}

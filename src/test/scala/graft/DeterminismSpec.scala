@@ -66,7 +66,11 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     // partitioning-blind by construction — pin it), registry-framed Avro
     // with per-row writer-schema resolution across task boundaries
     "transport_auth", "proto_struct", "proto_struct_text", "proto_any",
-    "nats_avro_registry")
+    "nats_avro_registry",
+    // profile-resolved transport scan: bind-time option merge must be
+    // invisible to results at any parallelism (dedup_lsh_sweep, already
+    // listed above, now also covers the zero-collect single-plan rewrite)
+    "transport_profile")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

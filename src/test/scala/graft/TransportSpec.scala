@@ -641,4 +641,67 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(viaT.sameElements(viaP), s"range [$lo,$hi] disagrees")
     }
   }
+
+  // --- named connection profiles (GUIDE.md:494 roadmap) ---
+
+  test("connection profile: scan via option(profile) = scan via inline url") {
+    server
+    graft.transport.ConnectionProfiles.register("spec",
+      Map("url" -> url, "connect_timeout_ms" -> "2000"))
+    try {
+      val viaProfile = spark.read.format("nats_scan")
+        .option("profile", "spec").option("stream", "telemetry")
+        .option("slice_width", "16").load()
+      assert(scanRows(viaProfile) == 90L)
+    } finally graft.transport.ConnectionProfiles.remove("spec")
+  }
+
+  test("connection profile: explicit scan options override profile defaults") {
+    FakeJetStream.blackhole("nats://profile-blackhole:4222")
+    graft.transport.ConnectionProfiles.register("overridable",
+      Map("url" -> "nats://profile-blackhole:4222",
+        "connect_timeout_ms" -> "60000"))
+    try {
+      // explicit url wins over the profile's blackhole → the scan works
+      server
+      val df = spark.read.format("nats_scan")
+        .option("profile", "overridable").option("url", url)
+        .option("stream", "telemetry").option("slice_width", "16").load()
+      assert(scanRows(df) == 90L)
+      // profile's url kept, explicit SHORT timeout wins → fast fail
+      val t0 = System.nanoTime()
+      val e = intercept[Exception] {
+        spark.read.format("nats_scan")
+          .option("profile", "overridable")
+          .option("connect_timeout_ms", "300")
+          .option("stream", "telemetry").load().collect()
+      }
+      assert((System.nanoTime() - t0) / 1e9 < 30.0)
+      assert(messageChain(e).toLowerCase.contains("time"))
+    } finally graft.transport.ConnectionProfiles.remove("overridable")
+  }
+
+  test("connection profile negatives: unknown name lists registered; " +
+    "non-connection keys rejected at registration") {
+    graft.transport.ConnectionProfiles.register("listed",
+      Map("url" -> url))
+    try {
+      val e = intercept[Exception] {
+        spark.read.format("nats_scan").option("profile", "nope")
+          .option("stream", "telemetry").load()
+      }
+      assert(messageChain(e).contains("unknown connection profile 'nope'"))
+      assert(messageChain(e).contains("listed"))
+    } finally graft.transport.ConnectionProfiles.remove("listed")
+    val bad = intercept[IllegalArgumentException] {
+      graft.transport.ConnectionProfiles.register("bad",
+        Map("url" -> url, "start_seq" -> "5"))
+    }
+    assert(bad.getMessage.contains("start_seq"))
+    val noUrl = intercept[IllegalArgumentException] {
+      graft.transport.ConnectionProfiles.register("nourl",
+        Map("tls" -> "true"))
+    }
+    assert(noUrl.getMessage.contains("url"))
+  }
 }
