@@ -86,6 +86,60 @@ object TransportScaleProbe {
       println(f"$planned%7d $wall%8.2f $rows%9d $dials%6d $rpcs%7d " +
         f"${rpcs * 1000.0 / n}%13.2f $planRpcs%10d $probeRpcs%14d")
     }
+
+    // --- continuous push mode: shard sweep ------------------------------
+    // Claims under test (docs/LIVE_NATS.md "Push-based delivery"):
+    //   - end-to-end delivery latency for a pre-filled stream stays flat or
+    //     improves as shards grow (long-running readers drain in parallel);
+    //   - fetch RPC volume grows ≈ shards × ceil(msgs/2048) — the
+    //     documented every-shard-fetches-all trade of modulo distribution
+    //     (set shards to consumer parallelism, not cluster width).
+    val cn = sys.env.getOrElse("SPARK_GRAFT_TSP_CONT_MSGS", "65536").toLong
+    val curl = "nats://transport-scale-probe-cont:4222"
+    val csrv = FakeJetStream.listen(curl)
+    var cseq = 1L
+    while (cseq <= cn) {
+      csrv.publish("cprobe", cseq, s"c.${cseq % 13}",
+        1700000000000000000L + cseq * 1000000L,
+        s"""{"seq":$cseq,"pad":"xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"}""".getBytes)
+      cseq += 1
+    }
+    println()
+    println("continuous (push-based) shard sweep:")
+    println(f"${"shards"}%7s ${"wall_s"}%8s ${"rows"}%9s ${"rpcs"}%7s " +
+      f"${"rpc_per_kmsg"}%13s ${"krows_per_s"}%12s")
+    Seq(1, 2, 4, 8).foreach { shards =>
+      TransportScaleProbe.delivered.clear()
+      val r0 = csrv.rpcCountTotal
+      val t0 = System.nanoTime()
+      val q = spark.readStream.format("nats_scan")
+        .option("url", curl).option("stream", "cprobe")
+        .option("continuous_shards", shards.toString)
+        .load().selectExpr("seq")
+        .writeStream
+        .foreach(new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+          override def open(partitionId: Long, epochId: Long): Boolean = true
+          override def process(r: org.apache.spark.sql.Row): Unit =
+            TransportScaleProbe.delivered.add(r.getLong(0))
+          override def close(errorOrNull: Throwable): Unit = ()
+        })
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .Continuous("500 milliseconds"))
+        .start()
+      val deadline = System.nanoTime() + 300L * 1000000000L
+      while (TransportScaleProbe.delivered.size() < cn &&
+          System.nanoTime() < deadline)
+        Thread.sleep(20L)
+      val wall = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val rpcs = csrv.rpcCountTotal - r0
+      println(f"$shards%7d $wall%8.2f ${TransportScaleProbe.delivered.size()}%9d " +
+        f"$rpcs%7d ${rpcs * 1000.0 / cn}%13.2f ${cn / wall / 1000.0}%12.1f")
+    }
     spark.stop()
   }
+
+  /** cross-task delivery collector for the continuous sweep (local mode) */
+  val delivered: java.util.Set[java.lang.Long] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
 }
