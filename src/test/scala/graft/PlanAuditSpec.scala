@@ -614,4 +614,31 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("dedup_lsh_sweep builds with ZERO driver actions (single-plan sweep)") {
+    // the round-8 rewrite folded 7 driver-blocking counts into one plan;
+    // this pins it: CONSTRUCTING the sweep DataFrame must launch no jobs
+    // (materialization is the caller's single action)
+    // spark.read.parquet itself runs one bounded footer/schema job
+    // ("parquet at Tables.scala") — metadata, not a collect; count only
+    // jobs that aren't that read-side artifact
+    val actionJobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val names = js.stageInfos.map(_.name).mkString(";")
+        if (!names.startsWith("parquet at ")) { val _ = actionJobs.add(names) }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = SparkEntry.queries("dedup_lsh_sweep")(spark, dir)
+      Thread.sleep(1000L) // listener bus is async; let job-start events land
+      assert(actionJobs.isEmpty,
+        s"sweep construction launched action job(s) — a driver collect " +
+          s"crept back into lshRecallSweep: $actionJobs")
+      // and it still produces the 3-config report when the caller acts
+      assert(df.collect().length == 3)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
