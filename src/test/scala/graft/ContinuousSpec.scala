@@ -133,6 +133,62 @@ class ContinuousSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("continuous durable: committed epochs ack the min shard floor; a " +
+    "fresh-checkpoint successor resumes after it") {
+    val url = "nats://continuous-durable:4222"
+    val s = FakeJetStream.listen(url)
+    (1L to 30L).foreach { seq =>
+      s.publish("cd", seq, "cd.x",
+        1700000000000000000L + seq * 1000000000L, Array[Byte](seq.toByte))
+    }
+    def job() = spark.readStream.format("nats_scan")
+      .option("url", url).option("stream", "cd")
+      .option("continuous_shards", "2").option("durable", "grp")
+      .load()
+      .selectExpr("seq")
+      .writeStream
+      .foreach(new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+        override def open(partitionId: Long, epochId: Long): Boolean = true
+        override def process(r: org.apache.spark.sql.Row): Unit =
+          ContinuousSpec.collected.add(r.getLong(0))
+        override def close(errorOrNull: Throwable): Unit = ()
+      })
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-cont-durable").toString)
+      .trigger(Trigger.Continuous("200 milliseconds"))
+      .start()
+
+    ContinuousSpec.collected.clear()
+    val q1 = job()
+    try {
+      assert(eventually() { ContinuousSpec.collected.size() == 30 })
+      Thread.sleep(700L) // let epochs commit → commit() acks shard-min floor
+    } finally q1.stop()
+
+    val t = graft.transport.Transport.connect(url)
+    val floor = t.ackFloor("cd", "grp")
+    assert(floor > 0L && floor <= 30L,
+      s"expected a server-side ack floor after committed epochs, got $floor")
+
+    // successor job: FRESH checkpoint, same durable — only the server's ack
+    // state is shared; initialOffset seeds every shard from the floor
+    ContinuousSpec.collected.clear()
+    (31L to 35L).foreach { seq =>
+      s.publish("cd", seq, "cd.x",
+        1700000000000000000L + seq * 1000000000L, Array[Byte](seq.toByte))
+    }
+    val q2 = job()
+    try {
+      assert(eventually() {
+        (31L to 35L).forall(ContinuousSpec.collected.contains)
+      }, s"successor missed post-handoff messages: ${ContinuousSpec.collected}")
+      assert((1L to floor).forall(q => !ContinuousSpec.collected.contains(q)),
+        s"successor replayed below the ack floor $floor: ${ContinuousSpec.collected}")
+    } finally q2.stop()
+    assert(t.ackFloor("cd", "grp") >= floor, "ack floor regressed")
+    t.close()
+  }
+
   test("store mode rejects continuous with a pointed error") {
     val e = intercept[Exception] {
       val q = spark.readStream.format("nats_scan")
