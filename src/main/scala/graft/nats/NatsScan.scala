@@ -120,4 +120,21 @@ object NatsScan {
   /** dots → underscores in extraction column names
     * (/root/reference/src/nats_scan.cpp:396-399). */
   def mangle(path: String): String = path.replace('.', '_')
+
+  /** NATS wildcard subject predicate (`events.*.7`, `events.purchase.>`) as
+    * a PUSHABLE Catalyst filter for the columnar paths — the capability the
+    * reference rules out ("substring, NOT wildcard", nats_scan.cpp:741-746;
+    * transport mode takes the same grammar as the `subject_filter` option,
+    * where consumer `filter_subject` applies it server-side).
+    *
+    * Shape: `startswith(subject, <literal prefix>) AND subject RLIKE
+    * <anchored regex>`. The prefix conjunct is the scale half — it pushes as
+    * `StringStartsWith` and drives row-group min/max pruning on a
+    * subject-clustered store (docs/SUBJECT_PRUNING.md); the rlike is exact,
+    * codegen'd, and evaluated only on surviving rows. */
+  def subjectWildcard(subject: Column, pattern: String): Column = {
+    val prefix = graft.transport.SubjectFilter.literalPrefix(pattern)
+    val exact = subject.rlike(graft.transport.SubjectFilter.toRegex(pattern))
+    if (prefix.isEmpty) exact else subject.startsWith(prefix) && exact
+  }
 }

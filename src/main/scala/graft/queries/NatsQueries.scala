@@ -71,6 +71,16 @@ object NatsQueries {
         .select("seq", "subject")
         .orderBy("seq")),
 
+    // NATS wildcard grammar on the columnar path: `events.*.7` as a
+    // pushable startswith + anchored rlike (the reference is substring-only,
+    // nats_scan.cpp:741-746; '*' matches exactly one token, so user 17/70
+    // stay out — a substring '7' could not express this)
+    "nats_subject_wildcard" -> ((s, dir) =>
+      NatsScan.scanDir(s, dir)
+        .filter(NatsScan.subjectWildcard(col("subject"), "events.*.7"))
+        .select("seq", "subject")
+        .orderBy("seq")),
+
     "nats_json_extract" -> ((s, dir) =>
       NatsScan.scanDir(s, dir, opts = NatsScanOptions(jsonExtract = Seq("k")))
         .select("seq", "k", "payload")
@@ -134,6 +144,10 @@ object NatsQueries {
 
     "nats_subject_contains" ->
       s"$envSql SELECT seq, subject FROM env WHERE subject LIKE '%purchase%' ORDER BY seq",
+
+    "nats_subject_wildcard" ->
+      s"""$envSql SELECT seq, subject FROM env
+         | WHERE regexp_matches(subject, '^events\\.[^.]+\\.7$$') ORDER BY seq""".stripMargin,
 
     "nats_json_extract" ->
       s"$envSql SELECT seq, json_extract_string(payload, '$$.k') AS k, payload FROM env ORDER BY seq",

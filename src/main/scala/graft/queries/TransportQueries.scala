@@ -216,6 +216,47 @@ object TransportQueries {
         .orderBy("bucket")
     }),
 
+    // NATS wildcard subject_filter, fetch mode: '*' = exactly one token —
+    // `events.*.7` is every event type for user 7 and nothing else (a
+    // substring '7' would also hit users 17, 70, …; this is the wildcard
+    // semantics the reference explicitly lacks, nats_scan.cpp:741-746)
+    "transport_wildcard" -> ((s, dir) =>
+      scan(s, dir, Map("subject_filter" -> "events.*.7"))
+        .select(col("seq"), col("subject"),
+          expr("octet_length(payload)").as("payload_bytes"))
+        .orderBy("seq")),
+
+    // trailing '>' through a CONSUMER: the pattern rides the consumer's
+    // filter_subject, so filtering happens SERVER-side and only matching
+    // messages cross the wire (TransportSpec pins the delivered volume)
+    "transport_wildcard_consumer" -> ((s, dir) =>
+      scan(s, dir, Map("subject_filter" -> "events.purchase.>",
+          "fetch_mode" -> "consumer"))
+        .groupBy(element_at(split(col("subject"), "\\."), 3).as("uid"))
+        .agg(count(lit(1)).as("n"), min("seq").as("min_seq"),
+          max("seq").as("max_seq"))
+        .orderBy("uid")),
+
+    // KV/current-state read (JetStream last_by_subj / KV bucket semantics):
+    // ONE row per distinct subject — its latest message — served from the
+    // server's per-subject index in O(keys) wire volume, sharded across
+    // kv_buckets tasks. The "what is the current value of every key" query
+    // that would otherwise scan the whole stream and window it down.
+    "transport_kv_latest" -> ((s, dir) =>
+      scan(s, dir, Map("last_by_subject" -> "true", "kv_buckets" -> "8"))
+        .select(col("subject"), col("seq"), col("ts_nats"),
+          expr("octet_length(payload)").as("payload_bytes"))
+        .orderBy("subject")),
+
+    // KV read composed with a wildcard: current state of one key subspace —
+    // the per-subject index is walked only where the pattern matches
+    "transport_kv_filtered" -> ((s, dir) =>
+      scan(s, dir, Map("last_by_subject" -> "true", "kv_buckets" -> "8",
+          "subject_filter" -> "events.*.7"))
+        .select(col("subject"), col("seq"),
+          expr("octet_length(payload)").as("payload_bytes"))
+        .orderBy("subject")),
+
     // pruning equivalence: the transport scan and the parquet-backed scan
     // answer an identical bounded query identically (oracle recomputes from
     // the fixture — this is the "transport scan ≡ parquet scan" property
@@ -288,6 +329,30 @@ object TransportQueries {
         s"""$env SELECT seq % 7 AS bucket, count(*) AS n, max(seq) AS max_seq
            | FROM env WHERE seq BETWEEN 101 AND 6000
            | GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+      "transport_wildcard" ->
+        s"""$env SELECT seq, subject,
+           | CAST(octet_length(payload::BLOB) AS INTEGER) AS payload_bytes
+           | FROM env WHERE regexp_matches(subject, '^events\\.[^.]+\\.7$$')
+           | ORDER BY seq""".stripMargin,
+
+      "transport_wildcard_consumer" ->
+        s"""$env SELECT string_split(subject, '.')[3] AS uid, count(*) AS n,
+           | min(seq) AS min_seq, max(seq) AS max_seq
+           | FROM env WHERE regexp_matches(subject, '^events\\.purchase\\..+$$')
+           | GROUP BY 1 ORDER BY uid""".stripMargin,
+
+      "transport_kv_latest" ->
+        s"""$env SELECT subject, max(seq) AS seq,
+           | arg_max(ts_nats, seq) AS ts_nats,
+           | CAST(octet_length(arg_max(payload, seq)::BLOB) AS INTEGER) AS payload_bytes
+           | FROM env GROUP BY subject ORDER BY subject""".stripMargin,
+
+      "transport_kv_filtered" ->
+        s"""$env SELECT subject, max(seq) AS seq,
+           | CAST(octet_length(arg_max(payload, seq)::BLOB) AS INTEGER) AS payload_bytes
+           | FROM env WHERE regexp_matches(subject, '^events\\.[^.]+\\.7$$')
+           | GROUP BY subject ORDER BY subject""".stripMargin,
 
       "transport_parquet_parity" ->
         "SELECT CAST(0 AS BIGINT) AS n_disagreements"

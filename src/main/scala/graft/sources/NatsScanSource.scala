@@ -115,6 +115,46 @@ final class NatsScanTable(rawProps: Map[String, String])
     Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000000L), i.getNano.toLong)
   }
 
+  /** NATS wildcard `subject_filter` (consumer filter_subject grammar —
+    * `events.*.7`, `events.purchase.>`): validated at bind, matched
+    * server-side in consumer mode and message-level otherwise. Transport
+    * mode only — on the columnar store the same predicate is a Catalyst
+    * `startswith` + `rlike` (see NatsScan.subjectWildcard), which pushes
+    * and prunes without a bespoke option. */
+  private val subjectFilter: Option[String] = props.get("subject_filter")
+  locally {
+    subjectFilter.foreach { p =>
+      if (url.isEmpty)
+        sys.error("nats_scan: subject_filter requires 'url' (transport " +
+          "mode); on the parquet store use the wildcard filter expression " +
+          "(NatsScan.subjectWildcard) — it pushes down as prefix + rlike")
+      graft.transport.SubjectFilter.validate(p)
+    }
+  }
+
+  /** `last_by_subject=true`: the KV/current-state read — one row per
+    * distinct subject, the stream's LAST message for it, served from the
+    * server's per-subject index (O(keys) wire volume, never O(messages)). */
+  private val lastBySubject: Boolean =
+    props.get("last_by_subject").map {
+      case "true" => true
+      case "false" => false
+      case other => sys.error(
+        s"nats_scan: last_by_subject must be 'true' or 'false', got '$other'")
+    }.getOrElse(false)
+  locally {
+    if (lastBySubject) {
+      if (url.isEmpty)
+        sys.error("nats_scan: last_by_subject requires 'url' (transport mode)")
+      val rangey = Seq("start_seq", "end_seq", "start_time", "end_time")
+        .filter(props.contains)
+      if (rangey.nonEmpty)
+        sys.error("nats_scan: last_by_subject reads the CURRENT per-subject " +
+          s"state and is incompatible with ${rangey.mkString("/")} (range " +
+          "predicates on the result still apply as ordinary filters)")
+    }
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val transport = url.map { u =>
       TransportBind(u,
@@ -134,7 +174,10 @@ final class NatsScanTable(rawProps: Map[String, String])
         },
         auth = auth,
         durable = props.get("durable"),
-        continuousShards = props.getOrElse("continuous_shards", "1").toInt)
+        continuousShards = props.getOrElse("continuous_shards", "1").toInt,
+        subjectFilter = subjectFilter,
+        lastBySubject = lastBySubject,
+        kvBuckets = props.getOrElse("kv_buckets", "16").toInt)
     }
     new NatsScanBuilder(s"$dir/$stream.parquet", dir, stream, maxPerBatch,
       transport)
@@ -156,7 +199,10 @@ final case class TransportBind(url: String,
                                auth: graft.transport.TransportAuth =
                                  graft.transport.TransportAuth.anonymous,
                                durable: Option[String] = None,
-                               continuousShards: Int = 1)
+                               continuousShards: Int = 1,
+                               subjectFilter: Option[String] = None,
+                               lastBySubject: Boolean = false,
+                               kvBuckets: Int = 16)
 
 /** Accepts seq/ts/subject predicates; everything else stays residual.
   * Bounds are accumulated as [seqLo, seqHi] (1-based inclusive) and
@@ -394,7 +440,9 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
         maxPerBatch = tb.maxPerBatch,
         sliceWidth = tb.sliceWidth, connectTimeoutMs = tb.connectTimeoutMs,
         fetchMode = tb.fetchMode, auth = tb.auth, durable = tb.durable,
-        continuousShards = tb.continuousShards)
+        continuousShards = tb.continuousShards,
+        subjectFilter = tb.subjectFilter, lastBySubject = tb.lastBySubject,
+        kvBuckets = tb.kvBuckets)
     case None =>
       new NatsScanScan(file, dir, stream, required, seqLo, seqHi, tsLoNs,
         tsHiNs, subjectContains, subjectPrefixes, maxPerBatch, pushedLimit,

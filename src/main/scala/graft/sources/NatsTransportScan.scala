@@ -46,7 +46,10 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
                               auth: graft.transport.TransportAuth =
                                 graft.transport.TransportAuth.anonymous,
                               durable: Option[String] = None,
-                              continuousShards: Int = 1)
+                              continuousShards: Int = 1,
+                              subjectFilter: Option[String] = None,
+                              lastBySubject: Boolean = false,
+                              kvBuckets: Int = 16)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -107,11 +110,17 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
 
   /** live tail: seq-offset micro-batches polling the server's LastSeq */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (lastBySubject)
+      throw new UnsupportedOperationException(
+        "nats_scan: last_by_subject is a point-in-time snapshot read — for " +
+          "a streaming materialized view, tail the stream and keep " +
+          "max_by(payload, seq) per subject")
     new graft.streaming.NatsTransportMicroBatchStream(url, stream,
       maxPerBatch = maxPerBatch, sliceWidth = sliceWidth,
       connectTimeoutMs = connectTimeoutMs, auth = auth,
       fetchMode = fetchMode, durable = durable)
+  }
 
   /** push-based delivery (`Trigger.Continuous`): long-running sharded tail
     * readers, rows emitted as fetched — see
@@ -133,6 +142,15 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
         "nats_scan: stream name must not be empty")
     val info = streamInfoOnce.fold(e => throw e, identity)
     if (info.messages == 0L) return Array.empty
+    if (lastBySubject)
+      // KV/current-state read: one partition per subject-hash shard, each
+      // task paging its shard of the server's per-subject index — wire
+      // volume O(distinct subjects) regardless of stream depth, and the
+      // shard count (not the seq range) sets the parallelism
+      return (0 until kvBuckets).map { b =>
+        NatsTransportKvPartition(url, stream, b, kvBuckets,
+          subjectFilter): InputPartition
+      }.toArray
     var lo = math.max(seqLo, info.firstSeq)
     var hi = math.min(seqHi, info.lastSeq)
 
@@ -188,7 +206,7 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NatsTransportReaderFactory(required, tsLoNs, tsHiNs, subjectContains,
-      subjectPrefixes, connectTimeoutMs, fetchMode, auth)
+      subjectPrefixes, connectTimeoutMs, fetchMode, auth, subjectFilter)
 }
 
 object NatsTransportScan {
@@ -251,6 +269,102 @@ final case class NatsTransportPartition(url: String, stream: String,
                                         sliceLo: Long, sliceHi: Long)
     extends InputPartition
 
+/** One subject-hash shard of a `last_by_subject` (KV/current-state) scan. */
+final case class NatsTransportKvPartition(url: String, stream: String,
+                                          bucket: Int, nBuckets: Int,
+                                          filter: Option[String])
+    extends InputPartition
+
+/** Pages its shard of the server's per-subject last-message index
+  * ([[graft.transport.JetStreamTransport.lastForSubjects]]): each RPC
+  * returns ≤ 2048 CURRENT messages, cursor = last subject of the previous
+  * page, a short page ends the shard. Residual ts/subject predicates are
+  * re-checked per message like the slice reader's (pushed filters stay
+  * residual in Spark, so this is belt only). */
+final class NatsTransportKvReader(p: NatsTransportKvPartition,
+                                  required: StructType,
+                                  tsLoNs: Long, tsHiNs: Long,
+                                  subjectContains: List[String],
+                                  subjectPrefixes: List[String],
+                                  connectTimeoutMs: Long,
+                                  auth: graft.transport.TransportAuth)
+    extends PartitionReader[InternalRow] {
+
+  private val BatchSize = 2048
+  private val MaxRetries = 3
+  private val BackoffMs = 50L
+
+  private val transport =
+    graft.transport.TransportPool.get(p.url, connectTimeoutMs, auth)
+
+  private val tsLoUs =
+    if (tsLoNs == Long.MinValue) Long.MinValue else Math.floorDiv(tsLoNs + 999L, 1000L)
+  private val tsHiUs =
+    if (tsHiNs == Long.MaxValue) Long.MaxValue else Math.floorDiv(tsHiNs, 1000L)
+
+  private var after: Option[String] = None
+  private var done = false
+  private var batch: Array[TransportMsg] = Array.empty
+  private var i = 0
+  private var current: InternalRow = _
+
+  private def withRetry[T](f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: graft.transport.NatsIOException =>
+          attempt += 1
+          if (attempt > MaxRetries) throw e
+          Thread.sleep(math.min(BackoffMs << (attempt - 1), 1000L))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (i >= batch.length) {
+        if (done) return false
+        batch = withRetry(transport.lastForSubjects(p.stream, p.filter,
+          p.bucket, p.nBuckets, after, BatchSize))
+        if (batch.length < BatchSize) done = true // short page = shard end
+        if (batch.isEmpty) return false
+        after = Some(batch.last.subject)
+        i = 0
+      }
+      val m = batch(i)
+      i += 1
+      if (keep(m)) { current = toRow(m); return true }
+    }
+    false
+  }
+
+  private def keep(m: TransportMsg): Boolean = {
+    val tsUs = Math.floorDiv(m.tsNs, 1000L)
+    tsUs >= tsLoUs && tsUs <= tsHiUs &&
+      ((subjectContains.isEmpty && subjectPrefixes.isEmpty) ||
+        (m.subject != null && subjectContains.forall(m.subject.contains(_)) &&
+          subjectPrefixes.forall(m.subject.startsWith(_))))
+  }
+
+  private def toRow(m: TransportMsg): InternalRow = {
+    val vals = required.fieldNames.map {
+      case "stream" => UTF8String.fromString(p.stream)
+      case "subject" =>
+        if (m.subject == null) null else UTF8String.fromString(m.subject)
+      case "seq" => m.seq
+      case "ts_nats" => Math.floorDiv(m.tsNs, 1000L)
+      case "payload" => m.payload
+      case other => sys.error(s"unknown envelope column $other")
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = () // pooled transport outlives the reader
+}
+
 final class NatsTransportReaderFactory(required: StructType,
                                        tsLoNs: Long, tsHiNs: Long,
                                        subjectContains: List[String],
@@ -258,12 +372,19 @@ final class NatsTransportReaderFactory(required: StructType,
                                        connectTimeoutMs: Long,
                                        fetchMode: String = "fetch",
                                        auth: graft.transport.TransportAuth =
-                                         graft.transport.TransportAuth.anonymous)
+                                         graft.transport.TransportAuth.anonymous,
+                                       subjectFilter: Option[String] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new NatsTransportReader(p.asInstanceOf[NatsTransportPartition], required,
-      tsLoNs, tsHiNs, subjectContains, subjectPrefixes, connectTimeoutMs,
-      fetchMode, auth)
+    p match {
+      case kv: NatsTransportKvPartition =>
+        new NatsTransportKvReader(kv, required, tsLoNs, tsHiNs,
+          subjectContains, subjectPrefixes, connectTimeoutMs, auth)
+      case _ =>
+        new NatsTransportReader(p.asInstanceOf[NatsTransportPartition], required,
+          tsLoNs, tsHiNs, subjectContains, subjectPrefixes, connectTimeoutMs,
+          fetchMode, auth, subjectFilter)
+    }
 }
 
 /** One slice, pulled in fetch batches of 2048 (one RPC per batch, not per
@@ -285,7 +406,8 @@ final class NatsTransportReader(p: NatsTransportPartition,
                                 connectTimeoutMs: Long,
                                 fetchMode: String = "fetch",
                                 auth: graft.transport.TransportAuth =
-                                  graft.transport.TransportAuth.anonymous)
+                                  graft.transport.TransportAuth.anonymous,
+                                subjectFilter: Option[String] = None)
     extends PartitionReader[InternalRow] {
 
   private val BatchSize = 2048
@@ -297,9 +419,16 @@ final class NatsTransportReader(p: NatsTransportPartition,
   // ordered-consumer cursor below is per-reader state and IS closed)
   private val transport =
     graft.transport.TransportPool.get(p.url, connectTimeoutMs, auth)
+  // consumer mode forwards the wildcard as the consumer's filter_subject —
+  // SERVER-side filtering, only matching messages cross the wire; fetch
+  // mode re-checks it message-level below (ranged fetches have no filter
+  // verb, like DirectGet batches)
   private val cursor: graft.transport.MessageCursor =
-    if (fetchMode == "consumer") transport.consumer(p.stream, p.sliceLo)
+    if (fetchMode == "consumer")
+      transport.consumer(p.stream, p.sliceLo, subjectFilter)
     else null
+  private val wildcard: Option[graft.transport.SubjectFilter.Matcher] =
+    subjectFilter.map(graft.transport.SubjectFilter.matcher)
 
   private var nextSeq = p.sliceLo
   private var done = false
@@ -369,6 +498,7 @@ final class NatsTransportReader(p: NatsTransportPartition,
   private def keep(m: TransportMsg): Boolean = {
     val tsUs = Math.floorDiv(m.tsNs, 1000L)
     tsUs >= tsLoUs && tsUs <= tsHiUs &&
+      wildcard.forall(_.matches(m.subject)) &&
       ((subjectContains.isEmpty && subjectPrefixes.isEmpty) ||
         (m.subject != null && subjectContains.forall(m.subject.contains(_)) &&
           subjectPrefixes.forall(m.subject.startsWith(_))))

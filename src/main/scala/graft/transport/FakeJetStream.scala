@@ -39,6 +39,22 @@ final class FakeJetStreamServer {
     ()
   }
 
+  // per-subject LAST-seq index (JetStream keeps exactly this — it is what
+  // answers DirectGet last_by_subj and enforces max_msgs_per_subject/KV),
+  // maintained incrementally at publish so lastForSubjects never walks the
+  // message log
+  private val lastBySubject =
+    new TrieMap[String, ConcurrentSkipListMap[String, Long]]()
+
+  private def indexPut(stream: String, msg: TransportMsg): Unit =
+    if (msg.subject != null) {
+      val idx = lastBySubject.getOrElseUpdate(
+        stream, new ConcurrentSkipListMap[String, Long]())
+      idx.merge(msg.subject, msg.seq,
+        (cur, s) => if (s > cur) s else cur)
+      ()
+    }
+
   def addStream(name: String): Unit = {
     require(name.nonEmpty, "stream name must not be empty")
     streams.putIfAbsent(name, new ConcurrentSkipListMap[Long, TransportMsg]())
@@ -51,6 +67,7 @@ final class FakeJetStreamServer {
     addStream(stream)
     val msg = TransportMsg(subject, seq, tsNs, payload)
     countPut(stream, streams(stream).put(seq, msg), msg)
+    indexPut(stream, msg)
   }
 
   /** delete one message — subsequent Direct Gets at `seq` answer NOT_FOUND
@@ -58,8 +75,23 @@ final class FakeJetStreamServer {
   def deleteMsg(stream: String, seq: Long): Unit = {
     streams.get(stream).foreach { m =>
       val prev = m.remove(seq)
-      if (prev != null)
+      if (prev != null) {
         streamBytes.get(stream).foreach(_.addAndGet(-wireBytes(prev)): Unit)
+        // deleting a subject's CURRENT message re-points the index at the
+        // survivor (rare administrative op — the rescan is per-subject, and
+        // a real server maintains the same index transactionally)
+        if (prev.subject != null)
+          lastBySubject.get(stream).foreach { idx =>
+            if (idx.getOrDefault(prev.subject, Long.MinValue) == seq) {
+              val replacement = m.values().iterator().asScala
+                .filter(_.subject == prev.subject)
+                .foldLeft(Long.MinValue)((a, x) => math.max(a, x.seq))
+              if (replacement == Long.MinValue) idx.remove(prev.subject)
+              else idx.put(prev.subject, replacement)
+              ()
+            }
+          }
+      }
     }
   }
 
@@ -78,9 +110,38 @@ final class FakeJetStreamServer {
         val seq = if (m.isEmpty) 1L else m.lastKey() + 1L
         val msg = TransportMsg(subject, seq, tsNs, payload)
         countPut(stream, m.put(seq, msg), msg)
+        indexPut(stream, msg)
         msgIds.put((stream, msgId), seq)
         seq
     }
+  }
+
+  /** one page of the per-subject last-message index (see
+    * [[JetStreamTransport.lastForSubjects]]): subjects ascending, sharded,
+    * strictly after `after`, filtered, ≤ `max` CURRENT messages. */
+  private[transport] def lastsPage(stream: String, filter: Option[String],
+                                   bucket: Int, nBuckets: Int,
+                                   after: Option[String], max: Int)
+      : Array[TransportMsg] = {
+    val idx = lastBySubject.get(stream)
+    val log = streams.get(stream)
+    if (idx.isEmpty || log.isEmpty) return Array.empty
+    val m = filter.map(SubjectFilter.matcher)
+    val tail: java.util.concurrent.ConcurrentNavigableMap[String, Long] =
+      after.fold(idx.get: java.util.concurrent.ConcurrentNavigableMap[String, Long])(
+        a => idx.get.tailMap(a, false))
+    val out = Array.newBuilder[TransportMsg]
+    var n = 0
+    val it = tail.entrySet().iterator()
+    while (it.hasNext && n < max) {
+      val e = it.next()
+      if (SubjectFilter.shard(e.getKey, nBuckets) == bucket &&
+          m.forall(_.matches(e.getKey))) {
+        val msg = log.get.get(e.getValue)
+        if (msg != null) { out += msg; n += 1 }
+      }
+    }
+    out.result()
   }
 
   def hasStream(name: String): Boolean = streams.contains(name)
@@ -300,21 +361,60 @@ final class FakeTransport(server: FakeJetStreamServer) extends JetStreamTranspor
     server.streamNames
   }
 
-  override def consumer(stream: String, startSeq: Long): MessageCursor =
+  override def consumer(stream: String, startSeq: Long,
+                        filterSubject: Option[String] = None): MessageCursor =
     new MessageCursor {
       // server-side cursor position: faults surface BEFORE the position
       // advances, so a retried next() re-delivers from the same place —
       // the ordered-consumer recreate-at-last-delivered contract
       private var cur = startSeq
+      private val matcher = filterSubject.map(SubjectFilter.matcher)
       override def next(max: Int): Array[TransportMsg] = {
         count()
         maybeFault()
-        val out = server.range(stream, cur, Long.MaxValue, max)
-        if (out.nonEmpty) cur = out.last.seq + 1L
-        out
+        matcher match {
+          case None =>
+            val out = server.range(stream, cur, Long.MaxValue, max)
+            if (out.nonEmpty) cur = out.last.seq + 1L
+            out
+          case Some(m) =>
+            // filtered consumer: the SERVER walks its log and delivers only
+            // matching messages (filter_subject semantics) — the position
+            // still advances past everything examined, so a sparse match
+            // never stalls the cursor. Empty result ⟺ log exhausted.
+            val out = Array.newBuilder[TransportMsg]
+            var n = 0
+            var exhausted = false
+            while (n < max && !exhausted) {
+              val chunk = server.range(stream, cur, Long.MaxValue, max)
+              if (chunk.isEmpty) exhausted = true
+              else {
+                // the position advances message-BY-message: filling the page
+                // mid-chunk must not skip unexamined messages (they belong
+                // to the next next())
+                var i = 0
+                while (i < chunk.length && n < max) {
+                  val msg = chunk(i)
+                  if (m.matches(msg.subject)) { out += msg; n += 1 }
+                  cur = msg.seq + 1L
+                  i += 1
+                }
+              }
+            }
+            out.result()
+        }
       }
       override def close(): Unit = ()
     }
+
+  override def lastForSubjects(stream: String, filterSubject: Option[String],
+                               bucket: Int, nBuckets: Int,
+                               afterSubject: Option[String], max: Int)
+      : Array[TransportMsg] = {
+    count()
+    maybeFault()
+    server.lastsPage(stream, filterSubject, bucket, nBuckets, afterSubject, max)
+  }
 
   override def publish(stream: String, subject: String, tsNs: Long,
                        payload: Array[Byte], msgId: String): Long = {

@@ -45,8 +45,32 @@ trait JetStreamTransport extends AutoCloseable {
     * order, gaps skipped, server tracking the position. A live binding maps
     * this to an ordered consumer + `Fetch(batch)`; after a transient error
     * the cursor re-requests the SAME position (ordered consumers recreate
-    * at the last delivered sequence), so reader retries are safe. */
-  def consumer(stream: String, startSeq: Long): MessageCursor
+    * at the last delivered sequence), so reader retries are safe.
+    *
+    * `filterSubject` is the consumer's `filter_subject` (NATS wildcard
+    * grammar, [[SubjectFilter]]): filtering happens SERVER-SIDE, so only
+    * matching messages cross the wire — on a selective pattern over a fat
+    * stream that is the difference between shipping the stream and shipping
+    * the answer. */
+  def consumer(stream: String, startSeq: Long,
+               filterSubject: Option[String] = None): MessageCursor
+
+  /** Last message PER SUBJECT — JetStream's per-subject index surface
+    * (DirectGet `last_by_subj`, the machinery behind KV buckets, which are
+    * streams with `max_msgs_per_subject=1`). Returns the CURRENT message of
+    * each distinct subject matching `filterSubject` (None = all), restricted
+    * to the hash shard `bucket` of `nBuckets` (shard = floorMod of the
+    * subject's UTF-8 FNV-1a hash), subjects sorted ascending, strictly after
+    * `afterSubject`, at most `max` per call (page cursor = last subject of
+    * the previous page).
+    *
+    * The scale contract: wire volume is O(distinct subjects), NEVER
+    * O(messages) — a "current state" query over a year-long stream returns
+    * one message per key. Sharding lets each Spark task pull its own key
+    * range so the KV scan parallelizes like any other. */
+  def lastForSubjects(stream: String, filterSubject: Option[String],
+                      bucket: Int, nBuckets: Int, afterSubject: Option[String],
+                      max: Int): Array[TransportMsg]
 
   /** DURABLE-consumer ack floor: the highest stream sequence the named
     * durable has cumulatively acknowledged (0 = new consumer / nothing

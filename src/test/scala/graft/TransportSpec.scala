@@ -704,4 +704,115 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(noUrl.getMessage.contains("url"))
   }
+
+  // --- NATS wildcard subject filters + last_by_subject (KV) ---
+
+  test("SubjectFilter: token-wise wildcard semantics and validation") {
+    import graft.transport.SubjectFilter
+    val m = SubjectFilter.matcher("events.*.7")
+    assert(m.matches("events.click.7"))
+    assert(!m.matches("events.click.70")) // '*' ≠ substring
+    assert(!m.matches("events.click.extra.7")) // '*' is exactly one token
+    assert(!m.matches("events.7"))
+    val g = SubjectFilter.matcher("events.purchase.>")
+    assert(g.matches("events.purchase.1"))
+    assert(g.matches("events.purchase.a.b")) // '>' spans tokens
+    assert(!g.matches("events.purchase")) // '>' needs ≥1 more token
+    assert(SubjectFilter.matcher(">").matches("anything.at.all"))
+    assert(SubjectFilter.literalPrefix("events.purchase.*") == "events.purchase.")
+    assert(SubjectFilter.literalPrefix("events.*.7") == "events.")
+    assert(SubjectFilter.literalPrefix("*.x") == "")
+    assert(SubjectFilter.toRegex("events.*.7") == "^\\Qevents\\E\\.[^.]+\\.\\Q7\\E$")
+    for (bad <- Seq("a..b", "a.>.b", "ev*nts.x", "", ".a"))
+      assertThrows[RuntimeException](SubjectFilter.validate(bad))
+  }
+
+  test("wildcard subject_filter: fetch and consumer modes agree, exact-token match") {
+    // dev0 messages are seqs ≡ 0 (mod 5); deleted multiples of 10 leave the
+    // odd multiples of 5 → exactly 10 survivors
+    val fetch = read("telemetry", Map("subject_filter" -> "telemetry.dev0"))
+      .select("seq").collect().map(_.getLong(0)).sorted
+    val cons = read("telemetry", Map("subject_filter" -> "telemetry.dev0",
+        "fetch_mode" -> "consumer"))
+      .select("seq").collect().map(_.getLong(0)).sorted
+    assert(fetch.toSeq == (5L to 95L by 10L).toSeq)
+    assert(cons.toSeq == fetch.toSeq)
+    // a '*' pattern spanning all devices matches everything (2-token subjects)
+    assert(scanRows(read("telemetry", Map("subject_filter" -> "telemetry.*"))) == 90L)
+    // bind-time validation, before any dial
+    val e = intercept[Exception] {
+      spark.read.format("nats_scan").option("url", url)
+        .option("stream", "telemetry").option("subject_filter", "a.>.b").load()
+    }
+    assert(messageChain(e).contains("'>' must be the final token"))
+  }
+
+  test("consumer filter_subject filters SERVER-side: only matches are delivered") {
+    val t = Transport.connect(url)
+    val c = t.consumer("telemetry", 1L, Some("telemetry.dev1"))
+    val page = c.next(1000)
+    // dev1 = seqs ≡ 1 (mod 5), none are multiples of 10 → all 20 survive
+    assert(page.length == 20)
+    assert(page.forall(_.subject == "telemetry.dev1"))
+    assert(page.map(_.seq).toSeq == (1L to 96L by 5L).toSeq)
+    assert(c.next(1000).isEmpty) // log exhausted
+    // filling a page mid-chunk must not skip later matches
+    val c2 = t.consumer("telemetry", 1L, Some("telemetry.dev1"))
+    val first = c2.next(3)
+    val rest = c2.next(1000)
+    assert((first ++ rest).map(_.seq).toSeq == (1L to 96L by 5L).toSeq)
+  }
+
+  test("last_by_subject: one CURRENT row per subject, O(keys) RPC volume") {
+    val df = read("telemetry", Map("last_by_subject" -> "true",
+      "kv_buckets" -> "4"))
+    val got = df.select("subject", "seq").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-device last surviving seq (100 is deleted → dev0 falls back to 95)
+    assert(got == Map("telemetry.dev0" -> 95L, "telemetry.dev1" -> 96L,
+      "telemetry.dev2" -> 97L, "telemetry.dev3" -> 98L,
+      "telemetry.dev4" -> 99L))
+    // RPC budget: 1 planning streamInfo + ≤ (1 page + 1 terminal short-page
+    // check) per bucket — NEVER proportional to the 90 stored messages
+    val before = server.rpcCountTotal
+    assert(df.select("subject").collect().length == 5)
+    val delta = server.rpcCountTotal - before
+    assert(delta <= 1 + 4 * 2, s"KV scan cost $delta RPCs")
+  }
+
+  test("last_by_subject composes with wildcard; range options are rejected at bind") {
+    val one = read("telemetry", Map("last_by_subject" -> "true",
+        "subject_filter" -> "telemetry.dev2"))
+      .select("seq").collect().map(_.getLong(0)).toSeq
+    assert(one == Seq(97L))
+    val e = intercept[Exception] {
+      spark.read.format("nats_scan").option("url", url)
+        .option("stream", "telemetry").option("last_by_subject", "true")
+        .option("start_seq", "5").load()
+    }
+    assert(messageChain(e).contains("incompatible"))
+    val e2 = intercept[Exception] {
+      spark.read.format("nats_scan").option("dir", "/tmp/nowhere")
+        .option("last_by_subject", "true").load()
+    }
+    assert(messageChain(e2).contains("requires 'url'"))
+  }
+
+  test("per-subject index survives deleting a subject's current message") {
+    val s2 = FakeJetStream.listen("nats://kv-delete-spec:4222")
+    s2.publish("kvs", 1L, "k.a", 1L, "one".getBytes)
+    s2.publish("kvs", 2L, "k.a", 2L, "two".getBytes)
+    s2.publish("kvs", 3L, "k.a", 3L, "three".getBytes)
+    s2.publish("kvs", 4L, "k.b", 4L, "other".getBytes)
+    s2.deleteMsg("kvs", 3L) // k.a's CURRENT message
+    val t = Transport.connect("nats://kv-delete-spec:4222")
+    val lasts = (0 until 4).flatMap(b =>
+      t.lastForSubjects("kvs", None, b, 4, None, 100))
+      .map(m => m.subject -> m.seq).toMap
+    assert(lasts == Map("k.a" -> 2L, "k.b" -> 4L)) // re-pointed, not dropped
+    s2.deleteMsg("kvs", 2L); s2.deleteMsg("kvs", 1L)
+    val gone = (0 until 4).flatMap(b =>
+      t.lastForSubjects("kvs", None, b, 4, None, 100)).map(_.subject)
+    assert(gone == Seq("k.b")) // fully deleted subject leaves the index
+  }
 }
