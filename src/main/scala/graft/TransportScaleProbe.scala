@@ -136,6 +136,42 @@ object TransportScaleProbe {
       println(f"$shards%7d $wall%8.2f ${TransportScaleProbe.delivered.size()}%9d " +
         f"$rpcs%7d ${rpcs * 1000.0 / cn}%13.2f ${cn / wall / 1000.0}%12.1f")
     }
+
+    // --- last_by_subject (KV) sweep -------------------------------------
+    // Claim under test: the KV read's wire volume is O(distinct subjects),
+    // NEVER O(messages) — growing the stream 16× at fixed key count must
+    // leave the KV scan's RPCs flat while the full scan's grow linearly.
+    println()
+    println("last_by_subject (KV) sweep, 1000 keys, kv_buckets=16:")
+    println(f"${"msgs"}%9s ${"kv_rows"}%8s ${"kv_rpcs"}%8s ${"kv_wall_s"}%10s " +
+      f"${"fullscan_rpcs"}%14s")
+    Seq(16384L, 65536L, 262144L).foreach { m =>
+      val kurl = s"nats://transport-scale-probe-kv-$m:4222"
+      val ksrv = FakeJetStream.listen(kurl)
+      var ks = 1L
+      while (ks <= m) {
+        ksrv.publish("kv", ks, s"key.${ks % 1000}",
+          1700000000000000000L + ks * 1000000L,
+          s"""{"seq":$ks,"pad":"xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"}""".getBytes)
+        ks += 1
+      }
+      def kscan(lbs: Boolean) = {
+        val b = spark.read.format("nats_scan")
+          .option("url", kurl).option("stream", "kv")
+          .option("slice_width", ((m + 31) / 32).toString)
+        (if (lbs) b.option("last_by_subject", "true")
+          .option("kv_buckets", "16") else b).load()
+      }
+      val r0 = ksrv.rpcCountTotal
+      val t0 = System.nanoTime()
+      val kvRows = kscan(lbs = true).select("subject", "seq").collect().length
+      val kvWall = (System.nanoTime() - t0) / 1e9
+      val kvRpcs = ksrv.rpcCountTotal - r0
+      val f0 = ksrv.rpcCountTotal
+      Bench.materialize(kscan(lbs = false).select("seq", "subject"))
+      val fullRpcs = ksrv.rpcCountTotal - f0
+      println(f"$m%9d $kvRows%8d $kvRpcs%8d $kvWall%10.2f $fullRpcs%14d")
+    }
     spark.stop()
   }
 

@@ -358,4 +358,28 @@ object Multimodal {
         explode(sequence(lit(0), col("fps") - 1, lit(everyK))))
       .select("doc_id", "frame_idx")
   }
+
+  final case class FrameLum(doc_id: Long, frame_idx: Int, lum: Long, fps: Int)
+
+  /** Per-frame luminance for "video" cells — the decode half of scene-cut
+    * detection. Frame f's luminance = sum of body bytes at positions ≡ f
+    * (mod fps): one pass over the blob, all integer arithmetic, so the
+    * oracle replays it symbolically from the source text while Spark folds
+    * the actual decoded bytes (a real build swaps this for the codec's
+    * per-frame Y-plane mean inside the same mapPartitions seam — one
+    * decoder per partition, frames emitted as rows). */
+  def frameLuminance(cells: Dataset[MediaCell]): Dataset[FrameLum] = {
+    import cells.sparkSession.implicits._
+    cells.mapPartitions { it =>
+      it.flatMap { cell =>
+        val b = cell.media
+        require(b.length >= 8 && (b(0) & 0xFF) == 71, "bad media magic")
+        val fps = b(6) & 0xFF
+        val lums = new Array[Long](fps)
+        var i = 8
+        while (i < b.length) { lums((i - 8) % fps) += (b(i) & 0xFF); i += 1 }
+        (0 until fps).iterator.map(f => FrameLum(cell.doc_id, f, lums(f), fps))
+      }
+    }
+  }
 }

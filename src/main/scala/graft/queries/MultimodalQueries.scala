@@ -114,6 +114,28 @@ object MultimodalQueries {
         .orderBy("qid", "rank")
     }),
 
+    // scene-cut detection over "video" cells: per-frame luminance from the
+    // decoder seam, then a LAG window per doc — a cut is a frame whose
+    // luminance jump exceeds 1/8 of the clip's mean frame luminance
+    // (delta · fps · 8 > total, all integer math). The window partitions by
+    // doc_id (≤ fps rows per doc), so 100 TB of video stays doc-local —
+    // frame rows shuffle once on doc_id, pixels never leave the map side.
+    "mm_scene_cut" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val fr = Multimodal.frameLuminance(
+          Multimodal.synthesizeMedia(Tables.load(s, dir, "documents"))
+            .as[Multimodal.MediaCell]).toDF()
+      val seq = Window.partitionBy("doc_id").orderBy("frame_idx")
+      val doc = Window.partitionBy("doc_id")
+      fr.withColumn("delta", abs(col("lum") - lag("lum", 1).over(seq)))
+        .withColumn("total", sum("lum").over(doc))
+        .filter(col("delta") * col("fps") * 8 > col("total"))
+        .select(col("doc_id"), col("frame_idx"), col("lum"),
+          col("delta").cast("long").as("delta"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // media bytes → feature vector (the batched-inference shape); the
     // oracle recomputes the byte folds from the source text, proving the
     // embedding crossing the mapPartitions boundary is byte-exact
@@ -263,6 +285,26 @@ object MultimodalQueries {
                CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id ASC) AS INTEGER) AS rank
         FROM scored)
       SELECT qid, rank, doc_id, cos FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+
+    "mm_scene_cut" -> """
+      WITH hdr AS (
+        SELECT doc_id, (length(source) % 30) + 1 AS fps, text FROM documents),
+      fr AS (
+        SELECT doc_id, f AS frame_idx, fps,
+               CAST(list_sum([ord(text[k])
+                              FOR k IN range(f + 1, len(text) + 1, fps)])
+                    AS BIGINT) AS lum
+        FROM hdr, (SELECT unnest(range(0, 30)) AS f) ff
+        WHERE f < fps),
+      d AS (
+        SELECT doc_id, frame_idx, lum, fps,
+               abs(lum - lag(lum) OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS delta,
+               sum(lum) OVER (PARTITION BY doc_id) AS total
+        FROM fr)
+      SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, lum,
+             CAST(delta AS BIGINT) AS delta
+      FROM d WHERE delta * fps * 8 > total
+      ORDER BY doc_id, frame_idx""",
 
     "mm_embed" -> """
       WITH f AS (

@@ -1132,6 +1132,31 @@ object PipelineQueries {
         .filter(col("rank") <= 3)
         .select("qid", "bucket", "rank", "vec_id", "cos")
         .orderBy("qid", "rank")
+    }),
+
+    // the DATASET CARD a curation run publishes: per (source, lang) strata
+    // with ROLLUP totals — doc/char/token counts plus the exact-duplicate
+    // share of each stratum. One window over the text hash marks copies
+    // (high-cardinality partition key, shuffles like any dedup), one
+    // rollup aggregates; both corpus-size-linear. The ALL rows make the
+    // card self-consistent (stratum rows sum to them by construction).
+    "pipe_dataset_card" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val marked = docs(s, dir)
+        .withColumn("h", md5(col("text")))
+        .withColumn("n_copies", count(lit(1)).over(Window.partitionBy("h")))
+      marked.rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+        .select(
+          coalesce(col("source"), lit("ALL")).as("source_g"),
+          coalesce(col("lang"), lit("ALL")).as("lang_g"),
+          col("n_docs"), col("n_chars"), col("n_tokens"), col("n_dup_docs"),
+          round(col("n_dup_docs").cast("double") / col("n_docs"), 6)
+            .as("dup_rate"))
+        .orderBy("source_g", "lang_g")
     })
   )
 
@@ -2225,6 +2250,24 @@ object PipelineQueries {
         SELECT qid, bucket, vec_id, cos,
                CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
         FROM scored)
-      SELECT qid, bucket, rank, vec_id, cos FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
+      SELECT qid, bucket, rank, vec_id, cos FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+
+    "pipe_dataset_card" -> """
+      WITH marked AS (
+        SELECT source, lang, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               count(*) OVER (PARTITION BY md5(text)) AS n_copies
+        FROM documents)
+      SELECT coalesce(source, 'ALL') AS source_g,
+             coalesce(lang, 'ALL') AS lang_g,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+             round(CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 6) AS dup_rate
+      FROM marked GROUP BY ROLLUP (source, lang)
+      ORDER BY source_g, lang_g"""
   )
 }

@@ -702,7 +702,54 @@ object RetrievalQueries {
         .select(col("decile"), sum("tk").over(w10).as("cum_tokens"),
           sum("vb").over(w10).as("cum_vocab"))
         .orderBy("decile")
-    })
+    }),
+
+    // per-document n-gram NOVELTY vs everything earlier in the corpus
+    // (doc_id order): the memorization/duplication signal a curriculum or
+    // rolling-crawl pipeline reads — a doc whose trigrams all appeared
+    // before contributes nothing new. One shuffle keyed by trigram (the
+    // TF-IDF shape) computes each trigram's FIRST doc; a join back scores
+    // docs. No pair space, no per-doc history scan; at 100 TB the trigram
+    // strings would ride as xxhash64 keys (collision odds ≪ corpus size),
+    // the plan is unchanged.
+    "text_novelty" -> ((s, dir) => {
+      val tg = graft.Caches.tracked(t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(1, size(w) - 2),
+            |  i -> concat_ws(' ', w[i-1], w[i], w[i+1])))""".stripMargin))
+          .as("g")))
+      val firsts = tg.groupBy("g").agg(min("doc_id").as("first_doc"))
+      tg.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_ngrams"), 6))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic readability scoring (Flesch reading-ease shape):
+    // syllables ≈ vowel groups, sentences ≈ terminal-punctuation runs
+    // (floored at 1 — the fixture text is unpunctuated). Pure map-side
+    // per-doc regex counting — no explode, no shuffle beyond the sort;
+    // the same three counters a Gopher/CCNet-style quality gate reads.
+    "text_readability" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          greatest(expr("regexp_count(text, '[.!?]+')"), lit(1))
+            .cast("long").as("n_sentences"),
+          expr("regexp_count(lower(text), '[aeiouy]+')")
+            .cast("long").as("n_syllables"))
+        .withColumn("flesch", round(
+          lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+          4))
+        .orderBy("doc_id"))
   )
 
   // shared SQL fragments for the oracles (same idioms as PipelineQueries)
@@ -1280,6 +1327,38 @@ object RetrievalQueries {
                   AS BIGINT) AS cum_tokens,
              CAST(sum(vb) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
                   AS BIGINT) AS cum_vocab
-      FROM j ORDER BY decile"""
+      FROM j ORDER BY decile""",
+
+    "text_novelty" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                   WHERE len(string_split(text, ' ')) >= 3),
+      tg AS (SELECT doc_id,
+                    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          FOR i IN range(1, len(w) - 1)])) AS g
+             FROM tok),
+      firsts AS (SELECT g, min(doc_id) AS first_doc FROM tg GROUP BY 1)
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+             CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel,
+             round(CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 6) AS novelty
+      FROM tg t JOIN firsts f USING (g)
+      GROUP BY t.doc_id ORDER BY doc_id""",
+
+    "text_readability" -> """
+      WITH c AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS n_syllables
+        FROM documents)
+      SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+             round(206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words),
+                   4) AS flesch
+      FROM c ORDER BY doc_id"""
   )
 }

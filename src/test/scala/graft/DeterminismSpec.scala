@@ -70,7 +70,14 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     // profile-resolved transport scan: bind-time option merge must be
     // invisible to results at any parallelism (dedup_lsh_sweep, already
     // listed above, now also covers the zero-collect single-plan rewrite)
-    "transport_profile")
+    "transport_profile",
+    // round-8 wildcard/KV/pipeline additions: sharded per-subject index
+    // reads (bucket count ≠ shuffle partitions must not matter), server-
+    // side consumer filtering, first-doc novelty (min over a trigram
+    // shuffle), rollup + hash-window dataset card, doc-local scene cuts
+    "transport_kv_latest", "transport_wildcard_consumer",
+    "nats_subject_wildcard", "text_novelty", "text_readability",
+    "pipe_dataset_card", "mm_scene_cut")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

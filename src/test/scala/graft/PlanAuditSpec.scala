@@ -641,4 +641,42 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(df.collect().length == 3)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("wildcard subject filter: literal prefix pushes into the V2 scan and prunes") {
+    // `events.purchase.*` → conjunct startswith('events.purchase.') reaches
+    // the scan as a pushed prefix (row-group min/max pruning on a subject-
+    // clustered native store); the anchored rlike stays the exact residual
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wild_store").toString
+    spark.read.format("nats_scan").option("dir", dir).load()
+      .repartitionByRange(4, col("subject"))
+      .write.format("nats_scan").option("dir", tmp).mode("overwrite").save()
+    val all = spark.read.format("nats_scan").option("dir", tmp).load()
+      .rdd.getNumPartitions
+    val filtered = spark.read.format("nats_scan").option("dir", tmp).load()
+      .filter(NatsScan.subjectWildcard(col("subject"), "events.purchase.*"))
+    val p = physical(filtered)
+    assert(p.contains("subjectPrefixes=List(events.purchase.)"), p)
+    assert(p.toUpperCase.contains("RLIKE"), p)
+    assert(filtered.rdd.getNumPartitions < all,
+      s"wildcard prefix should prune row groups")
+    // exactness: wildcard result == full-scan + regex reference
+    val expect = NatsScan.scanDir(spark, dir)
+      .filter(col("subject").rlike("^events\\.purchase\\.[0-9]+$")).count()
+    assert(filtered.count() == expect && expect > 0)
+  }
+
+  test("last_by_subject plans kv_buckets shard partitions, not seq slices") {
+    val url = "nats://planaudit-kv:4222"
+    val srv = graft.transport.FakeJetStream.listen(url)
+    (1L to 50L).foreach(i =>
+      srv.publish("kvplan", i, s"k.${i % 7}", i * 1000L, Array[Byte](1)))
+    val df = spark.read.format("nats_scan").option("url", url)
+      .option("stream", "kvplan").option("last_by_subject", "true")
+      .option("kv_buckets", "5").load()
+    val rdd = df.queryExecution.toRdd
+    assert(rdd.getNumPartitions == 5,
+      s"expected 5 shard partitions, got ${rdd.getNumPartitions}")
+    // 7 distinct subjects → 7 current rows, regardless of the 50 messages
+    assert(df.select("subject").distinct().count() == 7L)
+  }
 }

@@ -798,6 +798,37 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(messageChain(e2).contains("requires 'url'"))
   }
 
+  test("streaming KV view (tail + max_by per subject) ≡ batch last_by_subject") {
+    // the materialized-view alternative the KV snapshot's streaming error
+    // points at: tail the stream, keep max_by(·, seq) per subject in a
+    // complete-mode aggregate — its final state must equal the snapshot
+    val kurl = "nats://kv-stream-parity:4222"
+    val srv2 = FakeJetStream.listen(kurl)
+    (1L to 60L).foreach(i =>
+      srv2.publish("kvp", i, s"key.${i % 9}", i * 1000L,
+        s"v$i".getBytes))
+    val view = spark.readStream.format("nats_scan")
+      .option("url", kurl).option("stream", "kvp")
+      .option("slice_width", "16").load()
+      .groupBy("subject")
+      .agg(expr("max_by(seq, seq)").as("seq"),
+        expr("max_by(payload, seq)").as("payload"))
+    val q = view.writeStream.format("memory").queryName("kv_view")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000L)
+    val streamed = spark.table("kv_view")
+      .select("subject", "seq").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val snapshot = spark.read.format("nats_scan")
+      .option("url", kurl).option("stream", "kvp")
+      .option("last_by_subject", "true").load()
+      .select("subject", "seq").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == snapshot && snapshot.size == 9)
+  }
+
   test("per-subject index survives deleting a subject's current message") {
     val s2 = FakeJetStream.listen("nats://kv-delete-spec:4222")
     s2.publish("kvs", 1L, "k.a", 1L, "one".getBytes)
