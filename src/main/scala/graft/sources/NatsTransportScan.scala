@@ -119,7 +119,8 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
     new graft.streaming.NatsTransportMicroBatchStream(url, stream,
       maxPerBatch = maxPerBatch, sliceWidth = sliceWidth,
       connectTimeoutMs = connectTimeoutMs, auth = auth,
-      fetchMode = fetchMode, durable = durable)
+      fetchMode = fetchMode, durable = durable,
+      subjectFilter = subjectFilter)
   }
 
   /** push-based delivery (`Trigger.Continuous`): long-running sharded tail
@@ -129,7 +130,7 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
       : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
     new graft.streaming.NatsTransportContinuousStream(url, stream,
       numShards = continuousShards, connectTimeoutMs = connectTimeoutMs,
-      auth = auth, durable = durable)
+      auth = auth, durable = durable, subjectFilter = subjectFilter)
 
   override def description(): String =
     s"nats_transport url=$url stream=$stream seq=[$seqLo,$seqHi] " +

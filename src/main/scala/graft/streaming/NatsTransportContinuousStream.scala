@@ -46,7 +46,8 @@ final class NatsTransportContinuousStream(url: String, stream: String,
                                           auth: TransportAuth =
                                             TransportAuth.anonymous,
                                           durable: Option[String] = None,
-                                          pollIntervalMs: Long = 50L)
+                                          pollIntervalMs: Long = 50L,
+                                          subjectFilter: Option[String] = None)
     extends ContinuousStream {
 
   require(numShards >= 1, s"continuous_shards must be >= 1, got $numShards")
@@ -76,7 +77,8 @@ final class NatsTransportContinuousStream(url: String, stream: String,
     }.toArray
 
   override def createContinuousReaderFactory(): ContinuousPartitionReaderFactory =
-    new NatsContinuousReaderFactory(connectTimeoutMs, auth, pollIntervalMs)
+    new NatsContinuousReaderFactory(connectTimeoutMs, auth, pollIntervalMs,
+      subjectFilter)
 
   override def commit(end: Offset): Unit = durable.foreach { d =>
     val floors = end.asInstanceOf[ShardsOffset].seqs.values
@@ -111,11 +113,12 @@ final case class NatsContinuousPartition(url: String, stream: String,
 
 final class NatsContinuousReaderFactory(connectTimeoutMs: Long,
                                         auth: TransportAuth,
-                                        pollIntervalMs: Long)
+                                        pollIntervalMs: Long,
+                                        subjectFilter: Option[String] = None)
     extends ContinuousPartitionReaderFactory {
   override def createReader(p: InputPartition): ContinuousPartitionReader[InternalRow] =
     new NatsContinuousReader(p.asInstanceOf[NatsContinuousPartition],
-      connectTimeoutMs, auth, pollIntervalMs)
+      connectTimeoutMs, auth, pollIntervalMs, subjectFilter)
 }
 
 /** One shard's endless tail. `next()` blocks (poll + sleep) until an owned
@@ -127,8 +130,15 @@ final class NatsContinuousReaderFactory(connectTimeoutMs: Long,
 final class NatsContinuousReader(p: NatsContinuousPartition,
                                  connectTimeoutMs: Long,
                                  auth: TransportAuth,
-                                 pollIntervalMs: Long)
+                                 pollIntervalMs: Long,
+                                 subjectFilter: Option[String] = None)
     extends ContinuousPartitionReader[InternalRow] {
+
+  // wildcard tail: non-matching owned messages are dropped here; the shard
+  // offset still advances through them at the NEXT delivered row (offsets
+  // are read per emitted row), so a restart re-filters at most the
+  // unmatched tail — never re-delivers
+  private val wildcard = subjectFilter.map(graft.transport.SubjectFilter.matcher)
 
   private val BatchSize = 2048
   private val MaxRetries = 3
@@ -163,7 +173,8 @@ final class NatsContinuousReader(p: NatsContinuousPartition,
       while (i < batch.length) {
         val m = batch(i)
         i += 1
-        if (m.seq % p.numShards == p.shard.toLong) {
+        if (m.seq % p.numShards == p.shard.toLong &&
+            wildcard.forall(_.matches(m.subject))) {
           lastDelivered = m.seq
           current = toRow(m)
           return true

@@ -25,7 +25,8 @@ final class NatsTransportMicroBatchStream(url: String, stream: String,
                                           auth: graft.transport.TransportAuth =
                                             graft.transport.TransportAuth.anonymous,
                                           fetchMode: String = "fetch",
-                                          durable: Option[String] = None)
+                                          durable: Option[String] = None,
+                                          subjectFilter: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** LastSeq polled from the server — one streamInfo RPC per trigger, on
@@ -88,5 +89,5 @@ final class NatsTransportMicroBatchStream(url: String, stream: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new NatsTransportReaderFactory(NatsScanSource.envelopeSchema,
       Long.MinValue, Long.MaxValue, Nil, Nil, connectTimeoutMs,
-      fetchMode = fetchMode, auth = auth)
+      fetchMode = fetchMode, auth = auth, subjectFilter = subjectFilter)
 }

@@ -189,6 +189,64 @@ class ContinuousSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.close()
   }
 
+  test("continuous tail honors subject_filter: only matching rows, live too") {
+    val url = "nats://continuous-wild-spec:4222"
+    val s = FakeJetStream.listen(url)
+    (1L to 30L).foreach { seq =>
+      s.publish("cw", seq, s"cw.dev${seq % 3}",
+        1700000000000000000L + seq * 1000000000L, s"""{"v":$seq}""".getBytes)
+    }
+    val q = spark.readStream.format("nats_scan")
+      .option("url", url).option("stream", "cw")
+      .option("continuous_shards", "2")
+      .option("subject_filter", "cw.dev1")
+      .load()
+      .selectExpr("seq", "subject")
+      .writeStream.format("memory").queryName("cw_tail")
+      .trigger(Trigger.Continuous("200 milliseconds"))
+      .start()
+    try {
+      // dev1 = seqs ≡ 1 (mod 3) → 10 of the first 30
+      assert(eventually() {
+        spark.sql("SELECT count(DISTINCT seq) FROM cw_tail")
+          .head().getLong(0) == 10L
+      }, "filtered pre-existing rows never all arrived")
+      (31L to 36L).foreach { seq =>
+        s.publish("cw", seq, s"cw.dev${seq % 3}",
+          1700000000000000000L + seq * 1000000000L, s"""{"v":$seq}""".getBytes)
+      }
+      assert(eventually() {
+        spark.sql("SELECT count(DISTINCT seq) FROM cw_tail")
+          .head().getLong(0) == 12L
+      }, "filtered post-start rows never arrived")
+      val rows = spark.sql("SELECT seq, subject FROM cw_tail").collect()
+      assert(rows.forall(_.getString(1) == "cw.dev1"))
+      assert(rows.map(_.getLong(0)).sorted.sameElements((1L to 36L).filter(_ % 3 == 1)))
+    } finally q.stop()
+  }
+
+  test("micro-batch tail honors subject_filter") {
+    val url = "nats://microbatch-wild-spec:4222"
+    val s = FakeJetStream.listen(url)
+    (1L to 40L).foreach { seq =>
+      s.publish("mw", seq, s"mw.dev${seq % 4}",
+        1700000000000000000L + seq * 1000000000L, s"""{"v":$seq}""".getBytes)
+    }
+    val q = spark.readStream.format("nats_scan")
+      .option("url", url).option("stream", "mw")
+      .option("slice_width", "8")
+      .option("subject_filter", "mw.dev2")
+      .load()
+      .selectExpr("seq", "subject")
+      .writeStream.format("memory").queryName("mw_tail")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000L)
+    val rows = spark.table("mw_tail").collect()
+    assert(rows.forall(_.getString(1) == "mw.dev2"))
+    assert(rows.map(_.getLong(0)).sorted.sameElements((2L to 40L by 4L)))
+  }
+
   test("store mode rejects continuous with a pointed error") {
     val e = intercept[Exception] {
       val q = spark.readStream.format("nats_scan")
