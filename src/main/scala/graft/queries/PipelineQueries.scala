@@ -1157,6 +1157,30 @@ object PipelineQueries {
           round(col("n_dup_docs").cast("double") / col("n_docs"), 6)
             .as("dup_rate"))
         .orderBy("source_g", "lang_g")
+    }),
+
+    // the SHARD PLAN a training run consumes: deterministic global shuffle
+    // (md5-hash order — reproducible at any parallelism, no RNG state) and
+    // shard assignment, manifested per shard. The leader (first doc in
+    // shard order) comes from min_by over a fixed-width "hash:doc" string
+    // key — a partial-aggregable argmin, NOT a per-shard sort: at 100 TB a
+    // shard is millions of docs and the manifest must never window over
+    // them. The writer's ORDER BY (shard, h) clusters the actual output;
+    // this query is its planning/verification half.
+    "pipe_shard_plan" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("h", graft.functions.Similarity.hash60(
+          concat(lit("shard:"), col("doc_id").cast("string"))))
+        .withColumn("shard", pmod(col("h"), lit(8L)).cast("int"))
+        .withColumn("ord_key", concat(
+          lpad(col("h").cast("string"), 20, "0"), lit(":"),
+          lpad(col("doc_id").cast("string"), 10, "0")))
+      d.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          min("h").as("min_h"), max("h").as("max_h"),
+          expr("min_by(doc_id, ord_key)").as("lead_doc"))
+        .orderBy("shard")
     })
   )
 
@@ -2268,6 +2292,23 @@ object PipelineQueries {
              round(CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)
                         AS DOUBLE) / count(*), 6) AS dup_rate
       FROM marked GROUP BY ROLLUP (source, lang)
-      ORDER BY source_g, lang_g"""
+      ORDER BY source_g, lang_g""",
+
+    "pipe_shard_plan" -> s"""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               ${h("'shard:' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents),
+      k AS (
+        SELECT doc_id, n_tok, h, CAST(h % 8 AS INTEGER) AS shard,
+               lpad(CAST(h AS VARCHAR), 20, '0') || ':' ||
+               lpad(CAST(doc_id AS VARCHAR), 10, '0') AS ord_key
+        FROM d)
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             min(h) AS min_h, max(h) AS max_h,
+             min_by(doc_id, ord_key) AS lead_doc
+      FROM k GROUP BY shard ORDER BY shard"""
   )
 }

@@ -257,6 +257,24 @@ object TransportQueries {
           expr("octet_length(payload)").as("payload_bytes"))
         .orderBy("subject")),
 
+    // GROUP BY subject pushdown: the per-subject profile (count + last seq)
+    // answered from the server's subject index — the plan contains ZERO
+    // message fetches (PlanAuditSpec pins it); a 10¹¹-message stream
+    // answers this in O(distinct subjects)
+    "transport_subject_stats" -> ((s, dir) =>
+      scan(s, dir)
+        .groupBy("subject")
+        .agg(count(lit(1)).as("n"), max("seq").as("last_seq"))
+        .orderBy("subject")),
+
+    // same pushdown under a wildcard: the index walk applies the consumer
+    // filter_subject grammar server-side, so only matching subjects return
+    "transport_subject_stats_wild" -> ((s, dir) =>
+      scan(s, dir, Map("subject_filter" -> "events.*.7"))
+        .groupBy("subject")
+        .agg(count(lit(1)).as("n"), max("seq").as("last_seq"))
+        .orderBy("subject")),
+
     // pruning equivalence: the transport scan and the parquet-backed scan
     // answer an identical bounded query identically (oracle recomputes from
     // the fixture — this is the "transport scan ≡ parquet scan" property
@@ -351,6 +369,15 @@ object TransportQueries {
       "transport_kv_filtered" ->
         s"""$env SELECT subject, max(seq) AS seq,
            | CAST(octet_length(arg_max(payload, seq)::BLOB) AS INTEGER) AS payload_bytes
+           | FROM env WHERE regexp_matches(subject, '^events\\.[^.]+\\.7$$')
+           | GROUP BY subject ORDER BY subject""".stripMargin,
+
+      "transport_subject_stats" ->
+        s"""$env SELECT subject, count(*) AS n, max(seq) AS last_seq
+           | FROM env GROUP BY subject ORDER BY subject""".stripMargin,
+
+      "transport_subject_stats_wild" ->
+        s"""$env SELECT subject, count(*) AS n, max(seq) AS last_seq
            | FROM env WHERE regexp_matches(subject, '^events\\.[^.]+\\.7$$')
            | GROUP BY subject ORDER BY subject""".stripMargin,
 

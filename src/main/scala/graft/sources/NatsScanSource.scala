@@ -374,20 +374,70 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
   }
 
   /** bare scan only: any restriction means the residual Filter prunes
-    * rows AFTER the scan, and footer/server totals would overcount */
+    * rows AFTER the scan, and footer/server totals would overcount. A
+    * wildcard subject_filter restricts rows the same way, and a
+    * last_by_subject scan yields one row per SUBJECT — stream-wide totals
+    * would be wrong for both, so they decline the stats path outright. */
   private def unrestricted: Boolean =
     seqLo == 1L && seqHi == Long.MaxValue &&
       tsLoNs == Long.MinValue && tsHiNs == Long.MaxValue &&
       subjectContains.isEmpty && subjectPrefixes.isEmpty &&
       transport.forall(tb => tb.startSeq.isEmpty && tb.endSeq.isEmpty &&
-        tb.startTimeNs.isEmpty && tb.endTimeNs.isEmpty && tb.subject.isEmpty)
+        tb.startTimeNs.isEmpty && tb.endTimeNs.isEmpty && tb.subject.isEmpty &&
+        tb.subjectFilter.isEmpty && !tb.lastBySubject)
+
+  // --- GROUP BY subject pushdown (transport only): count(*) / max(seq)
+  // per subject answered from the server's per-subject index — zero
+  // message fetches. Eligible on an otherwise-bare scan; a wildcard
+  // subject_filter IS honored (the index walk applies it server-side),
+  // which is exactly why it must not ride the stream-wide stats path.
+  private var groupedStats: Option[Seq[NatsSubjectStatsScan.GroupAgg]] = None
+
+  private def groupStatsEligible: Boolean =
+    seqLo == 1L && seqHi == Long.MaxValue &&
+      tsLoNs == Long.MinValue && tsHiNs == Long.MaxValue &&
+      subjectContains.isEmpty && subjectPrefixes.isEmpty &&
+      transport.exists(tb => tb.startSeq.isEmpty && tb.endSeq.isEmpty &&
+        tb.startTimeNs.isEmpty && tb.endTimeNs.isEmpty && tb.subject.isEmpty &&
+        !tb.lastBySubject)
+
+  private def translateGroupAggs(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation)
+      : Option[Seq[NatsSubjectStatsScan.GroupAgg]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    val groupedBySubject = agg.groupByExpressions() match {
+      case Array(n: NamedReference) => n.fieldNames().sameElements(Array("subject"))
+      case _ => false
+    }
+    if (!groupedBySubject) return None
+    val out = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(NatsSubjectStatsScan.GroupCount)
+      case m: Max => m.column match {
+        case n: NamedReference if n.fieldNames().sameElements(Array("seq")) =>
+          Some(NatsSubjectStatsScan.GroupLastSeq)
+        case _ => None
+      }
+      case _ => None
+    }
+    if (out.forall(_.isDefined)) Some(out.map(_.get)) else None
+  }
 
   override def supportCompletePushDown(agg: org.apache.spark.sql.connector
       .expressions.aggregate.Aggregation): Boolean =
-    unrestricted && translateAggs(agg).isDefined
+    if (agg.groupByExpressions().nonEmpty)
+      groupStatsEligible && translateGroupAggs(agg).isDefined
+    else unrestricted && translateAggs(agg).isDefined
 
   override def pushAggregation(agg: org.apache.spark.sql.connector
       .expressions.aggregate.Aggregation): Boolean = {
+    if (agg.groupByExpressions().nonEmpty) {
+      if (!groupStatsEligible) return false
+      translateGroupAggs(agg) match {
+        case Some(gs) => groupedStats = Some(gs); return true
+        case None => return false
+      }
+    }
     if (!unrestricted) return false
     translateAggs(agg) match {
       case None => false
@@ -420,12 +470,18 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
     }
   }
 
-  override def build(): Scan = statsResult match {
-    case Some((aggs, values)) =>
-      new NatsStatsScan(aggs, values,
-        transport.map(tb => s"url=${tb.url}").getOrElse(s"dir=$dir") +
-          s" stream=$stream")
-    case None => buildRowScan()
+  override def build(): Scan = groupedStats match {
+    case Some(gs) =>
+      val tb = transport.get // groupStatsEligible requires transport mode
+      new NatsSubjectStatsScan(tb.url, stream, tb.kvBuckets, tb.subjectFilter,
+        gs, tb.connectTimeoutMs, tb.auth)
+    case None => statsResult match {
+      case Some((aggs, values)) =>
+        new NatsStatsScan(aggs, values,
+          transport.map(tb => s"url=${tb.url}").getOrElse(s"dir=$dir") +
+            s" stream=$stream")
+      case None => buildRowScan()
+    }
   }
 
   private def buildRowScan(): Scan = transport match {

@@ -145,3 +145,104 @@ final class NatsStatsScan(aggs: Seq[NatsStatsScan.StatAgg],
 }
 
 final case class NatsStatsPartition(values: Seq[Any]) extends InputPartition
+
+/** GROUP BY subject aggregate pushdown (transport mode): `SELECT subject,
+  * count(*), max(seq) … GROUP BY subject` answered from the server's
+  * per-subject index ([[graft.transport.JetStreamTransport.subjectStats]])
+  * — zero message fetches, O(distinct subjects) wire volume, sharded over
+  * `kvBuckets` partitions exactly like the last_by_subject read. The
+  * subject-count/last-seq pair is state JetStream already maintains
+  * (StreamInfo `subjects` map; last_by_subj index), so a 10¹¹-message
+  * stream answers its per-subject profile in seconds. COMPLETE pushdown:
+  * buckets partition the subject space disjointly, so every group exists in
+  * exactly one partition and no re-aggregation is needed. */
+object NatsSubjectStatsScan {
+  sealed trait GroupAgg { def field: StructField }
+  case object GroupCount extends GroupAgg {
+    def field: StructField = StructField("count(*)", LongType, nullable = false)
+  }
+  case object GroupLastSeq extends GroupAgg {
+    def field: StructField = StructField("max(seq)", LongType)
+  }
+}
+
+final class NatsSubjectStatsScan(url: String, stream: String, kvBuckets: Int,
+                                 filter: Option[String],
+                                 aggs: Seq[NatsSubjectStatsScan.GroupAgg],
+                                 connectTimeoutMs: Long,
+                                 auth: graft.transport.TransportAuth)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(
+    StructField("subject", StringType) +: aggs.map(_.field))
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"nats_scan SUBJECT-STATS url=$url stream=$stream buckets=$kvBuckets " +
+      s"filter=$filter PushedAggregation: " +
+      aggs.map(_.field.name).mkString("[subject, ", ", ", "]")
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until kvBuckets).map(b =>
+      NatsSubjectStatsPartition(url, stream, b, kvBuckets,
+        filter): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NatsSubjectStatsReaderFactory(aggs, connectTimeoutMs, auth)
+}
+
+final case class NatsSubjectStatsPartition(url: String, stream: String,
+                                           bucket: Int, nBuckets: Int,
+                                           filter: Option[String])
+    extends InputPartition
+
+final class NatsSubjectStatsReaderFactory(
+    aggs: Seq[NatsSubjectStatsScan.GroupAgg], connectTimeoutMs: Long,
+    auth: graft.transport.TransportAuth) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new NatsSubjectStatsReader(p.asInstanceOf[NatsSubjectStatsPartition],
+      aggs, connectTimeoutMs, auth)
+}
+
+/** Pages its shard of the subject index — the KV reader's paging contract
+  * ((cursor = last subject, short page = shard end), pooled connection). */
+final class NatsSubjectStatsReader(p: NatsSubjectStatsPartition,
+                                   aggs: Seq[NatsSubjectStatsScan.GroupAgg],
+                                   connectTimeoutMs: Long,
+                                   auth: graft.transport.TransportAuth)
+    extends PartitionReader[InternalRow] {
+  private val BatchSize = 2048
+  private val transport =
+    graft.transport.TransportPool.get(p.url, connectTimeoutMs, auth)
+
+  private var after: Option[String] = None
+  private var done = false
+  private var batch: Array[graft.transport.SubjectStat] = Array.empty
+  private var i = 0
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (i >= batch.length) {
+      if (done) return false
+      batch = transport.subjectStats(p.stream, p.filter, p.bucket, p.nBuckets,
+        after, BatchSize)
+      if (batch.length < BatchSize) done = true
+      if (batch.isEmpty) return false
+      after = Some(batch.last.subject)
+      i = 0
+    }
+    val s = batch(i)
+    i += 1
+    current = InternalRow.fromSeq(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s.subject) +:
+        aggs.map {
+          case NatsSubjectStatsScan.GroupCount => s.count
+          case NatsSubjectStatsScan.GroupLastSeq => s.lastSeq
+        })
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = () // pooled transport outlives the reader
+}

@@ -42,11 +42,15 @@ final class FakeJetStreamServer {
   // per-subject LAST-seq index (JetStream keeps exactly this — it is what
   // answers DirectGet last_by_subj and enforces max_msgs_per_subject/KV),
   // maintained incrementally at publish so lastForSubjects never walks the
-  // message log
+  // message log. subjectCounts is the StreamInfo `subjects` map (per-subject
+  // message counts) — same incremental maintenance.
   private val lastBySubject =
     new TrieMap[String, ConcurrentSkipListMap[String, Long]]()
+  private val subjectCounts =
+    new TrieMap[String, ConcurrentSkipListMap[String, Long]]()
 
-  private def indexPut(stream: String, msg: TransportMsg): Unit =
+  private def indexPut(stream: String, prev: TransportMsg,
+                       msg: TransportMsg): Unit = {
     if (msg.subject != null) {
       val idx = lastBySubject.getOrElseUpdate(
         stream, new ConcurrentSkipListMap[String, Long]())
@@ -54,6 +58,14 @@ final class FakeJetStreamServer {
         (cur, s) => if (s > cur) s else cur)
       ()
     }
+    val counts = subjectCounts.getOrElseUpdate(
+      stream, new ConcurrentSkipListMap[String, Long]())
+    // a publish at an existing seq REPLACES: the old subject loses a count
+    if (prev != null && prev.subject != null)
+      counts.merge(prev.subject, -1L, (a, b) => a + b)
+    if (msg.subject != null) counts.merge(msg.subject, 1L, (a, b) => a + b)
+    ()
+  }
 
   def addStream(name: String): Unit = {
     require(name.nonEmpty, "stream name must not be empty")
@@ -66,8 +78,9 @@ final class FakeJetStreamServer {
               payload: Array[Byte]): Unit = {
     addStream(stream)
     val msg = TransportMsg(subject, seq, tsNs, payload)
-    countPut(stream, streams(stream).put(seq, msg), msg)
-    indexPut(stream, msg)
+    val prev = streams(stream).put(seq, msg)
+    countPut(stream, prev, msg)
+    indexPut(stream, prev, msg)
   }
 
   /** delete one message — subsequent Direct Gets at `seq` answer NOT_FOUND
@@ -77,6 +90,12 @@ final class FakeJetStreamServer {
       val prev = m.remove(seq)
       if (prev != null) {
         streamBytes.get(stream).foreach(_.addAndGet(-wireBytes(prev)): Unit)
+        if (prev.subject != null)
+          subjectCounts.get(stream).foreach { c =>
+            val left = c.merge(prev.subject, -1L, (a, b) => a + b)
+            if (left <= 0L) c.remove(prev.subject)
+            ()
+          }
         // deleting a subject's CURRENT message re-points the index at the
         // survivor (rare administrative op — the rescan is per-subject, and
         // a real server maintains the same index transactionally)
@@ -109,11 +128,41 @@ final class FakeJetStreamServer {
         val m = streams(stream)
         val seq = if (m.isEmpty) 1L else m.lastKey() + 1L
         val msg = TransportMsg(subject, seq, tsNs, payload)
-        countPut(stream, m.put(seq, msg), msg)
-        indexPut(stream, msg)
+        val prev = m.put(seq, msg)
+        countPut(stream, prev, msg)
+        indexPut(stream, prev, msg)
         msgIds.put((stream, msgId), seq)
         seq
     }
+  }
+
+  /** one page of the per-subject stats (StreamInfo `subjects` map + last
+    * index): subjects ascending, sharded, strictly after `after`, filtered,
+    * ≤ `max` (subject, count, lastSeq) entries. */
+  private[transport] def subjectStatsPage(stream: String, filter: Option[String],
+                                          bucket: Int, nBuckets: Int,
+                                          after: Option[String], max: Int)
+      : Array[SubjectStat] = {
+    val counts = subjectCounts.get(stream)
+    val lasts = lastBySubject.get(stream)
+    if (counts.isEmpty) return Array.empty
+    val m = filter.map(SubjectFilter.matcher)
+    val tail: java.util.concurrent.ConcurrentNavigableMap[String, Long] =
+      after.fold(counts.get: java.util.concurrent.ConcurrentNavigableMap[String, Long])(
+        a => counts.get.tailMap(a, false))
+    val out = Array.newBuilder[SubjectStat]
+    var n = 0
+    val it = tail.entrySet().iterator()
+    while (it.hasNext && n < max) {
+      val e = it.next()
+      if (SubjectFilter.shard(e.getKey, nBuckets) == bucket &&
+          m.forall(_.matches(e.getKey))) {
+        val last = lasts.fold(0L)(_.getOrDefault(e.getKey, 0L))
+        out += SubjectStat(e.getKey, e.getValue, last)
+        n += 1
+      }
+    }
+    out.result()
   }
 
   /** one page of the per-subject last-message index (see
@@ -414,6 +463,16 @@ final class FakeTransport(server: FakeJetStreamServer) extends JetStreamTranspor
     count()
     maybeFault()
     server.lastsPage(stream, filterSubject, bucket, nBuckets, afterSubject, max)
+  }
+
+  override def subjectStats(stream: String, filterSubject: Option[String],
+                            bucket: Int, nBuckets: Int,
+                            afterSubject: Option[String], max: Int)
+      : Array[SubjectStat] = {
+    count()
+    maybeFault()
+    server.subjectStatsPage(stream, filterSubject, bucket, nBuckets,
+      afterSubject, max)
   }
 
   override def publish(stream: String, subject: String, tsNs: Long,

@@ -72,6 +72,16 @@ trait JetStreamTransport extends AutoCloseable {
                       bucket: Int, nBuckets: Int, afterSubject: Option[String],
                       max: Int): Array[TransportMsg]
 
+  /** Per-subject statistics — the StreamInfo `subjects` map (subject →
+    * message count, pageable with a subjects filter on a live server)
+    * joined with the last-seq index. Same sharding/paging contract as
+    * [[lastForSubjects]]. Backs the GROUP BY subject aggregate pushdown:
+    * `SELECT subject, count(*), max(seq) … GROUP BY subject` answers from
+    * this index in O(distinct subjects) without touching one message. */
+  def subjectStats(stream: String, filterSubject: Option[String],
+                   bucket: Int, nBuckets: Int, afterSubject: Option[String],
+                   max: Int): Array[SubjectStat]
+
   /** DURABLE-consumer ack floor: the highest stream sequence the named
     * durable has cumulatively acknowledged (0 = new consumer / nothing
     * acked). The JetStream ConsumerInfo `ack_floor.stream_seq` — what lets
@@ -102,6 +112,10 @@ trait JetStreamTransport extends AutoCloseable {
   * µs ts_nats truncation happens at the scan, same as the parquet path). */
 final case class TransportMsg(subject: String, seq: Long, tsNs: Long,
                               payload: Array[Byte])
+
+/** One subject's index entry: message count (StreamInfo subjects map) and
+  * the subject's current last sequence. */
+final case class SubjectStat(subject: String, count: Long, lastSeq: Long)
 
 /** js_GetStreamInfo subset the scan needs (State.FirstSeq / State.LastSeq;
   * `bytes` = State.Bytes, the stream's stored payload volume — drives the

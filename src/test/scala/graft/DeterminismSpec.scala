@@ -77,7 +77,11 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     // shuffle), rollup + hash-window dataset card, doc-local scene cuts
     "transport_kv_latest", "transport_wildcard_consumer",
     "nats_subject_wildcard", "text_novelty", "text_readability",
-    "pipe_dataset_card", "mm_scene_cut")
+    "pipe_dataset_card", "mm_scene_cut",
+    // hash-ordered shard manifest (min_by leader keys) and the index-backed
+    // grouped pushdown (bucket sharding ≠ shuffle partitioning must not
+    // show through)
+    "pipe_shard_plan", "transport_subject_stats_wild")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -829,6 +829,42 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == snapshot && snapshot.size == 9)
   }
 
+  test("GROUP BY subject pushdown: answered from the index, deletes counted, zero fetches") {
+    val df = read("telemetry")
+      .groupBy("subject")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max("seq").as("last_seq"))
+    assert(df.queryExecution.executedPlan.toString.contains("SUBJECT-STATS"))
+    val r0 = server.rpcCountTotal
+    val got = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val delta = server.rpcCountTotal - r0
+    // dev0 lost its multiples of 10 (10 deleted) → 10 remain; others keep 20
+    assert(got == Map(
+      "telemetry.dev0" -> (10L, 95L), "telemetry.dev1" -> (20L, 96L),
+      "telemetry.dev2" -> (20L, 97L), "telemetry.dev3" -> (20L, 98L),
+      "telemetry.dev4" -> (20L, 99L)))
+    // index pages only: ≤ (1 page + 1 terminal check) per default 16 buckets,
+    // zero message fetches — never ceil(90/2048)-shaped
+    assert(delta <= 32L, s"subject-stats scan cost $delta RPCs")
+  }
+
+  test("restricted scans decline the stream-wide stats shortcut (regression)") {
+    // a wildcard-filtered count must NOT be answered by streamInfo totals
+    assert(read("telemetry", Map("subject_filter" -> "telemetry.dev0"))
+      .count() == 10L)
+    // a KV scan's count is its subject count, not the message count
+    assert(read("telemetry", Map("last_by_subject" -> "true")).count() == 5L)
+    // and grouped pushdown under the wildcard honors it server-side
+    val wild = read("telemetry", Map("subject_filter" -> "telemetry.dev0"))
+      .groupBy("subject")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wild == Map("telemetry.dev0" -> 10L))
+  }
+
   test("per-subject index survives deleting a subject's current message") {
     val s2 = FakeJetStream.listen("nats://kv-delete-spec:4222")
     s2.publish("kvs", 1L, "k.a", 1L, "one".getBytes)
