@@ -112,6 +112,33 @@ object ScaleQueries {
             lit(0.05) * col("exact_users")).as("within_rtol"))
         .orderBy("event_type")),
 
+    // MERGEABLE sketches — the pre-aggregation pattern that actually ships
+    // at 100 TB: per-(type, day) Datasketches-HLL partials materialize ONCE
+    // (a binary column a lakehouse table can store), and any later rollup
+    // re-aggregates by UNIONING sketches without touching raw data — a
+    // year-over-year distinct-users query reads 365 sketch rows per type,
+    // not 10¹¹ events. Same boolean error contract as q_approx_distinct
+    // (union of partials must land within ±5% of exact); n_partials pins
+    // that the daily partial stage really partitioned the data.
+    "q_hll_mergeable" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      // ts is the engine's raw-ns long; the daily partition key is its
+      // calendar day (session TZ pinned UTC, same value the oracle derives)
+      val daily = e.groupBy(col("event_type"),
+          expr("to_date(timestamp_micros(ts div 1000))").as("day"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
+          count(lit(1)).as("n_partials"))
+      val exact = e.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"), col("n_partials"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            lit(0.05) * col("exact_users")).as("within_rtol"))
+        .orderBy("event_type")
+    }),
+
     // frequent-items sketch (the third classic sketch after HLL and
     // quantiles): single-pass heavy-hitter detection. The algorithm's
     // GUARANTEE — every item with frequency > support IS in the sketch
@@ -258,6 +285,12 @@ object ScaleQueries {
     // >1% quantile rank error) flips a boolean and breaks the match.
     "q_approx_distinct" -> """
       SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             true AS within_rtol
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_hll_mergeable" -> """
+      SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_partials,
              true AS within_rtol
       FROM events GROUP BY event_type ORDER BY event_type""",
 

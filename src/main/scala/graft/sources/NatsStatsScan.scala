@@ -183,10 +183,16 @@ final class NatsSubjectStatsScan(url: String, stream: String, kvBuckets: Int,
       s"filter=$filter PushedAggregation: " +
       aggs.map(_.field.name).mkString("[subject, ", ", ", "]")
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // stream-existence check (1 pooled RPC): a missing stream must surface
+    // the stream-not-found error here like every other scan shape, not an
+    // empty result
+    graft.transport.TransportPool.get(url, connectTimeoutMs, auth)
+      .streamInfo(stream)
     (0 until kvBuckets).map(b =>
       NatsSubjectStatsPartition(url, stream, b, kvBuckets,
         filter): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NatsSubjectStatsReaderFactory(aggs, connectTimeoutMs, auth)

@@ -58,6 +58,22 @@ final class FakeJetStreamServer {
         (cur, s) => if (s > cur) s else cur)
       ()
     }
+    // a republish at an existing seq under a DIFFERENT subject (fixture-
+    // loading only — a real server never reassigns a sequence) re-points
+    // the old subject's last entry at its surviving predecessor
+    if (prev != null && prev.subject != null &&
+        (msg.subject == null || prev.subject != msg.subject))
+      lastBySubject.get(stream).foreach { idx =>
+        if (idx.getOrDefault(prev.subject, Long.MinValue) == msg.seq) {
+          val replacement = streams.get(stream).fold(Long.MinValue)(
+            _.values().iterator().asScala
+              .filter(_.subject == prev.subject)
+              .foldLeft(Long.MinValue)((a, x) => math.max(a, x.seq)))
+          if (replacement == Long.MinValue) idx.remove(prev.subject)
+          else idx.put(prev.subject, replacement)
+          ()
+        }
+      }
     val counts = subjectCounts.getOrElseUpdate(
       stream, new ConcurrentSkipListMap[String, Long]())
     // a publish at an existing seq REPLACES: the old subject loses a count
@@ -187,7 +203,9 @@ final class FakeJetStreamServer {
       if (SubjectFilter.shard(e.getKey, nBuckets) == bucket &&
           m.forall(_.matches(e.getKey))) {
         val msg = log.get.get(e.getValue)
-        if (msg != null) { out += msg; n += 1 }
+        // subject guard: a stale entry (raced delete/replace) must never
+        // surface another subject's message under this key
+        if (msg != null && msg.subject == e.getKey) { out += msg; n += 1 }
       }
     }
     out.result()

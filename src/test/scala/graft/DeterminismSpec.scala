@@ -81,7 +81,10 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     // hash-ordered shard manifest (min_by leader keys) and the index-backed
     // grouped pushdown (bucket sharding ≠ shuffle partitioning must not
     // show through)
-    "pipe_shard_plan", "transport_subject_stats_wild")
+    "pipe_shard_plan", "transport_subject_stats_wild",
+    // mergeable-HLL rollup: sketch-union order must not move the estimate
+    // across the boolean error contract at any partitioning
+    "q_hll_mergeable")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

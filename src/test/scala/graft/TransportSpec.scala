@@ -850,6 +850,17 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(delta <= 32L, s"subject-stats scan cost $delta RPCs")
   }
 
+  test("grouped pushdown on a missing stream surfaces stream-not-found") {
+    val e = intercept[Exception] {
+      read("no_such_stream_stats")
+        .groupBy("subject")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect()
+    }
+    assert(messageChain(e).contains("stream not found"))
+  }
+
   test("restricted scans decline the stream-wide stats shortcut (regression)") {
     // a wildcard-filtered count must NOT be answered by streamInfo totals
     assert(read("telemetry", Map("subject_filter" -> "telemetry.dev0"))
