@@ -40,9 +40,9 @@ object ProtoJson {
       pos = p1
       if ((tag >>> 3).toInt == 1 && (tag & 7).toInt == 2) {
         val (len, p2) = readVarint(b, pos)
-        entryJson(b, p2, p2 + len.toInt).foreach { case (k, v) =>
-          fields.remove(k); fields.put(k, v)
-        }
+        val (k, v) = entryJson(b, p2, p2 + len.toInt)
+        fields.remove(k); fields.put(k, v)
+        ()
         pos = p2 + len.toInt
       } else pos = skipField(b, pos, (tag & 7).toInt)
     }
@@ -58,10 +58,11 @@ object ProtoJson {
     sb.append('}').toString
   }
 
-  /** one FieldsEntry {1: key, 2: Value}; None when the entry carries no key
-    * and no value at all */
+  /** one FieldsEntry {1: key, 2: Value} — proto3 scalar/message absence
+    * means an EMPTY entry still decodes (key "" with a JSON null value),
+    * the same defaulting protobuf-java's Struct parser applies */
   private def entryJson(b: Array[Byte], start: Int,
-                        end: Int): Option[(String, String)] = {
+                        end: Int): (String, String) = {
     var key = ""
     var value = "null" // absent Value in an entry → JSON null
     var pos = start
@@ -80,7 +81,7 @@ object ProtoJson {
         case (_, wt) => pos = skipField(b, pos, wt)
       }
     }
-    Some((key, value))
+    (key, value)
   }
 
   /** one Value message; empty message (no kind set) → JSON null, repeated

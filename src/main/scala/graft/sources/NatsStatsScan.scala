@@ -231,8 +231,12 @@ final class NatsSubjectStatsReader(p: NatsSubjectStatsPartition,
   override def next(): Boolean = {
     if (i >= batch.length) {
       if (done) return false
-      batch = transport.subjectStats(p.stream, p.filter, p.bucket, p.nBuckets,
-        after, BatchSize)
+      // same transient-fault retry as every other reader shape (the page
+      // cursor only advances after a successful call, so a retry re-asks
+      // the same page)
+      batch = graft.transport.TransportRetry.withRetry(
+        transport.subjectStats(p.stream, p.filter, p.bucket, p.nBuckets,
+          after, BatchSize))
       if (batch.length < BatchSize) done = true
       if (batch.isEmpty) return false
       after = Some(batch.last.subject)

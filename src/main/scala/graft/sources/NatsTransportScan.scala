@@ -127,10 +127,16 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
     * readers, rows emitted as fetched — see
     * [[graft.streaming.NatsTransportContinuousStream]] */
   override def toContinuousStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
+      : org.apache.spark.sql.connector.read.streaming.ContinuousStream = {
+    if (lastBySubject)
+      throw new UnsupportedOperationException(
+        "nats_scan: last_by_subject is a point-in-time snapshot read — for " +
+          "a streaming materialized view, tail the stream and keep " +
+          "max_by(payload, seq) per subject")
     new graft.streaming.NatsTransportContinuousStream(url, stream,
       numShards = continuousShards, connectTimeoutMs = connectTimeoutMs,
       auth = auth, durable = durable, subjectFilter = subjectFilter)
+  }
 
   override def description(): String =
     s"nats_transport url=$url stream=$stream seq=[$seqLo,$seqHi] " +
@@ -292,8 +298,6 @@ final class NatsTransportKvReader(p: NatsTransportKvPartition,
     extends PartitionReader[InternalRow] {
 
   private val BatchSize = 2048
-  private val MaxRetries = 3
-  private val BackoffMs = 50L
 
   private val transport =
     graft.transport.TransportPool.get(p.url, connectTimeoutMs, auth)
@@ -309,19 +313,8 @@ final class NatsTransportKvReader(p: NatsTransportKvPartition,
   private var i = 0
   private var current: InternalRow = _
 
-  private def withRetry[T](f: => T): T = {
-    var attempt = 0
-    while (true) {
-      try return f
-      catch {
-        case e: graft.transport.NatsIOException =>
-          attempt += 1
-          if (attempt > MaxRetries) throw e
-          Thread.sleep(math.min(BackoffMs << (attempt - 1), 1000L))
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
+  private def withRetry[T](f: => T): T =
+    graft.transport.TransportRetry.withRetry(f)
 
   override def next(): Boolean = {
     while (true) {
@@ -412,8 +405,6 @@ final class NatsTransportReader(p: NatsTransportPartition,
     extends PartitionReader[InternalRow] {
 
   private val BatchSize = 2048
-  private val MaxRetries = 3
-  private val BackoffMs = 50L
 
   // POOLED connection: one per (executor JVM, url, credentials), shared by
   // every slice reader scheduled here — never closed by the reader (the
@@ -443,22 +434,8 @@ final class NatsTransportReader(p: NatsTransportPartition,
   private val tsHiUs =
     if (tsHiNs == Long.MaxValue) Long.MaxValue else Math.floorDiv(tsHiNs, 1000L)
 
-  /** capped-backoff retry for transient wire errors (docs/LIVE_NATS.md
-    * "Failure semantics"): after the budget, rethrow — Spark re-runs the
-    * slice, which is deterministic. */
-  private def withRetry[T](f: => T): T = {
-    var attempt = 0
-    while (true) {
-      try return f
-      catch {
-        case e: graft.transport.NatsIOException =>
-          attempt += 1
-          if (attempt > MaxRetries) throw e
-          Thread.sleep(math.min(BackoffMs << (attempt - 1), 1000L))
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
+  private def withRetry[T](f: => T): T =
+    graft.transport.TransportRetry.withRetry(f)
 
   private def pull(): Array[TransportMsg] =
     if (cursor != null) {

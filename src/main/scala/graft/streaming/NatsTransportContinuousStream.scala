@@ -69,12 +69,23 @@ final class NatsTransportContinuousStream(url: String, stream: String,
   override def mergeOffsets(offsets: Array[PartitionOffset]): Offset =
     ShardsOffset(offsets.map { case ShardOffset(s, q) => s -> q }.toMap)
 
-  override def planInputPartitions(start: Offset): Array[InputPartition] =
-    start.asInstanceOf[ShardsOffset].seqs.toSeq.sortBy(_._1).map {
+  override def planInputPartitions(start: Offset): Array[InputPartition] = {
+    val seqs = start.asInstanceOf[ShardsOffset].seqs
+    // the checkpoint's shard map IS the ownership layout: restarting with a
+    // different continuous_shards would strand modulo classes (grown) or
+    // double-deliver them (shrunk) — fail loudly, like Kafka's
+    // partition-count checks
+    require(seqs.keySet == (0 until numShards).toSet,
+      s"nats_scan continuous: checkpoint was written with " +
+        s"${seqs.size} shard(s) ${seqs.keySet.toSeq.sorted.mkString("[", ",", "]")} " +
+        s"but continuous_shards=$numShards — restart with the original " +
+        "shard count (or a fresh checkpoint to re-shard)")
+    seqs.toSeq.sortBy(_._1).map {
       case (shard, afterSeq) =>
         NatsContinuousPartition(url, stream, shard, numShards,
           afterSeq): InputPartition
     }.toArray
+  }
 
   override def createContinuousReaderFactory(): ContinuousPartitionReaderFactory =
     new NatsContinuousReaderFactory(connectTimeoutMs, auth, pollIntervalMs,
@@ -141,8 +152,6 @@ final class NatsContinuousReader(p: NatsContinuousPartition,
   private val wildcard = subjectFilter.map(graft.transport.SubjectFilter.matcher)
 
   private val BatchSize = 2048
-  private val MaxRetries = 3
-  private val BackoffMs = 50L
 
   private val transport = TransportPool.get(p.url, connectTimeoutMs, auth)
 
@@ -154,19 +163,14 @@ final class NatsContinuousReader(p: NatsContinuousPartition,
   private var i = 0
   private var current: InternalRow = _
 
-  private def withRetry[T](f: => T): T = {
-    var attempt = 0
-    while (true) {
-      try return f
-      catch {
-        case e: graft.transport.NatsIOException =>
-          attempt += 1
-          if (attempt > MaxRetries) throw e
-          Thread.sleep(math.min(BackoffMs << (attempt - 1), 1000L))
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
+  private def withRetry[T](f: => T): T =
+    graft.transport.TransportRetry.withRetry(f)
+
+  /** last LastSeq observed from the server — re-polled only once the fetch
+    * cursor catches up to it, so DRAINING a backlog costs ~1 RPC per 2048
+    * messages (the batch reader's shape) instead of a streamInfo before
+    * every fetch; when caught up, the tail degenerates to the poll loop. */
+  private var knownLast = 0L
 
   override def next(): Boolean = {
     while (true) {
@@ -180,15 +184,16 @@ final class NatsContinuousReader(p: NatsContinuousPartition,
           return true
         }
       }
-      val last = withRetry(transport.streamInfo(p.stream)).lastSeq
-      if (fetchFrom > last) {
+      if (fetchFrom > knownLast)
+        knownLast = withRetry(transport.streamInfo(p.stream)).lastSeq
+      if (fetchFrom > knownLast) {
         Thread.sleep(pollIntervalMs) // caught up — poll-bound wait
       } else {
         batch = withRetry(
-          transport.fetch(p.stream, fetchFrom, last, BatchSize))
+          transport.fetch(p.stream, fetchFrom, knownLast, BatchSize))
         i = 0
-        // an empty batch means the rest of [fetchFrom, last] is gaps
-        fetchFrom = if (batch.isEmpty) last + 1 else batch.last.seq + 1
+        // an empty batch means the rest of [fetchFrom, knownLast] is gaps
+        fetchFrom = if (batch.isEmpty) knownLast + 1 else batch.last.seq + 1
       }
     }
     false

@@ -207,6 +207,32 @@ object TransportAuth {
   }
 }
 
+/** THE transient-fault retry policy for transport readers (docs/LIVE_NATS.md
+  * "Failure semantics"): 3 attempts with capped exponential backoff, then
+  * rethrow — Spark re-runs the task, which is safe because every reader's
+  * unit of work is deterministic (seq slice, index shard, cursor position
+  * that only advances after a successful call). One definition so every
+  * reader shape — slice fetch, consumer cursor, KV page, subject-stats
+  * page, continuous tail — retries identically. */
+object TransportRetry {
+  val MaxRetries = 3
+  val BackoffMs = 50L
+
+  def withRetry[T](f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: NatsIOException =>
+          attempt += 1
+          if (attempt > MaxRetries) throw e
+          Thread.sleep(math.min(BackoffMs << (attempt - 1), 1000L))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
 /** Per-JVM connection cache — on a cluster, per-EXECUTOR: one live
   * connection per (url, credentials) reused by every partition reader that
   * lands on the executor, instead of one dial per task

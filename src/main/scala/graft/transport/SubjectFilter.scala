@@ -69,12 +69,19 @@ object SubjectFilter {
   }
 
   /** Longest literal prefix every matching subject must start with —
-    * `events.purchase.*` → `"events.purchase."`, `events.*.7` → `"events."`,
-    * `*.x` → `""`. Feeds row-group min/max pruning and a pushable
-    * `startswith` Catalyst filter; always a correct over-approximation. */
+    * `events.purchase.*` → `"events.purchase."` (the dot is valid: a
+    * wildcard always demands at least one more token), `events.*.7` →
+    * `"events."`, `*.x` → `""`, and a wildcard-FREE pattern is its own
+    * prefix verbatim (`a.b.c` → `"a.b.c"` — a trailing dot there would
+    * exclude the only matching subject). Feeds row-group min/max pruning
+    * and a pushable `startswith` Catalyst filter; always a correct
+    * over-approximation. */
   def literalPrefix(pattern: String): String = {
-    val lead = tokens(pattern).takeWhile(t => t != "*" && t != ">")
-    if (lead.isEmpty) "" else lead.mkString("", ".", ".")
+    val ts = tokens(pattern)
+    val lead = ts.takeWhile(t => t != "*" && t != ">")
+    if (lead.isEmpty) ""
+    else if (lead.length == ts.length) pattern // pure literal: exact subject
+    else lead.mkString("", ".", ".")
   }
 
   /** Deterministic subject shard for [[JetStreamTransport.lastForSubjects]]:

@@ -247,6 +247,64 @@ class ContinuousSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(0)).sorted.sameElements((2L to 40L by 4L)))
   }
 
+  test("changing continuous_shards across a checkpoint restart fails loudly") {
+    val url = "nats://continuous-reshard-spec:4222"
+    val s = FakeJetStream.listen(url)
+    (1L to 20L).foreach(seq =>
+      s.publish("rs", seq, s"rs.${seq % 2}", seq * 1000L, "x".getBytes))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_reshard_ckpt").toString
+    ContinuousSpec.collected.clear()
+    def run(shards: Int) = spark.readStream.format("nats_scan")
+      .option("url", url).option("stream", "rs")
+      .option("continuous_shards", shards.toString)
+      .load().selectExpr("seq")
+      .writeStream
+      .foreach(new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+        override def open(partitionId: Long, epochId: Long): Boolean = true
+        override def process(r: org.apache.spark.sql.Row): Unit =
+          ContinuousSpec.collected.add(r.getLong(0))
+        override def close(errorOrNull: Throwable): Unit = ()
+      })
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.Continuous("200 milliseconds"))
+      .start()
+    val q1 = run(2)
+    assert(eventually() { ContinuousSpec.collected.size() == 20 })
+    Thread.sleep(600L) // let an epoch commit land in the checkpoint
+    q1.stop()
+    // same checkpoint, different shard count: must refuse (grown shards
+    // would strand modulo classes; shrunk ones double-deliver)
+    val q2 = run(4)
+    val failed = eventually() { !q2.isActive }
+    assert(failed, "restart with a different shard count should fail")
+    val msg = Option(q2.exception.map(_.getMessage).orNull).getOrElse("") +
+      q2.exception.map(e => Option(e.getCause)
+        .map(_.getMessage).getOrElse("")).getOrElse("")
+    assert(msg.contains("continuous_shards") || msg.contains("shard"),
+      s"unexpected failure: $msg")
+  }
+
+  test("continuous rejects last_by_subject like the micro-batch path") {
+    val url = "nats://continuous-kv-reject:4222"
+    FakeJetStream.listen(url).publish("kvr", 1L, "a.b", 1L, "x".getBytes)
+    val e = intercept[Exception] {
+      spark.readStream.format("nats_scan")
+        .option("url", url).option("stream", "kvr")
+        .option("last_by_subject", "true")
+        .load().writeStream.format("memory").queryName("kvr_tail")
+        .trigger(Trigger.Continuous("200 milliseconds"))
+        .start()
+      val q = spark.streams.active.find(_.name == "kvr_tail").get
+      q.awaitTermination(30000L); q.stop()
+      throw new IllegalStateException("query should not have started")
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(e).contains("point-in-time snapshot"), chain(e))
+  }
+
   test("store mode rejects continuous with a pointed error") {
     val e = intercept[Exception] {
       val q = spark.readStream.format("nats_scan")

@@ -663,6 +663,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expect = NatsScan.scanDir(spark, dir)
       .filter(col("subject").rlike("^events\\.purchase\\.[0-9]+$")).count()
     assert(filtered.count() == expect && expect > 0)
+    // a wildcard-FREE pattern must match its exact subject (round-8 review
+    // regression: the trailing-dot prefix made this predicate always-false)
+    val literal = NatsScan.scanDir(spark, dir)
+      .filter(NatsScan.subjectWildcard(col("subject"), "events.purchase.3"))
+    assert(literal.count() ==
+      NatsScan.scanDir(spark, dir)
+        .filter(col("subject") === "events.purchase.3").count())
+    assert(literal.count() > 0)
   }
 
   test("last_by_subject plans kv_buckets shard partitions, not seq slices") {

@@ -722,6 +722,9 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SubjectFilter.literalPrefix("events.purchase.*") == "events.purchase.")
     assert(SubjectFilter.literalPrefix("events.*.7") == "events.")
     assert(SubjectFilter.literalPrefix("*.x") == "")
+    // a wildcard-free pattern is its own prefix VERBATIM — a trailing dot
+    // would exclude the only matching subject (round-8 review regression)
+    assert(SubjectFilter.literalPrefix("events.purchase.7") == "events.purchase.7")
     assert(SubjectFilter.toRegex("events.*.7") == "^\\Qevents\\E\\.[^.]+\\.\\Q7\\E$")
     for (bad <- Seq("a..b", "a.>.b", "ev*nts.x", "", ".a"))
       assertThrows[RuntimeException](SubjectFilter.validate(bad))
@@ -848,6 +851,18 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     // index pages only: ≤ (1 page + 1 terminal check) per default 16 buckets,
     // zero message fetches — never ceil(90/2048)-shaped
     assert(delta <= 32L, s"subject-stats scan cost $delta RPCs")
+  }
+
+  test("grouped pushdown retries transient wire faults like every reader") {
+    server.injectFaults(2)
+    try {
+      val got = read("telemetry")
+        .groupBy("subject")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect()
+      assert(got.length == 5)
+    } finally server.injectFaults(0)
   }
 
   test("grouped pushdown on a missing stream surfaces stream-not-found") {
