@@ -44,7 +44,7 @@ object ScaleProbe {
     // warmup
     replicate(1).count()
 
-    println(f"${"k"}%3s ${"docs"}%8s ${"sig_s"}%8s ${"simhash_s"}%10s ${"jaccard_s"}%10s ${"jaccard_pairs"}%14s ${"cc_s"}%8s ${"comps"}%8s ${"assign_s"}%9s ${"pq_s"}%8s ${"lsh_s"}%8s ${"lag_s"}%8s ${"span_s"}%8s ${"span_docs"}%10s ${"scrub_s"}%8s ${"ngram_s"}%8s ${"pack_s"}%8s ${"nll_s"}%8s ${"bloom_s"}%8s ${"cov_s"}%8s ${"kn_s"}%8s ${"bpe_s"}%8s ${"winnow_s"}%9s ${"cdc_s"}%8s")
+    println(f"${"k"}%3s ${"docs"}%8s ${"sig_s"}%8s ${"simhash_s"}%10s ${"jaccard_s"}%10s ${"jaccard_pairs"}%14s ${"cc_s"}%8s ${"comps"}%8s ${"assign_s"}%9s ${"pq_s"}%8s ${"lsh_s"}%8s ${"lag_s"}%8s ${"span_s"}%8s ${"span_docs"}%10s ${"scrub_s"}%8s ${"ngram_s"}%8s ${"pack_s"}%8s ${"nll_s"}%8s ${"bloom_s"}%8s ${"cov_s"}%8s ${"kn_s"}%8s ${"bpe_s"}%8s ${"winnow_s"}%9s ${"cdc_s"}%8s ${"novel_s"}%8s")
     Seq(1, 2, 4, 8, 16, 32).foreach { k =>
       val docs = replicate(k).cache()
       val nDocs = docs.count()
@@ -257,10 +257,29 @@ object ScaleProbe {
         baseC.unpersist()
         n
       }
+      // first-occurrence trigram novelty, SHIPPED (join-free) shape: one
+      // hash-keyed groupBy(min) over exploded trigrams + a groupBy over
+      // the winners — must stay linear in corpus tokens. (The v1
+      // trigram-keyed join measured 185 s at k=32 vs 9 s at k=16 right
+      // here — the probe catching a spilling string-key join before
+      // production would.)
+      val (tNovel, _) = time {
+        docs
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            """array_distinct(transform(sequence(1, size(t) - 2),
+              |  i -> concat_ws(' ', t[i-1], t[i], t[i+1])))""".stripMargin))
+            .as("g"))
+          .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+          .groupBy("gh").agg(min("doc_id").as("first_doc"))
+          .groupBy("first_doc").agg(count(lit(1)).as("n_novel"))
+          .agg(sum("n_novel")).head.getLong(0)
+      }
       emb.unpersist()
       docs.unpersist()
       Caches.drain()
-      println(f"$k%3d $nDocs%8d $tSig%8.2f $tSim%10.2f $tJac%10.2f $nPairs%14d $tCc%8.2f $nComp%8d $tAssign%9.2f $tPq%8.2f $tLsh%8.2f $tLag%8.2f $tSpan%8.2f $nSpanDocs%10d $tScrub%8.2f $tNgram%8.2f $tPack%8.2f $tNll%8.2f $tBloom%8.2f $tCov%8.2f $tKn%8.2f $tBpe%8.2f $tWinnow%9.2f $tCdc%8.2f")
+      println(f"$k%3d $nDocs%8d $tSig%8.2f $tSim%10.2f $tJac%10.2f $nPairs%14d $tCc%8.2f $nComp%8d $tAssign%9.2f $tPq%8.2f $tLsh%8.2f $tLag%8.2f $tSpan%8.2f $nSpanDocs%10d $tScrub%8.2f $tNgram%8.2f $tPack%8.2f $tNll%8.2f $tBloom%8.2f $tCov%8.2f $tKn%8.2f $tBpe%8.2f $tWinnow%9.2f $tCdc%8.2f $tNovel%8.2f")
     }
 
     // PQ codebook-size scaling: encode / decode wall time and PLAN size must

@@ -86,6 +86,37 @@ object NatsQueries {
         .select("seq", "k", "payload")
         .orderBy("seq")),
 
+    // JSON payload SCHEMA PROFILE — the stream-observability query a
+    // schema-drift monitor runs: every key that occurs anywhere in the
+    // payloads, its occurrence count, presence rate, and coarse value-type
+    // class. Keys are DYNAMIC (variant_explode — no schema declared
+    // anywhere), so the same query profiles a thousand-key payload mix;
+    // one key-explode + one groupBy(key) shuffle, corpus-linear.
+    "nats_json_profile" -> ((s, dir) => {
+      val env = NatsScan.scanDir(s, dir)
+        .select(col("payload").cast("string").as("p"))
+      val total = env.agg(count(lit(1)).as("n_msgs"))
+      env.filter(col("p").isNotNull)
+        .createOrReplaceTempView("nats_json_profile_env")
+      // variant_explode is a TABLE function: LATERAL-join it per payload
+      s.sql("""SELECT v.key, v.value
+              |FROM nats_json_profile_env,
+              |     LATERAL variant_explode(try_parse_json(p)) AS v""".stripMargin)
+        .withColumn("type_class", expr(
+          """CASE WHEN schema_of_variant(value) IN ('BIGINT', 'DOUBLE')
+            |       OR schema_of_variant(value) LIKE 'DECIMAL%' THEN 'number'
+            |     WHEN schema_of_variant(value) = 'STRING' THEN 'string'
+            |     WHEN schema_of_variant(value) = 'BOOLEAN' THEN 'boolean'
+            |     WHEN schema_of_variant(value) = 'VOID' THEN 'null'
+            |     ELSE 'complex' END""".stripMargin))
+        .groupBy("key", "type_class")
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .select(col("key"), col("type_class"), col("n"),
+          round(col("n").cast("double") / col("n_msgs"), 6).as("rate"))
+        .orderBy("key", "type_class")
+    }),
+
     // STRICT number fidelity (nats_scan.cpp:797-800): extracted JSON numbers
     // render as the reference's std::to_string(double) fixed 6-decimal text
     // ("42" → "42.000000"); the oracle rebuilds the same text from the raw
@@ -151,6 +182,22 @@ object NatsQueries {
 
     "nats_json_extract" ->
       s"$envSql SELECT seq, json_extract_string(payload, '$$.k') AS k, payload FROM env ORDER BY seq",
+
+    "nats_json_profile" ->
+      s"""$envSql, tot AS (SELECT count(*) AS n_msgs FROM env),
+         | kv AS (SELECT unnest(json_keys(payload::JSON)) AS key, payload
+         |        FROM env WHERE payload IS NOT NULL),
+         | cls AS (SELECT key,
+         |   CASE WHEN json_type(payload::JSON, '$$.' || key)
+         |          IN ('UBIGINT', 'BIGINT', 'DOUBLE') THEN 'number'
+         |        WHEN json_type(payload::JSON, '$$.' || key) = 'VARCHAR' THEN 'string'
+         |        WHEN json_type(payload::JSON, '$$.' || key) = 'BOOLEAN' THEN 'boolean'
+         |        WHEN json_type(payload::JSON, '$$.' || key) = 'NULL' THEN 'null'
+         |        ELSE 'complex' END AS type_class
+         |   FROM kv)
+         | SELECT key, type_class, CAST(count(*) AS BIGINT) AS n,
+         |        round(CAST(count(*) AS DOUBLE) / (SELECT n_msgs FROM tot), 6) AS rate
+         | FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "nats_json_strict" ->
       s"""$envSql SELECT seq,

@@ -707,27 +707,35 @@ object RetrievalQueries {
     // per-document n-gram NOVELTY vs everything earlier in the corpus
     // (doc_id order): the memorization/duplication signal a curriculum or
     // rolling-crawl pipeline reads — a doc whose trigrams all appeared
-    // before contributes nothing new. One shuffle keyed by trigram (the
-    // TF-IDF shape) computes each trigram's FIRST doc; a join back scores
-    // docs. No pair space, no per-doc history scan; at 100 TB the trigram
-    // strings would ride as xxhash64 keys (collision odds ≪ corpus size),
-    // the plan is unchanged.
+    // before contributes nothing new. JOIN-FREE shape (the ScaleProbe
+    // caught the v1 trigram-keyed join spilling 20× superlinear at 32×
+    // corpus): per-doc totals are MAP-SIDE (size of the distinct-trigram
+    // array before exploding), each trigram's first doc is one
+    // hash-keyed groupBy(min) — 8-byte xxhash64 keys, not ~30-byte
+    // strings — and per-doc novel counts are a groupBy over the WINNERS
+    // (one row per distinct trigram). The only join left is doc-level
+    // (n_docs rows), never trigram-level. Hash collisions merge trigram
+    // classes at odds ≪ 1/corpus (the pipe_decontaminate convention).
     "text_novelty" -> ((s, dir) => {
-      val tg = graft.Caches.tracked(t(s, dir, "documents")
+      val base = graft.Caches.tracked(t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(expr(
+        .select(col("doc_id"), expr(
           """array_distinct(transform(sequence(1, size(w) - 2),
-            |  i -> concat_ws(' ', w[i-1], w[i], w[i+1])))""".stripMargin))
-          .as("g")))
-      val firsts = tg.groupBy("g").agg(min("doc_id").as("first_doc"))
-      tg.join(firsts, "g")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_ngrams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
-        .withColumn("novelty",
-          round(col("n_novel").cast("double") / col("n_ngrams"), 6))
+            |  i -> concat_ws(' ', w[i-1], w[i], w[i+1])))""".stripMargin)
+          .as("gs")))
+      val counts = base.select(col("doc_id"),
+        size(col("gs")).cast("long").as("n_ngrams"))
+      val novel = base
+        .select(col("doc_id"), explode(col("gs")).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+        .groupBy("gh").agg(min("doc_id").as("first_doc"))
+        .groupBy("first_doc").agg(count(lit(1)).as("n_novel"))
+      counts.join(novel, counts("doc_id") === novel("first_doc"), "left")
+        .na.fill(0L, Seq("n_novel"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_ngrams"), 6)
+            .as("novelty"))
         .orderBy("doc_id")
     }),
 

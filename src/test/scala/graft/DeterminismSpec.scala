@@ -84,7 +84,10 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "pipe_shard_plan", "transport_subject_stats_wild",
     // mergeable-HLL rollup: sketch-union order must not move the estimate
     // across the boolean error contract at any partitioning
-    "q_hll_mergeable")
+    "q_hll_mergeable",
+    // dynamic-key JSON schema profile (LATERAL variant_explode + one
+    // groupBy(key) — rate division must not wobble with partial-agg order)
+    "nats_json_profile")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
