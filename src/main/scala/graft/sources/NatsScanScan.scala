@@ -29,7 +29,8 @@ final class NatsScanScan(file: String, dir: String, stream: String,
                          subjectContains: List[String],
                          subjectPrefixes: List[String], maxPerBatch: Long,
                          pushedLimit: Option[Int] = None,
-                         assertSeqOrder: Boolean = false)
+                         assertSeqOrder: Boolean = false,
+                         asOfEpoch: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -37,8 +38,12 @@ final class NatsScanScan(file: String, dir: String, stream: String,
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    asOfEpoch.foreach(_ => throw new UnsupportedOperationException(
+      "nats_scan: as_of_epoch is a point-in-time snapshot read; a stream " +
+        "tails the LIVE store (bound the replay with seq predicates instead)"))
     new graft.streaming.NatsMicroBatchStream(dir, stream, maxPerBatch)
+  }
 
   override def toContinuousStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
@@ -65,12 +70,19 @@ final class NatsScanScan(file: String, dir: String, stream: String,
       // across part files directly on seq / ts_nats statistics. Only
       // committed files count — '_'/'.'-prefixed names are staged epochs,
       // checksum siblings, or aborted attempts and may be partial.
-      Option(nativeDir.listFiles((f: java.io.File) => f.getName.endsWith(".parquet") &&
+      val committed = Option(nativeDir.listFiles(
+          (f: java.io.File) => f.getName.endsWith(".parquet") &&
           !f.getName.startsWith("_") && !f.getName.startsWith(".")))
         .getOrElse(sys.error(s"nats_scan: cannot list message store $nativeDir"))
         .sortBy(_.getName)
+      StoreEpochs.select(committed, asOfEpoch)
         .flatMap(f => planFile(f.getPath, native = true))
-    } else planFile(file, native = false)
+    } else {
+      asOfEpoch.foreach(_ => sys.error(
+        "nats_scan: as_of_epoch requires a native message store (the " +
+          "fixture file has no epoch ledger)"))
+      planFile(file, native = false)
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -163,6 +175,41 @@ final case class NatsScanPartition(file: String, rangeStart: Long,
                                    rangeEnd: Long, native: Boolean = false,
                                    rows: Long = 0L)
     extends InputPartition
+
+/** TIME TRAVEL over the streaming-ingested store: every committed epoch's
+  * part files carry their epoch in the (deterministic) file name
+  * (`epoch-NNNNNN-part-*.parquet` — NatsScanStreamingWrite), which makes
+  * the directory listing itself the commit ledger. `as_of_epoch = N` reads
+  * the store exactly as it stood after epoch N committed — the dataset-
+  * reproducibility read a training run pins its corpus with ("train on the
+  * stream as of ingest epoch N", re-runnable forever). Selection is
+  * pure name arithmetic — zero extra I/O at any store size. Batch-append
+  * part files (`part-*-<jobToken>`) carry no epoch: a store containing any
+  * is not epoch-ledgered and time travel on it is REFUSED rather than
+  * answered approximately. */
+private[sources] object StoreEpochs {
+  private val EpochName = "^epoch-(\\d{6})-part-.*\\.parquet$".r
+
+  def epochOf(name: String): Option[Long] = name match {
+    case EpochName(e) => Some(e.toLong)
+    case _ => None
+  }
+
+  def select(committed: Array[java.io.File],
+             asOf: Option[Long]): Array[java.io.File] = asOf match {
+    case None => committed
+    case Some(n) =>
+      committed.foreach { f =>
+        if (epochOf(f.getName).isEmpty)
+          sys.error(s"nats_scan: as_of_epoch requires an epoch-ledgered " +
+            s"store (every part file named epoch-NNNNNN-…), but " +
+            s"'${f.getName}' carries no epoch (batch append or compaction " +
+            "rewrote it); re-ingest through the streaming sink to rebuild " +
+            "the ledger")
+      }
+      committed.filter(f => epochOf(f.getName).exists(_ <= n))
+  }
+}
 
 /** The ONE ns→µs bound translation (file values are whole µs; pushed
   * bounds arrive in ns): ts_ns = µs·1000 ∈ [lo, hi] ⟺

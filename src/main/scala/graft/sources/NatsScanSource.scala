@@ -155,6 +155,24 @@ final class NatsScanTable(rawProps: Map[String, String])
     }
   }
 
+  /** `as_of_epoch=N`: time-travel read of a streaming-ingested native
+    * store — only part files committed at epoch ≤ N are planned (the
+    * epoch-in-filename ledger). Store mode only: a live server has no
+    * epoch ledger (its replay axis is `start_seq`/`end_seq`). */
+  private val asOfEpoch: Option[Long] = props.get("as_of_epoch").map { v =>
+    val n = try v.toLong catch {
+      case _: NumberFormatException =>
+        sys.error(s"nats_scan: as_of_epoch must be a non-negative epoch " +
+          s"number, got '$v'")
+    }
+    if (n < 0) sys.error("nats_scan: as_of_epoch must be >= 0")
+    if (url.isDefined)
+      sys.error("nats_scan: as_of_epoch reads a store's epoch ledger and " +
+        "requires 'dir' mode; on a live stream use start_seq/end_seq " +
+        "(sequences are the server's replay axis)")
+    n
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val transport = url.map { u =>
       TransportBind(u,
@@ -180,7 +198,7 @@ final class NatsScanTable(rawProps: Map[String, String])
         kvBuckets = props.getOrElse("kv_buckets", "16").toInt)
     }
     new NatsScanBuilder(s"$dir/$stream.parquet", dir, stream, maxPerBatch,
-      transport)
+      transport, asOfEpoch)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -213,7 +231,8 @@ final case class TransportBind(url: String,
   */
 final class NatsScanBuilder(file: String, dir: String, stream: String,
                             maxPerBatch: Long,
-                            transport: Option[TransportBind] = None)
+                            transport: Option[TransportBind] = None,
+                            asOfEpoch: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -451,9 +470,15 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
             val nativeDir = new java.io.File(s"$dir/$stream.msgs")
             val (files, native) =
               if (nativeDir.isDirectory)
-                (Option(nativeDir.listFiles((f: java.io.File) =>
-                  f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
-                    !f.getName.startsWith("."))).toSeq.flatten.toSeq, true)
+                // time travel filters the footer set exactly like the row
+                // scan's planner — stats must describe the SAME snapshot
+                (StoreEpochs.select(
+                  Option(nativeDir.listFiles((f: java.io.File) =>
+                    f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+                      !f.getName.startsWith("."))).getOrElse(Array.empty),
+                  asOfEpoch).toSeq, true)
+              else if (asOfEpoch.isDefined)
+                return false // fixture file has no ledger; row scan errors
               else (Seq(new java.io.File(file)).filter(_.isFile), false)
             // missing fixture file: decline, so the ROW scan surfaces its
             // proper error instead of a silent zero-count answer (an empty
@@ -502,6 +527,6 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
     case None =>
       new NatsScanScan(file, dir, stream, required, seqLo, seqHi, tsLoNs,
         tsHiNs, subjectContains, subjectPrefixes, maxPerBatch, pushedLimit,
-        assertSeqOrder = limitIsTopN)
+        assertSeqOrder = limitIsTopN, asOfEpoch = asOfEpoch)
   }
 }

@@ -289,4 +289,62 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.map(_._2).sameElements(batch.map(_._2)), "event counts differ")
     assert(streamed.map(_._3).sameElements(batch.map(_._3)), "session counts differ")
   }
+
+  test("as_of_epoch: time-travel reads reproduce each ingest snapshot exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_timetravel").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tt_ckpt").toString
+    // multi-epoch ingest: 1000 fixture messages in 300-message admission
+    // batches → ≥4 committed epochs, each a set of epoch-named part files
+    val q = stream(300).writeStream.format("nats_scan")
+      .option("dir", tmp).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val store = new java.io.File(s"$tmp/events.msgs")
+    val epochs = store.listFiles().map(_.getName)
+      .flatMap("^epoch-(\\d{6})-".r.findFirstMatchIn(_).map(_.group(1).toLong))
+      .distinct.sorted
+    assert(epochs.length >= 3, s"expected a multi-epoch ledger, got $epochs")
+    def readAsOf(e: Long) = spark.read.format("nats_scan").option("dir", tmp)
+      .option("as_of_epoch", e.toString).load()
+    // each snapshot is a seq-PREFIX of the stream (epochs commit in offset
+    // order) and grows monotonically to the full 1000
+    var prev = 0L
+    epochs.foreach { e =>
+      val seqs = readAsOf(e).select("seq").collect().map(_.getLong(0)).sorted
+      assert(seqs.length > prev, s"epoch $e snapshot did not grow")
+      assert(seqs.sameElements(1L to seqs.length),
+        s"epoch $e snapshot is not a seq prefix")
+      prev = seqs.length
+    }
+    assert(prev == 1000L)
+    // aggregate pushdown must describe the SAME snapshot as the row scan
+    assert(readAsOf(epochs.head).count() ==
+      readAsOf(epochs.head).select("seq").collect().length.toLong)
+    // the full read (no option) sees everything
+    assert(spark.read.format("nats_scan").option("dir", tmp).load()
+      .count() == 1000L)
+    // guards: streaming from a snapshot, epoch-less stores, transport mode
+    val eStream = intercept[Exception] {
+      spark.readStream.format("nats_scan").option("dir", tmp)
+        .option("as_of_epoch", epochs.head.toString).load()
+        .writeStream.format("memory").queryName("tt_tail")
+        .trigger(Trigger.AvailableNow()).start()
+        .awaitTermination(30000)
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(eStream).contains("point-in-time snapshot"))
+    val eFixture = intercept[Exception] {
+      spark.read.format("nats_scan").option("dir", dir)
+        .option("as_of_epoch", "1").load().collect()
+    }
+    assert(chain(eFixture).contains("epoch"))
+    val eUrl = intercept[Exception] {
+      spark.read.format("nats_scan")
+        .option("url", "nats://tt-guard:4222")
+        .option("as_of_epoch", "1").load()
+    }
+    assert(chain(eUrl).contains("start_seq/end_seq"))
+  }
 }
