@@ -88,15 +88,20 @@ object NatsQueries {
 
     // JSON payload SCHEMA PROFILE — the stream-observability query a
     // schema-drift monitor runs: every key that occurs anywhere in the
-    // payloads, its occurrence count, presence rate, and coarse value-type
-    // class. Keys are DYNAMIC (variant_explode — no schema declared
-    // anywhere), so the same query profiles a thousand-key payload mix;
-    // one key-explode + one groupBy(key) shuffle, corpus-linear.
+    // OBJECT payloads, its occurrence count, presence rate, and coarse
+    // value-type class. Keys are DYNAMIC (variant_explode — no schema
+    // declared anywhere), so the same query profiles a thousand-key payload
+    // mix; one key-explode + one groupBy(key) shuffle, corpus-linear.
+    // Non-object payloads (arrays/scalars) are explicitly OUT of the key
+    // profile on both engines — variant_explode would emit NULL-key element
+    // rows for them while json_keys emits nothing, so the restriction is
+    // what keeps the two sides the same query.
     "nats_json_profile" -> ((s, dir) => {
       val env = NatsScan.scanDir(s, dir)
         .select(col("payload").cast("string").as("p"))
       val total = env.agg(count(lit(1)).as("n_msgs"))
-      env.filter(col("p").isNotNull)
+      env.filter(col("p").isNotNull &&
+          expr("schema_of_variant(try_parse_json(p))").startsWith("OBJECT"))
         .createOrReplaceTempView("nats_json_profile_env")
       // variant_explode is a TABLE function: LATERAL-join it per payload
       s.sql("""SELECT v.key, v.value
@@ -186,15 +191,19 @@ object NatsQueries {
     "nats_json_profile" ->
       s"""$envSql, tot AS (SELECT count(*) AS n_msgs FROM env),
          | kv AS (SELECT unnest(json_keys(payload::JSON)) AS key, payload
-         |        FROM env WHERE payload IS NOT NULL),
+         |        FROM env WHERE payload IS NOT NULL
+         |          AND json_type(payload::JSON) = 'OBJECT'),
+         | typed AS (SELECT key,
+         |   json_type(json_extract(payload::JSON,
+         |     '$$."' || replace(key, '"', '\\"') || '"')) AS jt
+         |   FROM kv),
          | cls AS (SELECT key,
-         |   CASE WHEN json_type(payload::JSON, '$$.' || key)
-         |          IN ('UBIGINT', 'BIGINT', 'DOUBLE') THEN 'number'
-         |        WHEN json_type(payload::JSON, '$$.' || key) = 'VARCHAR' THEN 'string'
-         |        WHEN json_type(payload::JSON, '$$.' || key) = 'BOOLEAN' THEN 'boolean'
-         |        WHEN json_type(payload::JSON, '$$.' || key) = 'NULL' THEN 'null'
+         |   CASE WHEN jt IN ('UBIGINT', 'BIGINT', 'DOUBLE') THEN 'number'
+         |        WHEN jt = 'VARCHAR' THEN 'string'
+         |        WHEN jt = 'BOOLEAN' THEN 'boolean'
+         |        WHEN jt = 'NULL' THEN 'null'
          |        ELSE 'complex' END AS type_class
-         |   FROM kv)
+         |   FROM typed)
          | SELECT key, type_class, CAST(count(*) AS BIGINT) AS n,
          |        round(CAST(count(*) AS DOUBLE) / (SELECT n_msgs FROM tot), 6) AS rate
          | FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

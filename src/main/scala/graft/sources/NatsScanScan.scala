@@ -70,12 +70,7 @@ final class NatsScanScan(file: String, dir: String, stream: String,
       // across part files directly on seq / ts_nats statistics. Only
       // committed files count — '_'/'.'-prefixed names are staged epochs,
       // checksum siblings, or aborted attempts and may be partial.
-      val committed = Option(nativeDir.listFiles(
-          (f: java.io.File) => f.getName.endsWith(".parquet") &&
-          !f.getName.startsWith("_") && !f.getName.startsWith(".")))
-        .getOrElse(sys.error(s"nats_scan: cannot list message store $nativeDir"))
-        .sortBy(_.getName)
-      StoreEpochs.select(committed, asOfEpoch)
+      StoreEpochs.committedFiles(nativeDir, asOfEpoch)
         .flatMap(f => planFile(f.getPath, native = true))
     } else {
       asOfEpoch.foreach(_ => sys.error(
@@ -188,11 +183,26 @@ final case class NatsScanPartition(file: String, rangeStart: Long,
   * is not epoch-ledgered and time travel on it is REFUSED rather than
   * answered approximately. */
 private[sources] object StoreEpochs {
-  private val EpochName = "^epoch-(\\d{6})-part-.*\\.parquet$".r
+  // %06d is a MINIMUM width: epochs past 999,999 print wider, so the
+  // ledger pattern accepts 6-or-more digits
+  private val EpochName = "^epoch-(\\d{6,})-part-.*\\.parquet$".r
 
   def epochOf(name: String): Option[Long] = name match {
     case EpochName(e) => Some(e.toLong)
     case _ => None
+  }
+
+  /** THE definition of "the committed snapshot": one shared listing +
+    * selection used by both the row-scan planner and the stats pushdown,
+    * so the two can never describe different file sets. */
+  def committedFiles(nativeDir: java.io.File,
+                     asOf: Option[Long]): Array[java.io.File] = {
+    val committed = Option(nativeDir.listFiles(
+        (f: java.io.File) => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+      .getOrElse(sys.error(s"nats_scan: cannot list message store $nativeDir"))
+      .sortBy(_.getName)
+    select(committed, asOf)
   }
 
   def select(committed: Array[java.io.File],
@@ -207,6 +217,16 @@ private[sources] object StoreEpochs {
             "rewrote it); re-ingest through the streaming sink to rebuild " +
             "the ledger")
       }
+      // a snapshot "as of" an epoch that has not COMMITTED yet is not a
+      // snapshot — it would silently change as ingest catches up, breaking
+      // the re-runnable-forever contract (Delta's versionAsOf refuses the
+      // same way)
+      val maxCommitted = committed.iterator
+        .flatMap(f => epochOf(f.getName)).foldLeft(-1L)(math.max)
+      if (n > maxCommitted)
+        sys.error(s"nats_scan: as_of_epoch=$n exceeds the newest committed " +
+          s"epoch ($maxCommitted); a not-yet-committed snapshot would " +
+          "silently change as ingest advances")
       committed.filter(f => epochOf(f.getName).exists(_ <= n))
   }
 }

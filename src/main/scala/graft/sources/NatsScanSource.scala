@@ -470,13 +470,9 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
             val nativeDir = new java.io.File(s"$dir/$stream.msgs")
             val (files, native) =
               if (nativeDir.isDirectory)
-                // time travel filters the footer set exactly like the row
-                // scan's planner — stats must describe the SAME snapshot
-                (StoreEpochs.select(
-                  Option(nativeDir.listFiles((f: java.io.File) =>
-                    f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
-                      !f.getName.startsWith("."))).getOrElse(Array.empty),
-                  asOfEpoch).toSeq, true)
+                // ONE definition of the committed snapshot, shared with the
+                // row-scan planner — stats must describe the SAME file set
+                (StoreEpochs.committedFiles(nativeDir, asOfEpoch).toSeq, true)
               else if (asOfEpoch.isDefined)
                 return false // fixture file has no ledger; row scan errors
               else (Seq(new java.io.File(file)).filter(_.isFile), false)

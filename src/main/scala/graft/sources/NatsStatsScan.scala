@@ -186,9 +186,11 @@ final class NatsSubjectStatsScan(url: String, stream: String, kvBuckets: Int,
   override def planInputPartitions(): Array[InputPartition] = {
     // stream-existence check (1 pooled RPC): a missing stream must surface
     // the stream-not-found error here like every other scan shape, not an
-    // empty result
-    graft.transport.TransportPool.get(url, connectTimeoutMs, auth)
-      .streamInfo(stream)
+    // empty result. Transient faults retry like every other transport call
+    // (stream-not-found is NOT a NatsIOException and passes through).
+    graft.transport.TransportRetry.withRetry(
+      graft.transport.TransportPool.get(url, connectTimeoutMs, auth)
+        .streamInfo(stream))
     (0 until kvBuckets).map(b =>
       NatsSubjectStatsPartition(url, stream, b, kvBuckets,
         filter): InputPartition).toArray

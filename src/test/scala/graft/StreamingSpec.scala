@@ -323,6 +323,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the full read (no option) sees everything
     assert(spark.read.format("nats_scan").option("dir", tmp).load()
       .count() == 1000L)
+    // a not-yet-committed epoch is refused — otherwise the "pinned"
+    // snapshot would silently change as ingest advances
+    val eFuture = intercept[Exception] {
+      readAsOf(epochs.max + 100).collect()
+    }
+    assert(Iterator.iterate(eFuture: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))
+      .mkString(" | ").contains("exceeds the newest committed"))
     // guards: streaming from a snapshot, epoch-less stores, transport mode
     val eStream = intercept[Exception] {
       spark.readStream.format("nats_scan").option("dir", tmp)
