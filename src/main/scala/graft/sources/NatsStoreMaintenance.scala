@@ -159,4 +159,22 @@ object NatsStoreMaintenance {
     if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
     f.delete(): Unit
   }
+
+  /** One row per committed ingest epoch of a streaming-written store —
+    * (epoch, part files, total bytes) — the discovery half of the
+    * `as_of_epoch` time-travel read ("which snapshots can I pin?"). Pure
+    * directory-listing arithmetic; epochs sorted ascending. Batch-appended
+    * (epoch-less) files are reported under epoch -1 so a mixed store is
+    * visible rather than hidden. */
+  def epochs(dir: String, stream: String): Seq[(Long, Int, Long)] = {
+    val store = new File(s"$dir/$stream.msgs")
+    if (!store.isDirectory) return Nil
+    Option(store.listFiles((f: File) => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+      .getOrElse(Array.empty)
+      .groupBy(f => StoreEpochs.epochOf(f.getName).getOrElse(-1L))
+      .toSeq
+      .map { case (e, fs) => (e, fs.length, fs.map(_.length()).sum) }
+      .sortBy(_._1)
+  }
 }

@@ -323,6 +323,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the full read (no option) sees everything
     assert(spark.read.format("nats_scan").option("dir", tmp).load()
       .count() == 1000L)
+    // epoch discovery: the ledger listing names exactly the pinnable
+    // snapshots, no epoch-less (-1) bucket on a pure streaming store
+    val ledger = graft.sources.NatsStoreMaintenance.epochs(tmp, "events")
+    assert(ledger.map(_._1) == epochs.toSeq)
+    assert(ledger.forall { case (_, nFiles, bytes) => nFiles > 0 && bytes > 0L })
     // a not-yet-committed epoch is refused — otherwise the "pinned"
     // snapshot would silently change as ingest advances
     val eFuture = intercept[Exception] {
