@@ -728,6 +728,14 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SubjectFilter.toRegex("events.*.7") == "^\\Qevents\\E\\.[^.]+\\.\\Q7\\E$")
     for (bad <- Seq("a..b", "a.>.b", "ev*nts.x", "", ".a"))
       assertThrows[RuntimeException](SubjectFilter.validate(bad))
+    // the shard hash is a CROSS-BINDING contract (a live client-side
+    // sharding must land subjects in the same buckets as the fake server):
+    // pin concrete FNV-1a values so any accidental change fails loudly
+    assert(SubjectFilter.shard("events.click.7", 16) ==
+      SubjectFilter.shard("events.click.7", 16))
+    val pinned = Seq("events.click.7", "telemetry.dev0", "k.a")
+      .map(s => SubjectFilter.shard(s, 16))
+    assert(pinned == Seq(5, 3, 7), s"FNV-1a shard values moved: $pinned")
   }
 
   test("wildcard subject_filter: fetch and consumer modes agree, exact-token match") {
