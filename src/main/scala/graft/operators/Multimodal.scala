@@ -378,7 +378,11 @@ object Multimodal {
         val lums = new Array[Long](fps)
         var i = 8
         while (i < b.length) { lums((i - 8) % fps) += (b(i) & 0xFF); i += 1 }
-        (0 until fps).iterator.map(f => FrameLum(cell.doc_id, f, lums(f), fps))
+        // only frames that received >= 1 body byte exist: a clip shorter than
+        // fps must not emit zero-filled phantom tail frames (they would fake
+        // a luminance cliff at the clip boundary)
+        val emitted = math.min(fps, b.length - 8)
+        (0 until emitted).iterator.map(f => FrameLum(cell.doc_id, f, lums(f), fps))
       }
     }
   }

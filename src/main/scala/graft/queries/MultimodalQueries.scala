@@ -295,7 +295,7 @@ object MultimodalQueries {
                               FOR k IN range(f + 1, len(text) + 1, fps)])
                     AS BIGINT) AS lum
         FROM hdr, (SELECT unnest(range(0, 30)) AS f) ff
-        WHERE f < fps),
+        WHERE f < fps AND f < len(text)),
       d AS (
         SELECT doc_id, frame_idx, lum, fps,
                abs(lum - lag(lum) OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS delta,

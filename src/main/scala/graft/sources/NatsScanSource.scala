@@ -143,6 +143,12 @@ final class NatsScanTable(rawProps: Map[String, String])
         s"nats_scan: last_by_subject must be 'true' or 'false', got '$other'")
     }.getOrElse(false)
   locally {
+    // kv_buckets is the partition fan-out of last_by_subject / subject-stats
+    // reads; 0 (or negative) would silently plan ZERO partitions and return
+    // an empty result — fail at bind like continuous_shards does
+    props.get("kv_buckets").map(_.toInt).foreach { kb =>
+      if (kb < 1) sys.error(s"nats_scan: kv_buckets must be >= 1, got $kb")
+    }
     if (lastBySubject) {
       if (url.isEmpty)
         sys.error("nats_scan: last_by_subject requires 'url' (transport mode)")

@@ -76,9 +76,13 @@ final class FakeJetStreamServer {
       }
     val counts = subjectCounts.getOrElseUpdate(
       stream, new ConcurrentSkipListMap[String, Long]())
-    // a publish at an existing seq REPLACES: the old subject loses a count
-    if (prev != null && prev.subject != null)
-      counts.merge(prev.subject, -1L, (a, b) => a + b)
+    // a publish at an existing seq REPLACES: the old subject loses a count,
+    // and a count that drops to 0 loses its ENTRY (mirroring deleteMsg) so
+    // subjectStatsPage never emits a phantom zero-count group
+    if (prev != null && prev.subject != null) {
+      val left = counts.merge(prev.subject, -1L, (a, b) => a + b)
+      if (left <= 0L) counts.remove(prev.subject)
+    }
     if (msg.subject != null) counts.merge(msg.subject, 1L, (a, b) => a + b)
     ()
   }

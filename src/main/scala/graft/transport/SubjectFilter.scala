@@ -98,12 +98,15 @@ object SubjectFilter {
   }
 
   /** Anchored Java/RE2-compatible regex expressing the same predicate:
-    * `*` → `[^.]+` (one token), trailing `>` → `.+` (≥1 more tokens). */
+    * `*` → `[^.]+` (one token), trailing `>` → `[^.]+(\.[^.]+)*` (≥1 more
+    * NON-EMPTY tokens — a bare `.+` would accept malformed subjects with
+    * empty tokens like `a.b..c` that [[Matcher.matches]] rejects, and the
+    * two sides are documented as the identical predicate). */
   def toRegex(pattern: String): String = {
     validate(pattern)
     val body = tokens(pattern).map {
       case "*" => "[^.]+"
-      case ">" => ".+"
+      case ">" => "[^.]+(\\.[^.]+)*"
       case lit => java.util.regex.Pattern.quote(lit)
     }.mkString("\\.")
     // Pattern.quote emits \Q..\E blocks; tokens joined with a literal dot

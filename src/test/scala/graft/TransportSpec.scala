@@ -726,6 +726,12 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     // would exclude the only matching subject (round-8 review regression)
     assert(SubjectFilter.literalPrefix("events.purchase.7") == "events.purchase.7")
     assert(SubjectFilter.toRegex("events.*.7") == "^\\Qevents\\E\\.[^.]+\\.\\Q7\\E$")
+    // '>' must reject malformed subjects with empty tokens exactly like
+    // Matcher.matches does (round-8 advisor: a bare '.+' accepted 'a.b..c')
+    val gtRe = SubjectFilter.toRegex("a.>").r
+    assert(gtRe.matches("a.b") && gtRe.matches("a.b.c"))
+    assert(!gtRe.matches("a.b..c") && !gtRe.matches("a.") && !gtRe.matches("a"))
+    assert(!SubjectFilter.matcher("a.>").matches("a.b..c"))
     for (bad <- Seq("a..b", "a.>.b", "ev*nts.x", "", ".a"))
       assertThrows[RuntimeException](SubjectFilter.validate(bad))
     // the shard hash is a CROSS-BINDING contract (a live client-side
@@ -789,6 +795,31 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.select("subject").collect().length == 5)
     val delta = server.rpcCountTotal - before
     assert(delta <= 1 + 4 * 2, s"KV scan cost $delta RPCs")
+  }
+
+  test("kv_buckets < 1 is rejected at bind, not silently planned as empty") {
+    for (bad <- Seq("0", "-3")) {
+      val e = intercept[Exception] {
+        read("telemetry", Map("last_by_subject" -> "true", "kv_buckets" -> bad))
+      }
+      assert(messageChain(e).contains("kv_buckets must be >= 1"),
+        s"kv_buckets=$bad: ${messageChain(e)}")
+    }
+  }
+
+  test("republish at an existing seq under a new subject leaves no phantom subject") {
+    val repubUrl = "nats://republish-spec:4222"
+    val s = FakeJetStream.listen(repubUrl)
+    s.publish("st", 1L, "old.subj", 1L, "a".getBytes)
+    s.publish("st", 1L, "new.subj", 2L, "b".getBytes) // replaces seq 1
+    // the old subject's count dropped to 0 → its stats ENTRY must be gone,
+    // matching the deleteMsg path (round-8 advisor: a phantom 0-count group
+    // appeared in subjectStatsPage that the row scan never produces)
+    val t = Transport.connect(repubUrl)
+    val stats = (0 until 16).flatMap(b =>
+      t.subjectStats("st", None, b, 16, None, 100))
+    assert(stats.map(_.subject).sorted == Seq("new.subj"))
+    assert(stats.head.count == 1L && stats.head.lastSeq == 1L)
   }
 
   test("last_by_subject composes with wildcard; range options are rejected at bind") {
