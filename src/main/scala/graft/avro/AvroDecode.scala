@@ -10,7 +10,7 @@ import org.apache.avro.io.{DecoderFactory, EncoderFactory}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.graftshim.GraftSql
 import org.apache.spark.sql.types._
@@ -176,7 +176,7 @@ object AvroCodec {
 /** Decode a binary-encoded Avro record into a struct column. Unparseable
   * payload → NULL struct (same contract as the proto/JSON paths). */
 final case class AvroDecodeExpression(child: Expression, schemaJson: String)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
   @transient private lazy val reader =
@@ -191,14 +191,28 @@ final case class AvroDecodeExpression(child: Expression, schemaJson: String)
   override def prettyName: String = "avro_decode"
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
 
-  override def nullSafeEval(input: Any): Any =
+  /** One row's decode — shared verbatim by the interpreted path and the
+    * generated code (which calls it through a reference object, keeping the
+    * decoder/record reuse without boxing the input row). Null = corrupt. */
+  def decodeRow(bytes: Array[Byte]): InternalRow =
     try {
-      val bytes = input.asInstanceOf[Array[Byte]]
       decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
       record = reader.read(record, decoder)
       // trailing garbage = not a clean single-record payload → NULL
-      if (!decoder.isEnd) null else AvroCodec.toCatalyst(record, schema)
+      if (!decoder.isEnd) null
+      else AvroCodec.toCatalyst(record, schema).asInstanceOf[InternalRow]
     } catch { case _: Exception => null }
+
+  override def nullSafeEval(input: Any): Any =
+    decodeRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("avroDecoder", this,
+      classOf[AvroDecodeExpression].getName)
+    nullSafeCodeGen(ctx, ev, input => s"""
+      |${ev.value} = $self.decodeRow($input);
+      |${ev.isNull} = (${ev.value} == null);""".stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -207,7 +221,7 @@ final case class AvroDecodeExpression(child: Expression, schemaJson: String)
 /** Inverse — encodes a struct to a single binary Avro record (fixture
   * manufacture and round-trip tests; the reference surface only reads). */
 final case class AvroEncodeExpression(child: Expression, schemaJson: String)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
   @transient private lazy val writer =
@@ -223,14 +237,24 @@ final case class AvroEncodeExpression(child: Expression, schemaJson: String)
   @transient private lazy val out = new java.io.ByteArrayOutputStream()
   @transient private var encoder: org.apache.avro.io.BinaryEncoder = _
 
-  override def nullSafeEval(input: Any): Any = {
-    val rec = AvroCodec.fromCatalyst(input.asInstanceOf[InternalRow], schema)
+  /** One row's encode — shared by eval and generated code. */
+  def encodeRow(input: InternalRow): Array[Byte] = {
+    val rec = AvroCodec.fromCatalyst(input, schema)
       .asInstanceOf[GenericRecord]
     out.reset()
     encoder = EncoderFactory.get().binaryEncoder(out, encoder)
     writer.write(rec, encoder)
     encoder.flush()
     out.toByteArray
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    encodeRow(input.asInstanceOf[InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("avroEncoder", this,
+      classOf[AvroEncodeExpression].getName)
+    defineCodeGen(ctx, ev, input => s"$self.encodeRow($input)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -283,7 +307,7 @@ object AvroRegistry {
 final case class AvroRegistryDecodeExpression(child: Expression,
                                               readerSchemaJson: String,
                                               resolverName: String)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   @transient private lazy val readerSchema =
     new Schema.Parser().parse(readerSchemaJson)
@@ -296,8 +320,9 @@ final case class AvroRegistryDecodeExpression(child: Expression,
   override def prettyName: String = "avro_registry_decode"
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
+  /** One row's decode — shared by eval and generated code. Null = corrupt
+    * DATA; unresolvable id stays a loud CONFIGURATION error. */
+  def decodeRow(bytes: Array[Byte]): InternalRow = {
     if (bytes.length < 5 || bytes(0) != 0x00) return null // mis-framed = data
     val id = ((bytes(1) & 0xFF) << 24) | ((bytes(2) & 0xFF) << 16) |
       ((bytes(3) & 0xFF) << 8) | (bytes(4) & 0xFF)
@@ -316,11 +341,22 @@ final case class AvroRegistryDecodeExpression(child: Expression,
         .binaryDecoder(bytes, 5, bytes.length - 5, decoder)
       val record = reader.read(null, decoder)
       if (!decoder.isEnd) null // trailing garbage = data
-      else AvroCodec.toCatalyst(record, readerSchema)
+      else AvroCodec.toCatalyst(record, readerSchema).asInstanceOf[InternalRow]
     } catch {
       case e: IllegalArgumentException => throw e // unknown id stays loud
       case _: Exception => null                   // corrupt body = data
     }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    decodeRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("avroRegistryDecoder", this,
+      classOf[AvroRegistryDecodeExpression].getName)
+    nullSafeCodeGen(ctx, ev, input => s"""
+      |${ev.value} = $self.decodeRow($input);
+      |${ev.isNull} = (${ev.value} == null);""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

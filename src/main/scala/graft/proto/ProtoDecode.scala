@@ -3,7 +3,7 @@ package graft.proto
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.GraftSql
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * the JSON path's behavior :823-829).
   */
 final case class ProtoDecodeExpression(child: Expression, schemaDef: MessageDef)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = schemaDef.sparkSchema
   override def nullable: Boolean = true
@@ -34,6 +34,23 @@ final case class ProtoDecodeExpression(child: Expression, schemaDef: MessageDef)
     try ProtoWire.decodeMessage(input.asInstanceOf[Array[Byte]], schemaDef)
     catch { case _: Exception => null }
 
+  /** Native codegen (not CodegenFallback): a static call into the same
+    * [[ProtoWire.decodeMessage]] the interpreted path uses — bit-identical
+    * results, no per-row boxing of the input row, and the expression stays
+    * inside the surrounding whole-stage-codegen span. The bound schema rides
+    * along as a codegen reference object. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val md = ctx.addReferenceObj("protoSchemaDef", schemaDef,
+      classOf[MessageDef].getName)
+    nullSafeCodeGen(ctx, ev, input => s"""
+      |try {
+      |  ${ev.value} = graft.proto.ProtoWire.decodeMessage($input, $md);
+      |} catch (java.lang.Exception e) {
+      |  // unparseable payload -> NULL struct (same contract as eval)
+      |  ${ev.isNull} = true;
+      |}""".stripMargin)
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -42,7 +59,7 @@ final case class ProtoDecodeExpression(child: Expression, schemaDef: MessageDef)
   * Not part of the reference surface (it only reads); used by our tests and
   * round-trip oracle queries to manufacture payloads deterministically. */
 final case class ProtoEncodeExpression(child: Expression, schemaDef: MessageDef)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -53,6 +70,13 @@ final case class ProtoEncodeExpression(child: Expression, schemaDef: MessageDef)
 
   override def nullSafeEval(input: Any): Any =
     ProtoWire.encodeMessage(input.asInstanceOf[InternalRow], schemaDef)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val md = ctx.addReferenceObj("protoSchemaDef", schemaDef,
+      classOf[MessageDef].getName)
+    defineCodeGen(ctx, ev, input =>
+      s"graft.proto.ProtoWire.encodeMessage($input, $md)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

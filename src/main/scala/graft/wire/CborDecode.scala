@@ -3,7 +3,7 @@ package graft.wire
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.GraftSql
 import org.apache.spark.sql.types._
@@ -240,7 +240,7 @@ object Cbor {
 }
 
 final case class CborExtractExpression(child: Expression, path: String)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "cbor_extract"
@@ -250,12 +250,25 @@ final case class CborExtractExpression(child: Expression, path: String)
     try Cbor.extract(input.asInstanceOf[Array[Byte]], path)
     catch { case _: Exception => null }
 
+  /** Static call into the same [[Cbor.extract]] as eval — corrupt payload
+    * or missing path → NULL, and the expression stays codegen'd. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("cborPath", path, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, input => s"""
+      |try {
+      |  ${ev.value} = graft.wire.Cbor.extract($input, $p);
+      |} catch (java.lang.Exception e) {
+      |  ${ev.value} = null;
+      |}
+      |${ev.isNull} = (${ev.value} == null);""".stripMargin)
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 final case class CborEncodeExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def prettyName: String = "cbor_encode"
@@ -263,6 +276,13 @@ final case class CborEncodeExpression(child: Expression)
   override def nullSafeEval(input: Any): Any =
     Cbor.encodeStruct(input.asInstanceOf[InternalRow],
       child.dataType.asInstanceOf[StructType])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val st = ctx.addReferenceObj("cborSchema",
+      child.dataType.asInstanceOf[StructType],
+      classOf[StructType].getName)
+    defineCodeGen(ctx, ev, input => s"graft.wire.Cbor.encodeStruct($input, $st)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -3,7 +3,7 @@ package graft.wire
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.GraftSql
 import org.apache.spark.sql.types._
@@ -251,7 +251,7 @@ object MsgPack {
 
 /** one extracted path as a STRING column (stringly json_extract semantics) */
 final case class MsgPackExtractExpression(child: Expression, path: String)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "msgpack_extract"
@@ -261,13 +261,26 @@ final case class MsgPackExtractExpression(child: Expression, path: String)
     try MsgPack.extract(input.asInstanceOf[Array[Byte]], path)
     catch { case _: Exception => null }
 
+  /** Static call into the same [[MsgPack.extract]] as eval — corrupt payload
+    * or missing path → NULL, and the expression stays codegen'd. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("msgpackPath", path, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, input => s"""
+      |try {
+      |  ${ev.value} = graft.wire.MsgPack.extract($input, $p);
+      |} catch (java.lang.Exception e) {
+      |  ${ev.value} = null;
+      |}
+      |${ev.isNull} = (${ev.value} == null);""".stripMargin)
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 /** struct → msgpack map bytes (fixture manufacture / tests) */
 final case class MsgPackEncodeExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def prettyName: String = "msgpack_encode"
@@ -275,6 +288,14 @@ final case class MsgPackEncodeExpression(child: Expression)
   override def nullSafeEval(input: Any): Any =
     MsgPack.encodeStruct(input.asInstanceOf[InternalRow],
       child.dataType.asInstanceOf[StructType])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val st = ctx.addReferenceObj("msgpackSchema",
+      child.dataType.asInstanceOf[StructType],
+      classOf[StructType].getName)
+    defineCodeGen(ctx, ev, input =>
+      s"graft.wire.MsgPack.encodeStruct($input, $st)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -687,4 +687,41 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 7 distinct subjects → 7 current rows, regardless of the 50 messages
     assert(df.select("subject").distinct().count() == 7L)
   }
+
+  test("codec expressions are natively codegen'd, bit-identical to eval") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    // static: no payload codec falls back to boxed per-row eval — fallback
+    // inside a whole-stage span costs boxing on every decode-heavy query
+    val codecs: Seq[Class[_]] = Seq(
+      classOf[graft.proto.ProtoDecodeExpression],
+      classOf[graft.proto.ProtoEncodeExpression],
+      classOf[graft.avro.AvroDecodeExpression],
+      classOf[graft.avro.AvroEncodeExpression],
+      classOf[graft.avro.AvroRegistryDecodeExpression],
+      classOf[graft.wire.CborExtractExpression],
+      classOf[graft.wire.CborEncodeExpression],
+      classOf[graft.wire.MsgPackExtractExpression],
+      classOf[graft.wire.MsgPackEncodeExpression])
+    codecs.foreach(c => assert(
+      !classOf[CodegenFallback].isAssignableFrom(c),
+      s"${c.getName} is CodegenFallback"))
+    // dynamic: the codegen'd path (default confs) and the interpreted path
+    // (wholeStage off + NO_CODEGEN factory) return identical rows for the
+    // encode→decode queries of all four wire formats
+    for (name <- Seq("proto_extract_nested", "nats_avro_extract",
+        "nats_cbor_extract", "nats_msgpack_extract")) {
+      val fn = SparkEntry.queries(name)
+      val gen = fn(spark, dir).collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try {
+        val interp = fn(spark, dir).collect().map(_.toSeq).toSeq
+        assert(gen == interp, s"$name: codegen != interpreted")
+        assert(gen.nonEmpty, s"$name returned no rows")
+      } finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+  }
 }
