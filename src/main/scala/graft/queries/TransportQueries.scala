@@ -28,33 +28,42 @@ object TransportQueries {
   private val fixtures = new ConcurrentHashMap[String, String]()
 
   /** Start (or reuse) the fake server for `dir`'s fixture and return its
-    * URL. Population collects the events fixture onto the driver ONCE per
-    * (JVM, sf dir) — that is fixture loading for an in-memory fake server
-    * (a server holds its messages by definition), not a query path; scans
-    * then go through the transport like any client. */
+    * URL. Population publishes from EXECUTOR tasks via `foreachPartition`
+    * — the distributed shape real publishers have (N clients publishing
+    * concurrently into one server), with no driver collect in the measured
+    * path of the first transport query. The fake's publish path is
+    * concurrency-safe for distinct sequences (atomic merges on the
+    * last-seq/count indexes, running byte counter), so partitions publish
+    * in parallel; in local mode every task resolves the same in-JVM
+    * registry entry. */
   def fixtureUrl(s: SparkSession, dir: String): String =
     fixtures.computeIfAbsent(dir, _ => {
       // dots would make java.net.URI treat the trailing label as a TLD/IPv4
       // fragment and null the host — keep the fixture hostname dot-free
       val url =
         s"nats://fixture-${new java.io.File(dir).getName.replace('.', '-')}:4222"
-      val srv = FakeJetStream.listen(url)
+      FakeJetStream.listen(url) // create before tasks race to publish
       val rows = Tables.load(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("user_id"),
           col("ts"), col("props"))
-        .collect()
-      rows.foreach { r =>
-        val seq = r.getLong(0) + 1L // JetStream seqs start at 1
-        val subject = s"events.${r.getString(1)}.${r.getLong(2)}"
-        val payload = r.getString(4).getBytes("UTF-8")
-        srv.publish("events", seq, subject, r.getLong(3), payload)
-        srv.publish("events_gappy", seq, subject, r.getLong(3), payload)
+      rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val srv = FakeJetStream.listen(url) // same-JVM registry lookup
+        it.foreach { r =>
+          val seq = r.getLong(0) + 1L // JetStream seqs start at 1
+          val subject = s"events.${r.getString(1)}.${r.getLong(2)}"
+          val payload = r.getString(4).getBytes("UTF-8")
+          srv.publish("events", seq, subject, r.getLong(3), payload)
+          srv.publish("events_gappy", seq, subject, r.getLong(3), payload)
+        }
       }
-      // punch NOT_FOUND gaps into the gappy stream
-      rows.foreach { r =>
-        val seq = r.getLong(0) + 1L
-        if (seq % GapPeriod == 0L) srv.deleteMsg("events_gappy", seq)
-      }
+      // punch NOT_FOUND gaps into the gappy stream (after the publish
+      // action completes — actions are sequential barriers)
+      rows.select(col("event_id"))
+        .filter((col("event_id") + 1L) % GapPeriod === 0L)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val srv = FakeJetStream.listen(url)
+          it.foreach(r => srv.deleteMsg("events_gappy", r.getLong(0) + 1L))
+        }
       url
     })
 
@@ -73,15 +82,17 @@ object TransportQueries {
     authFixtures.computeIfAbsent(dir, _ => {
       val url =
         s"nats://authfix-${new java.io.File(dir).getName.replace('.', '-')}:4222"
-      val srv = FakeJetStream.listen(url)
+      FakeJetStream.listen(url)
       Tables.load(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("user_id"),
           col("ts"), col("props"))
-        .collect()
-        .foreach { r =>
-          srv.publish("events", r.getLong(0) + 1L,
-            s"events.${r.getString(1)}.${r.getLong(2)}", r.getLong(3),
-            r.getString(4).getBytes("UTF-8"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val srv = FakeJetStream.listen(url)
+          it.foreach { r =>
+            srv.publish("events", r.getLong(0) + 1L,
+              s"events.${r.getString(1)}.${r.getLong(2)}", r.getLong(3),
+              r.getString(4).getBytes("UTF-8"))
+          }
         }
       FakeJetStream.requireTls(url)
       FakeJetStream.requireCreds(url, AuthJwt)
