@@ -27,6 +27,11 @@ object TransportQueries {
 
   private val fixtures = new ConcurrentHashMap[String, String]()
 
+  /** fresh queue-group name per transport_group invocation (a drained
+    * group's cursor persists server-side — rerunning under the same name
+    * would correctly deliver nothing) */
+  private[queries] val groupRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Start (or reuse) the fake server for `dir`'s fixture and return its
     * URL. Population publishes from EXECUTOR tasks via `foreachPartition`
     * — the distributed shape real publishers have (N clients publishing
@@ -131,6 +136,26 @@ object TransportQueries {
         .select(col("stream"), col("subject"), col("seq"), col("ts_nats"),
           expr("octet_length(payload)").as("payload_bytes"))
         .orderBy("seq")),
+
+    // QUEUE-GROUP (deliver_group) scan: 4 member tasks split the stream
+    // through server-balanced claim/ack delivery — each message claimed by
+    // exactly ONE member, fleet-wide wire volume O(messages) (vs
+    // continuous_shards' shards × messages). The union over members is the
+    // full stream exactly once regardless of how claims interleave, so the
+    // result is deterministic and equals the plain full-scan oracle. The
+    // group name is fresh per invocation: a queue group REMEMBERS its
+    // cursor (a rerun of a drained group correctly delivers nothing), which
+    // is the semantics, not a bug — fresh name = fresh drain.
+    // NOTE no global orderBy: a queue group is a CONSUME-ONCE source, and a
+    // global sort's range-partitioner SAMPLING pass would execute the scan
+    // once (draining the group) before the real pass. The driver's compare
+    // canonicalizes row order; sort-after-materialize for human eyes.
+    "transport_group" -> ((s, dir) =>
+      scan(s, dir, Map(
+          "deliver_group" -> s"g${TransportQueries.groupRuns.incrementAndGet()}",
+          "group_members" -> "4"))
+        .select(col("seq"), col("subject"),
+          expr("octet_length(payload)").as("payload_bytes"))),
 
     // Catalyst seq predicates → slice pruning (only slices overlapping
     // [1001, 3000] are planned; asserted in TransportSpec)
@@ -311,6 +336,11 @@ object TransportQueries {
     Map(
       "transport_scan_full" ->
         s"""$env SELECT stream, subject, seq, ts_nats,
+           | CAST(octet_length(payload::BLOB) AS INTEGER) AS payload_bytes
+           | FROM env ORDER BY seq""".stripMargin,
+
+      "transport_group" ->
+        s"""$env SELECT seq, subject,
            | CAST(octet_length(payload::BLOB) AS INTEGER) AS payload_bytes
            | FROM env ORDER BY seq""".stripMargin,
 

@@ -149,6 +149,34 @@ final class NatsScanTable(rawProps: Map[String, String])
     props.get("kv_buckets").map(_.toInt).foreach { kb =>
       if (kb < 1) sys.error(s"nats_scan: kv_buckets must be >= 1, got $kb")
     }
+    // deliver_group: queue-group (server-balanced) consumption
+    props.get("deliver_group").foreach { g =>
+      if (g.isEmpty) sys.error("nats_scan: deliver_group must not be empty")
+      if (url.isEmpty)
+        sys.error("nats_scan: deliver_group requires 'url' (transport mode)")
+      val rangey = Seq("start_seq", "end_seq", "start_time", "end_time")
+        .filter(props.contains)
+      if (rangey.nonEmpty)
+        sys.error("nats_scan: deliver_group consumes from the GROUP's own " +
+          s"cursor and is incompatible with ${rangey.mkString("/")} (bound " +
+          "the result with ordinary filters instead)")
+      if (lastBySubject)
+        sys.error("nats_scan: deliver_group and last_by_subject are " +
+          "mutually exclusive")
+      if (props.get("continuous_shards").exists(_.toInt > 1))
+        sys.error("nats_scan: deliver_group (server-balanced delivery) and " +
+          "continuous_shards (deterministic seq%n sharding) are competing " +
+          "distribution strategies — set exactly one")
+    }
+    props.get("group_members").map(_.toInt).foreach { n =>
+      if (n < 1) sys.error(s"nats_scan: group_members must be >= 1, got $n")
+      if (!props.contains("deliver_group"))
+        sys.error("nats_scan: group_members requires deliver_group")
+    }
+    props.get("group_ack_wait_ms").map(_.toLong).foreach { w =>
+      if (w < 1L)
+        sys.error(s"nats_scan: group_ack_wait_ms must be >= 1, got $w")
+    }
     if (lastBySubject) {
       if (url.isEmpty)
         sys.error("nats_scan: last_by_subject requires 'url' (transport mode)")
@@ -201,7 +229,10 @@ final class NatsScanTable(rawProps: Map[String, String])
         continuousShards = props.getOrElse("continuous_shards", "1").toInt,
         subjectFilter = subjectFilter,
         lastBySubject = lastBySubject,
-        kvBuckets = props.getOrElse("kv_buckets", "16").toInt)
+        kvBuckets = props.getOrElse("kv_buckets", "16").toInt,
+        deliverGroup = props.get("deliver_group"),
+        groupMembers = props.getOrElse("group_members", "8").toInt,
+        groupAckWaitMs = props.getOrElse("group_ack_wait_ms", "30000").toLong)
     }
     new NatsScanBuilder(s"$dir/$stream.parquet", dir, stream, maxPerBatch,
       transport, asOfEpoch)
@@ -226,7 +257,10 @@ final case class TransportBind(url: String,
                                continuousShards: Int = 1,
                                subjectFilter: Option[String] = None,
                                lastBySubject: Boolean = false,
-                               kvBuckets: Int = 16)
+                               kvBuckets: Int = 16,
+                               deliverGroup: Option[String] = None,
+                               groupMembers: Int = 8,
+                               groupAckWaitMs: Long = 30000L)
 
 /** Accepts seq/ts/subject predicates; everything else stays residual.
   * Bounds are accumulated as [seqLo, seqHi] (1-based inclusive) and
@@ -409,7 +443,8 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
       subjectContains.isEmpty && subjectPrefixes.isEmpty &&
       transport.forall(tb => tb.startSeq.isEmpty && tb.endSeq.isEmpty &&
         tb.startTimeNs.isEmpty && tb.endTimeNs.isEmpty && tb.subject.isEmpty &&
-        tb.subjectFilter.isEmpty && !tb.lastBySubject)
+        tb.subjectFilter.isEmpty && !tb.lastBySubject &&
+        tb.deliverGroup.isEmpty)
 
   // --- GROUP BY subject pushdown (transport only): count(*) / max(seq)
   // per subject answered from the server's per-subject index — zero
@@ -424,7 +459,7 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
       subjectContains.isEmpty && subjectPrefixes.isEmpty &&
       transport.exists(tb => tb.startSeq.isEmpty && tb.endSeq.isEmpty &&
         tb.startTimeNs.isEmpty && tb.endTimeNs.isEmpty && tb.subject.isEmpty &&
-        !tb.lastBySubject)
+        !tb.lastBySubject && tb.deliverGroup.isEmpty)
 
   private def translateGroupAggs(agg: org.apache.spark.sql.connector
       .expressions.aggregate.Aggregation)
@@ -525,7 +560,8 @@ final class NatsScanBuilder(file: String, dir: String, stream: String,
         fetchMode = tb.fetchMode, auth = tb.auth, durable = tb.durable,
         continuousShards = tb.continuousShards,
         subjectFilter = tb.subjectFilter, lastBySubject = tb.lastBySubject,
-        kvBuckets = tb.kvBuckets)
+        kvBuckets = tb.kvBuckets, deliverGroup = tb.deliverGroup,
+        groupMembers = tb.groupMembers, groupAckWaitMs = tb.groupAckWaitMs)
     case None =>
       new NatsScanScan(file, dir, stream, required, seqLo, seqHi, tsLoNs,
         tsHiNs, subjectContains, subjectPrefixes, maxPerBatch, pushedLimit,

@@ -49,7 +49,10 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
                               continuousShards: Int = 1,
                               subjectFilter: Option[String] = None,
                               lastBySubject: Boolean = false,
-                              kvBuckets: Int = 16)
+                              kvBuckets: Int = 16,
+                              deliverGroup: Option[String] = None,
+                              groupMembers: Int = 8,
+                              groupAckWaitMs: Long = 30000L)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -135,7 +138,9 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
           "max_by(payload, seq) per subject")
     new graft.streaming.NatsTransportContinuousStream(url, stream,
       numShards = continuousShards, connectTimeoutMs = connectTimeoutMs,
-      auth = auth, durable = durable, subjectFilter = subjectFilter)
+      auth = auth, durable = durable, subjectFilter = subjectFilter,
+      deliverGroup = deliverGroup, groupMembers = groupMembers,
+      groupAckWaitMs = groupAckWaitMs)
   }
 
   override def description(): String =
@@ -149,6 +154,22 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
         "nats_scan: stream name must not be empty")
     val info = streamInfoOnce.fold(e => throw e, identity)
     if (info.messages == 0L) return Array.empty
+    deliverGroup.foreach { g =>
+      // QUEUE-GROUP consumption: `group_members` member tasks claim batches
+      // from the server-balanced group consumer — each message delivered to
+      // exactly ONE member, total wire volume O(messages) regardless of the
+      // member count (the contrast with continuous_shards' every-shard-
+      // fetches-everything trade). The claim bound is the stream's LastSeq
+      // at plan time, so the batch query is a snapshot drain; unacked
+      // claims of a died member redeliver to the survivors after the
+      // ack-wait lease. Exactly-once when tasks run once; task retries and
+      // speculative duplicates degrade to at-least-once (queue semantics) —
+      // keep speculation off for group scans.
+      return (0 until groupMembers).map { m =>
+        NatsTransportGroupPartition(url, stream, g, s"member-$m",
+          info.lastSeq, groupAckWaitMs, subjectFilter): InputPartition
+      }.toArray
+    }
     if (lastBySubject)
       // KV/current-state read: one partition per subject-hash shard, each
       // task paging its shard of the server's per-subject index — wire
@@ -282,6 +303,13 @@ final case class NatsTransportKvPartition(url: String, stream: String,
                                           filter: Option[String])
     extends InputPartition
 
+/** One member of a `deliver_group` (queue-group) scan. */
+final case class NatsTransportGroupPartition(url: String, stream: String,
+                                             group: String, member: String,
+                                             maxSeq: Long, ackWaitMs: Long,
+                                             filter: Option[String])
+    extends InputPartition
+
 /** Pages its shard of the server's per-subject last-message index
   * ([[graft.transport.JetStreamTransport.lastForSubjects]]): each RPC
   * returns ≤ 2048 CURRENT messages, cursor = last subject of the previous
@@ -359,6 +387,95 @@ final class NatsTransportKvReader(p: NatsTransportKvPartition,
   override def close(): Unit = () // pooled transport outlives the reader
 }
 
+/** One queue-group MEMBER: claims batches from the server-balanced group
+  * consumer ([[graft.transport.JetStreamTransport.groupNext]]), emits them,
+  * and acks each batch when it pulls the next one (cursor-style AckNext —
+  * the last batch is acked before the drain check). A member sees an empty
+  * claim either because the group is DRAINED (pending == 0 → done) or
+  * because other members still hold leases (→ brief wait: if one died, its
+  * lease expires and this member receives the REDELIVERY). Messages this
+  * member claimed but never acked (task death) redeliver the same way —
+  * at-least-once under failure, exactly-once in a clean run, precisely
+  * JetStream's explicit-ack queue semantics. */
+final class NatsTransportGroupReader(p: NatsTransportGroupPartition,
+                                     required: StructType,
+                                     tsLoNs: Long, tsHiNs: Long,
+                                     subjectContains: List[String],
+                                     subjectPrefixes: List[String],
+                                     connectTimeoutMs: Long,
+                                     auth: graft.transport.TransportAuth)
+    extends PartitionReader[InternalRow] {
+
+  private val BatchSize = 2048
+  private val DrainWaitMs = 10L
+
+  private val transport =
+    graft.transport.TransportPool.get(p.url, connectTimeoutMs, auth)
+
+  private val tsLoUs =
+    if (tsLoNs == Long.MinValue) Long.MinValue else Math.floorDiv(tsLoNs + 999L, 1000L)
+  private val tsHiUs =
+    if (tsHiNs == Long.MaxValue) Long.MaxValue else Math.floorDiv(tsHiNs, 1000L)
+
+  private var batch: Array[TransportMsg] = Array.empty
+  private var i = 0
+  private var current: InternalRow = _
+
+  private def withRetry[T](f: => T): T =
+    graft.transport.TransportRetry.withRetry(f)
+
+  override def next(): Boolean = {
+    while (true) {
+      while (i < batch.length) {
+        val m = batch(i)
+        i += 1
+        if (keep(m)) { current = toRow(m); return true }
+      }
+      // batch fully emitted → settle its claims, then ask for the next one
+      if (batch.nonEmpty) {
+        withRetry(transport.groupAck(p.stream, p.group, batch.map(_.seq)))
+        batch = Array.empty
+      }
+      var claimed = withRetry(transport.groupNext(p.stream, p.group,
+        p.member, p.maxSeq, BatchSize, p.ackWaitMs, p.filter))
+      while (claimed.isEmpty) {
+        if (withRetry(transport.groupPending(p.stream, p.group)) == 0L)
+          return false // drained: nothing deliverable, nothing in flight
+        Thread.sleep(DrainWaitMs) // live leases elsewhere — await ack/expiry
+        claimed = withRetry(transport.groupNext(p.stream, p.group,
+          p.member, p.maxSeq, BatchSize, p.ackWaitMs, p.filter))
+      }
+      batch = claimed
+      i = 0
+    }
+    false
+  }
+
+  private def keep(m: TransportMsg): Boolean = {
+    val tsUs = Math.floorDiv(m.tsNs, 1000L)
+    tsUs >= tsLoUs && tsUs <= tsHiUs &&
+      ((subjectContains.isEmpty && subjectPrefixes.isEmpty) ||
+        (m.subject != null && subjectContains.forall(m.subject.contains(_)) &&
+          subjectPrefixes.forall(m.subject.startsWith(_))))
+  }
+
+  private def toRow(m: TransportMsg): InternalRow = {
+    val vals = required.fieldNames.map {
+      case "stream" => UTF8String.fromString(p.stream)
+      case "subject" =>
+        if (m.subject == null) null else UTF8String.fromString(m.subject)
+      case "seq" => m.seq
+      case "ts_nats" => Math.floorDiv(m.tsNs, 1000L)
+      case "payload" => m.payload
+      case other => sys.error(s"unknown envelope column $other")
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = () // pooled transport outlives the reader
+}
+
 final class NatsTransportReaderFactory(required: StructType,
                                        tsLoNs: Long, tsHiNs: Long,
                                        subjectContains: List[String],
@@ -373,6 +490,9 @@ final class NatsTransportReaderFactory(required: StructType,
     p match {
       case kv: NatsTransportKvPartition =>
         new NatsTransportKvReader(kv, required, tsLoNs, tsHiNs,
+          subjectContains, subjectPrefixes, connectTimeoutMs, auth)
+      case g: NatsTransportGroupPartition =>
+        new NatsTransportGroupReader(g, required, tsLoNs, tsHiNs,
           subjectContains, subjectPrefixes, connectTimeoutMs, auth)
       case _ =>
         new NatsTransportReader(p.asInstanceOf[NatsTransportPartition], required,

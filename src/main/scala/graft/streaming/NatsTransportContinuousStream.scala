@@ -47,12 +47,29 @@ final class NatsTransportContinuousStream(url: String, stream: String,
                                             TransportAuth.anonymous,
                                           durable: Option[String] = None,
                                           pollIntervalMs: Long = 50L,
-                                          subjectFilter: Option[String] = None)
+                                          subjectFilter: Option[String] = None,
+                                          deliverGroup: Option[String] = None,
+                                          groupMembers: Int = 8,
+                                          groupAckWaitMs: Long = 30000L)
     extends ContinuousStream {
 
   require(numShards >= 1, s"continuous_shards must be >= 1, got $numShards")
 
+  /** QUEUE-GROUP tail (`deliver_group`): the server balances delivery
+    * across `group_members` long-running member readers — each message is
+    * claimed by exactly one member, so the fleet's total wire volume is
+    * O(messages), where `continuous_shards` pays shards × messages (every
+    * shard fetches the full log and drops the (n−1)/n it does not own).
+    * Delivery state lives on the SERVER (leases + explicit acks): offsets
+    * here are per-member delivered counts (monotonic, for Spark's epoch
+    * bookkeeping only); a member death redelivers its unacked claims to the
+    * survivors after the ack-wait lease — at-least-once on failure, the
+    * standard queue-group contract (vs the seq%n path's checkpoint-replay
+    * exactly-once). */
+  private val grouped = deliverGroup.isDefined
+
   override def initialOffset(): Offset = {
+    if (grouped) return ShardsOffset((0 until groupMembers).map(_ -> 0L).toMap)
     // durable handoff parity with the micro-batch stream: the server's
     // cumulative ack floor seeds every shard when the checkpoint is empty
     val floor = durable match {
@@ -70,6 +87,14 @@ final class NatsTransportContinuousStream(url: String, stream: String,
     ShardsOffset(offsets.map { case ShardOffset(s, q) => s -> q }.toMap)
 
   override def planInputPartitions(start: Offset): Array[InputPartition] = {
+    if (grouped)
+      // member identity is positional; the SERVER owns the delivery state,
+      // so a restart (even with a different member count) resumes exactly
+      // where the group's acks left off — no checkpoint-layout coupling
+      return (0 until groupMembers).map { m =>
+        NatsContinuousGroupPartition(url, stream, deliverGroup.get,
+          s"cmember-$m", m, groupAckWaitMs, subjectFilter): InputPartition
+      }.toArray
     val seqs = start.asInstanceOf[ShardsOffset].seqs
     // the checkpoint's shard map IS the ownership layout: restarting with a
     // different continuous_shards would strand modulo classes (grown) or
@@ -91,11 +116,14 @@ final class NatsTransportContinuousStream(url: String, stream: String,
     new NatsContinuousReaderFactory(connectTimeoutMs, auth, pollIntervalMs,
       subjectFilter)
 
-  override def commit(end: Offset): Unit = durable.foreach { d =>
-    val floors = end.asInstanceOf[ShardsOffset].seqs.values
-    if (floors.nonEmpty)
-      TransportPool.get(url, connectTimeoutMs, auth)
-        .ackAll(stream, d, floors.min)
+  override def commit(end: Offset): Unit = {
+    if (grouped) return // group progress is the server's ack state
+    durable.foreach { d =>
+      val floors = end.asInstanceOf[ShardsOffset].seqs.values
+      if (floors.nonEmpty)
+        TransportPool.get(url, connectTimeoutMs, auth)
+          .ackAll(stream, d, floors.min)
+    }
   }
 
   override def stop(): Unit = ()
@@ -122,14 +150,85 @@ final case class NatsContinuousPartition(url: String, stream: String,
                                          shard: Int, numShards: Int,
                                          afterSeq: Long) extends InputPartition
 
+/** one queue-group member of a `deliver_group` continuous tail */
+final case class NatsContinuousGroupPartition(url: String, stream: String,
+                                              group: String, member: String,
+                                              memberIdx: Int, ackWaitMs: Long,
+                                              filter: Option[String])
+    extends InputPartition
+
 final class NatsContinuousReaderFactory(connectTimeoutMs: Long,
                                         auth: TransportAuth,
                                         pollIntervalMs: Long,
                                         subjectFilter: Option[String] = None)
     extends ContinuousPartitionReaderFactory {
   override def createReader(p: InputPartition): ContinuousPartitionReader[InternalRow] =
-    new NatsContinuousReader(p.asInstanceOf[NatsContinuousPartition],
-      connectTimeoutMs, auth, pollIntervalMs, subjectFilter)
+    p match {
+      case g: NatsContinuousGroupPartition =>
+        new NatsContinuousGroupReader(g, connectTimeoutMs, auth, pollIntervalMs)
+      case _ =>
+        new NatsContinuousReader(p.asInstanceOf[NatsContinuousPartition],
+          connectTimeoutMs, auth, pollIntervalMs, subjectFilter)
+    }
+}
+
+/** One group member's endless tail: claims batches from the server-balanced
+  * group consumer, emits them, and ACKS each batch when it pulls the next
+  * (cursor-style AckNext — at most one in-flight batch per member; a member
+  * death redelivers exactly that batch to the survivors after its lease).
+  * The subject filter is the GROUP consumer's filter_subject, applied
+  * server-side before delivery — unlike the seq%n reader there is nothing
+  * to drop client-side, so wire volume is O(matching messages) fleet-wide. */
+final class NatsContinuousGroupReader(p: NatsContinuousGroupPartition,
+                                      connectTimeoutMs: Long,
+                                      auth: TransportAuth,
+                                      pollIntervalMs: Long)
+    extends ContinuousPartitionReader[InternalRow] {
+
+  private val BatchSize = 2048
+
+  private val transport = TransportPool.get(p.url, connectTimeoutMs, auth)
+
+  private var delivered = 0L
+  private var batch: Array[TransportMsg] = Array.empty
+  private var i = 0
+  private var current: InternalRow = _
+
+  private def withRetry[T](f: => T): T =
+    graft.transport.TransportRetry.withRetry(f)
+
+  override def next(): Boolean = {
+    while (true) {
+      if (i < batch.length) {
+        val m = batch(i)
+        i += 1
+        delivered += 1L
+        current = toRow(m)
+        return true
+      }
+      if (batch.nonEmpty) {
+        withRetry(transport.groupAck(p.stream, p.group, batch.map(_.seq)))
+        batch = Array.empty
+      }
+      val claimed = withRetry(transport.groupNext(p.stream, p.group,
+        p.member, Long.MaxValue, BatchSize, p.ackWaitMs, p.filter))
+      if (claimed.isEmpty) Thread.sleep(pollIntervalMs) // caught up — poll
+      else { batch = claimed; i = 0 }
+    }
+    false
+  }
+
+  private def toRow(m: TransportMsg): InternalRow =
+    InternalRow(
+      UTF8String.fromString(p.stream),
+      if (m.subject == null) null else UTF8String.fromString(m.subject),
+      m.seq,
+      Math.floorDiv(m.tsNs, 1000L),
+      m.payload)
+
+  override def get(): InternalRow = current
+  override def getOffset: PartitionOffset = ShardOffset(p.memberIdx, delivered)
+  override def close(): Unit = () // pooled transport outlives the reader
 }
 
 /** One shard's endless tail. `next()` blocks (poll + sleep) until an owned

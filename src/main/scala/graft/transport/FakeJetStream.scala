@@ -256,6 +256,108 @@ final class FakeJetStreamServer {
     ()
   }
 
+  // --- consumer groups: QUEUE-GROUP delivery (the reference roadmap's
+  // "Consumer groups — distributed processing across multiple workers",
+  // /root/reference/docs/GUIDE.md:461-464). The SERVER splits delivery:
+  // each message is claimed by exactly one member per delivery attempt;
+  // members ack explicitly; a claim whose ack-wait lease expires (member
+  // died, task retried) returns to the pool and is REDELIVERED to whichever
+  // member asks next. Total delivery volume is O(messages), never
+  // O(members × messages) — the wire-cost contrast with the deterministic
+  // seq%n sharding, where every shard fetches the whole log. ---
+
+  private final class GroupState(var cursor: Long,
+                                 val filter: Option[SubjectFilter.Matcher],
+                                 val filterPattern: Option[String]) {
+    /** claimed-but-unacked: seq → (member, lease deadline ns) */
+    val pending = new java.util.TreeMap[Long, (String, Long)]()
+    /** expired claims awaiting redelivery, ascending */
+    val redeliver = new java.util.TreeSet[Long]()
+  }
+
+  private val groups = new TrieMap[(String, String), GroupState]()
+
+  /** Claim the next ≤ `max` deliverable messages with seq ≤ `maxSeq` for
+    * `member`: expired leases first (redelivery), then fresh messages past
+    * the group cursor, skipping gaps and non-matching subjects. Claimed
+    * seqs hold a lease of `ackWaitMs`; an empty result with
+    * [[groupPendingCount]] == 0 means the group is fully drained up to
+    * `maxSeq`. The group is created on first touch with its cursor at the
+    * stream's FirstSeq and `filterSubject` pinned (changing the filter of a
+    * live consumer is a config error, as on a real server). */
+  private[transport] def groupNext(stream: String, group: String,
+                                   member: String, maxSeq: Long, max: Int,
+                                   ackWaitMs: Long,
+                                   filterSubject: Option[String])
+      : Array[TransportMsg] = {
+    val log = streams.get(stream).getOrElse(return Array.empty)
+    val st = groups.getOrElseUpdate((stream, group), {
+      val first = if (log.isEmpty) 1L else log.firstKey()
+      new GroupState(first, filterSubject.map(SubjectFilter.matcher),
+        filterSubject)
+    })
+    if (st.filterPattern != filterSubject)
+      throw new IllegalArgumentException(
+        s"consumer group '$group' exists with filter ${st.filterPattern}; " +
+          s"cannot re-join with filter $filterSubject (delete the group or " +
+          "use a new name)")
+    st.synchronized {
+      val now = System.nanoTime()
+      // expire stale leases → redelivery pool
+      val it = st.pending.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue._2 <= now) { st.redeliver.add(e.getKey); it.remove(); () }
+      }
+      val leaseNs = now + ackWaitMs * 1000000L
+      val out = Array.newBuilder[TransportMsg]
+      var n = 0
+      // redeliveries first (they are the oldest obligations); entries past
+      // maxSeq stay queued for a member whose window covers them
+      while (n < max && !st.redeliver.isEmpty &&
+          st.redeliver.first() <= maxSeq) {
+        val seq = st.redeliver.pollFirst()
+        val msg = log.get(seq)
+        if (msg != null) { // deleted meanwhile → claim dissolves
+          st.pending.put(seq, (member, leaseNs))
+          out += msg
+          n += 1
+        }
+      }
+      // fresh deliveries: advance the group cursor through the log
+      var more = n < max
+      while (more) {
+        val e = log.ceilingEntry(st.cursor)
+        if (e == null || e.getKey > maxSeq) more = false
+        else {
+          val msg = e.getValue
+          st.cursor = e.getKey + 1L
+          if (st.filter.forall(_.matches(msg.subject))) {
+            st.pending.put(e.getKey, (member, leaseNs))
+            out += msg
+            n += 1
+            if (n >= max) more = false
+          }
+        }
+      }
+      out.result()
+    }
+  }
+
+  /** Explicit per-message acks: settled claims leave the pending set. */
+  private[transport] def groupAck(stream: String, group: String,
+                                  seqs: Array[Long]): Unit =
+    groups.get((stream, group)).foreach { st =>
+      st.synchronized { seqs.foreach(st.pending.remove); () }
+    }
+
+  /** Unsettled obligations (claimed-but-unacked + awaiting redelivery):
+    * 0 together with an empty [[groupNext]] means fully drained. */
+  private[transport] def groupPendingCount(stream: String, group: String): Long =
+    groups.get((stream, group)).fold(0L) { st =>
+      st.synchronized { (st.pending.size + st.redeliver.size).toLong }
+    }
+
   // --- observability: successful dials against this server, so specs can
   // pin the connection topology (planning = 1 dial, readers ≤ 1 per task /
   // per pooled executor) the way rpcCount pins probe complexity ---
@@ -501,6 +603,26 @@ final class FakeTransport(server: FakeJetStreamServer) extends JetStreamTranspor
                        payload: Array[Byte], msgId: String): Long = {
     count()
     server.publishAppend(stream, subject, tsNs, payload, msgId)
+  }
+
+  override def groupNext(stream: String, group: String, member: String,
+                         maxSeq: Long, max: Int, ackWaitMs: Long,
+                         filterSubject: Option[String]): Array[TransportMsg] = {
+    count()
+    maybeFault()
+    server.groupNext(stream, group, member, maxSeq, max, ackWaitMs,
+      filterSubject)
+  }
+
+  override def groupAck(stream: String, group: String,
+                        seqs: Array[Long]): Unit = {
+    count()
+    server.groupAck(stream, group, seqs)
+  }
+
+  override def groupPending(stream: String, group: String): Long = {
+    count()
+    server.groupPendingCount(stream, group)
   }
 
   override def ackFloor(stream: String, durable: String): Long = {

@@ -95,6 +95,30 @@ trait JetStreamTransport extends AutoCloseable {
     * for a lower seq never regresses the floor. */
   def ackAll(stream: String, durable: String, seq: Long): Unit
 
+  /** QUEUE-GROUP (deliver-group) claim: the server hands `member` the next
+    * ≤ `max` undelivered messages of `group` with seq ≤ `maxSeq` — expired
+    * claims of dead members first (REDELIVERY), then fresh messages —
+    * holding each under an `ackWaitMs` lease. This is JetStream's
+    * work-queue consumption shape (a shared consumer whose clients split
+    * delivery): total delivery volume is O(messages), never
+    * O(members × messages), the wire-cost contrast with `continuous_shards`
+    * where every shard fetches the full log. `filterSubject` is the group
+    * consumer's `filter_subject`, pinned at group creation. */
+  def groupNext(stream: String, group: String, member: String, maxSeq: Long,
+                max: Int, ackWaitMs: Long,
+                filterSubject: Option[String]): Array[TransportMsg]
+
+  /** Explicit acks for claimed messages (AckExplicit): settled claims never
+    * redeliver. Unacked claims redeliver to ANY member after their lease
+    * expires — at-least-once on member death, exactly-once when every
+    * delivered batch is acked. */
+  def groupAck(stream: String, group: String, seqs: Array[Long]): Unit
+
+  /** Unsettled group obligations (claimed-but-unacked + awaiting
+    * redelivery). An empty [[groupNext]] with 0 pending means the group has
+    * drained every message ≤ the claim bound. */
+  def groupPending(stream: String, group: String): Long
+
   /** Publish one message; the server assigns the next sequence and returns
     * it (a JetStream PubAck). `msgId` is the `Nats-Msg-Id` deduplication
     * header: re-publishing an id inside the dedup window is a no-op

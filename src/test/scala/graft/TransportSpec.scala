@@ -797,6 +797,98 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(delta <= 1 + 4 * 2, s"KV scan cost $delta RPCs")
   }
 
+  test("queue group: members split delivery exactly once, O(msgs) volume") {
+    val t = Transport.connect(url)
+    val before = server.rpcCountTotal
+    // three members drain the 90 surviving telemetry messages in 40-claims
+    val members = Seq("m0", "m1", "m2")
+    var delivered = Map.empty[String, Seq[Long]]
+    var spins = 0
+    var totalClaims = 0
+    while (delivered.values.map(_.size).sum < 90 && spins < 50) {
+      members.foreach { m =>
+        val got = t.groupNext("telemetry", "grp_split", m, 100L, 40, 30000L, None)
+        if (got.nonEmpty) {
+          totalClaims += 1
+          delivered += m -> (delivered.getOrElse(m, Seq.empty) ++ got.map(_.seq))
+          t.groupAck("telemetry", "grp_split", got.map(_.seq))
+        }
+      }
+      spins += 1
+    }
+    val all = delivered.values.flatten.toSeq
+    // exactly-once union: every surviving seq delivered to exactly ONE member
+    assert(all.sorted == (1L to 100L).filterNot(_ % 10L == 0L).sorted)
+    assert(all.distinct.length == all.length, "a message was double-delivered")
+    // every member did real work (server balanced, not single-member)
+    assert(delivered.keySet == members.toSet)
+    // drained: nothing deliverable, nothing pending
+    assert(t.groupNext("telemetry", "grp_split", "m0", 100L, 40, 30000L, None).isEmpty)
+    assert(t.groupPending("telemetry", "grp_split") == 0L)
+    // wire volume: total MESSAGES delivered across the fleet is 90 (each
+    // once) and claim RPCs ∝ ceil(msgs/batch) = 3 — never members × msgs
+    // (the continuous_shards trade measured at 8.3 rpc/kmsg for 8 shards)
+    assert(totalClaims == 3, s"claims=$totalClaims (expected ceil(90/40)=3)")
+    val delta = server.rpcCountTotal - before
+    assert(delta <= 3L + 3L + totalClaims * 2L + 2L, s"group drain cost $delta RPCs")
+  }
+
+  test("queue group: a dead member's unacked claims redeliver after ack-wait") {
+    val t = Transport.connect(url)
+    // "dying" member claims 25 messages under a 120 ms lease and never acks
+    val doomed = t.groupNext("telemetry", "grp_death", "dead", 100L, 25, 120L, None)
+    assert(doomed.length == 25)
+    assert(t.groupPending("telemetry", "grp_death") == 25L)
+    // before the lease expires the survivor gets only FRESH messages
+    val fresh = t.groupNext("telemetry", "grp_death", "alive", 100L, 2048, 30000L, None)
+    assert(fresh.map(_.seq).intersect(doomed.map(_.seq)).isEmpty)
+    t.groupAck("telemetry", "grp_death", fresh.map(_.seq))
+    Thread.sleep(150L) // the dead member's lease expires
+    // the survivor now receives the REDELIVERY of exactly the dead claims
+    val redelivered = t.groupNext("telemetry", "grp_death", "alive", 100L, 2048, 30000L, None)
+    assert(redelivered.map(_.seq).sorted.toSeq == doomed.map(_.seq).sorted.toSeq)
+    t.groupAck("telemetry", "grp_death", redelivered.map(_.seq))
+    assert(t.groupNext("telemetry", "grp_death", "alive", 100L, 2048, 30000L, None).isEmpty)
+    assert(t.groupPending("telemetry", "grp_death") == 0L)
+    // union across both members is the full stream exactly once
+    assert((doomed ++ fresh).map(_.seq).sorted.toSeq ==
+      (1L to 100L).filterNot(_ % 10L == 0L).sorted)
+  }
+
+  test("deliver_group Spark scan: member partitions, exactly-once union") {
+    val df = read("telemetry", Map("deliver_group" -> "grp_spark",
+      "group_members" -> "3"))
+    assert(df.queryExecution.toRdd.getNumPartitions == 3)
+    val seqs = df.select("seq").collect().map(_.getLong(0))
+    assert(seqs.sorted.toSeq == (1L to 100L).filterNot(_ % 10L == 0L).sorted)
+    // the group's cursor persists: a rerun under the SAME name delivers
+    // nothing (queue semantics — drained is drained)
+    val again = read("telemetry", Map("deliver_group" -> "grp_spark",
+      "group_members" -> "3"))
+    assert(again.select("seq").collect().isEmpty)
+  }
+
+  test("deliver_group bind validation: ranges, shards, members") {
+    def bindErr(opts: Map[String, String]): String =
+      messageChain(intercept[Exception](read("telemetry", opts)))
+    assert(bindErr(Map("deliver_group" -> "g", "start_seq" -> "5"))
+      .contains("incompatible with start_seq"))
+    assert(bindErr(Map("deliver_group" -> "g", "continuous_shards" -> "4"))
+      .contains("competing distribution strategies"))
+    assert(bindErr(Map("deliver_group" -> "g", "last_by_subject" -> "true"))
+      .contains("mutually exclusive"))
+    assert(bindErr(Map("group_members" -> "4"))
+      .contains("group_members requires deliver_group"))
+    assert(bindErr(Map("deliver_group" -> "g", "group_members" -> "0"))
+      .contains("group_members must be >= 1"))
+    // re-joining an existing group with a DIFFERENT filter is a config error
+    val t = Transport.connect(url)
+    t.groupNext("telemetry", "grp_filt", "m", 100L, 1, 30000L, None)
+    val e = intercept[IllegalArgumentException](
+      t.groupNext("telemetry", "grp_filt", "m", 100L, 1, 30000L, Some("a.*")))
+    assert(e.getMessage.contains("cannot re-join with filter"))
+  }
+
   test("kv_buckets < 1 is rejected at bind, not silently planned as empty") {
     for (bad <- Seq("0", "-3")) {
       val e = intercept[Exception] {
