@@ -118,6 +118,23 @@ object TransportQueries {
       (url, creds.toString)
     })
 
+  private val wireFixtures = new ConcurrentHashMap[String, String]()
+
+  /** URL of a REAL loopback-socket [[graft.transport.MiniNatsServer]]
+    * serving `dir`'s fixture — backed by the SAME message store as
+    * [[fixtureUrl]]'s in-JVM server, so the wire scan and the seam scan
+    * read identical streams. `Transport.connect` sees an address with no
+    * registry fixture and takes the socket path: every byte of the
+    * `transport_wire_scan` oracle query crosses a real TCP connection. */
+  def wireFixtureUrl(s: SparkSession, dir: String): String =
+    wireFixtures.computeIfAbsent(dir, _ => {
+      val registryUrl = fixtureUrl(s, dir) // seed (or reuse) the store
+      val backing = FakeJetStream.listen(registryUrl)
+      val srv = new graft.transport.MiniNatsServer(backing)
+      srv.start()
+      srv.url
+    })
+
   /** transport-mode reader with small slices so even sf0.001 plans several
     * independent slice partitions (65536 default would be one task). */
   private def scan(s: SparkSession, dir: String,
@@ -133,6 +150,20 @@ object TransportQueries {
     // full scan through the transport: slice planning + batched fetch
     "transport_scan_full" -> ((s, dir) =>
       scan(s, dir)
+        .select(col("stream"), col("subject"), col("seq"), col("ts_nats"),
+          expr("octet_length(payload)").as("payload_bytes"))
+        .orderBy("seq")),
+
+    // full scan over a REAL TCP socket: NatsWireClient → MiniNatsServer on
+    // loopback — slice planning, ADR-31 batched direct gets, and the
+    // envelope columns all cross actual wire bytes; the oracle is the same
+    // as the in-JVM seam's, so any codec/framing asymmetry breaks the hash
+    "transport_wire_scan" -> ((s, dir) =>
+      s.read.format("nats_scan")
+        .option("url", wireFixtureUrl(s, dir))
+        .option("stream", "events")
+        .option("slice_width", "1024")
+        .load()
         .select(col("stream"), col("subject"), col("seq"), col("ts_nats"),
           expr("octet_length(payload)").as("payload_bytes"))
         .orderBy("seq")),
@@ -335,6 +366,11 @@ object TransportQueries {
     val env = NatsQueries.envSql
     Map(
       "transport_scan_full" ->
+        s"""$env SELECT stream, subject, seq, ts_nats,
+           | CAST(octet_length(payload::BLOB) AS INTEGER) AS payload_bytes
+           | FROM env ORDER BY seq""".stripMargin,
+
+      "transport_wire_scan" ->
         s"""$env SELECT stream, subject, seq, ts_nats,
            | CAST(octet_length(payload::BLOB) AS INTEGER) AS payload_bytes
            | FROM env ORDER BY seq""".stripMargin,

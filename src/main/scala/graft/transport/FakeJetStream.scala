@@ -351,6 +351,18 @@ final class FakeJetStreamServer {
       st.synchronized { seqs.foreach(st.pending.remove); () }
     }
 
+  /** Negative ack: the claim returns to the redelivery pool IMMEDIATELY
+    * (no lease wait) — the wire protocol's `-NAK` verb. */
+  private[transport] def groupNack(stream: String, group: String,
+                                   seqs: Array[Long]): Unit =
+    groups.get((stream, group)).foreach { st =>
+      st.synchronized {
+        seqs.foreach { s =>
+          if (st.pending.remove(s) != null) { st.redeliver.add(s); () }
+        }
+      }
+    }
+
   /** Unsettled obligations (claimed-but-unacked + awaiting redelivery):
     * 0 together with an empty [[groupNext]] means fully drained. */
   private[transport] def groupPendingCount(stream: String, group: String): Long =
@@ -441,6 +453,12 @@ object FakeJetStream {
     creds.clear(); nkeys.clear(); tlsOnly.clear()
     TransportPool.clear() // pooled handles hold refs into the old registry
   }
+
+  /** is any fixture (server, blackhole) registered at this address? —
+    * [[Transport.connect]] routes here first, and to the REAL socket
+    * client otherwise */
+  private[transport] def knows(addr: String): Boolean =
+    registry.contains(addr) || blackholes.contains(addr)
 
   private def normalize(address: String): String =
     if (address.startsWith("nats://")) {

@@ -296,9 +296,14 @@ object Transport {
   val DefaultTimeoutMs = 5000L
 
   /** Lazy connect: resolve `url` to a transport, failing with the
-    * reference's error shapes. In this offline build resolution goes through
-    * the [[FakeJetStream]] in-JVM registry; a live build would construct a
-    * jnats connection here (same URL syntax, same timeout contract).
+    * reference's error shapes.
+    *
+    * Resolution order (zero configuration, like a DNS lookup):
+    *   1. an in-JVM [[FakeJetStream]] server registered at the address —
+    *      the test/fixture path (covers blackholes + auth fixtures too);
+    *   2. otherwise a REAL TCP dial via [[NatsWireClient]] — the live path
+    *      a user hits by pointing at `nats://prod:4222`. Same URL syntax,
+    *      same timeout contract, same error text shapes.
     *
     *   - malformed / non-nats URL      → "Failed to connect to NATS: Invalid URL"
     *   - no server at the address      → "Failed to connect to NATS: No server available for connection"
@@ -317,6 +322,11 @@ object Transport {
     // nats://<token>@host:port — token auth, the simplest NATS credential
     // form; a server requiring auth rejects missing/wrong tokens with the
     // server's own status text ("Authorization Violation")
-    FakeJetStream.dial(addr, timeoutMs, Option(u.getUserInfo), auth)
+    val token = Option(u.getUserInfo)
+    if (FakeJetStream.knows(addr))
+      FakeJetStream.dial(addr, timeoutMs, token, auth)
+    else
+      new NatsWireClient(u.getHost,
+        if (u.getPort < 0) 4222 else u.getPort, timeoutMs, token, auth)
   }
 }
