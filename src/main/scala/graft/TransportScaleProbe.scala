@@ -172,6 +172,82 @@ object TransportScaleProbe {
       val fullRpcs = ksrv.rpcCountTotal - f0
       println(f"$m%9d $kvRows%8d $kvRpcs%8d $kvWall%10.2f $fullRpcs%14d")
     }
+
+    // --- subject-index KEY-CARDINALITY sweep (round-8 judge task 5) -----
+    // The KV/current-state and GROUP BY subject pushdown paths were only
+    // measured at a fixed 1000 subjects; sweep 1k → 100k distinct keys at a
+    // FIXED message count to prove the O(keys) wire contract holds as the
+    // key space grows: RPCs ≈ buckets × ceil(keys/bucket/2048 + 1) (page +
+    // terminal short-page per bucket), per-key wall cost flat.
+    println()
+    println("subject-index key-cardinality sweep, 262144 msgs, kv_buckets=16:")
+    println(f"${"keys"}%8s ${"kv_rows"}%8s ${"kv_rpcs"}%8s ${"kv_wall_s"}%10s " +
+      f"${"us_per_key"}%11s ${"stats_rows"}%11s ${"stats_rpcs"}%11s ${"stats_wall_s"}%13s")
+    val cardMsgs = 262144L
+    Seq(1000L, 10000L, 100000L).foreach { keys =>
+      val kurl = s"nats://transport-scale-probe-card-$keys:4222"
+      val ksrv = FakeJetStream.listen(kurl)
+      var ks = 1L
+      while (ks <= cardMsgs) {
+        ksrv.publish("card", ks, s"key.${ks % keys}",
+          1700000000000000000L + ks * 1000000L,
+          s"""{"seq":$ks}""".getBytes)
+        ks += 1
+      }
+      def base = spark.read.format("nats_scan")
+        .option("url", kurl).option("stream", "card")
+      val r0 = ksrv.rpcCountTotal
+      val t0 = System.nanoTime()
+      val kvRows = base.option("last_by_subject", "true")
+        .option("kv_buckets", "16").load()
+        .select("subject", "seq").collect().length
+      val kvWall = (System.nanoTime() - t0) / 1e9
+      val kvRpcs = ksrv.rpcCountTotal - r0
+      // GROUP BY subject aggregate pushdown: answered from the server's
+      // subjects index, zero message fetches at any cardinality
+      val s0 = ksrv.rpcCountTotal
+      val st0 = System.nanoTime()
+      val statsRows = base.load().groupBy("subject")
+        .agg(count(lit(1)).as("n"), max("seq").as("last_seq"))
+        .collect().length
+      val statsWall = (System.nanoTime() - st0) / 1e9
+      val statsRpcs = ksrv.rpcCountTotal - s0
+      println(f"$keys%8d $kvRows%8d $kvRpcs%8d $kvWall%10.2f " +
+        f"${kvWall * 1e6 / keys}%11.1f $statsRows%11d $statsRpcs%11d $statsWall%13.2f")
+    }
+
+    // --- queue-group (deliver_group) drain sweep ------------------------
+    // New operator this round → measured the same session (project rule).
+    // Claim: a group drain's wire volume is O(messages) regardless of the
+    // member count — claims are ceil(msgs/2048) batches split across
+    // members, plus O(members) termination checks; contrast the continuous
+    // shard sweep above where RPCs grow ≈ shards × ceil(msgs/2048).
+    println()
+    println("queue-group drain sweep, group_members=8:")
+    println(f"${"msgs"}%9s ${"rows"}%9s ${"wall_s"}%8s ${"rpcs"}%7s " +
+      f"${"rpc_per_kmsg"}%13s ${"krows_per_s"}%12s")
+    Seq(16384L, 65536L, 262144L).foreach { m =>
+      val gurl = s"nats://transport-scale-probe-grp-$m:4222"
+      val gsrv = FakeJetStream.listen(gurl)
+      var gs = 1L
+      while (gs <= m) {
+        gsrv.publish("gq", gs, s"g.${gs % 13}",
+          1700000000000000000L + gs * 1000000L,
+          s"""{"seq":$gs,"pad":"xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"}""".getBytes)
+        gs += 1
+      }
+      val r0 = gsrv.rpcCountTotal
+      val t0 = System.nanoTime()
+      val rows = spark.read.format("nats_scan")
+        .option("url", gurl).option("stream", "gq")
+        .option("deliver_group", "probe").option("group_members", "8")
+        .load().select("seq").collect().length
+      val wall = (System.nanoTime() - t0) / 1e9
+      val rpcs = gsrv.rpcCountTotal - r0
+      require(rows == m, s"group drain lost rows: $rows of $m")
+      println(f"$m%9d $rows%9d $wall%8.2f $rpcs%7d " +
+        f"${rpcs * 1000.0 / m}%13.2f ${m / wall / 1000.0}%12.1f")
+    }
     spark.stop()
   }
 

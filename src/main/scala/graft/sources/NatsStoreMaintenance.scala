@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   * a reader planning mid-swap sees a complete store either way. At cluster
   * scale the same shape runs against a DFS with a metadata-pointer swap
   * instead of directory renames.
+  *
+  * COMPACTION TRUNCATES TIME-TRAVEL HISTORY: the epoch-in-filename ledger
+  * (`epoch-NNNNNN-part-*`) that `as_of_epoch` reads is erased by the
+  * rewrite (compacted files are batch-named). A later `as_of_epoch` read
+  * REFUSES loudly rather than answering approximately
+  * (`StoreEpochs.select`; `CompactionSpec` pins the cross-behavior) — the
+  * same contract as Delta's `VACUUM` dropping `versionAsOf` history: keep
+  * a pre-compaction copy (or re-ingest) if pinned snapshots must outlive
+  * compaction.
   */
 object NatsStoreMaintenance {
 
