@@ -23,10 +23,15 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * zero configuration. E2e tests run it against [[MiniNatsServer]] — the
   * same wire bytes over a real loopback socket.
   *
-  * Concurrency: ONE socket, requests serialized under a lock (the pool
-  * hands one client per (url, auth) per JVM; slice readers' batched fetches
-  * interleave at request granularity). jnats multiplexes instead — a
-  * worthwhile upgrade, not a semantic change.
+  * Concurrency: a small LANE pool (≤ [[NatsWireClient.MaxLanes]] sockets,
+  * grown on demand, first lane dialed eagerly so connect errors surface at
+  * construction). Each request checks a lane out, runs its own
+  * request-reply conversation on it, and returns it — so 32 concurrent
+  * slice readers drive up to 8 independent sockets instead of serializing
+  * on one. jnats multiplexes many requests on one socket instead; the lane
+  * pool reaches comparable parallelism with far simpler failure semantics
+  * (a torn conversation dies with its lane, never corrupting another
+  * request's stream position).
   *
   * Mapping notes (all public JetStream API):
   *   - `fetch(from,to,max)` → batched DIRECT.GET `{seq, batch, up_to_seq}`
@@ -52,7 +57,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *   - `ackAll(stream,durable,seq)` → `+ACK` published to the synthesized
   *     cumulative ack subject (`$JS.ACK.<stream>.<durable>.1.<seq>.<seq>.0.0`)
   *     of an ack_policy=all durable — the wire form of AckAll.
-  *   - TLS (`auth.tls`) upgrades the socket through the default JVM
+  *   - TLS (`auth.tls`) upgrades each socket through the default JVM
   *     SSLSocketFactory after INFO, the standard NATS TLS handshake order.
   *     Untestable offline (no certs) but wired.
   */
@@ -60,90 +65,16 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
                            token: Option[String],
                            auth: TransportAuth) extends JetStreamTransport {
 
-  private val mapper = new ObjectMapper()
+  import NatsWireClient.MaxLanes
 
-  private var socket: Socket = _
-  private var in: InputStream = _
-  private var out: OutputStream = _
-  private val lock = new Object
+  private val mapper = new ObjectMapper()
   private val sids = new java.util.concurrent.atomic.AtomicLong(0L)
   private val inboxes = new java.util.concurrent.atomic.AtomicLong(0L)
   /** group claims awaiting ack: (stream, group, seq) → ack subject */
   private val ackSubjects =
     new scala.collection.concurrent.TrieMap[(String, String, Long), String]()
 
-  // ---------------- dial ----------------
-
-  locally {
-    val s = new Socket()
-    try s.connect(new InetSocketAddress(host, port), timeoutMs.toInt)
-    catch {
-      case _: java.net.SocketTimeoutException =>
-        throw new NatsConnectException("Failed to connect to NATS: Timeout")
-      case _: java.net.UnknownHostException =>
-        throw new NatsConnectException(
-          "Failed to connect to NATS: No server available for connection")
-      case _: java.io.IOException =>
-        throw new NatsConnectException(
-          "Failed to connect to NATS: No server available for connection")
-    }
-    s.setSoTimeout(math.max(timeoutMs, 1000L).toInt)
-    s.setTcpNoDelay(true)
-    socket = s
-    in = new BufferedInputStream(s.getInputStream)
-    out = new BufferedOutputStream(s.getOutputStream)
-    // server speaks first: INFO {...}
-    val info = readFrame() match {
-      case Info(json) => json
-      case other => throw new NatsConnectException(
-        s"Failed to connect to NATS: protocol error (expected INFO, got $other)")
-    }
-    val tlsRequired = Option(info.get("tls_required")).exists(_.asBoolean(false))
-    if (tlsRequired || auth.tls) upgradeTls()
-    val connect = mapper.createObjectNode()
-    connect.put("verbose", false).put("pedantic", false)
-      .put("tls_required", auth.tls).put("lang", "scala-graft")
-      .put("version", "0.1").put("protocol", 1)
-      .put("headers", true)
-    token.foreach(t => connect.put("auth_token", t))
-    auth.credsJwt.foreach(j => connect.put("jwt", j))
-    auth.nkeySeed.foreach { seed =>
-      // a full client signs the server nonce with the ed25519 key derived
-      // from the seed; the offline fixture servers compare identities
-      // directly (FakeJetStream does the same) — the field names are the
-      // protocol's own (`nkey`/`sig`)
-      connect.put("nkey", seed)
-      connect.put("sig", Option(info.get("nonce")).map(_.asText("")).getOrElse(""))
-    }
-    send(s"CONNECT ${mapper.writeValueAsString(connect)}\r\nPING\r\n")
-    readFrame() match {
-      case Pong => ()
-      case Err(msg) => throw new NatsConnectException(
-        s"Failed to connect to NATS: $msg")
-      case Ok => readFrame() match {
-        case Pong => ()
-        case Err(msg) => throw new NatsConnectException(
-          s"Failed to connect to NATS: $msg")
-        case other => throw new NatsConnectException(
-          s"Failed to connect to NATS: protocol error ($other)")
-      }
-      case other => throw new NatsConnectException(
-        s"Failed to connect to NATS: protocol error ($other)")
-    }
-  }
-
-  private def upgradeTls(): Unit = {
-    val f = javax.net.ssl.SSLSocketFactory.getDefault
-      .asInstanceOf[javax.net.ssl.SSLSocketFactory]
-    val tls = f.createSocket(socket, host, port, true)
-      .asInstanceOf[javax.net.ssl.SSLSocket]
-    tls.startHandshake()
-    socket = tls
-    in = new BufferedInputStream(tls.getInputStream)
-    out = new BufferedOutputStream(tls.getOutputStream)
-  }
-
-  // ---------------- frame codec ----------------
+  // ---------------- frame model ----------------
 
   private sealed trait Frame
   private case class Info(json: JsonNode) extends Frame
@@ -154,67 +85,6 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
   private case class Msg(subject: String, sid: Long, reply: Option[String],
                          headers: Map[String, String], status: Int,
                          payload: Array[Byte]) extends Frame
-
-  private def readLine(): String = {
-    val sb = new java.lang.StringBuilder(64)
-    var prev = -1
-    while (true) {
-      val b = in.read()
-      if (b < 0) throw new EOFException("connection closed by server")
-      if (prev == '\r' && b == '\n') {
-        sb.setLength(sb.length() - 1)
-        return sb.toString
-      }
-      sb.append(b.toChar)
-      prev = b
-    }
-    throw new IllegalStateException("unreachable")
-  }
-
-  private def readN(n: Int): Array[Byte] = {
-    val buf = new Array[Byte](n)
-    var off = 0
-    while (off < n) {
-      val r = in.read(buf, off, n - off)
-      if (r < 0) throw new EOFException("connection closed by server")
-      off += r
-    }
-    buf
-  }
-
-  private def readFrame(): Frame = {
-    val line = readLine()
-    val sp = line.indexOf(' ')
-    val verb = (if (sp < 0) line else line.substring(0, sp)).toUpperCase
-    verb match {
-      case "INFO" => Info(mapper.readTree(line.substring(sp + 1)))
-      case "PING" => Ping
-      case "PONG" => Pong
-      case "+OK" => Ok
-      case "-ERR" =>
-        Err(line.substring(sp + 1).stripPrefix("'").stripSuffix("'"))
-      case "MSG" =>
-        // MSG <subject> <sid> [reply] <len>
-        val p = line.substring(sp + 1).split(' ')
-        val (subject, sid, reply, len) =
-          if (p.length == 3) (p(0), p(1).toLong, None, p(2).toInt)
-          else (p(0), p(1).toLong, Some(p(2)), p(3).toInt)
-        val payload = readN(len); readN(2) // trailing \r\n
-        Msg(subject, sid, reply, Map.empty, 0, payload)
-      case "HMSG" =>
-        // HMSG <subject> <sid> [reply] <hdrLen> <totLen>
-        val p = line.substring(sp + 1).split(' ')
-        val (subject, sid, reply, hl, tl) =
-          if (p.length == 4) (p(0), p(1).toLong, None, p(2).toInt, p(3).toInt)
-          else (p(0), p(1).toLong, Some(p(2)), p(3).toInt, p(4).toInt)
-        val hdrBytes = readN(hl)
-        val payload = readN(tl - hl); readN(2)
-        val (headers, status) = parseHeaders(new String(hdrBytes, UTF_8))
-        Msg(subject, sid, reply, headers, status, payload)
-      case other =>
-        throw new NatsIOException(s"protocol error: unexpected frame '$other'")
-    }
-  }
 
   /** "NATS/1.0[ <code> <desc>]\r\nK: V\r\n...\r\n\r\n" → (headers, status) */
   private def parseHeaders(s: String): (Map[String, String], Int) = {
@@ -228,22 +98,161 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     (kvs, status)
   }
 
-  private def send(s: String): Unit = { out.write(s.getBytes(UTF_8)); out.flush() }
+  // ---------------- one socket = one lane ----------------
 
-  // ---------------- request-reply core ----------------
+  /** A dialed + authenticated socket with its frame codec. One request-
+    * reply conversation runs on a lane at a time (the pool enforces it). */
+  private final class Lane {
+    private var socket: Socket = _
+    private var in: InputStream = _
+    private var out: OutputStream = _
 
-  /** One JetStream API request: SUB fresh inbox, PUB with reply, collect
-    * `expect` response messages (terminated early by a status frame per
-    * `stopOnStatus`), UNSUB. Serialized: one in-flight request per client. */
-  private def request(subject: String, payload: Array[Byte],
-                      expect: Int = 1,
-                      stopOnStatus: Int => Boolean = _ => true): Seq[Msg] =
-    lock.synchronized {
+    locally {
+      val s = new Socket()
+      try s.connect(new InetSocketAddress(host, port), timeoutMs.toInt)
+      catch {
+        case _: java.net.SocketTimeoutException =>
+          throw new NatsConnectException("Failed to connect to NATS: Timeout")
+        case _: java.io.IOException =>
+          throw new NatsConnectException(
+            "Failed to connect to NATS: No server available for connection")
+      }
+      s.setSoTimeout(math.max(timeoutMs, 1000L).toInt)
+      s.setTcpNoDelay(true)
+      socket = s
+      in = new BufferedInputStream(s.getInputStream)
+      out = new BufferedOutputStream(s.getOutputStream)
+      // server speaks first: INFO {...}
+      val info = readFrame() match {
+        case Info(json) => json
+        case other => throw new NatsConnectException(
+          s"Failed to connect to NATS: protocol error (expected INFO, got $other)")
+      }
+      val tlsRequired = Option(info.get("tls_required")).exists(_.asBoolean(false))
+      if (tlsRequired || auth.tls) upgradeTls()
+      val connect = mapper.createObjectNode()
+      connect.put("verbose", false).put("pedantic", false)
+        .put("tls_required", auth.tls).put("lang", "scala-graft")
+        .put("version", "0.1").put("protocol", 1)
+        .put("headers", true)
+      token.foreach(t => connect.put("auth_token", t))
+      auth.credsJwt.foreach(j => connect.put("jwt", j))
+      auth.nkeySeed.foreach { seed =>
+        // a full client signs the server nonce with the ed25519 key derived
+        // from the seed; the offline fixture servers compare identities
+        // directly (FakeJetStream does the same) — the field names are the
+        // protocol's own (`nkey`/`sig`)
+        connect.put("nkey", seed)
+        connect.put("sig", Option(info.get("nonce")).map(_.asText("")).getOrElse(""))
+      }
+      send(s"CONNECT ${mapper.writeValueAsString(connect)}\r\nPING\r\n")
+      readFrame() match {
+        case Pong => ()
+        case Err(msg) => throw new NatsConnectException(
+          s"Failed to connect to NATS: $msg")
+        case Ok => readFrame() match {
+          case Pong => ()
+          case Err(msg) => throw new NatsConnectException(
+            s"Failed to connect to NATS: $msg")
+          case other => throw new NatsConnectException(
+            s"Failed to connect to NATS: protocol error ($other)")
+        }
+        case other => throw new NatsConnectException(
+          s"Failed to connect to NATS: protocol error ($other)")
+      }
+    }
+
+    private def upgradeTls(): Unit = {
+      val f = javax.net.ssl.SSLSocketFactory.getDefault
+        .asInstanceOf[javax.net.ssl.SSLSocketFactory]
+      val tls = f.createSocket(socket, host, port, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      tls.startHandshake()
+      socket = tls
+      in = new BufferedInputStream(tls.getInputStream)
+      out = new BufferedOutputStream(tls.getOutputStream)
+    }
+
+    private def readLine(): String = {
+      val sb = new java.lang.StringBuilder(64)
+      var prev = -1
+      while (true) {
+        val b = in.read()
+        if (b < 0) throw new EOFException("connection closed by server")
+        if (prev == '\r' && b == '\n') {
+          sb.setLength(sb.length() - 1)
+          return sb.toString
+        }
+        sb.append(b.toChar)
+        prev = b
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    private def readN(n: Int): Array[Byte] = {
+      val buf = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val r = in.read(buf, off, n - off)
+        if (r < 0) throw new EOFException("connection closed by server")
+        off += r
+      }
+      buf
+    }
+
+    private def readFrame(): Frame = {
+      val line = readLine()
+      val sp = line.indexOf(' ')
+      val verb = (if (sp < 0) line else line.substring(0, sp)).toUpperCase
+      verb match {
+        case "INFO" => Info(mapper.readTree(line.substring(sp + 1)))
+        case "PING" => Ping
+        case "PONG" => Pong
+        case "+OK" => Ok
+        case "-ERR" =>
+          Err(line.substring(sp + 1).stripPrefix("'").stripSuffix("'"))
+        case "MSG" =>
+          // MSG <subject> <sid> [reply] <len>
+          val p = line.substring(sp + 1).split(' ')
+          val (subject, sid, reply, len) =
+            if (p.length == 3) (p(0), p(1).toLong, None, p(2).toInt)
+            else (p(0), p(1).toLong, Some(p(2)), p(3).toInt)
+          val payload = readN(len); readN(2) // trailing \r\n
+          Msg(subject, sid, reply, Map.empty, 0, payload)
+        case "HMSG" =>
+          // HMSG <subject> <sid> [reply] <hdrLen> <totLen>
+          val p = line.substring(sp + 1).split(' ')
+          val (subject, sid, reply, hl, tl) =
+            if (p.length == 4) (p(0), p(1).toLong, None, p(2).toInt, p(3).toInt)
+            else (p(0), p(1).toLong, Some(p(2)), p(3).toInt, p(4).toInt)
+          val hdrBytes = readN(hl)
+          val payload = readN(tl - hl); readN(2)
+          val (headers, status) = parseHeaders(new String(hdrBytes, UTF_8))
+          Msg(subject, sid, reply, headers, status, payload)
+        case other =>
+          throw new NatsIOException(s"protocol error: unexpected frame '$other'")
+      }
+    }
+
+    def send(s: String): Unit = { out.write(s.getBytes(UTF_8)); out.flush() }
+
+    /** One JetStream API request on THIS lane: SUB fresh inbox, PUB with
+      * reply, collect `expect` response messages (terminated early by a
+      * status frame), UNSUB. `headerBytes` switches the request to HPUB. */
+    def request(subject: String, payload: Array[Byte], expect: Int,
+                headerBytes: Array[Byte] = null): Seq[Msg] = {
       val inbox = s"_INBOX.graft.${inboxes.incrementAndGet()}"
       val sid = sids.incrementAndGet()
       send(s"SUB $inbox $sid\r\n")
-      out.write(s"PUB $subject $inbox ${payload.length}\r\n".getBytes(UTF_8))
-      out.write(payload); out.write('\r'); out.write('\n'); out.flush()
+      if (headerBytes == null) {
+        out.write(s"PUB $subject $inbox ${payload.length}\r\n".getBytes(UTF_8))
+        out.write(payload)
+      } else {
+        out.write(s"HPUB $subject $inbox ${headerBytes.length} ${headerBytes.length + payload.length}\r\n"
+          .getBytes(UTF_8))
+        out.write(headerBytes); out.write(payload)
+      }
+      out.write('\r'); out.write('\n'); out.flush()
       val got = Seq.newBuilder[Msg]
       var n = 0
       var open = true
@@ -251,7 +260,7 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
         readFrame() match {
           case Ping => send("PONG\r\n")
           case m: Msg if m.sid == sid =>
-            if (m.status != 0 && stopOnStatus(m.status)) open = false
+            if (m.status != 0) open = false
             else { got += m; n += 1 }
           case Err(msg) => throw new NatsIOException(s"server error: $msg")
           case Ok => ()
@@ -261,6 +270,42 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
       send(s"UNSUB $sid\r\n")
       got.result()
     }
+
+    def close(): Unit = try socket.close() catch { case _: Exception => () }
+  }
+
+  // ---------------- lane pool ----------------
+
+  private val idle = new java.util.concurrent.LinkedBlockingQueue[Lane]()
+  private val laneCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var closed = false
+
+  // eager first lane: connect/auth failures surface at construction, the
+  // contract every error-path spec pins
+  locally { laneCount.incrementAndGet(); idle.put(new Lane) }
+
+  private def withLane[T](f: Lane => T): T = {
+    var lane = idle.poll()
+    if (lane == null) {
+      // grow up to MaxLanes, else wait for a busy lane to come home
+      val n = laneCount.incrementAndGet()
+      if (n <= MaxLanes) lane = new Lane
+      else { laneCount.decrementAndGet(); lane = idle.take() }
+    }
+    var ok = false
+    try { val r = f(lane); ok = true; r }
+    finally {
+      if (ok && !closed) idle.put(lane)
+      else { lane.close(); laneCount.decrementAndGet() } // torn conversation
+    }
+  }
+
+  private def request(subject: String, payload: Array[Byte],
+                      expect: Int = 1): Seq[Msg] =
+    withLane(_.request(subject, payload, expect))
+
+  /** fire-and-forget publish (acks/naks) — no response conversation */
+  private def fire(s: String): Unit = withLane(_.send(s))
 
   private def api(subject: String, json: String): JsonNode = {
     val resp = request(subject, json.getBytes(UTF_8))
@@ -440,18 +485,18 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
       } else
         // claimed past the member's window: NAK it straight back so another
         // window (or a later drain) receives it without waiting out the lease
-        m.reply.foreach(r => lock.synchronized(send(s"PUB $r 4\r\n-NAK\r\n")))
+        m.reply.foreach(r => fire(s"PUB $r 4\r\n-NAK\r\n"))
     }
     out.result()
   }
 
   override def groupAck(stream: String, group: String,
-                        seqs: Array[Long]): Unit =
-    seqs.foreach { seq =>
-      ackSubjects.remove((stream, group, seq)).foreach { r =>
-        lock.synchronized(send(s"PUB $r 4\r\n+ACK\r\n"))
-      }
-    }
+                        seqs: Array[Long]): Unit = {
+    // settle the whole batch on ONE lane checkout (one flush)
+    val subjects = seqs.flatMap(s => ackSubjects.remove((stream, group, s)))
+    if (subjects.nonEmpty)
+      fire(subjects.map(r => s"PUB $r 4\r\n+ACK\r\n").mkString)
+  }
 
   override def groupPending(stream: String, group: String): Long = {
     val r = api(s"$$JS.API.CONSUMER.INFO.$stream.$group", "{}")
@@ -473,7 +518,7 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     // cumulative AckAll: +ACK published to the ack subject form carrying the
     // stream seq (the server routes acks by subject, not by request API)
     val subj = s"$$JS.ACK.$stream.$durable.1.$seq.$seq.0.0"
-    lock.synchronized(send(s"PUB $subj 4\r\n+ACK\r\n"))
+    fire(s"PUB $subj 4\r\n+ACK\r\n")
   }
 
   override def publish(stream: String, subject: String, tsNs: Long,
@@ -482,32 +527,24 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
       s"Nats-Msg-Id: $msgId\r\n" +
       s"Nats-Expected-Stream: $stream\r\n" +
       s"Graft-Pub-Time: $tsNs\r\n\r\n").getBytes(UTF_8)
-    val resp = lock.synchronized {
-      val inbox = s"_INBOX.graft.${inboxes.incrementAndGet()}"
-      val sid = sids.incrementAndGet()
-      send(s"SUB $inbox $sid\r\n")
-      out.write(s"HPUB $subject $inbox ${hdr.length} ${hdr.length + payload.length}\r\n"
-        .getBytes(UTF_8))
-      out.write(hdr); out.write(payload); out.write('\r'); out.write('\n')
-      out.flush()
-      var result: Option[Msg] = None
-      while (result.isEmpty) {
-        readFrame() match {
-          case Ping => send("PONG\r\n")
-          case m: Msg if m.sid == sid => result = Some(m)
-          case Err(msg) => throw new NatsIOException(s"server error: $msg")
-          case _ => ()
-        }
-      }
-      send(s"UNSUB $sid\r\n")
-      result.get
-    }
-    val ack = mapper.readTree(new String(resp.payload, UTF_8))
+    val resp = withLane(_.request(subject, payload, expect = 1,
+      headerBytes = hdr))
+    if (resp.isEmpty) throw new NatsIOException("publish: no PubAck")
+    val ack = mapper.readTree(new String(resp.head.payload, UTF_8))
     apiError(ack).foreach(e => throw new NatsIOException(s"publish failed: $e"))
     ack.get("seq").asLong
   }
 
   override def close(): Unit = {
-    try socket.close() catch { case _: Exception => () }
+    closed = true
+    var l = idle.poll()
+    while (l != null) { l.close(); l = idle.poll() }
   }
+}
+
+object NatsWireClient {
+  /** socket-lane cap per client — per (url, credentials) per JVM via
+    * [[TransportPool]]; 8 lanes keep 32 local slice readers busy without
+    * the per-connection server cost of one socket per task */
+  val MaxLanes = 8
 }
