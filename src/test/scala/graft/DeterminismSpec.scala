@@ -87,7 +87,11 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_hll_mergeable",
     // dynamic-key JSON schema profile (LATERAL variant_explode + one
     // groupBy(key) — rate division must not wobble with partial-agg order)
-    "nats_json_profile")
+    "nats_json_profile",
+    // round-9 wire binding: the same rows through REAL sockets, across
+    // lane-pool scheduling and slice interleaving (transport_group is
+    // deliberately NOT here — a queue group is a consume-once source)
+    "transport_wire_scan")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

