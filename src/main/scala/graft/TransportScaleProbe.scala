@@ -216,6 +216,48 @@ object TransportScaleProbe {
         f"${kvWall * 1e6 / keys}%11.1f $statsRows%11d $statsRpcs%11d $statsWall%13.2f")
     }
 
+    // --- wire client lane sweep -----------------------------------------
+    // The REAL socket path: the same bounded scan through NatsWireClient →
+    // MiniNatsServer on loopback, socket-lane pool swept 1 → 8. Claim: with
+    // one lane the 32 slice readers serialize on a single request-reply
+    // socket; throughput scales with lanes until the loopback saturates.
+    println()
+    println("wire client lane sweep (real TCP loopback), 262144 msgs, 32 slices:")
+    println(f"${"lanes"}%6s ${"wall_s"}%8s ${"rows"}%9s ${"krows_per_s"}%12s")
+    locally {
+      val backing = new graft.transport.FakeJetStreamServer
+      var ws = 1L
+      while (ws <= n) {
+        backing.publish("wire", ws, s"w.${ws % 13}",
+          1700000000000000000L + ws * 1000000L,
+          s"""{"seq":$ws,"pad":"xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"}""".getBytes)
+        ws += 1
+      }
+      val wsrv = new graft.transport.MiniNatsServer(backing)
+      wsrv.start()
+      // warmup: the wire codec's JIT cost must not be charged to lanes=1
+      Bench.materialize(spark.read.format("nats_scan")
+        .option("url", wsrv.url).option("stream", "wire")
+        .option("slice_width", ((n + 31) / 32).toString).load()
+        .select("seq", "subject"))
+      Seq(1, 2, 4, 8).foreach { lanes =>
+        System.setProperty("graft.wire.lanes", lanes.toString)
+        graft.transport.TransportPool.clear() // force a fresh client
+        val df = spark.read.format("nats_scan")
+          .option("url", wsrv.url).option("stream", "wire")
+          .option("slice_width", ((n + 31) / 32).toString).load()
+          .select("seq", "subject")
+        val t0 = System.nanoTime()
+        Bench.materialize(df)
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"$lanes%6d $wall%8.2f $n%9d ${n / wall / 1000.0}%12.1f")
+      }
+      System.clearProperty("graft.wire.lanes")
+      graft.transport.TransportPool.clear()
+      wsrv.stop()
+    }
+
+
     // --- queue-group (deliver_group) drain sweep ------------------------
     // New operator this round → measured the same session (project rule).
     // Claim: a group drain's wire volume is O(messages) regardless of the

@@ -545,6 +545,9 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
 object NatsWireClient {
   /** socket-lane cap per client — per (url, credentials) per JVM via
     * [[TransportPool]]; 8 lanes keep 32 local slice readers busy without
-    * the per-connection server cost of one socket per task */
-  val MaxLanes = 8
+    * the per-connection server cost of one socket per task. Tunable via
+    * `-Dgraft.wire.lanes=N` (the scale probe sweeps it; a deployment
+    * facing a connection-limited server can pin it to 1). */
+  def MaxLanes: Int =
+    Integer.getInteger("graft.wire.lanes", 8).intValue()
 }

@@ -145,6 +145,41 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.close()
   }
 
+  test("binary-safe framing: payloads with CRLF / protocol verbs / NUL " +
+    "bytes round-trip publish → directGet exactly") {
+    // the protocol length-frames payloads; adversarial bytes that LOOK like
+    // frames ("PING\r\n", "-ERR ...", empty, NUL runs, high bytes) must
+    // cross both directions untouched
+    val t = client()
+    val nasty: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray,
+      "PING\r\nPONG\r\n".getBytes,
+      "-ERR 'Authorization Violation'\r\n".getBytes,
+      "MSG a.b 1 4\r\nxxxx\r\n".getBytes,
+      Array.fill[Byte](257)(0),
+      Array.tabulate[Byte](512)(i => (i % 256).toByte),
+      "日本語テキストとemoji🙂".getBytes("UTF-8"))
+    val seqs = nasty.zipWithIndex.map { case (p, i) =>
+      t.publish("wt", s"wt.nasty", 1000L + i, p, s"nasty-$i") -> p
+    }
+    seqs.foreach { case (seq, expected) =>
+      val got = t.directGet("wt", seq).get
+      assert(java.util.Arrays.equals(got.payload, expected),
+        s"payload mangled at seq $seq")
+    }
+    // batched fetch over the same messages too (different read path)
+    val lo = seqs.map(_._1).min
+    val hi = seqs.map(_._1).max
+    val batch = t.fetch("wt", lo, hi, 100)
+    assert(batch.length == nasty.length)
+    batch.zip(seqs).foreach { case (m, (seq, expected)) =>
+      assert(m.seq == seq && java.util.Arrays.equals(m.payload, expected))
+    }
+    // clean up so other tests' stream counts hold
+    seqs.foreach { case (seq, _) => backing.deleteMsg("wt", seq) }
+    t.close()
+  }
+
   test("token auth over the wire: reject, then accept") {
     val authBacking = new FakeJetStreamServer
     authBacking.publish("as", 1L, "as.x", 1L, "p".getBytes)
