@@ -28,7 +28,8 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * synchronized (MSG.NEXT fan-out and PONG heartbeats interleave).
   */
 final class MiniNatsServer(val backing: FakeJetStreamServer,
-                           requireToken: Option[String] = None) {
+                           requireToken: Option[String] = None,
+                           requireNkeyPub: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
   private var server: ServerSocket = _
@@ -137,8 +138,11 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
   private def serve(socket: Socket): Unit = {
     val conn = new Conn(socket)
     try {
-      conn.write(s"""INFO {"server_id":"graft-mini","server_name":"graft-mini","version":"2.10.0-graft","proto":1,"headers":true${if (requireToken.isDefined) ",\"auth_required\":true" else ""}}\r\n""")
-      var authed = requireToken.isEmpty
+      val authRequired = requireToken.isDefined || requireNkeyPub.isDefined
+      // per-connection nonce: what the client's NKey CONNECT must sign
+      val nonce = s"graft-nonce-${conn.id}-${System.nanoTime()}"
+      conn.write(s"""INFO {"server_id":"graft-mini","server_name":"graft-mini","version":"2.10.0-graft","proto":1,"headers":true,"nonce":"$nonce"${if (authRequired) ",\"auth_required\":true" else ""}}\r\n""")
+      var authed = !authRequired
       while (running) {
         val line = readLine(conn.in)
         val sp = line.indexOf(' ')
@@ -149,6 +153,20 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
             requireToken.foreach { want =>
               val got = Option(j.get("auth_token")).map(_.asText)
               if (!got.contains(want)) {
+                conn.write("-ERR 'Authorization Violation'\r\n")
+                socket.close()
+                return
+              }
+              authed = true
+            }
+            requireNkeyPub.foreach { wantPub =>
+              // real NKey verification: the presented identity must BE the
+              // configured public key AND its nonce signature must verify
+              val nkey = Option(j.get("nkey")).map(_.asText)
+              val sig = Option(j.get("sig")).map(_.asText)
+              val ok = nkey.contains(wantPub) && sig.exists(s =>
+                NKeys.verify(wantPub, nonce.getBytes(UTF_8), s))
+              if (!ok) {
                 conn.write("-ERR 'Authorization Violation'\r\n")
                 socket.close()
                 return

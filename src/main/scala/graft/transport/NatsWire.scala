@@ -138,12 +138,12 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
       token.foreach(t => connect.put("auth_token", t))
       auth.credsJwt.foreach(j => connect.put("jwt", j))
       auth.nkeySeed.foreach { seed =>
-        // a full client signs the server nonce with the ed25519 key derived
-        // from the seed; the offline fixture servers compare identities
-        // directly (FakeJetStream does the same) — the field names are the
-        // protocol's own (`nkey`/`sig`)
-        connect.put("nkey", seed)
-        connect.put("sig", Option(info.get("nonce")).map(_.asText("")).getOrElse(""))
+        // REAL NKey auth: derive the public identity from the seed and sign
+        // the server's nonce with the seed's ed25519 key (NKeys.sign) — the
+        // full protocol flow, verified by MiniNatsServer with the public key
+        connect.put("nkey", NKeys.publicKeyFromSeed(seed))
+        val nonce = Option(info.get("nonce")).map(_.asText("")).getOrElse("")
+        connect.put("sig", NKeys.sign(seed, nonce.getBytes(UTF_8)))
       }
       send(s"CONNECT ${mapper.writeValueAsString(connect)}\r\nPING\r\n")
       readFrame() match {

@@ -195,6 +195,43 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally authServer.stop()
   }
 
+  test("NKey auth over the wire: REAL ed25519 nonce signature verified") {
+    // deterministic user seed → 'SU…' string → public 'U…' identity
+    val rawSeed = Array.tabulate[Byte](32)(i => (i * 7 + 3).toByte)
+    val seed = NKeys.encodeUserSeed(rawSeed)
+    assert(seed.startsWith("SU"))
+    assert(java.util.Arrays.equals(NKeys.decodeUserSeed(seed), rawSeed))
+    val pub = NKeys.publicKeyFromSeed(seed)
+    assert(pub.startsWith("U"))
+    // sign/verify round trip + tamper detection
+    val nonce = "abc-nonce".getBytes("UTF-8")
+    val sig = NKeys.sign(seed, nonce)
+    assert(NKeys.verify(pub, nonce, sig))
+    assert(!NKeys.verify(pub, "abc-nonc3".getBytes("UTF-8"), sig))
+    val otherSeed = NKeys.encodeUserSeed(Array.fill[Byte](32)(9))
+    assert(!NKeys.verify(NKeys.publicKeyFromSeed(otherSeed), nonce, sig))
+
+    // server configured with the PUBLIC key only (the real deployment
+    // shape); the client must sign the per-connection nonce with the seed
+    val nkBacking = new FakeJetStreamServer
+    nkBacking.publish("nk", 1L, "nk.x", 1L, "p".getBytes)
+    val nkServer = new MiniNatsServer(nkBacking, requireNkeyPub = Some(pub))
+    val port = nkServer.start()
+    try {
+      val denied = intercept[NatsConnectException](
+        Transport.connect(s"nats://127.0.0.1:$port"))
+      assert(denied.getMessage.contains("Authorization Violation"))
+      val wrongKey = intercept[NatsConnectException](
+        Transport.connect(s"nats://127.0.0.1:$port",
+          auth = TransportAuth(nkeySeed = Some(otherSeed))))
+      assert(wrongKey.getMessage.contains("Authorization Violation"))
+      val t = Transport.connect(s"nats://127.0.0.1:$port",
+        auth = TransportAuth(nkeySeed = Some(seed)))
+      assert(t.streamInfo("nk").messages == 1L)
+      t.close()
+    } finally nkServer.stop()
+  }
+
   test("connect errors: refused port fast-fails with the reference shape") {
     val e = intercept[NatsConnectException](
       Transport.connect("nats://127.0.0.1:1", timeoutMs = 1000L))
