@@ -29,7 +29,8 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   */
 final class MiniNatsServer(val backing: FakeJetStreamServer,
                            requireToken: Option[String] = None,
-                           requireNkeyPub: Option[String] = None) {
+                           requireNkeyPub: Option[String] = None,
+                           tlsContext: Option[javax.net.ssl.SSLContext] = None) {
 
   private val mapper = new ObjectMapper()
   private var server: ServerSocket = _
@@ -135,13 +136,29 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
     buf
   }
 
-  private def serve(socket: Socket): Unit = {
+  private def serve(rawSocket: Socket): Unit = {
+    var socket = rawSocket
+    val authRequired = requireToken.isDefined || requireNkeyPub.isDefined
+    // per-connection nonce: what the client's NKey CONNECT must sign
+    val nonce = s"graft-nonce-${connSeq.incrementAndGet()}-${System.nanoTime()}"
+    // INFO goes out PLAINTEXT first (the NATS TLS handshake order); when
+    // TLS is configured both sides upgrade the same TCP connection before
+    // the client's CONNECT
+    locally {
+      val out = rawSocket.getOutputStream
+      out.write((s"""INFO {"server_id":"graft-mini","server_name":"graft-mini","version":"2.10.0-graft","proto":1,"headers":true,"nonce":"$nonce"${if (tlsContext.isDefined) ",\"tls_required\":true" else ""}${if (authRequired) ",\"auth_required\":true" else ""}}\r\n""").getBytes(UTF_8))
+      out.flush()
+    }
+    tlsContext.foreach { ctx =>
+      val tls = ctx.getSocketFactory
+        .createSocket(rawSocket, null, rawSocket.getPort, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      tls.setUseClientMode(false)
+      tls.startHandshake()
+      socket = tls
+    }
     val conn = new Conn(socket)
     try {
-      val authRequired = requireToken.isDefined || requireNkeyPub.isDefined
-      // per-connection nonce: what the client's NKey CONNECT must sign
-      val nonce = s"graft-nonce-${conn.id}-${System.nanoTime()}"
-      conn.write(s"""INFO {"server_id":"graft-mini","server_name":"graft-mini","version":"2.10.0-graft","proto":1,"headers":true,"nonce":"$nonce"${if (authRequired) ",\"auth_required\":true" else ""}}\r\n""")
       var authed = !authRequired
       while (running) {
         val line = readLine(conn.in)

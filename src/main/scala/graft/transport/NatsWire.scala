@@ -129,7 +129,12 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
           s"Failed to connect to NATS: protocol error (expected INFO, got $other)")
       }
       val tlsRequired = Option(info.get("tls_required")).exists(_.asBoolean(false))
-      if (tlsRequired || auth.tls) upgradeTls()
+      if (tlsRequired || auth.tls)
+        try upgradeTls()
+        catch {
+          case e: java.io.IOException => throw new NatsConnectException(
+            s"Failed to connect to NATS: TLS handshake failure (${e.getMessage})")
+        }
       val connect = mapper.createObjectNode()
       connect.put("verbose", false).put("pedantic", false)
         .put("tls_required", auth.tls).put("lang", "scala-graft")
@@ -163,8 +168,24 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     }
 
     private def upgradeTls(): Unit = {
-      val f = javax.net.ssl.SSLSocketFactory.getDefault
-        .asInstanceOf[javax.net.ssl.SSLSocketFactory]
+      // default JVM trust chain; `-Dgraft.wire.tls.insecure=true` swaps in
+      // a trust-all manager — a FIXTURE/TEST hook for self-signed loopback
+      // servers (the offline TLS e2e test), never a production setting
+      val f =
+        if (java.lang.Boolean.getBoolean("graft.wire.tls.insecure")) {
+          val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+          ctx.init(null, Array[javax.net.ssl.TrustManager](
+            new javax.net.ssl.X509TrustManager {
+              override def checkClientTrusted(
+                c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+              override def checkServerTrusted(
+                c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+              override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+                Array.empty
+            }), null)
+          ctx.getSocketFactory
+        } else javax.net.ssl.SSLSocketFactory.getDefault
+          .asInstanceOf[javax.net.ssl.SSLSocketFactory]
       val tls = f.createSocket(socket, host, port, true)
         .asInstanceOf[javax.net.ssl.SSLSocket]
       tls.startHandshake()

@@ -232,6 +232,48 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally nkServer.stop()
   }
 
+  test("TLS over the wire: real handshake against a self-signed loopback " +
+    "server; untrusted cert rejected without the fixture trust hook") {
+    // self-signed server identity via the JDK's own keytool
+    val ksPath = java.nio.file.Files.createTempDirectory("graft_tls")
+      .resolve("server.p12").toString
+    val kt = new ProcessBuilder("keytool", "-genkeypair", "-alias", "graft",
+      "-keyalg", "EC", "-keystore", ksPath, "-storetype", "PKCS12",
+      "-storepass", "graftpass", "-dname", "CN=127.0.0.1",
+      "-validity", "1", "-noprompt").redirectErrorStream(true).start()
+    assert(kt.waitFor() == 0, "keytool failed")
+    val keyStore = java.security.KeyStore.getInstance("PKCS12")
+    val fis = new java.io.FileInputStream(ksPath)
+    try keyStore.load(fis, "graftpass".toCharArray) finally fis.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(keyStore, "graftpass".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+
+    val tlsBacking = new FakeJetStreamServer
+    tlsBacking.publish("tl", 1L, "tl.x", 1L, "p".getBytes)
+    val tlsServer = new MiniNatsServer(tlsBacking, tlsContext = Some(ctx))
+    val port = tlsServer.start()
+    try {
+      // default trust chain must REJECT the self-signed cert
+      val rejected = intercept[NatsConnectException](
+        Transport.connect(s"nats://127.0.0.1:$port"))
+      assert(rejected.getMessage.contains("TLS handshake failure"),
+        rejected.getMessage)
+      // with the fixture trust hook the full TLS session carries the
+      // whole protocol: INFO (plaintext) → handshake → CONNECT → API
+      System.setProperty("graft.wire.tls.insecure", "true")
+      val t = Transport.connect(s"nats://127.0.0.1:$port")
+      assert(t.streamInfo("tl").messages == 1L)
+      assert(t.directGet("tl", 1L).exists(m => new String(m.payload) == "p"))
+      t.close()
+    } finally {
+      System.clearProperty("graft.wire.tls.insecure")
+      tlsServer.stop()
+    }
+  }
+
   test("connect errors: refused port fast-fails with the reference shape") {
     val e = intercept[NatsConnectException](
       Transport.connect("nats://127.0.0.1:1", timeoutMs = 1000L))
