@@ -311,6 +311,34 @@ object Transport {
     */
   def connect(url: String, timeoutMs: Long = DefaultTimeoutMs,
               auth: TransportAuth = TransportAuth.anonymous): JetStreamTransport = {
+    // CLUSTER list (`nats://a:4222,b:4222` — every NATS client's server-list
+    // syntax): try each in order, first success wins; AUTH failures abort
+    // immediately (every cluster member shares the auth config — retrying
+    // siblings would just burn lockout budget), availability failures fall
+    // through to the next member
+    val candidates = url.split(',').map(_.trim).filter(_.nonEmpty).map { part =>
+      if (part.startsWith("nats://")) part
+      // list tail entries may omit the scheme: nats://a:4222,b:4222
+      else "nats://" + part
+    }
+    if (candidates.isEmpty)
+      throw new NatsConnectException(s"Failed to connect to NATS: Invalid URL ($url)")
+    var lastErr: NatsConnectException = null
+    candidates.foreach { one =>
+      try return connectOne(one, timeoutMs, auth)
+      catch {
+        case e: NatsConnectException
+            if e.getMessage.contains("Authorization") ||
+              e.getMessage.contains("TLS handshake") =>
+          throw e // config error: identical on every member
+        case e: NatsConnectException => lastErr = e
+      }
+    }
+    throw lastErr
+  }
+
+  private def connectOne(url: String, timeoutMs: Long,
+                         auth: TransportAuth): JetStreamTransport = {
     val parsed =
       try {
         val u = new java.net.URI(url)

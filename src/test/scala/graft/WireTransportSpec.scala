@@ -318,6 +318,31 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.close()
   }
 
+  test("cluster server list: dead members fall through, first live one wins") {
+    // first member refuses (nothing listens on port 1), second is the live
+    // wire server — the standard comma-list failover every client supports
+    val t = Transport.connect(s"nats://127.0.0.1:1,$url", timeoutMs = 1000L)
+    assert(t.streamInfo("wt").messages == 90L)
+    t.close()
+    // scheme may be omitted on tail entries
+    val hostPort = url.stripPrefix("nats://")
+    val t2 = Transport.connect(s"nats://127.0.0.1:1,$hostPort", timeoutMs = 1000L)
+    assert(t2.streamInfo("wt").messages == 90L)
+    t2.close()
+    // all dead → the LAST availability error surfaces
+    val e = intercept[NatsConnectException](
+      Transport.connect("nats://127.0.0.1:1,127.0.0.1:2", timeoutMs = 1000L))
+    assert(e.getMessage.contains("No server available for connection"))
+    // an AUTH error aborts immediately (config, not availability): a token-
+    // requiring fake first in the list must NOT fall through to the wire
+    val authUrl = "nats://cluster-auth-fake:4222"
+    FakeJetStream.listen(authUrl)
+    FakeJetStream.requireToken(authUrl, "tok")
+    val ae = intercept[NatsConnectException](
+      Transport.connect(s"$authUrl,$url", timeoutMs = 1000L))
+    assert(ae.getMessage.contains("Authorization Violation"))
+  }
+
   test("full Spark scan through the wire: slices, pushdown, KV — parity " +
     "with the in-JVM seam") {
     def read(opts: Map[String, String] = Map.empty) = {
