@@ -30,7 +30,12 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 final class MiniNatsServer(val backing: FakeJetStreamServer,
                            requireToken: Option[String] = None,
                            requireNkeyPub: Option[String] = None,
-                           tlsContext: Option[javax.net.ssl.SSLContext] = None) {
+                           tlsContext: Option[javax.net.ssl.SSLContext] = None,
+                           /** (expected user JWT, its public NKey) — the
+                             * creds-file flow: a live server resolves the
+                             * key from the JWT's account chain, the fixture
+                             * pins both */
+                           requireJwt: Option[(String, String)] = None) {
 
   private val mapper = new ObjectMapper()
   private var server: ServerSocket = _
@@ -138,7 +143,8 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
 
   private def serve(rawSocket: Socket): Unit = {
     var socket = rawSocket
-    val authRequired = requireToken.isDefined || requireNkeyPub.isDefined
+    val authRequired = requireToken.isDefined || requireNkeyPub.isDefined ||
+      requireJwt.isDefined
     // per-connection nonce: what the client's NKey CONNECT must sign
     val nonce = s"graft-nonce-${connSeq.incrementAndGet()}-${System.nanoTime()}"
     // INFO goes out PLAINTEXT first (the NATS TLS handshake order); when
@@ -183,6 +189,21 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
               val sig = Option(j.get("sig")).map(_.asText)
               val ok = nkey.contains(wantPub) && sig.exists(s =>
                 NKeys.verify(wantPub, nonce.getBytes(UTF_8), s))
+              if (!ok) {
+                conn.write("-ERR 'Authorization Violation'\r\n")
+                socket.close()
+                return
+              }
+              authed = true
+            }
+            requireJwt.foreach { case (wantJwt, pub) =>
+              // creds flow: expected JWT + nonce signature under the JWT's
+              // public key (the part of account-chain resolution a fixture
+              // can pin)
+              val jwt = Option(j.get("jwt")).map(_.asText)
+              val sig = Option(j.get("sig")).map(_.asText)
+              val ok = jwt.contains(wantJwt) && sig.exists(s =>
+                NKeys.verify(pub, nonce.getBytes(UTF_8), s))
               if (!ok) {
                 conn.write("-ERR 'Authorization Violation'\r\n")
                 socket.close()

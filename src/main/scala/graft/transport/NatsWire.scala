@@ -141,14 +141,25 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
         .put("version", "0.1").put("protocol", 1)
         .put("headers", true)
       token.foreach(t => connect.put("auth_token", t))
-      auth.credsJwt.foreach(j => connect.put("jwt", j))
-      auth.nkeySeed.foreach { seed =>
-        // REAL NKey auth: derive the public identity from the seed and sign
-        // the server's nonce with the seed's ed25519 key (NKeys.sign) — the
-        // full protocol flow, verified by MiniNatsServer with the public key
-        connect.put("nkey", NKeys.publicKeyFromSeed(seed))
-        val nonce = Option(info.get("nonce")).map(_.asText("")).getOrElse("")
-        connect.put("sig", NKeys.sign(seed, nonce.getBytes(UTF_8)))
+      val nonce = Option(info.get("nonce")).map(_.asText("")).getOrElse("")
+      auth.credsJwt match {
+        case Some(jwt) =>
+          // JWT/creds auth: identity comes from the user JWT; the .creds
+          // file's seed signs the server nonce (the `sig` the server
+          // verifies against the JWT's embedded public key)
+          connect.put("jwt", jwt)
+          auth.nkeySeed.foreach(seed =>
+            connect.put("sig", NKeys.sign(seed, nonce.getBytes(UTF_8))))
+          ()
+        case None =>
+          auth.nkeySeed.foreach { seed =>
+            // REAL NKey auth: derive the public identity from the seed and
+            // sign the nonce with the seed's ed25519 key — the full
+            // protocol flow, verified server-side with the public key only
+            connect.put("nkey", NKeys.publicKeyFromSeed(seed))
+            connect.put("sig", NKeys.sign(seed, nonce.getBytes(UTF_8)))
+            ()
+          }
       }
       send(s"CONNECT ${mapper.writeValueAsString(connect)}\r\nPING\r\n")
       readFrame() match {

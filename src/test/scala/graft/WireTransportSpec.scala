@@ -232,6 +232,47 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally nkServer.stop()
   }
 
+  test("creds/JWT auth over the wire: .creds parse → jwt + signed nonce") {
+    // a valid user seed and a JWT-shaped token, laid out as `nsc generate
+    // creds` emits; the BIND parses the file, the WIRE client sends the jwt
+    // and signs the nonce with the file's seed
+    val rawSeed = Array.tabulate[Byte](32)(i => (i * 13 + 5).toByte)
+    val seed = NKeys.encodeUserSeed(rawSeed)
+    val jwt = "eyJ0eXAiOiJKV1QifQ.graft-wire-creds-user"
+    val creds = java.nio.file.Files.createTempFile("graft_wire", ".creds")
+    java.nio.file.Files.write(creds,
+      s"""-----BEGIN NATS USER JWT-----
+         |$jwt
+         |------END NATS USER JWT------
+         |
+         |-----BEGIN USER NKEY SEED-----
+         |$seed
+         |------END USER NKEY SEED------
+         |""".stripMargin.getBytes("UTF-8"))
+    val cb = new FakeJetStreamServer
+    cb.publish("cr", 1L, "cr.x", 1L, "p".getBytes)
+    val srv = new MiniNatsServer(cb,
+      requireJwt = Some((jwt, NKeys.publicKeyFromSeed(seed))))
+    val port = srv.start()
+    try {
+      val denied = intercept[NatsConnectException](
+        Transport.connect(s"nats://127.0.0.1:$port"))
+      assert(denied.getMessage.contains("Authorization Violation"))
+      // wrong seed = right jwt but bad signature → still rejected
+      val badSeed = NKeys.encodeUserSeed(Array.fill[Byte](32)(1))
+      val badSig = intercept[NatsConnectException](
+        Transport.connect(s"nats://127.0.0.1:$port",
+          auth = TransportAuth(credsJwt = Some(jwt), nkeySeed = Some(badSeed))))
+      assert(badSig.getMessage.contains("Authorization Violation"))
+      // the real flow through the bind-time parser
+      val parsed = TransportAuth.fromOptions(
+        credsFile = Some(creds.toString), nkeySeed = None, tls = None)
+      val t = Transport.connect(s"nats://127.0.0.1:$port", auth = parsed)
+      assert(t.streamInfo("cr").messages == 1L)
+      t.close()
+    } finally srv.stop()
+  }
+
   test("TLS over the wire: real handshake against a self-signed loopback " +
     "server; untrusted cert rejected without the fixture trust hook") {
     // self-signed server identity via the JDK's own keytool
