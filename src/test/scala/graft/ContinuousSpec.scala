@@ -127,6 +127,66 @@ class ContinuousSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("continuous queue-group restart: resumes at the server's ack " +
+    "frontier, even with a DIFFERENT member count") {
+    val url = "nats://continuous-group-restart:4222"
+    val s = FakeJetStream.listen(url)
+    (1L to 20L).foreach { seq =>
+      s.publish("cgr", seq, "cgr.x",
+        1700000000000000000L + seq * 1000000000L, Array[Byte](seq.toByte))
+    }
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-cgrp-ckpt").toString
+    def start(members: Int) = spark.readStream.format("nats_scan")
+      .option("url", url).option("stream", "cgr")
+      .option("deliver_group", "cgrp_restart")
+      .option("group_members", members.toString)
+      .load()
+      .selectExpr("seq")
+      .writeStream
+      .foreach(new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+        override def open(partitionId: Long, epochId: Long): Boolean = true
+        override def process(r: org.apache.spark.sql.Row): Unit =
+          ContinuousSpec.groupCollected.add(r.getLong(0))
+        override def close(errorOrNull: Throwable): Unit = ()
+      })
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.Continuous("200 milliseconds"))
+      .start()
+
+    ContinuousSpec.groupCollected.clear()
+    val q1 = start(members = 2)
+    try {
+      assert(eventually() { ContinuousSpec.groupCollected.size() == 20 },
+        "run 1 never delivered the initial 20 through the group")
+      // idle readers ack their final batch BEFORE entering the poll wait,
+      // so a quiet stream leaves nothing pending — give the ack a moment
+      assert(eventually(5000L) {
+        graft.transport.Transport.connect(url)
+          .groupPending("cgr", "cgrp_restart") == 0L
+      }, "final batch never acked while idle")
+    } finally q1.stop()
+
+    ContinuousSpec.groupCollected.clear()
+    (21L to 25L).foreach { seq =>
+      s.publish("cgr", seq, "cgr.x",
+        1700000000000000000L + seq * 1000000000L, Array[Byte](seq.toByte))
+    }
+    // restart with THREE members: the group's server-side cursor is the
+    // resume point — unlike seq%n sharding there is no checkpoint-layout
+    // coupling, so changing the member count is legal
+    val q2 = start(members = 3)
+    try {
+      assert(eventually() {
+        (21L to 25L).forall(ContinuousSpec.groupCollected.contains)
+      }, s"restart lost post-stop messages: got ${ContinuousSpec.groupCollected}")
+      // no replay of the acked prefix: the drained 1..20 must not reappear
+      assert(!ContinuousSpec.groupCollected.contains(1L) &&
+        !ContinuousSpec.groupCollected.contains(10L),
+        s"restart replayed acked messages: ${ContinuousSpec.groupCollected}")
+    } finally q2.stop()
+  }
+
   test("continuous tail: checkpoint restart resumes from committed shard " +
     "offsets, losing nothing") {
     val url = "nats://continuous-restart:4222"
@@ -375,5 +435,9 @@ class ContinuousSpec extends AnyFunSuite with BeforeAndAfterAll {
 object ContinuousSpec {
   /** cross-task sink for the restart test (local mode: one JVM) */
   val collected: java.util.Set[java.lang.Long] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+  /** separate sink for the GROUP restart test — a straggler writer task
+    * from one stopped query must never pollute another test's collector */
+  val groupCollected: java.util.Set[java.lang.Long] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
 }
