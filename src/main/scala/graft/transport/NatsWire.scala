@@ -325,8 +325,20 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
       else { laneCount.decrementAndGet(); lane = idle.take() }
     }
     var ok = false
-    try { val r = f(lane); ok = true; r }
-    finally {
+    try {
+      val r =
+        try f(lane)
+        catch {
+          // a torn lane (server dropped an idle connection — e.g. missed
+          // keepalive pings while parked — or a mid-conversation reset) is
+          // TRANSIENT: surface it as the retryable wire error so
+          // TransportRetry re-runs the call, which checks out a FRESH lane
+          case e: java.io.IOException =>
+            throw new NatsIOException(s"connection lost mid-request: $e")
+        }
+      ok = true
+      r
+    } finally {
       if (ok && !closed) idle.put(lane)
       else { lane.close(); laneCount.decrementAndGet() } // torn conversation
     }

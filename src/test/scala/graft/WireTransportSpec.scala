@@ -359,6 +359,22 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.close()
   }
 
+  test("a dropped connection surfaces as the RETRYABLE wire error") {
+    // server dies under a connected client: the next request must fail as
+    // NatsIOException (what TransportRetry retries, re-checking out a fresh
+    // lane) — a raw EOF/SocketTimeout would fail the Spark task without
+    // retry classification
+    val db = new FakeJetStreamServer
+    db.publish("dz", 1L, "dz.x", 1L, "p".getBytes)
+    val dsrv = new MiniNatsServer(db)
+    dsrv.start()
+    val t = Transport.connect(dsrv.url, timeoutMs = 1500L)
+    assert(t.streamInfo("dz").messages == 1L)
+    dsrv.stop()
+    intercept[NatsIOException](t.streamInfo("dz"))
+    t.close()
+  }
+
   test("cluster server list: dead members fall through, first live one wins") {
     // first member refuses (nothing listens on port 1), second is the live
     // wire server — the standard comma-list failover every client supports
