@@ -359,6 +359,45 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.close()
   }
 
+  test("micro-batch live tail over the wire: post-start publishes arrive " +
+    "through real sockets, exactly once") {
+    val tb = new FakeJetStreamServer
+    (1L to 10L).foreach(i => tb.publish("wtail", i, "wtail.x",
+      1700000000000000000L + i * 1000000000L, Array[Byte](i.toByte)))
+    val tsrv = new MiniNatsServer(tb)
+    tsrv.start()
+    val q = spark.readStream.format("nats_scan")
+      .option("url", tsrv.url).option("stream", "wtail")
+      .option("max_msgs_per_batch", "100")
+      .load()
+      .selectExpr("seq")
+      .writeStream.format("memory").queryName("wire_tail")
+      .start()
+    def distinctSeqs: Long =
+      spark.sql("SELECT count(DISTINCT seq) FROM wire_tail").head().getLong(0)
+    def eventually(cond: => Boolean): Boolean = {
+      val deadline = System.nanoTime() + 60000L * 1000000L
+      while (System.nanoTime() < deadline) {
+        if (cond) return true
+        Thread.sleep(100L)
+      }
+      cond
+    }
+    try {
+      assert(eventually(distinctSeqs == 10L), "pre-existing rows never arrived")
+      // live publishes THROUGH THE WIRE CLIENT (HPUB + PubAck), then tailed
+      // back out over the same server — both directions on real sockets
+      val pub = Transport.connect(tsrv.url)
+      (11L to 15L).foreach(i => pub.publish("wtail", "wtail.x",
+        1700000000000000000L + i * 1000000000L, Array[Byte](i.toByte), s"w-$i"))
+      pub.close()
+      assert(eventually(distinctSeqs == 15L), "post-start rows never arrived")
+      val rows = spark.sql("SELECT seq FROM wire_tail").collect().map(_.getLong(0))
+      assert(rows.length == rows.distinct.length, "duplicate delivery")
+      assert(rows.sorted.sameElements(1L to 15L))
+    } finally { q.stop(); tsrv.stop() }
+  }
+
   test("a dropped connection surfaces as the RETRYABLE wire error") {
     // server dies under a connected client: the next request must fail as
     // NatsIOException (what TransportRetry retries, re-checking out a fresh
