@@ -54,9 +54,10 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
   private val consumers = new TrieMap[(String, String), ConsumerRec]()
   private val ephemerals = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** start listening; returns the bound port */
-  def start(): Int = {
-    server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  /** start listening; returns the bound port (0 = ephemeral; a fixed port
+    * lets restart tests bring a successor up at the same address) */
+  def start(port: Int = 0): Int = {
+    server = new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
     running = true
     val acceptor = new Thread(() => {
       while (running) {

@@ -417,24 +417,42 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
 
   override def consumer(stream: String, startSeq: Long,
                         filterSubject: Option[String] = None): MessageCursor = {
-    val cfg = mapper.createObjectNode()
-    cfg.put("deliver_policy", "by_start_sequence")
-      .put("opt_start_seq", startSeq)
-      .put("ack_policy", "none")
-    filterSubject.foreach(cfg.put("filter_subject", _))
-    val req = mapper.createObjectNode()
-    req.put("stream_name", stream); req.set("config", cfg)
-    val created = api(s"$$JS.API.CONSUMER.CREATE.$stream",
-      mapper.writeValueAsString(req))
-    apiError(created).foreach(e => throw new NatsIOException(
-      s"Failed to create consumer: $e"))
-    val name = created.get("name").asText
+    def create(from: Long): String = {
+      val cfg = mapper.createObjectNode()
+      cfg.put("deliver_policy", "by_start_sequence")
+        .put("opt_start_seq", from)
+        .put("ack_policy", "none")
+      filterSubject.foreach(cfg.put("filter_subject", _))
+      val req = mapper.createObjectNode()
+      req.put("stream_name", stream); req.set("config", cfg)
+      val created = api(s"$$JS.API.CONSUMER.CREATE.$stream",
+        mapper.writeValueAsString(req))
+      apiError(created).foreach(e => throw new NatsIOException(
+        s"Failed to create consumer: $e"))
+      created.get("name").asText
+    }
     new MessageCursor {
+      private var name = create(startSeq)
+      /** last stream seq DELIVERED to the caller — the recreate point.
+        * An ordered (ack-none) consumer's server cursor advances on
+        * delivery, so a request torn mid-read would SKIP the lost tail on
+        * a naive retry; the ordered-consumer contract is to RECREATE at
+        * the last delivered position instead (the seam's documented
+        * "recreate at the last delivered sequence" semantics). */
+      private var lastSeen = startSeq - 1L
+      private var broken = false
       override def next(max: Int): Array[TransportMsg] = {
-        val resp = request(s"$$JS.API.CONSUMER.MSG.NEXT.$stream.$name",
-          s"""{"batch":$max,"no_wait":true}""".getBytes(UTF_8), expect = max)
+        if (broken) { // previous attempt tore: resume exactly after lastSeen
+          name = create(lastSeen + 1L)
+          broken = false
+        }
+        val resp =
+          try request(s"$$JS.API.CONSUMER.MSG.NEXT.$stream.$name",
+            s"""{"batch":$max,"no_wait":true}""".getBytes(UTF_8), expect = max)
+          catch { case e: Throwable => broken = true; throw e }
         resp.filter(_.status == 0).map { m =>
           val (sseq, tsNs) = m.reply.map(ackMeta).getOrElse((0L, 0L))
+          lastSeen = math.max(lastSeen, sseq)
           TransportMsg(m.subject, sseq, tsNs, m.payload)
         }.toArray
       }

@@ -414,6 +414,35 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.close()
   }
 
+  test("ordered cursor survives a server bounce: recreates at last " +
+    "delivered seq — no skip, no duplicate") {
+    // ack-none ordered consumers advance server-side on DELIVERY, so a
+    // torn conversation must RECREATE at the last position the client
+    // actually received (a naive retry would skip the lost tail)
+    val rb = new FakeJetStreamServer
+    (1L to 100L).foreach(i => rb.publish("rc", i, "rc.x", i * 1000L,
+      Array[Byte]((i % 127).toByte)))
+    val srv1 = new MiniNatsServer(rb)
+    val port = srv1.start()
+    val t = Transport.connect(s"nats://127.0.0.1:$port", timeoutMs = 1500L)
+    val c = t.consumer("rc", 1L)
+    val first = c.next(30)
+    assert(first.map(_.seq).toSeq == (1L to 30L))
+    srv1.stop()
+    // the in-flight lane is torn: transient, retryable
+    intercept[NatsIOException](c.next(30))
+    // successor server at the SAME address over the SAME message store
+    val srv2 = new MiniNatsServer(rb)
+    assert(srv2.start(port) == port)
+    try {
+      val resumed = c.next(1000)
+      assert(resumed.map(_.seq).toSeq == (31L to 100L),
+        s"resume skipped or duplicated: ${resumed.take(3).map(_.seq).toSeq}…")
+      c.close()
+      t.close()
+    } finally srv2.stop()
+  }
+
   test("cluster server list: dead members fall through, first live one wins") {
     // first member refuses (nothing listens on port 1), second is the live
     // wire server — the standard comma-list failover every client supports
