@@ -167,6 +167,11 @@ final class NatsScanTable(rawProps: Map[String, String])
         sys.error("nats_scan: deliver_group (server-balanced delivery) and " +
           "continuous_shards (deterministic seq%n sharding) are competing " +
           "distribution strategies — set exactly one")
+      if (props.contains("durable"))
+        sys.error("nats_scan: deliver_group and durable are competing " +
+          "progress mechanisms (the GROUP's explicit acks vs a cumulative " +
+          "seq floor) — the group consumer IS durable server-side; drop " +
+          "the durable option")
     }
     props.get("group_members").map(_.toInt).foreach { n =>
       if (n < 1) sys.error(s"nats_scan: group_members must be >= 1, got $n")

@@ -119,6 +119,13 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
         "nats_scan: last_by_subject is a point-in-time snapshot read — for " +
           "a streaming materialized view, tail the stream and keep " +
           "max_by(payload, seq) per subject")
+    if (deliverGroup.isDefined)
+      throw new UnsupportedOperationException(
+        "nats_scan: deliver_group (queue-group delivery) serves batch " +
+          "drains and Trigger.Continuous tails; the micro-batch stream's " +
+          "offsets are seq ranges, which a server-balanced group does not " +
+          "have — use Trigger.Continuous, or continuous_shards/durable " +
+          "for micro-batch")
     new graft.streaming.NatsTransportMicroBatchStream(url, stream,
       maxPerBatch = maxPerBatch, sliceWidth = sliceWidth,
       connectTimeoutMs = connectTimeoutMs, auth = auth,

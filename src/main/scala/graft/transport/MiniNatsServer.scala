@@ -408,25 +408,29 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
             msgs.foreach(deliverNext(conn, r, stream, name, _))
             if (msgs.length < batch) status(conn, r, 404, "No Messages")
           case Some(rec) =>
-            // ordered ephemeral: advance message-by-message, filter-aware
-            val matcher = rec.filter.map(SubjectFilter.matcher)
-            val out = Array.newBuilder[TransportMsg]
-            var n = 0
-            var exhausted = false
-            while (n < batch && !exhausted) {
-              val chunk = backing.range(stream, rec.cursor, Long.MaxValue, batch)
-              if (chunk.isEmpty) exhausted = true
-              else {
-                var i = 0
-                while (i < chunk.length && n < batch) {
-                  val m = chunk(i)
-                  if (matcher.forall(_.matches(m.subject))) { out += m; n += 1 }
-                  rec.cursor = m.seq + 1L
-                  i += 1
+            // ordered ephemeral: advance message-by-message, filter-aware;
+            // synchronized so a client retrying on a second lane cannot
+            // interleave with a stalled first conversation's cursor walk
+            val msgs = rec.synchronized {
+              val matcher = rec.filter.map(SubjectFilter.matcher)
+              val out = Array.newBuilder[TransportMsg]
+              var n = 0
+              var exhausted = false
+              while (n < batch && !exhausted) {
+                val chunk = backing.range(stream, rec.cursor, Long.MaxValue, batch)
+                if (chunk.isEmpty) exhausted = true
+                else {
+                  var i = 0
+                  while (i < chunk.length && n < batch) {
+                    val m = chunk(i)
+                    if (matcher.forall(_.matches(m.subject))) { out += m; n += 1 }
+                    rec.cursor = m.seq + 1L
+                    i += 1
+                  }
                 }
               }
+              out.result()
             }
-            val msgs = out.result()
             msgs.foreach(deliverNext(conn, r, stream, name, _))
             if (msgs.length < batch) status(conn, r, 404, "No Messages")
         }

@@ -394,6 +394,21 @@ class ContinuousSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected failure: $msg")
   }
 
+  test("micro-batch rejects deliver_group with a pointed error") {
+    val url = "nats://mb-group-reject:4222"
+    FakeJetStream.listen(url).publish("mg", 1L, "mg.x", 1L, Array[Byte](1))
+    val q = spark.readStream.format("nats_scan")
+      .option("url", url).option("stream", "mg")
+      .option("deliver_group", "g")
+      .load().selectExpr("seq")
+      .writeStream.format("memory").queryName("mb_grp_reject")
+    val e = intercept[Exception](q.start().processAllAvailable())
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(e).contains("use Trigger.Continuous"), chain(e))
+  }
+
   test("continuous rejects last_by_subject like the micro-batch path") {
     val url = "nats://continuous-kv-reject:4222"
     FakeJetStream.listen(url).publish("kvr", 1L, "a.b", 1L, "x".getBytes)

@@ -934,6 +934,8 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("group_members requires deliver_group"))
     assert(bindErr(Map("deliver_group" -> "g", "group_members" -> "0"))
       .contains("group_members must be >= 1"))
+    assert(bindErr(Map("deliver_group" -> "g", "durable" -> "d"))
+      .contains("competing progress mechanisms"))
     // re-joining an existing group with a DIFFERENT filter is a config error
     val t = Transport.connect(url)
     t.groupNext("telemetry", "grp_filt", "m", 100L, 1, 30000L, None)
