@@ -393,8 +393,16 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
         val rec = new ConsumerRec(stream, kind,
           Option(cfg.get("filter_subject")).map(_.asText),
           Option(cfg.get("ack_wait")).map(_.asLong / 1000000L).getOrElse(30000L))
-        consumers.putIfAbsent((stream, name), rec)
-        okJson(conn, reply, s"""{"name":"$name","stream_name":"$stream"}""")
+        consumers.putIfAbsent((stream, name), rec) match {
+          case Some(existing) if existing.filter != rec.filter =>
+            // changing a live consumer's filter is a CONFIG error on a real
+            // server too — same contract as the in-JVM seam
+            errJson(conn, reply, 400,
+              s"consumer '$name' exists with filter ${existing.filter}; " +
+                "cannot re-join with a different filter")
+          case _ =>
+            okJson(conn, reply, s"""{"name":"$name","stream_name":"$stream"}""")
+        }
       case ("CONSUMER", Some("MSG")) =>
         // $JS.API.CONSUMER.MSG.NEXT.<stream>.<name>
         val (stream, name) = (parts(3), parts(4))

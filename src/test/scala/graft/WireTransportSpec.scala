@@ -125,6 +125,14 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.groupPending("wt", "wg") == 0L)
     assert((a ++ b).map(_.seq).sorted.toSeq ==
       (1L to 100L).filterNot(_ % 10L == 0L).sorted)
+    // re-joining with a DIFFERENT filter is a loud config error, matching
+    // the in-JVM seam's contract (a fresh client, so the ensure-group cache
+    // doesn't short-circuit the server round trip)
+    val t2 = client()
+    val e = intercept[IllegalArgumentException](
+      t2.groupNext("wt", "wg", "late", 100L, 1, 30000L, Some("wt.*")))
+    assert(e.getMessage.contains("different filter"), e.getMessage)
+    t2.close()
     t.close()
   }
 
