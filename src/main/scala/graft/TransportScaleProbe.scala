@@ -268,6 +268,39 @@ object TransportScaleProbe {
     println("queue-group drain sweep, group_members=8:")
     println(f"${"msgs"}%9s ${"rows"}%9s ${"wall_s"}%8s ${"rpcs"}%7s " +
       f"${"rpc_per_kmsg"}%13s ${"krows_per_s"}%12s")
+    // member sweep at fixed size: total RPC volume must be INVARIANT in
+    // the member count (the defining contrast with continuous_shards,
+    // whose RPCs grow linearly with shards)
+    println()
+    println("queue-group member sweep, 65536 msgs:")
+    println(f"${"members"}%8s ${"rows"}%9s ${"wall_s"}%8s ${"rpcs"}%7s " +
+      f"${"rpc_per_kmsg"}%13s")
+    locally {
+      val murl = "nats://transport-scale-probe-grpm:4222"
+      val msrv = FakeJetStream.listen(murl)
+      var ms = 1L
+      while (ms <= 65536L) {
+        msrv.publish("gm", ms, s"g.${ms % 13}",
+          1700000000000000000L + ms * 1000000L,
+          s"""{"seq":$ms,"pad":"xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"}""".getBytes)
+        ms += 1
+      }
+      Seq(1, 2, 4, 8, 16).foreach { members =>
+        val r0 = msrv.rpcCountTotal
+        val t0 = System.nanoTime()
+        val rows = spark.read.format("nats_scan")
+          .option("url", murl).option("stream", "gm")
+          .option("deliver_group", s"probe-m$members")
+          .option("group_members", members.toString)
+          .load().select("seq").collect().length
+        val wall = (System.nanoTime() - t0) / 1e9
+        val rpcs = msrv.rpcCountTotal - r0
+        require(rows == 65536, s"member sweep lost rows: $rows")
+        println(f"$members%8d $rows%9d $wall%8.2f $rpcs%7d " +
+          f"${rpcs * 1000.0 / 65536L}%13.2f")
+      }
+    }
+
     Seq(16384L, 65536L, 262144L).foreach { m =>
       val gurl = s"nats://transport-scale-probe-grp-$m:4222"
       val gsrv = FakeJetStream.listen(gurl)
