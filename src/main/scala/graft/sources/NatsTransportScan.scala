@@ -169,9 +169,12 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
       // fetches-everything trade). The claim bound is the stream's LastSeq
       // at plan time, so the batch query is a snapshot drain; unacked
       // claims of a died member redeliver to the survivors after the
-      // ack-wait lease. Exactly-once when tasks run once; task retries and
-      // speculative duplicates degrade to at-least-once (queue semantics) —
-      // keep speculation off for group scans.
+      // ack-wait lease. Exactly-once when every task runs once. A task
+      // RE-ATTEMPT is unsafe in the at-MOST-once direction: batch acks from
+      // the failed attempt are durable server-side while Spark discards the
+      // attempt's output, so those rows would silently vanish — the reader
+      // FAILS LOUDLY on attemptNumber > 0 instead (and speculation must
+      // stay off for group scans, same reason).
       return (0 until groupMembers).map { m =>
         NatsTransportGroupPartition(url, stream, g, s"member-$m",
           info.lastSeq, groupAckWaitMs, subjectFilter): InputPartition
@@ -400,10 +403,25 @@ final class NatsTransportKvReader(p: NatsTransportKvPartition,
   * the last batch is acked before the drain check). A member sees an empty
   * claim either because the group is DRAINED (pending == 0 → done) or
   * because other members still hold leases (→ brief wait: if one died, its
-  * lease expires and this member receives the REDELIVERY). Messages this
-  * member claimed but never acked (task death) redeliver the same way —
-  * at-least-once under failure, exactly-once in a clean run, precisely
-  * JetStream's explicit-ack queue semantics. */
+  * lease expires and this member receives the REDELIVERY).
+  *
+  * Failure semantics — asymmetric by direction, both handled explicitly:
+  *   - MEMBER death before its acks: those claims redeliver to survivors
+  *     after the lease — no loss, classic explicit-ack queue behavior.
+  *   - TASK RE-ATTEMPT of this member: the failed attempt's per-batch acks
+  *     are already durable server-side while Spark DISCARDS its output, so
+  *     a retry would silently drop those rows (at-most-once). The reader
+  *     refuses to run with `attemptNumber > 0` — a loud failure beats a
+  *     silently incomplete result. Rerunning the query under a fresh group
+  *     name is the recovery.
+  *
+  * Termination: pending == 0 on an empty claim is the clean drain. When a
+  * server ignores the `max_seq` claim window (a real nats-server),
+  * post-snapshot publishes sit in pending forever from this drain's view —
+  * the reader also terminates once NO claim has produced an in-window
+  * message for > 2 lease periods while pending never decreased: any
+  * in-window claim held elsewhere must ack or lease-expire (→ redeliver to
+  * us) within ONE lease, so nothing deliverable remains. */
 final class NatsTransportGroupReader(p: NatsTransportGroupPartition,
                                      required: StructType,
                                      tsLoNs: Long, tsHiNs: Long,
@@ -415,6 +433,14 @@ final class NatsTransportGroupReader(p: NatsTransportGroupPartition,
 
   private val BatchSize = 2048
   private val DrainWaitMs = 10L
+
+  locally {
+    // durable-ack vs discarded-output mismatch: a re-attempt would silently
+    // drop every row the failed attempt acked (see class doc) — refuse
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null)
+      NatsTransportGroupReader.failOnReattempt(tc.attemptNumber())
+  }
 
   private val transport =
     graft.transport.TransportPool.get(p.url, connectTimeoutMs, auth)
@@ -445,9 +471,24 @@ final class NatsTransportGroupReader(p: NatsTransportGroupPartition,
       }
       var claimed = withRetry(transport.groupNext(p.stream, p.group,
         p.member, p.maxSeq, BatchSize, p.ackWaitMs, p.filter))
+      // stall window: 2 lease periods with pending never decreasing and no
+      // in-window claims ⇒ every remaining pending entry is a post-snapshot
+      // message a max_seq-ignoring server keeps cycling (class doc) — done
+      val stallLimitNs = (2L * p.ackWaitMs + 500L) * 1000000L
+      var stallStartNs = -1L
+      var lastPending = Long.MaxValue
       while (claimed.isEmpty) {
-        if (withRetry(transport.groupPending(p.stream, p.group)) == 0L)
+        val pending = withRetry(transport.groupPending(p.stream, p.group))
+        if (pending == 0L)
           return false // drained: nothing deliverable, nothing in flight
+        val now = System.nanoTime()
+        if (pending < lastPending) {
+          // other members are settling in-window claims — real progress
+          lastPending = pending
+          stallStartNs = now
+        } else if (stallStartNs < 0L) stallStartNs = now
+        else if (now - stallStartNs > stallLimitNs)
+          return false // only the out-of-window tail remains
         Thread.sleep(DrainWaitMs) // live leases elsewhere — await ack/expiry
         claimed = withRetry(transport.groupNext(p.stream, p.group,
           p.member, p.maxSeq, BatchSize, p.ackWaitMs, p.filter))
@@ -481,6 +522,21 @@ final class NatsTransportGroupReader(p: NatsTransportGroupPartition,
 
   override def get(): InternalRow = current
   override def close(): Unit = () // pooled transport outlives the reader
+}
+
+object NatsTransportGroupReader {
+  /** A deliver_group task must not re-attempt: the failed attempt's batch
+    * acks are durable server-side while Spark discards its output, so the
+    * retry silently loses those rows (at-MOST-once). A loud failure is the
+    * correct shape. */
+  def failOnReattempt(attemptNumber: Int): Unit =
+    if (attemptNumber > 0)
+      throw new IllegalStateException(
+        "nats_scan: deliver_group scan cannot safely re-attempt a task — " +
+          "batch acks from the failed attempt are durable server-side " +
+          "while its output is discarded, so a retry would silently lose " +
+          "those rows. Re-run the query under a fresh deliver_group name " +
+          "(and keep spark.speculation off for group scans).")
 }
 
 final class NatsTransportReaderFactory(required: StructType,

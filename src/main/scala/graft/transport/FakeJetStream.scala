@@ -363,6 +363,24 @@ final class FakeJetStreamServer {
       }
     }
 
+  /** Delayed negative ack (`-NAK {"delay": ns}`): the claim stays PARKED —
+    * held under a phantom lease expiring after `delayNs` — before it
+    * re-enters the redelivery pool. What keeps a client's out-of-window
+    * rejections from being re-claimed on the very next pull. */
+  private[transport] def groupNackDelayed(stream: String, group: String,
+                                          seqs: Array[Long],
+                                          delayNs: Long): Unit =
+    groups.get((stream, group)).foreach { st =>
+      st.synchronized {
+        val until = System.nanoTime() + delayNs
+        seqs.foreach { s =>
+          if (st.pending.remove(s) != null) {
+            st.pending.put(s, ("__nak-delay", until)); ()
+          }
+        }
+      }
+    }
+
   /** Unsettled obligations (claimed-but-unacked + awaiting redelivery):
     * 0 together with an empty [[groupNext]] means fully drained. */
   private[transport] def groupPendingCount(stream: String, group: String): Long =

@@ -35,7 +35,23 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
                              * creds-file flow: a live server resolves the
                              * key from the JWT's account chain, the fixture
                              * pins both */
-                           requireJwt: Option[(String, String)] = None) {
+                           requireJwt: Option[(String, String)] = None,
+                           /** drop the fixture-only `max_seq` pull-request
+                             * extension — models a REAL nats-server, which
+                             * ignores unknown request fields and claims
+                             * past a member's snapshot window (the client's
+                             * delayed-NAK + stall-termination path) */
+                           ignoreMaxSeq: Boolean = false,
+                           /** emit v2 (12-token, domain + account-hash +
+                             * trailing random token) `$JS.ACK` reply
+                             * subjects — ADR-15's extended form, which
+                             * domain-configured servers use; clients must
+                             * parse both */
+                           ackV2: Boolean = false,
+                           /** page cap for STREAM.INFO subjects_filter
+                             * responses (a real server caps at 100k);
+                             * specs shrink it to force multi-page walks */
+                           subjectsPageLimit: Int = 100000) {
 
   private val mapper = new ObjectMapper()
   private var server: ServerSocket = _
@@ -282,7 +298,12 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
   private def deliverNext(conn: Conn, replyInbox: String, stream: String,
                           consumer: String, m: TransportMsg): Unit =
     conn.subs.get(replyInbox).foreach { sid =>
-      val ack = s"$$JS.ACK.$stream.$consumer.1.${m.seq}.${m.seq}.${m.tsNs}.0"
+      // v1 = 9 tokens; v2 (ADR-15) inserts <domain>.<account-hash> after ACK
+      // and appends a random trailing token — 12 tokens total
+      val ack =
+        if (ackV2)
+          s"$$JS.ACK.graftdom.acchash.$stream.$consumer.1.${m.seq}.${m.seq}.${m.tsNs}.0.rnd${connSeq.incrementAndGet()}"
+        else s"$$JS.ACK.$stream.$consumer.1.${m.seq}.${m.seq}.${m.tsNs}.0"
       conn.writeRaw(s"MSG ${m.subject} $sid $ack ${m.payload.length}\r\n",
         m.payload)
     }
@@ -305,19 +326,29 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
   }
 
   private def handleAck(subject: String, payload: Array[Byte]): Unit = {
-    // $JS.ACK.<stream>.<consumer>.<delivered>.<sseq>.<cseq>.<ts>.<pending>
+    // v1: $JS.ACK.<stream>.<consumer>.<delivered>.<sseq>.<cseq>.<ts>.<pending>
+    // v2: $JS.ACK.<domain>.<acct-hash>.<stream>.<consumer>...<pending>.<rnd>
     val p = subject.split('.')
-    if (p.length < 8) return
-    val (stream, consumer, sseq) = (p(2), p(3), p(5).toLong)
+    if (p.length < 9) return
+    val (stream, consumer, sseq) =
+      if (p.length >= 12) (p(4), p(5), p(7).toLong)
+      else (p(2), p(3), p(5).toLong)
     val verb = new String(payload, UTF_8).trim
     consumers.get((stream, consumer)).map(_.kind) match {
       case Some(Group) =>
-        if (verb == "-NAK") backing.groupNack(stream, consumer, Array(sseq))
-        else backing.groupAck(stream, consumer, Array(sseq))
+        if (verb.startsWith("-NAK")) {
+          // `-NAK {"delay": ns}` (public ack payload): park the message for
+          // the delay before it re-enters the claimable pool
+          val delayNs = "\"delay\"\\s*:\\s*(\\d+)".r
+            .findFirstMatchIn(verb).map(_.group(1).toLong).getOrElse(0L)
+          if (delayNs > 0L)
+            backing.groupNackDelayed(stream, consumer, Array(sseq), delayNs)
+          else backing.groupNack(stream, consumer, Array(sseq))
+        } else backing.groupAck(stream, consumer, Array(sseq))
       case Some(Floor) | None =>
         // cumulative floor ack (ack_policy=all durables; also the synthesized
         // AckAll subject for a durable never seen by this server instance)
-        if (verb != "-NAK") backing.durableAckAll(stream, consumer, sseq)
+        if (!verb.startsWith("-NAK")) backing.durableAckAll(stream, consumer, sseq)
       case Some(Ordered) => () // ack_policy none
     }
   }
@@ -335,15 +366,24 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
         backing.state(stream) match {
           case None => errJson(conn, reply, 404, "stream not found")
           case Some(st) =>
+            // subjects map is PAGED like a real server's: `offset` in the
+            // request, `total`/`offset`/`limit` top-level in the response,
+            // ≤ subjectsPageLimit entries per page
+            var pagedJson = ""
             val subjectsJson = Option(body.get("subjects_filter")).map { f =>
               val stats = backing.subjectStatsPage(stream,
                 Some(f.asText).filter(_ != ">"), 0, 1, None, Int.MaxValue)
+              val off = Option(body.get("offset")).map(_.asInt).getOrElse(0)
+              val page = stats.sortBy(_.subject)
+                .slice(off, off + subjectsPageLimit)
+              pagedJson =
+                s""","total":${stats.length},"offset":$off,"limit":$subjectsPageLimit"""
               val node = mapper.createObjectNode()
-              stats.foreach(s => node.put(s.subject, s.count))
+              page.foreach(s => node.put(s.subject, s.count))
               s""","subjects":${mapper.writeValueAsString(node)}"""
             }.getOrElse("")
             okJson(conn, reply,
-              s"""{"config":{"name":"$stream"},"state":{"first_seq":${st.firstSeq},"last_seq":${st.lastSeq},"messages":${st.messages},"bytes":${st.bytes}$subjectsJson}}""")
+              s"""{"config":{"name":"$stream"},"state":{"first_seq":${st.firstSeq},"last_seq":${st.lastSeq},"messages":${st.messages},"bytes":${st.bytes}$subjectsJson}$pagedJson}""")
         }
       case ("STREAM", Some("NAMES")) =>
         okJson(conn, reply, s"""{"streams":${mapper.writeValueAsString(
@@ -411,7 +451,14 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
         consumers.get((stream, name)) match {
           case None => status(conn, r, 404, "Consumer Not Found")
           case Some(rec) if rec.kind == Group =>
-            val msgs = backing.groupNext(stream, name, conn.id, Long.MaxValue,
+            // fixture extension: honor the client's `max_seq` window so a
+            // snapshot drain never claims post-snapshot publishes (a real
+            // server ignores the field — model with ignoreMaxSeq=true)
+            val maxSeq =
+              if (ignoreMaxSeq) Long.MaxValue
+              else Option(body.get("max_seq")).map(_.asLong)
+                .getOrElse(Long.MaxValue)
+            val msgs = backing.groupNext(stream, name, conn.id, maxSeq,
               batch, rec.ackWaitMs, rec.filter)
             msgs.foreach(deliverNext(conn, r, stream, name, _))
             if (msgs.length < batch) status(conn, r, 404, "No Messages")

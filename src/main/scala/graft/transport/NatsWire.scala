@@ -321,7 +321,13 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     if (lane == null) {
       // grow up to MaxLanes, else wait for a busy lane to come home
       val n = laneCount.incrementAndGet()
-      if (n <= MaxLanes) lane = new Lane
+      if (n <= MaxLanes)
+        // a failed dial (server down during growth) must give its slot back:
+        // otherwise MaxLanes failed growth attempts pin laneCount at the cap
+        // with zero live lanes and every later request blocks in take()
+        // forever instead of surfacing the retryable connect error
+        try lane = new Lane
+        catch { case e: Throwable => laneCount.decrementAndGet(); throw e }
       else { laneCount.decrementAndGet(); lane = idle.take() }
     }
     var ok = false
@@ -408,11 +414,21 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     }.getOrElse(Seq.empty)
   }
 
-  /** stream seq + publish time from a `$JS.ACK` reply subject
-    * (`$JS.ACK.<stream>.<consumer>.<delivered>.<sseq>.<cseq>.<tsNs>.<pending>`) */
+  /** stream seq + publish time from a `$JS.ACK` reply subject. Two public
+    * forms (ADR-15): v1 = 9 tokens
+    * (`$JS.ACK.<stream>.<consumer>.<delivered>.<sseq>.<cseq>.<tsNs>.<pending>`),
+    * v2 ≥ 12 tokens with `<domain>.<account-hash>` inserted after `ACK` and
+    * extension tokens appended at the END — so v2 parses at the v1 offsets
+    * shifted by 2, discriminated by token count (the jnats rule). A v1-only
+    * positional parse against a domain-configured server would read the
+    * wrong tokens and corrupt cursor/window bookkeeping. */
   private def ackMeta(reply: String): (Long, Long) = {
     val p = reply.split('.')
-    (p(5).toLong, p(7).toLong)
+    if (p.length < 9 || p(0) != "$JS" || p(1) != "ACK")
+      throw new NatsIOException(
+        s"protocol error: malformed ack subject '$reply'")
+    if (p.length >= 12) (p(7).toLong, p(9).toLong) // v2: domain + acct hash
+    else (p(5).toLong, p(7).toLong)                // v1: bare 9-token form
   }
 
   override def consumer(stream: String, startSeq: Long,
@@ -468,21 +484,39 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
   private def subjectsPage(stream: String, filter: Option[String],
                            bucket: Int, nBuckets: Int, after: Option[String],
                            max: Int): Seq[(String, Long)] = {
-    val r = api(s"$$JS.API.STREAM.INFO.$stream",
-      s"""{"subjects_filter":"${filter.getOrElse(">")}"}""")
-    apiError(r).foreach(e =>
-      throw new NatsStreamNotFoundException(s"Failed to get stream info: $e"))
-    val subjects = Option(r.get("state")).flatMap(s => Option(s.get("subjects")))
-    subjects.map { node =>
-      val b = Seq.newBuilder[(String, Long)]
-      val it = node.fields()
-      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong }
-      b.result()
-        .filter(kv => SubjectFilter.shard(kv._1, nBuckets) == bucket)
-        .filter(kv => after.forall(kv._1 > _))
-        .sortBy(_._1)
-        .take(max)
-    }.getOrElse(Seq.empty)
+    // a real JetStream server PAGINATES the subjects map (offset in the
+    // request; total/offset/limit in the response, 100k page cap) — loop
+    // STREAM.INFO until every subject for the filter is in hand, else a
+    // large key space silently truncates at one page
+    val b = Seq.newBuilder[(String, Long)]
+    var offset = 0L
+    var expectTotal = Long.MaxValue
+    var got = 0L
+    var more = true
+    while (more) {
+      val r = api(s"$$JS.API.STREAM.INFO.$stream",
+        s"""{"subjects_filter":"${filter.getOrElse(">")}","offset":$offset}""")
+      apiError(r).foreach(e =>
+        throw new NatsStreamNotFoundException(s"Failed to get stream info: $e"))
+      // paged-info fields are top-level in the response (stream_info_response)
+      expectTotal = Option(r.get("total")).map(_.asLong).getOrElse(0L)
+      val subjects = Option(r.get("state")).flatMap(s => Option(s.get("subjects")))
+      var page = 0L
+      subjects.foreach { node =>
+        val it = node.fields()
+        while (it.hasNext) {
+          val e = it.next(); b += e.getKey -> e.getValue.asLong; page += 1L
+        }
+      }
+      got += page
+      offset += page
+      more = page > 0L && got < expectTotal
+    }
+    b.result()
+      .filter(kv => SubjectFilter.shard(kv._1, nBuckets) == bucket)
+      .filter(kv => after.forall(kv._1 > _))
+      .sortBy(_._1)
+      .take(max)
   }
 
   private def lastBySubject(stream: String, subject: String): Option[TransportMsg] = {
@@ -536,8 +570,15 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
                          maxSeq: Long, max: Int, ackWaitMs: Long,
                          filterSubject: Option[String]): Array[TransportMsg] = {
     ensureGroup(stream, group, ackWaitMs, filterSubject)
+    // `max_seq` rides the pull request so a window-aware server (the
+    // fixture) never claims past the member's snapshot bound — without it,
+    // post-snapshot publishes livelock the drain: claimed → NAK'd (seq >
+    // maxSeq) → back in the pool → re-claimed on the next call, forever,
+    // with groupPending pinned > 0. A real nats-server ignores unknown
+    // request fields; the delayed NAK below covers that path.
     val resp = request(s"$$JS.API.CONSUMER.MSG.NEXT.$stream.$group",
-      s"""{"batch":$max,"no_wait":true}""".getBytes(UTF_8), expect = max)
+      s"""{"batch":$max,"no_wait":true,"max_seq":$maxSeq}""".getBytes(UTF_8),
+      expect = max)
     val out = Array.newBuilder[TransportMsg]
     resp.filter(_.status == 0).foreach { m =>
       val (sseq, tsNs) = m.reply.map(ackMeta).getOrElse((0L, 0L))
@@ -545,9 +586,16 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
         m.reply.foreach(r => ackSubjects.put((stream, group, sseq), r))
         out += TransportMsg(m.subject, sseq, tsNs, m.payload)
       } else
-        // claimed past the member's window: NAK it straight back so another
-        // window (or a later drain) receives it without waiting out the lease
-        m.reply.foreach(r => fire(s"PUB $r 4\r\n-NAK\r\n"))
+        // claimed past the member's window (a server that ignored max_seq):
+        // DELAYED NAK — the public `-NAK {"delay": ns}` ack payload — parks
+        // the message for a lease length instead of returning it to the
+        // claimable pool immediately, so the drain loop sees in-window
+        // messages (or clean emptiness) rather than hot-looping on the
+        // same post-snapshot tail
+        m.reply.foreach { r =>
+          val body = s"""-NAK {"delay": ${ackWaitMs * 1000000L}}"""
+          fire(s"PUB $r ${body.length}\r\n$body\r\n")
+        }
     }
     out.result()
   }

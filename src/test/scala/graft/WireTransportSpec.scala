@@ -506,4 +506,175 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("seq").collect().map(_.getLong(0)).sorted
     assert(grp.toSeq == (1L to 100L).filterNot(_ % 10L == 0L))
   }
+
+  test("group snapshot window over the wire: post-snapshot publishes are " +
+    "never claimed and the drain terminates") {
+    // messages 41-50 land AFTER the drain's plan-time snapshot (maxSeq=40):
+    // the max_seq pull-request extension keeps the window-honoring server
+    // from ever claiming them, so the drain sees a clean pending==0 end
+    // instead of the claim→NAK→reclaim livelock
+    val sb = new FakeJetStreamServer
+    (1L to 50L).foreach(i => sb.publish("snap", i, "snap.x", i * 1000L,
+      Array[Byte]((i % 127).toByte)))
+    val ssrv = new MiniNatsServer(sb)
+    ssrv.start()
+    val t = Transport.connect(ssrv.url, timeoutMs = 1500L)
+    try {
+      val got = Array.newBuilder[Long]
+      var claimed = t.groupNext("snap", "sg", "m0", 40L, 16, 30000L, None)
+      while (claimed.nonEmpty ||
+          t.groupPending("snap", "sg") > 0L) {
+        got ++= claimed.map(_.seq)
+        t.groupAck("snap", "sg", claimed.map(_.seq))
+        claimed = t.groupNext("snap", "sg", "m0", 40L, 16, 30000L, None)
+        if (claimed.isEmpty && t.groupPending("snap", "sg") > 0L)
+          fail("window-honoring server left claims pending after the drain")
+      }
+      assert(got.result().sorted.toSeq == (1L to 40L),
+        "drain must deliver exactly the snapshot window")
+    } finally { t.close(); ssrv.stop() }
+  }
+
+  test("deliver_group drain terminates against a server that IGNORES " +
+    "max_seq (real-server model): no livelock, snapshot rows exact") {
+    // a real nats-server drops unknown pull-request fields, so post-snapshot
+    // messages DO get claimed; the client's delayed NAK + the reader's
+    // stall-termination rule must still end the drain with exactly the
+    // snapshot rows — pre-fix this loops claim→NAK→reclaim forever
+    val lb = new FakeJetStreamServer
+    (1L to 50L).foreach(i => lb.publish("lk", i, "lk.x", i * 1000L,
+      Array[Byte]((i % 127).toByte)))
+    val lsrv = new MiniNatsServer(lb, ignoreMaxSeq = true)
+    lsrv.start()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType)))
+    val reader = new graft.sources.NatsTransportGroupReader(
+      graft.sources.NatsTransportGroupPartition(lsrv.url, "lk", "lkg", "m0",
+        maxSeq = 40L, ackWaitMs = 150L, filter = None),
+      schema, Long.MinValue, Long.MaxValue, Nil, Nil, 1500L,
+      TransportAuth.anonymous)
+    try {
+      val got = Array.newBuilder[Long]
+      val worker = new Thread(() => {
+        while (reader.next()) got += reader.get().getLong(0)
+      })
+      worker.start()
+      worker.join(30000L)
+      assert(!worker.isAlive, "group drain livelocked on the post-snapshot tail")
+      assert(got.result().sorted.toSeq == (1L to 40L),
+        "stall termination must still deliver the full snapshot window")
+    } finally lsrv.stop()
+  }
+
+  test("deliver_group reader refuses a task re-attempt (durable acks vs " +
+    "discarded output = silent loss)") {
+    graft.sources.NatsTransportGroupReader.failOnReattempt(0) // first run OK
+    val e = intercept[IllegalStateException](
+      graft.sources.NatsTransportGroupReader.failOnReattempt(1))
+    assert(e.getMessage.contains("deliver_group") &&
+      e.getMessage.contains("silently lose"))
+    // and the reader wires the guard to the REAL task attempt number: a
+    // first-attempt task constructs and drains a group reader fine
+    val ab = new FakeJetStreamServer
+    (1L to 8L).foreach(i => ab.publish("att", i, "att.x", i * 1000L,
+      Array[Byte](i.toByte)))
+    val asrv = new MiniNatsServer(ab)
+    asrv.start()
+    try {
+      val aurl = asrv.url
+      val seqs = spark.sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("seq",
+            org.apache.spark.sql.types.LongType)))
+        val reader = new graft.sources.NatsTransportGroupReader(
+          graft.sources.NatsTransportGroupPartition(aurl, "att", "ag", "m0",
+            maxSeq = 8L, ackWaitMs = 30000L, filter = None),
+          schema, Long.MinValue, Long.MaxValue, Nil, Nil, 1500L,
+          TransportAuth.anonymous)
+        val out = Array.newBuilder[Long]
+        while (reader.next()) out += reader.get().getLong(0)
+        out.result().iterator
+      }.collect()
+      assert(seqs.sorted.toSeq == (1L to 8L))
+    } finally asrv.stop()
+  }
+
+  test("lane pool survives dial failures during growth: slot accounting " +
+    "never pins the pool, recovery after restart") {
+    val gb = new FakeJetStreamServer
+    gb.publish("lp", 1L, "lp.x", 1L, "p".getBytes)
+    val gsrv1 = new MiniNatsServer(gb)
+    val port = gsrv1.start()
+    val t = Transport.connect(s"nats://127.0.0.1:$port", timeoutMs = 1000L)
+    assert(t.streamInfo("lp").messages == 1L)
+    gsrv1.stop()
+    Thread.sleep(50L)
+    // every request now fails: first the torn idle lane (NatsIOException),
+    // then repeated GROWTH attempts whose Lane constructor throws — more
+    // attempts than MaxLanes, so a leaked slot per failure would pin
+    // laneCount at the cap and turn request N into a permanent idle.take()
+    (0 until graft.transport.NatsWireClient.MaxLanes + 4).foreach { _ =>
+      intercept[Exception](t.streamInfo("lp"))
+    }
+    // successor at the same address: the pool must dial fresh lanes again
+    val gsrv2 = new MiniNatsServer(gb)
+    assert(gsrv2.start(port) == port)
+    try {
+      val worker = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val th = new Thread(() => worker.set(t.streamInfo("lp").messages))
+      th.start()
+      th.join(10000L)
+      assert(!th.isAlive && worker.get() == 1L,
+        "pool pinned at the lane cap after failed growth — request hung")
+      t.close()
+    } finally gsrv2.stop()
+  }
+
+  test("v2 (domain-form, 12-token) $JS.ACK subjects: cursor metadata and " +
+    "group acks parse correctly") {
+    val vb = new FakeJetStreamServer
+    (1L to 20L).foreach(i => vb.publish("v2s", i, s"v2s.k${i % 3}",
+      1700000000000000000L + i * 1000L, Array[Byte](i.toByte)))
+    val vsrv = new MiniNatsServer(vb, ackV2 = true)
+    vsrv.start()
+    val t = Transport.connect(vsrv.url, timeoutMs = 1500L)
+    try {
+      // ordered cursor: stream seq + publish ts ride the ack subject — a
+      // v1-positional parse against the v2 form reads consumer name/cseq
+      // into them and corrupts the resume cursor
+      val c = t.consumer("v2s", 1L)
+      val msgs = c.next(1000)
+      assert(msgs.map(_.seq).toSeq == (1L to 20L))
+      assert(msgs.map(_.tsNs).toSeq ==
+        (1L to 20L).map(1700000000000000000L + _ * 1000L))
+      c.close()
+      // group claim/ack round-trips through the v2 subject grammar
+      val claimed = t.groupNext("v2s", "vg", "m0", 20L, 2048, 30000L, None)
+      assert(claimed.map(_.seq).sorted.toSeq == (1L to 20L))
+      t.groupAck("v2s", "vg", claimed.map(_.seq))
+      assert(t.groupPending("v2s", "vg") == 0L,
+        "v2 ack subjects failed to settle the claims")
+    } finally { t.close(); vsrv.stop() }
+  }
+
+  test("per-subject index pages through the server's subjects page cap " +
+    "(real servers cap at 100k; silent truncation loses keys)") {
+    val pb = new FakeJetStreamServer
+    (1L to 25L).foreach(i => pb.publish("pg", i, f"pg.key$i%03d",
+      i * 1000L, Array[Byte](i.toByte)))
+    val psrv = new MiniNatsServer(pb, subjectsPageLimit = 7)
+    psrv.start()
+    val t = Transport.connect(psrv.url, timeoutMs = 1500L)
+    try {
+      val lasts = (0 until 4).flatMap(b =>
+        t.lastForSubjects("pg", None, b, 4, None, 100))
+      assert(lasts.map(_.subject).sorted.toSeq ==
+        (1L to 25L).map(i => f"pg.key$i%03d"),
+        s"page walk truncated: got ${lasts.length} of 25 subjects")
+      val stats = (0 until 4).flatMap(b =>
+        t.subjectStats("pg", None, b, 4, None, 100))
+      assert(stats.length == 25 && stats.forall(_.count == 1L))
+    } finally { t.close(); psrv.stop() }
+  }
 }
