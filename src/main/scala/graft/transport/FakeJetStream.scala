@@ -24,8 +24,11 @@ final class FakeJetStreamServer {
   // State.Bytes analog, maintained as a RUNNING counter at publish/delete —
   // streamInfo must stay O(1) (the live-tail poll and planner statistics
   // both call it per trigger/plan; walking the store would be O(n) each)
+  // LongAdder, not AtomicLong: 32 executor threads bulk-loading a fixture
+  // all CAS the same counter — striped adders keep the publish path from
+  // serializing on one cache line (sum() is only read at streamInfo)
   private val streamBytes =
-    new TrieMap[String, java.util.concurrent.atomic.AtomicLong]()
+    new TrieMap[String, java.util.concurrent.atomic.LongAdder]()
 
   private def wireBytes(m: TransportMsg): Long =
     m.subject.getBytes("UTF-8").length.toLong + m.payload.length.toLong
@@ -33,9 +36,8 @@ final class FakeJetStreamServer {
   private def countPut(stream: String, prev: TransportMsg,
                        msg: TransportMsg): Unit = {
     val c = streamBytes.getOrElseUpdate(
-      stream, new java.util.concurrent.atomic.AtomicLong())
-    if (prev != null) c.addAndGet(-wireBytes(prev))
-    c.addAndGet(wireBytes(msg))
+      stream, new java.util.concurrent.atomic.LongAdder())
+    c.add(wireBytes(msg) - (if (prev != null) wireBytes(prev) else 0L))
     ()
   }
 
@@ -48,6 +50,20 @@ final class FakeJetStreamServer {
     new TrieMap[String, ConcurrentSkipListMap[String, Long]]()
   private val subjectCounts =
     new TrieMap[String, ConcurrentSkipListMap[String, Long]]()
+
+  /** Highest seq strictly below `seq` whose message carries `subject`, or
+    * Long.MinValue — descending walk with early exit, used to re-point the
+    * last-by-subject index when its current entry is removed/replaced. */
+  private def firstBelowWithSubject(
+      m: ConcurrentSkipListMap[Long, TransportMsg], seq: Long,
+      subject: String): Long = {
+    val it = m.headMap(seq, false).descendingMap().values().iterator()
+    while (it.hasNext) {
+      val x = it.next()
+      if (x.subject == subject) return x.seq
+    }
+    Long.MinValue
+  }
 
   private def indexPut(stream: String, prev: TransportMsg,
                        msg: TransportMsg): Unit = {
@@ -66,9 +82,7 @@ final class FakeJetStreamServer {
       lastBySubject.get(stream).foreach { idx =>
         if (idx.getOrDefault(prev.subject, Long.MinValue) == msg.seq) {
           val replacement = streams.get(stream).fold(Long.MinValue)(
-            _.values().iterator().asScala
-              .filter(_.subject == prev.subject)
-              .foldLeft(Long.MinValue)((a, x) => math.max(a, x.seq)))
+            firstBelowWithSubject(_, msg.seq, prev.subject))
           if (replacement == Long.MinValue) idx.remove(prev.subject)
           else idx.put(prev.subject, replacement)
           ()
@@ -109,7 +123,7 @@ final class FakeJetStreamServer {
     streams.get(stream).foreach { m =>
       val prev = m.remove(seq)
       if (prev != null) {
-        streamBytes.get(stream).foreach(_.addAndGet(-wireBytes(prev)): Unit)
+        streamBytes.get(stream).foreach(_.add(-wireBytes(prev)))
         if (prev.subject != null)
           subjectCounts.get(stream).foreach { c =>
             val left = c.merge(prev.subject, -1L, (a, b) => a + b)
@@ -117,14 +131,15 @@ final class FakeJetStreamServer {
             ()
           }
         // deleting a subject's CURRENT message re-points the index at the
-        // survivor (rare administrative op — the rescan is per-subject, and
-        // a real server maintains the same index transactionally)
+        // survivor. The survivor is the NEAREST earlier same-subject
+        // message (the index holds the max seq, so nothing later matches):
+        // walk backward from the deleted seq and stop at the first hit —
+        // O(inter-arrival gap), not O(stream) (a full-log rescan here made
+        // bulk gap-punching quadratic: 6k deletes × 600k messages at sf0.1)
         if (prev.subject != null)
           lastBySubject.get(stream).foreach { idx =>
             if (idx.getOrDefault(prev.subject, Long.MinValue) == seq) {
-              val replacement = m.values().iterator().asScala
-                .filter(_.subject == prev.subject)
-                .foldLeft(Long.MinValue)((a, x) => math.max(a, x.seq))
+              val replacement = firstBelowWithSubject(m, seq, prev.subject)
               if (replacement == Long.MinValue) idx.remove(prev.subject)
               else idx.put(prev.subject, replacement)
               ()
@@ -224,7 +239,7 @@ final class FakeJetStreamServer {
     streams.get(stream).map { m =>
       if (m.isEmpty) StreamState(0L, 0L, 0L)
       else StreamState(m.firstKey(), m.lastKey(), m.size().toLong,
-        math.max(streamBytes.get(stream).fold(0L)(_.get()), 0L))
+        math.max(streamBytes.get(stream).fold(0L)(_.sum()), 0L))
     }
 
   private[transport] def get(stream: String, seq: Long): Option[TransportMsg] =
