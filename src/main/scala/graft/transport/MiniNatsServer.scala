@@ -51,7 +51,17 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
                            /** page cap for STREAM.INFO subjects_filter
                              * responses (a real server caps at 100k);
                              * specs shrink it to force multi-page walks */
-                           subjectsPageLimit: Int = 100000) {
+                           subjectsPageLimit: Int = 100000,
+                           /** STRICT protocol mode: malformed control
+                             * lines, bad length arithmetic, missing
+                             * payload CRLF, invalid CONNECT JSON and
+                             * unknown verbs are REJECTED (`-ERR` + close,
+                             * like a real server's parser) instead of
+                             * tolerated — so the client and this fixture
+                             * cannot share a compensating framing bug.
+                             * Grammar per the public protocol doc
+                             * (docs.nats.io client protocol). */
+                           strict: Boolean = false) {
 
   private val mapper = new ObjectMapper()
   private var server: ServerSocket = _
@@ -181,6 +191,22 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
       socket = tls
     }
     val conn = new Conn(socket)
+    // strict-parser rejection: -ERR with the real server's status text,
+    // then drop the connection (the documented parser behavior)
+    final class ProtocolAbort(msg: String) extends RuntimeException(msg)
+    def reject(msg: String): Nothing = {
+      conn.write(s"-ERR '$msg'\r\n")
+      throw new ProtocolAbort(msg)
+    }
+    def strictly(ok: Boolean): Unit =
+      if (strict && !ok) reject("Parser Error")
+    // payload trailer: the protocol REQUIRES exactly CRLF after the
+    // payload bytes — in strict mode a length mismatch derails here
+    def readTrailer(): Unit = {
+      val t = readN(conn.in, 2)
+      strictly(t(0) == '\r' && t(1) == '\n')
+    }
+    def numeric(s: String): Boolean = s.nonEmpty && s.forall(_.isDigit)
     try {
       var authed = !authRequired
       while (running) {
@@ -189,7 +215,10 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
         val verb = (if (sp < 0) line else line.substring(0, sp)).toUpperCase
         verb match {
           case "CONNECT" =>
-            val j = mapper.readTree(line.substring(sp + 1))
+            val j =
+              try mapper.readTree(line.substring(sp + 1))
+              catch { case _: Exception => reject("Parser Error") }
+            strictly(j != null && j.isObject)
             requireToken.foreach { want =>
               val got = Option(j.get("auth_token")).map(_.asText)
               if (!got.contains(want)) {
@@ -233,37 +262,59 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
             conn.write("PONG\r\n")
           case "PONG" => ()
           case "SUB" =>
+            // SUB <subject> [queue] <sid>  (protocol doc §SUB)
             val p = line.substring(sp + 1).split(' ')
+            strictly(sp > 0 && (p.length == 2 || p.length == 3) &&
+              p.forall(_.nonEmpty) && numeric(p.last))
             conn.subs.put(p(0), p.last.toLong); ()
           case "UNSUB" =>
-            val sid = line.substring(sp + 1).split(' ')(0).toLong
+            // UNSUB <sid> [max_msgs]
+            val p = line.substring(sp + 1).split(' ')
+            strictly(sp > 0 && (p.length == 1 || p.length == 2) && numeric(p(0)))
+            val sid = p(0).toLong
             conn.subs.filterInPlace((_, v) => v != sid); ()
           case "PUB" =>
+            // PUB <subject> [reply-to] <#bytes>\r\n[payload]\r\n
             val p = line.substring(sp + 1).split(' ')
+            strictly(sp > 0 && (p.length == 2 || p.length == 3) &&
+              p.forall(_.nonEmpty) && numeric(p.last))
             val (subject, reply, len) =
               if (p.length == 2) (p(0), None, p(1).toInt)
               else (p(0), Some(p(1)), p(2).toInt)
-            val payload = readN(conn.in, len); readN(conn.in, 2)
+            val payload = readN(conn.in, len); readTrailer()
             handlePub(conn, subject, reply, Map.empty, payload)
           case "HPUB" =>
+            // HPUB <subject> [reply-to] <#hdr bytes> <#total bytes>:
+            // header block = "NATS/1.0\r\n" + fields + "\r\n\r\n", its
+            // length COUNTS the trailing double-CRLF; total ≥ header
             val p = line.substring(sp + 1).split(' ')
+            strictly(sp > 0 && (p.length == 3 || p.length == 4) &&
+              p.forall(_.nonEmpty) && numeric(p(p.length - 2)) &&
+              numeric(p.last))
             val (subject, reply, hl, tl) =
               if (p.length == 3) (p(0), None, p(1).toInt, p(2).toInt)
               else (p(0), Some(p(1)), p(2).toInt, p(3).toInt)
+            strictly(hl <= tl)
             val hdr = new String(readN(conn.in, hl), UTF_8)
-            val payload = readN(conn.in, tl - hl); readN(conn.in, 2)
+            strictly(hdr.startsWith("NATS/1.0") && hdr.endsWith("\r\n\r\n"))
+            val payload = readN(conn.in, tl - hl); readTrailer()
             val headers = hdr.split("\r\n").filter(_.contains(":")).flatMap { l =>
               val i = l.indexOf(':')
               Some(l.substring(0, i).trim -> l.substring(i + 1).trim)
             }.toMap
             handlePub(conn, subject, reply, headers, payload)
           case "" => ()
-          case other => conn.write(s"-ERR 'Unknown Protocol Operation'\r\n")
+          case other =>
+            conn.write(s"-ERR 'Unknown Protocol Operation'\r\n")
+            // a real server's parser DROPS the connection on an unknown op
+            if (strict) throw new ProtocolAbort(other)
         }
       }
     } catch {
       case _: EOFException => ()
       case _: java.net.SocketException => ()
+      case _: ProtocolAbort => ()
+      case _: NumberFormatException => () // tolerant mode, garbage line
     } finally {
       try socket.close() catch { case _: Exception => () }
     }
