@@ -100,14 +100,18 @@ final class NatsScanTable(rawProps: Map[String, String])
     * at bind; only meaningful for the transport mode */
   private val auth: graft.transport.TransportAuth = {
     val anyAuth = props.contains("user_creds") || props.contains("nkey_seed") ||
-      props.contains("tls")
+      props.contains("tls") || props.contains("tls_ca") ||
+      props.contains("tls_insecure")
     if (anyAuth && url.isEmpty)
-      sys.error("nats_scan: user_creds/nkey_seed/tls require 'url' " +
-        "(transport mode); the parquet store takes no credentials")
+      sys.error("nats_scan: user_creds/nkey_seed/tls/tls_ca/tls_insecure " +
+        "require 'url' (transport mode); the parquet store takes no " +
+        "credentials")
     graft.transport.TransportAuth.fromOptions(
       credsFile = props.get("user_creds"),
       nkeySeed = props.get("nkey_seed"),
-      tls = props.get("tls"))
+      tls = props.get("tls"),
+      tlsCaFile = props.get("tls_ca"),
+      tlsInsecure = props.get("tls_insecure"))
   }
 
   private def nsOf(iso: String): Long = {

@@ -26,7 +26,8 @@ object ConnectionProfiles {
 
   /** the option keys a profile may set */
   val ConnectionKeys: Set[String] =
-    Set("url", "user_creds", "nkey_seed", "tls", "connect_timeout_ms")
+    Set("url", "user_creds", "nkey_seed", "tls", "tls_ca", "tls_insecure",
+      "connect_timeout_ms")
 
   private val profiles =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()

@@ -181,24 +181,49 @@ trait MessageCursor extends AutoCloseable {
   * real server checks too (CONNECT is the first client frame). */
 final case class TransportAuth(credsJwt: Option[String] = None,
                                nkeySeed: Option[String] = None,
-                               tls: Boolean = false) extends Serializable
+                               tls: Boolean = false,
+                               /** PEM text of the trusted CA certificate(s)
+                                 * — the `tls_ca` option, read ONCE at bind
+                                 * on the driver (like the .creds file) so
+                                 * executors need no local CA file. The
+                                 * cnats analog is `natsOptions_SetSecure`
+                                 * + CA file; real NATS deployments
+                                 * overwhelmingly run private CAs. */
+                               tlsCaPem: Option[String] = None,
+                               /** trust-all mode (`tls_insecure=true`) —
+                                 * fixture/test hook for self-signed
+                                 * loopback servers, per-CONNECTION and
+                                 * bind-validated (replaces the round-9
+                                 * JVM-global system property). */
+                               tlsInsecure: Boolean = false)
+    extends Serializable
 
 object TransportAuth {
   val anonymous: TransportAuth = TransportAuth()
 
+  private def flag(name: String, v: Option[String]): Boolean = v.map {
+    case "true" => true
+    case "false" => false
+    case other =>
+      sys.error(s"nats_scan: $name must be 'true' or 'false', got '$other'")
+  }.getOrElse(false)
+
   /** Bind-time option parsing + validation: errors fire at bind, before any
     * dial is attempted — same policy as the seq/time mutual exclusions. */
   def fromOptions(credsFile: Option[String], nkeySeed: Option[String],
-                  tls: Option[String]): TransportAuth = {
+                  tls: Option[String], tlsCaFile: Option[String] = None,
+                  tlsInsecure: Option[String] = None): TransportAuth = {
     if (credsFile.isDefined && nkeySeed.isDefined)
       sys.error("nats_scan: user_creds and nkey_seed are mutually exclusive " +
         "(the .creds file already carries the seed)")
-    val tlsOn = tls.map {
-      case "true" => true
-      case "false" => false
-      case other =>
-        sys.error(s"nats_scan: tls must be 'true' or 'false', got '$other'")
-    }.getOrElse(false)
+    val insecure = flag("tls_insecure", tlsInsecure)
+    if (tlsCaFile.isDefined && insecure)
+      sys.error("nats_scan: tls_ca and tls_insecure are mutually exclusive " +
+        "(a pinned CA IS the verification tls_insecure disables)")
+    val caPem = tlsCaFile.map(parseCaFile)
+    // providing CA material or the insecure hook IS the TLS opt-in — a CA
+    // with tls=false would silently never be consulted
+    val tlsOn = flag("tls", tls) || caPem.isDefined || insecure
     nkeySeed.foreach { s =>
       if (!s.startsWith("SU"))
         sys.error("nats_scan: nkey_seed must be a USER seed " +
@@ -206,7 +231,57 @@ object TransportAuth {
     }
     val parsed = credsFile.map(parseCredsFile)
     TransportAuth(credsJwt = parsed.map(_._1),
-      nkeySeed = parsed.map(_._2).orElse(nkeySeed), tls = tlsOn)
+      nkeySeed = parsed.map(_._2).orElse(nkeySeed), tls = tlsOn,
+      tlsCaPem = caPem, tlsInsecure = insecure)
+  }
+
+  /** Read + validate a PEM CA bundle at bind: must exist and contain at
+    * least one parseable X.509 certificate (a typo'd path or a key file
+    * fails the BIND, not the first executor dial). */
+  def parseCaFile(path: String): String = {
+    val f = new java.io.File(path)
+    if (!f.isFile)
+      sys.error(s"nats_scan: tls_ca file not found: $path")
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    val pem = try src.mkString finally src.close()
+    val certs =
+      try caCertificates(pem)
+      catch {
+        case e: Exception =>
+          sys.error(s"nats_scan: tls_ca file $path is not a PEM " +
+            s"certificate bundle (${e.getMessage})")
+      }
+    if (certs.isEmpty)
+      sys.error(s"nats_scan: tls_ca file $path contains no certificates")
+    pem
+  }
+
+  /** the X.509 certificates of a PEM bundle */
+  def caCertificates(pem: String)
+      : Seq[java.security.cert.X509Certificate] = {
+    import scala.jdk.CollectionConverters._
+    java.security.cert.CertificateFactory.getInstance("X.509")
+      .generateCertificates(new java.io.ByteArrayInputStream(
+        pem.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      .asScala.toSeq.collect {
+        case c: java.security.cert.X509Certificate => c
+      }
+  }
+
+  /** TrustManagers trusting EXACTLY the bundle's certificates — what the
+    * wire client hands its per-connection SSLContext when `tls_ca` is
+    * set. */
+  def trustManagersFor(pem: String): Array[javax.net.ssl.TrustManager] = {
+    val ks = java.security.KeyStore.getInstance(
+      java.security.KeyStore.getDefaultType)
+    ks.load(null, null)
+    caCertificates(pem).zipWithIndex.foreach { case (c, i) =>
+      ks.setCertificateEntry(s"graft-ca-$i", c)
+    }
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    tmf.getTrustManagers
   }
 
   /** The public .creds layout: BEGIN/END-guarded blocks for the user JWT

@@ -57,9 +57,11 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *   - `ackAll(stream,durable,seq)` → `+ACK` published to the synthesized
   *     cumulative ack subject (`$JS.ACK.<stream>.<durable>.1.<seq>.<seq>.0.0`)
   *     of an ack_policy=all durable — the wire form of AckAll.
-  *   - TLS (`auth.tls`) upgrades each socket through the default JVM
-  *     SSLSocketFactory after INFO, the standard NATS TLS handshake order.
-  *     Untestable offline (no certs) but wired.
+  *   - TLS (`auth.tls`) upgrades each socket after INFO, the standard NATS
+  *     TLS handshake order. Trust source per connection: `tls_ca` pins a
+  *     PEM CA bundle (private-CA deployments), `tls_insecure` trusts all
+  *     (loopback fixtures), else the default JVM chain. E2e-tested against
+  *     keytool-generated identities in WireTransportSpec.
   */
 final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
                            token: Option[String],
@@ -179,11 +181,13 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     }
 
     private def upgradeTls(): Unit = {
-      // default JVM trust chain; `-Dgraft.wire.tls.insecure=true` swaps in
-      // a trust-all manager — a FIXTURE/TEST hook for self-signed loopback
-      // servers (the offline TLS e2e test), never a production setting
+      // trust source, per CONNECTION (bind-validated options, never a
+      // JVM-global): tls_insecure → trust-all (fixture/test hook for
+      // self-signed loopback servers); tls_ca → trust EXACTLY the pinned
+      // CA bundle (the cnats natsOptions_SetSecure + CA-file shape private
+      // deployments need); else the default JVM chain
       val f =
-        if (java.lang.Boolean.getBoolean("graft.wire.tls.insecure")) {
+        if (auth.tlsInsecure) {
           val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
           ctx.init(null, Array[javax.net.ssl.TrustManager](
             new javax.net.ssl.X509TrustManager {
@@ -195,8 +199,14 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
                 Array.empty
             }), null)
           ctx.getSocketFactory
-        } else javax.net.ssl.SSLSocketFactory.getDefault
-          .asInstanceOf[javax.net.ssl.SSLSocketFactory]
+        } else auth.tlsCaPem match {
+          case Some(pem) =>
+            val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+            ctx.init(null, TransportAuth.trustManagersFor(pem), null)
+            ctx.getSocketFactory
+          case None => javax.net.ssl.SSLSocketFactory.getDefault
+            .asInstanceOf[javax.net.ssl.SSLSocketFactory]
+        }
       val tls = f.createSocket(socket, host, port, true)
         .asInstanceOf[javax.net.ssl.SSLSocket]
       tls.startHandshake()

@@ -310,17 +310,100 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
         Transport.connect(s"nats://127.0.0.1:$port"))
       assert(rejected.getMessage.contains("TLS handshake failure"),
         rejected.getMessage)
-      // with the fixture trust hook the full TLS session carries the
-      // whole protocol: INFO (plaintext) → handshake → CONNECT → API
-      System.setProperty("graft.wire.tls.insecure", "true")
-      val t = Transport.connect(s"nats://127.0.0.1:$port")
+      // with the per-connection trust hook (bind-validated option, not a
+      // JVM global) the full TLS session carries the whole protocol:
+      // INFO (plaintext) → handshake → CONNECT → API
+      val t = Transport.connect(s"nats://127.0.0.1:$port",
+        auth = TransportAuth(tlsInsecure = true))
       assert(t.streamInfo("tl").messages == 1L)
       assert(t.directGet("tl", 1L).exists(m => new String(m.payload) == "p"))
       t.close()
-    } finally {
-      System.clearProperty("graft.wire.tls.insecure")
-      tlsServer.stop()
+    } finally tlsServer.stop()
+  }
+
+  /** keytool-generated self-signed identity: (SSLContext for the server,
+    * PEM export of its certificate = the CA a client should pin). */
+  private def selfSignedIdentity(cn: String)
+      : (javax.net.ssl.SSLContext, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ca")
+    val ksPath = dir.resolve("server.p12").toString
+    val pemPath = dir.resolve("ca.pem").toString
+    def run(cmd: String*): Unit = {
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      assert(p.waitFor() == 0, s"${cmd.head} failed")
     }
+    run("keytool", "-genkeypair", "-alias", "graft", "-keyalg", "EC",
+      "-keystore", ksPath, "-storetype", "PKCS12", "-storepass", "graftpass",
+      "-dname", s"CN=$cn", "-validity", "1", "-noprompt")
+    run("keytool", "-exportcert", "-alias", "graft", "-keystore", ksPath,
+      "-storetype", "PKCS12", "-storepass", "graftpass", "-rfc",
+      "-file", pemPath)
+    val keyStore = java.security.KeyStore.getInstance("PKCS12")
+    val fis = new java.io.FileInputStream(ksPath)
+    try keyStore.load(fis, "graftpass".toCharArray) finally fis.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(keyStore, "graftpass".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    val src = scala.io.Source.fromFile(pemPath, "UTF-8")
+    val pem = try src.mkString finally src.close()
+    (ctx, pem)
+  }
+
+  test("tls_ca pins a private CA: right CA handshakes, wrong CA rejected " +
+    "with the NATS error shape, bind validation fires early") {
+    val (ctxA, pemA) = selfSignedIdentity("127.0.0.1")
+    val (_, pemB) = selfSignedIdentity("127.0.0.1") // a SECOND, unrelated CA
+    val caBacking = new FakeJetStreamServer
+    caBacking.publish("ca", 1L, "ca.x", 1L, "p".getBytes)
+    val caServer = new MiniNatsServer(caBacking, tlsContext = Some(ctxA))
+    val port = caServer.start()
+    try {
+      // pinned CA A = the server's root → full session
+      val t = Transport.connect(s"nats://127.0.0.1:$port",
+        auth = TransportAuth(tls = true, tlsCaPem = Some(pemA)))
+      assert(t.streamInfo("ca").messages == 1L)
+      t.close()
+      // pinned CA B (the server's chain does not anchor there) → the
+      // reference's handshake-failure shape, not a hang or a raw SSL error
+      val rejected = intercept[NatsConnectException](
+        Transport.connect(s"nats://127.0.0.1:$port",
+          auth = TransportAuth(tls = true, tlsCaPem = Some(pemB))))
+      assert(rejected.getMessage.contains("TLS handshake failure"),
+        rejected.getMessage)
+
+      // --- bind-time validation of the option surface ---
+      val dirB = java.nio.file.Files.createTempDirectory("graft_ca_opt")
+      val caFile = dirB.resolve("ca.pem")
+      java.nio.file.Files.write(caFile, pemA.getBytes("UTF-8"))
+      val viaOpts = TransportAuth.fromOptions(None, None, None,
+        tlsCaFile = Some(caFile.toString))
+      assert(viaOpts.tls && viaOpts.tlsCaPem.contains(pemA),
+        "tls_ca implies tls and carries the PEM at bind")
+      val missing = intercept[RuntimeException](
+        TransportAuth.fromOptions(None, None, None,
+          tlsCaFile = Some("/no/such/ca.pem")))
+      assert(missing.getMessage.contains("tls_ca file not found"))
+      val junk = dirB.resolve("junk.pem")
+      java.nio.file.Files.write(junk, "not a cert".getBytes("UTF-8"))
+      val bad = intercept[RuntimeException](
+        TransportAuth.fromOptions(None, None, None,
+          tlsCaFile = Some(junk.toString)))
+      assert(bad.getMessage.contains("tls_ca"), bad.getMessage)
+      val both = intercept[RuntimeException](
+        TransportAuth.fromOptions(None, None, None,
+          tlsCaFile = Some(caFile.toString), tlsInsecure = Some("true")))
+      assert(both.getMessage.contains("mutually exclusive"))
+      // and through the scan option surface: a Spark read with tls_ca
+      // against the CA-A server round-trips rows over the pinned chain
+      val df = spark.read.format("nats_scan")
+        .option("url", s"nats://127.0.0.1:$port")
+        .option("stream", "ca")
+        .option("tls_ca", caFile.toString)
+        .load().select("seq")
+      assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    } finally caServer.stop()
   }
 
   test("connect errors: refused port fast-fails with the reference shape") {
