@@ -308,6 +308,30 @@ object ScaleProbe {
       println(f"$kk%5d $tEnc%9.2f $tDec%9.2f $planChars%11d")
     }
     embK.unpersist(): Unit
+
+    // SHARDED Bloom dedup sweep: at a FIXED corpus, growing the bucket
+    // count must shrink the per-bucket bitmap ~1/buckets (the memory unit
+    // a probe task holds) while wall time stays flat — the evidence that
+    // the >1 B-doc path needs no single driver bitmap. Corpus = 16× docs.
+    locally {
+      val d16 = replicate(16).cache()
+      val corpus = d16.filter(col("doc_id") % 2 === 0)
+      val batch = d16.filter(col("doc_id") % 2 === 1)
+      val corpusN = corpus.count()
+      println(f"${"buckets"}%8s ${"bloom_kb_max"}%13s ${"sharded_s"}%10s ${"rows"}%9s")
+      Seq(4, 16, 64).foreach { bk =>
+        val perBucket = math.max(corpusN / bk, 64L)
+        val maxKb = operators.BloomDedup
+          .bucketBlooms(corpus, "text", perBucket, 0.01, bk)
+          .select(max(length(col("__bloom")))).head.getInt(0) / 1024.0
+        val (tSh, nRows) = time(
+          operators.BloomDedup.newDocsSharded(batch, corpus, "text",
+            expectedItemsPerBucket = perBucket, buckets = bk).count())
+        println(f"$bk%8d $maxKb%13.1f $tSh%10.2f $nRows%9d")
+        Caches.drain()
+      }
+      d16.unpersist(): Unit
+    }
     spark.stop()
   }
 }

@@ -2,10 +2,12 @@ package graft.operators
 
 import java.io.ByteArrayOutputStream
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.GraftSql
+import org.apache.spark.sql.types._
 
 /** Bloom-prefiltered EXACT incremental dedup: new-batch rows whose content
   * hash is definitely absent from the indexed corpus skip the verify join
@@ -68,5 +70,103 @@ object BloomDedup {
       .join(corpus.select(md5(col(textCol)).as("__h")).distinct(),
         md5(col(textCol)) === col("__h"), "left_anti")
     definitelyNew.unionByName(verified)
+  }
+
+  /** SHARDED Bloom prefilter — the >10⁹-doc path [[newDocs]]'s Scaladoc
+    * promises: one Bloom filter PER HASH BUCKET of the corpus, built
+    * distributed (`groupBy(bucket)` + the same `BloomFilterAggregate`
+    * Spark's runtime row-group filtering uses) and probed CO-PARTITIONED —
+    * no node ever holds more than one bucket's bitmap, and the driver
+    * never holds any:
+    *
+    *   1. bucket = pmod(xxhash64(text), buckets) on BOTH sides (equal text
+    *      ⇒ equal bucket, so a duplicate always probes the filter that
+    *      indexed its donor);
+    *   2. the `buckets`-row bloom frame and the batch UNION into one
+    *      tagged frame, hash-repartitioned by bucket and sorted within
+    *      partitions by (bucket, kind) so each bucket's bloom row
+    *      immediately precedes its batch rows;
+    *   3. one streaming pass per partition deserializes the current
+    *      bucket's filter ONCE and probes rows against it (`mapPartitions`
+    *      — deliberate: the per-partition "load one sketch, stream rows"
+    *      topology has no Column-API equivalent, the probe expression
+    *      requires a foldable filter). A bucket with no corpus rows has no
+    *      bloom row — its batch rows are definitely new (equal text would
+    *      have landed a corpus row in the bucket).
+    *
+    * Same exactness contract as [[newDocs]]: the maybe-set still passes
+    * the md5 verify anti-join, so the result is bit-identical to the plain
+    * `LEFT ANTI` — the oracle for `dedup_bloom_sharded` is the same
+    * NOT EXISTS query. At 10⁹ docs and 1% fpp, 64 buckets hold ~19 MB per
+    * task instead of one 1.2 GB driver bitmap; buckets scale with the
+    * corpus so per-task memory stays flat (ScaleProbe sweep in
+    * BASELINE.md).
+    *
+    * `expectedItemsPerBucket` sizes each bucket's filter (corpus estimate
+    * ÷ buckets; undersizing only raises fpp, never changes the result). */
+  def newDocsSharded(batch: DataFrame, corpus: DataFrame, textCol: String,
+                     expectedItemsPerBucket: Long, fpp: Double = 0.01,
+                     buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val bucketOf = pmod(xxhash64(col(textCol)), lit(buckets.toLong)).cast("int")
+    val blooms = bucketBlooms(corpus, textCol, expectedItemsPerBucket, fpp,
+      buckets)
+
+    val payloadT = StructType(batch.schema.fields)
+    val tagged = blooms
+      .select(col("__b"), lit(0).as("__kind"), col("__bloom"),
+        lit(null).cast("long").as("__k"),
+        lit(null).cast(payloadT).as("__p"))
+      .unionByName(batch.select(bucketOf.as("__b"), lit(1).as("__kind"),
+        lit(null).cast("binary").as("__bloom"),
+        xxhash64(col(textCol)).as("__k"),
+        struct(batch.columns.map(col).toIndexedSeq: _*).as("__p")))
+      .repartition(buckets, col("__b"))
+      .sortWithinPartitions("__b", "__kind")
+
+    val outT = StructType(payloadT.fields :+ StructField("__maybe", BooleanType))
+    val probed = tagged.mapPartitions { it =>
+      var curBucket = Int.MinValue
+      var curBloom: org.apache.spark.util.sketch.BloomFilter = null
+      it.flatMap { r =>
+        val b = r.getInt(0)
+        if (r.getInt(1) == 0) { // bloom row: becomes the bucket's filter
+          curBucket = b
+          curBloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+          Iterator.empty
+        } else {
+          val maybe = b == curBucket && curBloom != null &&
+            curBloom.mightContainLong(r.getLong(3))
+          val p = r.getStruct(4)
+          Iterator.single(Row.fromSeq(p.toSeq :+ maybe))
+        }
+      }
+    }(Encoders.row(outT))
+
+    val definitelyNew = probed.filter(!col("__maybe")).drop("__maybe")
+    val verified = probed.filter(col("__maybe")).drop("__maybe")
+      .join(corpus.select(md5(col(textCol)).as("__h")).distinct(),
+        md5(col(textCol)) === col("__h"), "left_anti")
+    definitelyNew.unionByName(verified)
+  }
+
+  /** (`__b`, `__bloom`): one serialized Bloom filter per hash bucket of
+    * `corpus`, built with a distributed group-aggregate — also the probe
+    * surface the ScaleProbe memory sweep measures (`length(__bloom)`). */
+  def bucketBlooms(corpus: DataFrame, textCol: String,
+                   expectedItemsPerBucket: Long, fpp: Double,
+                   buckets: Int): DataFrame = {
+    val bucketOf = pmod(xxhash64(col(textCol)), lit(buckets.toLong)).cast("int")
+    // standard sizing: bits = -n ln(fpp) / ln²2
+    val numBits = math.max(64L,
+      math.ceil(-expectedItemsPerBucket.toDouble * math.log(fpp) /
+        (math.log(2) * math.log(2))).toLong)
+    val bloomAgg = GraftSql.column(
+      new BloomFilterAggregate(
+        GraftSql.expression(xxhash64(col(textCol))),
+        Literal(expectedItemsPerBucket), Literal(numBits), 0, 0)
+        .toAggregateExpression())
+    corpus.groupBy(bucketOf.as("__b")).agg(bloomAgg.as("__bloom"))
   }
 }

@@ -199,6 +199,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // SHARDED Bloom prefilter — the >1 B-doc shape: one filter per hash
+    // bucket built distributed and probed co-partitioned (per-task memory
+    // = one bucket's bitmap; the driver holds none). Same fixture and the
+    // SAME exact NOT EXISTS oracle as dedup_bloom: sharding changes the
+    // PLAN topology only, never the answer.
+    "dedup_bloom_sharded" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val donor = d.select(col("doc_id").as("src_id"), col("text").as("src_text"))
+      val batch = d.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        .withColumn("src_id", col("doc_id") - pmod(col("doc_id"), lit(10)))
+        .join(donor, "src_id")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0, col("src_text"))
+            .otherwise(col("text")).as("text"))
+      val corpus = d.filter(pmod(col("doc_id"), lit(10)) < 8)
+      graft.operators.BloomDedup
+        .newDocsSharded(batch, corpus, "text",
+          expectedItemsPerBucket = 256L, buckets = 16)
+        .select(col("doc_id"), md5(col("text")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
           maxHamming = 8, blockShift = 48)
@@ -1463,6 +1485,21 @@ object PipelineQueries {
       FROM cs GROUP BY cluster_size ORDER BY cluster_size""",
 
     "dedup_bloom" -> """
+      WITH batch AS (
+        SELECT b.doc_id,
+               CASE WHEN b.doc_id % 3 = 0 THEN s.text ELSE b.text END AS text
+        FROM documents b JOIN documents s
+          ON s.doc_id = b.doc_id - (b.doc_id % 10)
+        WHERE b.doc_id % 10 >= 8),
+      corpus AS (SELECT text FROM documents WHERE doc_id % 10 < 8)
+      SELECT doc_id, md5(text) AS content_md5
+      FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                        WHERE md5(c.text) = md5(b.text))
+      ORDER BY doc_id""",
+
+    // sharding is plan-only: the oracle is the identical exact anti-join
+    "dedup_bloom_sharded" -> """
       WITH batch AS (
         SELECT b.doc_id,
                CASE WHEN b.doc_id % 3 = 0 THEN s.text ELSE b.text END AS text

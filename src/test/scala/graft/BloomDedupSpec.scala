@@ -82,4 +82,52 @@ class BloomDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftAnti"), p)
     Caches.drain()
   }
+
+  test("SHARDED result ≡ plain anti-join at several bucket counts, incl. " +
+    "buckets > distinct texts (empty buckets = definitely new)") {
+    val (b0, corpus) = split()
+    val donor = corpus.select(col("doc_id").as("src_id"), col("text").as("src_text"))
+    val batch = b0.withColumn("src_id", col("doc_id") - pmod(col("doc_id"), lit(10)))
+      .join(donor, "src_id")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, col("src_text"))
+          .otherwise(col("text")).as("text"))
+    val expect = exactNew(batch, corpus)
+    assert(expect.nonEmpty && expect.size < batch.count())
+    for (buckets <- Seq(1, 4, 16, 1024)) {
+      val got = BloomDedup.newDocsSharded(batch, corpus, "text",
+          expectedItemsPerBucket = 64L, buckets = buckets)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"sharded($buckets) diverged from the anti-join")
+    }
+    Caches.drain()
+  }
+
+  test("sharded: null-text batch rows are kept (anti-join parity) and " +
+    "per-bucket bitmaps shrink as buckets grow (no single big bitmap)") {
+    val (b0, corpus) = split()
+    import spark.implicits._
+    val withNulls = b0.unionByName(
+      Seq((900001L, null.asInstanceOf[String]),
+        (900002L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val expect = exactNew(withNulls, corpus)
+    assert(Set(900001L, 900002L).subsetOf(expect),
+      "anti-join keeps null-text rows; sharded must too")
+    val got = BloomDedup.newDocsSharded(withNulls, corpus, "text", 64L,
+        buckets = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    // the memory claim behind sharding: per-bucket serialized bitmap bytes
+    // drop as the corpus spreads over more buckets — the building block
+    // that replaces a single ~1.2 GB driver bitmap at 10⁹ docs
+    def maxBloomBytes(buckets: Int): Long =
+      BloomDedup.bucketBlooms(corpus, "text",
+          expectedItemsPerBucket = math.max(4096L / buckets, 16L),
+          fpp = 0.01, buckets = buckets)
+        .select(max(length(col("__bloom")))).head().getInt(0).toLong
+    val b4 = maxBloomBytes(4)
+    val b64 = maxBloomBytes(64)
+    assert(b64 < b4, s"per-bucket bitmap must shrink: 4→$b4 bytes, 64→$b64")
+    Caches.drain()
+  }
 }
