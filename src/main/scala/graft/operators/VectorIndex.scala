@@ -48,6 +48,29 @@ object VectorIndex {
       .write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
+  /** INCREMENTAL append — the ANN analog of `dedup_incremental`: encode
+    * ONLY the new vectors with the index's stored codebook and append
+    * their codes into the existing label-partitioned posting lists. No
+    * rebuild: the write touches new files in the appended labels'
+    * directories only, the resident corpus codes are never read or
+    * re-encoded — at 100 TB an hourly embedding drop costs
+    * O(new vectors), not O(corpus).
+    *
+    * Because PQ codes are a pure function of (vector, codebook) and the
+    * codebook is FROZEN in `meta`, `build(a); append(b)` is row-identical
+    * to `build(a ∪ b)` — `VectorIndexSpec` asserts it. (Freezing the
+    * codebook is the standard IVFPQ posture: appended vectors quantize
+    * under the trained codebook; retraining is a deliberate rebuild.) */
+  def append(emb: DataFrame, indexDir: String): Unit = {
+    val spark = emb.sparkSession
+    val spec = loadSpec(spark, indexDir)
+    emb.select(col("label"), col("vec_id"),
+      Similarity.pqAssign(col("embedding"), spec.codebook, spec.numSub)
+        .as("codes"))
+      .write.partitionBy("label").mode("append")
+      .parquet(s"$indexDir/postings")
+  }
+
   def loadSpec(spark: SparkSession, indexDir: String): Spec = {
     val rows = spark.read.parquet(s"$indexDir/meta").collect()
     val cb = rows.map(r => (r.getLong(2), r.getSeq[Float](3).toArray))

@@ -788,6 +788,32 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
+    // persistent-index APPEND lifecycle: build over the even half, append
+    // the odd half under the FROZEN stored codebook, search the combined
+    // postings. PQ codes are a pure function of (vector, codebook), so the
+    // appended index must answer exactly like a fresh full-corpus IVFPQ —
+    // the oracle is ann_ivfpq's own SQL. An append that re-encoded wrongly,
+    // dropped a label directory, or clobbered resident postings breaks the
+    // hash.
+    "ann_index_append" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val codebook = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val spec = graft.operators.VectorIndex.Spec(numSub = 8,
+        dim = codebook.head._2.length, codebook = codebook)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_append_idx").toString
+      graft.operators.VectorIndex.build(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0), spec, idx)
+      graft.operators.VectorIndex.append(
+        e.filter(pmod(col("vec_id"), lit(2)) === 1), idx)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.VectorIndex.searchTopK(s, idx, q, k = 3)
+        .orderBy("qid", "rank")
+    }),
+
     "ann_pq" -> ((s, dir) => {
       val e = emb(s, dir)
       val codebook = e.filter(col("vec_id") < 8)
@@ -1992,6 +2018,25 @@ object PipelineQueries {
       WHERE rank <= 5 ORDER BY qid, rank""",
 
     "ann_ivfpq" -> s"""
+      WITH $pqReconCte,
+      q AS (SELECT label, vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id < 10),
+      scored AS (
+        SELECT q.qid, r.vec_id, round(${cos("q.qv", "r.rv")}, 6) AS pq_cos
+        FROM recon r JOIN embeddings e ON r.vec_id = e.vec_id
+                     JOIN q ON e.label = q.label
+        WHERE r.vec_id <> q.qid),
+      ranked AS (
+        SELECT qid, vec_id, pq_cos,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY pq_cos DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT qid, rank, vec_id, pq_cos FROM ranked WHERE rank <= 3
+      ORDER BY qid, rank""",
+
+    // append is exact: built-then-appended postings ≡ fresh full-corpus
+    // encode, so the oracle is ann_ivfpq's query verbatim
+    "ann_index_append" -> s"""
       WITH $pqReconCte,
       q AS (SELECT label, vec_id AS qid, embedding AS qv FROM embeddings
             WHERE vec_id < 10),

@@ -101,4 +101,54 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planStr.contains("pq_decode_fold"), planStr.take(2000))
     assert(planStr.length < 100000, s"plan string blew up: ${planStr.length}")
   }
+
+  test("append == rebuild: build(even) + append(odd) is row-identical to " +
+    "build(all), touches only new files, and serves identical answers") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val codebook = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val spec = VectorIndex.Spec(numSub = 8,
+      dim = codebook.head._2.length, codebook = codebook)
+
+    val idxFull = java.nio.file.Files.createTempDirectory("graft_vi_full").toString
+    val idxAppend = java.nio.file.Files.createTempDirectory("graft_vi_app").toString
+    VectorIndex.build(emb, spec, idxFull)
+    VectorIndex.build(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+      spec, idxAppend)
+
+    // resident posting files BEFORE the append: the append must not
+    // rewrite any of them (incremental = O(new vectors), not O(corpus))
+    def files(p: String): Set[String] = {
+      val base = java.nio.file.Paths.get(p)
+      val s = java.nio.file.Files.walk(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(f =>
+          f.toString.endsWith(".parquet")).map(base.relativize(_).toString).toSet
+      } finally s.close()
+    }
+    val before = files(s"$idxAppend/postings")
+    VectorIndex.append(emb.filter(pmod(col("vec_id"), lit(2)) === 1), idxAppend)
+    val after = files(s"$idxAppend/postings")
+    assert(before.subsetOf(after) && after.size > before.size,
+      s"append must only ADD posting files (${before.size} -> ${after.size})")
+
+    // postings row-identical to the full build
+    def postings(p: String): Set[String] =
+      spark.read.parquet(s"$p/postings")
+        .select(col("label"), col("vec_id"), col("codes"))
+        .collect().map(_.toString).toSet
+    assert(postings(idxAppend) == postings(idxFull),
+      "appended postings diverge from a fresh full build")
+
+    // and the search surface answers identically
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"))
+    val a = VectorIndex.searchTopK(spark, idxAppend, queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+    val f = VectorIndex.searchTopK(spark, idxFull, queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+    assert(a.nonEmpty && a.sameElements(f))
+  }
 }
