@@ -301,6 +301,47 @@ object TransportScaleProbe {
       }
     }
 
+    // WIRE member sweep: the same invariance claim proven on the path a
+    // cluster actually runs — NatsWireClient → MiniNatsServer over real
+    // loopback sockets (the round-9 table ran on the in-JVM seam only).
+    // Conversations = request-reply exchanges + ack flushes, counted
+    // client-side (one lane checkout = one socket burst); the DATA term
+    // (claim batches + ack flushes) must stay constant as members grow.
+    println()
+    println("queue-group WIRE member sweep, 65536 msgs (real sockets):")
+    println(f"${"members"}%8s ${"rows"}%9s ${"wall_s"}%8s ${"convs"}%7s " +
+      f"${"conv_per_kmsg"}%14s")
+    locally {
+      val wb = new graft.transport.FakeJetStreamServer
+      var ws = 1L
+      while (ws <= 65536L) {
+        wb.publish("wgm", ws, s"g.${ws % 13}",
+          1700000000000000000L + ws * 1000000L,
+          s"""{"seq":$ws,"pad":"xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"}""".getBytes)
+        ws += 1
+      }
+      val wmsrv = new graft.transport.MiniNatsServer(wb)
+      wmsrv.start()
+      Seq(1, 2, 4, 8, 16).foreach { members =>
+        graft.transport.TransportPool.clear() // fresh client, zeroed counter
+        val t0 = System.nanoTime()
+        val rows = spark.read.format("nats_scan")
+          .option("url", wmsrv.url).option("stream", "wgm")
+          .option("deliver_group", s"wprobe-m$members")
+          .option("group_members", members.toString)
+          .load().select("seq").collect().length
+        val wall = (System.nanoTime() - t0) / 1e9
+        val convs = graft.transport.TransportPool
+          .get(wmsrv.url, 5000L).asInstanceOf[graft.transport.NatsWireClient]
+          .conversationCount
+        require(rows == 65536, s"wire member sweep lost rows: $rows")
+        println(f"$members%8d $rows%9d $wall%8.2f $convs%7d " +
+          f"${convs * 1000.0 / 65536L}%14.2f")
+      }
+      graft.transport.TransportPool.clear()
+      wmsrv.stop()
+    }
+
     Seq(16384L, 65536L, 262144L).foreach { m =>
       val gurl = s"nats://transport-scale-probe-grp-$m:4222"
       val gsrv = FakeJetStream.listen(gurl)

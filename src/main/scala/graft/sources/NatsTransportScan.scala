@@ -477,6 +477,14 @@ final class NatsTransportGroupReader(p: NatsTransportGroupPartition,
       val stallLimitNs = (2L * p.ackWaitMs + 500L) * 1000000L
       var stallStartNs = -1L
       var lastPending = Long.MaxValue
+      // drain-wait BACKOFF: each empty poll round costs 2 wire
+      // conversations (claim + pending check), so an idle member polling
+      // at a fixed 10 ms while siblings finish the tail turns the
+      // O(messages) wire-volume claim into O(members × drain/10ms) — the
+      // wire sweep measured 297 convs at 8 members vs ~80 at 1-4 before
+      // this. Doubling to a 200 ms cap keeps first-claim latency low and
+      // idle polls logarithmic-then-sparse.
+      var waitMs = DrainWaitMs
       while (claimed.isEmpty) {
         val pending = withRetry(transport.groupPending(p.stream, p.group))
         if (pending == 0L)
@@ -489,9 +497,11 @@ final class NatsTransportGroupReader(p: NatsTransportGroupPartition,
         } else if (stallStartNs < 0L) stallStartNs = now
         else if (now - stallStartNs > stallLimitNs)
           return false // only the out-of-window tail remains
-        Thread.sleep(DrainWaitMs) // live leases elsewhere — await ack/expiry
+        Thread.sleep(waitMs) // live leases elsewhere — await ack/expiry
+        waitMs = math.min(waitMs * 2L, 200L)
         claimed = withRetry(transport.groupNext(p.stream, p.group,
           p.member, p.maxSeq, BatchSize, p.ackWaitMs, p.filter))
+        if (claimed.nonEmpty) waitMs = DrainWaitMs
       }
       batch = claimed
       i = 0

@@ -360,12 +360,23 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     }
   }
 
+  /** wire conversations: request-reply exchanges + fire-and-forget flushes
+    * — the unit the scale probes count (one lane checkout = one burst on
+    * the socket; frame count within a flush is not a round-trip) */
+  private val convs = new java.util.concurrent.atomic.AtomicLong(0L)
+  def conversationCount: Long = convs.get()
+
   private def request(subject: String, payload: Array[Byte],
-                      expect: Int = 1): Seq[Msg] =
+                      expect: Int = 1): Seq[Msg] = {
+    convs.incrementAndGet()
     withLane(_.request(subject, payload, expect))
+  }
 
   /** fire-and-forget publish (acks/naks) — no response conversation */
-  private def fire(s: String): Unit = withLane(_.send(s))
+  private def fire(s: String): Unit = {
+    convs.incrementAndGet()
+    withLane(_.send(s))
+  }
 
   private def api(subject: String, json: String): JsonNode = {
     val resp = request(subject, json.getBytes(UTF_8))
