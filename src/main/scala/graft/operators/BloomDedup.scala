@@ -125,7 +125,10 @@ object BloomDedup {
       .sortWithinPartitions("__b", "__kind")
 
     val outT = StructType(payloadT.fields :+ StructField("__maybe", BooleanType))
-    val probed = tagged.mapPartitions { it =>
+    // tracked-cache like newDocs' `b`: both output branches read `probed`,
+    // and without the cache the repartition→sort→probe subtree would
+    // execute once per branch (ReusedExchange shares only the shuffle)
+    val probed = graft.Caches.tracked(tagged.mapPartitions { it =>
       var curBucket = Int.MinValue
       var curBloom: org.apache.spark.util.sketch.BloomFilter = null
       it.flatMap { r =>
@@ -142,7 +145,7 @@ object BloomDedup {
           Iterator.single(Row.fromSeq(p.toSeq :+ maybe))
         }
       }
-    }(Encoders.row(outT))
+    }(Encoders.row(outT)))
 
     val definitelyNew = probed.filter(!col("__maybe")).drop("__maybe")
     val verified = probed.filter(col("__maybe")).drop("__maybe")

@@ -445,7 +445,11 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     * wrong tokens and corrupt cursor/window bookkeeping. */
   private def ackMeta(reply: String): (Long, Long) = {
     val p = reply.split('.')
-    if (p.length < 9 || p(0) != "$JS" || p(1) != "ACK")
+    // valid counts: exactly 9 (v1) or ≥12 (v2) — 10/11 tokens match
+    // neither grammar, and falling back to v1 offsets would silently read
+    // consumer-name/cseq tokens as seq/ts
+    if (p.length < 9 || p.length == 10 || p.length == 11 ||
+        p(0) != "$JS" || p(1) != "ACK")
       throw new NatsIOException(
         s"protocol error: malformed ack subject '$reply'")
     if (p.length >= 12) (p(7).toLong, p(9).toLong) // v2: domain + acct hash
