@@ -245,6 +245,14 @@ final class NatsTransportScan(url: String, stream: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new NatsTransportReaderFactory(required, tsLoNs, tsHiNs, subjectContains,
       subjectPrefixes, connectTimeoutMs, fetchMode, auth, subjectFilter)
+
+  /** per-scan wire observability ([[ScanMetrics]]): fetch_rpcs /
+    * msgs_emitted / msgs_filtered aggregate across tasks into the Spark
+    * UI's scan node — the operational surface a cluster watches. */
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
+    new ScanMetrics.FetchRpcsMetric, new ScanMetrics.MsgsEmittedMetric,
+    new ScanMetrics.MsgsFilteredMetric)
 }
 
 object NatsTransportScan {
@@ -350,9 +358,16 @@ final class NatsTransportKvReader(p: NatsTransportKvPartition,
   private var batch: Array[TransportMsg] = Array.empty
   private var i = 0
   private var current: InternalRow = _
+  private var nRpcs = 0L
+  private var nEmitted = 0L
+  private var nFiltered = 0L
 
   private def withRetry[T](f: => T): T =
     graft.transport.TransportRetry.withRetry(f)
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    ScanMetrics.taskValues(nRpcs, nEmitted, nFiltered)
 
   override def next(): Boolean = {
     while (true) {
@@ -360,6 +375,7 @@ final class NatsTransportKvReader(p: NatsTransportKvPartition,
         if (done) return false
         batch = withRetry(transport.lastForSubjects(p.stream, p.filter,
           p.bucket, p.nBuckets, after, BatchSize))
+        nRpcs += 1L
         if (batch.length < BatchSize) done = true // short page = shard end
         if (batch.isEmpty) return false
         after = Some(batch.last.subject)
@@ -367,7 +383,8 @@ final class NatsTransportKvReader(p: NatsTransportKvPartition,
       }
       val m = batch(i)
       i += 1
-      if (keep(m)) { current = toRow(m); return true }
+      if (keep(m)) { current = toRow(m); nEmitted += 1L; return true }
+      else nFiltered += 1L
     }
     false
   }
@@ -453,22 +470,31 @@ final class NatsTransportGroupReader(p: NatsTransportGroupPartition,
   private var batch: Array[TransportMsg] = Array.empty
   private var i = 0
   private var current: InternalRow = _
+  private var nRpcs = 0L
+  private var nEmitted = 0L
+  private var nFiltered = 0L
 
   private def withRetry[T](f: => T): T =
     graft.transport.TransportRetry.withRetry(f)
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    ScanMetrics.taskValues(nRpcs, nEmitted, nFiltered)
 
   override def next(): Boolean = {
     while (true) {
       while (i < batch.length) {
         val m = batch(i)
         i += 1
-        if (keep(m)) { current = toRow(m); return true }
+        if (keep(m)) { current = toRow(m); nEmitted += 1L; return true }
+        else nFiltered += 1L
       }
       // batch fully emitted → settle its claims, then ask for the next one
       if (batch.nonEmpty) {
         withRetry(transport.groupAck(p.stream, p.group, batch.map(_.seq)))
         batch = Array.empty
       }
+      nRpcs += 1L
       var claimed = withRetry(transport.groupNext(p.stream, p.group,
         p.member, p.maxSeq, BatchSize, p.ackWaitMs, p.filter))
       // stall window: 2 lease periods with pending never decreasing and no
@@ -499,6 +525,7 @@ final class NatsTransportGroupReader(p: NatsTransportGroupPartition,
           return false // only the out-of-window tail remains
         Thread.sleep(waitMs) // live leases elsewhere — await ack/expiry
         waitMs = math.min(waitMs * 2L, 200L)
+        nRpcs += 1L
         claimed = withRetry(transport.groupNext(p.stream, p.group,
           p.member, p.maxSeq, BatchSize, p.ackWaitMs, p.filter))
         if (claimed.nonEmpty) waitMs = DrainWaitMs
@@ -620,6 +647,9 @@ final class NatsTransportReader(p: NatsTransportPartition,
   private var batch: Array[TransportMsg] = Array.empty
   private var i = 0
   private var current: InternalRow = _
+  private var nRpcs = 0L
+  private var nEmitted = 0L
+  private var nFiltered = 0L
 
   /** µs-truncated ts bounds (envelope semantics, same as the parquet path) */
   private val tsLoUs =
@@ -630,8 +660,13 @@ final class NatsTransportReader(p: NatsTransportPartition,
   private def withRetry[T](f: => T): T =
     graft.transport.TransportRetry.withRetry(f)
 
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    ScanMetrics.taskValues(nRpcs, nEmitted, nFiltered)
+
   private def pull(): Array[TransportMsg] =
     if (cursor != null) {
+      nRpcs += 1L
       val msgs = withRetry(cursor.next(BatchSize))
       if (msgs.isEmpty) { done = true; msgs }
       else {
@@ -644,6 +679,7 @@ final class NatsTransportReader(p: NatsTransportPartition,
     } else {
       if (nextSeq > p.sliceHi) { done = true; Array.empty }
       else {
+        nRpcs += 1L
         val msgs = withRetry(transport.fetch(p.stream, nextSeq, p.sliceHi, BatchSize))
         if (msgs.isEmpty) done = true // rest of the slice is gaps
         else nextSeq = msgs.last.seq + 1
@@ -661,7 +697,8 @@ final class NatsTransportReader(p: NatsTransportPartition,
       }
       val m = batch(i)
       i += 1
-      if (keep(m)) { current = toRow(m); return true }
+      if (keep(m)) { current = toRow(m); nEmitted += 1L; return true }
+      else nFiltered += 1L
     }
     false
   }

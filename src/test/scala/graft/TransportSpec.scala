@@ -1094,4 +1094,40 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       t.lastForSubjects("kvs", None, b, 4, None, 100)).map(_.subject)
     assert(gone == Seq("k.b")) // fully deleted subject leaves the index
   }
+
+  test("DSv2 custom scan metrics: fetch_rpcs / msgs_emitted / msgs_filtered " +
+    "aggregate into the scan node") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def metricsOf(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.getOrElse(fail("no BatchScanExec in plan"))
+      scan.metrics.map { case (k, m) => k -> m.value }
+    }
+    // full scan: 90 surviving messages over 7 slices of width 16 — one
+    // fetch RPC per non-empty slice pass, nothing residual-filtered
+    val full = metricsOf(read("telemetry").select("seq", "subject"))
+    assert(full("msgs_emitted") == 90L, full.toString)
+    assert(full("msgs_filtered") == 0L, full.toString)
+    assert(full("fetch_rpcs") >= 7L && full("fetch_rpcs") <= 14L,
+      s"expected ~1 RPC per slice, got ${full("fetch_rpcs")}")
+    // residual subject filter: fetched rows that fail the re-check are
+    // counted filtered, not silently dropped
+    val filt = metricsOf(read("telemetry", Map("subject" -> "dev2"))
+      .select("seq"))
+    assert(filt("msgs_emitted") == 20L, filt.toString)
+    assert(filt("msgs_filtered") == 70L, filt.toString)
+    // KV index read: one page RPC per bucket shard, one row per subject
+    val kv = metricsOf(read("telemetry", Map("last_by_subject" -> "true",
+      "kv_buckets" -> "3")).select("subject"))
+    assert(kv("msgs_emitted") == 5L, kv.toString)
+    assert(kv("fetch_rpcs") == 3L, kv.toString)
+    // queue-group drain: claim RPCs + the final empty claim per member
+    val grp = metricsOf(read("telemetry", Map(
+      "deliver_group" -> "metrics-g", "group_members" -> "2"))
+      .select("seq"))
+    assert(grp("msgs_emitted") == 90L, grp.toString)
+    assert(grp("fetch_rpcs") >= 2L, grp.toString)
+  }
 }
