@@ -165,6 +165,22 @@ final class NatsTransportPublisher(url: String, stream: String,
   private var rowIdx = 0L
   private var published = 0L
 
+  /** PIPELINED publish window: rows buffer here and ship as ONE
+    * [[graft.transport.JetStreamTransport.publishBatch]] burst — a sync
+    * per-row publish caps a writer task at 1/RTT msgs/s against a real
+    * server (1 ms RTT = 1 k rows/s/task); pipelining removes the RTT term.
+    * 1024 bounds buffered bytes per task; the deterministic per-row
+    * `Nats-Msg-Id` is unchanged, so replayed epochs dedup identically. */
+  private val FlushRows = 1024
+  private val buf =
+    new scala.collection.mutable.ArrayBuffer[graft.transport.PublishEntry](FlushRows)
+
+  private def flush(): Unit = if (buf.nonEmpty) {
+    transport.publishBatch(stream, buf.toArray)
+    published += buf.length
+    buf.clear()
+  }
+
   override def write(row: InternalRow): Unit = {
     val subject =
       if (row.isNullAt(iSubject)) null else row.getUTF8String(iSubject).toString
@@ -173,13 +189,14 @@ final class NatsTransportPublisher(url: String, stream: String,
     val tsNs = Math.multiplyExact(row.getLong(iTs), 1000L) // µs → ns
     val payload = if (row.isNullAt(iPayload)) Array.emptyByteArray
                   else row.getBinary(iPayload)
-    transport.publish(stream, subject, tsNs, payload,
+    buf += graft.transport.PublishEntry(subject, tsNs, payload,
       msgId = s"graft-$epochId-$partitionId-$rowIdx")
     rowIdx += 1
-    published += 1
+    if (buf.length >= FlushRows) flush()
   }
 
   override def commit(): WriterCommitMessage = {
+    flush()
     transport.close()
     NatsScanCommit(s"published-$published", s"published-$published")
   }

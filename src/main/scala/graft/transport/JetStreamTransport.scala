@@ -129,8 +129,25 @@ trait JetStreamTransport extends AutoCloseable {
   def publish(stream: String, subject: String, tsNs: Long,
               payload: Array[Byte], msgId: String): Long
 
+  /** PIPELINED publish — the jnats `publishAsync` shape: all entries ship
+    * before any PubAck is awaited, so a batch costs ~1 round-trip instead
+    * of N (sync publish caps a writer task at 1/RTT msgs/s on a real
+    * network; pipelining removes the RTT term entirely). Returns the
+    * server-assigned sequence per entry, in entry order; `Nats-Msg-Id`
+    * dedup applies per entry exactly as in [[publish]] (a replayed batch
+    * returns the original sequences — the sink's exactly-once). Default
+    * implementation loops [[publish]] (in-JVM fakes are RTT-free, so
+    * pipelining buys nothing there); the wire client overrides. */
+  def publishBatch(stream: String,
+                   entries: Array[PublishEntry]): Array[Long] =
+    entries.map(e => publish(stream, e.subject, e.tsNs, e.payload, e.msgId))
+
   def close(): Unit
 }
+
+/** One pipelined-publish entry ([[JetStreamTransport.publishBatch]]). */
+final case class PublishEntry(subject: String, tsNs: Long,
+                              payload: Array[Byte], msgId: String)
 
 /** One message as the wire returns it: raw ns publish time (the envelope's
   * µs ts_nats truncation happens at the scan, same as the parquet path). */

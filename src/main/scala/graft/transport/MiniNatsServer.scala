@@ -89,6 +89,7 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
       while (running) {
         try {
           val s = server.accept()
+          s.setTcpNoDelay(true) // ack bursts must not sit out a Nagle delay
           val t = new Thread(() => serve(s))
           t.setDaemon(true)
           t.start()
@@ -109,20 +110,30 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
 
   // ---------------- per-connection protocol loop ----------------
 
+  /** Writes COALESCE like a real server's: every frame goes to the
+    * buffered stream unflushed and the serve loop flushes once before a
+    * potentially-BLOCKING read (`in.available() == 0`). A pipelined batch
+    * of 1024 publishes thus costs ~1 socket flush for 1024 PubAcks instead
+    * of 1024 — the protocol stays correct because all writes to a
+    * connection originate from its own serve thread, so nothing can be
+    * left unflushed while the loop blocks. */
   private final class Conn(socket: Socket) {
     val id: String = s"conn${connSeq.incrementAndGet()}"
     val in: InputStream = new BufferedInputStream(socket.getInputStream)
-    private val out: OutputStream = new BufferedOutputStream(socket.getOutputStream)
+    private val out: OutputStream =
+      new BufferedOutputStream(socket.getOutputStream, 1 << 16)
     private val wlock = new Object
     /** exact-match subscriptions: subject → sid (inbox replies only) */
     val subs = new TrieMap[String, Long]()
 
+    def flushOut(): Unit = wlock.synchronized(out.flush())
+
     def write(s: String): Unit = wlock.synchronized {
-      out.write(s.getBytes(UTF_8)); out.flush()
+      out.write(s.getBytes(UTF_8))
     }
     def writeRaw(head: String, body: Array[Byte]): Unit = wlock.synchronized {
       out.write(head.getBytes(UTF_8)); out.write(body)
-      out.write('\r'); out.write('\n'); out.flush()
+      out.write('\r'); out.write('\n')
     }
 
     /** deliver a headered message to a subscribed subject (reply inboxes) */
@@ -134,7 +145,7 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
           s"${h.length} ${h.length + payload.length}\r\n"
         wlock.synchronized {
           out.write(head.getBytes(UTF_8)); out.write(h); out.write(payload)
-          out.write('\r'); out.write('\n'); out.flush()
+          out.write('\r'); out.write('\n')
         }
       }
 
@@ -195,7 +206,7 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
     // then drop the connection (the documented parser behavior)
     final class ProtocolAbort(msg: String) extends RuntimeException(msg)
     def reject(msg: String): Nothing = {
-      conn.write(s"-ERR '$msg'\r\n")
+      conn.write(s"-ERR '$msg'\r\n"); conn.flushOut()
       throw new ProtocolAbort(msg)
     }
     def strictly(ok: Boolean): Unit =
@@ -210,6 +221,9 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
     try {
       var authed = !authRequired
       while (running) {
+        // write coalescing: flush pending frames only when the next read
+        // would block (see Conn doc) — the real server's write-batching
+        if (conn.in.available() == 0) conn.flushOut()
         val line = readLine(conn.in)
         val sp = line.indexOf(' ')
         val verb = (if (sp < 0) line else line.substring(0, sp)).toUpperCase
@@ -222,7 +236,7 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
             requireToken.foreach { want =>
               val got = Option(j.get("auth_token")).map(_.asText)
               if (!got.contains(want)) {
-                conn.write("-ERR 'Authorization Violation'\r\n")
+                conn.write("-ERR 'Authorization Violation'\r\n"); conn.flushOut()
                 socket.close()
                 return
               }
@@ -236,7 +250,7 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
               val ok = nkey.contains(wantPub) && sig.exists(s =>
                 NKeys.verify(wantPub, nonce.getBytes(UTF_8), s))
               if (!ok) {
-                conn.write("-ERR 'Authorization Violation'\r\n")
+                conn.write("-ERR 'Authorization Violation'\r\n"); conn.flushOut()
                 socket.close()
                 return
               }
@@ -251,14 +265,14 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
               val ok = jwt.contains(wantJwt) && sig.exists(s =>
                 NKeys.verify(pub, nonce.getBytes(UTF_8), s))
               if (!ok) {
-                conn.write("-ERR 'Authorization Violation'\r\n")
+                conn.write("-ERR 'Authorization Violation'\r\n"); conn.flushOut()
                 socket.close()
                 return
               }
               authed = true
             }
           case "PING" =>
-            if (!authed) { conn.write("-ERR 'Authorization Violation'\r\n"); socket.close(); return }
+            if (!authed) { conn.write("-ERR 'Authorization Violation'\r\n"); conn.flushOut(); socket.close(); return }
             conn.write("PONG\r\n")
           case "PONG" => ()
           case "SUB" =>
@@ -316,6 +330,7 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
       case _: ProtocolAbort => ()
       case _: NumberFormatException => () // tolerant mode, garbage line
     } finally {
+      try conn.flushOut() catch { case _: Exception => () }
       try socket.close() catch { case _: Exception => () }
     }
   }

@@ -122,8 +122,8 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
       s.setSoTimeout(math.max(timeoutMs, 1000L).toInt)
       s.setTcpNoDelay(true)
       socket = s
-      in = new BufferedInputStream(s.getInputStream)
-      out = new BufferedOutputStream(s.getOutputStream)
+      in = new BufferedInputStream(s.getInputStream, 1 << 16)
+      out = new BufferedOutputStream(s.getOutputStream, 1 << 16)
       // server speaks first: INFO {...}
       val info = readFrame() match {
         case Info(json) => json
@@ -311,6 +311,62 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
       }
       send(s"UNSUB $sid\r\n")
       got.result()
+    }
+
+    /** Pipelined publish on THIS lane: one SUB per entry's private reply
+      * inbox, every HPUB written back-to-back, ONE flush, then the ack
+      * read loop — correlation is by sid (each entry owns a subscription),
+      * so out-of-order PubAcks cannot mismatch. ~1 round-trip per batch
+      * vs N for the sync path. */
+    def publishPipelined(stream: String,
+                         entries: Array[PublishEntry]): Array[Long] = {
+      val n = entries.length
+      if (n == 0) return Array.emptyLongArray
+      val baseSid = sids.getAndAdd(n.toLong) + 1L
+      val baseInbox = inboxes.incrementAndGet()
+      var i = 0
+      while (i < n) {
+        val e = entries(i)
+        val inbox = s"_INBOX.graft.pub.$baseInbox.$i"
+        out.write(s"SUB $inbox ${baseSid + i}\r\n".getBytes(UTF_8))
+        val hdr = ("NATS/1.0\r\n" +
+          s"Nats-Msg-Id: ${e.msgId}\r\n" +
+          s"Nats-Expected-Stream: $stream\r\n" +
+          s"Graft-Pub-Time: ${e.tsNs}\r\n\r\n").getBytes(UTF_8)
+        out.write(
+          s"HPUB ${e.subject} $inbox ${hdr.length} ${hdr.length + e.payload.length}\r\n"
+            .getBytes(UTF_8))
+        out.write(hdr); out.write(e.payload)
+        out.write('\r'); out.write('\n')
+        i += 1
+      }
+      out.flush()
+      val seqs = new Array[Long](n)
+      var got = 0
+      while (got < n) {
+        readFrame() match {
+          case Ping => send("PONG\r\n")
+          case m: Msg if m.sid >= baseSid && m.sid < baseSid + n =>
+            val idx = (m.sid - baseSid).toInt
+            val ack = mapper.readTree(new String(m.payload, UTF_8))
+            Option(ack.get("error")).foreach(e => throw new NatsIOException(
+              s"publish failed: ${Option(e.get("description"))
+                .map(_.asText).getOrElse(e.toString)}"))
+            seqs(idx) = ack.get("seq").asLong
+            got += 1
+          case Err(msg) => throw new NatsIOException(s"server error: $msg")
+          case Ok => ()
+          case _ => () // frames for dead sids
+        }
+      }
+      i = 0
+      val unsub = new java.lang.StringBuilder(n * 12)
+      while (i < n) {
+        unsub.append("UNSUB ").append(baseSid + i).append("\r\n")
+        i += 1
+      }
+      send(unsub.toString)
+      seqs
     }
 
     def close(): Unit = try socket.close() catch { case _: Exception => () }
@@ -668,6 +724,12 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     val ack = mapper.readTree(new String(resp.head.payload, UTF_8))
     apiError(ack).foreach(e => throw new NatsIOException(s"publish failed: $e"))
     ack.get("seq").asLong
+  }
+
+  override def publishBatch(stream: String,
+                            entries: Array[PublishEntry]): Array[Long] = {
+    convs.incrementAndGet()
+    withLane(_.publishPipelined(stream, entries))
   }
 
   override def close(): Unit = {

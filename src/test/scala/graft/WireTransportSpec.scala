@@ -741,6 +741,51 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { t.close(); vsrv.stop() }
   }
 
+  test("pipelined publishBatch over the wire: ordered seqs, replay dedup, " +
+    "content identical to sync publishes") {
+    val pb = new FakeJetStreamServer
+    val psrv = new MiniNatsServer(pb, strict = true) // strict: framing must hold
+    psrv.start()
+    val t = Transport.connect(psrv.url, timeoutMs = 2000L)
+    try {
+      val entries = Array.tabulate(5000) { i =>
+        PublishEntry(s"pp.k${i % 7}", 1700000000000000000L + i * 1000L,
+          s"payload-$i".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          s"pp-$i")
+      }
+      val seqs = t.publishBatch("pp", entries)
+      assert(seqs.toSeq == (1L to 5000L),
+        s"pipelined acks out of order: ${seqs.take(5).toSeq}…")
+      assert(t.streamInfo("pp").messages == 5000L)
+      // REPLAYED batch (same Nats-Msg-Ids): server-side no-ops returning
+      // the ORIGINAL sequences — the sink's exactly-once on task retry
+      val replay = t.publishBatch("pp", entries)
+      assert(replay.toSeq == (1L to 5000L))
+      assert(t.streamInfo("pp").messages == 5000L, "replay must not append")
+      // content parity with what a sync publish would have stored
+      val m = t.directGet("pp", 4242L).get
+      assert(m.subject == s"pp.k${4241 % 7}" &&
+        new String(m.payload) == "payload-4241" &&
+        m.tsNs == 1700000000000000000L + 4241L * 1000L)
+      // and the streaming SINK path drives it end-to-end over the wire:
+      // rows written through writeStream land on the server exactly once
+      import spark.implicits._
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long, Array[Byte])](spark)
+      src.addData((1 to 300).map(i =>
+        (s"sink.x", 1700000001000000L + i, Array[Byte]((i % 127).toByte))): _*)
+      val q = src.toDF().toDF("subject", "ts_nats", "payload")
+        .withColumn("seq", lit(0L)) // server-assigned; column just satisfies the envelope
+        .writeStream.format("nats_scan")
+        .option("url", psrv.url).option("stream", "sunk")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_wire_sink").toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      assert(t.streamInfo("sunk").messages == 300L)
+    } finally { t.close(); psrv.stop() }
+  }
+
   test("per-subject index pages through the server's subjects page cap " +
     "(real servers cap at 100k; silent truncation loses keys)") {
     val pb = new FakeJetStreamServer
