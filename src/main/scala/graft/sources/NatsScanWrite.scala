@@ -176,7 +176,11 @@ final class NatsTransportPublisher(url: String, stream: String,
     new scala.collection.mutable.ArrayBuffer[graft.transport.PublishEntry](FlushRows)
 
   private def flush(): Unit = if (buf.nonEmpty) {
-    transport.publishBatch(stream, buf.toArray)
+    // transient wire faults retry the WHOLE window: re-publishing the same
+    // Nats-Msg-Ids is a server-side no-op returning the original
+    // sequences, so a torn conversation heals without duplicates
+    graft.transport.TransportRetry.withRetry(
+      transport.publishBatch(stream, buf.toArray))
     published += buf.length
     buf.clear()
   }
