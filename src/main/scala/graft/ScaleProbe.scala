@@ -165,19 +165,13 @@ object ScaleProbe {
         operators.BloomDedup.newDocs(batch, corpus, "text",
           expectedItems = math.max(half, 1024L)).count()
       }
-      // embedding covariance: per-row generator expansion is map-side, the
-      // one shuffle carries 2080 partial-sum rows per task REGARDLESS of
-      // corpus size — wall time must stay linear, shuffle size flat
+      // embedding covariance, SHIPPED (GramMoments) shape: one typed-agg
+      // pass, fixed long[2144] buffer per task, the shuffle carries ONE
+      // buffer per partition regardless of corpus size — wall time must
+      // stay linear (pure map-side arithmetic), shuffle size flat
       val (tCov, _) = time {
-        emb.select(col("embedding"),
-            posexplode(col("embedding")).as(Seq("i", "xi")))
-          .select(col("i"), col("xi"), col("embedding"),
-            explode(expr("sequence(i, 63)")).as("j"))
-          .select(col("i"), col("j"),
-            round(col("xi").cast("double") *
-              element_at(col("embedding"), col("j") + 1).cast("double") * 1e8, 0)
-              .cast("long").as("p"))
-          .groupBy("i", "j").agg(sum("p").as("sxy")).count()
+        emb.agg(count(lit(1)).as("n"),
+          functions.GramMoments.moments(col("embedding")).as("g")).count()
       }
       // Kneser-Ney scoring: bigram model build shuffles on near-unique
       // (w1,w2) keys with map-side partial counts; the held-out join must
@@ -209,53 +203,28 @@ object ScaleProbe {
           .select(expr("substr(w, i, 2)").as("pair"), col("c"))
           .groupBy("pair").agg(sum("c")).count()
       }
-      // winnowing fingerprints: gram hashing + a DOC-PARTITIONED window
-      // min — both linear in corpus tokens; the fingerprint shuffle
-      // carries (doc, hash) at ~1/w the gram count
+      // winnowing fingerprints, SHIPPED (WinnowFpFold) shape: gram hashing
+      // + window minima fold map-side per doc, no per-position rows; the
+      // fingerprint shuffle carries (doc, hash) at ~2/(w+1) the gram count
       val (tWinnow, _) = time {
-        val posW = docs
+        docs
+          .select(col("doc_id"),
+            explode(functions.TextFunctions.winnowFingerprints(
+              split(col("text"), " "), 4, 5)).as("minh"))
+          .count()
+      }
+      // content-defined chunking, SHIPPED (CdcChunkFold) shape: boundary
+      // detection + chunk slicing fold map-side per doc; only
+      // (doc, chunk-md5) enters the cross-doc shuffle — linear
+      val (tCdc, _) = time {
+        docs
           .select(col("doc_id"), split(col("text"), " ").as("t"))
           .filter(size(col("t")) >= 4)
-          .select(col("doc_id"), col("t"),
-            explode(expr("sequence(1, size(t) - 3)")).as("i"))
-          .select(col("doc_id"), col("i"),
-            functions.Similarity.hash60(concat_ws(" ",
-              (0 until 4).map(j => element_at(col("t"), col("i") + j)): _*))
-              .as("h"))
-        val win = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("i").rowsBetween(-4, 0)
-        posW.withColumn("minh", min("h").over(win))
-          .filter(col("i") >= 5)
-          .select(col("doc_id"), col("minh")).distinct().count()
-      }
-      // content-defined chunking: boundary marks + a doc-partitioned
-      // running sum + one slice per chunk — linear, no global window
-      val (tCdc, _) = time {
-        val baseC = docs
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .filter(size(col("t")) >= 4).cache()
-        val posC = baseC
-          .select(col("doc_id"), col("t"),
-            explode(expr("sequence(1, size(t) - 3)")).as("i"))
-          .select(col("doc_id"), col("i"),
-            functions.Similarity.hash60(concat_ws(" ",
-              (0 until 4).map(j => element_at(col("t"), col("i") + j)): _*))
-              .as("h"))
-        val win = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("i").rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        val n = posC
-          .withColumn("b", when(pmod(col("h"), lit(16)) === 0, 1L).otherwise(0L))
-          .withColumn("cid", sum("b").over(win) - col("b"))
-          .groupBy("doc_id", "cid")
-          .agg(min("i").as("first"), max("i").as("last"))
-          .join(baseC, "doc_id")
-          .select(md5(concat_ws(" ",
-            slice(col("t"), col("first"), col("last") - col("first") + 4)))
-            .as("cmd5"))
+          .select(col("doc_id"),
+            explode(functions.TextFunctions.cdcChunks(col("t"), 4, 16))
+              .as("ctext"))
+          .select(md5(col("ctext")).as("cmd5"))
           .groupBy("cmd5").count().count()
-        baseC.unpersist()
-        n
       }
       // first-occurrence trigram novelty, SHIPPED (join-free) shape: one
       // hash-keyed groupBy(min) over exploded trigrams + a groupBy over

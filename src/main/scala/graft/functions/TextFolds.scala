@@ -35,6 +35,38 @@ private[graft] object TextFoldUtil {
     while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
     v >>> 4
   }
+
+  /** tokens[first..last] (0-based, inclusive) space-joined with concat_ws
+    * semantics: NULL elements are skipped entirely (no doubled separator). */
+  def joinTokens(a: ArrayData, first: Int, last: Int): UTF8String = {
+    val bb = new java.io.ByteArrayOutputStream()
+    var i = first
+    var any = false
+    while (i <= last) {
+      if (!a.isNullAt(i)) {
+        if (any) bb.write(' ')
+        val b = a.getUTF8String(i).getBytes
+        bb.write(b, 0, b.length)
+        any = true
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(bb.toByteArray)
+  }
+
+  /** 60-bit md5 hash of every k-gram of the token array: h(i) =
+    * md5Hash60(tokens[i..i+k−1] space-joined, concat_ws null-skipping) —
+    * the compiled form of `hash60(concat_ws(' ', t[i], …, t[i+k−1]))`. */
+  def gramHashes(a: ArrayData, k: Int): Array[Long] = {
+    val m = a.numElements() - k + 1
+    val h = new Array[Long](if (m > 0) m else 0)
+    var i = 0
+    while (i < m) {
+      h(i) = md5Hash60(joinTokens(a, i, i + k - 1).getBytes)
+      i += 1
+    }
+    h
+  }
 }
 
 /** MinHash signature: per shingle, base = md5-hash60 & (2^30−1); per hash
@@ -350,5 +382,174 @@ case class RollingHashFold(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): RollingHashFold =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+  * algorithm) as ONE compiled pass: hash every k-gram (60-bit md5 of the
+  * space-joined gram — `hash60` semantics, concat_ws null-skipping), keep
+  * the minimum hash of each sliding window of w consecutive gram hashes
+  * (only windows fully inside the doc — gram index ≥ w, matching the
+  * exploded formulation's `i >= w` filter), then distinct, ascending.
+  *
+  * Replaces a per-GRAM-POSITION explode + doc-partitioned window-min +
+  * distinct: that plan materializes one row per token position and sorts
+  * them inside a window exchange before any fingerprint exists; this fold
+  * emits only the selected fingerprints, map-side. By the winnowing
+  * density bound the output is ~2/(w+1) of the gram count before distinct.
+  *
+  * NULL array → NULL; fewer than max(k, k+w−1) tokens → empty array (docs
+  * that produced zero surviving rows in the exploded original). */
+case class WinnowFpFold(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "winnow_fp_fold"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${t.sql}")
+  }
+
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val m = n - k + 1
+    if (m < w) return new GenericArrayData(Array.emptyLongArray)
+    val h = TextFoldUtil.gramHashes(a, k)
+    val fps = new java.util.TreeSet[java.lang.Long]()
+    var i = w - 1 // 0-based index of the window's LAST gram
+    while (i < m) {
+      var mn = h(i)
+      var j = i - w + 1
+      while (j < i) { if (h(j) < mn) mn = h(j); j += 1 }
+      fps.add(mn)
+      i += 1
+    }
+    val out = new Array[Long](fps.size)
+    val it = fps.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(c: Any): Any = compute(c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wnFold", this, classOf[WinnowFpFold].getName)
+    val ad = classOf[ArrayData].getName
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = ($ad) $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpFold =
+    copy(child = newChild)
+}
+
+/** Content-defined chunking (the LBFS/rsync gear): chunk boundaries fall
+  * AFTER every k-gram position whose 60-bit gram hash ≡ 0 (mod div) — a
+  * boundary gram is the LAST position of its chunk, exactly the
+  * `cid = running_sum(b) − b` arithmetic of the windowed formulation this
+  * replaces. Emits each chunk's text (tokens[first .. last+k−1], space-
+  * joined, concat_ws null-skipping) in document order; overlap between
+  * adjacent chunks (the shared k−1 gram tail) is part of the contract.
+  *
+  * Replaces a per-position explode + TWO doc-partitioned windows + a
+  * join-back + per-chunk slice; the fold walks the token array once.
+  *
+  * NULL array → NULL; fewer than k tokens → empty array. */
+case class CdcChunkFold(child: Expression, k: Int, div: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "cdc_chunk_fold"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${t.sql}")
+  }
+
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val m = n - k + 1
+    if (m < 1) return new GenericArrayData(Array.empty[Any])
+    val h = TextFoldUtil.gramHashes(a, k)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var firstG = 0 // 0-based gram index of the current chunk's first gram
+    var g = 0
+    while (g < m) {
+      // h is non-negative (60-bit), so plain % matches SQL pmod exactly
+      if (h(g) % div == 0) {
+        out += TextFoldUtil.joinTokens(a, firstG, g + k - 1)
+        firstG = g + 1
+      }
+      g += 1
+    }
+    if (firstG < m) out += TextFoldUtil.joinTokens(a, firstG, n - 1)
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(c: Any): Any = compute(c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cdcFold", this, classOf[CdcChunkFold].getName)
+    val ad = classOf[ArrayData].getName
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = ($ad) $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkFold =
+    copy(child = newChild)
+}
+
+/** DSIR hashed-bigram feature counts: per document, the count of bigrams
+  * landing in each of nBuckets buckets, f = hash60(w1 ⊔ " " ⊔ w2) mod
+  * nBuckets — ONE compiled pass returning a fixed long[nBuckets] histogram.
+  * Replaces a per-bigram-POSITION explode (one row per token position,
+  * interpreted md5 per row) + a (doc, lang, f) hash aggregation over
+  * corpus-token-scale input: after this fold only ≤ nBuckets rows per doc
+  * exist. Bigrams containing a NULL token are skipped (the exploded
+  * original propagated a NULL feature instead, which then dropped out of
+  * the weight join; split() arrays contain no NULLs, and the equivalence
+  * spec pins the two forms equal on real data). NULL array → NULL. */
+case class BigramFeatureCountFold(child: Expression, nBuckets: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "bigram_feature_count_fold"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${t.sql}")
+  }
+
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val counts = new Array[Long](nBuckets)
+    var i = 0
+    while (i < n - 1) {
+      if (!a.isNullAt(i) && !a.isNullAt(i + 1)) {
+        val w1 = a.getUTF8String(i).getBytes
+        val w2 = a.getUTF8String(i + 1).getBytes
+        val b = new Array[Byte](w1.length + 1 + w2.length)
+        System.arraycopy(w1, 0, b, 0, w1.length)
+        b(w1.length) = ' '
+        System.arraycopy(w2, 0, b, w1.length + 1, w2.length)
+        // hash60 is non-negative, so % equals SQL pmod
+        counts((TextFoldUtil.md5Hash60(b) % nBuckets).toInt) += 1L
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override def nullSafeEval(c: Any): Any = compute(c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bfFold", this,
+      classOf[BigramFeatureCountFold].getName)
+    val ad = classOf[ArrayData].getName
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = ($ad) $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BigramFeatureCountFold =
     copy(child = newChild)
 }

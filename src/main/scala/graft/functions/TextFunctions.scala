@@ -120,4 +120,28 @@ object TextFunctions {
     org.apache.spark.sql.graftshim.GraftSql.column(
       RollingHashFold(org.apache.spark.sql.graftshim.GraftSql
         .expression(col(textCol))))
+
+  /** winnowing fingerprints (distinct window-of-w minima over k-gram
+    * hash60s, ascending) as one compiled pass ([[WinnowFpFold]]) — the
+    * per-position explode + window-min + distinct plan, map-side */
+  def winnowFingerprints(toks: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.graftshim.GraftSql.column(
+      WinnowFpFold(org.apache.spark.sql.graftshim.GraftSql
+        .expression(toks), k, w))
+
+  /** content-defined chunk texts (gear boundary: gram hash60 ≡ 0 mod div,
+    * boundary gram closes its chunk) as one compiled pass
+    * ([[CdcChunkFold]]) — replaces explode + two windows + slice join */
+  def cdcChunks(toks: Column, k: Int, div: Int): Column =
+    org.apache.spark.sql.graftshim.GraftSql.column(
+      CdcChunkFold(org.apache.spark.sql.graftshim.GraftSql
+        .expression(toks), k, div))
+
+  /** per-doc hashed-bigram feature histogram (DSIR features) as one
+    * compiled pass ([[BigramFeatureCountFold]]) — replaces a per-position
+    * explode + interpreted md5 + corpus-token-scale hash agg */
+  def bigramFeatureCounts(toks: Column, nBuckets: Int): Column =
+    org.apache.spark.sql.graftshim.GraftSql.column(
+      BigramFeatureCountFold(org.apache.spark.sql.graftshim.GraftSql
+        .expression(toks), nBuckets))
 }

@@ -305,21 +305,18 @@ object PipelineQueries {
     // at corpus scale.
     "dedup_winnow" -> ((s, dir) => {
       val k = 4; val w = 5
-      import graft.functions.Similarity
-      val pos = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= k)
-        .select(col("doc_id"), col("t"),
-          explode(expr(s"sequence(1, size(t) - ${k - 1})")).as("i"))
-        .select(col("doc_id"), col("i"),
-          Similarity.hash60(concat_ws(" ",
-            (0 until k).map(j => element_at(col("t"), col("i") + j)): _*))
-            .as("h"))
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
-      val fp = pos.withColumn("minh", min("h").over(win))
-        .filter(col("i") >= w)
-        .select(col("doc_id"), col("minh")).distinct()
+      // fingerprint selection is ONE native fold per document
+      // (WinnowFpFold: k-gram hash60s → window-of-w minima → distinct,
+      // map-side) — replacing a per-token-position explode + doc-
+      // partitioned window-min whose sort exchange dominated the query.
+      // Docs with fewer than w grams produced zero surviving rows in the
+      // exploded form; here they fold to an empty array and are filtered.
+      val fp = docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions
+            .winnowFingerprints(split(col("text"), " "), k, w).as("fps"))
+        .filter(size(col("fps")) > 0)
+        .select(col("doc_id"), explode(col("fps")).as("minh"))
       val nf = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
       val sh = fp.groupBy("minh").agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2).select("minh")
@@ -341,30 +338,18 @@ object PipelineQueries {
     // enters the cross-doc shuffle.
     "dedup_cdc" -> ((s, dir) => {
       val k = 4; val div = 16
-      import graft.functions.Similarity
-      val base = graft.Caches.tracked(docs(s, dir)
+      // chunking is ONE native fold per document (CdcChunkFold: k-gram
+      // hash60s → gear boundaries → chunk texts, map-side) — replacing a
+      // per-position explode + TWO doc-partitioned windows + a join-back
+      // + per-chunk slice. Boundary semantics are identical: a boundary
+      // gram is the last position of its chunk (`cid = Σb − b`).
+      val chunks = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= k))
-      val pos = base
-        .select(col("doc_id"), col("t"),
-          explode(expr(s"sequence(1, size(t) - ${k - 1})")).as("i"))
-        .select(col("doc_id"), col("i"),
-          Similarity.hash60(concat_ws(" ",
-            (0 until k).map(j => element_at(col("t"), col("i") + j)): _*))
-            .as("h"))
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("i")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val withCid = pos
-        .withColumn("b", when(pmod(col("h"), lit(div)) === 0, 1L).otherwise(0L))
-        .withColumn("cid", sum("b").over(win) - col("b"))
-      val chunks = withCid.groupBy("doc_id", "cid")
-        .agg(min("i").as("first"), max("i").as("last"))
-        .join(base, "doc_id")
-        .select(col("doc_id"), col("cid"),
-          md5(concat_ws(" ",
-            slice(col("t"), col("first"), col("last") - col("first") + k)))
-            .as("cmd5"))
+        .filter(size(col("t")) >= k)
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions
+            .cdcChunks(col("t"), k, div)).as(Seq("cid", "ctext")))
+        .select(col("doc_id"), col("cid"), md5(col("ctext")).as("cmd5"))
       val nc = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
       val dup = chunks.groupBy("cmd5").agg(countDistinct("doc_id").as("nd"))
         .filter(col("nd") >= 2).select("cmd5")

@@ -75,45 +75,42 @@ object RetrievalQueries {
   }
 
   /** (pos1, pos2, cov): the 64×64 embedding covariance upper triangle —
-    * shared by `embed_covariance` and `embed_pca_power`. Two chained
-    * generators expand each row's (i ≤ j) products MAP-SIDE (top-level
-    * element_at products — codegen'd, never a lambda), then ONE hash
-    * aggregation over 2080 groups with map-side partial sums; the only
-    * shuffle carries 2080 partial rows per task regardless of corpus
-    * size. cov = E[xy] − E[x]E[y] from exact sums of products in BIGINT
-    * units of 1e-8 (order-invariant, and a long aggregation runs ~2×
-    * faster than the DECIMAL(16,8) sum it replaced — measured in
-    * TimeProbe; at corpus sizes where n·1e10 units would overflow 2^63,
-    * shard the sum or fall back to DECIMAL); the 64-row dim-sum table
-    * joins in twice via broadcast. */
+    * shared by `embed_covariance` and `embed_pca_power`.
+    * cov = E[xy] − E[x]E[y] from exact sums of rounded products in BIGINT
+    * units of 1e-8 (order-invariant; at corpus sizes where n·1e10 units
+    * would overflow 2^63, shard the sum or fall back to DECIMAL). The
+    * moments come from [[graft.functions.GramMoments]] — one typed
+    * aggregate pass with a fixed long[2144] buffer per task, replacing
+    * the earlier pair-explode (2080 generated rows per embedding) + hash
+    * agg; bit-identical result, measured ~3× on the covariance family. */
   private def covCells(s: SparkSession, dir: String): DataFrame = {
-    val e = graft.Caches.tracked(
-      t(s, dir, "embeddings").select(col("embedding")))
-    val n = e.agg(count(lit(1)).as("n"))
-    val pairs = e
-      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), col("embedding"),
+    import graft.functions.GramMoments
+    // ONE pass: the typed GramMoments aggregate folds each embedding's 64
+    // dim sums + 2080 pair-product sums (BIGINT units of 1e-8, identical
+    // rounding — bit-identical to the pair-explode + 2080-group hash agg
+    // this replaces) into a single long[2144] buffer per task; the shuffle
+    // carries one ~17 KB buffer per partition instead of 2080 generated
+    // rows per embedding. n rides along as count(lit(1)) in the same agg.
+    val g1 = t(s, dir, "embeddings").select(col("embedding"))
+      .agg(count(lit(1)).as("n"), GramMoments.moments(col("embedding")).as("g"))
+    // reshape the single moments row into the 2080 (i ≤ j) cells — a
+    // 1-row double explode, then element_at lookups into the buffer
+    g1.filter(col("n") > 0)
+      .select(col("n"), col("g"), explode(expr("sequence(0, 63)")).as("i"))
+      .select(col("n"), col("g"), col("i"),
         explode(expr("sequence(i, 63)")).as("j"))
-      .select(col("i"), col("j"),
-        round(col("xi").cast("double") *
-          element_at(col("embedding"), col("j") + 1).cast("double") * 1e8, 0)
-          .cast("long").as("p"))
-    val sp = pairs.groupBy("i", "j").agg(sum("p").as("sxy"))
-    val ds = e.select(posexplode(col("embedding")).as(Seq("d", "x")))
-      .groupBy("d")
-      .agg(sum(round(col("x").cast("double") * 1e8, 0).cast("long")).as("sx"))
-    val a = ds.select(col("d").as("i"), col("sx").as("sxi"))
-    val b = ds.select(col("d").as("j"), col("sx").as("sxj"))
-    sp.join(broadcast(a), "i").join(broadcast(b), "j")
-      .crossJoin(broadcast(n))
       .select((col("i") + 1).cast("long").as("pos1"),
         (col("j") + 1).cast("long").as("pos2"),
         // + 0.0 normalizes the sign of zero: DuckDB's round keeps −0.0
         // for a tiny negative cov, Spark's BigDecimal round doesn't, and
         // the harness hashes/sorts the rendered strings (rule 6d)
-        (round(col("sxy").cast("double") / 1e8 / col("n") -
-          (col("sxi").cast("double") / 1e8 / col("n")) *
-          (col("sxj").cast("double") / 1e8 / col("n")), 6) + lit(0.0)).as("cov"))
+        (round(
+          element_at(col("g"), GramMoments.pairIndex(col("i"), col("j"))
+            .cast("int")).cast("double") / 1e8 / col("n") -
+          (element_at(col("g"), (col("i") + 1).cast("int")).cast("double") /
+            1e8 / col("n")) *
+          (element_at(col("g"), (col("j") + 1).cast("int")).cast("double") /
+            1e8 / col("n")), 6) + lit(0.0)).as("cov"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -221,21 +218,23 @@ object RetrievalQueries {
     //   weight(d) = Σ_f c_df · ( ln p_tgt(f) − ln p_raw(f) ),  f = h(bigram) mod 64
     // Both feature distributions are 64-row Laplace-smoothed tables —
     // broadcast; the log-ratios are rounded to 8 decimals and summed as
-    // DECIMAL (exact at any parallelism). Bigrams explode POSITIONS and
-    // index at the top level of the projection (the O(len²) generator trap
-    // — BASELINE.md).
+    // DECIMAL (exact at any parallelism). Feature histograms come from ONE
+    // native fold per document (BigramFeatureCountFold: compiled md5 per
+    // bigram, fixed long[64] output) — replacing a per-position explode +
+    // interpreted md5 + corpus-token-scale (doc, lang, f) hash agg; after
+    // the fold at most 64 rows per doc exist.
     "pipe_dsir" -> ((s, dir) => {
-      val nB = 64L
+      val nB = 64
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("l"))
-      val feats = toks.filter(size(col("l")) >= 2)
-        .select(col("doc_id"), col("lang"), col("l"),
-          explode(expr("sequence(1, size(l) - 1)")).as("i"))
-        .select(col("doc_id"), col("lang"),
-          pmod(Similarity.hash60(concat(element_at(col("l"), col("i")),
-            lit(" "), element_at(col("l"), col("i") + 1))), lit(nB)).as("f"))
       val dbc = graft.Caches.tracked(
-        feats.groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("c")))
+        toks.filter(size(col("l")) >= 2)
+          .select(col("doc_id"), col("lang"),
+            posexplode(graft.functions.TextFunctions
+              .bigramFeatureCounts(col("l"), nB)).as(Seq("f", "c")))
+          .filter(col("c") > 0)
+          .select(col("doc_id"), col("lang"),
+            col("f").cast("long").as("f"), col("c")))
       val tgt = dbc.filter(col("lang") === "en")
         .groupBy("f").agg(sum("c").as("ct"))
       val raw = dbc.groupBy("f").agg(sum("c").as("cr"))
@@ -574,7 +573,9 @@ object RetrievalQueries {
     // parity shape). Output: top-10 vectors by cosine to the principal
     // direction, with the Rayleigh-ish |C·v| eigenvalue estimate.
     "embed_pca_power" -> ((s, dir) => {
-      val cells = covCells(s, dir)
+      // cached: the symmetrization union consumes cells twice, and each
+      // of the 3 power iterations re-reads the joined form below
+      val cells = graft.Caches.tracked(covCells(s, dir))
       val sym = cells.unionByName(cells.filter(col("pos1") =!= col("pos2"))
         .select(col("pos2").as("pos1"), col("pos1").as("pos2"), col("cov")))
       // integer units: cov in 1e-6 (exact — cov is rounded to 6 decimals)
