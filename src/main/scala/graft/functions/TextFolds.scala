@@ -553,3 +553,58 @@ case class BigramFeatureCountFold(child: Expression, nBuckets: Int)
       newChild: Expression): BigramFeatureCountFold =
     copy(child = newChild)
 }
+
+/** Per-document term counts as ONE compiled pass: tokens →
+  * MAP<token, count>. Replaces the retrieval family's shared
+  * `explode(tokens)` + `groupBy(doc_id, w).count()` base — a shuffle that
+  * carries one row per corpus TOKEN — with a map-side histogram whose
+  * explode yields one row per DISTINCT term per doc (~40 % of tokens on
+  * natural text, and already grouped: no (doc, w) exchange at all).
+  * NULL array → NULL; NULL tokens are skipped (split() arrays contain
+  * none; the exploded original would group them under a NULL key). */
+case class TokenCountsFold(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "token_counts_fold"
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${t.sql}")
+  }
+
+  def compute(a: ArrayData): org.apache.spark.sql.catalyst.util.MapData = {
+    val n = a.numElements()
+    val m = new java.util.LinkedHashMap[UTF8String, java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val w = a.getUTF8String(i)
+        val prev = m.get(w)
+        m.put(w, if (prev == null) 1L else prev + 1L)
+      }
+      i += 1
+    }
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var o = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(o) = e.getKey; vals(o) = e.getValue; o += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  override def nullSafeEval(c: Any): Any = compute(c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tcFold", this, classOf[TokenCountsFold].getName)
+    val md = classOf[org.apache.spark.sql.catalyst.util.MapData].getName
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = ($md) $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCountsFold =
+    copy(child = newChild)
+}

@@ -144,4 +144,11 @@ object TextFunctions {
     org.apache.spark.sql.graftshim.GraftSql.column(
       BigramFeatureCountFold(org.apache.spark.sql.graftshim.GraftSql
         .expression(toks), nBuckets))
+
+  /** per-doc term-count map ([[TokenCountsFold]]) — exploding it yields
+    * the (doc_id, w, c) base relation with NO (doc, word) shuffle */
+  def tokenCounts(toks: Column): Column =
+    org.apache.spark.sql.graftshim.GraftSql.column(
+      TokenCountsFold(org.apache.spark.sql.graftshim.GraftSql
+        .expression(toks)))
 }

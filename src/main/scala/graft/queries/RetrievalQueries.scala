@@ -38,12 +38,16 @@ object RetrievalQueries {
     Tables.load(s, dir, name)
 
   /** (doc_id, w, c): per-document term counts — the shared base relation of
-    * the retrieval family. One explode + one (doc, word) shuffle with
-    * map-side partial counts. */
+    * the retrieval family. ONE map-side fold per doc (TokenCountsFold →
+    * MAP<term, count>) exploded to rows: no (doc, word) shuffle at all,
+    * and the explode emits one row per DISTINCT term per doc instead of
+    * one per token. Identical row set to the explode + groupBy it
+    * replaced (TextFoldEquivalenceSpec). */
   private def wordCounts(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions
+          .tokenCounts(split(col("text"), " "))).as(Seq("w", "c")))
 
   /** BM25 parameters (Robertson k1/b defaults) and the fixed query. */
   private val bm25K1 = 1.2

@@ -61,12 +61,20 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
                              * cannot share a compensating framing bug.
                              * Grammar per the public protocol doc
                              * (docs.nats.io client protocol). */
-                           strict: Boolean = false) {
+                           strict: Boolean = false,
+                           /** cluster topology to advertise as
+                             * `connect_urls` in INFO ("host:port" entries)
+                             * — what a clustered nats-server sends so
+                             * clients can fail over to siblings */
+                           advertiseUrls: () => Seq[String] = () => Nil) {
 
   private val mapper = new ObjectMapper()
   private var server: ServerSocket = _
   @volatile private var running = false
   private val connSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** live connections, for async INFO pushes ([[pushInfoUpdate]]) */
+  private val liveConns =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[AnyRef]()
 
   private sealed trait ConsumerKind
   private case object Ordered extends ConsumerKind
@@ -190,7 +198,10 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
     // the client's CONNECT
     locally {
       val out = rawSocket.getOutputStream
-      out.write((s"""INFO {"server_id":"graft-mini","server_name":"graft-mini","version":"2.10.0-graft","proto":1,"headers":true,"nonce":"$nonce"${if (tlsContext.isDefined) ",\"tls_required\":true" else ""}${if (authRequired) ",\"auth_required\":true" else ""}}\r\n""").getBytes(UTF_8))
+      val cu = advertiseUrls()
+      val cuField = if (cu.isEmpty) ""
+        else cu.map(u => "\"" + u + "\"").mkString(",\"connect_urls\":[", ",", "]")
+      out.write((s"""INFO {"server_id":"graft-mini","server_name":"graft-mini","version":"2.10.0-graft","proto":1,"headers":true,"nonce":"$nonce"$cuField${if (tlsContext.isDefined) ",\"tls_required\":true" else ""}${if (authRequired) ",\"auth_required\":true" else ""}}\r\n""").getBytes(UTF_8))
       out.flush()
     }
     tlsContext.foreach { ctx =>
@@ -202,6 +213,7 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
       socket = tls
     }
     val conn = new Conn(socket)
+    liveConns.add(conn)
     // strict-parser rejection: -ERR with the real server's status text,
     // then drop the connection (the documented parser behavior)
     final class ProtocolAbort(msg: String) extends RuntimeException(msg)
@@ -330,8 +342,24 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
       case _: ProtocolAbort => ()
       case _: NumberFormatException => () // tolerant mode, garbage line
     } finally {
+      liveConns.remove(conn)
       try conn.flushOut() catch { case _: Exception => () }
       try socket.close() catch { case _: Exception => () }
+    }
+  }
+
+  /** Push an INFO update (with the CURRENT `advertiseUrls()`) to every
+    * live connection — what a real nats-server does when cluster
+    * membership changes, so clients can learn new siblings mid-session.
+    * Writes are frame-atomic under the connection's write lock. */
+  def pushInfoUpdate(): Unit = {
+    val cu = advertiseUrls()
+    val cuField = if (cu.isEmpty) ""
+      else cu.map(u => "\"" + u + "\"").mkString(",\"connect_urls\":[", ",", "]")
+    val line = s"""INFO {"server_id":"graft-mini","server_name":"graft-mini","version":"2.10.0-graft","proto":1,"headers":true$cuField}\r\n"""
+    liveConns.forEach { c =>
+      val conn = c.asInstanceOf[Conn]
+      try { conn.write(line); conn.flushOut() } catch { case _: Exception => () }
     }
   }
 

@@ -72,6 +72,32 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
   private val mapper = new ObjectMapper()
   private val sids = new java.util.concurrent.atomic.AtomicLong(0L)
   private val inboxes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Cluster topology the SERVER advertises (`connect_urls` in INFO — sent
+    * at connect and pushed asynchronously when membership changes). Real
+    * clients merge these into their reconnect pool (jnats/cnats discovered
+    * servers); without it a client pinned to one seed address goes dark
+    * when that seed is rolled, even though its INFO named the survivors.
+    * Bounded (8) and primary-excluded; every lane dial falls back through
+    * it when the seed address refuses/times out. */
+  private val discovered =
+    new java.util.concurrent.CopyOnWriteArraySet[(String, Int)]()
+
+  private def mergeDiscovered(info: JsonNode): Unit = {
+    val urls = info.get("connect_urls")
+    if (urls != null && urls.isArray) {
+      val it = urls.elements()
+      while (it.hasNext && discovered.size < 8) {
+        val hp = it.next().asText("")
+        val ci = hp.lastIndexOf(':')
+        if (ci > 0) {
+          val h = hp.substring(0, ci)
+          val p = try hp.substring(ci + 1).toInt catch { case _: Exception => -1 }
+          if (p > 0 && !(h == host && p == port)) discovered.add((h, p))
+        }
+      }
+    }
+  }
   /** group claims awaiting ack: (stream, group, seq) → ack subject */
   private val ackSubjects =
     new scala.collection.concurrent.TrieMap[(String, String, Long), String]()
@@ -108,17 +134,45 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     private var socket: Socket = _
     private var in: InputStream = _
     private var out: OutputStream = _
+    /** the address this lane actually landed on (primary, or a discovered
+      * sibling after seed-failure fallback) — TLS upgrades use it */
+    private var laneHost: String = host
+    private var lanePort: Int = port
 
     locally {
-      val s = new Socket()
-      try s.connect(new InetSocketAddress(host, port), timeoutMs.toInt)
-      catch {
-        case _: java.net.SocketTimeoutException =>
-          throw new NatsConnectException("Failed to connect to NATS: Timeout")
-        case _: java.io.IOException =>
-          throw new NatsConnectException(
-            "Failed to connect to NATS: No server available for connection")
+      // dial the seed address first; when it refuses or times out, fall
+      // back through the server-advertised `connect_urls` pool — the
+      // standard NATS client reconnect behavior (a rolled seed node's
+      // siblings keep the client alive). All-fail → the SEED's error shape.
+      def dial(h: String, p: Int): Socket = {
+        val s = new Socket()
+        try { s.connect(new InetSocketAddress(h, p), timeoutMs.toInt); s }
+        catch {
+          case e: Exception =>
+            (try s.close() catch { case _: Exception => () }): Unit
+            throw e
+        }
       }
+      val s =
+        try dial(host, port)
+        catch {
+          case primaryErr: Exception =>
+            val it = discovered.iterator()
+            var got: Socket = null
+            while (got == null && it.hasNext) {
+              val (h, p) = it.next()
+              try { got = dial(h, p); laneHost = h; lanePort = p }
+              catch { case _: Exception => () }
+            }
+            if (got != null) got
+            else primaryErr match {
+              case _: java.net.SocketTimeoutException =>
+                throw new NatsConnectException("Failed to connect to NATS: Timeout")
+              case _ =>
+                throw new NatsConnectException(
+                  "Failed to connect to NATS: No server available for connection")
+            }
+        }
       s.setSoTimeout(math.max(timeoutMs, 1000L).toInt)
       s.setTcpNoDelay(true)
       socket = s
@@ -130,6 +184,7 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
         case other => throw new NatsConnectException(
           s"Failed to connect to NATS: protocol error (expected INFO, got $other)")
       }
+      mergeDiscovered(info)
       val tlsRequired = Option(info.get("tls_required")).exists(_.asBoolean(false))
       if (tlsRequired || auth.tls)
         try upgradeTls()
@@ -207,7 +262,7 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
           case None => javax.net.ssl.SSLSocketFactory.getDefault
             .asInstanceOf[javax.net.ssl.SSLSocketFactory]
         }
-      val tls = f.createSocket(socket, host, port, true)
+      val tls = f.createSocket(socket, laneHost, lanePort, true)
         .asInstanceOf[javax.net.ssl.SSLSocket]
       tls.startHandshake()
       socket = tls
@@ -306,6 +361,7 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
             else { got += m; n += 1 }
           case Err(msg) => throw new NatsIOException(s"server error: $msg")
           case Ok => ()
+          case Info(j) => mergeDiscovered(j) // async topology push
           case _ => () // frames for dead sids (drained subscriptions)
         }
       }
@@ -356,6 +412,7 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
             got += 1
           case Err(msg) => throw new NatsIOException(s"server error: $msg")
           case Ok => ()
+          case Info(j) => mergeDiscovered(j) // async topology push
           case _ => () // frames for dead sids
         }
       }

@@ -135,6 +135,16 @@ class TextFoldEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fold.exceptAll(exploded).isEmpty && exploded.exceptAll(fold).isEmpty)
   }
 
+  test("TokenCountsFold == explode + groupBy(doc, w) formulation") {
+    val fold = docs.select(col("doc_id"),
+      explode(TextFunctions.tokenCounts(split(col("text"), " ")))
+        .as(Seq("w", "c")))
+    val grouped = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    assert(fold.exceptAll(grouped).isEmpty && grouped.exceptAll(fold).isEmpty)
+  }
+
   test("roundHalfUp == Spark round(double, 0) on boundary-adversarial values") {
     val vals = Seq(2.5, -2.5, 0.5, -0.5, 3.5, 1.0e8 - 0.5, 2.4999999,
       2.5000001, -2.4999999, -2.5000001, 0.49999999999, 1234567.5,

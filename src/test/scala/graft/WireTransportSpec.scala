@@ -841,4 +841,80 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(stats.length == 25 && stats.forall(_.count == 1L))
     } finally { t.close(); psrv.stop() }
   }
+
+  test("discovered-server failover: a connect_urls sibling keeps the " +
+    "client alive after the seed node dies") {
+    val fb = new FakeJetStreamServer
+    (1L to 20L).foreach(i => fb.publish("cl", i, "cl.x",
+      1700000000000000000L + i * 1000L, Array[Byte](i.toByte)))
+    val sibling = new MiniNatsServer(fb)
+    val portB = sibling.start()
+    // seed advertises the sibling in INFO connect_urls, like a clustered
+    // nats-server; the client's ONLY configured address is the seed
+    val seed = new MiniNatsServer(fb,
+      advertiseUrls = () => Seq(s"127.0.0.1:$portB"))
+    val portA = seed.start()
+    val t = Transport.connect(s"nats://127.0.0.1:$portA", timeoutMs = 1500L)
+    try {
+      assert(t.fetch("cl", 1L, 20L, 100).map(_.seq).toSeq == (1L to 20L),
+        "pre-failover read through the seed")
+      seed.stop()
+      // the pooled lane at the dead seed surfaces ONE retryable wire
+      // error; the re-try checks out a fresh lane whose dial falls back
+      // through the discovered pool to the sibling
+      val healed =
+        try t.fetch("cl", 1L, 20L, 100)
+        catch { case _: NatsIOException => t.fetch("cl", 1L, 20L, 100) }
+      assert(healed.map(_.seq).toSeq == (1L to 20L),
+        "post-failover read must come from the discovered sibling")
+      // subsequent conversations stay healthy (no seed retries in the way)
+      assert(t.streamInfo("cl").lastSeq == 20L)
+    } finally { t.close(); sibling.stop() }
+  }
+
+  test("async INFO push mid-session teaches the client new siblings " +
+    "(the clustered-server topology-change announcement)") {
+    val fb = new FakeJetStreamServer
+    (1L to 5L).foreach(i => fb.publish("ai", i, "ai.x",
+      1700000000000000000L + i * 1000L, Array[Byte](i.toByte)))
+    val sibling = new MiniNatsServer(fb)
+    val portB = sibling.start()
+    @volatile var adv: Seq[String] = Nil
+    val seed = new MiniNatsServer(fb, advertiseUrls = () => adv)
+    val portA = seed.start()
+    val t = Transport.connect(s"nats://127.0.0.1:$portA", timeoutMs = 1500L)
+    try {
+      // initial INFO advertised NOTHING — the pool starts empty
+      assert(t.fetch("ai", 1L, 5L, 10).size == 5)
+      adv = Seq(s"127.0.0.1:$portB")
+      seed.pushInfoUpdate()
+      // the next conversation drains the pushed INFO and merges the pool
+      assert(t.streamInfo("ai").lastSeq == 5L)
+      seed.stop()
+      val healed =
+        try t.fetch("ai", 1L, 5L, 10)
+        catch { case _: NatsIOException => t.fetch("ai", 1L, 5L, 10) }
+      assert(healed.map(_.seq).toSeq == (1L to 5L),
+        "post-push failover must reach the announced sibling")
+    } finally { t.close(); sibling.stop() }
+  }
+
+  test("no discovered pool -> seed death keeps the original error shape") {
+    val fb = new FakeJetStreamServer
+    fb.publish("solo", 1L, "solo.x", 1700000000000000000L, Array[Byte](1))
+    val solo = new MiniNatsServer(fb)
+    val port = solo.start()
+    val t = Transport.connect(s"nats://127.0.0.1:$port", timeoutMs = 1500L)
+    try {
+      assert(t.fetch("solo", 1L, 1L, 10).size == 1)
+      solo.stop()
+      // torn pooled lane first, then the fresh dial fails with the
+      // connect shape — no silent hang, no bogus fallback
+      val e = intercept[RuntimeException] {
+        (1 to 3).foreach(_ => t.fetch("solo", 1L, 1L, 10))
+      }
+      assert(e.isInstanceOf[NatsIOException] ||
+        e.isInstanceOf[NatsConnectException], s"got $e")
+    } finally t.close()
+  }
 }
