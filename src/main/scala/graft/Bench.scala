@@ -34,6 +34,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // a 221-query session cycles ~3k codegen fragments through the
       // default 100-entry compile cache, recompiling shared subtrees
       // (wordCounts/nllFrame & co.) on nearly every query — measured 25-30%

@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // SQL surface: makes `FROM nats_scan(...)` and the proto/similarity
+      // SQL functions resolvable in the graded session
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // a 221-query session cycles ~3k codegen fragments through the
       // default 100-entry compile cache, recompiling shared subtrees
       // (wordCounts/nllFrame & co.) on nearly every query — measured 25-30%

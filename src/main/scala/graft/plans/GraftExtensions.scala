@@ -95,5 +95,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "graft_hash60(s) takes 1 argument")
         GraftSql.resolvedExpression(Similarity.hash60(GraftSql.column(args(0))))
       }))
+
+    // THE reference API: `FROM nats_scan('stream', 'url', 'nats://…', …)`
+    // (/root/reference/src/nats_scan.cpp:844-857 registers the DuckDB table
+    // function; docs/GUIDE.md's every example query starts there). The TVF
+    // resolves to the SAME DataSource-V2 relation `spark.read
+    // .format("nats_scan")` builds — one bind path, one option grammar,
+    // full pushdown (seq/ts/subject filters, column pruning) because the
+    // analyzer sees a plain DSv2 relation. Options follow the scan option
+    // vocabulary as ('key', 'value') literal pairs after the stream name —
+    // bind-time literals, exactly like the reference's named parameters.
+    ext.injectTableFunction((
+      new FunctionIdentifier("nats_scan"),
+      new ExpressionInfo(classOf[graft.sources.NatsScanSource].getName,
+        "nats_scan"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length % 2 == 1,
+          "nats_scan('stream'[, 'key', 'value']...) takes a stream name " +
+            "followed by option key/value pairs (all string literals)")
+        val strs = args.zipWithIndex.map { case (e, i) =>
+          litString(e, if (i == 0) "stream" else s"argument ${i + 1}")
+        }
+        val opts = strs.tail.grouped(2).map { case Seq(k, v) => k -> v }.toMap
+        val spark = org.apache.spark.sql.SparkSession.active
+        GraftSql.logicalPlan(
+          spark.read.format("nats_scan")
+            .options(opts + ("stream" -> strs.head)).load())
+      }))
   }
 }

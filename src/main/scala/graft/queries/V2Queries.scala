@@ -38,6 +38,18 @@ object V2Queries {
         .select("seq", "subject", "ts_nats")
         .orderBy("seq")),
 
+    // THE reference's SQL shape verbatim: `FROM nats_scan('stream', …)`
+    // (src/nats_scan.cpp:844-857; every docs/GUIDE.md example). The
+    // injected table function (plans/GraftExtensions) resolves to the SAME
+    // DSv2 relation as `spark.read.format("nats_scan")`, so the WHERE
+    // range still reaches the scan as a pushed filter — asserted in
+    // GraftExtensionsSpec; this entry hash-gates the results end-to-end.
+    "v2_sql_tvf" -> ((s, dir) => s.sql(
+      s"""SELECT subject, count(*) AS n, min(seq) AS min_seq, max(seq) AS max_seq
+         |FROM nats_scan('events', 'dir', '$dir')
+         |WHERE seq BETWEEN 101 AND 700
+         |GROUP BY subject ORDER BY subject""".stripMargin)),
+
     // stream HEAD: ORDER BY seq LIMIT n rides the top-n pushdown
     // (SupportsPushDownTopN → per-partition early stop over the seq-sorted
     // layouts) — this entry hash-verifies that the early-stop returns
@@ -134,6 +146,11 @@ object V2Queries {
 
       "v2_stream_head" ->
         s"$env SELECT seq, subject, ts_nats FROM env ORDER BY seq LIMIT 100",
+
+      "v2_sql_tvf" ->
+        s"""$env SELECT subject, count(*) AS n, min(seq) AS min_seq, max(seq) AS max_seq
+           | FROM env WHERE seq BETWEEN 101 AND 700
+           | GROUP BY subject ORDER BY subject""".stripMargin,
 
       "v2_time_subject" ->
         s"""$env SELECT subject, count(*) AS n, min(seq) AS min_seq, max(seq) AS max_seq

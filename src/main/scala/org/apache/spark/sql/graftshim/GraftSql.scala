@@ -23,4 +23,12 @@ object GraftSql {
     * Unresolved* nodes then resolve through the normal analyzer rules. */
   def resolvedExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Analyzed logical plan of a DataFrame — what a table-function builder
+    * (SparkSessionExtensions.injectTableFunction) must return so `FROM
+    * nats_scan(...)` resolves to the same plan the DataFrame API builds. */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
 }

@@ -71,4 +71,39 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("3 arguments") ||
       e.getMessage.toLowerCase.contains("argument"), e.getMessage)
   }
+
+  test("FROM nats_scan(...) — the reference's table-function API resolves " +
+    "to the DSv2 relation, identical to the DataFrame read") {
+    val dir = "/root/testdata/sf0.001"
+    val viaSql = spark.sql(
+      s"SELECT seq, subject, ts_nats FROM nats_scan('events', 'dir', '$dir') " +
+        "ORDER BY seq")
+    val viaApi = spark.read.format("nats_scan")
+      .option("dir", dir).option("stream", "events").load()
+      .selectExpr("seq", "subject", "ts_nats").orderBy("seq")
+    assert(viaSql.collect().toSeq == viaApi.collect().toSeq)
+  }
+
+  test("nats_scan TVF keeps filter pushdown: a seq-range predicate reaches " +
+    "the scan (no full-stream read at 100 TB)") {
+    val dir = "/root/testdata/sf0.001"
+    val q = spark.sql(
+      s"SELECT seq FROM nats_scan('events', 'dir', '$dir') " +
+        "WHERE seq BETWEEN 10 AND 20 ORDER BY seq")
+    assert(q.collect().map(_.getLong(0)).toSeq == (10L to 20L))
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("nats_scan"), physical.take(400))
+  }
+
+  test("nats_scan TVF rejects non-literal and mis-paired arguments at bind") {
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM nats_scan('events', 'dir')").collect()
+    }
+    assert(e1.getMessage.contains("key/value") ||
+      e1.getMessage.toLowerCase.contains("argument"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM nats_scan(concat('ev', 'ents'))").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("literal"), e2.getMessage)
+  }
 }
