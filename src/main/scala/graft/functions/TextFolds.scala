@@ -608,3 +608,58 @@ case class TokenCountsFold(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): TokenCountsFold =
     copy(child = newChild)
 }
+
+/** Distinct k-token span hashes per document, ONE compiled pass: h(i) =
+  * the exact multi-argument `xxhash64(t[i], …, t[i+k−1])` value (seed 42,
+  * per-field chaining via Spark's own XxHash64Function; NULL fields skip
+  * the chain step, as in the expression) — then distinct, ascending.
+  * Replaces the span-dedup detection's per-POSITION explode + top-level
+  * xxhash64 + a (doc, hash) DISTINCT exchange: the fold emits each doc's
+  * deduplicated span-hash set map-side, so only distinct spans ever enter
+  * a shuffle. NULL array → NULL; fewer than k tokens → empty array. */
+case class SpanHashesFold(child: Expression, k: Int) extends UnaryExpression {
+  override def prettyName: String = "span_hashes_fold"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${t.sql}")
+  }
+
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val m = n - k + 1
+    if (m < 1) return new GenericArrayData(Array.emptyLongArray)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < m) {
+      var h = 42L
+      var j = i
+      while (j < i + k) {
+        if (!a.isNullAt(j))
+          h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(a.getUTF8String(j), StringType, h)
+        j += 1
+      }
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(c: Any): Any = compute(c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shFold", this, classOf[SpanHashesFold].getName)
+    val ad = classOf[ArrayData].getName
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = ($ad) $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SpanHashesFold =
+    copy(child = newChild)
+}

@@ -151,4 +151,12 @@ object TextFunctions {
     org.apache.spark.sql.graftshim.GraftSql.column(
       TokenCountsFold(org.apache.spark.sql.graftshim.GraftSql
         .expression(toks)))
+
+  /** per-doc DISTINCT k-token span hashes ([[SpanHashesFold]]) — the exact
+    * multi-arg xxhash64 values, deduplicated map-side (no explode + no
+    * (doc, hash) distinct exchange) */
+  def spanHashes(toks: Column, k: Int): Column =
+    org.apache.spark.sql.graftshim.GraftSql.column(
+      SpanHashesFold(org.apache.spark.sql.graftshim.GraftSql
+        .expression(toks), k))
 }

@@ -486,32 +486,21 @@ object Dedup {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 16): DataFrame = {
     require(k >= 2 && k <= 32, s"span width out of range: $k")
-    // Shape: explode POSITIONS, then hash at the top level of the
-    // projection — NOT transform(sequence(...), i -> xxhash64(...)) into
-    // an array that explode consumes. Two reasons, one of them 40×:
-    //   1. a top-level xxhash64 over element_at's is whole-stage-codegen'd;
-    //      a lambda body is interpreted per element;
-    //   2. explode over a computed array re-evaluates the generator child
-    //      per EMITTED row — the O(positions) lambda ran per span, making
-    //      span extraction O(positions²) per doc (52 s at sf0.1; this
-    //      shape: 1.3 s, identical output).
-    // ANSI traps: the size(w) >= k filter runs below the Generate in the
-    // same codegen stage (a generator is never hoisted below its filter),
-    // so sequence(1, size-k+1) is always ascending and every element_at
-    // index i+j ≤ size(w) is in bounds by construction.
-    val pos = df
-      .select(col(idCol), tokens(col(textCol)).as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col(idCol), col("w"),
-        explode(expr(s"sequence(1, size(w) - ${k - 1})")).as("i"))
     // per-doc DISTINCT spans: a doc repeating its own span twice is
     // within-doc repetition (pipe_doc_repetition's job), not corpus dup.
-    // Only (id, 8-byte span hash) enters the distinct shuffle — the token
-    // array w never leaves the map stage.
-    val perDoc = pos.select(col(idCol),
-        xxhash64((0 until k).map(j =>
-          element_at(col("w"), col("i") + lit(j))): _*).as("h"))
-      .distinct()
+    // ONE native fold per doc (SpanHashesFold — the exact multi-arg
+    // xxhash64 chain, deduplicated in the fold) replaces the history here:
+    // v1 was a transform(sequence) lambda explode that re-evaluated the
+    // generator child per emitted row — O(positions²) per doc, 52 s at
+    // sf0.1; v2 exploded positions and hashed at the top of the projection
+    // (codegen'd, 1.3 s) but still shuffled one row per span POSITION into
+    // a (id, hash) distinct exchange. The fold emits each doc's distinct
+    // span-hash set map-side — only distinct spans ever reach a shuffle.
+    val perDoc = df
+      .select(col(idCol), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col(idCol),
+        explode(graft.functions.TextFunctions.spanHashes(col("w"), k)).as("h"))
     val nSpans = perDoc.groupBy(idCol)
       .agg(count(lit(1)).cast("int").as("n_spans"))
     val shared = perDoc.groupBy("h").agg(count(lit(1)).as("nd"))
@@ -550,10 +539,11 @@ object Dedup {
     val tok = df.select(col(idCol), tokens(col(textCol)).as("w"))
     def spanHashAt(i: Column): Column =
       xxhash64((0 until k).map(j => element_at(col("w"), i + lit(j))): _*)
-    val pos = tok.filter(size(col("w")) >= k)
-      .select(col(idCol), col("w"),
-        explode(expr(s"sequence(1, size(w) - ${k - 1})")).as("i"))
-    val dup = pos.select(col(idCol), spanHashAt(col("i")).as("h")).distinct()
+    // detection side: per-doc distinct span hashes in ONE fold (see
+    // duplicateSpans) — no position explode, no (id, hash) distinct
+    val dup = tok.filter(size(col("w")) >= k)
+      .select(col(idCol),
+        explode(graft.functions.TextFunctions.spanHashes(col("w"), k)).as("h"))
       .groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("h").as("hd"))

@@ -145,6 +145,24 @@ class TextFoldEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fold.exceptAll(grouped).isEmpty && grouped.exceptAll(fold).isEmpty)
   }
 
+  test("SpanHashesFold == explode + multi-arg xxhash64 + distinct formulation") {
+    for (k <- Seq(2, 16)) {
+      val base = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= k)
+      val fold = base.select(col("doc_id"),
+        explode(TextFunctions.spanHashes(col("w"), k)).as("h"))
+      val exploded = base
+        .select(col("doc_id"), col("w"),
+          explode(expr(s"sequence(1, size(w) - ${k - 1})")).as("i"))
+        .select(col("doc_id"),
+          xxhash64((0 until k).map(j =>
+            element_at(col("w"), col("i") + lit(j))): _*).as("h"))
+        .distinct()
+      assert(fold.exceptAll(exploded).isEmpty && exploded.exceptAll(fold).isEmpty,
+        s"k=$k")
+    }
+  }
+
   test("roundHalfUp == Spark round(double, 0) on boundary-adversarial values") {
     val vals = Seq(2.5, -2.5, 0.5, -0.5, 3.5, 1.0e8 - 0.5, 2.4999999,
       2.5000001, -2.4999999, -2.5000001, 0.49999999999, 1234567.5,
