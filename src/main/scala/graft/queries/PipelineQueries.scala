@@ -93,13 +93,15 @@ object PipelineQueries {
     }),
 
     // token-distribution entropy (quality signal: low entropy = repetitive
-    // doc): H = ln(n) − Σ c·ln(c)/n over per-doc word counts. Two shuffles
-    // on high-cardinality skew-free keys ((doc_id, word) then doc_id) with
-    // map-side partial counts — the same topology at any corpus size.
+    // doc): H = ln(n) − Σ c·ln(c)/n over per-doc word counts. ONE shuffle
+    // (the doc_id rollup) — the same topology at any corpus size.
     "text_entropy" -> ((s, dir) => {
+      // per-doc counts in ONE map-side fold (TokenCountsFold) — the
+      // (doc, word) exchange disappears; only the doc rollup shuffles
       val wc = docs(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions
+            .tokenCounts(split(col("text"), " "))).as(Seq("w", "c")))
       wc.groupBy("doc_id")
         .agg(sum("c").as("n"),
           sum(col("c") * log(col("c"))).as("clc"))

@@ -97,9 +97,10 @@ object TrainingDataQueries {
     // within-document repetition: duplicate-word ratio and top-word
     // fraction (the Gopher repetition-filter signals)
     "pipe_doc_repetition" -> ((s, dir) => {
-      val words = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val wc = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      // per-doc counts in ONE map-side fold — no (doc, word) exchange
+      val wc = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TF.tokenCounts(split(col("text"), " "))).as(Seq("w", "c")))
       wc.groupBy("doc_id")
         .agg(sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
           max("c").as("top_c"))
@@ -117,8 +118,8 @@ object TrainingDataQueries {
     // decision. One scan: the per-row signals (word count, mean word
     // length, stopword hits via the compiled membership fold) ride through
     // the word-count aggregation as grouping keys that are functionally
-    // dependent on doc_id, so the plan is explode → one (doc, word)
-    // shuffle with map-side partial counts → one narrow doc rollup.
+    // dependent on doc_id; per-doc word counts come from the map-side
+    // TokenCountsFold, so the ONLY shuffle is the narrow doc rollup.
     // No second scan, no doc-level self-join.
     "pipe_gopher_rules" -> ((s, dir) => {
       val base = t(s, dir, "documents").select(
@@ -126,8 +127,7 @@ object TrainingDataQueries {
         split(col("text"), " ").as("toks"))
       val d = base.select(col("doc_id"), col("tlen"),
           TF.tokenCountIn(col("toks"), TF.stopwords).cast("long").as("n_stop"),
-          explode(col("toks")).as("w"))
-        .groupBy("doc_id", "tlen", "n_stop", "w").agg(count(lit(1)).as("c"))
+          explode(TF.tokenCounts(col("toks"))).as(Seq("w", "c")))
         .groupBy("doc_id", "tlen", "n_stop")
         .agg(sum("c").as("n_words"), count(lit(1)).as("nd"),
           max("c").as("top_c"))

@@ -15,6 +15,9 @@ class ContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the SQL-surface queries (v2_sql_tvf) need the extension installed,
+    // same as the Verify/Bench sessions the driver runs
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .getOrCreate()
 
   private val dir = "/root/testdata/sf0.001"

@@ -495,17 +495,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     Caches.drain()
   }
 
-  test("embed_covariance: products never pair-join — one bounded hash agg") {
+  test("embed_covariance: products never pair-join — one bounded typed agg") {
     val p = physical(
       graft.queries.RetrievalQueries.queries("embed_covariance")(spark, dir))
-    // the (i,j) products come from chained generators over each row, NOT
-    // from any join of exploded rows: a join formulation shuffles
-    // corpus×64 rows where this plan shuffles 2080 partial sums per task
+    // round 10: the moments come from ONE GramMoments aggregate pass —
+    // no join of any kind remains (the dim sums live in the same buffer),
+    // and the partial→final exchange carries one long[2144] per partition
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    // dim sums and n join back as broadcasts
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(p.contains("Generate"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
     Caches.drain()
   }
 
@@ -738,5 +737,37 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
       }
     }
+  }
+
+  test("covariance plan: ONE aggregate pass, no per-pair Generate — the " +
+    "shuffle carries one moments buffer per partition at any corpus size") {
+    val p = physical(graft.queries.RetrievalQueries
+      .queries("embed_covariance")(spark, dir))
+    // the moments aggregate is an ObjectHashAggregate over the scan; the
+    // only Generates are the 1-row → 2080-cell reshape ABOVE the aggregate
+    assert(p.contains("ObjectHashAggregate"), p.take(800))
+    val scanSide = p.substring(p.indexOf("ObjectHashAggregate"))
+    assert(!scanSide.contains("Generate"),
+      "per-row pair explosion is back below the aggregate:\n" + scanSide.take(800))
+  }
+
+  test("dedup_winnow plan: no Window operator — fingerprints fold map-side") {
+    val p = physical(graft.queries.PipelineQueries
+      .queries("dedup_winnow")(spark, dir))
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "),
+      p.take(800))
+    assert(p.contains("winnow_fp_fold"), p.take(800))
+  }
+
+  test("retrieval word-count base: no (doc, word) exchange — counts fold " +
+    "map-side, the only shuffle is the doc rollup") {
+    val p = physical(graft.queries.PipelineQueries
+      .queries("text_entropy")(spark, dir))
+    assert(p.contains("token_counts_fold"), p.take(800))
+    // exactly ONE exchange: the final doc_id rollup (plus nothing for the
+    // per-word stage, which no longer exists)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected ≤2 Exchange nodes, got $exchanges:\n" +
+      p.take(1200))
   }
 }
