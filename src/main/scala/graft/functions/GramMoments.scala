@@ -97,7 +97,11 @@ object GramMoments {
     udaf(Agg, ExpressionEncoder[Seq[Float]]()).apply(emb)
 
   /** 1-based `element_at` index of Σ round(x_i·x_j·1e8) for 0-based
-    * dimension columns i ≤ j: Dim + i(2·Dim+1−i)/2 + (j−i) + 1. */
+    * dimension columns i ≤ j: Dim + i(2·Dim+1−i)/2 + (j−i) + 1.
+    * Column `/` is double division, but i(129−i) is even and ≤ 64·129 —
+    * far inside double exactness — so the cast back to int is lossless
+    * for every valid (i, j); the GramMoments equivalence spec checks all
+    * 2080 cells. */
   def pairIndex(i: Column, j: Column): Column = {
     import org.apache.spark.sql.functions.lit
     lit(Dim) + (i * (lit(2 * Dim + 1) - i)) / 2 + (j - i) + 1

@@ -91,9 +91,13 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
         val hp = it.next().asText("")
         val ci = hp.lastIndexOf(':')
         if (ci > 0) {
-          val h = hp.substring(0, ci)
+          // IPv6 entries arrive bracketed ("[::1]:4222") — strip for dial
+          val raw = hp.substring(0, ci)
+          val h = if (raw.startsWith("[") && raw.endsWith("]"))
+            raw.substring(1, raw.length - 1) else raw
           val p = try hp.substring(ci + 1).toInt catch { case _: Exception => -1 }
-          if (p > 0 && !(h == host && p == port)) discovered.add((h, p))
+          if (p > 0 && h.nonEmpty && !(h == host && p == port))
+            discovered.add((h, p))
         }
       }
     }
