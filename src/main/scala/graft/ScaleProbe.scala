@@ -102,9 +102,10 @@ object ScaleProbe {
         operators.ScalableWindows.globalLag(seqs, "seq", 65536L, "prev_seq")
           .filter(col("seq") - col("prev_seq") > 7L).count()
       }
-      // span-level dedup: window hashing is map-side, the span-hash count
-      // is partial-agg'd — linear in corpus tokens (replicas multiply the
-      // per-span doc count, not the pair space)
+      // span-level dedup (SHIPPED SpanHashesFold shape: per-doc distinct
+      // span hashes fold map-side, only distinct spans reach a shuffle) —
+      // linear in corpus tokens (replicas multiply the per-span doc count,
+      // not the pair space)
       val (tSpan, nSpanDocs) = time(
         operators.Dedup.duplicateSpans(docs, "doc_id", "text", k = 16).count())
       // global bigram counting: map-side partial counts absorb the Zipf
@@ -136,9 +137,13 @@ object ScaleProbe {
       // sum plus head-broadcast/tail-shuffle joins — linear in corpus
       // tokens; replicas multiply doc rows, the vocabulary stays fixed
       val (tNll, _) = time {
+        // SHIPPED word-count base (TokenCountsFold): counts fold map-side,
+        // no (doc, word) exchange under the whole family
         val wc = docs
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("c")).cache()
+          .select(col("doc_id"),
+            explode(functions.TextFunctions
+              .tokenCounts(split(col("text"), " "))).as(Seq("w", "c")))
+          .cache()
         val uni = wc.groupBy("w").agg(sum("c").as("cw"))
         val tot = uni.agg(sum(col("cw")).as("t_tok"), count(lit(1)).as("v_sz"))
         val lp = uni.crossJoin(broadcast(tot)).select(col("w"),

@@ -110,13 +110,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.sources.NatsScanSource].getName,
         "nats_scan"),
       (args: Seq[Expression]) => {
-        require(args.nonEmpty && args.length % 2 == 1,
-          "nats_scan('stream'[, 'key', 'value']...) takes a stream name " +
-            "followed by option key/value pairs (all string literals)")
-        val strs = args.zipWithIndex.map { case (e, i) =>
+        // options arrive either as ('key', 'value') literal pairs (the
+        // positional form) or as SQL named arguments (`dir => '…'` — the
+        // reference's named-parameter style); both may mix after the
+        // positional stream name
+        import org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression
+        val (named, positional) = args.partition(_.isInstanceOf[NamedArgumentExpression])
+        require(positional.nonEmpty && positional.length % 2 == 1,
+          "nats_scan('stream'[, 'key', 'value']..., [key => 'value']...) " +
+            "takes a stream name, then option key/value pairs (all string " +
+            "literals) and/or named arguments")
+        val strs = positional.zipWithIndex.map { case (e, i) =>
           litString(e, if (i == 0) "stream" else s"argument ${i + 1}")
         }
-        val opts = strs.tail.grouped(2).map { case Seq(k, v) => k -> v }.toMap
+        val opts = strs.tail.grouped(2).map { case Seq(k, v) => k -> v }.toMap ++
+          named.map { case NamedArgumentExpression(key, value) =>
+            key -> litString(value, s"named argument '$key'")
+          }
         val spark = org.apache.spark.sql.SparkSession.active
         GraftSql.logicalPlan(
           spark.read.format("nats_scan")

@@ -95,6 +95,24 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(physical.contains("nats_scan"), physical.take(400))
   }
 
+  test("nats_scan TVF accepts SQL named arguments (the reference's " +
+    "named-parameter style) and mixes them with positional pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val named = spark.sql(
+      s"SELECT seq FROM nats_scan('events', dir => '$dir') " +
+        "WHERE seq <= 5 ORDER BY seq").collect().map(_.getLong(0))
+    assert(named.toSeq == (1L to 5L))
+    val mixed = spark.sql(
+      s"SELECT seq FROM nats_scan('events', 'stream', 'events', dir => '$dir') " +
+        "WHERE seq <= 3 ORDER BY seq").collect().map(_.getLong(0))
+    assert(mixed.toSeq == (1L to 3L))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM nats_scan('events', dir => concat('a', 'b'))")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"), e.getMessage)
+  }
+
   test("nats_scan TVF rejects non-literal and mis-paired arguments at bind") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM nats_scan('events', 'dir')").collect()
