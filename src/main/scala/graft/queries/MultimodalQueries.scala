@@ -69,10 +69,12 @@ object MultimodalQueries {
     // (candidates share at least one band), exact Hamming distance
     // verifies. Only (id, hash, band) rows shuffle; pixels never leave
     // the map side. 100 TB of images dedups on 8-byte fingerprints.
+    // The (doc_id, ahash) frame is materialized once — both sides of the
+    // band self-join read the 16-byte rows, not the PNG decode lineage.
     "mm_phash_dedup" -> ((s, dir) => {
       import s.implicits._
-      val ph = Multimodal.perceptualHash(
-          Multimodal.synthesizePng(Tables.load(s, dir, "documents"))).toDF()
+      val ph = graft.Caches.tracked(Multimodal.perceptualHash(
+          Multimodal.synthesizePng(Tables.load(s, dir, "documents"))).toDF())
       val bands = ph.select(col("doc_id"), col("ahash"),
           explode(expr("sequence(0, 3)")).as("b"))
         .withColumn("band_val",
