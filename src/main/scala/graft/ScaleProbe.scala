@@ -306,6 +306,35 @@ object ScaleProbe {
       }
       d16.unpersist(): Unit
     }
+
+    // PERSISTED dedup-index sweep (DedupIndex): build cost must grow
+    // linearly with the corpus; the probe join consumes the bucketed
+    // layout (index side never shuffles), so probe cost tracks batch +
+    // candidate volume, not a re-shuffle of the whole index. Pairs double
+    // per corpus doubling exactly like dedup_incremental's band join.
+    locally {
+      println(f"${"k"}%3s ${"docs"}%8s ${"didx_build_s"}%13s ${"didx_probe_s"}%13s ${"probe_pairs"}%12s")
+      Seq(1, 4, 16, 32).foreach { k =>
+        val dk = replicate(k).cache()
+        dk.count()
+        val corpus = dk.filter(pmod(col("doc_id"), lit(10)) < 8)
+        val batch = dk.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        val idxDir = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_didx_$k").toString
+        val (tBuild, _) = time {
+          operators.DedupIndex.build(corpus, "doc_id", "text",
+            operators.DedupIndex.Spec(numHashes = 16, bands = 4,
+              buckets = 8), idxDir)
+          0L
+        }
+        val (tProbe, nPairs) = time(
+          operators.DedupIndex.probePairs(spark, idxDir, batch,
+            "doc_id", "text", minEst = 0.5).count())
+        println(f"$k%3d ${dk.count()}%8d $tBuild%13.2f $tProbe%13.2f $nPairs%12d")
+        dk.unpersist(): Unit
+        Caches.drain()
+      }
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent MinHash-LSH dedup index: sign the corpus once, save the band
+  * relation BUCKETED by band key, reload and probe every arriving batch —
+  * the other half of the `dedup_incremental` story. That query shows the
+  * O(batch) join INTO an in-session index; this operator is what a
+  * production pipeline actually persists between runs (reference behavior:
+  * stream-scoped dedup state that outlives a query, cf. the durable
+  * consumer cursors of `/root/reference/src/nats_scan.cpp`'s JetStream
+  * scans — state survives the process, work per arrival stays O(new)).
+  *
+  * On-disk layout (all parquet, all bucketed):
+  *   `indexDir/bands` — (bk STRING, doc_id LONG), bucketed + sorted by
+  *       `bk` = "band:band_key". Bucketing is the 100 TB lever: a probe
+  *       join on `bk` reuses the files' hash layout, so the BILLION-row
+  *       index side never shuffles — only the arriving batch is exchanged
+  *       (asserted in `DedupIndexSpec`). A fresh shuffle of the index side
+  *       at every batch would dwarf the probe itself.
+  *   `indexDir/sigs` — (doc_id LONG, sig ARRAY<LONG>), bucketed + sorted
+  *       by `doc_id`: the verify join (candidate pairs → signature
+  *       agreement) co-locates the same way.
+  *   `indexDir/meta` — one row (num_hashes, bands, buckets).
+  *
+  * Bucketed parquet needs a catalog entry to be read AS bucketed (the
+  * bucket spec lives in the table definition, not the files), so
+  * [[ensureRegistered]] re-issues `CREATE TABLE … CLUSTERED BY … INTO n
+  * BUCKETS LOCATION …` DDL in any session that doesn't know the table yet
+  * — sessions come and go, the index and its layout don't.
+  *
+  * `build(a); append(b)` is probe-identical to `build(a ∪ b)`: signatures
+  * are a pure per-row function and appended files land in the same bucket
+  * layout (saveAsTable append validates the spec) — `DedupIndexSpec`
+  * asserts row identity, and `probePairs` results equal
+  * [[Dedup.incrementalMinhashPairs]] over the same split (the
+  * `dedup_index_probe` oracle reuses the `dedup_incremental` SQL shape).
+  */
+object DedupIndex {
+
+  final case class Spec(numHashes: Int, bands: Int, buckets: Int)
+
+  /** deterministic per-location table names (catalog-safe identifier) */
+  private def base(indexDir: String): String =
+    "graft_dedup_idx_" + java.lang.Integer.toHexString(indexDir.hashCode)
+
+  private def bandsTable(indexDir: String): String = base(indexDir) + "_bands"
+  private def sigsTable(indexDir: String): String = base(indexDir) + "_sigs"
+
+  private def bandRows(docs: DataFrame, idCol: String, textCol: String,
+                       spec: Spec): (DataFrame, DataFrame) = {
+    val sig = Dedup.minhashSignatures(docs, idCol, textCol, spec.numHashes)
+    val sigs = sig.select(col(idCol).cast("long").as("doc_id"), col("sig"))
+    val bands = Dedup.minhashBands(sig, idCol, spec.numHashes, spec.bands)
+      .select(concat_ws(":", col("band"), col("band_key")).as("bk"),
+        col(idCol).cast("long").as("doc_id"))
+    (bands, sigs)
+  }
+
+  def build(docs: DataFrame, idCol: String, textCol: String, spec: Spec,
+            indexDir: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(indexDir)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${sigsTable(indexDir)}")
+    val (bands, sigs) = bandRows(docs, idCol, textCol, spec)
+    bands.write.format("parquet").mode("overwrite")
+      .bucketBy(spec.buckets, "bk").sortBy("bk")
+      .option("path", s"$indexDir/bands").saveAsTable(bandsTable(indexDir))
+    sigs.write.format("parquet").mode("overwrite")
+      .bucketBy(spec.buckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$indexDir/sigs").saveAsTable(sigsTable(indexDir))
+    Seq((spec.numHashes, spec.bands, spec.buckets))
+      .toDF("num_hashes", "bands", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  def loadSpec(spark: SparkSession, indexDir: String): Spec = {
+    val r = spark.read.parquet(s"$indexDir/meta").collect().head
+    Spec(r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Re-register the bucketed tables in THIS session's catalog (no-op if
+    * already known). The DDL carries the bucket spec; the data files are
+    * untouched. */
+  def ensureRegistered(spark: SparkSession, indexDir: String): Spec = {
+    val spec = loadSpec(spark, indexDir)
+    def register(table: String, dataDir: String, bucketCol: String): Unit =
+      if (!spark.catalog.tableExists(table)) {
+        val ddlCols = spark.read.parquet(dataDir).schema.toDDL
+        spark.sql(
+          s"""CREATE TABLE $table ($ddlCols) USING PARQUET
+             |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+             |INTO ${spec.buckets} BUCKETS
+             |LOCATION '$dataDir'""".stripMargin)
+      }
+    register(bandsTable(indexDir), s"$indexDir/bands", "bk")
+    register(sigsTable(indexDir), s"$indexDir/sigs", "doc_id")
+    spec
+  }
+
+  /** INCREMENTAL append: sign ONLY the new docs and add their band/sig
+    * rows into the existing bucket layout — O(new docs) work, the resident
+    * index files are never read or rewritten. */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+             indexDir: String): Unit = {
+    val spark = docs.sparkSession
+    val spec = ensureRegistered(spark, indexDir)
+    val (bands, sigs) = bandRows(docs, idCol, textCol, spec)
+    bands.write.format("parquet").mode("append")
+      .bucketBy(spec.buckets, "bk").sortBy("bk")
+      .option("path", s"$indexDir/bands").saveAsTable(bandsTable(indexDir))
+    sigs.write.format("parquet").mode("append")
+      .bucketBy(spec.buckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$indexDir/sigs").saveAsTable(sigsTable(indexDir))
+  }
+
+  /** Probe an arriving batch against the persisted index: band-key join →
+    * distinct candidate pairs → signature-agreement estimate ≥ `minEst`.
+    * Row-identical to [[Dedup.incrementalMinhashPairs]](batch, corpus) for
+    * an index built over the same corpus. Only the batch side shuffles on
+    * `bk`; the index scan arrives pre-hashed (bucketed) and pre-sorted. */
+  def probePairs(spark: SparkSession, indexDir: String, batch: DataFrame,
+                 idCol: String, textCol: String,
+                 minEst: Double = 0.5): DataFrame = {
+    val spec = ensureRegistered(spark, indexDir)
+    val sigNew = graft.Caches.tracked(
+      Dedup.minhashSignatures(batch, idCol, textCol, spec.numHashes))
+    val bNew = Dedup.minhashBands(sigNew, idCol, spec.numHashes, spec.bands)
+      .select(concat_ws(":", col("band"), col("band_key")).as("bk"),
+        col(idCol).cast("long").as("new_id"))
+    val bIdx = spark.table(bandsTable(indexDir))
+      .select(col("bk"), col("doc_id").as("index_id"))
+    val cand = bNew.join(bIdx, "bk")
+      .select("new_id", "index_id").distinct()
+    val sigIdx = spark.table(sigsTable(indexDir))
+    cand
+      .join(sigNew.select(col(idCol).cast("long").as("new_id"),
+        col("sig").as("s1")), "new_id")
+      .join(sigIdx.select(col("doc_id").as("index_id"),
+        col("sig").as("s2")), "index_id")
+      .withColumn("est_jaccard",
+        expr("CAST(size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) AS DOUBLE)" +
+          s" / CAST(${spec.numHashes} AS DOUBLE)"))
+      .filter(col("est_jaccard") >= minEst)
+      .select("new_id", "index_id", "est_jaccard")
+  }
+}

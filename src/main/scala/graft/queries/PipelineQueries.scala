@@ -178,6 +178,30 @@ object PipelineQueries {
         .orderBy("new_id", "index_id")
     }),
 
+    // PERSISTED dedup index: the band relation dedup_incremental joins
+    // into, written once as a band-key-BUCKETED parquet table, appended
+    // incrementally (O(new docs), resident files untouched), reloaded by
+    // catalog DDL, and probed — the probe join consumes the bucket layout,
+    // so the billion-row index side never shuffles (only the arriving
+    // batch is exchanged; asserted in `DedupIndexSpec`). Same pair
+    // semantics as dedup_incremental, so the oracle is the same SQL.
+    "dedup_index_probe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_dedup_index").toString
+      graft.operators.DedupIndex.build(
+        d.filter(pmod(col("doc_id"), lit(10)) < 6), "doc_id", "text",
+        graft.operators.DedupIndex.Spec(numHashes = 16, bands = 4,
+          buckets = 8), idx)
+      graft.operators.DedupIndex.append(
+        d.filter(pmod(col("doc_id"), lit(10)).between(6, 7)),
+        "doc_id", "text", idx)
+      graft.operators.DedupIndex.probePairs(s, idx,
+          d.filter(pmod(col("doc_id"), lit(10)) >= 8),
+          "doc_id", "text", minEst = 0.5)
+        .orderBy("new_id", "index_id")
+    }),
+
     // Bloom-prefiltered EXACT incremental dedup: the arriving batch (last
     // 20% of doc ids, with every third doc carrying a PLANTED copy of a
     // corpus doc's text so the fixture actually exercises the drop path)
@@ -1449,6 +1473,38 @@ object PipelineQueries {
     },
 
     "dedup_incremental" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      sh AS (SELECT doc_id,
+                    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   FOR i IN range(1, len(w) - 1)]) AS sh
+             FROM t),
+      base AS (SELECT doc_id, list_transform(sh, s -> ${h("s")} & 1073741823) AS bs
+               FROM sh),
+      sig AS (SELECT doc_id,
+                     [list_min(list_transform(bs, x ->
+                        (x * (2 * h + 1) + h * 40503) % 1073741789))
+                      FOR h IN range(0, 16)] AS sig
+              FROM base),
+      keyed AS (SELECT doc_id, sig, b,
+                       array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',') AS band_key
+                FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      pairs AS (SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+                FROM keyed n JOIN keyed i
+                  ON n.b = i.b AND n.band_key = i.band_key
+                WHERE n.doc_id % 10 >= 8 AND i.doc_id % 10 < 8),
+      est AS (SELECT new_id, index_id,
+                     len(list_filter([x.sig[i] = y.sig[i] FOR i IN range(1, 17)], v -> v)) / 16.0 AS est_jaccard
+              FROM pairs JOIN sig x ON pairs.new_id = x.doc_id
+                         JOIN sig y ON pairs.index_id = y.doc_id)
+      SELECT new_id, index_id, est_jaccard FROM est
+      WHERE est_jaccard >= 0.5 ORDER BY new_id, index_id""",
+
+    // identical pair semantics to dedup_incremental: build(<6) + append
+    // ([6,8)) then probe(>=8) must equal the one-shot in-session join of
+    // the batch against the first 80% — the index lifecycle adds no/loses
+    // no pairs
+    "dedup_index_probe" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
                  WHERE len(string_split(text, ' ')) >= 3),
       sh AS (SELECT doc_id,

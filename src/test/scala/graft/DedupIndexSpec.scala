@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.{Dedup, DedupIndex}
+
+/** Persistent MinHash-LSH dedup index lifecycle: build → append → reload →
+  * probe must reproduce the in-session `incrementalMinhashPairs` exactly,
+  * and the probe join must consume the index's BUCKETED layout (no
+  * Exchange on the index scan side) — the property that keeps the
+  * billion-row side of every arriving batch's dedup join shuffle-free. */
+class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables.load(spark, dir, "documents")
+    .select(col("doc_id"), col("text"))
+
+  private val spec = DedupIndex.Spec(numHashes = 16, bands = 4, buckets = 4)
+
+  private def sorted(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("new_id", "index_id").collect().toSeq
+
+  test("build + append probe == in-session incrementalMinhashPairs == " +
+    "single build over the union") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_didx").toString
+    val corpusA = docs.filter(pmod(col("doc_id"), lit(10)) < 6)
+    val corpusB = docs.filter(pmod(col("doc_id"), lit(10)).between(6, 7))
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+
+    DedupIndex.build(corpusA, "doc_id", "text", spec, idx)
+    DedupIndex.append(corpusB, "doc_id", "text", idx)
+    val probed = sorted(
+      DedupIndex.probePairs(spark, idx, batch, "doc_id", "text", minEst = 0.5))
+
+    val inSession = sorted(Dedup.incrementalMinhashPairs(
+      batch, docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+      "doc_id", "text", numHashes = 16, bands = 4, minEst = 0.5))
+    assert(probed.nonEmpty, "fixture must produce candidate pairs")
+    assert(probed == inSession)
+
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_didx2").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+      "doc_id", "text", spec, idx2)
+    assert(sorted(DedupIndex.probePairs(spark, idx2, batch,
+      "doc_id", "text", minEst = 0.5)) == probed)
+  }
+
+  test("catalog-loss reload: dropped tables re-register from disk DDL, " +
+    "probe identical, scan still bucketed") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_didx3").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+      "doc_id", "text", spec, idx)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val before = sorted(
+      DedupIndex.probePairs(spark, idx, batch, "doc_id", "text"))
+
+    // simulate a NEW session: the catalog forgets the tables, the files stay
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_dedup_idx_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    val after = DedupIndex.probePairs(spark, idx, batch, "doc_id", "text")
+    assert(sorted(after) == before)
+
+    // the re-issued DDL carries the bucket spec (a bare scan-only query
+    // legitimately reports "disabled by query planner" — assert the
+    // catalog metadata, which is what joins consume)
+    val tbl = spark.catalog.listTables().collect()
+      .map(_.name).find(_.endsWith("_bands")).get
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+      .collect().map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+    assert(desc.contains("Num Buckets 4") && desc.contains("Bucket Columns"),
+      desc)
+  }
+
+  test("probe join keeps the index side shuffle-free (bucketed scan, " +
+    "no Exchange above it)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_didx4").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+      "doc_id", "text", spec, idx)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    // force a non-broadcast plan so the bucketing (not a broadcast) is
+    // what makes the index side exchange-free — at real scale the index
+    // side is the big side and broadcast is off the table anyway. AQE off
+    // so executedPlan is the real tree (collect doesn't descend into an
+    // AdaptiveSparkPlan wrapper); the static exchanges are identical.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probed =
+        DedupIndex.probePairs(spark, idx, batch, "doc_id", "text")
+      val plan = probed.queryExecution.executedPlan
+      def isIndexScan(
+          s: org.apache.spark.sql.execution.FileSourceScanExec): Boolean =
+        s.tableIdentifier.exists(_.table.startsWith("graft_dedup_idx_"))
+      // every bands/sigs file scan must reach its FIRST join without
+      // passing through a ShuffleExchange (the bucket layout IS the
+      // partitioning); exchanges further up the pipeline are fine
+      import org.apache.spark.sql.execution.SparkPlan
+      def scanPaths(p: SparkPlan,
+                    acc: List[SparkPlan]): Seq[List[SparkPlan]] = p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if isIndexScan(s) => Seq(acc)
+        case other => other.children.flatMap(c => scanPaths(c, other :: acc))
+      }
+      val found = scanPaths(plan, Nil)
+      assert(found.size == 2, s"expected 2 index scans:\n$plan")
+      found.foreach { pathUp =>
+        val toFirstJoin = pathUp.takeWhile(
+          !_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+        assert(!toFirstJoin.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+          s"index scan shuffled before its join:\n$plan")
+      }
+      val bucketedScans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if isIndexScan(s) &&
+              s.metadata.get("Bucketed").contains("true") => s
+      }
+      assert(bucketedScans.size == 2, s"expected 2 bucketed index scans:\n$plan")
+      assert(probed.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+}
