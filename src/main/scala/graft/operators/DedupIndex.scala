@@ -50,7 +50,10 @@ object DedupIndex {
 
   private def bandRows(docs: DataFrame, idCol: String, textCol: String,
                        spec: Spec): (DataFrame, DataFrame) = {
-    val sig = Dedup.minhashSignatures(docs, idCol, textCol, spec.numHashes)
+    // the two table writes are separate actions — materialize the
+    // signature pass once instead of re-hashing the corpus per write
+    val sig = graft.Caches.tracked(
+      Dedup.minhashSignatures(docs, idCol, textCol, spec.numHashes))
     val sigs = sig.select(col(idCol).cast("long").as("doc_id"), col("sig"))
     val bands = Dedup.minhashBands(sig, idCol, spec.numHashes, spec.bands)
       .select(concat_ws(":", col("band"), col("band_key")).as("bk"),
