@@ -48,12 +48,8 @@ object DedupIndex {
   private def bandsTable(indexDir: String): String = base(indexDir) + "_bands"
   private def sigsTable(indexDir: String): String = base(indexDir) + "_sigs"
 
-  private def bandRows(docs: DataFrame, idCol: String, textCol: String,
+  private def bandRows(sig: DataFrame, idCol: String,
                        spec: Spec): (DataFrame, DataFrame) = {
-    // the two table writes are separate actions — materialize the
-    // signature pass once instead of re-hashing the corpus per write
-    val sig = graft.Caches.tracked(
-      Dedup.minhashSignatures(docs, idCol, textCol, spec.numHashes))
     val sigs = sig.select(col(idCol).cast("long").as("doc_id"), col("sig"))
     val bands = Dedup.minhashBands(sig, idCol, spec.numHashes, spec.bands)
       .select(concat_ws(":", col("band"), col("band_key")).as("bk"),
@@ -62,12 +58,23 @@ object DedupIndex {
   }
 
   def build(docs: DataFrame, idCol: String, textCol: String, spec: Spec,
-            indexDir: String): Unit = {
-    val spark = docs.sparkSession
+            indexDir: String): Unit =
+    // the two table writes are separate actions — materialize the
+    // signature pass once instead of re-hashing the corpus per write
+    buildFromSignatures(graft.Caches.tracked(
+      Dedup.minhashSignatures(docs, idCol, textCol, spec.numHashes)),
+      idCol, spec, indexDir)
+
+  /** build from an already-computed `minhashSignatures` frame (callers
+    * that signed the docs for their own joins — e.g. the streaming gate —
+    * reuse the pass instead of re-hashing) */
+  def buildFromSignatures(sig: DataFrame, idCol: String, spec: Spec,
+                          indexDir: String): Unit = {
+    val spark = sig.sparkSession
     import spark.implicits._
     spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(indexDir)}")
     spark.sql(s"DROP TABLE IF EXISTS ${sigsTable(indexDir)}")
-    val (bands, sigs) = bandRows(docs, idCol, textCol, spec)
+    val (bands, sigs) = bandRows(sig, idCol, spec)
     bands.write.format("parquet").mode("overwrite")
       .bucketBy(spec.buckets, "bk").sortBy("bk")
       .option("path", s"$indexDir/bands").saveAsTable(bandsTable(indexDir))
@@ -77,6 +84,24 @@ object DedupIndex {
     Seq((spec.numHashes, spec.bands, spec.buckets))
       .toDF("num_hashes", "bands", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** true once `build` has written this index's meta */
+  def exists(spark: SparkSession, indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** the band relation (bk, doc_id) as the registered BUCKETED table */
+  def bandsRelation(spark: SparkSession, indexDir: String): DataFrame = {
+    ensureRegistered(spark, indexDir)
+    spark.table(bandsTable(indexDir))
+  }
+
+  /** the signature relation (doc_id, sig) as the registered BUCKETED table */
+  def sigsRelation(spark: SparkSession, indexDir: String): DataFrame = {
+    ensureRegistered(spark, indexDir)
+    spark.table(sigsTable(indexDir))
   }
 
   def loadSpec(spark: SparkSession, indexDir: String): Spec = {
@@ -109,8 +134,19 @@ object DedupIndex {
   def append(docs: DataFrame, idCol: String, textCol: String,
              indexDir: String): Unit = {
     val spark = docs.sparkSession
+    val spec = loadSpec(spark, indexDir)
+    appendFromSignatures(graft.Caches.tracked(
+      Dedup.minhashSignatures(docs, idCol, textCol, spec.numHashes)),
+      idCol, indexDir)
+  }
+
+  /** append from an already-computed `minhashSignatures` frame (the
+    * signature config must match the index's stored spec) */
+  def appendFromSignatures(sig: DataFrame, idCol: String,
+                           indexDir: String): Unit = {
+    val spark = sig.sparkSession
     val spec = ensureRegistered(spark, indexDir)
-    val (bands, sigs) = bandRows(docs, idCol, textCol, spec)
+    val (bands, sigs) = bandRows(sig, idCol, spec)
     bands.write.format("parquet").mode("append")
       .bucketBy(spec.buckets, "bk").sortBy("bk")
       .option("path", s"$indexDir/bands").saveAsTable(bandsTable(indexDir))

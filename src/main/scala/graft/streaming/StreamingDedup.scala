@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, DedupIndex}
 
 /** Streaming near-dup ingestion gate: each micro-batch of documents is
   * deduplicated against everything already ACCEPTED (a persisted MinHash
@@ -13,11 +13,15 @@ import graft.operators.Dedup
   *
   * Index layout (both parquet, append-only):
   *   `indexDir/bands` — (band INT, band_key STRING, doc_id LONG): the LSH
-  *     candidate join surface. At cluster scale this table is BUCKETED by
-  *     band_key, making the per-batch candidate join co-located.
+  *     candidate join surface.
   *   `indexDir/sigs`  — (doc_id LONG, sig ARRAY<BIGINT>): signatures for
   *     the est-Jaccard verify of candidates (only survivors' signatures
   *     are stored, so the index is exactly the accepted corpus).
+  * With `Config.bucketed = true` the index is instead kept as
+  * [[graft.operators.DedupIndex]]'s band-key-BUCKETED tables — the
+  * per-batch candidate join is co-located (index side exchange-free) and
+  * the index re-registers across sessions via catalog DDL. Drop decisions
+  * are IDENTICAL in both modes (spec-asserted).
   *
   * Drop rule (deterministic at any parallelism):
   *   1. a batch doc whose est-Jaccard vs ANY indexed doc ≥ `minEst` drops;
@@ -34,10 +38,17 @@ import graft.operators.Dedup
   */
 object StreamingDedup {
 
+  /** `bucketed = true` keeps the index as [[DedupIndex]]'s band-key-
+    * BUCKETED tables instead of plain parquet: the per-batch candidate
+    * join consumes the bucket layout (index side exchange-free) and the
+    * index survives session restarts via catalog DDL. Requires a numeric
+    * id column (the index stores LONG ids); the plain-parquet mode stays
+    * fully type-generic. */
   final case class Config(indexDir: String, outDir: String,
                           idCol: String = "doc_id", textCol: String = "text",
                           numHashes: Int = 16, bands: Int = 4,
-                          minEst: Double = 0.5)
+                          minEst: Double = 0.5,
+                          bucketed: Boolean = false, buckets: Int = 8)
 
   private def estJaccard(numHashes: Int) =
     expr("CAST(size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) AS DOUBLE)" +
@@ -61,21 +72,33 @@ object StreamingDedup {
       // empty frame's schema derives from the batch itself (Config allows
       // any idCol type; a typed literal here would break the unionByName
       // with dropInBatch on the first batch of a non-bigint id column)
+      def verifyCandidates(cand: DataFrame, sIdx: DataFrame): DataFrame =
+        cand.distinct()
+          .join(sig.select(col(cfg.idCol).as("new_id"),
+            col("sig").as("s1")), "new_id")
+          .join(sIdx.select(col("doc_id").as("index_id"),
+            col("sig").as("s2")), "index_id")
+          .filter(estJaccard(cfg.numHashes) >= cfg.minEst)
+          .select("new_id").distinct()
       val dropVsIndex =
-        if (!indexExists(spark, cfg))
-          b.select(col(cfg.idCol).as("new_id")).limit(0)
-        else {
+        if (cfg.bucketed && DedupIndex.exists(spark, cfg.indexDir)) {
+          // bucketed tables: the candidate join consumes the index's hash
+          // layout — only the (small) batch side of the join shuffles
+          val bIdx = DedupIndex.bandsRelation(spark, cfg.indexDir)
+          verifyCandidates(
+            bandsNew
+              .select(concat_ws(":", col("band"), col("band_key")).as("bk"),
+                col("new_id"))
+              .join(bIdx, "bk")
+              .select(col("new_id"), col("doc_id").as("index_id")),
+            DedupIndex.sigsRelation(spark, cfg.indexDir))
+        } else if (!cfg.bucketed && indexExists(spark, cfg)) {
           val bIdx = spark.read.parquet(s"${cfg.indexDir}/bands")
-          val sIdx = spark.read.parquet(s"${cfg.indexDir}/sigs")
-          bandsNew.join(bIdx, Seq("band", "band_key"))
-            .select(col("new_id"), col("doc_id").as("index_id")).distinct()
-            .join(sig.select(col(cfg.idCol).as("new_id"),
-              col("sig").as("s1")), "new_id")
-            .join(sIdx.select(col("doc_id").as("index_id"),
-              col("sig").as("s2")), "index_id")
-            .filter(estJaccard(cfg.numHashes) >= cfg.minEst)
-            .select("new_id").distinct()
-        }
+          verifyCandidates(
+            bandsNew.join(bIdx, Seq("band", "band_key"))
+              .select(col("new_id"), col("doc_id").as("index_id")),
+            spark.read.parquet(s"${cfg.indexDir}/sigs"))
+        } else b.select(col(cfg.idCol).as("new_id")).limit(0)
 
       // 2. within the batch: LSH pairs → components → keep the min-id
       // canonical of each near-dup cluster. Pairs derive from the SAME
@@ -95,11 +118,19 @@ object StreamingDedup {
       // survivors extend the index (bands + signatures); short docs have
       // no signature row and therefore never enter the index
       val survSig = sig.join(survivors.select(col(cfg.idCol)), cfg.idCol)
-      Dedup.minhashBands(survSig, cfg.idCol, cfg.numHashes, cfg.bands)
-        .select(col("band"), col("band_key"), col(cfg.idCol).as("doc_id"))
-        .write.mode("append").parquet(s"${cfg.indexDir}/bands")
-      survSig.select(col(cfg.idCol).as("doc_id"), col("sig"))
-        .write.mode("append").parquet(s"${cfg.indexDir}/sigs")
+      if (cfg.bucketed) {
+        if (!DedupIndex.exists(spark, cfg.indexDir))
+          DedupIndex.buildFromSignatures(survSig, cfg.idCol,
+            DedupIndex.Spec(cfg.numHashes, cfg.bands, cfg.buckets),
+            cfg.indexDir)
+        else DedupIndex.appendFromSignatures(survSig, cfg.idCol, cfg.indexDir)
+      } else {
+        Dedup.minhashBands(survSig, cfg.idCol, cfg.numHashes, cfg.bands)
+          .select(col("band"), col("band_key"), col(cfg.idCol).as("doc_id"))
+          .write.mode("append").parquet(s"${cfg.indexDir}/bands")
+        survSig.select(col(cfg.idCol).as("doc_id"), col("sig"))
+          .write.mode("append").parquet(s"${cfg.indexDir}/sigs")
+      }
       sig.unpersist()
     } finally b.unpersist()
   }

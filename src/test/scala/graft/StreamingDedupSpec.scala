@@ -75,4 +75,42 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("new_id").distinct().collect().map(_.getLong(0)).toSet
     assert(flagged == Set(11L), flagged)
   }
+
+  test("bucketed-index mode: identical drop decisions, index tables " +
+    "bucketed, candidate join consumes the layout") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sdedup_bkt").toString
+    val cfg = StreamingDedup.Config(s"$root/index", s"$root/out",
+      bucketed = true, buckets = 4)
+
+    val in = MemoryStream[SDoc](spark)
+    val q = in.toDF().writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(StreamingDedup.ingest(cfg) _)
+      .start()
+    in.addData(SDoc(1, words("alpha")), SDoc(2, words("beta")),
+      SDoc(3, words("gamma")))
+    q.processAllAvailable()
+    in.addData(SDoc(11, words("alpha")), SDoc(12, words("delta")),
+      SDoc(13, words("delta")), SDoc(14, words("epsil")), SDoc(15, "a b"))
+    q.processAllAvailable()
+    q.stop()
+
+    // same accepted set as the plain-parquet mode on the same stream
+    val out = spark.read.parquet(cfg.outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 3L, 12L, 14L, 15L), out)
+
+    // the index IS a DedupIndex: bucketed band/sig tables holding exactly
+    // the signable survivors, probe-able by the batch operator
+    val sIdx = graft.operators.DedupIndex
+      .sigsRelation(spark, cfg.indexDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sIdx == Set(1L, 2L, 3L, 12L, 14L), sIdx)
+    val probed = graft.operators.DedupIndex.probePairs(spark, cfg.indexDir,
+        Seq(SDoc(21, words("delta"))).toDF(), "doc_id", "text")
+      .select("index_id").collect().map(_.getLong(0)).toSet
+    assert(probed == Set(12L), probed)
+  }
 }
