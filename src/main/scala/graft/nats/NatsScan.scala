@@ -35,17 +35,31 @@ object NatsScan {
     // the envelope-level predicates below re-assert the same semantics
     val pruning = ScanPruning(opts.startSeq, opts.endSeq,
       opts.startTime.map(micros), opts.endTime.map(micros))
-    var df = store.read(spark, stream, pruning)
+    applyExtractions(
+      applyPredicates(store.read(spark, stream, pruning), opts), opts)
+  }
 
-    // range + subject pruning — pushdown-friendly single filters
+  /** The envelope-level range + subject predicates of [[scan]] —
+    * pushdown-friendly single filters, shared with the SQL table function
+    * (whose DSv2 relation receives them as pushed Catalyst filters, the
+    * same row-group pruning WHERE clauses get). */
+  def applyPredicates(df: DataFrame, opts: NatsScanOptions): DataFrame = {
     val preds: Seq[Column] =
       opts.startSeq.map(s => col("seq") >= s).toSeq ++
       opts.endSeq.map(e => col("seq") <= e).toSeq ++
       opts.startTime.map(t => col("ts_nats") >= lit(t)).toSeq ++
       opts.endTime.map(t => col("ts_nats") <= lit(t)).toSeq ++
       opts.subjectContains.map(s => col("subject").contains(s)).toSeq
-    if (preds.nonEmpty) df = df.filter(preds.reduce(_ && _))
+    if (preds.isEmpty) df else df.filter(preds.reduce(_ && _))
+  }
 
+  /** The payload-decode half of [[scan]]: the json/proto/avro/msgpack/cbor
+    * extraction chain over any frame carrying the envelope's `payload`
+    * column — shared by the facade scan and the SQL table function (which
+    * applies it over the DataSource-V2 relation, keeping one extraction
+    * semantics for both APIs). */
+  def applyExtractions(df0: DataFrame, opts: NatsScanOptions): DataFrame = {
+    var df = df0
     if (opts.jsonExtract.nonEmpty) {
       // payload polymorphism: STRING under json_extract
       df = df.withColumn("payload", col("payload").cast("string"))

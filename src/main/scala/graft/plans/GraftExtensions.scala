@@ -113,24 +113,81 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // options arrive either as ('key', 'value') literal pairs (the
         // positional form) or as SQL named arguments (`dir => '…'` — the
         // reference's named-parameter style); both may mix after the
-        // positional stream name
-        import org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression
+        // positional stream name. Named-argument values are TYPED like the
+        // reference's named parameters (nats_scan.cpp:849-857): UBIGINT
+        // seq bounds, TIMESTAMP time bounds, LIST(VARCHAR) extraction
+        // paths — any atomic literal converts to its option-string form,
+        // `array('a', 'b')` of string literals carries the extract lists.
+        import org.apache.spark.sql.catalyst.expressions.{CreateArray, NamedArgumentExpression}
+        import org.apache.spark.sql.types._
+        // scalar literal → the option grammar's string form
+        def litScalar(e: Expression, arg: String): String = e match {
+          case Literal(s: UTF8String, StringType) => s.toString
+          case Literal(v, ByteType | ShortType | IntegerType | LongType) =>
+            v.toString
+          case Literal(v, BooleanType) => v.toString
+          case Literal(micros: Long, TimestampType | TimestampNTZType) =>
+            // µs since epoch (session TZ is UTC) → the ISO-instant string
+            // start_time/end_time parse with Instant.parse
+            java.time.Instant.EPOCH
+              .plus(micros, java.time.temporal.ChronoUnit.MICROS).toString
+          case other => throw new IllegalArgumentException(
+            s"$arg must be a string/integer/timestamp literal (bind-time " +
+              s"parameter, like the reference's named parameters), got $other")
+        }
+        def litStringList(e: Expression, arg: String): Seq[String] = e match {
+          case CreateArray(children, _) =>
+            children.map(c => litString(c, s"$arg element"))
+          case Literal(s: UTF8String, StringType) => Seq(s.toString)
+          case other => throw new IllegalArgumentException(
+            s"$arg must be array(...) of string literals, got $other")
+        }
+        val ListOpts = Set("json_extract", "proto_extract", "avro_extract",
+          "msgpack_extract", "cbor_extract")
         val (named, positional) = args.partition(_.isInstanceOf[NamedArgumentExpression])
         require(positional.nonEmpty && positional.length % 2 == 1,
-          "nats_scan('stream'[, 'key', 'value']..., [key => 'value']...) " +
+          "nats_scan('stream'[, 'key', 'value']..., [key => value]...) " +
             "takes a stream name, then option key/value pairs (all string " +
             "literals) and/or named arguments")
         val strs = positional.zipWithIndex.map { case (e, i) =>
           litString(e, if (i == 0) "stream" else s"argument ${i + 1}")
         }
+        var lists = Map.empty[String, Seq[String]]
         val opts = strs.tail.grouped(2).map { case Seq(k, v) => k -> v }.toMap ++
-          named.map { case NamedArgumentExpression(key, value) =>
-            key -> litString(value, s"named argument '$key'")
+          named.flatMap { case NamedArgumentExpression(key, value) =>
+            if (ListOpts(key)) {
+              lists += key -> litStringList(value, s"named argument '$key'")
+              None
+            } else Some(key -> litScalar(value, s"named argument '$key'"))
           }
         val spark = org.apache.spark.sql.SparkSession.active
-        GraftSql.logicalPlan(
-          spark.read.format("nats_scan")
-            .options(opts + ("stream" -> strs.head)).load())
+        val base = spark.read.format("nats_scan")
+          .options(opts + ("stream" -> strs.head)).load()
+        // the reference TVF's bind-time parameters: validate the full
+        // option set with the facade's bind rules, apply its range/subject
+        // predicates (they reach the scan as pushed Catalyst filters —
+        // same row-group pruning WHERE clauses get) and its extraction
+        // chain — over the DSv2 relation, one semantics for both APIs
+        val nOpts = graft.nats.NatsScanOptions(
+          subjectContains = opts.get("subject"),
+          startSeq = opts.get("start_seq").map(_.toLong),
+          endSeq = opts.get("end_seq").map(_.toLong),
+          startTime = opts.get("start_time").map(java.time.Instant.parse),
+          endTime = opts.get("end_time").map(java.time.Instant.parse),
+          jsonExtract = lists.getOrElse("json_extract", Nil),
+          protoFile = opts.get("proto_file"),
+          protoMessage = opts.get("proto_message"),
+          protoExtract = lists.getOrElse("proto_extract", Nil),
+          avroFile = opts.get("avro_file"),
+          avroExtract = lists.getOrElse("avro_extract", Nil),
+          avroRegistry = opts.get("avro_registry"),
+          msgpackExtract = lists.getOrElse("msgpack_extract", Nil),
+          cborExtract = lists.getOrElse("cbor_extract", Nil),
+          jsonNumbersToString =
+            opts.get("json_numbers_to_string").exists(_.toBoolean))
+        nOpts.validate()
+        GraftSql.logicalPlan(graft.nats.NatsScan.applyExtractions(
+          graft.nats.NatsScan.applyPredicates(base, nOpts), nOpts))
       }))
   }
 }

@@ -50,6 +50,17 @@ object V2Queries {
          |WHERE seq BETWEEN 101 AND 700
          |GROUP BY subject ORDER BY subject""".stripMargin)),
 
+    // the reference TVF's TYPED named parameters (nats_scan.cpp:849-857):
+    // UBIGINT seq bounds and a LIST(VARCHAR) json_extract, straight in the
+    // function call — the bounds become pushed Catalyst filters, the
+    // extraction runs the facade's chain over the DSv2 relation
+    "v2_sql_tvf_typed" -> ((s, dir) => s.sql(
+      s"""SELECT seq, subject, k
+         |FROM nats_scan('events', 'dir', '$dir',
+         |               start_seq => 101, end_seq => 700,
+         |               json_extract => array('k'))
+         |ORDER BY seq""".stripMargin)),
+
     // stream HEAD: ORDER BY seq LIMIT n rides the top-n pushdown
     // (SupportsPushDownTopN → per-partition early stop over the seq-sorted
     // layouts) — this entry hash-verifies that the early-stop returns
@@ -151,6 +162,11 @@ object V2Queries {
         s"""$env SELECT subject, count(*) AS n, min(seq) AS min_seq, max(seq) AS max_seq
            | FROM env WHERE seq BETWEEN 101 AND 700
            | GROUP BY subject ORDER BY subject""".stripMargin,
+
+      "v2_sql_tvf_typed" ->
+        s"""$env SELECT seq, subject, json_extract_string(payload, '$$.k') AS k
+           | FROM env WHERE seq BETWEEN 101 AND 700
+           | ORDER BY seq""".stripMargin,
 
       "v2_time_subject" ->
         s"""$env SELECT subject, count(*) AS n, min(seq) AS min_seq, max(seq) AS max_seq

@@ -113,6 +113,52 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.toLowerCase.contains("literal"), e.getMessage)
   }
 
+  test("nats_scan TVF takes the reference's TYPED named parameters: " +
+    "integer seq bounds, TIMESTAMP time bounds, array() extract lists") {
+    val dir = "/root/testdata/sf0.001"
+    // UBIGINT-style integer literals for the seq range
+    val seqs = spark.sql(
+      s"SELECT seq FROM nats_scan('events', 'dir', '$dir', " +
+        "start_seq => 2, end_seq => 5) ORDER BY seq")
+      .collect().map(_.getLong(0))
+    assert(seqs.toSeq == (2L to 5L))
+    // LIST(VARCHAR) extraction paths run the facade's extraction chain
+    // over the TVF's DSv2 relation — identical to NatsScan.scanDir
+    val viaTvf = spark.sql(
+      s"SELECT seq, k FROM nats_scan('events', 'dir', '$dir', " +
+        "json_extract => array('k')) WHERE seq <= 20 ORDER BY seq")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val viaFacade = graft.nats.NatsScan
+      .scanDir(spark, dir, opts = graft.nats.NatsScanOptions(
+        jsonExtract = Seq("k")))
+      .filter(org.apache.spark.sql.functions.col("seq") <= 20).orderBy("seq")
+      .select("seq", "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaTvf.nonEmpty && viaTvf == viaFacade)
+    // TIMESTAMP literal time bound == facade Instant bound
+    val inst = graft.nats.NatsScan.scanDir(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("seq") === 3)
+      .select("ts_nats").head.getTimestamp(0).toInstant
+    val lit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC).format(inst)
+    val tvfRows = spark.sql(
+      s"SELECT seq FROM nats_scan('events', 'dir', '$dir', " +
+        s"start_time => TIMESTAMP '$lit') ORDER BY seq")
+      .collect().map(_.getLong(0)).toSeq
+    val facadeRows = graft.nats.NatsScan.scanDir(spark, dir,
+        opts = graft.nats.NatsScanOptions(startTime = Some(inst)))
+      .orderBy("seq").select("seq").collect().map(_.getLong(0)).toSeq
+    assert(tvfRows.nonEmpty && tvfRows == facadeRows)
+    // mutual exclusions fire at bind through the same validate()
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM nats_scan('events', 'dir', '$dir', " +
+        "json_extract => array('k'), proto_extract => array('x'))").collect()
+    }
+    assert(e.getMessage.contains("json_extract and proto_extract"),
+      e.getMessage)
+  }
+
   test("nats_scan TVF rejects non-literal and mis-paired arguments at bind") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM nats_scan('events', 'dir')").collect()
