@@ -48,11 +48,18 @@ object DedupIndex {
   private def bandsTable(indexDir: String): String = base(indexDir) + "_bands"
   private def sigsTable(indexDir: String): String = base(indexDir) + "_sigs"
 
+  /** THE band-bucket key encoding — every producer and prober of the index
+    * (build, append, probePairs, the streaming gate) must derive `bk` from
+    * this one definition or the candidate join silently matches nothing */
+  def bk(band: org.apache.spark.sql.Column,
+         bandKey: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws(":", band, bandKey)
+
   private def bandRows(sig: DataFrame, idCol: String,
                        spec: Spec): (DataFrame, DataFrame) = {
     val sigs = sig.select(col(idCol).cast("long").as("doc_id"), col("sig"))
     val bands = Dedup.minhashBands(sig, idCol, spec.numHashes, spec.bands)
-      .select(concat_ws(":", col("band"), col("band_key")).as("bk"),
+      .select(bk(col("band"), col("band_key")).as("bk"),
         col(idCol).cast("long").as("doc_id"))
     (bands, sigs)
   }
@@ -134,18 +141,29 @@ object DedupIndex {
   def append(docs: DataFrame, idCol: String, textCol: String,
              indexDir: String): Unit = {
     val spark = docs.sparkSession
-    val spec = loadSpec(spark, indexDir)
-    appendFromSignatures(graft.Caches.tracked(
+    val spec = ensureRegistered(spark, indexDir) // one meta read per append
+    appendImpl(graft.Caches.tracked(
       Dedup.minhashSignatures(docs, idCol, textCol, spec.numHashes)),
-      idCol, indexDir)
+      idCol, indexDir, spec)
   }
 
-  /** append from an already-computed `minhashSignatures` frame (the
-    * signature config must match the index's stored spec) */
-  def appendFromSignatures(sig: DataFrame, idCol: String,
-                           indexDir: String): Unit = {
-    val spark = sig.sparkSession
-    val spec = ensureRegistered(spark, indexDir)
+  /** Append from an already-computed `minhashSignatures` frame. The caller
+    * states the hash config it signed with; a mismatch vs the stored spec
+    * fails FAST here — appending 32-hash rows into a 16-hash index would
+    * otherwise silently halve every later est-Jaccard (zip_with pads the
+    * shorter array with nulls) and permanently mix incompatible band keys. */
+  def appendFromSignatures(sig: DataFrame, idCol: String, indexDir: String,
+                           numHashes: Int, bands: Int): Unit = {
+    val spec = ensureRegistered(sig.sparkSession, indexDir)
+    require(spec.numHashes == numHashes && spec.bands == bands,
+      s"dedup index at $indexDir was built with numHashes=${spec.numHashes}" +
+        s" bands=${spec.bands}; cannot append signatures computed with " +
+        s"numHashes=$numHashes bands=$bands")
+    appendImpl(sig, idCol, indexDir, spec)
+  }
+
+  private def appendImpl(sig: DataFrame, idCol: String, indexDir: String,
+                         spec: Spec): Unit = {
     val (bands, sigs) = bandRows(sig, idCol, spec)
     bands.write.format("parquet").mode("append")
       .bucketBy(spec.buckets, "bk").sortBy("bk")
@@ -167,7 +185,7 @@ object DedupIndex {
     val sigNew = graft.Caches.tracked(
       Dedup.minhashSignatures(batch, idCol, textCol, spec.numHashes))
     val bNew = Dedup.minhashBands(sigNew, idCol, spec.numHashes, spec.bands)
-      .select(concat_ws(":", col("band"), col("band_key")).as("bk"),
+      .select(bk(col("band"), col("band_key")).as("bk"),
         col(idCol).cast("long").as("new_id"))
     val bIdx = spark.table(bandsTable(indexDir))
       .select(col("bk"), col("doc_id").as("index_id"))

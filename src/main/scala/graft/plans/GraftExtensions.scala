@@ -126,11 +126,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Literal(v, ByteType | ShortType | IntegerType | LongType) =>
             v.toString
           case Literal(v, BooleanType) => v.toString
-          case Literal(micros: Long, TimestampType | TimestampNTZType) =>
-            // µs since epoch (session TZ is UTC) → the ISO-instant string
-            // start_time/end_time parse with Instant.parse
+          case Literal(micros: Long, TimestampType) =>
+            // TimestampType literal micros ARE UTC epoch micros → the
+            // ISO-instant string start_time/end_time parse with Instant.parse
             java.time.Instant.EPOCH
               .plus(micros, java.time.temporal.ChronoUnit.MICROS).toString
+          case Literal(micros: Long, TimestampNTZType) =>
+            // NTZ micros are WALL-CLOCK (zoneless): resolve them in the
+            // session timezone, not as UTC epoch micros — TIMESTAMP_NTZ
+            // '2024-01-02 00:00' under Asia/Tokyo is 2024-01-01T15:00Z
+            val zone = java.time.ZoneId.of(
+              org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+            java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(micros, 1000000L),
+              (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC).atZone(zone).toInstant.toString
           case other => throw new IllegalArgumentException(
             s"$arg must be a string/integer/timestamp literal (bind-time " +
               s"parameter, like the reference's named parameters), got $other")
@@ -153,12 +163,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litString(e, if (i == 0) "stream" else s"argument ${i + 1}")
         }
         var lists = Map.empty[String, Seq[String]]
-        val opts = strs.tail.grouped(2).map { case Seq(k, v) => k -> v }.toMap ++
+        val pairOpts = strs.tail.grouped(2).map { case Seq(k, v) => k -> v }.toMap
+        // list-valued options in the positional string-pair form carry their
+        // paths comma-separated ('json_extract', 'a,b') — route them into the
+        // extraction lists, same as the named array(...) form
+        pairOpts.foreach { case (k, v) =>
+          if (ListOpts(k))
+            lists += k -> v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        }
+        val opts = pairOpts.filter { case (k, _) => !ListOpts(k) } ++
           named.flatMap { case NamedArgumentExpression(key, value) =>
             if (ListOpts(key)) {
+              require(!lists.contains(key),
+                s"nats_scan: option '$key' given both as a positional pair " +
+                  "and a named argument")
               lists += key -> litStringList(value, s"named argument '$key'")
               None
-            } else Some(key -> litScalar(value, s"named argument '$key'"))
+            } else {
+              require(!pairOpts.contains(key),
+                s"nats_scan: option '$key' given both as a positional pair " +
+                  "and a named argument")
+              Some(key -> litScalar(value, s"named argument '$key'"))
+            }
           }
         val spark = org.apache.spark.sql.SparkSession.active
         val base = spark.read.format("nats_scan")

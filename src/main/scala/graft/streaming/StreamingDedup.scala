@@ -58,6 +58,7 @@ object StreamingDedup {
     *   StreamingDedup.ingest(cfg) _)` */
   def ingest(cfg: Config)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    requireLayoutMatches(spark, cfg)
     val b = batch.persist()
     try {
       val sig = Dedup.minhashSignatures(b, cfg.idCol, cfg.textCol,
@@ -84,10 +85,16 @@ object StreamingDedup {
         if (cfg.bucketed && DedupIndex.exists(spark, cfg.indexDir)) {
           // bucketed tables: the candidate join consumes the index's hash
           // layout — only the (small) batch side of the join shuffles
+          val spec = DedupIndex.loadSpec(spark, cfg.indexDir)
+          require(spec.numHashes == cfg.numHashes && spec.bands == cfg.bands,
+            s"dedup index at ${cfg.indexDir} was built with numHashes=" +
+              s"${spec.numHashes} bands=${spec.bands}; Config has numHashes=" +
+              s"${cfg.numHashes} bands=${cfg.bands} — probing with a " +
+              "mismatched hash config silently accepts near-duplicates")
           val bIdx = DedupIndex.bandsRelation(spark, cfg.indexDir)
           verifyCandidates(
             bandsNew
-              .select(concat_ws(":", col("band"), col("band_key")).as("bk"),
+              .select(DedupIndex.bk(col("band"), col("band_key")).as("bk"),
                 col("new_id"))
               .join(bIdx, "bk")
               .select(col("new_id"), col("doc_id").as("index_id")),
@@ -123,7 +130,8 @@ object StreamingDedup {
           DedupIndex.buildFromSignatures(survSig, cfg.idCol,
             DedupIndex.Spec(cfg.numHashes, cfg.bands, cfg.buckets),
             cfg.indexDir)
-        else DedupIndex.appendFromSignatures(survSig, cfg.idCol, cfg.indexDir)
+        else DedupIndex.appendFromSignatures(survSig, cfg.idCol, cfg.indexDir,
+          cfg.numHashes, cfg.bands)
       } else {
         Dedup.minhashBands(survSig, cfg.idCol, cfg.numHashes, cfg.bands)
           .select(col("band"), col("band_key"), col(cfg.idCol).as("doc_id"))
@@ -139,5 +147,27 @@ object StreamingDedup {
     val p = new org.apache.hadoop.fs.Path(s"${cfg.indexDir}/bands")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Refuse to run when `indexDir` holds an index of the OTHER mode's
+    * layout. bucketed=true over a plain-parquet index (band files but no
+    * `meta/`) would otherwise silently ignore the whole accepted corpus —
+    * near-dups pass the gate — and then `buildFromSignatures` OVERWRITES
+    * the plain files; the reverse switch would only fail deep inside the
+    * candidate join with a schema error. */
+  private def requireLayoutMatches(spark: SparkSession, cfg: Config): Unit = {
+    val bucketedIdx = DedupIndex.exists(spark, cfg.indexDir)
+    val plainIdx = !bucketedIdx && indexExists(spark, cfg)
+    if (cfg.bucketed && plainIdx)
+      throw new IllegalStateException(
+        s"${cfg.indexDir} holds a plain-parquet dedup index but Config has " +
+          "bucketed=true — running would ignore (then destroy) the " +
+          "accepted corpus; restart with bucketed=false or point at a " +
+          "fresh indexDir")
+    if (!cfg.bucketed && bucketedIdx)
+      throw new IllegalStateException(
+        s"${cfg.indexDir} holds a BUCKETED dedup index (meta/ present) but " +
+          "Config has bucketed=false; restart with bucketed=true or point " +
+          "at a fresh indexDir")
   }
 }

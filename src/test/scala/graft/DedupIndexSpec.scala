@@ -55,6 +55,18 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "doc_id", "text", minEst = 0.5)) == probed)
   }
 
+  test("appendFromSignatures fails FAST on a hash-config mismatch (would " +
+    "otherwise halve every later est-Jaccard and mix band keys)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_didx_mm").toString
+    DedupIndex.build(docs.limit(50), "doc_id", "text", spec, idx)
+    val sig32 = Dedup.minhashSignatures(docs.limit(10), "doc_id", "text", 32)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.appendFromSignatures(sig32, "doc_id", idx,
+        numHashes = 32, bands = 4)
+    }
+    assert(e.getMessage.contains("numHashes=16"), e.getMessage)
+  }
+
   test("catalog-loss reload: dropped tables re-register from disk DDL, " +
     "probe identical, scan still bucketed") {
     val idx = java.nio.file.Files.createTempDirectory("graft_didx3").toString

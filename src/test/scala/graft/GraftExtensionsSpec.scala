@@ -159,6 +159,64 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getMessage)
   }
 
+  test("nats_scan TVF honors list-valued options in the positional " +
+    "string-pair form (comma-separated paths), same as named array()") {
+    val dir = "/root/testdata/sf0.001"
+    val positional = spark.sql(
+      s"SELECT seq, k FROM nats_scan('events', 'dir', '$dir', " +
+        "'json_extract', 'k') WHERE seq <= 20 ORDER BY seq")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val named = spark.sql(
+      s"SELECT seq, k FROM nats_scan('events', 'dir', '$dir', " +
+        "json_extract => array('k')) WHERE seq <= 20 ORDER BY seq")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(positional.nonEmpty && positional == named)
+    // comma-separated = multiple paths
+    val multi = spark.sql(
+      s"SELECT seq, k, missing FROM nats_scan('events', 'dir', '$dir', " +
+        "'json_extract', 'k, missing') WHERE seq <= 5 ORDER BY seq")
+    assert(multi.columns.toSeq.containsSlice(Seq("k", "missing")))
+    assert(multi.collect().length == 5)
+    // both forms for the same key conflict at bind
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM nats_scan('events', 'dir', '$dir', " +
+        "'json_extract', 'k', json_extract => array('k'))").collect()
+    }
+    assert(e.getMessage.contains("both as a positional pair"), e.getMessage)
+    // and scalar keys conflict the same way
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM nats_scan('events', 'dir', '$dir', " +
+        "'start_seq', '2', start_seq => 3)").collect()
+    }
+    assert(e2.getMessage.contains("both as a positional pair"), e2.getMessage)
+  }
+
+  test("nats_scan TVF resolves TIMESTAMP_NTZ literals in the SESSION " +
+    "timezone (wall-clock, not UTC epoch micros)") {
+    val dir = "/root/testdata/sf0.001"
+    val inst = graft.nats.NatsScan.scanDir(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("seq") === 3)
+      .select("ts_nats").head.getTimestamp(0).toInstant
+    val facadeRows = graft.nats.NatsScan.scanDir(spark, dir,
+        opts = graft.nats.NatsScanOptions(startTime = Some(inst)))
+      .orderBy("seq").select("seq").collect().map(_.getLong(0)).toSeq
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      // the NTZ literal is the instant's TOKYO wall clock; a correct bind
+      // maps it back to the same instant (the old UTC-assuming code was
+      // off by 9 hours here)
+      val wall = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .withZone(java.time.ZoneId.of("Asia/Tokyo")).format(inst)
+      val tvfRows = spark.sql(
+        s"SELECT seq FROM nats_scan('events', 'dir', '$dir', " +
+          s"start_time => TIMESTAMP_NTZ '$wall') ORDER BY seq")
+        .collect().map(_.getLong(0)).toSeq
+      assert(tvfRows.nonEmpty && tvfRows == facadeRows)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("nats_scan TVF rejects non-literal and mis-paired arguments at bind") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM nats_scan('events', 'dir')").collect()

@@ -113,4 +113,42 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("index_id").collect().map(_.getLong(0)).toSet
     assert(probed == Set(12L), probed)
   }
+
+  test("mode/layout mismatches fail LOUDLY instead of silently accepting " +
+    "dups or destroying the index") {
+    import spark.implicits._
+    // plain index on disk, restart with bucketed=true → refuse
+    val rootP = java.nio.file.Files
+      .createTempDirectory("graft_sdedup_mm1").toString
+    val plainCfg = StreamingDedup.Config(s"$rootP/index", s"$rootP/out")
+    StreamingDedup.ingest(plainCfg)(
+      Seq(SDoc(1, words("alpha"))).toDF(), 0L)
+    val e1 = intercept[IllegalStateException] {
+      StreamingDedup.ingest(plainCfg.copy(bucketed = true))(
+        Seq(SDoc(2, words("beta"))).toDF(), 1L)
+    }
+    assert(e1.getMessage.contains("plain-parquet"), e1.getMessage)
+    // the plain index survived untouched (nothing overwritten)
+    assert(spark.read.parquet(s"$rootP/index/sigs").count() == 1)
+
+    // bucketed index on disk, restart with bucketed=false → refuse
+    val rootB = java.nio.file.Files
+      .createTempDirectory("graft_sdedup_mm2").toString
+    val bktCfg = StreamingDedup.Config(s"$rootB/index", s"$rootB/out",
+      bucketed = true, buckets = 4)
+    StreamingDedup.ingest(bktCfg)(
+      Seq(SDoc(1, words("alpha"))).toDF(), 0L)
+    val e2 = intercept[IllegalStateException] {
+      StreamingDedup.ingest(bktCfg.copy(bucketed = false))(
+        Seq(SDoc(2, words("beta"))).toDF(), 1L)
+    }
+    assert(e2.getMessage.contains("BUCKETED"), e2.getMessage)
+
+    // bucketed restart with a DIFFERENT hash config → refuse before probing
+    val e3 = intercept[IllegalArgumentException] {
+      StreamingDedup.ingest(bktCfg.copy(numHashes = 32, bands = 8))(
+        Seq(SDoc(3, words("gamma"))).toDF(), 2L)
+    }
+    assert(e3.getMessage.contains("numHashes=16"), e3.getMessage)
+  }
 }
