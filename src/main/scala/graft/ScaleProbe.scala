@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   * the blocking key, so output does not go quadratic in corpus size).
   *
   * Run: sbt "runMain graft.ScaleProbe" (env SPARK_GRAFT_SF_DIR to change SF).
+  * Args select sections (default all): core | pq | bloom | didx | zorder —
+  * re-measuring one new operator shouldn't cost a full-probe re-run.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    val sections = args.toSet
+    def on(s: String) = sections.isEmpty || sections(s)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -44,6 +48,7 @@ object ScaleProbe {
     // warmup
     replicate(1).count()
 
+    if (on("core")) {
     println(f"${"k"}%3s ${"docs"}%8s ${"sig_s"}%8s ${"simhash_s"}%10s ${"jaccard_s"}%10s ${"jaccard_pairs"}%14s ${"cc_s"}%8s ${"comps"}%8s ${"assign_s"}%9s ${"pq_s"}%8s ${"lsh_s"}%8s ${"lag_s"}%8s ${"span_s"}%8s ${"span_docs"}%10s ${"scrub_s"}%8s ${"ngram_s"}%8s ${"pack_s"}%8s ${"nll_s"}%8s ${"bloom_s"}%8s ${"cov_s"}%8s ${"kn_s"}%8s ${"bpe_s"}%8s ${"winnow_s"}%9s ${"cdc_s"}%8s ${"novel_s"}%8s")
     Seq(1, 2, 4, 8, 16, 32).foreach { k =>
       val docs = replicate(k).cache()
@@ -255,7 +260,9 @@ object ScaleProbe {
       Caches.drain()
       println(f"$k%3d $nDocs%8d $tSig%8.2f $tSim%10.2f $tJac%10.2f $nPairs%14d $tCc%8.2f $nComp%8d $tAssign%9.2f $tPq%8.2f $tLsh%8.2f $tLag%8.2f $tSpan%8.2f $nSpanDocs%10d $tScrub%8.2f $tNgram%8.2f $tPack%8.2f $tNll%8.2f $tBloom%8.2f $tCov%8.2f $tKn%8.2f $tBpe%8.2f $tWinnow%9.2f $tCdc%8.2f $tNovel%8.2f")
     }
+    }
 
+    if (on("pq")) {
     // PQ codebook-size scaling: encode / decode wall time and PLAN size must
     // stay flat as K grows (codebooks travel as reference objects on the
     // fold expressions, not as plan literals — at K=256, a real IVFPQ
@@ -282,12 +289,13 @@ object ScaleProbe {
       println(f"$kk%5d $tEnc%9.2f $tDec%9.2f $planChars%11d")
     }
     embK.unpersist(): Unit
+    }
 
     // SHARDED Bloom dedup sweep: at a FIXED corpus, growing the bucket
     // count must shrink the per-bucket bitmap ~1/buckets (the memory unit
     // a probe task holds) while wall time stays flat — the evidence that
     // the >1 B-doc path needs no single driver bitmap. Corpus = 16× docs.
-    locally {
+    if (on("bloom")) {
       val d16 = replicate(16).cache()
       val corpus = d16.filter(col("doc_id") % 2 === 0)
       val batch = d16.filter(col("doc_id") % 2 === 1)
@@ -312,7 +320,7 @@ object ScaleProbe {
     // layout (index side never shuffles), so probe cost tracks batch +
     // candidate volume, not a re-shuffle of the whole index. Pairs double
     // per corpus doubling exactly like dedup_incremental's band join.
-    locally {
+    if (on("didx")) {
       println(f"${"k"}%3s ${"docs"}%8s ${"didx_build_s"}%13s ${"didx_probe_s"}%13s ${"probe_pairs"}%12s")
       Seq(1, 4, 16, 32).foreach { k =>
         val dk = replicate(k).cache()
@@ -333,6 +341,33 @@ object ScaleProbe {
         println(f"$k%3d ${dk.count()}%8d $tBuild%13.2f $tProbe%13.2f $nPairs%12d")
         dk.unpersist(): Unit
         Caches.drain()
+      }
+    }
+    // Z-ORDER layout sweep (ZOrder.cluster): the re-layout is one 2-value-
+    // per-column stats aggregate + one range exchange + partition-local
+    // sorts — wall time must grow linearly with rows; and the SKIPPING
+    // FRACTION (files whose user_id stats overlap a fixed 1/15-of-keyspace
+    // predicate) must stay flat as the corpus grows — pruning is a property
+    // of the curve, not of the corpus size.
+    if (on("zorder")) {
+      println(f"${"k"}%3s ${"rows"}%9s ${"zorder_s"}%9s ${"files_hit"}%10s ${"files"}%6s")
+      Seq(1, 4, 16).foreach { k =>
+        val ev = Tables.load(spark, sfDir, "events")
+          .withColumn("r", explode(sequence(lit(0), lit(k - 1))))
+          .withColumn("event_id", col("event_id") + col("r") * lit(10000000L))
+          .drop("r")
+        val nRows = ev.count()
+        val out = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_z_$k").toString
+        val nFiles = 32
+        val (tZ, _) = time {
+          operators.ZOrder.cluster(ev, Seq("user_id", "event_id"),
+            partitions = nFiles).write.mode("overwrite").parquet(out)
+          0L
+        }
+        val (hit, total) = operators.ZOrder
+          .overlappingFiles(out, "user_id", 10L, 19L)
+        println(f"$k%3d $nRows%9d $tZ%9.2f $hit%10d $total%6d")
       }
     }
     spark.stop()

@@ -45,6 +45,30 @@ object ScaleQueries {
         .orderBy("s_nationkey")
     }),
 
+    // Z-ORDER re-layout (operators/ZOrder.cluster): events rewritten along
+    // the (user_id, event_id) Morton curve — the multi-dimensional sort
+    // that lets parquet min/max stats prune on EITHER dimension at 100 TB
+    // (a single-key sort layout prunes on one). Layout never changes row
+    // content, so the oracle is the same aggregate over the raw table; a
+    // curve/partition bug that lost or duplicated a row breaks the hash.
+    // The actual skipping win is asserted from file footer stats in
+    // `ZOrderSpec` (most files pruned for a second-dimension predicate).
+    "layout_zorder" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_zorder").toString
+      graft.operators.ZOrder.cluster(Tables.load(s, dir, "events"),
+          Seq("user_id", "event_id"), partitions = 8)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("event_id").as("sum_eid"),
+          sum("user_id").as("sum_uid"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     "q_grouping_sets" -> ((s, dir) => {
       Tables.load(s, dir, "orders").createOrReplaceTempView("v_orders")
       s.sql("""
@@ -224,6 +248,13 @@ object ScaleQueries {
              count(*) AS n
       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY s.s_nationkey ORDER BY s.s_nationkey""",
+
+    "layout_zorder" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS sum_eid,
+             CAST(sum(user_id) AS BIGINT) AS sum_uid,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_grouping_sets" -> """
       SELECT o_orderstatus, o_orderpriority, count(*) AS n,
