@@ -78,6 +78,43 @@ object VectorIndex {
     Spec(rows.head.getInt(0), rows.head.getInt(1), cb)
   }
 
+  /** true once `build` has written this index's meta */
+  def exists(spark: SparkSession, indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Persist the COARSE quantizer (IVF centroids) beside the index, so any
+    * later session — batch append or the streaming ingest gate — can
+    * label arriving vectors without re-deriving the quantizer. Like the PQ
+    * codebook in `meta`, the centroids are FROZEN at train time: appended
+    * vectors quantize under them, retraining is a deliberate rebuild. */
+  def saveCentroids(spark: SparkSession, indexDir: String,
+                    centroids: Array[(Long, Array[Float])]): Unit = {
+    import spark.implicits._
+    centroids.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  def loadCentroids(spark: SparkSession,
+                    indexDir: String): Array[(Long, Array[Float])] =
+    spark.read.parquet(s"$indexDir/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+
+  /** nearest-centroid label per vector — map-side argmax over the bounded
+    * centroid set (literal fold, no shuffle); ties break to the LOWEST
+    * centroid id, matching the IVF assignment the ann_ivf queries use */
+  def assignLabels(emb: DataFrame,
+                   centroids: Array[(Long, Array[Float])]): DataFrame = {
+    val scored = array(centroids.map { case (cid, v) =>
+      struct(Similarity.cosine(typedLit(v), col("embedding")).as("s"),
+        lit(-cid).as("nc"))
+    }: _*)
+    emb.withColumn("label",
+      (-array_max(scored).getField("nc")).cast("int"))
+  }
+
   /** reconstruct a vector from its stored codes: per subspace, the chosen
     * codeword slice — one native map-side expression whose codebook travels
     * as a reference object ([[graft.functions.PqDecodeFold]]), so the plan

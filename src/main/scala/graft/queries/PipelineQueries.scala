@@ -825,6 +825,40 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
+    // the STREAMING ingestion gate's lifecycle under the oracle: the first
+    // call BOOTSTRAPS the index (frozen PQ codebook + persisted coarse
+    // centroids), the second APPENDS under the PERSISTED quantizer —
+    // exactly what StreamingVectorIngest runs per micro-batch. Labels are
+    // COMPUTED (nearest centroid, ties to lowest id), not the fixture's
+    // stored ones, so the oracle recomputes the assignment the same way;
+    // a gate that re-labeled under drifted centroids, dropped a batch, or
+    // double-ingested a vector breaks the hash.
+    "ann_index_ingest" -> ((s, dir) => {
+      val e = emb(s, dir)
+      def bounded(n: Int) = e.filter(col("vec_id") < n)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val codebook = bounded(8)
+      val centroids = bounded(4)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ingest_idx").toString
+      val cfg = graft.streaming.StreamingVectorIngest.Config(
+        indexDir = idx, numSub = 8, dim = codebook.head._2.length,
+        codebook = codebook, centroids = centroids)
+      val rows = e.select(col("vec_id"), col("embedding"))
+      graft.streaming.StreamingVectorIngest.ingest(cfg)(
+        rows.filter(pmod(col("vec_id"), lit(2)) === 0), 0L)
+      graft.streaming.StreamingVectorIngest.ingest(cfg)(
+        rows.filter(pmod(col("vec_id"), lit(2)) === 1), 1L)
+      val q = graft.operators.VectorIndex.assignLabels(
+          rows.filter(col("vec_id") < 10),
+          graft.operators.VectorIndex.loadCentroids(s, idx))
+        .select(col("label"), col("vec_id").as("qid"),
+          col("embedding").as("qv"))
+      graft.operators.VectorIndex.searchTopK(s, idx, q, k = 3)
+        .orderBy("qid", "rank")
+    }),
+
     "ann_pq" -> ((s, dir) => {
       val e = emb(s, dir)
       val codebook = e.filter(col("vec_id") < 8)
@@ -2068,6 +2102,37 @@ object PipelineQueries {
         SELECT q.qid, r.vec_id, round(${cos("q.qv", "r.rv")}, 6) AS pq_cos
         FROM recon r JOIN embeddings e ON r.vec_id = e.vec_id
                      JOIN q ON e.label = q.label
+        WHERE r.vec_id <> q.qid),
+      ranked AS (
+        SELECT qid, vec_id, pq_cos,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY pq_cos DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT qid, rank, vec_id, pq_cos FROM ranked WHERE rank <= 3
+      ORDER BY qid, rank""",
+
+    // streamed ingest is exact: bootstrap + append under the frozen
+    // quantizer ≡ fresh full-corpus encode with COMPUTED labels — the
+    // oracle recomputes the nearest-centroid assignment (ties to lowest
+    // centroid id) and then replays the ann_ivfpq ranking over it
+    "ann_index_ingest" -> s"""
+      WITH $pqReconCte,
+      cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+               WHERE vec_id < 4),
+      lab AS (
+        SELECT vec_id, cid AS label FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid ASC)
+                   AS rn
+          FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+      q AS (SELECT l.label, e.vec_id AS qid, e.embedding AS qv
+            FROM embeddings e JOIN lab l USING (vec_id)
+            WHERE e.vec_id < 10),
+      scored AS (
+        SELECT q.qid, r.vec_id, round(${cos("q.qv", "r.rv")}, 6) AS pq_cos
+        FROM recon r JOIN lab l ON r.vec_id = l.vec_id
+                     JOIN q ON l.label = q.label
         WHERE r.vec_id <> q.qid),
       ranked AS (
         SELECT qid, vec_id, pq_cos,

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.VectorIndex
+import graft.streaming.StreamingVectorIngest
+
+/** Streaming ANN ingestion gate: micro-batches of embeddings append into
+  * the persisted IVF-PQ index under its FROZEN quantizer. Contract: the
+  * streamed index is row-identical to a one-shot batch build over the
+  * union — the frozen-codebook/centroid property that makes incremental
+  * ingestion sound — and a restart with a different config cannot fork
+  * the encoding (the persisted quantizer wins). */
+object StreamingVectorIngestSpec {
+  final case class SVec(vec_id: Long, embedding: Array[Float])
+}
+
+class StreamingVectorIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import StreamingVectorIngestSpec.SVec
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.load(spark, dir, "embeddings")
+
+  private lazy val codebook = emb.filter(col("vec_id") < 8)
+    .select(col("vec_id"), col("embedding")).collect()
+    .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+  private lazy val centroids = emb.filter(col("vec_id") < 4)
+    .select(col("vec_id"), col("embedding")).collect()
+    .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+
+  private def cfgFor(idx: String) = StreamingVectorIngest.Config(
+    indexDir = idx, numSub = 8, dim = codebook.head._2.length,
+    codebook = codebook, centroids = centroids)
+
+  private def postings(p: String): Set[String] =
+    spark.read.parquet(s"$p/postings")
+      .select(col("label"), col("vec_id"), col("codes"))
+      .collect().map(_.toString).toSet
+
+  test("streamed batches == one-shot batch build over the union " +
+    "(frozen quantizer), driven through a real writeStream") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_svi").toString
+    val cfg = cfgFor(s"$root/index")
+
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[SVec].collect().toSeq
+    val (b1, b2) = rows.partition(_.vec_id % 2 == 0)
+
+    val in = MemoryStream[SVec](spark)
+    val q = in.toDF().writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(StreamingVectorIngest.ingest(cfg) _)
+      .start()
+    in.addData(b1)
+    q.processAllAvailable()
+    in.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+
+    // one-shot reference build: same frozen codebook + centroids
+    val ref = s"$root/ref"
+    VectorIndex.build(
+      VectorIndex.assignLabels(emb.select(col("vec_id"), col("embedding")),
+        centroids),
+      VectorIndex.Spec(8, codebook.head._2.length, codebook), ref)
+    assert(postings(s"$root/index") == postings(ref),
+      "streamed postings diverge from the one-shot build")
+
+    // and the search surface serves identical answers
+    val queries = VectorIndex.assignLabels(
+        emb.filter(col("vec_id") < 6).select(col("vec_id"), col("embedding")),
+        centroids)
+      .select(col("label"), col("vec_id").as("qid"),
+        col("embedding").as("qv"))
+    val a = VectorIndex.searchTopK(spark, s"$root/index", queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+    val b = VectorIndex.searchTopK(spark, ref, queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("in-batch duplicate vec_ids keep one deterministic row") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_svi_dup").toString
+    val cfg = cfgFor(s"$root/index")
+    val v = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).as[SVec].collect().toSeq
+    // the same vec_ids twice in ONE batch
+    StreamingVectorIngest.ingest(cfg)((v ++ v).toDF(), 0L)
+    val ids = spark.read.parquet(s"${cfg.indexDir}/postings")
+      .groupBy("vec_id").count().collect()
+    assert(ids.length == 3 && ids.forall(_.getLong(1) == 1L), ids.toSeq)
+  }
+
+  test("restart with a DIFFERENT config quantizer cannot fork the " +
+    "encoding: the persisted centroids win") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_svi_rs").toString
+    val cfg = cfgFor(s"$root/index")
+    val rows = emb.select(col("vec_id"), col("embedding")).as[SVec]
+      .collect().toSeq
+    StreamingVectorIngest.ingest(cfg)(
+      rows.filter(_.vec_id % 2 == 0).toDF(), 0L)
+
+    // "restart": a config pointing at DIFFERENT centroids (first 2 only)
+    val forked = cfg.copy(centroids = centroids.take(2))
+    StreamingVectorIngest.ingest(forked)(
+      rows.filter(_.vec_id % 2 == 1).toDF(), 1L)
+
+    // persisted quantizer unchanged, and the full index still equals the
+    // one-shot build under the ORIGINAL centroids
+    val persisted = VectorIndex.loadCentroids(spark, cfg.indexDir)
+    assert(persisted.map(_._1).toSeq == centroids.map(_._1).toSeq)
+    val ref = s"$root/ref"
+    VectorIndex.build(
+      VectorIndex.assignLabels(emb.select(col("vec_id"), col("embedding")),
+        centroids),
+      VectorIndex.Spec(8, codebook.head._2.length, codebook), ref)
+    assert(postings(cfg.indexDir) == postings(ref))
+  }
+}
