@@ -35,8 +35,24 @@ import org.apache.spark.sql.functions._
   */
 object NatsStoreMaintenance {
 
+  /** `layout` picks what the compacted files cluster on — which predicates
+    * prune at FILE granularity afterwards:
+    *   - `"subject"` (default): contiguous subject spans, seq-sorted within
+    *     — subject-PREFIX predicates prune best; but with more subjects
+    *     than files every file holds complete subject runs spanning the
+    *     whole seq range, so a bare seq/ts predicate prunes nothing.
+    *   - `"seq"`: contiguous seq runs — pure seq/ts retention and range
+    *     scans; subject predicates prune nothing.
+    *   - `"zorder"`: [[graft.operators.ZOrder]] file assignment over
+    *     (subject, seq) — BOTH a subject-equality and a seq predicate
+    *     prune files (the balanced layout for mixed workloads; subject
+    *     PREFIX pruning is the trade, hash ranks are order-free).
+    * Every layout yields seq-ASCENDING rows within each file — the store
+    * writer enforces that ordering at write time — so the sorted-store
+    * marker, row-group seq pruning, and top-n early-stop hold under all
+    * three. */
   def compact(spark: SparkSession, dir: String, stream: String,
-              numFiles: Int, clusterBySubject: Boolean = true): Unit = {
+              numFiles: Int, layout: String = "subject"): Unit = {
     require(numFiles > 0, s"numFiles must be positive: $numFiles")
     val store = new File(s"$dir/$stream.msgs")
     require(store.isDirectory, s"no native store at $store")
@@ -44,15 +60,20 @@ object NatsStoreMaintenance {
 
     val df = spark.read.format("nats_scan")
       .option("dir", dir).option("stream", stream).load()
-    val arranged =
-      if (clusterBySubject)
+    val arranged = layout match {
+      case "subject" =>
         // subject-clustered: each output file covers a narrow subject range
         // (prefix pruning), seq-sorted within for seq/ts pruning
         df.repartitionByRange(numFiles, col("subject"), col("seq"))
           .sortWithinPartitions("subject", "seq")
-      else
+      case "seq" =>
         df.repartitionByRange(numFiles, col("seq"))
           .sortWithinPartitions("seq")
+      case "zorder" =>
+        graft.operators.ZOrder.cluster(df, Seq("subject", "seq"), numFiles)
+      case other => throw new IllegalArgumentException(
+        s"unknown compact layout '$other' (subject | seq | zorder)")
+    }
     arranged.write.format("nats_scan")
       .option("dir", scratch).option("stream", stream)
       .mode("overwrite").save()

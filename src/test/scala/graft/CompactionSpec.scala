@@ -83,6 +83,59 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"post-compaction ledger should be gone, got $eps")
   }
 
+  test("compact layout=zorder: data identical, store stays seq-sorted " +
+    "within files, and seq predicates prune files the subject layout " +
+    "cannot") {
+    val tmpZ = java.nio.file.Files.createTempDirectory("graft_cmp_z").toString
+    val tmpS = java.nio.file.Files.createTempDirectory("graft_cmp_s").toString
+    val src = spark.read.format("nats_scan").option("dir", dir).load()
+    Seq(tmpZ, tmpS).foreach { t =>
+      src.write.format("nats_scan").option("dir", t)
+        .mode("overwrite").save()
+    }
+    def snapshot(t: String) = {
+      val r = spark.read.format("nats_scan").option("dir", t).load()
+        .select(xxhash64(col("subject"), col("seq"), col("ts_nats"),
+          col("payload")).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val before = snapshot(tmpZ)
+    graft.sources.NatsStoreMaintenance
+      .compact(spark, tmpZ, "events", numFiles = 16, layout = "zorder")
+    graft.sources.NatsStoreMaintenance
+      .compact(spark, tmpS, "events", numFiles = 16, layout = "subject")
+    assert(snapshot(tmpZ) == before && snapshot(tmpS) == before)
+
+    // within every compacted file, rows stay seq-ASCENDING (the writer
+    // enforces it) — the sorted-store marker survives a z-order compact
+    assert(graft.sources.StoreLayout
+      .seqSorted(new java.io.File(s"$tmpZ/events.msgs")))
+
+    // ~500 distinct subjects over 16 files: under the subject layout every
+    // file holds complete subject runs spanning the whole seq range, so a
+    // bare seq predicate overlaps ALL files; the z-layout confines it
+    val n = src.count()
+    val (lo, hi) = (n / 2, n / 2 + n / 10) // ~10% of the seq space
+    val (zHit, zTotal) = graft.operators.ZOrder
+      .overlappingFiles(s"$tmpZ/events.msgs", "seq", lo, hi)
+    val (sHit, sTotal) = graft.operators.ZOrder
+      .overlappingFiles(s"$tmpS/events.msgs", "seq", lo, hi)
+    assert(sHit == sTotal, s"subject layout: $sHit/$sTotal overlap")
+    assert(zHit <= zTotal / 2, s"z layout should prune: $zHit/$zTotal")
+
+    // and the pruned layout answers identically
+    val a = spark.read.format("nats_scan").option("dir", tmpZ).load()
+      .filter(col("seq").between(lo, hi)).count()
+    assert(a == hi - lo + 1)
+
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.NatsStoreMaintenance
+        .compact(spark, tmpZ, "events", numFiles = 4, layout = "hilbert")
+    }
+    assert(e.getMessage.contains("unknown compact layout"), e.getMessage)
+  }
+
   test("expireBefore: MaxAge retention — footer-stats file drops + boundary rewrite") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_expire").toString
     // seq-range-clustered store: 4 files, each a contiguous seq (≈ time) run,
