@@ -54,7 +54,13 @@ object Bench {
     // the full-json artifact so a slow flip can be correlated with cache
     // exhaustion in the SAME run that exhibited it
     val cacheMb = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args: query names to time (default all) — lets a new query
+    // be cost-checked at the bench SF without a full-suite run
+    val only = args.toSet
+    val picked =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => only(k) }
+    val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir))
       catch { case _: Throwable => failed += name }
@@ -85,7 +91,9 @@ object Bench {
     // per-SF file: a multi-SF sweep must not clobber earlier SFs' numbers
     val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
       .replaceAll("[^A-Za-z0-9._-]", "_")
-    try {
+    // a FILTERED run must not clobber the committed full artifact with a
+    // partial per-query map
+    try if (only.isEmpty) {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"bench_full_$sfTag.json"),
         (fullLine + "\n").getBytes("UTF-8"))
