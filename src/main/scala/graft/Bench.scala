@@ -55,8 +55,12 @@ object Bench {
     // exhaustion in the SAME run that exhibited it
     val cacheMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     // optional args: query names to time (default all) — lets a new query
-    // be cost-checked at the bench SF without a full-suite run
+    // be cost-checked at the bench SF without a full-suite run. A typo'd
+    // name must FAIL, not silently time a 0-query "success".
     val only = args.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown bench queries: ${unknown.toSeq.sorted.mkString(", ")}")
     val picked =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only(k) }

@@ -352,10 +352,13 @@ object ScaleProbe {
     if (on("zorder")) {
       println(f"${"k"}%3s ${"rows"}%9s ${"zorder_s"}%9s ${"files_hit"}%10s ${"files"}%6s")
       Seq(1, 4, 16).foreach { k =>
+        // cache like every other section: the timed number must measure
+        // the RE-LAYOUT (stats agg + range exchange + write), not a
+        // recompute of the replication
         val ev = Tables.load(spark, sfDir, "events")
           .withColumn("r", explode(sequence(lit(0), lit(k - 1))))
           .withColumn("event_id", col("event_id") + col("r") * lit(10000000L))
-          .drop("r")
+          .drop("r").cache()
         val nRows = ev.count()
         val out = java.nio.file.Files
           .createTempDirectory(s"graft_probe_z_$k").toString
@@ -367,6 +370,7 @@ object ScaleProbe {
         }
         val (hit, total) = operators.ZOrder
           .overlappingFiles(out, "user_id", 10L, 19L)
+        ev.unpersist(): Unit
         println(f"$k%3d $nRows%9d $tZ%9.2f $hit%10d $total%6d")
       }
     }

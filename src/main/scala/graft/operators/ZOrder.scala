@@ -20,16 +20,25 @@ import org.apache.spark.sql.types._
   * is embarrassingly parallel; the only exchange is the final range
   * partition, which ANY re-layout needs.
   *
-  * Rank strategies (chosen per column type, no configuration):
+  * Rank strategies:
   *   - numeric/timestamp: linear min/max scaling into `bits` bits. The
   *     min/max pair per column comes from ONE tiny aggregate job (2
   *     values per column to the driver — bounded at any corpus size).
   *     Skewed distributions still prune correctly (stats ranges stay
   *     valid), just less sharply.
-  *   - string/binary/other: the top `bits` bits of xxhash64. Equality
-  *     predicates on such columns prune via the same interleave even
-  *     though range predicates on them cannot (hashing is order-free) —
-  *     exactly the trade dedup/band keys already make.
+  *   - string/binary/other, default: the top `bits` bits of xxhash64.
+  *     Order-free — min/max stats on the column itself cannot prune, so
+  *     this mode only CLUSTERS such columns (few distinct values per
+  *     file); use it when the scan stack prunes by dictionary/bloom, or
+  *     when the column is a filter-rarely dimension.
+  *   - string with `orderedStrings = true`: an ORDER-PRESERVING rank —
+  *     percent_rank over the column's DISTINCT values, broadcast-joined
+  *     back. Each output file then covers a narrow LEXICOGRAPHIC range,
+  *     so plain min/max stats prune prefix and equality predicates (what
+  *     a string-stats scan stack actually checks). Costs one distinct
+  *     pass + a single-partition window over the distinct set — choose it
+  *     when the column's cardinality is bounded (subjects, categories),
+  *     not for free-text.
   *   - NULL ranks as 0 (nulls cluster at the curve origin).
   *
   * The z-value never changes WHAT rows exist — layout only. The oracle
@@ -54,6 +63,54 @@ object ZOrder {
   def rankHash(c: Column, bits: Int): Column =
     coalesce(shiftrightunsigned(xxhash64(c), 64 - bits), lit(0L))
 
+  /** Order-preserving `bits`-bit rank map for a bounded-cardinality
+    * column: (value, rank) over the DISTINCT values, rank = scaled
+    * percent_rank, so lexicographic order is preserved and file min/max
+    * stats stay meaningful. The single-partition window runs over the
+    * distinct set only — bounded for categorical/subject-like columns. */
+  def orderedRankMap(df: DataFrame, colName: String, bits: Int,
+                     rankCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(colName))
+    df.select(col(colName)).na.drop().distinct()
+      .withColumn(rankCol,
+        round(percent_rank().over(w) * lit(((1L << bits) - 1).toDouble))
+          .cast(LongType))
+  }
+
+  /** the z-value column for `cols` of `df` in the default (hashed-string)
+    * mode — strategies chosen by type, one stats job for all numeric
+    * columns together */
+  def zValue(df: DataFrame, cols: Seq[String], bits: Int = 12): Column =
+    interleave(cols.map(c => numericRanks(df, cols, bits)
+      .getOrElse(c, rankHash(col(c), bits))), bits)
+
+  /** min/max-scaled ranks for the numeric subset of `cols` (one agg job);
+    * non-numeric columns are absent from the result */
+  private def numericRanks(df: DataFrame, cols: Seq[String],
+                           bits: Int): Map[String, Column] = {
+    val fields = cols.map(c => df.schema(c))
+    def asDouble(f: StructField): Option[Column] = f.dataType match {
+      case _: NumericType => Some(col(f.name).cast(DoubleType))
+      case TimestampType => Some(col(f.name).cast(DoubleType))
+      case DateType | TimestampNTZType =>
+        Some(col(f.name).cast(TimestampType).cast(DoubleType))
+      case _ => None
+    }
+    val numeric = fields.flatMap(f => asDouble(f).map(f.name -> _)).toMap
+    if (numeric.isEmpty) Map.empty
+    else {
+      val names = numeric.keys.toSeq
+      val aggs = names.flatMap(c => Seq(
+        min(numeric(c)).as(s"mn_$c"), max(numeric(c)).as(s"mx_$c")))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      names.zipWithIndex.map { case (c, i) =>
+        val mn = if (r.isNullAt(2 * i)) 0.0 else r.getDouble(2 * i)
+        val mx = if (r.isNullAt(2 * i + 1)) 0.0 else r.getDouble(2 * i + 1)
+        c -> rankNumeric(numeric(c), mn, mx, bits)
+      }.toMap
+    }
+  }
+
   /** Morton interleave: bit b of rank i lands at position b*n + i. Pure
     * shift/mask/OR expression tree — codegen-friendly, no UDF. */
   def interleave(ranks: Seq[Column], bits: Int): Column = {
@@ -67,77 +124,82 @@ object ZOrder {
     terms.reduce(_.bitwiseOR(_))
   }
 
-  /** the z-value column for `cols` of `df`, strategies chosen by type
-    * (one stats job for all numeric columns together) */
-  def zValue(df: DataFrame, cols: Seq[String], bits: Int = 12): Column = {
-    val fields = cols.map(c => df.schema(c))
-    def asDouble(f: StructField): Option[Column] = f.dataType match {
-      case _: NumericType => Some(col(f.name).cast(DoubleType))
-      case TimestampType => Some(col(f.name).cast(DoubleType))
-      case DateType | TimestampNTZType =>
-        Some(col(f.name).cast(TimestampType).cast(DoubleType))
-      case _ => None
-    }
-    val numeric = fields.flatMap(f => asDouble(f).map(f.name -> _)).toMap
-    val stats: Map[String, (Double, Double)] =
-      if (numeric.isEmpty) Map.empty
-      else {
-        val names = numeric.keys.toSeq
-        val aggs = names.flatMap(c => Seq(
-          min(numeric(c)).as(s"mn_$c"), max(numeric(c)).as(s"mx_$c")))
-        val r = df.agg(aggs.head, aggs.tail: _*).head()
-        names.zipWithIndex.map { case (c, i) =>
-          val mn = if (r.isNullAt(2 * i)) 0.0 else r.getDouble(2 * i)
-          val mx = if (r.isNullAt(2 * i + 1)) 0.0 else r.getDouble(2 * i + 1)
-          c -> (mn, mx)
-        }.toMap
-      }
-    val ranks = fields.map { f =>
-      stats.get(f.name) match {
-        case Some((mn, mx)) => rankNumeric(numeric(f.name), mn, mx, bits)
-        case None => rankHash(col(f.name), bits)
-      }
-    }
-    interleave(ranks, bits)
-  }
-
   /** Data-skipping accounting from parquet FILE footers: of the files under
     * `dir`, how many have `column` min/max stats overlapping [lo, hi] —
-    * i.e. how many a stats-pruning scan must actually read. Returns
+    * i.e. how many a stats-pruning scan must actually read. Files whose
+    * stats are absent or null for the column count as OVERLAPPING (a
+    * pruner that can't prove non-overlap must read the file). Returns
     * (overlapping, total). This is the measurement the layout exists for;
     * `ZOrderSpec` and the ScaleProbe sweep both read it. */
   def overlappingFiles(dir: String, column: String,
                        lo: Long, hi: Long): (Int, Int) = {
     import scala.jdk.CollectionConverters._
+    val d = new java.io.File(dir)
+    require(d.isDirectory, s"overlappingFiles: no directory at $dir")
     val conf = new org.apache.hadoop.conf.Configuration()
-    val bounds = new java.io.File(dir).listFiles()
+    val bounds = d.listFiles()
       .filter(_.getName.endsWith(".parquet")).toSeq
       .map { f =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new org.apache.hadoop.fs.Path(f.getPath), conf))
         try {
-          val stats = r.getFooter.getBlocks.asScala.flatMap(
-            _.getColumns.asScala
-              .find(_.getPath.toDotString == column).map(_.getStatistics))
-          (stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue()).min,
-            stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue()).max)
+          val blocks = r.getFooter.getBlocks.asScala
+          val stats = blocks.map(_.getColumns.asScala
+            .find(_.getPath.toDotString == column).map(_.getStatistics)
+            .filter(s => s != null && s.hasNonNullValue &&
+              s.genericGetMin != null && s.genericGetMax != null))
+          if (stats.isEmpty || stats.exists(_.isEmpty)) None
+          else {
+            val s = stats.flatten
+            Some((s.map(_.genericGetMin.asInstanceOf[java.lang.Long]
+                .longValue()).min,
+              s.map(_.genericGetMax.asInstanceOf[java.lang.Long]
+                .longValue()).max))
+          }
         } finally r.close()
       }
-    (bounds.count { case (mn, mx) => mx >= lo && mn <= hi }, bounds.size)
+    (bounds.count {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true // unknowable stats cannot prune
+    }, bounds.size)
   }
 
   /** Re-layout `df` along the z-curve of `cols`: range-partition into
     * `partitions` output files, sort within each by the z-value, drop the
-    * helper column. Row content is IDENTICAL to the input — only file
+    * helper columns. Row content is IDENTICAL to the input — only file
     * boundaries and row order move, which is what makes every clustered
-    * column's min/max stats tight. */
+    * column's min/max stats tight.
+    *
+    * `orderedStrings = true` ranks string columns order-preservingly (see
+    * [[orderedRankMap]]) so their plain min/max stats prune too — for
+    * bounded-cardinality dimensions like subjects or categories.
+    * `sortWithin = false` skips the within-partition z-sort: for sinks
+    * that re-sort rows themselves (e.g. the native store writer's
+    * seq-ordering requirement) only the FILE ASSIGNMENT survives, and
+    * paying a second O(n log n) sort buys nothing. */
   def cluster(df: DataFrame, cols: Seq[String], partitions: Int,
-              bits: Int = 12): DataFrame = {
-    val z = zValue(df, cols, bits)
-    df.withColumn("__z", z)
+              bits: Int = 12, orderedStrings: Boolean = false,
+              sortWithin: Boolean = true): DataFrame = {
+    require(!df.columns.exists(_.startsWith("__z")),
+      "z-order helper columns collide: input already has a __z* column")
+    val numeric = numericRanks(df, cols, bits)
+    var cur = df
+    val ranks = cols.map { c =>
+      numeric.get(c) match {
+        case Some(rank) => rank
+        case None if orderedStrings && df.schema(c).dataType == StringType =>
+          val rc = s"__zr_$c"
+          cur = cur.join(broadcast(orderedRankMap(df, c, bits, rc)),
+            Seq(c), "left")
+          coalesce(col(rc), lit(0L))
+        case None => rankHash(col(c), bits)
+      }
+    }
+    val zed = cur.withColumn("__z", interleave(ranks, bits))
       .repartitionByRange(partitions, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    val sorted = if (sortWithin) zed.sortWithinPartitions("__z") else zed
+    // restore the INPUT column order (a using-join moves keys to the front)
+    sorted.select(df.columns.map(col).toSeq: _*)
   }
 }

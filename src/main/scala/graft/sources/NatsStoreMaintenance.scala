@@ -44,9 +44,13 @@ object NatsStoreMaintenance {
     *   - `"seq"`: contiguous seq runs — pure seq/ts retention and range
     *     scans; subject predicates prune nothing.
     *   - `"zorder"`: [[graft.operators.ZOrder]] file assignment over
-    *     (subject, seq) — BOTH a subject-equality and a seq predicate
-    *     prune files (the balanced layout for mixed workloads; subject
-    *     PREFIX pruning is the trade, hash ranks are order-free).
+    *     (subject, seq) with ORDER-PRESERVING subject ranks — each file
+    *     covers a narrow lexicographic subject range AND a narrow seq
+    *     range, so subject prefix/equality predicates and seq predicates
+    *     BOTH prune files through the scan's existing min/max stats
+    *     checks (the balanced layout for mixed workloads; each dimension
+    *     gets ~half the resolution of its dedicated layout — that's the
+    *     curve's trade).
     * Every layout yields seq-ASCENDING rows within each file — the store
     * writer enforces that ordering at write time — so the sorted-store
     * marker, row-group seq pruning, and top-n early-stop hold under all
@@ -70,7 +74,13 @@ object NatsStoreMaintenance {
         df.repartitionByRange(numFiles, col("seq"))
           .sortWithinPartitions("seq")
       case "zorder" =>
-        graft.operators.ZOrder.cluster(df, Seq("subject", "seq"), numFiles)
+        // orderedStrings: subject ranks preserve lexicographic order so
+        // the scan's string min/max pruning works on the z files;
+        // sortWithin = false: the store writer re-sorts every partition
+        // by seq anyway (RequiresDistributionAndOrdering) — only the
+        // FILE ASSIGNMENT survives, so a z-sort here is wasted work
+        graft.operators.ZOrder.cluster(df, Seq("subject", "seq"), numFiles,
+          orderedStrings = true, sortWithin = false)
       case other => throw new IllegalArgumentException(
         s"unknown compact layout '$other' (subject | seq | zorder)")
     }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.VectorIndex
 
@@ -23,13 +23,18 @@ import graft.operators.VectorIndex
   * frozen-quantizer property is exactly why streamed ingestion is
   * row-identical to a one-shot batch build over the union
   * (`StreamingVectorIngestSpec` asserts it via [[VectorIndex.searchTopK]]).
+  * An index that predates the gate (built by plain [[VectorIndex.build]],
+  * which persists no centroids) adopts the CONFIG centroids on first
+  * contact and persists them — after which the persisted copy wins.
   *
-  * In-batch duplicate vec_ids keep the first occurrence (deterministic:
-  * min struct by vec_id is order-invariant); re-delivery of an already-
-  * indexed vec_id is the caller's exactly-once concern, same retry
-  * posture as [[StreamingDedup]] (route through an idempotent sink or
-  * dedupe upstream — the gate's contract is the ENCODE/APPEND decision,
-  * which is deterministic and replay-stable).
+  * In-batch duplicate vec_ids keep one deterministic row (min-xxhash of
+  * the embedding — order-invariant, so any task arrangement picks the
+  * same one). REPLAYED batches are a no-op: the gate records the last
+  * applied batchId in `indexDir/_ingest_batch` and skips any batch at or
+  * below it — foreachBatch's at-least-once redelivery after a crash
+  * cannot double-append a vector (unlike [[StreamingDedup]], whose drop
+  * decision self-heals on replay, an ANN append has no such natural
+  * idempotence — it needs the marker).
   */
 object StreamingVectorIngest {
 
@@ -48,6 +53,7 @@ object StreamingVectorIngest {
     *   StreamingVectorIngest.ingest(cfg) _)` */
   def ingest(cfg: Config)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    if (lastApplied(spark, cfg.indexDir).exists(batchId <= _)) return
     val rows = batch
       .select(col(cfg.idCol).cast("long").as("vec_id"),
         col(cfg.vecCol).as("embedding"))
@@ -56,12 +62,60 @@ object StreamingVectorIngest {
     val fresh = !VectorIndex.exists(spark, cfg.indexDir)
     val centroids =
       if (fresh) cfg.centroids
-      else VectorIndex.loadCentroids(spark, cfg.indexDir)
+      else if (centroidsExist(spark, cfg.indexDir))
+        VectorIndex.loadCentroids(spark, cfg.indexDir)
+      else {
+        // pre-gate index (plain build persists no centroids) or a crash
+        // between the centroid and meta writes: adopt the config
+        // quantizer and PERSIST it so every later batch/session agrees
+        VectorIndex.saveCentroids(spark, cfg.indexDir, cfg.centroids)
+        cfg.centroids
+      }
     val labeled = VectorIndex.assignLabels(rows, centroids)
     if (fresh) {
+      // centroids BEFORE meta: exists() keys on meta, so a crash between
+      // the two writes must leave "no index yet", never "index without
+      // its quantizer"
+      VectorIndex.saveCentroids(spark, cfg.indexDir, centroids)
       VectorIndex.build(labeled,
         VectorIndex.Spec(cfg.numSub, cfg.dim, cfg.codebook), cfg.indexDir)
-      VectorIndex.saveCentroids(spark, cfg.indexDir, centroids)
     } else VectorIndex.append(labeled, cfg.indexDir)
+    recordApplied(spark, cfg.indexDir, batchId)
+  }
+
+  /** last batchId whose append fully committed (absent on a fresh index —
+    * and after a crash BETWEEN append and marker, in which case the batch
+    * replays; the marker bounds duplication to exactly that window, the
+    * same at-least-once edge the idempotent-sink docs call out) */
+  private def lastApplied(spark: SparkSession,
+                          indexDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_ingest_batch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def recordApplied(spark: SparkSession, indexDir: String,
+                            batchId: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s"._ingest_batch.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val fin = new org.apache.hadoop.fs.Path(dir, "_ingest_batch")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(fin, false)
+    require(fs.rename(tmp, fin), s"ingest marker rename failed: $tmp")
+  }
+
+  private def centroidsExist(spark: SparkSession,
+                             indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/centroids")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 }

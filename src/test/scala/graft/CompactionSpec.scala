@@ -129,6 +129,23 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("seq").between(lo, hi)).count()
     assert(a == hi - lo + 1)
 
+    // subject predicates prune TOO: the z layout ranks subjects order-
+    // preservingly, so each file covers a narrow lexicographic subject
+    // range and the scan's existing string min/max pruning bites
+    def prefixParts(t: String) =
+      spark.read.format("nats_scan").option("dir", t).load()
+        .filter(col("subject").startsWith("events.purchase"))
+        .rdd.getNumPartitions
+    val allZ = spark.read.format("nats_scan").option("dir", tmpZ).load()
+      .rdd.getNumPartitions
+    assert(prefixParts(tmpZ) < allZ,
+      s"z layout should prune subject prefixes: ${prefixParts(tmpZ)}/$allZ")
+    val pfx = spark.read.format("nats_scan").option("dir", tmpZ).load()
+      .filter(col("subject").startsWith("events.purchase")).count()
+    val pfxRaw = src.filter(col("subject").startsWith("events.purchase"))
+      .count()
+    assert(pfx == pfxRaw && pfx > 0)
+
     val e = intercept[IllegalArgumentException] {
       graft.sources.NatsStoreMaintenance
         .compact(spark, tmpZ, "events", numFiles = 4, layout = "hilbert")

@@ -104,6 +104,53 @@ class StreamingVectorIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.length == 3 && ids.forall(_.getLong(1) == 1L), ids.toSeq)
   }
 
+  test("replayed batchIds are a no-op: at-least-once redelivery cannot " +
+    "double-append a vector") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_svi_rp").toString
+    val cfg = cfgFor(s"$root/index")
+    val rows = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).as[SVec].collect().toSeq
+    val (b0, b1) = rows.partition(_.vec_id < 10)
+    StreamingVectorIngest.ingest(cfg)(b0.toDF(), 0L)
+    StreamingVectorIngest.ingest(cfg)(b1.toDF(), 1L)
+    val snap = postings(cfg.indexDir)
+    // the crash-replay: both batches re-delivered
+    StreamingVectorIngest.ingest(cfg)(b0.toDF(), 0L)
+    StreamingVectorIngest.ingest(cfg)(b1.toDF(), 1L)
+    assert(postings(cfg.indexDir) == snap, "replay must not change postings")
+    val perId = spark.read.parquet(s"${cfg.indexDir}/postings")
+      .groupBy("vec_id").count().filter(col("count") > 1).count()
+    assert(perId == 0, "no vec_id may appear twice after replay")
+  }
+
+  test("an index built by plain VectorIndex.build (no persisted " +
+    "centroids) adopts the config quantizer on first contact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_svi_pre").toString
+    val idx = s"$root/index"
+    // pre-gate index over the even half, labels from the SAME quantizer
+    VectorIndex.build(
+      VectorIndex.assignLabels(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+          .select(col("vec_id"), col("embedding")), centroids),
+      VectorIndex.Spec(8, codebook.head._2.length, codebook), idx)
+    assert(!new java.io.File(s"$idx/centroids").exists())
+
+    val rows = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id"), col("embedding")).as[SVec].collect().toSeq
+    StreamingVectorIngest.ingest(cfgFor(idx))(rows.toDF(), 0L)
+    // quantizer adopted + persisted; combined index == one-shot build
+    assert(VectorIndex.loadCentroids(spark, idx).map(_._1).toSeq ==
+      centroids.map(_._1).toSeq)
+    val ref = s"$root/ref"
+    VectorIndex.build(
+      VectorIndex.assignLabels(emb.select(col("vec_id"), col("embedding")),
+        centroids),
+      VectorIndex.Spec(8, codebook.head._2.length, codebook), ref)
+    assert(postings(idx) == postings(ref))
+  }
+
   test("restart with a DIFFERENT config quantizer cannot fork the " +
     "encoding: the persisted centroids win") {
     import spark.implicits._

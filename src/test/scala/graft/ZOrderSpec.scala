@@ -114,4 +114,40 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
       perFile.sum.toDouble / perFile.size < 2.5,
       s"distinct event_types per z-file: $perFile")
   }
+
+  test("orderedStrings = true: string ranks preserve lexicographic order, " +
+    "so plain min/max stats prune string predicates too") {
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z_ord").toString
+    ZOrder.cluster(events, Seq("event_type", "event_id"), partitions = 32,
+        orderedStrings = true)
+      .write.mode("overwrite").parquet(zDir)
+    // per-file lexicographic [min,max] of the string dimension
+    val bounds = new java.io.File(zDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSeq
+      .map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min("event_type"), max("event_type")).head()
+        (r.getString(0), r.getString(1))
+      }
+    // an equality predicate on one of the 5 types overlaps only the files
+    // whose lex range straddles it — most files prune
+    val hit = bounds.count { case (mn, mx) =>
+      mn <= "purchase" && "purchase" <= mx }
+    assert(hit <= bounds.size / 2,
+      s"ordered ranks should prune: $hit/${bounds.size} files overlap")
+    // content identity and schema-order preservation survive the
+    // broadcast rank join
+    val back = spark.read.parquet(zDir)
+    assert(back.schema == events.schema)
+    assert(back.count() == events.count())
+  }
+
+  test("cluster refuses an input that already has a __z helper column") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("a", "__z")
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.cluster(df, Seq("a"), partitions = 2)
+    }
+    assert(e.getMessage.contains("__z"), e.getMessage)
+  }
 }
