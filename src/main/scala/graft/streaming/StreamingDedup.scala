@@ -30,11 +30,16 @@ import graft.operators.{Dedup, DedupIndex}
   *   3. docs too short to sign (< 3 tokens — no shingles) always survive
   *      and are never indexed (no near-dup evidence exists for them).
   *
-  * Retry semantics: appends here are NOT epoch-idempotent — a production
-  * deployment routes the writes through the native store's idempotent
-  * epoch sink (`sources.NatsScanWrite`) exactly as the streaming tests do;
-  * this operator's contract is the dedup DECISION, which is deterministic
-  * and therefore replay-stable.
+  * Retry semantics: the gate records the last applied batchId
+  * (`indexDir/_ingest_batch`, [[BatchMarker]]) and no-ops a replayed
+  * batch, so foreachBatch's at-least-once redelivery cannot re-append
+  * survivors to `outDir` or the index. A crash BETWEEN the appends and
+  * the marker write replays exactly that batch: the index side self-heals
+  * (replayed docs drop as dups of their own indexed copies) but `outDir`
+  * would duplicate — a production deployment bounds that last window by
+  * routing output through the native store's idempotent epoch sink
+  * (`sources.NatsScanWrite`) exactly as the streaming tests do. The dedup
+  * DECISION itself is deterministic and replay-stable either way.
   */
 object StreamingDedup {
 
@@ -58,6 +63,7 @@ object StreamingDedup {
     *   StreamingDedup.ingest(cfg) _)` */
   def ingest(cfg: Config)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    if (BatchMarker.alreadyApplied(spark, cfg.indexDir, batchId)) return
     requireLayoutMatches(spark, cfg)
     val b = batch.persist()
     try {
@@ -140,6 +146,7 @@ object StreamingDedup {
           .write.mode("append").parquet(s"${cfg.indexDir}/sigs")
       }
       sig.unpersist()
+      BatchMarker.record(spark, cfg.indexDir, batchId)
     } finally b.unpersist()
   }
 

@@ -53,7 +53,7 @@ object StreamingVectorIngest {
     *   StreamingVectorIngest.ingest(cfg) _)` */
   def ingest(cfg: Config)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (lastApplied(spark, cfg.indexDir).exists(batchId <= _)) return
+    if (BatchMarker.alreadyApplied(spark, cfg.indexDir, batchId)) return
     val rows = batch
       .select(col(cfg.idCol).cast("long").as("vec_id"),
         col(cfg.vecCol).as("embedding"))
@@ -80,37 +80,7 @@ object StreamingVectorIngest {
       VectorIndex.build(labeled,
         VectorIndex.Spec(cfg.numSub, cfg.dim, cfg.codebook), cfg.indexDir)
     } else VectorIndex.append(labeled, cfg.indexDir)
-    recordApplied(spark, cfg.indexDir, batchId)
-  }
-
-  /** last batchId whose append fully committed (absent on a fresh index —
-    * and after a crash BETWEEN append and marker, in which case the batch
-    * replays; the marker bounds duplication to exactly that window, the
-    * same at-least-once edge the idempotent-sink docs call out) */
-  private def lastApplied(spark: SparkSession,
-                          indexDir: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_ingest_batch")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        .trim.toLong)
-      finally in.close()
-    }
-  }
-
-  private def recordApplied(spark: SparkSession, indexDir: String,
-                            batchId: Long): Unit = {
-    val dir = new org.apache.hadoop.fs.Path(indexDir)
-    val tmp = new org.apache.hadoop.fs.Path(dir,
-      s"._ingest_batch.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val fin = new org.apache.hadoop.fs.Path(dir, "_ingest_batch")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(tmp, true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(fin, false)
-    require(fs.rename(tmp, fin), s"ingest marker rename failed: $tmp")
+    BatchMarker.record(spark, cfg.indexDir, batchId)
   }
 
   private def centroidsExist(spark: SparkSession,

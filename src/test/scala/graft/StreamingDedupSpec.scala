@@ -114,6 +114,25 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probed == Set(12L), probed)
   }
 
+  test("replayed batchIds are a no-op: redelivery cannot re-append " +
+    "survivors to outDir or the index") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sdedup_rp").toString
+    val cfg = StreamingDedup.Config(s"$root/index", s"$root/out")
+    val b0 = Seq(SDoc(1, words("alpha")), SDoc(2, words("beta"))).toDF()
+    val b1 = Seq(SDoc(3, words("gamma"))).toDF()
+    StreamingDedup.ingest(cfg)(b0, 0L)
+    StreamingDedup.ingest(cfg)(b1, 1L)
+    val out0 = spark.read.parquet(cfg.outDir).count()
+    val idx0 = spark.read.parquet(s"${cfg.indexDir}/sigs").count()
+    // crash-replay of both batches
+    StreamingDedup.ingest(cfg)(b0, 0L)
+    StreamingDedup.ingest(cfg)(b1, 1L)
+    assert(spark.read.parquet(cfg.outDir).count() == out0)
+    assert(spark.read.parquet(s"${cfg.indexDir}/sigs").count() == idx0)
+  }
+
   test("mode/layout mismatches fail LOUDLY instead of silently accepting " +
     "dups or destroying the index") {
     import spark.implicits._
