@@ -459,6 +459,35 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // PII detect + mask (operators.Pii): the privacy pass a web corpus runs
+    // before training — emails / phones / IPv4s masked with typed tokens.
+    // The synthetic corpus carries no PII, so the fixture PLANTS it
+    // deterministically (docs ≡0 mod 3 get an email, mod 5 a phone, mod 7
+    // an IP — some docs get several); the oracle plants the identical
+    // strings. Rollup is one row per rule; n_residual re-counts each
+    // pattern over the SCRUBBED text and must be 0 (self-certifying, like
+    // pipe_leakfree_split's n_cross_pairs). Entirely map-side built-ins +
+    // one 3-group aggregate — the plan is scan-shaped at any corpus size.
+    "pipe_pii_scrub" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text", concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" reach user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" call +1 555-"),
+            lpad(pmod(col("doc_id") * 7, lit(1000)).cast("string"), 3, "0"),
+            lit("-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" today"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" host 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+            pmod(col("doc_id"), lit(100)).cast("string"),
+            lit(" up"))).otherwise(lit(""))))
+      graft.operators.Pii.report(planted, "text")
+    }),
+
     // pairs → clusters: connected components over the verified jaccard
     // pairs; each clustered doc gets its component id (min reachable doc_id)
     // and the canonical survivor is the component representative
@@ -1646,6 +1675,61 @@ object PipelineQueries {
       FROM train t JOIN test USING (s)
       GROUP BY t.doc_id HAVING count(DISTINCT t.s) >= 3
       ORDER BY doc_id""",
+
+    // the oracle plants the identical PII strings, masks with the same
+    // ordered regexp_replace chain (RE2 and Java regex agree on this
+    // pattern subset), and re-counts residuals over the scrubbed text
+    "pipe_pii_scrub" -> """
+      WITH planted AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0 THEN ' reach user'
+                    || CAST(doc_id AS VARCHAR) || '@example.com now'
+                  ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN ' call +1 555-'
+                    || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' today'
+                  ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.'
+                    || CAST(doc_id % 100 AS VARCHAR) || ' up'
+                  ELSE '' END AS text
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+               len(regexp_extract_all(text,
+                 '\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+               len(regexp_extract_all(text,
+                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+                 AS scrubbed
+        FROM planted),
+      r AS (
+        SELECT 'email' AS pii_type, n_email AS n,
+               len(regexp_extract_all(scrubbed,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS resid
+        FROM c
+        UNION ALL
+        SELECT 'phone', n_phone,
+               len(regexp_extract_all(scrubbed,
+                 '\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}'))
+        FROM c
+        UNION ALL
+        SELECT 'ipv4', n_ipv4,
+               len(regexp_extract_all(scrubbed,
+                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        FROM c)
+      SELECT pii_type,
+             COUNT(*) FILTER (WHERE n > 0) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS n_matches,
+             CAST(SUM(resid) AS BIGINT) AS n_residual
+      FROM r GROUP BY pii_type ORDER BY pii_type""",
 
     "dedup_jaccard" -> """
       WITH t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS w
