@@ -34,14 +34,20 @@ object TrainingDataQueries {
   /** java.util.regex and RE2 agree on this subset: alternation + ASCII \b */
   private val denyPat = "\\b(customer|key|secret)\\b"
 
-  /** Structured PII patterns — the engine-portable subset (no lookaround,
-    * no backreferences: java.util.regex and DuckDB's RE2 match these
-    * identically). Redaction applies them in a FIXED order (id before
-    * phone: an SSN-shaped token must not be half-eaten by the phone rule). */
-  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val idPat    = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
-  private val phonePat = "\\b\\d{3}-\\d{4}\\b"
-  private val ipPat    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** Structured PII rule set for [[graft.operators.Pii]] — the
+    * engine-portable regex subset (no lookaround, no backreferences:
+    * java.util.regex and DuckDB's RE2 match these identically). Rule order
+    * is FIXED and semantic (id before phone: an SSN-shaped token must not
+    * be half-eaten by the phone rule; email first so a dotted mail domain
+    * can never resurface as an IPv4 — `PiiSpec` proves the reversed order
+    * leaks). */
+  private val piiRules = Seq(
+    graft.operators.Pii.Rule("email",
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    graft.operators.Pii.Rule("id", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[ID]"),
+    graft.operators.Pii.Rule("phone", "\\b\\d{3}-\\d{4}\\b", "[PHONE]"),
+    graft.operators.Pii.Rule("ip",
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -55,14 +61,16 @@ object TrainingDataQueries {
           .as("scrub_md5"))
         .orderBy("doc_id")),
 
-    // STRUCTURED PII scrubbing: per-class detection counts (email / id /
-    // phone / IPv4) + class-tagged redaction + fingerprint of the scrubbed
-    // text — the standard training-data privacy pass beyond a word
-    // denylist. The fixture corpus carries no PII, so the query plants
-    // deterministic PII derived from the row first (both engines build the
-    // identical planted text); detection counts and the redaction
-    // fingerprint are then hash-verified end to end. Pure per-row
-    // expression work — map-side, no shuffle, the 100 TB-safe shape.
+    // STRUCTURED PII scrubbing (operators.Pii, the `piiRules` set):
+    // per-class detection counts (email / id / phone / IPv4) +
+    // class-tagged redaction + fingerprint of the scrubbed text — the
+    // standard training-data privacy pass beyond a word denylist. The
+    // fixture corpus carries no PII, so the query plants deterministic PII
+    // derived from the row first (both engines build the identical planted
+    // text); detection counts and the redaction fingerprint are then
+    // hash-verified end to end. Pure per-row expression work — map-side,
+    // no shuffle, the 100 TB-safe shape. pipe_pii_scrub is the rollup view
+    // of the same operator with its default rules.
     "pipe_pii" -> ((s, dir) => {
       val planted = t(s, dir, "documents").select(col("doc_id"), concat(
         col("text"),
@@ -78,19 +86,12 @@ object TrainingDataQueries {
           (col("doc_id") % 256).cast("string"), lit("."),
           (col("doc_id") % 100).cast("string")))
           .otherwise(lit(""))).as("txt"))
-      def nOf(pat: String): org.apache.spark.sql.Column =
-        size(regexp_extract_all(col("txt"), lit(pat), lit(0)))
-      val redacted = regexp_replace(regexp_replace(regexp_replace(
-        regexp_replace(col("txt"),
-          emailPat, "[EMAIL]"), idPat, "[ID]"), phonePat, "[PHONE]"),
-        ipPat, "[IP]")
-      planted.select(
-        col("doc_id"),
-        nOf(emailPat).as("n_email"),
-        nOf(idPat).as("n_id"),
-        nOf(phonePat).as("n_phone"),
-        nOf(ipPat).as("n_ip"),
-        md5(redacted).as("pii_md5"))
+      graft.operators.Pii.withCounts(planted, "txt", piiRules)
+        .select(
+          col("doc_id"), col("n_email"), col("n_id"), col("n_phone"),
+          col("n_ip"),
+          md5(graft.operators.Pii.scrubCol(col("txt"), piiRules))
+            .as("pii_md5"))
         .orderBy("doc_id")
     }),
 

@@ -770,4 +770,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 2, s"expected ≤2 Exchange nodes, got $exchanges:\n" +
       p.take(1200))
   }
+
+  test("pipe_pii_scrub plan: regex work rides the scan — the only exchange " +
+    "is the rules-bounded rollup") {
+    val p = physical(graft.queries.PipelineQueries
+      .queries("pipe_pii_scrub")(spark, dir))
+    // one partial/final agg pair over 3 groups → at most 2 Exchange nodes
+    // (rollup + orderBy of 3 rows); NO per-doc shuffle, window, or join
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected ≤2 Exchange nodes, got $exchanges:\n" +
+      p.take(1200))
+    assert(!p.contains("Window ") && !p.contains("Join"), p.take(800))
+    // all three rules' count + residual + replace chains are plain projects
+    // over the scan (map-side regex work, no materialized intermediate)
+    assert("regexp_replace".r.findAllIn(p).length >= 3, p.take(800))
+  }
 }
