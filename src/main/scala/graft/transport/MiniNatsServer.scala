@@ -351,12 +351,17 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
   /** Push an INFO update (with the CURRENT `advertiseUrls()`) to every
     * live connection — what a real nats-server does when cluster
     * membership changes, so clients can learn new siblings mid-session.
-    * Writes are frame-atomic under the connection's write lock. */
-  def pushInfoUpdate(): Unit = {
+    * `ldm = true` adds the Lame Duck Mode announcement (`"ldm":true`) a
+    * real server sends when it begins a graceful shutdown: clients are
+    * expected to migrate to a sibling proactively instead of waiting for
+    * the socket to die. Writes are frame-atomic under the connection's
+    * write lock. */
+  def pushInfoUpdate(ldm: Boolean = false): Unit = {
     val cu = advertiseUrls()
     val cuField = if (cu.isEmpty) ""
       else cu.map(u => "\"" + u + "\"").mkString(",\"connect_urls\":[", ",", "]")
-    val line = s"""INFO {"server_id":"graft-mini","server_name":"graft-mini","version":"2.10.0-graft","proto":1,"headers":true$cuField}\r\n"""
+    val ldmField = if (ldm) ",\"ldm\":true" else ""
+    val line = s"""INFO {"server_id":"graft-mini","server_name":"graft-mini","version":"2.10.0-graft","proto":1,"headers":true$cuField$ldmField}\r\n"""
     liveConns.forEach { c =>
       val conn = c.asInstanceOf[Conn]
       try { conn.write(line); conn.flushOut() } catch { case _: Exception => () }

@@ -102,6 +102,36 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
       }
     }
   }
+  /** Addresses that announced Lame Duck Mode (`"ldm":true` in an async
+    * INFO — a real nats-server's graceful-shutdown signal, pushed before
+    * it stops taking work). Real clients migrate PROACTIVELY: new
+    * connections prefer non-draining siblings, existing ones finish their
+    * conversation and move. Here: lane dials skip draining addresses when
+    * an alternative exists, and a pooled lane parked on a draining server
+    * retires (closes) when it comes home instead of being reused —
+    * in-flight conversations are never interrupted. */
+  private val draining =
+    new java.util.concurrent.CopyOnWriteArraySet[(String, Int)]()
+
+  /** Merge topology AND record a Lame Duck announcement from the server
+    * at (h, p) — the address the announcing lane is actually dialed to. */
+  private def noteInfo(info: JsonNode, h: String, p: Int): Unit = {
+    mergeDiscovered(info)
+    if (Option(info.get("ldm")).exists(_.asBoolean(false))) {
+      draining.add((h, p)); ()
+    }
+  }
+
+  /** Is any known address NOT draining? (When everything is draining, the
+    * pool keeps using what it has — a degraded server beats none.) */
+  private def anyNonDraining(): Boolean =
+    !draining.contains((host, port)) || {
+      val it = discovered.iterator()
+      var found = false
+      while (!found && it.hasNext) found = !draining.contains(it.next())
+      found
+    }
+
   /** group claims awaiting ack: (stream, group, seq) → ack subject */
   private val ackSubjects =
     new scala.collection.concurrent.TrieMap[(String, String, Long), String]()
@@ -142,6 +172,9 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
       * sibling after seed-failure fallback) — TLS upgrades use it */
     private var laneHost: String = host
     private var lanePort: Int = port
+    /** where this lane is parked — the pool retires lanes whose server
+      * announced Lame Duck Mode once an alternative exists */
+    def addr: (String, Int) = (laneHost, lanePort)
 
     locally {
       // dial the seed address first; when it refuses or times out, fall
@@ -157,8 +190,23 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
             throw e
         }
       }
+      // Lame Duck: when the SEED announced ldm, NEW lanes prefer a
+      // non-draining discovered sibling (proactive migration); the seed
+      // stays reachable as the last resort so a single-server topology
+      // still connects to its draining server rather than failing.
+      var preDialed: Socket = null
+      if (draining.contains((host, port))) {
+        val it = discovered.iterator()
+        while (preDialed == null && it.hasNext) {
+          val (h, p) = it.next()
+          if (!draining.contains((h, p)))
+            try { preDialed = dial(h, p); laneHost = h; lanePort = p }
+            catch { case _: Exception => () }
+        }
+      }
       val s =
-        try dial(host, port)
+        if (preDialed != null) preDialed
+        else try dial(host, port)
         catch {
           case primaryErr: Exception =>
             val it = discovered.iterator()
@@ -188,7 +236,7 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
         case other => throw new NatsConnectException(
           s"Failed to connect to NATS: protocol error (expected INFO, got $other)")
       }
-      mergeDiscovered(info)
+      noteInfo(info, laneHost, lanePort)
       val tlsRequired = Option(info.get("tls_required")).exists(_.asBoolean(false))
       if (tlsRequired || auth.tls)
         try upgradeTls()
@@ -365,7 +413,7 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
             else { got += m; n += 1 }
           case Err(msg) => throw new NatsIOException(s"server error: $msg")
           case Ok => ()
-          case Info(j) => mergeDiscovered(j) // async topology push
+          case Info(j) => noteInfo(j, laneHost, lanePort) // topology / ldm push
           case _ => () // frames for dead sids (drained subscriptions)
         }
       }
@@ -416,7 +464,7 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
             got += 1
           case Err(msg) => throw new NatsIOException(s"server error: $msg")
           case Ok => ()
-          case Info(j) => mergeDiscovered(j) // async topology push
+          case Info(j) => noteInfo(j, laneHost, lanePort) // topology / ldm push
           case _ => () // frames for dead sids
         }
       }
@@ -472,8 +520,14 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
       ok = true
       r
     } finally {
-      if (ok && !closed) idle.put(lane)
-      else { lane.close(); laneCount.decrementAndGet() } // torn conversation
+      // a healthy lane goes home UNLESS its server announced Lame Duck and
+      // a non-draining address exists — then it retires (the next checkout
+      // dials fresh and prefers the sibling: graceful migration, no
+      // conversation ever interrupted)
+      if (ok && !closed &&
+          !(draining.contains(lane.addr) && anyNonDraining()))
+        idle.put(lane)
+      else { lane.close(); laneCount.decrementAndGet() } // torn or draining
     }
   }
 

@@ -899,6 +899,54 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { t.close(); sibling.stop() }
   }
 
+  test("lame duck mode: INFO ldm migrates new work to the sibling without " +
+    "dropping the session") {
+    val fb = new FakeJetStreamServer
+    (1L to 10L).foreach(i => fb.publish("ld", i, "ld.x",
+      1700000000000000000L + i * 1000L, Array[Byte](i.toByte)))
+    val sibling = new MiniNatsServer(fb)
+    val portB = sibling.start()
+    val seed = new MiniNatsServer(fb,
+      advertiseUrls = () => Seq(s"127.0.0.1:$portB"))
+    val portA = seed.start()
+    val t = Transport.connect(s"nats://127.0.0.1:$portA", timeoutMs = 1500L)
+    try {
+      assert(t.fetch("ld", 1L, 10L, 100).size == 10, "lane parked at seed")
+      // the seed begins a graceful shutdown: ldm INFO to live connections
+      seed.pushInfoUpdate(ldm = true)
+      // the parked lane reads the announcement mid-conversation, finishes
+      // NORMALLY (lame duck interrupts nothing), and retires on return
+      assert(t.fetch("ld", 1L, 10L, 100).size == 10,
+        "conversation on the draining lane completes cleanly")
+      // now hard-stop the seed: if the client had stayed pinned, the next
+      // read would be a connect error — proactive migration means it dials
+      // the advertised sibling instead, with NO failure in between
+      seed.stop()
+      assert(t.fetch("ld", 1L, 10L, 100).map(_.seq).toSeq == (1L to 10L),
+        "post-ldm work lands on the sibling without a single error")
+      assert(t.streamInfo("ld").lastSeq == 10L)
+    } finally { t.close(); sibling.stop() }
+  }
+
+  test("lame duck with NO sibling: the draining server keeps serving " +
+    "(degraded beats dead)") {
+    val fb = new FakeJetStreamServer
+    fb.publish("ldo", 1L, "ldo.x", 1700000000000000000L, Array[Byte](1))
+    val solo = new MiniNatsServer(fb)
+    val port = solo.start()
+    val t = Transport.connect(s"nats://127.0.0.1:$port", timeoutMs = 1500L)
+    try {
+      assert(t.fetch("ldo", 1L, 1L, 10).size == 1)
+      solo.pushInfoUpdate(ldm = true)
+      // no alternative exists: the lane must NOT retire, new dials must
+      // still reach the draining seed — repeated reads stay healthy
+      (1 to 3).foreach { _ =>
+        assert(t.fetch("ldo", 1L, 1L, 10).size == 1,
+          "single-server topology keeps using its draining server")
+      }
+    } finally { t.close(); solo.stop() }
+  }
+
   test("no discovered pool -> seed death keeps the original error shape") {
     val fb = new FakeJetStreamServer
     fb.publish("solo", 1L, "solo.x", 1700000000000000000L, Array[Byte](1))
