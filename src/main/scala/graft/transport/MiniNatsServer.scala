@@ -66,7 +66,12 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
                              * `connect_urls` in INFO ("host:port" entries)
                              * — what a clustered nats-server sends so
                              * clients can fail over to siblings */
-                           advertiseUrls: () => Seq[String] = () => Nil) {
+                           advertiseUrls: () => Seq[String] = () => Nil,
+                           /** model a server WITHOUT JetStream: `$JS.*`
+                             * requests have no responders, so clients that
+                             * opted in (`no_responders` in CONNECT) get an
+                             * immediate 503 status instead of a timeout */
+                           jetStreamEnabled: Boolean = true) {
 
   private val mapper = new ObjectMapper()
   private var server: ServerSocket = _
@@ -133,6 +138,9 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
     private val wlock = new Object
     /** exact-match subscriptions: subject → sid (inbox replies only) */
     val subs = new TrieMap[String, Long]()
+    /** CONNECT opted into no-responders 503 statuses (real servers only
+      * send them to clients that set `no_responders` + `headers`) */
+    @volatile var noResponders = false
 
     def flushOut(): Unit = wlock.synchronized(out.flush())
 
@@ -245,6 +253,8 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
               try mapper.readTree(line.substring(sp + 1))
               catch { case _: Exception => reject("Parser Error") }
             strictly(j != null && j.isObject)
+            conn.noResponders =
+              Option(j.get("no_responders")).exists(_.asBoolean(false))
             requireToken.foreach { want =>
               val got = Option(j.get("auth_token")).map(_.asText)
               if (!got.contains(want)) {
@@ -410,7 +420,17 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
   private def handlePub(conn: Conn, subject: String, reply: Option[String],
                         headers: Map[String, String],
                         payload: Array[Byte]): Unit = {
-    if (subject.startsWith("$JS.API.")) handleApi(conn, subject, reply, payload)
+    if (!jetStreamEnabled &&
+        (subject.startsWith("$JS.") || headers.contains("Nats-Expected-Stream"))) {
+      // no JetStream → nothing subscribes to $JS.> and no stream captures
+      // the publish subject: a real server answers a no_responders-opted
+      // client with an immediate 503 status HMSG; everyone else just
+      // never hears back (request timeout)
+      if (conn.noResponders)
+        reply.foreach(r =>
+          status(conn, r, 503, "No Responders Available For Request"))
+    }
+    else if (subject.startsWith("$JS.API.")) handleApi(conn, subject, reply, payload)
     else if (subject.startsWith("$JS.ACK.")) handleAck(subject, payload)
     else headers.get("Nats-Expected-Stream") match {
       case Some(stream) =>

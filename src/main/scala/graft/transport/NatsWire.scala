@@ -249,6 +249,10 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
         .put("tls_required", auth.tls).put("lang", "scala-graft")
         .put("version", "0.1").put("protocol", 1)
         .put("headers", true)
+        // opt into 503 status replies when a request subject has no
+        // responders (e.g. JetStream disabled → nothing behind $JS.>):
+        // an immediate pointed error beats a silent request timeout
+        .put("no_responders", true)
       token.foreach(t => connect.put("auth_token", t))
       val nonce = Option(info.get("nonce")).map(_.asText("")).getOrElse("")
       auth.credsJwt match {
@@ -409,7 +413,11 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
         readFrame() match {
           case Ping => send("PONG\r\n")
           case m: Msg if m.sid == sid =>
-            if (m.status != 0) open = false
+            // a status frame (EOB, 404 no-messages, 503 no-responders)
+            // terminates the conversation; it RIDES ALONG in the result so
+            // callers can distinguish "empty" from "nobody answered" —
+            // data-consuming call sites all filter on status == 0
+            if (m.status != 0) { got += m; open = false }
             else { got += m; n += 1 }
           case Err(msg) => throw new NatsIOException(s"server error: $msg")
           case Ok => ()
@@ -552,7 +560,13 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
   private def api(subject: String, json: String): JsonNode = {
     val resp = request(subject, json.getBytes(UTF_8))
     if (resp.isEmpty) throw new NatsIOException(s"no response for $subject")
-    mapper.readTree(new String(resp.head.payload, UTF_8))
+    val m = resp.head
+    if (m.status == 503)
+      throw new NatsIOException(s"no responders for $subject — " +
+        "is JetStream enabled on the server?")
+    if (m.status != 0)
+      throw new NatsIOException(s"status ${m.status} for $subject")
+    mapper.readTree(new String(m.payload, UTF_8))
   }
 
   private def apiError(node: JsonNode): Option[String] =
@@ -836,6 +850,9 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     val resp = withLane(_.request(subject, payload, expect = 1,
       headerBytes = hdr))
     if (resp.isEmpty) throw new NatsIOException("publish: no PubAck")
+    if (resp.head.status == 503)
+      throw new NatsIOException("publish: no responders — " +
+        "is JetStream enabled on the server?")
     val ack = mapper.readTree(new String(resp.head.payload, UTF_8))
     apiError(ack).foreach(e => throw new NatsIOException(s"publish failed: $e"))
     ack.get("seq").asLong

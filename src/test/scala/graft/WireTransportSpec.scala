@@ -947,6 +947,30 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { t.close(); solo.stop() }
   }
 
+  test("no-responders 503: a server WITHOUT JetStream yields an immediate " +
+    "pointed error, not a request timeout") {
+    val fb = new FakeJetStreamServer
+    fb.publish("nr", 1L, "nr.x", 1700000000000000000L, Array[Byte](1))
+    val core = new MiniNatsServer(fb, jetStreamEnabled = false)
+    val port = core.start()
+    // generous socket timeout: the test asserts the 503 SHORT-CIRCUITS the
+    // wait — if the client silently timed out instead, this would take 5 s
+    val t = Transport.connect(s"nats://127.0.0.1:$port", timeoutMs = 5000L)
+    try {
+      val t0 = System.nanoTime()
+      val e = intercept[NatsIOException] { t.streamInfo("nr") }
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(e.getMessage.contains("no responders") &&
+        e.getMessage.contains("JetStream"), e.getMessage)
+      assert(elapsedMs < 2000L,
+        s"503 must arrive immediately, not after a timeout ($elapsedMs ms)")
+      val ep = intercept[NatsIOException] {
+        t.publish("nr", "nr.y", 1L, Array[Byte](2), "m-1")
+      }
+      assert(ep.getMessage.contains("no responders"), ep.getMessage)
+    } finally { t.close(); core.stop() }
+  }
+
   test("no discovered pool -> seed death keeps the original error shape") {
     val fb = new FakeJetStreamServer
     fb.publish("solo", 1L, "solo.x", 1700000000000000000L, Array[Byte](1))
