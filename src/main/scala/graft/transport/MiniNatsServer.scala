@@ -71,7 +71,13 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
                              * requests have no responders, so clients that
                              * opted in (`no_responders` in CONNECT) get an
                              * immediate 503 status instead of a timeout */
-                           jetStreamEnabled: Boolean = true) {
+                           jetStreamEnabled: Boolean = true,
+                           /** advertised `max_payload` (INFO) — a real
+                             * server's default is 1 MiB and it ENFORCES it
+                             * with `-ERR 'Maximum Payload Violation'` +
+                             * connection drop; clients must refuse
+                             * oversize publishes locally */
+                           maxPayload: Long = 1048576L) {
 
   private val mapper = new ObjectMapper()
   private var server: ServerSocket = _
@@ -209,7 +215,7 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
       val cu = advertiseUrls()
       val cuField = if (cu.isEmpty) ""
         else cu.map(u => "\"" + u + "\"").mkString(",\"connect_urls\":[", ",", "]")
-      out.write((s"""INFO {"server_id":"graft-mini","server_name":"graft-mini","version":"2.10.0-graft","proto":1,"headers":true,"nonce":"$nonce"$cuField${if (tlsContext.isDefined) ",\"tls_required\":true" else ""}${if (authRequired) ",\"auth_required\":true" else ""}}\r\n""").getBytes(UTF_8))
+      out.write((s"""INFO {"server_id":"graft-mini","server_name":"graft-mini","version":"2.10.0-graft","proto":1,"headers":true,"max_payload":$maxPayload,"nonce":"$nonce"$cuField${if (tlsContext.isDefined) ",\"tls_required\":true" else ""}${if (authRequired) ",\"auth_required\":true" else ""}}\r\n""").getBytes(UTF_8))
       out.flush()
     }
     tlsContext.foreach { ctx =>
@@ -317,6 +323,8 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
             val (subject, reply, len) =
               if (p.length == 2) (p(0), None, p(1).toInt)
               else (p(0), Some(p(1)), p(2).toInt)
+            if (len > maxPayload)
+              reject("Maximum Payload Violation")
             val payload = readN(conn.in, len); readTrailer()
             handlePub(conn, subject, reply, Map.empty, payload)
           case "HPUB" =>
@@ -331,6 +339,8 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
               if (p.length == 3) (p(0), None, p(1).toInt, p(2).toInt)
               else (p(0), Some(p(1)), p(2).toInt, p(3).toInt)
             strictly(hl <= tl)
+            if (tl > maxPayload)
+              reject("Maximum Payload Violation")
             val hdr = new String(readN(conn.in, hl), UTF_8)
             strictly(hdr.startsWith("NATS/1.0") && hdr.endsWith("\r\n\r\n"))
             val payload = readN(conn.in, tl - hl); readTrailer()
@@ -371,7 +381,7 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
     val cuField = if (cu.isEmpty) ""
       else cu.map(u => "\"" + u + "\"").mkString(",\"connect_urls\":[", ",", "]")
     val ldmField = if (ldm) ",\"ldm\":true" else ""
-    val line = s"""INFO {"server_id":"graft-mini","server_name":"graft-mini","version":"2.10.0-graft","proto":1,"headers":true$cuField$ldmField}\r\n"""
+    val line = s"""INFO {"server_id":"graft-mini","server_name":"graft-mini","version":"2.10.0-graft","proto":1,"headers":true,"max_payload":$maxPayload$cuField$ldmField}\r\n"""
     liveConns.forEach { c =>
       val conn = c.asInstanceOf[Conn]
       try { conn.write(line); conn.flushOut() } catch { case _: Exception => () }

@@ -113,14 +113,31 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
   private val draining =
     new java.util.concurrent.CopyOnWriteArraySet[(String, Int)]()
 
-  /** Merge topology AND record a Lame Duck announcement from the server
-    * at (h, p) — the address the announcing lane is actually dialed to. */
+  /** The server's advertised `max_payload` (INFO; default-per-spec 1 MiB).
+    * Publishes larger than this are refused LOCALLY with a pointed
+    * non-retryable error — a real server answers an oversize PUB with
+    * `-ERR 'Maximum Payload Violation'` and drops the connection, which
+    * would surface here as a confusing torn-lane retry loop. */
+  @volatile private var serverMaxPayload: Long = Long.MaxValue
+
+  /** Merge topology, the payload cap, AND a Lame Duck announcement from
+    * the server at (h, p) — the address the announcing lane is dialed to. */
   private def noteInfo(info: JsonNode, h: String, p: Int): Unit = {
     mergeDiscovered(info)
+    Option(info.get("max_payload")).map(_.asLong(Long.MaxValue))
+      .filter(_ > 0L).foreach(serverMaxPayload = _)
     if (Option(info.get("ldm")).exists(_.asBoolean(false))) {
       draining.add((h, p)); ()
     }
   }
+
+  /** HPUB counts the header block toward the framed total — check the sum
+    * against the advertised cap before anything touches the socket. */
+  private def requirePayloadFits(subject: String, totalBytes: Long): Unit =
+    if (totalBytes > serverMaxPayload)
+      throw new IllegalArgumentException(
+        s"publish to '$subject': $totalBytes B (headers + payload) exceeds " +
+          s"the server's advertised max_payload ($serverMaxPayload B)")
 
   /** Is any known address NOT draining? (When everything is draining, the
     * pool keeps using what it has — a degraded server beats none.) */
@@ -438,17 +455,28 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
                          entries: Array[PublishEntry]): Array[Long] = {
       val n = entries.length
       if (n == 0) return Array.emptyLongArray
+      // build + size-check every frame BEFORE the first socket write: an
+      // oversize entry must fail the batch locally, not leave a partial
+      // publish window on the wire behind a server-side connection drop
+      val hdrs = new Array[Array[Byte]](n)
+      var i = 0
+      while (i < n) {
+        val e = entries(i)
+        hdrs(i) = ("NATS/1.0\r\n" +
+          s"Nats-Msg-Id: ${e.msgId}\r\n" +
+          s"Nats-Expected-Stream: $stream\r\n" +
+          s"Graft-Pub-Time: ${e.tsNs}\r\n\r\n").getBytes(UTF_8)
+        requirePayloadFits(e.subject, hdrs(i).length.toLong + e.payload.length)
+        i += 1
+      }
       val baseSid = sids.getAndAdd(n.toLong) + 1L
       val baseInbox = inboxes.incrementAndGet()
-      var i = 0
+      i = 0
       while (i < n) {
         val e = entries(i)
         val inbox = s"_INBOX.graft.pub.$baseInbox.$i"
         out.write(s"SUB $inbox ${baseSid + i}\r\n".getBytes(UTF_8))
-        val hdr = ("NATS/1.0\r\n" +
-          s"Nats-Msg-Id: ${e.msgId}\r\n" +
-          s"Nats-Expected-Stream: $stream\r\n" +
-          s"Graft-Pub-Time: ${e.tsNs}\r\n\r\n").getBytes(UTF_8)
+        val hdr = hdrs(i)
         out.write(
           s"HPUB ${e.subject} $inbox ${hdr.length} ${hdr.length + e.payload.length}\r\n"
             .getBytes(UTF_8))
@@ -847,6 +875,7 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
       s"Nats-Msg-Id: $msgId\r\n" +
       s"Nats-Expected-Stream: $stream\r\n" +
       s"Graft-Pub-Time: $tsNs\r\n\r\n").getBytes(UTF_8)
+    requirePayloadFits(subject, hdr.length.toLong + payload.length)
     val resp = withLane(_.request(subject, payload, expect = 1,
       headerBytes = hdr))
     if (resp.isEmpty) throw new NatsIOException("publish: no PubAck")

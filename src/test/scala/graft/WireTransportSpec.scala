@@ -971,6 +971,37 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { t.close(); core.stop() }
   }
 
+  test("max_payload: oversize publishes are refused locally with a pointed " +
+    "error; a batch with one oversize entry publishes NOTHING") {
+    val fb = new FakeJetStreamServer
+    fb.publish("mp", 1L, "mp.x", 1700000000000000000L, Array[Byte](1))
+    val small = new MiniNatsServer(fb, maxPayload = 1024L)
+    val port = small.start()
+    val t = Transport.connect(s"nats://127.0.0.1:$port", timeoutMs = 1500L)
+    try {
+      // under the cap: normal publish (headers count toward the total)
+      assert(t.publish("mp", "mp.y", 2L, new Array[Byte](200), "m-ok") == 2L)
+      // over the advertised cap: refused BEFORE the socket — the pointed
+      // local error, not a torn-lane retry loop after the server's -ERR
+      val e = intercept[IllegalArgumentException] {
+        t.publish("mp", "mp.z", 3L, new Array[Byte](2048), "m-big")
+      }
+      assert(e.getMessage.contains("max_payload"), e.getMessage)
+      // batch fail-fast: one oversize entry fails the whole window before
+      // any frame is written — no partial publish rides the wire
+      val before = t.streamInfo("mp").lastSeq
+      intercept[IllegalArgumentException] {
+        t.publishBatch("mp", Array(
+          PublishEntry("mp.a", 4L, new Array[Byte](10), "m-a"),
+          PublishEntry("mp.b", 5L, new Array[Byte](4096), "m-b")))
+      }
+      assert(t.streamInfo("mp").lastSeq == before,
+        "no entry of a rejected batch may reach the stream")
+      // and the lane survives the local rejection: next publish is clean
+      assert(t.publish("mp", "mp.w", 6L, new Array[Byte](10), "m-w") == 3L)
+    } finally { t.close(); small.stop() }
+  }
+
   test("no discovered pool -> seed death keeps the original error shape") {
     val fb = new FakeJetStreamServer
     fb.publish("solo", 1L, "solo.x", 1700000000000000000L, Array[Byte](1))
