@@ -101,6 +101,52 @@ class PiiSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fuzz: scrub is idempotent, residual-free, and agrees with a " +
+    "driver-side java.util.regex reference on adversarial glue") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val token = Gen.oneOf(
+      "hello", "x1", "a.b", "-", "10.0.0.1", "999.1.2.3", "1.2.3.4.5",
+      "u@ex.com", "u@localhost", "a@10.0.0.7", "bare@", "@start",
+      "+1 555-123-4567", "555-123-4567", "+999 1-2-3", "v1.2.3",
+      "admin@mail.10.0.0.10.example.com", "0x7f", "..", "<EMAIL>")
+    val sep = Gen.oneOf(" ", "", ".", "-", "  ")
+    val textGen = for {
+      n <- Gen.chooseNum(0, 12)
+      ts <- Gen.listOfN(n, token)
+      ss <- Gen.listOfN(math.max(n - 1, 0), sep)
+    } yield ts.zipAll(ss, "", "").map { case (t, s) => t + s }.mkString
+    val texts = (0 until 40).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = Pii.scrub(df, "text", out = "clean")
+      .withColumn("twice", Pii.scrubCol(col("clean")))
+    val rows = Pii.withCounts(out, "text")
+      .select("text", "clean", "twice", "n_email", "n_phone", "n_ipv4")
+      .collect()
+    rows.foreach { r =>
+      val (orig, clean, twice) =
+        (r.getString(0), r.getString(1), r.getString(2))
+      // idempotence: a scrubbed corpus re-entering the pipeline is a no-op
+      assert(clean == twice, s"not idempotent on '$orig'")
+      // residual-free: no rule matches its own pattern after masking
+      Pii.Default.foreach { rule =>
+        assert(!rule.pattern.r.findFirstIn(clean).isDefined,
+          s"residual ${rule.name} in '$clean' (from '$orig')")
+      }
+      // Spark == plain java.util.regex applied in the same order
+      val ref = Pii.Default.foldLeft(orig)((t, rule) =>
+        rule.pattern.r.replaceAllIn(t, rule.mask))
+      assert(clean == ref, s"driver-reference mismatch on '$orig'")
+      val refCounts = Pii.Default.map(rule =>
+        rule.pattern.r.findAllIn(orig).size)
+      assert(Seq(r.getInt(3), r.getInt(4), r.getInt(5)) == refCounts,
+        s"count mismatch on '$orig'")
+    }
+  }
+
   test("scrub into a separate output column preserves the original") {
     val out = Pii.scrub(frame((1L, "u@ex.com")), "text", out = "clean")
       .select("text", "clean").first()
