@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * the blocking key, so output does not go quadratic in corpus size).
   *
   * Run: sbt "runMain graft.ScaleProbe" (env SPARK_GRAFT_SF_DIR to change SF).
-  * Args select sections (default all): core | pq | bloom | didx | zorder —
+  * Args select sections (default all): core | pq | bloom | didx | zorder |
+  * pii —
   * re-measuring one new operator shouldn't cost a full-probe re-run.
   */
 object ScaleProbe {
@@ -372,6 +373,26 @@ object ScaleProbe {
           .overlappingFiles(out, "user_id", 10L, 19L)
         ev.unpersist(): Unit
         println(f"$k%3d $nRows%9d $tZ%9.2f $hit%10d $total%6d")
+      }
+    }
+    // PII sweep (operators.Pii.report over the default 3-rule set): pure
+    // map-side regex work — 3 count passes + 3 replace passes + 3 residual
+    // passes per row — so wall time must grow LINEARLY with replicated
+    // corpus size and per-row cost must stay flat (no shuffle grows with k;
+    // the only exchange is the 3-group rollup).
+    if (on("pii")) {
+      println(f"${"k"}%3s ${"docs"}%8s ${"pii_s"}%8s ${"us_per_doc"}%11s")
+      Seq(1, 4, 16, 32).foreach { k =>
+        val d = Tables.load(spark, sfDir, "documents")
+          .withColumn("r", explode(sequence(lit(0), lit(k - 1))))
+          .withColumn("doc_id", col("doc_id") * lit(64L) + col("r"))
+          .drop("r").cache()
+        val nDocs = d.count()
+        val (tPii, _) = time {
+          operators.Pii.report(d, "text").collect().length.toLong
+        }
+        d.unpersist(): Unit
+        println(f"$k%3d $nDocs%8d $tPii%8.2f ${tPii * 1e6 / nDocs}%11.1f")
       }
     }
     spark.stop()

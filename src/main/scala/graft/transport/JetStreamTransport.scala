@@ -178,6 +178,13 @@ final class NatsStreamNotFoundException(msg: String) extends RuntimeException(ms
   * (docs/LIVE_NATS.md "Failure semantics"). */
 final class NatsIOException(msg: String) extends RuntimeException(msg)
 
+/** NOBODY answers the request subject (server 503 status — e.g. JetStream
+  * disabled, so nothing subscribes to `$JS.>`). A CONFIGURATION error:
+  * deliberately NOT a [[NatsIOException]], because retrying can never
+  * succeed — [[TransportRetry]] must fail fast, and data reads must
+  * surface it instead of reporting a clean empty result. */
+final class NatsNoRespondersException(msg: String) extends RuntimeException(msg)
+
 /** Sequential message cursor over one stream (ordered consumer analog). */
 trait MessageCursor extends AutoCloseable {
   /** the next ≤ `max` messages in sequence order; empty == end of stream */

@@ -113,31 +113,29 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
   private val draining =
     new java.util.concurrent.CopyOnWriteArraySet[(String, Int)]()
 
-  /** The server's advertised `max_payload` (INFO; default-per-spec 1 MiB).
-    * Publishes larger than this are refused LOCALLY with a pointed
-    * non-retryable error — a real server answers an oversize PUB with
-    * `-ERR 'Maximum Payload Violation'` and drops the connection, which
-    * would surface here as a confusing torn-lane retry loop. */
-  @volatile private var serverMaxPayload: Long = Long.MaxValue
+  private def infoMaxPayload(info: JsonNode): Option[Long] =
+    Option(info.get("max_payload")).map(_.asLong(Long.MaxValue))
+      .filter(_ > 0L)
 
-  /** Merge topology, the payload cap, AND a Lame Duck announcement from
-    * the server at (h, p) — the address the announcing lane is dialed to. */
+  /** Merge topology, the payload cap, AND Lame Duck state from the server
+    * at (h, p) — the address the announcing lane is dialed to. An INFO
+    * WITHOUT ldm un-marks the address: a server restarted healthy at the
+    * same host:port must not be avoided forever (real clients reset ldm
+    * state per connection). */
   private def noteInfo(info: JsonNode, h: String, p: Int): Unit = {
     mergeDiscovered(info)
-    Option(info.get("max_payload")).map(_.asLong(Long.MaxValue))
-      .filter(_ > 0L).foreach(serverMaxPayload = _)
-    if (Option(info.get("ldm")).exists(_.asBoolean(false))) {
-      draining.add((h, p)); ()
-    }
+    if (Option(info.get("ldm")).exists(_.asBoolean(false))) draining.add((h, p))
+    else draining.remove((h, p))
+    ()
   }
 
-  /** HPUB counts the header block toward the framed total — check the sum
-    * against the advertised cap before anything touches the socket. */
-  private def requirePayloadFits(subject: String, totalBytes: Long): Unit =
-    if (totalBytes > serverMaxPayload)
-      throw new IllegalArgumentException(
-        s"publish to '$subject': $totalBytes B (headers + payload) exceeds " +
-          s"the server's advertised max_payload ($serverMaxPayload B)")
+  /** spec hook: the addresses currently marked draining */
+  private[graft] def drainingAddresses: Set[(String, Int)] = {
+    val b = Set.newBuilder[(String, Int)]
+    val it = draining.iterator()
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
 
   /** Is any known address NOT draining? (When everything is draining, the
     * pool keeps using what it has — a degraded server beats none.) */
@@ -192,6 +190,27 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     /** where this lane is parked — the pool retires lanes whose server
       * announced Lame Duck Mode once an alternative exists */
     def addr: (String, Int) = (laneHost, lanePort)
+    /** THIS lane's server's advertised `max_payload` (INFO; per-lane, not
+      * client-global: in a mixed-cap cluster — e.g. a config rollout —
+      * each lane must enforce the cap of the server it actually talks
+      * to). Publishes larger than this are refused LOCALLY with a pointed
+      * non-retryable error — a real server answers an oversize frame with
+      * `-ERR 'Maximum Payload Violation'` and drops the connection, which
+      * would surface here as a confusing torn-lane retry loop. */
+    private var laneMaxPayload: Long = Long.MaxValue
+
+    private def noteLaneInfo(j: JsonNode): Unit = {
+      infoMaxPayload(j).foreach(laneMaxPayload = _)
+      noteInfo(j, laneHost, lanePort)
+    }
+
+    /** HPUB counts the header block toward the framed total — check the
+      * sum against this lane's cap before anything touches the socket. */
+    def requirePayloadFits(subject: String, totalBytes: Long): Unit =
+      if (totalBytes > laneMaxPayload)
+        throw new IllegalArgumentException(
+          s"publish to '$subject': $totalBytes B (headers + payload) " +
+            s"exceeds the server's advertised max_payload ($laneMaxPayload B)")
 
     locally {
       // dial the seed address first; when it refuses or times out, fall
@@ -226,8 +245,19 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
         else try dial(host, port)
         catch {
           case primaryErr: Exception =>
-            val it = discovered.iterator()
+            // non-draining siblings first, draining ones as last resort —
+            // a lane parked on a draining address would be retired after
+            // every conversation (per-request reconnect churn) while a
+            // healthy sibling sat unused
+            val all = {
+              val b = Seq.newBuilder[(String, Int)]
+              val it = discovered.iterator()
+              while (it.hasNext) b += it.next()
+              b.result()
+            }
+            val (fresh, stale) = all.partition(a => !draining.contains(a))
             var got: Socket = null
+            val it = (fresh ++ stale).iterator
             while (got == null && it.hasNext) {
               val (h, p) = it.next()
               try { got = dial(h, p); laneHost = h; lanePort = p }
@@ -253,7 +283,7 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
         case other => throw new NatsConnectException(
           s"Failed to connect to NATS: protocol error (expected INFO, got $other)")
       }
-      noteInfo(info, laneHost, lanePort)
+      noteLaneInfo(info)
       val tlsRequired = Option(info.get("tls_required")).exists(_.asBoolean(false))
       if (tlsRequired || auth.tls)
         try upgradeTls()
@@ -438,7 +468,7 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
             else { got += m; n += 1 }
           case Err(msg) => throw new NatsIOException(s"server error: $msg")
           case Ok => ()
-          case Info(j) => noteInfo(j, laneHost, lanePort) // topology / ldm push
+          case Info(j) => noteLaneInfo(j) // topology / ldm / cap push
           case _ => () // frames for dead sids (drained subscriptions)
         }
       }
@@ -491,6 +521,15 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
         readFrame() match {
           case Ping => send("PONG\r\n")
           case m: Msg if m.sid >= baseSid && m.sid < baseSid + n =>
+            // a status frame instead of a PubAck: 503 = nothing behind
+            // the subject (config error, fail fast); anything else is a
+            // transient wire condition. Either way the ack JSON below
+            // would be an empty payload — never parse it.
+            if (m.status == 503)
+              throw new NatsNoRespondersException(
+                "publish: no responders — is JetStream enabled on the server?")
+            if (m.status != 0)
+              throw new NatsIOException(s"publish: status ${m.status}")
             val idx = (m.sid - baseSid).toInt
             val ack = mapper.readTree(new String(m.payload, UTF_8))
             Option(ack.get("error")).foreach(e => throw new NatsIOException(
@@ -500,7 +539,7 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
             got += 1
           case Err(msg) => throw new NatsIOException(s"server error: $msg")
           case Ok => ()
-          case Info(j) => noteInfo(j, laneHost, lanePort) // topology / ldm push
+          case Info(j) => noteLaneInfo(j) // topology / ldm / cap push
           case _ => () // frames for dead sids
         }
       }
@@ -576,7 +615,16 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
   private def request(subject: String, payload: Array[Byte],
                       expect: Int = 1): Seq[Msg] = {
     convs.incrementAndGet()
-    withLane(_.request(subject, payload, expect))
+    val resp = withLane(_.request(subject, payload, expect))
+    // 503 is never a legitimate data terminator (those are 204 EOB / 404
+    // no-messages): it means NOTHING subscribes to the request subject.
+    // Central check so every data path (fetch, direct get, consumer next,
+    // group claims, stream info) fails loudly instead of returning a
+    // clean empty result against a JetStream-less server.
+    if (resp.exists(_.status == 503))
+      throw new NatsNoRespondersException(
+        s"no responders for $subject — is JetStream enabled on the server?")
+    resp
   }
 
   /** fire-and-forget publish (acks/naks) — no response conversation */
@@ -589,10 +637,7 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     val resp = request(subject, json.getBytes(UTF_8))
     if (resp.isEmpty) throw new NatsIOException(s"no response for $subject")
     val m = resp.head
-    if (m.status == 503)
-      throw new NatsIOException(s"no responders for $subject — " +
-        "is JetStream enabled on the server?")
-    if (m.status != 0)
+    if (m.status != 0) // 503 already thrown centrally by request()
       throw new NatsIOException(s"status ${m.status} for $subject")
     mapper.readTree(new String(m.payload, UTF_8))
   }
@@ -875,13 +920,16 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
       s"Nats-Msg-Id: $msgId\r\n" +
       s"Nats-Expected-Stream: $stream\r\n" +
       s"Graft-Pub-Time: $tsNs\r\n\r\n").getBytes(UTF_8)
-    requirePayloadFits(subject, hdr.length.toLong + payload.length)
-    val resp = withLane(_.request(subject, payload, expect = 1,
-      headerBytes = hdr))
+    val resp = withLane { l =>
+      l.requirePayloadFits(subject, hdr.length.toLong + payload.length)
+      l.request(subject, payload, expect = 1, headerBytes = hdr)
+    }
     if (resp.isEmpty) throw new NatsIOException("publish: no PubAck")
     if (resp.head.status == 503)
-      throw new NatsIOException("publish: no responders — " +
+      throw new NatsNoRespondersException("publish: no responders — " +
         "is JetStream enabled on the server?")
+    if (resp.head.status != 0)
+      throw new NatsIOException(s"publish: status ${resp.head.status}")
     val ack = mapper.readTree(new String(resp.head.payload, UTF_8))
     apiError(ack).foreach(e => throw new NatsIOException(s"publish failed: $e"))
     ack.get("seq").asLong

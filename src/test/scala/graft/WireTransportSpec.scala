@@ -928,6 +928,28 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { t.close(); sibling.stop() }
   }
 
+  test("lame duck clears on a healthy INFO: a restarted server at the same " +
+    "address is not avoided forever") {
+    val fb = new FakeJetStreamServer
+    fb.publish("ldr", 1L, "ldr.x", 1700000000000000000L, Array[Byte](1))
+    val srv = new MiniNatsServer(fb)
+    val port = srv.start()
+    val t = Transport.connect(s"nats://127.0.0.1:$port", timeoutMs = 1500L)
+    try {
+      val wire = t.asInstanceOf[NatsWireClient]
+      assert(t.fetch("ldr", 1L, 1L, 10).size == 1)
+      srv.pushInfoUpdate(ldm = true)
+      assert(t.fetch("ldr", 1L, 1L, 10).size == 1) // reads the ldm INFO
+      assert(wire.drainingAddresses.nonEmpty, "ldm must mark the address")
+      // the server 'restarts healthy': its next INFO carries no ldm — the
+      // mark must clear, or every future conversation pays a full re-dial
+      srv.pushInfoUpdate()
+      assert(t.fetch("ldr", 1L, 1L, 10).size == 1) // reads the healthy INFO
+      assert(wire.drainingAddresses.isEmpty,
+        "a healthy INFO must un-mark the address")
+    } finally { t.close(); srv.stop() }
+  }
+
   test("lame duck with NO sibling: the draining server keeps serving " +
     "(degraded beats dead)") {
     val fb = new FakeJetStreamServer
@@ -958,16 +980,31 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = Transport.connect(s"nats://127.0.0.1:$port", timeoutMs = 5000L)
     try {
       val t0 = System.nanoTime()
-      val e = intercept[NatsIOException] { t.streamInfo("nr") }
+      val e = intercept[NatsNoRespondersException] { t.streamInfo("nr") }
       val elapsedMs = (System.nanoTime() - t0) / 1000000L
       assert(e.getMessage.contains("no responders") &&
         e.getMessage.contains("JetStream"), e.getMessage)
       assert(elapsedMs < 2000L,
         s"503 must arrive immediately, not after a timeout ($elapsedMs ms)")
-      val ep = intercept[NatsIOException] {
+      // NOT retried: NatsNoRespondersException is a config error, so the
+      // transient-fault policy must fail in ONE attempt, fast
+      val t1 = System.nanoTime()
+      intercept[NatsNoRespondersException] {
+        TransportRetry.withRetry(t.streamInfo("nr"))
+      }
+      assert((System.nanoTime() - t1) / 1000000L < 1000L,
+        "no-responders must not burn retry backoff")
+      // DATA reads fail pointedly too — never a clean empty result
+      intercept[NatsNoRespondersException] { t.fetch("nr", 1L, 10L, 10) }
+      // sync + pipelined publish: same pointed error
+      val ep = intercept[NatsNoRespondersException] {
         t.publish("nr", "nr.y", 1L, Array[Byte](2), "m-1")
       }
       assert(ep.getMessage.contains("no responders"), ep.getMessage)
+      intercept[NatsNoRespondersException] {
+        t.publishBatch("nr",
+          Array(PublishEntry("nr.z", 2L, Array[Byte](3), "m-2")))
+      }
     } finally { t.close(); core.stop() }
   }
 
