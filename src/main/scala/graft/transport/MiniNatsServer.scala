@@ -83,6 +83,9 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
   private var server: ServerSocket = _
   @volatile private var running = false
   private val connSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** lame-duck state: set by [[pushInfoUpdate]](ldm = true), cleared by a
+    * healthy push; while set, connect-time INFO advertises it too */
+  @volatile private var ldmActive = false
   /** live connections, for async INFO pushes ([[pushInfoUpdate]]) */
   private val liveConns =
     java.util.concurrent.ConcurrentHashMap.newKeySet[AnyRef]()
@@ -215,7 +218,7 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
       val cu = advertiseUrls()
       val cuField = if (cu.isEmpty) ""
         else cu.map(u => "\"" + u + "\"").mkString(",\"connect_urls\":[", ",", "]")
-      out.write((s"""INFO {"server_id":"graft-mini","server_name":"graft-mini","version":"2.10.0-graft","proto":1,"headers":true,"max_payload":$maxPayload,"nonce":"$nonce"$cuField${if (tlsContext.isDefined) ",\"tls_required\":true" else ""}${if (authRequired) ",\"auth_required\":true" else ""}}\r\n""").getBytes(UTF_8))
+      out.write((s"""INFO {"server_id":"graft-mini","server_name":"graft-mini","version":"2.10.0-graft","proto":1,"headers":true,"max_payload":$maxPayload,"nonce":"$nonce"$cuField${if (ldmActive) ",\"ldm\":true" else ""}${if (tlsContext.isDefined) ",\"tls_required\":true" else ""}${if (authRequired) ",\"auth_required\":true" else ""}}\r\n""").getBytes(UTF_8))
       out.flush()
     }
     tlsContext.foreach { ctx =>
@@ -377,6 +380,11 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
     * the socket to die. Writes are frame-atomic under the connection's
     * write lock. */
   def pushInfoUpdate(ldm: Boolean = false): Unit = {
+    // lame duck is a server STATE, not a one-shot flag: while active, the
+    // connect-time INFO of NEW connections carries it too (a client whose
+    // last-resort dial lands on a draining server must not read the fresh
+    // INFO as "healthy again" and clear its drain mark)
+    ldmActive = ldm
     val cu = advertiseUrls()
     val cuField = if (cu.isEmpty) ""
       else cu.map(u => "\"" + u + "\"").mkString(",\"connect_urls\":[", ",", "]")

@@ -6,6 +6,8 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
+import scala.jdk.CollectionConverters._
+
 /** REAL network binding for [[JetStreamTransport]]: a from-scratch TCP client
   * speaking the PUBLIC NATS client protocol (INFO/CONNECT/PING/PONG/SUB/
   * PUB/HPUB/MSG/HMSG — https://docs.nats.io/reference/reference-protocols/
@@ -130,12 +132,11 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
   }
 
   /** spec hook: the addresses currently marked draining */
-  private[graft] def drainingAddresses: Set[(String, Int)] = {
-    val b = Set.newBuilder[(String, Int)]
-    val it = draining.iterator()
-    while (it.hasNext) b += it.next()
-    b.result()
-  }
+  private[graft] def drainingAddresses: Set[(String, Int)] =
+    draining.asScala.toSet
+
+  /** spec hook: live lanes (specs pin that a local refusal KEEPS its lane) */
+  private[graft] def liveLanes: Int = laneCount.get()
 
   /** Is any known address NOT draining? (When everything is draining, the
     * pool keeps using what it has — a degraded server beats none.) */
@@ -205,10 +206,12 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     }
 
     /** HPUB counts the header block toward the framed total — check the
-      * sum against this lane's cap before anything touches the socket. */
+      * sum against this lane's cap before anything touches the socket.
+      * Throws the LOCAL-refusal subtype so the pool knows the lane is
+      * still healthy (nothing was written) and keeps it. */
     def requirePayloadFits(subject: String, totalBytes: Long): Unit =
       if (totalBytes > laneMaxPayload)
-        throw new IllegalArgumentException(
+        throw new NatsWireClient.PayloadRefusedException(
           s"publish to '$subject': $totalBytes B (headers + payload) " +
             s"exceeds the server's advertised max_payload ($laneMaxPayload B)")
 
@@ -249,13 +252,8 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
             // a lane parked on a draining address would be retired after
             // every conversation (per-request reconnect churn) while a
             // healthy sibling sat unused
-            val all = {
-              val b = Seq.newBuilder[(String, Int)]
-              val it = discovered.iterator()
-              while (it.hasNext) b += it.next()
-              b.result()
-            }
-            val (fresh, stale) = all.partition(a => !draining.contains(a))
+            val (fresh, stale) = discovered.asScala.toSeq
+              .partition(a => !draining.contains(a))
             var got: Socket = null
             val it = (fresh ++ stale).iterator
             while (got == null && it.hasNext) {
@@ -525,9 +523,7 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
             // the subject (config error, fail fast); anything else is a
             // transient wire condition. Either way the ack JSON below
             // would be an empty payload — never parse it.
-            if (m.status == 503)
-              throw new NatsNoRespondersException(
-                "publish: no responders — is JetStream enabled on the server?")
+            failOnNoResponders(m :: Nil, "publish")
             if (m.status != 0)
               throw new NatsIOException(s"publish: status ${m.status}")
             val idx = (m.sid - baseSid).toInt
@@ -585,6 +581,11 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
       val r =
         try f(lane)
         catch {
+          // a LOCAL refusal (oversize publish) wrote nothing to the
+          // socket: the lane is healthy, keep it — closing would make
+          // every oversize attempt churn a full re-dial
+          case e: NatsWireClient.PayloadRefusedException =>
+            ok = true; throw e
           // a torn lane (server dropped an idle connection — e.g. missed
           // keepalive pings while parked — or a mid-conversation reset) is
           // TRANSIENT: surface it as the retryable wire error so
@@ -612,18 +613,23 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
   private val convs = new java.util.concurrent.atomic.AtomicLong(0L)
   def conversationCount: Long = convs.get()
 
+  /** THE status-frame policy, in one place for every conversation kind:
+    * 503 is never a legitimate data terminator (those are 204 EOB / 404
+    * no-messages) — it means NOTHING subscribes to the request subject,
+    * a configuration error that must fail loudly and without retry. */
+  private def failOnNoResponders(resp: Seq[Msg], context: String): Unit =
+    if (resp.exists(_.status == 503))
+      throw new NatsNoRespondersException(
+        s"no responders for $context — is JetStream enabled on the server?")
+
   private def request(subject: String, payload: Array[Byte],
                       expect: Int = 1): Seq[Msg] = {
     convs.incrementAndGet()
     val resp = withLane(_.request(subject, payload, expect))
-    // 503 is never a legitimate data terminator (those are 204 EOB / 404
-    // no-messages): it means NOTHING subscribes to the request subject.
-    // Central check so every data path (fetch, direct get, consumer next,
+    // central check so every data path (fetch, direct get, consumer next,
     // group claims, stream info) fails loudly instead of returning a
-    // clean empty result against a JetStream-less server.
-    if (resp.exists(_.status == 503))
-      throw new NatsNoRespondersException(
-        s"no responders for $subject — is JetStream enabled on the server?")
+    // clean empty result against a JetStream-less server
+    failOnNoResponders(resp, subject)
     resp
   }
 
@@ -924,11 +930,10 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
       l.requirePayloadFits(subject, hdr.length.toLong + payload.length)
       l.request(subject, payload, expect = 1, headerBytes = hdr)
     }
+    convs.incrementAndGet() // after: a refused publish never hit the socket
     if (resp.isEmpty) throw new NatsIOException("publish: no PubAck")
-    if (resp.head.status == 503)
-      throw new NatsNoRespondersException("publish: no responders — " +
-        "is JetStream enabled on the server?")
-    if (resp.head.status != 0)
+    failOnNoResponders(resp, "publish")
+    if (resp.head.status != 0) // a PubAck is JSON, never a status frame
       throw new NatsIOException(s"publish: status ${resp.head.status}")
     val ack = mapper.readTree(new String(resp.head.payload, UTF_8))
     apiError(ack).foreach(e => throw new NatsIOException(s"publish failed: $e"))
@@ -956,4 +961,11 @@ object NatsWireClient {
     * facing a connection-limited server can pin it to 1). */
   def MaxLanes: Int =
     Integer.getInteger("graft.wire.lanes", 8).intValue()
+
+  /** A publish refused LOCALLY (oversize vs the lane's advertised
+    * `max_payload`) — an [[IllegalArgumentException]] to callers, but a
+    * distinguished subtype so the lane pool keeps the (untouched, healthy)
+    * lane instead of closing it like a torn conversation. */
+  final class PayloadRefusedException(msg: String)
+    extends IllegalArgumentException(msg)
 }

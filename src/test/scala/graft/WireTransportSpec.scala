@@ -1024,6 +1024,10 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
         t.publish("mp", "mp.z", 3L, new Array[Byte](2048), "m-big")
       }
       assert(e.getMessage.contains("max_payload"), e.getMessage)
+      // the refusal wrote nothing: the checked-out lane must come home
+      // HEALTHY, not be closed like a torn conversation (no re-dial churn)
+      assert(t.asInstanceOf[NatsWireClient].liveLanes == 1,
+        "local refusal must keep the pooled lane")
       // batch fail-fast: one oversize entry fails the whole window before
       // any frame is written — no partial publish rides the wire
       val before = t.streamInfo("mp").lastSeq
