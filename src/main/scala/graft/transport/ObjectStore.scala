@@ -1,0 +1,250 @@
+package graft.transport
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.util.Base64
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** NATS JetStream OBJECT STORE (the public ADR-20 layering:
+  * https://github.com/nats-io/nats-architecture-and-design/blob/main/adr/ADR-20.md)
+  * as a pure facade over [[JetStreamTransport]] — large binaries chunked
+  * into ordinary stream messages, with a per-object metadata record the
+  * per-subject index serves as "current state".
+  *
+  * Wire layout (all from the ADR, nothing bespoke):
+  *   - bucket `B` lives in stream `OBJ_B`;
+  *   - object meta rides `$$O.B.M.<base64url(name)>` — one JSON ObjectInfo
+  *     per put, the LATEST per subject is the object's truth (a real server
+  *     pairs this with a `Nats-Rollup: sub` header so history is pruned;
+  *     last-by-subject semantics are identical either way);
+  *   - chunk data rides `$$O.B.C.<nuid>` — a fresh nuid per put, so an
+  *     overwrite's chunks can never interleave with its predecessor's;
+  *   - the digest field is `SHA-256=<base64url(sha256(data))>`, verified on
+  *     every get (a torn read or server-side corruption fails LOUDLY, never
+  *     returns truncated bytes);
+  *   - a delete publishes a meta tombstone (`deleted: true`, size/chunks 0).
+  *
+  * Because the facade speaks only the transport trait, the SAME code runs
+  * against the in-JVM [[FakeJetStream]], [[MiniNatsServer]] over real
+  * loopback sockets, and a live cluster through [[NatsWireClient]] —
+  * chunked puts use the pipelined [[JetStreamTransport.publishBatch]] (one
+  * round-trip per window, not per chunk), gets use a server-side-filtered
+  * consumer on the object's chunk subject (wire volume = the object's own
+  * bytes, never the bucket's), and listing pages the per-subject index in
+  * O(objects) metadata messages with zero data bytes.
+  *
+  * Scale contract: one object's chunks flow through one reader, but
+  * DISTINCT objects parallelize freely — the Spark source
+  * ([[graft.sources.ObjectStoreSource]]) shards the meta namespace the
+  * same way the KV scan shards subjects, so a million-object bucket scans
+  * as 32 independent meta shards each fetching only its own objects'
+  * chunks. The reference engine is message-scan only; this is the
+  * binary-payload superset its multimodal columns need (SURVEY §2 layer A
+  * payload polymorphism; cf. nats_scan.cpp:520-538 BLOB mode).
+  */
+final class ObjectStore(t: JetStreamTransport, val bucket: String,
+                        val chunkSize: Int = ObjectStore.DefaultChunkSize) {
+  require(chunkSize > 0, s"object store chunk_size must be > 0, got $chunkSize")
+  require(bucket.nonEmpty && !bucket.exists(c => c == '.' || c == '*' ||
+    c == '>' || Character.isWhitespace(c)),
+    s"invalid object-store bucket name '$bucket'")
+
+  val stream: String = s"OBJ_$bucket"
+
+  import ObjectStore._
+
+  // ---------------- write path ----------------
+
+  /** Store `data` under `name`: chunks first (pipelined), meta LAST — a
+    * reader can never observe a meta whose chunks are not yet durable.
+    * Returns the object's info. `mtimeNs` is caller-supplied (mirrors the
+    * transport's explicit-timestamp publish surface; a live server would
+    * stamp receive time). */
+  def put(name: String, data: Array[Byte], mtimeNs: Long): ObjectInfo = {
+    requireName(name)
+    val nuid = newNuid()
+    val nChunks = if (data.isEmpty) 0 else (data.length - 1) / chunkSize + 1
+    val chunkSubject = s"$$O.$bucket.C.$nuid"
+    val entries = new Array[PublishEntry](nChunks)
+    var i = 0
+    while (i < nChunks) {
+      val from = i * chunkSize
+      val until = math.min(from + chunkSize, data.length)
+      entries(i) = PublishEntry(chunkSubject, mtimeNs,
+        java.util.Arrays.copyOfRange(data, from, until),
+        msgId = s"$nuid/$i") // replayed window → exactly-once chunks
+      i += 1
+    }
+    if (nChunks > 0) t.publishBatch(stream, entries)
+    val info = ObjectInfo(name, bucket, nuid, data.length.toLong, nChunks,
+      digestOf(data), mtimeNs, deleted = false)
+    t.publish(stream, metaSubject(bucket, name), mtimeNs,
+      metaJson(info).getBytes(UTF_8), msgId = s"$nuid/M")
+    info
+  }
+
+  /** Tombstone `name` (ADR delete shape: meta with `deleted: true`, zero
+    * size/chunks, fresh nuid). Chunk history remains until a store purge —
+    * the transport trait has no purge RPC yet; readers never see it
+    * because gets resolve ONLY through the current meta's nuid. */
+  def delete(name: String, mtimeNs: Long): Unit = {
+    requireName(name)
+    val nuid = newNuid()
+    val info = ObjectInfo(name, bucket, nuid, 0L, 0, digest = "",
+      mtimeNs, deleted = true)
+    t.publish(stream, metaSubject(bucket, name), mtimeNs,
+      metaJson(info).getBytes(UTF_8), msgId = s"$nuid/M")
+  }
+
+  // ---------------- read path ----------------
+
+  /** Current info for `name`: None if never stored OR tombstoned. */
+  def info(name: String): Option[ObjectInfo] = {
+    requireName(name)
+    val metas = t.lastForSubjects(stream, Some(metaSubject(bucket, name)),
+      bucket = 0, nBuckets = 1, afterSubject = None, max = 2)
+    metas.headOption.map(m => parseMeta(new String(m.payload, UTF_8)))
+      .filterNot(_.deleted)
+  }
+
+  /** Fetch and digest-verify the full object. Loud failures: unknown or
+    * deleted name, missing chunks, size or digest mismatch. */
+  def get(name: String): Array[Byte] = {
+    val meta = info(name).getOrElse(sys.error(
+      s"object store '$bucket': no object named '$name'"))
+    getByMeta(meta)
+  }
+
+  /** Fetch by an already-resolved meta (the scan path: list once, fetch
+    * many — no second meta RPC per object). */
+  def getByMeta(meta: ObjectInfo): Array[Byte] = {
+    if (meta.deleted) sys.error(
+      s"object store '$bucket': object '${meta.name}' is deleted")
+    val out = new Array[Byte](toIntSize(meta.size))
+    var off = 0
+    var got = 0
+    if (meta.chunks > 0) {
+      // server-side filter on THE object's chunk subject: only this
+      // object's bytes cross the wire, in stream (= chunk) order
+      val cur = t.consumer(stream, startSeq = 1L,
+        filterSubject = Some(s"$$O.$bucket.C.${meta.nuid}"))
+      try {
+        var batch = cur.next(ChunkBatch)
+        while (batch.nonEmpty) {
+          var i = 0
+          while (i < batch.length) {
+            val c = batch(i).payload
+            if (off + c.length > out.length) sys.error(
+              s"object store '$bucket': object '${meta.name}' chunk overrun " +
+                s"(${off + c.length} B > declared ${meta.size} B)")
+            System.arraycopy(c, 0, out, off, c.length)
+            off += c.length
+            got += 1
+            i += 1
+          }
+          batch = if (got >= meta.chunks) Array.empty else cur.next(ChunkBatch)
+        }
+      } finally cur.close()
+    }
+    if (got != meta.chunks || off != out.length) sys.error(
+      s"object store '$bucket': object '${meta.name}' incomplete — " +
+        s"$got/${meta.chunks} chunks, $off/${meta.size} bytes")
+    val d = digestOf(out)
+    if (d != meta.digest) sys.error(
+      s"object store '$bucket': digest mismatch for '${meta.name}' " +
+        s"(stored ${meta.digest}, computed $d) — data corrupted")
+    out
+  }
+
+  /** Page shard `shard` of `nShards` of the bucket's CURRENT objects
+    * (tombstones excluded) — the per-subject index surface, O(objects)
+    * metadata, zero chunk bytes. Shard = FNV-1a of the META SUBJECT
+    * (the transport's subject-shard contract, [[SubjectFilter.shard]]). */
+  def list(shard: Int = 0, nShards: Int = 1): Seq[ObjectInfo] = {
+    require(nShards >= 1 && shard >= 0 && shard < nShards,
+      s"bad object-store shard $shard/$nShards")
+    val out = Seq.newBuilder[ObjectInfo]
+    var after: Option[String] = None
+    var done = false
+    while (!done) {
+      val page = t.lastForSubjects(stream, Some(s"$$O.$bucket.M.>"),
+        shard, nShards, after, MetaPage)
+      if (page.length < MetaPage) done = true
+      if (page.nonEmpty) {
+        after = Some(page.last.subject)
+        page.foreach { m =>
+          val info = parseMeta(new String(m.payload, UTF_8))
+          if (!info.deleted) out += info
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def requireName(name: String): Unit =
+    require(name.nonEmpty, "object name must not be empty")
+
+  private def toIntSize(sz: Long): Int = {
+    require(sz >= 0L && sz <= Int.MaxValue.toLong,
+      s"object size $sz B exceeds a single in-memory buffer; " +
+        "stream chunks instead of get()")
+    sz.toInt
+  }
+}
+
+object ObjectStore {
+  /** ADR-20 default chunk size (128 KiB). */
+  val DefaultChunkSize: Int = 128 * 1024
+  /** chunks per fetch batch on the read path */
+  val ChunkBatch = 64
+  /** meta messages per list page (same order as the KV reader's page) */
+  val MetaPage = 2048
+
+  private val mapper = new ObjectMapper()
+  private val rnd = new java.security.SecureRandom()
+
+  /** `$$O.<bucket>.M.<base64url-nopad(name)>` — the ADR meta subject (names
+    * may contain `.`/`*`/`>`/spaces; encoding keeps the subject legal). */
+  def metaSubject(bucket: String, name: String): String =
+    "$O." + bucket + ".M." +
+      Base64.getUrlEncoder.withoutPadding.encodeToString(name.getBytes(UTF_8))
+
+  /** 22-char unique id for a put's chunk subject (the nuid role). */
+  def newNuid(): String = {
+    val b = new Array[Byte](16)
+    rnd.nextBytes(b)
+    Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+  }
+
+  /** ADR digest field: `SHA-256=<base64url-nopad>` over the full object. */
+  def digestOf(data: Array[Byte]): String =
+    "SHA-256=" + Base64.getUrlEncoder.withoutPadding.encodeToString(
+      MessageDigest.getInstance("SHA-256").digest(data))
+
+  private[transport] def metaJson(i: ObjectInfo): String = {
+    val n = mapper.createObjectNode()
+    n.put("name", i.name).put("bucket", i.bucket).put("nuid", i.nuid)
+      .put("size", i.size).put("chunks", i.chunks).put("digest", i.digest)
+      .put("mtime_ns", i.mtimeNs)
+    if (i.deleted) n.put("deleted", true)
+    mapper.writeValueAsString(n)
+  }
+
+  private[transport] def parseMeta(json: String): ObjectInfo = {
+    val n = mapper.readTree(json)
+    def str(f: String) = Option(n.get(f)).map(_.asText).getOrElse(
+      sys.error(s"object meta missing '$f': $json"))
+    ObjectInfo(str("name"), str("bucket"), str("nuid"),
+      Option(n.get("size")).map(_.asLong).getOrElse(0L),
+      Option(n.get("chunks")).map(_.asInt).getOrElse(0),
+      Option(n.get("digest")).map(_.asText).getOrElse(""),
+      Option(n.get("mtime_ns")).map(_.asLong).getOrElse(0L),
+      Option(n.get("deleted")).exists(_.asBoolean))
+  }
+}
+
+/** One object's current metadata (the ADR ObjectInfo record). */
+final case class ObjectInfo(name: String, bucket: String, nuid: String,
+                            size: Long, chunks: Int, digest: String,
+                            mtimeNs: Long, deleted: Boolean)
