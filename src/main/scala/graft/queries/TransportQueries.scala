@@ -142,6 +142,35 @@ object TransportQueries {
       (url, creds.toString)
     })
 
+  /** Object-store bucket chunk size for the `docs` fixture — small enough
+    * that most documents span several chunks (the reassembly path is the
+    * thing under test, not single-message passthrough). */
+  val ObjChunkSize = 128
+
+  private val objFixtures = new ConcurrentHashMap[String, String]()
+
+  /** The `docs` OBJECT-STORE bucket on `dir`'s fixture server: every
+    * document stored as object `doc/<doc_id>` (content = UTF-8 text,
+    * mtime = doc_id — deterministic, so the oracle can recompute it).
+    * Puts run from EXECUTOR tasks like the stream fixtures: each partition
+    * chunk-publishes its own documents through the transport facade —
+    * the distributed-ingest shape a real bucket load has. */
+  def objFixtureUrl(s: SparkSession, dir: String): String =
+    objFixtures.computeIfAbsent(dir, _ => {
+      val url = fixtureUrl(s, dir)
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          FakeJetStream.listen(url) // ensure registry entry in this JVM
+          val os = new graft.transport.ObjectStore(
+            graft.transport.Transport.connect(url), "docs", ObjChunkSize)
+          it.foreach { r =>
+            val id = r.getLong(0)
+            os.put(s"doc/$id", r.getString(1).getBytes("UTF-8"), mtimeNs = id)
+          }
+        }
+      url
+    })
+
   private val wireFixtures = new ConcurrentHashMap[String, String]()
 
   /** URL of a REAL loopback-socket [[graft.transport.MiniNatsServer]]
@@ -373,6 +402,32 @@ object TransportQueries {
     // answer an identical bounded query identically (oracle recomputes from
     // the fixture — this is the "transport scan ≡ parquet scan" property
     // wired into the correctness gate)
+    // OBJECT STORE bucket scan (ADR-20 chunked blobs): every document
+    // reassembled from its chunk messages, digest-verified, content
+    // md5-checked against the parquet truth — a chunking, ordering, or
+    // reassembly bug anywhere in the put/get path breaks the hash match
+    "transport_obj_scan" -> ((s, dir) =>
+      s.read.format("nats_obj")
+        .option("url", objFixtureUrl(s, dir))
+        .option("bucket", "docs").option("shards", "8")
+        .load()
+        .select(col("name"), col("size"),
+          col("chunks").cast("long").as("chunks"),
+          md5(col("data")).as("content_md5"))
+        .orderBy("name")),
+
+    // META-ONLY bucket listing: the projection never touches `data`, so the
+    // scan is O(objects) index pages with ZERO chunk bytes (the
+    // data/metadata cliff ObjectStoreSourceSpec proves behaviorally); the
+    // digest column is recomputed by the oracle from the raw text
+    "transport_obj_meta" -> ((s, dir) =>
+      s.read.format("nats_obj")
+        .option("url", objFixtureUrl(s, dir))
+        .option("bucket", "docs").option("shards", "8")
+        .load()
+        .select(col("name"), col("size"), col("digest"), col("mtime_ns"))
+        .orderBy("name")),
+
     "transport_parquet_parity" -> ((s, dir) => {
       val viaTransport = scan(s, dir)
         .filter(col("seq") >= 2001L && col("seq") <= 4000L)
@@ -484,6 +539,24 @@ object TransportQueries {
         s"""$env SELECT subject, count(*) AS n, max(seq) AS last_seq
            | FROM env WHERE regexp_matches(subject, '^events\\.[^.]+\\.7$$')
            | GROUP BY subject ORDER BY subject""".stripMargin,
+
+      "transport_obj_scan" ->
+        s"""SELECT 'doc/' || CAST(doc_id AS VARCHAR) AS name,
+           | CAST(octet_length(encode(text)) AS BIGINT) AS size,
+           | CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+           |   ELSE (octet_length(encode(text)) - 1) // $ObjChunkSize + 1 END
+           |   AS BIGINT) AS chunks,
+           | md5(text) AS content_md5
+           | FROM documents ORDER BY name""".stripMargin,
+
+      "transport_obj_meta" ->
+        s"""SELECT 'doc/' || CAST(doc_id AS VARCHAR) AS name,
+           | CAST(octet_length(encode(text)) AS BIGINT) AS size,
+           | 'SHA-256=' || rtrim(replace(replace(
+           |     to_base64(unhex(sha256(text))), '+', '-'), '/', '_'),
+           |   '=') AS digest,
+           | CAST(doc_id AS BIGINT) AS mtime_ns
+           | FROM documents ORDER BY name""".stripMargin,
 
       "transport_parquet_parity" ->
         "SELECT CAST(0 AS BIGINT) AS n_disagreements"

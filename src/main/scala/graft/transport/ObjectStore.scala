@@ -46,9 +46,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 final class ObjectStore(t: JetStreamTransport, val bucket: String,
                         val chunkSize: Int = ObjectStore.DefaultChunkSize) {
   require(chunkSize > 0, s"object store chunk_size must be > 0, got $chunkSize")
-  require(bucket.nonEmpty && !bucket.exists(c => c == '.' || c == '*' ||
-    c == '>' || Character.isWhitespace(c)),
-    s"invalid object-store bucket name '$bucket'")
+  ObjectStore.requireValidBucket(bucket)
 
   val stream: String = s"OBJ_$bucket"
 
@@ -196,6 +194,12 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
 object ObjectStore {
   /** ADR-20 default chunk size (128 KiB). */
   val DefaultChunkSize: Int = 128 * 1024
+
+  /** bucket names become stream/subject tokens — no '.'/'*'/'>'/whitespace */
+  def requireValidBucket(bucket: String): Unit =
+    require(bucket.nonEmpty && !bucket.exists(c => c == '.' || c == '*' ||
+      c == '>' || Character.isWhitespace(c)),
+      s"invalid object-store bucket name '$bucket'")
   /** chunks per fetch batch on the read path */
   val ChunkBatch = 64
   /** meta messages per list page (same order as the KV reader's page) */

@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.transport._
+
+/** `nats_obj` DSv2 surface: bucket scans, meta-only column pruning, name
+  * pushdown, and the write direction. The pruning/pushdown assertions are
+  * BEHAVIORAL, not plan-string: we break the chunk data server-side and
+  * prove the pruned/pushed plans never notice. */
+class ObjectStoreSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val url = "nats://objsource-spec:4222"
+  private lazy val server: FakeJetStreamServer = FakeJetStream.listen(url)
+
+  private def store(bucket: String, chunk: Int = 8) = {
+    server
+    new ObjectStore(Transport.connect(url), bucket, chunk)
+  }
+
+  private def read(bucket: String, opts: Map[String, String] = Map.empty) = {
+    server
+    val b = spark.read.format("nats_obj").option("url", url)
+      .option("bucket", bucket)
+    opts.foldLeft(b) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  /** delete every message whose subject matches `pred` (public transport
+    * reads + the fake's delete hook — no private server internals) */
+  private def deleteChunks(stream: String, pred: String => Boolean): Unit = {
+    val t = Transport.connect(url)
+    val last = t.streamInfo(stream).lastSeq
+    t.fetch(stream, 1L, last, last.toInt.max(1))
+      .filter(m => pred(m.subject))
+      .foreach(m => server.deleteMsg(stream, m.seq))
+  }
+
+  test("bucket scan: rows mirror the facade, data reassembles chunks") {
+    val os = store("scan1")
+    (0 until 20).foreach(i => os.put(s"o$i", (s"content-$i" * 3).getBytes(UTF_8), i.toLong))
+    val df = read("scan1")
+    assert(df.count() == 20L)
+    val r = df.filter(col("name") === "o7")
+      .select("size", "chunks", "data").collect()(0)
+    val expect = "content-7" * 3
+    assert(r.getLong(0) == expect.length.toLong)
+    assert(r.getInt(1) == (expect.length - 1) / 8 + 1)
+    assert(new String(r.getAs[Array[Byte]]("data"), UTF_8) == expect)
+  }
+
+  test("meta-only projection never touches chunks: scan survives chunk loss") {
+    val os = store("metaonly")
+    (0 until 10).foreach(i => os.put(s"m$i", ("z" * 50).getBytes(UTF_8), 1L))
+    // destroy EVERY chunk message server-side; metas stay
+    val infos = os.list()
+    assert(infos.size == 10)
+    deleteChunks(os.stream, _.contains(".C."))
+    val metaDf = read("metaonly").select("name", "size", "digest", "chunks")
+    assert(metaDf.count() == 10L) // no chunk fetch -> no failure
+    assert(metaDf.agg(sum("size")).collect()(0).getLong(0) == 500L)
+    // but a projection that NEEDS data fails loudly (incomplete object)
+    val e = intercept[Exception](read("metaonly").select("data").collect())
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("incomplete"))))
+  }
+
+  test("exact-name pushdown: targeted lookup, one partition, others untouched") {
+    val os = store("target")
+    os.put("good", ("g" * 30).getBytes(UTF_8), 1L)
+    os.put("bad", ("b" * 30).getBytes(UTF_8), 1L)
+    // corrupt 'bad' chunks: a full scan with data would die, a pushed
+    // name='good' must not even fetch them
+    val badNuid = os.info("bad").get.nuid
+    deleteChunks(os.stream, _.endsWith(s".C.$badNuid"))
+    val q = read("target").filter(col("name") === "good").select("name", "data")
+    assert(q.rdd.getNumPartitions == 1) // names partition, not 16 shards
+    val rows = q.collect()
+    assert(rows.length == 1 &&
+      new String(rows(0).getAs[Array[Byte]]("data"), UTF_8) == "g" * 30)
+    // IN-list pushdown keeps the single targeted partition too
+    val inQ = read("target").filter(col("name").isin("good", "missing"))
+      .select("name")
+    assert(inQ.rdd.getNumPartitions == 1)
+    assert(inQ.collect().map(_.getString(0)).toSeq == Seq("good"))
+  }
+
+  test("prefix pushdown prefilters at the meta level before chunk fetch") {
+    val os = store("prefix")
+    os.put("keep/1", "k1".getBytes(UTF_8), 1L)
+    os.put("keep/2", "k2".getBytes(UTF_8), 1L)
+    os.put("drop/1", ("d" * 40).getBytes(UTF_8), 1L)
+    val dropNuid = os.info("drop/1").get.nuid
+    deleteChunks(os.stream, _.endsWith(s".C.$dropNuid"))
+    // full-namespace scan, but prefix-pruned rows are never chunk-fetched
+    val rows = read("prefix").filter(col("name").startsWith("keep/"))
+      .select("name", "data").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("keep/1", "keep/2"))
+  }
+
+  test("write direction: df.write puts objects; roundtrip through the facade") {
+    import spark.implicits._
+    server
+    val df = (0 until 15)
+      .map(i => (s"w$i", (s"bytes-$i" * 2).getBytes(UTF_8), i.toLong))
+      .toDF("name", "data", "mtime_ns")
+    df.write.format("nats_obj").option("url", url)
+      .option("bucket", "wrt").option("chunk_size", "8").mode("append").save()
+    val os = store("wrt")
+    val infos = os.list()
+    assert(infos.size == 15)
+    assert(new String(os.get("w3"), UTF_8) == "bytes-3" * 2)
+    assert(infos.forall(i => i.chunks == (i.size - 1) / 8 + 1))
+    // and the read side sees what the write side put
+    assert(read("wrt").count() == 15L)
+  }
+
+  test("bind validation: missing url/bucket, bad shards/chunk_size") {
+    def load(opts: Map[String, String]) = {
+      val b = spark.read.format("nats_obj")
+      opts.foldLeft(b) { case (r, (k, v)) => r.option(k, v) }.load()
+    }
+    assert(intercept[Exception](load(Map("bucket" -> "b")))
+      .getMessage.contains("'url' option required"))
+    assert(intercept[Exception](load(Map("url" -> url)))
+      .getMessage.contains("'bucket' option required"))
+    assert(intercept[Exception](load(Map("url" -> url, "bucket" -> "b",
+      "shards" -> "0"))).getMessage.contains("shards must be >= 1"))
+    assert(intercept[Exception](load(Map("url" -> url, "bucket" -> "has.dot")))
+      .getMessage.contains("invalid object-store bucket"))
+    assert(intercept[Exception](load(Map("url" -> url, "bucket" -> "b",
+      "chunk_size" -> "0"))).getMessage.contains("chunk_size must be >= 1"))
+  }
+
+  test("shard partitioning: default scan plans `shards` independent tasks") {
+    val os = store("fan")
+    (0 until 40).foreach(i => os.put(s"f$i", "x".getBytes(UTF_8), 1L))
+    val df = read("fan", Map("shards" -> "8")).select("name")
+    assert(df.rdd.getNumPartitions == 8)
+    assert(df.count() == 40L)
+  }
+}
