@@ -342,6 +342,55 @@ object TransportScaleProbe {
       wmsrv.stop()
     }
 
+    // --- object-store bucket sweep (nats_obj DSv2, new this session) ----
+    // Claims under test (the data/metadata cliff of ObjectStoreSource):
+    //   - META-ONLY listing is O(objects) index pages — RPCs grow with the
+    //     object COUNT, never with the bucket's BYTES, and zero chunk
+    //     messages move;
+    //   - the DATA scan adds ceil(chunks/64) batched fetches per object and
+    //     its per-object wall cost stays flat as the bucket grows (each of
+    //     the 8 shard tasks streams its own objects independently);
+    //   - a name-pushdown point lookup stays O(1) at every bucket size.
+    println()
+    println("object-store bucket sweep, 8 KiB objects (64 chunks @ 128 B), shards=8:")
+    println(f"${"objects"}%8s ${"meta_wall_s"}%12s ${"meta_rpcs"}%10s " +
+      f"${"data_wall_s"}%12s ${"data_rpcs"}%10s ${"rpc_per_obj"}%12s " +
+      f"${"obj_per_s"}%10s ${"point_rpcs"}%11s")
+    Seq(1024, 4096, 16384).foreach { nObj =>
+      val ourl = s"nats://transport-scale-probe-obj-$nObj:4222"
+      val osrv = FakeJetStream.listen(ourl)
+      val ostore = new graft.transport.ObjectStore(
+        graft.transport.Transport.connect(ourl), s"probe$nObj", 128)
+      val payload = Array.tabulate[Byte](8192)(i => (i % 251).toByte)
+      var oi = 0
+      while (oi < nObj) {
+        ostore.put(f"obj/$oi%06d", payload, mtimeNs = oi.toLong)
+        oi += 1
+      }
+      def oread = spark.read.format("nats_obj").option("url", ourl)
+        .option("bucket", s"probe$nObj").option("shards", "8").load()
+      val m0 = osrv.rpcCountTotal
+      val mt0 = System.nanoTime()
+      val metaRows = oread.select("name", "size", "digest").collect().length
+      val metaWall = (System.nanoTime() - mt0) / 1e9
+      val metaRpcs = osrv.rpcCountTotal - m0
+      require(metaRows == nObj, s"obj meta sweep lost rows: $metaRows of $nObj")
+      val d0 = osrv.rpcCountTotal
+      val dt0 = System.nanoTime()
+      Bench.materialize(oread.select(col("name"),
+        expr("octet_length(data)").as("bytes")))
+      val dataWall = (System.nanoTime() - dt0) / 1e9
+      val dataRpcs = osrv.rpcCountTotal - d0
+      val p0 = osrv.rpcCountTotal
+      val pointRows = oread.filter(col("name") === f"obj/${nObj / 2}%06d")
+        .select("name", "size").collect().length
+      val pointRpcs = osrv.rpcCountTotal - p0
+      require(pointRows == 1, s"obj point lookup got $pointRows rows")
+      println(f"$nObj%8d $metaWall%12.2f $metaRpcs%10d $dataWall%12.2f " +
+        f"$dataRpcs%10d ${dataRpcs.toDouble / nObj}%12.2f " +
+        f"${nObj / dataWall}%10.1f $pointRpcs%11d")
+    }
+
     Seq(16384L, 65536L, 262144L).foreach { m =>
       val gurl = s"nats://transport-scale-probe-grp-$m:4222"
       val gsrv = FakeJetStream.listen(gurl)

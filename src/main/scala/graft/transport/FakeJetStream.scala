@@ -50,6 +50,27 @@ final class FakeJetStreamServer {
     new TrieMap[String, ConcurrentSkipListMap[String, Long]]()
   private val subjectCounts =
     new TrieMap[String, ConcurrentSkipListMap[String, Long]]()
+  // per-subject FIRST-seq index — the other half of the filestore's
+  // per-subject info. Filtered consumers use (first, last) to SKIP-AHEAD:
+  // a real server's LoadNextMsg never walks blocks that cannot contain the
+  // filter subject, so a consumer filtered on one object's chunk subject
+  // costs O(that object's span), not O(stream). Without this the object
+  // store's bucket scan is quadratic (probe: 16k × 8 KiB objects = 200 s).
+  private val firstBySubject =
+    new TrieMap[String, ConcurrentSkipListMap[String, Long]]()
+
+  /** `(first, last)` seq bounds for one EXACT subject, or None if the
+    * stream currently has no message with it. */
+  private[transport] def subjectBounds(stream: String,
+                                       subject: String): Option[(Long, Long)] =
+    for {
+      lastIdx <- lastBySubject.get(stream)
+      last = lastIdx.getOrDefault(subject, Long.MinValue)
+      if last != Long.MinValue
+      firstIdx <- firstBySubject.get(stream)
+      first = firstIdx.getOrDefault(subject, Long.MinValue)
+      if first != Long.MinValue
+    } yield (first, last)
 
   /** Highest seq strictly below `seq` whose message carries `subject`, or
     * Long.MinValue — descending walk with early exit, used to re-point the
@@ -65,6 +86,20 @@ final class FakeJetStreamServer {
     Long.MinValue
   }
 
+  /** Lowest seq strictly above `seq` whose message carries `subject`, or
+    * Long.MinValue — ascending walk with early exit (re-points the
+    * first-by-subject index when its current entry goes away). */
+  private def firstAboveWithSubject(
+      m: ConcurrentSkipListMap[Long, TransportMsg], seq: Long,
+      subject: String): Long = {
+    val it = m.tailMap(seq, false).values().iterator()
+    while (it.hasNext) {
+      val x = it.next()
+      if (x.subject == subject) return x.seq
+    }
+    Long.MinValue
+  }
+
   private def indexPut(stream: String, prev: TransportMsg,
                        msg: TransportMsg): Unit = {
     if (msg.subject != null) {
@@ -72,13 +107,17 @@ final class FakeJetStreamServer {
         stream, new ConcurrentSkipListMap[String, Long]())
       idx.merge(msg.subject, msg.seq,
         (cur, s) => if (s > cur) s else cur)
+      val fidx = firstBySubject.getOrElseUpdate(
+        stream, new ConcurrentSkipListMap[String, Long]())
+      fidx.merge(msg.subject, msg.seq,
+        (cur, s) => if (s < cur) s else cur)
       ()
     }
     // a republish at an existing seq under a DIFFERENT subject (fixture-
     // loading only — a real server never reassigns a sequence) re-points
     // the old subject's last entry at its surviving predecessor
     if (prev != null && prev.subject != null &&
-        (msg.subject == null || prev.subject != msg.subject))
+        (msg.subject == null || prev.subject != msg.subject)) {
       lastBySubject.get(stream).foreach { idx =>
         if (idx.getOrDefault(prev.subject, Long.MinValue) == msg.seq) {
           val replacement = streams.get(stream).fold(Long.MinValue)(
@@ -88,6 +127,16 @@ final class FakeJetStreamServer {
           ()
         }
       }
+      firstBySubject.get(stream).foreach { idx =>
+        if (idx.getOrDefault(prev.subject, Long.MinValue) == msg.seq) {
+          val replacement = streams.get(stream).fold(Long.MinValue)(
+            firstAboveWithSubject(_, msg.seq, prev.subject))
+          if (replacement == Long.MinValue) idx.remove(prev.subject)
+          else idx.put(prev.subject, replacement)
+          ()
+        }
+      }
+    }
     val counts = subjectCounts.getOrElseUpdate(
       stream, new ConcurrentSkipListMap[String, Long]())
     // a publish at an existing seq REPLACES: the old subject loses a count,
@@ -136,7 +185,7 @@ final class FakeJetStreamServer {
         // walk backward from the deleted seq and stop at the first hit —
         // O(inter-arrival gap), not O(stream) (a full-log rescan here made
         // bulk gap-punching quadratic: 6k deletes × 600k messages at sf0.1)
-        if (prev.subject != null)
+        if (prev.subject != null) {
           lastBySubject.get(stream).foreach { idx =>
             if (idx.getOrDefault(prev.subject, Long.MinValue) == seq) {
               val replacement = firstBelowWithSubject(m, seq, prev.subject)
@@ -145,6 +194,17 @@ final class FakeJetStreamServer {
               ()
             }
           }
+          // same re-point for the FIRST index: the survivor is the nearest
+          // LATER same-subject message (nothing earlier can match a min)
+          firstBySubject.get(stream).foreach { idx =>
+            if (idx.getOrDefault(prev.subject, Long.MinValue) == seq) {
+              val replacement = firstAboveWithSubject(m, seq, prev.subject)
+              if (replacement == Long.MinValue) idx.remove(prev.subject)
+              else idx.put(prev.subject, replacement)
+              ()
+            }
+          }
+        }
       }
     }
   }
@@ -249,6 +309,7 @@ final class FakeJetStreamServer {
                                max: Int): Array[TransportMsg] =
     streams.get(stream) match {
       case None => Array.empty
+      case Some(_) if from > to => Array.empty // drained past a bounded stop
       case Some(m) =>
         m.subMap(from, true, to, true).values().iterator().asScala
           .take(max).toArray
@@ -593,6 +654,7 @@ final class FakeTransport(server: FakeJetStreamServer) extends JetStreamTranspor
       // the ordered-consumer recreate-at-last-delivered contract
       private var cur = startSeq
       private val matcher = filterSubject.map(SubjectFilter.matcher)
+      private val literal = filterSubject.filter(SubjectFilter.isLiteral)
       override def next(max: Int): Array[TransportMsg] = {
         count()
         maybeFault()
@@ -606,11 +668,26 @@ final class FakeTransport(server: FakeJetStreamServer) extends JetStreamTranspor
             // matching messages (filter_subject semantics) — the position
             // still advances past everything examined, so a sparse match
             // never stalls the cursor. Empty result ⟺ log exhausted.
+            // A LITERAL filter rides the per-subject (first, last) index:
+            // jump the cursor to the subject's span and stop past its end —
+            // the filestore skip-ahead that keeps a chunk fetch O(its own
+            // object), not O(stream). Bounds re-read per call: publishes
+            // since the last page extend `last` and the cursor picks up.
+            val stop = literal match {
+              case Some(subj) => server.subjectBounds(stream, subj) match {
+                case None => return Array.empty // subject has no messages
+                case Some((first, last)) =>
+                  if (first > cur) cur = first
+                  if (cur > last) return Array.empty
+                  last
+              }
+              case None => Long.MaxValue
+            }
             val out = Array.newBuilder[TransportMsg]
             var n = 0
             var exhausted = false
             while (n < max && !exhausted) {
-              val chunk = server.range(stream, cur, Long.MaxValue, max)
+              val chunk = server.range(stream, cur, stop, max)
               if (chunk.isEmpty) exhausted = true
               else {
                 // the position advances message-BY-message: filling the page

@@ -605,11 +605,26 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
             // interleave with a stalled first conversation's cursor walk
             val msgs = rec.synchronized {
               val matcher = rec.filter.map(SubjectFilter.matcher)
+              // literal filters ride the backing per-subject index (the
+              // filestore skip-ahead): jump to the subject's span, stop
+              // past its end — same contract as the in-JVM seam
+              val stop = rec.filter.filter(SubjectFilter.isLiteral) match {
+                case Some(subj) => backing.subjectBounds(stream, subj) match {
+                  // no message carries the subject YET: report exhausted
+                  // without moving the cursor (a later publish must still
+                  // be deliverable on the next poll)
+                  case None => Long.MinValue
+                  case Some((first, last)) =>
+                    if (first > rec.cursor) rec.cursor = first
+                    last
+                }
+                case None => Long.MaxValue
+              }
               val out = Array.newBuilder[TransportMsg]
               var n = 0
-              var exhausted = false
+              var exhausted = rec.cursor > stop
               while (n < batch && !exhausted) {
-                val chunk = backing.range(stream, rec.cursor, Long.MaxValue, batch)
+                val chunk = backing.range(stream, rec.cursor, stop, batch)
                 if (chunk.isEmpty) exhausted = true
                 else {
                   var i = 0

@@ -68,6 +68,11 @@ object SubjectFilter {
     new Matcher(tokens(pattern))
   }
 
+  /** True when `pattern` names exactly one subject (no `*`/`>` tokens) —
+    * the case a server can serve from its per-subject index. */
+  def isLiteral(pattern: String): Boolean =
+    !pattern.contains('*') && !pattern.contains('>')
+
   /** Longest literal prefix every matching subject must start with —
     * `events.purchase.*` → `"events.purchase."` (the dot is valid: a
     * wildcard always demands at least one more token), `events.*.7` →
