@@ -43,7 +43,9 @@ import graft.transport.{ObjectInfo, ObjectStore, TransportAuth, TransportPool, T
 class ObjectStoreSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "nats_obj"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ObjectStoreSource.schema
+    if (!options.getBoolean("watch", false)) ObjectStoreSource.schema
+    else if (options.getBoolean("watch_data", false)) ObjectStoreSource.watchDataSchema
+    else ObjectStoreSource.watchSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new ObjectStoreTable(properties.asScala.toMap)
@@ -58,6 +60,30 @@ object ObjectStoreSource {
     StructField("digest", StringType, nullable = false),
     StructField("mtime_ns", LongType, nullable = false),
     StructField("data", BinaryType, nullable = true)))
+
+  /** `watch=true` changelog envelope: every META record in stream order —
+    * `seq` is the OBJ stream sequence (the watch's offset axis and the
+    * ordering key for a downstream `max_by(…, seq)` current-state view);
+    * `deleted` marks tombstones (emitted only under `include_deletes`).
+    *
+    * `data` appears ONLY under `watch_data=true`: Catalyst does not prune
+    * columns on STREAMING DSv2 scans (V2ScanRelationPushDown is
+    * batch-only), so a schema-level opt-in is the one mechanism that
+    * actually keeps chunk bytes off the wire for meta-only watches —
+    * a `.select` without `data` would still have fetched every object. */
+  val watchSchema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("chunks", IntegerType, nullable = false),
+    StructField("digest", StringType, nullable = false),
+    StructField("mtime_ns", LongType, nullable = false),
+    StructField("deleted", BooleanType, nullable = false)))
+
+  /** `watch=true, watch_data=true`: the changelog with each version's
+    * chunk-reassembled content (tombstones carry null) */
+  val watchDataSchema: StructType =
+    StructType(watchSchema.fields :+ StructField("data", BinaryType, nullable = true))
 
   final val ChunkFetches = "chunk_fetches"
 
@@ -85,6 +111,39 @@ final class ObjectStoreTable(rawProps: Map[String, String])
   }
   private[sources] val chunkSize =
     props.getOrElse("chunk_size", ObjectStore.DefaultChunkSize.toString).toInt
+  private def boolOpt(name: String): Boolean = props.get(name).map {
+    case "true" => true
+    case "false" => false
+    case other => sys.error(s"nats_obj: $name must be 'true' or 'false', got '$other'")
+  }.getOrElse(false)
+  /** changelog mode: streaming watch over the bucket's meta records */
+  private[sources] val watch = boolOpt("watch")
+  /** watch option: start at the CURRENT last seq (new changes only) instead
+    * of replaying the full meta changelog from seq 1 */
+  private[sources] val watchUpdatesOnly = boolOpt("watch_updates_only")
+  /** watch option: emit delete tombstones (deleted=true, size/chunks 0) */
+  private[sources] val includeDeletes = boolOpt("include_deletes")
+  /** watch option: include each version's chunk-reassembled `data` column —
+    * schema-level because streaming scans are never column-pruned */
+  private[sources] val watchData = boolOpt("watch_data")
+  /** watch option: meta-level name prefix filter — gates chunk fetches
+    * BEFORE they happen (the streaming analog of the batch scan's
+    * startswith pushdown, which Catalyst does not apply to streams) */
+  private[sources] val watchPrefix = props.get("name_prefix")
+  /** watch admission control, in STREAM-SEQUENCE units (chunk + meta
+    * messages both advance the axis — same contract as nats_scan's
+    * max_msgs_per_batch over its seq offsets) */
+  private[sources] val maxPerBatch =
+    props.getOrElse("max_msgs_per_batch", Long.MaxValue.toString).toLong
+  locally {
+    if (maxPerBatch < 1) sys.error(
+      s"nats_obj: max_msgs_per_batch must be >= 1, got $maxPerBatch")
+    if ((watchUpdatesOnly || includeDeletes || watchData ||
+        watchPrefix.isDefined) && !watch) sys.error(
+      "nats_obj: watch_updates_only/include_deletes/watch_data/name_prefix " +
+        "are watch-mode options — add watch=true (the streaming changelog " +
+        "surface)")
+  }
   private[sources] val connectTimeoutMs = props.getOrElse("connect_timeout_ms",
     graft.transport.Transport.DefaultTimeoutMs.toString).toLong
   private[sources] val auth: TransportAuth = TransportAuth.fromOptions(
@@ -93,13 +152,16 @@ final class ObjectStoreTable(rawProps: Map[String, String])
     tlsInsecure = props.get("tls_insecure"))
 
   override def name(): String = s"nats_obj($bucket @ $url)"
-  override def schema(): StructType = ObjectStoreSource.schema
+  override def schema(): StructType =
+    if (!watch) ObjectStoreSource.schema
+    else if (watchData) ObjectStoreSource.watchDataSchema
+    else ObjectStoreSource.watchSchema
   override def capabilities(): util.Set[TableCapability] =
     // ACCEPT_ANY_SCHEMA: the write direction's row shape (name, data
     // [, mtime_ns]) is narrower than the read envelope; the builder
     // validates the columns it needs by name+type at bind
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.MICRO_BATCH_READ, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ObjectStoreScanBuilder(this)
@@ -112,7 +174,7 @@ final class ObjectStoreScanBuilder(t: ObjectStoreTable)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
-  private var required: StructType = ObjectStoreSource.schema
+  private var required: StructType = t.schema()
   private var exactNames: Option[Seq[String]] = None
   private var namePrefix: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
@@ -138,7 +200,7 @@ final class ObjectStoreScanBuilder(t: ObjectStoreTable)
     // COUNT(*)-style pruning hands an empty struct — emit name-only rows
     required =
       if (requiredSchema.fields.isEmpty)
-        StructType(ObjectStoreSource.schema.fields.take(1))
+        StructType(t.schema().fields.filter(_.name == "name"))
       else requiredSchema
 
   override def build(): Scan = new ObjectStoreScan(t, required,
@@ -150,7 +212,29 @@ final class ObjectStoreScan(t: ObjectStoreTable, required: StructType,
                             namePrefix: Option[String])
     extends Scan with Batch {
   override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    if (t.watch) throw new UnsupportedOperationException(
+      "nats_obj: watch=true is the streaming changelog surface " +
+        "(spark.readStream) — batch bucket scans read current state " +
+        "without it")
+    this
+  }
+
+  /** the bucket WATCH: seq-offset micro-batches over the bucket's META
+    * records — see [[graft.streaming.ObjectStoreWatchStream]] */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (!t.watch) throw new UnsupportedOperationException(
+      "nats_obj: streaming reads are the bucket watch — add " +
+        "option(\"watch\", \"true\") (the schema gains the seq/deleted " +
+        "changelog columns; batch reads keep the current-state envelope)")
+    new graft.streaming.ObjectStoreWatchStream(t.url, t.bucket,
+      required = required, shards = t.shards,
+      updatesOnly = t.watchUpdatesOnly, includeDeletes = t.includeDeletes,
+      maxPerBatch = t.maxPerBatch, connectTimeoutMs = t.connectTimeoutMs,
+      auth = t.auth, namePrefix = t.watchPrefix)
+  }
+
   override def description(): String =
     s"nats_obj(${t.bucket}) cols=[${required.fieldNames.mkString(",")}]" +
       exactNames.map(n => s" names=${n.mkString("|")}").getOrElse("") +

@@ -1,0 +1,204 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.metric.CustomTaskMetric
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{ObjectStoreSource, ScanMetrics}
+import graft.transport.{NatsStreamNotFoundException, ObjectStore, TransportAuth, TransportPool, TransportRetry}
+
+/** Bucket WATCH — the object-store analog of the transport live tail (and
+  * of the NATS client libraries' public `ObjectStore.Watch` surface): a
+  * micro-batch stream of the bucket's META records in stream order. Each
+  * put/delete publishes exactly one meta message, so the meta subspace IS
+  * the bucket's changelog; the watch serves it with a server-side
+  * `$$O.<bucket>.M.>` consumer filter, which makes the scale posture:
+  *
+  *   - **wire volume is O(changes), never O(bucket bytes)** — chunk
+  *     messages (the object payloads, overwhelmingly the stream's volume)
+  *     never cross the wire unless `watch_data=true` opts in;
+  *   - the offset axis is the OBJ stream's sequence — checkpoints are
+  *     plain seqs, recovery is "resume after seq N", identical to the
+  *     message-scan stream's contract;
+  *   - each batch's seq range splits into `shards` slices, every slice an
+  *     independent filtered consumer — a bulk-load burst of a million puts
+  *     replays as parallel tasks, not one reader.
+  *
+  * Semantics: the full changelog from seq 1 by default (every superseded
+  * meta appears once; a downstream `max_by(struct(...), seq) GROUP BY name`
+  * is the current-state materialized view); `watch_updates_only=true`
+  * starts at the stream's CURRENT last seq instead — new changes only.
+  * Tombstones are skipped unless `include_deletes=true` (then they arrive
+  * as `deleted=true, size=0, chunks=0, data=null`). `watch_data=true`
+  * chunk-fetches each meta's version by its OWN nuid — superseded versions
+  * still resolve, because an overwrite's chunks ride a fresh nuid and old
+  * chunks remain until a store purge (cf. [[graft.transport.ObjectStore.put]]).
+  * `watch_data` and `name_prefix` are OPTIONS, not pushdowns, deliberately:
+  * Catalyst never prunes or pushes into streaming DSv2 scans, so only a
+  * bind-time knob truly gates the chunk fetches.
+  */
+final class ObjectStoreWatchStream(url: String, bucket: String,
+                                   required: StructType, shards: Int,
+                                   updatesOnly: Boolean,
+                                   includeDeletes: Boolean,
+                                   maxPerBatch: Long, connectTimeoutMs: Long,
+                                   auth: TransportAuth,
+                                   namePrefix: Option[String])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private val stream = s"OBJ_$bucket"
+
+  /** LastSeq polled per trigger on the POOLED driver connection. A bucket
+    * that does not exist yet is an EMPTY watch, not an error — objects may
+    * appear later (the first put creates the stream). */
+  private def lastSeq: Long =
+    try TransportPool.get(url, connectTimeoutMs, auth).streamInfo(stream).lastSeq
+    catch { case _: NatsStreamNotFoundException => 0L }
+
+  override def initialOffset(): Offset =
+    SeqOffset(if (updatesOnly) lastSeq else 0L)
+
+  override def latestOffset(): Offset = SeqOffset(lastSeq)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // SATURATING add: the default cap is Long.MaxValue, and a wrapped
+    // `start + cap` would sit below the committed offset forever — an
+    // AvailableNow query then never observes "no new data" and spins
+    val s = start.asInstanceOf[SeqOffset].seq
+    val capped = if (maxPerBatch > Long.MaxValue - s) Long.MaxValue
+                 else s + maxPerBatch
+    SeqOffset(math.min(lastSeq, capped))
+  }
+
+  override def reportLatestOffset(): Offset = SeqOffset(lastSeq)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def prepareForTriggerAvailableNow(): Unit = { val _ = lastSeq }
+
+  override def deserializeOffset(json: String): Offset =
+    SeqOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[SeqOffset].seq + 1
+    val hi = end.asInstanceOf[SeqOffset].seq
+    if (hi < lo) Array.empty
+    else {
+      // ceil-split the range into ≤ shards slices; meta density inside the
+      // range is irrelevant to wire volume (the filter is server-side) —
+      // slicing only buys replay parallelism
+      val width = math.max(1L, (hi - lo) / shards + 1L)
+      Iterator.iterate(lo)(_ + width).takeWhile(_ <= hi).map { s =>
+        ObjectStoreWatchPartition(url, bucket, s, math.min(hi, s + width - 1))
+          : InputPartition
+      }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ObjectStoreWatchReaderFactory(required, includeDeletes,
+      namePrefix, connectTimeoutMs, auth)
+}
+
+/** one seq slice of one watch batch */
+final case class ObjectStoreWatchPartition(url: String, bucket: String,
+                                           lo: Long, hi: Long)
+    extends InputPartition
+
+final class ObjectStoreWatchReaderFactory(required: StructType,
+                                          includeDeletes: Boolean,
+                                          namePrefix: Option[String],
+                                          connectTimeoutMs: Long,
+                                          auth: TransportAuth)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ObjectStoreWatchReader(p.asInstanceOf[ObjectStoreWatchPartition],
+      required, includeDeletes, namePrefix, connectTimeoutMs, auth)
+}
+
+/** Walks its slice's meta records through a server-side-filtered consumer;
+  * chunk-fetches ONLY metas that survive the name filter AND when the
+  * schema carries `data` (watch_data=true). */
+final class ObjectStoreWatchReader(p: ObjectStoreWatchPartition,
+                                   required: StructType,
+                                   includeDeletes: Boolean,
+                                   namePrefix: Option[String],
+                                   connectTimeoutMs: Long,
+                                   auth: TransportAuth)
+    extends PartitionReader[InternalRow] {
+
+  private val transport = TransportPool.get(p.url, connectTimeoutMs, auth)
+  private val store = new ObjectStore(transport, p.bucket)
+  private val cursor = transport.consumer(store.stream, startSeq = p.lo,
+    filterSubject = Some(s"$$O.${p.bucket}.M.>"))
+
+  private var buf: Array[graft.transport.TransportMsg] = Array.empty
+  private var i = 0
+  private var done = false
+  private var current: InternalRow = _
+  private var nRpcs = 0L
+  private var nEmitted = 0L
+  private var nFiltered = 0L
+  private var nChunkFetches = 0L
+
+  override def next(): Boolean = {
+    while (!done) {
+      if (i >= buf.length) {
+        buf = TransportRetry.withRetry(cursor.next(ObjectStore.MetaPage))
+        nRpcs += 1L
+        i = 0
+        if (buf.isEmpty) { done = true; return false }
+      }
+      val m = buf(i)
+      i += 1
+      if (m.seq > p.hi) { done = true; return false }
+      val info = ObjectStore.parseMeta(new String(m.payload, UTF_8))
+      val wanted = (includeDeletes || !info.deleted) &&
+        namePrefix.forall(info.name.startsWith(_))
+      if (wanted) {
+        current = toRow(m.seq, info)
+        nEmitted += 1L
+        return true
+      } else nFiltered += 1L
+    }
+    false
+  }
+
+  private def toRow(seq: Long, info: graft.transport.ObjectInfo): InternalRow = {
+    val vals = required.fieldNames.map {
+      case "seq" => seq
+      case "name" => UTF8String.fromString(info.name)
+      case "size" => info.size
+      case "chunks" => info.chunks
+      case "digest" => UTF8String.fromString(info.digest)
+      case "mtime_ns" => info.mtimeNs
+      case "deleted" => info.deleted
+      case "data" =>
+        if (info.deleted) null
+        else {
+          nChunkFetches += 1L
+          nRpcs += (info.chunks.toLong / ObjectStore.ChunkBatch) + 1L
+          TransportRetry.withRetry(store.getByMeta(info))
+        }
+      case other => sys.error(s"nats_obj watch: unknown column $other")
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
+  }
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    ScanMetrics.taskValues(nRpcs, nEmitted, nFiltered) :+
+      (new CustomTaskMetric {
+        def name = ObjectStoreSource.ChunkFetches; def value = nChunkFetches
+      }: CustomTaskMetric)
+
+  override def get(): InternalRow = current
+  override def close(): Unit = cursor.close() // transport itself is pooled
+}

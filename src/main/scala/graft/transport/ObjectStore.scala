@@ -235,7 +235,7 @@ object ObjectStore {
     mapper.writeValueAsString(n)
   }
 
-  private[transport] def parseMeta(json: String): ObjectInfo = {
+  private[graft] def parseMeta(json: String): ObjectInfo = {
     val n = mapper.readTree(json)
     def str(f: String) = Option(n.get(f)).map(_.asText).getOrElse(
       sys.error(s"object meta missing '$f': $json"))

@@ -1,0 +1,196 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.transport._
+
+/** `nats_obj` streaming WATCH: the bucket's meta changelog as seq-offset
+  * micro-batches. The scale property under test is behavioral — chunk
+  * messages are destroyed server-side and meta-only watches never notice
+  * (wire volume O(changes), not O(bucket bytes)). */
+class ObjectStoreWatchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val url = "nats://objwatch-spec:4222"
+  private lazy val server: FakeJetStreamServer = FakeJetStream.listen(url)
+
+  private def store(bucket: String, chunk: Int = 8) = {
+    server
+    new ObjectStore(Transport.connect(url), bucket, chunk)
+  }
+
+  private def watch(bucket: String, opts: Map[String, String] = Map.empty) = {
+    server
+    val b = spark.readStream.format("nats_obj").option("url", url)
+      .option("bucket", bucket).option("watch", "true")
+    opts.foldLeft(b) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  /** drain one AvailableNow pass into (a fresh epoch of) memory table `q` —
+    * note the memory sink does NOT support checkpoint recovery, so resume
+    * tests use [[drainToParquet]] instead */
+  private def drain(df: org.apache.spark.sql.DataFrame, name: String,
+                    ckpt: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(!q.isActive, s"watch query $name did not drain")
+  }
+
+  /** drain one AvailableNow pass into a DURABLE parquet sink — restartable
+    * from `ckpt`, so a second call resumes where the first committed */
+  private def drainToParquet(df: org.apache.spark.sql.DataFrame, out: String,
+                             ckpt: String): Unit = {
+    val q = df.writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(!q.isActive, "watch query did not drain")
+  }
+
+  test("changelog replay, checkpoint resume, tombstones, current-state view") {
+    val os = store("wlog")
+    (0 until 6).foreach(i => os.put(s"k$i", s"v$i-a".getBytes(UTF_8), 10L + i))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_watch_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_watch_out").toString
+
+    // pass 1: full changelog from seq 1 — one meta per put
+    def changelog = watch("wlog", Map("include_deletes" -> "true"))
+      .select("seq", "name", "size", "mtime_ns", "deleted")
+    drainToParquet(changelog, out, ckpt)
+    val p1 = spark.read.parquet(out).orderBy("seq").collect()
+    assert(p1.length == 6 && p1.map(_.getString(1)).toSeq ==
+      (0 until 6).map(i => s"k$i"))
+    assert(p1.forall(!_.getBoolean(4)))
+
+    // mutate: overwrite k1, delete k2, add k6 — then resume from checkpoint
+    os.put("k1", "v1-b".getBytes(UTF_8), 100L)
+    os.delete("k2", 101L)
+    os.put("k6", "v6-a".getBytes(UTF_8), 102L)
+    drainToParquet(changelog, out, ckpt)
+    val p2 = spark.read.parquet(out).orderBy("seq").collect()
+    // ONLY the 3 new metas arrived — nothing replayed
+    assert(p2.length == 9, s"expected 9 changelog rows, got ${p2.length}")
+    assert(p2.drop(6).map(r => (r.getString(1), r.getBoolean(4))).toSeq ==
+      Seq(("k1", false), ("k2", true), ("k6", false)))
+
+    // current-state view: max_by(seq) per name, tombstones drop the key
+    spark.read.parquet(out).createOrReplaceTempView("w1")
+    val state = spark.sql(
+      """SELECT name FROM (
+        |  SELECT name, max_by(deleted, seq) AS del FROM w1 GROUP BY name)
+        | WHERE NOT del ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(state == Seq("k0", "k1", "k3", "k4", "k5", "k6"))
+  }
+
+  test("default watch skips tombstones; include_deletes surfaces them") {
+    val os = store("wtomb")
+    os.put("a", "1".getBytes(UTF_8), 1L)
+    os.delete("a", 2L)
+    os.put("b", "2".getBytes(UTF_8), 3L)
+    val c1 = java.nio.file.Files.createTempDirectory("graft_watch_t1").toString
+    drain(watch("wtomb").select("name", "deleted"), "wt1", c1)
+    assert(spark.sql("SELECT name FROM wt1 ORDER BY name").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b")) // a's PUT meta, not the tombstone
+    assert(spark.sql("SELECT count(*) FROM wt1 WHERE deleted").head().getLong(0) == 0L)
+  }
+
+  test("data projection fetches every version, including superseded ones") {
+    val os = store("wdata")
+    os.put("doc", ("old" * 10).getBytes(UTF_8), 1L)
+    os.put("doc", ("new" * 10).getBytes(UTF_8), 2L) // overwrite, fresh nuid
+    val c = java.nio.file.Files.createTempDirectory("graft_watch_d").toString
+    drain(watch("wdata", Map("watch_data" -> "true")).selectExpr("seq", "name",
+      "CAST(data AS STRING) AS text"), "wd", c)
+    val rows = spark.sql("SELECT text FROM wd ORDER BY seq").collect()
+      .map(_.getString(0)).toSeq
+    assert(rows == Seq("old" * 10, "new" * 10))
+  }
+
+  test("meta-only watch never touches chunks: survives chunk destruction") {
+    val os = store("wmeta")
+    (0 until 8).foreach(i => os.put(s"m$i", ("z" * 40).getBytes(UTF_8), i.toLong))
+    // destroy EVERY chunk server-side; the meta changelog must not care
+    val t = Transport.connect(url)
+    val last = t.streamInfo(os.stream).lastSeq
+    t.fetch(os.stream, 1L, last, last.toInt)
+      .filter(_.subject.contains(".C."))
+      .foreach(m => server.deleteMsg(os.stream, m.seq))
+    val c = java.nio.file.Files.createTempDirectory("graft_watch_m").toString
+    drain(watch("wmeta").select("name", "size", "digest"), "wm", c)
+    assert(spark.sql("SELECT count(*), sum(size) FROM wm").head().toSeq ==
+      Seq(8L, 320L))
+  }
+
+  test("updates_only starts at the current head: history never replays") {
+    val os = store("wupd")
+    os.put("before", "x".getBytes(UTF_8), 1L)
+    val c = java.nio.file.Files.createTempDirectory("graft_watch_u").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_watch_uo").toString
+    def updates = watch("wupd", Map("watch_updates_only" -> "true"))
+      .select("name")
+    drainToParquet(updates, out, c)
+    // explicit schema: the empty pass may leave no parquet files to infer from
+    assert(spark.read.schema("name STRING").parquet(out).count() == 0L)
+    os.put("after", "y".getBytes(UTF_8), 2L)
+    drainToParquet(updates, out, c)
+    assert(spark.read.schema("name STRING").parquet(out).collect()
+      .map(_.getString(0)).toSeq == Seq("after"))
+  }
+
+  test("admission control paces the replay; prefix filter applies at meta level") {
+    val os = store("wpace")
+    (0 until 30).foreach(i => os.put(s"keep/$i", "k".getBytes(UTF_8), i.toLong))
+    (0 until 10).foreach(i => os.put(s"drop/$i", "d".getBytes(UTF_8), i.toLong))
+    val c = java.nio.file.Files.createTempDirectory("graft_watch_p").toString
+    val df = watch("wpace", Map("max_msgs_per_batch" -> "20",
+        "name_prefix" -> "keep/")).select("seq", "name")
+    val q = df.writeStream.format("memory").queryName("wp")
+      .option("checkpointLocation", c)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.sql("SELECT count(*) FROM wp").head().getLong(0) == 30L)
+    // 80 stream seqs (40 puts × chunk+meta) at ≤20 seqs/batch → ≥4 batches
+    val batches = q.recentProgress.count(_.numInputRows >= 0)
+    assert(batches >= 4, s"expected ≥4 paced batches, got $batches")
+  }
+
+  test("mode gates: batch+watch, stream without watch, option validation") {
+    server
+    val e1 = intercept[Exception](spark.read.format("nats_obj")
+      .option("url", url).option("bucket", "g").option("watch", "true")
+      .load().collect())
+    assert(e1.getMessage.contains("streaming changelog surface"))
+    val e2 = intercept[Exception] {
+      val q = spark.readStream.format("nats_obj").option("url", url)
+        .option("bucket", "g").load()
+        .writeStream.format("memory").queryName("gate")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      throw q.exception.map(ex => ex: Exception)
+        .getOrElse(new IllegalStateException("watch gate did not fire"))
+    }
+    assert(Iterator.iterate[Throwable](e2)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("bucket watch"))))
+    val e3 = intercept[Exception](spark.read.format("nats_obj")
+      .option("url", url).option("bucket", "g")
+      .option("include_deletes", "true").load())
+    assert(e3.getMessage.contains("watch-mode options"))
+  }
+}
