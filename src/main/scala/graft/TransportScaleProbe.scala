@@ -350,12 +350,17 @@ object TransportScaleProbe {
     //   - the DATA scan adds ceil(chunks/64) batched fetches per object and
     //     its per-object wall cost stays flat as the bucket grows (each of
     //     the 8 shard tasks streams its own objects independently);
-    //   - a name-pushdown point lookup stays O(1) at every bucket size.
+    //   - a name-pushdown point lookup stays O(1) at every bucket size;
+    //   - the WATCH replays the meta changelog in O(objects) — its RPC
+    //     count tracks meta pages + per-slice cursors, never chunk count
+    //     (the bucket is 64 chunk messages per meta; a watch that touched
+    //     chunks would show ~65× the RPCs).
     println()
     println("object-store bucket sweep, 8 KiB objects (64 chunks @ 128 B), shards=8:")
     println(f"${"objects"}%8s ${"meta_wall_s"}%12s ${"meta_rpcs"}%10s " +
       f"${"data_wall_s"}%12s ${"data_rpcs"}%10s ${"rpc_per_obj"}%12s " +
-      f"${"obj_per_s"}%10s ${"point_rpcs"}%11s")
+      f"${"obj_per_s"}%10s ${"point_rpcs"}%11s ${"watch_wall_s"}%13s " +
+      f"${"watch_rpcs"}%11s")
     Seq(1024, 4096, 16384).foreach { nObj =>
       val ourl = s"nats://transport-scale-probe-obj-$nObj:4222"
       val osrv = FakeJetStream.listen(ourl)
@@ -386,9 +391,26 @@ object TransportScaleProbe {
         .select("name", "size").collect().length
       val pointRpcs = osrv.rpcCountTotal - p0
       require(pointRows == 1, s"obj point lookup got $pointRows rows")
+      // WATCH replay: the full meta changelog, AvailableNow, meta-only
+      val wckpt = java.nio.file.Files.createTempDirectory("probe_watch_ck").toString
+      val w0 = osrv.rpcCountTotal
+      val wt0 = System.nanoTime()
+      val wq = spark.readStream.format("nats_obj").option("url", ourl)
+        .option("bucket", s"probe$nObj").option("watch", "true")
+        .option("shards", "8").load()
+        .select("seq", "name", "size")
+        .writeStream.format("noop").option("checkpointLocation", wckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      wq.awaitTermination(600000)
+      val watchWall = (System.nanoTime() - wt0) / 1e9
+      val watchRpcs = osrv.rpcCountTotal - w0
+      val watchRows = wq.recentProgress.map(_.numInputRows).sum
+      require(watchRows == nObj.toLong,
+        s"obj watch replay lost rows: $watchRows of $nObj")
       println(f"$nObj%8d $metaWall%12.2f $metaRpcs%10d $dataWall%12.2f " +
         f"$dataRpcs%10d ${dataRpcs.toDouble / nObj}%12.2f " +
-        f"${nObj / dataWall}%10.1f $pointRpcs%11d")
+        f"${nObj / dataWall}%10.1f $pointRpcs%11d $watchWall%13.2f " +
+        f"$watchRpcs%11d")
     }
 
     Seq(16384L, 65536L, 262144L).foreach { m =>
