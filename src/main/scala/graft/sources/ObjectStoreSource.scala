@@ -118,6 +118,9 @@ final class ObjectStoreTable(rawProps: Map[String, String])
   }.getOrElse(false)
   /** changelog mode: streaming watch over the bucket's meta records */
   private[sources] val watch = boolOpt("watch")
+  /** write option: keep superseded versions' chunks (skip the overwrite
+    * purge) so a `watch_data` changelog can replay old content */
+  private[sources] val retainHistory = boolOpt("retain_history")
   /** watch option: start at the CURRENT last seq (new changes only) instead
     * of replaying the full meta changelog from seq 1 */
   private[sources] val watchUpdatesOnly = boolOpt("watch_updates_only")
@@ -355,8 +358,9 @@ final class ObjectStoreReader(p: InputPartition, required: StructType,
 /** `df.write.format("nats_obj")`: each row becomes one object put. Required
   * columns `name` (string) + `data` (binary); optional `mtime_ns` (long,
   * defaults 0). Task retries re-put the same (name, bytes) — object-level
-  * idempotent (the meta rollup keeps the last put; identical content,
-  * orphaned chunk history until a store purge). */
+  * idempotent: the meta rollup keeps the last put, and the overwrite purge
+  * reclaims the failed attempt's chunks (under `retain_history=true` the
+  * orphaned version stays, fetchable through the watch changelog). */
 final class ObjectStoreWriteBuilder(t: ObjectStoreTable, info: LogicalWriteInfo)
     extends WriteBuilder {
   override def build(): Write = new Write {
@@ -373,21 +377,24 @@ final class ObjectStoreWriteBuilder(t: ObjectStoreTable, info: LogicalWriteInfo)
       val mtimeIdx = if (s.fieldNames.contains("mtime_ns"))
         col("mtime_ns", LongType) else -1
       new ObjectStoreBatchWrite(t.url, t.bucket, t.chunkSize,
-        t.connectTimeoutMs, t.auth, nameIdx, dataIdx, mtimeIdx)
+        t.connectTimeoutMs, t.auth, nameIdx, dataIdx, mtimeIdx,
+        t.retainHistory)
     }
   }
 }
 
 final class ObjectStoreBatchWrite(url: String, bucket: String, chunkSize: Int,
                                   connectTimeoutMs: Long, auth: TransportAuth,
-                                  nameIdx: Int, dataIdx: Int, mtimeIdx: Int)
+                                  nameIdx: Int, dataIdx: Int, mtimeIdx: Int,
+                                  retainHistory: Boolean)
     extends BatchWrite with Serializable {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new DataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
         new DataWriter[InternalRow] {
           private val store = new ObjectStore(
-            TransportPool.get(url, connectTimeoutMs, auth), bucket, chunkSize)
+            TransportPool.get(url, connectTimeoutMs, auth), bucket, chunkSize,
+            retainHistory)
           override def write(r: InternalRow): Unit = {
             val name = r.getUTF8String(nameIdx).toString
             val data = r.getBinary(dataIdx)

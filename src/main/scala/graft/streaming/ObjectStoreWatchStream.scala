@@ -186,7 +186,9 @@ final class ObjectStoreWatchReader(p: ObjectStoreWatchPartition,
         else {
           nChunkFetches += 1L
           nRpcs += (info.chunks.toLong / ObjectStore.ChunkBatch) + 1L
-          TransportRetry.withRetry(store.getByMeta(info))
+          // null = version fully reclaimed (overwrite/delete purged its
+          // chunk subject); partial absence still fails loudly inside
+          TransportRetry.withRetry(store.tryGetByMeta(info)).orNull
         }
       case other => sys.error(s"nats_obj watch: unknown column $other")
     }

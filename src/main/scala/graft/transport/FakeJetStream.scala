@@ -209,6 +209,34 @@ final class FakeJetStreamServer {
     }
   }
 
+  /** purge every message matching `filter` (NATS wildcard grammar) — the
+    * JetStream purge-by-subject this fixture's STREAM.PURGE API serves.
+    * A LITERAL filter rides the per-subject (first, last) index, so
+    * reclaiming one object's chunk subject costs O(its own span), never
+    * O(stream); wildcards walk the log (a real server's filtered purge
+    * also scans blocks there). Index/count/bytes bookkeeping all route
+    * through [[deleteMsg]]. Returns the purged count. */
+  def purgeSubject(stream: String, filter: String): Long =
+    streams.get(stream).fold(0L) { m =>
+      val window: java.util.Map[Long, TransportMsg] =
+        if (SubjectFilter.isLiteral(filter))
+          subjectBounds(stream, filter) match {
+            case None => java.util.Collections.emptyMap[Long, TransportMsg]()
+            case Some((first, last)) => m.subMap(first, true, last, true)
+          }
+        else m
+      val matcher = SubjectFilter.matcher(filter)
+      val seqs = Array.newBuilder[Long]
+      val it = window.values().iterator()
+      while (it.hasNext) {
+        val msg = it.next()
+        if (matcher.matches(msg.subject)) seqs += msg.seq
+      }
+      val hit = seqs.result()
+      hit.foreach(deleteMsg(stream, _))
+      hit.length.toLong
+    }
+
   private val msgIds = new TrieMap[(String, String), Long]()
 
   /** append-publish with `Nats-Msg-Id` dedup: a repeated id returns the
@@ -731,6 +759,12 @@ final class FakeTransport(server: FakeJetStreamServer) extends JetStreamTranspor
                        payload: Array[Byte], msgId: String): Long = {
     count()
     server.publishAppend(stream, subject, tsNs, payload, msgId)
+  }
+
+  override def purgeSubject(stream: String, filter: String): Long = {
+    count()
+    maybeFault()
+    server.purgeSubject(stream, filter)
   }
 
   override def groupNext(stream: String, group: String, member: String,

@@ -119,6 +119,16 @@ trait JetStreamTransport extends AutoCloseable {
     * drained every message ≤ the claim bound. */
   def groupPending(stream: String, group: String): Long
 
+  /** STREAM PURGE restricted to one subject filter — JetStream's
+    * purge-by-subject (`$JS.API.STREAM.PURGE.<stream>` with a `filter`
+    * body field): removes every matching message, returns the purged
+    * count. NATS wildcard grammar applies ([[SubjectFilter]]). The object
+    * store is the caller: a real NATS client reclaims a superseded or
+    * deleted object's chunk subject (`$O.<bucket>.C.<nuid>`) this way on
+    * every overwrite/delete (ADR-20) — without it a rewritten bucket
+    * grows without bound. */
+  def purgeSubject(stream: String, filter: String): Long
+
   /** Publish one message; the server assigns the next sequence and returns
     * it (a JetStream PubAck). `msgId` is the `Nats-Msg-Id` deduplication
     * header: re-publishing an id inside the dedup window is a no-op

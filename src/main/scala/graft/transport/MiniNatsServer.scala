@@ -525,6 +525,17 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
       case ("STREAM", Some("NAMES")) =>
         okJson(conn, reply, s"""{"streams":${mapper.writeValueAsString(
           backing.streamNames.toArray)}}""")
+      case ("STREAM", Some("PURGE")) =>
+        // stream_purge_request: `filter` restricts to one subject pattern
+        // (absent = the whole stream, the server's `>` default)
+        val stream = parts(2)
+        if (!backing.hasStream(stream))
+          errJson(conn, reply, 404, "stream not found")
+        else {
+          val filter = Option(body.get("filter")).map(_.asText).getOrElse(">")
+          val purged = backing.purgeSubject(stream, filter)
+          okJson(conn, reply, s"""{"success":true,"purged":$purged}""")
+        }
       case ("DIRECT", Some("GET")) =>
         val stream = parts(2)
         val r = reply.getOrElse(return)

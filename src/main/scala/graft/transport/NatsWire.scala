@@ -699,6 +699,17 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     }.getOrElse(Seq.empty)
   }
 
+  /** `$JS.API.STREAM.PURGE.<stream>` with the request's `filter` field —
+    * the public purge-by-subject shape (stream_purge_request). */
+  override def purgeSubject(stream: String, filter: String): Long = {
+    val req = mapper.createObjectNode()
+    req.put("filter", filter)
+    val r = api(s"$$JS.API.STREAM.PURGE.$stream", mapper.writeValueAsString(req))
+    apiError(r).foreach(e =>
+      throw new NatsIOException(s"Failed to purge stream: $e"))
+    Option(r.get("purged")).map(_.asLong).getOrElse(0L)
+  }
+
   /** stream seq + publish time from a `$JS.ACK` reply subject. Two public
     * forms (ADR-15): v1 = 9 tokens
     * (`$JS.ACK.<stream>.<consumer>.<delivered>.<sseq>.<cseq>.<tsNs>.<pending>`),

@@ -23,7 +23,11 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *   - the digest field is `SHA-256=<base64url(sha256(data))>`, verified on
   *     every get (a torn read or server-side corruption fails LOUDLY, never
   *     returns truncated bytes);
-  *   - a delete publishes a meta tombstone (`deleted: true`, size/chunks 0).
+  *   - a delete publishes a meta tombstone (`deleted: true`, size/chunks 0)
+  *     and purges the version's chunk subject; an overwrite purges the
+  *     superseded nuid's chunks once the new meta is durable — storage is
+  *     O(current bucket), not O(all writes ever) (`retainHistory=true`
+  *     opts out, keeping every version fetchable for the watch changelog).
   *
   * Because the facade speaks only the transport trait, the SAME code runs
   * against the in-JVM [[FakeJetStream]], [[MiniNatsServer]] over real
@@ -44,7 +48,13 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * payload polymorphism; cf. nats_scan.cpp:520-538 BLOB mode).
   */
 final class ObjectStore(t: JetStreamTransport, val bucket: String,
-                        val chunkSize: Int = ObjectStore.DefaultChunkSize) {
+                        val chunkSize: Int = ObjectStore.DefaultChunkSize,
+                        /** keep superseded versions' chunks instead of
+                          * purging them (time-travel for the watch's
+                          * `watch_data` changelog). A real NATS client
+                          * always reclaims — false is the ADR-faithful
+                          * default. */
+                        val retainHistory: Boolean = false) {
   require(chunkSize > 0, s"object store chunk_size must be > 0, got $chunkSize")
   ObjectStore.requireValidBucket(bucket)
 
@@ -58,9 +68,17 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
     * reader can never observe a meta whose chunks are not yet durable.
     * Returns the object's info. `mtimeNs` is caller-supplied (mirrors the
     * transport's explicit-timestamp publish surface; a live server would
-    * stamp receive time). */
+    * stamp receive time).
+    *
+    * An OVERWRITE reclaims the superseded version's chunk subject via a
+    * stream purge AFTER the new meta is durable (the nats.go Put shape —
+    * readers resolve the new version before the old one vanishes; a reader
+    * caught mid-get of the old version fails loudly on its chunk count,
+    * the same race a live cluster has). `retainHistory=true` skips the
+    * purge and keeps every version fetchable by its meta. */
   def put(name: String, data: Array[Byte], mtimeNs: Long): ObjectInfo = {
     requireName(name)
+    val prior = priorInfo(name)
     val nuid = newNuid()
     val nChunks = if (data.isEmpty) 0 else (data.length - 1) / chunkSize + 1
     val chunkSubject = s"$$O.$bucket.C.$nuid"
@@ -79,20 +97,41 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
       digestOf(data), mtimeNs, deleted = false)
     t.publish(stream, metaSubject(bucket, name), mtimeNs,
       metaJson(info).getBytes(UTF_8), msgId = s"$nuid/M")
+    prior.filter(p => p.chunks > 0 && p.nuid != nuid)
+      .foreach(p => purgeChunks(p.nuid))
     info
   }
 
   /** Tombstone `name` (ADR delete shape: meta with `deleted: true`, zero
-    * size/chunks, fresh nuid). Chunk history remains until a store purge —
-    * the transport trait has no purge RPC yet; readers never see it
-    * because gets resolve ONLY through the current meta's nuid. */
+    * size/chunks, fresh nuid) and reclaim the deleted version's chunk
+    * subject (what a real client's Delete does — purge after the
+    * tombstone is durable). `retainHistory=true` keeps the chunks; either
+    * way readers never see the object again, because gets resolve ONLY
+    * through the current meta. */
   def delete(name: String, mtimeNs: Long): Unit = {
     requireName(name)
+    val prior = priorInfo(name)
     val nuid = newNuid()
     val info = ObjectInfo(name, bucket, nuid, 0L, 0, digest = "",
       mtimeNs, deleted = true)
     t.publish(stream, metaSubject(bucket, name), mtimeNs,
       metaJson(info).getBytes(UTF_8), msgId = s"$nuid/M")
+    prior.filter(_.chunks > 0).foreach(p => purgeChunks(p.nuid))
+  }
+
+  /** the version a write supersedes (None under retainHistory). The very
+    * first put targets a bucket whose stream does not exist yet — "stream
+    * not found" IS "no prior", not an error (the put itself creates it). */
+  private def priorInfo(name: String): Option[ObjectInfo] =
+    if (retainHistory) None
+    else try this.info(name)
+    catch { case _: NatsStreamNotFoundException => None }
+
+  /** stream purge of one version's chunk subject — O(its own span) on the
+    * fixture servers (the purge rides the per-subject index) */
+  private def purgeChunks(nuid: String): Unit = {
+    t.purgeSubject(stream, s"$$O.$bucket.C.$nuid")
+    ()
   }
 
   // ---------------- read path ----------------
@@ -116,7 +155,18 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
 
   /** Fetch by an already-resolved meta (the scan path: list once, fetch
     * many — no second meta RPC per object). */
-  def getByMeta(meta: ObjectInfo): Array[Byte] = {
+  def getByMeta(meta: ObjectInfo): Array[Byte] =
+    tryGetByMeta(meta).getOrElse(sys.error(
+      s"object store '$bucket': object '${meta.name}' incomplete — " +
+        s"0/${meta.chunks} chunks, 0/${meta.size} bytes"))
+
+  /** [[getByMeta]] that yields None when the version's chunks are ENTIRELY
+    * absent — the reclaimed-history case (overwrite/delete purges the
+    * whole chunk subject atomically, see [[put]]). A PARTIAL absence still
+    * fails loudly: that is corruption or a torn read, never reclamation.
+    * The watch's `watch_data` changelog uses this to emit null for
+    * superseded versions whose content is gone. */
+  def tryGetByMeta(meta: ObjectInfo): Option[Array[Byte]] = {
     if (meta.deleted) sys.error(
       s"object store '$bucket': object '${meta.name}' is deleted")
     val out = new Array[Byte](toIntSize(meta.size))
@@ -145,6 +195,7 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
         }
       } finally cur.close()
     }
+    if (got == 0 && meta.chunks > 0) return None // fully reclaimed version
     if (got != meta.chunks || off != out.length) sys.error(
       s"object store '$bucket': object '${meta.name}' incomplete — " +
         s"$got/${meta.chunks} chunks, $off/${meta.size} bytes")
@@ -152,7 +203,7 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
     if (d != meta.digest) sys.error(
       s"object store '$bucket': digest mismatch for '${meta.name}' " +
         s"(stored ${meta.digest}, computed $d) — data corrupted")
-    out
+    Some(out)
   }
 
   /** Page shard `shard` of `nShards` of the bucket's CURRENT objects

@@ -66,6 +66,40 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(new String(os.get("gone"), UTF_8) == "back")
   }
 
+  test("overwrite and delete RECLAIM superseded chunks (stream purge)") {
+    val url = "nats://objstore-reclaim:4222"
+    FakeJetStream.listen(url)
+    val t = Transport.connect(url)
+    val os = new ObjectStore(t, "brc", chunkSize = 8)
+    def msgs = t.streamInfo(os.stream).messages
+    val v1 = os.put("a", ("x" * 64).getBytes(UTF_8), 1L) // 8 chunks + meta
+    assert(msgs == 9L)
+    os.put("a", ("y" * 32).getBytes(UTF_8), 2L) // +4 chunks +1 meta, -8 old
+    assert(msgs == 6L, s"overwrite left ${msgs} messages, expected 6")
+    assert(new String(os.get("a"), UTF_8) == "y" * 32)
+    // the superseded version's content is GONE — total absence, not error
+    assert(os.tryGetByMeta(v1).isEmpty)
+    // but the loud path still reports it as incomplete
+    assert(intercept[RuntimeException](os.getByMeta(v1))
+      .getMessage.contains("incomplete"))
+    os.delete("a", 3L) // +1 tombstone, -4 current chunks
+    assert(msgs == 3L, s"delete left ${msgs} messages, expected 3 metas")
+    // storage is O(current bucket): only meta history remains
+  }
+
+  test("retainHistory=true keeps every version fetchable by its meta") {
+    val url = "nats://objstore-retain:4222"
+    FakeJetStream.listen(url)
+    val t = Transport.connect(url)
+    val os = new ObjectStore(t, "brh", chunkSize = 8, retainHistory = true)
+    val v1 = os.put("a", ("x" * 24).getBytes(UTF_8), 1L)
+    val v2 = os.put("a", ("y" * 16).getBytes(UTF_8), 2L)
+    assert(t.streamInfo(os.stream).messages == 3L + 2L + 2L) // 5 chunks + 2 metas
+    assert(new String(os.tryGetByMeta(v1).get, UTF_8) == "x" * 24)
+    assert(new String(os.tryGetByMeta(v2).get, UTF_8) == "y" * 16)
+    assert(new String(os.get("a"), UTF_8) == "y" * 16)
+  }
+
   test("digest verification: a corrupted chunk fails the get LOUDLY") {
     val (os, srv) = freshStore("corrupt")
     os.put("victim", ("v" * 20).getBytes(UTF_8), 7L) // chunks at seq 1..3
@@ -151,8 +185,14 @@ class ObjectStoreSpec extends AnyFunSuite {
         assert(info.chunks == 10 && info.size == 10000L)
         assert(java.util.Arrays.equals(os.get("blob"), payload))
         assert(os.list().map(_.name) == Seq("blob"))
-        os.delete("blob", 100L)
+        // overwrite reclaims over the WIRE too ($JS.API.STREAM.PURGE):
+        // 10 old chunks purged, 2 chunks + 1 meta added
+        os.put("blob", new Array[Byte](2000), 100L)
+        assert(t.streamInfo(os.stream).messages == 11L + 3L - 10L)
+        os.delete("blob", 101L)
         assert(os.list().isEmpty)
+        // delete purged the current 2 chunks; only the 3 metas remain
+        assert(t.streamInfo(os.stream).messages == 3L)
       } finally t.close()
     } finally srv.stop()
   }

@@ -28,9 +28,10 @@ class ObjectStoreWatchSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val url = "nats://objwatch-spec:4222"
   private lazy val server: FakeJetStreamServer = FakeJetStream.listen(url)
 
-  private def store(bucket: String, chunk: Int = 8) = {
+  private def store(bucket: String, chunk: Int = 8,
+                    retainHistory: Boolean = false) = {
     server
-    new ObjectStore(Transport.connect(url), bucket, chunk)
+    new ObjectStore(Transport.connect(url), bucket, chunk, retainHistory)
   }
 
   private def watch(bucket: String, opts: Map[String, String] = Map.empty) = {
@@ -111,16 +112,29 @@ class ObjectStoreWatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM wt1 WHERE deleted").head().getLong(0) == 0L)
   }
 
-  test("data projection fetches every version, including superseded ones") {
-    val os = store("wdata")
-    os.put("doc", ("old" * 10).getBytes(UTF_8), 1L)
-    os.put("doc", ("new" * 10).getBytes(UTF_8), 2L) // overwrite, fresh nuid
+  test("watch_data: retained history replays every version; reclaimed go null") {
+    // retainHistory writer: superseded versions stay fetchable by nuid
+    val osR = store("wdata", retainHistory = true)
+    osR.put("doc", ("old" * 10).getBytes(UTF_8), 1L)
+    osR.put("doc", ("new" * 10).getBytes(UTF_8), 2L) // overwrite, fresh nuid
     val c = java.nio.file.Files.createTempDirectory("graft_watch_d").toString
     drain(watch("wdata", Map("watch_data" -> "true")).selectExpr("seq", "name",
       "CAST(data AS STRING) AS text"), "wd", c)
     val rows = spark.sql("SELECT text FROM wd ORDER BY seq").collect()
       .map(_.getString(0)).toSeq
     assert(rows == Seq("old" * 10, "new" * 10))
+
+    // DEFAULT (reclaiming) writer: the overwrite purged the old nuid's
+    // chunks, so the superseded changelog row carries null, not an error
+    val osD = store("wdata2")
+    osD.put("doc", ("old" * 10).getBytes(UTF_8), 1L)
+    osD.put("doc", ("new" * 10).getBytes(UTF_8), 2L)
+    val c2 = java.nio.file.Files.createTempDirectory("graft_watch_d2").toString
+    drain(watch("wdata2", Map("watch_data" -> "true")).selectExpr("seq", "name",
+      "CAST(data AS STRING) AS text"), "wd2", c2)
+    val rows2 = spark.sql("SELECT text FROM wd2 ORDER BY seq").collect()
+      .map(_.getString(0)).toSeq
+    assert(rows2 == Seq(null, "new" * 10))
   }
 
   test("meta-only watch never touches chunks: survives chunk destruction") {
