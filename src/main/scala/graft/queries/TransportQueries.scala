@@ -428,6 +428,16 @@ object TransportQueries {
         .select(col("name"), col("size"), col("digest"), col("mtime_ns"))
         .orderBy("name")),
 
+    // SQL TVF face of the bucket scan (`FROM nats_obj('docs', …)` with a
+    // typed named argument) — resolves to the same DSv2 relation, so the
+    // LIKE prefix still reaches the scan as a pushed startswith and the
+    // meta-only projection fetches zero chunk bytes
+    "transport_obj_sql" -> ((s, dir) => s.sql(
+      s"""SELECT name, size, digest
+         |FROM nats_obj('docs', 'url', '${objFixtureUrl(s, dir)}', shards => 4)
+         |WHERE name LIKE 'doc/1%'
+         |ORDER BY name""".stripMargin)),
+
     "transport_parquet_parity" -> ((s, dir) => {
       val viaTransport = scan(s, dir)
         .filter(col("seq") >= 2001L && col("seq") <= 4000L)
@@ -557,6 +567,16 @@ object TransportQueries {
            |   '=') AS digest,
            | CAST(doc_id AS BIGINT) AS mtime_ns
            | FROM documents ORDER BY name""".stripMargin,
+
+      "transport_obj_sql" ->
+        s"""SELECT 'doc/' || CAST(doc_id AS VARCHAR) AS name,
+           | CAST(octet_length(encode(text)) AS BIGINT) AS size,
+           | 'SHA-256=' || rtrim(replace(replace(
+           |     to_base64(unhex(sha256(text))), '+', '-'), '/', '_'),
+           |   '=') AS digest
+           | FROM documents WHERE doc_id >= 1
+           |   AND ('doc/' || CAST(doc_id AS VARCHAR)) LIKE 'doc/1%'
+           | ORDER BY name""".stripMargin,
 
       "transport_parquet_parity" ->
         "SELECT CAST(0 AS BIGINT) AS n_disagreements"

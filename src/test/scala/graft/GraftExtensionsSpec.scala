@@ -228,4 +228,44 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e2.getMessage.toLowerCase.contains("literal"), e2.getMessage)
   }
+
+  test("FROM nats_obj(...) — the bucket scan's SQL face: identical to the " +
+    "DataFrame read, named args typed, bind errors pointed") {
+    val url = "nats://graftext-obj:4222"
+    graft.transport.FakeJetStream.listen(url)
+    val os = new graft.transport.ObjectStore(
+      graft.transport.Transport.connect(url), "sqlb", chunkSize = 8)
+    (0 until 12).foreach(i =>
+      os.put(s"o$i", (s"payload-$i" * 2).getBytes("UTF-8"), i.toLong))
+    val viaSql = spark.sql(
+      s"""SELECT name, size, digest, CAST(data AS STRING) AS text
+         |FROM nats_obj('sqlb', 'url', '$url', shards => 4)
+         |ORDER BY name""".stripMargin)
+    val viaApi = spark.read.format("nats_obj").option("url", url)
+      .option("bucket", "sqlb").option("shards", "4").load()
+      .selectExpr("name", "size", "digest", "CAST(data AS STRING) AS text")
+      .orderBy("name")
+    val sqlRows = viaSql.collect().toSeq
+    assert(sqlRows.length == 12 && sqlRows == viaApi.collect().toSeq)
+    // name pushdown still collapses to the targeted single partition
+    val point = spark.sql(
+      s"SELECT name FROM nats_obj('sqlb', 'url', '$url') WHERE name = 'o3'")
+    assert(point.rdd.getNumPartitions == 1)
+    assert(point.collect().map(_.getString(0)).toSeq == Seq("o3"))
+    // bind errors: missing option pairs, non-literal bucket, bad option
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM nats_obj('sqlb', 'url')").collect()
+    }
+    assert(e1.getMessage.contains("key/value") ||
+      e1.getMessage.toLowerCase.contains("argument"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM nats_obj(concat('sq', 'lb'))").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("literal"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM nats_obj('sqlb', 'url', '$url', " +
+        "shards => 0)").collect()
+    }
+    assert(e3.getMessage.contains("shards must be >= 1"), e3.getMessage)
+  }
 }
