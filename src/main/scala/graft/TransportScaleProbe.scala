@@ -413,6 +413,37 @@ object TransportScaleProbe {
         f"$watchRpcs%11d")
     }
 
+    // overwrite-churn reclamation: chunk purge + meta rollup keep the
+    // stream at exactly (current chunks + one meta per name) while the
+    // WRITE count grows — the pre-purge design grew O(writes ever made).
+    // The require is the claim: message count identical at 1 and 16
+    // rewrites of the whole bucket.
+    println()
+    println("object-store overwrite churn (512 objects, 8 chunks @ 128 B each):")
+    println(f"${"rewrites"}%9s ${"wall_s"}%8s ${"stream_msgs"}%12s ${"puts_per_s"}%11s")
+    Seq(1, 4, 16).foreach { r =>
+      val curl = s"nats://transport-scale-probe-churn-$r:4222"
+      FakeJetStream.listen(curl)
+      val ct = graft.transport.Transport.connect(curl)
+      val cstore = new graft.transport.ObjectStore(ct, s"churn$r", 128)
+      val cpayload = Array.tabulate[Byte](1024)(i => (i % 251).toByte)
+      val ct0 = System.nanoTime()
+      var pass = 0
+      while (pass <= r) { // initial put + r full-bucket rewrites
+        var i = 0
+        while (i < 512) {
+          cstore.put(f"obj/$i%04d", cpayload, (pass * 512 + i).toLong)
+          i += 1
+        }
+        pass += 1
+      }
+      val cwall = (System.nanoTime() - ct0) / 1e9
+      val cmsgs = ct.streamInfo(cstore.stream).messages
+      require(cmsgs == 512L * 9L,
+        s"churn leaked storage: $cmsgs messages, expected ${512 * 9}")
+      println(f"$r%9d $cwall%8.2f $cmsgs%12d ${512.0 * (r + 1) / cwall}%11.1f")
+    }
+
     Seq(16384L, 65536L, 262144L).foreach { m =>
       val gurl = s"nats://transport-scale-probe-grp-$m:4222"
       val gsrv = FakeJetStream.listen(gurl)

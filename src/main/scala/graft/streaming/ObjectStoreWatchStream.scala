@@ -29,10 +29,15 @@ import graft.transport.{NatsStreamNotFoundException, ObjectStore, TransportAuth,
   *     independent filtered consumer — a bulk-load burst of a million puts
   *     replays as parallel tasks, not one reader.
   *
-  * Semantics: the full changelog from seq 1 by default (every superseded
-  * meta appears once; a downstream `max_by(struct(...), seq) GROUP BY name`
-  * is the current-state materialized view); `watch_updates_only=true`
-  * starts at the stream's CURRENT last seq instead — new changes only.
+  * Semantics: replay from seq 1, then live updates. How much history the
+  * replay holds is the WRITER's choice — default writers roll superseded
+  * metas up (one meta per name, the ADR's `Nats-Rollup: sub` effect), so
+  * the replay is CURRENT STATE + subsequent changes, exactly the NATS
+  * client libraries' `Watch` shape; `retain_history` writers keep every
+  * meta, making the replay a full changelog (a downstream
+  * `max_by(struct(...), seq) GROUP BY name` is then the current-state
+  * materialized view). `watch_updates_only=true` starts at the stream's
+  * CURRENT last seq instead — new changes only.
   * Tombstones are skipped unless `include_deletes=true` (then they arrive
   * as `deleted=true, size=0, chunks=0, data=null`). `watch_data=true`
   * chunk-fetches each meta's version by its OWN nuid — superseded versions

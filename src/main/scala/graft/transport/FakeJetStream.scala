@@ -209,14 +209,15 @@ final class FakeJetStreamServer {
     }
   }
 
-  /** purge every message matching `filter` (NATS wildcard grammar) — the
-    * JetStream purge-by-subject this fixture's STREAM.PURGE API serves.
+  /** purge every message matching `filter` (NATS wildcard grammar) except
+    * the NEWEST `keep` — the JetStream purge-by-subject this fixture's
+    * STREAM.PURGE API serves (`keep=1` on a meta subject is the rollup).
     * A LITERAL filter rides the per-subject (first, last) index, so
     * reclaiming one object's chunk subject costs O(its own span), never
     * O(stream); wildcards walk the log (a real server's filtered purge
     * also scans blocks there). Index/count/bytes bookkeeping all route
     * through [[deleteMsg]]. Returns the purged count. */
-  def purgeSubject(stream: String, filter: String): Long =
+  def purgeSubject(stream: String, filter: String, keep: Int = 0): Long =
     streams.get(stream).fold(0L) { m =>
       val window: java.util.Map[Long, TransportMsg] =
         if (SubjectFilter.isLiteral(filter))
@@ -227,12 +228,13 @@ final class FakeJetStreamServer {
         else m
       val matcher = SubjectFilter.matcher(filter)
       val seqs = Array.newBuilder[Long]
-      val it = window.values().iterator()
+      val it = window.values().iterator() // ascending seq (skip-list order)
       while (it.hasNext) {
         val msg = it.next()
         if (matcher.matches(msg.subject)) seqs += msg.seq
       }
-      val hit = seqs.result()
+      val all = seqs.result()
+      val hit = if (keep > 0) all.dropRight(keep) else all
       hit.foreach(deleteMsg(stream, _))
       hit.length.toLong
     }
@@ -761,10 +763,11 @@ final class FakeTransport(server: FakeJetStreamServer) extends JetStreamTranspor
     server.publishAppend(stream, subject, tsNs, payload, msgId)
   }
 
-  override def purgeSubject(stream: String, filter: String): Long = {
+  override def purgeSubject(stream: String, filter: String,
+                            keep: Int = 0): Long = {
     count()
     maybeFault()
-    server.purgeSubject(stream, filter)
+    server.purgeSubject(stream, filter, keep)
   }
 
   override def groupNext(stream: String, group: String, member: String,

@@ -121,13 +121,15 @@ trait JetStreamTransport extends AutoCloseable {
 
   /** STREAM PURGE restricted to one subject filter — JetStream's
     * purge-by-subject (`$JS.API.STREAM.PURGE.<stream>` with a `filter`
-    * body field): removes every matching message, returns the purged
+    * body field): removes every matching message except the NEWEST `keep`
+    * (the request's `keep` field; 0 = remove all), returns the purged
     * count. NATS wildcard grammar applies ([[SubjectFilter]]). The object
     * store is the caller: a real NATS client reclaims a superseded or
     * deleted object's chunk subject (`$O.<bucket>.C.<nuid>`) this way on
-    * every overwrite/delete (ADR-20) — without it a rewritten bucket
-    * grows without bound. */
-  def purgeSubject(stream: String, filter: String): Long
+    * every overwrite/delete, and `keep=1` on the meta subject is the
+    * server-side effect of the ADR-20 `Nats-Rollup: sub` header (one
+    * current meta per object, not a meta per write ever made). */
+  def purgeSubject(stream: String, filter: String, keep: Int = 0): Long
 
   /** Publish one message; the server assigns the next sequence and returns
     * it (a JetStream PubAck). `msgId` is the `Nats-Msg-Id` deduplication

@@ -533,7 +533,8 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
           errJson(conn, reply, 404, "stream not found")
         else {
           val filter = Option(body.get("filter")).map(_.asText).getOrElse(">")
-          val purged = backing.purgeSubject(stream, filter)
+          val keep = Option(body.get("keep")).map(_.asInt).getOrElse(0)
+          val purged = backing.purgeSubject(stream, filter, keep)
           okJson(conn, reply, s"""{"success":true,"purged":$purged}""")
         }
       case ("DIRECT", Some("GET")) =>

@@ -699,11 +699,14 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     }.getOrElse(Seq.empty)
   }
 
-  /** `$JS.API.STREAM.PURGE.<stream>` with the request's `filter` field —
-    * the public purge-by-subject shape (stream_purge_request). */
-  override def purgeSubject(stream: String, filter: String): Long = {
+  /** `$JS.API.STREAM.PURGE.<stream>` with the request's `filter` (and
+    * optional `keep`) fields — the public purge-by-subject shape
+    * (stream_purge_request). */
+  override def purgeSubject(stream: String, filter: String,
+                            keep: Int = 0): Long = {
     val req = mapper.createObjectNode()
     req.put("filter", filter)
+    if (keep > 0) req.put("keep", keep)
     val r = api(s"$$JS.API.STREAM.PURGE.$stream", mapper.writeValueAsString(req))
     apiError(r).foreach(e =>
       throw new NatsIOException(s"Failed to purge stream: $e"))

@@ -78,7 +78,7 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
     * purge and keeps every version fetchable by its meta. */
   def put(name: String, data: Array[Byte], mtimeNs: Long): ObjectInfo = {
     requireName(name)
-    val prior = priorInfo(name)
+    val prior = priorMeta(name)
     val nuid = newNuid()
     val nChunks = if (data.isEmpty) 0 else (data.length - 1) / chunkSize + 1
     val chunkSubject = s"$$O.$bucket.C.$nuid"
@@ -97,8 +97,9 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
       digestOf(data), mtimeNs, deleted = false)
     t.publish(stream, metaSubject(bucket, name), mtimeNs,
       metaJson(info).getBytes(UTF_8), msgId = s"$nuid/M")
-    prior.filter(p => p.chunks > 0 && p.nuid != nuid)
+    prior.filter(p => !p.deleted && p.chunks > 0 && p.nuid != nuid)
       .foreach(p => purgeChunks(p.nuid))
+    if (prior.isDefined) rollupMeta(name) // fresh names need no rollup RPC
     info
   }
 
@@ -110,27 +111,46 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
     * through the current meta. */
   def delete(name: String, mtimeNs: Long): Unit = {
     requireName(name)
-    val prior = priorInfo(name)
+    val prior = priorMeta(name)
     val nuid = newNuid()
     val info = ObjectInfo(name, bucket, nuid, 0L, 0, digest = "",
       mtimeNs, deleted = true)
     t.publish(stream, metaSubject(bucket, name), mtimeNs,
       metaJson(info).getBytes(UTF_8), msgId = s"$nuid/M")
-    prior.filter(_.chunks > 0).foreach(p => purgeChunks(p.nuid))
+    prior.filter(p => !p.deleted && p.chunks > 0)
+      .foreach(p => purgeChunks(p.nuid))
+    if (prior.isDefined) rollupMeta(name)
   }
 
-  /** the version a write supersedes (None under retainHistory). The very
-    * first put targets a bucket whose stream does not exist yet — "stream
-    * not found" IS "no prior", not an error (the put itself creates it). */
-  private def priorInfo(name: String): Option[ObjectInfo] =
+  /** the meta a write supersedes, TOMBSTONES INCLUDED (a put over a
+    * deleted name must still roll the tombstone up) — None under
+    * retainHistory. The very first put targets a bucket whose stream does
+    * not exist yet: "stream not found" IS "no prior", not an error (the
+    * put itself creates it). */
+  private def priorMeta(name: String): Option[ObjectInfo] =
     if (retainHistory) None
-    else try this.info(name)
-    catch { case _: NatsStreamNotFoundException => None }
+    else try {
+      t.lastForSubjects(stream, Some(metaSubject(bucket, name)),
+        bucket = 0, nBuckets = 1, afterSubject = None, max = 2)
+        .headOption.map(m => parseMeta(new String(m.payload, UTF_8)))
+    } catch { case _: NatsStreamNotFoundException => None }
 
   /** stream purge of one version's chunk subject — O(its own span) on the
     * fixture servers (the purge rides the per-subject index) */
   private def purgeChunks(nuid: String): Unit = {
     t.purgeSubject(stream, s"$$O.$bucket.C.$nuid")
+    ()
+  }
+
+  /** meta ROLLUP: keep only the newest meta record for `name` — the
+    * server-side effect of ADR-20's `Nats-Rollup: sub` header on every
+    * meta publish. Without it meta history grows O(writes ever made);
+    * with it a bucket's stream is exactly current chunks + one meta per
+    * name (tombstones included, so deletes stay visible to watches and
+    * re-puts). `retainHistory=true` skips the rollup — the watch's full
+    * changelog is meta history by definition. */
+  private def rollupMeta(name: String): Unit = {
+    t.purgeSubject(stream, metaSubject(bucket, name), keep = 1)
     ()
   }
 

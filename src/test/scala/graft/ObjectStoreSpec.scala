@@ -74,17 +74,18 @@ class ObjectStoreSpec extends AnyFunSuite {
     def msgs = t.streamInfo(os.stream).messages
     val v1 = os.put("a", ("x" * 64).getBytes(UTF_8), 1L) // 8 chunks + meta
     assert(msgs == 9L)
-    os.put("a", ("y" * 32).getBytes(UTF_8), 2L) // +4 chunks +1 meta, -8 old
-    assert(msgs == 6L, s"overwrite left ${msgs} messages, expected 6")
+    // overwrite: +4 chunks +1 meta, -8 old chunks, -1 rolled-up meta
+    os.put("a", ("y" * 32).getBytes(UTF_8), 2L)
+    assert(msgs == 5L, s"overwrite left ${msgs} messages, expected 5")
     assert(new String(os.get("a"), UTF_8) == "y" * 32)
     // the superseded version's content is GONE — total absence, not error
     assert(os.tryGetByMeta(v1).isEmpty)
     // but the loud path still reports it as incomplete
     assert(intercept[RuntimeException](os.getByMeta(v1))
       .getMessage.contains("incomplete"))
-    os.delete("a", 3L) // +1 tombstone, -4 current chunks
-    assert(msgs == 3L, s"delete left ${msgs} messages, expected 3 metas")
-    // storage is O(current bucket): only meta history remains
+    os.delete("a", 3L) // tombstone replaces the meta, current chunks purged
+    assert(msgs == 1L, s"delete left ${msgs} messages, expected 1 tombstone")
+    // storage is O(current bucket): one meta per name, current chunks only
   }
 
   test("retainHistory=true keeps every version fetchable by its meta") {
@@ -186,13 +187,14 @@ class ObjectStoreSpec extends AnyFunSuite {
         assert(java.util.Arrays.equals(os.get("blob"), payload))
         assert(os.list().map(_.name) == Seq("blob"))
         // overwrite reclaims over the WIRE too ($JS.API.STREAM.PURGE):
-        // 10 old chunks purged, 2 chunks + 1 meta added
+        // 10 old chunks + 1 rolled-up meta purged, 2 chunks + 1 meta added
         os.put("blob", new Array[Byte](2000), 100L)
-        assert(t.streamInfo(os.stream).messages == 11L + 3L - 10L)
+        assert(t.streamInfo(os.stream).messages == 3L)
         os.delete("blob", 101L)
         assert(os.list().isEmpty)
-        // delete purged the current 2 chunks; only the 3 metas remain
-        assert(t.streamInfo(os.stream).messages == 3L)
+        // delete purged the 2 current chunks and rolled the meta up:
+        // exactly one tombstone remains
+        assert(t.streamInfo(os.stream).messages == 1L)
       } finally t.close()
     } finally srv.stop()
   }

@@ -101,6 +101,9 @@ class ObjectStoreWatchSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("default watch skips tombstones; include_deletes surfaces them") {
+    // default writer ROLLS UP: a's put meta is gone once the tombstone
+    // lands, so the watch replays current state only — 'a' never appears
+    // (deleted objects must not resurrect, the real-NATS Watch shape)
     val os = store("wtomb")
     os.put("a", "1".getBytes(UTF_8), 1L)
     os.delete("a", 2L)
@@ -108,8 +111,24 @@ class ObjectStoreWatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val c1 = java.nio.file.Files.createTempDirectory("graft_watch_t1").toString
     drain(watch("wtomb").select("name", "deleted"), "wt1", c1)
     assert(spark.sql("SELECT name FROM wt1 ORDER BY name").collect()
-      .map(_.getString(0)).toSeq == Seq("a", "b")) // a's PUT meta, not the tombstone
+      .map(_.getString(0)).toSeq == Seq("b"))
     assert(spark.sql("SELECT count(*) FROM wt1 WHERE deleted").head().getLong(0) == 0L)
+    // include_deletes: the tombstone itself arrives, marked
+    val c2 = java.nio.file.Files.createTempDirectory("graft_watch_t2").toString
+    drain(watch("wtomb", Map("include_deletes" -> "true"))
+      .select("name", "deleted"), "wt2", c2)
+    assert(spark.sql("SELECT name, deleted FROM wt2 ORDER BY name").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
+      Seq(("a", true), ("b", false)))
+    // a RETAINING writer keeps the full history: a's put meta replays
+    val osR = store("wtombr", retainHistory = true)
+    osR.put("a", "1".getBytes(UTF_8), 1L)
+    osR.delete("a", 2L)
+    osR.put("b", "2".getBytes(UTF_8), 3L)
+    val c3 = java.nio.file.Files.createTempDirectory("graft_watch_t3").toString
+    drain(watch("wtombr").select("name", "deleted"), "wt3", c3)
+    assert(spark.sql("SELECT name FROM wt3 ORDER BY name").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b"))
   }
 
   test("watch_data: retained history replays every version; reclaimed go null") {
@@ -124,8 +143,8 @@ class ObjectStoreWatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getString(0)).toSeq
     assert(rows == Seq("old" * 10, "new" * 10))
 
-    // DEFAULT (reclaiming) writer: the overwrite purged the old nuid's
-    // chunks, so the superseded changelog row carries null, not an error
+    // DEFAULT (reclaiming) writer: the overwrite purged the old chunks AND
+    // rolled the old meta up — the watch replays the current version only
     val osD = store("wdata2")
     osD.put("doc", ("old" * 10).getBytes(UTF_8), 1L)
     osD.put("doc", ("new" * 10).getBytes(UTF_8), 2L)
@@ -134,7 +153,18 @@ class ObjectStoreWatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       "CAST(data AS STRING) AS text"), "wd2", c2)
     val rows2 = spark.sql("SELECT text FROM wd2 ORDER BY seq").collect()
       .map(_.getString(0)).toSeq
-    assert(rows2 == Seq(null, "new" * 10))
+    assert(rows2 == Seq("new" * 10))
+
+    // a meta surviving with purged chunks (no rollup, e.g. mid-crash) is
+    // the null case, not an error: simulate by purging chunks directly
+    val osM = store("wdata3", retainHistory = true)
+    val v1 = osM.put("doc", ("old" * 10).getBytes(UTF_8), 1L)
+    Transport.connect(url).purgeSubject(osM.stream, s"$$O.wdata3.C.${v1.nuid}")
+    val c3 = java.nio.file.Files.createTempDirectory("graft_watch_d3").toString
+    drain(watch("wdata3", Map("watch_data" -> "true")).selectExpr("seq",
+      "CAST(data AS STRING) AS text"), "wd3", c3)
+    assert(spark.sql("SELECT text FROM wd3").collect()
+      .map(_.getString(0)).toSeq == Seq(null))
   }
 
   test("meta-only watch never touches chunks: survives chunk destruction") {
@@ -183,6 +213,34 @@ class ObjectStoreWatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 80 stream seqs (40 puts × chunk+meta) at ≤20 seqs/batch → ≥4 batches
     val batches = q.recentProgress.count(_.numInputRows >= 0)
     assert(batches >= 4, s"expected ≥4 paced batches, got $batches")
+  }
+
+  test("WIRE e2e: the watch over real loopback sockets (MiniNatsServer)") {
+    val backing = new FakeJetStreamServer()
+    val srv = new MiniNatsServer(backing)
+    srv.start()
+    try {
+      val t = Transport.connect(srv.url)
+      val os = new ObjectStore(t, "wirew", chunkSize = 16)
+      (0 until 5).foreach(i =>
+        os.put(s"w$i", (s"wire-$i" * 3).getBytes(UTF_8), i.toLong))
+      os.delete("w2", 10L)
+      val c = java.nio.file.Files.createTempDirectory("graft_watch_w").toString
+      val q = spark.readStream.format("nats_obj").option("url", srv.url)
+        .option("bucket", "wirew").option("watch", "true")
+        .option("include_deletes", "true")
+        .load().select("seq", "name", "deleted")
+        .writeStream.format("memory").queryName("ww")
+        .option("checkpointLocation", c)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive, "wire watch did not drain")
+      // the delete rolled w2's put meta up: current state + the tombstone
+      val rows = spark.sql("SELECT name, deleted FROM ww ORDER BY seq")
+        .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+      assert(rows == Seq("w0", "w1", "w3", "w4").map((_, false)) :+
+        ("w2", true))
+    } finally srv.stop()
   }
 
   test("mode gates: batch+watch, stream without watch, option validation") {

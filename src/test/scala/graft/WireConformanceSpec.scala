@@ -332,6 +332,12 @@ class WireConformanceSpec extends AnyFunSuite {
         "y".getBytes(UTF_8), "m-2") == 41L)
       t.ackAll("cf", "dur1", 10L)
       assert(t.ackFloor("cf", "dur1") >= 0L)
+      // STREAM.PURGE by subject through the strict parser: keep=1 is the
+      // rollup form — cf.dev1 collapses to its newest message (seq 41)
+      assert(t.purgeSubject("cf", "cf.dev1", keep = 1) == 10L)
+      assert(t.directGet("cf", 41L).nonEmpty)
+      assert((0 until 2).flatMap(b =>
+        t.subjectStats("cf", None, b, 2, None, 100)).map(_.count).sum == 30L)
     } finally { t.close(); srv.stop() }
   }
 
