@@ -164,7 +164,8 @@ final class ObjectStoreTable(rawProps: Map[String, String])
     // [, mtime_ns]) is narrower than the read envelope; the builder
     // validates the columns it needs by name+type at bind
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ObjectStoreScanBuilder(this)
@@ -355,59 +356,115 @@ final class ObjectStoreReader(p: InputPartition, required: StructType,
 
 // ---------------- write direction ----------------
 
-/** `df.write.format("nats_obj")`: each row becomes one object put. Required
-  * columns `name` (string) + `data` (binary); optional `mtime_ns` (long,
-  * defaults 0). Task retries re-put the same (name, bytes) — object-level
-  * idempotent: the meta rollup keeps the last put, and the overwrite purge
-  * reclaims the failed attempt's chunks (under `retain_history=true` the
-  * orphaned version stays, fetchable through the watch changelog). */
+/** `df.write.format("nats_obj")` / `df.writeStream.format("nats_obj")`:
+  * each row becomes one object put. Required columns `name` (string) +
+  * `data` (binary); optional `mtime_ns` (long, defaults 0). Task retries
+  * and replayed streaming epochs re-put the same (name, bytes) —
+  * object-level idempotent: the meta rollup keeps the last put, and the
+  * overwrite purge reclaims the failed attempt's chunks (under
+  * `retain_history=true` the orphaned version stays, fetchable through the
+  * watch changelog). `mode("overwrite")` truncates first: one driver-side
+  * purge of the bucket's whole `$O.<bucket>.>` namespace, then the puts. */
 final class ObjectStoreWriteBuilder(t: ObjectStoreTable, info: LogicalWriteInfo)
-    extends WriteBuilder {
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = {
-      val s = info.schema()
-      def col(n: String, dt: DataType): Int = {
-        val i = s.fieldIndex(n)
-        if (s.fields(i).dataType != dt)
-          sys.error(s"nats_obj write: column '$n' must be $dt, got ${s.fields(i).dataType}")
-        i
-      }
-      val nameIdx = col("name", StringType)
-      val dataIdx = col("data", BinaryType)
-      val mtimeIdx = if (s.fieldNames.contains("mtime_ns"))
-        col("mtime_ns", LongType) else -1
-      new ObjectStoreBatchWrite(t.url, t.bucket, t.chunkSize,
-        t.connectTimeoutMs, t.auth, nameIdx, dataIdx, mtimeIdx,
-        t.retainHistory)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = {
+    val s = info.schema()
+    def col(n: String, dt: DataType): Int = {
+      val i = s.fieldIndex(n)
+      if (s.fields(i).dataType != dt)
+        sys.error(s"nats_obj write: column '$n' must be $dt, got ${s.fields(i).dataType}")
+      i
+    }
+    val writers = new ObjectStoreRowWriters(t.url, t.bucket, t.chunkSize,
+      t.connectTimeoutMs, t.auth, col("name", StringType),
+      col("data", BinaryType),
+      if (s.fieldNames.contains("mtime_ns")) col("mtime_ns", LongType) else -1,
+      t.retainHistory)
+    new Write {
+      override def toBatch: BatchWrite =
+        new ObjectStoreBatchWrite(writers, truncateFirst)
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new ObjectStoreStreamingWrite(writers)
     }
   }
 }
 
-final class ObjectStoreBatchWrite(url: String, bucket: String, chunkSize: Int,
+/** the shared put-per-row writer of both write flavors (serializable task
+  * closure; the transport rides the per-executor pool) */
+final class ObjectStoreRowWriters(url: String, bucket: String, chunkSize: Int,
                                   connectTimeoutMs: Long, auth: TransportAuth,
                                   nameIdx: Int, dataIdx: Int, mtimeIdx: Int,
                                   retainHistory: Boolean)
-    extends BatchWrite with Serializable {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new DataWriterFactory {
-      override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-        new DataWriter[InternalRow] {
-          private val store = new ObjectStore(
-            TransportPool.get(url, connectTimeoutMs, auth), bucket, chunkSize,
-            retainHistory)
-          override def write(r: InternalRow): Unit = {
-            val name = r.getUTF8String(nameIdx).toString
-            val data = r.getBinary(dataIdx)
-            val mtime = if (mtimeIdx >= 0) r.getLong(mtimeIdx) else 0L
-            TransportRetry.withRetry(store.put(name, data, mtime))
-            ()
-          }
-          override def commit(): WriterCommitMessage =
-            new WriterCommitMessage {}
-          override def abort(): Unit = ()
-          override def close(): Unit = ()
-        }
+    extends Serializable {
+  def bucketStream: String = s"OBJ_$bucket"
+
+  /** driver-side whole-bucket purge (mode("overwrite") truncation): metas,
+    * tombstones, and chunks all live under `$O.<bucket>.>` */
+  def truncateBucket(): Unit =
+    try {
+      TransportPool.get(url, connectTimeoutMs, auth)
+        .purgeSubject(bucketStream, s"$$O.$bucket.>")
+      ()
+    } catch {
+      case _: graft.transport.NatsStreamNotFoundException => () // nothing yet
     }
+
+  def newWriter(): DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val store = new ObjectStore(
+      TransportPool.get(url, connectTimeoutMs, auth), bucket, chunkSize,
+      retainHistory)
+    override def write(r: InternalRow): Unit = {
+      val name = r.getUTF8String(nameIdx).toString
+      val data = r.getBinary(dataIdx)
+      val mtime = if (mtimeIdx >= 0) r.getLong(mtimeIdx) else 0L
+      TransportRetry.withRetry(store.put(name, data, mtime))
+      ()
+    }
+    override def commit(): WriterCommitMessage = new WriterCommitMessage {}
+    override def abort(): Unit = ()
+    override def close(): Unit = ()
+  }
+}
+
+/** the one factory both write flavors ship to tasks (factories ARE the
+  * serialized closure — a named class avoids an outer-instance capture) */
+final class ObjectStoreWriterFactory(writers: ObjectStoreRowWriters)
+    extends DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    writers.newWriter()
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    writers.newWriter()
+}
+
+final class ObjectStoreBatchWrite(writers: ObjectStoreRowWriters,
+                                  truncateFirst: Boolean)
+    extends BatchWrite with Serializable {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // runs ONCE on the driver before any task: overwrite semantics are
+    // "bucket = exactly this dataframe", so the old namespace goes first
+    if (truncateFirst) writers.truncateBucket()
+    new ObjectStoreWriterFactory(writers)
+  }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Streaming flavor: every micro-batch epoch puts its rows. Epoch replay
+  * after a crash re-puts the same objects — the meta rollup collapses the
+  * duplicates, so the bucket converges to the same state (object-level
+  * idempotence, the analog of the message sink's Msg-Id dedup). */
+final class ObjectStoreStreamingWrite(writers: ObjectStoreRowWriters)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new ObjectStoreWriterFactory(writers)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }

@@ -128,6 +128,53 @@ class ObjectStoreSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read("wrt").count() == 15L)
   }
 
+  test("mode(overwrite): the bucket becomes exactly the dataframe") {
+    import spark.implicits._
+    server
+    val os = store("ow", 8)
+    os.put("stale/1", ("s" * 40).getBytes(UTF_8), 1L)
+    os.put("stale/2", ("s" * 40).getBytes(UTF_8), 1L)
+    val df = Seq(("fresh/1", "f1".getBytes(UTF_8), 2L))
+      .toDF("name", "data", "mtime_ns")
+    df.write.format("nats_obj").option("url", url)
+      .option("bucket", "ow").option("chunk_size", "8")
+      .mode("overwrite").save()
+    assert(os.list().map(_.name) == Seq("fresh/1"))
+    assert(new String(os.get("fresh/1"), UTF_8) == "f1")
+    // the truncation really purged: no stale metas, tombstones, or chunks
+    val t = Transport.connect(url)
+    assert(t.streamInfo(os.stream).messages == 2L) // 1 chunk + 1 meta
+  }
+
+  test("streaming sink: writeStream puts per epoch; replays converge") {
+    import spark.implicits._
+    server
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)](spark)
+    val q = ms.toDF().selectExpr("_1 AS name", "CAST(_2 AS BINARY) AS data")
+      .writeStream.format("nats_obj").option("url", url)
+      .option("bucket", "sink").option("chunk_size", "8")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_obj_sink").toString)
+      .start()
+    try {
+      ms.addData(("s1", "epoch-one"), ("s2", "epoch-one-too"))
+      q.processAllAvailable()
+      val os = store("sink", 8)
+      assert(os.list().map(_.name).sorted == Seq("s1", "s2"))
+      // next epoch: new object + an overwrite — rollup keeps the bucket tight
+      ms.addData(("s1", "epoch-two"), ("s3", "third"))
+      q.processAllAvailable()
+      assert(os.list().map(_.name).sorted == Seq("s1", "s2", "s3"))
+      assert(new String(os.get("s1"), UTF_8) == "epoch-two")
+      val t = Transport.connect(url)
+      // exactly current content: chunks (s1=2, s2=2, s3=1) + one meta each
+      // — the overwrite's old chunks and meta were reclaimed
+      val msgs = t.streamInfo(os.stream).messages
+      assert(msgs == 8L, s"sink bucket carries $msgs messages, expected 8")
+    } finally q.stop()
+  }
+
   test("bind validation: missing url/bucket, bad shards/chunk_size") {
     def load(opts: Map[String, String]) = {
       val b = spark.read.format("nats_obj")
