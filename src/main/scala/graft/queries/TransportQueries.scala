@@ -428,6 +428,30 @@ object TransportQueries {
         .select(col("name"), col("size"), col("digest"), col("mtime_ns"))
         .orderBy("name")),
 
+    // the LANDING-ZONE shape: binary bucket objects feed the text pipeline
+    // directly — chunk-reassembled bytes decode to text and flow through
+    // the SAME token/length operators the parquet corpus uses (one engine
+    // across both storage layers; at 100 TB the bucket scan's 8 meta
+    // shards parallelize the decode like any other source). Oracle
+    // recomputes from the parquet truth, so a chunking/reassembly/decode
+    // bug anywhere upstream breaks the hash.
+    "transport_obj_pipeline" -> ((s, dir) =>
+      s.read.format("nats_obj")
+        .option("url", objFixtureUrl(s, dir))
+        .option("bucket", "docs").option("shards", "8")
+        .load()
+        .select(expr("CAST(substring(name, 5) AS BIGINT)").as("doc_id"),
+          expr("CAST(data AS STRING)").as("text"))
+        .select(col("doc_id"),
+          size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tok"),
+          length(col("text")).as("len"))
+        .groupBy(pmod(col("doc_id"), lit(7)).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("sum_tokens"),
+          sum("len").as("sum_chars"),
+          max("doc_id").as("max_doc"))
+        .orderBy("bucket")),
+
     // SQL TVF face of the bucket scan (`FROM nats_obj('docs', …)` with a
     // typed named argument) — resolves to the same DSv2 relation, so the
     // LIKE prefix still reaches the scan as a pushed startswith and the
@@ -567,6 +591,13 @@ object TransportQueries {
            |   '=') AS digest,
            | CAST(doc_id AS BIGINT) AS mtime_ns
            | FROM documents ORDER BY name""".stripMargin,
+
+      "transport_obj_pipeline" ->
+        """SELECT doc_id % 7 AS bucket, count(*) AS n_docs,
+          | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+          | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+          | max(doc_id) AS max_doc
+          | FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
 
       "transport_obj_sql" ->
         s"""SELECT 'doc/' || CAST(doc_id AS VARCHAR) AS name,

@@ -215,6 +215,35 @@ class ObjectStoreWatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batches >= 4, s"expected ≥4 paced batches, got $batches")
   }
 
+  test("landing-zone CDC: the watch feeds the streaming dedup gate") {
+    // the 100 TB ingestion story end-to-end: producers put documents into
+    // a bucket (the landing zone); the watch streams arrivals as CDC; the
+    // dedup gate drops near-dups against everything already accepted.
+    val os = store("wgate")
+    def words(seed: String) = (1 to 24).map(i => s"$seed$i").mkString(" ")
+    def put(id: Long, text: String) = os.put(s"d$id", text.getBytes(UTF_8), id)
+    put(1L, words("alpha")); put(2L, words("beta"))
+    val root = java.nio.file.Files.createTempDirectory("graft_watch_gate").toString
+    val cfg = graft.streaming.StreamingDedup.Config(s"$root/index", s"$root/out")
+    def run(): Unit = {
+      val q = watch("wgate", Map("watch_data" -> "true"))
+        .selectExpr("CAST(substring(name, 2) AS BIGINT) AS doc_id",
+          "CAST(data AS STRING) AS text")
+        .writeStream.option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch(graft.streaming.StreamingDedup.ingest(cfg) _)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive, "watch→gate did not drain")
+    }
+    run()
+    // new arrivals: one near-dup of an accepted doc (drops), one new
+    put(11L, words("alpha")); put(12L, words("delta"))
+    run()
+    val out = spark.read.parquet(cfg.outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 12L), out)
+  }
+
   test("WIRE e2e: the watch over real loopback sockets (MiniNatsServer)") {
     val backing = new FakeJetStreamServer()
     val srv = new MiniNatsServer(backing)
