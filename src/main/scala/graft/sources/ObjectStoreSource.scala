@@ -133,6 +133,11 @@ final class ObjectStoreTable(rawProps: Map[String, String])
     * BEFORE they happen (the streaming analog of the batch scan's
     * startswith pushdown, which Catalyst does not apply to streams) */
   private[sources] val watchPrefix = props.get("name_prefix")
+  /** watch option: durable-consumer name — the server's ack floor seeds a
+    * FRESH checkpoint and every committed batch acks back, so an
+    * unrelated job resumes where the last one stopped (same contract as
+    * the message stream's `durable`) */
+  private[sources] val durable = props.get("durable")
   /** watch admission control, in STREAM-SEQUENCE units (chunk + meta
     * messages both advance the axis — same contract as nats_scan's
     * max_msgs_per_batch over its seq offsets) */
@@ -142,10 +147,14 @@ final class ObjectStoreTable(rawProps: Map[String, String])
     if (maxPerBatch < 1) sys.error(
       s"nats_obj: max_msgs_per_batch must be >= 1, got $maxPerBatch")
     if ((watchUpdatesOnly || includeDeletes || watchData ||
-        watchPrefix.isDefined) && !watch) sys.error(
-      "nats_obj: watch_updates_only/include_deletes/watch_data/name_prefix " +
-        "are watch-mode options — add watch=true (the streaming changelog " +
-        "surface)")
+        watchPrefix.isDefined || durable.isDefined) && !watch) sys.error(
+      "nats_obj: watch_updates_only/include_deletes/watch_data/name_prefix/" +
+        "durable are watch-mode options — add watch=true (the streaming " +
+        "changelog surface)")
+    if (durable.isDefined && watchUpdatesOnly) sys.error(
+      "nats_obj: durable and watch_updates_only are mutually exclusive — " +
+        "a durable resumes at its ack floor; updates_only starts at the " +
+        "current head")
   }
   private[sources] val connectTimeoutMs = props.getOrElse("connect_timeout_ms",
     graft.transport.Transport.DefaultTimeoutMs.toString).toLong
@@ -236,7 +245,7 @@ final class ObjectStoreScan(t: ObjectStoreTable, required: StructType,
       required = required, shards = t.shards,
       updatesOnly = t.watchUpdatesOnly, includeDeletes = t.includeDeletes,
       maxPerBatch = t.maxPerBatch, connectTimeoutMs = t.connectTimeoutMs,
-      auth = t.auth, namePrefix = t.watchPrefix)
+      auth = t.auth, namePrefix = t.watchPrefix, durable = t.durable)
   }
 
   override def description(): String =

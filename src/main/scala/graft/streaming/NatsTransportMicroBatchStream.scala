@@ -36,6 +36,15 @@ final class NatsTransportMicroBatchStream(url: String, stream: String,
     graft.transport.TransportPool.get(url, connectTimeoutMs, auth)
       .streamInfo(stream).lastSeq
 
+  /** Trigger.AvailableNow contract: drain up to the offset AVAILABLE NOW
+    * and terminate — pinned at prepare time, so publishes racing the drain
+    * land in the next run instead of extending this one indefinitely on a
+    * hot stream. Other triggers (prepare never called) track the live
+    * head. */
+  @volatile private var availableNowCap: Long = -1L
+  private def head: Long =
+    if (availableNowCap >= 0L) availableNowCap else lastSeq
+
   /** DURABLE mode (`option("durable", name)` — the GUIDE.md "consumer
     * groups / ack-based distribution" roadmap): the server's cumulative
     * ack floor seeds the FIRST offset when the Spark checkpoint has none,
@@ -55,16 +64,23 @@ final class NatsTransportMicroBatchStream(url: String, stream: String,
     case None => SeqOffset(0L)
   }
 
-  override def latestOffset(): Offset = SeqOffset(lastSeq)
+  override def latestOffset(): Offset = SeqOffset(head)
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    SeqOffset(math.min(lastSeq, start.asInstanceOf[SeqOffset].seq + maxPerBatch))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // saturating add: a huge user-supplied cap must not wrap below the
+    // committed offset (an AvailableNow query would then spin forever)
+    val s = start.asInstanceOf[SeqOffset].seq
+    val capped = if (maxPerBatch > Long.MaxValue - s) Long.MaxValue
+                 else s + maxPerBatch
+    SeqOffset(math.min(head, capped))
+  }
 
-  override def reportLatestOffset(): Offset = SeqOffset(lastSeq)
+  override def reportLatestOffset(): Offset = SeqOffset(head)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def prepareForTriggerAvailableNow(): Unit = { val _ = lastSeq }
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = lastSeq
 
   override def deserializeOffset(json: String): Offset =
     SeqOffset(json.trim.toLong)

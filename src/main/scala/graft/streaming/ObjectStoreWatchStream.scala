@@ -53,7 +53,8 @@ final class ObjectStoreWatchStream(url: String, bucket: String,
                                    includeDeletes: Boolean,
                                    maxPerBatch: Long, connectTimeoutMs: Long,
                                    auth: TransportAuth,
-                                   namePrefix: Option[String])
+                                   namePrefix: Option[String],
+                                   durable: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val stream = s"OBJ_$bucket"
@@ -65,10 +66,19 @@ final class ObjectStoreWatchStream(url: String, bucket: String,
     try TransportPool.get(url, connectTimeoutMs, auth).streamInfo(stream).lastSeq
     catch { case _: NatsStreamNotFoundException => 0L }
 
-  override def initialOffset(): Offset =
-    SeqOffset(if (updatesOnly) lastSeq else 0L)
+  /** A fresh checkpoint starts at 0 (replay), at the head
+    * (`watch_updates_only`), or at the durable's ack floor — the
+    * cross-JOB handoff: a successor job with a new checkpoint resumes
+    * where any predecessor committed (AckAll semantics, at-least-once
+    * across the handoff; within one query lineage the Spark checkpoint
+    * stays the source of truth). */
+  override def initialOffset(): Offset = durable match {
+    case Some(d) => SeqOffset(
+      TransportPool.get(url, connectTimeoutMs, auth).ackFloor(stream, d))
+    case None => SeqOffset(if (updatesOnly) lastSeq else 0L)
+  }
 
-  override def latestOffset(): Offset = SeqOffset(lastSeq)
+  override def latestOffset(): Offset = SeqOffset(head)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     // SATURATING add: the default cap is Long.MaxValue, and a wrapped
@@ -77,19 +87,31 @@ final class ObjectStoreWatchStream(url: String, bucket: String,
     val s = start.asInstanceOf[SeqOffset].seq
     val capped = if (maxPerBatch > Long.MaxValue - s) Long.MaxValue
                  else s + maxPerBatch
-    SeqOffset(math.min(lastSeq, capped))
+    SeqOffset(math.min(head, capped))
   }
 
-  override def reportLatestOffset(): Offset = SeqOffset(lastSeq)
+  override def reportLatestOffset(): Offset = SeqOffset(head)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def prepareForTriggerAvailableNow(): Unit = { val _ = lastSeq }
+  /** Trigger.AvailableNow contract: drain up to the offset AVAILABLE NOW
+    * and terminate — the head is PINNED here, so puts racing the drain
+    * land in the next run instead of extending this one indefinitely on
+    * a busy bucket. */
+  @volatile private var availableNowCap: Long = -1L
+  private def head: Long =
+    if (availableNowCap >= 0L) availableNowCap else lastSeq
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = lastSeq
 
   override def deserializeOffset(json: String): Offset =
     SeqOffset(json.trim.toLong)
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    durable.foreach { d =>
+      TransportPool.get(url, connectTimeoutMs, auth)
+        .ackAll(stream, d, end.asInstanceOf[SeqOffset].seq)
+    }
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

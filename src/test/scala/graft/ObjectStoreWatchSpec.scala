@@ -215,6 +215,35 @@ class ObjectStoreWatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batches >= 4, s"expected ≥4 paced batches, got $batches")
   }
 
+  test("durable watch: an UNRELATED job (fresh checkpoint) resumes at the ack floor") {
+    val os = store("wdur")
+    // 1-chunk payloads: object d<i>'s meta lands at seq 2i (chunk at 2i-1)
+    (1 to 6).foreach(i => os.put(s"d$i", s"v$i".getBytes(UTF_8), i.toLong))
+    def job(n: Int): Seq[String] = {
+      // a brand-new checkpoint each time: only the durable carries state
+      val c = java.nio.file.Files.createTempDirectory(s"graft_watch_dur$n").toString
+      drain(watch("wdur", Map("durable" -> "obj-cursor",
+        "max_msgs_per_batch" -> "4")).select("seq", "name"), s"wdur$n", c)
+      spark.sql(s"SELECT name FROM wdur$n ORDER BY seq").collect()
+        .map(_.getString(0)).toSeq
+    }
+    assert(job(1) == (1 to 6).map(i => s"d$i")) // full replay in 3 batches
+    // Spark commits a batch's source offsets while constructing the NEXT
+    // batch, so the floor lags the sink by at most one batch (the
+    // at-least-once handoff window, same as the message stream's durable)
+    val floor = Transport.connect(url).ackFloor("OBJ_wdur", "obj-cursor")
+    assert(floor >= 8L, s"floor must cover the committed batches, got $floor")
+    os.put("d7", "v7".getBytes(UTF_8), 7L)
+    // successor: exactly the unacked tail + the new arrival — no loss
+    assert(job(2) ==
+      (1 to 7).filter(i => 2L * i > floor).map(i => s"d$i"))
+    // durable + updates_only is a bind-time contradiction
+    val e = intercept[Exception](spark.readStream.format("nats_obj")
+      .option("url", url).option("bucket", "wdur").option("watch", "true")
+      .option("durable", "x").option("watch_updates_only", "true").load())
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("landing-zone CDC: the watch feeds the streaming dedup gate") {
     // the 100 TB ingestion story end-to-end: producers put documents into
     // a bucket (the landing zone); the watch streams arrivals as CDC; the
@@ -270,6 +299,37 @@ class ObjectStoreWatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows == Seq("w0", "w1", "w3", "w4").map((_, false)) :+
         ("w2", true))
     } finally srv.stop()
+  }
+
+  test("AvailableNow pins the head at prepare time: racing puts wait for " +
+    "the next run (both transport-backed micro-batch streams)") {
+    val os = store("wpin")
+    os.put("p1", "x".getBytes(UTF_8), 1L)
+    val ws = new graft.streaming.ObjectStoreWatchStream(url, "wpin",
+      required = graft.sources.ObjectStoreSource.watchSchema, shards = 2,
+      updatesOnly = false, includeDeletes = false,
+      maxPerBatch = Long.MaxValue, connectTimeoutMs = 5000L,
+      auth = TransportAuth.anonymous, namePrefix = None)
+    ws.prepareForTriggerAvailableNow()
+    val pinned = ws.latestOffset().json().trim.toLong
+    os.put("p2", "y".getBytes(UTF_8), 2L) // races the drain
+    assert(ws.latestOffset().json().trim.toLong == pinned,
+      "watch head must stay pinned after prepare")
+    // the message stream pins identically
+    val srv2 = FakeJetStream.listen("nats://watch-pin-msg:4222")
+    (1L to 5L).foreach(i => srv2.publish("s", i, "s.a", i, "m".getBytes))
+    val ms = new graft.streaming.NatsTransportMicroBatchStream(
+      "nats://watch-pin-msg:4222", "s", maxPerBatch = Long.MaxValue,
+      sliceWidth = 16L, connectTimeoutMs = 5000L)
+    ms.prepareForTriggerAvailableNow()
+    assert(ms.latestOffset().json().trim.toLong == 5L)
+    srv2.publish("s", 6L, "s.a", 6L, "m".getBytes)
+    assert(ms.latestOffset().json().trim.toLong == 5L,
+      "message-stream head must stay pinned after prepare")
+    // and the overflow guard saturates instead of wrapping
+    val off = ms.latestOffset(graft.streaming.SeqOffset(3L),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    assert(off.json().trim.toLong == 5L)
   }
 
   test("mode gates: batch+watch, stream without watch, option validation") {
