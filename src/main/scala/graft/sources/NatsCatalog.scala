@@ -68,24 +68,49 @@ final class NatsCatalog extends TableCatalog with SupportsNamespaces {
       (native.toSeq ++ fixture).distinct.sorted
   }
 
-  /** tables live in the catalog's root namespace (`nats.events`) */
+  /** OBJECT-STORE namespace (`nats.obj.<bucket>`): buckets are the OBJ_*
+    * streams, served as [[ObjectStoreTable]]s — `SHOW TABLES IN nats.obj`
+    * is bucket discovery, `spark.table("nats.obj.docs")` is the bucket
+    * scan (and `readStream.table(...)` the watch, with watch options as
+    * read options). Live servers only: a directory store has no object
+    * layer. */
+  private def objMode: Boolean = options.contains("url")
+  private def isObjNs(ns: Array[String]): Boolean =
+    ns.length == 1 && ns(0).equalsIgnoreCase("obj")
+  private def buckets(): Seq[String] =
+    streams().filter(_.startsWith("OBJ_")).map(_.stripPrefix("OBJ_"))
+
+  /** tables live in the catalog's root namespace (`nats.events`) or, in
+    * url mode, the `obj` bucket namespace */
   private def checkNs(ns: Array[String]): Unit =
-    if (ns.nonEmpty) throw new NoSuchNamespaceException(ns)
+    if (ns.nonEmpty && !(objMode && isObjNs(ns)))
+      throw new NoSuchNamespaceException(ns)
 
   override def listTables(ns: Array[String]): Array[Identifier] = {
     checkNs(ns)
-    streams().map(s => Identifier.of(Array.empty, s)).toArray
+    if (objMode && isObjNs(ns))
+      buckets().map(b => Identifier.of(ns, b)).toArray
+    else
+      streams().map(s => Identifier.of(Array.empty, s)).toArray
   }
 
   override def loadTable(ident: Identifier): Table = {
     checkNs(ident.namespace())
-    if (!streams().contains(ident.name()))
-      throw new NoSuchTableException(ident)
-    new NatsScanTable(options + ("stream" -> ident.name()))
+    if (objMode && isObjNs(ident.namespace())) {
+      if (!buckets().contains(ident.name()))
+        throw new NoSuchTableException(ident)
+      new ObjectStoreTable(options + ("bucket" -> ident.name()))
+    } else {
+      if (!streams().contains(ident.name()))
+        throw new NoSuchTableException(ident)
+      new NatsScanTable(options + ("stream" -> ident.name()))
+    }
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace().isEmpty && streams().contains(ident.name())
+    (ident.namespace().isEmpty && streams().contains(ident.name())) ||
+      (objMode && isObjNs(ident.namespace()) &&
+        buckets().contains(ident.name()))
 
   private def unsupported(op: String): Nothing =
     throw new UnsupportedOperationException(
@@ -104,12 +129,14 @@ final class NatsCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(from: Identifier, to: Identifier): Unit =
     unsupported("RENAME TABLE")
 
-  // --- SupportsNamespaces: a single root namespace ---
-  override def listNamespaces(): Array[Array[String]] = Array.empty
+  // --- SupportsNamespaces: the root plus (url mode) the `obj` buckets ---
+  override def listNamespaces(): Array[Array[String]] =
+    if (objMode) Array(Array("obj")) else Array.empty
   override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
     checkNs(ns); Array.empty
   }
-  override def namespaceExists(ns: Array[String]): Boolean = ns.isEmpty
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.isEmpty || (objMode && isObjNs(ns))
   override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
     checkNs(ns); util.Collections.emptyMap()
   }

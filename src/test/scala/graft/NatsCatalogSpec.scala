@@ -75,6 +75,44 @@ class NatsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.length == 1 && row.head.getAs[String]("subject") == "t.cpu")
   }
 
+  test("obj namespace: buckets discovered and scanned as nats.obj.<bucket>") {
+    val url = "nats://cat-obj:4222"
+    graft.transport.FakeJetStream.listen(url)
+    val os = new graft.transport.ObjectStore(
+      graft.transport.Transport.connect(url), "docs", chunkSize = 8)
+    (0 until 5).foreach(i => os.put(s"o$i", (s"text-$i" * 2).getBytes("UTF-8"), i.toLong))
+
+    spark.conf.set("spark.sql.catalog.catobj",
+      classOf[graft.sources.NatsCatalog].getName)
+    spark.conf.set("spark.sql.catalog.catobj.url", url)
+
+    // bucket discovery: the namespace lists buckets, the root lists streams
+    val ns = spark.sql("SHOW NAMESPACES IN catobj")
+      .collect().map(_.getString(0))
+    assert(ns.contains("obj"), ns.mkString(","))
+    val shown = spark.sql("SHOW TABLES IN catobj.obj")
+      .select("tableName").collect().map(_.getString(0))
+    assert(shown.sameElements(Array("docs")), shown.mkString(","))
+    // the raw OBJ_docs stream stays reachable at the root (chunks + metas:
+    // 5 objects × (2 chunks + 1 meta))
+    assert(spark.table("catobj.OBJ_docs").count() == 15L)
+
+    // the bucket table IS the object scan: reassembled data, meta columns
+    val rows = spark.table("catobj.obj.docs")
+      .selectExpr("name", "CAST(data AS STRING) AS text")
+      .orderBy("name").collect()
+    assert(rows.length == 5 &&
+      rows.map(_.getString(1)).toSeq == (0 until 5).map(i => s"text-$i" * 2))
+
+    // dir-mode catalogs have no object layer
+    spark.conf.set("spark.sql.catalog.catdirx",
+      classOf[graft.sources.NatsCatalog].getName)
+    spark.conf.set("spark.sql.catalog.catdirx.dir", dir)
+    val e = intercept[Exception](spark.table("catdirx.obj.anything").collect())
+    assert(e.getMessage.toLowerCase.contains("obj") ||
+      e.getMessage.toLowerCase.contains("not found"), e.getMessage)
+  }
+
   test("DDL is rejected: streams are not provisioned by Spark") {
     spark.conf.set("spark.sql.catalog.catddl",
       classOf[graft.sources.NatsCatalog].getName)
