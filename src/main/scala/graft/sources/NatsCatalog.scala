@@ -70,9 +70,11 @@ final class NatsCatalog extends TableCatalog with SupportsNamespaces {
 
   /** OBJECT-STORE namespace (`nats.obj.<bucket>`): buckets are the OBJ_*
     * streams, served as [[ObjectStoreTable]]s — `SHOW TABLES IN nats.obj`
-    * is bucket discovery, `spark.table("nats.obj.docs")` is the bucket
-    * scan (and `readStream.table(...)` the watch, with watch options as
-    * read options). Live servers only: a directory store has no object
+    * is bucket discovery, `spark.table("nats.obj.docs")` the bucket scan,
+    * `df.writeTo("nats.obj.docs").append()` the put direction. The WATCH
+    * stays on `readStream.format("nats_obj")`: its schema is decided by
+    * table-level options (watch/watch_data), which a catalog lookup
+    * cannot carry. Live servers only: a directory store has no object
     * layer. */
   private def objMode: Boolean = options.contains("url")
   private def isObjNs(ns: Array[String]): Boolean =

@@ -104,6 +104,14 @@ class NatsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == 5 &&
       rows.map(_.getString(1)).toSeq == (0 until 5).map(i => s"text-$i" * 2))
 
+    // the write direction through the catalog identifier: writeTo.append
+    import spark.implicits._
+    Seq(("o5", "added".getBytes("UTF-8"), 9L))
+      .toDF("name", "data", "mtime_ns")
+      .writeTo("catobj.obj.docs").append()
+    assert(new String(os.get("o5"), "UTF-8") == "added")
+    assert(spark.table("catobj.obj.docs").count() == 6L)
+
     // dir-mode catalogs have no object layer
     spark.conf.set("spark.sql.catalog.catdirx",
       classOf[graft.sources.NatsCatalog].getName)
