@@ -243,16 +243,29 @@ final class FakeJetStreamServer {
 
   /** append-publish with `Nats-Msg-Id` dedup: a repeated id returns the
     * original sequence without storing a second copy. Synchronized so the
-    * (check id, assign seq, store) step is atomic like a real server's. */
+    * (check id, assign seq, store) step is atomic like a real server's —
+    * which is also what makes `expectLastSubjectSeq` (the per-subject CAS,
+    * `Nats-Expected-Last-Subject-Sequence`) race-free: the check against
+    * the subject's current last seq and the append are one critical
+    * section, exactly a real server's stream-lock semantics. */
   def publishAppend(stream: String, subject: String, tsNs: Long,
-                    payload: Array[Byte], msgId: String): Long = synchronized {
+                    payload: Array[Byte], msgId: String,
+                    headers: Map[String, String] = Map.empty,
+                    expectLastSubjectSeq: Option[Long] = None): Long = synchronized {
     addStream(stream)
     msgIds.get((stream, msgId)) match {
       case Some(seq) => seq // duplicate inside the dedup window: no-op ack
       case None =>
+        expectLastSubjectSeq.foreach { want =>
+          val cur = lastBySubject.get(stream)
+            .map(_.getOrDefault(subject, 0L)).getOrElse(0L)
+          if (cur != want)
+            throw new NatsWrongLastSequenceException(
+              s"wrong last sequence: $cur", cur)
+        }
         val m = streams(stream)
         val seq = if (m.isEmpty) 1L else m.lastKey() + 1L
-        val msg = TransportMsg(subject, seq, tsNs, payload)
+        val msg = TransportMsg(subject, seq, tsNs, payload, headers)
         val prev = m.put(seq, msg)
         countPut(stream, prev, msg)
         indexPut(stream, prev, msg)
@@ -758,9 +771,12 @@ final class FakeTransport(server: FakeJetStreamServer) extends JetStreamTranspor
   }
 
   override def publish(stream: String, subject: String, tsNs: Long,
-                       payload: Array[Byte], msgId: String): Long = {
+                       payload: Array[Byte], msgId: String,
+                       headers: Map[String, String] = Map.empty,
+                       expectLastSubjectSeq: Option[Long] = None): Long = {
     count()
-    server.publishAppend(stream, subject, tsNs, payload, msgId)
+    server.publishAppend(stream, subject, tsNs, payload, msgId, headers,
+      expectLastSubjectSeq)
   }
 
   override def purgeSubject(stream: String, filter: String,

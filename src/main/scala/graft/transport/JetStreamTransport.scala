@@ -137,9 +137,20 @@ trait JetStreamTransport extends AutoCloseable {
     * returning the original sequence — THE JetStream mechanism that makes a
     * replayed sink epoch exactly-once (docs/LIVE_NATS.md "Offsets, replay,
     * exactly-once"). The reference engine is read-only; this is the write
-    * direction it lacks. */
+    * direction it lacks.
+    *
+    * `headers` are arbitrary app headers stored WITH the message and
+    * returned on every read path (the KV layer's `KV-Operation` markers
+    * ride here). `expectLastSubjectSeq` is JetStream's per-subject
+    * compare-and-set (`Nats-Expected-Last-Subject-Sequence`): the publish
+    * succeeds only if the SUBJECT's current last sequence equals the
+    * expectation (0 = "subject must not exist yet"); otherwise
+    * [[NatsWrongLastSequenceException]] — optimistic concurrency with
+    * zero read-modify-write races, the primitive under KV create/update. */
   def publish(stream: String, subject: String, tsNs: Long,
-              payload: Array[Byte], msgId: String): Long
+              payload: Array[Byte], msgId: String,
+              headers: Map[String, String] = Map.empty,
+              expectLastSubjectSeq: Option[Long] = None): Long
 
   /** PIPELINED publish — the jnats `publishAsync` shape: all entries ship
     * before any PubAck is awaited, so a batch costs ~1 round-trip instead
@@ -159,12 +170,16 @@ trait JetStreamTransport extends AutoCloseable {
 
 /** One pipelined-publish entry ([[JetStreamTransport.publishBatch]]). */
 final case class PublishEntry(subject: String, tsNs: Long,
-                              payload: Array[Byte], msgId: String)
+                              payload: Array[Byte], msgId: String,
+                              headers: Map[String, String] = Map.empty)
 
 /** One message as the wire returns it: raw ns publish time (the envelope's
-  * µs ts_nats truncation happens at the scan, same as the parquet path). */
+  * µs ts_nats truncation happens at the scan, same as the parquet path);
+  * `headers` are the stored app headers (transport-reserved Nats-* keys
+  * stripped). */
 final case class TransportMsg(subject: String, seq: Long, tsNs: Long,
-                              payload: Array[Byte])
+                              payload: Array[Byte],
+                              headers: Map[String, String] = Map.empty)
 
 /** One subject's index entry: message count (StreamInfo subjects map) and
   * the subject's current last sequence. */
@@ -189,6 +204,14 @@ final class NatsStreamNotFoundException(msg: String) extends RuntimeException(ms
   * the slice, which is safe because slices are deterministic seq ranges
   * (docs/LIVE_NATS.md "Failure semantics"). */
 final class NatsIOException(msg: String) extends RuntimeException(msg)
+
+/** Per-subject compare-and-set failure (JetStream err_code 10071, "wrong
+  * last sequence"): the subject's current last seq did not match the
+  * publish's `Nats-Expected-Last-Subject-Sequence`. Deliberately NOT a
+  * [[NatsIOException]] — retrying the same expectation can never succeed;
+  * callers re-read and re-decide (optimistic-concurrency contract). */
+final class NatsWrongLastSequenceException(msg: String, val currentSeq: Long)
+    extends RuntimeException(msg)
 
 /** NOBODY answers the request subject (server 503 status — e.g. JetStream
   * disabled, so nothing subscribes to `$JS.>`). A CONFIGURATION error:

@@ -161,10 +161,12 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
       out.write('\r'); out.write('\n')
     }
 
-    /** deliver a headered message to a subscribed subject (reply inboxes) */
+    /** deliver a headered message to a subscribed subject (reply inboxes);
+      * `sidOverride` routes by an explicit sid when the frame's subject is
+      * DATA, not the subscription key (the MSG.NEXT delivery shape) */
     def hmsg(subject: String, reply: Option[String], headers: String,
-             payload: Array[Byte]): Unit =
-      subs.get(subject).foreach { sid =>
+             payload: Array[Byte], sidOverride: Option[Long] = None): Unit =
+      sidOverride.orElse(subs.get(subject)).foreach { sid =>
         val h = headers.getBytes(UTF_8)
         val head = s"HMSG $subject $sid${reply.fold("")(" " + _)} " +
           s"${h.length} ${h.length + payload.length}\r\n"
@@ -402,8 +404,10 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
     reply.foreach(r => conn.msg(r, None, json.getBytes(UTF_8)))
 
   private def errJson(conn: Conn, reply: Option[String], code: Int,
-                      desc: String): Unit =
-    okJson(conn, reply, s"""{"error":{"code":$code,"description":"$desc"}}""")
+                      desc: String, errCode: Int = 0): Unit =
+    okJson(conn, reply, s"""{"error":{"code":$code${
+      if (errCode != 0) s""","err_code":$errCode""" else ""
+    },"description":"$desc"}}""")
 
   private def status(conn: Conn, reply: String, code: Int, desc: String): Unit =
     conn.hmsg(reply, None, s"NATS/1.0 $code $desc\r\n\r\n", Array.emptyByteArray)
@@ -414,14 +418,20 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
     java.time.format.DateTimeFormatter.ISO_INSTANT.format(i)
   }
 
+  private def customHeaderLines(m: TransportMsg): String =
+    m.headers.map { case (k, v) => s"$k: $v\r\n" }.mkString
+
   private def deliverDirect(conn: Conn, reply: String, m: TransportMsg): Unit =
     conn.hmsg(reply, None,
       s"NATS/1.0\r\nNats-Subject: ${m.subject}\r\nNats-Sequence: ${m.seq}\r\n" +
-        s"Nats-Time-Stamp: ${rfc3339(m.tsNs)}\r\n\r\n", m.payload)
+        s"Nats-Time-Stamp: ${rfc3339(m.tsNs)}\r\n" + customHeaderLines(m) +
+        "\r\n", m.payload)
 
   /** MSG.NEXT delivery: the frame carries the message's ORIGINAL subject
     * (protocol routing is by SID, not subject — the subject field is data),
-    * the `$JS.ACK` reply subject carries the metadata. */
+    * the `$JS.ACK` reply subject carries the metadata. A message with
+    * stored app headers rides HMSG (a real server delivers headers this
+    * way); headerless messages keep the plain MSG frame. */
   private def deliverNext(conn: Conn, replyInbox: String, stream: String,
                           consumer: String, m: TransportMsg): Unit =
     conn.subs.get(replyInbox).foreach { sid =>
@@ -431,8 +441,13 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
         if (ackV2)
           s"$$JS.ACK.graftdom.acchash.$stream.$consumer.1.${m.seq}.${m.seq}.${m.tsNs}.0.rnd${connSeq.incrementAndGet()}"
         else s"$$JS.ACK.$stream.$consumer.1.${m.seq}.${m.seq}.${m.tsNs}.0"
-      conn.writeRaw(s"MSG ${m.subject} $sid $ack ${m.payload.length}\r\n",
-        m.payload)
+      if (m.headers.nonEmpty)
+        conn.hmsg(m.subject, Some(ack),
+          "NATS/1.0\r\n" + customHeaderLines(m) + "\r\n", m.payload,
+          sidOverride = Some(sid))
+      else
+        conn.writeRaw(s"MSG ${m.subject} $sid $ack ${m.payload.length}\r\n",
+          m.payload)
     }
 
   private def handlePub(conn: Conn, subject: String, reply: Option[String],
@@ -456,8 +471,20 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
           .getOrElse(System.currentTimeMillis() * 1000000L)
         val msgId = headers.getOrElse("Nats-Msg-Id",
           s"auto-${connSeq.incrementAndGet()}")
-        val seq = backing.publishAppend(stream, subject, tsNs, payload, msgId)
-        okJson(conn, reply, s"""{"stream":"$stream","seq":$seq}""")
+        val expect = headers.get("Nats-Expected-Last-Subject-Sequence")
+          .map(_.toLong)
+        // app headers are stored with the message; transport bookkeeping
+        // keys are not (same reserved list the client strips on reads)
+        val app = headers -- NatsWireClient.ReservedHeaders
+        try {
+          val seq = backing.publishAppend(stream, subject, tsNs, payload,
+            msgId, app, expect)
+          okJson(conn, reply, s"""{"stream":"$stream","seq":$seq}""")
+        } catch {
+          case e: NatsWrongLastSequenceException =>
+            // the server's PubAck error shape for err_code 10071
+            errJson(conn, reply, 400, e.getMessage, errCode = 10071)
+        }
       case None => () // plain core-NATS publish with no JetStream binding
     }
   }

@@ -493,6 +493,7 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
         hdrs(i) = ("NATS/1.0\r\n" +
           s"Nats-Msg-Id: ${e.msgId}\r\n" +
           s"Nats-Expected-Stream: $stream\r\n" +
+          customHeaderLines(e.headers) +
           s"Graft-Pub-Time: ${e.tsNs}\r\n\r\n").getBytes(UTF_8)
         requirePayloadFits(e.subject, hdrs(i).length.toLong + e.payload.length)
         i += 1
@@ -674,7 +675,8 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
       val i = java.time.Instant.parse(iso)
       i.getEpochSecond * 1000000000L + i.getNano
     }.getOrElse(0L)
-    TransportMsg(subject, seq, tsNs, m.payload)
+    TransportMsg(subject, seq, tsNs, m.payload,
+      m.headers -- NatsWireClient.ReservedHeaders)
   }
 
   override def directGet(stream: String, seq: Long): Option[TransportMsg] = {
@@ -772,7 +774,8 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
         resp.filter(_.status == 0).map { m =>
           val (sseq, tsNs) = m.reply.map(ackMeta).getOrElse((0L, 0L))
           lastSeen = math.max(lastSeen, sseq)
-          TransportMsg(m.subject, sseq, tsNs, m.payload)
+          TransportMsg(m.subject, sseq, tsNs, m.payload,
+            m.headers -- NatsWireClient.ReservedHeaders)
         }.toArray
       }
       override def close(): Unit = {
@@ -887,7 +890,8 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
       val (sseq, tsNs) = m.reply.map(ackMeta).getOrElse((0L, 0L))
       if (sseq <= maxSeq) {
         m.reply.foreach(r => ackSubjects.put((stream, group, sseq), r))
-        out += TransportMsg(m.subject, sseq, tsNs, m.payload)
+        out += TransportMsg(m.subject, sseq, tsNs, m.payload,
+          m.headers -- NatsWireClient.ReservedHeaders)
       } else
         // claimed past the member's window (a server that ignored max_seq):
         // DELAYED NAK — the public `-NAK {"delay": ns}` ack payload — parks
@@ -934,11 +938,27 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     fire(s"PUB $subj 4\r\n+ACK\r\n")
   }
 
+  /** custom app headers as wire lines — keys/values must be header-legal
+    * (no CR/LF; a corrupted header would desync the whole connection) */
+  private def customHeaderLines(headers: Map[String, String]): String =
+    headers.map { case (k, v) =>
+      require(!k.exists(c => c == '\r' || c == '\n' || c == ':') && k.nonEmpty,
+        s"illegal header name '$k'")
+      require(!v.exists(c => c == '\r' || c == '\n'),
+        s"illegal header value for '$k'")
+      s"$k: $v\r\n"
+    }.mkString
+
   override def publish(stream: String, subject: String, tsNs: Long,
-                       payload: Array[Byte], msgId: String): Long = {
+                       payload: Array[Byte], msgId: String,
+                       headers: Map[String, String] = Map.empty,
+                       expectLastSubjectSeq: Option[Long] = None): Long = {
     val hdr = ("NATS/1.0\r\n" +
       s"Nats-Msg-Id: $msgId\r\n" +
       s"Nats-Expected-Stream: $stream\r\n" +
+      expectLastSubjectSeq.fold("")(e =>
+        s"Nats-Expected-Last-Subject-Sequence: $e\r\n") +
+      customHeaderLines(headers) +
       s"Graft-Pub-Time: $tsNs\r\n\r\n").getBytes(UTF_8)
     val resp = withLane { l =>
       l.requirePayloadFits(subject, hdr.length.toLong + payload.length)
@@ -950,7 +970,18 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     if (resp.head.status != 0) // a PubAck is JSON, never a status frame
       throw new NatsIOException(s"publish: status ${resp.head.status}")
     val ack = mapper.readTree(new String(resp.head.payload, UTF_8))
-    apiError(ack).foreach(e => throw new NatsIOException(s"publish failed: $e"))
+    apiError(ack).foreach { e =>
+      // the per-subject CAS failure is a DISTINCT, non-retryable outcome
+      // (err_code 10071) — callers re-read and re-decide
+      val node = mapper.readTree(new String(resp.head.payload, UTF_8))
+      val errCode = Option(node.get("error"))
+        .flatMap(n => Option(n.get("err_code"))).map(_.asInt)
+      if (errCode.contains(10071) || e.contains("wrong last sequence")) {
+        val cur = "\\d+".r.findFirstIn(e).map(_.toLong).getOrElse(-1L)
+        throw new NatsWrongLastSequenceException(e, cur)
+      }
+      throw new NatsIOException(s"publish failed: $e")
+    }
     ack.get("seq").asLong
   }
 
@@ -968,6 +999,16 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
 }
 
 object NatsWireClient {
+  /** header keys owned by the transport layer (publish bookkeeping +
+    * DirectGet envelope) — stripped from the app-visible
+    * [[TransportMsg.headers]] on every read path, and excluded from
+    * storage on the fixture server's publish path (one list, both sides,
+    * so a custom header can never shadow transport metadata) */
+  val ReservedHeaders: Set[String] = Set(
+    "Nats-Subject", "Nats-Sequence", "Nats-Time-Stamp", "Nats-Stream",
+    "Nats-Msg-Id", "Nats-Expected-Stream",
+    "Nats-Expected-Last-Subject-Sequence", "Graft-Pub-Time")
+
   /** socket-lane cap per client — per (url, credentials) per JVM via
     * [[TransportPool]]; 8 lanes keep 32 local slice readers busy without
     * the per-connection server cost of one socket per task. Tunable via

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.transport._
+
+/** `nats_kv` DSv2 surface: current-state scans over the per-subject index,
+  * key pushdown, and the write direction. */
+class KvStoreSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val url = "nats://kvsource-spec:4222"
+  private lazy val server: FakeJetStreamServer = FakeJetStream.listen(url)
+
+  private def kv(bucket: String, history: Int = 4) = {
+    server
+    new KvStore(Transport.connect(url), bucket, history)
+  }
+
+  private def read(bucket: String, opts: Map[String, String] = Map.empty) = {
+    server
+    val b = spark.read.format("nats_kv").option("url", url)
+      .option("bucket", bucket)
+    opts.foldLeft(b) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  test("current-state scan: one row per live key, latest revision wins") {
+    val store = kv("scan")
+    (0 until 20).foreach(i => store.put(s"k$i", s"v$i".getBytes(UTF_8), i.toLong))
+    store.put("k3", "v3-new".getBytes(UTF_8), 100L) // update
+    store.delete("k5", 101L)                        // tombstone
+    val df = read("scan")
+    assert(df.count() == 19L)
+    val r = df.filter(col("key") === "k3")
+      .selectExpr("CAST(value AS STRING) AS v", "revision").collect()(0)
+    assert(r.getString(0) == "v3-new")
+    assert(r.getLong(1) == store.get("k3").get.revision)
+    assert(read("scan").filter(col("key") === "k5").count() == 0L)
+  }
+
+  test("key pushdown: = and IN collapse to targeted lookups; prefix filters") {
+    val store = kv("push")
+    Seq("app.a", "app.b", "sys.c").foreach(k =>
+      store.put(k, k.getBytes(UTF_8), 1L))
+    val point = read("push").filter(col("key") === "app.a").select("key")
+    assert(point.rdd.getNumPartitions == 1)
+    assert(point.collect().map(_.getString(0)).toSeq == Seq("app.a"))
+    val in = read("push").filter(col("key").isin("app.b", "missing"))
+    assert(in.rdd.getNumPartitions == 1 && in.count() == 1L)
+    val pre = read("push").filter(col("key").startsWith("app."))
+      .select("key").collect().map(_.getString(0)).sorted
+    assert(pre.toSeq == Seq("app.a", "app.b"))
+  }
+
+  test("write direction: df.write puts rows; history option bounds revisions") {
+    import spark.implicits._
+    server
+    val df = (0 until 12).map(i => (s"w${i % 4}", s"v$i".getBytes(UTF_8)))
+      .toDF("key", "value")
+    df.coalesce(1).write.format("nats_kv").option("url", url)
+      .option("bucket", "wrt").option("history", "2").mode("append").save()
+    val store = kv("wrt")
+    assert(store.keys().sorted == Seq("w0", "w1", "w2", "w3"))
+    // 4 keys × history 2 = 8 retained messages, regardless of 12 writes
+    assert(Transport.connect(url).streamInfo(store.stream).messages == 8L)
+    // read-back through the scan matches the facade
+    val back = read("wrt").selectExpr("key", "CAST(value AS STRING) AS v")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back == store.entries().map(e => e.key -> e.valueUtf8).toMap)
+  }
+
+  test("bind validation: url/bucket required, shards/history bounded") {
+    def load(opts: Map[String, String]) = {
+      val b = spark.read.format("nats_kv")
+      opts.foldLeft(b) { case (r, (k, v)) => r.option(k, v) }.load()
+    }
+    assert(intercept[Exception](load(Map("bucket" -> "b")))
+      .getMessage.contains("'url' option required"))
+    assert(intercept[Exception](load(Map("url" -> url)))
+      .getMessage.contains("'bucket' option required"))
+    assert(intercept[Exception](load(Map("url" -> url, "bucket" -> "b",
+      "shards" -> "0"))).getMessage.contains("shards must be >= 1"))
+    assert(intercept[Exception](load(Map("url" -> url, "bucket" -> "b",
+      "history" -> "65"))).getMessage.contains("history must be in [0, 64]"))
+  }
+}
