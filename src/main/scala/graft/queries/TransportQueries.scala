@@ -171,6 +171,46 @@ object TransportQueries {
       url
     })
 
+  private val kvFixtures = new ConcurrentHashMap[String, String]()
+
+  /** The `kvdocs` KV bucket on `dir`'s fixture server, with a
+    * DETERMINISTIC final state the oracle can recompute from the parquet
+    * truth: pass 1 puts every document under key `doc/<id>`; pass 2
+    * UPDATES ids ≡ 0 (mod 10) to `text || ' v2'`; pass 3 DELETES ids ≡ 0
+    * (mod 17). Passes are sequential Spark jobs (per-key write order
+    * holds), writes run from executor tasks, history unlimited (no trim
+    * RPC — the current-state queries read the per-subject index either
+    * way). */
+  def kvFixtureUrl(s: SparkSession, dir: String): String =
+    kvFixtures.computeIfAbsent(dir, _ => {
+      val url = fixtureUrl(s, dir)
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      def store() = new graft.transport.KvStore(
+        graft.transport.Transport.connect(url), "kvdocs", maxHistory = 0)
+      docs.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        FakeJetStream.listen(url)
+        val kv = store()
+        it.foreach(r => kv.put(s"doc/${r.getLong(0)}",
+          r.getString(1).getBytes("UTF-8"), r.getLong(0) * 1000L))
+      }
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          FakeJetStream.listen(url)
+          val kv = store()
+          it.foreach(r => kv.put(s"doc/${r.getLong(0)}",
+            (r.getString(1) + " v2").getBytes("UTF-8"),
+            r.getLong(0) * 1000L + 1L))
+        }
+      docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          FakeJetStream.listen(url)
+          val kv = store()
+          it.foreach(r => kv.delete(s"doc/${r.getLong(0)}", 9e15.toLong))
+        }
+      url
+    })
+
   private val wireFixtures = new ConcurrentHashMap[String, String]()
 
   /** URL of a REAL loopback-socket [[graft.transport.MiniNatsServer]]
@@ -428,6 +468,31 @@ object TransportQueries {
         .select(col("name"), col("size"), col("digest"), col("mtime_ns"))
         .orderBy("name")),
 
+    // KV CURRENT STATE through the nats_kv source: one row per live key
+    // served from the per-subject index (O(keys) at any write depth) —
+    // the fixture's update and delete passes make the oracle substantive:
+    // an updated key must show its v2 content, a deleted key must be
+    // ABSENT (marker filtering), and both are recomputed from parquet
+    "transport_kv_state" -> ((s, dir) =>
+      s.read.format("nats_kv")
+        .option("url", kvFixtureUrl(s, dir))
+        .option("bucket", "kvdocs").option("shards", "8")
+        .load()
+        .select(col("key"), md5(col("value")).as("content_md5"),
+          length(col("value")).as("len"))
+        .orderBy("key")),
+
+    // targeted KV lookups: key IN (...) collapses to index point reads
+    // (one partition, no namespace paging); doc/34 is deleted → absent
+    "transport_kv_point" -> ((s, dir) =>
+      s.read.format("nats_kv")
+        .option("url", kvFixtureUrl(s, dir))
+        .option("bucket", "kvdocs")
+        .load()
+        .filter(col("key").isin("doc/1", "doc/20", "doc/34"))
+        .select(col("key"), md5(col("value")).as("content_md5"))
+        .orderBy("key")),
+
     // the LANDING-ZONE shape: binary bucket objects feed the text pipeline
     // directly — chunk-reassembled bytes decode to text and flow through
     // the SAME token/length operators the parquet corpus uses (one engine
@@ -591,6 +656,22 @@ object TransportQueries {
            |   '=') AS digest,
            | CAST(doc_id AS BIGINT) AS mtime_ns
            | FROM documents ORDER BY name""".stripMargin,
+
+      "transport_kv_state" ->
+        """WITH cur AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS v
+          |  FROM documents WHERE doc_id % 17 <> 0)
+          | SELECT 'doc/' || CAST(doc_id AS VARCHAR) AS key,
+          |  md5(v) AS content_md5,
+          |  CAST(octet_length(encode(v)) AS INTEGER) AS len
+          | FROM cur ORDER BY key""".stripMargin,
+
+      "transport_kv_point" ->
+        """SELECT 'doc/' || CAST(doc_id AS VARCHAR) AS key,
+          | md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END)
+          |   AS content_md5
+          | FROM documents WHERE doc_id IN (1, 20) ORDER BY key""".stripMargin,
 
       "transport_obj_pipeline" ->
         """SELECT doc_id % 7 AS bucket, count(*) AS n_docs,
