@@ -444,6 +444,55 @@ object TransportScaleProbe {
       println(f"$r%9d $cwall%8.2f $cmsgs%12d ${512.0 * (r + 1) / cwall}%11.1f")
     }
 
+    // --- KV bucket sweep (nats_kv DSv2, round 10) -----------------------
+    // Claims: the current-state scan is O(live keys) — RPCs track the key
+    // count, never the write count (history trims keep the stream at
+    // keys × history); a key point lookup is O(1) at every bucket size;
+    // storage stays bounded under update churn (the require).
+    println()
+    println("kv bucket sweep (history=1, 25% of keys updated 4x), shards=8:")
+    println(f"${"keys"}%8s ${"scan_wall_s"}%12s ${"scan_rpcs"}%10s " +
+      f"${"keys_per_s"}%11s ${"point_rpcs"}%11s ${"stream_msgs"}%12s")
+    Seq(4096, 16384, 65536).foreach { nKeys =>
+      val kurl = s"nats://transport-scale-probe-kv-$nKeys:4222"
+      val ksrv = FakeJetStream.listen(kurl)
+      val kstore = new graft.transport.KvStore(
+        graft.transport.Transport.connect(kurl), s"kprobe$nKeys", 1)
+      val kpayload = Array.tabulate[Byte](256)(i => (i % 251).toByte)
+      var ki = 0
+      while (ki < nKeys) {
+        kstore.put(f"key/$ki%06d", kpayload, ki.toLong); ki += 1
+      }
+      var pass = 0
+      while (pass < 4) { // churn: rewrite a quarter of the keyspace
+        ki = 0
+        while (ki < nKeys / 4) {
+          kstore.put(f"key/${ki * 4}%06d", kpayload, (pass * nKeys + ki).toLong)
+          ki += 1
+        }
+        pass += 1
+      }
+      val kmsgs = graft.transport.Transport.connect(kurl)
+        .streamInfo(kstore.stream).messages
+      require(kmsgs == nKeys.toLong,
+        s"kv churn leaked storage: $kmsgs messages for $nKeys keys @ history=1")
+      def kread = spark.read.format("nats_kv").option("url", kurl)
+        .option("bucket", s"kprobe$nKeys").option("shards", "8").load()
+      val k0 = ksrv.rpcCountTotal
+      val kt0 = System.nanoTime()
+      val kRows = kread.select("key", "revision").collect().length
+      val kWall = (System.nanoTime() - kt0) / 1e9
+      val kRpcs = ksrv.rpcCountTotal - k0
+      require(kRows == nKeys, s"kv sweep lost rows: $kRows of $nKeys")
+      val kp0 = ksrv.rpcCountTotal
+      val pointRows = kread.filter(col("key") === f"key/${nKeys / 2}%06d")
+        .select("key").collect().length
+      val kPointRpcs = ksrv.rpcCountTotal - kp0
+      require(pointRows == 1, s"kv point lookup got $pointRows rows")
+      println(f"$nKeys%8d $kWall%12.2f $kRpcs%10d ${nKeys / kWall}%11.1f " +
+        f"$kPointRpcs%11d $kmsgs%12d")
+    }
+
     Seq(16384L, 65536L, 262144L).foreach { m =>
       val gurl = s"nats://transport-scale-probe-grp-$m:4222"
       val gsrv = FakeJetStream.listen(gurl)
