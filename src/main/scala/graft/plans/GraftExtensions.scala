@@ -259,5 +259,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftSql.logicalPlan(spark.read.format("nats_obj")
           .options(opts + ("bucket" -> strs.head)).load())
       }))
+
+    // KV TVF: `FROM nats_kv('bucket', 'url', …)` — current-state scan as
+    // the same DSv2 relation `format("nats_kv")` builds (key =/IN/prefix
+    // pushdown included); grammar identical to the other two TVFs
+    ext.injectTableFunction((
+      new FunctionIdentifier("nats_kv"),
+      new ExpressionInfo(classOf[graft.sources.KvStoreSource].getName,
+        "nats_kv"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression
+        import org.apache.spark.sql.types._
+        def litScalar(e: Expression, arg: String): String = e match {
+          case Literal(s: UTF8String, StringType) => s.toString
+          case Literal(v, ByteType | ShortType | IntegerType | LongType) =>
+            v.toString
+          case Literal(v, BooleanType) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"$arg must be a string/integer/boolean literal (bind-time " +
+              s"parameter), got $other")
+        }
+        val (named, positional) = args.partition(_.isInstanceOf[NamedArgumentExpression])
+        require(positional.nonEmpty && positional.length % 2 == 1,
+          "nats_kv('bucket'[, 'key', 'value']..., [key => value]...) " +
+            "takes a bucket name, then option key/value pairs (string " +
+            "literals) and/or named arguments")
+        val strs = positional.zipWithIndex.map { case (e, i) =>
+          litString(e, if (i == 0) "bucket" else s"argument ${i + 1}")
+        }
+        val pairOpts = strs.tail.grouped(2).map { case Seq(k, v) => k -> v }.toMap
+        val opts = pairOpts ++
+          named.map { case NamedArgumentExpression(key, value) =>
+            require(!pairOpts.contains(key),
+              s"nats_kv: option '$key' given both as a positional pair " +
+                "and a named argument")
+            key -> litScalar(value, s"named argument '$key'")
+          }
+        val spark = org.apache.spark.sql.SparkSession.active
+        GraftSql.logicalPlan(spark.read.format("nats_kv")
+          .options(opts + ("bucket" -> strs.head)).load())
+      }))
   }
 }

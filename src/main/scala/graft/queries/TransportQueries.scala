@@ -493,6 +493,14 @@ object TransportQueries {
         .select(col("key"), md5(col("value")).as("content_md5"))
         .orderBy("key")),
 
+    // KV SQL face (`FROM nats_kv(...)`): the LIKE prefix reaches the scan
+    // as a pushed startswith, same DSv2 relation as the DataFrame read
+    "transport_kv_sql" -> ((s, dir) => s.sql(
+      s"""SELECT key, md5(value) AS content_md5
+         |FROM nats_kv('kvdocs', 'url', '${kvFixtureUrl(s, dir)}', shards => 4)
+         |WHERE key LIKE 'doc/2%'
+         |ORDER BY key""".stripMargin)),
+
     // the LANDING-ZONE shape: binary bucket objects feed the text pipeline
     // directly — chunk-reassembled bytes decode to text and flow through
     // the SAME token/length operators the parquet corpus uses (one engine
@@ -672,6 +680,14 @@ object TransportQueries {
           | md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END)
           |   AS content_md5
           | FROM documents WHERE doc_id IN (1, 20) ORDER BY key""".stripMargin,
+
+      "transport_kv_sql" ->
+        """SELECT 'doc/' || CAST(doc_id AS VARCHAR) AS key,
+          | md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END)
+          |   AS content_md5
+          | FROM documents WHERE doc_id % 17 <> 0
+          |   AND ('doc/' || CAST(doc_id AS VARCHAR)) LIKE 'doc/2%'
+          | ORDER BY key""".stripMargin,
 
       "transport_obj_pipeline" ->
         """SELECT doc_id % 7 AS bucket, count(*) AS n_docs,

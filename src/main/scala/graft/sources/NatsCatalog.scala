@@ -68,30 +68,35 @@ final class NatsCatalog extends TableCatalog with SupportsNamespaces {
       (native.toSeq ++ fixture).distinct.sorted
   }
 
-  /** OBJECT-STORE namespace (`nats.obj.<bucket>`): buckets are the OBJ_*
-    * streams, served as [[ObjectStoreTable]]s — `SHOW TABLES IN nats.obj`
-    * is bucket discovery, `spark.table("nats.obj.docs")` the bucket scan,
-    * `df.writeTo("nats.obj.docs").append()` the put direction. The WATCH
-    * stays on `readStream.format("nats_obj")`: its schema is decided by
-    * table-level options (watch/watch_data), which a catalog lookup
-    * cannot carry. Live servers only: a directory store has no object
-    * layer. */
+  /** MATERIALIZED-API namespaces (`nats.obj.<bucket>` / `nats.kv.<bucket>`):
+    * buckets are the `OBJ_`- / `KV_`-prefixed streams, served as [[ObjectStoreTable]] /
+    * [[KvStoreTable]] — `SHOW TABLES IN nats.obj|nats.kv` is bucket
+    * discovery, `spark.table("nats.obj.docs")` / `spark.table("nats.kv.cfg")`
+    * the current-state scans, `df.writeTo(...).append()` the put
+    * directions. The object WATCH stays on `readStream.format("nats_obj")`:
+    * its schema is decided by table-level options (watch/watch_data),
+    * which a catalog lookup cannot carry. Live servers only: a directory
+    * store has no materialized layers. */
   private def objMode: Boolean = options.contains("url")
   private def isObjNs(ns: Array[String]): Boolean =
     ns.length == 1 && ns(0).equalsIgnoreCase("obj")
-  private def buckets(): Seq[String] =
-    streams().filter(_.startsWith("OBJ_")).map(_.stripPrefix("OBJ_"))
+  private def isKvNs(ns: Array[String]): Boolean =
+    ns.length == 1 && ns(0).equalsIgnoreCase("kv")
+  private def buckets(prefix: String): Seq[String] =
+    streams().filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
 
   /** tables live in the catalog's root namespace (`nats.events`) or, in
-    * url mode, the `obj` bucket namespace */
+    * url mode, the `obj`/`kv` bucket namespaces */
   private def checkNs(ns: Array[String]): Unit =
-    if (ns.nonEmpty && !(objMode && isObjNs(ns)))
+    if (ns.nonEmpty && !(objMode && (isObjNs(ns) || isKvNs(ns))))
       throw new NoSuchNamespaceException(ns)
 
   override def listTables(ns: Array[String]): Array[Identifier] = {
     checkNs(ns)
     if (objMode && isObjNs(ns))
-      buckets().map(b => Identifier.of(ns, b)).toArray
+      buckets("OBJ_").map(b => Identifier.of(ns, b)).toArray
+    else if (objMode && isKvNs(ns))
+      buckets("KV_").map(b => Identifier.of(ns, b)).toArray
     else
       streams().map(s => Identifier.of(Array.empty, s)).toArray
   }
@@ -99,9 +104,13 @@ final class NatsCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     checkNs(ident.namespace())
     if (objMode && isObjNs(ident.namespace())) {
-      if (!buckets().contains(ident.name()))
+      if (!buckets("OBJ_").contains(ident.name()))
         throw new NoSuchTableException(ident)
       new ObjectStoreTable(options + ("bucket" -> ident.name()))
+    } else if (objMode && isKvNs(ident.namespace())) {
+      if (!buckets("KV_").contains(ident.name()))
+        throw new NoSuchTableException(ident)
+      new KvStoreTable(options + ("bucket" -> ident.name()))
     } else {
       if (!streams().contains(ident.name()))
         throw new NoSuchTableException(ident)
@@ -112,7 +121,9 @@ final class NatsCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     (ident.namespace().isEmpty && streams().contains(ident.name())) ||
       (objMode && isObjNs(ident.namespace()) &&
-        buckets().contains(ident.name()))
+        buckets("OBJ_").contains(ident.name())) ||
+      (objMode && isKvNs(ident.namespace()) &&
+        buckets("KV_").contains(ident.name()))
 
   private def unsupported(op: String): Nothing =
     throw new UnsupportedOperationException(
@@ -131,14 +142,14 @@ final class NatsCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(from: Identifier, to: Identifier): Unit =
     unsupported("RENAME TABLE")
 
-  // --- SupportsNamespaces: the root plus (url mode) the `obj` buckets ---
+  // --- SupportsNamespaces: the root plus (url mode) obj/kv buckets ---
   override def listNamespaces(): Array[Array[String]] =
-    if (objMode) Array(Array("obj")) else Array.empty
+    if (objMode) Array(Array("obj"), Array("kv")) else Array.empty
   override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
     checkNs(ns); Array.empty
   }
   override def namespaceExists(ns: Array[String]): Boolean =
-    ns.isEmpty || (objMode && isObjNs(ns))
+    ns.isEmpty || (objMode && (isObjNs(ns) || isKvNs(ns)))
   override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
     checkNs(ns); util.Collections.emptyMap()
   }

@@ -268,4 +268,29 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e3.getMessage.contains("shards must be >= 1"), e3.getMessage)
   }
+
+  test("FROM nats_kv(...) — the KV current-state scan's SQL face") {
+    val url = "nats://graftext-kv:4222"
+    graft.transport.FakeJetStream.listen(url)
+    val kv = new graft.transport.KvStore(
+      graft.transport.Transport.connect(url), "sqlkv", maxHistory = 2)
+    (0 until 9).foreach(i => kv.put(s"k$i", s"v$i".getBytes("UTF-8"), i.toLong))
+    kv.put("k1", "v1b".getBytes("UTF-8"), 10L)
+    kv.delete("k2", 11L)
+    val viaSql = spark.sql(
+      s"""SELECT key, CAST(value AS STRING) AS v
+         |FROM nats_kv('sqlkv', 'url', '$url', shards => 4)
+         |ORDER BY key""".stripMargin).collect()
+    assert(viaSql.length == 8) // k2 tombstoned
+    assert(viaSql.find(_.getString(0) == "k1").get.getString(1) == "v1b")
+    val viaApi = spark.read.format("nats_kv").option("url", url)
+      .option("bucket", "sqlkv").option("shards", "4").load()
+      .selectExpr("key", "CAST(value AS STRING) AS v").orderBy("key").collect()
+    assert(viaSql.toSeq == viaApi.toSeq)
+    // key pushdown through SQL: point lookup plans one partition
+    val point = spark.sql(
+      s"SELECT key FROM nats_kv('sqlkv', 'url', '$url') WHERE key = 'k3'")
+    assert(point.rdd.getNumPartitions == 1)
+    assert(point.collect().map(_.getString(0)).toSeq == Seq("k3"))
+  }
 }

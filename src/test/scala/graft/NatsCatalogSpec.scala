@@ -112,6 +112,20 @@ class NatsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(os.get("o5"), "UTF-8") == "added")
     assert(spark.table("catobj.obj.docs").count() == 6L)
 
+    // KV namespace rides the same catalog: discovery, scan, write
+    val kv = new graft.transport.KvStore(
+      graft.transport.Transport.connect(url), "cfgkv")
+    kv.put("a", "1".getBytes("UTF-8"), 1L)
+    kv.delete("a", 2L)
+    kv.put("b", "2".getBytes("UTF-8"), 3L)
+    assert(spark.sql("SHOW TABLES IN catobj.kv")
+      .select("tableName").collect().map(_.getString(0)).toSeq == Seq("cfgkv"))
+    assert(spark.table("catobj.kv.cfgkv").select("key")
+      .collect().map(_.getString(0)).toSeq == Seq("b")) // tombstone hidden
+    Seq(("c", "3".getBytes("UTF-8"))).toDF("key", "value")
+      .writeTo("catobj.kv.cfgkv").append()
+    assert(kv.get("c").get.valueUtf8 == "3")
+
     // dir-mode catalogs have no object layer
     spark.conf.set("spark.sql.catalog.catdirx",
       classOf[graft.sources.NatsCatalog].getName)
