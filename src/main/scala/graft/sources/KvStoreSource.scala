@@ -34,7 +34,8 @@ import graft.transport.{KvEntry, KvStore, TransportAuth, TransportPool, Transpor
 class KvStoreSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "nats_kv"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    KvStoreSource.schema
+    if (options.getBoolean("watch", false)) KvStoreSource.watchSchema
+    else KvStoreSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new KvStoreTable(properties.asScala.toMap)
@@ -48,6 +49,15 @@ object KvStoreSource {
     StructField("value", BinaryType, nullable = false),
     StructField("revision", LongType, nullable = false),
     StructField("ts_nats", TimestampType, nullable = false)))
+
+  /** `watch=true` changelog envelope: one row per retained key write in
+    * stream order; `op` = PUT/DEL/PURGE (tombstones carry value = null) */
+  val watchSchema: StructType = StructType(Seq(
+    StructField("revision", LongType, nullable = false),
+    StructField("key", StringType, nullable = false),
+    StructField("value", BinaryType, nullable = true),
+    StructField("ts_nats", TimestampType, nullable = false),
+    StructField("op", StringType, nullable = false)))
 }
 
 final class KvStoreTable(rawProps: Map[String, String])
@@ -75,11 +85,43 @@ final class KvStoreTable(rawProps: Map[String, String])
     tls = props.get("tls"), tlsCaFile = props.get("tls_ca"),
     tlsInsecure = props.get("tls_insecure"))
 
+  private def boolOpt(name: String): Boolean = props.get(name).map {
+    case "true" => true
+    case "false" => false
+    case other => sys.error(s"nats_kv: $name must be 'true' or 'false', got '$other'")
+  }.getOrElse(false)
+  /** changelog mode: streaming watch over the bucket's key writes */
+  private[sources] val watch = boolOpt("watch")
+  private[sources] val watchUpdatesOnly = boolOpt("watch_updates_only")
+  /** watch option: drop DEL/PURGE markers (the clients' IgnoreDeletes) */
+  private[sources] val ignoreDeletes = boolOpt("ignore_deletes")
+  /** watch option: record-level key prefix filter */
+  private[sources] val watchPrefix = props.get("key_prefix")
+  /** watch option: durable ack-floor handoff across unrelated jobs */
+  private[sources] val durable = props.get("durable")
+  /** watch admission control, STREAM-SEQUENCE units */
+  private[sources] val maxPerBatch =
+    props.getOrElse("max_msgs_per_batch", Long.MaxValue.toString).toLong
+  locally {
+    if (maxPerBatch < 1) sys.error(
+      s"nats_kv: max_msgs_per_batch must be >= 1, got $maxPerBatch")
+    if ((watchUpdatesOnly || ignoreDeletes || watchPrefix.isDefined ||
+        durable.isDefined) && !watch) sys.error(
+      "nats_kv: watch_updates_only/ignore_deletes/key_prefix/durable are " +
+        "watch-mode options — add watch=true (the streaming changelog " +
+        "surface)")
+    if (durable.isDefined && watchUpdatesOnly) sys.error(
+      "nats_kv: durable and watch_updates_only are mutually exclusive — " +
+        "a durable resumes at its ack floor; updates_only starts at the " +
+        "current head")
+  }
+
   override def name(): String = s"nats_kv($bucket @ $url)"
-  override def schema(): StructType = KvStoreSource.schema
+  override def schema(): StructType =
+    if (watch) KvStoreSource.watchSchema else KvStoreSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.MICRO_BATCH_READ, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(this)
@@ -92,7 +134,7 @@ final class KvScanBuilder(t: KvStoreTable)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
-  private var required: StructType = KvStoreSource.schema
+  private var required: StructType = t.schema()
   private var exactKeys: Option[Seq[String]] = None
   private var keyPrefix: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
@@ -117,7 +159,7 @@ final class KvScanBuilder(t: KvStoreTable)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required =
       if (requiredSchema.fields.isEmpty)
-        StructType(KvStoreSource.schema.fields.take(1))
+        StructType(t.schema().fields.filter(_.name == "key"))
       else requiredSchema
 
   override def build(): Scan =
@@ -128,7 +170,26 @@ final class KvScan(t: KvStoreTable, required: StructType,
                    exactKeys: Option[Seq[String]], keyPrefix: Option[String])
     extends Scan with Batch {
   override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    if (t.watch) throw new UnsupportedOperationException(
+      "nats_kv: watch=true is the streaming changelog surface " +
+        "(spark.readStream) — batch scans read current state without it")
+    this
+  }
+
+  /** the KV watch: seq-offset micro-batches of the bucket's key writes */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (!t.watch) throw new UnsupportedOperationException(
+      "nats_kv: streaming reads are the bucket watch — add " +
+        "option(\"watch\", \"true\") (the schema becomes the changelog " +
+        "envelope with revision/op columns)")
+    new graft.streaming.KvWatchStream(t.url, t.bucket, required = required,
+      shards = t.shards, updatesOnly = t.watchUpdatesOnly,
+      ignoreDeletes = t.ignoreDeletes, maxPerBatch = t.maxPerBatch,
+      connectTimeoutMs = t.connectTimeoutMs, auth = t.auth,
+      keyPrefix = t.watchPrefix, durable = t.durable)
+  }
   override def description(): String =
     s"nats_kv(${t.bucket}) cols=[${required.fieldNames.mkString(",")}]" +
       exactKeys.map(k => s" keys=${k.mkString("|")}").getOrElse("") +

@@ -82,6 +82,58 @@ class KvStoreSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back == store.entries().map(e => e.key -> e.valueUtf8).toMap)
   }
 
+  test("WATCH: the changelog streams with ops; deletes arrive by default") {
+    import org.apache.spark.sql.streaming.Trigger
+    val store = kv("watch", history = 8)
+    store.put("a", "1".getBytes(UTF_8), 1L)
+    store.put("a", "2".getBytes(UTF_8), 2L)
+    store.put("b", "x".getBytes(UTF_8), 3L)
+    store.delete("a", 4L)
+    val c = java.nio.file.Files.createTempDirectory("graft_kv_watch").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_kv_watch_o").toString
+    def drain(opts: Map[String, String], sink: String, ckpt: String): Unit = {
+      val b = spark.readStream.format("nats_kv").option("url", url)
+        .option("bucket", "watch").option("watch", "true")
+      val q = opts.foldLeft(b) { case (r, (k, v)) => r.option(k, v) }.load()
+        .selectExpr("revision", "key", "CAST(value AS STRING) AS v", "op")
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive, "kv watch did not drain")
+    }
+    drain(Map.empty, out, c)
+    val rows = spark.read.parquet(out).orderBy("revision")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq == Seq(("a", "1", "PUT"), ("a", "2", "PUT"),
+      ("b", "x", "PUT"), ("a", null, "DEL")))
+    // checkpoint resume: only new writes arrive
+    store.put("c", "y".getBytes(UTF_8), 5L)
+    drain(Map.empty, out, c)
+    assert(spark.read.parquet(out).count() == 5L)
+    // ignore_deletes + key_prefix
+    val c2 = java.nio.file.Files.createTempDirectory("graft_kv_watch2").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft_kv_watch_o2").toString
+    drain(Map("ignore_deletes" -> "true", "key_prefix" -> "a"), out2, c2)
+    val rows2 = spark.read.parquet(out2).orderBy("revision")
+      .collect().map(r => (r.getString(1), r.getString(3)))
+    assert(rows2.toSeq == Seq(("a", "PUT"), ("a", "PUT")))
+    // a current-state view downstream: max_by(op/value, revision) per key
+    spark.read.parquet(out).createOrReplaceTempView("kw1")
+    spark.sql("SELECT key, max_by(op, revision) AS op, " +
+        "max_by(v, revision) AS v FROM kw1 GROUP BY key")
+      .createOrReplaceTempView("kwstate")
+    val state = spark.sql(
+      "SELECT key, v FROM kwstate WHERE op = 'PUT' ORDER BY key")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(state.toSeq == Seq(("b", "x"), ("c", "y")))
+    // bind gates
+    val e = intercept[Exception](spark.read.format("nats_kv")
+      .option("url", url).option("bucket", "watch")
+      .option("ignore_deletes", "true").load())
+    assert(e.getMessage.contains("watch-mode options"))
+  }
+
   test("bind validation: url/bucket required, shards/history bounded") {
     def load(opts: Map[String, String]) = {
       val b = spark.read.format("nats_kv")
