@@ -452,7 +452,8 @@ object TransportScaleProbe {
     println()
     println("kv bucket sweep (history=1, 25% of keys updated 4x), shards=8:")
     println(f"${"keys"}%8s ${"scan_wall_s"}%12s ${"scan_rpcs"}%10s " +
-      f"${"keys_per_s"}%11s ${"point_rpcs"}%11s ${"stream_msgs"}%12s")
+      f"${"keys_per_s"}%11s ${"point_rpcs"}%11s ${"stream_msgs"}%12s " +
+      f"${"watch_wall_s"}%13s ${"watch_rpcs"}%11s")
     Seq(4096, 16384, 65536).foreach { nKeys =>
       val kurl = s"nats://transport-scale-probe-kv-$nKeys:4222"
       val ksrv = FakeJetStream.listen(kurl)
@@ -489,8 +490,24 @@ object TransportScaleProbe {
         .select("key").collect().length
       val kPointRpcs = ksrv.rpcCountTotal - kp0
       require(pointRows == 1, s"kv point lookup got $pointRows rows")
+      // WATCH replay of the retained changelog (== keys at history=1)
+      val kwck = java.nio.file.Files.createTempDirectory("probe_kvwatch").toString
+      val kw0 = ksrv.rpcCountTotal
+      val kwt0 = System.nanoTime()
+      val kwq = spark.readStream.format("nats_kv").option("url", kurl)
+        .option("bucket", s"kprobe$nKeys").option("watch", "true")
+        .option("shards", "8").load()
+        .select("revision", "key", "op")
+        .writeStream.format("noop").option("checkpointLocation", kwck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      kwq.awaitTermination(600000)
+      val kwWall = (System.nanoTime() - kwt0) / 1e9
+      val kwRpcs = ksrv.rpcCountTotal - kw0
+      val kwRows = kwq.recentProgress.map(_.numInputRows).sum
+      require(kwRows == nKeys.toLong,
+        s"kv watch replay lost rows: $kwRows of $nKeys")
       println(f"$nKeys%8d $kWall%12.2f $kRpcs%10d ${nKeys / kWall}%11.1f " +
-        f"$kPointRpcs%11d $kmsgs%12d")
+        f"$kPointRpcs%11d $kmsgs%12d $kwWall%13.2f $kwRpcs%11d")
     }
 
     Seq(16384L, 65536L, 262144L).foreach { m =>
