@@ -22,15 +22,16 @@ import graft.transport.{KvEntry, KvStore, TransportAuth, TransportPool, Transpor
   * state as `(key, value, revision, ts_nats)`; the write direction puts
   * `(key, value[, ts_nats])` rows.
   *
-  * 100 TB posture: the scan pages the server's per-subject index — wire
+  * 100 TB posture: the scan pages the server's per-subject index LAZILY
+  * (one 2048-entry page per task in memory, never the shard) — wire
   * volume O(live keys), NEVER O(writes ever made) — across `shards`
   * FNV-1a key shards (independent tasks, same sharding the facade and the
   * message scan's `kv_buckets` use). `key` =/IN pushdown collapses to
-  * targeted index lookups; `startswith(key, p)` becomes the consumer-
-  * filter prefix `$$KV.<bucket>.p*`-style subject walk (applied at the
-  * index, so non-matching keys never cross the wire). Tombstoned keys are
-  * filtered AT THE SERVER PAGE BOUNDARY (marker header check, no value
-  * bytes wasted). */
+  * targeted index lookups (a grammar-invalid pushed key matches zero
+  * rows, it does not error); `startswith(key, p)` narrows the index walk
+  * SERVER-side at the prefix's last complete token boundary
+  * (`$$KV.<bucket>.app.>` for `app.`), the partial-token residual
+  * filtering client-side before values decode. */
 class KvStoreSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "nats_kv"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -249,13 +250,18 @@ final class KvReader(p: InputPartition, required: StructType,
   private def init(): Unit = if (it == null) {
     it = p match {
       case s: KvShardPartition =>
-        val all = TransportRetry.withRetry(store.entries(s.shard, s.nShards))
-        nRpcs += (all.size / KvStore.KeyPage) + 1L
-        all.iterator
+        // LAZY page walk: one 2048-entry index page in task memory at a
+        // time (never the whole shard's values); the prefix narrows the
+        // walk server-side at the last complete token boundary
+        store.entriesIterator(s.shard, s.nShards, keyPrefix,
+          onPage = () => nRpcs += 1L)
       case k: KvKeysPartition =>
         k.keys.iterator.flatMap { key =>
           nRpcs += 1L
-          TransportRetry.withRetry(store.get(key)).iterator
+          // a pushed key the grammar rejects MATCHES NO ROWS — it must
+          // not abort the query (WHERE key = 'a b' is empty, not an error)
+          try TransportRetry.withRetry(store.get(key)).iterator
+          catch { case _: IllegalArgumentException => Iterator.empty }
         }
     }
   }

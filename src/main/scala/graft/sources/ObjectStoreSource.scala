@@ -319,7 +319,10 @@ final class ObjectStoreReader(p: InputPartition, required: StructType,
       case n: ObjectStoreNamesPartition =>
         n.names.iterator.flatMap { nm =>
           nRpcs += 1L
-          TransportRetry.withRetry(store.info(nm)).iterator
+          // a pushed name the facade rejects (e.g. '') matches no rows —
+          // it must not abort the query
+          try TransportRetry.withRetry(store.info(nm)).iterator
+          catch { case _: IllegalArgumentException => Iterator.empty }
         }
     }
   }
@@ -397,8 +400,15 @@ final class ObjectStoreWriteBuilder(t: ObjectStoreTable, info: LogicalWriteInfo)
       override def toBatch: BatchWrite =
         new ObjectStoreBatchWrite(writers, truncateFirst)
       override def toStreaming
-          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        if (truncateFirst) throw new UnsupportedOperationException(
+          "nats_obj: the streaming sink appends per epoch — Complete " +
+            "output mode (per-epoch truncation) would need a bucket purge " +
+            "inside every epoch, which is not transactional over a live " +
+            "stream; use foreachBatch with mode(\"overwrite\") for " +
+            "complete-mode semantics")
         new ObjectStoreStreamingWrite(writers)
+      }
     }
   }
 }

@@ -3,12 +3,12 @@ package graft.streaming
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.metric.CustomTaskMetric
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sources.ScanMetrics
-import graft.transport.{KvStore, NatsStreamNotFoundException, TransportAuth, TransportPool, TransportRetry}
+import graft.transport.{KvStore, TransportAuth, TransportPool, TransportRetry}
 
 /** KV bucket WATCH — the stream face of [[graft.transport.KvStore]] (the
   * NATS client libraries' `KeyValue.Watch`): seq-offset micro-batches of
@@ -32,60 +32,11 @@ final class KvWatchStream(url: String, bucket: String, required: StructType,
                           connectTimeoutMs: Long, auth: TransportAuth,
                           keyPrefix: Option[String],
                           durable: Option[String] = None)
-    extends MicroBatchStream with SupportsTriggerAvailableNow {
+    extends SeqOffsetWatchStream(url, s"KV_$bucket", shards, updatesOnly,
+      maxPerBatch, connectTimeoutMs, auth, durable) {
 
-  private val stream = s"KV_$bucket"
-
-  private def lastSeq: Long =
-    try TransportPool.get(url, connectTimeoutMs, auth).streamInfo(stream).lastSeq
-    catch { case _: NatsStreamNotFoundException => 0L }
-
-  /** Trigger.AvailableNow: drain to the head pinned at prepare time */
-  @volatile private var availableNowCap: Long = -1L
-  private def head: Long =
-    if (availableNowCap >= 0L) availableNowCap else lastSeq
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = lastSeq
-
-  override def initialOffset(): Offset = durable match {
-    case Some(d) => SeqOffset(
-      TransportPool.get(url, connectTimeoutMs, auth).ackFloor(stream, d))
-    case None => SeqOffset(if (updatesOnly) lastSeq else 0L)
-  }
-
-  override def latestOffset(): Offset = SeqOffset(head)
-
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[SeqOffset].seq
-    val capped = if (maxPerBatch > Long.MaxValue - s) Long.MaxValue
-                 else s + maxPerBatch // saturating: never wrap below start
-    SeqOffset(math.min(head, capped))
-  }
-
-  override def reportLatestOffset(): Offset = SeqOffset(head)
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def deserializeOffset(json: String): Offset =
-    SeqOffset(json.trim.toLong)
-
-  override def commit(end: Offset): Unit =
-    durable.foreach { d =>
-      TransportPool.get(url, connectTimeoutMs, auth)
-        .ackAll(stream, d, end.asInstanceOf[SeqOffset].seq)
-    }
-  override def stop(): Unit = ()
-
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val lo = start.asInstanceOf[SeqOffset].seq + 1
-    val hi = end.asInstanceOf[SeqOffset].seq
-    if (hi < lo) Array.empty
-    else {
-      val width = math.max(1L, (hi - lo) / shards + 1L)
-      Iterator.iterate(lo)(_ + width).takeWhile(_ <= hi).map { s =>
-        KvWatchPartition(url, bucket, s, math.min(hi, s + width - 1))
-          : InputPartition
-      }.toArray
-    }
-  }
+  override protected def mkPartition(lo: Long, hi: Long): InputPartition =
+    KvWatchPartition(url, bucket, lo, hi)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KvWatchReaderFactory(required, ignoreDeletes, keyPrefix,

@@ -5,12 +5,12 @@ import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.metric.CustomTaskMetric
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sources.{ObjectStoreSource, ScanMetrics}
-import graft.transport.{NatsStreamNotFoundException, ObjectStore, TransportAuth, TransportPool, TransportRetry}
+import graft.transport.{ObjectStore, TransportAuth, TransportPool, TransportRetry}
 
 /** Bucket WATCH — the object-store analog of the transport live tail (and
   * of the NATS client libraries' public `ObjectStore.Watch` surface): a
@@ -55,80 +55,11 @@ final class ObjectStoreWatchStream(url: String, bucket: String,
                                    auth: TransportAuth,
                                    namePrefix: Option[String],
                                    durable: Option[String] = None)
-    extends MicroBatchStream with SupportsTriggerAvailableNow {
+    extends SeqOffsetWatchStream(url, s"OBJ_$bucket", shards, updatesOnly,
+      maxPerBatch, connectTimeoutMs, auth, durable) {
 
-  private val stream = s"OBJ_$bucket"
-
-  /** LastSeq polled per trigger on the POOLED driver connection. A bucket
-    * that does not exist yet is an EMPTY watch, not an error — objects may
-    * appear later (the first put creates the stream). */
-  private def lastSeq: Long =
-    try TransportPool.get(url, connectTimeoutMs, auth).streamInfo(stream).lastSeq
-    catch { case _: NatsStreamNotFoundException => 0L }
-
-  /** A fresh checkpoint starts at 0 (replay), at the head
-    * (`watch_updates_only`), or at the durable's ack floor — the
-    * cross-JOB handoff: a successor job with a new checkpoint resumes
-    * where any predecessor committed (AckAll semantics, at-least-once
-    * across the handoff; within one query lineage the Spark checkpoint
-    * stays the source of truth). */
-  override def initialOffset(): Offset = durable match {
-    case Some(d) => SeqOffset(
-      TransportPool.get(url, connectTimeoutMs, auth).ackFloor(stream, d))
-    case None => SeqOffset(if (updatesOnly) lastSeq else 0L)
-  }
-
-  override def latestOffset(): Offset = SeqOffset(head)
-
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    // SATURATING add: the default cap is Long.MaxValue, and a wrapped
-    // `start + cap` would sit below the committed offset forever — an
-    // AvailableNow query then never observes "no new data" and spins
-    val s = start.asInstanceOf[SeqOffset].seq
-    val capped = if (maxPerBatch > Long.MaxValue - s) Long.MaxValue
-                 else s + maxPerBatch
-    SeqOffset(math.min(head, capped))
-  }
-
-  override def reportLatestOffset(): Offset = SeqOffset(head)
-
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-
-  /** Trigger.AvailableNow contract: drain up to the offset AVAILABLE NOW
-    * and terminate — the head is PINNED here, so puts racing the drain
-    * land in the next run instead of extending this one indefinitely on
-    * a busy bucket. */
-  @volatile private var availableNowCap: Long = -1L
-  private def head: Long =
-    if (availableNowCap >= 0L) availableNowCap else lastSeq
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = lastSeq
-
-  override def deserializeOffset(json: String): Offset =
-    SeqOffset(json.trim.toLong)
-
-  override def commit(end: Offset): Unit =
-    durable.foreach { d =>
-      TransportPool.get(url, connectTimeoutMs, auth)
-        .ackAll(stream, d, end.asInstanceOf[SeqOffset].seq)
-    }
-  override def stop(): Unit = ()
-
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val lo = start.asInstanceOf[SeqOffset].seq + 1
-    val hi = end.asInstanceOf[SeqOffset].seq
-    if (hi < lo) Array.empty
-    else {
-      // ceil-split the range into ≤ shards slices; meta density inside the
-      // range is irrelevant to wire volume (the filter is server-side) —
-      // slicing only buys replay parallelism
-      val width = math.max(1L, (hi - lo) / shards + 1L)
-      Iterator.iterate(lo)(_ + width).takeWhile(_ <= hi).map { s =>
-        ObjectStoreWatchPartition(url, bucket, s, math.min(hi, s + width - 1))
-          : InputPartition
-      }.toArray
-    }
-  }
+  override protected def mkPartition(lo: Long, hi: Long): InputPartition =
+    ObjectStoreWatchPartition(url, bucket, lo, hi)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ObjectStoreWatchReaderFactory(required, includeDeletes,

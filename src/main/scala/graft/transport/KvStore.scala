@@ -151,26 +151,45 @@ final class KvStore(t: JetStreamTransport, val bucket: String,
     entries(shard, nShards).map(_.key)
 
   /** shard of the live (key → current entry) state, key-sorted */
-  def entries(shard: Int = 0, nShards: Int = 1): Seq[KvEntry] = {
+  def entries(shard: Int = 0, nShards: Int = 1): Seq[KvEntry] =
+    entriesIterator(shard, nShards).toSeq
+
+  /** LAZILY-paged live entries of one shard — one index page in memory at
+    * a time (a task scanning its shard of a 10M-key bucket holds 2048
+    * entries, not the shard). `keyPrefix` narrows the INDEX walk: the
+    * prefix's complete leading tokens ride the server-side subject filter
+    * (`$$KV.b.app.>` for prefix `app.`), so non-matching subtrees never
+    * cross the wire; a trailing partial token filters here before values
+    * are decoded. A not-yet-created bucket iterates empty (wire parity
+    * with the fixtures). `onPage` fires once per index RPC (metrics
+    * hook). */
+  def entriesIterator(shard: Int = 0, nShards: Int = 1,
+                      keyPrefix: Option[String] = None,
+                      onPage: () => Unit = () => ()): Iterator[KvEntry] = {
     require(nShards >= 1 && shard >= 0 && shard < nShards,
       s"bad kv shard $shard/$nShards")
     val prefix = s"$$KV.$bucket."
-    val out = Seq.newBuilder[KvEntry]
-    var after: Option[String] = None
-    var done = false
-    while (!done) {
-      val page = t.lastForSubjects(stream, Some(s"$prefix>"), shard, nShards,
-        after, KeyPage)
-      if (page.length < KeyPage) done = true
-      if (page.nonEmpty) {
-        after = Some(page.last.subject)
-        page.foreach { m =>
-          val e = entryOf(m)
-          if (e.op == OpPut) out += e
-        }
-      }
+    val filter = prefix + keyPrefix.fold(">") { p =>
+      val cut = p.lastIndexOf('.')
+      if (cut < 0) ">" else p.substring(0, cut + 1) + ">"
     }
-    out.result()
+    val pages = Iterator.unfold((Option.empty[String], false)) {
+      case (_, true) => None
+      case (after, _) =>
+        onPage()
+        val page =
+          try TransportRetry.withRetry(
+            t.lastForSubjects(stream, Some(filter), shard, nShards,
+              after, KeyPage))
+          catch {
+            case _: NatsStreamNotFoundException => Array.empty[TransportMsg]
+          }
+        if (page.isEmpty) None
+        else Some((page,
+          (Some(page.last.subject): Option[String], page.length < KeyPage)))
+    }
+    pages.flatten.map(entryOf).filter(e =>
+      e.op == OpPut && keyPrefix.forall(e.key.startsWith(_)))
   }
 
   private def entryOf(m: TransportMsg): KvEntry =

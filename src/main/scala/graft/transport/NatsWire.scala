@@ -710,8 +710,14 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     req.put("filter", filter)
     if (keep > 0) req.put("keep", keep)
     val r = api(s"$$JS.API.STREAM.PURGE.$stream", mapper.writeValueAsString(req))
-    apiError(r).foreach(e =>
-      throw new NatsIOException(s"Failed to purge stream: $e"))
+    apiError(r).foreach { e =>
+      // the missing-stream case keeps its TYPED shape (same as streamInfo)
+      // so callers' "bucket not created yet" handling works over the wire
+      // exactly as it does against the fixtures
+      if (e.contains("stream not found"))
+        throw new NatsStreamNotFoundException(s"Failed to purge stream: $e")
+      throw new NatsIOException(s"Failed to purge stream: $e")
+    }
     Option(r.get("purged")).map(_.asLong).getOrElse(0L)
   }
 

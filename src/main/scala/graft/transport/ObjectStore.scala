@@ -92,11 +92,23 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
         msgId = s"$nuid/$i") // replayed window → exactly-once chunks
       i += 1
     }
-    if (nChunks > 0) t.publishBatch(stream, entries)
     val info = ObjectInfo(name, bucket, nuid, data.length.toLong, nChunks,
       digestOf(data), mtimeNs, deleted = false)
-    t.publish(stream, metaSubject(bucket, name), mtimeNs,
-      metaJson(info).getBytes(UTF_8), msgId = s"$nuid/M")
+    try {
+      if (nChunks > 0) t.publishBatch(stream, entries)
+      t.publish(stream, metaSubject(bucket, name), mtimeNs,
+        metaJson(info).getBytes(UTF_8), msgId = s"$nuid/M")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // a put torn between chunks and meta would orphan THIS nuid's
+        // chunk subject forever (a retry takes a fresh nuid, and the
+        // overwrite purge only ever targets the prior META's nuid) —
+        // reclaim best-effort before surfacing the failure; the retry
+        // then starts from a clean slate
+        if (nChunks > 0)
+          try purgeChunks(nuid) catch { case _: Exception => () }
+        throw e
+    }
     prior.filter(p => !p.deleted && p.chunks > 0 && p.nuid != nuid)
       .foreach(p => purgeChunks(p.nuid))
     if (prior.isDefined) rollupMeta(name) // fresh names need no rollup RPC
@@ -156,11 +168,17 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
 
   // ---------------- read path ----------------
 
-  /** Current info for `name`: None if never stored OR tombstoned. */
+  /** Current info for `name`: None if never stored OR tombstoned — a
+    * bucket whose stream does not exist yet is an empty bucket, not an
+    * error (the fixture servers return an empty page there; the wire
+    * client surfaces the typed not-found, mapped here so both paths
+    * agree). */
   def info(name: String): Option[ObjectInfo] = {
     requireName(name)
-    val metas = t.lastForSubjects(stream, Some(metaSubject(bucket, name)),
-      bucket = 0, nBuckets = 1, afterSubject = None, max = 2)
+    val metas =
+      try t.lastForSubjects(stream, Some(metaSubject(bucket, name)),
+        bucket = 0, nBuckets = 1, afterSubject = None, max = 2)
+      catch { case _: NatsStreamNotFoundException => Array.empty[TransportMsg] }
     metas.headOption.map(m => parseMeta(new String(m.payload, UTF_8)))
       .filterNot(_.deleted)
   }
@@ -237,8 +255,11 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
     var after: Option[String] = None
     var done = false
     while (!done) {
-      val page = t.lastForSubjects(stream, Some(s"$$O.$bucket.M.>"),
-        shard, nShards, after, MetaPage)
+      // not-yet-created bucket = empty listing (wire parity with the fakes)
+      val page =
+        try t.lastForSubjects(stream, Some(s"$$O.$bucket.M.>"),
+          shard, nShards, after, MetaPage)
+        catch { case _: NatsStreamNotFoundException => Array.empty[TransportMsg] }
       if (page.length < MetaPage) done = true
       if (page.nonEmpty) {
         after = Some(page.last.subject)

@@ -134,6 +134,17 @@ class KvStoreSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("watch-mode options"))
   }
 
+  test("review fixes: invalid pushed keys match nothing; fresh buckets scan empty") {
+    val store = kv("rev")
+    store.put("ok", "v".getBytes(UTF_8), 1L)
+    // a grammar-invalid pushed key is an empty result, never a task abort
+    assert(read("rev").filter(col("key") === "a b").count() == 0L)
+    assert(read("rev").filter(col("key").isin("ok", "", ".bad")).count() == 1L)
+    // a bucket whose stream does not exist yet scans as empty
+    assert(read("neverwritten").count() == 0L)
+    assert(read("neverwritten").filter(col("key") === "x").count() == 0L)
+  }
+
   test("bind validation: url/bucket required, shards/history bounded") {
     def load(opts: Map[String, String]) = {
       val b = spark.read.format("nats_kv")

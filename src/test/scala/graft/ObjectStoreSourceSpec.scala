@@ -175,6 +175,34 @@ class ObjectStoreSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("review fixes: invalid pushed names match nothing; Complete mode rejected") {
+    val os = store("rev")
+    os.put("ok", "v".getBytes(UTF_8), 1L)
+    // a facade-rejected pushed name is an empty result, never a task abort
+    assert(read("rev").filter(col("name") === "").count() == 0L)
+    assert(read("rev").filter(col("name").isin("ok", "")).count() == 1L)
+    // a never-written bucket scans as empty
+    assert(read("neverwrittenobj").count() == 0L)
+    // streaming Complete mode (per-epoch truncation) refuses loudly with
+    // the foreachBatch alternative, instead of silently appending
+    import spark.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)](spark)
+    val q = ms.toDF().selectExpr("_1 AS name", "CAST(_2 AS BINARY) AS data")
+      .groupBy("name").agg(org.apache.spark.sql.functions.max("data").as("data"))
+      .writeStream.format("nats_obj").option("url", url)
+      .option("bucket", "rev").outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_obj_cm").toString)
+      .start()
+    ms.addData(("k", "v"))
+    val e = intercept[Exception](q.processAllAvailable())
+    def rootMsgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(rootMsgs(e).contains("foreachBatch"), rootMsgs(e))
+  }
+
   test("bind validation: missing url/bucket, bad shards/chunk_size") {
     def load(opts: Map[String, String]) = {
       val b = spark.read.format("nats_obj")

@@ -101,6 +101,52 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(new String(os.get("a"), UTF_8) == "y" * 16)
   }
 
+  test("a put torn between chunks and meta reclaims its own chunk subject") {
+    val url = "nats://objstore-torn:4222"
+    FakeJetStream.listen(url)
+    val real = Transport.connect(url)
+    // fail the FIRST meta publish only: chunks land, meta does not — the
+    // exact window where a retried put (fresh nuid) would orphan them
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val flaky = new JetStreamTransport {
+      def streamInfo(s: String) = real.streamInfo(s)
+      def directGet(s: String, q: Long) = real.directGet(s, q)
+      def fetch(s: String, f: Long, t2: Long, m: Int) = real.fetch(s, f, t2, m)
+      def listStreams() = real.listStreams()
+      def consumer(s: String, q: Long, f: Option[String]) = real.consumer(s, q, f)
+      def lastForSubjects(s: String, f: Option[String], b: Int, n: Int,
+                          a: Option[String], m: Int) =
+        real.lastForSubjects(s, f, b, n, a, m)
+      def subjectStats(s: String, f: Option[String], b: Int, n: Int,
+                       a: Option[String], m: Int) =
+        real.subjectStats(s, f, b, n, a, m)
+      def ackFloor(s: String, d: String) = real.ackFloor(s, d)
+      def ackAll(s: String, d: String, q: Long) = real.ackAll(s, d, q)
+      def groupNext(s: String, g: String, mem: String, ms: Long, mx: Int,
+                    aw: Long, f: Option[String]) =
+        real.groupNext(s, g, mem, ms, mx, aw, f)
+      def groupAck(s: String, g: String, q: Array[Long]) = real.groupAck(s, g, q)
+      def groupPending(s: String, g: String) = real.groupPending(s, g)
+      def purgeSubject(s: String, f: String, k: Int) = real.purgeSubject(s, f, k)
+      override def publish(s: String, subj: String, ts: Long, p: Array[Byte],
+                           id: String, h: Map[String, String],
+                           e: Option[Long]): Long = {
+        if (subj.contains(".M.") && failOnce.getAndSet(false))
+          throw new NatsIOException("torn: connection dropped before meta")
+        real.publish(s, subj, ts, p, id, h, e)
+      }
+      def close(): Unit = ()
+    }
+    val os = new ObjectStore(flaky, "btorn", chunkSize = 8)
+    intercept[NatsIOException](os.put("a", ("x" * 40).getBytes(UTF_8), 1L))
+    // the failed attempt's chunks were reclaimed — nothing orphaned
+    assert(real.streamInfo("OBJ_btorn").messages == 0L)
+    // the retry (what TransportRetry does) starts clean and succeeds
+    os.put("a", ("x" * 40).getBytes(UTF_8), 1L)
+    assert(new String(os.get("a"), UTF_8) == "x" * 40)
+    assert(real.streamInfo("OBJ_btorn").messages == 6L) // 5 chunks + 1 meta
+  }
+
   test("digest verification: a corrupted chunk fails the get LOUDLY") {
     val (os, srv) = freshStore("corrupt")
     os.put("victim", ("v" * 20).getBytes(UTF_8), 7L) // chunks at seq 1..3
@@ -180,6 +226,12 @@ class ObjectStoreSpec extends AnyFunSuite {
       val t = Transport.connect(srv.url)
       try {
         val os = new ObjectStore(t, "wireb", chunkSize = 1024)
+        // wire parity for not-yet-created buckets: list/info read as empty
+        // and the whole-namespace purge (mode("overwrite") truncation)
+        // reports the typed not-found instead of a generic wire error
+        assert(os.list().isEmpty && os.info("nothing").isEmpty)
+        intercept[NatsStreamNotFoundException](
+          t.purgeSubject("OBJ_wireb", "$O.wireb.>"))
         val payload = new Array[Byte](10000) // 10 chunks over the socket
         new java.util.Random(7).nextBytes(payload)
         val info = os.put("blob", payload, 99L)
