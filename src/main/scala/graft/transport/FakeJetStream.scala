@@ -247,7 +247,13 @@ final class FakeJetStreamServer {
     * which is also what makes `expectLastSubjectSeq` (the per-subject CAS,
     * `Nats-Expected-Last-Subject-Sequence`) race-free: the check against
     * the subject's current last seq and the append are one critical
-    * section, exactly a real server's stream-lock semantics. */
+    * section, exactly a real server's stream-lock semantics.
+    *
+    * `Nats-Rollup: sub` (ADR-20) is honored HERE, inside the same
+    * critical section: the append erases every PRIOR message of its
+    * subject — which is why the object store's meta rollup survives even
+    * two racing fresh-name puts (a client-side purge could not). Reserved
+    * transport keys are stripped before storage; app headers persist. */
   def publishAppend(stream: String, subject: String, tsNs: Long,
                     payload: Array[Byte], msgId: String,
                     headers: Map[String, String] = Map.empty,
@@ -263,13 +269,29 @@ final class FakeJetStreamServer {
             throw new NatsWrongLastSequenceException(
               s"wrong last sequence: $cur", cur)
         }
+        val rollup = headers.get("Nats-Rollup").contains("sub")
         val m = streams(stream)
         val seq = if (m.isEmpty) 1L else m.lastKey() + 1L
-        val msg = TransportMsg(subject, seq, tsNs, payload, headers)
+        val msg = TransportMsg(subject, seq, tsNs, payload,
+          headers -- NatsWireClient.ReservedHeaders)
         val prev = m.put(seq, msg)
         countPut(stream, prev, msg)
         indexPut(stream, prev, msg)
         msgIds.put((stream, msgId), seq)
+        if (rollup) {
+          // erase every prior message of this subject (bookkeeping rides
+          // deleteMsg); bounds read AFTER the append so first..seq-1 is
+          // exactly the history
+          subjectBounds(stream, subject).foreach { case (first, _) =>
+            val it = m.subMap(first, true, seq, false).values().iterator()
+            val priors = Array.newBuilder[Long]
+            while (it.hasNext) {
+              val x = it.next()
+              if (x.subject == subject) priors += x.seq
+            }
+            priors.result().foreach(deleteMsg(stream, _))
+          }
+        }
         seq
     }
   }

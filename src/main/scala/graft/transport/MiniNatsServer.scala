@@ -473,12 +473,11 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
           s"auto-${connSeq.incrementAndGet()}")
         val expect = headers.get("Nats-Expected-Last-Subject-Sequence")
           .map(_.toLong)
-        // app headers are stored with the message; transport bookkeeping
-        // keys are not (same reserved list the client strips on reads)
-        val app = headers -- NatsWireClient.ReservedHeaders
         try {
+          // the backing strips reserved keys before storage and honors
+          // Nats-Rollup inside its publish critical section
           val seq = backing.publishAppend(stream, subject, tsNs, payload,
-            msgId, app, expect)
+            msgId, headers, expect)
           okJson(conn, reply, s"""{"stream":"$stream","seq":$seq}""")
         } catch {
           case e: NatsWrongLastSequenceException =>

@@ -1012,7 +1012,7 @@ object NatsWireClient {
     * so a custom header can never shadow transport metadata) */
   val ReservedHeaders: Set[String] = Set(
     "Nats-Subject", "Nats-Sequence", "Nats-Time-Stamp", "Nats-Stream",
-    "Nats-Msg-Id", "Nats-Expected-Stream",
+    "Nats-Msg-Id", "Nats-Expected-Stream", "Nats-Rollup",
     "Nats-Expected-Last-Subject-Sequence", "Graft-Pub-Time")
 
   /** socket-lane cap per client — per (url, credentials) per JVM via

@@ -97,7 +97,8 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
     try {
       if (nChunks > 0) t.publishBatch(stream, entries)
       t.publish(stream, metaSubject(bucket, name), mtimeNs,
-        metaJson(info).getBytes(UTF_8), msgId = s"$nuid/M")
+        metaJson(info).getBytes(UTF_8), msgId = s"$nuid/M",
+        headers = rollupHeader)
     } catch {
       case scala.util.control.NonFatal(e) =>
         // a put torn between chunks and meta would orphan THIS nuid's
@@ -111,7 +112,6 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
     }
     prior.filter(p => !p.deleted && p.chunks > 0 && p.nuid != nuid)
       .foreach(p => purgeChunks(p.nuid))
-    if (prior.isDefined) rollupMeta(name) // fresh names need no rollup RPC
     info
   }
 
@@ -128,10 +128,10 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
     val info = ObjectInfo(name, bucket, nuid, 0L, 0, digest = "",
       mtimeNs, deleted = true)
     t.publish(stream, metaSubject(bucket, name), mtimeNs,
-      metaJson(info).getBytes(UTF_8), msgId = s"$nuid/M")
+      metaJson(info).getBytes(UTF_8), msgId = s"$nuid/M",
+      headers = rollupHeader)
     prior.filter(p => !p.deleted && p.chunks > 0)
       .foreach(p => purgeChunks(p.nuid))
-    if (prior.isDefined) rollupMeta(name)
   }
 
   /** the meta a write supersedes, TOMBSTONES INCLUDED (a put over a
@@ -154,17 +154,18 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
     ()
   }
 
-  /** meta ROLLUP: keep only the newest meta record for `name` — the
-    * server-side effect of ADR-20's `Nats-Rollup: sub` header on every
-    * meta publish. Without it meta history grows O(writes ever made);
-    * with it a bucket's stream is exactly current chunks + one meta per
-    * name (tombstones included, so deletes stay visible to watches and
-    * re-puts). `retainHistory=true` skips the rollup — the watch's full
-    * changelog is meta history by definition. */
-  private def rollupMeta(name: String): Unit = {
-    t.purgeSubject(stream, metaSubject(bucket, name), keep = 1)
-    ()
-  }
+  /** meta ROLLUP: the ADR-20 `Nats-Rollup: sub` header on every meta
+    * publish — the SERVER erases the subject's prior messages inside its
+    * publish critical section, so even two racing fresh-name puts
+    * collapse to one meta (a client-side follow-up purge could not close
+    * that window, and cost an extra RPC per write). Without it meta
+    * history grows O(writes ever made); with it a bucket's stream is
+    * exactly current chunks + one meta per name (tombstones included, so
+    * deletes stay visible to watches and re-puts). `retainHistory=true`
+    * drops the header — the watch's full changelog is meta history by
+    * definition. */
+  private def rollupHeader: Map[String, String] =
+    if (retainHistory) Map.empty else Map("Nats-Rollup" -> "sub")
 
   // ---------------- read path ----------------
 

@@ -101,6 +101,27 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(new String(os.get("a"), UTF_8) == "y" * 16)
   }
 
+  test("racing fresh-name puts collapse to ONE meta (server-side rollup)") {
+    val url = "nats://objstore-race:4222"
+    FakeJetStream.listen(url)
+    val t = Transport.connect(url)
+    // two writers, same brand-new name: both see prior=None, so a
+    // client-side rollup purge would skip — the Nats-Rollup header makes
+    // the SERVER collapse the metas inside its publish critical section
+    val a = new Thread(() => { new ObjectStore(t, "brace", 8)
+      .put("hot", ("a" * 24).getBytes(UTF_8), 1L); () })
+    val b = new Thread(() => { new ObjectStore(t, "brace", 8)
+      .put("hot", ("b" * 24).getBytes(UTF_8), 2L); () })
+    a.start(); b.start(); a.join(); b.join()
+    val os = new ObjectStore(t, "brace", 8)
+    // exactly one meta survives; the object reads as one of the two writes
+    val metaCount = t.fetch("OBJ_brace", 1L, Long.MaxValue, 1000)
+      .count(_.subject.contains(".M."))
+    assert(metaCount == 1, s"$metaCount metas survived the race")
+    val got = new String(os.get("hot"), UTF_8)
+    assert(got == "a" * 24 || got == "b" * 24)
+  }
+
   test("a put torn between chunks and meta reclaims its own chunk subject") {
     val url = "nats://objstore-torn:4222"
     FakeJetStream.listen(url)
