@@ -211,6 +211,28 @@ object TransportQueries {
       url
     })
 
+  private val kvCfgFixtures = new ConcurrentHashMap[String, String]()
+
+  /** The `srccfg` KV bucket: one entry per distinct document source,
+    * value = a DETERMINISTIC per-source weight (its UTF-8 byte length as
+    * text) — the feature-store shape: a small live config dimension
+    * keyed for broadcast joins against the corpus. */
+  def kvCfgFixtureUrl(s: SparkSession, dir: String): String =
+    kvCfgFixtures.computeIfAbsent(dir, _ => {
+      val url = fixtureUrl(s, dir)
+      val kv = new graft.transport.KvStore(
+        graft.transport.Transport.connect(url), "srccfg", maxHistory = 1)
+      // sources are a bounded dimension (the driver-side collect is the
+      // same bounded-model pattern the IVF centroids use)
+      Tables.load(s, dir, "documents").select(col("source")).distinct()
+        .collect().map(_.getString(0)).sorted.zipWithIndex
+        .foreach { case (src, i) =>
+          kv.put(src, src.getBytes("UTF-8").length.toString.getBytes("UTF-8"),
+            i.toLong)
+        }
+      url
+    })
+
   private val wireFixtures = new ConcurrentHashMap[String, String]()
 
   /** URL of a REAL loopback-socket [[graft.transport.MiniNatsServer]]
@@ -493,6 +515,25 @@ object TransportQueries {
         .select(col("key"), md5(col("value")).as("content_md5"))
         .orderBy("key")),
 
+    // the FEATURE-STORE shape: KV current state as a small BROADCAST
+    // dimension against the corpus — live per-source config (weights,
+    // caps, routing) joined without a shuffle on the fact side (the scan's
+    // O(keys) size estimate makes Catalyst broadcast it)
+    "transport_kv_enrich" -> ((s, dir) => {
+      val cfg = s.read.format("nats_kv")
+        .option("url", kvCfgFixtureUrl(s, dir))
+        .option("bucket", "srccfg").option("shards", "4")
+        .load()
+        .selectExpr("key AS source",
+          "CAST(CAST(value AS STRING) AS INT) AS weight")
+      Tables.load(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(broadcast(cfg), "source")
+        .selectExpr("source", "n_docs", "weight",
+          "n_docs * weight AS weighted")
+        .orderBy("source")
+    }),
+
     // KV SQL face (`FROM nats_kv(...)`): the LIKE prefix reaches the scan
     // as a pushed startswith, same DSv2 relation as the DataFrame read
     "transport_kv_sql" -> ((s, dir) => s.sql(
@@ -680,6 +721,12 @@ object TransportQueries {
           | md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END)
           |   AS content_md5
           | FROM documents WHERE doc_id IN (1, 20) ORDER BY key""".stripMargin,
+
+      "transport_kv_enrich" ->
+        """SELECT source, count(*) AS n_docs,
+          | CAST(octet_length(encode(source)) AS INTEGER) AS weight,
+          | count(*) * octet_length(encode(source)) AS weighted
+          | FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
       "transport_kv_sql" ->
         """SELECT 'doc/' || CAST(doc_id AS VARCHAR) AS key,
