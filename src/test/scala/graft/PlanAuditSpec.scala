@@ -62,6 +62,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("transport_kv_enrich: the KV config dimension broadcasts onto the corpus") {
+    val p = physical(graft.queries.TransportQueries
+      .queries("transport_kv_enrich")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("top-k compiles to TakeOrderedAndProject, not global sort") {
     val p = physical(Tables.load(spark, dir, "orders")
       .orderBy(col("o_totalprice").desc).limit(50))
