@@ -312,10 +312,12 @@ final class ObjectStoreReader(p: InputPartition, required: StructType,
   private def init(): Unit = if (metas == null) {
     metas = p match {
       case s: ObjectStoreShardPartition =>
-        // one facade list() = ceil(objects/2048) index pages, zero data
-        val all = TransportRetry.withRetry(store.list(s.shard, s.nShards))
-        nRpcs += (all.size / ObjectStore.MetaPage) + 1L
-        all.iterator
+        // LAZY index pages (2048 metas at a time, per-page retry inside
+        // the facade) — a multi-million-object shard never materializes
+        // its whole listing in task memory, and a transient error late in
+        // the walk re-fetches one page, not the shard
+        store.entriesIterator(s.shard, s.nShards, onPage = () => nRpcs += 1L)
+          .map(_._1)
       case n: ObjectStoreNamesPartition =>
         n.names.iterator.flatMap { nm =>
           nRpcs += 1L
@@ -375,8 +377,13 @@ final class ObjectStoreReader(p: InputPartition, required: StructType,
   * object-level idempotent: the meta rollup keeps the last put, and the
   * overwrite purge reclaims the failed attempt's chunks (under
   * `retain_history=true` the orphaned version stays, fetchable through the
-  * watch changelog). `mode("overwrite")` truncates first: one driver-side
-  * purge of the bucket's whole `$O.<bucket>.>` namespace, then the puts. */
+  * watch changelog). `mode("overwrite")` STAGES, never pre-truncates: the
+  * driver records the bucket stream's last sequence, the tasks put their
+  * rows (same-name puts roll up on the server), and only job COMMIT
+  * deletes the leftovers — live objects whose meta still predates the
+  * watermark. A failed overwrite therefore leaves the bucket's prior
+  * contents intact except for names the job already re-put (partial
+  * overwrite), never emptied. */
 final class ObjectStoreWriteBuilder(t: ObjectStoreTable, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
 
@@ -422,16 +429,30 @@ final class ObjectStoreRowWriters(url: String, bucket: String, chunkSize: Int,
     extends Serializable {
   def bucketStream: String = s"OBJ_$bucket"
 
-  /** driver-side whole-bucket purge (mode("overwrite") truncation): metas,
-    * tombstones, and chunks all live under `$O.<bucket>.>` */
-  def truncateBucket(): Unit =
-    try {
-      TransportPool.get(url, connectTimeoutMs, auth)
-        .purgeSubject(bucketStream, s"$$O.$bucket.>")
-      ()
-    } catch {
-      case _: graft.transport.NatsStreamNotFoundException => () // nothing yet
+  private def driverStore: ObjectStore = new ObjectStore(
+    TransportPool.get(url, connectTimeoutMs, auth), bucket, chunkSize,
+    retainHistory)
+
+  /** watermark for the staged overwrite: the bucket stream's last sequence
+    * BEFORE any task puts (0 = bucket not created yet) */
+  def bucketLastSeq(): Long = driverStore.lastSeq()
+
+  /** job-commit reconcile of mode("overwrite"): delete every live object
+    * whose current meta predates the watermark — i.e. every name the job
+    * did NOT re-put. Runs on the driver AFTER all tasks committed, so the
+    * bucket's prior contents are only removed once the new contents are
+    * fully durable (the staged-write analog of a rename-into-place). The
+    * stale set is collected before deleting (O(superseded names) driver
+    * memory) so the index walk never races its own tombstones. */
+  def reconcileOverwrite(watermark: Long): Unit = {
+    val store = driverStore
+    val stale = store.entriesIterator()
+      .collect { case (m, seq) if seq <= watermark => (m.name, m.mtimeNs) }
+      .toArray
+    stale.foreach { case (name, mtime) =>
+      TransportRetry.withRetry(store.delete(name, mtime))
     }
+  }
 
   def newWriter(): DataWriter[InternalRow] = new DataWriter[InternalRow] {
     private val store = new ObjectStore(
@@ -465,13 +486,21 @@ final class ObjectStoreWriterFactory(writers: ObjectStoreRowWriters)
 final class ObjectStoreBatchWrite(writers: ObjectStoreRowWriters,
                                   truncateFirst: Boolean)
     extends BatchWrite with Serializable {
+  // driver-only: set when the factory is created, read at commit
+  @transient private var watermark = -1L
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // runs ONCE on the driver before any task: overwrite semantics are
-    // "bucket = exactly this dataframe", so the old namespace goes first
-    if (truncateFirst) writers.truncateBucket()
+    // overwrite semantics are "bucket = exactly this dataframe", but the
+    // prior contents must survive a failed job — so record a sequence
+    // watermark now and reconcile at COMMIT, never purge up front
+    if (truncateFirst) watermark = writers.bucketLastSeq()
     new ObjectStoreWriterFactory(writers)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    if (truncateFirst) writers.reconcileOverwrite(watermark)
+  // a failed overwrite leaves prior contents intact except names already
+  // re-put by completed tasks (partial overwrite, documented) — there is
+  // nothing transactional to roll back on a log-structured store
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 

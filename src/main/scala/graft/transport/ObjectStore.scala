@@ -249,29 +249,97 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
     * (tombstones excluded) — the per-subject index surface, O(objects)
     * metadata, zero chunk bytes. Shard = FNV-1a of the META SUBJECT
     * (the transport's subject-shard contract, [[SubjectFilter.shard]]). */
-  def list(shard: Int = 0, nShards: Int = 1): Seq[ObjectInfo] = {
+  def list(shard: Int = 0, nShards: Int = 1): Seq[ObjectInfo] =
+    entriesIterator(shard, nShards).map(_._1).toSeq
+
+  /** LAZILY-paged live (info, meta stream seq) of one shard — one index
+    * page (2048 metas) in task memory at a time, NOT the whole shard, with
+    * PER-PAGE retry (a transient error on page 400 of a multi-million-
+    * object shard re-fetches one page, never the listing so far). The KV
+    * reader's `entriesIterator` shape, mirrored here. The meta seq is the
+    * object's current revision — the overwrite reconcile
+    * ([[graft.sources.ObjectStoreBatchWrite]]) keys on it. `onPage` fires
+    * once per index RPC (metrics hook). */
+  def entriesIterator(shard: Int = 0, nShards: Int = 1,
+                      onPage: () => Unit = () => ())
+      : Iterator[(ObjectInfo, Long)] = {
     require(nShards >= 1 && shard >= 0 && shard < nShards,
       s"bad object-store shard $shard/$nShards")
-    val out = Seq.newBuilder[ObjectInfo]
+    val pages = Iterator.unfold((Option.empty[String], false)) {
+      case (_, true) => None
+      case (after, _) =>
+        onPage()
+        // not-yet-created bucket = empty listing (wire parity with the fakes)
+        val page =
+          try TransportRetry.withRetry(
+            t.lastForSubjects(stream, Some(s"$$O.$bucket.M.>"),
+              shard, nShards, after, MetaPage))
+          catch { case _: NatsStreamNotFoundException => Array.empty[TransportMsg] }
+        if (page.isEmpty) None
+        else Some((page,
+          (Some(page.last.subject): Option[String], page.length < MetaPage)))
+    }
+    pages.flatten
+      .map(m => (parseMeta(new String(m.payload, UTF_8)), m.seq))
+      .filter(!_._1.deleted)
+  }
+
+  /** Maintenance sweep: purge chunk subjects whose nuid no META (live,
+    * tombstone, or retained historical version) references — the garbage a
+    * put torn between chunk publish and meta publish leaves when no
+    * exception path runs (task killed outright), or the loser of two
+    * racing puts to one name whose rolled-up meta vanished before its
+    * purge-of-prior fired. Returns the number of chunk subjects reclaimed.
+    *
+    * Referenced nuids come from the FULL meta history (consumer from
+    * seq 1, metadata-only messages), so under `retainHistory` every
+    * fetchable version keeps its chunks; candidate nuids come from
+    * [[JetStreamTransport.subjectStats]] over `$$O.<bucket>.C.>` — a
+    * subjects-only index walk, ZERO chunk bytes cross the wire. Driver
+    * memory is O(distinct nuids) 22-char strings; run it like any other
+    * compaction job, not per query. */
+  def sweepOrphans(): Int = {
+    val referenced = scala.collection.mutable.HashSet.empty[String]
+    try {
+      val cur = t.consumer(stream, startSeq = 1L,
+        filterSubject = Some(s"$$O.$bucket.M.>"))
+      try {
+        var batch = cur.next(MetaPage)
+        while (batch.nonEmpty) {
+          batch.foreach(m =>
+            referenced += parseMeta(new String(m.payload, UTF_8)).nuid)
+          batch = cur.next(MetaPage)
+        }
+      } finally cur.close()
+    } catch { case _: NatsStreamNotFoundException => return 0 }
+    val chunkPrefix = s"$$O.$bucket.C."
+    var purged = 0
     var after: Option[String] = None
     var done = false
     while (!done) {
-      // not-yet-created bucket = empty listing (wire parity with the fakes)
-      val page =
-        try t.lastForSubjects(stream, Some(s"$$O.$bucket.M.>"),
-          shard, nShards, after, MetaPage)
-        catch { case _: NatsStreamNotFoundException => Array.empty[TransportMsg] }
+      val page = TransportRetry.withRetry(
+        t.subjectStats(stream, Some(chunkPrefix + ">"), 0, 1, after, MetaPage))
       if (page.length < MetaPage) done = true
       if (page.nonEmpty) {
         after = Some(page.last.subject)
-        page.foreach { m =>
-          val info = parseMeta(new String(m.payload, UTF_8))
-          if (!info.deleted) out += info
+        page.foreach { s =>
+          val nuid = s.subject.stripPrefix(chunkPrefix)
+          if (!referenced.contains(nuid)) {
+            t.purgeSubject(stream, s.subject)
+            purged += 1
+          }
         }
       }
     }
-    out.result()
+    purged
   }
+
+  /** Last stream sequence of the bucket (0 = bucket not created yet) — the
+    * overwrite reconcile's watermark: metas at or below it predate the
+    * write job. */
+  def lastSeq(): Long =
+    try t.streamInfo(stream).lastSeq
+    catch { case _: NatsStreamNotFoundException => 0L }
 
   private def requireName(name: String): Unit =
     require(name.nonEmpty, "object name must not be empty")

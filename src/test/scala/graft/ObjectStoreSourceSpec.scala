@@ -141,9 +141,62 @@ class ObjectStoreSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .mode("overwrite").save()
     assert(os.list().map(_.name) == Seq("fresh/1"))
     assert(new String(os.get("fresh/1"), UTF_8) == "f1")
-    // the truncation really purged: no stale metas, tombstones, or chunks
+    // the reconcile really reclaimed: fresh chunk + meta, and per stale
+    // name ONE rolled-up tombstone (its chunks purged) — storage stays
+    // O(current + removed names), not O(history)
     val t = Transport.connect(url)
-    assert(t.streamInfo(os.stream).messages == 2L) // 1 chunk + 1 meta
+    assert(t.streamInfo(os.stream).messages == 4L) // 1 chunk + 1 meta + 2 tombstones
+  }
+
+  test("mode(overwrite) stages: a failed job leaves prior contents intact") {
+    import spark.implicits._
+    server
+    val os = store("owfail", 8)
+    os.put("keep/1", ("k" * 20).getBytes(UTF_8), 1L)
+    os.put("keep/2", ("k" * 20).getBytes(UTF_8), 1L)
+    // a single-partition df whose SECOND row explodes after the first put —
+    // the job fails mid-write, after real puts have happened
+    val df = Seq(("new/1", "n1", 2L), ("", "boom", 2L))
+      .toDF("name", "payload", "mtime_ns")
+      .coalesce(1)
+      .selectExpr("name", "CAST(payload AS BINARY) AS data", "mtime_ns")
+    intercept[Exception] {
+      df.write.format("nats_obj").option("url", url)
+        .option("bucket", "owfail").option("chunk_size", "8")
+        .mode("overwrite").save()
+    }
+    // pre-truncate semantics would have emptied the bucket here; staged
+    // overwrite keeps everything the job did not successfully replace
+    val names = os.list().map(_.name).toSet
+    assert(Set("keep/1", "keep/2").subsetOf(names),
+      s"failed overwrite destroyed prior contents: $names")
+    assert(new String(os.get("keep/1"), UTF_8) == "k" * 20)
+  }
+
+  test("sweepOrphans reclaims unreferenced chunk subjects only") {
+    server
+    val os = store("sweep", 8)
+    os.put("live", ("L" * 20).getBytes(UTF_8), 1L)
+    val t = Transport.connect(url)
+    // simulate a put killed between chunk publish and meta publish: chunks
+    // land under a nuid no meta will ever reference
+    val orphan = ObjectStore.newNuid()
+    t.publish(os.stream, s"$$O.sweep.C.$orphan", 2L, "zzz".getBytes(UTF_8),
+      msgId = s"$orphan/0")
+    val before = t.streamInfo(os.stream).messages
+    assert(os.sweepOrphans() == 1)
+    assert(t.streamInfo(os.stream).messages == before - 1L)
+    // the live object is untouched and still digest-verifies
+    assert(new String(os.get("live"), UTF_8) == "L" * 20)
+    // idempotent: nothing left to reclaim
+    assert(os.sweepOrphans() == 0)
+    // retainHistory: superseded versions stay referenced via meta history
+    val osH = new ObjectStore(Transport.connect(url), "sweeph", 8,
+      retainHistory = true)
+    osH.put("v", "one".getBytes(UTF_8), 1L)
+    osH.put("v", "two".getBytes(UTF_8), 2L)
+    assert(osH.sweepOrphans() == 0) // both versions' chunks are referenced
+    assert(new String(osH.get("v"), UTF_8) == "two")
   }
 
   test("streaming sink: writeStream puts per epoch; replays converge") {
