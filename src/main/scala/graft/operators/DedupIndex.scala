@@ -41,12 +41,31 @@ object DedupIndex {
 
   final case class Spec(numHashes: Int, bands: Int, buckets: Int)
 
-  /** deterministic per-location table names (catalog-safe identifier) */
-  private def base(indexDir: String): String =
-    "graft_dedup_idx_" + java.lang.Integer.toHexString(indexDir.hashCode)
+  /** One CANONICAL location per index: the filesystem-qualified absolute
+    * path, so `./idx`, `idx/`, and `file:/cwd/idx` all name the same
+    * catalog entry (a 32-bit String.hashCode over the raw spelling could
+    * both collide across different paths and split one path into duplicate
+    * tables). */
+  private def canonical(spark: SparkSession, indexDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
 
-  private def bandsTable(indexDir: String): String = base(indexDir) + "_bands"
-  private def sigsTable(indexDir: String): String = base(indexDir) + "_sigs"
+  /** deterministic per-location table names (catalog-safe identifier):
+    * SHA-256 of the canonical path, truncated to 64 bits — collision odds
+    * are birthday-bound at ~2^32 distinct indexes per catalog, vs the
+    * routine collisions of a 32-bit hashCode */
+  private def base(spark: SparkSession, indexDir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canonical(spark, indexDir).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "graft_dedup_idx_" + digest.take(8).map("%02x".format(_)).mkString
+  }
+
+  private def bandsTable(spark: SparkSession, indexDir: String): String =
+    base(spark, indexDir) + "_bands"
+  private def sigsTable(spark: SparkSession, indexDir: String): String =
+    base(spark, indexDir) + "_sigs"
 
   /** THE band-bucket key encoding — every producer and prober of the index
     * (build, append, probePairs, the streaming gate) must derive `bk` from
@@ -79,15 +98,17 @@ object DedupIndex {
                           indexDir: String): Unit = {
     val spark = sig.sparkSession
     import spark.implicits._
-    spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(indexDir)}")
-    spark.sql(s"DROP TABLE IF EXISTS ${sigsTable(indexDir)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(spark, indexDir)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${sigsTable(spark, indexDir)}")
     val (bands, sigs) = bandRows(sig, idCol, spec)
     bands.write.format("parquet").mode("overwrite")
       .bucketBy(spec.buckets, "bk").sortBy("bk")
-      .option("path", s"$indexDir/bands").saveAsTable(bandsTable(indexDir))
+      .option("path", s"$indexDir/bands")
+      .saveAsTable(bandsTable(spark, indexDir))
     sigs.write.format("parquet").mode("overwrite")
       .bucketBy(spec.buckets, "doc_id").sortBy("doc_id")
-      .option("path", s"$indexDir/sigs").saveAsTable(sigsTable(indexDir))
+      .option("path", s"$indexDir/sigs")
+      .saveAsTable(sigsTable(spark, indexDir))
     Seq((spec.numHashes, spec.bands, spec.buckets))
       .toDF("num_hashes", "bands", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
@@ -102,13 +123,13 @@ object DedupIndex {
   /** the band relation (bk, doc_id) as the registered BUCKETED table */
   def bandsRelation(spark: SparkSession, indexDir: String): DataFrame = {
     ensureRegistered(spark, indexDir)
-    spark.table(bandsTable(indexDir))
+    spark.table(bandsTable(spark, indexDir))
   }
 
   /** the signature relation (doc_id, sig) as the registered BUCKETED table */
   def sigsRelation(spark: SparkSession, indexDir: String): DataFrame = {
     ensureRegistered(spark, indexDir)
-    spark.table(sigsTable(indexDir))
+    spark.table(sigsTable(spark, indexDir))
   }
 
   def loadSpec(spark: SparkSession, indexDir: String): Spec = {
@@ -117,21 +138,35 @@ object DedupIndex {
   }
 
   /** Re-register the bucketed tables in THIS session's catalog (no-op if
-    * already known). The DDL carries the bucket spec; the data files are
-    * untouched. */
+    * already known AND its cached DDL still matches the on-disk meta). The
+    * DDL carries the bucket spec; the data files are untouched. A rebuild
+    * with a different bucket count in ANOTHER session would otherwise
+    * leave this session's DDL stale — and a stale bucket count silently
+    * voids the exchange-free probe-join guarantee — so a registered
+    * table whose bucket count or location disagrees with meta is dropped
+    * and re-issued. */
   def ensureRegistered(spark: SparkSession, indexDir: String): Spec = {
     val spec = loadSpec(spark, indexDir)
-    def register(table: String, dataDir: String, bucketCol: String): Unit =
-      if (!spark.catalog.tableExists(table)) {
-        val ddlCols = spark.read.parquet(dataDir).schema.toDDL
-        spark.sql(
-          s"""CREATE TABLE $table ($ddlCols) USING PARQUET
-             |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
-             |INTO ${spec.buckets} BUCKETS
-             |LOCATION '$dataDir'""".stripMargin)
+    def register(table: String, dataDir: String, bucketCol: String): Unit = {
+      if (spark.catalog.tableExists(table)) {
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+        val okBuckets = meta.bucketSpec.exists(_.numBuckets == spec.buckets)
+        val okLoc = meta.storage.locationUri.exists(u =>
+          canonical(spark, u.toString) == canonical(spark, dataDir))
+        if (okBuckets && okLoc) return
+        spark.sql(s"DROP TABLE $table") // stale DDL from a prior build
       }
-    register(bandsTable(indexDir), s"$indexDir/bands", "bk")
-    register(sigsTable(indexDir), s"$indexDir/sigs", "doc_id")
+      val ddlCols = spark.read.parquet(dataDir).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE $table ($ddlCols) USING PARQUET
+           |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+           |INTO ${spec.buckets} BUCKETS
+           |LOCATION '$dataDir'""".stripMargin)
+      ()
+    }
+    register(bandsTable(spark, indexDir), s"$indexDir/bands", "bk")
+    register(sigsTable(spark, indexDir), s"$indexDir/sigs", "doc_id")
     spec
   }
 
@@ -167,10 +202,10 @@ object DedupIndex {
     val (bands, sigs) = bandRows(sig, idCol, spec)
     bands.write.format("parquet").mode("append")
       .bucketBy(spec.buckets, "bk").sortBy("bk")
-      .option("path", s"$indexDir/bands").saveAsTable(bandsTable(indexDir))
+      .option("path", s"$indexDir/bands").saveAsTable(bandsTable(sig.sparkSession, indexDir))
     sigs.write.format("parquet").mode("append")
       .bucketBy(spec.buckets, "doc_id").sortBy("doc_id")
-      .option("path", s"$indexDir/sigs").saveAsTable(sigsTable(indexDir))
+      .option("path", s"$indexDir/sigs").saveAsTable(sigsTable(sig.sparkSession, indexDir))
   }
 
   /** Probe an arriving batch against the persisted index: band-key join →
@@ -187,11 +222,11 @@ object DedupIndex {
     val bNew = Dedup.minhashBands(sigNew, idCol, spec.numHashes, spec.bands)
       .select(bk(col("band"), col("band_key")).as("bk"),
         col(idCol).cast("long").as("new_id"))
-    val bIdx = spark.table(bandsTable(indexDir))
+    val bIdx = spark.table(bandsTable(spark, indexDir))
       .select(col("bk"), col("doc_id").as("index_id"))
     val cand = bNew.join(bIdx, "bk")
       .select("new_id", "index_id").distinct()
-    val sigIdx = spark.table(sigsTable(indexDir))
+    val sigIdx = spark.table(sigsTable(spark, indexDir))
     cand
       .join(sigNew.select(col(idCol).cast("long").as("new_id"),
         col("sig").as("s1")), "new_id")

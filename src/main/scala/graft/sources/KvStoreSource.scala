@@ -140,14 +140,20 @@ final class KvScanBuilder(t: KvStoreTable)
   private var keyPrefix: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
 
+  /** successive exact-key filters are CONJUNCTS: `key = 'a' AND key IN
+    * ('b','c')` can only match their intersection, so each constraint set
+    * narrows the plan (an empty intersection plans zero lookups). A union
+    * here would stay correct (all filters are residual) but fetch rows the
+    * predicate excludes. */
+  private def narrowTo(next: Seq[String]): Unit =
+    exactKeys = Some(exactKeys.fold(next)(prev => prev.filter(next.toSet)))
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val p = Array.newBuilder[Filter]
     filters.foreach {
-      case f @ EqualTo("key", v: String) =>
-        exactKeys = Some(exactKeys.getOrElse(Seq.empty) :+ v); p += f
+      case f @ EqualTo("key", v: String) => narrowTo(Seq(v)); p += f
       case f @ In("key", vs) if vs.forall(_.isInstanceOf[String]) =>
-        exactKeys = Some(exactKeys.getOrElse(Seq.empty) ++
-          vs.map(_.asInstanceOf[String])); p += f
+        narrowTo(vs.toSeq.map(_.asInstanceOf[String])); p += f
       case f @ StringStartsWith("key", pre) =>
         keyPrefix = Some(pre); p += f
       case _ => ()

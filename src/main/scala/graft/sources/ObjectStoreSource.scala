@@ -192,14 +192,17 @@ final class ObjectStoreScanBuilder(t: ObjectStoreTable)
   private var namePrefix: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
 
+  /** conjunct exact-name filters INTERSECT (see KvScanBuilder.narrowTo):
+    * `name = 'a' AND name IN ('b')` plans zero lookups, never the superset */
+  private def narrowTo(next: Seq[String]): Unit =
+    exactNames = Some(exactNames.fold(next)(prev => prev.filter(next.toSet)))
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val p = Array.newBuilder[Filter]
     filters.foreach {
-      case f @ EqualTo("name", v: String) =>
-        exactNames = Some(exactNames.getOrElse(Seq.empty) :+ v); p += f
+      case f @ EqualTo("name", v: String) => narrowTo(Seq(v)); p += f
       case f @ In("name", vs) if vs.forall(_.isInstanceOf[String]) =>
-        exactNames = Some(exactNames.getOrElse(Seq.empty) ++
-          vs.map(_.asInstanceOf[String])); p += f
+        narrowTo(vs.toSeq.map(_.asInstanceOf[String])); p += f
       case f @ StringStartsWith("name", pre) =>
         namePrefix = Some(pre); p += f
       case _ => ()

@@ -94,6 +94,47 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       desc)
   }
 
+  test("canonical naming: path spellings share one table; a rebuild with " +
+    "a different bucket count refreshes stale session DDL") {
+    val abs = java.nio.file.Files.createTempDirectory("graft_didx5")
+    DedupIndex.build(docs.limit(60), "doc_id", "text", spec, abs.toString)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val viaAbs = sorted(
+      DedupIndex.probePairs(spark, abs.toString, batch, "doc_id", "text"))
+    val nTables = spark.catalog.listTables().collect()
+      .count(_.name.startsWith("graft_dedup_idx_"))
+    // the same directory through a different spelling (trailing slash +
+    // redundant segment) must resolve to the SAME catalog tables
+    val spelled = abs.toString + "/./"
+    val viaSpelled = sorted(
+      DedupIndex.probePairs(spark, spelled, batch, "doc_id", "text"))
+    assert(viaSpelled == viaAbs)
+    assert(spark.catalog.listTables().collect()
+      .count(_.name.startsWith("graft_dedup_idx_")) == nTables,
+      "a respelled path registered duplicate tables")
+
+    // simulate ANOTHER session's rebuild with a different bucket count:
+    // on-disk meta says 4 buckets, but this session's cached DDL claims 8 —
+    // ensureRegistered must spot the disagreement and re-issue, or every
+    // later probe join would hash-partition on the wrong layout
+    val tbl = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_dedup_idx_")).find(_.endsWith("_bands")).get
+    val cols = spark.read.parquet(s"$abs/bands").schema.toDDL
+    spark.sql(s"DROP TABLE $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl ($cols) USING PARQUET
+         |CLUSTERED BY (bk) SORTED BY (bk) INTO 8 BUCKETS
+         |LOCATION '$abs/bands'""".stripMargin)
+    val specSeen = DedupIndex.ensureRegistered(spark, abs.toString)
+    assert(specSeen.buckets == spec.buckets)
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+      .collect().map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+    assert(desc.contains(s"Num Buckets ${spec.buckets}"), desc)
+    // and the refreshed registration still probes identically
+    assert(sorted(DedupIndex.probePairs(spark, abs.toString, batch,
+      "doc_id", "text")) == viaAbs)
+  }
+
   test("probe join keeps the index side shuffle-free (bucketed scan, " +
     "no Exchange above it)") {
     val idx = java.nio.file.Files.createTempDirectory("graft_didx4").toString

@@ -63,6 +63,24 @@ class KvStoreSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pre = read("push").filter(col("key").startsWith("app."))
       .select("key").collect().map(_.getString(0)).sorted
     assert(pre.toSeq == Seq("app.a", "app.b"))
+    // conjunct exact-key filters INTERSECT: the plan's pushed key set is
+    // the conjunction's satisfiable keys, never the union of the sets
+    val conj = read("push")
+      .filter(col("key") === "app.a" && col("key").isin("app.a", "app.b"))
+    assert(conj.count() == 1L)
+    def scanDesc(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("nats_kv(")).mkString("\n")
+    val desc = scanDesc(conj)
+    assert(desc.contains("keys=app.a") && !desc.contains("app.b"),
+      s"conjunction pushed a superset scan:\n$desc")
+    // an empty intersection is a contradiction: zero lookups, zero rows
+    val none = read("push")
+      .filter(col("key") === "app.a" && col("key").isin("app.b", "sys.c"))
+    assert(none.count() == 0L)
+    val noneDesc = scanDesc(none)
+    assert(!noneDesc.contains("app.b") && !noneDesc.contains("sys.c"),
+      s"contradiction still planned lookups:\n$noneDesc")
   }
 
   test("write direction: df.write puts rows; history option bounds revisions") {
