@@ -64,7 +64,15 @@ object Bench {
     val picked =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only(k) }
-    val results = picked.map { case (name, fn) =>
+    // `*_fixture` entries are the one-time scaffolding builders (e.g. the
+    // object-store bucket load): run them FIRST so their cost lands on
+    // their own bench line deterministically, never on whichever consumer
+    // query map order happens to put ahead of the rest. Within each group
+    // the original map order is preserved, so the non-fixture sequence —
+    // and its warm/cold profile — matches earlier rounds' artifacts.
+    val (fixtureUnits, rest) = picked.partition(_._1.endsWith("_fixture"))
+    val ordered = fixtureUnits.toSeq ++ rest.toSeq
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir))
       catch { case _: Throwable => failed += name }
@@ -84,7 +92,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","nqueries":${results.size},"failed":$failedJson,"sf":"$sfDir"}"""
@@ -96,14 +104,21 @@ object Bench {
     val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
       .replaceAll("[^A-Za-z0-9._-]", "_")
     // a FILTERED run must not clobber the committed full artifact with a
-    // partial per-query map
-    try if (only.isEmpty) {
+    // partial per-query map — it gets its OWN per-query artifact instead
+    // (bench_partial_<sf>.json), so outlier adjudication of a 2-query
+    // re-measurement reads real per-query numbers rather than backing them
+    // out of a total (round-10 judge task 6)
+    try {
+      val target =
+        if (only.isEmpty) s"bench_full_$sfTag.json"
+        else s"bench_partial_$sfTag.json"
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"bench_full_$sfTag.json"),
+        java.nio.file.Paths.get(target),
         (fullLine + "\n").getBytes("UTF-8"))
+      ()
     } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] bench_full write failed: $e")
+        System.err.println(s"[bench] bench artifact write failed: $e")
     }
     println(line)
     if (failed.nonEmpty)
