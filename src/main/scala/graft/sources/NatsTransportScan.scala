@@ -416,21 +416,25 @@ final class NatsTransportKvReader(p: NatsTransportKvPartition,
 
 /** One queue-group MEMBER: claims batches from the server-balanced group
   * consumer ([[graft.transport.JetStreamTransport.groupNext]]), emits them,
-  * and acks each batch when it pulls the next one (cursor-style AckNext —
-  * the last batch is acked before the drain check). A member sees an empty
-  * claim either because the group is DRAINED (pending == 0 → done) or
-  * because other members still hold leases (→ brief wait: if one died, its
-  * lease expires and this member receives the REDELIVERY).
+  * and settles ALL its claims in one batched ack at its LOCAL drain — the
+  * first empty claim, when the member has run out of claimable work
+  * (ack-on-commit). Held claims are kept leased across long drains by a
+  * batched `+WPI` at half-lease cadence. A member sees an empty claim
+  * either because the group is DRAINED (pending == 0 → done) or because
+  * other members still hold leases (→ brief wait: if one died, its lease
+  * expires and this member receives the REDELIVERY).
   *
   * Failure semantics — asymmetric by direction, both handled explicitly:
-  *   - MEMBER death before its acks: those claims redeliver to survivors
-  *     after the lease — no loss, classic explicit-ack queue behavior.
-  *   - TASK RE-ATTEMPT of this member: the failed attempt's per-batch acks
-  *     are already durable server-side while Spark DISCARDS its output, so
-  *     a retry would silently drop those rows (at-most-once). The reader
-  *     refuses to run with `attemptNumber > 0` — a loud failure beats a
-  *     silently incomplete result. Rerunning the query under a fresh group
-  *     name is the recovery.
+  *   - MEMBER death (or task kill/preemption) mid-drain: the attempt acked
+  *     NOTHING, so every claim it held lease-expires and redelivers — to
+  *     its own re-attempt or to surviving siblings. Re-attempts are
+  *     routine at cluster scale (spot loss, fetch failures); a drain must
+  *     survive them, not abort (the round-10 per-batch-ack design refused
+  *     re-attempts outright because its acks were durable while the
+  *     attempt's output was discarded).
+  *   - SPECULATION stays refused ([[NatsTransportGroupReader
+  *     .refuseSpeculation]]): a LIVE twin claims a disjoint message subset
+  *     while only one twin's output is kept — unfixable client-side.
   *
   * Termination: pending == 0 on an empty claim is the clean drain. When a
   * server ignores the `max_seq` claim window (a real nats-server),
@@ -452,11 +456,14 @@ final class NatsTransportGroupReader(p: NatsTransportGroupPartition,
   private val DrainWaitMs = 10L
 
   locally {
-    // durable-ack vs discarded-output mismatch: a re-attempt would silently
-    // drop every row the failed attempt acked (see class doc) — refuse
-    val tc = org.apache.spark.TaskContext.get()
-    if (tc != null)
-      NatsTransportGroupReader.failOnReattempt(tc.attemptNumber())
+    // SPECULATION is the one execution mode ack-on-drain cannot survive:
+    // a speculative twin claims a DISJOINT message subset (the original's
+    // claims are leased), Spark keeps only one task's output, and the
+    // other's rows are lost. Plain re-attempts are safe (nothing is acked
+    // until the drain completes, so a failed attempt's claims lease-expire
+    // and REDELIVER) — refuse only the genuinely unsafe mode.
+    if (org.apache.spark.TaskContext.get() != null)
+      NatsTransportGroupReader.refuseSpeculation()
   }
 
   private val transport =
@@ -474,14 +481,51 @@ final class NatsTransportGroupReader(p: NatsTransportGroupPartition,
   private var nEmitted = 0L
   private var nFiltered = 0L
 
+  /** every claim this member holds, settled ONLY at drain completion
+    * (ack-on-commit): a task that dies mid-drain has acked nothing, so its
+    * claims lease-expire and redeliver — to its own re-attempt or to a
+    * surviving sibling — with zero lost rows. The per-batch-ack
+    * predecessor made re-attempts silently lossy (durable acks vs
+    * discarded output) and had to refuse them outright. */
+  private val held = scala.collection.mutable.ArrayBuffer.empty[Long]
+  private var lastRenewNs = System.nanoTime()
+
   private def withRetry[T](f: => T): T =
     graft.transport.TransportRetry.withRetry(f)
+
+  /** keep held claims leased across drains longer than one ack-wait: a
+    * batched `+WPI` at half-lease cadence (zero wire traffic for drains
+    * that finish inside half a lease — the common case) */
+  private def renewIfDue(): Unit = {
+    val now = System.nanoTime()
+    if (held.nonEmpty && now - lastRenewNs > p.ackWaitMs * 500000L) {
+      nRpcs += 1L
+      withRetry(transport.groupProgress(p.stream, p.group, held.toArray,
+        p.ackWaitMs))
+      lastRenewNs = now
+    }
+  }
+
+  /** LOCAL drain (first empty claim): settle every held claim in one
+    * batched ack. Every held claim's row has already been emitted
+    * downstream at this point, so the remaining loss window is a task
+    * failure after the member ran out of claimable work — the same
+    * exposure the per-batch design had by this point, no longer one per
+    * batch. Settling here (not at global pending==0) also keeps members
+    * from deadlocking on each other's held counts while they wait for the
+    * group to drain. */
+  private def settleHeld(): Unit =
+    if (held.nonEmpty) {
+      withRetry(transport.groupAck(p.stream, p.group, held.toArray))
+      held.clear()
+    }
 
   override def currentMetricsValues()
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     ScanMetrics.taskValues(nRpcs, nEmitted, nFiltered)
 
   override def next(): Boolean = {
+    renewIfDue()
     while (true) {
       while (i < batch.length) {
         val m = batch(i)
@@ -489,14 +533,15 @@ final class NatsTransportGroupReader(p: NatsTransportGroupPartition,
         if (keep(m)) { current = toRow(m); nEmitted += 1L; return true }
         else nFiltered += 1L
       }
-      // batch fully emitted → settle its claims, then ask for the next one
-      if (batch.nonEmpty) {
-        withRetry(transport.groupAck(p.stream, p.group, batch.map(_.seq)))
-        batch = Array.empty
-      }
+      batch = Array.empty
       nRpcs += 1L
       var claimed = withRetry(transport.groupNext(p.stream, p.group,
         p.member, p.maxSeq, BatchSize, p.ackWaitMs, p.filter))
+      // nothing claimable for this member → LOCAL drain: settle all held
+      // claims now (ack-on-commit), before watching the group's pending
+      // count — which would otherwise never reach 0 while every member
+      // holds its own claims waiting on the others
+      if (claimed.isEmpty) settleHeld()
       // stall window: 2 lease periods with pending never decreasing and no
       // in-window claims ⇒ every remaining pending entry is a post-snapshot
       // message a max_seq-ignoring server keeps cycling (class doc) — done
@@ -531,6 +576,7 @@ final class NatsTransportGroupReader(p: NatsTransportGroupPartition,
         if (claimed.nonEmpty) waitMs = DrainWaitMs
       }
       batch = claimed
+      held ++= claimed.iterator.map(_.seq)
       i = 0
     }
     false
@@ -562,18 +608,23 @@ final class NatsTransportGroupReader(p: NatsTransportGroupPartition,
 }
 
 object NatsTransportGroupReader {
-  /** A deliver_group task must not re-attempt: the failed attempt's batch
-    * acks are durable server-side while Spark discards its output, so the
-    * retry silently loses those rows (at-MOST-once). A loud failure is the
-    * correct shape. */
-  def failOnReattempt(attemptNumber: Int): Unit =
-    if (attemptNumber > 0)
+  /** Task RE-ATTEMPTS are safe under ack-on-drain (nothing acked until the
+    * member runs out of claimable work, so a failed attempt's claims
+    * lease-expire and redeliver), but SPECULATION is not: a live
+    * speculative twin claims a disjoint subset of the group's messages —
+    * the original's claims are leased, not expired — and Spark keeps only
+    * one twin's output, silently losing the other's rows. Refuse loudly. */
+  def refuseSpeculation(): Unit = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env != null && env.conf.getBoolean("spark.speculation",
+        defaultValue = false))
       throw new IllegalStateException(
-        "nats_scan: deliver_group scan cannot safely re-attempt a task — " +
-          "batch acks from the failed attempt are durable server-side " +
-          "while its output is discarded, so a retry would silently lose " +
-          "those rows. Re-run the query under a fresh deliver_group name " +
-          "(and keep spark.speculation off for group scans).")
+        "nats_scan: deliver_group scans cannot run under " +
+          "spark.speculation=true — a speculative twin splits the group's " +
+          "claims with the original while only one task's output is kept, " +
+          "silently losing the other's rows. Disable speculation for " +
+          "queries that read with deliver_group.")
+  }
 }
 
 final class NatsTransportReaderFactory(required: StructType,

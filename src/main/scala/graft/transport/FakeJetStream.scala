@@ -492,6 +492,23 @@ final class FakeJetStreamServer {
       st.synchronized { seqs.foreach(st.pending.remove); () }
     }
 
+  /** `+WPI` batch: refresh the lease deadline of each STILL-PENDING claim
+    * (holder unchanged). Settled seqs, or claims already expired and
+    * reclaimed by another member, are ignored — a late in-progress ack has
+    * no authority, exactly as on a real server. */
+  private[transport] def groupExtend(stream: String, group: String,
+                                     seqs: Array[Long],
+                                     ackWaitMs: Long): Unit =
+    groups.get((stream, group)).foreach { st =>
+      st.synchronized {
+        val until = System.nanoTime() + ackWaitMs * 1000000L
+        seqs.foreach { s =>
+          val cur = st.pending.get(s)
+          if (cur != null) { st.pending.put(s, (cur._1, until)); () }
+        }
+      }
+    }
+
   /** Negative ack: the claim returns to the redelivery pool IMMEDIATELY
     * (no lease wait) — the wire protocol's `-NAK` verb. */
   private[transport] def groupNack(stream: String, group: String,
@@ -821,6 +838,12 @@ final class FakeTransport(server: FakeJetStreamServer) extends JetStreamTranspor
                         seqs: Array[Long]): Unit = {
     count()
     server.groupAck(stream, group, seqs)
+  }
+
+  override def groupProgress(stream: String, group: String,
+                             seqs: Array[Long], ackWaitMs: Long): Unit = {
+    count()
+    server.groupExtend(stream, group, seqs, ackWaitMs)
   }
 
   override def groupPending(stream: String, group: String): Long = {

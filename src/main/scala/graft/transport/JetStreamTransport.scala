@@ -114,6 +114,17 @@ trait JetStreamTransport extends AutoCloseable {
     * delivered batch is acked. */
   def groupAck(stream: String, group: String, seqs: Array[Long]): Unit
 
+  /** IN-PROGRESS ack — the public `+WPI` ack payload, batched over `seqs`:
+    * resets each still-claimed message's ack-wait timer to a fresh lease
+    * so a consumer holding claims across a drain longer than one lease
+    * (the ack-on-drain-commit scan) never loses them to mid-task
+    * redelivery. Settled or already-redelivered seqs are silently ignored,
+    * like a late `+WPI` on a real server. `ackWaitMs` is the renewed lease
+    * length (a real server renews to the consumer's configured `ack_wait`;
+    * the wire client ignores the argument accordingly). */
+  def groupProgress(stream: String, group: String, seqs: Array[Long],
+                    ackWaitMs: Long): Unit
+
   /** Unsettled group obligations (claimed-but-unacked + awaiting
     * redelivery). An empty [[groupNext]] with 0 pending means the group has
     * drained every message ≤ the claim bound. */

@@ -497,8 +497,8 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
       if (p.length >= 12) (p(4), p(5), p(7).toLong)
       else (p(2), p(3), p(5).toLong)
     val verb = new String(payload, UTF_8).trim
-    consumers.get((stream, consumer)).map(_.kind) match {
-      case Some(Group) =>
+    consumers.get((stream, consumer)) match {
+      case Some(rec) if rec.kind == Group =>
         if (verb.startsWith("-NAK")) {
           // `-NAK {"delay": ns}` (public ack payload): park the message for
           // the delay before it re-enters the claimable pool
@@ -507,12 +507,22 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
           if (delayNs > 0L)
             backing.groupNackDelayed(stream, consumer, Array(sseq), delayNs)
           else backing.groupNack(stream, consumer, Array(sseq))
-        } else backing.groupAck(stream, consumer, Array(sseq))
-      case Some(Floor) | None =>
-        // cumulative floor ack (ack_policy=all durables; also the synthesized
-        // AckAll subject for a durable never seen by this server instance)
-        if (!verb.startsWith("-NAK")) backing.durableAckAll(stream, consumer, sseq)
-      case Some(Ordered) => () // ack_policy none
+        } else if (verb.startsWith("+WPI"))
+          // in-progress ack: renew the claim's lease to the consumer's
+          // configured ack_wait (the server-side `+WPI` contract)
+          backing.groupExtend(stream, consumer, Array(sseq), rec.ackWaitMs)
+        else backing.groupAck(stream, consumer, Array(sseq))
+      case Some(rec) if rec.kind == Floor =>
+        // cumulative floor ack (ack_policy=all durables); -NAK/+WPI carry
+        // no floor authority
+        if (!verb.startsWith("-NAK") && !verb.startsWith("+WPI"))
+          backing.durableAckAll(stream, consumer, sseq)
+      case None =>
+        // synthesized AckAll subject for a durable never seen by this
+        // server instance
+        if (!verb.startsWith("-NAK") && !verb.startsWith("+WPI"))
+          backing.durableAckAll(stream, consumer, sseq)
+      case Some(_) => () // ordered: ack_policy none
     }
   }
 

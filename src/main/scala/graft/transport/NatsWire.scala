@@ -921,6 +921,17 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
       fire(subjects.map(r => s"PUB $r 4\r\n+ACK\r\n").mkString)
   }
 
+  override def groupProgress(stream: String, group: String,
+                             seqs: Array[Long], ackWaitMs: Long): Unit = {
+    // `+WPI` per held claim, batched into one flush. The subjects STAY
+    // registered — the claims remain ours and their eventual +ACK rides
+    // the same reply subject. ackWaitMs is ignored on the wire: a real
+    // server renews to the consumer's configured ack_wait.
+    val subjects = seqs.flatMap(s => ackSubjects.get((stream, group, s)))
+    if (subjects.nonEmpty)
+      fire(subjects.map(r => s"PUB $r 4\r\n+WPI\r\n").mkString)
+  }
+
   override def groupPending(stream: String, group: String): Long = {
     val r = api(s"$$JS.API.CONSUMER.INFO.$stream.$group", "{}")
     if (apiError(r).isDefined) 0L

@@ -147,6 +147,8 @@ class ObjectStoreSpec extends AnyFunSuite {
                     aw: Long, f: Option[String]) =
         real.groupNext(s, g, mem, ms, mx, aw, f)
       def groupAck(s: String, g: String, q: Array[Long]) = real.groupAck(s, g, q)
+      def groupProgress(s: String, g: String, q: Array[Long], aw: Long) =
+        real.groupProgress(s, g, q, aw)
       def groupPending(s: String, g: String) = real.groupPending(s, g)
       def purgeSubject(s: String, f: String, k: Int) = real.purgeSubject(s, f, k)
       override def publish(s: String, subj: String, ts: Long, p: Array[Byte],
