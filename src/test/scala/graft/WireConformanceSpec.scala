@@ -341,6 +341,179 @@ class WireConformanceSpec extends AnyFunSuite {
     } finally { t.close(); srv.stop() }
   }
 
+  test("ADR-8 KV golden frames: $KV subject grammar, KV-Operation marker, " +
+    "Nats-Expected-Last-Subject-Sequence header, err 10071 PubAck shape") {
+    // every assertion cites the public ADR-8 "JetStream based Key-Value
+    // Stores" (nats-architecture-and-design/adr/ADR-8.md): bucket B is
+    // stream KV_B, keys ride `$KV.<bucket>.<key>`, delete publishes an
+    // empty value under a `KV-Operation: DEL` header, and compare-and-set
+    // rides `Nats-Expected-Last-Subject-Sequence` with the conflict
+    // answered by JetStream err_code 10071 ("wrong last sequence")
+    val backing = new FakeJetStreamServer
+    val srv = new MiniNatsServer(backing)
+    val srvPort = srv.start()
+    val tap = new ByteTap(srvPort)
+    val tapPort = tap.start()
+    val t = Transport.connect(s"nats://127.0.0.1:$tapPort", timeoutMs = 2000L)
+    try {
+      val kv = new KvStore(t, "cfg", maxHistory = 0)
+      val r1 = kv.put("app.color", "red".getBytes(UTF_8), 1L)
+      kv.update("app.color", "blue".getBytes(UTF_8), expectedRev = r1, tsNs = 2L)
+      intercept[NatsWrongLastSequenceException](
+        kv.update("app.color", "green".getBytes(UTF_8), expectedRev = r1,
+          tsNs = 3L))
+      kv.delete("app.color", 4L)
+      assert(kv.get("app.color").isEmpty)
+      t.close()
+      Thread.sleep(100L)
+      val c2s = DocGrammarScanner.scan(tap.clientToServer.toByteArray)
+      val s2c = DocGrammarScanner.scan(tap.serverToClient.toByteArray)
+
+      // ADR-8 subject grammar: EVERY kv write rides `$KV.cfg.<key>`
+      val kvPubs = c2s.filter(f => (f.verb == "PUB" || f.verb == "HPUB") &&
+        f.args.head.startsWith("$KV."))
+      assert(kvPubs.nonEmpty, "no $KV publishes captured")
+      kvPubs.foreach(f => assert(f.args.head == "$KV.cfg.app.color",
+        s"off-grammar KV subject ${f.args.head}"))
+
+      // ADR-8 update: the CAS header with the expected revision
+      assert(kvPubs.exists(_.header.contains(
+        s"Nats-Expected-Last-Subject-Sequence: $r1")),
+        "CAS update must carry Nats-Expected-Last-Subject-Sequence")
+
+      // ADR-8 delete: empty-value publish under KV-Operation: DEL
+      val dels = kvPubs.filter(_.header.contains("KV-Operation: DEL"))
+      assert(dels.nonEmpty, "delete must publish the DEL operation marker")
+      dels.foreach(f => assert(f.payload.isEmpty, "DEL marker value empty"))
+
+      // the failed CAS PubAck: JetStream error JSON with err_code 10071
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val conflictAcks = s2c
+        .filter(f => f.verb == "MSG" || f.verb == "HMSG")
+        .map(f => new String(f.payload, UTF_8))
+        .filter(_.contains("10071"))
+      assert(conflictAcks.nonEmpty, "CAS conflict must answer err_code 10071")
+      val err = mapper.readTree(conflictAcks.head).get("error")
+      assert(err.get("err_code").asInt == 10071)
+      assert(err.get("description").asText.contains("wrong last sequence"))
+    } finally { tap.stop(); srv.stop() }
+  }
+
+  test("ADR-20 object-store golden frames: $O chunk/meta layout, " +
+    "Nats-Rollup: sub grammar, ObjectInfo digest, purge filter request") {
+    // cited to the public ADR-20 "JetStream based Object Stores": bucket B
+    // is stream OBJ_B; chunks ride `$O.<bucket>.C.<nuid>`; the meta record
+    // rides `$O.<bucket>.M.<base64url(name)>` with a `Nats-Rollup: sub`
+    // header; digest is `SHA-256=<base64url>`; a superseded version's
+    // chunks are reclaimed with the purge-by-subject `filter` request
+    val backing = new FakeJetStreamServer
+    val srv = new MiniNatsServer(backing)
+    val srvPort = srv.start()
+    val tap = new ByteTap(srvPort)
+    val tapPort = tap.start()
+    val t = Transport.connect(s"nats://127.0.0.1:$tapPort", timeoutMs = 2000L)
+    try {
+      val name = "a/b c.bin" // dots+spaces force the base64url meta token
+      val os = new ObjectStore(t, "blobs", chunkSize = 8)
+      os.put(name, ("v1-" * 7).getBytes(UTF_8), 1L) // 21 B → 3 chunks
+      os.put(name, ("v2-" * 7).getBytes(UTF_8), 2L) // overwrite → reclaim
+      assert(new String(os.get(name), UTF_8) == "v2-" * 7)
+      os.delete(name, 3L)                            // tombstone → reclaim
+      t.close()
+      Thread.sleep(100L)
+      val c2s = DocGrammarScanner.scan(tap.clientToServer.toByteArray)
+      val pubs = c2s.filter(f => f.verb == "PUB" || f.verb == "HPUB")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+      // chunk layout: `$O.blobs.C.<nuid>`, nuid a single legal token
+      val chunks = pubs.filter(_.args.head.startsWith("$O.blobs.C."))
+      assert(chunks.length == 6, s"expected 2 puts × 3 chunks, got ${chunks.length}")
+      val nuids = chunks.map(_.args.head.stripPrefix("$O.blobs.C.")).distinct
+      assert(nuids.length == 2, "each put takes a FRESH chunk nuid")
+      nuids.foreach(n => assert(n.nonEmpty && !n.exists(c => c == '.' ||
+        c == '*' || c == '>' || c == ' '), s"illegal nuid token '$n'"))
+
+      // meta layout: `$O.blobs.M.<base64url-nopad(name)>`, rollup header
+      val metaSubj = ObjectStore.metaSubject("blobs", name)
+      assert(metaSubj.matches("""\$O\.blobs\.M\.[A-Za-z0-9_-]+"""),
+        s"meta token must be base64url-no-pad: $metaSubj")
+      val metas = pubs.filter(_.args.head == metaSubj)
+      assert(metas.length == 3, "2 puts + 1 tombstone meta")
+      metas.foreach(f => assert(f.header.contains("Nats-Rollup: sub"),
+        "every meta publish must carry the ADR-20 rollup header"))
+
+      // ObjectInfo JSON: required fields + the SHA-256= digest form
+      val first = mapper.readTree(new String(metas.head.payload, UTF_8))
+      for (fld <- Seq("name", "bucket", "nuid", "size", "chunks", "digest"))
+        assert(first.hasNonNull(fld), s"ObjectInfo missing '$fld'")
+      assert(first.get("name").asText == name)
+      assert(first.get("digest").asText.matches("SHA-256=[A-Za-z0-9_-]+"))
+      assert(first.get("size").asLong == 21L && first.get("chunks").asInt == 3)
+      val tomb = mapper.readTree(new String(metas.last.payload, UTF_8))
+      assert(tomb.get("deleted").asBoolean && tomb.get("size").asLong == 0L &&
+        tomb.get("chunks").asInt == 0, "ADR-20 delete tombstone shape")
+
+      // reclaim: STREAM.PURGE with the purge-by-subject `filter` body,
+      // targeting exactly the superseded/deleted version's chunk subject
+      val purges = pubs.filter(_.args.head == "$JS.API.STREAM.PURGE.OBJ_blobs")
+        .map(f => mapper.readTree(new String(f.payload, UTF_8)))
+      assert(purges.length == 2, "overwrite + delete each reclaim once")
+      purges.foreach { b =>
+        assert(b.hasNonNull("filter"), "purge must use the filter field")
+        assert(b.get("filter").asText.matches(
+          """\$O\.blobs\.C\.[A-Za-z0-9_-]+"""), b.get("filter").asText)
+      }
+
+      // the get consumed chunks through a server-side-filtered consumer:
+      // CONSUMER.CREATE carrying filter_subject = THE object's chunk
+      // subject (wire volume = the object's own bytes, never the bucket)
+      val consumerReqs = pubs
+        .filter(_.args.head.startsWith("$JS.API.CONSUMER.CREATE.OBJ_blobs"))
+        .map(f => mapper.readTree(new String(f.payload, UTF_8)))
+      assert(consumerReqs.exists(r =>
+        Option(r.get("config")).exists(c =>
+          Option(c.get("filter_subject")).exists(
+            _.asText.startsWith("$O.blobs.C.")))),
+        "chunk fetch must filter server-side on the version's chunk subject")
+    } finally { tap.stop(); srv.stop() }
+  }
+
+  test("ADR-8 + ADR-20 full lifecycles against the STRICT server") {
+    val backing = new FakeJetStreamServer
+    val srv = new MiniNatsServer(backing, strict = true)
+    srv.start()
+    val t = Transport.connect(srv.url, timeoutMs = 2000L)
+    try {
+      // KV: create / put / CAS update / conflict / history / delete / purge
+      val kv = new KvStore(t, "sk", maxHistory = 0)
+      val r1 = kv.create("a", "1".getBytes(UTF_8), 1L)
+      intercept[NatsWrongLastSequenceException](
+        kv.create("a", "dup".getBytes(UTF_8), 2L))
+      val r2 = kv.update("a", "2".getBytes(UTF_8), expectedRev = r1, tsNs = 3L)
+      intercept[NatsWrongLastSequenceException](
+        kv.update("a", "x".getBytes(UTF_8), expectedRev = r1, tsNs = 4L))
+      assert(kv.get("a").map(_.valueUtf8).contains("2"))
+      assert(kv.history("a").map(_.op) == Seq(KvStore.OpPut, KvStore.OpPut))
+      kv.put("b", "3".getBytes(UTF_8), 5L)
+      assert(kv.entries().map(_.key).sorted == Seq("a", "b"))
+      kv.delete("a", 6L)
+      assert(kv.get("a").isEmpty && kv.getRevision("a", r2).nonEmpty)
+      kv.purge("b", 7L)
+      assert(kv.history("b").map(_.op) == Seq(KvStore.OpPurge))
+
+      // object store: put / get / overwrite / list / delete / sweep
+      val os = new ObjectStore(t, "so", chunkSize = 8)
+      os.put("x", ("A" * 20).getBytes(UTF_8), 1L)
+      os.put("y", ("B" * 9).getBytes(UTF_8), 2L)
+      os.put("x", ("C" * 17).getBytes(UTF_8), 3L)
+      assert(new String(os.get("x"), UTF_8) == "C" * 17)
+      assert(os.list().map(_.name).sorted == Seq("x", "y"))
+      os.delete("y", 4L)
+      assert(os.list().map(_.name) == Seq("x"))
+      assert(os.sweepOrphans() == 0) // nothing unreferenced after reclaim
+    } finally { t.close(); srv.stop() }
+  }
+
   test("strict server rejects malformed frames with -ERR and drops the " +
     "connection (parser behavior per the protocol doc)") {
     val backing = fixtureBacking()
