@@ -30,19 +30,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = DeploymentProfile.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      // a 221-query session cycles ~3k codegen fragments through the
-      // default 100-entry compile cache, recompiling shared subtrees
-      // (wordCounts/nllFrame & co.) on nearly every query — measured 25-30%
-      // on the warm text/LM family; entries are small compiled classes, so
-      // a few thousand is cheap on a long-lived driver
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    DeploymentProfile.jvmWarnings()
+      .foreach(w => System.err.println(s"[bench] deployment profile: $w"))
     // warm the JVM/codegen/shuffle infra so the first measured query is not
     // charged for session startup; clear any cache the warmup left behind
     try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }

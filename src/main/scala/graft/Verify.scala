@@ -15,12 +15,10 @@ object Verify {
       // SQL surface: makes `FROM nats_scan(...)` and the proto/similarity
       // SQL functions resolvable in the graded session
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      // a 221-query session cycles ~3k codegen fragments through the
-      // default 100-entry compile cache, recompiling shared subtrees
-      // (wordCounts/nllFrame & co.) on nearly every query — measured 25-30%
-      // on the warm text/LM family; entries are small compiled classes, so
-      // a few thousand is cheap on a long-lived driver
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // session half of the measured deployment profile (codegen compile
+      // cache sizing — see DeploymentProfile / docs/DEPLOYMENT.md)
+      .config("spark.sql.codegen.cache.maxEntries",
+        DeploymentProfile.CodegenCacheMaxEntries.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
