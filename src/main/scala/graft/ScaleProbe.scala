@@ -322,7 +322,7 @@ object ScaleProbe {
     // candidate volume, not a re-shuffle of the whole index. Pairs double
     // per corpus doubling exactly like dedup_incremental's band join.
     if (on("didx")) {
-      println(f"${"k"}%3s ${"docs"}%8s ${"didx_build_s"}%13s ${"didx_probe_s"}%13s ${"probe_pairs"}%12s")
+      println(f"${"k"}%3s ${"docs"}%8s ${"didx_build_s"}%13s ${"didx_probe_s"}%13s ${"probe_pairs"}%12s ${"selfjoin_s"}%11s ${"self_pairs"}%11s")
       Seq(1, 4, 16, 32).foreach { k =>
         val dk = replicate(k).cache()
         dk.count()
@@ -339,7 +339,24 @@ object ScaleProbe {
         val (tProbe, nPairs) = time(
           operators.DedupIndex.probePairs(spark, idxDir, batch,
             "doc_id", "text", minEst = 0.5).count())
-        println(f"$k%3d ${dk.count()}%8d $tBuild%13.2f $tProbe%13.2f $nPairs%12d")
+        // the pipe_leakfree_split shape (round 11): corpus-wide pair
+        // derivation as a BUCKETED band-relation self-join (exchange-free
+        // on both scan sides) + signature-agreement verify — must track
+        // band-collision volume, never re-shuffle or re-sign the corpus
+        val (tSelf, nSelf) = time {
+          val bands = operators.DedupIndex.bandsRelation(spark, idxDir)
+          val sigs = operators.DedupIndex.sigsRelation(spark, idxDir)
+          val cand = bands.select(col("bk"), col("doc_id").as("id1"))
+            .join(bands.select(col("bk"), col("doc_id").as("id2")), "bk")
+            .filter(col("id1") < col("id2"))
+            .select("id1", "id2").distinct()
+          cand
+            .join(sigs.select(col("doc_id").as("id1"), col("sig").as("s1")), "id1")
+            .join(sigs.select(col("doc_id").as("id2"), col("sig").as("s2")), "id2")
+            .filter(expr("CAST(size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) AS DOUBLE) / 16.0") >= 0.9)
+            .count()
+        }
+        println(f"$k%3d ${dk.count()}%8d $tBuild%13.2f $tProbe%13.2f $nPairs%12d $tSelf%11.2f $nSelf%11d")
         dk.unpersist(): Unit
         Caches.drain()
       }
