@@ -116,9 +116,16 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // simulate ANOTHER session's rebuild with a different bucket count:
     // on-disk meta says 4 buckets, but this session's cached DDL claims 8 —
     // ensureRegistered must spot the disagreement and re-issue, or every
-    // later probe join would hash-partition on the wrong layout
+    // later probe join would hash-partition on the wrong layout.
+    // (Resolve THIS index's table by its LOCATION — earlier tests in the
+    // suite registered other indexes' _bands tables in the same catalog.)
     val tbl = spark.catalog.listTables().collect().map(_.name)
-      .filter(_.startsWith("graft_dedup_idx_")).find(_.endsWith("_bands")).get
+      .filter(n => n.startsWith("graft_dedup_idx_") && n.endsWith("_bands"))
+      .find { n =>
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(n))
+          .storage.locationUri.exists(_.toString.contains(abs.toString))
+      }.get
     val cols = spark.read.parquet(s"$abs/bands").schema.toDDL
     spark.sql(s"DROP TABLE $tbl")
     spark.sql(
@@ -181,6 +188,49 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       assert(bucketedScans.size == 2, s"expected 2 bucketed index scans:\n$plan")
       assert(probed.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("leakfree-split pair derivation: the band-relation SELF-join " +
+    "consumes the bucket layout on BOTH sides (no Exchange under the join)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_didx6").toString
+    DedupIndex.build(docs, "doc_id", "text", spec, idx)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the pipe_leakfree_split candidate shape: corpus-wide pairs as a
+      // self-join of the persisted band relation on its bucket key
+      val bands = DedupIndex.bandsRelation(spark, idx)
+      val cand = bands.select(col("bk"), col("doc_id").as("id1"))
+        .join(bands.select(col("bk"), col("doc_id").as("id2")), "bk")
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+      val plan = cand.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.SparkPlan
+      def isIndexScan(
+          s: org.apache.spark.sql.execution.FileSourceScanExec): Boolean =
+        s.tableIdentifier.exists(_.table.startsWith("graft_dedup_idx_"))
+      def scanPaths(p: SparkPlan,
+                    acc: List[SparkPlan]): Seq[List[SparkPlan]] = p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if isIndexScan(s) => Seq(acc)
+        case other => other.children.flatMap(c => scanPaths(c, other :: acc))
+      }
+      val found = scanPaths(plan, Nil)
+      assert(found.size == 2, s"expected both self-join sides to be index " +
+        s"scans:\n$plan")
+      found.foreach { pathUp =>
+        val toJoin = pathUp.takeWhile(
+          !_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+        assert(!toJoin.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+          s"a self-join side shuffled before the join — the bucket layout " +
+            s"was not consumed:\n$plan")
+      }
+      assert(cand.count() > 0, "fixture must produce candidate pairs")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.enabled")
