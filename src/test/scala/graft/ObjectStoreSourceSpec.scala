@@ -173,6 +173,35 @@ class ObjectStoreSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(os.get("keep/1"), UTF_8) == "k" * 20)
   }
 
+  test("staged overwrite preserves CONCURRENT writes: a name put mid-job " +
+    "(after the watermark) survives the commit reconcile") {
+    server
+    val os = store("owconc", 8)
+    os.put("stale/1", ("s" * 20).getBytes(UTF_8), 1L)
+    // drive the write protocol directly so a concurrent put can be
+    // interleaved between watermark capture and job commit
+    val writers = new graft.sources.ObjectStoreRowWriters(url, "owconc",
+      chunkSize = 8, connectTimeoutMs = 2000L,
+      graft.transport.TransportAuth.anonymous,
+      nameIdx = 0, dataIdx = 1, mtimeIdx = 2, retainHistory = false)
+    val bw = new graft.sources.ObjectStoreBatchWrite(writers,
+      truncateFirst = true)
+    val factory = bw.createBatchWriterFactory(null) // watermark captured here
+    // ...another client writes while the job runs
+    os.put("concurrent/1", "mid-job".getBytes(UTF_8), 2L)
+    val w = factory.createWriter(0, 0L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("new/1"),
+      "n1".getBytes(UTF_8), 3L))
+    val msg = w.commit()
+    bw.commit(Array(msg))
+    // reconcile deleted ONLY pre-watermark names: the overwrite's own rows
+    // and the concurrent writer's post-watermark put both survive
+    assert(os.list().map(_.name).sorted == Seq("concurrent/1", "new/1"))
+    assert(new String(os.get("concurrent/1"), UTF_8) == "mid-job")
+    assert(new String(os.get("new/1"), UTF_8) == "n1")
+  }
+
   test("sweepOrphans reclaims unreferenced chunk subjects only") {
     server
     val os = store("sweep", 8)
