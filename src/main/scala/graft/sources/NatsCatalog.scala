@@ -31,7 +31,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Catalog DDL (create/alter/drop/rename) is rejected: streams are
   * provisioned on the server / by the writer path, not by Spark DDL — the
   * same posture as the reference (a scan extension, not a stream admin). */
-final class NatsCatalog extends TableCatalog with SupportsNamespaces {
+final class NatsCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var options: Map[String, String] = _
@@ -142,6 +143,24 @@ final class NatsCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(from: Identifier, to: Identifier): Unit =
     unsupported("RENAME TABLE")
 
+  // --- ProcedureCatalog: maintenance surfaces as SQL CALL ---------------
+  // `CALL nats.obj.sweep_orphans(bucket => 'docs')` — the object store's
+  // garbage-collection pass (ObjectStore.sweepOrphans: reclaim chunk
+  // subjects no meta references — torn puts killed with no exception
+  // path, racing-put losers). A compaction job a pipeline schedules, so
+  // it belongs on the SQL face next to the buckets it maintains.
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (objMode && isObjNs(ident.namespace()) &&
+        ident.name().equalsIgnoreCase("sweep_orphans"))
+      new SweepOrphansProcedure(options)
+    else throw new UnsupportedOperationException(
+      s"nats catalog: unknown procedure ${ident.namespace().mkString(".")}" +
+        s".${ident.name()} — available: obj.sweep_orphans (url mode)")
+  }
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    if (objMode && isObjNs(ns)) Array(Identifier.of(ns, "sweep_orphans"))
+    else Array.empty
+
   // --- SupportsNamespaces: the root plus (url mode) obj/kv buckets ---
   override def listNamespaces(): Array[Array[String]] =
     if (objMode) Array(Array("obj"), Array("kv")) else Array.empty
@@ -160,4 +179,58 @@ final class NatsCatalog extends TableCatalog with SupportsNamespaces {
     unsupported("ALTER NAMESPACE")
   override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean =
     unsupported("DROP NAMESPACE")
+}
+
+/** `CALL <catalog>.obj.sweep_orphans(bucket => '<bucket>')`: run the
+  * object store's orphan-chunk reclamation and return one row
+  * (bucket STRING, purged_chunk_subjects BIGINT). Driver-side by design —
+  * the sweep is a metadata walk (subjects-only stats index + meta history,
+  * zero chunk bytes), the same weight class as the catalog's own
+  * discovery calls. */
+final class SweepOrphansProcedure(options: Map[String, String])
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "sweep_orphans"
+  override def description(): String =
+    "reclaim object-store chunk subjects unreferenced by any meta " +
+      "(torn puts, racing-put losers)"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = SweepOrphansProcedure.this.name()
+      override def description(): String =
+        SweepOrphansProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("bucket", StringType)
+          .comment("object-store bucket to sweep").build())
+      override def isDeterministic: Boolean = false // mutates the stream
+      override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+          : util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val bucket = input.getUTF8String(0).toString
+        val url = options.getOrElse("url", throw new IllegalArgumentException(
+          "obj.sweep_orphans needs a url-mode catalog (live server)"))
+        val t = graft.transport.TransportPool.get(url,
+          options.getOrElse("connect_timeout_ms",
+            graft.transport.Transport.DefaultTimeoutMs.toString).toLong,
+          graft.transport.TransportAuth.fromOptions(
+            credsFile = options.get("user_creds"),
+            nkeySeed = options.get("nkey_seed"),
+            tls = options.get("tls"), tlsCaFile = options.get("tls_ca"),
+            tlsInsecure = options.get("tls_insecure")))
+        val purged = new graft.transport.ObjectStore(t, bucket).sweepOrphans()
+        val out: org.apache.spark.sql.connector.read.Scan =
+          new org.apache.spark.sql.connector.read.LocalScan {
+            override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+              Array(org.apache.spark.sql.catalyst.InternalRow(
+                org.apache.spark.unsafe.types.UTF8String.fromString(bucket),
+                purged.toLong))
+            override def readSchema(): StructType = StructType(Seq(
+              StructField("bucket", StringType, nullable = false),
+              StructField("purged_chunk_subjects", LongType, nullable = false)))
+          }
+        util.Collections.singletonList(out).iterator()
+      }
+    }
 }

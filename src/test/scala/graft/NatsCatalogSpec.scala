@@ -135,6 +135,45 @@ class NatsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getMessage.toLowerCase.contains("not found"), e.getMessage)
   }
 
+  test("CALL obj.sweep_orphans: SQL-face maintenance reclaims orphaned " +
+    "chunk subjects and reports the count") {
+    val url = "nats://cat-sweep:4222"
+    graft.transport.FakeJetStream.listen(url)
+    val t = graft.transport.Transport.connect(url)
+    val os = new graft.transport.ObjectStore(t, "gc", chunkSize = 8)
+    os.put("live", ("L" * 20).getBytes("UTF-8"), 1L)
+    // two torn puts (chunks published, meta never made it, task died with
+    // no exception path): orphaned chunk subjects no meta references
+    (0 until 2).foreach { i =>
+      val nuid = graft.transport.ObjectStore.newNuid()
+      t.publish(os.stream, s"$$O.gc.C.$nuid", 2L + i,
+        "zzz".getBytes("UTF-8"), msgId = s"$nuid/0")
+    }
+    spark.conf.set("spark.sql.catalog.catgc",
+      classOf[graft.sources.NatsCatalog].getName)
+    spark.conf.set("spark.sql.catalog.catgc.url", url)
+
+    val r = spark.sql(
+      "CALL catgc.obj.sweep_orphans(bucket => 'gc')").collect()
+    assert(r.length == 1 && r.head.getString(0) == "gc" &&
+      r.head.getLong(1) == 2L, r.mkString(","))
+    // the live object is untouched; a second sweep finds nothing
+    assert(new String(os.get("live"), "UTF-8") == "L" * 20)
+    assert(spark.sql("CALL catgc.obj.sweep_orphans('gc')")
+      .collect().head.getLong(1) == 0L)
+    // discovery: the procedure is listed under the obj namespace
+    val procs = spark.sql("SHOW PROCEDURES IN catgc.obj")
+      .collect().map(_.toString)
+    assert(procs.exists(_.contains("sweep_orphans")), procs.mkString(","))
+    // unknown procedures refuse loudly, naming the available surface in
+    // the cause chain (Spark wraps it in FAILED_TO_LOAD_ROUTINE)
+    val e = intercept[Exception](
+      spark.sql("CALL catgc.obj.nope()").collect())
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(e).contains("sweep_orphans"), msgs(e))
+  }
+
   test("DDL is rejected: streams are not provisioned by Spark") {
     spark.conf.set("spark.sql.catalog.catddl",
       classOf[graft.sources.NatsCatalog].getName)
