@@ -413,6 +413,45 @@ object TransportScaleProbe {
         f"$watchRpcs%11d")
     }
 
+    // --- BULK vs per-object ingest over REAL sockets (round 11) ---------
+    // putBulk pipelines a window of objects' chunks + metas through two
+    // publishBatch round-trips, vs put()'s 3 conversations per object
+    // (prior-meta lookup, chunk batch, meta publish). On a real network
+    // the RTT term dominates a loader, so the wire path is where the API
+    // earns its keep; the require pins read-identity between the paths.
+    println()
+    println("object-store INGEST over real sockets (MiniNatsServer), " +
+      "2 KiB objects (16 chunks @ 128 B):")
+    println(f"${"objects"}%8s ${"put_wall_s"}%11s ${"put_obj_s"}%10s " +
+      f"${"bulk_wall_s"}%12s ${"bulk_obj_s"}%11s ${"speedup"}%8s")
+    Seq(512, 2048).foreach { nObj =>
+      val backing = new graft.transport.FakeJetStreamServer
+      val bsrv = new graft.transport.MiniNatsServer(backing)
+      bsrv.start()
+      val t = graft.transport.Transport.connect(bsrv.url, timeoutMs = 5000L)
+      val payload = Array.tabulate[Byte](2048)(i => (i % 251).toByte)
+      val one = new graft.transport.ObjectStore(t, "ing1", 128)
+      val pt0 = System.nanoTime()
+      var i = 0
+      while (i < nObj) { one.put(f"o/$i%06d", payload, i.toLong); i += 1 }
+      val putWall = (System.nanoTime() - pt0) / 1e9
+      val bulk = new graft.transport.ObjectStore(t, "ing2", 128)
+      val bt0 = System.nanoTime()
+      bulk.putBulk((0 until nObj).iterator.map(j =>
+        (f"o/$j%06d", payload, j.toLong)))
+      val bulkWall = (System.nanoTime() - bt0) / 1e9
+      // read-identity: same names, sizes, digests either way
+      val a = one.list().map(m => (m.name, m.size, m.digest)).sortBy(_._1)
+      val b = bulk.list().map(m => (m.name, m.size, m.digest)).sortBy(_._1)
+      require(a == b, "bulk ingest diverged from per-object puts")
+      require(java.util.Arrays.equals(
+        bulk.get(f"o/${nObj / 2}%06d"), payload), "bulk content mismatch")
+      println(f"$nObj%8d $putWall%11.2f ${nObj / putWall}%10.1f " +
+        f"$bulkWall%12.2f ${nObj / bulkWall}%11.1f " +
+        f"${putWall / bulkWall}%8.1f")
+      t.close(); bsrv.stop()
+    }
+
     // overwrite-churn reclamation: chunk purge + meta rollup keep the
     // stream at exactly (current chunks + one meta per name) while the
     // WRITE count grows — the pre-purge design grew O(writes ever made).

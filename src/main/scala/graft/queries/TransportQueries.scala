@@ -163,10 +163,14 @@ object TransportQueries {
           FakeJetStream.listen(url) // ensure registry entry in this JVM
           val os = new graft.transport.ObjectStore(
             graft.transport.Transport.connect(url), "docs", ObjChunkSize)
-          it.foreach { r =>
+          // BULK ingest (fresh names): windowed pipelined publishes — the
+          // loader path a real bucket load uses (putBulk), not one
+          // 3-round-trip put per object
+          os.putBulk(it.map { r =>
             val id = r.getLong(0)
-            os.put(s"doc/$id", r.getString(1).getBytes("UTF-8"), mtimeNs = id)
-          }
+            (s"doc/$id", r.getString(1).getBytes("UTF-8"), id)
+          })
+          ()
         }
       url
     })

@@ -174,7 +174,8 @@ trait JetStreamTransport extends AutoCloseable {
     * pipelining buys nothing there); the wire client overrides. */
   def publishBatch(stream: String,
                    entries: Array[PublishEntry]): Array[Long] =
-    entries.map(e => publish(stream, e.subject, e.tsNs, e.payload, e.msgId))
+    entries.map(e =>
+      publish(stream, e.subject, e.tsNs, e.payload, e.msgId, e.headers))
 
   def close(): Unit
 }

@@ -147,6 +147,10 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
     private val wlock = new Object
     /** exact-match subscriptions: subject → sid (inbox replies only) */
     val subs = new TrieMap[String, Long]()
+    /** reverse index for O(1) UNSUB — a real server unsubscribes by sid
+      * in O(1); a linear scan here turned a pipelined publish window's
+      * teardown (n UNSUBs against n live subs) into O(n²) */
+    val sidSubjects = new TrieMap[Long, String]()
     /** CONNECT opted into no-responders 503 statuses (real servers only
       * send them to clients that set `no_responders` + `headers`) */
     @volatile var noResponders = false
@@ -313,13 +317,19 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
             val p = line.substring(sp + 1).split(' ')
             strictly(sp > 0 && (p.length == 2 || p.length == 3) &&
               p.forall(_.nonEmpty) && numeric(p.last))
-            conn.subs.put(p(0), p.last.toLong); ()
+            conn.subs.put(p(0), p.last.toLong)
+            conn.sidSubjects.put(p.last.toLong, p(0)); ()
           case "UNSUB" =>
             // UNSUB <sid> [max_msgs]
             val p = line.substring(sp + 1).split(' ')
             strictly(sp > 0 && (p.length == 1 || p.length == 2) && numeric(p(0)))
             val sid = p(0).toLong
-            conn.subs.filterInPlace((_, v) => v != sid); ()
+            conn.sidSubjects.remove(sid).foreach { subj =>
+              // only drop the mapping this sid still owns (a re-SUB of the
+              // same subject under a newer sid must survive its stale UNSUB)
+              if (conn.subs.get(subj).contains(sid)) conn.subs.remove(subj)
+            }
+            ()
           case "PUB" =>
             // PUB <subject> [reply-to] <#bytes>\r\n[payload]\r\n
             val p = line.substring(sp + 1).split(' ')

@@ -115,6 +115,68 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
     info
   }
 
+  /** BULK ingest — the loader path: pipeline the chunks and metas of
+    * `window` objects per [[JetStreamTransport.publishBatch]] round-trip,
+    * so a bucket load costs ~2 RTTs per WINDOW instead of 3 per OBJECT
+    * (prior-meta lookup + chunk batch + meta publish). Returns the number
+    * of objects stored.
+    *
+    * Per-object invariants are [[put]]'s: fresh nuid per object, chunks
+    * durable BEFORE their meta (the whole window's chunk batch flushes
+    * before its meta batch), rollup header on every meta (duplicate names
+    * within a window collapse server-side, last wins — batch order is
+    * preserved). The ONE difference: no per-name prior lookup, so a bulk
+    * load over EXISTING names rolls their metas up but does not purge the
+    * superseded versions' chunk subjects — run [[sweepOrphans]] after
+    * bulk-overwriting live names; a fresh-bucket load has nothing to
+    * reclaim. A torn window (exception mid-batch) reclaims its own chunk
+    * subjects best-effort, like a torn [[put]]. */
+  def putBulk(objs: Iterator[(String, Array[Byte], Long)],
+              window: Int = BulkWindow): Long = {
+    require(window > 0, s"bulk window must be > 0, got $window")
+    var stored = 0L
+    objs.grouped(window).foreach { grp =>
+      val chunkEntries = Array.newBuilder[PublishEntry]
+      val metaEntries = Array.newBuilder[PublishEntry]
+      val nuids = Array.newBuilder[String]
+      grp.foreach { case (name, data, mtimeNs) =>
+        requireName(name)
+        val nuid = newNuid()
+        nuids += nuid
+        val nChunks = if (data.isEmpty) 0 else (data.length - 1) / chunkSize + 1
+        val chunkSubject = s"$$O.$bucket.C.$nuid"
+        var i = 0
+        while (i < nChunks) {
+          val from = i * chunkSize
+          val until = math.min(from + chunkSize, data.length)
+          chunkEntries += PublishEntry(chunkSubject, mtimeNs,
+            java.util.Arrays.copyOfRange(data, from, until),
+            msgId = s"$nuid/$i")
+          i += 1
+        }
+        val info = ObjectInfo(name, bucket, nuid, data.length.toLong,
+          nChunks, digestOf(data), mtimeNs, deleted = false)
+        metaEntries += PublishEntry(metaSubject(bucket, name), mtimeNs,
+          metaJson(info).getBytes(UTF_8), msgId = s"$nuid/M",
+          headers = rollupHeader)
+      }
+      val chunks = chunkEntries.result()
+      try {
+        if (chunks.nonEmpty) t.publishBatch(stream, chunks)
+        t.publishBatch(stream, metaEntries.result())
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // reclaim the window's own chunk subjects before surfacing —
+          // a retry takes fresh nuids, nothing else ever purges these
+          nuids.result().foreach(n =>
+            try purgeChunks(n) catch { case _: Exception => () })
+          throw e
+      }
+      stored += grp.size
+    }
+    stored
+  }
+
   /** Tombstone `name` (ADR delete shape: meta with `deleted: true`, zero
     * size/chunks, fresh nuid) and reclaim the deleted version's chunk
     * subject (what a real client's Delete does — purge after the
@@ -363,6 +425,8 @@ object ObjectStore {
       s"invalid object-store bucket name '$bucket'")
   /** chunks per fetch batch on the read path */
   val ChunkBatch = 64
+  /** objects per pipelined publish window on the bulk-ingest path */
+  val BulkWindow = 512
   /** meta messages per list page (same order as the KV reader's page) */
   val MetaPage = 2048
 

@@ -122,6 +122,42 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(got == "a" * 24 || got == "b" * 24)
   }
 
+  test("putBulk: windowed bulk ingest is read-identical to per-object puts") {
+    val (os, srv) = freshStore("bulk")
+    val objs = (0 until 37).map(i =>
+      (s"b/$i", (s"payload-$i-" * (i % 5 + 1)).getBytes(UTF_8), i.toLong))
+    // tiny window forces multiple publish rounds; fresh-name load
+    assert(os.putBulk(objs.iterator, window = 10) == 37L)
+    assert(os.list().size == 37)
+    objs.foreach { case (n, d, _) =>
+      assert(java.util.Arrays.equals(os.get(n), d), s"mismatch at $n")
+    }
+    // metas rolled up: exactly chunks + one meta per name in the stream
+    val expectChunks = objs.map { case (_, d, _) =>
+      if (d.isEmpty) 0 else (d.length - 1) / 8 + 1 }.sum
+    assert(Transport.connect("nats://objstore-bulk:4222")
+      .streamInfo(os.stream).messages == expectChunks.toLong + 37L)
+    // duplicate names inside one window: LAST wins (batch order preserved)
+    val dup = Seq(
+      ("dup", "first".getBytes(UTF_8), 1L),
+      ("dup", "second".getBytes(UTF_8), 2L))
+    os.putBulk(dup.iterator, window = 10)
+    assert(new String(os.get("dup"), UTF_8) == "second")
+    // bulk over EXISTING names: metas roll up, superseded chunks stay
+    // until sweepOrphans (the documented trade of the no-prior-lookup path)
+    os.putBulk(Iterator(("b/0", ("new-" * 6).getBytes(UTF_8), 99L)))
+    assert(new String(os.get("b/0"), UTF_8) == "new-" * 6)
+    assert(os.sweepOrphans() >= 1) // the old b/0 version's chunk subject
+    assert(new String(os.get("b/0"), UTF_8) == "new-" * 6) // still intact
+    // retainHistory: bulk metas drop the rollup header like put()
+    val osH = new ObjectStore(Transport.connect("nats://objstore-bulk:4222"),
+      "bbulkh", 8, retainHistory = true)
+    osH.putBulk(Iterator(("v", "one".getBytes(UTF_8), 1L)))
+    osH.putBulk(Iterator(("v", "two".getBytes(UTF_8), 2L)))
+    assert(new String(osH.get("v"), UTF_8) == "two")
+    assert(osH.sweepOrphans() == 0) // both versions referenced by history
+  }
+
   test("a put torn between chunks and meta reclaims its own chunk subject") {
     val url = "nats://objstore-torn:4222"
     FakeJetStream.listen(url)
