@@ -173,6 +173,44 @@ class ObjectStoreSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(os.get("keep/1"), UTF_8) == "k" * 20)
   }
 
+  test("bulk_window writer option: loader path is read-identical, bulk " +
+    "overwrite sweeps superseded chunks at commit") {
+    import spark.implicits._
+    server
+    val os = store("blkw", 8)
+    os.put("old/1", ("o" * 20).getBytes(UTF_8), 1L)
+    val df = (0 until 30).map(i => (s"w/$i", s"bulk-data-$i", i.toLong))
+      .toDF("name", "payload", "mtime_ns")
+      .selectExpr("name", "CAST(payload AS BINARY) AS data", "mtime_ns")
+    df.write.format("nats_obj").option("url", url)
+      .option("bucket", "blkw").option("chunk_size", "8")
+      .option("bulk_window", "7") // several windows per task
+      .mode("overwrite").save()
+    val names = os.list().map(_.name).sorted
+    assert(names == (0 until 30).map(i => s"w/$i").sorted,
+      s"bulk overwrite state wrong: $names")
+    assert(new String(os.get("w/7"), UTF_8) == "bulk-data-7")
+    // the commit epilogue swept: no unreferenced chunk subjects remain
+    assert(os.sweepOrphans() == 0)
+    // overwrite the SAME names in bulk: superseded chunks reclaimed at
+    // commit (the bulk path's deferred reclamation), state = new content
+    df.selectExpr("name", "CAST(concat('v2-', CAST(data AS STRING)) AS BINARY) AS data",
+        "mtime_ns + 100 AS mtime_ns")
+      .write.format("nats_obj").option("url", url)
+      .option("bucket", "blkw").option("chunk_size", "8")
+      .option("bulk_window", "7").mode("overwrite").save()
+    assert(new String(os.get("w/7"), UTF_8) == "v2-bulk-data-7")
+    assert(os.sweepOrphans() == 0, "bulk overwrite leaked superseded chunks")
+    // validation
+    val e = intercept[Exception] {
+      spark.range(1).selectExpr("'n' AS name", "CAST('d' AS BINARY) AS data")
+        .write.format("nats_obj").option("url", url)
+        .option("bucket", "blkw").option("bulk_window", "-1")
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("bulk_window"), e.getMessage)
+  }
+
   test("staged overwrite preserves CONCURRENT writes: a name put mid-job " +
     "(after the watermark) survives the commit reconcile") {
     server
