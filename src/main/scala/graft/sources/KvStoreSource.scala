@@ -73,11 +73,19 @@ final class KvStoreTable(rawProps: Map[String, String])
   private[sources] val shards = props.getOrElse("shards", "16").toInt
   private[sources] val history =
     props.getOrElse("history", "1").toInt
+  /** write option: LOADER path — buffer this many rows per task and ship
+    * them through [[graft.transport.KvStore.putBulk]] windows (one
+    * pipelined round-trip per window instead of a conversation per key;
+    * history trims once per distinct key per window). 0 = per-key puts. */
+  private[sources] val bulkWindow =
+    props.getOrElse("bulk_window", "0").toInt
   locally {
     if (shards < 1) sys.error(s"nats_kv: shards must be >= 1, got $shards")
     graft.transport.ObjectStore.requireValidBucket(bucket)
     if (history < 0 || history > 64)
       sys.error(s"nats_kv: history must be in [0, 64], got $history")
+    if (bulkWindow < 0)
+      sys.error(s"nats_kv: bulk_window must be >= 0, got $bulkWindow")
   }
   private[sources] val connectTimeoutMs = props.getOrElse("connect_timeout_ms",
     graft.transport.Transport.DefaultTimeoutMs.toString).toLong
@@ -325,7 +333,7 @@ final class KvWriteBuilder(t: KvStoreTable, info: LogicalWriteInfo)
     val tsIdx = if (s.fieldNames.contains("ts_nats"))
       col("ts_nats", TimestampType) else -1
     val writers = new KvRowWriters(t.url, t.bucket, t.history,
-      t.connectTimeoutMs, t.auth, keyIdx, valIdx, tsIdx)
+      t.connectTimeoutMs, t.auth, keyIdx, valIdx, tsIdx, t.bulkWindow)
     new Write {
       override def toBatch: BatchWrite = new KvBatchWrite(writers)
     }
@@ -334,20 +342,38 @@ final class KvWriteBuilder(t: KvStoreTable, info: LogicalWriteInfo)
 
 final class KvRowWriters(url: String, bucket: String, history: Int,
                          connectTimeoutMs: Long, auth: TransportAuth,
-                         keyIdx: Int, valIdx: Int, tsIdx: Int)
+                         keyIdx: Int, valIdx: Int, tsIdx: Int,
+                         bulkWindow: Int = 0)
     extends Serializable {
   def newWriter(): DataWriter[InternalRow] = new DataWriter[InternalRow] {
     private val store = new KvStore(
       TransportPool.get(url, connectTimeoutMs, auth), bucket, history)
+    // loader path: one window of (key, value, ts) buffered per task
+    private val buf =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte], Long)]
     override def write(r: InternalRow): Unit = {
       val key = r.getUTF8String(keyIdx).toString
       val value = r.getBinary(valIdx)
       val ts = if (tsIdx >= 0) r.getLong(tsIdx) * 1000L else 0L // µs → ns
-      TransportRetry.withRetry(store.put(key, value, ts))
-      ()
+      if (bulkWindow > 0) {
+        buf += ((key, value, ts))
+        if (buf.length >= bulkWindow) flush()
+      } else {
+        TransportRetry.withRetry(store.put(key, value, ts))
+        ()
+      }
     }
-    override def commit(): WriterCommitMessage = new WriterCommitMessage {}
-    override def abort(): Unit = ()
+    private def flush(): Unit = if (buf.nonEmpty) {
+      // a retried window re-puts the same revisions idempotently at the
+      // KV level (last-write-wins; history trim keeps depth bounded)
+      TransportRetry.withRetry(store.putBulk(buf.iterator, bulkWindow))
+      buf.clear()
+    }
+    override def commit(): WriterCommitMessage = {
+      flush()
+      new WriterCommitMessage {}
+    }
+    override def abort(): Unit = buf.clear()
     override def close(): Unit = ()
   }
 }

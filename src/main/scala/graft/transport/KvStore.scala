@@ -61,6 +61,32 @@ final class KvStore(t: JetStreamTransport, val bucket: String,
   def put(key: String, value: Array[Byte], tsNs: Long): Long =
     write(key, value, tsNs, None, Map.empty)
 
+  /** BULK ingest — the KV loader path: a window of puts pipelines through
+    * ONE [[JetStreamTransport.publishBatch]] round-trip instead of one
+    * conversation per key, and history trimming (maxHistory > 0) runs
+    * once per DISTINCT key per window instead of once per write. Returns
+    * the number of entries written. Semantics are [[put]]'s: last-write-
+    * wins, batch order preserved (duplicate keys within a window are
+    * successive revisions), fresh msgId per write. */
+  def putBulk(entries: Iterator[(String, Array[Byte], Long)],
+              window: Int = KvStore.BulkWindow): Long = {
+    require(window > 0, s"bulk window must be > 0, got $window")
+    var stored = 0L
+    entries.grouped(window).foreach { grp =>
+      val batch = grp.map { case (key, value, tsNs) =>
+        PublishEntry(subjectOf(key), tsNs, value,
+          msgId = s"kv-${ObjectStore.newNuid()}")
+      }.toArray
+      t.publishBatch(stream, batch)
+      if (maxHistory > 0)
+        grp.iterator.map(_._1).toSet.foreach { k: String =>
+          t.purgeSubject(stream, subjectOf(k), keep = maxHistory); ()
+        }
+      stored += grp.size
+    }
+    stored
+  }
+
   /** set ONLY IF the key has never existed or is currently deleted —
     * the CAS rides the marker's revision, so a concurrent resurrection
     * loses cleanly. Throws [[NatsWrongLastSequenceException]] when the
@@ -206,6 +232,8 @@ object KvStore {
 
   val HistoryBatch = 256
   val KeyPage = 2048
+  /** entries per pipelined publish window on the bulk-ingest path */
+  val BulkWindow = 1024
 
   /** ADR-8 key grammar: `[-/_=a-zA-Z0-9]` tokens joined by '.', no empty
     * tokens (keys are subject paths; wildcards/spaces would corrupt

@@ -100,6 +100,45 @@ class KvStoreSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back == store.entries().map(e => e.key -> e.valueUtf8).toMap)
   }
 
+  test("bulk_window writer option: KV loader path is read-identical and " +
+    "history stays bounded") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => (s"bk/$i", s"val-$i"))
+      .toDF("key", "payload")
+      .selectExpr("key", "CAST(payload AS BINARY) AS value")
+    df.write.format("nats_kv").option("url", url)
+      .option("bucket", "bulkkv").option("history", "1")
+      .option("bulk_window", "13") // several windows per task
+      .mode("append").save()
+    val store = kv("bulkkv")
+    assert(store.entries().length == 50)
+    assert(store.get("bk/7").map(_.valueUtf8).contains("val-7"))
+    // rewrite through bulk: last-write-wins, history=1 trims per window —
+    // the stream stays at exactly one message per live key
+    df.selectExpr("key", "CAST(concat('v2-', CAST(value AS STRING)) AS BINARY) AS value")
+      .write.format("nats_kv").option("url", url)
+      .option("bucket", "bulkkv").option("history", "1")
+      .option("bulk_window", "13").mode("append").save()
+    assert(store.get("bk/7").map(_.valueUtf8).contains("v2-val-7"))
+    val t = graft.transport.Transport.connect(url)
+    assert(t.streamInfo("KV_bulkkv").messages == 50L,
+      "bulk rewrite leaked history past the bound")
+    // facade putBulk: duplicate keys in one window are successive revisions
+    val kv2 = kv("bulkkv2")
+    assert(kv2.putBulk(Iterator(
+      ("d", "one".getBytes(UTF_8), 1L),
+      ("d", "two".getBytes(UTF_8), 2L)), window = 10) == 2L)
+    assert(kv2.get("d").map(_.valueUtf8).contains("two"))
+    // validation
+    val e = intercept[Exception] {
+      spark.range(1).selectExpr("'k' AS key", "CAST('v' AS BINARY) AS value")
+        .write.format("nats_kv").option("url", url)
+        .option("bucket", "bulkkv").option("bulk_window", "-2")
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("bulk_window"), e.getMessage)
+  }
+
   test("WATCH: the changelog streams with ops; deletes arrive by default") {
     import org.apache.spark.sql.streaming.Trigger
     val store = kv("watch", history = 8)
