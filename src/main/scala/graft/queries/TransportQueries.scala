@@ -194,17 +194,19 @@ object TransportQueries {
         graft.transport.Transport.connect(url), "kvdocs", maxHistory = 0)
       docs.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         FakeJetStream.listen(url)
-        val kv = store()
-        it.foreach(r => kv.put(s"doc/${r.getLong(0)}",
-          r.getString(1).getBytes("UTF-8"), r.getLong(0) * 1000L))
+        // bulk loader path (putBulk): distinct keys per pass, so window
+        // order within a pass is free; passes stay sequential jobs
+        store().putBulk(it.map(r => (s"doc/${r.getLong(0)}",
+          r.getString(1).getBytes("UTF-8"), r.getLong(0) * 1000L)))
+        ()
       }
       docs.filter(pmod(col("doc_id"), lit(10)) === 0)
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
           FakeJetStream.listen(url)
-          val kv = store()
-          it.foreach(r => kv.put(s"doc/${r.getLong(0)}",
+          store().putBulk(it.map(r => (s"doc/${r.getLong(0)}",
             (r.getString(1) + " v2").getBytes("UTF-8"),
-            r.getLong(0) * 1000L + 1L))
+            r.getLong(0) * 1000L + 1L)))
+          ()
         }
       docs.filter(pmod(col("doc_id"), lit(17)) === 0)
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
