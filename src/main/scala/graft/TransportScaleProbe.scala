@@ -451,6 +451,35 @@ object TransportScaleProbe {
         f"${putWall / bulkWall}%8.1f")
       t.close(); bsrv.stop()
     }
+    // KV loader, same wire comparison (one conversation per key → one per
+    // window; 256 B values, history=0 so neither path pays trim RPCs)
+    println()
+    println("kv INGEST over real sockets (256 B values, history=0):")
+    println(f"${"keys"}%8s ${"put_wall_s"}%11s ${"put_key_s"}%10s " +
+      f"${"bulk_wall_s"}%12s ${"bulk_key_s"}%11s ${"speedup"}%8s")
+    Seq(4096).foreach { nKeys =>
+      val backing = new graft.transport.FakeJetStreamServer
+      val bsrv = new graft.transport.MiniNatsServer(backing)
+      bsrv.start()
+      val t = graft.transport.Transport.connect(bsrv.url, timeoutMs = 5000L)
+      val value = Array.tabulate[Byte](256)(i => (i % 251).toByte)
+      val one = new graft.transport.KvStore(t, "king1", 0)
+      val pt0 = System.nanoTime()
+      var i = 0
+      while (i < nKeys) { one.put(f"k/$i%06d", value, i.toLong); i += 1 }
+      val putWall = (System.nanoTime() - pt0) / 1e9
+      val bulk = new graft.transport.KvStore(t, "king2", 0)
+      val bt0 = System.nanoTime()
+      bulk.putBulk((0 until nKeys).iterator.map(j =>
+        (f"k/$j%06d", value, j.toLong)))
+      val bulkWall = (System.nanoTime() - bt0) / 1e9
+      require(one.entries().map(_.key) == bulk.entries().map(_.key),
+        "kv bulk ingest diverged from per-key puts")
+      println(f"$nKeys%8d $putWall%11.2f ${nKeys / putWall}%10.1f " +
+        f"$bulkWall%12.2f ${nKeys / bulkWall}%11.1f " +
+        f"${putWall / bulkWall}%8.1f")
+      t.close(); bsrv.stop()
+    }
 
     // overwrite-churn reclamation: chunk purge + meta rollup keep the
     // stream at exactly (current chunks + one meta per name) while the
