@@ -130,7 +130,8 @@ final class KvStoreTable(rawProps: Map[String, String])
     if (watch) KvStoreSource.watchSchema else KvStoreSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(this)
@@ -336,8 +337,39 @@ final class KvWriteBuilder(t: KvStoreTable, info: LogicalWriteInfo)
       t.connectTimeoutMs, t.auth, keyIdx, valIdx, tsIdx, t.bulkWindow)
     new Write {
       override def toBatch: BatchWrite = new KvBatchWrite(writers)
+      // STREAMING UPSERTS — the live feature-store shape: every micro-
+      // batch epoch puts its rows; a replayed epoch re-puts the same
+      // (key, value) revisions and the bucket CONVERGES (last-write-wins
+      // + the history bound) — the KV analog of the object sink's
+      // rollup-collapsed re-puts. Complete mode would need a per-epoch
+      // bucket truncation, which is not transactional over a live bucket
+      // — Update/Append modes only.
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new KvStreamingWrite(writers)
     }
   }
+}
+
+/** the one factory both write flavors ship to tasks (a named class avoids
+  * an outer-instance capture — the factory IS the serialized closure) */
+final class KvWriterFactory(writers: KvRowWriters)
+    extends DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    writers.newWriter()
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    writers.newWriter()
+}
+
+final class KvStreamingWrite(writers: KvRowWriters)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new KvWriterFactory(writers)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 final class KvRowWriters(url: String, bucket: String, history: Int,
@@ -381,10 +413,7 @@ final class KvRowWriters(url: String, bucket: String, history: Int,
 final class KvBatchWrite(writers: KvRowWriters)
     extends BatchWrite with Serializable {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new DataWriterFactory {
-      override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-        writers.newWriter()
-    }
+    new KvWriterFactory(writers)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

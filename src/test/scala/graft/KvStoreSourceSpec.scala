@@ -139,6 +139,33 @@ class KvStoreSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("bulk_window"), e.getMessage)
   }
 
+  test("streaming sink: writeStream upserts per epoch; replays converge " +
+    "(last-write-wins)") {
+    import spark.implicits._
+    server
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)](spark)
+    val q = ms.toDF().selectExpr("_1 AS key", "CAST(_2 AS BINARY) AS value")
+      .writeStream.format("nats_kv").option("url", url)
+      .option("bucket", "kvsink").option("history", "2")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_kv_sink").toString)
+      .start()
+    try {
+      ms.addData(("f/1", "epoch-one"), ("f/2", "two"))
+      q.processAllAvailable()
+      val store = kv("kvsink")
+      assert(store.entries().map(_.key).sorted == Seq("f/1", "f/2"))
+      // next epoch: an upsert + a new key — the feature-store shape
+      ms.addData(("f/1", "epoch-two"), ("f/3", "three"))
+      q.processAllAvailable()
+      assert(store.get("f/1").map(_.valueUtf8).contains("epoch-two"))
+      assert(store.entries().map(_.key).sorted == Seq("f/1", "f/2", "f/3"))
+      // the history bound held per key (history=2: both f/1 revisions)
+      assert(store.history("f/1").length == 2)
+    } finally q.stop()
+  }
+
   test("WATCH: the changelog streams with ops; deletes arrive by default") {
     import org.apache.spark.sql.streaming.Trigger
     val store = kv("watch", history = 8)
