@@ -166,6 +166,37 @@ class KvStoreSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("watch -> transform -> sink: a DERIVED bucket materializes from " +
+    "another bucket's changelog (streaming materialized view)") {
+    server
+    val src = kv("mvsrc", history = 1)
+    src.put("m/1", "11".getBytes(UTF_8), 1L)
+    src.put("m/2", "7".getBytes(UTF_8), 2L)
+    // watch the source changelog, derive (key, value*2), upsert into a
+    // SECOND bucket through the streaming sink — the engine's streaming-
+    // materialized-view shape, all on the same transport
+    val q = spark.readStream.format("nats_kv").option("url", url)
+      .option("bucket", "mvsrc").option("watch", "true")
+      .option("ignore_deletes", "true").load()
+      .selectExpr("key",
+        "CAST(CAST(CAST(CAST(value AS STRING) AS INT) * 2 AS STRING) AS BINARY) AS value")
+      .writeStream.format("nats_kv").option("url", url)
+      .option("bucket", "mvdst").option("history", "1")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_kv_mv").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val dst = kv("mvdst")
+      assert(dst.get("m/1").map(_.valueUtf8).contains("22"))
+      assert(dst.get("m/2").map(_.valueUtf8).contains("14"))
+      // live update flows through: a new source write materializes
+      src.put("m/1", "20".getBytes(UTF_8), 3L)
+      q.processAllAvailable()
+      assert(dst.get("m/1").map(_.valueUtf8).contains("40"))
+    } finally q.stop()
+  }
+
   test("WATCH: the changelog streams with ops; deletes arrive by default") {
     import org.apache.spark.sql.streaming.Trigger
     val store = kv("watch", history = 8)
