@@ -693,6 +693,38 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally asrv.stop()
   }
 
+  test("deliver_group SLOW consumer: a drain spanning multiple lease " +
+    "periods stays exactly-once (+WPI renewal in the real scan path)") {
+    val sb = new FakeJetStreamServer
+    (1L to 400L).foreach(i => sb.publish("slow", i, "slow.x", i * 1000L,
+      Array[Byte]((i % 127).toByte)))
+    val ssrv = new MiniNatsServer(sb)
+    ssrv.start()
+    try {
+      // ack_wait 400 ms; the downstream sleeps 80 ms every 40 rows →
+      // ~0.9 s total drain = 2-3 lease periods. Without the reader's
+      // half-lease +WPI renewal, held claims would expire MID-DRAIN and
+      // redeliver to the same member, duplicating rows in the output.
+      val df = spark.read.format("nats_scan")
+        .option("url", ssrv.url).option("stream", "slow")
+        .option("deliver_group", "slowgrp")
+        .option("group_members", "1")
+        .option("group_ack_wait_ms", "400")
+        .load().select("seq")
+      val seqs = df.queryExecution.toRdd.mapPartitions { it =>
+        var n = 0
+        it.map { r =>
+          n += 1
+          if (n % 40 == 0) Thread.sleep(80L)
+          r.getLong(0)
+        }
+      }.collect()
+      assert(seqs.length == 400,
+        s"slow drain lost or DUPLICATED rows: got ${seqs.length} of 400")
+      assert(seqs.sorted.toSeq == (1L to 400L))
+    } finally ssrv.stop()
+  }
+
   test("groupProgress (+WPI) keeps held claims leased across a long drain; " +
     "unrenewed claims expire and redeliver") {
     val pb = new FakeJetStreamServer
