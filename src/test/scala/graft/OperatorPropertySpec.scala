@@ -26,6 +26,44 @@ class OperatorPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
     }
 
+  test("ObjectStore.putBulk == sequential put on random objects/windows") {
+    import graft.transport._
+    val genObj = for {
+      nameLen <- Gen.choose(1, 12)
+      name <- Gen.listOfN(nameLen, Gen.alphaNumChar).map(_.mkString)
+      size <- Gen.oneOf(Gen.const(0), Gen.choose(1, 40), Gen.choose(41, 300))
+      bytes <- Gen.listOfN(size, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (name, bytes.toArray, size.toLong)
+    val gen = for {
+      objs <- Gen.listOfN(17, genObj)
+      window <- Gen.choose(1, 7)
+      chunk <- Gen.oneOf(1, 7, 64)
+    } yield (objs, window, chunk)
+    var run = 0
+    forAll(gen, n = 8) { case (objs0, window, chunk) =>
+      run += 1
+      // distinct names: sequential-put and bulk orderings only agree on
+      // the last write per name, which dedup to distinct makes exact
+      val objs = objs0.distinctBy(_._1)
+      val url = s"nats://prop-bulk-$run:4222"
+      FakeJetStream.listen(url)
+      val t = Transport.connect(url)
+      val seq = new ObjectStore(t, "pseq", chunk)
+      objs.foreach { case (n, d, m) => seq.put(n, d, m) }
+      val blk = new ObjectStore(t, "pblk", chunk)
+      assert(blk.putBulk(objs.iterator, window) == objs.length.toLong)
+      val a = seq.list().map(i => (i.name, i.size, i.chunks, i.digest))
+        .sortBy(_._1)
+      val b = blk.list().map(i => (i.name, i.size, i.chunks, i.digest))
+        .sortBy(_._1)
+      assert(a == b, s"bulk diverged (window=$window chunk=$chunk)")
+      objs.foreach { case (n, d, _) =>
+        assert(java.util.Arrays.equals(blk.get(n), d), s"content of $n")
+      }
+      assert(blk.sweepOrphans() == 0, "fresh bulk load left orphans")
+    }
+  }
+
   test("rangeJoin == naive containment join on random points/ranges") {
     import spark.implicits._
     val gen = for {
