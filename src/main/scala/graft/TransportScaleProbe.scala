@@ -27,11 +27,11 @@ import graft.transport.FakeJetStream
 object TransportScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_TSP_MSGS", "262144").toLong
-    val spark = SparkSession.builder()
+    val spark = DeploymentProfile.configure(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
