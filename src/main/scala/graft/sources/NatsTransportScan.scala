@@ -425,13 +425,19 @@ final class NatsTransportKvReader(p: NatsTransportKvPartition,
   * expires and this member receives the REDELIVERY).
   *
   * Failure semantics — asymmetric by direction, both handled explicitly:
-  *   - MEMBER death (or task kill/preemption) mid-drain: the attempt acked
-  *     NOTHING, so every claim it held lease-expires and redelivers — to
-  *     its own re-attempt or to surviving siblings. Re-attempts are
-  *     routine at cluster scale (spot loss, fetch failures); a drain must
-  *     survive them, not abort (the round-10 per-batch-ack design refused
-  *     re-attempts outright because its acks were durable while the
-  *     attempt's output was discarded).
+  *   - MEMBER death (or task kill/preemption) BEFORE its local drain: the
+  *     attempt acked NOTHING, so every claim it held lease-expires and
+  *     redelivers — to its own re-attempt or to surviving siblings.
+  *     Re-attempts are routine at cluster scale (spot loss, fetch
+  *     failures); a drain must survive them, not abort (the round-10
+  *     per-batch-ack design refused re-attempts outright because its acks
+  *     were durable while the attempt's output was discarded).
+  *   - MEMBER death AFTER its local drain settled (the batched ack went
+  *     out, then the global-drain wait or a downstream write failed):
+  *     the settled messages will never redeliver, so a re-run of that
+  *     task cannot be exactly-once. The per-JVM settled registry makes
+  *     such a re-attempt (task retry or STAGE retry of a succeeded task)
+  *     fail LOUDLY instead of returning silently-short results.
   *   - SPECULATION stays refused ([[NatsTransportGroupReader
   *     .refuseSpeculation]]): a LIVE twin claims a disjoint message subset
   *     while only one twin's output is kept — unfixable client-side.
@@ -459,11 +465,25 @@ final class NatsTransportGroupReader(p: NatsTransportGroupPartition,
     // SPECULATION is the one execution mode ack-on-drain cannot survive:
     // a speculative twin claims a DISJOINT message subset (the original's
     // claims are leased), Spark keeps only one task's output, and the
-    // other's rows are lost. Plain re-attempts are safe (nothing is acked
-    // until the drain completes, so a failed attempt's claims lease-expire
-    // and REDELIVER) — refuse only the genuinely unsafe mode.
-    if (org.apache.spark.TaskContext.get() != null)
+    // other's rows are lost. Plain re-attempts are safe BEFORE the local
+    // drain settles (nothing is acked until then, so a failed attempt's
+    // claims lease-expire and REDELIVER) — refuse only the genuinely
+    // unsafe mode, and guard the residual post-settle window below.
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) {
       NatsTransportGroupReader.refuseSpeculation()
+      // RESIDUAL at-most-once window: once settleHeld() has acked this
+      // member's claims, a re-run of the same task (task retry after a
+      // post-drain failure, or a STAGE retry after shuffle-output loss)
+      // cannot recover the settled rows — they will never redeliver. The
+      // pre-settle design refused re-attempts outright; ack-on-drain
+      // accepts them up to the settle, then must refuse LOUDLY rather
+      // than return a silently-short result. Keyed on
+      // (stageId, partitionId, stream, group, member) so an unrelated
+      // later query on the same group (new stage) is unaffected.
+      NatsTransportGroupReader.refuseIfSettledByPriorAttempt(
+        NatsTransportGroupReader.settleKey(tc, p))
+    }
   }
 
   private val transport =
@@ -482,11 +502,15 @@ final class NatsTransportGroupReader(p: NatsTransportGroupPartition,
   private var nFiltered = 0L
 
   /** every claim this member holds, settled ONLY at drain completion
-    * (ack-on-commit): a task that dies mid-drain has acked nothing, so its
-    * claims lease-expire and redeliver — to its own re-attempt or to a
-    * surviving sibling — with zero lost rows. The per-batch-ack
-    * predecessor made re-attempts silently lossy (durable acks vs
-    * discarded output) and had to refuse them outright. */
+    * (ack-on-commit): a task that dies BEFORE its local drain has acked
+    * nothing, so its claims lease-expire and redeliver — to its own
+    * re-attempt or to a surviving sibling — with zero lost rows. A death
+    * AFTER settleHeld() (post-drain global wait, downstream shuffle-write
+    * failure) is the residual at-most-once window; the per-JVM settled
+    * registry turns a re-attempt inside it into a LOUD failure instead of
+    * a silently-short result (see the constructor guard). The
+    * per-batch-ack predecessor made ALL re-attempts lossy and had to
+    * refuse them outright. */
   private val held = scala.collection.mutable.ArrayBuffer.empty[Long]
   private var lastRenewNs = System.nanoTime()
 
@@ -509,13 +533,19 @@ final class NatsTransportGroupReader(p: NatsTransportGroupPartition,
   /** LOCAL drain (first empty claim): settle every held claim in one
     * batched ack. Every held claim's row has already been emitted
     * downstream at this point, so the remaining loss window is a task
-    * failure after the member ran out of claimable work — the same
-    * exposure the per-batch design had by this point, no longer one per
-    * batch. Settling here (not at global pending==0) also keeps members
-    * from deadlocking on each other's held counts while they wait for the
-    * group to drain. */
+    * failure after the member ran out of claimable work — guarded by the
+    * settled registry (a re-attempt inside that window fails loudly, see
+    * constructor). Settling here (not at global pending==0) also keeps
+    * members from deadlocking on each other's held counts while they
+    * wait for the group to drain. */
   private def settleHeld(): Unit =
     if (held.nonEmpty) {
+      // record BEFORE the ack goes out: a local timeout after the server
+      // applied the ack must still trip the re-attempt guard
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null)
+        NatsTransportGroupReader.recordSettled(
+          NatsTransportGroupReader.settleKey(tc, p))
       withRetry(transport.groupAck(p.stream, p.group, held.toArray))
       held.clear()
     }
@@ -534,6 +564,12 @@ final class NatsTransportGroupReader(p: NatsTransportGroupPartition,
         else nFiltered += 1L
       }
       batch = Array.empty
+      // renew INSIDE the claim loop too, not just on next() entry: a
+      // selective filter can spin through many fully-claimed-but-fully-
+      // filtered batches without ever returning a row, and without this
+      // the already-held claims would lease-expire mid-spin and
+      // REDELIVER to siblings — duplicate rows in the result
+      renewIfDue()
       nRpcs += 1L
       var claimed = withRetry(transport.groupNext(p.stream, p.group,
         p.member, p.maxSeq, BatchSize, p.ackWaitMs, p.filter))
@@ -625,6 +661,35 @@ object NatsTransportGroupReader {
           "silently losing the other's rows. Disable speculation for " +
           "queries that read with deliver_group.")
   }
+
+  /** Per-JVM record of (stage, partition, group-member) drains that have
+    * SETTLED their claims — the post-ack re-attempt guard's memory. Keys
+    * accumulate one small string per settled task per JVM lifetime
+    * (bounded by queries run × partitions — entries must OUTLIVE task
+    * success, because a stage retry after shuffle-output loss re-runs
+    * successfully-completed tasks too). In local mode this closes the
+    * window completely; on a multi-executor cluster it catches the
+    * same-executor re-attempt (the common fetch-retry case) — a
+    * re-attempt scheduled on a fresh executor still drains short, which
+    * is the irreducible cost of acking a server-balanced group from a
+    * re-runnable task. */
+  private val settled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def settleKey(tc: org.apache.spark.TaskContext,
+                                 p: NatsTransportGroupPartition): String =
+    s"${tc.stageId()}/${tc.partitionId()}/${p.stream}/${p.group}/${p.member}"
+
+  private[graft] def recordSettled(key: String): Unit = { settled.add(key); () }
+
+  private[graft] def refuseIfSettledByPriorAttempt(key: String): Unit =
+    if (settled.contains(key))
+      throw new IllegalStateException(
+        "nats_scan: a prior attempt of this deliver_group task already " +
+          "settled (acked) its claims at its local drain; the settled " +
+          "messages will never redeliver, so re-running the task would " +
+          "return silently-short results. Re-run the whole query " +
+          s"(drain key $key).")
 }
 
 final class NatsTransportReaderFactory(required: StructType,

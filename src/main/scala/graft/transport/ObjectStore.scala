@@ -129,8 +129,12 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
     * load over EXISTING names rolls their metas up but does not purge the
     * superseded versions' chunk subjects — run [[sweepOrphans]] after
     * bulk-overwriting live names; a fresh-bucket load has nothing to
-    * reclaim. A torn window (exception mid-batch) reclaims its own chunk
-    * subjects best-effort, like a torn [[put]]. */
+    * reclaim. A window torn BEFORE its meta batch is handed to the
+    * transport reclaims its own chunk subjects best-effort, like a torn
+    * [[put]]; once meta publish has started the chunks are left in place
+    * (the server may have applied any prefix of the pipelined metas, so
+    * purging would corrupt live objects — [[sweepOrphans]] reclaims true
+    * orphans later). */
   def putBulk(objs: Iterator[(String, Array[Byte], Long)],
               window: Int = BulkWindow): Long = {
     require(window > 0, s"bulk window must be > 0, got $window")
@@ -161,15 +165,27 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
           headers = rollupHeader)
       }
       val chunks = chunkEntries.result()
+      // Torn-window recovery must distinguish WHERE the failure happened:
+      // publishBatch is pipelined, so an exception during (or a local
+      // timeout after) the META batch can leave some or all metas durable
+      // server-side. Purging the window's chunk subjects then would gut
+      // LIVE objects (metas referencing vanished chunks) — and because a
+      // rollup meta has already replaced the prior version's meta, a bulk
+      // overwrite of existing names would destroy the prior contents too.
+      // So: reclaim chunks ONLY when the failure is provably pre-meta;
+      // once the meta batch has been handed to the transport, leave the
+      // chunks in place — an orphaned chunk subject is safe and
+      // reclaimable by [[sweepOrphans]]; a purged live one is not.
+      var metaPhase = false
       try {
         if (chunks.nonEmpty) t.publishBatch(stream, chunks)
+        metaPhase = true
         t.publishBatch(stream, metaEntries.result())
       } catch {
         case scala.util.control.NonFatal(e) =>
-          // reclaim the window's own chunk subjects before surfacing —
-          // a retry takes fresh nuids, nothing else ever purges these
-          nuids.result().foreach(n =>
-            try purgeChunks(n) catch { case _: Exception => () })
+          if (!metaPhase)
+            nuids.result().foreach(n =>
+              try purgeChunks(n) catch { case _: Exception => () })
           throw e
       }
       stored += grp.size
@@ -359,10 +375,30 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
     * [[JetStreamTransport.subjectStats]] over `$$O.<bucket>.C.>` — a
     * subjects-only index walk, ZERO chunk bytes cross the wire. Driver
     * memory is O(distinct nuids) 22-char strings; run it like any other
-    * compaction job, not per query. */
+    * compaction job, not per query.
+    *
+    * CONCURRENT-WRITER SAFETY (a put publishes chunks BEFORE its meta by
+    * design, so a naïve read-metas-then-walk-chunks sweep would purge an
+    * in-flight put's chunks as "unreferenced"):
+    *   1. the stream's `lastSeq` is recorded as a WATERMARK before the
+    *      meta read — any chunk subject whose latest message is newer
+    *      than the watermark belongs to a put that started after the
+    *      sweep's snapshot and is skipped outright;
+    *   2. candidates at or below the watermark are only purged after a
+    *      SECOND meta read confirms they are still unreferenced — closing
+    *      the window where a put's chunks landed just before the
+    *      watermark but its meta landed during the (long) chunk walk.
+    * The residual exposure is a writer that stalls between its chunk
+    * batch and its meta publish for the entire duration of the sweep's
+    * chunk walk + confirm pass — the same quiescence bound any
+    * orphan-reclamation scheme over publish-chunks-first layouts has. */
   def sweepOrphans(): Int = {
-    val referenced = scala.collection.mutable.HashSet.empty[String]
-    try {
+    // watermark FIRST: in-flight puts that start after this point only
+    // ever produce chunk messages with seq > watermark
+    val watermark = lastSeq()
+    if (watermark == 0L) return 0
+    def referencedNuids(): scala.collection.mutable.HashSet[String] = {
+      val referenced = scala.collection.mutable.HashSet.empty[String]
       val cur = t.consumer(stream, startSeq = 1L,
         filterSubject = Some(s"$$O.$bucket.M.>"))
       try {
@@ -373,9 +409,13 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
           batch = cur.next(MetaPage)
         }
       } finally cur.close()
-    } catch { case _: NatsStreamNotFoundException => return 0 }
+      referenced
+    }
+    val referenced =
+      try referencedNuids()
+      catch { case _: NatsStreamNotFoundException => return 0 }
     val chunkPrefix = s"$$O.$bucket.C."
-    var purged = 0
+    val candidates = Vector.newBuilder[String] // subjects, ≤ watermark, pass-1 unreferenced
     var after: Option[String] = None
     var done = false
     while (!done) {
@@ -386,11 +426,20 @@ final class ObjectStore(t: JetStreamTransport, val bucket: String,
         after = Some(page.last.subject)
         page.foreach { s =>
           val nuid = s.subject.stripPrefix(chunkPrefix)
-          if (!referenced.contains(nuid)) {
-            t.purgeSubject(stream, s.subject)
-            purged += 1
-          }
+          if (s.lastSeq <= watermark && !referenced.contains(nuid))
+            candidates += s.subject
         }
+      }
+    }
+    val cand = candidates.result()
+    if (cand.isEmpty) return 0
+    // confirm pass: a meta that landed during the chunk walk rescues its put
+    val confirmed = referencedNuids()
+    var purged = 0
+    cand.foreach { subject =>
+      if (!confirmed.contains(subject.stripPrefix(chunkPrefix))) {
+        t.purgeSubject(stream, subject)
+        purged += 1
       }
     }
     purged

@@ -277,6 +277,177 @@ class ObjectStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](new ObjectStore(t, "ok").put("", Array[Byte](1), 1L))
   }
 
+  /** all-delegating wrapper so fault-injection tests override ONE method
+    * instead of restating the whole trait */
+  private class ForwardingTransport(real: JetStreamTransport)
+      extends JetStreamTransport {
+    def streamInfo(s: String) = real.streamInfo(s)
+    def directGet(s: String, q: Long) = real.directGet(s, q)
+    def fetch(s: String, f: Long, t2: Long, m: Int) = real.fetch(s, f, t2, m)
+    def listStreams() = real.listStreams()
+    def consumer(s: String, q: Long, f: Option[String]) = real.consumer(s, q, f)
+    def lastForSubjects(s: String, f: Option[String], b: Int, n: Int,
+                        a: Option[String], m: Int) =
+      real.lastForSubjects(s, f, b, n, a, m)
+    def subjectStats(s: String, f: Option[String], b: Int, n: Int,
+                     a: Option[String], m: Int) =
+      real.subjectStats(s, f, b, n, a, m)
+    def ackFloor(s: String, d: String) = real.ackFloor(s, d)
+    def ackAll(s: String, d: String, q: Long) = real.ackAll(s, d, q)
+    def groupNext(s: String, g: String, mem: String, ms: Long, mx: Int,
+                  aw: Long, f: Option[String]) =
+      real.groupNext(s, g, mem, ms, mx, aw, f)
+    def groupAck(s: String, g: String, q: Array[Long]) = real.groupAck(s, g, q)
+    def groupProgress(s: String, g: String, q: Array[Long], aw: Long) =
+      real.groupProgress(s, g, q, aw)
+    def groupPending(s: String, g: String) = real.groupPending(s, g)
+    def purgeSubject(s: String, f: String, k: Int) = real.purgeSubject(s, f, k)
+    override def publish(s: String, subj: String, ts: Long, p: Array[Byte],
+                         id: String, h: Map[String, String],
+                         e: Option[Long]): Long =
+      real.publish(s, subj, ts, p, id, h, e)
+    def close(): Unit = ()
+  }
+
+  /** hand-built ADR meta JSON (what [[ObjectStore]] publishes) for tests
+    * that simulate another writer's in-flight put */
+  private def metaJsonFor(name: String, bucket: String, nuid: String,
+                          data: Array[Byte], chunkSize: Int,
+                          mtimeNs: Long): String = {
+    val chunks = if (data.isEmpty) 0 else (data.length - 1) / chunkSize + 1
+    s"""{"name":"$name","bucket":"$bucket","nuid":"$nuid",""" +
+      s""""size":${data.length},"chunks":$chunks,""" +
+      s""""digest":"${ObjectStore.digestOf(data)}","mtime_ns":$mtimeNs}"""
+  }
+
+  test("bulk window torn DURING the meta batch leaves chunks in place " +
+       "(pipelined metas may be durable server-side)") {
+    val url = "nats://objstore-bulktorn:4222"
+    FakeJetStream.listen(url)
+    val real = Transport.connect(url)
+    // overwrite-destruction scenario from the advisor: the object EXISTS,
+    // a bulk overwrite's meta is APPLIED server-side, then the publish
+    // surfaces a local failure (timeout after apply). The old cleanup
+    // purged the window's chunk subjects — destroying the just-written
+    // object the durable meta points at, with the prior version's meta
+    // already rolled up and gone.
+    val os0 = new ObjectStore(real, "bbt", chunkSize = 8)
+    os0.put("a", ("old" * 8).getBytes(UTF_8), 1L)
+    val failAfterApply = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val flaky = new ForwardingTransport(real) {
+      override def publish(s: String, subj: String, ts: Long, p: Array[Byte],
+                           id: String, h: Map[String, String],
+                           e: Option[Long]): Long = {
+        val seq = real.publish(s, subj, ts, p, id, h, e) // server applies
+        if (subj.contains(".M.") && failAfterApply.getAndSet(false))
+          throw new NatsIOException("local timeout after server applied")
+        seq
+      }
+    }
+    val os = new ObjectStore(flaky, "bbt", chunkSize = 8)
+    intercept[NatsIOException](
+      os.putBulk(Iterator(("a", ("new" * 8).getBytes(UTF_8), 2L))))
+    // the durable meta references the NEW chunks — they must still exist
+    assert(new String(os0.get("a"), UTF_8) == "new" * 8)
+    // prior version's chunks are now orphans (documented bulk trade);
+    // the sweep reclaims them without touching the live object
+    assert(os0.sweepOrphans() == 1)
+    assert(new String(os0.get("a"), UTF_8) == "new" * 8)
+
+    // pre-meta tear still reclaims the window's own chunks (clean retry);
+    // fail the SECOND chunk so the first lands (stream exists, partial
+    // chunk state to reclaim — the worst pre-meta shape)
+    val chunkCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flakyChunks = new ForwardingTransport(real) {
+      override def publish(s: String, subj: String, ts: Long, p: Array[Byte],
+                           id: String, h: Map[String, String],
+                           e: Option[Long]): Long = {
+        if (subj.contains(".C.") && chunkCount.incrementAndGet() == 2)
+          throw new NatsIOException("torn: dropped during chunk batch")
+        real.publish(s, subj, ts, p, id, h, e)
+      }
+    }
+    val os2 = new ObjectStore(flakyChunks, "bbt2", chunkSize = 8)
+    intercept[NatsIOException](
+      os2.putBulk(Iterator(("x", ("x" * 20).getBytes(UTF_8), 1L))))
+    assert(real.streamInfo("OBJ_bbt2").messages == 0L) // fully reclaimed
+    os2.putBulk(Iterator(("x", ("x" * 20).getBytes(UTF_8), 1L)))
+    assert(new String(os2.get("x"), UTF_8) == "x" * 20)
+  }
+
+  test("sweepOrphans skips chunks newer than its watermark (concurrent put)") {
+    val url = "nats://objstore-sweepwm:4222"
+    FakeJetStream.listen(url)
+    val real = Transport.connect(url)
+    val bucket = "bwm"
+    val os0 = new ObjectStore(real, bucket, chunkSize = 8)
+    os0.put("stable", ("s" * 20).getBytes(UTF_8), 1L)
+    // a true orphan, at/below the watermark: chunks with no meta ever
+    real.publish(s"OBJ_$bucket", s"$$O.$bucket.C.orphan-nuid", 1L,
+      "dead".getBytes(UTF_8), "orphan-nuid/0")
+    // in-flight writer: its chunks land WHILE the sweep reads metas —
+    // i.e. after the watermark — and its meta lands only after the sweep
+    val inflight = ("f" * 20).getBytes(UTF_8)
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val racy = new ForwardingTransport(real) {
+      override def consumer(s: String, q: Long, f: Option[String]) = {
+        if (f.exists(_.contains(".M.")) && !injected.getAndSet(true)) {
+          var i = 0
+          while (i * 8 < inflight.length) {
+            real.publish(s"OBJ_$bucket", s"$$O.$bucket.C.inflight-nuid", 2L,
+              java.util.Arrays.copyOfRange(inflight, i * 8,
+                math.min(i * 8 + 8, inflight.length)), s"inflight-nuid/$i")
+            i += 1
+          }
+        }
+        real.consumer(s, q, f)
+      }
+    }
+    val sweeper = new ObjectStore(racy, bucket, chunkSize = 8)
+    assert(sweeper.sweepOrphans() == 1) // ONLY the true orphan
+    // the in-flight put completes: meta lands, object must be whole
+    real.publish(s"OBJ_$bucket", ObjectStore.metaSubject(bucket, "flight"), 2L,
+      metaJsonFor("flight", bucket, "inflight-nuid", inflight, 8, 2L)
+        .getBytes(UTF_8), "inflight-nuid/M", Map("Nats-Rollup" -> "sub"))
+    assert(java.util.Arrays.equals(os0.get("flight"), inflight))
+    assert(java.util.Arrays.equals(os0.get("stable"), ("s" * 20).getBytes(UTF_8)))
+  }
+
+  test("sweepOrphans confirm pass rescues a put whose meta lands mid-walk") {
+    val url = "nats://objstore-sweepcf:4222"
+    FakeJetStream.listen(url)
+    val real = Transport.connect(url)
+    val bucket = "bcf"
+    val os0 = new ObjectStore(real, bucket, chunkSize = 8)
+    os0.put("stable", ("s" * 20).getBytes(UTF_8), 1L)
+    // writer published chunks BEFORE the sweep's watermark, but its meta
+    // lands only during the chunk walk (pass-1 meta read missed it)
+    val slow = ("w" * 20).getBytes(UTF_8)
+    var i = 0
+    while (i * 8 < slow.length) {
+      real.publish(s"OBJ_$bucket", s"$$O.$bucket.C.slow-nuid", 2L,
+        java.util.Arrays.copyOfRange(slow, i * 8,
+          math.min(i * 8 + 8, slow.length)), s"slow-nuid/$i")
+      i += 1
+    }
+    real.publish(s"OBJ_$bucket", s"$$O.$bucket.C.dead-nuid", 1L,
+      "dead".getBytes(UTF_8), "dead-nuid/0") // true orphan
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val racy = new ForwardingTransport(real) {
+      override def subjectStats(s: String, f: Option[String], b: Int, n: Int,
+                                a: Option[String], m: Int) = {
+        if (!injected.getAndSet(true))
+          real.publish(s"OBJ_$bucket", ObjectStore.metaSubject(bucket, "slow"),
+            2L, metaJsonFor("slow", bucket, "slow-nuid", slow, 8, 2L)
+              .getBytes(UTF_8), "slow-nuid/M", Map("Nats-Rollup" -> "sub"))
+        real.subjectStats(s, f, b, n, a, m)
+      }
+    }
+    val sweeper = new ObjectStore(racy, bucket, chunkSize = 8)
+    assert(sweeper.sweepOrphans() == 1) // dead-nuid only; slow-nuid rescued
+    assert(java.util.Arrays.equals(os0.get("slow"), slow))
+  }
+
   test("WIRE e2e: the same facade over real loopback sockets (MiniNatsServer)") {
     val backing = new FakeJetStreamServer()
     val srv = new MiniNatsServer(backing)

@@ -868,6 +868,22 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.select("seq").collect().isEmpty)
   }
 
+  test("deliver_group post-settle re-attempt guard refuses loudly, scoped per stage") {
+    import graft.sources.NatsTransportGroupReader
+    val key = "7/3/telemetry/grp_guard/m1"
+    // never settled → a (re-)attempt is welcome
+    NatsTransportGroupReader.refuseIfSettledByPriorAttempt(key)
+    NatsTransportGroupReader.recordSettled(key)
+    // once a prior attempt SETTLED (acked) its claims, a re-run of the same
+    // task cannot recover them — must fail loudly, not drain short
+    val e = intercept[IllegalStateException](
+      NatsTransportGroupReader.refuseIfSettledByPriorAttempt(key))
+    assert(e.getMessage.contains("settled"), e.getMessage)
+    // a later QUERY on the same group is a different stage → unaffected
+    NatsTransportGroupReader.refuseIfSettledByPriorAttempt(
+      "8/3/telemetry/grp_guard/m1")
+  }
+
   test("queue group property: random claim/ack/death interleavings keep the " +
     "delivery contract (clean = exactly once; deaths = at least once)") {
     // deterministic pseudo-random schedules over a dedicated stream; each
