@@ -124,14 +124,65 @@ object VectorIndex {
   private def decode(codes: Column, spec: Spec): Column =
     Similarity.pqDecode(codes, spec.codebook, spec.numSub)
 
-  /** top-k per query over the loaded index; queries = (qid, label, qv) */
+  /** top-k per query over the loaded index; queries = (qid, label, qv).
+    *
+    * `nprobe > 1` probes each query's top-n nearest SAVED centroids
+    * ([[saveCentroids]] must have been written beside the index) instead
+    * of only the label its row carries — the saved-index analog of the
+    * `ann_ivf_multiprobe` query form, with the same probe ranking
+    * (rounded cosine desc, centroid id asc). Candidates need no dedup: a
+    * vector lives in exactly one label partition and a query's probe
+    * labels are distinct, so each (qid, vec_id) pair surfaces once.
+    *
+    * SCALE CONTRACT — static pruning, not best-effort DPP: the probed
+    * label set is collected (O(#queries × nprobe); the query side is
+    * broadcast-bounded by this operator's contract) and pushed as a
+    * literal `label IN (...)` partition filter on the posting scan, so a
+    * search reads exactly the probed clusters' directories. Relying on
+    * dynamic partition pruning through the broadcast join instead would
+    * let Spark silently decline and scan EVERY posting partition — at
+    * 10⁹ vectors that is O(index) per search, the failure mode
+    * `VectorIndexSpec` now pins with a files-read assertion through this
+    * exact join path. */
   def searchTopK(spark: SparkSession, indexDir: String, queries: DataFrame,
-                 k: Int): DataFrame = {
+                 k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val spec = loadSpec(spark, indexDir)
+    val probes =
+      if (nprobe == 1) queries
+      else {
+        val cents =
+          try loadCentroids(spark, indexDir)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalArgumentException(
+                s"searchTopK(nprobe=$nprobe) needs the saved coarse " +
+                  s"quantizer ($indexDir/centroids) — persist it with " +
+                  "saveCentroids at build time", e)
+          }
+        require(cents.nonEmpty,
+          s"searchTopK(nprobe=$nprobe): $indexDir/centroids is empty")
+        // per-query top-nprobe centroids, map-side over the bounded
+        // centroid set (ccos desc, centroid id asc — array_sort asc on
+        // (s, -cid) then reverse)
+        val scored = array(cents.map { case (cid, v) =>
+          struct(round(Similarity.cosine(typedLit(v), col("qv")), 6).as("s"),
+            lit(-cid).as("nc"))
+        }: _*)
+        queries.drop("label")
+          .withColumn("probe",
+            explode(slice(reverse(array_sort(scored)), 1, nprobe)))
+          .withColumn("label", (-col("probe").getField("nc")).cast("int"))
+          .drop("probe")
+      }
+    val labels = probes.select("label").distinct().collect().map(_.get(0))
     val postings = spark.read.parquet(s"$indexDir/postings")
+    val pruned =
+      if (labels.isEmpty) postings.filter(lit(false))
+      else postings.filter(col("label").isin(labels: _*))
     val rankW = Window.partitionBy("qid")
       .orderBy(col("pq_cos").desc, col("vec_id").asc)
-    postings.join(broadcast(queries), "label")
+    pruned.join(broadcast(probes), "label")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("rv", decode(col("codes"), spec))
       .withColumn("pq_cos", round(Similarity.cosine(col("qv"), col("rv")), 6))

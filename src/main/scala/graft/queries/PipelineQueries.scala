@@ -941,6 +941,64 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
+    // saved-index MULTIPROBE (nprobe=2) with the recall-monotonicity
+    // contract: the index is built under COMPUTED labels (nearest of 4
+    // persisted centroids, ties to lowest id) so the saved quantizer and
+    // the postings agree; searchTopK(nprobe=2) probes each query's top-2
+    // centroids through the STATIC label-IN pruning path. Ground truth is
+    // the GLOBAL PQ ranking (ann_pq at k=10) — same scoring function as
+    // the candidates, so nprobe=2's candidate superset makes per-query
+    // recall provably monotone (hash-verified n1, n2, boolean, mirroring
+    // ann_recall_multiprobe).
+    "ann_index_multiprobe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      def bounded(n: Int) = e.filter(col("vec_id") < n)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val codebook = bounded(8)
+      val centroids = bounded(4)
+      val spec = graft.operators.VectorIndex.Spec(numSub = 8,
+        dim = codebook.head._2.length, codebook = codebook)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_mprobe_idx").toString
+      val labeled = graft.operators.VectorIndex.assignLabels(
+        e.select(col("vec_id"), col("embedding")), centroids)
+      graft.operators.VectorIndex.build(labeled, spec, idx)
+      graft.operators.VectorIndex.saveCentroids(s, idx, centroids)
+      val q = graft.operators.VectorIndex.assignLabels(
+          e.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+          centroids)
+        .select(col("label"), col("vec_id").as("qid"),
+          col("embedding").as("qv"))
+      val m1 = graft.operators.VectorIndex.searchTopK(s, idx, q, k = 10)
+        .select("qid", "vec_id")
+      val m2 = graft.operators.VectorIndex.searchTopK(s, idx, q, k = 10,
+        nprobe = 2).select("qid", "vec_id")
+      // global PQ top-10 per query — the ann_pq ranking at k=10
+      val recon = e.select(col("vec_id"),
+        Similarity.pqReconstruct(col("embedding"), codebook, numSub = 8)
+          .as("rv"))
+      val qe = broadcast(q.select("qid", "qv"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("pq_cos").desc, col("vec_id").asc)
+      val ground = recon.crossJoin(qe)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("pq_cos", round(Similarity.cosine(col("qv"), col("rv")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("qid", "vec_id")
+      def overlap(a: DataFrame, as: String): DataFrame =
+        ground.join(a, Seq("qid", "vec_id"))
+          .groupBy("qid").agg(count(lit(1)).as(as))
+      q.select("qid")
+        .join(overlap(m1, "n1"), Seq("qid"), "left")
+        .join(overlap(m2, "n2"), Seq("qid"), "left")
+        .withColumn("n1", coalesce(col("n1"), lit(0L)))
+        .withColumn("n2", coalesce(col("n2"), lit(0L)))
+        .withColumn("nprobe_monotone", col("n2") >= col("n1"))
+        .orderBy("qid")
+    }),
+
     "ann_pq" -> ((s, dir) => {
       val e = emb(s, dir)
       val codebook = e.filter(col("vec_id") < 8)
@@ -2325,6 +2383,73 @@ object PipelineQueries {
         FROM scored)
       SELECT qid, rank, vec_id, pq_cos FROM ranked WHERE rank <= 3
       ORDER BY qid, rank""",
+
+    // saved-index multiprobe: labels recomputed under the 4 persisted
+    // centroids (ties to lowest cid), probes = top-2 by rounded cosine
+    // (cid-asc tiebreak), candidates ranked by PQ score, recall measured
+    // against the GLOBAL PQ top-10 — same scoring both sides, so the
+    // monotone boolean is provably true and hash-stable
+    "ann_index_multiprobe" -> s"""
+      WITH $pqReconCte,
+      cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+               WHERE vec_id < 4),
+      lab AS (
+        SELECT vec_id, cid AS label FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid ASC)
+                   AS rn
+          FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+      q AS (SELECT l.label, e.vec_id AS qid, e.embedding AS qv
+            FROM embeddings e JOIN lab l USING (vec_id)
+            WHERE e.vec_id < 10),
+      probes AS (
+        SELECT qid, qv, label FROM (
+          SELECT q.qid, q.qv, c.cid AS label,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY round(${cos("q.qv", "c.cv")}, 6) DESC, c.cid ASC)
+                   AS prn
+          FROM q CROSS JOIN cent c) WHERE prn <= 2),
+      g AS (
+        SELECT q.qid, r.vec_id, round(${cos("q.qv", "r.rv")}, 6) AS pq_cos
+        FROM recon r CROSS JOIN q WHERE r.vec_id <> q.qid),
+      g10 AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY pq_cos DESC, vec_id ASC) AS rank
+          FROM g) WHERE rank <= 10),
+      s1 AS (
+        SELECT q.qid, r.vec_id, round(${cos("q.qv", "r.rv")}, 6) AS pq_cos
+        FROM recon r JOIN lab l ON r.vec_id = l.vec_id
+                     JOIN q ON l.label = q.label
+        WHERE r.vec_id <> q.qid),
+      s110 AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY pq_cos DESC, vec_id ASC) AS rank
+          FROM s1) WHERE rank <= 10),
+      s2 AS (
+        SELECT p.qid, r.vec_id, round(${cos("p.qv", "r.rv")}, 6) AS pq_cos
+        FROM recon r JOIN lab l ON r.vec_id = l.vec_id
+                     JOIN probes p ON l.label = p.label
+        WHERE r.vec_id <> p.qid),
+      s210 AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY pq_cos DESC, vec_id ASC) AS rank
+          FROM s2) WHERE rank <= 10),
+      o1 AS (SELECT qid, count(*) AS n FROM g10
+             JOIN s110 USING (qid, vec_id) GROUP BY qid),
+      o2 AS (SELECT qid, count(*) AS n FROM g10
+             JOIN s210 USING (qid, vec_id) GROUP BY qid)
+      SELECT qq.qid, coalesce(o1.n, 0) AS n1, coalesce(o2.n, 0) AS n2,
+             coalesce(o2.n, 0) >= coalesce(o1.n, 0) AS nprobe_monotone
+      FROM (SELECT DISTINCT qid FROM q) qq
+      LEFT JOIN o1 USING (qid) LEFT JOIN o2 USING (qid)
+      ORDER BY qid""",
 
     "ann_pq" -> s"""
       WITH $pqReconCte,

@@ -22,6 +22,24 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** every posting-file scan in an executed plan, unwrapping AQE's
+    * adaptive wrapper and query-stage leaves */
+  private def postingScans(p: org.apache.spark.sql.execution.SparkPlan,
+      idx: String): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive._
+    p.flatMap {
+      case a: AdaptiveSparkPlanExec => postingScans(a.executedPlan, idx)
+      case s: QueryStageExec => postingScans(s.plan, idx)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        postingScans(r.child, idx)
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(idx)) =>
+        Seq(f)
+      case _ => Nil
+    }
+  }
+
   test("saved index search == fresh-encode ann_ivfpq, postings label-partitioned") {
     val idx = java.nio.file.Files.createTempDirectory("graft_vindex").toString
     val emb = Tables.load(spark, dir, "embeddings")
@@ -56,6 +74,73 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("label") === postingDirs.head.getName.stripPrefix("label=").toInt)
     val plan = one.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan)
+
+    // THE 100 TB assertion: pruning must hold through the JOIN PATH the
+    // operator actually runs (searchTopK), not just an explicit filter.
+    // The static label-IN filter guarantees it; DPP could decline.
+    val oneLabel = queries.orderBy("qid").limit(1)
+    val res = VectorIndex.searchTopK(spark, idx, oneLabel, k = 3)
+    val ex = res.queryExecution.executedPlan
+    assert(ex.executeCollect().nonEmpty)
+    val postingScan = postingScans(ex, idx).headOption
+      .getOrElse(fail(s"no posting scan found in:\n$ex"))
+    val totalPostingFiles =
+      spark.read.parquet(s"$idx/postings").inputFiles.length
+    assert(postingScan.metrics("numFiles").value < totalPostingFiles,
+      s"searchTopK read ${postingScan.metrics("numFiles").value} of " +
+        s"$totalPostingFiles posting files — the label filter did not prune")
+    assert(postingScan.toString.contains("PartitionFilters"), postingScan.toString)
+  }
+
+  test("nprobe=2 on the saved index: needs saved centroids, scores dominate " +
+    "nprobe=1 pointwise, pruning reads only the probed directories") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_vi_mp").toString
+    val emb = Tables.load(spark, dir, "embeddings")
+    def bounded(n: Int) = emb.filter(col("vec_id") < n)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val codebook = bounded(8)
+    val centroids = bounded(4)
+    val spec = VectorIndex.Spec(numSub = 8,
+      dim = codebook.head._2.length, codebook = codebook)
+    val labeled = VectorIndex.assignLabels(
+      emb.select(col("vec_id"), col("embedding")), centroids)
+    VectorIndex.build(labeled, spec, idx)
+
+    // nprobe>1 without the saved quantizer refuses loudly
+    val q = VectorIndex.assignLabels(
+        emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+        centroids)
+      .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"))
+    val e = intercept[IllegalArgumentException](
+      VectorIndex.searchTopK(spark, idx, q, k = 3, nprobe = 2))
+    assert(e.getMessage.contains("saveCentroids"), e.getMessage)
+
+    VectorIndex.saveCentroids(spark, idx, centroids)
+    val m1 = VectorIndex.searchTopK(spark, idx, q, k = 5, nprobe = 1)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(3))).toMap
+    val m2 = VectorIndex.searchTopK(spark, idx, q, k = 5, nprobe = 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(3))).toMap
+    assert(m1.nonEmpty && m2.nonEmpty)
+    // candidate SUPERSET ⇒ at every (qid, rank) the nprobe=2 score is at
+    // least the nprobe=1 score — the monotonicity the multiprobe contract
+    // rides on (strict equality of sets is allowed when the extra probe
+    // adds no better candidate)
+    m1.foreach { case (key, s1) =>
+      assert(m2.contains(key), s"nprobe=2 lost rank slot $key")
+      assert(m2(key) >= s1 - 1e-9, s"$key: nprobe2 ${m2(key)} < nprobe1 $s1")
+    }
+    // pruning through the nprobe=2 join path: restrict to ONE query so at
+    // least one of the 4 label directories stays unprobed
+    val oneQ = q.orderBy("qid").limit(1)
+    val res = VectorIndex.searchTopK(spark, idx, oneQ, k = 3, nprobe = 2)
+    val ex = res.queryExecution.executedPlan
+    ex.executeCollect()
+    val postingScan = postingScans(ex, idx).headOption
+      .getOrElse(fail(s"no posting scan found in:\n$ex"))
+    val total = spark.read.parquet(s"$idx/postings").inputFiles.length
+    assert(postingScan.metrics("numFiles").value < total,
+      s"nprobe=2 read ${postingScan.metrics("numFiles").value}/$total files")
   }
 
   test("K=256 codebook: decode(encode(v)) == fresh reconstruct, plan size flat") {
