@@ -70,7 +70,13 @@ object NatsScan {
     } else if (opts.protoExtract.nonEmpty) {
       val schema = graft.proto.ProtoSchema.parseFile(
         opts.protoFile.get, opts.protoMessage.get)
-      val decoded = graft.proto.ProtoDecode.decode(col("payload"), schema)
+      // registry framing: per-payload header validated + writer resolved by
+      // id; body decodes reader-shaped (protobuf's own version bridging)
+      val decoded = opts.protoRegistry match {
+        case Some(resolver) =>
+          graft.proto.ProtoRegistry.decodeRegistry(col("payload"), schema, resolver)
+        case None => graft.proto.ProtoDecode.decode(col("payload"), schema)
+      }
       val extracted = opts.protoExtract.map { path =>
         graft.proto.ProtoDecode.field(decoded, schema, path).as(mangle(path))
       }

@@ -27,6 +27,12 @@ final case class NatsScanOptions(
     protoFile: Option[String] = None,
     protoMessage: Option[String] = None,
     protoExtract: Seq[String] = Nil,
+    /** schema-registry wire format for protobuf payloads (magic byte +
+      * int32 schema id + message-index varints + body): names a resolver
+      * registered via [[graft.proto.ProtoRegistry]]. The `proto_file` /
+      * `proto_message` pair stays the READER schema; the header is
+      * validated per payload (unknown id = loud, foreign message = NULL). */
+    protoRegistry: Option[String] = None,
     /** Avro payloads (reference roadmap, docs/GUIDE.md:472-474): `.avsc`
       * schema file + dotted extraction paths, mirroring the proto surface */
     avroFile: Option[String] = None,
@@ -77,6 +83,10 @@ final case class NatsScanOptions(
     if (avroRegistry.isDefined && !usesAvro)
       throw new IllegalArgumentException(
         "avro_registry requires avro_file (the reader schema) and avro_extract")
+    if (protoRegistry.isDefined && !usesProto)
+      throw new IllegalArgumentException(
+        "proto_registry requires proto_file/proto_message (the reader " +
+          "schema) and proto_extract")
     locally {
       val decoders = Seq(
         jsonExtract.nonEmpty, usesProto, usesAvro,

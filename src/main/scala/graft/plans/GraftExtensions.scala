@@ -204,6 +204,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           protoFile = opts.get("proto_file"),
           protoMessage = opts.get("proto_message"),
           protoExtract = lists.getOrElse("proto_extract", Nil),
+          protoRegistry = opts.get("proto_registry"),
           avroFile = opts.get("avro_file"),
           avroExtract = lists.getOrElse("avro_extract", Nil),
           avroRegistry = opts.get("avro_registry"),

@@ -112,6 +112,12 @@ object ProtoWire {
   def decodeMessage(bytes: Array[Byte], md: MessageDef): InternalRow =
     decodeRange(bytes, 0, bytes.length, md)
 
+  /** Range decode for framed payloads (registry header + body in one byte
+    * array — no per-row copy of the body slice). */
+  def decodeMessage(bytes: Array[Byte], start: Int, end: Int,
+                    md: MessageDef): InternalRow =
+    decodeRange(bytes, start, end, md)
+
   private def decodeRange(b: Array[Byte], start: Int, end: Int,
                           md: MessageDef): InternalRow = {
     val slots = new Array[Any](md.fields.length)

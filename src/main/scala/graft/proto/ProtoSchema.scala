@@ -97,6 +97,13 @@ final case class FieldDef(name: String, number: Int, ptype: PType, enc: Enc,
   })
 }
 
+/** One node of a .proto file's declaration-order message tree — the shape
+  * the public Confluent protobuf wire format's message-indexes navigate
+  * (index i at depth d = the i-th message declared at that level). Nested
+  * message DEFS are hoisted flat by the parser; this tree preserves only
+  * names + order, so `MsgNode.name` keys back into the parsed message map. */
+final case class MsgNode(name: String, children: IndexedSeq[MsgNode])
+
 final case class MessageDef(name: String, fields: Seq[FieldDef]) {
   def field(n: String): Option[FieldDef] = fields.find(_.name == n)
 
@@ -342,6 +349,17 @@ object ProtoSchema {
   def parse(src: String, messageName: String): MessageDef =
     finish(tokenize(src), messageName, Set.empty)
 
+  /** Parse inline source and return every linked message keyed by name plus
+    * the declaration-order tree ([[MsgNode]]) — the two lookups Confluent
+    * protobuf message-index navigation needs. Same inline-source constraints
+    * as [[parse]] (imports are a bind-time error). */
+  def parseWithTree(src: String): (Map[String, MessageDef], IndexedSeq[MsgNode]) = {
+    val p = new Parser(tokenize(src), Set.empty)
+    p.parseFile()
+    p.anyRegistry.messages = p.messages.toMap
+    (p.messages.toMap, p.tree.toIndexedSeq)
+  }
+
   private def finish(tokens: Vector[String], messageName: String,
                      wkt: Set[String]): MessageDef = {
     val p = new Parser(tokens, wkt)
@@ -408,6 +426,8 @@ object ProtoSchema {
   private final class Parser(tokens: Vector[String], wkt: Set[String]) {
     private var pos = 0
     val messages = scala.collection.mutable.LinkedHashMap[String, MessageDef]()
+    /** top-level declaration-order message tree (nested defs as children) */
+    val tree = scala.collection.mutable.ArrayBuffer[MsgNode]()
     /** shared by every PAny field this parse produces; filled after link */
     val anyRegistry = new AnyRegistry
     private val enums = scala.collection.mutable.Map[String, PType.PEnum]()
@@ -435,7 +455,7 @@ object ProtoSchema {
               "import statements require a proto file path (imports resolve " +
                 "against the proto file's directory); inline proto source " +
                 "cannot import")
-          case "message" => parseMessage()
+          case "message" => tree += parseMessage()
           case "enum" => parseEnum()
           case ";" => pos += 1
           case "" => pos = tokens.length
@@ -508,14 +528,16 @@ object ProtoSchema {
       enums(name) = PType.PEnum(name, values.toMap)
     }
 
-    private def parseMessage(): Unit = {
+    private def parseMessage(): MsgNode = {
       expect("message")
       val name = next()
       expect("{")
       val fields = scala.collection.mutable.ArrayBuffer[FieldDef]()
+      val children = scala.collection.mutable.ArrayBuffer[MsgNode]()
       while (peek != "}") {
         peek match {
-          case "message" => parseMessage()   // nested message → hoisted by name
+          // nested message → def hoisted by name, position kept in the tree
+          case "message" => children += parseMessage()
           case "enum" => parseEnum()
           case "reserved" | "option" => skipStatement()
           case "oneof" =>
@@ -529,6 +551,7 @@ object ProtoSchema {
       }
       expect("}")
       messages(name) = MessageDef(name, fields.toSeq)
+      MsgNode(name, children.toIndexedSeq)
     }
 
     /** one `[label] type name = N ;` field (or `map<K, V> name = N ;`),

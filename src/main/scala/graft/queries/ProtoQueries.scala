@@ -121,6 +121,82 @@ object ProtoQueries {
     }
   }
 
+  val registryProtoPath = "/root/repo/proto/registry_reading.proto"
+
+  /** Registry-framed PROTOBUF fixture — the protobuf sibling of
+    * [[RegistryAvroFixture]]. Payloads alternate between two writer schema
+    * versions on one stream, each framed with the public Confluent protobuf
+    * header (0x00 + int32 BE id + message-index varints):
+    *   - v1 (id 3, indexes [0] → the optimized single-0 form): a Reading
+    *     WITHOUT the note field — reader-side decode defaults it to ""
+    *     (proto3 absent-scalar semantics, the wire format's own bridging)
+    *   - v2 (id 9, indexes [1, 0] → first nested message of the SECOND
+    *     top-level message, exercising real tree navigation): adds note
+    *     and an extra field the reader doesn't know (skipped by number)
+    * The oracle is version-blind except for v1's defaulted note, so a
+    * broken frame parse, index navigation, or version bridge all land as
+    * hash mismatches. */
+  object RegistryProtoFixture {
+    val ResolverName = "graft-test-proto-registry"
+    val V1Id = 3
+    val V2Id = 9
+    val V1Src: String =
+      """syntax = "proto3";
+        |message Reading {
+        |  string device = 1;
+        |  double reading = 2;
+        |  int64 cnt = 3;
+        |}""".stripMargin
+    val V2Src: String =
+      """syntax = "proto3";
+        |message Heartbeat { int64 beat = 1; }
+        |message Env {
+        |  message Reading {
+        |    string device = 1;
+        |    double reading = 2;
+        |    int64 cnt = 3;
+        |    string note = 4;
+        |    int64 extra = 5;
+        |  }
+        |  Reading r = 1;
+        |}""".stripMargin
+
+    def registerResolver(): Unit =
+      graft.proto.ProtoRegistry.register(ResolverName, {
+        case V1Id => Some(V1Src)
+        case V2Id => Some(V2Src)
+        case _ => None
+      })
+  }
+
+  final class RegistryProtoStore(dir: String) extends MessageStore {
+    import RegistryProtoFixture._
+    override def read(spark: SparkSession, stream: String,
+                      pruning: graft.nats.ScanPruning): DataFrame = {
+      val v1Def = ProtoSchema.parse(V1Src, "Reading")
+      val v2Def = ProtoSchema.parse(V2Src, "Reading") // nested def, hoisted
+      val raw = graft.Tables.load(spark, dir, "events")
+      val device = concat(lit("d"), col("user_id").cast("string"))
+      val reading = col("value") * 0.25
+      val cnt = col("event_id") % 97
+      val v1 = graft.proto.ProtoRegistry.encodeRegistry(
+        struct(device.as("device"), reading.as("reading"), cnt.as("cnt")),
+        v1Def, V1Id) // indexes [0] → single-0 optimized header
+      val v2 = graft.proto.ProtoRegistry.encodeRegistry(
+        struct(device.as("device"), reading.as("reading"), cnt.as("cnt"),
+          concat(lit("n"), col("user_id").cast("string")).as("note"),
+          (col("event_id") * 2L).as("extra")),
+        v2Def, V2Id, Seq(1, 0))
+      raw.select(
+        lit("events").as("stream"),
+        concat(lit("events."), col("event_type"), lit("."),
+          col("user_id").cast("string")).as("subject"),
+        (col("event_id") + 1L).as("seq"),
+        timestamp_micros(expr("ts div 1000")).as("ts_nats"),
+        when(col("event_id") % 2 === 0, v1).otherwise(v2).as("payload"))
+    }
+  }
+
   /** Store whose payload is a wire-format DeviceEvent built from the event
     * row: device_id "u<user_id>", ts event_id, position(zone=event_type,
     * rack="r<user_id % 3>", building="b1"), reading(kw=value, pf=value/200,
@@ -230,6 +306,26 @@ object ProtoQueries {
           new RegistryAvroStore(dir))
         .select(col("seq"), col("device"),
           round(col("reading"), 6).as("reading"), col("cnt"))
+        .orderBy("seq")
+    }),
+
+    // registry framing for PROTOBUF: two writer versions on one stream
+    // (v1 lacks note → proto3-defaulted ""; v2 adds fields, lives at
+    // message-indexes [1,0] → real tree navigation), resolved per payload
+    // by id and decoded reader-shaped. The oracle recomputes every value
+    // from the source columns, so a frame-parse or bridging bug breaks
+    // the hash; the defaulted-note column pins the proto3 semantics.
+    "nats_proto_registry" -> ((s, dir) => {
+      RegistryProtoFixture.registerResolver()
+      NatsScan.scan(s, "events",
+          NatsScanOptions(
+            protoFile = Some(registryProtoPath),
+            protoMessage = Some("Reading"),
+            protoExtract = Seq("device", "reading", "cnt", "note"),
+            protoRegistry = Some(RegistryProtoFixture.ResolverName)),
+          new RegistryProtoStore(dir))
+        .select(col("seq"), col("device"),
+          round(col("reading"), 6).as("reading"), col("cnt"), col("note"))
         .orderBy("seq")
     }),
 
@@ -482,6 +578,15 @@ object ProtoQueries {
              'd' || CAST(user_id AS VARCHAR) AS device,
              round(value * 0.25, 6) AS reading,
              event_id % 97 AS cnt
+      FROM events ORDER BY seq""",
+
+    "nats_proto_registry" -> """
+      SELECT event_id + 1 AS seq,
+             'd' || CAST(user_id AS VARCHAR) AS device,
+             round(value * 0.25, 6) AS reading,
+             event_id % 97 AS cnt,
+             CASE WHEN event_id % 2 = 0 THEN ''
+                  ELSE 'n' || CAST(user_id AS VARCHAR) END AS note
       FROM events ORDER BY seq""",
 
     "proto_struct" -> """

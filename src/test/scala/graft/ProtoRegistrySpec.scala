@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.nats.{NatsScan, NatsScanOptions}
+import graft.proto.{ProtoRegistry, ProtoSchema}
+import graft.queries.ProtoQueries.RegistryProtoFixture
+
+/** Confluent-framed protobuf registry decode: header grammar, version
+  * bridging, and the loud-vs-NULL failure split (configuration errors loud,
+  * data errors NULL — the same policy boundary the Avro registry path pins).
+  */
+class ProtoRegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val readerDef =
+    ProtoSchema.parseFile("/root/repo/proto/registry_reading.proto", "Reading")
+
+  private def decodeBytes(payloads: Seq[Array[Byte]]): Seq[Row] = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(payloads.map(Row(_)), 1),
+      StructType(Seq(StructField("payload", BinaryType))))
+    df.select(ProtoRegistry.decodeRegistry(col("payload"), readerDef,
+      RegistryProtoFixture.ResolverName).as("d"))
+      .select(col("d.device"), col("d.reading"), col("d.cnt"), col("d.note"),
+        col("d").isNull.as("corrupt"))
+      .collect().toSeq
+  }
+
+  private def v1Payload(device: String, reading: Double, cnt: Long): Array[Byte] = {
+    val v1Def = ProtoSchema.parse(RegistryProtoFixture.V1Src, "Reading")
+    val df = spark.range(1).select(
+      ProtoRegistry.encodeRegistry(
+        struct(lit(device).as("device"), lit(reading).as("reading"),
+          lit(cnt).as("cnt")),
+        v1Def, RegistryProtoFixture.V1Id).as("p"))
+    df.collect()(0).getAs[Array[Byte]](0)
+  }
+
+  private def v2Payload(device: String, note: String): Array[Byte] = {
+    val v2Def = ProtoSchema.parse(RegistryProtoFixture.V2Src, "Reading")
+    val df = spark.range(1).select(
+      ProtoRegistry.encodeRegistry(
+        struct(lit(device).as("device"), lit(1.5).as("reading"),
+          lit(7L).as("cnt"), lit(note).as("note"), lit(99L).as("extra")),
+        v2Def, RegistryProtoFixture.V2Id, Seq(1, 0)).as("p"))
+    df.collect()(0).getAs[Array[Byte]](0)
+  }
+
+  test("header: indexes [0] collapses to the single-0 optimized form") {
+    val h = ProtoRegistry.header(3, Seq(0))
+    assert(h.toSeq == Seq[Byte](0, 0, 0, 0, 3, 0))
+  }
+
+  test("header: indexes [1,0] zigzag-varint encoded (count 2 → 4, 1 → 2, 0 → 0)") {
+    val h = ProtoRegistry.header(9, Seq(1, 0))
+    assert(h.toSeq == Seq[Byte](0, 0, 0, 0, 9, 4, 2, 0))
+  }
+
+  test("v1 payload decodes reader-shaped with note defaulted to '' (proto3)") {
+    RegistryProtoFixture.registerResolver()
+    val rows = decodeBytes(Seq(v1Payload("d1", 2.25, 42L)))
+    assert(rows.head.getString(0) == "d1")
+    assert(rows.head.getDouble(1) == 2.25)
+    assert(rows.head.getLong(2) == 42L)
+    assert(rows.head.getString(3) == "") // absent scalar → proto3 default
+  }
+
+  test("v2 payload navigates indexes [1,0], bridges note, skips unknown extra") {
+    RegistryProtoFixture.registerResolver()
+    val rows = decodeBytes(Seq(v2Payload("d2", "hello")))
+    assert(rows.head.getString(0) == "d2")
+    assert(rows.head.getString(3) == "hello")
+  }
+
+  test("mis-framed payloads are DATA → NULL row (no magic, truncated, garbage indexes)") {
+    RegistryProtoFixture.registerResolver()
+    val good = v1Payload("d1", 1.0, 1L)
+    val noMagic = good.clone(); noMagic(0) = 0x17
+    val truncated = good.take(4)
+    // count varint says 3 indexes but the frame ends — varint read overruns
+    val badIndexes = Array[Byte](0, 0, 0, 0, 3, 6)
+    val rows = decodeBytes(Seq(noMagic, truncated, badIndexes))
+    assert(rows.forall(_.getBoolean(4)), s"expected all NULL, got $rows")
+  }
+
+  test("message index out of range / foreign message name are DATA → NULL") {
+    RegistryProtoFixture.registerResolver()
+    val body = v1Payload("d1", 1.0, 1L).drop(6) // strip v1 header
+    // v2 schema, indexes [0] → Heartbeat: resolvable but not our message
+    val foreign = ProtoRegistry.header(RegistryProtoFixture.V2Id, Seq(0)) ++ body
+    // v2 schema, indexes [5] → out of range
+    val oob = ProtoRegistry.header(RegistryProtoFixture.V2Id, Seq(5)) ++ body
+    val rows = decodeBytes(Seq(foreign, oob))
+    assert(rows.forall(_.getBoolean(4)), s"expected all NULL, got $rows")
+  }
+
+  test("unknown schema id is CONFIGURATION → loud error") {
+    RegistryProtoFixture.registerResolver()
+    val body = v1Payload("d1", 1.0, 1L).drop(6)
+    val unknownId = ProtoRegistry.header(12345, Seq(0)) ++ body
+    val e = intercept[Exception] { decodeBytes(Seq(unknownId)) }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("unknown schema id 12345"), s"got: $msg")
+  }
+
+  test("unregistered resolver name is CONFIGURATION → loud error") {
+    ProtoRegistry.clear()
+    val body = v1Payload("d1", 1.0, 1L)
+    try {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(body)), 1),
+        StructType(Seq(StructField("payload", BinaryType))))
+      val e = intercept[Exception] {
+        df.select(ProtoRegistry.decodeRegistry(col("payload"), readerDef,
+          "no-such-resolver")).collect()
+      }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("no schema resolver registered"), s"got: $msg")
+    } finally RegistryProtoFixture.registerResolver()
+  }
+
+  test("writer whose shared field number changes wire encoding is loud") {
+    // field 2 is double (fixed64) in the reader but sint64 (zigzag varint)
+    // in this writer — decoding would silently produce garbage, so the
+    // compat check must refuse
+    ProtoRegistry.register("proto-compat-test", {
+      case 11 => Some(
+        """syntax = "proto3";
+          |message Reading {
+          |  string device = 1;
+          |  sint64 reading = 2;
+          |}""".stripMargin)
+      case _ => None
+    })
+    val incompatDef = ProtoSchema.parse(
+      """syntax = "proto3";
+        |message Reading {
+        |  string device = 1;
+        |  sint64 reading = 2;
+        |}""".stripMargin, "Reading")
+    val p = spark.range(1).select(
+      ProtoRegistry.encodeRegistry(
+        struct(lit("d").as("device"), lit(5L).as("reading")),
+        incompatDef, 11).as("p")).collect()(0).getAs[Array[Byte]](0)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(p)), 1),
+      StructType(Seq(StructField("payload", BinaryType))))
+    val e = intercept[Exception] {
+      df.select(ProtoRegistry.decodeRegistry(col("payload"), readerDef,
+        "proto-compat-test")).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("disagree about the wire format"), s"got: $msg")
+  }
+
+  test("proto_registry without proto reader schema → bind-time option error") {
+    val e = intercept[IllegalArgumentException] {
+      NatsScanOptions(protoRegistry = Some("x")).validate()
+    }
+    assert(e.getMessage.contains("proto_registry requires"))
+  }
+
+  test("scan facade end-to-end: mixed-version stream decodes version-blind") {
+    RegistryProtoFixture.registerResolver()
+    val dir = "/root/testdata/sf0.001"
+    val df = NatsScan.scan(spark, "events",
+      NatsScanOptions(
+        protoFile = Some("/root/repo/proto/registry_reading.proto"),
+        protoMessage = Some("Reading"),
+        protoExtract = Seq("device", "reading", "cnt", "note"),
+        protoRegistry = Some(RegistryProtoFixture.ResolverName)),
+      new graft.queries.ProtoQueries.RegistryProtoStore(dir))
+    val rows = df.select("seq", "device", "note").orderBy("seq").limit(4).collect()
+    assert(rows.length == 4)
+    // seq = event_id + 1: odd seq = v1 (note ''), even seq = v2 (note n<uid>)
+    rows.foreach { r =>
+      val note = r.getString(2)
+      if ((r.getLong(0) - 1) % 2 == 0) assert(note == "")
+      else assert(note.startsWith("n"))
+    }
+  }
+}
