@@ -392,6 +392,25 @@ object ScaleProbe {
         println(f"$k%3d $nRows%9d $tZ%9.2f $hit%10d $total%6d")
       }
     }
+    // DEEP BPE sweep: train to increasing MERGE COUNTS (2/4/8 batched
+    // rounds) over the same corpus — per-merge wall time must stay flat or
+    // fall as the merge target grows (the whole point of batching: rounds
+    // amortize counting jobs + driver collects over up to 16 merges, where
+    // the classic loop pays one full job + collect per merge). The merge
+    // count per round is data-dependent (non-overlap selection), so the
+    // table reports realized merges, not round × batch.
+    if (on("bpe")) {
+      println(f"${"rounds"}%7s ${"merges"}%7s ${"total_s"}%8s ${"s_per_merge"}%12s")
+      Seq(2, 4, 8).foreach { r =>
+        val (t, m) = time {
+          val (merges, _) = graft.queries.RetrievalQueries
+            .deepBpeTrainRounds(spark, sfDir, rounds = r)
+          merges.length.toLong
+        }
+        println(f"$r%7d $m%7d $t%8.2f ${t / math.max(m, 1)}%12.4f")
+        Caches.drain()
+      }
+    }
     // PII sweep (operators.Pii.report over the default 3-rule set): pure
     // map-side regex work — 3 count passes + 3 replace passes + 3 residual
     // passes per row — so wall time must grow LINEARLY with replicated

@@ -317,6 +317,22 @@ object RetrievalQueries {
         .orderBy("lang")
     }),
 
+    // DEEP BPE training: 16 batched rounds × up to 16 symbol-disjoint
+    // merges each (≥64 merges total; early rounds yield fewer because top
+    // character pairs share symbols) with NO per-merge driver round-trip —
+    // the scale shape of pipe_bpe_train (see deepBpeTrainRounds's header
+    // for the batching rule and its exactness argument). One row per
+    // merge: round, in-round order, pair, exact pre-round support, and the
+    // post-round weighted corpus symbol count (pins that every fold
+    // applied). The oracle replays the identical batched algorithm —
+    // selection included — via ranked windows + NOT EXISTS.
+    "pipe_bpe_train_deep" -> ((s, dir) => {
+      val (merges, _) = deepBpeTrainRounds(s, dir)
+      s.createDataFrame(merges)
+        .toDF("it", "ord", "merge_a", "merge_b", "support", "corpus_symbols")
+        .orderBy("it", "ord")
+    }),
+
     // hard-negative mining for retrieval training: for each query vector,
     // the most similar corpus vectors from OTHER semantic clusters — the
     // near-miss examples a contrastive retriever trains against. IVF-shaped:
@@ -862,6 +878,112 @@ object RetrievalQueries {
     (rounds.toSeq, syms)
   }
 
+  /** Deep BPE training constants: [[deepBpeRounds]] rounds, each applying a
+    * BATCH of up to [[deepBpeBatch]] symbol-disjoint merges selected from
+    * the top-[[deepBpeWindow]] pair candidates — ≥64 total merges without
+    * per-merge driver round-trips. */
+  private val deepBpeRounds = 16
+  private val deepBpeBatch = 16
+  private val deepBpeWindow = 64
+
+  /** Batched BPE training — the scale shape of [[bpeTrainRounds]]. The
+    * classic algorithm launches one counting job + one driver collect PER
+    * MERGE (~30k for a real tokenizer: a driver-side sequential bottleneck,
+    * flagged by the round-11 review). This variant amortizes: per ROUND it
+    * counts pairs once, collects the top-[[deepBpeWindow]] candidates
+    * (bounded), selects up to [[deepBpeBatch]] of them that can be applied
+    * simultaneously, and merges them all in ONE distributed fold pass — the
+    * public fast-BPE batching technique (non-interacting merges commute, so
+    * a batch round is exactly the sequential result of its members).
+    *
+    * Selection rule (order-free, so the SQL oracle can replay it without
+    * recursion): rank candidates by (support desc, "a|b" asc); a candidate
+    * survives iff it conflicts with NO higher-ranked candidate in the
+    * window — selected or not — where "conflicts" means sharing a symbol
+    * (a merge of (a,b) changes the support and applicability of any pair
+    * touching a or b) or equalling a higher candidate's concatenation (the
+    * created symbol must not be another rule's operand within the round).
+    * The survivors' supports are therefore EXACT pre-round counts and the
+    * batch is order-independent; the top-1 pair is always selected, so a
+    * round is never weaker than one classic greedy step.
+    *
+    * Batched training is a documented approximation of strictly-sequential
+    * BPE (the 2nd-best pair may shift after the best merges); the oracle
+    * replays the identical batched rounds, so the gate checks THIS
+    * algorithm, not sequential equivalence.
+    *
+    * The per-round merge fold generalizes the single-pair fold: the rule
+    * set rides as an array literal (≤ [[deepBpeBatch]] entries), the
+    * previous symbol is the accumulator's last closed segment
+    * (`element_at(split(acc, '|'), -2)`), and a rule fires when
+    * "prev|x" is in the set. Rules have pairwise-disjoint right sides, so
+    * at most one rule can fire per step — same greedy non-overlap
+    * semantics as the one-pair fold.
+    *
+    * Scale: per round = 1 pair-count job over the DISTINCT-word vocabulary
+    * + 1 bounded collect (window rows) + 1 fold pass + 1 symbol-count agg;
+    * per MERGE everything is ~1/batch of that. Driver work is O(window²)
+    * string compares per round. */
+  private[graft] def deepBpeTrainRounds(s: SparkSession, dir: String,
+                                        rounds: Int = deepBpeRounds)
+      : (Seq[(Int, Int, String, String, Long, Long)], DataFrame) = {
+    val vocab = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bad = vocab.filter(col("w").contains("|")).select("w").head(1)
+    require(bad.isEmpty,
+      s"deepBpeTrainRounds: corpus token '${bad.headOption.map(_.getString(0))
+        .getOrElse("")}' contains the '|' fold delimiter; pre-tokenize so " +
+        "words exclude '|'")
+    var syms = graft.Caches.tracked(vocab.withColumn("syms",
+      expr("filter(split(w, ''), x -> x <> '')")))
+    val merges =
+      collection.mutable.Buffer.empty[(Int, Int, String, String, Long, Long)]
+    for (it <- 1 to rounds) {
+      // candidate window: top-W pairs by (support desc, key asc) — bounded
+      val cands = syms.filter(size(col("syms")) >= 2)
+        .select(col("c"), col("syms"),
+          explode(expr("sequence(1, size(syms) - 1)")).as("i"))
+        .select(element_at(col("syms"), col("i")).as("a"),
+          element_at(col("syms"), col("i") + 1).as("b"), col("c"))
+        .groupBy("a", "b").agg(sum("c").as("n"))
+        .orderBy(col("n").desc, concat(col("a"), lit("|"), col("b")).asc)
+        .limit(deepBpeWindow)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // order-free non-overlap selection (mirrors the oracle's NOT EXISTS)
+      val survivors = cands.zipWithIndex.filter { case ((a, b, _), rnk) =>
+        !cands.take(rnk).exists { case (ha, hb, _) =>
+          ha == a || ha == b || hb == a || hb == b ||
+            a == ha + hb || b == ha + hb
+        }
+      }.map(_._1).take(deepBpeBatch)
+      if (survivors.nonEmpty) {
+        survivors.foreach { case (a, b, _) =>
+          require(!a.contains("|") && !b.contains("|"),
+            s"deepBpeTrainRounds: merged symbol contains the '|' fold " +
+              s"delimiter (a='$a', b='$b')")
+        }
+        val rules = survivors
+          .map { case (a, b, _) => s"'${sqlLit(a + "|" + b)}'" }.mkString(",")
+        syms = graft.Caches.tracked(syms.withColumn("syms", expr(
+          s"""filter(split(aggregate(syms, '|', (acc, x) ->
+             CASE WHEN array_contains(array($rules),
+                    concat(element_at(split(acc, '\\\\|'), -2), '|', x))
+                  THEN concat(substr(acc, 1, length(acc)
+                         - length(element_at(split(acc, '\\\\|'), -2)) - 1),
+                       element_at(split(acc, '\\\\|'), -2), x, '|')
+                  ELSE concat(acc, x, '|') END), '\\\\|'), x -> x <> '')""")))
+      }
+      val nSyms = syms.agg(sum(col("c") * size(col("syms")))).collect()(0)
+        .getLong(0)
+      survivors.zipWithIndex.foreach { case ((a, b, n), ord) =>
+        merges += ((it, ord + 1, a, b, n, nSyms))
+      }
+    }
+    (merges.toSeq, syms)
+  }
+
   /** the covariance-cell CTEs shared by the embed_covariance and
     * embed_pca_power oracles (mirrors [[covCells]]). */
   private val covCellsSql = """
@@ -916,7 +1038,66 @@ object RetrievalQueries {
                  AS corpus_symbols
         FROM t$i)"""
 
+  /** One DEEP (batched) BPE round as CTE text — mirrors one iteration of
+    * [[deepBpeTrainRounds]]: ranked candidate window, order-free
+    * non-overlap selection (NOT EXISTS against higher ranks), the rule-set
+    * fold, and the round's merge rows. Every multiply-referenced CTE is
+    * `AS MATERIALIZED`: DuckDB inlines plain CTEs per reference, and the
+    * d-chain is referenced 3× per round — inlined, the fold work would
+    * re-evaluate ~3^rounds times (measured: the 8-round oracle never
+    * finishes; materialized it runs in seconds). */
+  private def bpeDeepIter(i: Int): String = s"""
+      p$i AS MATERIALIZED (
+        SELECT syms[j] AS a, syms[j + 1] AS b, CAST(sum(c) AS BIGINT) AS n
+        FROM (SELECT c, syms, unnest(generate_series(1, len(syms) - 1)) AS j
+              FROM d${i - 1} WHERE len(syms) >= 2)
+        GROUP BY a, b),
+      cand$i AS MATERIALIZED (
+        SELECT a, b, n,
+               row_number() OVER (ORDER BY n DESC, a || '|' || b) AS rnk
+        FROM p$i ORDER BY rnk LIMIT $deepBpeWindow),
+      sel$i AS MATERIALIZED (
+        SELECT a, b, n, row_number() OVER (ORDER BY rnk) AS ord
+        FROM cand$i c1
+        WHERE NOT EXISTS (
+          SELECT 1 FROM cand$i c2 WHERE c2.rnk < c1.rnk AND (
+            c2.a = c1.a OR c2.a = c1.b OR c2.b = c1.a OR c2.b = c1.b
+            OR c1.a = c2.a || c2.b OR c1.b = c2.a || c2.b))
+        ORDER BY ord LIMIT $deepBpeBatch),
+      rl$i AS MATERIALIZED (SELECT list(a || '|' || b) AS rules FROM sel$i),
+      d$i AS MATERIALIZED (
+        SELECT w, c, list_filter(string_split(
+          list_reduce(list_prepend('|', syms), (acc, x) ->
+            CASE WHEN list_contains(rl$i.rules,
+                   string_split(acc, '|')[-2] || '|' || x)
+                 THEN substr(acc, 1, length(acc)
+                        - length(string_split(acc, '|')[-2]) - 1)
+                      || string_split(acc, '|')[-2] || x || '|'
+                 ELSE acc || x || '|' END), '|'), x -> x <> '') AS syms
+        FROM d${i - 1} CROSS JOIN rl$i),
+      dr$i AS (
+        SELECT $i AS it, CAST(ord AS INTEGER) AS ord, a AS merge_a,
+               b AS merge_b, n AS support,
+               (SELECT CAST(sum(c * len(syms)) AS BIGINT) FROM d$i)
+                 AS corpus_symbols
+        FROM sel$i)"""
+
   def oracleSql: Map[String, String] = Map(
+
+    "pipe_bpe_train_deep" -> s"""
+      WITH v AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w),
+      d0 AS MATERIALIZED (
+        SELECT w, c,
+               list_transform(range(1, length(w) + 1),
+                 i -> substr(w, i, 1)) AS syms
+        FROM v),
+      ${(1 to deepBpeRounds).map(bpeDeepIter).mkString(",")}
+      SELECT * FROM (${(1 to deepBpeRounds)
+        .map(i => s"SELECT * FROM dr$i").mkString(" UNION ALL ")})
+      ORDER BY it, ord""",
 
     "pipe_bpe_train" -> s"""
       WITH v AS (
