@@ -271,7 +271,8 @@ object Dedup {
     * (node, lbl) with lbl = min id reachable = component id. */
   def connectedComponents(pairs: DataFrame, leftCol: String, rightCol: String,
                           maxIters: Int = 25,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          smallGraphThreshold: Long = 100000L): DataFrame = {
     // every round's result is checkpointed (eager): iterative plans that
     // merely cache still carry the FULL logical lineage, and each round
     // references the previous one several times — analysis time grows
@@ -307,6 +308,58 @@ object Dedup {
     // node extraction), and each reference would otherwise re-run the
     // upstream pair-generation join
     val p = chk(pairs.select(col(leftCol).as("a"), col(rightCol).as("b")))
+    // SMALL-GRAPH FAST PATH: iterative propagation pays per-round
+    // short-stage overhead (job launch + tiny shuffle + checkpoint) that
+    // dominates when the surviving pair set is small — the common case for
+    // residual cross-split pairs after index-probe dedup, where a handful
+    // of pairs still cost O(log diameter) Spark rounds. Below the bound the
+    // exact same min-label result comes from one driver union-find over the
+    // already-checkpointed pairs: a BOUNDED collect (≤ smallGraphThreshold
+    // narrow id pairs — an explicit model-size cap, never corpus-scale; the
+    // count that guards it is a cheap aggregate over p's cached blocks).
+    // Integral keys only; other key types keep the distributed path.
+    val keyType = p.schema("a").dataType
+    val integralKeys =
+      keyType == org.apache.spark.sql.types.LongType ||
+        keyType == org.apache.spark.sql.types.IntegerType
+    if (integralKeys && p.count() <= smallGraphThreshold) {
+      val rows = p.collect()
+      // nulls can't traverse the distributed path's equi-joins; keep
+      // identical semantics by excluding them from the driver graph too
+      val edges = rows.iterator
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        .map { r =>
+          def id(i: Int): Long =
+            if (keyType == org.apache.spark.sql.types.IntegerType)
+              r.getInt(i).toLong
+            else r.getLong(i)
+          (id(0), id(1))
+        }.toArray
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElse(root, root) != root)
+          root = parent.getOrElse(root, root)
+        var cur = x // path compression
+        while (parent.getOrElse(cur, cur) != cur) {
+          val nxt = parent.getOrElse(cur, cur); parent(cur) = root; cur = nxt
+        }
+        root
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // min-id root ⇒ find() IS the component's min label, matching the
+        // distributed min-label fixpoint exactly
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toArray.distinct
+      release(p)
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return nodes.toSeq.map(n => (n, find(n))).toDF("node", "lbl")
+        .select(col("node").cast(keyType), col("lbl").cast(keyType))
+    }
     // both directions + a self-loop per node: the per-round neighbor-min
     // then already includes the node's own label, so the loop body is pure
     // join+aggregate (no Union over checkpointed plans, which trips

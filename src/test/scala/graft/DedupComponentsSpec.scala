@@ -17,10 +17,14 @@ class DedupComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+  /** threshold 0 forces the distributed iterative path (the default would
+    * route these small graphs through the driver union-find fast path) */
+  private def components(pairs: Seq[(Long, Long)],
+                         smallGraphThreshold: Long = 0L): Map[Long, Long] = {
     import spark.implicits._
     graft.operators.Dedup
-      .connectedComponents(pairs.toDF("id1", "id2"), "id1", "id2")
+      .connectedComponents(pairs.toDF("id1", "id2"), "id1", "id2",
+        smallGraphThreshold = smallGraphThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -44,5 +48,39 @@ class DedupComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val clique = for (a <- nodes; b <- nodes if a < b) yield (a, b)
     val c = components(clique)
     assert(c.values.toSet == Set(1L))
+  }
+
+  test("small-graph fast path (driver union-find) matches the distributed result") {
+    // deterministic pseudo-random graph: chains, cliques, singleton pairs,
+    // direction flips, duplicate edges — every shape both paths must agree on
+    val rnd = new scala.util.Random(42)
+    val pairs = (
+      (1L to 30L).map(i => (i * 7L, i * 7L + 1L)) ++          // 30 chains
+      (0L until 5L).flatMap(k => for {
+        a <- 0L until 4L; b <- 0L until 4L if a < b
+      } yield (1000L + k * 10 + a, 1000L + k * 10 + b)) ++    // 5 cliques
+      Seq((5000L, 5001L), (5001L, 5000L), (5000L, 5001L)) ++  // dupes/flips
+      (1 to 40).map(_ => { val a = rnd.nextInt(200).toLong
+        val b = rnd.nextInt(200).toLong; (a, b) })            // random mess
+    )
+    val slow = components(pairs, smallGraphThreshold = 0L)
+    val fast = components(pairs, smallGraphThreshold = 100000L)
+    assert(fast == slow)
+  }
+
+  test("fast path handles empty pair input (streaming clean-batch shape)") {
+    val c = components(Seq.empty, smallGraphThreshold = 100000L)
+    assert(c.isEmpty)
+  }
+
+  test("fast path preserves integer key type") {
+    import spark.implicits._
+    val df = graft.operators.Dedup.connectedComponents(
+      Seq((1, 2), (2, 3)).toDF("id1", "id2"), "id1", "id2",
+      smallGraphThreshold = 100000L)
+    assert(df.schema("node").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(df.schema("lbl").dataType == org.apache.spark.sql.types.IntegerType)
+    val m = df.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(m == Map(1 -> 1, 2 -> 1, 3 -> 1))
   }
 }
