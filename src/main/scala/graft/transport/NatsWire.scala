@@ -168,7 +168,13 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
   private def parseHeaders(s: String): (Map[String, String], Int) = {
     val lines = s.split("\r\n").filter(_.nonEmpty)
     val status = lines.headOption.filter(_.startsWith("NATS/1.0 "))
-      .map(_.substring(9).trim.split(' ')(0).toInt).getOrElse(0)
+      .map { l =>
+        try l.substring(9).trim.split(' ')(0).toInt
+        catch { case _: NumberFormatException =>
+          throw new NatsIOException(
+            s"protocol error: unparseable header status line '$l'")
+        }
+      }.getOrElse(0)
     val kvs = lines.drop(1).flatMap { l =>
       val i = l.indexOf(':')
       if (i < 0) None else Some(l.substring(0, i).trim -> l.substring(i + 1).trim)
@@ -382,6 +388,15 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
           return sb.toString
         }
         sb.append(b.toChar)
+        // a control line that never terminates (garbage stream, or a
+        // payload mis-read as a line) must fail loudly, not accumulate an
+        // unbounded buffer until OOM — the doc caps control lines far
+        // below this (server default max_control_line 4 KiB; we allow
+        // INFO's connect_urls room)
+        if (sb.length() > NatsWireClient.MaxControlLineBytes)
+          throw new NatsIOException(
+            "protocol error: control line exceeds " +
+              s"${NatsWireClient.MaxControlLineBytes} bytes without CRLF")
         prev = b
       }
       throw new IllegalStateException("unreachable")
@@ -398,33 +413,93 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
       buf
     }
 
+    /** the mandatory CRLF after a MSG/HMSG payload — anything else means
+      * the advertised length and the actual bytes disagree, and continuing
+      * would mis-frame every later conversation on this socket */
+    private def expectTrailingCrlf(verb: String): Unit = {
+      val t = readN(2)
+      if (t(0) != '\r' || t(1) != '\n')
+        throw new NatsIOException(
+          s"protocol error: $verb payload not followed by CRLF " +
+            "(length/body mismatch)")
+    }
+
+    /** numeric control-line argument, validated: a malformed server frame
+      * is a PROTOCOL error (typed, lane torn down), never a bare
+      * NumberFormatException leaking into caller code */
+    private def frameArg(verb: String, p: Array[String], i: Int): Long = {
+      if (i >= p.length)
+        throw new NatsIOException(
+          s"protocol error: $verb control line missing argument ${i + 1}")
+      try p(i).toLong
+      catch { case _: NumberFormatException =>
+        throw new NatsIOException(
+          s"protocol error: $verb argument '${p(i)}' is not a number")
+      }
+    }
+
+    /** payload-length argument: additionally bounded — negative or absurd
+      * lengths would otherwise drive readN into a negative allocation or a
+      * multi-GiB buffer from four corrupt bytes */
+    private def frameLen(verb: String, p: Array[String], i: Int): Int = {
+      val v = frameArg(verb, p, i)
+      if (v < 0 || v > NatsWireClient.MaxFrameBytes)
+        throw new NatsIOException(
+          s"protocol error: $verb length $v outside " +
+            s"[0, ${NatsWireClient.MaxFrameBytes}]")
+      v.toInt
+    }
+
     private def readFrame(): Frame = {
       val line = readLine()
       val sp = line.indexOf(' ')
       val verb = (if (sp < 0) line else line.substring(0, sp)).toUpperCase
       verb match {
-        case "INFO" => Info(mapper.readTree(line.substring(sp + 1)))
+        case "INFO" =>
+          if (sp < 0)
+            throw new NatsIOException("protocol error: INFO without payload")
+          try Info(mapper.readTree(line.substring(sp + 1)))
+          catch { case e: com.fasterxml.jackson.core.JacksonException =>
+            throw new NatsIOException(
+              s"protocol error: unparseable INFO JSON (${e.getMessage})")
+          }
         case "PING" => Ping
         case "PONG" => Pong
         case "+OK" => Ok
         case "-ERR" =>
-          Err(line.substring(sp + 1).stripPrefix("'").stripSuffix("'"))
+          Err(if (sp < 0) ""
+              else line.substring(sp + 1).stripPrefix("'").stripSuffix("'"))
         case "MSG" =>
           // MSG <subject> <sid> [reply] <len>
-          val p = line.substring(sp + 1).split(' ')
+          val p = if (sp < 0) Array.empty[String]
+                  else line.substring(sp + 1).split(' ')
+          if (p.length < 3 || p.length > 4)
+            throw new NatsIOException(
+              s"protocol error: MSG control line has ${p.length} arguments")
           val (subject, sid, reply, len) =
-            if (p.length == 3) (p(0), p(1).toLong, None, p(2).toInt)
-            else (p(0), p(1).toLong, Some(p(2)), p(3).toInt)
-          val payload = readN(len); readN(2) // trailing \r\n
+            if (p.length == 3) (p(0), frameArg("MSG", p, 1), None,
+              frameLen("MSG", p, 2))
+            else (p(0), frameArg("MSG", p, 1), Some(p(2)),
+              frameLen("MSG", p, 3))
+          val payload = readN(len); expectTrailingCrlf("MSG")
           Msg(subject, sid, reply, Map.empty, 0, payload)
         case "HMSG" =>
           // HMSG <subject> <sid> [reply] <hdrLen> <totLen>
-          val p = line.substring(sp + 1).split(' ')
+          val p = if (sp < 0) Array.empty[String]
+                  else line.substring(sp + 1).split(' ')
+          if (p.length < 4 || p.length > 5)
+            throw new NatsIOException(
+              s"protocol error: HMSG control line has ${p.length} arguments")
           val (subject, sid, reply, hl, tl) =
-            if (p.length == 4) (p(0), p(1).toLong, None, p(2).toInt, p(3).toInt)
-            else (p(0), p(1).toLong, Some(p(2)), p(3).toInt, p(4).toInt)
+            if (p.length == 4) (p(0), frameArg("HMSG", p, 1), None,
+              frameLen("HMSG", p, 2), frameLen("HMSG", p, 3))
+            else (p(0), frameArg("HMSG", p, 1), Some(p(2)),
+              frameLen("HMSG", p, 3), frameLen("HMSG", p, 4))
+          if (hl > tl)
+            throw new NatsIOException(
+              s"protocol error: HMSG header length $hl exceeds total $tl")
           val hdrBytes = readN(hl)
-          val payload = readN(tl - hl); readN(2)
+          val payload = readN(tl - hl); expectTrailingCrlf("HMSG")
           val (headers, status) = parseHeaders(new String(hdrBytes, UTF_8))
           Msg(subject, sid, reply, headers, status, payload)
         case other =>
@@ -646,7 +721,12 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     val m = resp.head
     if (m.status != 0) // 503 already thrown centrally by request()
       throw new NatsIOException(s"status ${m.status} for $subject")
-    mapper.readTree(new String(m.payload, UTF_8))
+    try mapper.readTree(new String(m.payload, UTF_8))
+    catch { case e: com.fasterxml.jackson.core.JacksonException =>
+      throw new NatsIOException(
+        s"protocol error: unparseable API response for $subject " +
+          s"(${e.getMessage})")
+    }
   }
 
   private def apiError(node: JsonNode): Option[String] =
@@ -669,12 +749,25 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
   }
 
   private def msgOf(m: Msg): TransportMsg = {
+    // DirectGet envelope headers are server-stamped — unparseable values
+    // are a protocol violation (typed), not a caller-visible
+    // NumberFormat/DateTimeParse leak
     val subject = m.headers.getOrElse("Nats-Subject", null)
-    val seq = m.headers.get("Nats-Sequence").map(_.toLong).getOrElse(0L)
-    val tsNs = m.headers.get("Nats-Time-Stamp").map { iso =>
-      val i = java.time.Instant.parse(iso)
-      i.getEpochSecond * 1000000000L + i.getNano
-    }.getOrElse(0L)
+    val seq =
+      try m.headers.get("Nats-Sequence").map(_.toLong).getOrElse(0L)
+      catch { case _: NumberFormatException =>
+        throw new NatsIOException("protocol error: non-numeric " +
+          s"Nats-Sequence '${m.headers("Nats-Sequence")}'")
+      }
+    val tsNs =
+      try m.headers.get("Nats-Time-Stamp").map { iso =>
+        val i = java.time.Instant.parse(iso)
+        i.getEpochSecond * 1000000000L + i.getNano
+      }.getOrElse(0L)
+      catch { case _: java.time.format.DateTimeParseException =>
+        throw new NatsIOException("protocol error: unparseable " +
+          s"Nats-Time-Stamp '${m.headers("Nats-Time-Stamp")}'")
+      }
     TransportMsg(subject, seq, tsNs, m.payload,
       m.headers -- NatsWireClient.ReservedHeaders)
   }
@@ -738,8 +831,13 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
         p(0) != "$JS" || p(1) != "ACK")
       throw new NatsIOException(
         s"protocol error: malformed ack subject '$reply'")
-    if (p.length >= 12) (p(7).toLong, p(9).toLong) // v2: domain + acct hash
-    else (p(5).toLong, p(7).toLong)                // v1: bare 9-token form
+    try {
+      if (p.length >= 12) (p(7).toLong, p(9).toLong) // v2: domain + acct hash
+      else (p(5).toLong, p(7).toLong)                // v1: bare 9-token form
+    } catch { case _: NumberFormatException =>
+      throw new NatsIOException(
+        s"protocol error: malformed ack subject '$reply'")
+    }
   }
 
   override def consumer(stream: String, startSeq: Long,
@@ -1033,6 +1131,18 @@ object NatsWireClient {
     * facing a connection-limited server can pin it to 1). */
   def MaxLanes: Int =
     Integer.getInteger("graft.wire.lanes", 8).intValue()
+
+  /** Hard ceiling on a single inbound MSG/HMSG length argument. The server
+    * enforces max_payload (default 1 MiB, configurable to 64 MiB) on the
+    * publish side; a length above this ceiling therefore cannot be a real
+    * frame — it is four corrupt bytes about to become a multi-GiB
+    * allocation, and the lane refuses it as a protocol error instead. */
+  val MaxFrameBytes: Long = 64L * 1024 * 1024
+
+  /** Ceiling on one control line (INFO's connect_urls included — the
+    * server's own default max_control_line is 4 KiB). A line this long
+    * without CRLF is a garbage stream, not a frame. */
+  val MaxControlLineBytes: Int = 1 * 1024 * 1024
 
   /** A publish refused LOCALLY (oversize vs the lane's advertised
     * `max_payload`) — an [[IllegalArgumentException]] to callers, but a

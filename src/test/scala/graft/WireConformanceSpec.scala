@@ -560,4 +560,218 @@ class WireConformanceSpec extends AnyFunSuite {
       "SUB needs <subject> <sid>")
     srv.stop()
   }
+
+  // ---------------- server-frame mutation fuzz ----------------
+
+  /** A hostile "server": speaks just enough protocol to reach the response
+    * point of a DIRECT.GET conversation, then emits whatever bytes the
+    * current trial installed. `closeAfter` drops the connection right after
+    * the response — the fuzz mode that makes hangs impossible (every
+    * blocked read terminates in EOF). */
+  private final class MutatingServer(closeAfter: Boolean) {
+    @volatile var respond: (String, Long) => Array[Byte] = validDirectGetFrame
+    private val server =
+      new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+    @volatile private var running = true
+    def port: Int = server.getLocalPort
+
+    def start(): Unit = {
+      val t = new Thread(() => {
+        while (running) {
+          try {
+            val c = server.accept()
+            val h = new Thread(() => handle(c))
+            h.setDaemon(true); h.start()
+          } catch { case _: Exception => () }
+        }
+      })
+      t.setDaemon(true); t.start()
+    }
+
+    private def handle(c: Socket): Unit = {
+      try {
+        c.setTcpNoDelay(true)
+        val in = c.getInputStream
+        val out = c.getOutputStream
+        out.write(("INFO {\"server_id\":\"fuzz\",\"max_payload\":1048576," +
+          "\"proto\":1}\r\n").getBytes(UTF_8))
+        out.flush()
+        def line(): String = {
+          val sb = new StringBuilder
+          var prev = -1
+          while (true) {
+            val b = in.read()
+            if (b < 0) return null
+            if (prev == '\r' && b == '\n')
+              return sb.substring(0, sb.length - 1)
+            sb.append(b.toChar); prev = b
+          }
+          null
+        }
+        var inbox = ""
+        var sid = 0L
+        var open = true
+        while (open) {
+          val l = line()
+          if (l == null) open = false
+          else if (l.startsWith("PING")) { out.write("PONG\r\n".getBytes(UTF_8)); out.flush() }
+          else if (l.startsWith("SUB ")) {
+            val p = l.split(' '); inbox = p(1); sid = p(2).toLong
+          } else if (l.startsWith("PUB ") || l.startsWith("HPUB ")) {
+            val p = l.split(' ')
+            val total = p.last.toInt // PUB len / HPUB total
+            val buf = new Array[Byte](total + 2) // payload + CRLF
+            var off = 0
+            while (off < buf.length) {
+              val r = in.read(buf, off, buf.length - off)
+              if (r < 0) { open = false; off = buf.length }
+              else off += r
+            }
+            if (open) {
+              out.write(respond(inbox, sid)); out.flush()
+              if (closeAfter) { c.close(); open = false }
+            }
+          } // CONNECT / UNSUB / anything else: ignore
+        }
+      } catch { case _: Exception => () }
+      finally { try c.close() catch { case _: Exception => () } }
+    }
+
+    def stop(): Unit = { running = false; server.close() }
+  }
+
+  private val fuzzHdr = "NATS/1.0\r\nNats-Subject: ev.a.1\r\n" +
+    "Nats-Sequence: 5\r\nNats-Time-Stamp: 2024-01-02T03:04:05Z\r\n\r\n"
+  private val fuzzPayload = "hello-fuzz"
+
+  /** the one well-formed DIRECT.GET response every mutation starts from */
+  private def validDirectGetFrame(inbox: String, sid: Long): Array[Byte] =
+    (s"HMSG $inbox $sid ${fuzzHdr.length} " +
+      s"${fuzzHdr.length + fuzzPayload.length}\r\n$fuzzHdr$fuzzPayload\r\n")
+      .getBytes(UTF_8)
+
+  test("fuzz: >=1k mutated server frames surface a TYPED error or a clean " +
+    "result - never a raw parser exception, allocation blowup, or hang") {
+    val srv = new MutatingServer(closeAfter = true)
+    srv.start()
+    val t = Transport.connect(s"nats://127.0.0.1:${srv.port}",
+      timeoutMs = 1000L)
+    try {
+      // sanity: the unmutated template round-trips (otherwise every trial
+      // would "pass" by failing for the wrong reason)
+      srv.respond = validDirectGetFrame
+      val ok = t.directGet("cf", 5L)
+      assert(ok.exists(m => new String(m.payload, UTF_8) == fuzzPayload &&
+        m.seq == 5L), s"unmutated template must decode, got $ok")
+
+      val rnd = new scala.util.Random(0xF022)
+      val lenPool = Seq("-1", "0", "7", "2147483647", "999999999999",
+        "68719476736", "xx", "")
+      var failures = List.empty[String]
+      for (trial <- 1 to 1200) {
+        val base = validDirectGetFrame("_INBOX.fuzz", 99L)
+        // mutate a COPY of real frame bytes; the server substitutes the
+        // trial's bytes wholesale (sid correlation is part of the fuzz
+        // surface: a mutated sid is a frame for a dead subscription)
+        val mutated: Array[Byte] = rnd.nextInt(8) match {
+          case 0 => // bit flip in the control line
+            val b = base.clone()
+            val i = rnd.nextInt(math.min(40, b.length))
+            b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte; b
+          case 1 => // bit flip anywhere
+            val b = base.clone()
+            val i = rnd.nextInt(b.length)
+            b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte; b
+          case 2 => // truncation (mid-header, mid-payload, mid-CRLF)
+            base.take(1 + rnd.nextInt(base.length - 1))
+          case 3 => // length-field damage: negative, absurd, non-numeric
+            (s"HMSG _INBOX.fuzz 99 ${lenPool(rnd.nextInt(lenPool.length))} " +
+              s"${lenPool(rnd.nextInt(lenPool.length))}\r\n$fuzzHdr" +
+              s"$fuzzPayload\r\n").getBytes(UTF_8)
+          case 4 => // garbage control line injected before the frame
+            (Array.fill(rnd.nextInt(64) + 1)(
+              (rnd.nextInt(94) + 33).toByte) ++ "\r\n".getBytes(UTF_8)) ++ base
+          case 5 => // verb swap
+            val verbs = Seq("XMSG", "MSGG", "msg?", "HMS", "H MSG", "12345")
+            (verbs(rnd.nextInt(verbs.length)) +
+              new String(base, UTF_8).substring(4)).getBytes(UTF_8)
+          case 6 => // header-block corruption (status line, colon, CRLFs)
+            val b = base.clone()
+            val hdrStart = new String(b, UTF_8).indexOf("NATS/1.0")
+            val i = hdrStart + rnd.nextInt(fuzzHdr.length)
+            b(i) = (rnd.nextInt(94) + 33).toByte; b
+          case _ => // pure noise
+            Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+        }
+        srv.respond = (_, _) => mutated
+        try { t.directGet("cf", 5L); () } // a clean result is acceptable
+        catch {
+          case _: NatsIOException | _: NatsNoRespondersException |
+               _: NatsConnectException => () // typed = correct
+          case e: Throwable =>
+            failures ::= s"trial $trial: ${e.getClass.getName}: " +
+              s"${e.getMessage} | frame=${mutated.take(80).map(b =>
+                f"$b%02x").mkString}"
+        }
+      }
+      assert(failures.isEmpty,
+        s"${failures.length} untyped escapes:\n${failures.take(5).mkString("\n")}")
+    } finally { t.close(); srv.stop() }
+  }
+
+  test("fuzz: a survivable oddity must not mis-frame the NEXT conversation " +
+    "on the same connection") {
+    val srv = new MutatingServer(closeAfter = false)
+    srv.start()
+    val t = Transport.connect(s"nats://127.0.0.1:${srv.port}",
+      timeoutMs = 2000L)
+    def validAgain(): Unit = {
+      srv.respond = validDirectGetFrame
+      val m = t.directGet("cf", 5L)
+      assert(m.exists(x => new String(x.payload, UTF_8) == fuzzPayload &&
+        x.seq == 5L), s"follow-up conversation mis-framed: $m")
+    }
+    try {
+      // interleaved PING: client must PONG and keep reading
+      srv.respond = (i, s) => "PING\r\n".getBytes(UTF_8) ++ validDirectGetFrame(i, s)
+      assert(t.directGet("cf", 5L).nonEmpty); validAgain()
+      // interleaved +OK: skipped
+      srv.respond = (i, s) => "+OK\r\n".getBytes(UTF_8) ++ validDirectGetFrame(i, s)
+      assert(t.directGet("cf", 5L).nonEmpty); validAgain()
+      // a well-formed frame for a DEAD sid rides before the real one:
+      // skipped without disturbing framing
+      srv.respond = (i, s) =>
+        validDirectGetFrame(i, s + 1000) ++ validDirectGetFrame(i, s)
+      assert(t.directGet("cf", 5L).nonEmpty); validAgain()
+      // corrupt payload CONTENT with correct lengths: delivered as-is,
+      // framing intact
+      srv.respond = (i, s) => (s"HMSG $i $s ${fuzzHdr.length} " +
+        s"${fuzzHdr.length + 4}\r\n${fuzzHdr}ABCD\r\n")
+        .getBytes(UTF_8)
+      assert(t.directGet("cf", 5L).exists(_.payload.length == 4)); validAgain()
+      // unknown extra header: surfaced in headers, framing intact
+      locally {
+        val hdr = "NATS/1.0\r\nNats-Subject: ev.a.1\r\nNats-Sequence: 5\r\n" +
+          "X-Graft-Fuzz: yes\r\n\r\n"
+        srv.respond = (i, s) => (s"HMSG $i $s ${hdr.length} " +
+          s"${hdr.length + 2}\r\n${hdr}ok\r\n").getBytes(UTF_8)
+        assert(t.directGet("cf", 5L)
+          .exists(_.headers.get("X-Graft-Fuzz").contains("yes")))
+        validAgain()
+      }
+      // 404 no-messages status: a clean None, connection stays aligned
+      srv.respond = (i, s) =>
+        (s"HMSG $i $s 16 16\r\nNATS/1.0 404\r\n\r\n\r\n").getBytes(UTF_8)
+      assert(t.directGet("cf", 5L).isEmpty); validAgain()
+      // -ERR: typed error, lane torn down, NEXT call re-dials cleanly
+      srv.respond = (_, _) => "-ERR 'Fuzz Injected'\r\n".getBytes(UTF_8)
+      intercept[NatsIOException] { t.directGet("cf", 5L) }
+      validAgain()
+      // 503 no-responders: the typed no-responders error, then clean re-use
+      srv.respond = (i, s) =>
+        (s"HMSG $i $s 16 16\r\nNATS/1.0 503\r\n\r\n\r\n").getBytes(UTF_8)
+      intercept[NatsNoRespondersException] { t.directGet("cf", 5L) }
+      validAgain()
+    } finally { t.close(); srv.stop() }
+  }
 }
