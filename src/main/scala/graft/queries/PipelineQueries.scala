@@ -2057,11 +2057,11 @@ object PipelineQueries {
       // 1e-8 (truncating // division is engine-identical; an 8-decimal
       // round would sit exactly on systematic .5 boundaries)
       def prIter(i: Int): String = s"""
-      c$i AS (
+      c$i AS MATERIALIZED (
         SELECT e.dst AS node, (r.ru // d.deg) AS c
         FROM edges e JOIN r${i - 1} r ON e.src = r.node
                      JOIN deg d ON e.src = d.src),
-      r$i AS (
+      r$i AS MATERIALIZED (
         SELECT node,
                CAST(15000000 + (85 * CAST(sum(c) AS BIGINT)) // 100
                     AS BIGINT) AS ru
@@ -2166,7 +2166,7 @@ object PipelineQueries {
       def step(i: Int): String = s"""
       sel${i - 1} AS (${(1 until i).map(j => s"SELECT vec_id FROM s$j")
           .mkString(" UNION ALL ")}),
-      s$i AS (SELECT vec_id, rel, mmr, $i AS rank FROM (
+      s$i AS MATERIALIZED (SELECT vec_id, rel, mmr, $i AS rank FROM (
                 SELECT c.vec_id, c.rel,
                        0.7 * c.rel - 0.3 * (SELECT max(s.sim) FROM sim2 s
                                             WHERE s.v1 = c.vec_id

@@ -795,23 +795,23 @@ object RetrievalQueries {
   /** one k-means iteration as CTE text: assignment under cent${i-1}, then
     * the refined (round-6, empty-cluster-carrying) cent$i. */
   private def kmeansIter(i: Int): String = s"""
-      scored$i AS (
+      scored$i AS MATERIALIZED (
         SELECT e.vec_id, e.embedding, c.cid,
                ${cos("c.cv", "e.embedding")} AS cs
         FROM embeddings e CROSS JOIN cent${i - 1} c),
-      ass$i AS (
+      ass$i AS MATERIALIZED (
         SELECT vec_id, embedding, cid, cs FROM (
           SELECT vec_id, embedding, cid, cs,
                  row_number() OVER (PARTITION BY vec_id
                    ORDER BY cs DESC, cid ASC) AS rn
           FROM scored$i)
         WHERE rn = 1),
-      dims$i AS (
+      dims$i AS MATERIALIZED (
         SELECT cid, i.i AS pos, round(avg(CAST(embedding[i.i] AS DOUBLE)), 6) AS m
         FROM ass$i, (SELECT unnest(range(1, 65)) AS i) i
         GROUP BY cid, i.i),
-      newc$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM dims$i GROUP BY cid),
-      cent$i AS (
+      newc$i AS MATERIALIZED (SELECT cid, list(m ORDER BY pos) AS cv FROM dims$i GROUP BY cid),
+      cent$i AS MATERIALIZED (
         SELECT p.cid, coalesce(n.cv, p.cv) AS cv
         FROM cent${i - 1} p LEFT JOIN newc$i n USING (cid))"""
 
@@ -1016,15 +1016,15 @@ object RetrievalQueries {
     * the identical greedy fold the Spark side runs, and the round's
     * result row. */
   private def bpeIter(i: Int): String = s"""
-      p$i AS (
+      p$i AS MATERIALIZED (
         SELECT syms[j] || '|' || syms[j + 1] AS pair, CAST(sum(c) AS BIGINT) AS n
         FROM (SELECT c, syms, unnest(generate_series(1, len(syms) - 1)) AS j
               FROM s${i - 1} WHERE len(syms) >= 2)
         GROUP BY pair),
-      t$i AS (
+      t$i AS MATERIALIZED (
         SELECT string_split(pair, '|')[1] AS a, string_split(pair, '|')[2] AS b, n
         FROM p$i ORDER BY n DESC, pair LIMIT 1),
-      s$i AS (
+      s$i AS MATERIALIZED (
         SELECT w, c, list_filter(string_split(
           list_reduce(list_prepend('|', syms), (acc, x) ->
             CASE WHEN x = t$i.b AND ends_with(acc, '|' || t$i.a || '|')
@@ -1421,11 +1421,11 @@ object RetrievalQueries {
 
     "embed_pca_power" -> {
       def iter(i: Int): String = s"""
-      w$i AS (SELECT c.pos1 AS d, CAST(sum(c.cu * v.vu) AS BIGINT) AS wu
+      w$i AS MATERIALIZED (SELECT c.pos1 AS d, CAST(sum(c.cu * v.vu) AS BIGINT) AS wu
               FROM cu c JOIN v${i - 1} v ON v.d = c.pos2 GROUP BY c.pos1),
       wl$i AS (SELECT list(CAST(wu AS DOUBLE) / 1e12 ORDER BY d) AS wl FROM w$i),
       nm$i AS (SELECT sqrt(list_sum([x * x FOR x IN wl])) AS nm FROM wl$i),
-      v$i AS (SELECT w.d,
+      v$i AS MATERIALIZED (SELECT w.d,
                      CAST(round(CAST(w.wu AS DOUBLE) / 1e12 / nm.nm * 1e6, 0)
                           AS BIGINT) AS vu
               FROM w$i w CROSS JOIN nm$i nm)"""
