@@ -935,7 +935,12 @@ object RetrievalQueries {
       s"deepBpeTrainRounds: corpus token '${bad.headOption.map(_.getString(0))
         .getOrElse("")}' contains the '|' fold delimiter; pre-tokenize so " +
         "words exclude '|'")
-    var syms = graft.Caches.tracked(vocab.withColumn("syms",
+    // each round CHECKPOINTS (lineage truncation), not cache(): a cached
+    // iterative plan still carries every prior round's fold expression, so
+    // analysis cost grows geometrically with rounds — measured 93 s for
+    // 16 rounds via cache() vs ~8 s checkpointed at sf0.1 (the same
+    // blowup connectedComponents documents)
+    var syms = graft.Caches.checkpointed(vocab.withColumn("syms",
       expr("filter(split(w, ''), x -> x <> '')")))
     val merges =
       collection.mutable.Buffer.empty[(Int, Int, String, String, Long, Long)]
@@ -966,7 +971,8 @@ object RetrievalQueries {
         }
         val rules = survivors
           .map { case (a, b, _) => s"'${sqlLit(a + "|" + b)}'" }.mkString(",")
-        syms = graft.Caches.tracked(syms.withColumn("syms", expr(
+        val prev = syms
+        syms = graft.Caches.checkpointed(syms.withColumn("syms", expr(
           s"""filter(split(aggregate(syms, '|', (acc, x) ->
              CASE WHEN array_contains(array($rules),
                     concat(element_at(split(acc, '\\\\|'), -2), '|', x))
@@ -974,6 +980,7 @@ object RetrievalQueries {
                          - length(element_at(split(acc, '\\\\|'), -2)) - 1),
                        element_at(split(acc, '\\\\|'), -2), x, '|')
                   ELSE concat(acc, x, '|') END), '\\\\|'), x -> x <> '')""")))
+        graft.Caches.free(prev) // round N materialized — release N−1 now
       }
       val nSyms = syms.agg(sum(col("c") * size(col("syms")))).collect()(0)
         .getLong(0)

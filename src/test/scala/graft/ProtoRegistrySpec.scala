@@ -19,6 +19,10 @@ class ProtoRegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[2]")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.shuffle.partitions", "4")
+    // the TVF test drives the SQL face; extensions must ride the session
+    // this spec creates (getOrCreate reuses an active session and ignores
+    // late extension configs)
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -173,6 +177,42 @@ class ProtoRegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
       NatsScanOptions(protoRegistry = Some("x")).validate()
     }
     assert(e.getMessage.contains("proto_registry requires"))
+  }
+
+  test("proto_registry through the SQL TVF: registry-framed payloads in a " +
+    "native store decode via the same option surface") {
+    RegistryProtoFixture.registerResolver()
+    val ext = spark
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_proto_reg_tvf").toString
+    val v1Def = ProtoSchema.parse(RegistryProtoFixture.V1Src, "Reading")
+    ext.range(1, 21).select(
+      lit("events").as("stream"),
+      concat(lit("events.click."), col("id")).as("subject"),
+      col("id").as("seq"),
+      timestamp_micros(col("id") * 1000000L).as("ts_nats"),
+      ProtoRegistry.encodeRegistry(
+        struct(concat(lit("d"), col("id")).as("device"),
+          (col("id") * 0.5).as("reading"), col("id").as("cnt")),
+        v1Def, RegistryProtoFixture.V1Id).as("payload"))
+      .write.format("nats_scan").option("dir", out)
+      .mode("overwrite").save()
+    val rows = ext.sql(
+      s"""SELECT seq, device, reading, cnt, note
+         |FROM nats_scan('events', 'dir', '$out',
+         |  proto_file => '/root/repo/proto/registry_reading.proto',
+         |  proto_message => 'Reading',
+         |  proto_extract => array('device', 'reading', 'cnt', 'note'),
+         |  proto_registry => '${RegistryProtoFixture.ResolverName}')
+         |ORDER BY seq""".stripMargin).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val seq = r.getLong(0)
+      assert(r.getString(1) == s"d$seq")
+      assert(r.getDouble(2) == seq * 0.5)
+      assert(r.getLong(3) == seq)
+      assert(r.getString(4) == "") // v1 lacks note → proto3 default
+    }
   }
 
   test("scan facade end-to-end: mixed-version stream decodes version-blind") {
