@@ -719,6 +719,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       classOf[graft.avro.AvroDecodeExpression],
       classOf[graft.avro.AvroEncodeExpression],
       classOf[graft.avro.AvroRegistryDecodeExpression],
+      classOf[graft.proto.ProtoRegistryDecodeExpression],
       classOf[graft.wire.CborExtractExpression],
       classOf[graft.wire.CborEncodeExpression],
       classOf[graft.wire.MsgPackExtractExpression],
@@ -729,8 +730,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // dynamic: the codegen'd path (default confs) and the interpreted path
     // (wholeStage off + NO_CODEGEN factory) return identical rows for the
     // encode→decode queries of all four wire formats
+    graft.queries.ProtoQueries.RegistryProtoFixture.registerResolver()
     for (name <- Seq("proto_extract_nested", "nats_avro_extract",
-        "nats_cbor_extract", "nats_msgpack_extract")) {
+        "nats_cbor_extract", "nats_msgpack_extract",
+        "nats_proto_registry")) {
       val fn = SparkEntry.queries(name)
       val gen = fn(spark, dir).collect().map(_.toSeq).toSeq
       spark.conf.set("spark.sql.codegen.wholeStage", "false")

@@ -172,6 +172,56 @@ class ProtoRegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msg.contains("disagree about the wire format"), s"got: $msg")
   }
 
+  test("byte fuzz: 20k random/mutated frames decode to a row or NULL — " +
+    "never an uncaught parser exception (resolver answers every id)") {
+    // with every id resolvable and wire-compatible, the ONLY acceptable
+    // outcomes are a decoded row or the NULL data verdict; any exception
+    // is a parser hole (the loud paths — unknown id, wire conflict — are
+    // configuration states this resolver can't produce)
+    ProtoRegistry.register("proto-fuzz-all", _ => Some(RegistryProtoFixture.V1Src))
+    val expr = graft.proto.ProtoRegistryDecodeExpression(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        Array.emptyByteArray, BinaryType),
+      readerDef, "proto-fuzz-all")
+    val rnd = new scala.util.Random(0xBEEF)
+    val validBody = {
+      val v1Def = ProtoSchema.parse(RegistryProtoFixture.V1Src, "Reading")
+      graft.proto.ProtoWire.encodeMessage(
+        org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString("d1"), 1.5, 7L),
+        v1Def)
+    }
+    var decoded = 0
+    var nulled = 0
+    (1 to 20000).foreach { i =>
+      val frame: Array[Byte] = rnd.nextInt(4) match {
+        case 0 => // pure noise
+          Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+        case 1 => // valid header (random id), random tail
+          ProtoRegistry.header(rnd.nextInt(1000), Seq(0)) ++
+            Array.fill(rnd.nextInt(48))(rnd.nextInt(256).toByte)
+        case 2 => // valid frame with one random byte flipped
+          val f = ProtoRegistry.header(3, Seq(0)) ++ validBody
+          val at = rnd.nextInt(f.length)
+          f(at) = (f(at) ^ (1 << rnd.nextInt(8))).toByte
+          f
+        case _ => // valid header + random index list + valid body
+          val hdr = ProtoRegistry.header(3,
+            Seq.fill(rnd.nextInt(4))(rnd.nextInt(8) - 2))
+          hdr ++ validBody
+      }
+      val out = try expr.decodeRow(frame)
+      catch { case e: Throwable =>
+        fail(s"trial $i: ${e.getClass.getName}: ${e.getMessage} | " +
+          s"frame=${frame.take(40).map(b => f"$b%02x").mkString}")
+      }
+      if (out == null) nulled += 1 else decoded += 1
+    }
+    // both verdicts must actually occur — a fuzzer that only ever NULLs
+    // (or only ever decodes) isn't exercising the boundary
+    assert(decoded > 0 && nulled > 0, s"decoded=$decoded nulled=$nulled")
+  }
+
   test("proto_registry without proto reader schema → bind-time option error") {
     val e = intercept[IllegalArgumentException] {
       NatsScanOptions(protoRegistry = Some("x")).validate()
