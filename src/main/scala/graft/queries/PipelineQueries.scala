@@ -734,6 +734,52 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
+    // retrieval EVALUATION metrics — MRR and nDCG@10 per query under
+    // binary label relevance (the retriever-eval pair ann_recall's
+    // hit-rate doesn't capture: MRR scores WHERE the first relevant lands,
+    // nDCG scores the whole ranking). Discounted gains are computed in
+    // integer 1e-8 units per rank (round-then-sum, the repo's
+    // order-invariant float discipline); the ideal ranking uses the
+    // corpus-wide relevant count per label (bounded: K labels, broadcast).
+    // Scale: one broadcast of 10 queries over a map-side scored scan + a
+    // per-query WindowGroupLimit — never corpus × corpus.
+    "ann_eval_rank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv")))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val top = e.crossJoin(q)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(Similarity.cosine(col("qv"), col("embedding")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .withColumn("rel", (col("label") === col("qlabel")).cast("int"))
+      val labelCounts = e.groupBy(col("label").as("qlabel"))
+        .agg(count(lit(1)).as("nlab"))
+      top.groupBy("qid", "qlabel")
+        .agg(
+          sum("rel").as("n_rel_topk"),
+          sum(when(col("rel") === 1,
+            expr("CAST(round(1e8 / log2(rank + 1), 0) AS BIGINT)"))
+            .otherwise(0L)).as("dcg_u"),
+          min(when(col("rel") === 1, col("rank").cast("long"))).as("first_rel"))
+        .join(broadcast(labelCounts), "qlabel")
+        .withColumn("r10", least(col("nlab") - 1, lit(10L)))
+        .withColumn("idcg_u", when(col("r10") >= 1,
+          expr("""aggregate(sequence(1L, r10), 0L,
+                 (a, i) -> a + CAST(round(1e8 / log2(i + 1), 0) AS BIGINT))"""))
+          .otherwise(0L))
+        .select(col("qid"), col("n_rel_topk"),
+          round(when(col("first_rel").isNull, 0.0)
+            .otherwise(lit(1.0) / col("first_rel")), 6).as("mrr"),
+          round(when(col("idcg_u") > 0,
+            col("dcg_u").cast("double") / col("idcg_u")).otherwise(0.0), 6)
+            .as("ndcg"))
+        .orderBy("qid")
+    }),
+
     // metadata-FILTERED vector search (the vector-DB "where label = X"
     // query): candidates are restricted to the query's own coarse label
     // BEFORE any distance work, so the filter is an equi-JOIN key, not a
@@ -2208,6 +2254,44 @@ object PipelineQueries {
                CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
         FROM scored)
       SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "ann_eval_rank" -> s"""
+      WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT q.qid, q.qlabel, e.vec_id, e.label,
+               round(${cos("q.qv", "e.embedding")}, 6) AS cos
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+      ranked AS (
+        SELECT qid, qlabel, label,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored),
+      topk AS (SELECT *, CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+               FROM ranked WHERE rank <= 10),
+      lc AS (SELECT label AS qlabel, CAST(count(*) AS BIGINT) AS nlab
+             FROM embeddings GROUP BY label),
+      per AS (
+        SELECT qid, qlabel,
+               CAST(sum(rel) AS BIGINT) AS n_rel_topk,
+               CAST(sum(CASE WHEN rel = 1
+                 THEN CAST(round(1e8 / log2(rank + 1), 0) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS dcg_u,
+               min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+        FROM topk GROUP BY qid, qlabel),
+      j AS (
+        SELECT p.qid, p.n_rel_topk, p.dcg_u, p.first_rel,
+               CASE WHEN least(lc.nlab - 1, 10) >= 1
+                 THEN CAST(list_sum([CAST(round(1e8 / log2(x + 1), 0) AS BIGINT)
+                        FOR x IN range(1, least(lc.nlab - 1, 10) + 1)]) AS BIGINT)
+                 ELSE 0 END AS idcg_u
+        FROM per p JOIN lc USING (qlabel))
+      SELECT qid, n_rel_topk,
+             round(CASE WHEN first_rel IS NULL THEN 0
+                        ELSE 1.0 / first_rel END, 6) AS mrr,
+             round(CASE WHEN idcg_u > 0
+                        THEN CAST(dcg_u AS DOUBLE) / idcg_u ELSE 0 END, 6) AS ndcg
+      FROM j ORDER BY qid""",
 
     "text_boilerplate" -> """
       WITH p AS (

@@ -886,6 +886,40 @@ object RetrievalQueries {
   private val deepBpeBatch = 16
   private val deepBpeWindow = 64
 
+  /** The batch-merge fold over a `syms` array column, as SQL expr text:
+    * greedy left-to-right single pass, previous symbol = the accumulator's
+    * last closed '|'-delimited segment, a rule fires when "prev|x" is in
+    * the set (rules have pairwise-disjoint right sides by selection, so at
+    * most one can fire per step); the merged symbol becomes the new prev
+    * and stays eligible for further rules. Shared by the training loop and
+    * the equivalence property spec (DeepBpeSpec), which pins this fold to
+    * an independent plain-Scala greedy model and proves batch ≡ sequential
+    * for selected rule sets. */
+  private[graft] def bpeBatchFoldExpr(rules: Seq[(String, String)]): String = {
+    val arr = rules
+      .map { case (a, b) => s"'${sqlLit(a + "|" + b)}'" }.mkString(",")
+    s"""filter(split(aggregate(syms, '|', (acc, x) ->
+       CASE WHEN array_contains(array($arr),
+              concat(element_at(split(acc, '\\\\|'), -2), '|', x))
+            THEN concat(substr(acc, 1, length(acc)
+                   - length(element_at(split(acc, '\\\\|'), -2)) - 1),
+                 element_at(split(acc, '\\\\|'), -2), x, '|')
+            ELSE concat(acc, x, '|') END), '\\\\|'), x -> x <> '')"""
+  }
+
+  /** The order-free non-overlap batch selection over a ranked candidate
+    * window — shared by the training loop and DeepBpeSpec. A candidate
+    * survives iff it conflicts with NO higher-ranked candidate (shared
+    * symbol, or equal to a higher candidate's concatenation). */
+  private[graft] def bpeSelectBatch(cands: Seq[(String, String, Long)],
+                                    batch: Int): Seq[(String, String, Long)] =
+    cands.zipWithIndex.filter { case ((a, b, _), rnk) =>
+      !cands.take(rnk).exists { case (ha, hb, _) =>
+        ha == a || ha == b || hb == a || hb == b ||
+          a == ha + hb || b == ha + hb
+      }
+    }.map(_._1).take(batch)
+
   /** Batched BPE training — the scale shape of [[bpeTrainRounds]]. The
     * classic algorithm launches one counting job + one driver collect PER
     * MERGE (~30k for a real tokenizer: a driver-side sequential bottleneck,
@@ -957,29 +991,16 @@ object RetrievalQueries {
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       // order-free non-overlap selection (mirrors the oracle's NOT EXISTS)
-      val survivors = cands.zipWithIndex.filter { case ((a, b, _), rnk) =>
-        !cands.take(rnk).exists { case (ha, hb, _) =>
-          ha == a || ha == b || hb == a || hb == b ||
-            a == ha + hb || b == ha + hb
-        }
-      }.map(_._1).take(deepBpeBatch)
+      val survivors = bpeSelectBatch(cands.toSeq, deepBpeBatch)
       if (survivors.nonEmpty) {
         survivors.foreach { case (a, b, _) =>
           require(!a.contains("|") && !b.contains("|"),
             s"deepBpeTrainRounds: merged symbol contains the '|' fold " +
               s"delimiter (a='$a', b='$b')")
         }
-        val rules = survivors
-          .map { case (a, b, _) => s"'${sqlLit(a + "|" + b)}'" }.mkString(",")
         val prev = syms
-        syms = graft.Caches.checkpointed(syms.withColumn("syms", expr(
-          s"""filter(split(aggregate(syms, '|', (acc, x) ->
-             CASE WHEN array_contains(array($rules),
-                    concat(element_at(split(acc, '\\\\|'), -2), '|', x))
-                  THEN concat(substr(acc, 1, length(acc)
-                         - length(element_at(split(acc, '\\\\|'), -2)) - 1),
-                       element_at(split(acc, '\\\\|'), -2), x, '|')
-                  ELSE concat(acc, x, '|') END), '\\\\|'), x -> x <> '')""")))
+        syms = graft.Caches.checkpointed(syms.withColumn("syms",
+          expr(bpeBatchFoldExpr(survivors.map(p => (p._1, p._2)).toSeq))))
         graft.Caches.free(prev) // round N materialized — release N−1 now
       }
       val nSyms = syms.agg(sum(col("c") * size(col("syms")))).collect()(0)

@@ -965,8 +965,19 @@ class WireTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(t.fetch("ai", 1L, 5L, 10).size == 5)
       adv = Seq(s"127.0.0.1:$portB")
       seed.pushInfoUpdate()
-      // the next conversation drains the pushed INFO and merges the pool
-      assert(t.streamInfo("ai").lastSeq == 5L)
+      // a conversation drains the pushed INFO and merges the pool — but the
+      // push rides the socket asynchronously, so under load the first
+      // conversation can complete before the frame lands: poll until the
+      // sibling is actually merged (bounded), THEN kill the seed
+      val deadline = System.nanoTime() + 5000000000L
+      var merged = false
+      while (!merged && System.nanoTime() < deadline) {
+        assert(t.streamInfo("ai").lastSeq == 5L)
+        merged = t.asInstanceOf[NatsWireClient]
+          .discoveredAddresses.contains(("127.0.0.1", portB))
+        if (!merged) Thread.sleep(20)
+      }
+      assert(merged, "client never merged the pushed sibling")
       seed.stop()
       val healed =
         try t.fetch("ai", 1L, 5L, 10)
