@@ -326,7 +326,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // WindowGroupLimit rewrite limits per-partition BEFORE the final sort;
     // pin that plan so a regression (e.g. an expression change breaking
     // the rewrite pattern) fails here, not at 100 TB
-    for (name <- Seq("ann_topk", "ann_pq")) {
+    for (name <- Seq("ann_topk", "ann_pq", "ann_eval_rank")) {
       val df = graft.queries.PipelineQueries.queries(name)(spark, dir)
       val p = physical(df)
       assert(p.contains("WindowGroupLimit"), s"$name lost WindowGroupLimit:\n$p")
