@@ -104,11 +104,14 @@ object CrossScaleBench {
     for (rep <- 1 to repsN) {
       names.foreach { name =>
         val t0 = System.nanoTime()
-        try Bench.materialize(SparkEntry.queries(name)(spark, out))
-        catch { case _: Throwable => failed += name }
+        // a pass that THROWS records no time: a fast failure (immediate
+        // abort) must not become the query's "best" in the artifact
+        val ok =
+          try { Bench.materialize(SparkEntry.queries(name)(spark, out)); true }
+          catch { case _: Throwable => failed += name; false }
         val dt = (System.nanoTime() - t0) / 1e9
         Caches.drain()
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+        if (ok) best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
       }
       spark.catalog.clearCache()
       System.err.println(s"[scalebench] pass $rep/$repsN done")

@@ -411,6 +411,28 @@ object ScaleProbe {
         Caches.drain()
       }
     }
+    // CC fast-path CROSSOVER: pair counts straddling the 100 k small-graph
+    // threshold (driver union-find below, iterative label propagation
+    // above) must show a SMOOTH cost transition — a cliff would mean the
+    // guard is mis-set (round-12 judge task 5). Synthetic chain graph:
+    // deterministic, worst-case diameter per component for the iterative
+    // path, ~n/2-length chains.
+    if (on("ccx")) {
+      println(f"${"pairs"}%8s ${"path"}%6s ${"cc_s"}%8s ${"comps"}%8s")
+      Seq(50000L, 90000L, 110000L, 200000L).foreach { n =>
+        // n pairs → n/100 chains of 101 nodes (diameter 100): skip one
+        // node id at every 100-pair boundary so chains stay disjoint
+        val pairs = spark.range(n)
+          .select(expr("id + id div 100").as("id1"))
+          .withColumn("id2", col("id1") + 1)
+        val (tCc, nComp) = time(
+          operators.Dedup.connectedComponents(pairs, "id1", "id2")
+            .select("lbl").distinct().count())
+        val path = if (n <= 100000L) "fast" else "iter"
+        println(f"$n%8d $path%6s $tCc%8.2f $nComp%8d")
+        Caches.drain()
+      }
+    }
     // PII sweep (operators.Pii.report over the default 3-rule set): pure
     // map-side regex work — 3 count passes + 3 replace passes + 3 residual
     // passes per row — so wall time must grow LINEARLY with replicated

@@ -172,19 +172,37 @@ final case class ProtoRegistryDecodeExpression(child: Expression,
     }
     // a different message type on the stream is data we don't read
     if (node.name != reader.name) return null
-    // one-time wire-compatibility check of writer vs reader field numbers
+    // one-time wire-compatibility check of writer vs reader field numbers.
+    // RECURSIVE: a message-typed field is LenDelim on both sides at the top
+    // level, so the documented "schemas disagree about the wire → loud
+    // error" guarantee requires descending into shared message-typed fields
+    // and comparing THEIR field encodings too (ADVICE round 12). A visited
+    // set breaks mutually-recursive message pairs.
     if (!compatOk.contains(id)) {
       val writer = schema._1(node.name)
-      reader.fields.foreach { rf =>
-        writer.fields.find(_.number == rf.number).foreach { wf =>
-          if (wf.enc != rf.enc)
-            throw new IllegalArgumentException(
-              s"Failed to decode protobuf registry payload: schema id $id " +
-                s"field ${rf.number} ('${rf.name}') uses wire encoding " +
-                s"${wf.enc} but the reader schema declares ${rf.enc} — " +
-                s"the schemas disagree about the wire format")
+      val visited = scala.collection.mutable.Set.empty[(String, String)]
+      def check(r: MessageDef, w: MessageDef, path: String): Unit = {
+        if (!visited.add((r.name, w.name))) return
+        r.fields.foreach { rf =>
+          w.fields.find(_.number == rf.number).foreach { wf =>
+            if (wf.enc != rf.enc)
+              throw new IllegalArgumentException(
+                s"Failed to decode protobuf registry payload: schema id $id " +
+                  s"field ${rf.number} ('$path${rf.name}') uses wire " +
+                  s"encoding ${wf.enc} but the reader schema declares " +
+                  s"${rf.enc} — the schemas disagree about the wire format")
+            (rf.ptype, wf.ptype) match {
+              case (PType.PMessage(rm), PType.PMessage(wm)) =>
+                check(rm, wm, s"$path${rf.name}.")
+              case _ => () // scalar-vs-message mismatch is already an enc
+                           // mismatch unless both are LenDelim (string vs
+                           // message) — that decodes to NULL as data, the
+                           // standard proto3 cross-version behavior
+            }
+          }
         }
       }
+      check(reader, writer, "")
       compatOk.add(id)
     }
     // reader-shaped body decode: proto3's own cross-version semantics

@@ -37,6 +37,14 @@ import graft.transport.{TransportAuth, TransportMsg, TransportPool}
   * floor across shards back to the server (AckAll is cumulative — acking
   * beyond an undelivered shard's floor would mark foreign seqs consumed).
   *
+  * DURABLE HANDOFF CONTRACT (pinned in ContinuousSpec): the server ack
+  * floor is the CROSS-CHECKPOINT recovery floor only, and it is
+  * at-least-once by design. If a job stops before any epoch commit, the
+  * floor it leaves is whatever its predecessors acked (0 for a fresh
+  * durable) and a fresh-checkpoint successor replays everything after it.
+  * Exactly-once belongs to the checkpoint: same-checkpoint restarts resume
+  * from per-shard offsets regardless of the floor.
+  *
   * Gap seqs (deleted/compacted messages) never arrive in a fetch batch;
   * ownership filtering skips them implicitly — no NOT_FOUND probes on the
   * continuous path either. */

@@ -131,13 +131,13 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
     ()
   }
 
-  /** spec hook: the addresses currently marked draining */
   /** server-advertised sibling pool, as merged so far (test observability:
     * async INFO pushes land on socket buffers, so "the client has learned
     * the sibling" is a state to poll for, not an instant) */
   private[graft] def discoveredAddresses: Set[(String, Int)] =
     discovered.asScala.toSet
 
+  /** spec hook: the addresses currently marked draining */
   private[graft] def drainingAddresses: Set[(String, Int)] =
     draining.asScala.toSet
 

@@ -268,13 +268,17 @@ class ContinuousSpec extends AnyFunSuite with BeforeAndAfterAll {
       .start()
 
     ContinuousSpec.collected.clear()
+    val t = graft.transport.Transport.connect(url)
     val q1 = job()
     try {
       assert(eventually() { ContinuousSpec.collected.size() == 30 })
-      Thread.sleep(700L) // let epochs commit → commit() acks shard-min floor
+      // poll the SERVER's ack floor while the query is still running — an
+      // epoch commit is asynchronous wrt row delivery, and a fixed sleep
+      // races the coordinator on a loaded box (round-12 driver failure)
+      assert(eventually() { t.ackFloor("cd", "grp") > 0L },
+        "no epoch committed an ack floor while the query was running")
     } finally q1.stop()
 
-    val t = graft.transport.Transport.connect(url)
     val floor = t.ackFloor("cd", "grp")
     assert(floor > 0L && floor <= 30L,
       s"expected a server-side ack floor after committed epochs, got $floor")
@@ -295,6 +299,62 @@ class ContinuousSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"successor replayed below the ack floor $floor: ${ContinuousSpec.collected}")
     } finally q2.stop()
     assert(t.ackFloor("cd", "grp") >= floor, "ack floor regressed")
+    t.close()
+  }
+
+  test("continuous durable: ZERO committed epochs → fresh-checkpoint " +
+    "successor replays from the beginning (at-least-once handoff, pinned)") {
+    // Semantics decision (round-13): if a durable continuous job dies before
+    // ANY epoch commit, the server ack floor is still 0 and a successor with
+    // a FRESH checkpoint replays the whole stream. That is the intended
+    // at-least-once contract of the durable handoff — the exactly-once path
+    // is the CHECKPOINT (per-shard offsets), which survives crashes even
+    // with zero commits; the durable floor is only the cross-checkpoint
+    // recovery floor and can, by design, lag delivery arbitrarily.
+    val url = "nats://continuous-durable-zero:4222"
+    val s = FakeJetStream.listen(url)
+    (1L to 12L).foreach { seq =>
+      s.publish("cz", seq, "cz.x",
+        1700000000000000000L + seq * 1000000000L, Array[Byte](seq.toByte))
+    }
+    val t = graft.transport.Transport.connect(url)
+    // predecessor "stopped before any commit" ≡ the durable has no ack
+    // state at all — the floor a zero-commit job leaves behind is exactly 0
+    assert(t.ackFloor("cz", "grp0") == 0L,
+      "a never-committed durable must have floor 0")
+
+    // unit pin: initialOffset with floor 0 seeds EVERY shard at 0
+    val stream0 = new graft.streaming.NatsTransportContinuousStream(
+      url, "cz", numShards = 3, connectTimeoutMs = 5000L,
+      durable = Some("grp0"))
+    val seeded = stream0.initialOffset()
+      .asInstanceOf[graft.streaming.ShardsOffset].seqs
+    assert(seeded == Map(0 -> 0L, 1 -> 0L, 2 -> 0L),
+      s"zero-commit handoff must seed all shards at 0, got $seeded")
+
+    // end-to-end pin: the successor job replays EVERYTHING (at-least-once)
+    ContinuousSpec.collected.clear()
+    val q = spark.readStream.format("nats_scan")
+      .option("url", url).option("stream", "cz")
+      .option("continuous_shards", "2").option("durable", "grp0")
+      .load()
+      .selectExpr("seq")
+      .writeStream
+      .foreach(new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+        override def open(partitionId: Long, epochId: Long): Boolean = true
+        override def process(r: org.apache.spark.sql.Row): Unit =
+          ContinuousSpec.collected.add(r.getLong(0))
+        override def close(errorOrNull: Throwable): Unit = ()
+      })
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-cont-zero").toString)
+      .trigger(Trigger.Continuous("200 milliseconds"))
+      .start()
+    try {
+      assert(eventually() {
+        (1L to 12L).forall(ContinuousSpec.collected.contains)
+      }, s"zero-commit successor must replay from seq 1: ${ContinuousSpec.collected}")
+    } finally q.stop()
     t.close()
   }
 

@@ -73,6 +73,63 @@ class DedupComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.isEmpty)
   }
 
+  /** null-tolerant variant of [[components]]: java.lang.Long columns */
+  private def componentsN(pairs: Seq[(java.lang.Long, java.lang.Long)],
+                          smallGraphThreshold: Long): Map[Option[Long], Option[Long]] = {
+    import spark.implicits._
+    graft.operators.Dedup
+      .connectedComponents(pairs.toDF("id1", "id2"), "id1", "id2",
+        smallGraphThreshold = smallGraphThreshold)
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+  }
+
+  test("fast path matches distributed on null-containing pairs") {
+    def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    // half-null pairs (both orientations), a fully-null pair, and normal
+    // edges — the round-12 fast path dropped half-null pairs entirely,
+    // diverging from the distributed result (ADVICE round 12)
+    val pairs = Seq[(java.lang.Long, java.lang.Long)](
+      (L(1), L(2)), (L(2), L(3)),        // normal chain
+      (L(5), null),                      // half-null: 5 must still appear
+      (null, L(7)),                      // half-null, swapped orientation
+      (null, null),                      // fully-null: contributes nothing
+      (L(7), L(8)))                      // 7 also in a real component
+    val slow = componentsN(pairs, smallGraphThreshold = 0L)
+    val fast = componentsN(pairs, smallGraphThreshold = 100000L)
+    assert(fast == slow, s"fast=$fast slow=$slow")
+    // the pinned semantics themselves: 5 is a singleton, the null node
+    // groups to the min label among its non-null partners' components
+    assert(fast(Some(5L)) == Some(5L))
+    assert(fast(Some(7L)) == Some(7L) && fast(Some(8L)) == Some(7L))
+    assert(fast(None) == Some(5L))
+  }
+
+  test("fast path matches distributed when pairs are ONLY null-involving") {
+    def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    val onlyFullNull = Seq[(java.lang.Long, java.lang.Long)]((null, null))
+    assert(componentsN(onlyFullNull, 100000L) == componentsN(onlyFullNull, 0L))
+    val onlyHalfNull = Seq[(java.lang.Long, java.lang.Long)]((L(9), null))
+    val fast = componentsN(onlyHalfNull, 100000L)
+    assert(fast == componentsN(onlyHalfNull, 0L))
+    assert(fast == Map(Some(9L) -> Some(9L), None -> Some(9L)))
+  }
+
+  test("fast path widens mixed int/long key columns instead of throwing") {
+    import spark.implicits._
+    val df = Seq((1, 2L), (2, 3L)).toDF("id1", "id2")
+    val fast = graft.operators.Dedup.connectedComponents(df, "id1", "id2",
+      smallGraphThreshold = 100000L)
+    assert(fast.schema("node").dataType == org.apache.spark.sql.types.LongType)
+    val m = fast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val slow = graft.operators.Dedup.connectedComponents(df, "id1", "id2",
+      smallGraphThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == slow)
+  }
+
   test("fast path preserves integer key type") {
     import spark.implicits._
     val df = graft.operators.Dedup.connectedComponents(

@@ -172,6 +172,89 @@ class ProtoRegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msg.contains("disagree about the wire format"), s"got: $msg")
   }
 
+  test("writer whose NESTED field number changes wire encoding is loud too") {
+    // both sides' top-level field 2 is a message (LenDelim = LenDelim), so
+    // a top-level-only check passes — but the nested field 1 is double
+    // (fixed64) in the reader and sint64 (zigzag) in the writer: decoding
+    // would silently produce garbage. The round-13 recursive check must
+    // refuse (ADVICE round 12).
+    val nestedReader = ProtoSchema.parse(
+      """syntax = "proto3";
+        |message Reading {
+        |  string device = 1;
+        |  message Inner { double v = 1; }
+        |  Inner inner = 2;
+        |}""".stripMargin, "Reading")
+    val nestedWriterSrc =
+      """syntax = "proto3";
+        |message Reading {
+        |  string device = 1;
+        |  message Inner { sint64 v = 1; }
+        |  Inner inner = 2;
+        |}""".stripMargin
+    ProtoRegistry.register("proto-nested-compat-test", {
+      case 21 => Some(nestedWriterSrc)
+      case _ => None
+    })
+    val writerDef = ProtoSchema.parse(nestedWriterSrc, "Reading")
+    val p = spark.range(1).select(
+      ProtoRegistry.encodeRegistry(
+        struct(lit("d").as("device"),
+          struct(lit(5L).as("v")).as("inner")),
+        writerDef, 21).as("p")).collect()(0).getAs[Array[Byte]](0)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(p)), 1),
+      StructType(Seq(StructField("payload", BinaryType))))
+    val e = intercept[Exception] {
+      df.select(ProtoRegistry.decodeRegistry(col("payload"), nestedReader,
+        "proto-nested-compat-test")).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("disagree about the wire format") &&
+      msg.contains("inner.v"), s"got: $msg")
+  }
+
+  test("nested-COMPATIBLE writer still decodes (recursion has no false positives)") {
+    // same nested shape, writer merely renames the nested field — numbers
+    // and encodings agree at every depth, so the recursive check passes and
+    // the payload decodes reader-shaped. (True message-type recursion can't
+    // reach the compat check: ProtoSchema.parse rejects recursive messages
+    // at bind time; the visited set is a depth guard, not a product path.)
+    val nestedReader = ProtoSchema.parse(
+      """syntax = "proto3";
+        |message Reading {
+        |  string device = 1;
+        |  message Inner { double v = 1; }
+        |  Inner inner = 2;
+        |}""".stripMargin, "Reading")
+    val compatWriterSrc =
+      """syntax = "proto3";
+        |message Reading {
+        |  string device = 1;
+        |  message Inner { double volts = 1; }
+        |  Inner inner = 2;
+        |}""".stripMargin
+    ProtoRegistry.register("proto-nested-ok-test", {
+      case 31 => Some(compatWriterSrc)
+      case _ => None
+    })
+    val writerDef = ProtoSchema.parse(compatWriterSrc, "Reading")
+    val p = spark.range(1).select(
+      ProtoRegistry.encodeRegistry(
+        struct(lit("d9").as("device"),
+          struct(lit(2.5).as("volts")).as("inner")),
+        writerDef, 31).as("p")).collect()(0).getAs[Array[Byte]](0)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(p)), 1),
+      StructType(Seq(StructField("payload", BinaryType))))
+    val rows = df.select(ProtoRegistry.decodeRegistry(col("payload"),
+      nestedReader, "proto-nested-ok-test").as("d"))
+      .select(col("d.device"), col("d.inner.v")).collect()
+    assert(rows.head.getString(0) == "d9")
+    assert(rows.head.getDouble(1) == 2.5)
+  }
+
   test("byte fuzz: 20k random/mutated frames decode to a row or NULL — " +
     "never an uncaught parser exception (resolver answers every id)") {
     // with every id resolvable and wire-compatible, the ONLY acceptable
