@@ -68,14 +68,55 @@ object RetrievalQueries {
       round(log((col("cw") + 1).cast("double") /
         (col("t_tok") + col("v_sz")).cast("double")), 8)
         .cast("decimal(12,8)").as("lp"))
-    val headLp = lp.filter(col("cw") >= 1000).select("w", "lp")
-    val tailLp = lp.filter(col("cw") < 1000).select("w", "lp")
-    val joined = wc.join(broadcast(headLp), Seq("w"))
-      .unionByName(wc.join(tailLp, Seq("w")))
+    val joined = zipfSplitJoin(wc,
+      lp.select(col("w"), col("cw"), col("lp")), Seq("w"), "cw")
+      .drop("cw")
     joined.groupBy("doc_id")
       .agg(sum(col("c") * col("lp")).as("slp"), sum(col("c")).as("n_tok"))
       .select(col("doc_id"), col("n_tok"),
         round(-col("slp").cast("double") / col("n_tok"), 6).as("nll"))
+  }
+
+  /** Zipf SKEW-SPLIT join of a corpus-scale relation against a
+    * vocabulary-keyed lookup table — the ONE sanctioned way the retrieval
+    * family joins anything O(vocabulary). The head (`countCol` >= headMin:
+    * the Zipf head, a bounded set of high-mass words) joins as a broadcast
+    * hash join; the unbounded rare-word tail joins shuffled. Rationale at
+    * 100 TB: Heaps' law puts a web-corpus vocabulary in the billions, so a
+    * forced `broadcast()` of the WHOLE table OOMs the driver — and the
+    * hint FORBIDS AQE from demoting it. Splitting keeps exactly the
+    * property the broadcast bought (the stopword-frequency keys that would
+    * skew a shuffled join stay map-side) while the tail — most of the
+    * distinct keys, a sliver of the token mass — takes the ordinary
+    * scalable shuffle. head ∪ tail partitions the lookup table, so the
+    * union is row-identical to the single join it replaces.
+    *
+    * `joinType` "left" requires `countCol` non-null in `vocab` (always
+    * true for count/aggregate columns): after the broadcast-left head
+    * join, a null `countCol` identifies "no head match" exactly, and only
+    * those rows continue to the shuffled tail left join. */
+  private def zipfSplitJoin(big: DataFrame, vocab: DataFrame,
+                            keys: Seq[String], countCol: String,
+                            joinType: String = "inner",
+                            headMin: Long = 1000L): DataFrame = {
+    val head = vocab.filter(col(countCol) >= headMin)
+    val tail = vocab.filter(col(countCol) < headMin)
+    joinType match {
+      case "inner" =>
+        big.join(broadcast(head), keys)
+          .unionByName(big.join(tail, keys))
+      case "left" =>
+        val valueCols = vocab.columns.filterNot(keys.contains).toSeq
+        val h = big.join(broadcast(head), keys, "left")
+        val matched = h.filter(col(countCol).isNotNull)
+        val rest = h.filter(col(countCol).isNull)
+          .drop(valueCols: _*)
+          .join(tail, keys, "left")
+        matched.unionByName(rest)
+      case other =>
+        throw new IllegalArgumentException(
+          s"zipfSplitJoin supports inner/left, got '$other'")
+    }
   }
 
   /** (pos1, pos2, cov): the 64×64 embedding covariance upper triangle —
@@ -160,10 +201,10 @@ object RetrievalQueries {
     // per-document TF-IDF keywords: the top-3 most characteristic terms of
     // each document. tf and idf are pure integer-ratio doubles (rounded 6
     // BEFORE ranking so the tie-break is identical in both engines); the
-    // document-frequency table is vocabulary-bounded and broadcast — at a
-    // vocabulary too large to broadcast this becomes the unigram skew-split
-    // join used by text_perplexity below. The rank window partitions by
-    // doc_id: no global sort anywhere.
+    // document-frequency table is O(vocabulary), so it joins via the Zipf
+    // skew-split (head broadcast, rare tail shuffled) — never a forced
+    // whole-vocabulary broadcast. The rank window partitions by doc_id:
+    // no global sort anywhere.
     "text_tfidf" -> ((s, dir) => {
       val wc = graft.Caches.tracked(wordCounts(s, dir))
       val dlen = wc.groupBy("doc_id").agg(sum("c").as("n_words"))
@@ -171,7 +212,7 @@ object RetrievalQueries {
       val nd = dlen.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("w").asc)
-      wc.join(dlen, "doc_id").join(broadcast(dfreq), "w")
+      zipfSplitJoin(wc.join(dlen, "doc_id"), dfreq, Seq("w"), "df")
         .crossJoin(broadcast(nd))
         .withColumn("score", round(
           (col("c").cast("double") / col("n_words")) *
@@ -299,16 +340,19 @@ object RetrievalQueries {
     // BPE tokenizer APPLICATION: per-language fertility (symbols per
     // token) under the 3-merge tokenizer pipe_bpe_train learns — the
     // tokenizer-efficiency statistic a pretrain mix is balanced on. The
-    // trained per-word symbol count is vocabulary-bounded and BROADCAST;
-    // the corpus-scale side is one explode + one per-lang aggregation (at
-    // a vocabulary too large to broadcast this is the Zipf skew-split
-    // join again).
+    // trained per-word symbol table is O(vocabulary): it joins via the
+    // Zipf skew-split on the word's corpus count (high-mass words —
+    // almost every token in the corpus-scale exploded side — stay a
+    // broadcast hash join; the rare tail shuffles), never a forced
+    // whole-vocabulary broadcast.
     "pipe_bpe_apply" -> ((s, dir) => {
       val (_, syms) = bpeTrainRounds(s, dir, 3)
-      val wsize = syms.select(col("w"), size(col("syms")).cast("long").as("nsym"))
-      t(s, dir, "documents")
-        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
-        .join(broadcast(wsize), "w")
+      val wsize = syms.select(col("w"), col("c"),
+        size(col("syms")).cast("long").as("nsym"))
+      zipfSplitJoin(
+        t(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("w")),
+        wsize, Seq("w"), "c")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_tokens"), sum("nsym").as("n_symbols"))
         .select(col("lang"), col("n_tokens"), col("n_symbols"),
@@ -439,9 +483,9 @@ object RetrievalQueries {
     //            = 0.4 · (c(w2)+1)/(T+V)    otherwise (Laplace unigram)
     // Per-position log-scores round to 8 decimals and sum as DECIMAL.
     // Join shape: held-out doc-bigrams ⋈ train bigram counts shuffles on
-    // near-unique (w1,w2) keys; the unigram table is vocabulary-bounded
-    // and broadcast (at a vocabulary too large to broadcast it becomes
-    // the skew-split join text_perplexity uses).
+    // near-unique (w1,w2) keys; the two O(vocabulary) unigram lookups use
+    // the Zipf skew-split LEFT join (head broadcast, rare tail shuffled)
+    // — never a forced whole-vocabulary broadcast.
     "text_backoff" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("l"))
@@ -458,11 +502,11 @@ object RetrievalQueries {
       val big = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       val hb = bigrams(held).groupBy("doc_id", "w1", "w2")
         .agg(count(lit(1)).as("c"))
-      val joined = hb.join(big, Seq("w1", "w2"), "left")
-        .join(broadcast(uni.select(col("w").as("w1"), col("c1"))),
-          Seq("w1"), "left")
-        .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("c1w2"))),
-          Seq("w2"), "left")
+      val joined = zipfSplitJoin(
+        zipfSplitJoin(hb.join(big, Seq("w1", "w2"), "left"),
+          uni.select(col("w").as("w1"), col("c1")), Seq("w1"), "c1", "left"),
+        uni.select(col("w").as("w2"), col("c1").as("c1w2")),
+        Seq("w2"), "c1w2", "left")
         .crossJoin(broadcast(tot))
       val sc = joined.select(col("doc_id"), col("c"),
         round(when(col("c2").isNotNull,
@@ -491,8 +535,10 @@ object RetrievalQueries {
     // ln(0). Model on the 90% split, scored on the held-out 10%. Every
     // input is an integer count; per-position log-scores round to 8
     // decimals and sum as DECIMAL. Same join topology as text_backoff:
-    // bigram stats shuffle on near-unique (w1,w2); the three per-word
-    // tables (ctx, N1+(w1·), N1+(·w2)) are vocabulary-bounded broadcasts.
+    // bigram stats shuffle on near-unique (w1,w2); the per-word ctx and
+    // continuation tables are O(vocabulary) and join via the Zipf
+    // skew-split LEFT join (head broadcast, rare tail shuffled) — never a
+    // forced whole-vocabulary broadcast.
     "text_kneser_ney" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("l"))
@@ -508,14 +554,17 @@ object RetrievalQueries {
       val ctx = big.groupBy("w1")
         .agg(sum("c2").as("ctx"), count(lit(1)).as("n1l"))
       val cont = big.groupBy("w2").agg(count(lit(1)).as("n1r"))
+      // both sides are 1-row aggregates; the broadcast() hint is bounded
+      // by construction (and keeps the 1×1 join a BNLJ, never a cartesian)
       val tots = big.agg(count(lit(1)).as("types"))
-        .crossJoin(train.select(explode(col("l")).as("w")).agg(
-          countDistinct(col("w")).as("v_sz")))
+        .crossJoin(broadcast(train.select(explode(col("l")).as("w")).agg(
+          countDistinct(col("w")).as("v_sz"))))
       val hb = bigrams(held).groupBy("doc_id", "w1", "w2")
         .agg(count(lit(1)).as("c"))
-      val joined = hb.join(big, Seq("w1", "w2"), "left")
-        .join(broadcast(ctx), Seq("w1"), "left")
-        .join(broadcast(cont), Seq("w2"), "left")
+      val joined = zipfSplitJoin(
+        zipfSplitJoin(hb.join(big, Seq("w1", "w2"), "left"),
+          ctx, Seq("w1"), "ctx", "left"),
+        cont, Seq("w2"), "n1r", "left")
         .crossJoin(broadcast(tots))
       val pcont = (coalesce(col("n1r"), lit(0L)) + 1).cast("double") /
         (col("types") + col("v_sz")).cast("double")
@@ -656,10 +705,11 @@ object RetrievalQueries {
     // — the classic corpus-statistics pass that surfaces multi-word
     // expressions for tokenizer/phrase vocabularies. Every input is an
     // integer count (PMI is a pure scalar over them — no accumulation
-    // anywhere); the unigram table is vocabulary-bounded and broadcast
-    // twice; top-50 via TakeOrderedAndProject with a total (pmi, pair)
-    // order. The c12 ≥ 5 support floor is the standard guard against
-    // PMI's rare-pair bias.
+    // anywhere); the two O(vocabulary) unigram lookups use the Zipf
+    // skew-split join (head broadcast, rare tail shuffled — never a forced
+    // whole-vocabulary broadcast); top-50 via TakeOrderedAndProject with a
+    // total (pmi, pair) order. The c12 ≥ 5 support floor is the standard
+    // guard against PMI's rare-pair bias.
     "text_collocations" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("l"))
@@ -672,8 +722,10 @@ object RetrievalQueries {
           element_at(col("l"), col("i") + 1).as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
         .filter(col("c12") >= 5)
-      big.join(broadcast(uni.select(col("w").as("w1"), col("c1").as("ca"))), "w1")
-        .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("cb"))), "w2")
+      zipfSplitJoin(
+        zipfSplitJoin(big,
+          uni.select(col("w").as("w1"), col("c1").as("ca")), Seq("w1"), "ca"),
+        uni.select(col("w").as("w2"), col("c1").as("cb")), Seq("w2"), "cb")
         .crossJoin(broadcast(tot))
         .select(col("w1"), col("w2"), col("c12"),
           round(log(col("c12").cast("double") * col("t_tok") /

@@ -27,6 +27,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def physical(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Plan a query with size-based auto-broadcast OFF: the only
+    * BroadcastHashJoins left are the ones a broadcast() HINT forces, so an
+    * assertion can distinguish "planner chose to broadcast a small table"
+    * (fine, AQE re-decides at scale) from "code FORCES a broadcast of an
+    * unbounded table" (the 100 TB driver-OOM anti-pattern). */
+  private def withNoAutoBroadcast[T](f: => T): T = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("facade seq range pushes raw event_id bounds into the parquet scan") {
     val p = physical(NatsScan.scanDir(spark, dir,
       opts = NatsScanOptions(startSeq = Some(101L), endSeq = Some(600L))))
@@ -484,10 +495,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     Caches.drain()
   }
 
-  test("text_tfidf: df broadcast, rank window partitioned by doc_id") {
-    val p = physical(
-      graft.queries.RetrievalQueries.queries("text_tfidf")(spark, dir))
+  test("text_tfidf: df joins via Zipf skew-split, rank window by doc_id") {
+    // round 13: the O(vocabulary) document-frequency table must NOT be a
+    // forced whole-table broadcast — the skew-split forces only the head
+    // broadcast; with auto-broadcast off, the tail join MUST plan shuffled
+    val p = withNoAutoBroadcast(physical(
+      graft.queries.RetrievalQueries.queries("text_tfidf")(spark, dir)))
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("Union"), p)
     assert(p.contains("windowspecdefinition(doc_id"), p)
     Caches.drain()
   }
@@ -524,13 +540,45 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     Caches.drain()
   }
 
-  test("text_kneser_ney: model tables broadcast, no cartesian") {
-    val p = physical(
-      graft.queries.RetrievalQueries.queries("text_kneser_ney")(spark, dir))
-    // ctx / continuation / totals are vocabulary-bounded broadcasts; the
-    // only shuffled join keys are near-unique (w1, w2) bigrams
+  test("text_kneser_ney: model tables join via Zipf skew-split, no cartesian") {
+    // round 13: ctx / continuation are O(vocabulary) — the skew-split
+    // forces only the head broadcast; with auto-broadcast off the rare
+    // tail MUST plan shuffled; only the 1-row totals stays broadcast
+    val p = withNoAutoBroadcast(physical(
+      graft.queries.RetrievalQueries.queries("text_kneser_ney")(spark, dir)))
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("Union"), p)
     assert(!p.contains("CartesianProduct"), p)
+    Caches.drain()
+  }
+
+  test("text_backoff: unigram lookups join via Zipf skew-split") {
+    val p = withNoAutoBroadcast(physical(
+      graft.queries.RetrievalQueries.queries("text_backoff")(spark, dir)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("Union"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    Caches.drain()
+  }
+
+  test("text_collocations: unigram lookups join via Zipf skew-split") {
+    val p = withNoAutoBroadcast(physical(
+      graft.queries.RetrievalQueries.queries("text_collocations")(spark, dir)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("Union"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    Caches.drain()
+  }
+
+  test("pipe_bpe_apply: symbol table joins via Zipf skew-split") {
+    val p = withNoAutoBroadcast(physical(
+      graft.queries.RetrievalQueries.queries("pipe_bpe_apply")(spark, dir)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("Union"), p)
     Caches.drain()
   }
 
