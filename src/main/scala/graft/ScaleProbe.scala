@@ -411,6 +411,41 @@ object ScaleProbe {
         Caches.drain()
       }
     }
+    // INFLATED-VOCABULARY skew-split probe (round-12 judge task 3). The
+    // synthetic documents corpus has only ~31 distinct tokens, so no
+    // replication of it can inflate the vocabulary — this section builds
+    // the Heaps-law shape directly: a (doc, term, count) base with 50 hot
+    // terms carrying half the token mass and k×2.5 M SINGLETON terms as
+    // the long tail (a 5 M-term vocabulary at k=2 — the shape where a
+    // whole-vocabulary broadcast() ships millions of terms to every task
+    // and OOMs the driver first). Under the adaptive Zipf split
+    // (threshold max(1000, total/100k)) the broadcast head stays ≤ 100 k
+    // terms BY MARKOV at every k, and per-row join cost stays flat.
+    // Columns: vocab (must grow k×), head (must stay bounded), join_s.
+    if (on("vocab")) {
+      println(f"${"k"}%3s ${"rows"}%9s ${"vocab"}%9s ${"head"}%7s ${"headMin"}%8s ${"join_s"}%8s ${"out"}%9s")
+      Seq(1, 2, 4).foreach { k =>
+        val n = k * 5000000L
+        val wc = spark.range(n).select(
+          (col("id") % 10000L).as("doc_id"),
+          when(col("id") < n / 2, concat(lit("hot_"), col("id") % 50))
+            .otherwise(concat(lit("cold_"), col("id"))).as("w"),
+          lit(1L).as("c")).cache()
+        val dfreq = wc.groupBy("w").agg(count(lit(1)).as("df")).cache()
+        val vocabSz = dfreq.count()
+        val total = dfreq.agg(sum("df")).head.getLong(0)
+        val headMin = math.max(1000L, total / 100000L + 1L)
+        val headSz = dfreq.filter(col("df") >= headMin).count()
+        val (tJoin, nOut) = time {
+          wc.join(broadcast(dfreq.filter(col("df") >= headMin)), Seq("w"))
+            .unionByName(wc.join(dfreq.filter(col("df") < headMin), Seq("w")))
+            .groupBy("doc_id").agg(sum(col("c") * col("df")).as("x"))
+            .count()
+        }
+        println(f"$k%3d $n%9d $vocabSz%9d $headSz%7d $headMin%8d $tJoin%8.2f $nOut%9d")
+        wc.unpersist(); dfreq.unpersist(): Unit
+      }
+    }
     // CC fast-path CROSSOVER: pair counts straddling the 100 k small-graph
     // threshold (driver union-find below, iterative label propagation
     // above) must show a SMOOTH cost transition — a cliff would mean the

@@ -68,9 +68,14 @@ final case class NatsScanOptions(
     if (hasSeqRange && hasTimeRange)
       throw new IllegalArgumentException(
         "Cannot specify both sequence range (start_seq/end_seq) and time range (start_time/end_time)")
-    if (jsonExtract.nonEmpty && protoExtract.nonEmpty)
+    // conflict outranks co-requirement: the reference's E6 shape
+    // (test_connection_errors.sql:194-199) passes json_extract plus
+    // proto_file/proto_message WITHOUT proto_extract — the user's mistake
+    // is mixing decoders, so that is the error to surface
+    if (jsonExtract.nonEmpty && usesProto)
       throw new IllegalArgumentException(
-        "Cannot specify both json_extract and proto_extract")
+        "Cannot specify both json_extract and proto_extract " +
+          "(proto_file/proto_message/proto_extract)")
     if (usesProto && (protoFile.isEmpty || protoMessage.isEmpty || protoExtract.isEmpty))
       throw new IllegalArgumentException(
         "proto_file, proto_message, and proto_extract must all be specified together")

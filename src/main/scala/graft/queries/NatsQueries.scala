@@ -81,6 +81,25 @@ object NatsQueries {
         .select("seq", "subject")
         .orderBy("seq")),
 
+    // SUBSTRING-vs-WILDCARD divergence pin: the reference DOCUMENTS the
+    // subject filter as substring matching (docs/GUIDE.md:148) while NATS
+    // proper treats subjects as dot-token wildcards — our surface carries
+    // both (`subject_contains` = reference parity, `subject_filter` =
+    // wildcard superset). This query emits exactly the rows where the two
+    // semantics disagree for the same pattern text ('4' as substring vs
+    // `events.*.4` as a one-token match): subjects whose user token is 14,
+    // 40, … contain '4' but are NOT `events.*.4`. Empty would mean the
+    // superset silently changed reference behavior; the oracle pins the
+    // divergence rows one by one.
+    "nats_subject_divergence" -> ((s, dir) =>
+      NatsScan.scanDir(s, dir)
+        .select(col("seq"), col("subject"),
+          col("subject").contains("4").as("substring_hit"),
+          NatsScan.subjectWildcard(col("subject"), "events.*.4")
+            .as("wildcard_hit"))
+        .filter(col("substring_hit") =!= col("wildcard_hit"))
+        .orderBy("seq")),
+
     "nats_json_extract" -> ((s, dir) =>
       NatsScan.scanDir(s, dir, opts = NatsScanOptions(jsonExtract = Seq("k")))
         .select("seq", "k", "payload")
@@ -184,6 +203,15 @@ object NatsQueries {
     "nats_subject_wildcard" ->
       s"""$envSql SELECT seq, subject FROM env
          | WHERE regexp_matches(subject, '^events\\.[^.]+\\.7$$') ORDER BY seq""".stripMargin,
+
+    "nats_subject_divergence" ->
+      s"""$envSql SELECT seq, subject,
+         |   contains(subject, '4') AS substring_hit,
+         |   regexp_matches(subject, '^events\\.[^.]+\\.4$$') AS wildcard_hit
+         | FROM env
+         | WHERE contains(subject, '4')
+         |   <> regexp_matches(subject, '^events\\.[^.]+\\.4$$')
+         | ORDER BY seq""".stripMargin,
 
     "nats_json_extract" ->
       s"$envSql SELECT seq, json_extract_string(payload, '$$.k') AS k, payload FROM env ORDER BY seq",

@@ -98,7 +98,21 @@ object RetrievalQueries {
   private def zipfSplitJoin(big: DataFrame, vocab: DataFrame,
                             keys: Seq[String], countCol: String,
                             joinType: String = "inner",
-                            headMin: Long = 1000L): DataFrame = {
+                            headCap: Long = 100000L): DataFrame = {
+    // ADAPTIVE head threshold, not a fixed absolute count: with a fixed
+    // cutoff the head itself grows with the corpus (at 100 TB, billions of
+    // terms exceed any fixed count) and the broadcast re-becomes the
+    // driver bomb the split exists to avoid. Thresholding at
+    // total/headCap bounds the head by MARKOV: at most headCap terms can
+    // each hold ≥ 1/headCap of the total mass, whatever the corpus size
+    // or distribution. The floor of 1000 keeps genuinely rare keys out of
+    // the broadcast on small corpora (a count-1000 key cannot hot-spot a
+    // reducer). The split point never affects results — head ∪ tail
+    // partitions the lookup table — so the one tiny aggregate job this
+    // costs buys a provably bounded broadcast at every scale.
+    val totRow = vocab.agg(sum(col(countCol))).head
+    val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+    val headMin = math.max(1000L, total / headCap + 1L)
     val head = vocab.filter(col(countCol) >= headMin)
     val tail = vocab.filter(col(countCol) < headMin)
     joinType match {

@@ -26,6 +26,21 @@ class NatsScanOptionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("proto_extract"))
   }
 
+  test("E6 json_extract + proto_file/proto_message (no proto_extract) is a " +
+    "parameter conflict — the exact reference shape") {
+    // /root/reference/test/sql/test_connection_errors.sql:194-199: the
+    // commented-out E6 passes json_extract := ['field1'] together with
+    // proto_file/proto_message only; the conflict must outrank the
+    // proto-co-requirement error
+    val e = intercept[IllegalArgumentException] {
+      NatsScanOptions(jsonExtract = Seq("field1"),
+        protoFile = Some("telemetry.proto"),
+        protoMessage = Some("Telemetry")).validate()
+    }
+    assert(e.getMessage.contains("json_extract"))
+    assert(e.getMessage.contains("proto_extract"))
+  }
+
   test("proto params are co-required") {
     val e = intercept[IllegalArgumentException] {
       NatsScanOptions(protoExtract = Seq("a")).validate()

@@ -100,6 +100,16 @@ class TransportSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // --- error behaviors (E1-E6) ---
+  // Complete map of the reference's commented-out negative cases
+  // (/root/reference/test/sql/test_connection_errors.sql:172-199):
+  //   E1 invalid URL (:173)            → "E1 invalid URL..." below
+  //   E2 non-existent stream (:177)    → "E2 non-existent stream..." below
+  //   E3 empty stream name (:181)      → "E3 empty stream name..." below
+  //   E4 unreachable server (:185)     → "E4 unreachable server..." below
+  //   E5 seq+time conflict (:189-192)  → "E5 sequence range..." below
+  //   E6 json+proto conflict (:194-199)→ NatsScanOptionsSpec
+  //     ("E6 json_extract + proto_file/proto_message ... exact reference
+  //     shape") — bind-time validation, no connection involved
 
   test("E1 invalid URL fails with the connect error shape") {
     val e = intercept[Throwable](
