@@ -127,8 +127,13 @@ object CrossScaleBench {
     val line = s"""{"metric":"scale${k}x_total","value":$total,"unit":"sec",""" +
       s""""k":$k,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     try {
+      // a FILTERED run must not clobber the committed full artifact with a
+      // partial per-query map (same rule as Bench's bench_partial_<sf>)
+      val target =
+        if (args.length > 1) s"bench_scale${k}x_partial_$sfTag.json"
+        else s"bench_scale${k}x_$sfTag.json"
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"bench_scale${k}x_$sfTag.json"),
+        java.nio.file.Paths.get(target),
         (line + "\n").getBytes("UTF-8"))
       ()
     } catch { case e: Throwable =>

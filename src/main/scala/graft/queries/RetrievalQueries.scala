@@ -94,7 +94,13 @@ object RetrievalQueries {
     * `joinType` "left" requires `countCol` non-null in `vocab` (always
     * true for count/aggregate columns): after the broadcast-left head
     * join, a null `countCol` identifies "no head match" exactly, and only
-    * those rows continue to the shuffled tail left join. */
+    * those rows continue to the shuffled tail left join.
+    *
+    * CALLER RULE — cache the input of a LEFT split: both branches scan
+    * `big`, so an expensive uncached input is computed twice per split
+    * (4× when splits nest — measured text_kneser_ney 1.7 → 9.6 s at the
+    * 10× bench before its input was tracked-cached). Inner splits scan
+    * `big` twice too; pre-aggregate or cache unless it is a bare scan. */
   private def zipfSplitJoin(big: DataFrame, vocab: DataFrame,
                             keys: Seq[String], countCol: String,
                             joinType: String = "inner",
@@ -363,12 +369,18 @@ object RetrievalQueries {
       val (_, syms) = bpeTrainRounds(s, dir, 3)
       val wsize = syms.select(col("w"), col("c"),
         size(col("syms")).cast("long").as("nsym"))
-      zipfSplitJoin(
+      // pre-aggregate the corpus side to (lang, w, cnt) BEFORE the join:
+      // the skew-split then joins two vocabulary-bounded tables instead of
+      // streaming every corpus token through the join twice (once per
+      // split branch); tracked so the explode + count runs once
+      val langCounts = graft.Caches.tracked(
         t(s, dir, "documents")
-          .select(col("lang"), explode(split(col("text"), " ")).as("w")),
-        wsize, Seq("w"), "c")
+          .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("lang", "w").agg(count(lit(1)).as("cnt")))
+      zipfSplitJoin(langCounts, wsize, Seq("w"), "c")
         .groupBy("lang")
-        .agg(count(lit(1)).as("n_tokens"), sum("nsym").as("n_symbols"))
+        .agg(sum("cnt").as("n_tokens"),
+          sum(col("cnt") * col("nsym")).as("n_symbols"))
         .select(col("lang"), col("n_tokens"), col("n_symbols"),
           round(col("n_symbols").cast("double") / col("n_tokens"), 6)
             .as("fertility"))
@@ -516,8 +528,11 @@ object RetrievalQueries {
       val big = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       val hb = bigrams(held).groupBy("doc_id", "w1", "w2")
         .agg(count(lit(1)).as("c"))
+      // materialized once: the two nested left skew-splits would otherwise
+      // recompute the hb ⋈ big join per branch (4×) — see text_kneser_ney
+      val hbj = graft.Caches.tracked(hb.join(big, Seq("w1", "w2"), "left"))
       val joined = zipfSplitJoin(
-        zipfSplitJoin(hb.join(big, Seq("w1", "w2"), "left"),
+        zipfSplitJoin(hbj,
           uni.select(col("w").as("w1"), col("c1")), Seq("w1"), "c1", "left"),
         uni.select(col("w").as("w2"), col("c1").as("c1w2")),
         Seq("w2"), "c1w2", "left")
@@ -575,9 +590,13 @@ object RetrievalQueries {
           countDistinct(col("w")).as("v_sz"))))
       val hb = bigrams(held).groupBy("doc_id", "w1", "w2")
         .agg(count(lit(1)).as("c"))
+      // materialize the bigram-side base ONCE: each left skew-split's two
+      // branches re-scan their input, so the two nested splits would
+      // otherwise recompute the hb ⋈ big join 4× (measured 1.7 → 9.6 s at
+      // the 10× bench before this cache)
+      val hbj = graft.Caches.tracked(hb.join(big, Seq("w1", "w2"), "left"))
       val joined = zipfSplitJoin(
-        zipfSplitJoin(hb.join(big, Seq("w1", "w2"), "left"),
-          ctx, Seq("w1"), "ctx", "left"),
+        zipfSplitJoin(hbj, ctx, Seq("w1"), "ctx", "left"),
         cont, Seq("w2"), "n1r", "left")
         .crossJoin(broadcast(tots))
       val pcont = (coalesce(col("n1r"), lit(0L)) + 1).cast("double") /
@@ -730,12 +749,15 @@ object RetrievalQueries {
       val uni = graft.Caches.tracked(toks.select(explode(col("l")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c1")))
       val tot = uni.agg(sum("c1").as("t_tok"))
-      val big = toks.filter(size(col("l")) >= 2)
+      // tracked: the two nested inner skew-splits scan `big` 4× — without
+      // the cache each scan recomputes the bigram explode + count from raw
+      // documents
+      val big = graft.Caches.tracked(toks.filter(size(col("l")) >= 2)
         .select(col("l"), explode(expr("sequence(1, size(l) - 1)")).as("i"))
         .select(element_at(col("l"), col("i")).as("w1"),
           element_at(col("l"), col("i") + 1).as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        .filter(col("c12") >= 5)
+        .filter(col("c12") >= 5))
       zipfSplitJoin(
         zipfSplitJoin(big,
           uni.select(col("w").as("w1"), col("c1").as("ca")), Seq("w1"), "ca"),
