@@ -206,10 +206,14 @@ object AnalyticQueries {
     }),
 
     // QUALIFY-style top-n per group: rank over a partitioned window, then
-    // filter — the distributed form of "top 3 orders per market segment"
+    // filter — the distributed form of "top 3 orders per market segment".
+    // customer is UNHINTED on purpose: it scales with the corpus (unlike
+    // nation/region), so the planner/AQE picks broadcast vs shuffle by
+    // measured size — at bench SFs it still broadcasts, at 100 TB it
+    // becomes a co-shuffled join instead of a driver OOM
     "q_qualify_topn" -> ((s, dir) => {
       val seg = t(s, dir, "orders").join(
-        broadcast(t(s, dir, "customer").select("c_custkey", "c_mktsegment")),
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
         col("o_custkey") === col("c_custkey"))
       val w = Window.partitionBy("c_mktsegment")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))

@@ -171,7 +171,11 @@ object RelationalQueries {
     // --- joins ---
 
     // stream × dimension: the reference's canonical enrichment pattern
-    // (docs/EXAMPLES.md:240-253). customer is the dim → broadcast.
+    // (docs/EXAMPLES.md:240-253). customer is the dim → broadcast. The
+    // hint IS this query's point (PlanAuditSpec pins the broadcast); when
+    // the user dimension outgrows executor memory the same query drops
+    // the hint and AQE keeps it an exchange-bounded shuffle join — see
+    // q_qualify_topn for the unhinted form.
     "q_join_broadcast" -> ((s, dir) => {
       val env = NatsScan.scanDir(s, dir)
         .withColumn("user_id",

@@ -255,23 +255,54 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
             catch { case _: Exception => () }
         }
       }
-      val s =
-        if (preDialed != null) preDialed
-        else try dial(host, port)
-        catch {
+      // acquire the socket AND its INFO greeting as ONE unit: a dying
+      // server can ACCEPT the dial and then close before speaking (its
+      // stop races the accept queue), so an EOF/IO failure BEFORE the
+      // greeting is a CONNECT failure — it falls back through the
+      // discovered pool exactly like a refused dial, never escaping as a
+      // raw EOFException from a half-open socket. A live server that
+      // speaks a non-INFO frame stays a loud protocol error (no failover:
+      // the server is up, the conversation is broken).
+      def connectAndGreet(h: String, p: Int, pre: Socket): JsonNode = {
+        val s = if (pre != null) pre else dial(h, p)
+        s.setSoTimeout(math.max(timeoutMs, 1000L).toInt)
+        s.setTcpNoDelay(true)
+        socket = s
+        in = new BufferedInputStream(s.getInputStream, 1 << 16)
+        out = new BufferedOutputStream(s.getOutputStream, 1 << 16)
+        laneHost = h; lanePort = p
+        // server speaks first: INFO {...}
+        readFrame() match {
+          case Info(json) => json
+          case other => throw new NatsConnectException(
+            s"Failed to connect to NATS: protocol error (expected INFO, got $other)")
+        }
+      }
+      def closeQuietly(): Unit =
+        if (socket != null) { try socket.close() catch { case _: Exception => () } }
+      val info: JsonNode =
+        try {
+          if (preDialed != null) connectAndGreet(laneHost, lanePort, preDialed)
+          else connectAndGreet(host, port, null)
+        } catch {
+          case e: NatsConnectException => throw e // live server, bad protocol
           case primaryErr: Exception =>
+            closeQuietly()
             // non-draining siblings first, draining ones as last resort —
             // a lane parked on a draining address would be retired after
             // every conversation (per-request reconnect churn) while a
             // healthy sibling sat unused
             val (fresh, stale) = discovered.asScala.toSeq
               .partition(a => !draining.contains(a))
-            var got: Socket = null
+            var got: JsonNode = null
             val it = (fresh ++ stale).iterator
             while (got == null && it.hasNext) {
               val (h, p) = it.next()
-              try { got = dial(h, p); laneHost = h; lanePort = p }
-              catch { case _: Exception => () }
+              try got = connectAndGreet(h, p, null)
+              catch {
+                case e: NatsConnectException => throw e
+                case _: Exception => closeQuietly()
+              }
             }
             if (got != null) got
             else primaryErr match {
@@ -282,17 +313,6 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
                   "Failed to connect to NATS: No server available for connection")
             }
         }
-      s.setSoTimeout(math.max(timeoutMs, 1000L).toInt)
-      s.setTcpNoDelay(true)
-      socket = s
-      in = new BufferedInputStream(s.getInputStream, 1 << 16)
-      out = new BufferedOutputStream(s.getOutputStream, 1 << 16)
-      // server speaks first: INFO {...}
-      val info = readFrame() match {
-        case Info(json) => json
-        case other => throw new NatsConnectException(
-          s"Failed to connect to NATS: protocol error (expected INFO, got $other)")
-      }
       noteLaneInfo(info)
       val tlsRequired = Option(info.get("tls_required")).exists(_.asBoolean(false))
       if (tlsRequired || auth.tls)
