@@ -105,7 +105,14 @@ final class MiniNatsServer(val backing: FakeJetStreamServer,
   /** start listening; returns the bound port (0 = ephemeral; a fixed port
     * lets restart tests bring a successor up at the same address) */
   def start(port: Int = 0): Int = {
-    server = new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
+    // SO_REUSEADDR before bind: bounce tests restart on the SAME port, and
+    // without it the dead listener's lingering sockets (TIME_WAIT /
+    // not-yet-reaped accepts under load) make the re-bind throw
+    // BindException — real nats-server sets it for the same reason
+    server = new ServerSocket()
+    server.setReuseAddress(true)
+    server.bind(new java.net.InetSocketAddress(
+      InetAddress.getLoopbackAddress, port), 16)
     running = true
     val acceptor = new Thread(() => {
       while (running) {

@@ -255,15 +255,19 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
             catch { case _: Exception => () }
         }
       }
-      // acquire the socket AND its INFO greeting as ONE unit: a dying
-      // server can ACCEPT the dial and then close before speaking (its
-      // stop races the accept queue), so an EOF/IO failure BEFORE the
-      // greeting is a CONNECT failure — it falls back through the
-      // discovered pool exactly like a refused dial, never escaping as a
+      // establish a lane as ONE per-candidate unit — dial, INFO greeting,
+      // TLS, CONNECT/PING/PONG: a dying server can ACCEPT the dial and
+      // then close at ANY point of the handshake (its stop races the
+      // accept queue; round-13 full-suite runs caught EOFs both before
+      // INFO and between INFO and PONG), so an EOF/IO failure anywhere in
+      // the handshake is a CONNECT failure that falls back through the
+      // discovered pool exactly like a refused dial — never escaping as a
       // raw EOFException from a half-open socket. A live server that
-      // speaks a non-INFO frame stays a loud protocol error (no failover:
-      // the server is up, the conversation is broken).
-      def connectAndGreet(h: String, p: Int, pre: Socket): JsonNode = {
+      // answers wrongly (-ERR auth, non-INFO frame, TLS certificate
+      // failure) stays a loud NatsConnectException with NO failover: the
+      // server is up, the configuration is broken, and siblings would
+      // refuse the same credentials.
+      def establish(h: String, p: Int, pre: Socket): JsonNode = {
         val s = if (pre != null) pre else dial(h, p)
         s.setSoTimeout(math.max(timeoutMs, 1000L).toInt)
         s.setTcpNoDelay(true)
@@ -272,20 +276,73 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
         out = new BufferedOutputStream(s.getOutputStream, 1 << 16)
         laneHost = h; lanePort = p
         // server speaks first: INFO {...}
-        readFrame() match {
+        val info = readFrame() match {
           case Info(json) => json
           case other => throw new NatsConnectException(
             s"Failed to connect to NATS: protocol error (expected INFO, got $other)")
         }
+        val tlsRequired = Option(info.get("tls_required")).exists(_.asBoolean(false))
+        if (tlsRequired || auth.tls)
+          try upgradeTls()
+          catch {
+            case e: java.io.IOException => throw new NatsConnectException(
+              s"Failed to connect to NATS: TLS handshake failure (${e.getMessage})")
+          }
+        val connect = mapper.createObjectNode()
+        connect.put("verbose", false).put("pedantic", false)
+          .put("tls_required", auth.tls).put("lang", "scala-graft")
+          .put("version", "0.1").put("protocol", 1)
+          .put("headers", true)
+          // opt into 503 status replies when a request subject has no
+          // responders (e.g. JetStream disabled → nothing behind $JS.>):
+          // an immediate pointed error beats a silent request timeout
+          .put("no_responders", true)
+        token.foreach(t => connect.put("auth_token", t))
+        val nonce = Option(info.get("nonce")).map(_.asText("")).getOrElse("")
+        auth.credsJwt match {
+          case Some(jwt) =>
+            // JWT/creds auth: identity comes from the user JWT; the .creds
+            // file's seed signs the server nonce (the `sig` the server
+            // verifies against the JWT's embedded public key)
+            connect.put("jwt", jwt)
+            auth.nkeySeed.foreach(seed =>
+              connect.put("sig", NKeys.sign(seed, nonce.getBytes(UTF_8))))
+            ()
+          case None =>
+            auth.nkeySeed.foreach { seed =>
+              // REAL NKey auth: derive the public identity from the seed
+              // and sign the nonce with the seed's ed25519 key — the full
+              // protocol flow, verified server-side with the public key
+              connect.put("nkey", NKeys.publicKeyFromSeed(seed))
+              connect.put("sig", NKeys.sign(seed, nonce.getBytes(UTF_8)))
+              ()
+            }
+        }
+        send(s"CONNECT ${mapper.writeValueAsString(connect)}\r\nPING\r\n")
+        readFrame() match {
+          case Pong => ()
+          case Err(msg) => throw new NatsConnectException(
+            s"Failed to connect to NATS: $msg")
+          case Ok => readFrame() match {
+            case Pong => ()
+            case Err(msg) => throw new NatsConnectException(
+              s"Failed to connect to NATS: $msg")
+            case other => throw new NatsConnectException(
+              s"Failed to connect to NATS: protocol error ($other)")
+          }
+          case other => throw new NatsConnectException(
+            s"Failed to connect to NATS: protocol error ($other)")
+        }
+        info
       }
       def closeQuietly(): Unit =
         if (socket != null) { try socket.close() catch { case _: Exception => () } }
       val info: JsonNode =
         try {
-          if (preDialed != null) connectAndGreet(laneHost, lanePort, preDialed)
-          else connectAndGreet(host, port, null)
+          if (preDialed != null) establish(laneHost, lanePort, preDialed)
+          else establish(host, port, null)
         } catch {
-          case e: NatsConnectException => throw e // live server, bad protocol
+          case e: NatsConnectException => throw e // live server, bad config
           case primaryErr: Exception =>
             closeQuietly()
             // non-draining siblings first, draining ones as last resort —
@@ -298,7 +355,7 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
             val it = (fresh ++ stale).iterator
             while (got == null && it.hasNext) {
               val (h, p) = it.next()
-              try got = connectAndGreet(h, p, null)
+              try got = establish(h, p, null)
               catch {
                 case e: NatsConnectException => throw e
                 case _: Exception => closeQuietly()
@@ -314,58 +371,6 @@ final class NatsWireClient(host: String, port: Int, timeoutMs: Long,
             }
         }
       noteLaneInfo(info)
-      val tlsRequired = Option(info.get("tls_required")).exists(_.asBoolean(false))
-      if (tlsRequired || auth.tls)
-        try upgradeTls()
-        catch {
-          case e: java.io.IOException => throw new NatsConnectException(
-            s"Failed to connect to NATS: TLS handshake failure (${e.getMessage})")
-        }
-      val connect = mapper.createObjectNode()
-      connect.put("verbose", false).put("pedantic", false)
-        .put("tls_required", auth.tls).put("lang", "scala-graft")
-        .put("version", "0.1").put("protocol", 1)
-        .put("headers", true)
-        // opt into 503 status replies when a request subject has no
-        // responders (e.g. JetStream disabled → nothing behind $JS.>):
-        // an immediate pointed error beats a silent request timeout
-        .put("no_responders", true)
-      token.foreach(t => connect.put("auth_token", t))
-      val nonce = Option(info.get("nonce")).map(_.asText("")).getOrElse("")
-      auth.credsJwt match {
-        case Some(jwt) =>
-          // JWT/creds auth: identity comes from the user JWT; the .creds
-          // file's seed signs the server nonce (the `sig` the server
-          // verifies against the JWT's embedded public key)
-          connect.put("jwt", jwt)
-          auth.nkeySeed.foreach(seed =>
-            connect.put("sig", NKeys.sign(seed, nonce.getBytes(UTF_8))))
-          ()
-        case None =>
-          auth.nkeySeed.foreach { seed =>
-            // REAL NKey auth: derive the public identity from the seed and
-            // sign the nonce with the seed's ed25519 key — the full
-            // protocol flow, verified server-side with the public key only
-            connect.put("nkey", NKeys.publicKeyFromSeed(seed))
-            connect.put("sig", NKeys.sign(seed, nonce.getBytes(UTF_8)))
-            ()
-          }
-      }
-      send(s"CONNECT ${mapper.writeValueAsString(connect)}\r\nPING\r\n")
-      readFrame() match {
-        case Pong => ()
-        case Err(msg) => throw new NatsConnectException(
-          s"Failed to connect to NATS: $msg")
-        case Ok => readFrame() match {
-          case Pong => ()
-          case Err(msg) => throw new NatsConnectException(
-            s"Failed to connect to NATS: $msg")
-          case other => throw new NatsConnectException(
-            s"Failed to connect to NATS: protocol error ($other)")
-        }
-        case other => throw new NatsConnectException(
-          s"Failed to connect to NATS: protocol error ($other)")
-      }
     }
 
     private def upgradeTls(): Unit = {

@@ -221,9 +221,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q_qualify_topn: dimension broadcasts and the window is partitioned") {
+  test("q_qualify_topn: dimension broadcasts by size and the window is partitioned") {
     val df = graft.queries.AnalyticQueries.queries("q_qualify_topn")(spark, dir)
     val p = physical(df)
+    // round 13: customer is UNHINTED (it scales with the corpus) — at this
+    // SF the planner still broadcasts it by measured size; at 100 TB the
+    // same code co-shuffles instead of forcing a driver OOM
     assert(p.contains("BroadcastHashJoin"), p)
     // the rank window must carry PARTITION BY c_mktsegment — a global-order
     // window (empty partition spec) would single-task at scale
