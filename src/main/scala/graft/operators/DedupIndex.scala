@@ -97,21 +97,44 @@ object DedupIndex {
   def buildFromSignatures(sig: DataFrame, idCol: String, spec: Spec,
                           indexDir: String): Unit = {
     val spark = sig.sparkSession
-    import spark.implicits._
     spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(spark, indexDir)}")
     spark.sql(s"DROP TABLE IF EXISTS ${sigsTable(spark, indexDir)}")
     val (bands, sigs) = bandRows(sig, idCol, spec)
     bands.write.format("parquet").mode("overwrite")
       .bucketBy(spec.buckets, "bk").sortBy("bk")
-      .option("path", s"$indexDir/bands")
+      .option("path", dataDir(indexDir, "bands", 0))
       .saveAsTable(bandsTable(spark, indexDir))
     sigs.write.format("parquet").mode("overwrite")
       .bucketBy(spec.buckets, "doc_id").sortBy("doc_id")
-      .option("path", s"$indexDir/sigs")
+      .option("path", dataDir(indexDir, "sigs", 0))
       .saveAsTable(sigsTable(spark, indexDir))
-    Seq((spec.numHashes, spec.bands, spec.buckets))
-      .toDF("num_hashes", "bands", "buckets")
+    writeMeta(spark, spec, generation = 0, indexDir)
+  }
+
+  /** generation-addressed data dirs: gen 0 is the original `bands`/`sigs`
+    * layout (append-in-place); each compaction writes generation N+1 into
+    * fresh `<kind>_gN+1` dirs and flips `meta` — the single commit point —
+    * so a reader never observes a half-rewritten index */
+  private def dataDir(indexDir: String, kind: String, gen: Int): String =
+    if (gen == 0) s"$indexDir/$kind" else s"$indexDir/${kind}_g$gen"
+
+  private def writeMeta(spark: SparkSession, spec: Spec, generation: Int,
+                        indexDir: String): Unit = {
+    import spark.implicits._
+    Seq((spec.numHashes, spec.bands, spec.buckets, generation))
+      .toDF("num_hashes", "bands", "buckets", "generation")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  private def loadMeta(spark: SparkSession, indexDir: String): (Spec, Int) = {
+    val df = spark.read.parquet(s"$indexDir/meta")
+    val r = df.collect().head
+    val spec = Spec(r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"),
+      r.getAs[Int]("buckets"))
+    // indexes written before compaction existed carry no generation column
+    val gen = if (df.schema.fieldNames.contains("generation"))
+      r.getAs[Int]("generation") else 0
+    (spec, gen)
   }
 
   /** true once `build` has written this index's meta */
@@ -132,10 +155,8 @@ object DedupIndex {
     spark.table(sigsTable(spark, indexDir))
   }
 
-  def loadSpec(spark: SparkSession, indexDir: String): Spec = {
-    val r = spark.read.parquet(s"$indexDir/meta").collect().head
-    Spec(r.getInt(0), r.getInt(1), r.getInt(2))
-  }
+  def loadSpec(spark: SparkSession, indexDir: String): Spec =
+    loadMeta(spark, indexDir)._1
 
   /** Re-register the bucketed tables in THIS session's catalog (no-op if
     * already known AND its cached DDL still matches the on-disk meta). The
@@ -146,7 +167,7 @@ object DedupIndex {
     * table whose bucket count or location disagrees with meta is dropped
     * and re-issued. */
   def ensureRegistered(spark: SparkSession, indexDir: String): Spec = {
-    val spec = loadSpec(spark, indexDir)
+    val (spec, gen) = loadMeta(spark, indexDir)
     def register(table: String, dataDir: String, bucketCol: String): Unit = {
       if (spark.catalog.tableExists(table)) {
         val meta = spark.sessionState.catalog.getTableMetadata(
@@ -165,9 +186,77 @@ object DedupIndex {
            |LOCATION '$dataDir'""".stripMargin)
       ()
     }
-    register(bandsTable(spark, indexDir), s"$indexDir/bands", "bk")
-    register(sigsTable(spark, indexDir), s"$indexDir/sigs", "doc_id")
+    register(bandsTable(spark, indexDir), dataDir(indexDir, "bands", gen), "bk")
+    register(sigsTable(spark, indexDir), dataDir(indexDir, "sigs", gen), "doc_id")
     spec
+  }
+
+  /** COMPACTION: rewrite each table into ONE file per bucket — the
+    * small-files answer for a long-lived index. Every [[append]] batch
+    * adds one file per touched bucket, so after thousands of ingest
+    * batches a probe opens thousands of parquet footers per bucket and
+    * the NameNode/listing cost grows without bound; compaction collapses
+    * a bucket's file set back to a single sorted file while preserving
+    * the EXACT bucket layout (same hash, same count — [[probePairs]]
+    * stays exchange-free on the index side, asserted in `DedupIndexSpec`).
+    *
+    * Cost: ONE clustered exchange of the index relations themselves —
+    * `repartition(buckets, bucketCol)` uses the same murmur3 hash as the
+    * bucketed-write assignment, so each task holds exactly one bucket and
+    * writes exactly one file. The corpus is never re-signed, re-read, or
+    * re-shuffled.
+    *
+    * Crash safety (generation scheme): the rewrite lands in fresh
+    * `bands_gN/sigs_gN` dirs; `meta` flips to the new generation as the
+    * single commit point. A crash before the flip leaves the old
+    * generation live (orphan gN dirs are overwritten by the next
+    * attempt); a crash after it leaves the new generation live with
+    * orphan old dirs — deleted best-effort at the end here. */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    ensureRegistered(spark, indexDir)
+    val (spec, gen) = loadMeta(spark, indexDir)
+    val newGen = gen + 1
+    val bT = bandsTable(spark, indexDir)
+    val sT = sigsTable(spark, indexDir)
+    def rewrite(from: String, kind: String, bucketCol: String): String = {
+      val dir = dataDir(indexDir, kind, newGen)
+      val tmp = s"${from}_g$newGen"
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // failed prior attempt
+      // partition by the EXPLICIT bucket-id expression, not the raw
+      // column: `repartition(n, col)` advertises the same HashPartitioning
+      // the bucketed table already claims, so the planner elides the
+      // exchange — but the V1 write path doesn't actually deliver
+      // bucket-aligned tasks (measured: 11 mixed-bucket files for 4
+      // buckets). pmod(hash(col), n) is the writer's own bucket-id
+      // function (murmur3), is not elidable, and puts each bucket's rows
+      // wholly in one task → exactly one file per non-empty bucket.
+      spark.table(from)
+        .repartition(spec.buckets,
+          pmod(hash(col(bucketCol)), lit(spec.buckets)))
+        .write.format("parquet")
+        .bucketBy(spec.buckets, bucketCol).sortBy(bucketCol)
+        .option("path", dir).saveAsTable(tmp)
+      spark.sql(s"DROP TABLE IF EXISTS $tmp") // external: files stay
+      dir
+    }
+    rewrite(bT, "bands", "bk")
+    rewrite(sT, "sigs", "doc_id")
+    writeMeta(spark, spec, newGen, indexDir) // COMMIT POINT
+    // stale DDL points at the old generation; re-register at the new one
+    spark.sql(s"DROP TABLE IF EXISTS $bT")
+    spark.sql(s"DROP TABLE IF EXISTS $sT")
+    ensureRegistered(spark, indexDir)
+    // best-effort GC of the superseded generation
+    Seq(dataDir(indexDir, "bands", gen), dataDir(indexDir, "sigs", gen))
+      .foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        try { p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true); () }
+        catch { case _: Exception => () }
+      }
   }
 
   /** INCREMENTAL append: sign ONLY the new docs and add their band/sig
@@ -199,13 +288,15 @@ object DedupIndex {
 
   private def appendImpl(sig: DataFrame, idCol: String, indexDir: String,
                          spec: Spec): Unit = {
+    // no path option: the registered table's location names the CURRENT
+    // generation dir (a stale literal path would disagree after compact)
     val (bands, sigs) = bandRows(sig, idCol, spec)
     bands.write.format("parquet").mode("append")
       .bucketBy(spec.buckets, "bk").sortBy("bk")
-      .option("path", s"$indexDir/bands").saveAsTable(bandsTable(sig.sparkSession, indexDir))
+      .saveAsTable(bandsTable(sig.sparkSession, indexDir))
     sigs.write.format("parquet").mode("append")
       .bucketBy(spec.buckets, "doc_id").sortBy("doc_id")
-      .option("path", s"$indexDir/sigs").saveAsTable(sigsTable(sig.sparkSession, indexDir))
+      .saveAsTable(sigsTable(sig.sparkSession, indexDir))
   }
 
   /** Probe an arriving batch against the persisted index: band-key join →

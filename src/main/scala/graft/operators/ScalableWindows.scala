@@ -81,4 +81,39 @@ object ScalableWindows {
       .withColumn(cumCol, col("__cum_local") + col("__prefix"))
       .drop("__bkt", "__cum_local", "__prefix")
   }
+
+  /** EXCLUSIVE running MIN(valueCol) over the GLOBAL ordering of `orderCol`
+    * — each row gets the minimum value among all STRICTLY PRECEDING rows
+    * (null for the globally first row). The strict-prefix min is the
+    * dominance test of skyline/Pareto queries: a point survives iff its
+    * value beats every predecessor's.
+    *
+    * Same two-pass topology as [[globalRunningSum]] (min is associative):
+    * per-bucket exclusive running mins are partitioned windows (parallel);
+    * each bucket's full-prefix min comes from a window over the one-row-
+    * per-bucket aggregate, broadcast back. `least` ignores nulls, so a
+    * bucket-first row (null local prefix) falls through to the cross-bucket
+    * prefix, and the global first row stays null.
+    *
+    * Requires a numeric, non-null, unique `orderCol`.
+    */
+  def globalRunningMinExclusive(df: DataFrame, orderCol: String,
+                                bucketWidth: Long, valueCol: String,
+                                minCol: String): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val b = graft.Caches.tracked(
+      df.withColumn("__bkt", expr(s"`$orderCol` div $bucketWidth")))
+    val local = b.withColumn("__min_local",
+      min(col(valueCol)).over(Window.partitionBy("__bkt").orderBy(orderCol)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    val bounds = b.groupBy("__bkt").agg(min(col(valueCol)).as("__bmin"))
+    // the ONLY unpartitioned window: over one row per bucket, never the data
+    val prefix = bounds.withColumn("__prefix",
+        min(col("__bmin")).over(
+          Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__bkt"), col("__prefix"))
+    local.join(broadcast(prefix), Seq("__bkt"))
+      .withColumn(minCol, least(col("__min_local"), col("__prefix")))
+      .drop("__bkt", "__min_local", "__prefix")
+  }
 }

@@ -454,7 +454,30 @@ object AnalyticQueries {
             .as("sum_value"))
         .select(col("w_start"), col("n"), round(col("sum_value"), 4)
           .as("sum_value"))
-        .orderBy("w_start"))
+        .orderBy("w_start")),
+
+    // SKYLINE (Pareto frontier): parts not dominated on (size, price) —
+    // both minimized; the classic multi-criteria shortlist query. Shape:
+    // collapse to one row per size (min price — dominance within a size
+    // is just the min), then a point survives iff its price strictly
+    // beats the minimum over all SMALLER sizes: an EXCLUSIVE global
+    // prefix-min, computed by ScalableWindows' bucketed two-pass (the
+    // data-bearing window stays partitioned; the only global window runs
+    // over one boundary row per bucket). The naive formulation is a
+    // quadratic self-join (the oracle's NOT EXISTS) or a single-task
+    // global sort — both dead at 100 TB; this is O(n) + a broadcast of
+    // #buckets rows.
+    "q_skyline" -> ((s, dir) => {
+      val sz = t(s, dir, "part").groupBy("p_size")
+        .agg(min("p_retailprice").as("best_price"),
+          count(lit(1)).as("n_parts"))
+      graft.operators.ScalableWindows.globalRunningMinExclusive(
+          sz, "p_size", 8L, "best_price", "prefix_min")
+        .filter(col("prefix_min").isNull ||
+          col("best_price") < col("prefix_min"))
+        .select(col("p_size"), col("best_price"), col("n_parts"))
+        .orderBy("p_size")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -718,6 +741,18 @@ object AnalyticQueries {
              count(*) AS n,
              round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
                AS sum_value
-      FROM events GROUP BY 1 ORDER BY w_start"""
+      FROM events GROUP BY 1 ORDER BY w_start""",
+
+    // dominance spelled as the quadratic NOT EXISTS — fine for an oracle,
+    // exactly what the prefix-min formulation exists to avoid at scale
+    "q_skyline" -> """
+      WITH sz AS (SELECT p_size, min(p_retailprice) AS best_price,
+                         CAST(count(*) AS BIGINT) AS n_parts
+                  FROM part GROUP BY p_size)
+      SELECT p_size, best_price, n_parts FROM sz a
+      WHERE NOT EXISTS (SELECT 1 FROM sz b
+                        WHERE b.p_size < a.p_size
+                          AND b.best_price <= a.best_price)
+      ORDER BY p_size"""
   )
 }

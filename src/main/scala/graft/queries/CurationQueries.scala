@@ -221,6 +221,76 @@ object CurationQueries {
         .select(col("stage"), col("n_in"), (col("n_in") - col("n_out"))
           .as("n_drop"), col("n_out"))
         .orderBy("stage")
+    }),
+
+    // URL canonicalization + dedup — the first pass of every web-crawl
+    // pipeline: the same page arrives under mixed-case scheme/host,
+    // explicit default ports, trailing slashes, tracking parameters
+    // (utm_*/gclid/fbclid), permuted query strings, and fragments.
+    // Canonical form: lowercase scheme+host, default port stripped
+    // (non-default kept), trailing slash stripped, tracking params
+    // dropped, surviving params sorted, fragment dropped. The corpus has
+    // no URL column, so the fixture PLANTS one deterministically from
+    // doc_id (mixed case, 3 port shapes, 2 param orders — the oracle
+    // plants the identical strings, cf. pipe_pii_scrub). Everything is
+    // map-side string/array expression work; the only shuffle is the
+    // 7-host rollup — scan-shaped at any corpus size.
+    "pipe_url_canonicalize" -> ((s, dir) => {
+      val id = col("doc_id")
+      val planted = t(s, dir, "documents").select(id, concat(
+        when(pmod(id, lit(2)) === 0, lit("HTTPS")).otherwise(lit("http")),
+        lit("://CDN"), pmod(id, lit(7)).cast("string"), lit(".Example.com"),
+        when(pmod(id, lit(3)) === 0,
+          when(pmod(id, lit(2)) === 0, lit(":443")).otherwise(lit(":80")))
+          .when(pmod(id, lit(11)) === 0, lit(":8080")).otherwise(lit("")),
+        lit("/a/b"), pmod(id, lit(5)).cast("string"),
+        when(pmod(id, lit(4)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(id, lit(2)) === 0,
+          concat(lit("?utm_source=feed&b=2&a="), pmod(id, lit(3)).cast("string")))
+          .otherwise(concat(lit("?a="), pmod(id, lit(3)).cast("string"),
+            lit("&b=2&gclid=xyz"))),
+        when(pmod(id, lit(5)) === 0,
+          concat(lit("#sec"), pmod(id, lit(3)).cast("string")))
+          .otherwise(lit(""))).as("url"))
+      val parsed = planted
+        .withColumn("base", regexp_replace(col("url"), "#.*$", ""))
+        .withColumn("scheme",
+          lower(regexp_extract(col("base"), "^([A-Za-z]+)://", 1)))
+        .withColumn("rest",
+          regexp_replace(col("base"), "^[A-Za-z]+://", ""))
+        .withColumn("hostport", regexp_extract(col("rest"), "^([^/?]+)", 1))
+        .withColumn("host",
+          lower(regexp_extract(col("hostport"), "^([^:]+)", 1)))
+        .withColumn("port",
+          regexp_extract(col("hostport"), ":([0-9]+)$", 1))
+        .withColumn("kept_port",
+          when(col("port") === "", lit(""))
+            .when(col("scheme") === "https" && col("port") === "443", lit(""))
+            .when(col("scheme") === "http" && col("port") === "80", lit(""))
+            .otherwise(concat(lit(":"), col("port"))))
+        .withColumn("pathq", regexp_replace(col("rest"), "^[^/?]+", ""))
+        .withColumn("path", regexp_replace(
+          regexp_extract(col("pathq"), "^([^?]*)", 1), "/+$", ""))
+        .withColumn("params", array_sort(filter(
+          split(regexp_extract(col("pathq"), "\\?(.*)$", 1), "&"),
+          p => p =!= "" && substring(p, 1, 4) =!= "utm_" &&
+            substring(p, 1, 6) =!= "gclid=" &&
+            substring(p, 1, 7) =!= "fbclid=")))
+        .withColumn("q", array_join(col("params"), "&"))
+        .withColumn("canonical", concat(
+          col("scheme"), lit("://"), col("host"), col("kept_port"),
+          col("path"),
+          when(col("q") === "", lit(""))
+            .otherwise(concat(lit("?"), col("q")))))
+      parsed.groupBy("host")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("canonical")).as("n_canonical"),
+          min(col("canonical")).as("sample_url"))
+        .select(col("host"), col("n_urls"), col("n_canonical"),
+          round(lit(1.0) - col("n_canonical").cast("double") /
+            col("n_urls"), 6).as("dup_ratio"),
+          col("sample_url"))
+        .orderBy("host")
     })
   )
 
@@ -371,6 +441,60 @@ object CurationQueries {
       UNION ALL SELECT '2_word_len', n1, n1 - n2, n2 FROM a
       UNION ALL SELECT '3_dup_ratio', n2, n2 - n3, n3 FROM a
       UNION ALL SELECT '4_stopwords', n3, n3 - n4, n4 FROM a
-      ORDER BY stage"""
+      ORDER BY stage""",
+
+    "pipe_url_canonicalize" -> """
+      WITH u AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) ||
+               '://CDN' || (doc_id % 7) || '.Example.com' ||
+               (CASE WHEN doc_id % 3 = 0 THEN
+                       (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+                     WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END) ||
+               '/a/b' || (doc_id % 5) ||
+               (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+               (CASE WHEN doc_id % 2 = 0
+                     THEN '?utm_source=feed&b=2&a=' || (doc_id % 3)
+                     ELSE '?a=' || (doc_id % 3) || '&b=2&gclid=xyz' END) ||
+               (CASE WHEN doc_id % 5 = 0 THEN '#sec' || (doc_id % 3)
+                     ELSE '' END) AS url
+        FROM documents),
+      p1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS base FROM u),
+      p2 AS (SELECT doc_id,
+                    lower(regexp_extract(base, '^([A-Za-z]+)://', 1)) AS scheme,
+                    regexp_replace(base, '^[A-Za-z]+://', '') AS rest
+             FROM p1),
+      p3 AS (SELECT doc_id, scheme,
+                    coalesce(regexp_extract(rest, '^([^/?]+)', 1), '') AS hostport,
+                    regexp_replace(rest, '^[^/?]+', '') AS pathq
+             FROM p2),
+      p4 AS (SELECT doc_id, scheme,
+                    lower(regexp_extract(hostport, '^([^:]+)', 1)) AS host,
+                    coalesce(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS port,
+                    regexp_replace(coalesce(regexp_extract(pathq, '^([^?]*)', 1), ''),
+                                   '/+$', '') AS path,
+                    coalesce(regexp_extract(pathq, '\?(.*)$', 1), '') AS qs
+             FROM p3),
+      p5 AS (SELECT doc_id, scheme, host,
+                    CASE WHEN port = '' THEN ''
+                         WHEN scheme = 'https' AND port = '443' THEN ''
+                         WHEN scheme = 'http' AND port = '80' THEN ''
+                         ELSE ':' || port END AS kept_port,
+                    path,
+                    array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                      p -> p <> '' AND substr(p, 1, 4) <> 'utm_'
+                           AND substr(p, 1, 6) <> 'gclid='
+                           AND substr(p, 1, 7) <> 'fbclid=')), '&') AS q
+             FROM p4),
+      c AS (SELECT doc_id, host,
+                   scheme || '://' || host || kept_port || path ||
+                   (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical
+            FROM p5)
+      SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+             CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+             round(1.0 - CAST(count(DISTINCT canonical) AS DOUBLE) / count(*), 6)
+               AS dup_ratio,
+             min(canonical) AS sample_url
+      FROM c GROUP BY host ORDER BY host"""
   )
 }

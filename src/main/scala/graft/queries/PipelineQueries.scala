@@ -221,6 +221,37 @@ object PipelineQueries {
         .orderBy("new_id", "index_id")
     }),
 
+    // Index COMPACTION: build + two appends leave every bucket holding one
+    // file per ingest batch (the small-files problem a long-lived index
+    // accretes — thousands of batches means thousands of parquet footers
+    // per probe); DedupIndex.compact rewrites each bucket to ONE sorted
+    // file via a single clustered exchange OF THE INDEX (the corpus is
+    // never re-signed), preserving the exact bucket layout so the probe
+    // join stays exchange-free on the index side. Compaction is
+    // content-identical by construction: the index holds the same <8 docs
+    // as dedup_index_probe's, so the oracle is the SAME SQL — a compaction
+    // that lost, duplicated, or re-bucketed a row breaks the hash.
+    "dedup_index_compact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_dedup_index_c").toString
+      graft.operators.DedupIndex.build(
+        d.filter(pmod(col("doc_id"), lit(10)) < 4), "doc_id", "text",
+        graft.operators.DedupIndex.Spec(numHashes = 16, bands = 4,
+          buckets = 8), idx)
+      graft.operators.DedupIndex.append(
+        d.filter(pmod(col("doc_id"), lit(10)).between(4, 5)),
+        "doc_id", "text", idx)
+      graft.operators.DedupIndex.append(
+        d.filter(pmod(col("doc_id"), lit(10)).between(6, 7)),
+        "doc_id", "text", idx)
+      graft.operators.DedupIndex.compact(s, idx)
+      graft.operators.DedupIndex.probePairs(s, idx,
+          d.filter(pmod(col("doc_id"), lit(10)) >= 8),
+          "doc_id", "text", minEst = 0.5)
+        .orderBy("new_id", "index_id")
+    }),
+
     // Bloom-prefiltered EXACT incremental dedup: the arriving batch (last
     // 20% of doc ids, with every third doc carrying a PLANTED copy of a
     // corpus doc's text so the fixture actually exercises the drop path)
@@ -1725,6 +1756,36 @@ object PipelineQueries {
     // the batch against the first 80% — the index lifecycle adds no/loses
     // no pairs
     "dedup_index_probe" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      sh AS (SELECT doc_id,
+                    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   FOR i IN range(1, len(w) - 1)]) AS sh
+             FROM t),
+      base AS (SELECT doc_id, list_transform(sh, s -> ${h("s")} & 1073741823) AS bs
+               FROM sh),
+      sig AS (SELECT doc_id,
+                     [list_min(list_transform(bs, x ->
+                        (x * (2 * h + 1) + h * 40503) % 1073741789))
+                      FOR h IN range(0, 16)] AS sig
+              FROM base),
+      keyed AS (SELECT doc_id, sig, b,
+                       array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',') AS band_key
+                FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      pairs AS (SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+                FROM keyed n JOIN keyed i
+                  ON n.b = i.b AND n.band_key = i.band_key
+                WHERE n.doc_id % 10 >= 8 AND i.doc_id % 10 < 8),
+      est AS (SELECT new_id, index_id,
+                     len(list_filter([x.sig[i] = y.sig[i] FOR i IN range(1, 17)], v -> v)) / 16.0 AS est_jaccard
+              FROM pairs JOIN sig x ON pairs.new_id = x.doc_id
+                         JOIN sig y ON pairs.index_id = y.doc_id)
+      SELECT new_id, index_id, est_jaccard FROM est
+      WHERE est_jaccard >= 0.5 ORDER BY new_id, index_id""",
+
+    // compaction is layout-only: the index holds the identical <8 docs, so
+    // the oracle is dedup_index_probe's SQL verbatim (cf. dedup_bloom_sharded)
+    "dedup_index_compact" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
                  WHERE len(string_split(text, ' ')) >= 3),
       sh AS (SELECT doc_id,

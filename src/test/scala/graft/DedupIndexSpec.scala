@@ -142,6 +142,80 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "doc_id", "text")) == viaAbs)
   }
 
+  private def parquetFiles(dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+  }
+
+  test("compact: collapses each bucket to one file, probe identical, " +
+    "append lands in the new generation, second compact stacks") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_didx_c").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 4),
+      "doc_id", "text", spec, idx)
+    DedupIndex.append(docs.filter(pmod(col("doc_id"), lit(10)).between(4, 5)),
+      "doc_id", "text", idx)
+    DedupIndex.append(docs.filter(pmod(col("doc_id"), lit(10)).between(6, 7)),
+      "doc_id", "text", idx)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 9)
+    val before = sorted(
+      DedupIndex.probePairs(spark, idx, batch, "doc_id", "text"))
+    assert(before.nonEmpty, "fixture must produce candidate pairs")
+    val filesBefore = parquetFiles(s"$idx/bands")
+    assert(filesBefore.size > spec.buckets,
+      s"fixture must accrete small files (got ${filesBefore.size})")
+
+    DedupIndex.compact(spark, idx)
+    val filesAfter = parquetFiles(s"$idx/bands_g1")
+    assert(filesAfter.nonEmpty && filesAfter.size <= spec.buckets,
+      s"compaction must leave at most one file per bucket " +
+        s"(got ${filesAfter.size} for ${spec.buckets} buckets)")
+    assert(parquetFiles(s"$idx/bands").isEmpty,
+      "superseded generation was not GC'd")
+    assert(sorted(DedupIndex.probePairs(spark, idx, batch,
+      "doc_id", "text")) == before, "compaction changed probe results")
+
+    // append AFTER compaction must land in the generation-1 dir and be
+    // probe-identical to the in-session pairs over the widened corpus
+    DedupIndex.append(docs.filter(pmod(col("doc_id"), lit(10)) === 8),
+      "doc_id", "text", idx)
+    assert(parquetFiles(s"$idx/bands_g1").size > filesAfter.size,
+      "append after compact did not write into the new generation")
+    val widened = sorted(
+      DedupIndex.probePairs(spark, idx, batch, "doc_id", "text"))
+    assert(widened == sorted(Dedup.incrementalMinhashPairs(
+      batch, docs.filter(pmod(col("doc_id"), lit(10)) < 9),
+      "doc_id", "text", numHashes = 16, bands = 4, minEst = 0.5)))
+
+    // generations stack: a second compact moves to g2 and GCs g1
+    DedupIndex.compact(spark, idx)
+    assert(parquetFiles(s"$idx/bands_g2").nonEmpty &&
+      parquetFiles(s"$idx/bands_g1").isEmpty)
+    assert(sorted(DedupIndex.probePairs(spark, idx, batch,
+      "doc_id", "text")) == widened)
+
+    // the compacted scan is still BUCKETED (layout preserved, not just
+    // content): the probe join's index side must carry the bucket spec
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = DedupIndex.probePairs(spark, idx, batch, "doc_id", "text")
+        .queryExecution.executedPlan
+      val bucketedScans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.tableIdentifier.exists(_.table.startsWith("graft_dedup_idx_")) &&
+              s.metadata.get("Bucketed").contains("true") => s
+      }
+      assert(bucketedScans.size == 2,
+        s"expected 2 bucketed index scans after compact:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("probe join keeps the index side shuffle-free (bucketed scan, " +
     "no Exchange above it)") {
     val idx = java.nio.file.Files.createTempDirectory("graft_didx4").toString

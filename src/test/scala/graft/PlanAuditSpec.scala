@@ -274,6 +274,32 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fast.sameElements(naive))
   }
 
+  test("bucketed globalRunningMinExclusive ≡ naive exclusive prefix min " +
+    "(equivalence incl. null-first-row)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map(i => (i * 3L + (i % 7), rnd.nextInt(1000).toDouble))
+      .toDF("k", "v")
+    val fast = graft.operators.ScalableWindows
+      .globalRunningMinExclusive(rows, "k", 50L, "v", "pmin")
+      .select("k", "pmin").orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    val naive = rows.withColumn("pmin",
+        min(col("v")).over(org.apache.spark.sql.expressions.Window.orderBy("k")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .select("k", "pmin").orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(fast.sameElements(naive))
+    assert(fast.head._2.isEmpty, "globally first row must be null")
+  }
+
+  test("q_skyline: data-bearing windows are bucket-partitioned; the only " +
+    "global window runs over the per-bucket boundary aggregate") {
+    val df = graft.queries.AnalyticQueries.queries("q_skyline")(spark, dir)
+    val p = physical(df)
+    assert(p.contains("windowspecdefinition(__bkt"), p)
+  }
+
   test("PQ encode+reconstruct is one map stage: no Exchange, no Window") {
     val emb = Tables.load(spark, dir, "embeddings")
     val codebook = emb.filter(col("vec_id") < 8)
