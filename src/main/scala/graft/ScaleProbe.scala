@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *
   * Run: sbt "runMain graft.ScaleProbe" (env SPARK_GRAFT_SF_DIR to change SF).
   * Args select sections (default all): core | pq | bloom | didx | zorder |
-  * pii —
+  * pii | cmp —
   * re-measuring one new operator shouldn't cost a full-probe re-run.
   */
 object ScaleProbe {
@@ -358,6 +358,83 @@ object ScaleProbe {
         }
         println(f"$k%3d ${dk.count()}%8d $tBuild%13.2f $tProbe%13.2f $nPairs%12d $tSelf%11.2f $nSelf%11d")
         dk.unpersist(): Unit
+        Caches.drain()
+      }
+    }
+    // INDEX COMPACTION (round 13): a long-lived index accretes one file
+    // per append per touched bucket/label dir — the probe/search pays a
+    // parquet-footer open per file. Fragment the dedup index with 16
+    // ingest slices, measure the probe, compact (one clustered exchange of
+    // the INDEX, never the corpus), re-measure: pair/search results must
+    // be identical, file count must collapse to one per bucket (dedup) /
+    // per label dir (vector), and probe time must recover toward the
+    // single-build didx numbers above.
+    if (on("cmp")) {
+      println(f"${"k"}%3s ${"docs"}%8s ${"files_frag"}%11s ${"probe_frag_s"}%13s ${"files_cmp"}%10s ${"probe_cmp_s"}%12s ${"pairs"}%8s ${"vfiles_frag"}%12s ${"search_frag_s"}%14s ${"vfiles_cmp"}%11s ${"search_cmp_s"}%13s")
+      def filesUnder(p: String): Int = {
+        val base = java.nio.file.Paths.get(p)
+        val s = java.nio.file.Files.walk(base)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+        } finally s.close()
+      }
+      Seq(1, 4).foreach { k =>
+        val dk = replicate(k).cache()
+        dk.count()
+        val corpus = dk.filter(pmod(col("doc_id"), lit(10)) < 8)
+        val batch = dk.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        val slices = 16
+        val idxDir = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_cmp_$k").toString
+        operators.DedupIndex.build(
+          corpus.filter(pmod(col("doc_id"), lit(slices)) === 0),
+          "doc_id", "text",
+          operators.DedupIndex.Spec(numHashes = 16, bands = 4,
+            buckets = 8), idxDir)
+        (1 until slices).foreach(i => operators.DedupIndex.append(
+          corpus.filter(pmod(col("doc_id"), lit(slices)) === i),
+          "doc_id", "text", idxDir))
+        val fFrag = filesUnder(s"$idxDir/bands")
+        val (tFrag, nFrag) = time(
+          operators.DedupIndex.probePairs(spark, idxDir, batch,
+            "doc_id", "text", minEst = 0.5).count())
+        operators.DedupIndex.compact(spark, idxDir)
+        val fCmp = filesUnder(s"$idxDir/bands_g1")
+        val (tCmp, nCmp) = time(
+          operators.DedupIndex.probePairs(spark, idxDir, batch,
+            "doc_id", "text", minEst = 0.5).count())
+        require(nCmp == nFrag,
+          s"compaction changed probe pairs: $nFrag -> $nCmp")
+
+        // vector-index sibling: 16 streaming-shaped drops, then compact
+        val ek = replicateEmb(k).cache()
+        ek.count()
+        val codebook = Tables.load(spark, sfDir, "embeddings")
+          .filter(col("vec_id") < 8)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+        val vspec = operators.VectorIndex.Spec(numSub = 8,
+          dim = codebook.head._2.length, codebook = codebook)
+        val vDir = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_vcmp_$k").toString
+        operators.VectorIndex.build(
+          ek.filter(pmod(col("vec_id"), lit(slices)) === 0), vspec, vDir)
+        (1 until slices).foreach(i => operators.VectorIndex.append(
+          ek.filter(pmod(col("vec_id"), lit(slices)) === i), vDir))
+        val q = Tables.load(spark, sfDir, "embeddings")
+          .filter(col("vec_id") < 10)
+          .select(col("label"), col("vec_id").as("qid"),
+            col("embedding").as("qv"))
+        val vFrag = filesUnder(s"$vDir/postings")
+        val (tvFrag, _) = time(
+          operators.VectorIndex.searchTopK(spark, vDir, q, k = 3).count())
+        operators.VectorIndex.compact(spark, vDir)
+        val vCmp = filesUnder(s"$vDir/postings_g1")
+        val (tvCmp, _) = time(
+          operators.VectorIndex.searchTopK(spark, vDir, q, k = 3).count())
+        println(f"$k%3d ${dk.count()}%8d $fFrag%11d $tFrag%13.2f $fCmp%10d $tCmp%12.2f $nCmp%8d $vFrag%12d $tvFrag%14.2f $vCmp%11d $tvCmp%13.2f")
+        dk.unpersist(); ek.unpersist(): Unit
         Caches.drain()
       }
     }

@@ -36,16 +36,81 @@ object VectorIndex {
   def build(emb: DataFrame, spec: Spec, indexDir: String): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val prevGen = generation(spark, indexDir)
     emb.select(col("label"), col("vec_id"),
       Similarity.pqAssign(col("embedding"), spec.codebook, spec.numSub)
         .as("codes"))
       .write.partitionBy("label").mode("overwrite")
-      .parquet(s"$indexDir/postings")
+      .parquet(postingsDir(indexDir, 0))
+    // a rebuild restarts the lineage at gen 0 (flip AFTER the data lands:
+    // a crash mid-build leaves the prior generation readable)
+    if (prevGen != 0) {
+      writeGeneration(spark, indexDir, 0)
+      try { val p = new org.apache.hadoop.fs.Path(
+          postingsDir(indexDir, prevGen))
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true); () }
+      catch { case _: Exception => () }
+    }
     spec.codebook.toSeq
       .map { case (id, cw) => (spec.numSub, spec.dim, id, cw.toSeq) }
       .toDF("num_sub", "dim", "entry_id", "codeword")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** generation-addressed posting dirs: gen 0 is the original `postings`
+    * layout; each [[compact]] writes generation N+1 into a fresh
+    * `postings_gN+1` dir and flips the `gen` pointer — the single commit
+    * point — so a reader never observes a half-rewritten index */
+  private def postingsDir(indexDir: String, gen: Int): String =
+    if (gen == 0) s"$indexDir/postings" else s"$indexDir/postings_g$gen"
+
+  private def generation(spark: SparkSession, indexDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/gen")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0 // pre-compaction indexes have no pointer file
+    else spark.read.parquet(p.toString).collect().head.getInt(0)
+  }
+
+  private def writeGeneration(spark: SparkSession, indexDir: String,
+                              gen: Int): Unit = {
+    import spark.implicits._
+    Seq(gen).toDF("generation").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/gen")
+  }
+
+  /** COMPACTION: rewrite the posting lists to ONE file per label
+    * directory — the small-files answer for a long-lived vector index.
+    * Every [[append]] (and every streaming-ingest micro-batch) adds one
+    * file per touched label dir, so after thousands of embedding drops a
+    * probe opens thousands of parquet footers per probed cluster;
+    * compaction collapses each label back to a single file while
+    * preserving the hive layout (directory pruning — the static
+    * `label IN (probed)` filter — keeps working unchanged).
+    *
+    * Cost: ONE hash exchange of the CODES (8-byte PQ codes, 32× smaller
+    * than the float corpus — the embeddings are never re-read or
+    * re-encoded): `repartition(col("label"))` puts each label's rows
+    * wholly in one task, so the partitioned write emits exactly one file
+    * per label whatever the task count. Same crash-safe generation flip
+    * as `DedupIndex.compact`: the rewrite lands in `postings_gN+1`, the
+    * `gen` pointer write commits it, the old dir is GC'd best-effort. */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    val gen = generation(spark, indexDir)
+    val newGen = gen + 1
+    val dir = postingsDir(indexDir, newGen)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true) // failed prior try
+    spark.read.parquet(postingsDir(indexDir, gen))
+      .repartition(col("label"))
+      .sortWithinPartitions("label", "vec_id")
+      .write.partitionBy("label").mode("overwrite").parquet(dir)
+    writeGeneration(spark, indexDir, newGen) // COMMIT POINT
+    try { fs.delete(new org.apache.hadoop.fs.Path(
+      postingsDir(indexDir, gen)), true); () }
+    catch { case _: Exception => () }
   }
 
   /** INCREMENTAL append — the ANN analog of `dedup_incremental`: encode
@@ -68,7 +133,7 @@ object VectorIndex {
       Similarity.pqAssign(col("embedding"), spec.codebook, spec.numSub)
         .as("codes"))
       .write.partitionBy("label").mode("append")
-      .parquet(s"$indexDir/postings")
+      .parquet(postingsDir(indexDir, generation(spark, indexDir)))
   }
 
   def loadSpec(spark: SparkSession, indexDir: String): Spec = {
@@ -176,7 +241,8 @@ object VectorIndex {
           .drop("probe")
       }
     val labels = probes.select("label").distinct().collect().map(_.get(0))
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    val postings = spark.read.parquet(
+      postingsDir(indexDir, generation(spark, indexDir)))
     val pruned =
       if (labels.isEmpty) postings.filter(lit(false))
       else postings.filter(col("label").isin(labels: _*))

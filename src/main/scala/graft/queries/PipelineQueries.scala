@@ -984,6 +984,41 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Vector-index COMPACTION: build + two appends leave one file per
+    // ingest batch in every touched label dir (the streaming gate adds one
+    // per micro-batch — thousands of parquet footers per probed cluster
+    // after a day of drops); VectorIndex.compact rewrites each label to
+    // ONE file by shuffling only the 8-byte PQ CODES (embeddings never
+    // re-read or re-encoded), generation-flipped like DedupIndex.compact.
+    // A post-compact append must route into the new generation — the
+    // final index holds every vector, identical to ann_index_append's, so
+    // the oracle is the SAME SQL: a compaction that lost a posting file,
+    // dropped a label dir, or stranded the append in a dead generation
+    // breaks the hash.
+    "ann_index_compact" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val codebook = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val spec = graft.operators.VectorIndex.Spec(numSub = 8,
+        dim = codebook.head._2.length, codebook = codebook)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_compact_vidx").toString
+      graft.operators.VectorIndex.build(
+        e.filter(pmod(col("vec_id"), lit(4)) === 0), spec, idx)
+      graft.operators.VectorIndex.append(
+        e.filter(pmod(col("vec_id"), lit(4)) === 1), idx)
+      graft.operators.VectorIndex.append(
+        e.filter(pmod(col("vec_id"), lit(4)) === 2), idx)
+      graft.operators.VectorIndex.compact(s, idx)
+      graft.operators.VectorIndex.append(
+        e.filter(pmod(col("vec_id"), lit(4)) === 3), idx)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.VectorIndex.searchTopK(s, idx, q, k = 3)
+        .orderBy("qid", "rank")
+    }),
+
     // the STREAMING ingestion gate's lifecycle under the oracle: the first
     // call BOOTSTRAPS the index (frozen PQ codebook + persisted coarse
     // centroids), the second APPENDS under the PERSISTED quantizer —
@@ -2513,6 +2548,26 @@ object PipelineQueries {
     // append is exact: built-then-appended postings ≡ fresh full-corpus
     // encode, so the oracle is ann_ivfpq's query verbatim
     "ann_index_append" -> s"""
+      WITH $pqReconCte,
+      q AS (SELECT label, vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id < 10),
+      scored AS (
+        SELECT q.qid, r.vec_id, round(${cos("q.qv", "r.rv")}, 6) AS pq_cos
+        FROM recon r JOIN embeddings e ON r.vec_id = e.vec_id
+                     JOIN q ON e.label = q.label
+        WHERE r.vec_id <> q.qid),
+      ranked AS (
+        SELECT qid, vec_id, pq_cos,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY pq_cos DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT qid, rank, vec_id, pq_cos FROM ranked WHERE rank <= 3
+      ORDER BY qid, rank""",
+
+    // compaction is layout-only and the post-compact append completes the
+    // corpus: the index holds every vector, so the oracle is
+    // ann_index_append's SQL verbatim (cf. dedup_index_compact)
+    "ann_index_compact" -> s"""
       WITH $pqReconCte,
       q AS (SELECT label, vec_id AS qid, embedding AS qv FROM embeddings
             WHERE vec_id < 10),

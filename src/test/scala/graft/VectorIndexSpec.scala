@@ -236,4 +236,63 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("qid", "rank").collect().map(_.toString)
     assert(a.nonEmpty && a.sameElements(f))
   }
+
+  test("compact: one file per label dir, search identical, post-compact " +
+    "append routes into the new generation, second compact stacks") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val codebook = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val spec = VectorIndex.Spec(numSub = 8,
+      dim = codebook.head._2.length, codebook = codebook)
+    val idx = java.nio.file.Files.createTempDirectory("graft_vi_cmp").toString
+    VectorIndex.build(emb.filter(pmod(col("vec_id"), lit(4)) === 0), spec, idx)
+    VectorIndex.append(emb.filter(pmod(col("vec_id"), lit(4)) === 1), idx)
+    VectorIndex.append(emb.filter(pmod(col("vec_id"), lit(4)) === 2), idx)
+
+    def labelFiles(p: String): Map[String, Int] = {
+      val base = new java.io.File(p)
+      if (!base.exists()) Map.empty
+      else base.listFiles().filter(_.getName.startsWith("label="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val before = labelFiles(s"$idx/postings")
+    assert(before.values.max > 1,
+      s"fixture must accrete multiple files per label dir: $before")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"))
+    val preSearch = VectorIndex.searchTopK(spark, idx, queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+
+    VectorIndex.compact(spark, idx)
+    val afterG1 = labelFiles(s"$idx/postings_g1")
+    assert(afterG1.nonEmpty && afterG1.values.max == 1,
+      s"compaction must leave exactly one file per label dir: $afterG1")
+    assert(afterG1.keySet == before.keySet, "compaction dropped a label dir")
+    assert(labelFiles(s"$idx/postings").isEmpty,
+      "superseded generation was not GC'd")
+    assert(VectorIndex.searchTopK(spark, idx, queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+      .sameElements(preSearch), "compaction changed search results")
+
+    // post-compact append lands in generation 1, and the completed corpus
+    // serves the same answers as a fresh full build
+    VectorIndex.append(emb.filter(pmod(col("vec_id"), lit(4)) === 3), idx)
+    assert(labelFiles(s"$idx/postings_g1").values.max == 2,
+      "append after compact did not write into the new generation")
+    val idxFull = java.nio.file.Files.createTempDirectory("graft_vi_cmpf").toString
+    VectorIndex.build(emb, spec, idxFull)
+    val got = VectorIndex.searchTopK(spark, idx, queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+    assert(got.sameElements(VectorIndex.searchTopK(spark, idxFull, queries,
+      k = 3).orderBy("qid", "rank").collect().map(_.toString)))
+
+    // generations stack: second compact moves to g2 and GCs g1
+    VectorIndex.compact(spark, idx)
+    assert(labelFiles(s"$idx/postings_g2").values.max == 1 &&
+      labelFiles(s"$idx/postings_g1").isEmpty)
+    assert(VectorIndex.searchTopK(spark, idx, queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString).sameElements(got))
+  }
 }
