@@ -299,6 +299,24 @@ object DedupIndex {
       .saveAsTable(sigsTable(sig.sparkSession, indexDir))
   }
 
+  /** max band files in any single bucket of the LIVE generation — the
+    * fragmentation signal an auto-compaction policy thresholds on (one
+    * directory listing, no data read). Bucketed files carry their bucket
+    * id as the `_NNNNN` filename suffix. */
+  def maxFilesPerBucket(spark: SparkSession, indexDir: String): Int = {
+    val (_, gen) = loadMeta(spark, indexDir)
+    val dir = new org.apache.hadoop.fs.Path(dataDir(indexDir, "bands", gen))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) 0
+    else {
+      val bucketOf = "_(\\d{5})\\.".r
+      fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.endsWith(".parquet"))
+        .flatMap(n => bucketOf.findFirstMatchIn(n).map(_.group(1)))
+        .groupBy(identity).values.foldLeft(0)((m, g) => math.max(m, g.size))
+    }
+  }
+
   /** Probe an arriving batch against the persisted index: band-key join →
     * distinct candidate pairs → signature-agreement estimate ≥ `minEst`.
     * Row-identical to [[Dedup.incrementalMinhashPairs]](batch, corpus) for

@@ -113,6 +113,20 @@ object VectorIndex {
     catch { case _: Exception => () }
   }
 
+  /** max posting files in any single label dir of the LIVE generation —
+    * the fragmentation signal an auto-compaction policy thresholds on
+    * (one directory listing, no data read) */
+  def maxFilesPerLabel(spark: SparkSession, indexDir: String): Int = {
+    val dir = new org.apache.hadoop.fs.Path(
+      postingsDir(indexDir, generation(spark, indexDir)))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).filter(_.isDirectory).foldLeft(0) { (m, d) =>
+      math.max(m, fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")))
+    }
+  }
+
   /** INCREMENTAL append — the ANN analog of `dedup_incremental`: encode
     * ONLY the new vectors with the index's stored codebook and append
     * their codes into the existing label-partitioned posting lists. No

@@ -49,11 +49,17 @@ object StreamingDedup {
     * index survives session restarts via catalog DDL. Requires a numeric
     * id column (the index stores LONG ids); the plain-parquet mode stays
     * fully type-generic. */
+  /** `compactThreshold` > 0 auto-compacts the bucketed index once any
+    * bucket accretes more than that many band files (one dir listing per
+    * batch; compaction itself is [[DedupIndex.compact]] — content-neutral,
+    * so the dedup decision stream is unaffected). 0 disables; ignored in
+    * plain-parquet mode. */
   final case class Config(indexDir: String, outDir: String,
                           idCol: String = "doc_id", textCol: String = "text",
                           numHashes: Int = 16, bands: Int = 4,
                           minEst: Double = 0.5,
-                          bucketed: Boolean = false, buckets: Int = 8)
+                          bucketed: Boolean = false, buckets: Int = 8,
+                          compactThreshold: Int = 0)
 
   private def estJaccard(numHashes: Int) =
     expr("CAST(size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) AS DOUBLE)" +
@@ -147,6 +153,14 @@ object StreamingDedup {
       }
       sig.unpersist()
       BatchMarker.record(spark, cfg.indexDir, batchId)
+      // auto-compaction AFTER the marker: compaction is content-neutral
+      // and restartable, so a crash mid-compact can never re-append the
+      // batch — the orphan generation dir is overwritten on the next
+      // trigger
+      if (cfg.bucketed && cfg.compactThreshold > 0 &&
+          DedupIndex.maxFilesPerBucket(spark, cfg.indexDir) >
+            cfg.compactThreshold)
+        DedupIndex.compact(spark, cfg.indexDir)
     } finally b.unpersist()
   }
 

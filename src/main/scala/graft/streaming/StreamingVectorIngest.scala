@@ -42,12 +42,17 @@ object StreamingVectorIngest {
     * the index exists the PERSISTED quantizer wins (config copies are
     * ignored — a restart with different training cannot silently fork the
     * encoding). */
+  /** `compactThreshold` > 0 auto-compacts the posting lists once any
+    * label dir accretes more than that many files (one dir listing per
+    * batch; compaction is [[VectorIndex.compact]] — content-neutral, so
+    * search answers are unaffected). 0 disables. */
   final case class Config(indexDir: String,
                           numSub: Int, dim: Int,
                           codebook: Array[(Long, Array[Float])],
                           centroids: Array[(Long, Array[Float])],
                           idCol: String = "vec_id",
-                          vecCol: String = "embedding")
+                          vecCol: String = "embedding",
+                          compactThreshold: Int = 0)
 
   /** the foreachBatch handler: `.writeStream.foreachBatch(
     *   StreamingVectorIngest.ingest(cfg) _)` */
@@ -81,6 +86,13 @@ object StreamingVectorIngest {
         VectorIndex.Spec(cfg.numSub, cfg.dim, cfg.codebook), cfg.indexDir)
     } else VectorIndex.append(labeled, cfg.indexDir)
     BatchMarker.record(spark, cfg.indexDir, batchId)
+    // auto-compaction AFTER the marker: compaction is content-neutral and
+    // restartable, so a crash mid-compact can never re-append the batch —
+    // the orphan generation dir is overwritten on the next trigger
+    if (cfg.compactThreshold > 0 &&
+        VectorIndex.maxFilesPerLabel(spark, cfg.indexDir) >
+          cfg.compactThreshold)
+      VectorIndex.compact(spark, cfg.indexDir)
   }
 
   private def centroidsExist(spark: SparkSession,

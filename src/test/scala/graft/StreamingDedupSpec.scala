@@ -114,6 +114,34 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probed == Set(12L), probed)
   }
 
+  test("compactThreshold: the bucketed gate auto-compacts once a bucket " +
+    "exceeds the file budget; drop decisions and probes unchanged") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sdedup_cmp").toString
+    val cfg = StreamingDedup.Config(s"$root/index", s"$root/out",
+      bucketed = true, buckets = 4, compactThreshold = 2)
+    val seeds = Seq("alpha", "beta", "gamma", "delta", "epsil", "zeta",
+      "eta", "theta")
+    // 8 batches of distinct docs: every batch appends into the same hot
+    // buckets, so without compaction some bucket would hold 8 files
+    seeds.zipWithIndex.foreach { case (s, i) =>
+      StreamingDedup.ingest(cfg)(
+        Seq(SDoc(100L + i, words(s))).toDF(), i.toLong)
+    }
+    assert(graft.operators.DedupIndex
+      .maxFilesPerBucket(spark, cfg.indexDir) <= cfg.compactThreshold + 1,
+      "auto-compaction did not bound per-bucket file count")
+    // all 8 distinct docs survived and remain probe-able post-compaction
+    val out = spark.read.parquet(cfg.outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == (0 until 8).map(100L + _).toSet, out)
+    val probed = graft.operators.DedupIndex.probePairs(spark, cfg.indexDir,
+        Seq(SDoc(200, words("zeta"))).toDF(), "doc_id", "text")
+      .select("index_id").collect().map(_.getLong(0)).toSet
+    assert(probed == Set(105L), probed)
+  }
+
   test("replayed batchIds are a no-op: redelivery cannot re-append " +
     "survivors to outDir or the index") {
     import spark.implicits._

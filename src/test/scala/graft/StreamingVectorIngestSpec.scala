@@ -177,4 +177,42 @@ class StreamingVectorIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
       VectorIndex.Spec(8, codebook.head._2.length, codebook), ref)
     assert(postings(cfg.indexDir) == postings(ref))
   }
+
+  test("compactThreshold: the gate auto-compacts once a label dir " +
+    "exceeds the file budget; search answers unchanged") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_svi_cmp").toString
+    val cfg = cfgFor(s"$root/index").copy(compactThreshold = 2)
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[SVec].collect().toSeq
+    // 6 micro-batches: without compaction the hot label dirs would hold
+    // 6 files; the gate must keep every label dir at <= threshold + 1
+    // (one batch may land before the listing triggers)
+    (0 until 6).foreach { i =>
+      StreamingVectorIngest.ingest(cfg)(
+        rows.filter(_.vec_id % 6 == i).toDF(), i.toLong)
+    }
+    assert(VectorIndex.maxFilesPerLabel(spark, cfg.indexDir) <=
+      cfg.compactThreshold + 1,
+      "auto-compaction did not bound per-label file count")
+    // at least one compaction actually happened (generation advanced)
+    assert(new java.io.File(s"${cfg.indexDir}/gen").exists(),
+      "no generation pointer: compaction never fired")
+    // and the gate's index still equals the one-shot build
+    val ref = s"$root/ref"
+    VectorIndex.build(
+      VectorIndex.assignLabels(emb.select(col("vec_id"), col("embedding")),
+        centroids),
+      VectorIndex.Spec(8, codebook.head._2.length, codebook), ref)
+    // query labels must match the gate's computed assignment
+    val qGate = VectorIndex.assignLabels(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding")), centroids)
+      .select(col("label"), col("vec_id").as("qid"),
+        col("embedding").as("qv"))
+    assert(VectorIndex.searchTopK(spark, cfg.indexDir, qGate, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+      .sameElements(VectorIndex.searchTopK(spark, ref, qGate, k = 3)
+        .orderBy("qid", "rank").collect().map(_.toString)))
+  }
 }
