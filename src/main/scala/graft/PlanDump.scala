@@ -83,7 +83,13 @@ object PlanDump {
       "embed_pca_power" ->
         "PCA projection: the power-iterated eigenvector is a plan literal — cosine scoring is map-side codegen'd fold work; top-10 via TakeOrderedAndProject",
       "text_kneser_ney" ->
-        "Kneser-Ney scoring: bigram stats shuffle on near-unique (w1,w2) keys; ctx / continuation / totals tables are vocabulary-bounded broadcasts; per-doc log-sums DECIMAL-exact")
+        "Kneser-Ney scoring: bigram stats shuffle on near-unique (w1,w2) keys; the O(vocabulary) ctx/continuation lookups ride the Zipf skew-split (head broadcast, rare tail shuffled) over ONE cached bigram base; per-doc log-sums DECIMAL-exact",
+      "q_skyline" ->
+        "skyline (Pareto frontier): exclusive global prefix-min via the bucketed two-pass — dominance resolved without the quadratic self-join the oracle uses and without a single-task global sort",
+      "pipe_url_canonicalize" ->
+        "URL canonicalization + dedup: parse/normalize/param-sort is pure map-side string+array expression work; the only shuffle is the per-host rollup",
+      "dedup_index_compact" ->
+        "probe after index compaction: the rewritten one-file-per-bucket tables still carry the bucket layout, so the candidate join stays exchange-free on the index side — compaction changes files, never the plan shape")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of showcase queries\n\n")
