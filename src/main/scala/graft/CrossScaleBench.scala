@@ -27,13 +27,16 @@ object CrossScaleBench {
 
   /** the 15 slowest non-trivial queries of the committed round-11 sf0.1
     * artifact (bench_full_sf0.1.json), fixture builders included — they
-    * are real pipeline stages and scale with the corpus */
+    * are real pipeline stages and scale with the corpus — plus the
+    * round-13 index-compaction lifecycles (build + appends + compact +
+    * probe/search: the rewrite must stay O(index), so its 10× ratio is a
+    * scale property worth pinning) */
   val DefaultQueries: Seq[String] = Seq(
     "dedup_index_fixture", "dedup_index_probe", "dedup_lsh_sweep",
     "dedup_keep_one", "text_kneser_ney", "pipe_end2end", "dedup_centrality",
     "dedup_cluster_sizes", "dedup_components", "pipe_leakfree_split",
     "ann_index_ingest", "pipe_bpe_apply", "dedup_winnow", "dedup_span_scrub",
-    "nats_avro_extract")
+    "nats_avro_extract", "dedup_index_compact", "ann_index_compact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

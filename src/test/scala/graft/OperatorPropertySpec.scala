@@ -312,4 +312,46 @@ class OperatorPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(count).sum else 1
     assert(count(new java.io.File(ckpt)) > 0, "no reliable checkpoint files written")
   }
+
+  test("DedupIndex: build+appends with a compact ANYWHERE in the lifecycle " +
+    "probes identically to one build over the union (random slicing/buckets)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val gen = for {
+      nSlices <- Gen.choose(2, 5)
+      buckets <- Gen.oneOf(2, 4, 8)
+      compactAfter <- Gen.choose(0, nSlices - 1) // slice index to compact after
+      doubleCompact <- Gen.oneOf(true, false)
+    } yield (nSlices, buckets, compactAfter, doubleCompact)
+    val spec0 = operators.DedupIndex.Spec(numHashes = 16, bands = 4, buckets = 4)
+    val refIdx = java.nio.file.Files
+      .createTempDirectory("graft_prop_ref").toString
+    operators.DedupIndex.build(corpus, "doc_id", "text", spec0, refIdx)
+    val ref = operators.DedupIndex
+      .probePairs(spark, refIdx, batch, "doc_id", "text", minEst = 0.5)
+      .orderBy("new_id", "index_id").collect().toSeq
+    assert(ref.nonEmpty)
+    forAll(gen, n = 5) { case (nSlices, buckets, compactAfter, doubleCompact) =>
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_prop_cmp").toString
+      def slice(i: Int) =
+        corpus.filter(pmod(expr("doc_id div 10"), lit(nSlices)) === i)
+      operators.DedupIndex.build(slice(0), "doc_id", "text",
+        spec0.copy(buckets = buckets), idx)
+      (1 until nSlices).foreach { i =>
+        operators.DedupIndex.append(slice(i), "doc_id", "text", idx)
+        if (i == compactAfter) operators.DedupIndex.compact(spark, idx)
+      }
+      if (compactAfter == 0 || doubleCompact)
+        operators.DedupIndex.compact(spark, idx)
+      val got = operators.DedupIndex
+        .probePairs(spark, idx, batch, "doc_id", "text", minEst = 0.5)
+        .orderBy("new_id", "index_id").collect().toSeq
+      assert(got == ref,
+        s"nSlices=$nSlices buckets=$buckets compactAfter=$compactAfter " +
+          s"doubleCompact=$doubleCompact: ${got.size} vs ${ref.size} pairs")
+    }
+  }
 }
