@@ -212,7 +212,34 @@ object DedupIndex {
     * generation live (orphan gN dirs are overwritten by the next
     * attempt); a crash after it leaves the new generation live with
     * orphan old dirs — deleted best-effort at the end here. */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    rewriteGeneration(spark, indexDir, identity)
+
+  /** REMOVE documents from the index — the right-to-be-forgotten /
+    * rolling-window half of the lifecycle (a training pipeline that must
+    * drop a revoked source cannot re-sign a 100 TB corpus to do it). The
+    * ids arrive as a DataFrame (arbitrarily large: the filter is a
+    * distributed LEFT ANTI join, never a collected set) and BOTH
+    * relations are rewritten without them through the same generation
+    * flip as [[compact]] — so a remove also compacts, and the bucket
+    * layout survives (probe joins stay exchange-free). `probePairs`
+    * after `remove(ids)` is row-identical to an index never containing
+    * them (`DedupIndexSpec` + the lifecycle property test). */
+  def remove(spark: SparkSession, indexDir: String, ids: DataFrame,
+             idCol: String): Unit = {
+    val drop = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    rewriteGeneration(spark, indexDir,
+      df => df.join(drop, Seq("doc_id"), "left_anti"))
+  }
+
+  /** Rewrite both relations into generation N+1 (one clustered exchange
+    * of the INDEX — the corpus is never re-read or re-signed), flip meta
+    * as the single commit point, GC the old generation best-effort.
+    * Single-writer, like append: concurrent maintenance calls on one
+    * index dir race the meta flip. `transform` filters/rewrites rows
+    * (identity = pure compaction); both relations carry `doc_id`. */
+  private def rewriteGeneration(spark: SparkSession, indexDir: String,
+                                transform: DataFrame => DataFrame): Unit = {
     ensureRegistered(spark, indexDir)
     val (spec, gen) = loadMeta(spark, indexDir)
     val newGen = gen + 1
@@ -233,7 +260,7 @@ object DedupIndex {
       // buckets). pmod(hash(col), n) is the writer's own bucket-id
       // function (murmur3), is not elidable, and puts each bucket's rows
       // wholly in one task → exactly one file per non-empty bucket.
-      spark.table(from)
+      transform(spark.table(from))
         .repartition(spec.buckets,
           pmod(hash(col(bucketCol)), lit(spec.buckets)))
         .write.format("parquet")

@@ -96,14 +96,35 @@ object VectorIndex {
     * per label whatever the task count. Same crash-safe generation flip
     * as `DedupIndex.compact`: the rewrite lands in `postings_gN+1`, the
     * `gen` pointer write commits it, the old dir is GC'd best-effort. */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    rewriteGeneration(spark, indexDir, identity)
+
+  /** REMOVE vectors from the index — the deletion half of the lifecycle
+    * (a revoked source's embeddings must leave the search surface without
+    * re-encoding the corpus). The ids arrive as a DataFrame (arbitrarily
+    * large: a distributed LEFT ANTI join, never a collected set); the
+    * posting lists are rewritten without them through the same generation
+    * flip as [[compact]] — a remove also compacts, and the hive layout
+    * (directory pruning) survives. `searchTopK` after `remove(ids)` is
+    * row-identical to an index never containing them. */
+  def remove(spark: SparkSession, indexDir: String, ids: DataFrame,
+             idCol: String = "vec_id"): Unit = {
+    val drop = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+    rewriteGeneration(spark, indexDir,
+      df => df.join(drop, Seq("vec_id"), "left_anti"))
+  }
+
+  /** single-writer, like append: concurrent maintenance calls on one
+    * index dir race the `gen` flip */
+  private def rewriteGeneration(spark: SparkSession, indexDir: String,
+                                transform: DataFrame => DataFrame): Unit = {
     val gen = generation(spark, indexDir)
     val newGen = gen + 1
     val dir = postingsDir(indexDir, newGen)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(dir), true) // failed prior try
-    spark.read.parquet(postingsDir(indexDir, gen))
+    transform(spark.read.parquet(postingsDir(indexDir, gen)))
       .repartition(col("label"))
       .sortWithinPartitions("label", "vec_id")
       .write.partitionBy("label").mode("overwrite").parquet(dir)
@@ -255,8 +276,21 @@ object VectorIndex {
           .drop("probe")
       }
     val labels = probes.select("label").distinct().collect().map(_.get(0))
-    val postings = spark.read.parquet(
-      postingsDir(indexDir, generation(spark, indexDir)))
+    // a remove() that emptied the index leaves a dir with no parquet
+    // files — no schema to infer, but the contract is "no candidates",
+    // not an error
+    val postings =
+      try spark.read.parquet(
+        postingsDir(indexDir, generation(spark, indexDir)))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          import org.apache.spark.sql.types._
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("label", IntegerType),
+              StructField("vec_id", LongType),
+              StructField("codes", ArrayType(LongType)))))
+      }
     val pruned =
       if (labels.isEmpty) postings.filter(lit(false))
       else postings.filter(col("label").isin(labels: _*))

@@ -252,6 +252,35 @@ object PipelineQueries {
         .orderBy("new_id", "index_id")
     }),
 
+    // Index DELETION (right-to-be-forgotten / rolling-window retention):
+    // the index is built over docs <8, then every doc with id%10 in {6,7}
+    // is REMOVED — a distributed anti-join rewrite through the same
+    // generation flip as compaction (a remove also compacts; the corpus
+    // is never re-signed). The probe must behave as if the removed docs
+    // were never indexed, so the oracle is dedup_index_probe's SQL with
+    // the index side restricted to <6 — a remove that left a band row
+    // behind, dropped a survivor, or broke the bucket layout breaks the
+    // hash.
+    "dedup_index_remove" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_dedup_index_rm").toString
+      graft.operators.DedupIndex.build(
+        d.filter(pmod(col("doc_id"), lit(10)) < 6), "doc_id", "text",
+        graft.operators.DedupIndex.Spec(numHashes = 16, bands = 4,
+          buckets = 8), idx)
+      graft.operators.DedupIndex.append(
+        d.filter(pmod(col("doc_id"), lit(10)).between(6, 7)),
+        "doc_id", "text", idx)
+      graft.operators.DedupIndex.remove(s, idx,
+        d.filter(pmod(col("doc_id"), lit(10)).between(6, 7))
+          .select("doc_id"), "doc_id")
+      graft.operators.DedupIndex.probePairs(s, idx,
+          d.filter(pmod(col("doc_id"), lit(10)) >= 8),
+          "doc_id", "text", minEst = 0.5)
+        .orderBy("new_id", "index_id")
+    }),
+
     // Bloom-prefiltered EXACT incremental dedup: the arriving batch (last
     // 20% of doc ids, with every third doc carrying a PLANTED copy of a
     // corpus doc's text so the fixture actually exercises the drop path)
@@ -1013,6 +1042,31 @@ object PipelineQueries {
       graft.operators.VectorIndex.compact(s, idx)
       graft.operators.VectorIndex.append(
         e.filter(pmod(col("vec_id"), lit(4)) === 3), idx)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.VectorIndex.searchTopK(s, idx, q, k = 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // Vector DELETION: a revoked source's embeddings leave the search
+    // surface via a distributed anti-join rewrite of the posting lists
+    // (same generation flip as compaction; the corpus is never
+    // re-encoded). Search must behave as if the removed vectors were
+    // never indexed — the oracle excludes vec_id%4==3 from the candidate
+    // side; a remove that left a posting behind or dropped a survivor
+    // changes the top-3 and breaks the hash.
+    "ann_index_remove" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val codebook = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val spec = graft.operators.VectorIndex.Spec(numSub = 8,
+        dim = codebook.head._2.length, codebook = codebook)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_remove_vidx").toString
+      graft.operators.VectorIndex.build(e, spec, idx)
+      graft.operators.VectorIndex.remove(s, idx,
+        e.filter(pmod(col("vec_id"), lit(4)) === 3).select("vec_id"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"))
       graft.operators.VectorIndex.searchTopK(s, idx, q, k = 3)
@@ -2564,6 +2618,37 @@ object PipelineQueries {
       SELECT qid, rank, vec_id, pq_cos FROM ranked WHERE rank <= 3
       ORDER BY qid, rank""",
 
+    // removal must behave as if the dropped docs were never indexed: the
+    // probe oracle restricts the INDEX side to % 10 < 6 (the <8 corpus
+    // minus the removed {6,7} slice)
+    "dedup_index_remove" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      sh AS (SELECT doc_id,
+                    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   FOR i IN range(1, len(w) - 1)]) AS sh
+             FROM t),
+      base AS (SELECT doc_id, list_transform(sh, s -> ${h("s")} & 1073741823) AS bs
+               FROM sh),
+      sig AS (SELECT doc_id,
+                     [list_min(list_transform(bs, x ->
+                        (x * (2 * h + 1) + h * 40503) % 1073741789))
+                      FOR h IN range(0, 16)] AS sig
+              FROM base),
+      keyed AS (SELECT doc_id, sig, b,
+                       array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',') AS band_key
+                FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      pairs AS (SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+                FROM keyed n JOIN keyed i
+                  ON n.b = i.b AND n.band_key = i.band_key
+                WHERE n.doc_id % 10 >= 8 AND i.doc_id % 10 < 6),
+      est AS (SELECT new_id, index_id,
+                     len(list_filter([x.sig[i] = y.sig[i] FOR i IN range(1, 17)], v -> v)) / 16.0 AS est_jaccard
+              FROM pairs JOIN sig x ON pairs.new_id = x.doc_id
+                         JOIN sig y ON pairs.index_id = y.doc_id)
+      SELECT new_id, index_id, est_jaccard FROM est
+      WHERE est_jaccard >= 0.5 ORDER BY new_id, index_id""",
+
     // compaction is layout-only and the post-compact append completes the
     // corpus: the index holds every vector, so the oracle is
     // ann_index_append's SQL verbatim (cf. dedup_index_compact)
@@ -2576,6 +2661,25 @@ object PipelineQueries {
         FROM recon r JOIN embeddings e ON r.vec_id = e.vec_id
                      JOIN q ON e.label = q.label
         WHERE r.vec_id <> q.qid),
+      ranked AS (
+        SELECT qid, vec_id, pq_cos,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY pq_cos DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT qid, rank, vec_id, pq_cos FROM ranked WHERE rank <= 3
+      ORDER BY qid, rank""",
+
+    // removal must behave as if the dropped vectors were never indexed:
+    // the candidate side excludes vec_id % 4 == 3
+    "ann_index_remove" -> s"""
+      WITH $pqReconCte,
+      q AS (SELECT label, vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id < 10),
+      scored AS (
+        SELECT q.qid, r.vec_id, round(${cos("q.qv", "r.rv")}, 6) AS pq_cos
+        FROM recon r JOIN embeddings e ON r.vec_id = e.vec_id
+                     JOIN q ON e.label = q.label
+        WHERE r.vec_id <> q.qid AND r.vec_id % 4 <> 3),
       ranked AS (
         SELECT qid, vec_id, pq_cos,
                CAST(row_number() OVER (PARTITION BY qid

@@ -216,6 +216,47 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("remove: probes as if the docs were never indexed, ids gone from " +
+    "both relations, layout preserved, append-after-remove works") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_didx_rm").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 6),
+      "doc_id", "text", spec, idx)
+    DedupIndex.append(docs.filter(pmod(col("doc_id"), lit(10)).between(6, 7)),
+      "doc_id", "text", idx)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    DedupIndex.remove(spark, idx,
+      docs.filter(pmod(col("doc_id"), lit(10)).between(6, 7))
+        .select("doc_id"), "doc_id")
+
+    // row-identical to an index that never contained the removed slice
+    val refIdx = java.nio.file.Files
+      .createTempDirectory("graft_didx_rm_ref").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 6),
+      "doc_id", "text", spec, refIdx)
+    val got = sorted(
+      DedupIndex.probePairs(spark, idx, batch, "doc_id", "text"))
+    assert(got.nonEmpty && got == sorted(
+      DedupIndex.probePairs(spark, refIdx, batch, "doc_id", "text")))
+
+    // no trace in either relation
+    assert(DedupIndex.bandsRelation(spark, idx)
+      .filter(pmod(col("doc_id"), lit(10)).between(6, 7)).count() == 0)
+    assert(DedupIndex.sigsRelation(spark, idx)
+      .filter(pmod(col("doc_id"), lit(10)).between(6, 7)).count() == 0)
+    // a remove is also a compaction: generation advanced, one file/bucket
+    assert(parquetFiles(s"$idx/bands_g1").size <= spec.buckets)
+
+    // re-adding the removed slice restores the full-index probe exactly
+    DedupIndex.append(docs.filter(pmod(col("doc_id"), lit(10)).between(6, 7)),
+      "doc_id", "text", idx)
+    val refFull = java.nio.file.Files
+      .createTempDirectory("graft_didx_rm_full").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+      "doc_id", "text", spec, refFull)
+    assert(sorted(DedupIndex.probePairs(spark, idx, batch, "doc_id", "text"))
+      == sorted(DedupIndex.probePairs(spark, refFull, batch, "doc_id", "text")))
+  }
+
   test("probe join keeps the index side shuffle-free (bucketed scan, " +
     "no Exchange above it)") {
     val idx = java.nio.file.Files.createTempDirectory("graft_didx4").toString

@@ -295,4 +295,35 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VectorIndex.searchTopK(spark, idx, queries, k = 3)
       .orderBy("qid", "rank").collect().map(_.toString).sameElements(got))
   }
+
+  test("remove: searches as if the vectors were never indexed; removing " +
+    "everything yields empty results, not an error") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val codebook = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val spec = VectorIndex.Spec(numSub = 8,
+      dim = codebook.head._2.length, codebook = codebook)
+    val idx = java.nio.file.Files.createTempDirectory("graft_vi_rm").toString
+    VectorIndex.build(emb, spec, idx)
+    VectorIndex.remove(spark, idx,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 3).select("vec_id"))
+
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"))
+    val ref = java.nio.file.Files.createTempDirectory("graft_vi_rm_ref").toString
+    VectorIndex.build(emb.filter(pmod(col("vec_id"), lit(4)) =!= 3), spec, ref)
+    val got = VectorIndex.searchTopK(spark, idx, queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+    assert(got.nonEmpty && got.sameElements(
+      VectorIndex.searchTopK(spark, ref, queries, k = 3)
+        .orderBy("qid", "rank").collect().map(_.toString)))
+    assert(spark.read.parquet(s"$idx/postings_g1")
+      .filter(pmod(col("vec_id"), lit(4)) === 3).count() == 0)
+
+    // removing every remaining vector: searches must return no rows
+    VectorIndex.remove(spark, idx,
+      emb.select("vec_id"))
+    assert(VectorIndex.searchTopK(spark, idx, queries, k = 3).count() == 0)
+  }
 }
