@@ -278,12 +278,17 @@ object VectorIndex {
     val labels = probes.select("label").distinct().collect().map(_.get(0))
     // a remove() that emptied the index leaves a dir with no parquet
     // files — no schema to infer, but the contract is "no candidates",
-    // not an error
+    // not an error. A MISSING dir (wrong indexDir) must stay a loud
+    // failure, so the fallback applies only when the dir exists.
+    val pDir = postingsDir(indexDir, generation(spark, indexDir))
     val postings =
-      try spark.read.parquet(
-        postingsDir(indexDir, generation(spark, indexDir)))
+      try spark.read.parquet(pDir)
       catch {
-        case _: org.apache.spark.sql.AnalysisException =>
+        case e: org.apache.spark.sql.AnalysisException =>
+          val p = new org.apache.hadoop.fs.Path(pDir)
+          val exists = p.getFileSystem(
+            spark.sparkContext.hadoopConfiguration).exists(p)
+          if (!exists) throw e
           import org.apache.spark.sql.types._
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -293,6 +293,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fast.head._2.isEmpty, "globally first row must be null")
   }
 
+  test("pipe_url_canonicalize: scan-shaped — parse/normalize is map-side, " +
+    "the per-host rollup is the only data exchange") {
+    val df = graft.queries.CurationQueries
+      .queries("pipe_url_canonicalize")(spark, dir)
+    val p = physical(df)
+    // the rollup's COUNT(DISTINCT canonical) plans as the standard
+    // two-stage distinct aggregate: one exchange keyed (host, canonical),
+    // one keyed host — both narrow aggregate rows, both scale-safe. No
+    // join or window anywhere; the parse/normalize work is all in the
+    // Project above the scan.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected the 2 distinct-agg hash exchanges:\n$p")
+    assert(!p.contains("Join"), s"canonicalization must not join:\n$p")
+    assert(!p.contains("Window"), s"canonicalization must not window:\n$p")
+  }
+
   test("q_skyline: data-bearing windows are bucket-partitioned; the only " +
     "global window runs over the per-bucket boundary aggregate") {
     val df = graft.queries.AnalyticQueries.queries("q_skyline")(spark, dir)
