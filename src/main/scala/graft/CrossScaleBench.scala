@@ -36,7 +36,8 @@ object CrossScaleBench {
     "dedup_keep_one", "text_kneser_ney", "pipe_end2end", "dedup_centrality",
     "dedup_cluster_sizes", "dedup_components", "pipe_leakfree_split",
     "ann_index_ingest", "pipe_bpe_apply", "dedup_winnow", "dedup_span_scrub",
-    "nats_avro_extract", "dedup_index_compact", "ann_index_compact")
+    "nats_avro_extract", "dedup_index_compact", "ann_index_compact",
+    "dedup_index_remove", "ann_index_remove")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -227,7 +227,10 @@ object DedupIndex {
     * them (`DedupIndexSpec` + the lifecycle property test). */
   def remove(spark: SparkSession, indexDir: String, ids: DataFrame,
              idCol: String): Unit = {
-    val drop = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // tracked: the drop set feeds BOTH relation rewrites (bands + sigs) —
+    // an expensive caller-side derivation would otherwise run twice
+    val drop = graft.Caches.tracked(
+      ids.select(col(idCol).cast("long").as("doc_id")).distinct())
     rewriteGeneration(spark, indexDir,
       df => df.join(drop, Seq("doc_id"), "left_anti"))
   }
