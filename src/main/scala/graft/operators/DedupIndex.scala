@@ -22,7 +22,13 @@ import org.apache.spark.sql.functions._
   *   `indexDir/sigs` — (doc_id LONG, sig ARRAY<LONG>), bucketed + sorted
   *       by `doc_id`: the verify join (candidate pairs → signature
   *       agreement) co-locates the same way.
-  *   `indexDir/meta` — one row (num_hashes, bands, buckets).
+  *   `indexDir/meta` — one row (num_hashes, bands, buckets, generation).
+  *
+  * Maintenance (round 13) is generation-addressed: [[compact]] and
+  * [[remove]] rewrite both relations into fresh `bands_gN`/`sigs_gN`
+  * dirs and flip `meta.generation` as the single commit point; gen 0 is
+  * the original layout above. Appends and probes always address the LIVE
+  * generation through the registered table locations.
   *
   * Bucketed parquet needs a catalog entry to be read AS bucketed (the
   * bucket spec lives in the table definition, not the files), so

@@ -21,6 +21,11 @@ import graft.functions.Similarity
   *                          only the probed cluster's directory (the same
   *                          directory-pruning contract `PlanAuditSpec`
   *                          asserts for hive layouts).
+  *   `indexDir/gen`       — generation pointer (round-13 maintenance):
+  *                          [[compact]] and [[remove]] rewrite the
+  *                          postings into `postings_gN` and flip this
+  *                          file as the single commit point; build/
+  *                          append/search address the live generation.
   *
   * Search: nearest-centroid probe (here: the stored label of the query,
   * matching `ann_ivfpq`'s fixture contract) → decode = codebook lookup per
