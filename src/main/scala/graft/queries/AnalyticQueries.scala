@@ -456,6 +456,55 @@ object AnalyticQueries {
           .as("sum_value"))
         .orderBy("w_start")),
 
+    // SCD TYPE-2 dimension build: collapse a per-user event stream into
+    // validity intervals [valid_from, valid_to) — one row per RUN of an
+    // unchanged attribute (event_type), the warehouse shape a changelog
+    // becomes before joining facts "as of" a point in time (q_upsert_latest
+    // is the degenerate latest-only snapshot of the same input). Change
+    // detection is one lag() and interval closing one lead(), both under
+    // PARTITION BY user — no global window, scales with users × changes.
+    // Timestamps travel as epoch-µs BIGINT so both engines hash the same
+    // cells; is_current marks the open interval.
+    "q_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changes = t(s, dir, "events")
+        .filter(pmod(col("user_id"), lit(50)) === 0)
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      changes
+        .withColumn("valid_from_us", expr("ts div 1000"))
+        .withColumn("valid_to_us",
+          lead("valid_from_us", 1).over(
+            Window.partitionBy("user_id")
+              .orderBy(col("ts"), col("event_id"))))
+        .select(col("user_id"), col("event_type"),
+          col("valid_from_us"), col("valid_to_us"),
+          col("valid_to_us").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from_us")
+    }),
+
+    // time-RANGE window frame: trailing 6-hour moving count + exact sum
+    // per user at every event — RANGE BETWEEN INTERVAL frames are the
+    // event-time analog of q_window_frame's ROWS frames (peers at equal
+    // ts all join the frame, so no tiebreak is needed for the aggregate).
+    // Spark ranges over the raw ns LONG; the oracle over INTERVAL '6
+    // hours' — identical frames since ns = µs × 1000 exactly. Window
+    // partitioned by user: parallel, never global.
+    "q_window_range" -> ((s, dir) => {
+      val sixHoursNs = 6L * 3600L * 1000000000L
+      val w = Window.partitionBy("user_id").orderBy(col("ts"))
+        .rangeBetween(-sixHoursNs, 0)
+      t(s, dir, "events")
+        .filter(pmod(col("user_id"), lit(50)) === 0)
+        .withColumn("v", round(col("value"), 2).cast("decimal(14,2)"))
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"),
+          count(lit(1)).over(w).as("n_6h"),
+          sum(col("v")).over(w).cast("double").as("sum_6h"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // SKYLINE (Pareto frontier): parts not dominated on (size, price) —
     // both minimized; the classic multi-criteria shortlist query. Shape:
     // collapse to one row per size (min price — dominance within a size
@@ -742,6 +791,35 @@ object AnalyticQueries {
              round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
                AS sum_value
       FROM events GROUP BY 1 ORDER BY w_start""",
+
+    "q_scd2" -> """
+      WITH c AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type
+        FROM events WHERE user_id % 50 = 0),
+      ch AS (SELECT user_id, event_id, ts, event_type
+             FROM c WHERE prev_type IS NULL OR prev_type <> event_type),
+      iv AS (SELECT user_id, event_type,
+                    epoch_us(ts) AS valid_from_us,
+                    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS valid_to_us
+             FROM ch)
+      SELECT user_id, event_type, valid_from_us, valid_to_us,
+             (valid_to_us IS NULL) AS is_current
+      FROM iv ORDER BY user_id, valid_from_us""",
+
+    "q_window_range" -> """
+      WITH e AS (SELECT user_id, event_id, ts,
+                        CAST(round(value, 2) AS DECIMAL(14,2)) AS v
+                 FROM events WHERE user_id % 50 = 0)
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(count(*) OVER w AS BIGINT) AS n_6h,
+             CAST(sum(v) OVER w AS DOUBLE) AS sum_6h
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts_us, event_id""",
 
     // dominance spelled as the quadratic NOT EXISTS — fine for an oracle,
     // exactly what the prefix-min formulation exists to avoid at scale
