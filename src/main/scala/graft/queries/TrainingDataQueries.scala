@@ -245,6 +245,38 @@ object TrainingDataQueries {
         .orderBy("chunk_id")
     }),
 
+    // Sharded EXPORT with a read-back manifest — the delivery step of a
+    // training-data pipeline: docs land in hash-assigned shard dirs (the
+    // deterministic assignment any worker can recompute), ONE file per
+    // shard (each shard's rows collapse to one task before the
+    // partitioned write), and the manifest a loader consumes (per shard:
+    // doc/token counts, id range, order-invariant content checksum) is
+    // aggregated from the WRITTEN files, not the input — a sink that
+    // lost, duplicated, or cross-assigned a row breaks the oracle hash.
+    // The checksum sums bounded residues (hash60 % 1e9): order-invariant
+    // under any task arrangement and overflow-safe under ANSI at any
+    // corpus size.
+    "pipe_shard_write" -> ((s, dir) => {
+      val nShards = 8
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_shard_write").toString
+      val d = t(s, dir, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("shard", pmod(Similarity.hash60(
+          concat(lit("shard:"), col("doc_id").cast("string"))),
+          lit(nShards.toLong)).cast("int"))
+      d.select("doc_id", "lang", "source", "n_tok", "shard", "text")
+        .repartition(col("shard")) // each shard wholly in one task
+        .write.partitionBy("shard").mode("overwrite").parquet(out)
+      s.read.parquet(out).groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("long").as("n_tokens"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+          sum(pmod(Similarity.hash60(col("text")), lit(1000000000L)))
+            .cast("long").as("content_sum"))
+        .orderBy("shard")
+    }),
+
     // mixture planning under a token budget: each source gets a
     // temperature-flattened share (w ∝ tokens^0.7) of half the corpus's
     // tokens, capped at 4 epochs of its own data — the per-source epoch
@@ -502,6 +534,23 @@ object TrainingDataQueries {
              count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
              min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM c GROUP BY 1 ORDER BY chunk_id""",
+
+    // the manifest recomputed straight from the input — the Spark side
+    // aggregates it from the files it WROTE, so equality certifies the
+    // export round-trip, not just the assignment arithmetic
+    "pipe_shard_write" -> """
+      WITH d AS (
+        SELECT doc_id, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(('0x' || substr(md5('shard:' || doc_id), 1, 15))::BIGINT
+                    % 8 AS INTEGER) AS shard
+        FROM documents)
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+             CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT
+                      % 1000000000) AS BIGINT) AS content_sum
+      FROM d GROUP BY shard ORDER BY shard""",
 
     "pipe_token_budget" -> """
       WITH tok AS (
