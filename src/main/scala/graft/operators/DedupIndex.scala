@@ -28,7 +28,13 @@ import org.apache.spark.sql.functions._
   * [[remove]] rewrite both relations into fresh `bands_gN`/`sigs_gN`
   * dirs and flip `meta.generation` as the single commit point; gen 0 is
   * the original layout above. Appends and probes always address the LIVE
-  * generation through the registered table locations.
+  * generation through the registered table locations. Round 14 hardens
+  * the flip: meta commits by directory RENAME (never delete-then-write of
+  * the live meta), racing writers resolve by an optimistic generation
+  * check (one winner, one loud abort), and superseded generations are
+  * RETAINED for a grace window (readers bound to them finish; audits can
+  * time-travel via [[bandsRelationAt]]/[[probePairsAt]]) until
+  * [[expireGenerations]] reclaims them.
   *
   * Bucketed parquet needs a catalog entry to be read AS bucketed (the
   * bucket spec lives in the table definition, not the files), so
@@ -46,6 +52,11 @@ import org.apache.spark.sql.functions._
 object DedupIndex {
 
   final case class Spec(numHashes: Int, bands: Int, buckets: Int)
+
+  /** test seam: runs between a maintenance rewrite and its CAS commit, so
+    * a spec can interleave a racing writer DETERMINISTICALLY (thread-based
+    * racing is flaky by construction). No-op in production. */
+  private[graft] var testBeforeCommit: () => Unit = () => ()
 
   /** One CANONICAL location per index: the filesystem-qualified absolute
     * path, so `./idx`, `idx/`, and `file:/cwd/idx` all name the same
@@ -115,6 +126,11 @@ object DedupIndex {
       .option("path", dataDir(indexDir, "sigs", 0))
       .saveAsTable(sigsTable(spark, indexDir))
     writeMeta(spark, spec, generation = 0, indexDir)
+    // a rebuild restarts the lineage at gen 0: generation dirs from the
+    // PREVIOUS lineage are stale the moment the new meta commits (a crash
+    // before this line leaves them; harmless — expireGenerations or the
+    // next rebuild reclaims)
+    expireGenerations(spark, indexDir, retain = 0)
   }
 
   /** generation-addressed data dirs: gen 0 is the original `bands`/`sigs`
@@ -124,15 +140,69 @@ object DedupIndex {
   private def dataDir(indexDir: String, kind: String, gen: Int): String =
     if (gen == 0) s"$indexDir/$kind" else s"$indexDir/${kind}_g$gen"
 
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Meta commit via rename, not write-in-place: `mode(overwrite)` on the
+    * live `meta` dir is delete-then-write — a crash mid-write leaves NO
+    * meta, and a missing meta used to read as "no index", silently
+    * bootstrapping a fresh index over live data (round-13 advisory). The
+    * new meta lands complete in `meta_tmp`; the swap is two directory
+    * RENAMES (metadata ops, no data write between them), and every state a
+    * crash can leave — `meta_tmp` orphan, `meta_old` orphan, or the
+    * renames half-done — is either self-healing or detected loudly by
+    * [[requireUnambiguous]]. */
   private def writeMeta(spark: SparkSession, spec: Spec, generation: Int,
                         indexDir: String): Unit = {
     import spark.implicits._
+    val f = fs(spark, indexDir)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$indexDir/$s")
     Seq((spec.numHashes, spec.bands, spec.buckets, generation))
       .toDF("num_hashes", "bands", "buckets", "generation")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(p("meta_tmp").toString)
+    f.delete(p("meta_old"), true) // failed prior swap
+    if (f.exists(p("meta"))) {
+      if (!f.rename(p("meta"), p("meta_old")))
+        throw new IllegalStateException(
+          s"dedup index meta commit: rename $indexDir/meta -> meta_old failed")
+    }
+    if (!f.rename(p("meta_tmp"), p("meta")))
+      throw new IllegalStateException(
+        s"dedup index meta commit: rename $indexDir/meta_tmp -> meta failed" +
+          " — recover by renaming meta_old back to meta")
+    f.delete(p("meta_old"), true)
+    ()
+  }
+
+  /** Fail LOUDLY when meta is absent but evidence of a managed index is
+    * present — the ambiguous crashed-mid-commit state. Treating it as "no
+    * index" is the silent-loss path: a streaming gate would bootstrap a
+    * fresh index and every previously-accepted document would re-enter.
+    * Evidence = a commit that STARTED swapping the live meta (`meta_old`;
+    * every rewrite commit renames meta aside before installing the new
+    * one, so a crash inside the swap always leaves it) or maintenance
+    * generation dirs (`bands_gN`) without any meta — an index that HAD a
+    * committed meta lost it externally. NOT evidence: a bare `bands` dir
+    * ([[graft.streaming.StreamingDedup]]'s plain-parquet mode keeps that
+    * exact layout with no meta at all), or `meta_tmp` alone (an INITIAL
+    * build that crashed before its first commit — no prior state existed,
+    * so "no index yet" is the truth). */
+  private def requireUnambiguous(spark: SparkSession, indexDir: String): Unit = {
+    val f = fs(spark, indexDir)
+    def has(s: String) =
+      f.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$s"))
+    if (!has("meta") && (has("meta_old") ||
+        generationsOnDisk(spark, indexDir).exists(_ > 0)))
+      throw new IllegalStateException(
+        s"dedup index at $indexDir has staging/generation dirs but no meta " +
+          "— a crashed meta commit. Recover: if meta_old exists, rename it " +
+          "back to meta; else rebuild the index. Refusing to treat it as " +
+          "empty.")
   }
 
   private def loadMeta(spark: SparkSession, indexDir: String): (Spec, Int) = {
+    requireUnambiguous(spark, indexDir)
     val df = spark.read.parquet(s"$indexDir/meta")
     val r = df.collect().head
     val spec = Spec(r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"),
@@ -143,10 +213,33 @@ object DedupIndex {
     (spec, gen)
   }
 
-  /** true once `build` has written this index's meta */
+  /** true once `build` has written this index's meta; throws (never a
+    * silent `false`) on the crashed-mid-commit state where data dirs exist
+    * without meta */
   def exists(spark: SparkSession, indexDir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    requireUnambiguous(spark, indexDir)
+    fs(spark, indexDir)
+      .exists(new org.apache.hadoop.fs.Path(s"$indexDir/meta"))
+  }
+
+  /** the LIVE generation number (0 for a fresh build) */
+  def liveGeneration(spark: SparkSession, indexDir: String): Int =
+    loadMeta(spark, indexDir)._2
+
+  /** every generation with band data still on disk, ascending — the live
+    * one plus any superseded generations retained for in-flight readers
+    * and time-travel ([[bandsRelationAt]]) until [[expireGenerations]] */
+  def generationsOnDisk(spark: SparkSession, indexDir: String): Seq[Int] = {
+    val f = fs(spark, indexDir)
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    if (!f.exists(root)) Seq.empty
+    else {
+      val gN = "bands_g(\\d+)".r
+      f.listStatus(root).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case "bands" => 0; case gN(n) => n.toInt }
+        .sorted
+    }
   }
 
   /** the band relation (bk, doc_id) as the registered BUCKETED table */
@@ -184,7 +277,13 @@ object DedupIndex {
         if (okBuckets && okLoc) return
         spark.sql(s"DROP TABLE $table") // stale DDL from a prior build
       }
-      val ddlCols = spark.read.parquet(dataDir).schema.toDDL
+      // FIXED schema, never inferred from the files: the relations' shapes
+      // are this operator's own contract ([[bandRows]]), and inference
+      // fails outright on a generation dir a remove-all left empty —
+      // registering from DDL keeps an emptied index readable (zero rows)
+      val ddlCols =
+        if (bucketCol == "bk") "bk STRING, doc_id BIGINT"
+        else "doc_id BIGINT, sig ARRAY<BIGINT>"
       spark.sql(
         s"""CREATE TABLE $table ($ddlCols) USING PARQUET
            |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
@@ -216,10 +315,12 @@ object DedupIndex {
     * `bands_gN/sigs_gN` dirs; `meta` flips to the new generation as the
     * single commit point. A crash before the flip leaves the old
     * generation live (orphan gN dirs are overwritten by the next
-    * attempt); a crash after it leaves the new generation live with
-    * orphan old dirs — deleted best-effort at the end here. */
-  def compact(spark: SparkSession, indexDir: String): Unit =
-    rewriteGeneration(spark, indexDir, identity)
+    * attempt); a crash after it leaves the new generation live with the
+    * old generation retained — reclaimed by the retention policy
+    * (`retainGenerations`) or an explicit [[expireGenerations]]. */
+  def compact(spark: SparkSession, indexDir: String,
+              retainGenerations: Int = 1): Unit =
+    rewriteGeneration(spark, indexDir, identity, retainGenerations)
 
   /** REMOVE documents from the index — the right-to-be-forgotten /
     * rolling-window half of the lifecycle (a training pipeline that must
@@ -232,23 +333,36 @@ object DedupIndex {
     * after `remove(ids)` is row-identical to an index never containing
     * them (`DedupIndexSpec` + the lifecycle property test). */
   def remove(spark: SparkSession, indexDir: String, ids: DataFrame,
-             idCol: String): Unit = {
+             idCol: String, retainGenerations: Int = 1): Unit = {
     // tracked: the drop set feeds BOTH relation rewrites (bands + sigs) —
     // an expensive caller-side derivation would otherwise run twice
     val drop = graft.Caches.tracked(
       ids.select(col(idCol).cast("long").as("doc_id")).distinct())
     rewriteGeneration(spark, indexDir,
-      df => df.join(drop, Seq("doc_id"), "left_anti"))
+      df => df.join(drop, Seq("doc_id"), "left_anti"), retainGenerations)
   }
 
   /** Rewrite both relations into generation N+1 (one clustered exchange
-    * of the INDEX — the corpus is never re-read or re-signed), flip meta
-    * as the single commit point, GC the old generation best-effort.
-    * Single-writer, like append: concurrent maintenance calls on one
-    * index dir race the meta flip. `transform` filters/rewrites rows
-    * (identity = pure compaction); both relations carry `doc_id`. */
+    * of the INDEX — the corpus is never re-read or re-signed) and flip
+    * meta as the single commit point. `transform` filters/rewrites rows
+    * (identity = pure compaction); both relations carry `doc_id`.
+    *
+    * Concurrency (round-14 hardening):
+    *  - WRITERS race via optimistic concurrency: meta.generation is
+    *    re-read immediately before the flip and a mismatch ABORTS loudly —
+    *    two racing compact/remove calls resolve to one winner and one
+    *    exception, never a silently-discarded rewrite (a lost remove() is
+    *    a deletion request that LOOKS committed).
+    *  - READERS planned against the old generation survive the flip:
+    *    superseded generations are RETAINED (`retainGenerations` newest,
+    *    default 1 — the log-structured-table snapshot-expiry pattern)
+    *    instead of deleted at commit, and reclaimed later by
+    *    [[expireGenerations]] or aged out by subsequent rewrites. */
   private def rewriteGeneration(spark: SparkSession, indexDir: String,
-                                transform: DataFrame => DataFrame): Unit = {
+                                transform: DataFrame => DataFrame,
+                                retainGenerations: Int): Unit = {
+    require(retainGenerations >= 0,
+      s"retainGenerations must be >= 0, got $retainGenerations")
     ensureRegistered(spark, indexDir)
     val (spec, gen) = loadMeta(spark, indexDir)
     val newGen = gen + 1
@@ -280,18 +394,45 @@ object DedupIndex {
     }
     rewrite(bT, "bands", "bk")
     rewrite(sT, "sigs", "doc_id")
+    testBeforeCommit()
+    // OPTIMISTIC CAS: if another writer committed while this rewrite ran,
+    // flipping over it would silently discard that writer's work (or ours
+    // would be discarded by it — last-write-wins either way). Abort; the
+    // index is intact at the winner's generation and this call's gN+1 dirs
+    // are orphans the next attempt overwrites.
+    val genNow = loadMeta(spark, indexDir)._2
+    if (genNow != gen)
+      throw new java.util.ConcurrentModificationException(
+        s"dedup index at $indexDir: generation advanced $gen -> $genNow " +
+          "during this rewrite (concurrent compact/remove). This call's " +
+          "rewrite is DISCARDED — re-run it against the new generation.")
     writeMeta(spark, spec, newGen, indexDir) // COMMIT POINT
     // stale DDL points at the old generation; re-register at the new one
     spark.sql(s"DROP TABLE IF EXISTS $bT")
     spark.sql(s"DROP TABLE IF EXISTS $sT")
     ensureRegistered(spark, indexDir)
-    // best-effort GC of the superseded generation
-    Seq(dataDir(indexDir, "bands", gen), dataDir(indexDir, "sigs", gen))
-      .foreach { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        try { p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true); () }
-        catch { case _: Exception => () }
+    // age out superseded generations beyond the retention window (never
+    // the one just superseded when retainGenerations >= 1 — in-flight
+    // readers bound to it finish their scans)
+    expireGenerations(spark, indexDir, retainGenerations)
+  }
+
+  /** Delete superseded generations, keeping the live one plus the
+    * `retain` newest superseded ones (grace window for concurrent readers
+    * whose plans are bound to an old generation, and for time-travel
+    * audits via [[bandsRelationAt]]). Best-effort: a missing/locked dir
+    * never fails the maintenance call that triggered the GC. */
+  def expireGenerations(spark: SparkSession, indexDir: String,
+                        retain: Int = 0): Unit = {
+    val live = loadMeta(spark, indexDir)._2
+    generationsOnDisk(spark, indexDir)
+      .filter(_ != live).sortBy(g => -g).drop(retain)
+      .foreach { g =>
+        Seq(dataDir(indexDir, "bands", g), dataDir(indexDir, "sigs", g))
+          .foreach { d =>
+            try { fs(spark, d).delete(new org.apache.hadoop.fs.Path(d), true); () }
+            catch { case _: Exception => () }
+          }
       }
   }
 
@@ -362,16 +503,62 @@ object DedupIndex {
                  idCol: String, textCol: String,
                  minEst: Double = 0.5): DataFrame = {
     val spec = ensureRegistered(spark, indexDir)
+    probeAgainst(batch, idCol, textCol, minEst, spec,
+      spark.table(bandsTable(spark, indexDir)),
+      spark.table(sigsTable(spark, indexDir)))
+  }
+
+  /** TIME-TRAVEL probe: probe a RETAINED superseded generation — the
+    * reproducibility audit ("which index state gated this training
+    * batch?"). Generations are immutable once superseded (appends land in
+    * the live generation's dirs only), so gen N re-reads byte-identical
+    * until [[expireGenerations]] reclaims it. Audit reads go through plain
+    * parquet (no catalog DDL): correctness-identical to the bucketed path;
+    * only the LIVE probe needs the exchange-free layout. */
+  def probePairsAt(spark: SparkSession, indexDir: String, gen: Int,
+                   batch: DataFrame, idCol: String, textCol: String,
+                   minEst: Double = 0.5): DataFrame = {
+    val spec = loadMeta(spark, indexDir)._1
+    probeAgainst(batch, idCol, textCol, minEst, spec,
+      bandsRelationAt(spark, indexDir, gen),
+      sigsRelationAt(spark, indexDir, gen))
+  }
+
+  /** the band relation of a specific on-disk generation (live or retained)
+    * as plain parquet — see [[probePairsAt]] */
+  def bandsRelationAt(spark: SparkSession, indexDir: String,
+                      gen: Int): DataFrame =
+    generationRead(spark, indexDir, "bands", gen)
+
+  /** the signature relation of a specific on-disk generation */
+  def sigsRelationAt(spark: SparkSession, indexDir: String,
+                     gen: Int): DataFrame =
+    generationRead(spark, indexDir, "sigs", gen)
+
+  private def generationRead(spark: SparkSession, indexDir: String,
+                             kind: String, gen: Int): DataFrame = {
+    val onDisk = generationsOnDisk(spark, indexDir)
+    require(onDisk.contains(gen),
+      s"dedup index at $indexDir has no generation $gen on disk " +
+        s"(present: ${onDisk.mkString(", ")}) — it was never written or " +
+        "was reclaimed by expireGenerations")
+    spark.read.parquet(dataDir(indexDir, kind, gen))
+  }
+
+  private def probeAgainst(batch: DataFrame, idCol: String, textCol: String,
+                           minEst: Double, spec: Spec,
+                           bandsIdx: DataFrame,
+                           sigsIdx: DataFrame): DataFrame = {
     val sigNew = graft.Caches.tracked(
       Dedup.minhashSignatures(batch, idCol, textCol, spec.numHashes))
     val bNew = Dedup.minhashBands(sigNew, idCol, spec.numHashes, spec.bands)
       .select(bk(col("band"), col("band_key")).as("bk"),
         col(idCol).cast("long").as("new_id"))
-    val bIdx = spark.table(bandsTable(spark, indexDir))
+    val bIdx = bandsIdx
       .select(col("bk"), col("doc_id").as("index_id"))
     val cand = bNew.join(bIdx, "bk")
       .select("new_id", "index_id").distinct()
-    val sigIdx = spark.table(sigsTable(spark, indexDir))
+    val sigIdx = sigsIdx
     cand
       .join(sigNew.select(col(idCol).cast("long").as("new_id"),
         col("sig").as("s1")), "new_id")

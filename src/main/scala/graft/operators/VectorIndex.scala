@@ -12,7 +12,12 @@ import graft.functions.Similarity
   *
   * On-disk layout (all parquet):
   *   `indexDir/meta`      — one row: numSub, dim, codebook ids + flattened
-  *                          codewords (the bounded build side);
+  *                          codewords (the bounded build side). A REBUILD
+  *                          writes its codebook to `meta_gN` for the
+  *                          generation it creates, so codebook and
+  *                          postings swap together at the pointer flip —
+  *                          never a new codebook decoding old codes (see
+  *                          [[loadSpecAt]]).
   *   `indexDir/postings`  — (label INT, vec_id LONG, codes ARRAY<BIGINT>):
   *                          the coarse-partition posting lists with 8-byte
   *                          PQ codes per vector — 32× smaller than the
@@ -21,11 +26,20 @@ import graft.functions.Similarity
   *                          only the probed cluster's directory (the same
   *                          directory-pruning contract `PlanAuditSpec`
   *                          asserts for hive layouts).
-  *   `indexDir/gen`       — generation pointer (round-13 maintenance):
-  *                          [[compact]] and [[remove]] rewrite the
-  *                          postings into `postings_gN` and flip this
-  *                          file as the single commit point; build/
-  *                          append/search address the live generation.
+  *   `indexDir/gen`       — generation pointer: [[compact]], [[remove]]
+  *                          and rebuilds write generation N+1 into
+  *                          `postings_gN+1` and flip this pointer as the
+  *                          single commit point; build/append/search
+  *                          address the live generation. Round-14
+  *                          hardening: the pointer commits by directory
+  *                          RENAME (never delete-then-write), racing
+  *                          writers resolve by an optimistic generation
+  *                          check (one winner, one loud abort), and
+  *                          superseded generations are RETAINED for a
+  *                          grace window — concurrent readers bound to
+  *                          them finish, audits time-travel via
+  *                          [[searchTopKAt]] — until [[expireGenerations]]
+  *                          reclaims them.
   *
   * Search: nearest-centroid probe (here: the stored label of the query,
   * matching `ann_ivfpq`'s fixture contract) → decode = codebook lookup per
@@ -38,51 +52,191 @@ object VectorIndex {
   final case class Spec(numSub: Int, dim: Int,
                         codebook: Array[(Long, Array[Float])])
 
+  /** test seam: runs between a maintenance rewrite and its CAS commit, so
+    * a spec can interleave a racing writer DETERMINISTICALLY (thread-based
+    * racing is flaky by construction). No-op in production. */
+  private[graft] var testBeforeCommit: () => Unit = () => ()
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Build / REBUILD. A fresh build writes gen-0 postings + `meta` (no
+    * pointer file — gen 0 is the implicit origin). A rebuild over an
+    * existing index never touches the live generation: postings land in
+    * `postings_gN+1`, the new codebook in `meta_gN+1`, and the pointer
+    * flip COMMITS both atomically-together — a crash anywhere before the
+    * flip leaves the old generation fully consistent (old postings + old
+    * codebook), closing the round-13 advisory's stale-codebook window. */
   def build(emb: DataFrame, spec: Spec, indexDir: String): Unit = {
     val spark = emb.sparkSession
-    import spark.implicits._
-    val prevGen = generation(spark, indexDir)
-    emb.select(col("label"), col("vec_id"),
+    def encoded = emb.select(col("label"), col("vec_id"),
       Similarity.pqAssign(col("embedding"), spec.codebook, spec.numSub)
         .as("codes"))
-      .write.partitionBy("label").mode("overwrite")
-      .parquet(postingsDir(indexDir, 0))
-    // a rebuild restarts the lineage at gen 0 (flip AFTER the data lands:
-    // a crash mid-build leaves the prior generation readable)
-    if (prevGen != 0) {
-      writeGeneration(spark, indexDir, 0)
-      try { val p = new org.apache.hadoop.fs.Path(
-          postingsDir(indexDir, prevGen))
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true); () }
-      catch { case _: Exception => () }
+    if (!exists(spark, indexDir)) {
+      encoded.write.partitionBy("label").mode("overwrite")
+        .parquet(postingsDir(indexDir, 0))
+      writeMetaFiles(spark, spec, s"$indexDir/meta")
+    } else {
+      val prev = generation(spark, indexDir)
+      val newGen = prev + 1
+      encoded.write.partitionBy("label").mode("overwrite")
+        .parquet(postingsDir(indexDir, newGen))
+      writeMetaFiles(spark, spec, metaGenDir(indexDir, newGen))
+      casFlip(spark, indexDir, prev, newGen) // COMMIT POINT
+      expireGenerations(spark, indexDir, retain = 1)
     }
+  }
+
+  private def writeMetaFiles(spark: SparkSession, spec: Spec,
+                             dir: String): Unit = {
+    import spark.implicits._
     spec.codebook.toSeq
       .map { case (id, cw) => (spec.numSub, spec.dim, id, cw.toSeq) }
       .toDF("num_sub", "dim", "entry_id", "codeword")
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/meta")
+      .write.mode("overwrite").parquet(dir)
   }
 
   /** generation-addressed posting dirs: gen 0 is the original `postings`
-    * layout; each [[compact]] writes generation N+1 into a fresh
+    * layout; maintenance writes generation N+1 into a fresh
     * `postings_gN+1` dir and flips the `gen` pointer — the single commit
     * point — so a reader never observes a half-rewritten index */
   private def postingsDir(indexDir: String, gen: Int): String =
     if (gen == 0) s"$indexDir/postings" else s"$indexDir/postings_g$gen"
 
+  /** per-generation codebook dir — written only by rebuilds (maintenance
+    * rewrites recode nothing, so the codebook carries forward) */
+  private def metaGenDir(indexDir: String, gen: Int): String =
+    if (gen == 0) s"$indexDir/meta" else s"$indexDir/meta_g$gen"
+
+  /** Fail LOUDLY when the pointer is absent but a pointer COMMIT left its
+    * staging dirs behind — the crashed-mid-commit state. Reading it as
+    * gen 0 would silently serve the superseded original postings (the
+    * round-13 advisory's silent-wrong-results path). A bare `postings_gN`
+    * without a pointer is NOT this state: it is a rewrite that crashed
+    * BEFORE its commit (the old generation is still the truth — the next
+    * maintenance attempt overwrites the orphan), and it is also the
+    * normal in-flight state of the first maintenance call itself. Every
+    * commit writes `gen_tmp` before touching `gen`, so a crash anywhere
+    * inside the commit always leaves staging evidence. */
+  private def requireUnambiguous(spark: SparkSession, indexDir: String): Unit = {
+    val f = fs(spark, indexDir)
+    def has(s: String) =
+      f.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$s"))
+    if (!has("gen") && has("gen_old"))
+      throw new IllegalStateException(
+        s"vector index at $indexDir has commit staging dirs but no gen " +
+          "pointer — a crashed pointer commit. Recover: if gen_old exists, " +
+          "rename it back to gen; else rebuild the index. Refusing to read " +
+          "it as generation 0.")
+  }
+
   private def generation(spark: SparkSession, indexDir: String): Int = {
+    requireUnambiguous(spark, indexDir)
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/gen")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0 // pre-compaction indexes have no pointer file
+    if (!fs(spark, indexDir).exists(p)) 0 // pre-maintenance: no pointer yet
     else spark.read.parquet(p.toString).collect().head.getInt(0)
   }
 
+  /** the LIVE generation number (0 for a fresh build) */
+  def liveGeneration(spark: SparkSession, indexDir: String): Int =
+    generation(spark, indexDir)
+
+  /** every generation with postings still on disk, ascending — the live
+    * one plus superseded generations retained for in-flight readers and
+    * time-travel ([[searchTopKAt]]) until [[expireGenerations]] */
+  def generationsOnDisk(spark: SparkSession, indexDir: String): Seq[Int] = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val f = fs(spark, indexDir)
+    if (!f.exists(root)) Seq.empty
+    else {
+      val gN = "postings_g(\\d+)".r
+      f.listStatus(root).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case "postings" => 0; case gN(n) => n.toInt }
+        .sorted
+    }
+  }
+
+  /** Pointer commit via rename, not write-in-place: `mode(overwrite)` on
+    * the live `gen` dir is delete-then-write — a crash mid-write leaves NO
+    * pointer, which used to read as gen 0 and silently address the
+    * original postings. The new pointer lands complete in `gen_tmp`; the
+    * swap is two directory renames with [[requireUnambiguous]] catching
+    * every crash-interleaving. */
   private def writeGeneration(spark: SparkSession, indexDir: String,
                               gen: Int): Unit = {
     import spark.implicits._
+    val f = fs(spark, indexDir)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$indexDir/$s")
     Seq(gen).toDF("generation").coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/gen")
+      .write.mode("overwrite").parquet(p("gen_tmp").toString)
+    f.delete(p("gen_old"), true) // failed prior swap
+    if (f.exists(p("gen"))) {
+      if (!f.rename(p("gen"), p("gen_old")))
+        throw new IllegalStateException(
+          s"vector index gen commit: rename $indexDir/gen -> gen_old failed")
+    }
+    if (!f.rename(p("gen_tmp"), p("gen")))
+      throw new IllegalStateException(
+        s"vector index gen commit: rename $indexDir/gen_tmp -> gen failed" +
+          " — recover by renaming gen_old back to gen")
+    f.delete(p("gen_old"), true)
+    ()
+  }
+
+  /** OPTIMISTIC CAS flip: re-read the pointer immediately before writing
+    * it — if another writer committed while this rewrite ran, flipping
+    * over it would silently discard that writer's work (a lost remove()
+    * is a deletion request that LOOKS committed). One winner, one loud
+    * abort; the loser's gN+1 dirs are orphans the next attempt
+    * overwrites. */
+  private def casFlip(spark: SparkSession, indexDir: String,
+                      expected: Int, newGen: Int): Unit = {
+    testBeforeCommit()
+    val now = generation(spark, indexDir)
+    if (now != expected)
+      throw new java.util.ConcurrentModificationException(
+        s"vector index at $indexDir: generation advanced $expected -> $now " +
+          "during this rewrite (concurrent maintenance). This call's " +
+          "rewrite is DISCARDED — re-run it against the new generation.")
+    writeGeneration(spark, indexDir, newGen)
+  }
+
+  /** Delete superseded generations (postings AND any rebuild codebooks),
+    * keeping the live one plus the `retain` newest superseded ones — the
+    * grace window for concurrent readers whose plans are bound to an old
+    * generation, and for time-travel audits via [[searchTopKAt]].
+    * Best-effort: a missing/locked dir never fails the caller. */
+  def expireGenerations(spark: SparkSession, indexDir: String,
+                        retain: Int = 0): Unit = {
+    val live = generation(spark, indexDir)
+    val all = generationsOnDisk(spark, indexDir)
+    val doomedPostings = all.filter(_ != live).sortBy(g => -g).drop(retain)
+    val survivors = all.filterNot(doomedPostings.contains)
+    // A rebuild codebook meta_gN is shared DOWNSTREAM: a generation
+    // created by compact/remove recodes nothing and decodes under the
+    // newest rebuild codebook at or below it ([[loadSpecAt]]) — so a
+    // codebook outlives its own postings generation as long as ANY
+    // surviving generation resolves to it. Codebooks above `live` are an
+    // in-flight rebuild's staging and are never touched here.
+    val f = fs(spark, indexDir)
+    val gM = "meta_g(\\d+)".r
+    val rebuilds = f.listStatus(new org.apache.hadoop.fs.Path(indexDir))
+      .toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case gM(n) => n.toInt }
+    val needed = survivors
+      .flatMap(s => rebuilds.filter(_ <= s) match {
+        case Nil => None; case xs => Some(xs.max)
+      }).toSet
+    val doomedMeta = rebuilds.filter(n => n <= live && !needed.contains(n))
+    (doomedPostings.map(postingsDir(indexDir, _)) ++
+        doomedMeta.map(metaGenDir(indexDir, _)))
+      .foreach { d =>
+        try { fs(spark, d).delete(new org.apache.hadoop.fs.Path(d), true); () }
+        catch { case _: Exception => () }
+      }
   }
 
   /** COMPACTION: rewrite the posting lists to ONE file per label
@@ -100,9 +254,11 @@ object VectorIndex {
     * wholly in one task, so the partitioned write emits exactly one file
     * per label whatever the task count. Same crash-safe generation flip
     * as `DedupIndex.compact`: the rewrite lands in `postings_gN+1`, the
-    * `gen` pointer write commits it, the old dir is GC'd best-effort. */
-  def compact(spark: SparkSession, indexDir: String): Unit =
-    rewriteGeneration(spark, indexDir, identity)
+    * `gen` pointer commit (CAS + rename) flips it, superseded generations
+    * age out per `retainGenerations`. */
+  def compact(spark: SparkSession, indexDir: String,
+              retainGenerations: Int = 1): Unit =
+    rewriteGeneration(spark, indexDir, identity, retainGenerations)
 
   /** REMOVE vectors from the index — the deletion half of the lifecycle
     * (a revoked source's embeddings must leave the search surface without
@@ -113,30 +269,31 @@ object VectorIndex {
     * (directory pruning) survives. `searchTopK` after `remove(ids)` is
     * row-identical to an index never containing them. */
   def remove(spark: SparkSession, indexDir: String, ids: DataFrame,
-             idCol: String = "vec_id"): Unit = {
+             idCol: String = "vec_id", retainGenerations: Int = 1): Unit = {
     val drop = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
     rewriteGeneration(spark, indexDir,
-      df => df.join(drop, Seq("vec_id"), "left_anti"))
+      df => df.join(drop, Seq("vec_id"), "left_anti"), retainGenerations)
   }
 
-  /** single-writer, like append: concurrent maintenance calls on one
-    * index dir race the `gen` flip */
   private def rewriteGeneration(spark: SparkSession, indexDir: String,
-                                transform: DataFrame => DataFrame): Unit = {
+                                transform: DataFrame => DataFrame,
+                                retainGenerations: Int): Unit = {
+    require(retainGenerations >= 0,
+      s"retainGenerations must be >= 0, got $retainGenerations")
     val gen = generation(spark, indexDir)
     val newGen = gen + 1
     val dir = postingsDir(indexDir, newGen)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true) // failed prior try
-    transform(spark.read.parquet(postingsDir(indexDir, gen)))
+    val f = fs(spark, indexDir)
+    f.delete(new org.apache.hadoop.fs.Path(dir), true) // failed prior try
+    // readPostings, not a bare parquet read: a remove() that emptied the
+    // index leaves a live dir with no files — compact/remove after it must
+    // rewrite the empty relation, not throw (round-13 advisory)
+    transform(readPostings(spark, postingsDir(indexDir, gen)))
       .repartition(col("label"))
       .sortWithinPartitions("label", "vec_id")
       .write.partitionBy("label").mode("overwrite").parquet(dir)
-    writeGeneration(spark, indexDir, newGen) // COMMIT POINT
-    try { fs.delete(new org.apache.hadoop.fs.Path(
-      postingsDir(indexDir, gen)), true); () }
-    catch { case _: Exception => () }
+    casFlip(spark, indexDir, gen, newGen) // COMMIT POINT
+    expireGenerations(spark, indexDir, retainGenerations)
   }
 
   /** max posting files in any single label dir of the LIVE generation —
@@ -145,10 +302,10 @@ object VectorIndex {
   def maxFilesPerLabel(spark: SparkSession, indexDir: String): Int = {
     val dir = new org.apache.hadoop.fs.Path(
       postingsDir(indexDir, generation(spark, indexDir)))
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) 0
-    else fs.listStatus(dir).filter(_.isDirectory).foldLeft(0) { (m, d) =>
-      math.max(m, fs.listStatus(d.getPath)
+    val f = fs(spark, indexDir)
+    if (!f.exists(dir)) 0
+    else f.listStatus(dir).filter(_.isDirectory).foldLeft(0) { (m, d) =>
+      math.max(m, f.listStatus(d.getPath)
         .count(_.getPath.getName.endsWith(".parquet")))
     }
   }
@@ -176,8 +333,28 @@ object VectorIndex {
       .parquet(postingsDir(indexDir, generation(spark, indexDir)))
   }
 
-  def loadSpec(spark: SparkSession, indexDir: String): Spec = {
-    val rows = spark.read.parquet(s"$indexDir/meta").collect()
+  /** the LIVE generation's codebook */
+  def loadSpec(spark: SparkSession, indexDir: String): Spec =
+    loadSpecAt(spark, indexDir, generation(spark, indexDir))
+
+  /** The codebook that encodes generation `gen`'s postings: the newest
+    * rebuild codebook at or below `gen` (maintenance rewrites recode
+    * nothing, so a generation created by compact/remove inherits the
+    * codebook of the last rebuild before it; `meta` is the gen-0
+    * original). Resolution is deterministic and crash-safe: a rebuild
+    * writes `meta_gN+1` BEFORE the pointer flip, and resolution ignores
+    * codebooks above the generation being read. */
+  def loadSpecAt(spark: SparkSession, indexDir: String, gen: Int): Spec = {
+    val f = fs(spark, indexDir)
+    val gM = "meta_g(\\d+)".r
+    val rebuildGens = f.listStatus(new org.apache.hadoop.fs.Path(indexDir))
+      .toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case gM(n) => n.toInt }
+      .filter(_ <= gen)
+    val dir =
+      if (rebuildGens.isEmpty) s"$indexDir/meta"
+      else metaGenDir(indexDir, rebuildGens.max)
+    val rows = spark.read.parquet(dir).collect()
     val cb = rows.map(r => (r.getLong(2), r.getSeq[Float](3).toArray))
       .sortBy(_._1)
     Spec(rows.head.getInt(0), rows.head.getInt(1), cb)
@@ -186,7 +363,7 @@ object VectorIndex {
   /** true once `build` has written this index's meta */
   def exists(spark: SparkSession, indexDir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    fs(spark, indexDir).exists(p)
   }
 
   /** Persist the COARSE quantizer (IVF centroids) beside the index, so any
@@ -229,6 +406,24 @@ object VectorIndex {
   private def decode(codes: Column, spec: Spec): Column =
     Similarity.pqDecode(codes, spec.codebook, spec.numSub)
 
+  /** read a postings dir, tolerating exists-but-empty (a remove() that
+    * dropped every vector leaves a dir with no parquet files — no schema
+    * to infer, but the contract is "zero rows", not an error; a MISSING
+    * dir stays a loud failure — it means a wrong indexDir/generation) */
+  private def readPostings(spark: SparkSession, pDir: String): DataFrame =
+    try spark.read.parquet(pDir)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        val p = new org.apache.hadoop.fs.Path(pDir)
+        if (!fs(spark, pDir).exists(p)) throw e
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("label", IntegerType),
+            StructField("vec_id", LongType),
+            StructField("codes", ArrayType(LongType)))))
+    }
+
   /** top-k per query over the loaded index; queries = (qid, label, qv).
     *
     * `nprobe > 1` probes each query's top-n nearest SAVED centroids
@@ -250,9 +445,25 @@ object VectorIndex {
     * `VectorIndexSpec` now pins with a files-read assertion through this
     * exact join path. */
   def searchTopK(spark: SparkSession, indexDir: String, queries: DataFrame,
-                 k: Int, nprobe: Int = 1): DataFrame = {
+                 k: Int, nprobe: Int = 1): DataFrame =
+    searchTopKAt(spark, indexDir, generation(spark, indexDir), queries, k,
+      nprobe)
+
+  /** TIME-TRAVEL search: [[searchTopK]] against a RETAINED generation —
+    * the reproducibility audit ("which index state served this batch's
+    * hard negatives?"). Superseded generations are immutable (appends
+    * land in the live generation only), so gen N answers byte-identically
+    * until [[expireGenerations]] reclaims it. Each generation decodes
+    * under ITS OWN codebook ([[loadSpecAt]]). */
+  def searchTopKAt(spark: SparkSession, indexDir: String, gen: Int,
+                   queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val spec = loadSpec(spark, indexDir)
+    val onDisk = generationsOnDisk(spark, indexDir)
+    require(onDisk.contains(gen),
+      s"vector index at $indexDir has no generation $gen on disk " +
+        s"(present: ${onDisk.mkString(", ")}) — it was never written or " +
+        "was reclaimed by expireGenerations")
+    val spec = loadSpecAt(spark, indexDir, gen)
     val probes =
       if (nprobe == 1) queries
       else {
@@ -281,26 +492,7 @@ object VectorIndex {
           .drop("probe")
       }
     val labels = probes.select("label").distinct().collect().map(_.get(0))
-    // a remove() that emptied the index leaves a dir with no parquet
-    // files — no schema to infer, but the contract is "no candidates",
-    // not an error. A MISSING dir (wrong indexDir) must stay a loud
-    // failure, so the fallback applies only when the dir exists.
-    val pDir = postingsDir(indexDir, generation(spark, indexDir))
-    val postings =
-      try spark.read.parquet(pDir)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          val p = new org.apache.hadoop.fs.Path(pDir)
-          val exists = p.getFileSystem(
-            spark.sparkContext.hadoopConfiguration).exists(p)
-          if (!exists) throw e
-          import org.apache.spark.sql.types._
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(StructField("label", IntegerType),
-              StructField("vec_id", LongType),
-              StructField("codes", ArrayType(LongType)))))
-      }
+    val postings = readPostings(spark, postingsDir(indexDir, gen))
     val pruned =
       if (labels.isEmpty) postings.filter(lit(false))
       else postings.filter(col("label").isin(labels: _*))

@@ -172,8 +172,11 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filesAfter.nonEmpty && filesAfter.size <= spec.buckets,
       s"compaction must leave at most one file per bucket " +
         s"(got ${filesAfter.size} for ${spec.buckets} buckets)")
-    assert(parquetFiles(s"$idx/bands").isEmpty,
-      "superseded generation was not GC'd")
+    // the superseded generation is RETAINED (default retainGenerations=1):
+    // a concurrent reader whose plan is bound to gen 0 finishes its scan
+    assert(parquetFiles(s"$idx/bands").nonEmpty,
+      "superseded generation must be retained for in-flight readers")
+    assert(DedupIndex.generationsOnDisk(spark, idx) == Seq(0, 1))
     assert(sorted(DedupIndex.probePairs(spark, idx, batch,
       "doc_id", "text")) == before, "compaction changed probe results")
 
@@ -189,12 +192,18 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       batch, docs.filter(pmod(col("doc_id"), lit(10)) < 9),
       "doc_id", "text", numHashes = 16, bands = 4, minEst = 0.5)))
 
-    // generations stack: a second compact moves to g2 and GCs g1
+    // generations stack: a second compact moves to g2; the retention
+    // window (1) keeps g1 and ages out g0
     DedupIndex.compact(spark, idx)
     assert(parquetFiles(s"$idx/bands_g2").nonEmpty &&
-      parquetFiles(s"$idx/bands_g1").isEmpty)
+      parquetFiles(s"$idx/bands_g1").nonEmpty &&
+      parquetFiles(s"$idx/bands").isEmpty,
+      DedupIndex.generationsOnDisk(spark, idx).mkString(","))
     assert(sorted(DedupIndex.probePairs(spark, idx, batch,
       "doc_id", "text")) == widened)
+    // explicit expiry reclaims everything but the live generation
+    DedupIndex.expireGenerations(spark, idx)
+    assert(DedupIndex.generationsOnDisk(spark, idx) == Seq(2))
 
     // the compacted scan is still BUCKETED (layout preserved, not just
     // content): the probe join's index side must carry the bucket spec
@@ -255,6 +264,139 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "doc_id", "text", spec, refFull)
     assert(sorted(DedupIndex.probePairs(spark, idx, batch, "doc_id", "text"))
       == sorted(DedupIndex.probePairs(spark, refFull, batch, "doc_id", "text")))
+  }
+
+  test("racing maintenance: one writer wins, the loser aborts loudly, " +
+    "the index stays intact at the winner's generation") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_didx_race").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+      "doc_id", "text", spec, idx)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val before = sorted(
+      DedupIndex.probePairs(spark, idx, batch, "doc_id", "text"))
+    assert(before.nonEmpty)
+
+    // deterministic interleaving via the test seam: while the OUTER remove
+    // has finished its rewrite but not yet committed, a RACING compact
+    // runs to completion and advances the generation out from under it.
+    // Without the CAS the outer flip would win last-write-wins and the
+    // racer's committed work would be silently discarded.
+    val removeIds = docs.filter(pmod(col("doc_id"), lit(10)).between(6, 7))
+      .select("doc_id")
+    DedupIndex.testBeforeCommit = () => {
+      DedupIndex.testBeforeCommit = () => () // the racer itself commits freely
+      DedupIndex.compact(spark, idx)
+    }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        DedupIndex.remove(spark, idx, removeIds, "doc_id")
+      }
+      assert(e.getMessage.contains("DISCARDED"), e.getMessage)
+    } finally DedupIndex.testBeforeCommit = () => ()
+    // the loser's remove did NOT land (probe unchanged — the removed slice
+    // still matches), and the index is live at the racer's generation
+    assert(DedupIndex.liveGeneration(spark, idx) == 1)
+    assert(sorted(DedupIndex.probePairs(spark, idx, batch,
+      "doc_id", "text")) == before)
+    // re-running the remove against the new generation succeeds
+    DedupIndex.remove(spark, idx, removeIds, "doc_id")
+    assert(DedupIndex.liveGeneration(spark, idx) == 2)
+    assert(DedupIndex.bandsRelation(spark, idx)
+      .filter(pmod(col("doc_id"), lit(10)).between(6, 7)).count() == 0)
+  }
+
+  test("a reader bound to the superseded generation survives the flip " +
+    "(retention window), and time-travel reproduces the old probe") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_didx_tt").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 6),
+      "doc_id", "text", spec, idx)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val preMaint = sorted(
+      DedupIndex.probePairs(spark, idx, batch, "doc_id", "text"))
+    assert(preMaint.nonEmpty)
+
+    // bind a reader's PLAN to generation 0 (planning resolves the file
+    // listing), then flip underneath it
+    val boundReader = DedupIndex.bandsRelation(spark, idx)
+    boundReader.queryExecution.executedPlan // force planning against gen 0
+    val gen0Rows = DedupIndex.bandsRelationAt(spark, idx, 0).count()
+
+    DedupIndex.remove(spark, idx,
+      docs.filter(pmod(col("doc_id"), lit(10)).between(4, 5))
+        .select("doc_id"), "doc_id")
+    assert(DedupIndex.liveGeneration(spark, idx) == 1)
+    // the pre-flip reader still scans: its generation-0 files are retained
+    assert(boundReader.count() == gen0Rows,
+      "reader bound to the superseded generation lost its files mid-query")
+
+    // appends land in the LIVE generation only — the superseded one is
+    // immutable, so the time-travel read reproduces the pre-maintenance
+    // probe exactly even after the index moves on
+    DedupIndex.append(docs.filter(pmod(col("doc_id"), lit(10)).between(6, 7)),
+      "doc_id", "text", idx)
+    assert(sorted(DedupIndex.probePairsAt(spark, idx, gen = 0, batch,
+      "doc_id", "text")) == preMaint,
+      "time-travel probe of generation 0 diverged from the pre-maintenance probe")
+    // and the LIVE probe reflects the remove + append (≠ the snapshot's
+    // corpus), so the two surfaces are genuinely distinct
+    assert(sorted(DedupIndex.probePairs(spark, idx, batch,
+      "doc_id", "text")) == sorted(Dedup.incrementalMinhashPairs(
+      batch, docs.filter(pmod(col("doc_id"), lit(10)) < 4)
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(10)).between(6, 7))),
+      "doc_id", "text", numHashes = 16, bands = 4, minEst = 0.5)))
+
+    // an expired generation refuses loudly, naming what is on disk
+    DedupIndex.expireGenerations(spark, idx)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.probePairsAt(spark, idx, gen = 0, batch, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("no generation 0"), e.getMessage)
+  }
+
+  test("crashed meta commit is detected loudly, never read as 'no index'") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_didx_crash").toString
+    DedupIndex.build(docs.limit(60), "doc_id", "text", spec, idx)
+    DedupIndex.compact(spark, idx)
+    // simulate a crash between the two commit renames: meta moved aside,
+    // replacement never landed
+    val p = new org.apache.hadoop.fs.Path(s"$idx/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(s"$idx/meta_old")))
+    val e = intercept[IllegalStateException] {
+      DedupIndex.exists(spark, idx)
+    }
+    assert(e.getMessage.contains("crashed meta commit"), e.getMessage)
+    // the documented recovery (rename meta_old back) restores the index
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$idx/meta_old"), p))
+    assert(DedupIndex.exists(spark, idx))
+    assert(DedupIndex.liveGeneration(spark, idx) == 1)
+  }
+
+  test("remove-all leaves a working empty index: maintenance and probes " +
+    "keep working, a fresh session can still register it") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_didx_empty").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 6),
+      "doc_id", "text", spec, idx)
+    DedupIndex.remove(spark, idx, docs.select("doc_id"), "doc_id")
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    assert(DedupIndex.probePairs(spark, idx, batch, "doc_id", "text")
+      .count() == 0)
+    // compact over the emptied index must not throw (round-13 advisory:
+    // the generation dir exists but holds no parquet files)
+    DedupIndex.compact(spark, idx)
+    assert(DedupIndex.liveGeneration(spark, idx) == 2)
+    // a NEW session registering the empty index must not choke on schema
+    // inference (fixed DDL, never inferred from files)
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_dedup_idx_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    assert(DedupIndex.probePairs(spark, idx, batch, "doc_id", "text")
+      .count() == 0)
+    // and the index is still APPENDABLE after being emptied
+    DedupIndex.append(docs.filter(pmod(col("doc_id"), lit(10)) < 6),
+      "doc_id", "text", idx)
+    assert(DedupIndex.probePairs(spark, idx, batch, "doc_id", "text")
+      .count() > 0)
   }
 
   test("probe join keeps the index side shuffle-free (bucketed scan, " +

@@ -270,8 +270,11 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(afterG1.nonEmpty && afterG1.values.max == 1,
       s"compaction must leave exactly one file per label dir: $afterG1")
     assert(afterG1.keySet == before.keySet, "compaction dropped a label dir")
-    assert(labelFiles(s"$idx/postings").isEmpty,
-      "superseded generation was not GC'd")
+    // the superseded generation is RETAINED (default retainGenerations=1):
+    // a concurrent reader whose plan is bound to gen 0 finishes its scan
+    assert(labelFiles(s"$idx/postings").nonEmpty,
+      "superseded generation must be retained for in-flight readers")
+    assert(VectorIndex.generationsOnDisk(spark, idx) == Seq(0, 1))
     assert(VectorIndex.searchTopK(spark, idx, queries, k = 3)
       .orderBy("qid", "rank").collect().map(_.toString)
       .sameElements(preSearch), "compaction changed search results")
@@ -288,12 +291,18 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sameElements(VectorIndex.searchTopK(spark, idxFull, queries,
       k = 3).orderBy("qid", "rank").collect().map(_.toString)))
 
-    // generations stack: second compact moves to g2 and GCs g1
+    // generations stack: second compact moves to g2; the retention window
+    // (1) keeps g1 and ages out g0
     VectorIndex.compact(spark, idx)
     assert(labelFiles(s"$idx/postings_g2").values.max == 1 &&
-      labelFiles(s"$idx/postings_g1").isEmpty)
+      labelFiles(s"$idx/postings_g1").nonEmpty &&
+      labelFiles(s"$idx/postings").isEmpty,
+      VectorIndex.generationsOnDisk(spark, idx).mkString(","))
     assert(VectorIndex.searchTopK(spark, idx, queries, k = 3)
       .orderBy("qid", "rank").collect().map(_.toString).sameElements(got))
+    // explicit expiry reclaims everything but the live generation
+    VectorIndex.expireGenerations(spark, idx)
+    assert(VectorIndex.generationsOnDisk(spark, idx) == Seq(2))
   }
 
   test("remove: searches as if the vectors were never indexed; removing " +
@@ -325,5 +334,127 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     VectorIndex.remove(spark, idx,
       emb.select("vec_id"))
     assert(VectorIndex.searchTopK(spark, idx, queries, k = 3).count() == 0)
+    // maintenance over the emptied index must not throw (round-13
+    // advisory: the live dir exists but holds no parquet files), and the
+    // index stays appendable
+    VectorIndex.compact(spark, idx)
+    assert(VectorIndex.searchTopK(spark, idx, queries, k = 3).count() == 0)
+    VectorIndex.append(emb.filter(pmod(col("vec_id"), lit(4)) === 0), idx)
+    assert(VectorIndex.searchTopK(spark, idx, queries, k = 3).count() > 0)
+  }
+
+  test("racing maintenance: one writer wins, the loser aborts loudly, " +
+    "the index stays intact at the winner's generation") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val codebook = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val spec = VectorIndex.Spec(numSub = 8,
+      dim = codebook.head._2.length, codebook = codebook)
+    val idx = java.nio.file.Files.createTempDirectory("graft_vi_race").toString
+    VectorIndex.build(emb, spec, idx)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"))
+    val before = VectorIndex.searchTopK(spark, idx, queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+
+    // deterministic interleaving via the test seam: a racing compact
+    // commits while the outer remove has rewritten but not yet flipped
+    VectorIndex.testBeforeCommit = () => {
+      VectorIndex.testBeforeCommit = () => ()
+      VectorIndex.compact(spark, idx)
+    }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        VectorIndex.remove(spark, idx,
+          emb.filter(pmod(col("vec_id"), lit(4)) === 3).select("vec_id"))
+      }
+      assert(e.getMessage.contains("DISCARDED"), e.getMessage)
+    } finally VectorIndex.testBeforeCommit = () => ()
+    // the loser's remove did NOT land; the index serves the full corpus at
+    // the racer's generation
+    assert(VectorIndex.liveGeneration(spark, idx) == 1)
+    assert(VectorIndex.searchTopK(spark, idx, queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString).sameElements(before))
+    // re-running the remove against the new generation succeeds
+    VectorIndex.remove(spark, idx,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 3).select("vec_id"))
+    assert(VectorIndex.liveGeneration(spark, idx) == 2)
+  }
+
+  test("rebuild commits codebook and postings together at the pointer " +
+    "flip; time-travel decodes each generation under ITS codebook") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    def bounded(lo: Int, n: Int) = emb
+      .filter(col("vec_id") >= lo && col("vec_id") < lo + n)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val cbOld = bounded(0, 8)
+    val cbNew = bounded(8, 8)
+    val dim = cbOld.head._2.length
+    val idx = java.nio.file.Files.createTempDirectory("graft_vi_rb").toString
+    VectorIndex.build(emb, VectorIndex.Spec(8, dim, cbOld), idx)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"))
+    val oldAnswers = VectorIndex.searchTopK(spark, idx, queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+
+    // REBUILD with a different codebook: lands as generation 1 with its
+    // own meta_g1; the old generation (postings + codebook) is retained
+    VectorIndex.build(emb, VectorIndex.Spec(8, dim, cbNew), idx)
+    assert(VectorIndex.liveGeneration(spark, idx) == 1)
+    val newAnswers = VectorIndex.searchTopK(spark, idx, queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+    // reference: a fresh index under the new codebook answers identically
+    // (the live surface decodes under the NEW codebook, never a mix)
+    val ref = java.nio.file.Files.createTempDirectory("graft_vi_rb_ref").toString
+    VectorIndex.build(emb, VectorIndex.Spec(8, dim, cbNew), ref)
+    assert(newAnswers.sameElements(
+      VectorIndex.searchTopK(spark, ref, queries, k = 3)
+        .orderBy("qid", "rank").collect().map(_.toString)))
+    // time-travel to generation 0 decodes under the OLD codebook — the
+    // codebook swaps WITH its postings, never across them
+    assert(VectorIndex.searchTopKAt(spark, idx, gen = 0, queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+      .sameElements(oldAnswers))
+
+    // a compact of the rebuilt index inherits the new codebook (meta_g1
+    // outlives its own generation while g2 depends on it)
+    VectorIndex.compact(spark, idx)
+    assert(VectorIndex.liveGeneration(spark, idx) == 2)
+    assert(VectorIndex.searchTopK(spark, idx, queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+      .sameElements(newAnswers))
+    // full expiry keeps the live generation AND the codebook it needs
+    VectorIndex.expireGenerations(spark, idx)
+    assert(VectorIndex.generationsOnDisk(spark, idx) == Seq(2))
+    assert(VectorIndex.searchTopK(spark, idx, queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+      .sameElements(newAnswers))
+  }
+
+  test("crashed pointer commit is detected loudly, never read as gen 0") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val codebook = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val spec = VectorIndex.Spec(numSub = 8,
+      dim = codebook.head._2.length, codebook = codebook)
+    val idx = java.nio.file.Files.createTempDirectory("graft_vi_crash").toString
+    VectorIndex.build(emb, spec, idx)
+    VectorIndex.compact(spark, idx)
+    val p = new org.apache.hadoop.fs.Path(s"$idx/gen")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(s"$idx/gen_old")))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"))
+    val e = intercept[IllegalStateException] {
+      VectorIndex.searchTopK(spark, idx, queries, k = 3)
+    }
+    assert(e.getMessage.contains("crashed pointer commit"), e.getMessage)
+    // the documented recovery (rename gen_old back) restores the index
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$idx/gen_old"), p))
+    assert(VectorIndex.liveGeneration(spark, idx) == 1)
+    assert(VectorIndex.searchTopK(spark, idx, queries, k = 3).count() > 0)
   }
 }
