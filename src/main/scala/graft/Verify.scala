@@ -61,6 +61,14 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // surface manifest: EVERY SparkEntry.queries name (graded or not) plus
+    // whether this dump was filtered — check.py compares it against both
+    // the oracle map and the pinned expected count, so a query silently
+    // dropped from either surface fails the gate instead of shrinking it
+    val manifest = s"""{"filtered": ${only.isDefined}, "queries": """ +
+      SparkEntry.queries.keys.filter(selected).toSeq.sorted
+        .map(q).mkString("[", ",", "]") + "}"
+    Files.writeString(Paths.get(s"$outDir/queries_manifest.json"), manifest)
     spark.stop()
   }
 }

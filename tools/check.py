@@ -40,6 +40,39 @@ for t in TABLES:
 with open(f"{OUT}/oracle_sql.json") as f:
     oracles = json.load(f)
 
+# --- surface-count gate (round-13 judge task 6): a query silently missing
+# from the dump, or present in SparkEntry.queries but lacking an oracle,
+# must FAIL the run — "N pass, 0 fail" over a shrunken surface is the one
+# way this gate could lie. Verify dumps queries_manifest.json with every
+# SparkEntry.queries name and whether the run was filtered; the expected
+# full-surface count is pinned in tools/expected_query_count.txt and
+# updated in the same commit that adds a query.
+EXPECTED_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "expected_query_count.txt")
+surface_errs = []
+manifest_path = f"{OUT}/queries_manifest.json"
+if os.path.exists(manifest_path):
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    no_oracle = sorted(set(manifest["queries"]) - set(oracles))
+    if no_oracle:
+        surface_errs.append(
+            f"queries with NO oracle entry (would never be graded): {no_oracle}")
+    if not manifest.get("filtered", False):
+        expected = int(open(EXPECTED_FILE).read().strip())
+        if len(manifest["queries"]) != expected:
+            surface_errs.append(
+                f"query surface is {len(manifest['queries'])}, expected "
+                f"{expected} (tools/expected_query_count.txt) — a query was "
+                "added/removed without updating the pin, or silently dropped")
+        if len(oracles) != expected:
+            surface_errs.append(
+                f"oracle surface is {len(oracles)}, expected {expected}")
+else:
+    surface_errs.append(
+        "queries_manifest.json missing — graft.Verify predates the "
+        "surface-count gate; re-run without --skip-verify")
+
 
 def canon(cols, rows):
     """sort columns by name, then rows by stringified values"""
@@ -132,5 +165,8 @@ for name in sorted(oracles):
         print(f"PASS {name}: {len(sr)} rows{tol}")
         n_pass += 1
 
+for e in surface_errs:
+    print(f"FAIL surface: {e}")
+    n_fail += 1
 print(f"\n{n_pass} pass, {n_fail} fail")
 sys.exit(1 if n_fail else 0)
