@@ -127,10 +127,18 @@ object DedupIndex {
       .saveAsTable(sigsTable(spark, indexDir))
     writeMeta(spark, spec, generation = 0, indexDir)
     // a rebuild restarts the lineage at gen 0: generation dirs from the
-    // PREVIOUS lineage are stale the moment the new meta commits (a crash
-    // before this line leaves them; harmless — expireGenerations or the
-    // next rebuild reclaims)
-    expireGenerations(spark, indexDir, retain = 0)
+    // PREVIOUS lineage are stale the moment the new meta commits, and are
+    // deleted HERE (not via expireGenerations, whose above-live protection
+    // would see old-lineage gens as in-flight) — a rebuild is a deliberate
+    // single-writer lineage restart. A crash before this line leaves them;
+    // harmless — the next rebuild reclaims.
+    generationsOnDisk(spark, indexDir).filter(_ > 0).foreach { g =>
+      Seq(dataDir(indexDir, "bands", g), dataDir(indexDir, "sigs", g))
+        .foreach { d =>
+          try { fs(spark, d).delete(new org.apache.hadoop.fs.Path(d), true); () }
+          catch { case _: Exception => () }
+        }
+    }
   }
 
   /** generation-addressed data dirs: gen 0 is the original `bands`/`sigs`
@@ -425,8 +433,13 @@ object DedupIndex {
   def expireGenerations(spark: SparkSession, indexDir: String,
                         retain: Int = 0): Unit = {
     val live = loadMeta(spark, indexDir)._2
+    // only generations BELOW live are superseded; anything above it is an
+    // in-flight writer's staging (or an aborted writer's orphan, which the
+    // next rewrite overwrites) — deleting it here could destroy a
+    // concurrent rewrite, and letting it consume a retention slot would
+    // evict a genuinely-retained generation early
     generationsOnDisk(spark, indexDir)
-      .filter(_ != live).sortBy(g => -g).drop(retain)
+      .filter(_ < live).sortBy(g => -g).drop(retain)
       .foreach { g =>
         Seq(dataDir(indexDir, "bands", g), dataDir(indexDir, "sigs", g))
           .foreach { d =>

@@ -213,7 +213,12 @@ object VectorIndex {
                         retain: Int = 0): Unit = {
     val live = generation(spark, indexDir)
     val all = generationsOnDisk(spark, indexDir)
-    val doomedPostings = all.filter(_ != live).sortBy(g => -g).drop(retain)
+    // only generations BELOW live are superseded; anything above it is an
+    // in-flight writer's staging (or an aborted writer's orphan, which the
+    // next rewrite overwrites) — deleting it here could destroy a
+    // concurrent rewrite, and letting it consume a retention slot would
+    // evict a genuinely-retained generation early
+    val doomedPostings = all.filter(_ < live).sortBy(g => -g).drop(retain)
     val survivors = all.filterNot(doomedPostings.contains)
     // A rebuild codebook meta_gN is shared DOWNSTREAM: a generation
     // created by compact/remove recodes nothing and decodes under the
