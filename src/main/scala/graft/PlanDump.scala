@@ -83,7 +83,7 @@ object PlanDump {
       "embed_pca_power" ->
         "PCA projection: the power-iterated eigenvector is a plan literal — cosine scoring is map-side codegen'd fold work; top-10 via TakeOrderedAndProject",
       "text_kneser_ney" ->
-        "Kneser-Ney scoring: bigram stats shuffle on near-unique (w1,w2) keys; the O(vocabulary) ctx/continuation lookups ride the Zipf skew-split (head broadcast, rare tail shuffled) over ONE cached bigram base; per-doc log-sums DECIMAL-exact",
+        "Kneser-Ney scoring: bigram stats shuffle on near-unique (w1,w2) keys; the O(vocabulary) ctx/continuation lookups are themselves cached (each is consumed ~5x by the split branches + the eager head-threshold aggregate) and ride the Zipf skew-split (head broadcast, rare tail shuffled) over ONE cached bigram base; per-doc log-sums DECIMAL-exact",
       "q_skyline" ->
         "skyline (Pareto frontier): exclusive global prefix-min via the bucketed two-pass — dominance resolved without the quadratic self-join the oracle uses and without a single-task global sort",
       "pipe_url_canonicalize" ->
