@@ -315,6 +315,39 @@ object PipelineQueries {
       snap.unionByName(live).orderBy("surface", "new_id", "index_id")
     }),
 
+    // The STREAMING DEDUP GATE end-to-end under the oracle (previously
+    // spec-gated only): three sequential micro-batches (doc_id % 3) run
+    // through StreamingDedup.ingest in bucketed-index mode with
+    // compactThreshold=1, so ≥1 auto-compaction provably fires
+    // mid-stream. The oracle replays the gate's EXACT sequential drop
+    // rule in SQL — per batch: (1) docs whose LSH-candidate est-Jaccard
+    // vs any ALREADY-ACCEPTED signable doc ≥ 0.5 drop; (2) within-batch
+    // near-dup components (recursive-CTE CC over in-batch LSH pairs;
+    // batches are disjoint mod-classes, so one CC covers all three) keep
+    // their min-id canonical; (3) docs too short to sign always survive
+    // and never index. Output = accepted survivors (content-hashed) +
+    // the gen_advanced constant pinning that auto-compaction fired —
+    // a gate that dropped a survivor, accepted a dup, replayed a batch,
+    // or silently stopped compacting hash-breaks.
+    "dedup_gate_autocompact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_gate_idx").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_gate_out").toString
+      val cfg = graft.streaming.StreamingDedup.Config(
+        indexDir = idx, outDir = out, idCol = "doc_id", textCol = "text",
+        numHashes = 16, bands = 4, minEst = 0.5,
+        bucketed = true, buckets = 8, compactThreshold = 1)
+      (0 to 2).foreach(b => graft.streaming.StreamingDedup.ingest(cfg)(
+        d.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong))
+      val gen = graft.operators.DedupIndex.liveGeneration(s, idx)
+      s.read.parquet(out)
+        .select(col("doc_id"), md5(col("text")).as("content_md5"))
+        .withColumn("gen_advanced", lit(gen > 0))
+        .orderBy("doc_id")
+    }),
+
     // Bloom-prefiltered EXACT incremental dedup: the arriving batch (last
     // 20% of doc ids, with every third doc carrying a PLANTED copy of a
     // corpus doc's text so the fixture actually exercises the drop path)
@@ -2750,6 +2783,74 @@ object PipelineQueries {
                          JOIN sig y ON pairs.index_id = y.doc_id)
       SELECT new_id, index_id, est_jaccard FROM est
       WHERE est_jaccard >= 0.5 ORDER BY new_id, index_id""",
+
+    // the streaming gate's sequential drop rule, replayed exactly: est
+    // pairs from the same minhash chain as the index oracles (SYMMETRIC —
+    // cand keeps both directions so "batch doc vs accepted doc" reads
+    // directly); one recursive CC over in-batch pairs covers all three
+    // disjoint batches; s0→s1→s2 chain the accepted-index growth; short
+    // docs bypass signing and always survive. gen_advanced is constant
+    // TRUE — the Spark side computes it from the live index generation.
+    "dedup_gate_autocompact" -> s"""
+      WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w
+                           FROM documents
+                           WHERE len(string_split(text, ' ')) >= 3),
+      sh AS (SELECT doc_id,
+                    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   FOR i IN range(1, len(w) - 1)]) AS sh
+             FROM t),
+      base AS (SELECT doc_id, list_transform(sh, s -> ${h("s")} & 1073741823) AS bs
+               FROM sh),
+      sig AS MATERIALIZED (SELECT doc_id,
+                     [list_min(list_transform(bs, x ->
+                        (x * (2 * h + 1) + h * 40503) % 1073741789))
+                      FOR h IN range(0, 16)] AS sig
+              FROM base),
+      keyed AS MATERIALIZED (SELECT doc_id, sig, b,
+                       array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',') AS band_key
+                FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      cand AS (SELECT DISTINCT n.doc_id AS a, i.doc_id AS b
+               FROM keyed n JOIN keyed i
+                 ON n.b = i.b AND n.band_key = i.band_key
+               WHERE n.doc_id <> i.doc_id),
+      est0 AS (SELECT a, b,
+                      len(list_filter([x.sig[i] = y.sig[i] FOR i IN range(1, 17)], v -> v)) / 16.0 AS ej
+               FROM cand JOIN sig x ON cand.a = x.doc_id
+                         JOIN sig y ON cand.b = y.doc_id),
+      est AS MATERIALIZED (SELECT a, b FROM est0 WHERE ej >= 0.5),
+      inb AS (SELECT a, b FROM est WHERE a % 3 = b % 3 AND a < b),
+      edges AS (SELECT a, b FROM inb UNION SELECT b, a FROM inb),
+      nodes AS (SELECT DISTINCT a AS node FROM edges),
+      reach AS (SELECT node, node AS lbl FROM nodes
+                UNION
+                SELECT e.a AS node, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+      ccdrop AS MATERIALIZED (
+        SELECT node AS doc_id FROM (
+          SELECT node, min(lbl) AS m FROM reach GROUP BY node) c
+        WHERE node <> m),
+      s0 AS MATERIALIZED (
+        SELECT doc_id FROM sig WHERE doc_id % 3 = 0
+          AND doc_id NOT IN (SELECT doc_id FROM ccdrop)),
+      d1 AS (SELECT DISTINCT a AS doc_id FROM est
+             WHERE a % 3 = 1 AND b IN (SELECT doc_id FROM s0)),
+      s1 AS MATERIALIZED (
+        SELECT doc_id FROM sig WHERE doc_id % 3 = 1
+          AND doc_id NOT IN (SELECT doc_id FROM ccdrop)
+          AND doc_id NOT IN (SELECT doc_id FROM d1)),
+      d2 AS (SELECT DISTINCT a AS doc_id FROM est
+             WHERE a % 3 = 2 AND (b IN (SELECT doc_id FROM s0)
+                                  OR b IN (SELECT doc_id FROM s1))),
+      s2 AS (SELECT doc_id FROM sig WHERE doc_id % 3 = 2
+          AND doc_id NOT IN (SELECT doc_id FROM ccdrop)
+          AND doc_id NOT IN (SELECT doc_id FROM d2)),
+      unsig AS (SELECT doc_id FROM documents
+                WHERE len(string_split(text, ' ')) < 3),
+      surv AS (SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1
+               UNION ALL SELECT doc_id FROM s2
+               UNION ALL SELECT doc_id FROM unsig)
+      SELECT d.doc_id, md5(d.text) AS content_md5, true AS gen_advanced
+      FROM documents d JOIN surv USING (doc_id)
+      ORDER BY d.doc_id""",
 
     // time-travel: the gen-0 snapshot probes the pre-maintenance index
     // (<6); the live surface probes the post-remove + append index

@@ -354,4 +354,67 @@ class OperatorPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
           s"doubleCompact=$doubleCompact: ${got.size} vs ${ref.size} pairs")
     }
   }
+
+  test("DedupIndex: random append/compact/REMOVE histories probe like a " +
+    "build over the surviving docs; every flip's retained snapshot " +
+    "time-travels exactly until expired") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val spec0 = operators.DedupIndex.Spec(numHashes = 16, bands = 4, buckets = 4)
+    val gen = for {
+      nSlices <- Gen.choose(2, 4)
+      buckets <- Gen.oneOf(2, 4, 8)
+      removeSlice <- Gen.choose(0, nSlices - 1) // whose ids get removed
+      compactFirst <- Gen.oneOf(true, false) // compact before the remove?
+    } yield (nSlices, buckets, removeSlice, compactFirst)
+    forAll(gen, n = 4) { case (nSlices, buckets, removeSlice, compactFirst) =>
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_prop_rm").toString
+      def slice(i: Int) =
+        corpus.filter(pmod(expr("doc_id div 10"), lit(nSlices)) === i)
+      operators.DedupIndex.build(slice(0), "doc_id", "text",
+        spec0.copy(buckets = buckets), idx)
+      (1 until nSlices).foreach(i =>
+        operators.DedupIndex.append(slice(i), "doc_id", "text", idx))
+      if (compactFirst) operators.DedupIndex.compact(spark, idx)
+      def probe() = operators.DedupIndex
+        .probePairs(spark, idx, batch, "doc_id", "text", minEst = 0.5)
+        .orderBy("new_id", "index_id").collect().toSeq
+      // snapshot the live state, then REMOVE one slice's ids
+      val preRemove = probe()
+      val genBefore = operators.DedupIndex.liveGeneration(spark, idx)
+      operators.DedupIndex.remove(spark, idx,
+        slice(removeSlice).select("doc_id"), "doc_id")
+      // live surface == one build over the survivors
+      val refIdx = java.nio.file.Files
+        .createTempDirectory("graft_prop_rm_ref").toString
+      operators.DedupIndex.build(
+        corpus.filter(pmod(expr("doc_id div 10"), lit(nSlices)) =!= removeSlice),
+        "doc_id", "text", spec0.copy(buckets = buckets), refIdx)
+      val want = operators.DedupIndex
+        .probePairs(spark, refIdx, batch, "doc_id", "text", minEst = 0.5)
+        .orderBy("new_id", "index_id").collect().toSeq
+      assert(probe() == want,
+        s"nSlices=$nSlices buckets=$buckets removeSlice=$removeSlice " +
+          s"compactFirst=$compactFirst: live probe diverges from a " +
+          "build over the survivors")
+      // the flip retained the pre-remove generation: time-travel
+      // reproduces the pre-remove probe exactly...
+      val snap = operators.DedupIndex
+        .probePairsAt(spark, idx, genBefore, batch, "doc_id", "text",
+          minEst = 0.5)
+        .orderBy("new_id", "index_id").collect().toSeq
+      assert(snap == preRemove, "retained snapshot diverges from the " +
+        "pre-remove probe")
+      // ...until expiry reclaims it, loudly
+      operators.DedupIndex.expireGenerations(spark, idx)
+      intercept[IllegalArgumentException] {
+        operators.DedupIndex.probePairsAt(spark, idx, genBefore, batch,
+          "doc_id", "text", minEst = 0.5)
+      }
+      ()
+    }
+  }
 }
