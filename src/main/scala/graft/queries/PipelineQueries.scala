@@ -318,8 +318,11 @@ object PipelineQueries {
     // The STREAMING DEDUP GATE end-to-end under the oracle (previously
     // spec-gated only): three sequential micro-batches (doc_id % 3) run
     // through StreamingDedup.ingest in bucketed-index mode with
-    // compactThreshold=1, so ≥1 auto-compaction provably fires
-    // mid-stream. The oracle replays the gate's EXACT sequential drop
+    // compactThreshold=2, so ≥1 auto-compaction provably fires mid-stream
+    // (every batch's bands hash into every bucket, so by batch 2 some
+    // bucket holds 3 files unless an earlier fire already reset it —
+    // threshold 2 prices 1-2 rewrites instead of 3 at the same
+    // guarantee). The oracle replays the gate's EXACT sequential drop
     // rule in SQL — per batch: (1) docs whose LSH-candidate est-Jaccard
     // vs any ALREADY-ACCEPTED signable doc ≥ 0.5 drop; (2) within-batch
     // near-dup components (recursive-CTE CC over in-batch LSH pairs;
@@ -338,7 +341,7 @@ object PipelineQueries {
       val cfg = graft.streaming.StreamingDedup.Config(
         indexDir = idx, outDir = out, idCol = "doc_id", textCol = "text",
         numHashes = 16, bands = 4, minEst = 0.5,
-        bucketed = true, buckets = 8, compactThreshold = 1)
+        bucketed = true, buckets = 8, compactThreshold = 2)
       (0 to 2).foreach(b => graft.streaming.StreamingDedup.ingest(cfg)(
         d.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong))
       val gen = graft.operators.DedupIndex.liveGeneration(s, idx)
