@@ -28,16 +28,20 @@ object CrossScaleBench {
   /** the 15 slowest non-trivial queries of the committed round-11 sf0.1
     * artifact (bench_full_sf0.1.json), fixture builders included — they
     * are real pipeline stages and scale with the corpus — plus the
-    * round-13 index-compaction lifecycles (build + appends + compact +
-    * probe/search: the rewrite must stay O(index), so its 10× ratio is a
-    * scale property worth pinning) */
+    * round-13 index-compaction/deletion lifecycles and the round-14
+    * streaming-gate + time-travel lifecycles (each runs build + maintain
+    * + probe/search inside the measured query: the rewrites must stay
+    * O(index) and the retained-generation reads O(snapshot), so their
+    * 10× ratios are scale properties worth pinning) */
   val DefaultQueries: Seq[String] = Seq(
     "dedup_index_fixture", "dedup_index_probe", "dedup_lsh_sweep",
     "dedup_keep_one", "text_kneser_ney", "pipe_end2end", "dedup_centrality",
     "dedup_cluster_sizes", "dedup_components", "pipe_leakfree_split",
     "ann_index_ingest", "pipe_bpe_apply", "dedup_winnow", "dedup_span_scrub",
     "nats_avro_extract", "dedup_index_compact", "ann_index_compact",
-    "dedup_index_remove", "ann_index_remove")
+    "dedup_index_remove", "ann_index_remove",
+    "dedup_gate_autocompact", "ann_index_autocompact",
+    "dedup_index_timetravel", "ann_index_timetravel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
