@@ -153,22 +153,28 @@ object DedupIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Meta commit via rename, not write-in-place: `mode(overwrite)` on the
-    * live `meta` dir is delete-then-write — a crash mid-write leaves NO
-    * meta, and a missing meta used to read as "no index", silently
+    * live `meta` is delete-then-write — a crash mid-write leaves NO meta,
+    * and a missing meta used to read as "no index", silently
     * bootstrapping a fresh index over live data (round-13 advisory). The
-    * new meta lands complete in `meta_tmp`; the swap is two directory
-    * RENAMES (metadata ops, no data write between them), and every state a
-    * crash can leave — `meta_tmp` orphan, `meta_old` orphan, or the
-    * renames half-done — is either self-healing or detected loudly by
-    * [[requireUnambiguous]]. */
+    * meta is one JSON FILE (4 ints — round 14: a parquet dir here cost a
+    * full Spark job per [[loadMeta]], and loadMeta runs several times per
+    * index operation): it lands complete in `meta_tmp`, the swap is two
+    * single-file RENAMES, and every state a crash can leave — `meta_tmp`
+    * orphan, `meta_old` orphan, or the renames half-done — is either
+    * self-healing or detected loudly by [[requireUnambiguous]]. Indexes
+    * written before round 14 carry a parquet DIRECTORY at `meta`;
+    * [[loadMeta]] reads both, and the next maintenance commit upgrades
+    * the format (the dir renames aside exactly like a file). */
   private def writeMeta(spark: SparkSession, spec: Spec, generation: Int,
                         indexDir: String): Unit = {
-    import spark.implicits._
     val f = fs(spark, indexDir)
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$indexDir/$s")
-    Seq((spec.numHashes, spec.bands, spec.buckets, generation))
-      .toDF("num_hashes", "bands", "buckets", "generation")
-      .coalesce(1).write.mode("overwrite").parquet(p("meta_tmp").toString)
+    val content =
+      s"""{"num_hashes":${spec.numHashes},"bands":${spec.bands},""" +
+        s""""buckets":${spec.buckets},"generation":$generation}"""
+    val out = f.create(p("meta_tmp"), true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     f.delete(p("meta_old"), true) // failed prior swap
     if (f.exists(p("meta"))) {
       if (!f.rename(p("meta"), p("meta_old")))
@@ -211,14 +217,29 @@ object DedupIndex {
 
   private def loadMeta(spark: SparkSession, indexDir: String): (Spec, Int) = {
     requireUnambiguous(spark, indexDir)
-    val df = spark.read.parquet(s"$indexDir/meta")
-    val r = df.collect().head
-    val spec = Spec(r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"),
-      r.getAs[Int]("buckets"))
-    // indexes written before compaction existed carry no generation column
-    val gen = if (df.schema.fieldNames.contains("generation"))
-      r.getAs[Int]("generation") else 0
-    (spec, gen)
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    val f = fs(spark, indexDir)
+    if (f.getFileStatus(p).isFile) {
+      // round-14 format: one JSON file, read driver-side (no Spark job —
+      // loadMeta runs several times per index operation)
+      val in = f.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      (Spec(node.get("num_hashes").asInt(), node.get("bands").asInt(),
+        node.get("buckets").asInt()), node.get("generation").asInt())
+    } else {
+      // legacy parquet-directory meta (pre-round-14 indexes)
+      val df = spark.read.parquet(p.toString)
+      val r = df.collect().head
+      val spec = Spec(r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"),
+        r.getAs[Int]("buckets"))
+      // indexes written before compaction existed carry no generation column
+      val gen = if (df.schema.fieldNames.contains("generation"))
+        r.getAs[Int]("generation") else 0
+      (spec, gen)
+    }
   }
 
   /** true once `build` has written this index's meta; throws (never a

@@ -135,8 +135,17 @@ object VectorIndex {
   private def generation(spark: SparkSession, indexDir: String): Int = {
     requireUnambiguous(spark, indexDir)
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/gen")
-    if (!fs(spark, indexDir).exists(p)) 0 // pre-maintenance: no pointer yet
-    else spark.read.parquet(p.toString).collect().head.getInt(0)
+    val f = fs(spark, indexDir)
+    if (!f.exists(p)) 0 // pre-maintenance: no pointer yet
+    else if (f.getFileStatus(p).isFile) {
+      // round-14 format: one text file, read driver-side (no Spark job —
+      // generation() runs several times per index operation)
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    } else
+      // legacy parquet-directory pointer (pre-round-14 indexes)
+      spark.read.parquet(p.toString).collect().head.getInt(0)
   }
 
   /** the LIVE generation number (0 for a fresh build) */
@@ -159,19 +168,22 @@ object VectorIndex {
     }
   }
 
-  /** Pointer commit via rename, not write-in-place: `mode(overwrite)` on
-    * the live `gen` dir is delete-then-write — a crash mid-write leaves NO
-    * pointer, which used to read as gen 0 and silently address the
-    * original postings. The new pointer lands complete in `gen_tmp`; the
-    * swap is two directory renames with [[requireUnambiguous]] catching
-    * every crash-interleaving. */
+  /** Pointer commit via rename, not write-in-place: overwriting the live
+    * `gen` is delete-then-write — a crash mid-write leaves NO pointer,
+    * which used to read as gen 0 and silently address the original
+    * postings. The pointer is one text FILE (round 14: a parquet dir here
+    * cost a full Spark job per [[generation]] read, which runs several
+    * times per index operation; pre-round-14 parquet-dir pointers still
+    * read, and the next commit upgrades the format): it lands complete in
+    * `gen_tmp`, and the swap is two single-file renames with
+    * [[requireUnambiguous]] catching every crash-interleaving. */
   private def writeGeneration(spark: SparkSession, indexDir: String,
                               gen: Int): Unit = {
-    import spark.implicits._
     val f = fs(spark, indexDir)
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$indexDir/$s")
-    Seq(gen).toDF("generation").coalesce(1)
-      .write.mode("overwrite").parquet(p("gen_tmp").toString)
+    val out = f.create(p("gen_tmp"), true)
+    try out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     f.delete(p("gen_old"), true) // failed prior swap
     if (f.exists(p("gen"))) {
       if (!f.rename(p("gen"), p("gen_old")))
