@@ -499,16 +499,37 @@ object DedupIndex {
 
   private def appendImpl(sig: DataFrame, idCol: String, indexDir: String,
                          spec: Spec): Unit = {
+    val spark = sig.sparkSession
+    val gen = loadMeta(spark, indexDir)._2
     // no path option: the registered table's location names the CURRENT
     // generation dir (a stale literal path would disagree after compact)
     val (bands, sigs) = bandRows(sig, idCol, spec)
     bands.write.format("parquet").mode("append")
       .bucketBy(spec.buckets, "bk").sortBy("bk")
-      .saveAsTable(bandsTable(sig.sparkSession, indexDir))
+      .saveAsTable(bandsTable(spark, indexDir))
     sigs.write.format("parquet").mode("append")
       .bucketBy(spec.buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(sigsTable(sig.sparkSession, indexDir))
+      .saveAsTable(sigsTable(spark, indexDir))
+    testAfterAppendWrite()
+    // OPTIMISTIC post-check (round 14): a maintenance rewrite that
+    // committed while this append wrote may have copied the relations
+    // BEFORE our rows landed — the appended docs would then be absent
+    // from the live generation and silently re-accepted as "new" forever
+    // after. Detect and fail loudly; whether the rewrite saw the rows is
+    // genuinely ambiguous, so recovery is remove(ids)+append (remove is
+    // idempotent) rather than a blind re-append (which could double band
+    // rows).
+    val genNow = loadMeta(spark, indexDir)._2
+    if (genNow != gen)
+      throw new java.util.ConcurrentModificationException(
+        s"dedup index at $indexDir: generation advanced $gen -> $genNow " +
+          "while this append wrote — the appended rows may sit only in the " +
+          "superseded generation. Recover: remove(theseIds) then re-append.")
   }
+
+  /** test seam: runs between an append's data write and its generation
+    * post-check — a spec interleaves a racing rewrite deterministically */
+  private[graft] var testAfterAppendWrite: () => Unit = () => ()
 
   /** max band files in any single bucket of the LIVE generation — the
     * fragmentation signal an auto-compaction policy thresholds on (one

@@ -343,12 +343,31 @@ object VectorIndex {
   def append(emb: DataFrame, indexDir: String): Unit = {
     val spark = emb.sparkSession
     val spec = loadSpec(spark, indexDir)
+    val gen = generation(spark, indexDir)
     emb.select(col("label"), col("vec_id"),
       Similarity.pqAssign(col("embedding"), spec.codebook, spec.numSub)
         .as("codes"))
       .write.partitionBy("label").mode("append")
-      .parquet(postingsDir(indexDir, generation(spark, indexDir)))
+      .parquet(postingsDir(indexDir, gen))
+    testAfterAppendWrite()
+    // OPTIMISTIC post-check (round 14): a maintenance rewrite that
+    // committed while this append wrote may have copied the postings
+    // BEFORE our rows landed — the appended vectors would then be absent
+    // from the live generation and silently lost at expiry. Detect and
+    // fail loudly; whether the rewrite saw the rows is genuinely
+    // ambiguous, so recovery is remove(ids)+append (remove is idempotent)
+    // rather than a blind re-append (which could double rows).
+    val genNow = generation(spark, indexDir)
+    if (genNow != gen)
+      throw new java.util.ConcurrentModificationException(
+        s"vector index at $indexDir: generation advanced $gen -> $genNow " +
+          "while this append wrote — the appended rows may sit only in the " +
+          "superseded generation. Recover: remove(theseIds) then re-append.")
   }
+
+  /** test seam: runs between an append's data write and its generation
+    * post-check — a spec interleaves a racing rewrite deterministically */
+  private[graft] var testAfterAppendWrite: () => Unit = () => ()
 
   /** the LIVE generation's codebook */
   def loadSpec(spark: SparkSession, indexDir: String): Spec =

@@ -305,6 +305,37 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(pmod(col("doc_id"), lit(10)).between(6, 7)).count() == 0)
   }
 
+  test("append racing a maintenance rewrite aborts loudly (rows could sit " +
+    "only in the superseded generation); remove+re-append recovers") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_didx_apprace").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 6),
+      "doc_id", "text", spec, idx)
+    val late = docs.filter(pmod(col("doc_id"), lit(10)).between(6, 7))
+    DedupIndex.testAfterAppendWrite = () => {
+      DedupIndex.testAfterAppendWrite = () => ()
+      DedupIndex.compact(spark, idx) // the racing writer commits first
+    }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        DedupIndex.append(late, "doc_id", "text", idx)
+      }
+      assert(e.getMessage.contains("superseded generation"), e.getMessage)
+    } finally DedupIndex.testAfterAppendWrite = () => ()
+    // the documented recovery: remove the ambiguous ids (idempotent
+    // whether or not the rewrite saw them), then re-append — the index
+    // must end probe-identical to a clean build over the union
+    DedupIndex.remove(spark, idx, late.select("doc_id"), "doc_id")
+    DedupIndex.append(late, "doc_id", "text", idx)
+    val refIdx = java.nio.file.Files
+      .createTempDirectory("graft_didx_apprace_ref").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+      "doc_id", "text", spec, refIdx)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    assert(sorted(DedupIndex.probePairs(spark, idx, batch, "doc_id", "text"))
+      == sorted(DedupIndex.probePairs(spark, refIdx, batch, "doc_id", "text")))
+  }
+
   test("a reader bound to the superseded generation survives the flip " +
     "(retention window), and time-travel reproduces the old probe") {
     val idx = java.nio.file.Files.createTempDirectory("graft_didx_tt").toString

@@ -382,6 +382,45 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VectorIndex.liveGeneration(spark, idx) == 2)
   }
 
+  test("append racing a maintenance rewrite aborts loudly (rows could sit " +
+    "only in the superseded generation); remove+re-append recovers") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val codebook = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val spec = VectorIndex.Spec(numSub = 8,
+      dim = codebook.head._2.length, codebook = codebook)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_vi_apprace").toString
+    VectorIndex.build(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+      spec, idx)
+    val odds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    VectorIndex.testAfterAppendWrite = () => {
+      VectorIndex.testAfterAppendWrite = () => ()
+      VectorIndex.compact(spark, idx) // the racing writer commits first
+    }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        VectorIndex.append(odds, idx)
+      }
+      assert(e.getMessage.contains("superseded generation"), e.getMessage)
+    } finally VectorIndex.testAfterAppendWrite = () => ()
+    // the documented recovery: remove the ambiguous ids (idempotent
+    // whether or not the rewrite saw them), then re-append — the index
+    // must serve identically to a clean build over the union
+    VectorIndex.remove(spark, idx, odds.select("vec_id"))
+    VectorIndex.append(odds, idx)
+    val refIdx = java.nio.file.Files
+      .createTempDirectory("graft_vi_apprace_ref").toString
+    VectorIndex.build(emb, spec, refIdx)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"))
+    assert(VectorIndex.searchTopK(spark, idx, queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+      .sameElements(VectorIndex.searchTopK(spark, refIdx, queries, k = 3)
+        .orderBy("qid", "rank").collect().map(_.toString)))
+  }
+
   test("rebuild commits codebook and postings together at the pointer " +
     "flip; time-travel decodes each generation under ITS codebook") {
     val emb = Tables.load(spark, dir, "embeddings")
