@@ -60,8 +60,7 @@ object CrossScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- materialize the k×-replicated corpus (one-time, not timed) ----
-    val out = java.nio.file.Files
-      .createTempDirectory(s"graft_scale${k}x").toString
+    val out = graft.Scratch.dir(s"graft_scale${k}x")
     def reps: org.apache.spark.sql.Column =
       explode(sequence(lit(0), lit(k - 1)))
     // 32 id-clustered files per replicated table: the base fixture is a

@@ -328,8 +328,7 @@ object ScaleProbe {
         dk.count()
         val corpus = dk.filter(pmod(col("doc_id"), lit(10)) < 8)
         val batch = dk.filter(pmod(col("doc_id"), lit(10)) >= 8)
-        val idxDir = java.nio.file.Files
-          .createTempDirectory(s"graft_probe_didx_$k").toString
+        val idxDir = graft.Scratch.dir(s"graft_probe_didx_$k")
         val (tBuild, _) = time {
           operators.DedupIndex.build(corpus, "doc_id", "text",
             operators.DedupIndex.Spec(numHashes = 16, bands = 4,
@@ -385,8 +384,7 @@ object ScaleProbe {
         val corpus = dk.filter(pmod(col("doc_id"), lit(10)) < 8)
         val batch = dk.filter(pmod(col("doc_id"), lit(10)) >= 8)
         val slices = 16
-        val idxDir = java.nio.file.Files
-          .createTempDirectory(s"graft_probe_cmp_$k").toString
+        val idxDir = graft.Scratch.dir(s"graft_probe_cmp_$k")
         operators.DedupIndex.build(
           corpus.filter(pmod(col("doc_id"), lit(slices)) === 0),
           "doc_id", "text",
@@ -416,8 +414,7 @@ object ScaleProbe {
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
         val vspec = operators.VectorIndex.Spec(numSub = 8,
           dim = codebook.head._2.length, codebook = codebook)
-        val vDir = java.nio.file.Files
-          .createTempDirectory(s"graft_probe_vcmp_$k").toString
+        val vDir = graft.Scratch.dir(s"graft_probe_vcmp_$k")
         operators.VectorIndex.build(
           ek.filter(pmod(col("vec_id"), lit(slices)) === 0), vspec, vDir)
         (1 until slices).foreach(i => operators.VectorIndex.append(
@@ -455,8 +452,7 @@ object ScaleProbe {
           .withColumn("event_id", col("event_id") + col("r") * lit(10000000L))
           .drop("r").cache()
         val nRows = ev.count()
-        val out = java.nio.file.Files
-          .createTempDirectory(s"graft_probe_z_$k").toString
+        val out = graft.Scratch.dir(s"graft_probe_z_$k")
         val nFiles = 32
         val (tZ, _) = time {
           operators.ZOrder.cluster(ev, Seq("user_id", "event_id"),

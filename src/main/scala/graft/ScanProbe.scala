@@ -33,7 +33,7 @@ object ScanProbe {
 
     time("fixture_full", full(sfDir))
 
-    val tmp = java.nio.file.Files.createTempDirectory("graft_scanprobe").toString
+    val tmp = graft.Scratch.dir("graft_scanprobe")
     v2(sfDir).write.format("nats_scan").option("dir", tmp)
       .mode("overwrite").save()
     time("native_full", full(tmp))

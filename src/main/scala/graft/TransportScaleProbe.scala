@@ -392,7 +392,7 @@ object TransportScaleProbe {
       val pointRpcs = osrv.rpcCountTotal - p0
       require(pointRows == 1, s"obj point lookup got $pointRows rows")
       // WATCH replay: the full meta changelog, AvailableNow, meta-only
-      val wckpt = java.nio.file.Files.createTempDirectory("probe_watch_ck").toString
+      val wckpt = graft.Scratch.dir("probe_watch_ck")
       val w0 = osrv.rpcCountTotal
       val wt0 = System.nanoTime()
       val wq = spark.readStream.format("nats_obj").option("url", ourl)
@@ -559,7 +559,7 @@ object TransportScaleProbe {
       val kPointRpcs = ksrv.rpcCountTotal - kp0
       require(pointRows == 1, s"kv point lookup got $pointRows rows")
       // WATCH replay of the retained changelog (== keys at history=1)
-      val kwck = java.nio.file.Files.createTempDirectory("probe_kvwatch").toString
+      val kwck = graft.Scratch.dir("probe_kvwatch")
       val kw0 = ksrv.rpcCountTotal
       val kwt0 = System.nanoTime()
       val kwq = spark.readStream.format("nats_kv").option("url", kurl)
@@ -643,7 +643,7 @@ object TransportScaleProbe {
         })
       }
       val ckpt =
-        java.nio.file.Files.createTempDirectory(s"probe_wchurn$nw").toString
+        graft.Scratch.dir(s"probe_wchurn$nw")
       val r0 = wsrv.rpcCountTotal
       val w0 = writerTransports.map(
         _.asInstanceOf[graft.transport.FakeTransport].rpcCount).sum

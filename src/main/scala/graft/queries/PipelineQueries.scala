@@ -31,8 +31,7 @@ object PipelineQueries {
     * `dedup_index_fixture` unit (run first via the `*_fixture` rule). */
   def sharedDedupIndex(s: SparkSession, dir: String): String =
     sharedIndexDirs.computeIfAbsent(dir, _ => {
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_shared_didx").toString
+      val idx = graft.Scratch.dir("graft_shared_didx")
       graft.operators.DedupIndex.build(docs(s, dir), "doc_id", "text",
         graft.operators.DedupIndex.Spec(numHashes = 16, bands = 4,
           buckets = 8), idx)
@@ -206,8 +205,7 @@ object PipelineQueries {
     // semantics as dedup_incremental, so the oracle is the same SQL.
     "dedup_index_probe" -> ((s, dir) => {
       val d = docs(s, dir)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_dedup_index").toString
+      val idx = graft.Scratch.dir("graft_dedup_index")
       graft.operators.DedupIndex.build(
         d.filter(pmod(col("doc_id"), lit(10)) < 6), "doc_id", "text",
         graft.operators.DedupIndex.Spec(numHashes = 16, bands = 4,
@@ -233,8 +231,7 @@ object PipelineQueries {
     // that lost, duplicated, or re-bucketed a row breaks the hash.
     "dedup_index_compact" -> ((s, dir) => {
       val d = docs(s, dir)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_dedup_index_c").toString
+      val idx = graft.Scratch.dir("graft_dedup_index_c")
       graft.operators.DedupIndex.build(
         d.filter(pmod(col("doc_id"), lit(10)) < 4), "doc_id", "text",
         graft.operators.DedupIndex.Spec(numHashes = 16, bands = 4,
@@ -263,8 +260,7 @@ object PipelineQueries {
     // hash.
     "dedup_index_remove" -> ((s, dir) => {
       val d = docs(s, dir)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_dedup_index_rm").toString
+      val idx = graft.Scratch.dir("graft_dedup_index_rm")
       graft.operators.DedupIndex.build(
         d.filter(pmod(col("doc_id"), lit(10)) < 6), "doc_id", "text",
         graft.operators.DedupIndex.Spec(numHashes = 16, bands = 4,
@@ -293,8 +289,7 @@ object PipelineQueries {
     // half, a lifecycle bug breaks the live half.
     "dedup_index_timetravel" -> ((s, dir) => {
       val d = docs(s, dir)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_dedup_index_tt").toString
+      val idx = graft.Scratch.dir("graft_dedup_index_tt")
       graft.operators.DedupIndex.build(
         d.filter(pmod(col("doc_id"), lit(10)) < 6), "doc_id", "text",
         graft.operators.DedupIndex.Spec(numHashes = 16, bands = 4,
@@ -334,10 +329,8 @@ object PipelineQueries {
     // or silently stopped compacting hash-breaks.
     "dedup_gate_autocompact" -> ((s, dir) => {
       val d = docs(s, dir)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_gate_idx").toString
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_gate_out").toString
+      val idx = graft.Scratch.dir("graft_gate_idx")
+      val out = graft.Scratch.dir("graft_gate_out")
       val cfg = graft.streaming.StreamingDedup.Config(
         indexDir = idx, outDir = out, idCol = "doc_id", textCol = "text",
         numHashes = 16, bands = 4, minEst = 0.5,
@@ -1071,8 +1064,7 @@ object PipelineQueries {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
       val spec = graft.operators.VectorIndex.Spec(numSub = 8,
         dim = codebook.head._2.length, codebook = codebook)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_append_idx").toString
+      val idx = graft.Scratch.dir("graft_append_idx")
       graft.operators.VectorIndex.build(
         e.filter(pmod(col("vec_id"), lit(2)) === 0), spec, idx)
       graft.operators.VectorIndex.append(
@@ -1101,8 +1093,7 @@ object PipelineQueries {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
       val spec = graft.operators.VectorIndex.Spec(numSub = 8,
         dim = codebook.head._2.length, codebook = codebook)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_compact_vidx").toString
+      val idx = graft.Scratch.dir("graft_compact_vidx")
       graft.operators.VectorIndex.build(
         e.filter(pmod(col("vec_id"), lit(4)) === 0), spec, idx)
       graft.operators.VectorIndex.append(
@@ -1132,8 +1123,7 @@ object PipelineQueries {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
       val spec = graft.operators.VectorIndex.Spec(numSub = 8,
         dim = codebook.head._2.length, codebook = codebook)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_remove_vidx").toString
+      val idx = graft.Scratch.dir("graft_remove_vidx")
       graft.operators.VectorIndex.build(e, spec, idx)
       graft.operators.VectorIndex.remove(s, idx,
         e.filter(pmod(col("vec_id"), lit(4)) === 3).select("vec_id"))
@@ -1158,8 +1148,7 @@ object PipelineQueries {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
       val codebook = bounded(8)
       val centroids = bounded(4)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_ingest_idx").toString
+      val idx = graft.Scratch.dir("graft_ingest_idx")
       val cfg = graft.streaming.StreamingVectorIngest.Config(
         indexDir = idx, numSub = 8, dim = codebook.head._2.length,
         codebook = codebook, centroids = centroids)
@@ -1193,8 +1182,7 @@ object PipelineQueries {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
       val codebook = bounded(8)
       val centroids = bounded(4)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_autocmp_idx").toString
+      val idx = graft.Scratch.dir("graft_autocmp_idx")
       val cfg = graft.streaming.StreamingVectorIngest.Config(
         indexDir = idx, numSub = 8, dim = codebook.head._2.length,
         codebook = codebook, centroids = centroids, compactThreshold = 1)
@@ -1226,8 +1214,7 @@ object PipelineQueries {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
       val spec = graft.operators.VectorIndex.Spec(numSub = 8,
         dim = codebook.head._2.length, codebook = codebook)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_tt_vidx").toString
+      val idx = graft.Scratch.dir("graft_tt_vidx")
       graft.operators.VectorIndex.build(
         e.filter(pmod(col("vec_id"), lit(4)) < 3), spec, idx)
       graft.operators.VectorIndex.append(
@@ -1263,8 +1250,7 @@ object PipelineQueries {
       val centroids = bounded(4)
       val spec = graft.operators.VectorIndex.Spec(numSub = 8,
         dim = codebook.head._2.length, codebook = codebook)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_mprobe_idx").toString
+      val idx = graft.Scratch.dir("graft_mprobe_idx")
       val labeled = graft.operators.VectorIndex.assignLabels(
         e.select(col("vec_id"), col("embedding")), centroids)
       graft.operators.VectorIndex.build(labeled, spec, idx)

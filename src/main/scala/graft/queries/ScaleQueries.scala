@@ -54,8 +54,7 @@ object ScaleQueries {
     // The actual skipping win is asserted from file footer stats in
     // `ZOrderSpec` (most files pruned for a second-dimension predicate).
     "layout_zorder" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_zorder").toString
+      val out = graft.Scratch.dir("graft_zorder")
       graft.operators.ZOrder.cluster(Tables.load(s, dir, "events"),
           Seq("user_id", "event_id"), partitions = 8)
         .write.mode("overwrite").parquet(out)

@@ -258,8 +258,7 @@ object TrainingDataQueries {
     // corpus size.
     "pipe_shard_write" -> ((s, dir) => {
       val nShards = 8
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_shard_write").toString
+      val out = graft.Scratch.dir("graft_shard_write")
       val d = t(s, dir, "documents")
         .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
         .withColumn("shard", pmod(Similarity.hash60(

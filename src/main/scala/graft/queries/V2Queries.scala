@@ -13,18 +13,7 @@ object V2Queries {
     s.read.format("nats_scan").option("dir", dir).load()
 
   /** unique scratch store per invocation, removed on JVM exit. */
-  private def freshSinkDir(): String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_v2_sink_")
-    val f = p.toFile
-    sys.addShutdownHook {
-      def rm(x: java.io.File): Unit = {
-        if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
-        x.delete(): Unit
-      }
-      rm(f)
-    }
-    f.getAbsolutePath
-  }
+  private def freshSinkDir(): String = graft.Scratch.dir("graft_v2_sink_")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
