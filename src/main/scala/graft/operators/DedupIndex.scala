@@ -34,7 +34,13 @@ import org.apache.spark.sql.functions._
   * check (one winner, one loud abort), and superseded generations are
   * RETAINED for a grace window (readers bound to them finish; audits can
   * time-travel via [[bandsRelationAt]]/[[probePairsAt]]) until
-  * [[expireGenerations]] reclaims them.
+  * [[expireGenerations]] reclaims them. Round 15 makes the flip truly
+  * ATOMIC ([[IndexCommit]]): rewrites stage into unique per-attempt dirs
+  * and commit (CAS re-read → install → flip) under an atomic
+  * create-if-absent commit lock, appends participate via an
+  * intent/marker protocol the rewrite must observe before flipping, and
+  * rebuilds stage into generation N+1 instead of overwriting the live
+  * gen-0 dirs in place.
   *
   * Bucketed parquet needs a catalog entry to be read AS bucketed (the
   * bucket spec lives in the table definition, not the files), so
@@ -110,34 +116,46 @@ object DedupIndex {
 
   /** build from an already-computed `minhashSignatures` frame (callers
     * that signed the docs for their own joins — e.g. the streaming gate —
-    * reuse the pass instead of re-hashing) */
+    * reuse the pass instead of re-hashing).
+    *
+    * A REBUILD over an existing index never touches the live generation
+    * (round-14 advisory: the old in-place overwrite of the gen-0 dirs
+    * meant a crash mid-rebuild destroyed the live index while meta still
+    * pointed at it, and concurrent readers lost files mid-scan): the new
+    * relations stage into generation N+1 and commit via the same locked
+    * meta flip as [[compact]]/[[remove]] — meta carries BOTH spec and
+    * generation, so a rebuild that changes the hash config swaps config
+    * and data together, never a new spec decoding old rows. */
   def buildFromSignatures(sig: DataFrame, idCol: String, spec: Spec,
                           indexDir: String): Unit = {
     val spark = sig.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(spark, indexDir)}")
-    spark.sql(s"DROP TABLE IF EXISTS ${sigsTable(spark, indexDir)}")
-    val (bands, sigs) = bandRows(sig, idCol, spec)
-    bands.write.format("parquet").mode("overwrite")
-      .bucketBy(spec.buckets, "bk").sortBy("bk")
-      .option("path", dataDir(indexDir, "bands", 0))
-      .saveAsTable(bandsTable(spark, indexDir))
-    sigs.write.format("parquet").mode("overwrite")
-      .bucketBy(spec.buckets, "doc_id").sortBy("doc_id")
-      .option("path", dataDir(indexDir, "sigs", 0))
-      .saveAsTable(sigsTable(spark, indexDir))
-    writeMeta(spark, spec, generation = 0, indexDir)
-    // a rebuild restarts the lineage at gen 0: generation dirs from the
-    // PREVIOUS lineage are stale the moment the new meta commits, and are
-    // deleted HERE (not via expireGenerations, whose above-live protection
-    // would see old-lineage gens as in-flight) — a rebuild is a deliberate
-    // single-writer lineage restart. A crash before this line leaves them;
-    // harmless — the next rebuild reclaims.
-    generationsOnDisk(spark, indexDir).filter(_ > 0).foreach { g =>
-      Seq(dataDir(indexDir, "bands", g), dataDir(indexDir, "sigs", g))
-        .foreach { d =>
-          try { fs(spark, d).delete(new org.apache.hadoop.fs.Path(d), true); () }
-          catch { case _: Exception => () }
-        }
+    if (!exists(spark, indexDir)) {
+      // fresh build: gen-0 dirs then meta. A crash before the meta commit
+      // leaves "no index yet" — the truth, since no prior state existed.
+      spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(spark, indexDir)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${sigsTable(spark, indexDir)}")
+      val (bands, sigs) = bandRows(sig, idCol, spec)
+      bands.write.format("parquet").mode("overwrite")
+        .bucketBy(spec.buckets, "bk").sortBy("bk")
+        .option("path", dataDir(indexDir, "bands", 0))
+        .saveAsTable(bandsTable(spark, indexDir))
+      sigs.write.format("parquet").mode("overwrite")
+        .bucketBy(spec.buckets, "doc_id").sortBy("doc_id")
+        .option("path", dataDir(indexDir, "sigs", 0))
+        .saveAsTable(sigsTable(spark, indexDir))
+      IndexCommit.withCommitLock(fs(spark, indexDir), indexDir,
+        "dedup build") {
+        writeMeta(spark, spec, generation = 0, indexDir)
+      }
+    } else {
+      val gen = loadMeta(spark, indexDir)._2
+      val markersSeen = IndexCommit.commitMarkers(fs(spark, indexDir), indexDir)
+      val (bands, sigs) = bandRows(sig, idCol, spec)
+      stageAndCommit(spark, indexDir, spec, gen, markersSeen,
+        retainGenerations = 1) { (bandsStage, sigsStage) =>
+        writeBucketed(spark, bands, "bk", spec, bandsStage)
+        writeBucketed(spark, sigs, "doc_id", spec, sigsStage)
+      }
     }
   }
 
@@ -376,12 +394,19 @@ object DedupIndex {
     * meta as the single commit point. `transform` filters/rewrites rows
     * (identity = pure compaction); both relations carry `doc_id`.
     *
-    * Concurrency (round-14 hardening):
-    *  - WRITERS race via optimistic concurrency: meta.generation is
-    *    re-read immediately before the flip and a mismatch ABORTS loudly —
-    *    two racing compact/remove calls resolve to one winner and one
-    *    exception, never a silently-discarded rewrite (a lost remove() is
-    *    a deletion request that LOOKS committed).
+    * Concurrency (round-14 + round-15 hardening, see [[IndexCommit]]):
+    *  - WRITERS stage into UNIQUE per-attempt dirs and commit under the
+    *    index's commit LOCK: generation re-read, staging install (rename)
+    *    and meta flip execute under mutual exclusion, so two racing
+    *    compact/remove calls resolve to one winner and one loud abort —
+    *    never a silently-discarded rewrite (a lost remove() is a deletion
+    *    request that LOOKS committed) and never a racer deleting a dir
+    *    another writer already committed.
+    *  - APPENDS racing the rewrite are observed: the rewrite lists append
+    *    commit markers BEFORE its snapshot read and aborts inside the
+    *    lock if any append is in flight (live intent) or committed since
+    *    (new marker) — closing the round-14 window where a rewrite could
+    *    flip a snapshot missing freshly-appended rows.
     *  - READERS planned against the old generation survive the flip:
     *    superseded generations are RETAINED (`retainGenerations` newest,
     *    default 1 — the log-structured-table snapshot-expiry pattern)
@@ -394,81 +419,178 @@ object DedupIndex {
       s"retainGenerations must be >= 0, got $retainGenerations")
     ensureRegistered(spark, indexDir)
     val (spec, gen) = loadMeta(spark, indexDir)
-    val newGen = gen + 1
+    // markers BEFORE the relation read: any append whose rows this
+    // rewrite's snapshot could miss has a marker NOT in this set (markers
+    // land only after an append's data is durably committed), so the
+    // locked marker-diff below catches it
+    val markersSeen = IndexCommit.commitMarkers(fs(spark, indexDir), indexDir)
     val bT = bandsTable(spark, indexDir)
     val sT = sigsTable(spark, indexDir)
-    def rewrite(from: String, kind: String, bucketCol: String): String = {
-      val dir = dataDir(indexDir, kind, newGen)
-      val tmp = s"${from}_g$newGen"
-      spark.sql(s"DROP TABLE IF EXISTS $tmp")
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // failed prior attempt
-      // partition by the EXPLICIT bucket-id expression, not the raw
-      // column: `repartition(n, col)` advertises the same HashPartitioning
-      // the bucketed table already claims, so the planner elides the
-      // exchange — but the V1 write path doesn't actually deliver
-      // bucket-aligned tasks (measured: 11 mixed-bucket files for 4
-      // buckets). pmod(hash(col), n) is the writer's own bucket-id
-      // function (murmur3), is not elidable, and puts each bucket's rows
-      // wholly in one task → exactly one file per non-empty bucket.
-      transform(spark.table(from))
-        .repartition(spec.buckets,
-          pmod(hash(col(bucketCol)), lit(spec.buckets)))
-        .write.format("parquet")
-        .bucketBy(spec.buckets, bucketCol).sortBy(bucketCol)
-        .option("path", dir).saveAsTable(tmp)
-      spark.sql(s"DROP TABLE IF EXISTS $tmp") // external: files stay
-      dir
+    stageAndCommit(spark, indexDir, spec, gen, markersSeen,
+      retainGenerations) { (bandsStage, sigsStage) =>
+      writeBucketed(spark, transform(spark.table(bT)), "bk", spec, bandsStage)
+      writeBucketed(spark, transform(spark.table(sT)), "doc_id", spec,
+        sigsStage)
     }
-    rewrite(bT, "bands", "bk")
-    rewrite(sT, "sigs", "doc_id")
-    testBeforeCommit()
-    // OPTIMISTIC CAS: if another writer committed while this rewrite ran,
-    // flipping over it would silently discard that writer's work (or ours
-    // would be discarded by it — last-write-wins either way). Abort; the
-    // index is intact at the winner's generation and this call's gN+1 dirs
-    // are orphans the next attempt overwrites.
-    val genNow = loadMeta(spark, indexDir)._2
-    if (genNow != gen)
-      throw new java.util.ConcurrentModificationException(
-        s"dedup index at $indexDir: generation advanced $gen -> $genNow " +
-          "during this rewrite (concurrent compact/remove). This call's " +
-          "rewrite is DISCARDED — re-run it against the new generation.")
-    writeMeta(spark, spec, newGen, indexDir) // COMMIT POINT
+  }
+
+  /** staged bucketed write of one relation. Partition by the EXPLICIT
+    * bucket-id expression, not the raw column: `repartition(n, col)`
+    * advertises the same HashPartitioning the bucketed table already
+    * claims, so the planner elides the exchange — but the V1 write path
+    * doesn't actually deliver bucket-aligned tasks (measured: 11
+    * mixed-bucket files for 4 buckets). pmod(hash(col), n) is the
+    * writer's own bucket-id function (murmur3), is not elidable, and puts
+    * each bucket's rows wholly in one task → exactly one file per
+    * non-empty bucket. */
+  private def writeBucketed(spark: SparkSession, rows: DataFrame,
+                            bucketCol: String, spec: Spec,
+                            dir: String): Unit = {
+    // bucketed writes need a catalog entry; the throwaway name carries the
+    // staging dir's nonce so racing writers cannot collide on it
+    val tmp = "graft_stage_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(48)
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    rows
+      .repartition(spec.buckets, pmod(hash(col(bucketCol)), lit(spec.buckets)))
+      .write.format("parquet")
+      .bucketBy(spec.buckets, bucketCol).sortBy(bucketCol)
+      .option("path", dir).saveAsTable(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS $tmp") // external: files stay
+    ()
+  }
+
+  /** Write generation N+1 into unique per-attempt staging dirs via
+    * `writeRelations(bandsStage, sigsStage)`, then commit under the index
+    * commit lock: CAS re-read → append intent/marker checks → staging
+    * install (rename to the canonical gN+1 paths) → meta flip. Unique
+    * staging means a racing writer can never delete or overwrite a dir
+    * another writer committed (round-14 advisory: both racers staged into
+    * the SAME bands_gN+1 dir, so the loser's in-flight write could
+    * clobber the winner's now-live data); an aborted attempt reclaims its
+    * own staging on the way out, and a crashed attempt's orphans age out
+    * via [[expireGenerations]]' stale-staging sweep. */
+  private def stageAndCommit(spark: SparkSession, indexDir: String,
+                             newSpec: Spec, gen: Int,
+                             markersSeen: Set[String],
+                             retainGenerations: Int)(
+                             writeRelations: (String, String) => Unit): Unit = {
+    val newGen = gen + 1
+    val n = IndexCommit.nonce()
+    val bandsStage = dataDir(indexDir, "bands", newGen) + "_s" + n
+    val sigsStage = dataDir(indexDir, "sigs", newGen) + "_s" + n
+    val f = fs(spark, indexDir)
+    try {
+      writeRelations(bandsStage, sigsStage)
+      testBeforeCommit()
+      IndexCommit.withCommitLock(f, indexDir, s"dedup rewrite -> g$newGen") {
+        // CAS under the LOCK (round 15): re-read + flip are now mutually
+        // exclusive — the round-14 check-then-rename TOCTOU window is gone
+        val genNow = loadMeta(spark, indexDir)._2
+        if (genNow != gen)
+          throw new java.util.ConcurrentModificationException(
+            s"dedup index at $indexDir: generation advanced $gen -> $genNow " +
+              "during this rewrite (concurrent compact/remove/rebuild). " +
+              "This call's rewrite is DISCARDED — re-run it against the " +
+              "new generation.")
+        val intents = IndexCommit.liveIntents(f, indexDir)
+        if (intents.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"dedup index at $indexDir: append(s) in flight " +
+              s"(${intents.mkString(", ")}) — committing this rewrite could " +
+              "silently drop their rows. This call's rewrite is DISCARDED " +
+              "— re-run after the appends finish.")
+        val newMarkers = IndexCommit.commitMarkers(f, indexDir) -- markersSeen
+        if (newMarkers.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"dedup index at $indexDir: append(s) committed during this " +
+              s"rewrite (${newMarkers.mkString(", ")}) — its snapshot may " +
+              "not contain their rows. This call's rewrite is DISCARDED — " +
+              "re-run it (the new snapshot will include them).")
+        // install staging at the canonical gN+1 paths: any dir already
+        // there is a prior FAILED attempt's orphan (gen == expected proves
+        // no one committed gN+1), safe to clear under the lock
+        def install(stage: String, canon: String): Unit = {
+          val cp = new org.apache.hadoop.fs.Path(canon)
+          f.delete(cp, true)
+          if (!f.rename(new org.apache.hadoop.fs.Path(stage), cp))
+            throw new IllegalStateException(
+              s"dedup index rewrite: rename $stage -> $canon failed")
+        }
+        install(bandsStage, dataDir(indexDir, "bands", newGen))
+        install(sigsStage, dataDir(indexDir, "sigs", newGen))
+        writeMeta(spark, newSpec, newGen, indexDir) // COMMIT POINT
+        // markers observed at snapshot time are baked into gN+1
+        IndexCommit.clearMarkers(f, indexDir, markersSeen)
+        IndexCommit.clearMaintenanceDue(f, indexDir)
+      }
+    } catch {
+      case e: Throwable =>
+        // reclaim this attempt's staging (best-effort; a hard crash leaves
+        // orphans for the stale-staging sweep)
+        Seq(bandsStage, sigsStage).foreach { d =>
+          try { f.delete(new org.apache.hadoop.fs.Path(d), true); () }
+          catch { case _: Exception => () }
+        }
+        throw e
+    }
     // stale DDL points at the old generation; re-register at the new one
-    spark.sql(s"DROP TABLE IF EXISTS $bT")
-    spark.sql(s"DROP TABLE IF EXISTS $sT")
+    spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(spark, indexDir)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${sigsTable(spark, indexDir)}")
     ensureRegistered(spark, indexDir)
     // age out superseded generations beyond the retention window (never
     // the one just superseded when retainGenerations >= 1 — in-flight
     // readers bound to it finish their scans)
     expireGenerations(spark, indexDir, retainGenerations)
+    ()
   }
+
+  /** what [[expireGenerations]] actually did: `reclaimed` dirs are gone,
+    * `failed` dirs could not be deleted (permissions, locks) and WILL be
+    * retried by the next expiry — surfaced so a deployment can alert on
+    * storage that silently stops shrinking (round-14 advisory: the old
+    * `Unit` + swallow meant superseded generations could accumulate
+    * forever with zero signal) */
+  final case class GcResult(reclaimed: Seq[String], failed: Seq[String])
 
   /** Delete superseded generations, keeping the live one plus the
     * `retain` newest superseded ones (grace window for concurrent readers
     * whose plans are bound to an old generation, and for time-travel
-    * audits via [[bandsRelationAt]]). Best-effort: a missing/locked dir
-    * never fails the maintenance call that triggered the GC. */
+    * audits via [[bandsRelationAt]]). Also sweeps staging orphans of
+    * CRASHED writers (unique `_s<nonce>` dirs untouched for longer than
+    * the stale window — an aborted writer reclaims its own staging; only
+    * a hard crash leaves one). Best-effort: a missing/locked dir never
+    * fails the maintenance call that triggered the GC — failures are
+    * logged and returned, not thrown. */
   def expireGenerations(spark: SparkSession, indexDir: String,
-                        retain: Int = 0): Unit = {
+                        retain: Int = 0): GcResult = {
     val live = loadMeta(spark, indexDir)._2
+    val f = fs(spark, indexDir)
     // only generations BELOW live are superseded; anything above it is an
     // in-flight writer's staging (or an aborted writer's orphan, which the
     // next rewrite overwrites) — deleting it here could destroy a
     // concurrent rewrite, and letting it consume a retention slot would
     // evict a genuinely-retained generation early
-    generationsOnDisk(spark, indexDir)
+    val doomed = generationsOnDisk(spark, indexDir)
       .filter(_ < live).sortBy(g => -g).drop(retain)
-      .foreach { g =>
-        Seq(dataDir(indexDir, "bands", g), dataDir(indexDir, "sigs", g))
-          .foreach { d =>
-            try { fs(spark, d).delete(new org.apache.hadoop.fs.Path(d), true); () }
-            catch { case _: Exception => () }
-          }
-      }
+      .flatMap(g => Seq(dataDir(indexDir, "bands", g),
+        dataDir(indexDir, "sigs", g))) ++
+      IndexCommit.staleStagingDirs(f, indexDir, Seq("bands", "sigs"))
+    val (reclaimed, failed) =
+      doomed.partition(d => IndexCommit.tryReclaim(f, d))
+    GcResult(reclaimed, failed)
   }
+
+  /** true while a deferred-maintenance signal is pending (the streaming
+    * gate's `deferMaintenance` mode records "compaction due" instead of
+    * compacting inside the micro-batch; an out-of-band maintainer polls
+    * this and runs [[compact]], whose successful flip clears it) */
+  def maintenanceDue(spark: SparkSession, indexDir: String): Boolean =
+    IndexCommit.maintenanceDue(fs(spark, indexDir), indexDir)
+
+  /** record "compaction due" for an out-of-band maintainer (idempotent) */
+  def signalMaintenanceDue(spark: SparkSession, indexDir: String): Unit =
+    IndexCommit.signalMaintenanceDue(fs(spark, indexDir), indexDir)
 
   /** INCREMENTAL append: sign ONLY the new docs and add their band/sig
     * rows into the existing bucket layout — O(new docs) work, the resident
@@ -500,31 +622,44 @@ object DedupIndex {
   private def appendImpl(sig: DataFrame, idCol: String, indexDir: String,
                          spec: Spec): Unit = {
     val spark = sig.sparkSession
-    val gen = loadMeta(spark, indexDir)._2
-    // no path option: the registered table's location names the CURRENT
-    // generation dir (a stale literal path would disagree after compact)
-    val (bands, sigs) = bandRows(sig, idCol, spec)
-    bands.write.format("parquet").mode("append")
-      .bucketBy(spec.buckets, "bk").sortBy("bk")
-      .saveAsTable(bandsTable(spark, indexDir))
-    sigs.write.format("parquet").mode("append")
-      .bucketBy(spec.buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(sigsTable(spark, indexDir))
-    testAfterAppendWrite()
-    // OPTIMISTIC post-check (round 14): a maintenance rewrite that
-    // committed while this append wrote may have copied the relations
-    // BEFORE our rows landed — the appended docs would then be absent
-    // from the live generation and silently re-accepted as "new" forever
-    // after. Detect and fail loudly; whether the rewrite saw the rows is
-    // genuinely ambiguous, so recovery is remove(ids)+append (remove is
-    // idempotent) rather than a blind re-append (which could double band
-    // rows).
-    val genNow = loadMeta(spark, indexDir)._2
-    if (genNow != gen)
-      throw new java.util.ConcurrentModificationException(
-        s"dedup index at $indexDir: generation advanced $gen -> $genNow " +
-          "while this append wrote — the appended rows may sit only in the " +
-          "superseded generation. Recover: remove(theseIds) then re-append.")
+    val f = fs(spark, indexDir)
+    // INTENT before any write (round 15, [[IndexCommit]]): a maintenance
+    // rewrite refuses to flip while this intent is live, and the COMMIT
+    // MARKER dropped after the data lands makes an append that completes
+    // mid-rewrite visible to the rewrite's locked marker-diff — together
+    // they close the round-14 post-check's remaining TOCTOU (a rewrite
+    // that snapshotted before our rows landed but flipped after our
+    // generation re-read went undetected).
+    val token = IndexCommit.beginAppend(f, indexDir)
+    try {
+      val gen = loadMeta(spark, indexDir)._2
+      // no path option: the registered table's location names the CURRENT
+      // generation dir (a stale literal path would disagree after compact)
+      val (bands, sigs) = bandRows(sig, idCol, spec)
+      bands.write.format("parquet").mode("append")
+        .bucketBy(spec.buckets, "bk").sortBy("bk")
+        .saveAsTable(bandsTable(spark, indexDir))
+      sigs.write.format("parquet").mode("append")
+        .bucketBy(spec.buckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(sigsTable(spark, indexDir))
+      testAfterAppendWrite()
+      // belt for the millisecond window where a rewrite's intent check ran
+      // before our intent landed: its flip is then caught HERE, loudly.
+      // Whether the rewrite saw the rows is genuinely ambiguous, so
+      // recovery is remove(ids)+append (remove is idempotent) rather than
+      // a blind re-append (which could double band rows).
+      val genNow = loadMeta(spark, indexDir)._2
+      if (genNow != gen)
+        throw new java.util.ConcurrentModificationException(
+          s"dedup index at $indexDir: generation advanced $gen -> $genNow " +
+            "while this append wrote — the appended rows may sit only in the " +
+            "superseded generation. Recover: remove(theseIds) then re-append.")
+      IndexCommit.finishAppend(f, indexDir, token) // marker, then intent drop
+    } catch {
+      case e: Throwable =>
+        IndexCommit.abortAppend(f, indexDir, token)
+        throw e
+    }
   }
 
   /** test seam: runs between an append's data write and its generation
@@ -592,12 +727,55 @@ object DedupIndex {
 
   private def generationRead(spark: SparkSession, indexDir: String,
                              kind: String, gen: Int): DataFrame = {
+    // a reclaimed generation must fail POINTEDLY (never read as an empty
+    // index — an audit that silently sees zero rows would conclude the
+    // batch was gated by an empty index), naming the knob that controls
+    // how much history survives
     val onDisk = generationsOnDisk(spark, indexDir)
     require(onDisk.contains(gen),
       s"dedup index at $indexDir has no generation $gen on disk " +
-        s"(present: ${onDisk.mkString(", ")}) — it was never written or " +
-        "was reclaimed by expireGenerations")
+        s"(present: ${onDisk.mkString(", ")}) — it was never written, or " +
+        "the retention window already reclaimed it. Audit reads need the " +
+        "generation retained: raise retainGenerations on compact/remove " +
+        "(and avoid explicit expireGenerations) for as long as time-travel " +
+        "must reach back.")
     spark.read.parquet(dataDir(indexDir, kind, gen))
+  }
+
+  /** One-row operability surface — the EXPLAIN-for-indexes a deployment
+    * reaches for first: hash config, live generation, what is on disk
+    * (generations, files, bytes — from directory listings), row counts
+    * (one metadata-cheap count per relation), fragmentation
+    * ([[maxFilesPerBucket]], the auto-compaction signal) and whether a
+    * deferred-maintenance request is pending. */
+  def describeIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    import spark.implicits._
+    val (spec, gen) = loadMeta(spark, indexDir)
+    val gens = generationsOnDisk(spark, indexDir)
+    val f = fs(spark, indexDir)
+    def stats(d: String): (Long, Long) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (!f.exists(p)) (0L, 0L)
+      else {
+        val sts = f.listStatus(p)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        (sts.length.toLong, sts.map(_.getLen).sum)
+      }
+    }
+    val (bandFiles, bandBytes) = stats(dataDir(indexDir, "bands", gen))
+    val (sigFiles, sigBytes) = stats(dataDir(indexDir, "sigs", gen))
+    ensureRegistered(spark, indexDir)
+    Seq((spec.numHashes, spec.bands, spec.buckets, gen,
+      gens.mkString(","), gens.length,
+      spark.table(bandsTable(spark, indexDir)).count(),
+      spark.table(sigsTable(spark, indexDir)).count(),
+      bandFiles, bandBytes, sigFiles, sigBytes,
+      maxFilesPerBucket(spark, indexDir),
+      IndexCommit.maintenanceDue(f, indexDir)))
+      .toDF("num_hashes", "bands", "buckets", "live_generation",
+        "generations_on_disk", "n_generations", "band_rows", "sig_rows",
+        "band_files", "band_bytes", "sig_files", "sig_bytes",
+        "max_files_per_bucket", "maintenance_due")
   }
 
   private def probeAgainst(batch: DataFrame, idCol: String, textCol: String,

@@ -39,7 +39,11 @@ import graft.functions.Similarity
   *                          grace window — concurrent readers bound to
   *                          them finish, audits time-travel via
   *                          [[searchTopKAt]] — until [[expireGenerations]]
-  *                          reclaims them.
+  *                          reclaims them. Round 15 ([[IndexCommit]]):
+  *                          the flip is truly atomic (unique per-attempt
+  *                          staging + commit lock) and appends
+  *                          participate via an intent/marker protocol
+  *                          rewrites must observe before flipping.
   *
   * Search: nearest-centroid probe (here: the stored label of the query,
   * matching `ann_ivfpq`'s fixture contract) → decode = codebook lookup per
@@ -78,13 +82,18 @@ object VectorIndex {
         .parquet(postingsDir(indexDir, 0))
       writeMetaFiles(spark, spec, s"$indexDir/meta")
     } else {
+      // REBUILD: stage postings AND codebook in unique per-attempt dirs,
+      // install + flip under the commit lock ([[stageAndCommit]]) — same
+      // protocol as compact/remove, so racing rebuilds resolve to one
+      // winner and appends racing the rebuild are observed
       val prev = generation(spark, indexDir)
-      val newGen = prev + 1
-      encoded.write.partitionBy("label").mode("overwrite")
-        .parquet(postingsDir(indexDir, newGen))
-      writeMetaFiles(spark, spec, metaGenDir(indexDir, newGen))
-      casFlip(spark, indexDir, prev, newGen) // COMMIT POINT
-      expireGenerations(spark, indexDir, retain = 1)
+      val markersSeen =
+        IndexCommit.commitMarkers(fs(spark, indexDir), indexDir)
+      stageAndCommit(spark, indexDir, prev, markersSeen,
+        retainGenerations = 1, stageMeta = true) { (pStage, mStage) =>
+        encoded.write.partitionBy("label").mode("overwrite").parquet(pStage)
+        writeMetaFiles(spark, spec, mStage.get)
+      }
     }
   }
 
@@ -198,31 +207,91 @@ object VectorIndex {
     ()
   }
 
-  /** OPTIMISTIC CAS flip: re-read the pointer immediately before writing
-    * it — if another writer committed while this rewrite ran, flipping
-    * over it would silently discard that writer's work (a lost remove()
-    * is a deletion request that LOOKS committed). One winner, one loud
-    * abort; the loser's gN+1 dirs are orphans the next attempt
-    * overwrites. */
-  private def casFlip(spark: SparkSession, indexDir: String,
-                      expected: Int, newGen: Int): Unit = {
-    testBeforeCommit()
-    val now = generation(spark, indexDir)
-    if (now != expected)
-      throw new java.util.ConcurrentModificationException(
-        s"vector index at $indexDir: generation advanced $expected -> $now " +
-          "during this rewrite (concurrent maintenance). This call's " +
-          "rewrite is DISCARDED — re-run it against the new generation.")
-    writeGeneration(spark, indexDir, newGen)
+  /** Write generation N+1 into unique per-attempt staging dirs via
+    * `writeStaged(postingsStage, metaStage)` (metaStage is Some only for
+    * rebuilds, which carry a new codebook), then commit under the index
+    * commit lock ([[IndexCommit]]): pointer re-read (CAS) → append
+    * intent/marker checks → staging install (rename to the canonical
+    * gN+1 paths) → pointer flip. Round 15: the round-14 CAS was
+    * check-then-rename with a millisecond TOCTOU window, and racing
+    * writers staged into the SAME canonical dir (a loser's in-flight
+    * write could clobber the winner's now-live data); the lock plus
+    * unique staging closes both. An aborted attempt reclaims its own
+    * staging; a crashed attempt's orphans age out via
+    * [[expireGenerations]]' stale-staging sweep. */
+  private def stageAndCommit(spark: SparkSession, indexDir: String,
+                             gen: Int, markersSeen: Set[String],
+                             retainGenerations: Int, stageMeta: Boolean)(
+                             writeStaged: (String, Option[String]) => Unit): Unit = {
+    val newGen = gen + 1
+    val n = IndexCommit.nonce()
+    val pStage = postingsDir(indexDir, newGen) + "_s" + n
+    val mStage =
+      if (stageMeta) Some(metaGenDir(indexDir, newGen) + "_s" + n) else None
+    val f = fs(spark, indexDir)
+    try {
+      writeStaged(pStage, mStage)
+      testBeforeCommit()
+      IndexCommit.withCommitLock(f, indexDir, s"vector rewrite -> g$newGen") {
+        val now = generation(spark, indexDir)
+        if (now != gen)
+          throw new java.util.ConcurrentModificationException(
+            s"vector index at $indexDir: generation advanced $gen -> $now " +
+              "during this rewrite (concurrent maintenance). This call's " +
+              "rewrite is DISCARDED — re-run it against the new generation.")
+        val intents = IndexCommit.liveIntents(f, indexDir)
+        if (intents.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"vector index at $indexDir: append(s) in flight " +
+              s"(${intents.mkString(", ")}) — committing this rewrite could " +
+              "silently drop their rows. This call's rewrite is DISCARDED " +
+              "— re-run after the appends finish.")
+        val newMarkers = IndexCommit.commitMarkers(f, indexDir) -- markersSeen
+        if (newMarkers.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"vector index at $indexDir: append(s) committed during this " +
+              s"rewrite (${newMarkers.mkString(", ")}) — its snapshot may " +
+              "not contain their rows. This call's rewrite is DISCARDED — " +
+              "re-run it (the new snapshot will include them).")
+        def install(stage: String, canon: String): Unit = {
+          val cp = new org.apache.hadoop.fs.Path(canon)
+          f.delete(cp, true) // a prior FAILED attempt's orphan, per the CAS
+          if (!f.rename(new org.apache.hadoop.fs.Path(stage), cp))
+            throw new IllegalStateException(
+              s"vector index rewrite: rename $stage -> $canon failed")
+        }
+        install(pStage, postingsDir(indexDir, newGen))
+        mStage.foreach(install(_, metaGenDir(indexDir, newGen)))
+        writeGeneration(spark, indexDir, newGen) // COMMIT POINT
+        IndexCommit.clearMarkers(f, indexDir, markersSeen)
+        IndexCommit.clearMaintenanceDue(f, indexDir)
+      }
+    } catch {
+      case e: Throwable =>
+        (Seq(pStage) ++ mStage).foreach { d =>
+          try { f.delete(new org.apache.hadoop.fs.Path(d), true); () }
+          catch { case _: Exception => () }
+        }
+        throw e
+    }
+    expireGenerations(spark, indexDir, retainGenerations)
+    ()
   }
+
+  /** what [[expireGenerations]] actually did — see
+    * [[DedupIndex.GcResult]] (same contract) */
+  final case class GcResult(reclaimed: Seq[String], failed: Seq[String])
 
   /** Delete superseded generations (postings AND any rebuild codebooks),
     * keeping the live one plus the `retain` newest superseded ones — the
     * grace window for concurrent readers whose plans are bound to an old
-    * generation, and for time-travel audits via [[searchTopKAt]].
-    * Best-effort: a missing/locked dir never fails the caller. */
+    * generation, and for time-travel audits via [[searchTopKAt]]. Also
+    * sweeps staging orphans of CRASHED writers (stale `_s<nonce>` dirs).
+    * Best-effort: a missing/locked dir never fails the caller — failures
+    * are logged and returned, not thrown (round-14 advisory: silent
+    * swallow meant storage could stop shrinking with zero signal). */
   def expireGenerations(spark: SparkSession, indexDir: String,
-                        retain: Int = 0): Unit = {
+                        retain: Int = 0): GcResult = {
     val live = generation(spark, indexDir)
     val all = generationsOnDisk(spark, indexDir)
     // only generations BELOW live are superseded; anything above it is an
@@ -248,13 +317,59 @@ object VectorIndex {
         case Nil => None; case xs => Some(xs.max)
       }).toSet
     val doomedMeta = rebuilds.filter(n => n <= live && !needed.contains(n))
-    (doomedPostings.map(postingsDir(indexDir, _)) ++
-        doomedMeta.map(metaGenDir(indexDir, _)))
-      .foreach { d =>
-        try { fs(spark, d).delete(new org.apache.hadoop.fs.Path(d), true); () }
-        catch { case _: Exception => () }
-      }
+    val doomed = doomedPostings.map(postingsDir(indexDir, _)) ++
+      doomedMeta.map(metaGenDir(indexDir, _)) ++
+      IndexCommit.staleStagingDirs(f, indexDir, Seq("postings", "meta"))
+    val (reclaimed, failed) =
+      doomed.partition(d => IndexCommit.tryReclaim(f, d))
+    GcResult(reclaimed, failed)
   }
+
+  /** true while a deferred-maintenance signal is pending (the streaming
+    * ingest gate's `deferMaintenance` mode records "compaction due"
+    * instead of compacting inside the micro-batch; an out-of-band
+    * maintainer polls this and runs [[compact]], whose successful flip
+    * clears it) */
+  def maintenanceDue(spark: SparkSession, indexDir: String): Boolean =
+    IndexCommit.maintenanceDue(fs(spark, indexDir), indexDir)
+
+  /** record "compaction due" for an out-of-band maintainer (idempotent) */
+  def signalMaintenanceDue(spark: SparkSession, indexDir: String): Unit =
+    IndexCommit.signalMaintenanceDue(fs(spark, indexDir), indexDir)
+
+  /** One-row operability surface — the EXPLAIN-for-indexes a deployment
+    * reaches for first: PQ config, live generation, what is on disk
+    * (generations, labels, files, bytes — from directory listings), row
+    * count, fragmentation ([[maxFilesPerLabel]], the auto-compaction
+    * signal) and whether a deferred-maintenance request is pending. */
+  def describeIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    import spark.implicits._
+    val gen = generation(spark, indexDir)
+    val spec = loadSpecAt(spark, indexDir, gen)
+    val gens = generationsOnDisk(spark, indexDir)
+    val f = fs(spark, indexDir)
+    val dir = new org.apache.hadoop.fs.Path(postingsDir(indexDir, gen))
+    val labelDirs =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq.filter(_.isDirectory)
+    val files = labelDirs.flatMap(d => f.listStatus(d.getPath).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+    Seq((spec.numSub, spec.dim, spec.codebook.length, gen,
+      gens.mkString(","), gens.length,
+      readPostings(spark, postingsDir(indexDir, gen)).count(),
+      labelDirs.length.toLong, files.length.toLong, files.map(_.getLen).sum,
+      maxFilesPerLabel(spark, indexDir),
+      centroidsOnDisk(spark, indexDir),
+      IndexCommit.maintenanceDue(f, indexDir)))
+      .toDF("num_sub", "dim", "codebook_entries", "live_generation",
+        "generations_on_disk", "n_generations", "posting_rows", "labels",
+        "posting_files", "posting_bytes", "max_files_per_label",
+        "has_centroids", "maintenance_due")
+  }
+
+  private def centroidsOnDisk(spark: SparkSession, indexDir: String): Boolean =
+    fs(spark, indexDir)
+      .exists(new org.apache.hadoop.fs.Path(s"$indexDir/centroids"))
 
   /** COMPACTION: rewrite the posting lists to ONE file per label
     * directory — the small-files answer for a long-lived vector index.
@@ -298,19 +413,19 @@ object VectorIndex {
     require(retainGenerations >= 0,
       s"retainGenerations must be >= 0, got $retainGenerations")
     val gen = generation(spark, indexDir)
-    val newGen = gen + 1
-    val dir = postingsDir(indexDir, newGen)
-    val f = fs(spark, indexDir)
-    f.delete(new org.apache.hadoop.fs.Path(dir), true) // failed prior try
-    // readPostings, not a bare parquet read: a remove() that emptied the
-    // index leaves a live dir with no files — compact/remove after it must
-    // rewrite the empty relation, not throw (round-13 advisory)
-    transform(readPostings(spark, postingsDir(indexDir, gen)))
-      .repartition(col("label"))
-      .sortWithinPartitions("label", "vec_id")
-      .write.partitionBy("label").mode("overwrite").parquet(dir)
-    casFlip(spark, indexDir, gen, newGen) // COMMIT POINT
-    expireGenerations(spark, indexDir, retainGenerations)
+    // markers BEFORE the posting read: any append whose rows this
+    // rewrite's snapshot could miss has a marker NOT in this set
+    val markersSeen = IndexCommit.commitMarkers(fs(spark, indexDir), indexDir)
+    stageAndCommit(spark, indexDir, gen, markersSeen, retainGenerations,
+      stageMeta = false) { (pStage, _) =>
+      // readPostings, not a bare parquet read: a remove() that emptied the
+      // index leaves a live dir with no files — compact/remove after it
+      // must rewrite the empty relation, not throw (round-13 advisory)
+      transform(readPostings(spark, postingsDir(indexDir, gen)))
+        .repartition(col("label"))
+        .sortWithinPartitions("label", "vec_id")
+        .write.partitionBy("label").mode("overwrite").parquet(pStage)
+    }
   }
 
   /** max posting files in any single label dir of the LIVE generation —
@@ -342,27 +457,39 @@ object VectorIndex {
     * under the trained codebook; retraining is a deliberate rebuild.) */
   def append(emb: DataFrame, indexDir: String): Unit = {
     val spark = emb.sparkSession
-    val spec = loadSpec(spark, indexDir)
-    val gen = generation(spark, indexDir)
-    emb.select(col("label"), col("vec_id"),
-      Similarity.pqAssign(col("embedding"), spec.codebook, spec.numSub)
-        .as("codes"))
-      .write.partitionBy("label").mode("append")
-      .parquet(postingsDir(indexDir, gen))
-    testAfterAppendWrite()
-    // OPTIMISTIC post-check (round 14): a maintenance rewrite that
-    // committed while this append wrote may have copied the postings
-    // BEFORE our rows landed — the appended vectors would then be absent
-    // from the live generation and silently lost at expiry. Detect and
-    // fail loudly; whether the rewrite saw the rows is genuinely
-    // ambiguous, so recovery is remove(ids)+append (remove is idempotent)
-    // rather than a blind re-append (which could double rows).
-    val genNow = generation(spark, indexDir)
-    if (genNow != gen)
-      throw new java.util.ConcurrentModificationException(
-        s"vector index at $indexDir: generation advanced $gen -> $genNow " +
-          "while this append wrote — the appended rows may sit only in the " +
-          "superseded generation. Recover: remove(theseIds) then re-append.")
+    val f = fs(spark, indexDir)
+    // INTENT before any write (round 15, [[IndexCommit]]): a maintenance
+    // rewrite refuses to flip while this intent is live, and the COMMIT
+    // MARKER dropped after the data lands makes an append that completes
+    // mid-rewrite visible to the rewrite's locked marker-diff — together
+    // they close the round-14 post-check's remaining TOCTOU.
+    val token = IndexCommit.beginAppend(f, indexDir)
+    try {
+      val spec = loadSpec(spark, indexDir)
+      val gen = generation(spark, indexDir)
+      emb.select(col("label"), col("vec_id"),
+        Similarity.pqAssign(col("embedding"), spec.codebook, spec.numSub)
+          .as("codes"))
+        .write.partitionBy("label").mode("append")
+        .parquet(postingsDir(indexDir, gen))
+      testAfterAppendWrite()
+      // belt for the millisecond window where a rewrite's intent check ran
+      // before our intent landed: its flip is then caught HERE, loudly.
+      // Whether the rewrite saw the rows is genuinely ambiguous, so
+      // recovery is remove(ids)+append (remove is idempotent) rather than
+      // a blind re-append (which could double rows).
+      val genNow = generation(spark, indexDir)
+      if (genNow != gen)
+        throw new java.util.ConcurrentModificationException(
+          s"vector index at $indexDir: generation advanced $gen -> $genNow " +
+            "while this append wrote — the appended rows may sit only in the " +
+            "superseded generation. Recover: remove(theseIds) then re-append.")
+      IndexCommit.finishAppend(f, indexDir, token) // marker, then intent drop
+    } catch {
+      case e: Throwable =>
+        IndexCommit.abortAppend(f, indexDir, token)
+        throw e
+    }
   }
 
   /** test seam: runs between an append's data write and its generation
@@ -494,11 +621,18 @@ object VectorIndex {
   def searchTopKAt(spark: SparkSession, indexDir: String, gen: Int,
                    queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    // a reclaimed generation must fail POINTEDLY (never search as empty —
+    // an audit that silently gets zero neighbors would conclude the batch
+    // was served by an empty index), naming the knob that controls how
+    // much history survives
     val onDisk = generationsOnDisk(spark, indexDir)
     require(onDisk.contains(gen),
       s"vector index at $indexDir has no generation $gen on disk " +
-        s"(present: ${onDisk.mkString(", ")}) — it was never written or " +
-        "was reclaimed by expireGenerations")
+        s"(present: ${onDisk.mkString(", ")}) — it was never written, or " +
+        "the retention window already reclaimed it. Audit reads need the " +
+        "generation retained: raise retainGenerations on compact/remove " +
+        "(and avoid explicit expireGenerations) for as long as time-travel " +
+        "must reach back.")
     val spec = loadSpecAt(spark, indexDir, gen)
     val probes =
       if (nprobe == 1) queries

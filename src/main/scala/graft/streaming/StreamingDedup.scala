@@ -53,13 +53,28 @@ object StreamingDedup {
     * bucket accretes more than that many band files (one dir listing per
     * batch; compaction itself is [[DedupIndex.compact]] — content-neutral,
     * so the dedup decision stream is unaffected). 0 disables; ignored in
-    * plain-parquet mode. */
+    * plain-parquet mode.
+    *
+    * `deferMaintenance` decouples that compaction from the micro-batch:
+    * instead of running the rewrite INSIDE the trigger (a compaction
+    * pause rides the trigger interval — at 100 TB an index rewrite can
+    * dwarf the batch), the gate only SIGNALS compaction-due
+    * ([[DedupIndex.signalMaintenanceDue]], one idempotent flag file) and
+    * batch latency stays O(batch). An out-of-band maintainer polls
+    * [[DedupIndex.maintenanceDue]] and runs [[DedupIndex.compact]] — the
+    * maintenance APIs are session-independent and commit-lock-guarded, so
+    * a maintainer in another session is safe against the gate's appends
+    * (the append intent/marker protocol makes the rewrite abort rather
+    * than drop in-flight batch rows); a successful flip clears the flag.
+    * See docs/DEPLOYMENT.md for the recipe. Default false: inline
+    * compaction is self-contained and right for moderate indexes. */
   final case class Config(indexDir: String, outDir: String,
                           idCol: String = "doc_id", textCol: String = "text",
                           numHashes: Int = 16, bands: Int = 4,
                           minEst: Double = 0.5,
                           bucketed: Boolean = false, buckets: Int = 8,
-                          compactThreshold: Int = 0)
+                          compactThreshold: Int = 0,
+                          deferMaintenance: Boolean = false)
 
   private def estJaccard(numHashes: Int) =
     expr("CAST(size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) AS DOUBLE)" +
@@ -159,8 +174,11 @@ object StreamingDedup {
       // trigger
       if (cfg.bucketed && cfg.compactThreshold > 0 &&
           DedupIndex.maxFilesPerBucket(spark, cfg.indexDir) >
-            cfg.compactThreshold)
-        DedupIndex.compact(spark, cfg.indexDir)
+            cfg.compactThreshold) {
+        if (cfg.deferMaintenance)
+          DedupIndex.signalMaintenanceDue(spark, cfg.indexDir)
+        else DedupIndex.compact(spark, cfg.indexDir)
+      }
     } finally b.unpersist()
   }
 

@@ -45,14 +45,24 @@ object StreamingVectorIngest {
   /** `compactThreshold` > 0 auto-compacts the posting lists once any
     * label dir accretes more than that many files (one dir listing per
     * batch; compaction is [[VectorIndex.compact]] — content-neutral, so
-    * search answers are unaffected). 0 disables. */
+    * search answers are unaffected). 0 disables.
+    *
+    * `deferMaintenance` decouples that compaction from the micro-batch:
+    * the gate only SIGNALS compaction-due
+    * ([[VectorIndex.signalMaintenanceDue]], one idempotent flag file), so
+    * batch latency stays O(batch) across the threshold crossing; an
+    * out-of-band maintainer polls [[VectorIndex.maintenanceDue]] and runs
+    * [[VectorIndex.compact]] (commit-lock-guarded and append-aware, so
+    * safe from any session against the gate's in-flight batches); a
+    * successful flip clears the flag. See docs/DEPLOYMENT.md. */
   final case class Config(indexDir: String,
                           numSub: Int, dim: Int,
                           codebook: Array[(Long, Array[Float])],
                           centroids: Array[(Long, Array[Float])],
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
-                          compactThreshold: Int = 0)
+                          compactThreshold: Int = 0,
+                          deferMaintenance: Boolean = false)
 
   /** the foreachBatch handler: `.writeStream.foreachBatch(
     *   StreamingVectorIngest.ingest(cfg) _)` */
@@ -91,8 +101,11 @@ object StreamingVectorIngest {
     // the orphan generation dir is overwritten on the next trigger
     if (cfg.compactThreshold > 0 &&
         VectorIndex.maxFilesPerLabel(spark, cfg.indexDir) >
-          cfg.compactThreshold)
-      VectorIndex.compact(spark, cfg.indexDir)
+          cfg.compactThreshold) {
+      if (cfg.deferMaintenance)
+        VectorIndex.signalMaintenanceDue(spark, cfg.indexDir)
+      else VectorIndex.compact(spark, cfg.indexDir)
+    }
   }
 
   private def centroidsExist(spark: SparkSession,

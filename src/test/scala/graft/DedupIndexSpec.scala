@@ -305,28 +305,32 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(pmod(col("doc_id"), lit(10)).between(6, 7)).count() == 0)
   }
 
-  test("append racing a maintenance rewrite aborts loudly (rows could sit " +
-    "only in the superseded generation); remove+re-append recovers") {
+  test("a rewrite racing an IN-FLIGHT append aborts on the live intent; " +
+    "the append completes and its rows are indexed (nothing lost)") {
     val idx = java.nio.file.Files
       .createTempDirectory("graft_didx_apprace").toString
     DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 6),
       "doc_id", "text", spec, idx)
     val late = docs.filter(pmod(col("doc_id"), lit(10)).between(6, 7))
+    // round-15 protocol: the append declared INTENT before writing, so the
+    // rewrite interleaved mid-append must refuse to flip (round 14 let it
+    // commit a snapshot missing the append's rows, then failed the APPEND
+    // — loud, but the recovery burden sat on the innocent party)
+    var racerEx: Throwable = null
     DedupIndex.testAfterAppendWrite = () => {
       DedupIndex.testAfterAppendWrite = () => ()
-      DedupIndex.compact(spark, idx) // the racing writer commits first
-    }
-    try {
-      val e = intercept[java.util.ConcurrentModificationException] {
-        DedupIndex.append(late, "doc_id", "text", idx)
+      racerEx = intercept[java.util.ConcurrentModificationException] {
+        DedupIndex.compact(spark, idx)
       }
-      assert(e.getMessage.contains("superseded generation"), e.getMessage)
-    } finally DedupIndex.testAfterAppendWrite = () => ()
-    // the documented recovery: remove the ambiguous ids (idempotent
-    // whether or not the rewrite saw them), then re-append — the index
-    // must end probe-identical to a clean build over the union
-    DedupIndex.remove(spark, idx, late.select("doc_id"), "doc_id")
-    DedupIndex.append(late, "doc_id", "text", idx)
+    }
+    try DedupIndex.append(late, "doc_id", "text", idx) // must SUCCEED
+    finally DedupIndex.testAfterAppendWrite = () => ()
+    assert(racerEx != null &&
+      racerEx.getMessage.contains("append(s) in flight"), s"$racerEx")
+    assert(DedupIndex.liveGeneration(spark, idx) == 0,
+      "the aborted rewrite must not have advanced the generation")
+    // the appended rows are fully indexed — probe-identical to a clean
+    // build over the union
     val refIdx = java.nio.file.Files
       .createTempDirectory("graft_didx_apprace_ref").toString
     DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
@@ -334,6 +338,213 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
     assert(sorted(DedupIndex.probePairs(spark, idx, batch, "doc_id", "text"))
       == sorted(DedupIndex.probePairs(spark, refIdx, batch, "doc_id", "text")))
+    // with the append finished, the once-aborted maintenance now commits
+    DedupIndex.compact(spark, idx)
+    assert(DedupIndex.liveGeneration(spark, idx) == 1)
+    assert(sorted(DedupIndex.probePairs(spark, idx, batch, "doc_id", "text"))
+      == sorted(DedupIndex.probePairs(spark, refIdx, batch, "doc_id", "text")))
+  }
+
+  test("an append that COMMITS during a rewrite's snapshot window aborts " +
+    "the rewrite via the marker-diff (the round-14 silent-loss TOCTOU)") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_didx_mkrace").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 6),
+      "doc_id", "text", spec, idx)
+    val late = docs.filter(pmod(col("doc_id"), lit(10)).between(6, 7))
+    // the rewrite has finished its snapshot writes (which MISSED the
+    // append's rows) but not yet committed; a full append lands NOW. In
+    // round 14 both the rewrite's CAS and the append's generation
+    // post-check passed — the appended rows silently aged out with the
+    // superseded generation. The marker the append drops after its data
+    // commit must now abort the rewrite instead.
+    DedupIndex.testBeforeCommit = () => {
+      DedupIndex.testBeforeCommit = () => ()
+      DedupIndex.append(late, "doc_id", "text", idx) // completes cleanly
+    }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        DedupIndex.compact(spark, idx)
+      }
+      assert(e.getMessage.contains("append(s) committed during this rewrite"),
+        e.getMessage)
+    } finally DedupIndex.testBeforeCommit = () => ()
+    assert(DedupIndex.liveGeneration(spark, idx) == 0)
+    // re-running the rewrite sees the appended rows: post-compact the
+    // index is probe-identical to a clean build over the union
+    DedupIndex.compact(spark, idx)
+    assert(DedupIndex.liveGeneration(spark, idx) == 1)
+    val refIdx = java.nio.file.Files
+      .createTempDirectory("graft_didx_mkrace_ref").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+      "doc_id", "text", spec, refIdx)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    assert(sorted(DedupIndex.probePairs(spark, idx, batch, "doc_id", "text"))
+      == sorted(DedupIndex.probePairs(spark, refIdx, batch, "doc_id", "text")))
+  }
+
+  test("two writers INSIDE the commit window: the lock holder wins, the " +
+    "racer cannot acquire and aborts without touching committed state") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_didx_lockrace").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+      "doc_id", "text", spec, idx)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val before = sorted(
+      DedupIndex.probePairs(spark, idx, batch, "doc_id", "text"))
+    val removeIds = docs.filter(pmod(col("doc_id"), lit(10)).between(6, 7))
+      .select("doc_id")
+    // the racer interleaves INSIDE the outer writer's held lock — the
+    // exact millisecond window round 14's check-then-rename CAS left open
+    // (both writers pass the generation check; the second installs a
+    // generation built from stale data and the first's remove() silently
+    // un-happens). With the lock, the racer's own commit attempt fails
+    // to acquire; the outer remove() proceeds untouched.
+    var racerEx: Throwable = null
+    graft.operators.IndexCommit.testInsideLock = () => {
+      graft.operators.IndexCommit.testInsideLock = () => ()
+      racerEx = intercept[java.util.ConcurrentModificationException] {
+        DedupIndex.compact(spark, idx)
+      }
+    }
+    try DedupIndex.remove(spark, idx, removeIds, "doc_id") // must WIN
+    finally graft.operators.IndexCommit.testInsideLock = () => ()
+    assert(racerEx != null &&
+      racerEx.getMessage.contains("commit lock"), s"$racerEx")
+    assert(DedupIndex.liveGeneration(spark, idx) == 1,
+      "exactly one writer must have committed")
+    // the remove genuinely landed (the lost-update the lock exists to kill)
+    assert(DedupIndex.bandsRelation(spark, idx)
+      .filter(pmod(col("doc_id"), lit(10)).between(6, 7)).count() == 0)
+    assert(sorted(DedupIndex.probePairs(spark, idx, batch, "doc_id", "text"))
+      == sorted(Dedup.incrementalMinhashPairs(
+        batch, docs.filter(pmod(col("doc_id"), lit(10)) < 6),
+        "doc_id", "text", numHashes = 16, bands = 4, minEst = 0.5)))
+    assert(before != sorted(DedupIndex.probePairs(spark, idx, batch,
+      "doc_id", "text")), "fixture must make the remove observable")
+  }
+
+  test("dual concurrent appends compose: interleaved appends are " +
+    "probe-identical to sequential appends (additive files, no clobber)") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_didx_dualapp").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 4),
+      "doc_id", "text", spec, idx)
+    val sliceA = docs.filter(pmod(col("doc_id"), lit(10)).between(4, 5))
+    val sliceB = docs.filter(pmod(col("doc_id"), lit(10)).between(6, 7))
+    // append B runs to completion while append A is mid-flight (data
+    // written, intent still live): two gates on one shared index
+    DedupIndex.testAfterAppendWrite = () => {
+      DedupIndex.testAfterAppendWrite = () => ()
+      DedupIndex.append(sliceB, "doc_id", "text", idx)
+    }
+    try DedupIndex.append(sliceA, "doc_id", "text", idx)
+    finally DedupIndex.testAfterAppendWrite = () => ()
+    val refIdx = java.nio.file.Files
+      .createTempDirectory("graft_didx_dualapp_ref").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+      "doc_id", "text", spec, refIdx)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    assert(sorted(DedupIndex.probePairs(spark, idx, batch, "doc_id", "text"))
+      == sorted(DedupIndex.probePairs(spark, refIdx, batch, "doc_id", "text")))
+    // no leftover protocol files: both markers were... NOT yet cleared (a
+    // rewrite clears them); but both INTENTS must be gone
+    val f = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .exists(_.getPath.getName.startsWith("_append_intent_")),
+      "completed appends must not leave intents")
+    // and maintenance over the dual-appended index works and keeps rows
+    DedupIndex.compact(spark, idx)
+    assert(sorted(DedupIndex.probePairs(spark, idx, batch, "doc_id", "text"))
+      == sorted(DedupIndex.probePairs(spark, refIdx, batch, "doc_id", "text")))
+  }
+
+  test("a crashed appender's stale intent is reaped (maintenance is not " +
+    "wedged forever); expireGenerations surfaces failed reclamations") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_didx_stale").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 6),
+      "doc_id", "text", spec, idx)
+    val f = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crashed appender: an intent file whose mtime is ancient
+    val orphan = new org.apache.hadoop.fs.Path(s"$idx/_append_intent_deadbeef")
+    f.create(orphan, true).close()
+    f.setTimes(orphan, System.currentTimeMillis() - 60L * 60 * 1000, -1)
+    DedupIndex.compact(spark, idx) // must not abort on the dead intent
+    assert(DedupIndex.liveGeneration(spark, idx) == 1)
+    assert(!f.exists(orphan), "the stale intent must have been reaped")
+
+    // GC failure surfacing: an injected undeletable generation dir is
+    // returned in `failed` (and logged), never thrown — and the next
+    // expiry retries it
+    graft.operators.IndexCommit.testFailDelete =
+      d => d.split("/").last.startsWith("bands")
+    try {
+      DedupIndex.compact(spark, idx) // gen 1 -> 2; retention keeps g1
+      val gc = DedupIndex.expireGenerations(spark, idx)
+      assert(gc.failed.exists(_.contains("bands")), gc.toString)
+      assert(gc.reclaimed.exists(_.contains("sigs")), gc.toString)
+    } finally graft.operators.IndexCommit.testFailDelete = _ => false
+    val gc2 = DedupIndex.expireGenerations(spark, idx)
+    assert(gc2.failed.isEmpty, gc2.toString)
+    assert(DedupIndex.generationsOnDisk(spark, idx) == Seq(2))
+  }
+
+  test("rebuild over an existing index stages into generation N+1 (never " +
+    "overwrites the live dirs); a bound reader survives the rebuild") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_didx_rebuild").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 4),
+      "doc_id", "text", spec, idx)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val boundReader = DedupIndex.bandsRelation(spark, idx)
+    boundReader.queryExecution.executedPlan // plan against gen 0 files
+    val gen0Rows = boundReader.count()
+
+    // rebuild with a WIDER corpus and a different bucket count — spec and
+    // data must swap together at the meta flip
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+      "doc_id", "text", spec.copy(buckets = 8), idx)
+    assert(DedupIndex.liveGeneration(spark, idx) == 1,
+      "a rebuild must advance the generation, not restart the lineage")
+    assert(DedupIndex.loadSpec(spark, idx).buckets == 8)
+    // the pre-rebuild reader's gen-0 files were never touched
+    assert(boundReader.count() == gen0Rows,
+      "rebuild must not overwrite the live generation in place")
+    assert(sorted(DedupIndex.probePairs(spark, idx, batch, "doc_id", "text"))
+      == sorted(Dedup.incrementalMinhashPairs(
+        batch, docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+        "doc_id", "text", numHashes = 16, bands = 4, minEst = 0.5)))
+  }
+
+  test("describeIndex: one-row operability surface with spec, generation, " +
+    "rows, files and the deferred-maintenance flag") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_didx_desc").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 6),
+      "doc_id", "text", spec, idx)
+    DedupIndex.append(docs.filter(pmod(col("doc_id"), lit(10)).between(6, 7)),
+      "doc_id", "text", idx)
+    DedupIndex.compact(spark, idx)
+    val d = DedupIndex.describeIndex(spark, idx).collect().head
+    assert(d.getAs[Int]("num_hashes") == 16 && d.getAs[Int]("bands") == 4 &&
+      d.getAs[Int]("buckets") == 4)
+    assert(d.getAs[Int]("live_generation") == 1 &&
+      d.getAs[Int]("n_generations") == 2 &&
+      d.getAs[String]("generations_on_disk") == "0,1")
+    val sigRows = DedupIndex.sigsRelation(spark, idx).count()
+    assert(d.getAs[Long]("sig_rows") == sigRows && sigRows > 0)
+    assert(d.getAs[Long]("band_rows") == sigRows * spec.bands)
+    assert(d.getAs[Int]("max_files_per_bucket") == 1, "just compacted")
+    assert(d.getAs[Long]("band_bytes") > 0 && d.getAs[Long]("sig_bytes") > 0)
+    assert(!d.getAs[Boolean]("maintenance_due"))
+    DedupIndex.signalMaintenanceDue(spark, idx)
+    assert(DedupIndex.describeIndex(spark, idx)
+      .collect().head.getAs[Boolean]("maintenance_due"))
+    DedupIndex.compact(spark, idx) // a successful flip clears the signal
+    assert(!DedupIndex.maintenanceDue(spark, idx))
   }
 
   test("a reader bound to the superseded generation survives the flip " +
@@ -382,6 +593,10 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       DedupIndex.probePairsAt(spark, idx, gen = 0, batch, "doc_id", "text")
     }
     assert(e.getMessage.contains("no generation 0"), e.getMessage)
+    // the error must NAME the retention knob — an operator whose audit hit
+    // a reclaimed generation needs to know what to raise, not just that
+    // the files are gone
+    assert(e.getMessage.contains("retainGenerations"), e.getMessage)
   }
 
   test("crashed meta commit is detected loudly, never read as 'no index'") {

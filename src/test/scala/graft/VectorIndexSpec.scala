@@ -382,8 +382,8 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VectorIndex.liveGeneration(spark, idx) == 2)
   }
 
-  test("append racing a maintenance rewrite aborts loudly (rows could sit " +
-    "only in the superseded generation); remove+re-append recovers") {
+  test("a rewrite racing an IN-FLIGHT append aborts on the live intent; " +
+    "the append completes and its vectors are searchable (nothing lost)") {
     val emb = Tables.load(spark, dir, "embeddings")
     val codebook = emb.filter(col("vec_id") < 8)
       .select(col("vec_id"), col("embedding")).collect()
@@ -395,21 +395,22 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     VectorIndex.build(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
       spec, idx)
     val odds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    // round-15 protocol: the append declared INTENT before writing, so the
+    // rewrite interleaved mid-append must refuse to flip (round 14 let it
+    // commit a snapshot missing the append's rows, then failed the APPEND)
+    var racerEx: Throwable = null
     VectorIndex.testAfterAppendWrite = () => {
       VectorIndex.testAfterAppendWrite = () => ()
-      VectorIndex.compact(spark, idx) // the racing writer commits first
-    }
-    try {
-      val e = intercept[java.util.ConcurrentModificationException] {
-        VectorIndex.append(odds, idx)
+      racerEx = intercept[java.util.ConcurrentModificationException] {
+        VectorIndex.compact(spark, idx)
       }
-      assert(e.getMessage.contains("superseded generation"), e.getMessage)
-    } finally VectorIndex.testAfterAppendWrite = () => ()
-    // the documented recovery: remove the ambiguous ids (idempotent
-    // whether or not the rewrite saw them), then re-append — the index
-    // must serve identically to a clean build over the union
-    VectorIndex.remove(spark, idx, odds.select("vec_id"))
-    VectorIndex.append(odds, idx)
+    }
+    try VectorIndex.append(odds, idx) // must SUCCEED
+    finally VectorIndex.testAfterAppendWrite = () => ()
+    assert(racerEx != null &&
+      racerEx.getMessage.contains("append(s) in flight"), s"$racerEx")
+    assert(VectorIndex.liveGeneration(spark, idx) == 0,
+      "the aborted rewrite must not have advanced the generation")
     val refIdx = java.nio.file.Files
       .createTempDirectory("graft_vi_apprace_ref").toString
     VectorIndex.build(emb, spec, refIdx)
@@ -419,6 +420,112 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("qid", "rank").collect().map(_.toString)
       .sameElements(VectorIndex.searchTopK(spark, refIdx, queries, k = 3)
         .orderBy("qid", "rank").collect().map(_.toString)))
+    // with the append finished, the once-aborted maintenance now commits
+    VectorIndex.compact(spark, idx)
+    assert(VectorIndex.liveGeneration(spark, idx) == 1)
+    assert(VectorIndex.searchTopK(spark, idx, queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+      .sameElements(VectorIndex.searchTopK(spark, refIdx, queries, k = 3)
+        .orderBy("qid", "rank").collect().map(_.toString)))
+  }
+
+  test("an append that COMMITS during a rewrite's snapshot window aborts " +
+    "the rewrite via the marker-diff; two writers inside the commit " +
+    "window resolve by the lock") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val codebook = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val spec = VectorIndex.Spec(numSub = 8,
+      dim = codebook.head._2.length, codebook = codebook)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_vi_mkrace").toString
+    VectorIndex.build(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+      spec, idx)
+    val odds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    // (a) marker-diff: the rewrite snapshotted (missing the append's
+    // rows) but has not committed; a full append lands now — in round 14
+    // both the CAS and the append's post-check passed and the rows
+    // silently aged out with the superseded generation
+    VectorIndex.testBeforeCommit = () => {
+      VectorIndex.testBeforeCommit = () => ()
+      VectorIndex.append(odds, idx) // completes cleanly
+    }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        VectorIndex.compact(spark, idx)
+      }
+      assert(e.getMessage.contains("append(s) committed during this rewrite"),
+        e.getMessage)
+    } finally VectorIndex.testBeforeCommit = () => ()
+    assert(VectorIndex.liveGeneration(spark, idx) == 0)
+    // the re-run rewrite sees the appended rows
+    VectorIndex.compact(spark, idx)
+    assert(VectorIndex.liveGeneration(spark, idx) == 1)
+    val refIdx = java.nio.file.Files
+      .createTempDirectory("graft_vi_mkrace_ref").toString
+    VectorIndex.build(emb, spec, refIdx)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"))
+    assert(VectorIndex.searchTopK(spark, idx, queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+      .sameElements(VectorIndex.searchTopK(spark, refIdx, queries, k = 3)
+        .orderBy("qid", "rank").collect().map(_.toString)))
+
+    // (b) lock race: a racer interleaved INSIDE the outer writer's held
+    // lock — the millisecond window round 14's check-then-rename left
+    // open — cannot acquire and aborts; the outer remove() lands
+    var racerEx: Throwable = null
+    graft.operators.IndexCommit.testInsideLock = () => {
+      graft.operators.IndexCommit.testInsideLock = () => ()
+      racerEx = intercept[java.util.ConcurrentModificationException] {
+        VectorIndex.compact(spark, idx)
+      }
+    }
+    try VectorIndex.remove(spark, idx,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 3).select("vec_id"))
+    finally graft.operators.IndexCommit.testInsideLock = () => ()
+    assert(racerEx != null &&
+      racerEx.getMessage.contains("commit lock"), s"$racerEx")
+    assert(VectorIndex.liveGeneration(spark, idx) == 2,
+      "exactly one writer must have committed")
+    // the remove genuinely landed (the lost-deletion the lock kills)
+    assert(spark.read.parquet(s"$idx/postings_g2")
+      .filter(pmod(col("vec_id"), lit(4)) === 3).count() == 0)
+  }
+
+  test("describeIndex: one-row operability surface with PQ config, " +
+    "generation, rows, labels and the deferred-maintenance flag") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val codebook = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val spec = VectorIndex.Spec(numSub = 8,
+      dim = codebook.head._2.length, codebook = codebook)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_vi_desc").toString
+    VectorIndex.build(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+      spec, idx)
+    VectorIndex.append(emb.filter(pmod(col("vec_id"), lit(2)) === 1), idx)
+    VectorIndex.compact(spark, idx)
+    val d = VectorIndex.describeIndex(spark, idx).collect().head
+    assert(d.getAs[Int]("num_sub") == 8 &&
+      d.getAs[Int]("codebook_entries") == 8)
+    assert(d.getAs[Int]("live_generation") == 1 &&
+      d.getAs[Int]("n_generations") == 2 &&
+      d.getAs[String]("generations_on_disk") == "0,1")
+    assert(d.getAs[Long]("posting_rows") == emb.count())
+    assert(d.getAs[Long]("labels") > 0 &&
+      d.getAs[Long]("posting_files") >= d.getAs[Long]("labels"))
+    assert(d.getAs[Int]("max_files_per_label") == 1, "just compacted")
+    assert(d.getAs[Long]("posting_bytes") > 0)
+    assert(!d.getAs[Boolean]("has_centroids"), "plain build saves none")
+    assert(!d.getAs[Boolean]("maintenance_due"))
+    VectorIndex.signalMaintenanceDue(spark, idx)
+    assert(VectorIndex.describeIndex(spark, idx)
+      .collect().head.getAs[Boolean]("maintenance_due"))
+    VectorIndex.compact(spark, idx) // a successful flip clears the signal
+    assert(!VectorIndex.maintenanceDue(spark, idx))
   }
 
   test("rebuild commits codebook and postings together at the pointer " +
@@ -470,6 +577,14 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VectorIndex.searchTopK(spark, idx, queries, k = 3)
       .orderBy("qid", "rank").collect().map(_.toString)
       .sameElements(newAnswers))
+    // a time-travel read of the reclaimed generation fails POINTEDLY,
+    // naming the retention knob — never an empty result an audit would
+    // misread as "served by an empty index"
+    val gone = intercept[IllegalArgumentException] {
+      VectorIndex.searchTopKAt(spark, idx, gen = 0, queries, k = 3)
+    }
+    assert(gone.getMessage.contains("no generation 0") &&
+      gone.getMessage.contains("retainGenerations"), gone.getMessage)
   }
 
   test("crashed pointer commit is detected loudly, never read as gen 0") {
