@@ -142,6 +142,49 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probed == Set(105L), probed)
   }
 
+  test("deferMaintenance: crossing the threshold only SIGNALS compaction " +
+    "(no rewrite inside the batch); an out-of-band compact clears it") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sdedup_defer").toString
+    val cfg = StreamingDedup.Config(s"$root/index", s"$root/out",
+      bucketed = true, buckets = 4, compactThreshold = 2,
+      deferMaintenance = true)
+    val seeds = Seq("alpha", "beta", "gamma", "delta", "epsil", "zeta",
+      "eta", "theta")
+    seeds.zipWithIndex.foreach { case (s, i) =>
+      StreamingDedup.ingest(cfg)(
+        Seq(SDoc(100L + i, words(s))).toDF(), i.toLong)
+    }
+    // batch latency stays O(batch) across the threshold crossing: no
+    // generation flip ran inside any micro-batch, fragmentation kept
+    // growing, and the due-signal is pending
+    assert(graft.operators.DedupIndex
+      .liveGeneration(spark, cfg.indexDir) == 0,
+      "deferMaintenance must not compact inside the micro-batch")
+    assert(graft.operators.DedupIndex
+      .maxFilesPerBucket(spark, cfg.indexDir) > cfg.compactThreshold)
+    assert(graft.operators.DedupIndex.maintenanceDue(spark, cfg.indexDir))
+    // the out-of-band maintainer acts on the signal; its successful flip
+    // clears the flag and the gate's decisions/probes are unchanged
+    graft.operators.DedupIndex.compact(spark, cfg.indexDir)
+    assert(!graft.operators.DedupIndex.maintenanceDue(spark, cfg.indexDir))
+    assert(graft.operators.DedupIndex
+      .liveGeneration(spark, cfg.indexDir) == 1)
+    assert(graft.operators.DedupIndex
+      .maxFilesPerBucket(spark, cfg.indexDir) == 1)
+    val out = spark.read.parquet(cfg.outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == (0 until 8).map(100L + _).toSet, out)
+    val probed = graft.operators.DedupIndex.probePairs(spark, cfg.indexDir,
+        Seq(SDoc(200, words("zeta"))).toDF(), "doc_id", "text")
+      .select("index_id").collect().map(_.getLong(0)).toSet
+    assert(probed == Set(105L), probed)
+    // and the gate keeps ingesting against the compacted generation
+    StreamingDedup.ingest(cfg)(Seq(SDoc(300, words("iota"))).toDF(), 8L)
+    assert(spark.read.parquet(cfg.outDir).count() == 9)
+  }
+
   test("replayed batchIds are a no-op: redelivery cannot re-append " +
     "survivors to outDir or the index") {
     import spark.implicits._

@@ -178,6 +178,53 @@ class StreamingVectorIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(postings(cfg.indexDir) == postings(ref))
   }
 
+  test("deferMaintenance: crossing the threshold only SIGNALS compaction " +
+    "(no rewrite inside the batch); an out-of-band compact clears it") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_svi_defer").toString
+    val cfg = cfgFor(s"$root/index")
+      .copy(compactThreshold = 2, deferMaintenance = true)
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[SVec].collect().toSeq
+    (0 until 6).foreach { i =>
+      StreamingVectorIngest.ingest(cfg)(
+        rows.filter(_.vec_id % 6 == i).toDF(), i.toLong)
+    }
+    // no generation flip ran inside any micro-batch (batch latency stays
+    // O(batch) across the threshold crossing); the due-signal is pending
+    assert(VectorIndex.liveGeneration(spark, cfg.indexDir) == 0,
+      "deferMaintenance must not compact inside the micro-batch")
+    assert(VectorIndex.maxFilesPerLabel(spark, cfg.indexDir) >
+      cfg.compactThreshold)
+    assert(VectorIndex.maintenanceDue(spark, cfg.indexDir))
+    // the out-of-band maintainer acts on the signal; its successful flip
+    // clears the flag and answers are unchanged vs the one-shot build
+    VectorIndex.compact(spark, cfg.indexDir)
+    assert(!VectorIndex.maintenanceDue(spark, cfg.indexDir))
+    assert(VectorIndex.liveGeneration(spark, cfg.indexDir) == 1)
+    assert(VectorIndex.maxFilesPerLabel(spark, cfg.indexDir) == 1)
+    val ref = s"$root/ref"
+    VectorIndex.build(
+      VectorIndex.assignLabels(emb.select(col("vec_id"), col("embedding")),
+        centroids),
+      VectorIndex.Spec(8, codebook.head._2.length, codebook), ref)
+    val qGate = VectorIndex.assignLabels(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding")), centroids)
+      .select(col("label"), col("vec_id").as("qid"),
+        col("embedding").as("qv"))
+    assert(VectorIndex.searchTopK(spark, cfg.indexDir, qGate, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+      .sameElements(VectorIndex.searchTopK(spark, ref, qGate, k = 3)
+        .orderBy("qid", "rank").collect().map(_.toString)))
+    // and the gate keeps ingesting against the compacted generation
+    StreamingVectorIngest.ingest(cfg)(
+      rows.filter(_.vec_id % 6 == 0).map(v => v.copy(vec_id = v.vec_id + 10000))
+        .toDF(), 6L)
+    assert(VectorIndex.liveGeneration(spark, cfg.indexDir) == 1)
+  }
+
   test("compactThreshold: the gate auto-compacts once a label dir " +
     "exceeds the file budget; search answers unchanged") {
     import spark.implicits._
