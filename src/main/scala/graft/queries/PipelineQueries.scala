@@ -310,6 +310,33 @@ object PipelineQueries {
       snap.unionByName(live).orderBy("surface", "new_id", "index_id")
     }),
 
+    // Index OPERABILITY under the oracle: describeIndex is the one-row
+    // EXPLAIN-for-indexes a deployment reaches for first. The hashed
+    // output pins the spec, the generation lifecycle (build + append +
+    // compact → live generation 1 with two generations on disk), the
+    // EXACT row counts (sig_rows = signable docs, band_rows = sig_rows ×
+    // bands — the oracle recomputes both from the corpus), the
+    // post-compact fragmentation floor (exactly one file per bucket) and
+    // the idle maintenance flag — a describe that miscounted rows, lost
+    // or leaked a generation, reported stale fragmentation, or left a
+    // phantom due-signal breaks the hash.
+    "dedup_index_describe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = graft.Scratch.dir("graft_didx_desc")
+      graft.operators.DedupIndex.build(
+        d.filter(pmod(col("doc_id"), lit(10)) < 6), "doc_id", "text",
+        graft.operators.DedupIndex.Spec(numHashes = 16, bands = 4,
+          buckets = 8), idx)
+      graft.operators.DedupIndex.append(
+        d.filter(pmod(col("doc_id"), lit(10)).between(6, 7)),
+        "doc_id", "text", idx)
+      graft.operators.DedupIndex.compact(s, idx)
+      graft.operators.DedupIndex.describeIndex(s, idx)
+        .select("num_hashes", "bands", "buckets", "live_generation",
+          "generations_on_disk", "n_generations", "band_rows", "sig_rows",
+          "max_files_per_bucket", "maintenance_due")
+    }),
+
     // The STREAMING DEDUP GATE end-to-end under the oracle (previously
     // spec-gated only): three sequential micro-batches (doc_id % 3) run
     // through StreamingDedup.ingest in bucketed-index mode with
@@ -1230,6 +1257,33 @@ object PipelineQueries {
       val live = graft.operators.VectorIndex.searchTopK(s, idx, q, k = 3)
         .withColumn("surface", lit("live"))
       snap.unionByName(live).orderBy("surface", "qid", "rank")
+    }),
+
+    // Vector-index OPERABILITY under the oracle — the ANN analog of
+    // dedup_index_describe: build (%4==0) + append (%4==1) + compact,
+    // then pin the PQ config, the generation lifecycle, the EXACT row
+    // count and distinct-label count (both recomputed by the oracle from
+    // the embeddings table), the post-compact fragmentation floor (one
+    // file per label dir) and the idle flags. A describe that miscounted
+    // postings, lost a label partition, or reported a phantom
+    // maintenance signal breaks the hash.
+    "ann_index_describe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val codebook = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val spec = graft.operators.VectorIndex.Spec(numSub = 8,
+        dim = codebook.head._2.length, codebook = codebook)
+      val idx = graft.Scratch.dir("graft_vidx_desc")
+      graft.operators.VectorIndex.build(
+        e.filter(pmod(col("vec_id"), lit(4)) === 0), spec, idx)
+      graft.operators.VectorIndex.append(
+        e.filter(pmod(col("vec_id"), lit(4)) === 1), idx)
+      graft.operators.VectorIndex.compact(s, idx)
+      graft.operators.VectorIndex.describeIndex(s, idx)
+        .select("num_sub", "dim", "codebook_entries", "live_generation",
+          "generations_on_disk", "n_generations", "posting_rows", "labels",
+          "max_files_per_label", "has_centroids", "maintenance_due")
     }),
 
     // saved-index MULTIPROBE (nprobe=2) with the recall-monotonicity
@@ -2883,6 +2937,21 @@ object PipelineQueries {
       SELECT surface, new_id, index_id, est_jaccard FROM est
       WHERE est_jaccard >= 0.5 ORDER BY surface, new_id, index_id""",
 
+    // the operability surface recomputed from first principles: spec and
+    // lifecycle flags are pinned constants (build+append+compact = live
+    // generation 1, generations {0,1} on disk, exactly one file per
+    // bucket, no pending signal), row counts derive from the corpus —
+    // sig_rows = signable docs (>= 3 tokens) in the indexed 80%,
+    // band_rows = sig_rows x 4 bands
+    "dedup_index_describe" -> """
+      SELECT 16 AS num_hashes, 4 AS bands, 8 AS buckets,
+             1 AS live_generation, '0,1' AS generations_on_disk,
+             2 AS n_generations,
+             count(*) * 4 AS band_rows, count(*) AS sig_rows,
+             1 AS max_files_per_bucket, false AS maintenance_due
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3 AND doc_id % 10 < 8""",
+
     // compaction is layout-only and the post-compact append completes the
     // corpus: the index holds every vector, so the oracle is
     // ann_index_append's SQL verbatim (cf. dedup_index_compact)
@@ -2983,6 +3052,22 @@ object PipelineQueries {
         UNION ALL
         SELECT 'live' AS surface, * FROM ranked_live WHERE rank <= 3)
       ORDER BY surface, qid, rank""",
+
+    // the ANN operability surface recomputed from first principles: spec
+    // and lifecycle flags are pinned constants (build+append+compact =
+    // live generation 1, generations {0,1} on disk, one file per label
+    // dir, no centroids persisted by the plain build, no pending signal);
+    // the row count, the dimensionality and the distinct-label count
+    // derive from the embeddings table
+    "ann_index_describe" -> """
+      SELECT 8 AS num_sub,
+             (SELECT max(len(embedding)) FROM embeddings) AS dim,
+             8 AS codebook_entries, 1 AS live_generation,
+             '0,1' AS generations_on_disk, 2 AS n_generations,
+             count(*) AS posting_rows, count(DISTINCT label) AS labels,
+             1 AS max_files_per_label, false AS has_centroids,
+             false AS maintenance_due
+      FROM embeddings WHERE vec_id % 4 IN (0, 1)""",
 
     // saved-index multiprobe: labels recomputed under the 4 persisted
     // centroids (ties to lowest cid), probes = top-2 by rounded cosine
