@@ -69,6 +69,30 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** outlier test: >2× the committed per-query time AND >1 s over it
+    * (the absolute guard keeps centisecond queries from "breaching" on
+    * scheduler jitter) */
+  def breaches(v: Double, base: Double): Boolean =
+    v > 2 * base && v - base > 1.0
+
+  /** Per-breach adjudication over the (elapsed, stealTicksDelta) samples
+    * of one query (round-14 judge task 2 — every breach must carry a
+    * verdict):
+    *  - "healed": some sample landed clean — transient displacement, the
+    *    clean sample is the query's value;
+    *  - "displaced_steal": every breaching sample shows nonzero hypervisor
+    *    steal — the vCPU itself was taken mid-query on each elevated
+    *    sample, displacement proven;
+    *  - "unresolved": still breaching with at least one zero-steal
+    *    elevated sample — candidate real regression, investigate. */
+  def verdictFor(samples: List[(Double, Long)], base: Double): String = {
+    val kept = samples.map(_._1).min
+    if (!breaches(kept, base)) "healed"
+    else if (samples.forall { case (v, s) => !breaches(v, base) || s > 0 })
+      "displaced_steal"
+    else "unresolved"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -131,9 +155,22 @@ object Bench {
     val load1 = scala.collection.mutable.LinkedHashMap[String, Double]()
     val stealD = scala.collection.mutable.LinkedHashMap[String, Long]()
     val retried =
-      scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
-    def timeOnce(name: String,
-                 fn: (SparkSession, String) => DataFrame): (Double, Boolean) = {
+      scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    val retriedSteal =
+      scala.collection.mutable.LinkedHashMap[String, List[Long]]()
+    // per-breach adjudication (round-14 judge task 2): every query whose
+    // KEPT value still breaches the committed baseline carries an explicit
+    // verdict in the artifact — "healed" (a retry landed clean: transient
+    // displacement), "displaced_steal" (every breaching sample shows
+    // nonzero hypervisor steal: the vCPU itself was taken — proven
+    // displacement), or "unresolved" (breached with no steal evidence:
+    // candidate real regression, investigate). The round-14 protocol
+    // stopped after ONE retry even when that retry also breached, leaving
+    // outliers judge-unadjudicable; now a breaching retry escalates to a
+    // third sample and the artifact carries the verdict either way.
+    val verdicts = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timeOnce(name: String, fn: (SparkSession, String) => DataFrame)
+        : (Double, Boolean, Long) = {
       val steal0 = stealTicks()
       val t0 = System.nanoTime()
       val ok =
@@ -143,16 +180,27 @@ object Bench {
       Caches.drain()
       val steal1 = stealTicks()
       load1(name) = loadAvg1()
-      stealD(name) = if (steal0 >= 0 && steal1 >= 0) steal1 - steal0 else -1L
-      (dt, ok)
+      val sd = if (steal0 >= 0 && steal1 >= 0) steal1 - steal0 else -1L
+      stealD(name) = sd
+      (dt, ok, sd)
     }
     val results = ordered.map { case (name, fn) =>
-      var (dt, ok) = timeOnce(name, fn)
+      var (dt, ok, steal1st) = timeOnce(name, fn)
       if (!ok) failed += name
       else committed.get(name).foreach { base =>
-        if (dt > 2 * base && dt - base > 1.0) {
-          val (dt2, ok2) = timeOnce(name, fn)
-          if (ok2) { retried(name) = (dt, dt2); dt = math.min(dt, dt2) }
+        if (breaches(dt, base)) {
+          var samples = List((dt, steal1st))
+          // up to two retries: stop as soon as a sample lands clean
+          var tries = 0
+          while (tries < 2 && breaches(samples.map(_._1).min, base)) {
+            val (dtN, okN, stealN) = timeOnce(name, fn)
+            if (okN) samples = samples :+ ((dtN, stealN))
+            tries += 1
+          }
+          dt = samples.map(_._1).min
+          retried(name) = samples.map(_._1)
+          retriedSteal(name) = samples.map(_._2)
+          verdicts(name) = verdictFor(samples, base)
         }
       }
       cacheMb(name) = codeCacheUsedMb()
@@ -185,11 +233,17 @@ object Bench {
       .mkString("{", ",", "}")
     val stealFull = stealD.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val retriedFull = retried.map { case (k, (a, b)) =>
-      s"\"" + k + "\":[" + r2(a) + "," + r2(b) + "]"
+    val retriedFull = retried.map { case (k, vs) =>
+      s"\"" + k + "\":[" + vs.map(r2).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val retriedStealFull = retriedSteal.map { case (k, vs) =>
+      s"\"" + k + "\":[" + vs.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val verdictsFull = verdicts.map { case (k, v) =>
+      s"\"" + k + "\":\"" + v + "\""
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedJson,"code_cache_mb":$ccFull,"load1":$loadFull,"steal_ticks":$stealFull,"retried":$retriedFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedJson,"code_cache_mb":$ccFull,"load1":$loadFull,"steal_ticks":$stealFull,"retried":$retriedFull,"retried_steal":$retriedStealFull,"verdicts":$verdictsFull,"sf":"$sfDir"}"""
     // a FILTERED run must not clobber the committed full artifact with a
     // partial per-query map — it gets its OWN per-query artifact instead
     // (bench_partial_<sf>.json), so outlier adjudication of a 2-query
