@@ -304,6 +304,11 @@ object DedupIndex {
   def loadSpec(spark: SparkSession, indexDir: String): Spec =
     loadMeta(spark, indexDir)._1
 
+  /** last-seen data-dir mtimes per (session, index): the O(1) freshness
+    * probe behind [[ensureRegistered]]'s cross-session staleness fix */
+  private val seenMtimes =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (Long, Long)]()
+
   /** Re-register the bucketed tables in THIS session's catalog (no-op if
     * already known AND its cached DDL still matches the on-disk meta). The
     * DDL carries the bucket spec; the data files are untouched. A rebuild
@@ -311,7 +316,20 @@ object DedupIndex {
     * leave this session's DDL stale — and a stale bucket count silently
     * voids the exchange-free probe-join guarantee — so a registered
     * table whose bucket count or location disagrees with meta is dropped
-    * and re-issued. */
+    * and re-issued.
+    *
+    * CROSS-SESSION append freshness (round 15): Spark caches a catalog
+    * table's resolved relation — file listing included — per session,
+    * and only invalidates it for THIS session's own writes. An append
+    * from ANOTHER session (a second gate, a batch loader) would be
+    * invisible to this session's probes until a manual REFRESH TABLE —
+    * a silently-incomplete dedup probe, the worst failure mode for a
+    * gate. Maintenance flips are already covered (the generation changes
+    * and the DDL re-issues); same-generation appends are detected by an
+    * O(1) mtime probe of the live data dirs (a file landing in a
+    * directory bumps its mtime on HDFS and POSIX alike) and the cached
+    * relation is refreshed ONLY when something actually changed — no
+    * per-probe re-listing tax when the index is quiet. */
   def ensureRegistered(spark: SparkSession, indexDir: String): Spec = {
     val (spec, gen) = loadMeta(spark, indexDir)
     def register(table: String, dataDir: String, bucketCol: String): Unit = {
@@ -340,6 +358,19 @@ object DedupIndex {
     }
     register(bandsTable(spark, indexDir), dataDir(indexDir, "bands", gen), "bk")
     register(sigsTable(spark, indexDir), dataDir(indexDir, "sigs", gen), "doc_id")
+    val f = fs(spark, indexDir)
+    def mtime(d: String): Long =
+      try f.getFileStatus(new org.apache.hadoop.fs.Path(d)).getModificationTime
+      catch { case _: java.io.FileNotFoundException => 0L }
+    val now = (mtime(dataDir(indexDir, "bands", gen)),
+      mtime(dataDir(indexDir, "sigs", gen)))
+    val key = (System.identityHashCode(spark), canonical(spark, indexDir))
+    if (seenMtimes.put(key, now) != now) {
+      // files changed since this session last looked (another session's
+      // append, or our own — a redundant refresh is lazy and cheap)
+      spark.catalog.refreshTable(bandsTable(spark, indexDir))
+      spark.catalog.refreshTable(sigsTable(spark, indexDir))
+    }
     spec
   }
 

@@ -460,6 +460,37 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       == sorted(DedupIndex.probePairs(spark, refIdx, batch, "doc_id", "text")))
   }
 
+  test("cross-session append freshness: a probe sees rows another SESSION " +
+    "appended (the cached relation refreshes when the data dirs change)") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_didx_xsession").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 6),
+      "doc_id", "text", spec, idx)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    // warm THIS session's relation cache with a probe
+    val before = sorted(
+      DedupIndex.probePairs(spark, idx, batch, "doc_id", "text"))
+    assert(before.nonEmpty)
+    // ANOTHER session appends: newSession shares the external catalog but
+    // has its OWN relation cache, so its write invalidates nothing here —
+    // without the mtime freshness probe this session's next probe would
+    // silently miss the appended rows (an incomplete dedup probe admits
+    // near-dups, the gate's worst failure mode)
+    val other = spark.newSession()
+    DedupIndex.append(
+      graft.Tables.load(other, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(pmod(col("doc_id"), lit(10)).between(6, 7)),
+      "doc_id", "text", idx)
+    val after = sorted(
+      DedupIndex.probePairs(spark, idx, batch, "doc_id", "text"))
+    assert(after == sorted(Dedup.incrementalMinhashPairs(
+      batch, docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+      "doc_id", "text", numHashes = 16, bands = 4, minEst = 0.5)),
+      "probe in the original session missed the other session's append")
+    assert(after != before, "fixture must make the append observable")
+  }
+
   test("a crashed appender's stale intent is reaped (maintenance is not " +
     "wedged forever); expireGenerations surfaces failed reclamations") {
     val idx = java.nio.file.Files
