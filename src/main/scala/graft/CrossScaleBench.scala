@@ -41,7 +41,8 @@ object CrossScaleBench {
     "nats_avro_extract", "dedup_index_compact", "ann_index_compact",
     "dedup_index_remove", "ann_index_remove",
     "dedup_gate_autocompact", "ann_index_autocompact",
-    "dedup_index_timetravel", "ann_index_timetravel")
+    "dedup_index_timetravel", "ann_index_timetravel",
+    "dedup_index_describe", "ann_index_describe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
