@@ -494,6 +494,49 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(pmod(col("vec_id"), lit(4)) === 3).count() == 0)
   }
 
+  test("dual concurrent appends compose: interleaved appends are " +
+    "search-identical to sequential appends (additive files, no clobber)") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val codebook = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val spec = VectorIndex.Spec(numSub = 8,
+      dim = codebook.head._2.length, codebook = codebook)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_vi_dualapp").toString
+    VectorIndex.build(emb.filter(pmod(col("vec_id"), lit(4)) === 0),
+      spec, idx)
+    // append B (vec_id%4==2) runs to completion while append A
+    // (vec_id%4==1) is mid-flight: two ingest gates on one shared index
+    VectorIndex.testAfterAppendWrite = () => {
+      VectorIndex.testAfterAppendWrite = () => ()
+      VectorIndex.append(emb.filter(pmod(col("vec_id"), lit(4)) === 2), idx)
+    }
+    try VectorIndex.append(emb.filter(pmod(col("vec_id"), lit(4)) === 1), idx)
+    finally VectorIndex.testAfterAppendWrite = () => ()
+    val refIdx = java.nio.file.Files
+      .createTempDirectory("graft_vi_dualapp_ref").toString
+    VectorIndex.build(emb.filter(pmod(col("vec_id"), lit(4)) < 3),
+      spec, refIdx)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"))
+    assert(VectorIndex.searchTopK(spark, idx, queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+      .sameElements(VectorIndex.searchTopK(spark, refIdx, queries, k = 3)
+        .orderBy("qid", "rank").collect().map(_.toString)))
+    // both intents gone; maintenance over the dual-appended index keeps rows
+    val f = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .exists(_.getPath.getName.startsWith("_append_intent_")),
+      "completed appends must not leave intents")
+    VectorIndex.compact(spark, idx)
+    assert(VectorIndex.searchTopK(spark, idx, queries, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toString)
+      .sameElements(VectorIndex.searchTopK(spark, refIdx, queries, k = 3)
+        .orderBy("qid", "rank").collect().map(_.toString)))
+  }
+
   test("describeIndex: one-row operability surface with PQ config, " +
     "generation, rows, labels and the deferred-maintenance flag") {
     val emb = Tables.load(spark, dir, "embeddings")
