@@ -491,6 +491,39 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after != before, "fixture must make the append observable")
   }
 
+  test("a crashed commit-lock holder's lock self-expires (TTL break); a " +
+    "LIVE holder's lock is respected") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_didx_lockttl").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 6),
+      "doc_id", "text", spec, idx)
+    val f = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a holder that died mid-commit: lock file with an ancient mtime —
+    // maintenance must break it (with a warning) and proceed, or the
+    // index is wedged forever
+    val lock = new org.apache.hadoop.fs.Path(s"$idx/_commit_lock")
+    f.create(lock, true).close()
+    f.setTimes(lock, System.currentTimeMillis() - 60L * 60 * 1000, -1)
+    DedupIndex.compact(spark, idx)
+    assert(DedupIndex.liveGeneration(spark, idx) == 1,
+      "a stale lock must not wedge maintenance")
+    assert(!f.exists(lock), "the commit released (and replaced) the lock")
+    // a LIVE lock (fresh mtime, holder presumed mid-flip) blocks: the
+    // contender waits ~1 s then aborts loudly without touching state
+    f.create(lock, true).close()
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        DedupIndex.compact(spark, idx)
+      }
+      assert(e.getMessage.contains("commit lock"), e.getMessage)
+      assert(DedupIndex.liveGeneration(spark, idx) == 1)
+    } finally { f.delete(lock, false); () }
+    // with the lock released, maintenance proceeds
+    DedupIndex.compact(spark, idx)
+    assert(DedupIndex.liveGeneration(spark, idx) == 2)
+  }
+
   test("a crashed appender's stale intent is reaped (maintenance is not " +
     "wedged forever); expireGenerations surfaces failed reclamations") {
     val idx = java.nio.file.Files
