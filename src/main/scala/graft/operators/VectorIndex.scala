@@ -74,6 +74,9 @@ object VectorIndex {
     * codebook), closing the round-13 advisory's stale-codebook window. */
   def build(emb: DataFrame, spec: Spec, indexDir: String): Unit = {
     val spark = emb.sparkSession
+    // fail BEFORE any data lands when the store can't give the commit
+    // protocol its atomic rename / create-if-absent primitives
+    IndexCommit.requireAtomicCommitStore(fs(spark, indexDir), indexDir)
     def encoded = emb.select(col("label"), col("vec_id"),
       Similarity.pqAssign(col("embedding"), spec.codebook, spec.numSub)
         .as("codes"))
@@ -87,9 +90,10 @@ object VectorIndex {
       // protocol as compact/remove, so racing rebuilds resolve to one
       // winner and appends racing the rebuild are observed
       val prev = generation(spark, indexDir)
+      val markersListedAt = System.currentTimeMillis()
       val markersSeen =
         IndexCommit.commitMarkers(fs(spark, indexDir), indexDir)
-      stageAndCommit(spark, indexDir, prev, markersSeen,
+      stageAndCommit(spark, indexDir, prev, markersSeen, markersListedAt,
         retainGenerations = 1, stageMeta = true) { (pStage, mStage) =>
         encoded.write.partitionBy("label").mode("overwrite").parquet(pStage)
         writeMetaFiles(spark, spec, mStage.get)
@@ -221,6 +225,7 @@ object VectorIndex {
     * [[expireGenerations]]' stale-staging sweep. */
   private def stageAndCommit(spark: SparkSession, indexDir: String,
                              gen: Int, markersSeen: Set[String],
+                             markersListedAtMs: Long,
                              retainGenerations: Int, stageMeta: Boolean)(
                              writeStaged: (String, Option[String]) => Unit): Unit = {
     val newGen = gen + 1
@@ -246,6 +251,9 @@ object VectorIndex {
               s"(${intents.mkString(", ")}) — committing this rewrite could " +
               "silently drop their rows. This call's rewrite is DISCARDED " +
               "— re-run after the appends finish.")
+        // a rewrite that outlived the marker horizon can no longer trust
+        // the diff below (an unseen marker may have been age-reaped)
+        IndexCommit.requireMarkerHorizon(indexDir, markersListedAtMs)
         val newMarkers = IndexCommit.commitMarkers(f, indexDir) -- markersSeen
         if (newMarkers.nonEmpty)
           throw new java.util.ConcurrentModificationException(
@@ -341,7 +349,12 @@ object VectorIndex {
     * reaches for first: PQ config, live generation, what is on disk
     * (generations, labels, files, bytes — from directory listings), row
     * count, fragmentation ([[maxFilesPerLabel]], the auto-compaction
-    * signal) and whether a deferred-maintenance request is pending. */
+    * signal) and whether a deferred-maintenance request is pending.
+    * O(metadata): the posting row count comes from parquet FOOTERS of
+    * the same file listing the size stats already walk (round-15
+    * verdict: the previous `count()` launched a scan job whose cost grew
+    * with the index); the only remaining Spark read is the O(1) codebook
+    * (bounded rows), spec-asserted invariant in index size. */
   def describeIndex(spark: SparkSession, indexDir: String): DataFrame = {
     import spark.implicits._
     val gen = generation(spark, indexDir)
@@ -356,7 +369,8 @@ object VectorIndex {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
     Seq((spec.numSub, spec.dim, spec.codebook.length, gen,
       gens.mkString(","), gens.length,
-      readPostings(spark, postingsDir(indexDir, gen)).count(),
+      IndexCommit.footerRowCount(
+        spark.sparkContext.hadoopConfiguration, files),
       labelDirs.length.toLong, files.length.toLong, files.map(_.getLen).sum,
       maxFilesPerLabel(spark, indexDir),
       centroidsOnDisk(spark, indexDir),
@@ -414,10 +428,13 @@ object VectorIndex {
       s"retainGenerations must be >= 0, got $retainGenerations")
     val gen = generation(spark, indexDir)
     // markers BEFORE the posting read: any append whose rows this
-    // rewrite's snapshot could miss has a marker NOT in this set
+    // rewrite's snapshot could miss has a marker NOT in this set (the
+    // snapshot itself is a fresh path-based read inside writeStaged, so
+    // it postdates this listing with no catalog-cache caveat)
+    val markersListedAt = System.currentTimeMillis()
     val markersSeen = IndexCommit.commitMarkers(fs(spark, indexDir), indexDir)
-    stageAndCommit(spark, indexDir, gen, markersSeen, retainGenerations,
-      stageMeta = false) { (pStage, _) =>
+    stageAndCommit(spark, indexDir, gen, markersSeen, markersListedAt,
+      retainGenerations, stageMeta = false) { (pStage, _) =>
       // readPostings, not a bare parquet read: a remove() that emptied the
       // index leaves a live dir with no files — compact/remove after it
       // must rewrite the empty relation, not throw (round-13 advisory)

@@ -407,8 +407,12 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         DedupIndex.compact(spark, idx)
       }
     }
+    graft.operators.IndexCommit.testLockWaitMs = Some(600L) // fast loud-abort
     try DedupIndex.remove(spark, idx, removeIds, "doc_id") // must WIN
-    finally graft.operators.IndexCommit.testInsideLock = () => ()
+    finally {
+      graft.operators.IndexCommit.testInsideLock = () => ()
+      graft.operators.IndexCommit.testLockWaitMs = None
+    }
     assert(racerEx != null &&
       racerEx.getMessage.contains("commit lock"), s"$racerEx")
     assert(DedupIndex.liveGeneration(spark, idx) == 1,
@@ -491,6 +495,41 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after != before, "fixture must make the append observable")
   }
 
+  test("TWO live sessions in one JVM each track freshness independently " +
+    "(the cache is keyed by session identity, not a collidable hash, and " +
+    "one session's probe cannot mask the other's staleness)") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_didx_twosess").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 6),
+      "doc_id", "text", spec, idx)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    def probe(s: org.apache.spark.sql.SparkSession) =
+      DedupIndex.probePairs(s, idx,
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .filter(pmod(col("doc_id"), lit(10)) >= 8),
+        "doc_id", "text").orderBy("new_id", "index_id").collect().toSeq
+    // warm BOTH sessions' relation caches (and freshness entries)
+    val b1 = probe(s1); val b2 = probe(s2)
+    assert(b1 == b2 && b1.nonEmpty)
+    // a third session appends; then s1 probes FIRST (refreshing its own
+    // cache) — with the round-15 identity-hash keying, a key collision
+    // between s1 and s2 would let s1's refresh mask s2's staleness and
+    // s2 would silently under-probe
+    DedupIndex.append(
+      graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(pmod(col("doc_id"), lit(10)).between(6, 7)),
+      "doc_id", "text", idx)
+    val expected = sorted(Dedup.incrementalMinhashPairs(
+      batch, docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+      "doc_id", "text", numHashes = 16, bands = 4, minEst = 0.5))
+    assert(probe(s1) == expected, "s1 missed the append")
+    assert(probe(s2) == expected, "s2 missed the append (masked staleness)")
+  }
+
   test("a crashed commit-lock holder's lock self-expires (TTL break); a " +
     "LIVE holder's lock is respected") {
     val idx = java.nio.file.Files
@@ -510,15 +549,20 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a stale lock must not wedge maintenance")
     assert(!f.exists(lock), "the commit released (and replaced) the lock")
     // a LIVE lock (fresh mtime, holder presumed mid-flip) blocks: the
-    // contender waits ~1 s then aborts loudly without touching state
+    // contender waits out its budget then aborts loudly without touching
+    // state (budget shrunk for the spec; production default is 10 s)
     f.create(lock, true).close()
+    graft.operators.IndexCommit.testLockWaitMs = Some(600L)
     try {
       val e = intercept[java.util.ConcurrentModificationException] {
         DedupIndex.compact(spark, idx)
       }
       assert(e.getMessage.contains("commit lock"), e.getMessage)
       assert(DedupIndex.liveGeneration(spark, idx) == 1)
-    } finally { f.delete(lock, false); () }
+    } finally {
+      graft.operators.IndexCommit.testLockWaitMs = None
+      f.delete(lock, false); ()
+    }
     // with the lock released, maintenance proceeds
     DedupIndex.compact(spark, idx)
     assert(DedupIndex.liveGeneration(spark, idx) == 2)
@@ -609,6 +653,37 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getAs[Boolean]("maintenance_due"))
     DedupIndex.compact(spark, idx) // a successful flip clears the signal
     assert(!DedupIndex.maintenanceDue(spark, idx))
+  }
+
+  test("describeIndex is O(metadata): ZERO Spark jobs — row counts come " +
+    "from parquet footers, not scans (round-15: describe cost grew with " +
+    "the index)") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_didx_desc0").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 6),
+      "doc_id", "text", spec, idx)
+    // register the tables once so describe's ensureRegistered is a no-op
+    // catalog check, then count jobs across the describe call itself
+    DedupIndex.describeIndex(spark, idx).collect()
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val d = DedupIndex.describeIndex(spark, idx) // eager row counts inside
+      Thread.sleep(500) // drain the async listener bus
+      assert(jobs == 0,
+        s"describeIndex must launch no Spark job, saw $jobs")
+      // and the footer-derived integers match a real scan's count
+      val r = d.collect().head
+      assert(r.getAs[Long]("sig_rows") ==
+        DedupIndex.sigsRelation(spark, idx).count())
+      assert(r.getAs[Long]("band_rows") ==
+        DedupIndex.bandsRelation(spark, idx).count())
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("a reader bound to the superseded generation survives the flip " +

@@ -1,0 +1,254 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.IndexCommit
+
+/** The shared index commit protocol's own guarantees, driven through
+  * deterministic seams (thread-based racing is flaky by construction):
+  * single-winner stale-lock breaking (round 16 — the round-15 delete-based
+  * break let two contenders recovering from one crashed holder BOTH
+  * acquire), owner heartbeats (a live holder/appender never looks stale),
+  * age-reaped append markers with the rewrite-horizon guard that keeps
+  * reaping sound, the object-store atomicity refusal, and job-free footer
+  * row counts. */
+class IndexCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def fsFor(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def ancient: Long = System.currentTimeMillis() - 60L * 60 * 1000
+
+  test("two concurrent breakers of one stale lock: single winner, strictly " +
+    "sequential critical sections (the round-15 double-break is dead)") {
+    val dir = tmp("graft_ic_break2")
+    val f = fsFor(dir)
+    val lock = new Path(s"$dir/_commit_lock")
+    f.create(lock, true).close()
+    f.setTimes(lock, ancient, -1)
+    val events = scala.collection.mutable.ArrayBuffer.empty[String]
+    // contender B observes the lock as stale; in the window between that
+    // observation and B's break attempt, contender A runs its ENTIRE
+    // acquire→work→release (A breaks the stale lock itself, wins the
+    // create race, commits, releases). Round 15's delete-based break had
+    // B's already-decided delete land on whatever sat at the lock path —
+    // including A's fresh lock had A still held it.
+    IndexCommit.testBeforeBreak = () => {
+      IndexCommit.testBeforeBreak = () => ()
+      IndexCommit.withCommitLock(f, dir, "contender A") {
+        events += "A-in"; events += "A-out"
+      }
+    }
+    try IndexCommit.withCommitLock(f, dir, "contender B") {
+      events += "B-in"; events += "B-out"
+    } finally IndexCommit.testBeforeBreak = () => ()
+    assert(events.toSeq == Seq("A-in", "A-out", "B-in", "B-out"),
+      s"critical sections must not interleave: $events")
+    assert(!f.exists(lock), "final release must leave no lock")
+    assert(!f.listStatus(new Path(dir)).exists(
+      _.getPath.getName.startsWith("_commit_lock_broken_")),
+      "a completed break must remove its own tombstone")
+  }
+
+  test("a breaker never touches a FRESH lock that replaced the stale one " +
+    "(identity check): the live holder keeps the lock, the breaker aborts " +
+    "loudly") {
+    val dir = tmp("graft_ic_fresh")
+    val f = fsFor(dir)
+    val lock = new Path(s"$dir/_commit_lock")
+    f.create(lock, true).close()
+    f.setTimes(lock, ancient, -1)
+    // between B's staleness observation and its break, another contender
+    // breaks the stale lock and acquires a FRESH one (simulated directly:
+    // replace the file) — exactly the round-15 hole, where B's delete
+    // would now land on the live holder's lock
+    IndexCommit.testBeforeBreak = () => {
+      IndexCommit.testBeforeBreak = () => ()
+      f.delete(lock, false)
+      val out = f.create(lock, false)
+      out.write("live holder A".getBytes("UTF-8")); out.close()
+    }
+    IndexCommit.testLockWaitMs = Some(600L)
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        IndexCommit.withCommitLock(f, dir, "contender B") { fail("B must not enter") }
+      }
+      assert(e.getMessage.contains("commit lock"), e.getMessage)
+      // the live holder's lock survived B's whole acquire attempt
+      assert(f.exists(lock), "the fresh lock must survive the stale breaker")
+      val in = f.open(lock)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      assert(content == "live holder A",
+        s"the fresh lock must be untouched, got: $content")
+    } finally {
+      IndexCommit.testBeforeBreak = () => ()
+      IndexCommit.testLockWaitMs = None
+      f.delete(lock, false)
+    }
+  }
+
+  test("a crashed breaker's tombstone is swept by the stale sweep; a " +
+    "fresh tombstone is left alone") {
+    val dir = tmp("graft_ic_tomb")
+    val f = fsFor(dir)
+    val stale = new Path(s"$dir/_commit_lock_broken_deadbeef")
+    val fresh = new Path(s"$dir/_commit_lock_broken_0abc0abc")
+    f.create(stale, true).close()
+    f.setTimes(stale, ancient, -1)
+    f.create(fresh, true).close()
+    val doomed = IndexCommit.staleStagingDirs(f, dir, Seq("bands", "sigs"))
+    assert(doomed.exists(_.endsWith("_commit_lock_broken_deadbeef")), doomed)
+    assert(!doomed.exists(_.endsWith("_commit_lock_broken_0abc0abc")), doomed)
+    doomed.foreach(IndexCommit.tryReclaim(f, _))
+    assert(!f.exists(stale) && f.exists(fresh))
+  }
+
+  test("a held commit lock is HEARTBEATEN: its mtime recovers even if " +
+    "something backdates it mid-hold (a live holder never looks stale)") {
+    val dir = tmp("graft_ic_beat")
+    val f = fsFor(dir)
+    val lock = new Path(s"$dir/_commit_lock")
+    IndexCommit.heartbeatIntervalMs = 100L
+    try IndexCommit.withCommitLock(f, dir, "beating holder") {
+      f.setTimes(lock, ancient, -1) // simulate drift toward staleness
+      Thread.sleep(800L)
+      val m = f.getFileStatus(lock).getModificationTime
+      assert(System.currentTimeMillis() - m < 10_000L,
+        s"heartbeat must refresh the held lock's mtime, got age ${System.currentTimeMillis() - m} ms")
+    } finally IndexCommit.heartbeatIntervalMs = IndexCommit.DefaultStaleMs / 3
+  }
+
+  test("a live append's intent is heartbeaten until finishAppend, then " +
+    "the beats stop — a long batch append is never reaped while its JVM " +
+    "lives") {
+    val dir = tmp("graft_ic_intentbeat")
+    val f = fsFor(dir)
+    IndexCommit.heartbeatIntervalMs = 100L
+    try {
+      val token = IndexCommit.beginAppend(f, dir)
+      val intent = new Path(s"$dir/_append_intent_$token")
+      f.setTimes(intent, ancient, -1) // pretend it drifted stale mid-write
+      Thread.sleep(800L)
+      val m = f.getFileStatus(intent).getModificationTime
+      assert(System.currentTimeMillis() - m < 10_000L,
+        "heartbeat must refresh a live intent's mtime")
+      // and the reaper therefore leaves it alone
+      assert(IndexCommit.liveIntents(f, dir) == Seq(s"_append_intent_$token"))
+      IndexCommit.finishAppend(f, dir, token)
+      assert(!f.exists(intent))
+      // beats stopped: a backdated marker file stays backdated
+      val marker = new Path(s"$dir/_append_commit_$token")
+      f.setTimes(marker, ancient, -1)
+      Thread.sleep(400L)
+      assert(math.abs(f.getFileStatus(marker).getModificationTime - ancient)
+        <= 5000L, "a finished append's heartbeat must stop")
+    } finally IndexCommit.heartbeatIntervalMs = IndexCommit.DefaultStaleMs / 3
+  }
+
+  test("finishAppend fails LOUDLY (and drops no marker) when the intent " +
+    "was reaped out from under a stalled appender — never a marker that " +
+    "falsely certifies rows a rewrite may not have seen") {
+    val dir = tmp("graft_ic_reaped")
+    val f = fsFor(dir)
+    val token = IndexCommit.beginAppend(f, dir)
+    // a reaper (another session's liveIntents over a >TTL-stale intent)
+    // removed the intent while this appender's JVM was paused
+    f.delete(new Path(s"$dir/_append_intent_$token"), false)
+    val e = intercept[IllegalStateException] {
+      IndexCommit.finishAppend(f, dir, token)
+    }
+    assert(e.getMessage.contains("remove(theseIds)"), e.getMessage)
+    assert(!f.exists(new Path(s"$dir/_append_commit_$token")),
+      "no marker may land for an uncertifiable append")
+  }
+
+  test("append markers age out on listing (bounded root in an append-only " +
+    "deployment) and requireMarkerHorizon keeps the reaping sound") {
+    val dir = tmp("graft_ic_markers")
+    val f = fsFor(dir)
+    // three appends, no rewrite ever — round 15 accumulated these forever
+    val tokens = (1 to 3).map { _ =>
+      val t = IndexCommit.beginAppend(f, dir)
+      IndexCommit.finishAppend(f, dir, t); t
+    }
+    assert(IndexCommit.commitMarkers(f, dir).size == 3)
+    tokens.take(2).foreach { t =>
+      f.setTimes(new Path(s"$dir/_append_commit_$t"), ancient, -1)
+    }
+    // the APPEND PATH itself sweeps aged markers on the way in — in an
+    // append-only deployment nothing else ever lists them
+    val t4 = IndexCommit.beginAppend(f, dir)
+    IndexCommit.finishAppend(f, dir, t4)
+    assert(f.listStatus(new Path(dir))
+      .count(_.getPath.getName.startsWith("_append_commit_")) == 2,
+      "aged markers must be physically deleted by the next append's sweep")
+    assert(IndexCommit.commitMarkers(f, dir) ==
+      Set(s"_append_commit_${tokens(2)}", s"_append_commit_$t4"))
+    // soundness guard: a rewrite whose snapshot-to-commit span reaches the
+    // horizon must abort — beyond it an unseen marker may have been reaped
+    IndexCommit.requireMarkerHorizon(dir,
+      System.currentTimeMillis() - 1000L) // young rewrite: fine
+    val e = intercept[java.util.ConcurrentModificationException] {
+      IndexCommit.requireMarkerHorizon(dir,
+        System.currentTimeMillis() - IndexCommit.DefaultStaleMs)
+    }
+    assert(e.getMessage.contains("marker horizon"), e.getMessage)
+  }
+
+  test("requireAtomicCommitStore refuses s3a-style schemes at build time " +
+    "and downgrades to a warning under the explicit override") {
+    class FakeS3 extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = "s3a"
+    }
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    val f = new FakeS3; f.setConf(conf)
+    val e = intercept[IllegalArgumentException] {
+      IndexCommit.requireAtomicCommitStore(f, "s3a://bucket/idx")
+    }
+    assert(e.getMessage.contains("allowNonAtomicStore"), e.getMessage)
+    conf.setBoolean("graft.index.allowNonAtomicStore", true)
+    IndexCommit.requireAtomicCommitStore(f, "s3a://bucket/idx") // warns only
+    // and the local filesystem is always fine
+    IndexCommit.requireAtomicCommitStore(fsFor("/tmp"), "/tmp/idx")
+  }
+
+  test("footerRowCount returns exact parquet row counts with zero Spark " +
+    "jobs (the integers a scan's count() would produce)") {
+    import spark.implicits._
+    val dir = tmp("graft_ic_footer") + "/t"
+    (1 to 1234).toDF("v").repartition(3).write.parquet(dir)
+    val f = fsFor(dir)
+    val files = f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = IndexCommit.footerRowCount(
+        spark.sparkContext.hadoopConfiguration, files)
+      // footerRowCount is synchronous: any job it submitted has hit the
+      // listener bus by its return; give the async bus time to drain
+      Thread.sleep(500)
+      assert(n == 1234L)
+      assert(jobs == 0, s"footerRowCount must launch no Spark job, saw $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}

@@ -198,9 +198,13 @@ class StreamingVectorIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VectorIndex.maxFilesPerLabel(spark, cfg.indexDir) >
       cfg.compactThreshold)
     assert(VectorIndex.maintenanceDue(spark, cfg.indexDir))
-    // the out-of-band maintainer acts on the signal; its successful flip
-    // clears the flag and answers are unchanged vs the one-shot build
-    VectorIndex.compact(spark, cfg.indexDir)
+    // the out-of-band maintainer acts on the signal (the packaged
+    // graft.IndexMaintainer, exercising its VECTOR-kind detection); its
+    // successful flip clears the flag and answers are unchanged vs the
+    // one-shot build
+    val sweep = IndexMaintainer.runOnce(spark, Seq(cfg.indexDir)).head
+    assert(sweep.kind == "vector" && sweep.due && sweep.compacted &&
+      sweep.error.isEmpty, sweep.toString)
     assert(!VectorIndex.maintenanceDue(spark, cfg.indexDir))
     assert(VectorIndex.liveGeneration(spark, cfg.indexDir) == 1)
     assert(VectorIndex.maxFilesPerLabel(spark, cfg.indexDir) == 1)

@@ -482,9 +482,13 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         VectorIndex.compact(spark, idx)
       }
     }
+    graft.operators.IndexCommit.testLockWaitMs = Some(600L) // fast loud-abort
     try VectorIndex.remove(spark, idx,
       emb.filter(pmod(col("vec_id"), lit(4)) === 3).select("vec_id"))
-    finally graft.operators.IndexCommit.testInsideLock = () => ()
+    finally {
+      graft.operators.IndexCommit.testInsideLock = () => ()
+      graft.operators.IndexCommit.testLockWaitMs = None
+    }
     assert(racerEx != null &&
       racerEx.getMessage.contains("commit lock"), s"$racerEx")
     assert(VectorIndex.liveGeneration(spark, idx) == 2,
@@ -569,6 +573,46 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getAs[Boolean]("maintenance_due"))
     VectorIndex.compact(spark, idx) // a successful flip clears the signal
     assert(!VectorIndex.maintenanceDue(spark, idx))
+  }
+
+  test("describeIndex is O(metadata): posting rows come from parquet " +
+    "footers — its Spark-job count is a small constant INVARIANT in index " +
+    "size (only the bounded codebook read remains)") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val codebook = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val spec = VectorIndex.Spec(numSub = 8,
+      dim = codebook.head._2.length, codebook = codebook)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_vi_desc0").toString
+    VectorIndex.build(emb.filter(pmod(col("vec_id"), lit(4)) === 0),
+      spec, idx)
+    def jobsDuringDescribe(): (Int, Long) = {
+      @volatile var jobs = 0
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val d = VectorIndex.describeIndex(spark, idx)
+        Thread.sleep(500) // drain the async listener bus
+        (jobs, d.collect().head.getAs[Long]("posting_rows"))
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (jobsSmall, rowsSmall) = jobsDuringDescribe()
+    assert(rowsSmall == emb.filter(pmod(col("vec_id"), lit(4)) === 0).count())
+    // quadruple the index: describe's job count must not move (the
+    // round-15 count() scan would have scaled with the postings)
+    VectorIndex.append(emb.filter(pmod(col("vec_id"), lit(4)) =!= 0), idx)
+    val (jobsBig, rowsBig) = jobsDuringDescribe()
+    assert(rowsBig == emb.count(), "footer counts must track appends")
+    assert(jobsBig == jobsSmall,
+      s"describe jobs grew with the index: $jobsSmall -> $jobsBig")
+    assert(jobsSmall <= 2,
+      s"describe may only read the bounded codebook, saw $jobsSmall jobs")
   }
 
   test("rebuild commits codebook and postings together at the pointer " +
