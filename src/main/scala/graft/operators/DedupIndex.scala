@@ -190,6 +190,9 @@ object DedupIndex {
   private def writeMeta(spark: SparkSession, spec: Spec, generation: Int,
                         indexDir: String): Unit = {
     val f = fs(spark, indexDir)
+    // COMMIT FENCE (round 16): abort before the flip if this holder's
+    // lease was broken while it was stalled — see IndexCommit.assertLockHeld
+    IndexCommit.assertLockHeld(f, indexDir)
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$indexDir/$s")
     val content =
       s"""{"num_hashes":${spec.numHashes},"bands":${spec.bands},""" +
@@ -574,6 +577,11 @@ object DedupIndex {
               s"rewrite (${newMarkers.mkString(", ")}) — its snapshot may " +
               "not contain their rows. This call's rewrite is DISCARDED — " +
               "re-run it (the new snapshot will include them).")
+        // COMMIT FENCE before the first destructive op: install deletes
+        // whatever sits at the canonical gN+1 path — under a STOLEN lease
+        // that could be a new writer's just-committed generation, so a
+        // holder that stalled past the TTL must abort here, not destroy it
+        IndexCommit.assertLockHeld(f, indexDir)
         // install staging at the canonical gN+1 paths: any dir already
         // there is a prior FAILED attempt's orphan (gen == expected proves
         // no one committed gN+1), safe to clear under the lock

@@ -155,26 +155,71 @@ object IndexCommit {
     if (f != null) { f.cancel(false); () }
   }
 
+  /** the current acquisition's (lock path, holder token), visible to
+    * [[assertLockHeld]] from inside the guarded body (same thread) */
+  private val heldLock = new ThreadLocal[(Path, String)]
+
   /** run `body` under the index's commit lock; always releases. The lock's
-    * mtime is heartbeaten while held, so a live holder never looks stale. */
+    * mtime is heartbeaten while held, so a live holder never looks stale.
+    * The lock content carries a per-acquisition TOKEN so the holder can
+    * FENCE its commit point ([[assertLockHeld]]) against lease theft. */
   def withCommitLock[T](fs: FileSystem, indexDir: String, what: String,
                         staleMs: Long = DefaultStaleMs)(body: => T): T = {
     val lock = new Path(s"$indexDir/$LockName")
-    acquire(fs, lock, what, staleMs)
+    val token = acquire(fs, lock, what, staleMs)
     val beat = startHeartbeat(fs, lock)
+    heldLock.set((lock, token))
     try { testInsideLock(); body }
     finally {
+      heldLock.remove()
       beat.cancel(false)
-      try { fs.delete(lock, false); () } catch { case _: Exception => () }
+      // release ONLY a lock that is still ours: after a lease theft
+      // (fence abort path) the file at the lock path belongs to the NEW
+      // holder — blindly deleting it would admit yet another writer
+      // alongside them
+      try {
+        if (lockContent(fs, lock).contains(token)) { fs.delete(lock, false); () }
+      } catch { case _: Exception => () }
     }
+  }
+
+  private def lockContent(fs: FileSystem, lock: Path): String =
+    try {
+      val in = fs.open(lock)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    } catch { case _: java.io.IOException => "" }
+
+  /** COMMIT FENCE: called by the indexes immediately before their pointer
+    * flip — re-verifies the commit lock still exists AND still carries
+    * THIS holder's token. Closes the last theft corner: a holder whose
+    * JVM paused past the stale TTL can have its lock broken and a new
+    * writer admitted; without the fence the woken holder would flip
+    * concurrently with the new writer (the documented residual of the
+    * round-16 single-winner break — reachable only via a >TTL pause plus
+    * two microsecond interleavings, but "documented" is not "closed").
+    * With it, the woken holder aborts loudly BEFORE touching the pointer
+    * — the standard lease-fencing posture. No-op when the caller is not
+    * inside [[withCommitLock]] (fresh-build writes on a brand-new index). */
+  def assertLockHeld(fs: FileSystem, indexDir: String): Unit = {
+    val held = heldLock.get()
+    if (held == null) return
+    val (lock, token) = held
+    if (!lockContent(fs, lock).contains(token))
+      throw new java.util.ConcurrentModificationException(
+        s"commit fence: lock $lock no longer carries this holder's token " +
+          s"($token) — the lease was broken while this writer was stalled " +
+          s"(JVM pause past the stale TTL?) and another writer may hold " +
+          "the index. ABORTING before the pointer flip; this rewrite's " +
+          "staging is discarded — re-run it.")
   }
 
   /** atomic create-if-absent. HDFS: `fs.create(overwrite = false)` is a
     * single atomic namenode op. Local fs: Hadoop implements that same call
     * as exists()-then-FileOutputStream — a cross-process TOCTOU — so
     * `file://` goes through NIO's `Files.createFile` (O_EXCL). */
-  private def tryCreate(fs: FileSystem, lock: Path, what: String): Boolean = {
-    val content = s"$what ts=${System.currentTimeMillis()}"
+  private def tryCreate(fs: FileSystem, lock: Path,
+                        content: String): Boolean = {
     val qualified = fs.makeQualified(lock)
     if (qualified.toUri.getScheme == "file")
       try {
@@ -237,13 +282,17 @@ object IndexCommit {
           "maintenance process is live, delete the tombstone, re-run.")
   }
 
+  /** returns the holder TOKEN baked into the lock content (the fence
+    * identity [[assertLockHeld]] re-verifies at the commit point) */
   private def acquire(fs: FileSystem, lock: Path, what: String,
-                      staleMs: Long): Unit = {
+                      staleMs: Long): String = {
+    val token = nonce()
+    val content = s"$what token=$token ts=${System.currentTimeMillis()}"
     val budget = testLockWaitMs.getOrElse(DefaultLockWaitMs)
     val deadline = System.currentTimeMillis() + budget
     var sleep = 40L
     while (System.currentTimeMillis() < deadline) {
-      if (tryCreate(fs, lock, what)) return
+      if (tryCreate(fs, lock, content)) return token
       mtimeOf(fs, lock) match {
         case Some(m0) if System.currentTimeMillis() - m0 > staleMs =>
           testBeforeBreak()

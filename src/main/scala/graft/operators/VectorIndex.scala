@@ -193,6 +193,9 @@ object VectorIndex {
   private def writeGeneration(spark: SparkSession, indexDir: String,
                               gen: Int): Unit = {
     val f = fs(spark, indexDir)
+    // COMMIT FENCE (round 16): abort before the flip if this holder's
+    // lease was broken while it was stalled — see IndexCommit.assertLockHeld
+    IndexCommit.assertLockHeld(f, indexDir)
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$indexDir/$s")
     val out = f.create(p("gen_tmp"), true)
     try out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -261,6 +264,11 @@ object VectorIndex {
               s"rewrite (${newMarkers.mkString(", ")}) — its snapshot may " +
               "not contain their rows. This call's rewrite is DISCARDED — " +
               "re-run it (the new snapshot will include them).")
+        // COMMIT FENCE before the first destructive op: install deletes
+        // whatever sits at the canonical gN+1 path — under a STOLEN lease
+        // that could be a new writer's just-committed generation, so a
+        // holder that stalled past the TTL must abort here, not destroy it
+        IndexCommit.assertLockHeld(f, indexDir)
         def install(stage: String, canon: String): Unit = {
           val cp = new org.apache.hadoop.fs.Path(canon)
           f.delete(cp, true) // a prior FAILED attempt's orphan, per the CAS

@@ -428,6 +428,46 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "doc_id", "text")), "fixture must make the remove observable")
   }
 
+  test("a maintenance writer whose lease was broken mid-commit aborts at " +
+    "the FENCE before touching the pointer or the new writer's dirs " +
+    "(the >TTL-pause theft scenario)") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_didx_fence").toString
+    DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+      "doc_id", "text", spec, idx)
+    val f = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$idx/_commit_lock")
+    // the holder stalls right after acquisition; past the TTL a breaker
+    // reaps its lock and a new writer acquires (simulated directly)
+    graft.operators.IndexCommit.testInsideLock = () => {
+      graft.operators.IndexCommit.testInsideLock = () => ()
+      f.delete(lock, false)
+      val out = f.create(lock, false)
+      out.write("usurper token=feedface ts=0".getBytes("UTF-8")); out.close()
+    }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        DedupIndex.compact(spark, idx)
+      }
+      assert(e.getMessage.contains("commit fence"), e.getMessage)
+    } finally graft.operators.IndexCommit.testInsideLock = () => ()
+    assert(DedupIndex.liveGeneration(spark, idx) == 0,
+      "the fenced writer must not have flipped the pointer")
+    assert(f.exists(lock), "the victim's release must leave the new " +
+      "holder's lock in place")
+    f.delete(lock, false)
+    // the index is healthy: the fenced attempt's orphans are overwritten
+    // by the next rewrite, exactly like a crash before the flip
+    DedupIndex.compact(spark, idx)
+    assert(DedupIndex.liveGeneration(spark, idx) == 1)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    assert(sorted(DedupIndex.probePairs(spark, idx, batch, "doc_id", "text"))
+      == sorted(Dedup.incrementalMinhashPairs(
+        batch, docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+        "doc_id", "text", numHashes = 16, bands = 4, minEst = 0.5)))
+  }
+
   test("dual concurrent appends compose: interleaved appends are " +
     "probe-identical to sequential appends (additive files, no clobber)") {
     val idx = java.nio.file.Files

@@ -209,6 +209,36 @@ class IndexCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("marker horizon"), e.getMessage)
   }
 
+  test("commit fence: a holder whose lease was stolen mid-hold aborts at " +
+    "assertLockHeld, and its release leaves the THIEF's lock untouched") {
+    val dir = tmp("graft_ic_fence")
+    val f = fsFor(dir)
+    val lock = new Path(s"$dir/_commit_lock")
+    IndexCommit.withCommitLock(f, dir, "victim") {
+      IndexCommit.assertLockHeld(f, dir) // ours: passes
+      // lease theft: a breaker reaped this (presumed-dead) holder's lock
+      // and a new writer acquired — simulate directly
+      f.delete(lock, false)
+      val out = f.create(lock, false)
+      out.write("thief token=feedface ts=0".getBytes("UTF-8")); out.close()
+      val e = intercept[java.util.ConcurrentModificationException] {
+        IndexCommit.assertLockHeld(f, dir)
+      }
+      assert(e.getMessage.contains("commit fence"), e.getMessage)
+    }
+    // the victim's release must NOT have deleted the thief's lock (that
+    // would admit a third writer alongside the thief)
+    assert(f.exists(lock), "release deleted a lock it no longer owned")
+    val in = f.open(lock)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(content.contains("feedface"), content)
+    f.delete(lock, false)
+    // outside any lock the fence is a no-op (fresh-build writes)
+    IndexCommit.assertLockHeld(f, dir)
+  }
+
   test("requireAtomicCommitStore refuses s3a-style schemes at build time " +
     "and downgrades to a warning under the explicit override") {
     class FakeS3 extends org.apache.hadoop.fs.RawLocalFileSystem {
