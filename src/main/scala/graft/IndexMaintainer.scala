@@ -95,6 +95,14 @@ object IndexMaintainer {
             e.getMessage)
           Sweep(dir, kind.toString.stripSuffix("Kind").toLowerCase,
             due = true, compacted = false, Some(e.getMessage))
+        // one sick index (crashed-commit state, permission failure, …)
+        // must not starve the rest of the sweep list — a fleet maintainer
+        // that dies on the first bad dir maintains nothing
+        case scala.util.control.NonFatal(e) =>
+          log.error(s"maintenance on $dir failed (needs operator " +
+            s"attention, continuing the sweep): $e")
+          Sweep(dir, kind.toString.stripSuffix("Kind").toLowerCase,
+            due = false, compacted = false, Some(e.toString))
       }
     }
 

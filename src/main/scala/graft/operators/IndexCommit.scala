@@ -131,7 +131,12 @@ object IndexCommit {
   // ---------------------------------------------------------------------
 
   /** heartbeat period; production = TTL/3 (two missed beats of margin).
-    * private[graft] so specs can shrink it to drive the machinery. */
+    * private[graft] so specs can shrink it to drive the machinery.
+    * One daemon thread serves every live lock/intent in the JVM: a beat
+    * is a single `setTimes` RPC (microseconds), and a filesystem hung
+    * long enough to stall the thread past the TTL has also stalled the
+    * data writes the beats certify — the commit fence and finishAppend's
+    * intent re-verify are the backstops for exactly that case. */
   private[graft] var heartbeatIntervalMs: Long = DefaultStaleMs / 3
 
   private lazy val heartbeater =

@@ -243,6 +243,37 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probed == Set(201L), probed)
   }
 
+  test("one sick index does not starve the maintainer sweep: the " +
+    "crashed-commit dir reports an error and the healthy index behind it " +
+    "still compacts") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sdedup_sick").toString
+    // sick index: band data + a meta_old orphan and no meta — the
+    // crashed-mid-commit state loadMeta refuses loudly
+    val sick = s"$root/sick"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$sick/bands_g1"))
+    f.create(new org.apache.hadoop.fs.Path(s"$sick/meta_old"), true).close()
+    graft.operators.IndexCommit.signalMaintenanceDue(f, sick)
+    // healthy index behind it in the sweep list
+    val healthy = s"$root/healthy"
+    graft.operators.DedupIndex.build(
+      Seq(SDoc(1, words("alpha")), SDoc(2, words("beta"))).toDF(),
+      "doc_id", "text",
+      graft.operators.DedupIndex.Spec(16, 4, 4), healthy)
+    graft.operators.DedupIndex.signalMaintenanceDue(spark, healthy)
+    val sweeps = IndexMaintainer.runOnce(spark, Seq(sick, healthy))
+    assert(sweeps.head.error.exists(_.contains("crashed meta commit")) &&
+      !sweeps.head.compacted, sweeps.head.toString)
+    assert(sweeps(1).compacted && sweeps(1).error.isEmpty,
+      "the healthy index behind the sick one must still be maintained")
+    assert(graft.operators.DedupIndex
+      .liveGeneration(spark, healthy) == 1)
+    assert(!graft.operators.DedupIndex.maintenanceDue(spark, healthy))
+  }
+
   test("replayed batchIds are a no-op: redelivery cannot re-append " +
     "survivors to outDir or the index") {
     import spark.implicits._
