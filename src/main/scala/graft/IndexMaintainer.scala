@@ -29,9 +29,29 @@ object IndexMaintainer {
   case object VectorKind extends Kind
   case object UnknownKind extends Kind
 
-  /** what one sweep did for one index dir */
+  /** What one sweep did for one index dir. `benign` distinguishes a
+    * lost race the commit protocol already rolled back safely (the flag
+    * stays set, the next sweep retries — NOT an alerting condition) from
+    * a sick index that needs operator attention (crashed-commit state,
+    * permissions): the maintainer's exit code and its JSON summary both
+    * key off it, because the cron `--once` shape is the deployment shape
+    * and cron alerts on exit codes (round-16 verdict #4 — the old
+    * always-0 exit meant a fleet where every index was sick looked
+    * healthy to its scheduler). */
   final case class Sweep(dir: String, kind: String, due: Boolean,
-                         compacted: Boolean, error: Option[String])
+                         compacted: Boolean, benign: Boolean,
+                         error: Option[String]) {
+    /** one machine-readable summary line per sweep (the bench artifacts'
+      * style) — a wrapper greps stdout instead of parsing logs */
+    def json: String = {
+      def q(s: String) =
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", " ") + "\""
+      s"""{"dir":${q(dir)},"kind":${q(kind)},"due":$due,""" +
+        s""""compacted":$compacted,"benign":$benign,""" +
+        s""""error":${error.map(q).getOrElse("null")}}"""
+    }
+  }
 
   private[graft] def kindOf(spark: SparkSession, dir: String): Kind = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -69,7 +89,7 @@ object IndexMaintainer {
               (if (gc.failed.nonEmpty)
                  s" (failed: ${gc.failed.mkString(", ")})" else ""))
           }
-          Sweep(dir, "dedup", due, compacted = due, None)
+          Sweep(dir, "dedup", due, compacted = due, benign = true, None)
         case VectorKind =>
           val due = VectorIndex.maintenanceDue(spark, dir)
           if (due) {
@@ -82,10 +102,10 @@ object IndexMaintainer {
               (if (gc.failed.nonEmpty)
                  s" (failed: ${gc.failed.mkString(", ")})" else ""))
           }
-          Sweep(dir, "vector", due, compacted = due, None)
+          Sweep(dir, "vector", due, compacted = due, benign = true, None)
         case UnknownKind =>
           Sweep(dir, "unknown", due = false, compacted = false,
-            Some(s"no index layout recognized at $dir"))
+            benign = false, Some(s"no index layout recognized at $dir"))
       } catch {
         // a concurrent gate's append or another maintainer won the race —
         // the commit protocol already rolled this attempt back and the
@@ -94,7 +114,7 @@ object IndexMaintainer {
           log.warn(s"maintenance on $dir lost a benign race, will retry: " +
             e.getMessage)
           Sweep(dir, kind.toString.stripSuffix("Kind").toLowerCase,
-            due = true, compacted = false, Some(e.getMessage))
+            due = true, compacted = false, benign = true, Some(e.getMessage))
         // one sick index (crashed-commit state, permission failure, …)
         // must not starve the rest of the sweep list — a fleet maintainer
         // that dies on the first bad dir maintains nothing
@@ -102,9 +122,29 @@ object IndexMaintainer {
           log.error(s"maintenance on $dir failed (needs operator " +
             s"attention, continuing the sweep): $e")
           Sweep(dir, kind.toString.stripSuffix("Kind").toLowerCase,
-            due = false, compacted = false, Some(e.toString))
+            due = false, compacted = false, benign = false, Some(e.toString))
       }
     }
+
+  /** The maintainer loop, factored from [[main]] so specs can assert the
+    * exit semantics without forking a JVM. Returns the process exit code:
+    * 0 when every sweep of the LAST pass was healthy or a benign lost
+    * race (the retry path — the flag stays set and the next run picks it
+    * up), nonzero when any index needs operator attention. Each sweep
+    * also prints one JSON line to stdout for wrappers that want more
+    * than the exit bit. */
+  def run(spark: SparkSession, dirs: Seq[String], intervalS: Long,
+          retainGenerations: Int = 1): Int = {
+    var code = 0
+    var go = true
+    while (go) {
+      val sweeps = runOnce(spark, dirs, retainGenerations)
+      sweeps.foreach { s => log.info(s.toString); println(s.json) }
+      code = if (sweeps.forall(_.benign)) 0 else 1
+      if (intervalS > 0) Thread.sleep(intervalS * 1000L) else go = false
+    }
+    code
+  }
 
   def main(args: Array[String]): Unit = {
     var intervalS = 0L
@@ -125,13 +165,7 @@ object IndexMaintainer {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
       .getOrCreate()
-    try {
-      var go = true
-      while (go) {
-        val sweeps = runOnce(spark, dirs)
-        sweeps.foreach(s => log.info(s.toString))
-        if (intervalS > 0) Thread.sleep(intervalS * 1000L) else go = false
-      }
-    } finally spark.stop()
+    val code = try run(spark, dirs, intervalS) finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 }

@@ -133,8 +133,14 @@ object DedupIndex {
     // protocol its atomic rename / create-if-absent primitives
     IndexCommit.requireAtomicCommitStore(fs(spark, indexDir), indexDir)
     if (!exists(spark, indexDir)) {
-      // fresh build: gen-0 dirs then meta. A crash before the meta commit
-      // leaves "no index yet" — the truth, since no prior state existed.
+      // fresh build: persist the index's stale horizon FIRST (the one
+      // liveness number every later session derives its lock TTL,
+      // heartbeat cadence and reap ages from — graft.index.staleHorizonMs
+      // in the Hadoop conf, default 15 min), then gen-0 dirs, then meta.
+      // A crash before the meta commit leaves "no index yet" — the truth,
+      // since no prior state existed.
+      IndexCommit.initHorizon(fs(spark, indexDir), indexDir,
+        spark.sparkContext.hadoopConfiguration)
       spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(spark, indexDir)}")
       spark.sql(s"DROP TABLE IF EXISTS ${sigsTable(spark, indexDir)}")
       val (bands, sigs) = bandRows(sig, idCol, spec)
@@ -152,11 +158,15 @@ object DedupIndex {
       }
     } else {
       val gen = loadMeta(spark, indexDir)._2
+      // the horizon this rewrite TRUSTS is the one read at marker-listing
+      // time (raise-only keeps a concurrent raise sound: reapers only
+      // ever use a horizon >= this one)
+      val horizon = IndexCommit.horizonMs(fs(spark, indexDir), indexDir)
       val markersListedAt = System.currentTimeMillis()
       val markersSeen = IndexCommit.commitMarkers(fs(spark, indexDir), indexDir)
       val (bands, sigs) = bandRows(sig, idCol, spec)
       stageAndCommit(spark, indexDir, spec, gen, markersSeen, markersListedAt,
-        retainGenerations = 1) { (bandsStage, sigsStage) =>
+        horizon, retainGenerations = 1) { (bandsStage, sigsStage) =>
         writeBucketed(spark, bands, "bk", spec, bandsStage)
         writeBucketed(spark, sigs, "doc_id", spec, sigsStage)
       }
@@ -476,6 +486,7 @@ object DedupIndex {
     // rewrite's snapshot could miss has a marker NOT in this set (markers
     // land only after an append's data is durably committed), so the
     // locked marker-diff below catches it
+    val horizon = IndexCommit.horizonMs(fs(spark, indexDir), indexDir)
     val markersListedAt = System.currentTimeMillis()
     val markersSeen = IndexCommit.commitMarkers(fs(spark, indexDir), indexDir)
     ensureRegistered(spark, indexDir)
@@ -493,7 +504,7 @@ object DedupIndex {
     spark.catalog.refreshTable(bT)
     spark.catalog.refreshTable(sT)
     stageAndCommit(spark, indexDir, spec, gen, markersSeen, markersListedAt,
-      retainGenerations) { (bandsStage, sigsStage) =>
+      horizon, retainGenerations) { (bandsStage, sigsStage) =>
       writeBucketed(spark, transform(spark.table(bT)), "bk", spec, bandsStage)
       writeBucketed(spark, transform(spark.table(sT)), "doc_id", spec,
         sigsStage)
@@ -540,6 +551,7 @@ object DedupIndex {
                              newSpec: Spec, gen: Int,
                              markersSeen: Set[String],
                              markersListedAtMs: Long,
+                             horizonAtListingMs: Long,
                              retainGenerations: Int)(
                              writeRelations: (String, String) => Unit): Unit = {
     val newGen = gen + 1
@@ -569,7 +581,8 @@ object DedupIndex {
               "— re-run after the appends finish.")
         // a rewrite that outlived the marker horizon can no longer trust
         // the diff below (an unseen marker may have been age-reaped)
-        IndexCommit.requireMarkerHorizon(indexDir, markersListedAtMs)
+        IndexCommit.requireMarkerHorizon(indexDir, markersListedAtMs,
+          horizonAtListingMs)
         val newMarkers = IndexCommit.commitMarkers(f, indexDir) -- markersSeen
         if (newMarkers.nonEmpty)
           throw new java.util.ConcurrentModificationException(
@@ -666,6 +679,27 @@ object DedupIndex {
   /** record "compaction due" for an out-of-band maintainer (idempotent) */
   def signalMaintenanceDue(spark: SparkSession, indexDir: String): Unit =
     IndexCommit.signalMaintenanceDue(fs(spark, indexDir), indexDir)
+
+  /** the index's agreed stale horizon (ms) — see
+    * [[IndexCommit.horizonMs]]; every session's lock TTL, heartbeat
+    * cadence, reap ages and rewrite-span guard derive from it */
+  def staleHorizonMs(spark: SparkSession, indexDir: String): Long =
+    IndexCommit.horizonMs(fs(spark, indexDir), indexDir)
+
+  /** RAISE the index's stale horizon — the knob for rewrites whose
+    * staged write legitimately exceeds the current horizon (a compact
+    * of a 100 TB-class index runs hours). Lock-guarded, raise-only,
+    * persisted in the index root and read fresh by every session — see
+    * [[IndexCommit.setStaleHorizon]]. */
+  def setStaleHorizon(spark: SparkSession, indexDir: String,
+                      ms: Long): Unit =
+    IndexCommit.setStaleHorizon(fs(spark, indexDir), indexDir, ms)
+
+  /** one-row lock/liveness surface: horizon, commit-lock presence / age
+    * / holder, live intents, commit markers, pending maintenance — see
+    * [[IndexCommit.describeLocks]] */
+  def describeLocks(spark: SparkSession, indexDir: String): DataFrame =
+    IndexCommit.describeLocks(spark, indexDir)
 
   /** INCREMENTAL append: sign ONLY the new docs and add their band/sig
     * rows into the existing bucket layout — O(new docs) work, the resident

@@ -81,6 +81,12 @@ object VectorIndex {
       Similarity.pqAssign(col("embedding"), spec.codebook, spec.numSub)
         .as("codes"))
     if (!exists(spark, indexDir)) {
+      // persist the index's stale horizon FIRST (the one liveness number
+      // every later session derives its lock TTL, heartbeat cadence and
+      // reap ages from — graft.index.staleHorizonMs in the Hadoop conf,
+      // default 15 min), then the gen-0 data
+      IndexCommit.initHorizon(fs(spark, indexDir), indexDir,
+        spark.sparkContext.hadoopConfiguration)
       encoded.write.partitionBy("label").mode("overwrite")
         .parquet(postingsDir(indexDir, 0))
       writeMetaFiles(spark, spec, s"$indexDir/meta")
@@ -90,11 +96,14 @@ object VectorIndex {
       // protocol as compact/remove, so racing rebuilds resolve to one
       // winner and appends racing the rebuild are observed
       val prev = generation(spark, indexDir)
+      // the horizon this rewrite TRUSTS is the one read at marker-listing
+      // time (raise-only keeps a concurrent raise sound)
+      val horizon = IndexCommit.horizonMs(fs(spark, indexDir), indexDir)
       val markersListedAt = System.currentTimeMillis()
       val markersSeen =
         IndexCommit.commitMarkers(fs(spark, indexDir), indexDir)
       stageAndCommit(spark, indexDir, prev, markersSeen, markersListedAt,
-        retainGenerations = 1, stageMeta = true) { (pStage, mStage) =>
+        horizon, retainGenerations = 1, stageMeta = true) { (pStage, mStage) =>
         encoded.write.partitionBy("label").mode("overwrite").parquet(pStage)
         writeMetaFiles(spark, spec, mStage.get)
       }
@@ -229,6 +238,7 @@ object VectorIndex {
   private def stageAndCommit(spark: SparkSession, indexDir: String,
                              gen: Int, markersSeen: Set[String],
                              markersListedAtMs: Long,
+                             horizonAtListingMs: Long,
                              retainGenerations: Int, stageMeta: Boolean)(
                              writeStaged: (String, Option[String]) => Unit): Unit = {
     val newGen = gen + 1
@@ -256,7 +266,8 @@ object VectorIndex {
               "— re-run after the appends finish.")
         // a rewrite that outlived the marker horizon can no longer trust
         // the diff below (an unseen marker may have been age-reaped)
-        IndexCommit.requireMarkerHorizon(indexDir, markersListedAtMs)
+        IndexCommit.requireMarkerHorizon(indexDir, markersListedAtMs,
+          horizonAtListingMs)
         val newMarkers = IndexCommit.commitMarkers(f, indexDir) -- markersSeen
         if (newMarkers.nonEmpty)
           throw new java.util.ConcurrentModificationException(
@@ -353,6 +364,22 @@ object VectorIndex {
   def signalMaintenanceDue(spark: SparkSession, indexDir: String): Unit =
     IndexCommit.signalMaintenanceDue(fs(spark, indexDir), indexDir)
 
+  /** the index's agreed stale horizon (ms) — see
+    * [[IndexCommit.horizonMs]] */
+  def staleHorizonMs(spark: SparkSession, indexDir: String): Long =
+    IndexCommit.horizonMs(fs(spark, indexDir), indexDir)
+
+  /** RAISE the index's stale horizon (lock-guarded, raise-only,
+    * persisted, agreed by every session) — see
+    * [[IndexCommit.setStaleHorizon]] */
+  def setStaleHorizon(spark: SparkSession, indexDir: String,
+                      ms: Long): Unit =
+    IndexCommit.setStaleHorizon(fs(spark, indexDir), indexDir, ms)
+
+  /** one-row lock/liveness surface — see [[IndexCommit.describeLocks]] */
+  def describeLocks(spark: SparkSession, indexDir: String): DataFrame =
+    IndexCommit.describeLocks(spark, indexDir)
+
   /** One-row operability surface — the EXPLAIN-for-indexes a deployment
     * reaches for first: PQ config, live generation, what is on disk
     * (generations, labels, files, bytes — from directory listings), row
@@ -439,10 +466,11 @@ object VectorIndex {
     // rewrite's snapshot could miss has a marker NOT in this set (the
     // snapshot itself is a fresh path-based read inside writeStaged, so
     // it postdates this listing with no catalog-cache caveat)
+    val horizon = IndexCommit.horizonMs(fs(spark, indexDir), indexDir)
     val markersListedAt = System.currentTimeMillis()
     val markersSeen = IndexCommit.commitMarkers(fs(spark, indexDir), indexDir)
     stageAndCommit(spark, indexDir, gen, markersSeen, markersListedAt,
-      retainGenerations, stageMeta = false) { (pStage, _) =>
+      horizon, retainGenerations, stageMeta = false) { (pStage, _) =>
       // readPostings, not a bare parquet read: a remove() that emptied the
       // index leaves a live dir with no files — compact/remove after it
       // must rewrite the empty relation, not throw (round-13 advisory)

@@ -337,6 +337,46 @@ object PipelineQueries {
           "max_files_per_bucket", "maintenance_due")
     }),
 
+    // LOCK/LIVENESS operability (round 17): describeLocks is the
+    // commit-protocol half of the EXPLAIN-for-indexes story — the agreed
+    // stale horizon every session derives its lock TTL / heartbeat
+    // cadence / reap ages from, commit-lock presence, and NON-MUTATING
+    // intent/marker counts. The fixture pins the whole horizon
+    // lifecycle: built under a conf-provided horizon (20 min), RAISED to
+    // 30 min via the persisted lock-guarded setter (the knob that
+    // unblocks >15-min rewrites at 100 TB), then snapshotted MID-APPEND
+    // (one live intent, no marker) and AFTER the append + a maintenance
+    // signal (no intent, one commit marker, flag up). A horizon that
+    // failed to persist or round-trip, a describe that reaped what it
+    // observed, or a lost marker breaks the hash.
+    "dedup_index_locks" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = graft.Scratch.dir("graft_didx_locks")
+      val hconf = s.sparkContext.hadoopConfiguration
+      hconf.setLong("graft.index.staleHorizonMs", 1200000L)
+      try graft.operators.DedupIndex.build(
+        d.filter(pmod(col("doc_id"), lit(10)) < 6), "doc_id", "text",
+        graft.operators.DedupIndex.Spec(numHashes = 16, bands = 4,
+          buckets = 8), idx)
+      finally hconf.unset("graft.index.staleHorizonMs")
+      graft.operators.DedupIndex.setStaleHorizon(s, idx, 1800000L)
+      val f = new org.apache.hadoop.fs.Path(idx).getFileSystem(hconf)
+      val token = graft.operators.IndexCommit.beginAppend(f, idx)
+      // describeLocks captures its listing eagerly (LocalRelation), so
+      // the mid-append snapshot survives the finishAppend below
+      val mid = graft.operators.DedupIndex.describeLocks(s, idx)
+        .select("horizon_ms", "lock_present", "live_intents",
+          "commit_markers", "maintenance_due")
+        .withColumn("surface", lit("mid_append"))
+      graft.operators.IndexCommit.finishAppend(f, idx, token)
+      graft.operators.DedupIndex.signalMaintenanceDue(s, idx)
+      val after = graft.operators.DedupIndex.describeLocks(s, idx)
+        .select("horizon_ms", "lock_present", "live_intents",
+          "commit_markers", "maintenance_due")
+        .withColumn("surface", lit("after_append"))
+      mid.unionByName(after).orderBy("surface")
+    }),
+
     // The STREAMING DEDUP GATE end-to-end under the oracle (previously
     // spec-gated only): three sequential micro-batches (doc_id % 3) run
     // through StreamingDedup.ingest in bucketed-index mode with
@@ -1284,6 +1324,44 @@ object PipelineQueries {
         .select("num_sub", "dim", "codebook_entries", "live_generation",
           "generations_on_disk", "n_generations", "posting_rows", "labels",
           "max_files_per_label", "has_centroids", "maintenance_due")
+    }),
+
+    // the ANN analog of dedup_index_locks: the shared commit protocol's
+    // lock/liveness surface over a VECTOR index — default-horizon build
+    // (pins the 15-min default round-tripping through the persisted
+    // _horizon_ms file), one raise, mid-append and post-append+signal
+    // snapshots
+    "ann_index_locks" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val codebook = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val spec = graft.operators.VectorIndex.Spec(numSub = 8,
+        dim = codebook.head._2.length, codebook = codebook)
+      val idx = graft.Scratch.dir("graft_vidx_locks")
+      graft.operators.VectorIndex.build(
+        e.filter(pmod(col("vec_id"), lit(4)) === 0), spec, idx)
+      val defaultHorizon =
+        graft.operators.VectorIndex.staleHorizonMs(s, idx)
+      graft.operators.VectorIndex.setStaleHorizon(s, idx, 2700000L)
+      val f = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val token = graft.operators.IndexCommit.beginAppend(f, idx)
+      val mid = graft.operators.VectorIndex.describeLocks(s, idx)
+        .select("horizon_ms", "lock_present", "live_intents",
+          "commit_markers", "maintenance_due")
+        .withColumn("built_at_default_horizon",
+          lit(defaultHorizon == graft.operators.IndexCommit.DefaultStaleMs))
+        .withColumn("surface", lit("mid_append"))
+      graft.operators.IndexCommit.finishAppend(f, idx, token)
+      graft.operators.VectorIndex.signalMaintenanceDue(s, idx)
+      val after = graft.operators.VectorIndex.describeLocks(s, idx)
+        .select("horizon_ms", "lock_present", "live_intents",
+          "commit_markers", "maintenance_due")
+        .withColumn("built_at_default_horizon",
+          lit(defaultHorizon == graft.operators.IndexCommit.DefaultStaleMs))
+        .withColumn("surface", lit("after_append"))
+      mid.unionByName(after).orderBy("surface")
     }),
 
     // saved-index MULTIPROBE (nprobe=2) with the recall-monotonicity
@@ -2952,6 +3030,19 @@ object PipelineQueries {
       FROM documents
       WHERE len(string_split(text, ' ')) >= 3 AND doc_id % 10 < 8""",
 
+    // the lock/liveness surface is pure protocol state — every value is
+    // a pinned constant of the fixture's lifecycle: conf-built at 20 min,
+    // raised (persisted, lock-guarded) to 30 min; mid-append shows one
+    // live intent and nothing else, post-append shows the one commit
+    // marker and the raised flag, and the lock is never left held
+    "dedup_index_locks" -> """
+      SELECT * FROM (VALUES
+        (1800000, false, 1, 0, false, 'mid_append'),
+        (1800000, false, 0, 1, true,  'after_append'))
+        AS t(horizon_ms, lock_present, live_intents, commit_markers,
+             maintenance_due, surface)
+      ORDER BY surface""",
+
     // compaction is layout-only and the post-compact append completes the
     // corpus: the index holds every vector, so the oracle is
     // ann_index_append's SQL verbatim (cf. dedup_index_compact)
@@ -3068,6 +3159,17 @@ object PipelineQueries {
              1 AS max_files_per_label, false AS has_centroids,
              false AS maintenance_due
       FROM embeddings WHERE vec_id % 4 IN (0, 1)""",
+
+    // vector-index lock surface: built at the DEFAULT horizon (the
+    // boolean pins that the default round-trips through the persisted
+    // file), raised to 45 min, same two lifecycle snapshots
+    "ann_index_locks" -> """
+      SELECT * FROM (VALUES
+        (2700000, false, 1, 0, false, true, 'mid_append'),
+        (2700000, false, 0, 1, true,  true, 'after_append'))
+        AS t(horizon_ms, lock_present, live_intents, commit_markers,
+             maintenance_due, built_at_default_horizon, surface)
+      ORDER BY surface""",
 
     // saved-index multiprobe: labels recomputed under the 4 persisted
     // centroids (ties to lowest cid), probes = top-2 by rounded cosine

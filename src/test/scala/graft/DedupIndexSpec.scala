@@ -918,4 +918,46 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.unset("spark.sql.adaptive.enabled")
     }
   }
+
+  test("a rewrite slower than the index's horizon ABORTS loudly and " +
+    "discards its staging; RAISING the persisted horizon (setStaleHorizon " +
+    "— the 100 TB maintenance knob) unblocks the same rewrite") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setLong(graft.operators.IndexCommit.HorizonConfKey, 1500L)
+    val idx = try {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_didx_horizon").toString
+      // built under a deliberately TINY agreed horizon (1.5 s)
+      DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+        "doc_id", "text", spec, d)
+      d
+    } finally hconf.unset(graft.operators.IndexCommit.HorizonConfKey)
+    assert(DedupIndex.staleHorizonMs(spark, idx) == 1500L)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val before = sorted(
+      DedupIndex.probePairs(spark, idx, batch, "doc_id", "text", 0.5))
+    // a staged write longer than the horizon: beyond it the rewrite can
+    // no longer trust its marker diff (an unseen marker may have been
+    // age-reaped) — it must abort BEFORE the flip, never flip blind
+    DedupIndex.testBeforeCommit = () => Thread.sleep(2200L)
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        DedupIndex.compact(spark, idx)
+      }
+      assert(e.getMessage.contains("marker horizon"), e.getMessage)
+      assert(e.getMessage.contains("setStaleHorizon"), e.getMessage)
+    } finally DedupIndex.testBeforeCommit = () => ()
+    assert(DedupIndex.liveGeneration(spark, idx) == 0,
+      "the slow rewrite must be discarded, not committed")
+    // the knob: raise the agreed horizon (persisted — every session's
+    // reaping and TTLs follow), and the SAME slow rewrite commits
+    DedupIndex.setStaleHorizon(spark, idx, 120000L)
+    DedupIndex.testBeforeCommit = () => Thread.sleep(2200L)
+    try DedupIndex.compact(spark, idx)
+    finally DedupIndex.testBeforeCommit = () => ()
+    assert(DedupIndex.liveGeneration(spark, idx) == 1)
+    assert(sorted(DedupIndex.probePairs(spark, idx, batch,
+      "doc_id", "text", 0.5)) == before,
+      "the unblocked rewrite must be layout-only")
+  }
 }

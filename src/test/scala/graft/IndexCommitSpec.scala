@@ -122,14 +122,14 @@ class IndexCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = tmp("graft_ic_beat")
     val f = fsFor(dir)
     val lock = new Path(s"$dir/_commit_lock")
-    IndexCommit.heartbeatIntervalMs = 100L
+    IndexCommit.testHeartbeatIntervalMs = Some(100L)
     try IndexCommit.withCommitLock(f, dir, "beating holder") {
       f.setTimes(lock, ancient, -1) // simulate drift toward staleness
       Thread.sleep(800L)
       val m = f.getFileStatus(lock).getModificationTime
       assert(System.currentTimeMillis() - m < 10_000L,
         s"heartbeat must refresh the held lock's mtime, got age ${System.currentTimeMillis() - m} ms")
-    } finally IndexCommit.heartbeatIntervalMs = IndexCommit.DefaultStaleMs / 3
+    } finally IndexCommit.testHeartbeatIntervalMs = None
   }
 
   test("a live append's intent is heartbeaten until finishAppend, then " +
@@ -137,7 +137,7 @@ class IndexCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     "lives") {
     val dir = tmp("graft_ic_intentbeat")
     val f = fsFor(dir)
-    IndexCommit.heartbeatIntervalMs = 100L
+    IndexCommit.testHeartbeatIntervalMs = Some(100L)
     try {
       val token = IndexCommit.beginAppend(f, dir)
       val intent = new Path(s"$dir/_append_intent_$token")
@@ -156,7 +156,7 @@ class IndexCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
       Thread.sleep(400L)
       assert(math.abs(f.getFileStatus(marker).getModificationTime - ancient)
         <= 5000L, "a finished append's heartbeat must stop")
-    } finally IndexCommit.heartbeatIntervalMs = IndexCommit.DefaultStaleMs / 3
+    } finally IndexCommit.testHeartbeatIntervalMs = None
   }
 
   test("finishAppend fails LOUDLY (and drops no marker) when the intent " +
@@ -254,6 +254,246 @@ class IndexCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     IndexCommit.requireAtomicCommitStore(f, "s3a://bucket/idx") // warns only
     // and the local filesystem is always fine
     IndexCommit.requireAtomicCommitStore(fsFor("/tmp"), "/tmp/idx")
+  }
+
+  test("the stale horizon is PERSISTED: conf-driven at init, read fresh " +
+    "per operation, raise-only via the lock-guarded setter, floored") {
+    val dir = tmp("graft_ic_horizon")
+    val f = fsFor(dir)
+    // bare dir (legacy pre-round-17 index): the old default
+    assert(IndexCommit.horizonMs(f, dir) == IndexCommit.DefaultStaleMs)
+    // build-time init honors the Hadoop conf knob (passed explicitly —
+    // a cached FileSystem's own conf can be a stale copy)
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.setLong(IndexCommit.HorizonConfKey, 120000L)
+    assert(IndexCommit.initHorizon(f, dir, conf) == 120000L)
+    assert(IndexCommit.horizonMs(f, dir) == 120000L)
+    // a raise persists and is visible to any fresh read (another session
+    // reads the same file — one source of truth)
+    IndexCommit.setStaleHorizon(f, dir, 240000L)
+    assert(IndexCommit.horizonMs(f, dir) == 240000L)
+    // LOWERING is refused: reapers at the smaller horizon could delete a
+    // marker an in-flight rewrite (trusting the larger one) never saw
+    val e = intercept[IllegalArgumentException] {
+      IndexCommit.setStaleHorizon(f, dir, 120000L)
+    }
+    assert(e.getMessage.contains("LOWER"), e.getMessage)
+    assert(IndexCommit.horizonMs(f, dir) == 240000L)
+    // the floor (heartbeats at horizon/3 can't certify liveness below it)
+    intercept[IllegalArgumentException] {
+      IndexCommit.setStaleHorizon(f, dir, 10L)
+    }
+    // same-value raise is an idempotent no-op and leaves no lock behind
+    IndexCommit.setStaleHorizon(f, dir, 240000L)
+    assert(IndexCommit.horizonMs(f, dir) == 240000L)
+    assert(!f.exists(new Path(s"$dir/_commit_lock")))
+  }
+
+  test("a crashed horizon swap is LOUD — never a silent fallback to the " +
+    "default (which could be LOWER than the agreed horizon)") {
+    val dir = tmp("graft_ic_horizcrash")
+    val f = fsFor(dir)
+    // mid-swap crash evidence: canonical gone, _old present
+    val out = f.create(new Path(s"$dir/_horizon_ms_old"), true)
+    out.write("240000".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException] {
+      IndexCommit.horizonMs(f, dir)
+    }
+    assert(e.getMessage.contains("_horizon_ms_old"), e.getMessage)
+  }
+
+  test("persistent heartbeat failures WARN after the threshold (liveness " +
+    "certification not landing is visible BEFORE a fence abort wastes a " +
+    "staged rewrite) and a recovery resets the count") {
+    val dir = tmp("graft_ic_beatfail")
+    val f = fsFor(dir)
+    val warns = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val failing = new java.util.concurrent.atomic.AtomicBoolean(true)
+    IndexCommit.testHeartbeatIntervalMs = Some(40L)
+    IndexCommit.testHeartbeatSetTimes = Some((fs, p) =>
+      if (failing.get) throw new java.io.IOException("injected setTimes failure")
+      else fs.setTimes(p, System.currentTimeMillis(), -1))
+    IndexCommit.testOnHeartbeatWarn = (p, n) => warns.synchronized {
+      warns += ((p.getName, n)); ()
+    }
+    try IndexCommit.withCommitLock(f, dir, "beat-dead holder") {
+      val deadline = System.currentTimeMillis() + 5000L
+      while (warns.synchronized(warns.isEmpty) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20L)
+      assert(warns.synchronized(warns.exists { case (n, c) =>
+        n == "_commit_lock" && c == IndexCommit.HeartbeatWarnAfter }),
+        warns.synchronized(warns.toString))
+      // recovery: successful beats reset the consecutive count, so a NEW
+      // failure streak warns at the threshold again (not at threshold+k)
+      failing.set(false)
+      Thread.sleep(300L)
+      val before = warns.synchronized(warns.size)
+      failing.set(true)
+      val deadline2 = System.currentTimeMillis() + 5000L
+      while (warns.synchronized(warns.size) == before &&
+        System.currentTimeMillis() < deadline2) Thread.sleep(20L)
+      assert(warns.synchronized(
+        warns.drop(before).exists(_._2 == IndexCommit.HeartbeatWarnAfter)),
+        warns.synchronized(warns.toString))
+    } finally {
+      IndexCommit.testHeartbeatIntervalMs = None
+      IndexCommit.testHeartbeatSetTimes = None
+      IndexCommit.testOnHeartbeatWarn = (_, _) => ()
+    }
+  }
+
+  test("lock acquisition WARNs on filesystem-vs-local clock skew past " +
+    "horizon/10 (skew eats the staleness margin in both directions)") {
+    val dir = tmp("graft_ic_skew")
+    val raw = new org.apache.hadoop.fs.RawLocalFileSystem
+    raw.initialize(new java.net.URI("file:///"),
+      new org.apache.hadoop.conf.Configuration())
+    val shift = 10L * 60 * 1000 // fs clock 10 min ahead of local
+    val skewed = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def getFileStatus(p: Path): org.apache.hadoop.fs.FileStatus = {
+        val s = super.getFileStatus(p)
+        new org.apache.hadoop.fs.FileStatus(s.getLen, s.isDirectory,
+          s.getReplication, s.getBlockSize, s.getModificationTime + shift,
+          s.getAccessTime, s.getPermission, s.getOwner, s.getGroup,
+          s.getPath)
+      }
+    }
+    var seen = List.empty[Long]
+    IndexCommit.testOnClockSkew = s => seen ::= s
+    try IndexCommit.withCommitLock(skewed, dir, "skewed writer") { () }
+    finally IndexCommit.testOnClockSkew = _ => ()
+    assert(seen.exists(s => s > 9L * 60 * 1000), s"skew warn must fire: $seen")
+    // an unskewed acquisition stays quiet
+    var quiet = List.empty[Long]
+    IndexCommit.testOnClockSkew = s => quiet ::= s
+    try IndexCommit.withCommitLock(fsFor(dir), dir, "honest writer") { () }
+    finally IndexCommit.testOnClockSkew = _ => ()
+    assert(quiet.isEmpty, quiet.toString)
+  }
+
+  test("the fence compares tokens by EXACT field parse, not substring: a " +
+    "thief lock that happens to QUOTE our token in its text still fences " +
+    "us out (round-16 advisory)") {
+    val dir = tmp("graft_ic_exacttoken")
+    val f = fsFor(dir)
+    val lock = new Path(s"$dir/_commit_lock")
+    IndexCommit.withCommitLock(f, dir, "victim") {
+      val in = f.open(lock)
+      val ours =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val ourToken = IndexCommit.parseLockToken(ours).get
+      f.delete(lock, false)
+      val out = f.create(lock, false)
+      // the thief's content CONTAINS our token as a substring (in its
+      // what-text) — the round-16 `contains` check would falsely pass
+      out.write((s"token=${java.util.UUID.randomUUID()} ts=0 " +
+        s"what=recovered-after-$ourToken").getBytes("UTF-8"))
+      out.close()
+      val e = intercept[java.util.ConcurrentModificationException] {
+        IndexCommit.assertLockHeld(f, dir)
+      }
+      assert(e.getMessage.contains("commit fence"), e.getMessage)
+    }
+    // and the release left the thief's lock untouched
+    assert(f.exists(lock), "release deleted a lock it no longer owned")
+    f.delete(lock, false)
+  }
+
+  test("the lock file is born WITH its content (no empty-lock crash " +
+    "window) and crashed create/swap temps age out via the stale sweep") {
+    val dir = tmp("graft_ic_atomiclock")
+    val f = fsFor(dir)
+    IndexCommit.withCommitLock(f, dir, "writer") {
+      val in = f.open(new Path(s"$dir/_commit_lock"))
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      assert(IndexCommit.parseLockToken(content).nonEmpty,
+        s"lock must carry its token from birth, got: '$content'")
+      assert(!f.listStatus(new Path(dir)).exists(
+        _.getPath.getName.contains(".hl")),
+        "the content temp must be gone once the lock is linked in")
+    }
+    // crashed-writer debris: local hardlink temps, HDFS rename temps,
+    // horizon-swap temps — all swept once stale; the canonical horizon
+    // file itself is NEVER debris
+    Seq("_commit_lock.hl0badcafe", "_commit_lock_tmp_0badcafe",
+      "_horizon_ms_tmp").foreach { n =>
+      f.create(new Path(s"$dir/$n"), true).close()
+      f.setTimes(new Path(s"$dir/$n"), ancient, -1)
+    }
+    val out = f.create(new Path(s"$dir/_horizon_ms"), true)
+    out.write("900000".getBytes("UTF-8")); out.close()
+    f.setTimes(new Path(s"$dir/_horizon_ms"), ancient, -1)
+    val doomed = IndexCommit.staleStagingDirs(f, dir, Seq("bands"))
+    Seq(".hl0badcafe", "_tmp_0badcafe", "_horizon_ms_tmp").foreach { sfx =>
+      assert(doomed.exists(_.contains(sfx)), s"$sfx missing from $doomed")
+    }
+    assert(!doomed.exists(_.endsWith("/_horizon_ms")),
+      s"the canonical horizon file is not debris: $doomed")
+  }
+
+  test("describeLocks is a NON-MUTATING observer: it reports a held " +
+    "lock's age and holder, counts intents/markers without reaping, and " +
+    "goes quiet when the lock releases") {
+    val dir = tmp("graft_ic_desclocks")
+    val f = fsFor(dir)
+    val token = IndexCommit.beginAppend(f, dir)
+    // an ANCIENT marker a reaping listing would delete — describe must not
+    val m = new Path(s"$dir/_append_commit_deadbeef")
+    f.create(m, true).close()
+    f.setTimes(m, ancient, -1)
+    IndexCommit.withCommitLock(f, dir, "held for describe") {
+      val row = IndexCommit.describeLocks(spark, dir).collect().head
+      assert(row.getAs[Long]("horizon_ms") == IndexCommit.DefaultStaleMs)
+      assert(row.getAs[Boolean]("lock_present"))
+      assert(row.getAs[Long]("lock_age_ms") >= 0L)
+      assert(row.getAs[String]("lock_holder").contains("held for describe"))
+      assert(row.getAs[Long]("live_intents") == 1L)
+      assert(row.getAs[Long]("commit_markers") == 1L)
+      assert(!row.getAs[Boolean]("maintenance_due"))
+    }
+    assert(f.exists(m), "describeLocks must NOT reap what it observes")
+    val after = IndexCommit.describeLocks(spark, dir).collect().head
+    assert(!after.getAs[Boolean]("lock_present"))
+    assert(after.isNullAt(after.fieldIndex("lock_age_ms")))
+    assert(after.isNullAt(after.fieldIndex("lock_holder")))
+    IndexCommit.abortAppend(f, dir, token)
+    f.delete(m, false)
+  }
+
+  test("footerRowCount over a 5000-file listing is PARALLEL and CACHED: " +
+    "exact counts, bounded first pass, near-instant repeat (describe on " +
+    "a fragmented index is no longer a serial driver loop)") {
+    import spark.implicits._
+    val root = tmp("graft_ic_manyfooters")
+    val seedDir = s"$root/seed"
+    Seq(1, 2, 3).toDF("v").coalesce(1).write.parquet(seedDir)
+    val f = fsFor(root)
+    val seed = f.listStatus(new Path(seedDir))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val many = new java.io.File(s"$root/many"); many.mkdirs()
+    val src = java.nio.file.Paths.get(seed.toUri.getPath)
+    (1 to 5000).foreach { i =>
+      java.nio.file.Files.copy(src,
+        java.nio.file.Paths.get(s"$root/many/part_$i.parquet"))
+    }
+    val files = f.listStatus(new Path(s"$root/many")).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(files.size == 5000)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val t0 = System.nanoTime()
+    val n1 = IndexCommit.footerRowCount(conf, files)
+    val coldMs = (System.nanoTime() - t0) / 1e6
+    assert(n1 == 15000L, s"expected 5000 files x 3 rows, got $n1")
+    val t1 = System.nanoTime()
+    val n2 = IndexCommit.footerRowCount(conf, files)
+    val warmMs = (System.nanoTime() - t1) / 1e6
+    assert(n2 == 15000L)
+    assert(coldMs < 10000.0, s"cold pass took $coldMs ms")
+    assert(warmMs < 1000.0,
+      s"cached pass must skip every footer read, took $warmMs ms")
   }
 
   test("footerRowCount returns exact parquet row counts with zero Spark " +
