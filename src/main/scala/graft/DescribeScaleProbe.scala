@@ -32,7 +32,17 @@ object DescribeScaleProbe {
       .select(col("doc_id"), col("text"))
     val spec = DedupIndex.Spec(numHashes = 16, bands = 4, buckets = 32)
 
-    def timeDescribe(scale: Int): (Double, Long) = {
+    def timed[T](body: => T): (Double, T) = {
+      val t0 = System.nanoTime()
+      val r = body
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    // COLD = the first describe after the build (every parquet footer is
+    // unseen by the round-17 (path, length, mtime) count cache — the
+    // 16-way footer pool is what bounds it); WARM = min of `reps`
+    // repeats (cache hits — zero footer reads, pure listing cost).
+    def timeDescribe(scale: Int): (Double, Double, Long) = {
       val dir = Scratch.dir(s"graft_descprobe_${scale}x")
       val corpus =
         if (scale == 1) docs
@@ -40,22 +50,52 @@ object DescribeScaleProbe {
           .withColumn("doc_id", col("doc_id") + col("r") * lit(10000000L))
           .drop("r")
       DedupIndex.build(corpus, "doc_id", "text", spec, dir) // untimed
-      DedupIndex.describeIndex(spark, dir).collect()        // warm
-      val best = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        DedupIndex.describeIndex(spark, dir).collect()
-        (System.nanoTime() - t0) / 1e9
-      }.min
+      val (cold, _) = timed(DedupIndex.describeIndex(spark, dir).collect())
+      val warm = (1 to reps)
+        .map(_ => timed(DedupIndex.describeIndex(spark, dir).collect())._1)
+        .min
       val rows = DedupIndex.describeIndex(spark, dir)
         .collect().head.getAs[Long]("band_rows")
-      (best, rows)
+      (cold, warm, rows)
     }
 
-    val (t1, r1) = timeDescribe(1)
-    val (tk, rk) = timeDescribe(k)
-    println(f"""{"metric":"describe_scale","k":$k,"sec_1x":$t1%.4f,""" +
-      f""""sec_${k}x":$tk%.4f,"ratio":${tk / t1}%.3f,""" +
+    val (c1, t1, r1) = timeDescribe(1)
+    val (ck, tk, rk) = timeDescribe(k)
+    println(f"""{"metric":"describe_scale","k":$k,"cold_1x":$c1%.4f,""" +
+      f""""warm_1x":$t1%.4f,"cold_${k}x":$ck%.4f,"warm_${k}x":$tk%.4f,""" +
+      f""""cold_ratio":${ck / c1}%.3f,"warm_ratio":${tk / t1}%.3f,""" +
       s""""band_rows_1x":$r1,"band_rows_${k}x":$rk}""")
+
+    // FRAGMENTED describe — the round-16 weak spot: a never-compacted
+    // gate index holds one file per append, and footer counting was a
+    // serial driver loop of ranged reads hitting exactly when an
+    // operator asks "how fragmented is this index?". Stage a band dir
+    // with `fragFiles` real parquet files (one band file copied — the
+    // footers are real), then time the first describe (cold: every
+    // footer read once, on the bounded pool) and the repeat (warm:
+    // per-(path,len,mtime) cache, zero reads).
+    val fragFiles = 5000
+    val fragDir = Scratch.dir("graft_descprobe_frag")
+    DedupIndex.build(docs.limit(2000), "doc_id", "text", spec, fragDir)
+    val bandsPath = new org.apache.hadoop.fs.Path(s"$fragDir/bands")
+    val fs = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seed = fs.listStatus(bandsPath)
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val src = java.nio.file.Paths.get(seed.toUri.getPath)
+    val existing = fs.listStatus(bandsPath)
+      .count(_.getPath.getName.endsWith(".parquet"))
+    (1 to (fragFiles - existing)).foreach { i =>
+      java.nio.file.Files.copy(src, java.nio.file.Paths.get(
+        new org.apache.hadoop.fs.Path(bandsPath,
+          f"frag_$i%05d_00001.parquet").toUri.getPath))
+    }
+    val (fragCold, _) =
+      timed(DedupIndex.describeIndex(spark, fragDir).collect())
+    val fragWarm = (1 to reps)
+      .map(_ => timed(DedupIndex.describeIndex(spark, fragDir).collect())._1)
+      .min
+    println(f"""{"metric":"describe_fragmented","files":$fragFiles,""" +
+      f""""cold_sec":$fragCold%.4f,"warm_sec":$fragWarm%.4f}""")
     spark.stop()
   }
 }

@@ -882,10 +882,12 @@ object IndexCommit {
   /** bounded pool for parallel footer reads: describe on a FRAGMENTED
     * index (tens of thousands of append files — exactly the state
     * describe exists to diagnose) was a serial driver loop of remote
-    * ranged reads (round-16 verdict #2); 16 concurrent footer opens
-    * bound the latency without hammering the namenode */
+    * ranged reads (round-16 verdict #2); 32 concurrent footer opens
+    * bound the latency without hammering the namenode (each open is a
+    * short ranged read — latency-bound, not bandwidth-bound, so modest
+    * width buys near-linear speedup) */
   private lazy val footerPool =
-    java.util.concurrent.Executors.newFixedThreadPool(16, { r: Runnable =>
+    java.util.concurrent.Executors.newFixedThreadPool(32, { r: Runnable =>
       val t = new Thread(r, "graft-footer-read"); t.setDaemon(true); t
     })
 
