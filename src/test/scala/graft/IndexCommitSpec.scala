@@ -256,6 +256,23 @@ class IndexCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     IndexCommit.requireAtomicCommitStore(fsFor("/tmp"), "/tmp/idx")
   }
 
+  test("a lock-create failure that is NOT contention (missing parent " +
+    "dir) aborts with the REAL error, not a misleading 'held by another " +
+    "writer' after a silent busy-spin") {
+    val dir = tmp("graft_ic_badparent") + "/does/not/exist"
+    val f = fsFor("/tmp")
+    IndexCommit.testLockWaitMs = Some(400L)
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        IndexCommit.withCommitLock(f, dir, "doomed writer") {
+          fail("must never enter")
+        }
+      }
+      assert(e.getMessage.contains("non-contention"), e.getMessage)
+      assert(!e.getMessage.contains("held by another writer"), e.getMessage)
+    } finally IndexCommit.testLockWaitMs = None
+  }
+
   test("the stale horizon is PERSISTED: conf-driven at init, read fresh " +
     "per operation, raise-only via the lock-guarded setter, floored") {
     val dir = tmp("graft_ic_horizon")

@@ -698,4 +698,42 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VectorIndex.liveGeneration(spark, idx) == 1)
     assert(VectorIndex.searchTopK(spark, idx, queries, k = 3).count() > 0)
   }
+
+  test("a vector rewrite slower than the index's horizon ABORTS; raising " +
+    "the persisted horizon unblocks it (the same knob as the dedup side)") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val codebook = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val spec = VectorIndex.Spec(numSub = 8,
+      dim = codebook.head._2.length, codebook = codebook)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setLong(graft.operators.IndexCommit.HorizonConfKey, 1500L)
+    val idx = try {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_vi_horizon").toString
+      VectorIndex.build(emb, spec, d); d
+    } finally hconf.unset(graft.operators.IndexCommit.HorizonConfKey)
+    assert(VectorIndex.staleHorizonMs(spark, idx) == 1500L)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"))
+    val before = VectorIndex.searchTopK(spark, idx, queries, k = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    VectorIndex.testBeforeCommit = () => Thread.sleep(2200L)
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        VectorIndex.compact(spark, idx)
+      }
+      assert(e.getMessage.contains("marker horizon"), e.getMessage)
+    } finally VectorIndex.testBeforeCommit = () => ()
+    assert(VectorIndex.liveGeneration(spark, idx) == 0)
+    VectorIndex.setStaleHorizon(spark, idx, 120000L)
+    VectorIndex.testBeforeCommit = () => Thread.sleep(2200L)
+    try VectorIndex.compact(spark, idx)
+    finally VectorIndex.testBeforeCommit = () => ()
+    assert(VectorIndex.liveGeneration(spark, idx) == 1)
+    assert(VectorIndex.searchTopK(spark, idx, queries, k = 3)
+      .orderBy("qid", "rank").collect().toSeq == before,
+      "the unblocked rewrite must be layout-only")
+  }
 }
