@@ -376,6 +376,29 @@ object IndexCommit {
     * local clock) when the skew WARN fires on lock acquisition */
   private[graft] var testOnClockSkew: Long => Unit = _ => ()
 
+  /** CLOCK-SKEW PROBE: `p` was created by this JVM microseconds ago, so
+    * its filesystem-assigned mtime minus the local clock measures the
+    * cross-host offset (conservative: includes one create-to-stat RPC).
+    * Every staleness decision compares such mtimes against local clocks
+    * — skew eats the TTL margin in both directions — so a fresh lock
+    * (holder) or fresh intent (appender) past horizon/10 WARNs: bounded
+    * skew is an operating limit alongside the documented JVM-pause one. */
+  private def warnOnClockSkew(fs: FileSystem, indexDir: String, p: Path,
+                              staleMs: Long): Unit =
+    mtimeOf(fs, p).foreach { m =>
+      val skew = m - System.currentTimeMillis()
+      val threshold = math.max(staleMs / 10, 5000L)
+      if (math.abs(skew) > threshold) {
+        log.warn(s"clock skew on $indexDir: the filesystem stamped the " +
+          s"fresh ${p.getName} $skew ms away from the local clock (warn " +
+          s"threshold $threshold = horizon/10). Skew this large eats the " +
+          "stale-horizon margin — a live writer's files can look dead " +
+          "(lease broken, fence abort) or a dead writer's look alive. " +
+          "Sync clocks or raise the horizon (setStaleHorizon).")
+        testOnClockSkew(skew)
+      }
+    }
+
   /** run `body` under the index's commit lock; always releases. The
     * lock TTL is the index's persisted stale horizon ([[horizonMs]]);
     * the lock's mtime is heartbeaten at horizon/3 while held, so a live
@@ -387,25 +410,7 @@ object IndexCommit {
     val staleMs = horizonMs(fs, indexDir)
     val lock = new Path(s"$indexDir/$LockName")
     val token = acquire(fs, lock, what, staleMs)
-    // CLOCK-SKEW PROBE: the lock we just created carries a filesystem-
-    // assigned mtime; every staleness decision compares such mtimes
-    // against local clocks, so cross-host skew eats the TTL margin in
-    // both directions. Measure it here (conservative: includes one
-    // create-to-stat RPC latency) and WARN past horizon/10 — bounded
-    // skew is an operating limit alongside the documented JVM-pause one.
-    mtimeOf(fs, lock).foreach { m =>
-      val skew = m - System.currentTimeMillis()
-      val threshold = math.max(staleMs / 10, 5000L)
-      if (math.abs(skew) > threshold) {
-        log.warn(s"clock skew on $indexDir: the filesystem stamped this " +
-          s"fresh lock $skew ms away from the local clock (warn " +
-          s"threshold $threshold = horizon/10). Skew this large eats the " +
-          "stale-horizon margin — a live writer's files can look dead " +
-          "(lease broken, fence abort) or a dead writer's look alive. " +
-          "Sync clocks or raise the horizon (setStaleHorizon).")
-        testOnClockSkew(skew)
-      }
-    }
+    warnOnClockSkew(fs, indexDir, lock, staleMs)
     val beat = startHeartbeat(fs, lock, staleMs)
     heldLock.set((lock, token))
     try { testInsideLock(); body }
@@ -644,6 +649,7 @@ object IndexCommit {
     val out = fs.create(p, false)
     try out.write(s"ts=${System.currentTimeMillis()}".getBytes("UTF-8"))
     finally out.close()
+    warnOnClockSkew(fs, indexDir, p, horizon) // appenders ride mtimes too
     intentHeartbeats.put(token, startHeartbeat(fs, p, horizon))
     token
   }

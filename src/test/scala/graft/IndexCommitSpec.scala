@@ -380,6 +380,15 @@ class IndexCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     try IndexCommit.withCommitLock(skewed, dir, "skewed writer") { () }
     finally IndexCommit.testOnClockSkew = _ => ()
     assert(seen.exists(s => s > 9L * 60 * 1000), s"skew warn must fire: $seen")
+    // appenders ride the same mtimes: beginAppend probes its fresh intent
+    var seenAppend = List.empty[Long]
+    IndexCommit.testOnClockSkew = s => seenAppend ::= s
+    val tok =
+      try IndexCommit.beginAppend(skewed, dir)
+      finally IndexCommit.testOnClockSkew = _ => ()
+    IndexCommit.abortAppend(skewed, dir, tok)
+    assert(seenAppend.exists(s => s > 9L * 60 * 1000),
+      s"append skew warn must fire: $seenAppend")
     // an unskewed acquisition stays quiet
     var quiet = List.empty[Long]
     IndexCommit.testOnClockSkew = s => quiet ::= s
