@@ -15,11 +15,15 @@ import graft.operators.{DedupIndex, VectorIndex}
   * rather than drop a concurrent batch's rows — so the maintainer needs
   * no coordination with the gates beyond the index directory itself.
   *
-  * Usage: `runMain graft.IndexMaintainer [--interval-s N] [--once] dir...`
-  * — sweeps the listed index dirs; with `--interval-s` it polls forever
-  * (the deployment shape), with `--once` (default) it sweeps once and
-  * exits (the cron shape). Index kind is detected from the on-disk
-  * layout: `bands[_gN]` dirs = dedup, `postings[_gN]` dirs = vector. */
+  * Usage: `runMain graft.IndexMaintainer [--interval-s N] [--once]
+  * [--retain N] dir...` — sweeps the listed index dirs; with
+  * `--interval-s` it polls forever (the deployment shape), with `--once`
+  * (default) it sweeps once and exits (the cron shape; exit code 0 =
+  * healthy or benign lost races, nonzero = an index needs operator
+  * attention), and `--retain N` sets how many superseded generations
+  * each compact keeps for time-travel audits and in-flight readers
+  * (default 1). Index kind is detected from the on-disk layout:
+  * `bands[_gN]` dirs = dedup, `postings[_gN]` dirs = vector. */
 object IndexMaintainer {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -148,24 +152,30 @@ object IndexMaintainer {
 
   def main(args: Array[String]): Unit = {
     var intervalS = 0L
+    var retain = 1
     var dirs = Vector.empty[String]
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--interval-s" => intervalS = args(i + 1).toLong; i += 2
         case "--once" => intervalS = 0L; i += 1
+        // how many superseded generations each compact retains (the
+        // time-travel / in-flight-reader grace window — deployments that
+        // audit gate decisions need more than the default 1)
+        case "--retain" => retain = args(i + 1).toInt; i += 2
         case d => dirs :+= d; i += 1
       }
     }
     require(dirs.nonEmpty,
-      "usage: IndexMaintainer [--interval-s N | --once] indexDir...")
+      "usage: IndexMaintainer [--interval-s N | --once] [--retain N] " +
+        "indexDir...")
     val spark = SparkSession.builder()
       .appName("graft-index-maintainer")
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
       .getOrCreate()
-    val code = try run(spark, dirs, intervalS) finally spark.stop()
+    val code = try run(spark, dirs, intervalS, retain) finally spark.stop()
     if (code != 0) sys.exit(code)
   }
 }
