@@ -759,7 +759,7 @@ object IndexCommit {
     * ≥ this one). Routinely longer rewrites: raise the index's horizon
     * with [[setStaleHorizon]]. */
   def requireMarkerHorizon(indexDir: String, markersListedAtMs: Long,
-                           staleMs: Long = DefaultStaleMs): Unit = {
+                           staleMs: Long): Unit = {
     val span = System.currentTimeMillis() - markersListedAtMs
     if (span >= staleMs)
       throw new java.util.ConcurrentModificationException(

@@ -201,10 +201,12 @@ class IndexCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     // soundness guard: a rewrite whose snapshot-to-commit span reaches the
     // horizon must abort — beyond it an unseen marker may have been reaped
     IndexCommit.requireMarkerHorizon(dir,
-      System.currentTimeMillis() - 1000L) // young rewrite: fine
+      System.currentTimeMillis() - 1000L,
+      IndexCommit.DefaultStaleMs) // young rewrite: fine
     val e = intercept[java.util.ConcurrentModificationException] {
       IndexCommit.requireMarkerHorizon(dir,
-        System.currentTimeMillis() - IndexCommit.DefaultStaleMs)
+        System.currentTimeMillis() - IndexCommit.DefaultStaleMs,
+        IndexCommit.DefaultStaleMs)
     }
     assert(e.getMessage.contains("marker horizon"), e.getMessage)
   }
