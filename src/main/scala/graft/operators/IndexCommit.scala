@@ -797,9 +797,13 @@ object IndexCommit {
       val all = fs.listStatus(root).toSeq
       def stale(s: FileStatus) =
         System.currentTimeMillis() - s.getModificationTime > reapMs
+      // NOT `_horizon_ms_old`: with the canonical file missing it is the
+      // crashed-swap recovery evidence horizonMs throws loudly on —
+      // sweeping it would turn that loud failure into a silent fallback
+      // to the (possibly lower) default horizon
       def lockDebris(n: String) =
-        n != LockName && n != HorizonName &&
-          (n.startsWith(LockName) || n.startsWith(HorizonName + "_"))
+        (n.startsWith(LockName) && n != LockName) ||
+          n.startsWith(HorizonName + "_tmp")
       all.filter(s => s.isDirectory &&
           pat.findFirstIn(s.getPath.getName).isDefined && stale(s))
         .map(_.getPath.toString) ++

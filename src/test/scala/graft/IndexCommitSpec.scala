@@ -454,12 +454,20 @@ class IndexCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = f.create(new Path(s"$dir/_horizon_ms"), true)
     out.write("900000".getBytes("UTF-8")); out.close()
     f.setTimes(new Path(s"$dir/_horizon_ms"), ancient, -1)
+    // _horizon_ms_old is crashed-swap RECOVERY EVIDENCE, never debris:
+    // sweeping it would turn horizonMs' loud crashed-swap failure into a
+    // silent fallback to the (possibly lower) default
+    f.create(new Path(s"$dir/_horizon_ms_old"), true).close()
+    f.setTimes(new Path(s"$dir/_horizon_ms_old"), ancient, -1)
     val doomed = IndexCommit.staleStagingDirs(f, dir, Seq("bands"))
     Seq(".hl0badcafe", "_tmp_0badcafe", "_horizon_ms_tmp").foreach { sfx =>
       assert(doomed.exists(_.contains(sfx)), s"$sfx missing from $doomed")
     }
     assert(!doomed.exists(_.endsWith("/_horizon_ms")),
       s"the canonical horizon file is not debris: $doomed")
+    assert(!doomed.exists(_.endsWith("/_horizon_ms_old")),
+      s"crashed-swap recovery evidence must never be swept: $doomed")
+    f.delete(new Path(s"$dir/_horizon_ms_old"), false)
   }
 
   test("describeLocks is a NON-MUTATING observer: it reports a held " +
