@@ -960,4 +960,38 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "doc_id", "text", 0.5)) == before,
       "the unblocked rewrite must be layout-only")
   }
+
+  test("a horizon raise MID-REWRITE does not relax the in-flight " +
+    "rewrite's guard: it aborts at the horizon captured at its marker " +
+    "listing (conservative), and only the NEXT rewrite rides the raise") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setLong(graft.operators.IndexCommit.HorizonConfKey, 1500L)
+    val idx = try {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_didx_midraise").toString
+      DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+        "doc_id", "text", spec, d)
+      d
+    } finally hconf.unset(graft.operators.IndexCommit.HorizonConfKey)
+    // the raise lands AFTER this rewrite listed markers under 1500 ms —
+    // its marker-diff trust is bounded by what reapers COULD have done
+    // under the old horizon, so the guard must hold at 1500, not 60000
+    DedupIndex.testBeforeCommit = () => {
+      DedupIndex.testBeforeCommit = () => ()
+      DedupIndex.setStaleHorizon(spark, idx, 60000L)
+      Thread.sleep(2200L)
+    }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        DedupIndex.compact(spark, idx)
+      }
+      assert(e.getMessage.contains("1500-ms"), e.getMessage)
+    } finally DedupIndex.testBeforeCommit = () => ()
+    assert(DedupIndex.liveGeneration(spark, idx) == 0)
+    // the retry captures the raised horizon at ITS listing and commits
+    DedupIndex.testBeforeCommit = () => Thread.sleep(2200L)
+    try DedupIndex.compact(spark, idx)
+    finally DedupIndex.testBeforeCommit = () => ()
+    assert(DedupIndex.liveGeneration(spark, idx) == 1)
+  }
 }
