@@ -28,8 +28,10 @@ object JobProbe {
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        val desc = Option(j.properties)
+        val props = Option(j.properties)
+        val desc = props
           .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(props.flatMap(p => Option(p.getProperty("callSite.short"))))
           .getOrElse("")
         jobs.put(j.jobId, (System.nanoTime(), desc))
         ()

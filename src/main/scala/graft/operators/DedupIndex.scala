@@ -144,14 +144,17 @@ object DedupIndex {
       spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(spark, indexDir)}")
       spark.sql(s"DROP TABLE IF EXISTS ${sigsTable(spark, indexDir)}")
       val (bands, sigs) = bandRows(sig, idCol, spec)
-      bands.write.format("parquet").mode("overwrite")
-        .bucketBy(spec.buckets, "bk").sortBy("bk")
-        .option("path", dataDir(indexDir, "bands", 0))
-        .saveAsTable(bandsTable(spark, indexDir))
-      sigs.write.format("parquet").mode("overwrite")
-        .bucketBy(spec.buckets, "doc_id").sortBy("doc_id")
-        .option("path", dataDir(indexDir, "sigs", 0))
-        .saveAsTable(sigsTable(spark, indexDir))
+      // the two relation writes are INDEPENDENT jobs over the same cached
+      // signature pass — overlap them (guide §2.6; ParallelOps)
+      ParallelOps.inParallel(
+        bands.write.format("parquet").mode("overwrite")
+          .bucketBy(spec.buckets, "bk").sortBy("bk")
+          .option("path", dataDir(indexDir, "bands", 0))
+          .saveAsTable(bandsTable(spark, indexDir)),
+        sigs.write.format("parquet").mode("overwrite")
+          .bucketBy(spec.buckets, "doc_id").sortBy("doc_id")
+          .option("path", dataDir(indexDir, "sigs", 0))
+          .saveAsTable(sigsTable(spark, indexDir)))
       IndexCommit.withCommitLock(fs(spark, indexDir), indexDir,
         "dedup build") {
         writeMeta(spark, spec, generation = 0, indexDir)
@@ -167,8 +170,9 @@ object DedupIndex {
       val (bands, sigs) = bandRows(sig, idCol, spec)
       stageAndCommit(spark, indexDir, spec, gen, markersSeen, markersListedAt,
         horizon, retainGenerations = 1) { (bandsStage, sigsStage) =>
-        writeBucketed(spark, bands, "bk", spec, bandsStage)
-        writeBucketed(spark, sigs, "doc_id", spec, sigsStage)
+        ParallelOps.inParallel(
+          writeBucketed(spark, bands, "bk", spec, bandsStage),
+          writeBucketed(spark, sigs, "doc_id", spec, sigsStage))
       }
     }
   }
@@ -505,9 +509,12 @@ object DedupIndex {
     spark.catalog.refreshTable(sT)
     stageAndCommit(spark, indexDir, spec, gen, markersSeen, markersListedAt,
       horizon, retainGenerations) { (bandsStage, sigsStage) =>
-      writeBucketed(spark, transform(spark.table(bT)), "bk", spec, bandsStage)
-      writeBucketed(spark, transform(spark.table(sT)), "doc_id", spec,
-        sigsStage)
+      // independent single-relation rewrites — overlap them (guide §2.6)
+      ParallelOps.inParallel(
+        writeBucketed(spark, transform(spark.table(bT)), "bk", spec,
+          bandsStage),
+        writeBucketed(spark, transform(spark.table(sT)), "doc_id", spec,
+          sigsStage))
     }
   }
 
@@ -745,12 +752,15 @@ object DedupIndex {
       // no path option: the registered table's location names the CURRENT
       // generation dir (a stale literal path would disagree after compact)
       val (bands, sigs) = bandRows(sig, idCol, spec)
-      bands.write.format("parquet").mode("append")
-        .bucketBy(spec.buckets, "bk").sortBy("bk")
-        .saveAsTable(bandsTable(spark, indexDir))
-      sigs.write.format("parquet").mode("append")
-        .bucketBy(spec.buckets, "doc_id").sortBy("doc_id")
-        .saveAsTable(sigsTable(spark, indexDir))
+      // two independent append jobs over the same cached signature pass —
+      // overlap them (guide §2.6; both must land before the marker drops)
+      ParallelOps.inParallel(
+        bands.write.format("parquet").mode("append")
+          .bucketBy(spec.buckets, "bk").sortBy("bk")
+          .saveAsTable(bandsTable(spark, indexDir)),
+        sigs.write.format("parquet").mode("append")
+          .bucketBy(spec.buckets, "doc_id").sortBy("doc_id")
+          .saveAsTable(sigsTable(spark, indexDir)))
       testAfterAppendWrite()
       // belt for the millisecond window where a rewrite's intent check ran
       // before our intent landed: its flip is then caught HERE, loudly.

@@ -87,9 +87,12 @@ object VectorIndex {
       // default 15 min), then the gen-0 data
       IndexCommit.initHorizon(fs(spark, indexDir), indexDir,
         spark.sparkContext.hadoopConfiguration)
-      encoded.write.partitionBy("label").mode("overwrite")
-        .parquet(postingsDir(indexDir, 0))
-      writeMetaFiles(spark, spec, s"$indexDir/meta")
+      // postings and codebook are independent writes — overlap them
+      // (guide §2.6; ParallelOps)
+      ParallelOps.inParallel(
+        encoded.write.partitionBy("label").mode("overwrite")
+          .parquet(postingsDir(indexDir, 0)),
+        writeMetaFiles(spark, spec, s"$indexDir/meta"))
     } else {
       // REBUILD: stage postings AND codebook in unique per-attempt dirs,
       // install + flip under the commit lock ([[stageAndCommit]]) — same
@@ -104,8 +107,9 @@ object VectorIndex {
         IndexCommit.commitMarkers(fs(spark, indexDir), indexDir)
       stageAndCommit(spark, indexDir, prev, markersSeen, markersListedAt,
         horizon, retainGenerations = 1, stageMeta = true) { (pStage, mStage) =>
-        encoded.write.partitionBy("label").mode("overwrite").parquet(pStage)
-        writeMetaFiles(spark, spec, mStage.get)
+        ParallelOps.inParallel(
+          encoded.write.partitionBy("label").mode("overwrite").parquet(pStage),
+          writeMetaFiles(spark, spec, mStage.get))
       }
     }
   }

@@ -86,6 +86,10 @@ object StreamingDedup {
     val spark = batch.sparkSession
     if (BatchMarker.alreadyApplied(spark, cfg.indexDir, batchId)) return
     requireLayoutMatches(spark, cfg)
+    // phase labels (optimization-guide §1.5) so the UI/probes can attribute
+    // the gate's many small jobs; thread-local, cleared at the end
+    def label(s: String): Unit =
+      spark.sparkContext.setJobDescription(s"dedup gate b$batchId: $s")
     val b = batch.persist()
     try {
       val sig = Dedup.minhashSignatures(b, cfg.idCol, cfg.textCol,
@@ -138,20 +142,30 @@ object StreamingDedup {
       // canonical of each near-dup cluster. Pairs derive from the SAME
       // cached signatures persisted into the index below — the MD5/shingle
       // map-side work (the batch's dominant cost) runs once, not twice.
+      label("in-batch LSH components")
       val batchPairs = Dedup.minhashLshPairsFromSignatures(sig, cfg.idCol,
         cfg.numHashes, cfg.bands, cfg.minEst)
       val dropInBatch = Dedup.connectedComponents(batchPairs, "id1", "id2")
         .filter(col("node") =!= col("lbl"))
         .select(col("node").as("new_id"))
 
-      val dropped = dropVsIndex.unionByName(dropInBatch).distinct()
+      // tracked-cache the drop set: `survivors` is consumed TWICE (the
+      // outDir write below and the survSig index-extend join) and dropVsIndex
+      // is the batch's most expensive subtree (candidate join into the index
+      // + signature verify) — uncached it re-ran once per consumer, measured
+      // ~1.1 s of the warm gate batch at sf0.1 (guide §5: cache only what is
+      // reused AND expensive; the drop set is ids-only, so storage is tiny)
+      val dropped = graft.Caches.tracked(
+        dropVsIndex.unionByName(dropInBatch).distinct())
       val survivors = b.join(dropped,
         b(cfg.idCol) === dropped("new_id"), "left_anti")
 
+      label("survivors write (index probe + anti-join)")
       survivors.write.mode("append").parquet(cfg.outDir)
       // survivors extend the index (bands + signatures); short docs have
       // no signature row and therefore never enter the index
       val survSig = sig.join(survivors.select(col(cfg.idCol)), cfg.idCol)
+      label("index extend (bands+sigs)")
       if (cfg.bucketed) {
         if (!DedupIndex.exists(spark, cfg.indexDir))
           DedupIndex.buildFromSignatures(survSig, cfg.idCol,
@@ -167,6 +181,7 @@ object StreamingDedup {
           .write.mode("append").parquet(s"${cfg.indexDir}/sigs")
       }
       sig.unpersist()
+      label("batch marker + auto-compact")
       BatchMarker.record(spark, cfg.indexDir, batchId)
       // auto-compaction AFTER the marker: compaction is content-neutral
       // and restartable, so a crash mid-compact can never re-append the
@@ -179,7 +194,10 @@ object StreamingDedup {
           DedupIndex.signalMaintenanceDue(spark, cfg.indexDir)
         else DedupIndex.compact(spark, cfg.indexDir)
       }
-    } finally b.unpersist()
+    } finally {
+      b.unpersist()
+      spark.sparkContext.setJobDescription(null)
+    }
   }
 
   private def indexExists(spark: SparkSession, cfg: Config): Boolean = {
