@@ -35,6 +35,19 @@ object Caches {
     c
   }
 
+  /** LAZY localCheckpoint + register: for iterative loops whose very next
+    * action scans every partition anyway (an aggregate, a full collect) —
+    * that action doubles as the materializer, so the round runs ONE job
+    * instead of checkpoint-job + action-job. UNSAFE when the first action
+    * references the plan more than once, or when the upstream blocks are
+    * freed before the first action runs (a locally-checkpointed RDD
+    * cannot recompute its truncated lineage). */
+  def checkpointedLazy[T](ds: Dataset[T]): Dataset[T] = {
+    val c = ds.localCheckpoint(false)
+    backingRdd(c).foreach(rdds.add)
+    c
+  }
+
   /** register an already-localCheckpoint'ed dataset's blocks for the next
     * `drain()` (for checkpoints created outside this object). */
   def registerCheckpointed(ds: Dataset[_]): Unit =

@@ -308,7 +308,21 @@ object Dedup {
     // construction below references it several times (both directions +
     // node extraction), and each reference would otherwise re-run the
     // upstream pair-generation join
-    val p = chk(pairs.select(col(leftCol).as("a"), col(rightCol).as("b")))
+    val p0 = pairs.select(col(leftCol).as("a"), col(rightCol).as("b"))
+    // integral keys take the guard count() below as the checkpoint's
+    // materializing action (lazy local checkpoint + count = ONE job where
+    // eager-checkpoint-then-count was two; count() computes every
+    // partition, so all blocks land before any later consumer). Lazy is
+    // unsafe only when the FIRST action references the plan twice — the
+    // non-integral path's first consumer is the two-branch union, so it
+    // keeps the eager materialization.
+    val integralInput = {
+      def integral0(t: org.apache.spark.sql.types.DataType) =
+        t == org.apache.spark.sql.types.LongType ||
+          t == org.apache.spark.sql.types.IntegerType
+      integral0(p0.schema("a").dataType) && integral0(p0.schema("b").dataType)
+    }
+    val p = chk(p0, eager = !integralInput)
     // SMALL-GRAPH FAST PATH: iterative propagation pays per-round
     // short-stage overhead (job launch + tiny shuffle + checkpoint) that
     // dominates when the surviving pair set is small — the common case for
@@ -339,7 +353,7 @@ object Dedup {
     // exists so callers who RAISE smallGraphThreshold cannot silently buy
     // an unbounded driver collect.
     val pairCount =
-      if (integral(typeA) && integral(typeB)) p.count() else Long.MaxValue
+      if (integralInput) p.count() else Long.MaxValue
     if (pairCount <= smallGraphThreshold &&
         pairCount * 64L <= smallGraphMaxBytes) {
       val rows = p.collect()

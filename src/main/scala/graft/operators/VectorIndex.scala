@@ -114,15 +114,37 @@ object VectorIndex {
     }
   }
 
+  /** the codebook schema on disk — identical row shape to the Spark
+    * writer this replaces (num_sub, dim, entry_id, codeword), standard
+    * parquet list layout, so pre-existing indexes read back unchanged */
+  private val metaSchema =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message spark_schema {
+        |  required int32 num_sub;
+        |  required int32 dim;
+        |  required int64 entry_id;
+        |  required group codeword (LIST) {
+        |    repeated group list { required float element; }
+        |  }
+        |}""".stripMargin)
+
+  /** O(codebook) model file: written DRIVER-SIDE (guide §1 job-count
+    * hygiene — a coalesce(1) Spark write paid a scheduled job per
+    * build/rebuild for a few KB of model; the write itself stays ordinary
+    * parquet) */
   private def writeMetaFiles(spark: SparkSession, spec: Spec,
-                             dir: String): Unit = {
-    import spark.implicits._
-    spec.codebook.toSeq
-      .map { case (id, cw) => (spec.numSub, spec.dim, id, cw.toSeq) }
-      .toDF("num_sub", "dim", "entry_id", "codeword")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(dir)
-  }
+                             dir: String): Unit =
+    BoundedParquet.overwrite(fs(spark, dir), metaSchema, dir) { (fac, sink) =>
+      spec.codebook.foreach { case (id, cw) =>
+        val g = fac.newGroup()
+        g.append("num_sub", spec.numSub)
+        g.append("dim", spec.dim)
+        g.append("entry_id", id)
+        val lst = g.addGroup("codeword")
+        cw.foreach(v => lst.addGroup("list").append("element", v))
+        sink(g)
+      }
+    }
 
   /** generation-addressed posting dirs: gen 0 is the original `postings`
     * layout; maintenance writes generation N+1 into a fresh
@@ -574,10 +596,17 @@ object VectorIndex {
     val dir =
       if (rebuildGens.isEmpty) s"$indexDir/meta"
       else metaGenDir(indexDir, rebuildGens.max)
-    val rows = spark.read.parquet(dir).collect()
-    val cb = rows.map(r => (r.getLong(2), r.getSeq[Float](3).toArray))
-      .sortBy(_._1)
-    Spec(rows.head.getInt(0), rows.head.getInt(1), cb)
+    // O(codebook) model file, read DRIVER-SIDE: loadSpec runs on every
+    // append / search / describe, and the spark.read.parquet(...).collect()
+    // it replaces paid DataSource resolution + schema inference + one
+    // scheduled Spark job (~100 ms fixed) per read for a few KB
+    val rows = BoundedParquet.readGroups(
+      f, spark.sparkContext.hadoopConfiguration, dir)
+    val cb = rows.map(g => (g.getLong("entry_id", 0),
+        BoundedParquet.floatList(g, "codeword")))
+      .sortBy(_._1).toArray
+    Spec(rows.head.getInteger("num_sub", 0),
+      rows.head.getInteger("dim", 0), cb)
   }
 
   /** true once `build` has written this index's meta */
@@ -591,18 +620,38 @@ object VectorIndex {
     * label arriving vectors without re-deriving the quantizer. Like the PQ
     * codebook in `meta`, the centroids are FROZEN at train time: appended
     * vectors quantize under them, retraining is a deliberate rebuild. */
+  private val centroidsSchema =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message spark_schema {
+        |  required int64 centroid_id;
+        |  required group centroid (LIST) {
+        |    repeated group list { required float element; }
+        |  }
+        |}""".stripMargin)
+
   def saveCentroids(spark: SparkSession, indexDir: String,
-                    centroids: Array[(Long, Array[Float])]): Unit = {
-    import spark.implicits._
-    centroids.toSeq.map { case (id, v) => (id, v.toSeq) }
-      .toDF("centroid_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
-  }
+                    centroids: Array[(Long, Array[Float])]): Unit =
+    // O(nlist) model file, written driver-side — see [[writeMetaFiles]]
+    BoundedParquet.overwrite(fs(spark, indexDir), centroidsSchema,
+      s"$indexDir/centroids") { (fac, sink) =>
+      centroids.foreach { case (id, v) =>
+        val g = fac.newGroup()
+        g.append("centroid_id", id)
+        val lst = g.addGroup("centroid")
+        v.foreach(x => lst.addGroup("list").append("element", x))
+        sink(g)
+      }
+    }
 
   def loadCentroids(spark: SparkSession,
                     indexDir: String): Array[(Long, Array[Float])] =
-    spark.read.parquet(s"$indexDir/centroids").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    // O(nlist) model file, read driver-side — see [[loadSpecAt]]; throws
+    // FileNotFoundException when never saved (callers translate)
+    BoundedParquet.readGroups(fs(spark, indexDir),
+        spark.sparkContext.hadoopConfiguration, s"$indexDir/centroids")
+      .map(g => (g.getLong("centroid_id", 0),
+        BoundedParquet.floatList(g, "centroid")))
+      .sortBy(_._1).toArray
 
   /** nearest-centroid label per vector — map-side argmax over the bounded
     * centroid set (literal fold, no shuffle); ties break to the LOWEST
@@ -626,22 +675,30 @@ object VectorIndex {
   private def decode(codes: Column, spec: Spec): Column =
     Similarity.pqDecode(codes, spec.codebook, spec.numSub)
 
+  /** the postings relation shape — fixed by this operator's own contract
+    * (label = hive partition column, then the encoded row): stating it at
+    * the scan skips the per-read driver-side footer schema inference
+    * (readPostings runs on every search and every rewrite) */
+  private val postingsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("codes", ArrayType(LongType)),
+      StructField("label", IntegerType)))
+  }
+
   /** read a postings dir, tolerating exists-but-empty (a remove() that
-    * dropped every vector leaves a dir with no parquet files — no schema
-    * to infer, but the contract is "zero rows", not an error; a MISSING
-    * dir stays a loud failure — it means a wrong indexDir/generation) */
+    * dropped every vector leaves a dir with no parquet files — the
+    * contract is "zero rows", not an error; a MISSING dir stays a loud
+    * failure — it means a wrong indexDir/generation) */
   private def readPostings(spark: SparkSession, pDir: String): DataFrame =
-    try spark.read.parquet(pDir)
+    try spark.read.schema(postingsSchema).parquet(pDir)
     catch {
       case e: org.apache.spark.sql.AnalysisException =>
         val p = new org.apache.hadoop.fs.Path(pDir)
         if (!fs(spark, pDir).exists(p)) throw e
-        import org.apache.spark.sql.types._
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("label", IntegerType),
-            StructField("vec_id", LongType),
-            StructField("codes", ArrayType(LongType)))))
+          postingsSchema)
     }
 
   /** top-k per query over the loaded index; queries = (qid, label, qv).
@@ -697,7 +754,8 @@ object VectorIndex {
         val cents =
           try loadCentroids(spark, indexDir)
           catch {
-            case e: org.apache.spark.sql.AnalysisException =>
+            case e @ (_: org.apache.spark.sql.AnalysisException |
+                      _: java.io.FileNotFoundException) =>
               throw new IllegalArgumentException(
                 s"searchTopK(nprobe=$nprobe) needs the saved coarse " +
                   s"quantizer ($indexDir/centroids) — persist it with " +

@@ -1070,8 +1070,12 @@ object RetrievalQueries {
     // iterative plan still carries every prior round's fold expression, so
     // analysis cost grows geometrically with rounds — measured 93 s for
     // 16 rounds via cache() vs ~8 s checkpointed at sf0.1 (the same
-    // blowup connectedComponents documents)
-    var syms = graft.Caches.checkpointed(vocab.withColumn("syms",
+    // blowup connectedComponents documents). Checkpoints are LAZY: every
+    // round's fold is followed by a full-scan action anyway (the symbol-
+    // count aggregate; the initial split by the round-1 candidate window),
+    // which doubles as the materializer — one job per round instead of
+    // checkpoint-job + action-job (guide §1: job-count hygiene).
+    var syms = graft.Caches.checkpointedLazy(vocab.withColumn("syms",
       expr("filter(split(w, ''), x -> x <> '')")))
     val merges =
       collection.mutable.Buffer.empty[(Int, Int, String, String, Long, Long)]
@@ -1089,19 +1093,24 @@ object RetrievalQueries {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       // order-free non-overlap selection (mirrors the oracle's NOT EXISTS)
       val survivors = bpeSelectBatch(cands.toSeq, deepBpeBatch)
+      var prev: DataFrame = null
       if (survivors.nonEmpty) {
         survivors.foreach { case (a, b, _) =>
           require(!a.contains("|") && !b.contains("|"),
             s"deepBpeTrainRounds: merged symbol contains the '|' fold " +
               s"delimiter (a='$a', b='$b')")
         }
-        val prev = syms
-        syms = graft.Caches.checkpointed(syms.withColumn("syms",
+        prev = syms
+        syms = graft.Caches.checkpointedLazy(syms.withColumn("syms",
           expr(bpeBatchFoldExpr(survivors.map(p => (p._1, p._2)).toSeq))))
-        graft.Caches.free(prev) // round N materialized — release N−1 now
       }
+      // the symbol-count aggregate materializes the lazily-checkpointed
+      // fold (every partition computed exactly once); only THEN may the
+      // previous round's blocks be released — freeing them first would
+      // strand the new round's truncated lineage
       val nSyms = syms.agg(sum(col("c") * size(col("syms")))).collect()(0)
         .getLong(0)
+      if (prev != null) graft.Caches.free(prev)
       survivors.zipWithIndex.foreach { case ((a, b, n), ord) =>
         merges += ((it, ord + 1, a, b, n, nSyms))
       }
