@@ -366,7 +366,7 @@ object RetrievalQueries {
     // broadcast hash join; the rare tail shuffles), never a forced
     // whole-vocabulary broadcast.
     "pipe_bpe_apply" -> ((s, dir) => {
-      val (_, syms) = bpeTrainRounds(s, dir, 3)
+      val (_, syms) = bpeTrainRounds(s, dir, 3, withRoundStats = false)
       val wsize = syms.select(col("w"), col("c"),
         size(col("syms")).cast("long").as("nsym"))
       // pre-aggregate the corpus side to (lang, w, cnt) BEFORE the join:
@@ -926,7 +926,14 @@ object RetrievalQueries {
     * token would be silently conflated with a boundary. A merge whose
     * symbols contain `|` throws at the operator boundary; quote and
     * backslash symbols are escaped and safe. */
-  private def bpeTrainRounds(s: SparkSession, dir: String, iters: Int)
+  /** `withRoundStats = false` skips the per-round corpus-symbol-count
+    * aggregate (one Spark job per round) for callers that consume only the
+    * trained symbol table — pipe_bpe_apply discards the merge log, so its
+    * 3 stat aggregates were pure overhead; the merge SELECTION (top-pair
+    * job per round) is identical either way, so the trained tokenizer —
+    * and every downstream result — is unchanged. */
+  private def bpeTrainRounds(s: SparkSession, dir: String, iters: Int,
+                             withRoundStats: Boolean = true)
       : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
     val vocab = t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
@@ -968,8 +975,10 @@ object RetrievalQueries {
            CASE WHEN x = '$eb' AND endswith(acc, '|$ea|')
                 THEN substr(acc, 1, length(acc) - ${a.length + 1}) || '$ea$eb|'
                 ELSE acc || x || '|' END), '\\\\|'), x -> x <> '')""")))
-      val nSyms = syms.agg(sum(col("c") * size(col("syms")))).collect()(0)
-        .getLong(0)
+      val nSyms =
+        if (withRoundStats)
+          syms.agg(sum(col("c") * size(col("syms")))).collect()(0).getLong(0)
+        else 0L
       rounds += ((it, a, b, top.getLong(2), nSyms))
     }
     (rounds.toSeq, syms)
