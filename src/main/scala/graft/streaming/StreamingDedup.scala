@@ -142,21 +142,30 @@ object StreamingDedup {
       // canonical of each near-dup cluster. Pairs derive from the SAME
       // cached signatures persisted into the index below — the MD5/shingle
       // map-side work (the batch's dominant cost) runs once, not twice.
-      label("in-batch LSH components")
-      val batchPairs = Dedup.minhashLshPairsFromSignatures(sig, cfg.idCol,
-        cfg.numHashes, cfg.bands, cfg.minEst)
-      val dropInBatch = Dedup.connectedComponents(batchPairs, "id1", "id2")
-        .filter(col("node") =!= col("lbl"))
-        .select(col("node").as("new_id"))
-
-      // tracked-cache the drop set: `survivors` is consumed TWICE (the
-      // outDir write below and the survSig index-extend join) and dropVsIndex
-      // is the batch's most expensive subtree (candidate join into the index
-      // + signature verify) — uncached it re-ran once per consumer, measured
-      // ~1.1 s of the warm gate batch at sf0.1 (guide §5: cache only what is
-      // reused AND expensive; the drop set is ids-only, so storage is tiny)
+      //
+      // The two drop subtrees are INDEPENDENT (vs-index probe; in-batch
+      // components) but the components run EAGERLY (checkpoint + driver
+      // union-find) while the probe used to wait its turn inside the
+      // survivors write — overlap them (guide §2.6): the probe's drop set
+      // is tracked-cached and materialized on a sibling thread while the
+      // CC rounds run, so the batch's two expensive subtrees share the
+      // executors instead of queueing. `dropVsIndexC` is ids-only, so the
+      // cache is tiny; `survivors` is still consumed twice (outDir write +
+      // index-extend join), which is why the union stays cached too.
+      val dropVsIndexC = graft.Caches.tracked(dropVsIndex)
+      var dropInBatch: DataFrame = null
+      label("index probe ∥ in-batch LSH components")
+      graft.operators.ParallelOps.inParallel(
+        { dropVsIndexC.count(); () },
+        {
+          val batchPairs = Dedup.minhashLshPairsFromSignatures(sig,
+            cfg.idCol, cfg.numHashes, cfg.bands, cfg.minEst)
+          dropInBatch = Dedup.connectedComponents(batchPairs, "id1", "id2")
+            .filter(col("node") =!= col("lbl"))
+            .select(col("node").as("new_id"))
+        })
       val dropped = graft.Caches.tracked(
-        dropVsIndex.unionByName(dropInBatch).distinct())
+        dropVsIndexC.unionByName(dropInBatch).distinct())
       val survivors = b.join(dropped,
         b(cfg.idCol) === dropped("new_id"), "left_anti")
 
